@@ -1,0 +1,86 @@
+"""Grouped composite aggregations (SURVEY §2.3 A1–A4).
+
+The reference builds temporal composites per pixel: a nanmedian NDVI
+monthly composite (`0_preprocessing/feature_stacking.py:106-138`) and a
+max-NDVI argmax composite that keeps the whole 7-band payload of the
+winning image (`:140-167`). Both are single shuffle-free-on-map-side
+grouped aggregates in Spark: partial aggregation (map-side combine)
+means the shuffle moves only per-group state, not raw pixels — the
+property that makes this work when "group" = pixel and there are 10^12
+of them. Nulls (masked pixels) are ignored natively by Spark
+aggregates, reproducing nanmedian/masked-max without special cases.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def grouped_median(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str | Column,
+    out_col: str = "median_value",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group median ignoring NULLs (A1, nanmedian composite).
+
+    ``exact=True`` uses Spark's exact ``median`` (linear-interpolated,
+    matches DuckDB's ``median``); ``exact=False`` switches to
+    ``percentile_approx`` — the knob to turn at 100 TB where exact
+    median forces a full sort of each group's values.
+    """
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    agg = F.median(value) if exact else F.percentile_approx(value, 0.5)
+    return df.groupBy(*group_cols).agg(agg.alias(out_col))
+
+
+def argmax_composite(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str | Column,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Argmax-by-key (A2/A4): per group, the payload of the row with the
+    max ``order_col``; masked rows (NULL order) are never winners —
+    exactly the reference's masked→-inf exclusion
+    (`0_preprocessing/feature_stacking.py:162-165`).
+
+    Implemented as ``max_by`` per payload column with a deterministic
+    tie-break: max_by on a struct(order, payload...) falls back to
+    struct comparison, so ties resolve by payload order rather than
+    arrival order. One aggregate, one shuffle, map-side partials.
+    """
+    order = F.col(order_col) if isinstance(order_col, str) else order_col
+    winner = F.max(F.struct(order.alias("_ord"), *[F.col(c) for c in payload_cols])).alias("_w")
+    out = df.where(order.isNotNull()).groupBy(*group_cols).agg(winner)
+    cols = [F.col(c) for c in group_cols]
+    cols.append(F.col("_w._ord").alias("max_" + (order_col if isinstance(order_col, str) else "order")))
+    cols.extend(F.col(f"_w.{c}").alias(c) for c in payload_cols)
+    return out.select(*cols)
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    percentiles: Sequence[float] = (0.02, 0.98),
+    exact: bool = True,
+) -> DataFrame:
+    """Grouped percentile aggregate (A3) for the contrast stretch (P8).
+
+    Exact ``percentile`` (continuous-interpolated, matches DuckDB
+    quantile_cont) by default; ``percentile_approx`` as the 100 TB
+    knob. Output columns are named p<percent> (p2, p98, ...).
+    """
+    aggs = []
+    for p in percentiles:
+        name = f"p{int(round(p * 100))}"
+        if exact:
+            aggs.append(F.percentile(F.col(value_col), F.lit(p)).alias(name))
+        else:
+            aggs.append(F.percentile_approx(F.col(value_col), F.lit(p)).alias(name))
+    return df.groupBy(*group_cols).agg(*aggs)

@@ -1,0 +1,138 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, all shuffle-conscious:
+
+- exact: md5-fingerprint groupBy — one shuffle on the 16-byte
+  fingerprint, never on the document text.
+- MinHash + LSH: shingle→minhash→band→bucket-join. Signatures and
+  band hashes are pure Catalyst expressions (md5 + higher-order array
+  functions), so the only Python-free shuffle is on tiny band-hash
+  keys; candidate pairs come from within-bucket self-joins whose
+  bucket sizes LSH keeps small. This is the 100 TB near-dedup path.
+- SimHash: 16-bit deterministic simhash from token md5 nibbles —
+  again pure column expressions.
+- n-gram Jaccard: exact verification of candidate pairs (used after
+  LSH blocking; never as an all-pairs join at scale).
+
+All hash choices are md5-based so every step is engine-portable and
+DuckDB-oracle-checkable (same hex digests on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import doc_fingerprint, shingles, word_tokens
+
+
+def _norm(text: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on the normalized-text md5 fingerprint: keep the min
+    id per fingerprint, count the cluster. Output:
+    (fingerprint, keep_id, dup_count)."""
+    fp = doc_fingerprint(F.col(text_col))
+    return (
+        df.select(F.col(id_col).alias("_id"), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def minhash_signature_col(text: Column, seed: int, k: int = 5) -> Column:
+    """One MinHash value: lexicographic min of md5(seed:shingle) over
+    the distinct k-shingles. md5-as-hash keeps it engine-portable."""
+    sh = F.array_distinct(shingles(text, k))
+    return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, k: int = 5
+) -> DataFrame:
+    """(id, mh0..mh{n-1}) MinHash signature table."""
+    cols = [F.col(id_col)]
+    for i in range(num_hashes):
+        cols.append(minhash_signature_col(F.col(text_col), i, k).alias(f"mh{i}"))
+    return df.select(*cols)
+
+
+def lsh_band_buckets(
+    sigs: DataFrame, id_col: str, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Band the signature: band_hash = md5(mh_i || mh_i+1 ...) per
+    band. Output long-format (id, band_idx, band_hash) — the shuffle
+    key for bucketing is the 16-byte band hash, not the signature."""
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        parts = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        bands.append(F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *parts)).alias("band_hash")))
+    exploded = sigs.select(F.col(id_col), F.explode(F.array(*bands)).alias("band"))
+    return exploded.select(id_col, "band.band_idx", "band.band_hash")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (id_a < id_b), distinct across
+    bands. At scale, bucket sizes are bounded by LSH design (tune
+    num_hashes/band_size), so the within-bucket self-join never
+    becomes a global cross join."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    buckets = lsh_band_buckets(sigs, id_col, num_hashes, band_size)
+    a = buckets.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    )
+    b = buckets.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_b")
+    )
+    pairs = a.join(b, ["band_idx", "band_hash"]).where(F.col("id_a") < F.col("id_b"))
+    return pairs.select("id_a", "id_b").distinct()
+
+
+def ngram_jaccard(text_a: Column, text_b: Column, k: int = 5) -> Column:
+    """Exact Jaccard similarity of distinct k-shingle sets."""
+    sa = F.array_distinct(shingles(text_a, k))
+    sb = F.array_distinct(shingles(text_b, k))
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(sa) + F.size(sb) - inter
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over whitespace tokens.
+
+    Bit j of each token's hash is bit (j % 4) of hex digit (j // 4) of
+    md5(token); token weights are +1/-1; signature bit j is 1 iff the
+    summed weight is positive. Pure higher-order-function fold —
+    JVM-side, and portable to the DuckDB oracle.
+    """
+    tokens = word_tokens(_norm(text))
+
+    def bit_contrib(tok: Column, j: int) -> Column:
+        digit = F.substring(F.md5(tok), j // 4 + 1, 1)
+        val = F.conv(digit, 16, 10).cast("int")
+        bit = F.shiftright(val, j % 4).bitwiseAND(F.lit(1))
+        return F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+
+    counts = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0), 16),
+        lambda acc, tok: F.zip_with(
+            acc,
+            F.array(*[bit_contrib(tok, j) for j in range(16)]),
+            lambda a, b: a + b,
+        ),
+    )
+    sig = F.lit(0)
+    for j in range(16):
+        sig = sig + F.when(F.element_at(counts, j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sig

@@ -1,0 +1,80 @@
+"""Similarity search over embedding columns (north-star extension).
+
+- brute-force cosine top-k against a query vector: the correctness
+  baseline. The query vector is a literal/broadcast; the scan side
+  computes the score with JVM higher-order functions and takes top-k
+  via orderBy+limit (Spark plans this as TakeOrderedAndProject — a
+  per-partition heap + driver merge, no global sort materialization).
+- sign-LSH bucketed ANN: deterministic hyperplane signs derived from
+  (plane, dim) parity — no RNG, so results are reproducible and
+  oracle-checkable. Probe and corpus hash to 2^n_planes buckets;
+  candidates are same-bucket only. This is the 100 TB path: the
+  bucket id is the shuffle key; each bucket's candidate set is a tiny
+  fraction of the corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+
+def as_double_array(col: Column) -> Column:
+    """Normalize array<float> → array<double> so every engine folds the
+    same IEEE doubles in the same order."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Brute-force cosine top-k: (id, cos_sim) with deterministic
+    tie-break on id."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = cosine_similarity(as_double_array(F.col(vec_col)), q)
+    out = df.select(F.col(id_col), F.round(sim, 6).alias("cos_sim"))
+    if exclude_id is not None:
+        out = out.where(F.col(id_col) != exclude_id)
+    return out.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def plane_sign(plane: int, dim: int) -> int:
+    """Deterministic pseudo-random hyperplane component in {-1, +1}:
+    parity of a small integer mix of (plane, dim). Engine-portable."""
+    return 1 if ((plane * 31 + dim * 17 + (plane * dim) % 7) % 2 == 0) else -1
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Sign-LSH bucket id: bit p is 1 iff dot(vec, plane_p) >= 0."""
+    acc = F.lit(0)
+    for p in range(n_planes):
+        signs = [plane_sign(p, j) for j in range(dim)]
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(s)) for s in signs]),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        acc = acc + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return acc
+
+
+def lsh_ann_buckets(
+    df: DataFrame, vec_col: str, id_col: str, dim: int, n_planes: int = 8
+) -> DataFrame:
+    """(id, bucket) table; bucket is the shuffle/partition key for ANN."""
+    return df.select(
+        F.col(id_col), lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket")
+    )

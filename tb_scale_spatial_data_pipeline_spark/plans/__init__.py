@@ -1,0 +1,26 @@
+"""Query registry: every implemented operator from SURVEY §2 exposed as
+a named (spark_fn, oracle_sql) pair for the driver's differential check.
+
+Each module contributes QUERIES (name -> callable(spark, sf_dir) ->
+DataFrame) and ORACLES (name -> ANSI SQL for DuckDB over the same
+parquet views). Names missing from ORACLES get the driver's weaker
+rows-only check (reserved for genuinely non-SQL-expressible ops).
+"""
+
+from __future__ import annotations
+
+from . import relational, text_queries, vector_queries, raster_queries, event_queries
+
+
+def all_queries():
+    q = {}
+    for mod in (relational, text_queries, vector_queries, raster_queries, event_queries):
+        q.update(mod.QUERIES)
+    return q
+
+
+def all_oracles():
+    o = {}
+    for mod in (relational, text_queries, vector_queries, raster_queries, event_queries):
+        o.update(mod.ORACLES)
+    return o

@@ -1,0 +1,213 @@
+"""Time/event queries over `events` (SURVEY §2.8 extension surface).
+
+Batch formulations of the streaming operators — tumbling/sliding
+windows, sessionization, stateful dedup, as-of join — each with an
+ANSI-SQL oracle. The true Structured Streaming forms (readStream +
+watermark) live in ``streaming/`` and are covered by rows-only tests;
+the semantics here are the reference point they must agree with.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import t, dsum, sql_dsum
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+_SQL_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction (`props` is a JSON string).
+@_q(
+    "json_props",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           COUNT(json_extract_string(props, '$.k')) AS n_with_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"), F.count("k").alias("n_with_k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling 10-minute windows: Spark `window()` ≡ DuckDB time_bucket.
+@_q(
+    "tumbling_window",
+    f"""
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '{_SQL_FMT}') AS wstart,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.date_format("w.start", _FMT).alias("wstart"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows (10 min length, 5 min slide): each event falls in
+# exactly two windows; the oracle enumerates both starts explicitly.
+@_q(
+    "sliding_window",
+    f"""
+    WITH expanded AS (
+      SELECT unnest([
+               time_bucket(INTERVAL '5 minutes', ts),
+               time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+             ]) AS wstart,
+             value
+      FROM events
+    )
+    SELECT strftime(wstart, '{_SQL_FMT}') AS wstart,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM expanded GROUP BY 1
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(win.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+        .select(F.date_format("w.start", _FMT).alias("wstart"), "n", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (30-minute inactivity gap) as gaps-and-islands — the
+# batch twin of `session_window`.
+@_q(
+    "sessionization",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS INT) AS session_id,
+           COUNT(*) AS n_events,
+           strftime(min(ts), '{_SQL_FMT}') AS session_start
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(w2).cast("int"))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), _FMT).alias("session_start"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stateful dedup analog: first event per (user_id, event_type).
+@_q(
+    "dedup_first_event",
+    """
+    SELECT user_id, event_type, event_id
+    FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: for each purchase, the most recent prior-or-equal click
+# by the same user (range/as-of extension, SURVEY §2.4 "not present" →
+# engine extension).
+@_q(
+    "asof_click_before_purchase",
+    f"""
+    SELECT p.event_id AS purchase_id,
+           strftime(max(c.ts), '{_SQL_FMT}') AS last_click_ts
+    FROM events p LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def q_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases["p_user"] == clicks["c_user"]) & (clicks["c_ts"] <= purchases["p_ts"]),
+        "left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.date_format(F.max("c_ts"), _FMT).alias("last_click_ts")
+    )

@@ -1,0 +1,254 @@
+"""Text-analysis + dedup queries over `documents` (north-star
+extension; SURVEY §7.5). Oracle SQL is generated from the same
+constants as the Spark expressions so both sides stay in lock-step.
+
+DuckDB note: its regexp_replace needs the 'g' flag to be global;
+Spark's is global by default — every normalized-text oracle carries
+the flag.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    STOPWORDS,
+    bpe_ish_token_count,
+    doc_fingerprint,
+    quality_score,
+    token_count,
+)
+from ..operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    ngram_jaccard,
+    simhash16,
+)
+from ._util import t
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+# SQL fragments kept in lock-step with functions/text.py
+_SQL_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_SQL_TOKENS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+_SQL_SHINGLES = (
+    f"CASE WHEN length({_SQL_NORM}) < 5 THEN [{_SQL_NORM}] "
+    f"ELSE list_transform(generate_series(1, length({_SQL_NORM}) - 4), "
+    f"i -> substring({_SQL_NORM}, i, 5)) END"
+)
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace tokens + BPE-ish subword proxy.
+@_q(
+    "token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKENS}) AS INT) AS n_tokens,
+           CAST(list_aggregate(list_transform({_SQL_TOKENS},
+                w -> CAST(ceil(length(w) / 4.0) AS INT)), 'sum') AS INT) AS n_bpeish
+    FROM documents
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("int").alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("int").alias("n_bpeish"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup via md5 fingerprint of normalized text.
+@_q(
+    "exact_dedup",
+    f"""
+    SELECT md5({_SQL_NORM}) AS fingerprint,
+           min(doc_id) AS keep_id,
+           COUNT(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Document quality scoring (surface statistics, 4 equal-weight parts).
+_SQL_QUALITY_STOP = " OR ".join(
+    f"contains(' ' || lower(text) || ' ', ' {w} ')" for w in STOPWORDS[:20]
+)
+@_q(
+    "quality_score",
+    f"""
+    SELECT doc_id, round((
+        least(length(text) / 1000.0, 1.0)
+      + CASE WHEN len({_SQL_TOKENS}) > 0
+                  AND length(text) * 1.0 / len({_SQL_TOKENS}) BETWEEN 3.0 AND 12.0
+             THEN 1.0 ELSE 0.0 END
+      + CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
+             ELSE 0.0 END
+      + CASE WHEN {_SQL_QUALITY_STOP} THEN 1.0 ELSE 0.0 END
+    ) / 4.0, 6) AS quality
+    FROM documents
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# Stopword-rule language ID (the SQL-twin subset of the full heuristic)
+# vs the stored label — confusion-matrix counts.
+_LANG_RULES = [
+    ("de", ["der", "die", "das", "und"]),
+    ("fr", ["le", "la", "les", "est"]),
+    ("es", ["el", "los", "las", "una"]),
+]
+
+
+def _sql_lang_case() -> str:
+    clauses = []
+    for lang, words in _LANG_RULES:
+        cond = " OR ".join(
+            f"contains(' ' || lower(text) || ' ', ' {w} ')" for w in words
+        )
+        clauses.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " ELSE 'en' END"
+
+
+@_q(
+    "lang_id_confusion",
+    f"""
+    SELECT lang, {_sql_lang_case()} AS predicted, COUNT(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    pred = None
+    for lang, words in _LANG_RULES:
+        cond = F.lit(False)
+        for w in words:
+            cond = cond | padded.contains(f" {w} ")
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    pred = pred.otherwise(F.lit("en"))
+    return docs.select("lang", pred.alias("predicted")).groupBy("lang", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup check on blocked (adjacent-id, same-source)
+# pairs — the exact-verification stage that follows LSH blocking.
+@_q(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, source, list_distinct({_SQL_SHINGLES}) AS sh FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CASE WHEN len(a.sh) + len(b.sh)
+                           - len(list_filter(a.sh, x -> list_contains(b.sh, x))) > 0
+                 THEN len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0
+                      / (len(a.sh) + len(b.sh)
+                         - len(list_filter(a.sh, x -> list_contains(b.sh, x))))
+                 ELSE 0.0 END, 6) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND b.doc_id = a.doc_id + 1
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"), F.col("text").alias("text_a")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"), F.col("text").alias("text_b")
+    )
+    pairs = a.join(b, (a["src_a"] == b["src_b"]) & (b["id_b"] == a["id_a"] + 1))
+    jac = ngram_jaccard(F.col("text_a"), F.col("text_b"))
+    return pairs.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH candidate pairs (8 hashes, bands of 2) — the scalable
+# near-dedup path. Oracle mirrors the identical md5-based hash family.
+_NUM_HASHES = 8
+_BAND_SIZE = 2
+
+
+def _sql_minhash_lsh() -> str:
+    mh_cols = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS mh{i}"
+        for i in range(_NUM_HASHES)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(mh{b * _BAND_SIZE} || '|' || mh{b * _BAND_SIZE + 1}) AS band_hash FROM mh"
+        for b in range(_NUM_HASHES // _BAND_SIZE)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh FROM documents
+    ),
+    mh AS (SELECT doc_id, {mh_cols} FROM sh),
+    bands AS ({band_rows})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    """
+
+
+@_q("minhash_lsh_pairs", _sql_minhash_lsh())
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, band_size=_BAND_SIZE
+    )
+
+
+# ---------------------------------------------------------------------------
+# 16-bit SimHash signatures.
+def _sql_simhash() -> str:
+    def contrib(j: int) -> str:
+        digit = f"substring(md5(tok), {j // 4 + 1}, 1)"
+        val = f"(strpos('0123456789abcdef', {digit}) - 1)"
+        bit = f"(({val} >> {j % 4}) & 1)"
+        return f"CASE WHEN {bit} = 1 THEN 1 ELSE -1 END"
+
+    bit_terms = " + ".join(
+        f"CASE WHEN list_aggregate(list_transform(tokens, tok -> {contrib(j)}), 'sum') > 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j in range(16)
+    )
+    norm_tokens = (
+        r"list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),"
+        r" '\s+'), x -> x <> '')"
+    )
+    return f"""
+    WITH tk AS (SELECT doc_id, {norm_tokens} AS tokens FROM documents)
+    SELECT doc_id, CAST({bit_terms} AS INT) AS simhash FROM tk
+    """
+
+
+@_q("simhash_signatures", _sql_simhash())
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash16(F.col("text")).cast("int").alias("simhash"))

@@ -1,0 +1,159 @@
+"""Embedding similarity-search queries over `embeddings` (north-star
+extension). dim=64 array<float>; all folds are cast to double and run
+left-to-right so Spark and DuckDB produce bit-identical IEEE results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+from ..operators.similarity import (
+    as_double_array,
+    lsh_ann_buckets,
+    plane_sign,
+)
+from ._util import t
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+DIM = 64
+N_PLANES = 8
+
+# dot(a, b) with explicit double casts, sequential fold — mirror of
+# functions.vectors.dot
+_SQL_DOT_AB = (
+    "list_aggregate(list_transform(generate_series(1, {n}), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+)
+_SQL_NORM_A = (
+    "sqrt(list_aggregate(list_transform(generate_series(1, {n}), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), 'sum'))"
+)
+
+
+def _sql_cosine(a: str, b: str, n: int = DIM) -> str:
+    dot = _SQL_DOT_AB.format(a=a, b=b, n=n)
+    na = _SQL_NORM_A.format(a=a, n=n)
+    nb = _SQL_NORM_A.format(a=b, n=n)
+    return f"({dot} / ({na} * {nb} + 1e-12))"
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k against a fixed query vector (vec_id = 0).
+# Spark plans orderBy+limit as TakeOrderedAndProject: per-partition
+# heap, no global sort — the right physical shape at any scale.
+@_q(
+    "cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round({_sql_cosine('e.embedding', 'q.qv')}, 6) AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    # one-row lookup for the query vector: broadcast cross join keeps
+    # the corpus side shuffle-free (collect of 1 row would also be
+    # fine, but stays declarative this way)
+    q = emb.where(F.col("vec_id") == 0).select(
+        as_double_array(F.col("embedding")).alias("qv")
+    )
+    joined = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    sim = cosine_similarity(as_double_array(F.col("embedding")), F.col("qv"))
+    return (
+        joined.select("vec_id", F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH ANN bucketing: deterministic hyperplanes; bucket id is the
+# shuffle key for the scale path (candidates = same bucket only).
+def _sql_lsh_buckets() -> str:
+    terms = []
+    for p in range(N_PLANES):
+        signs = ", ".join(str(float(plane_sign(p, j))) for j in range(DIM))
+        dot = (
+            f"list_aggregate(list_transform(generate_series(1, {DIM}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ([{signs}])[i]), 'sum')"
+        )
+        terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END")
+    bucket = " + ".join(terms)
+    return f"SELECT vec_id, CAST({bucket} AS INT) AS bucket FROM embeddings"
+
+
+@_q("lsh_ann_buckets", _sql_lsh_buckets())
+def q_lsh_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    out = lsh_ann_buckets(emb, "embedding", "vec_id", dim=DIM, n_planes=N_PLANES)
+    return out.select("vec_id", F.col("bucket").cast("int").alias("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-duplicate detection on blocked (adjacent-id) pairs —
+# cosine above threshold. (Blocking stands in for the LSH bucket join;
+# exact cosine is the verification stage.)
+@_q(
+    "embedding_neardup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    WHERE {_sql_cosine('a.embedding', 'b.embedding')} > 0.5
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, b["id_b"] == a["id_a"] + 1)
+    sim = cosine_similarity(as_double_array(F.col("ea")), as_double_array(F.col("eb")))
+    return pairs.where(sim > 0.5).select(
+        "id_a", "id_b", F.round(sim, 6).alias("cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label exact stats over vector norms — array fold + grouped agg.
+@_q(
+    "norm_stats_by_label",
+    f"""
+    SELECT label,
+           COUNT(*) AS n,
+           round(min({_SQL_NORM_A.format(a='embedding', n=DIM)}), 6) AS min_norm,
+           round(max({_SQL_NORM_A.format(a='embedding', n=DIM)}), 6) AS max_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_norm_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import l2_norm
+
+    emb = t(spark, sf_dir, "embeddings")
+    norm = l2_norm(as_double_array(F.col("embedding")))
+    return (
+        emb.select("label", norm.alias("_n"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("_n"), 6).alias("min_norm"),
+            F.round(F.max("_n"), 6).alias("max_norm"),
+        )
+    )

@@ -1,0 +1,58 @@
+"""Parquet catalog over the fixture tables.
+
+Mirrors the reference's source layer (SURVEY §2.1): glob file-pattern
+scans (`0_preprocessing/feature_stacking.py:67-70`), header/metadata
+reads (`:177-179`), and streaming vector scans
+(`3_object_classification/object_classifier.py:193-204`) all become
+``spark.read.parquet`` — Catalyst handles column pruning and predicate
+pushdown down to the parquet scan, which is the scale-relevant property
+(a 100 TB table is only readable if filters and projections reach the
+row-group level; `.explain` must show PushedFilters/ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Plain parquet scan: pruning/pushdown are
+    Catalyst's job — do not collect or materialize here.
+
+    TIMESTAMP(NANOS) parquet columns (the `events.ts` fixture) arrive
+    as nanos-since-epoch longs (``spark.sql.legacy.parquet.nanosAsLong``)
+    and are truncated to microsecond timestamps here — the same value
+    DuckDB sees at µs resolution.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view (for spark.sql use)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
