@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs representative queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+one JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with the noop sink (full plan runs, nothing
+collects to the driver), which measures engine time rather than
+Arrow-to-pandas transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tb_scale_spatial_data_pipeline_spark.plans import all_queries
+from tb_scale_spatial_data_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "grouped_median",
+    "percentile_stretch",
+    "argmax_composite",
+    "dual_model_fallback",
+    "broadcast_lookup",
+    "grid_zip_join",
+    "window_rank",
+    "pixel_median_composite",
+    "max_ndvi_composite",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash_signatures",
+    "cosine_topk",
+    "lsh_ann_buckets",
+    "tumbling_window",
+    "sessionization",
+    "asof_click_before_purchase",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    # two passes: the first warms JIT/codegen/file-index caches, the
+    # second measures steady-state engine time
+    timings: dict[str, float] = {}
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = queries[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -110,19 +110,35 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
+def normalize_text(text: Column) -> Column:
+    """Lowercase + whitespace-collapse + trim — the shared normal form
+    for fingerprinting/shingling."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def shingles_of_norm(norm: Column, k: int = 5) -> Column:
+    """Character k-shingles of an ALREADY-NORMALIZED column.
+
+    IMPORTANT: ``norm`` must be a plain column attribute (project
+    ``normalize_text`` in a separate select first). Spark evaluates a
+    higher-order-function lambda body per array element — if ``norm``
+    were the normalization *expression*, the regexp would re-execute
+    once per shingle (measured ~20× slowdown at sf0.1).
+    """
+    n = F.length(norm)
+    return F.when(n < k, F.array(norm)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: norm.substr(i, F.lit(k)),
+        )
+    )
+
+
 def shingles(text: Column, k: int = 5) -> Column:
     """Character k-shingles of the normalized text → array<string>.
 
-    Built with sequence+transform+substring — pure Catalyst, no UDF —
-    so shingling a 100 TB corpus stays JVM-side. Returns the full
-    shingle multiset (dedup happens downstream via array_distinct or
-    grouping, depending on the consumer).
+    Convenience form for one-off/small inputs. In hot paths, project
+    ``normalize_text`` first and call ``shingles_of_norm`` (see its
+    warning about per-element lambda evaluation).
     """
-    normalized = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
-    n = F.length(normalized)
-    return F.when(n < k, F.array(normalized)).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(k - 1)),
-            lambda i: normalized.substr(i, F.lit(k)),
-        )
-    )
+    return shingles_of_norm(normalize_text(text), k)

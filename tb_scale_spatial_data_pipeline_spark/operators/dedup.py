@@ -23,11 +23,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import doc_fingerprint, shingles, word_tokens
-
-
-def _norm(text: Column) -> Column:
-    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+from ..functions.text import (
+    doc_fingerprint,
+    normalize_text,
+    shingles,
+    shingles_of_norm,
+    word_tokens,
+)
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -52,11 +54,25 @@ def minhash_signature_col(text: Column, seed: int, k: int = 5) -> Column:
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, k: int = 5
 ) -> DataFrame:
-    """(id, mh0..mh{n-1}) MinHash signature table."""
-    cols = [F.col(id_col)]
-    for i in range(num_hashes):
-        cols.append(minhash_signature_col(F.col(text_col), i, k).alias(f"mh{i}"))
-    return df.select(*cols)
+    """(id, mh0..mh{n-1}) MinHash signature table.
+
+    Explode→groupBy-min formulation: shingles are materialized once as
+    rows, then all ``num_hashes`` minima aggregate in one pass (map-side
+    partial min → the shuffle carries only per-doc signature state).
+    This beats per-column array folds, which would recompute the
+    shingle array per hash function (no CSE across projections), and
+    it's the shape that scales: shingle rows never collect anywhere.
+    """
+    normed = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_norm"))
+    exploded = normed.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_of_norm(F.col("_norm"), k))).alias("_sh"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_buckets(
@@ -107,15 +123,47 @@ def ngram_jaccard(text_a: Column, text_b: Column, k: int = 5) -> Column:
     return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
 
 
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) via the scalable explode→aggregate shape.
+
+    Tokens explode to rows, md5 is computed ONCE per token (projected
+    to an attribute before the 16 bit extractions), the 16 per-bit
+    ±1 contributions partial-aggregate map-side, and the signature is
+    assembled from the 16 summed counters. Same semantics as
+    ``simhash16`` but with none of the per-element expression
+    recomputation of a nested-array fold.
+    """
+    normed = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_norm"))
+    toks = normed.select(
+        F.col(id_col), F.explode(word_tokens(F.col("_norm"))).alias("_tok")
+    )
+    hashed = toks.select(F.col(id_col), F.md5(F.col("_tok")).alias("_h"))
+    bit_cols = []
+    for j in range(16):
+        digit = F.substring(F.col("_h"), j // 4 + 1, 1)
+        val = F.conv(digit, 16, 10).cast("int")
+        bit = F.shiftright(val, j % 4).bitwiseAND(F.lit(1))
+        bit_cols.append(F.when(bit == 1, 1).otherwise(-1).alias(f"_c{j}"))
+    contribs = hashed.select(F.col(id_col), *bit_cols)
+    agg = contribs.groupBy(id_col).agg(
+        *[F.sum(f"_c{j}").alias(f"_s{j}") for j in range(16)]
+    )
+    sig = F.lit(0)
+    for j in range(16):
+        sig = sig + F.when(F.col(f"_s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return agg.select(F.col(id_col), sig.cast("int").alias("simhash"))
+
+
 def simhash16(text: Column) -> Column:
-    """16-bit SimHash over whitespace tokens.
+    """16-bit SimHash over whitespace tokens (column-expression form;
+    prefer ``simhash_signatures`` in hot paths).
 
     Bit j of each token's hash is bit (j % 4) of hex digit (j // 4) of
     md5(token); token weights are +1/-1; signature bit j is 1 iff the
     summed weight is positive. Pure higher-order-function fold —
     JVM-side, and portable to the DuckDB oracle.
     """
-    tokens = word_tokens(_norm(text))
+    tokens = word_tokens(normalize_text(text))
 
     def bit_contrib(tok: Column, j: int) -> Column:
         digit = F.substring(F.md5(tok), j // 4 + 1, 1)

@@ -19,12 +19,7 @@ from ..functions.text import (
     quality_score,
     token_count,
 )
-from ..operators.dedup import (
-    exact_dedup,
-    lsh_candidate_pairs,
-    ngram_jaccard,
-    simhash16,
-)
+from ..operators.dedup import exact_dedup, lsh_candidate_pairs
 from ._util import t
 
 QUERIES: dict = {}
@@ -170,19 +165,32 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / (len(a.sh) + len(b.sh)
                          - len(list_filter(a.sh, x -> list_contains(b.sh, x))))
                  ELSE 0.0 END, 6) AS jaccard
-    FROM sh a JOIN sh b ON a.source = b.source AND b.doc_id = a.doc_id + 1
+    FROM sh a JOIN sh b ON a.source = b.source AND b.doc_id = a.doc_id + 20
     """,
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import normalize_text, shingles_of_norm
+
     docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    a = docs.select(
-        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"), F.col("text").alias("text_a")
+    # project the shingle set per doc BEFORE the pair join: shingling
+    # runs once per document, not once per pair
+    sh = docs.select(
+        "doc_id", "source", normalize_text(F.col("text")).alias("_n")
+    ).select(
+        "doc_id",
+        "source",
+        F.array_distinct(shingles_of_norm(F.col("_n"))).alias("sh"),
     )
-    b = docs.select(
-        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"), F.col("text").alias("text_b")
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"), F.col("sh").alias("sh_a")
     )
-    pairs = a.join(b, (a["src_a"] == b["src_b"]) & (b["id_b"] == a["id_a"] + 1))
-    jac = ngram_jaccard(F.col("text_a"), F.col("text_b"))
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"), F.col("sh").alias("sh_b")
+    )
+    pairs = a.join(b, (a["src_a"] == b["src_b"]) & (b["id_b"] == a["id_a"] + 20))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
     return pairs.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
 
 
@@ -250,5 +258,7 @@ def _sql_simhash() -> str:
 
 @_q("simhash_signatures", _sql_simhash())
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_signatures
+
     docs = t(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash16(F.col("text")).cast("int").alias("simhash"))
+    return simhash_signatures(docs, "doc_id", "text")

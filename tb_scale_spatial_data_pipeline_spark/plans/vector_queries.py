@@ -116,17 +116,18 @@ def q_lsh_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
-    WHERE {_sql_cosine('a.embedding', 'b.embedding')} > 0.5
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND b.vec_id > a.vec_id
+    WHERE {_sql_cosine('a.embedding', 'b.embedding')} > 0.3
     """,
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    pairs = a.join(b, b["id_b"] == a["id_a"] + 1)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label").alias("lbl_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lbl_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, (a["lbl_a"] == b["lbl_b"]) & (b["id_b"] > a["id_a"]))
     sim = cosine_similarity(as_double_array(F.col("ea")), as_double_array(F.col("eb")))
-    return pairs.where(sim > 0.5).select(
+    return pairs.where(sim > 0.3).select(
         "id_a", "id_b", F.round(sim, 6).alias("cos_sim")
     )
 

@@ -1,0 +1,107 @@
+"""Unit tests for operator semantics on tiny in-memory frames —
+reference-invariant checks from FIXTURES.md §5 (composite idempotence,
+argmax dominance, sentinel round-trips, rule ordering)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from tb_scale_spatial_data_pipeline_spark.functions.indices import ndvi
+from tb_scale_spatial_data_pipeline_spark.functions.sentinels import (
+    NODATA_OUT,
+    null_to_sentinel,
+    sentinel_to_null,
+)
+from tb_scale_spatial_data_pipeline_spark.functions.signatures import combo_signature
+from tb_scale_spatial_data_pipeline_spark.operators.composites import (
+    argmax_composite,
+    grouped_median,
+)
+from tb_scale_spatial_data_pipeline_spark.operators.joins import dual_model_fallback
+from tb_scale_spatial_data_pipeline_spark.operators.relabel import solar_shadow_rules
+
+
+def test_grouped_median_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (1, 3.0), (1, None), (2, None)], "g int, v double"
+    )
+    out = {r["g"]: r["median_value"] for r in grouped_median(df, ["g"], "v").collect()}
+    assert out[1] == 2.0
+    assert out[2] is None
+
+
+def test_median_composite_idempotence(spark):
+    # median of N identical layers equals the layer (FIXTURES.md §5)
+    rows = [(x, y, s, float(x * 10 + y)) for x in range(4) for y in range(4) for s in range(5)]
+    df = spark.createDataFrame(rows, "x int, y int, scene int, v double")
+    out = grouped_median(df, ["x", "y"], "v").collect()
+    assert all(r["median_value"] == r["x"] * 10 + r["y"] for r in out)
+
+
+def test_argmax_dominance(spark):
+    # winner payload always comes from the max-metric row; NULL metric never wins
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (1, 9.0, "b"), (1, None, "z"), (2, 1.0, "c")],
+        "g int, m double, payload string",
+    )
+    out = {r["g"]: (r["max_m"], r["payload"]) for r in argmax_composite(df, ["g"], "m", ["payload"]).collect()}
+    assert out[1] == (9.0, "b")
+    assert out[2] == (1.0, "c")
+
+
+def test_argmax_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (1, 5.0, "b")], "g int, m double, payload string"
+    )
+    out = argmax_composite(df, ["g"], "m", ["payload"]).collect()
+    assert out[0]["payload"] == "b"  # struct max → lexicographically larger payload
+
+
+def test_sentinel_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (-9999.0,), (float("nan"),), (42.0,)], "v double"
+    )
+    out = df.select(
+        null_to_sentinel(sentinel_to_null(F.col("v"))).alias("v")
+    ).collect()
+    assert [r["v"] for r in out] == [1.0, NODATA_OUT, NODATA_OUT, 42.0]
+
+
+def test_ndvi_epsilon_guard(spark):
+    # zero denominator stays finite thanks to the reference's +1e-9
+    df = spark.createDataFrame([(0.0, 0.0)], "nir double, red double")
+    v = df.select(ndvi(F.col("nir"), F.col("red")).alias("v")).first()["v"]
+    assert v == 0.0
+
+
+def test_combo_signature_order_and_nulls(spark):
+    df = spark.createDataFrame([(1.0, None, 3.0)], "b1 double, b2 double, b3 double")
+    sig = combo_signature([("B1", F.col("b1")), ("B2", F.col("b2")), ("B3", F.col("b3"))])
+    assert df.select(sig.alias("s")).first()["s"] == "B1_B3"
+
+
+def test_solar_shadow_rules(spark):
+    df = spark.createDataFrame(
+        [(12, 0.5), (12, 0.7), (16, 0.99), (3, 0.1)], "label int, conf double"
+    )
+    out = [
+        r["out"]
+        for r in df.select(
+            solar_shadow_rules(F.col("label"), F.col("conf")).alias("out")
+        ).collect()
+    ]
+    assert out == [2, 12, 2, 3]
+
+
+def test_dual_model_fallback_precedence(spark):
+    facts = spark.createDataFrame([(1, "x"), (2, "y"), (3, None)], "id int, hint string")
+    lookup = spark.createDataFrame([(1, 10)], "id int, main_pred int")
+    backup = F.when(F.col("hint") == "y", 20)
+    out = {
+        r["id"]: r["PredClass"]
+        for r in dual_model_fallback(
+            facts, lookup, "id", "main_pred", backup
+        ).collect()
+    }
+    assert out == {1: 10, 2: 20, 3: 0}

@@ -1,0 +1,67 @@
+"""Differential tests: every oracle-paired query must match DuckDB at
+sf0.001 (the fast smoke scale; the driver re-checks at sf0.01).
+Comparison mirrors the driver: column names, row count, and values
+after column-name sort + row sort.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tb_scale_spatial_data_pipeline_spark.plans import all_oracles, all_queries
+
+from conftest import SF_SMOKE
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df.columns = [c.lower() for c in df.columns]
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(s) or pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("float64")
+        elif s.dtype == object:
+            df[c] = s.map(lambda v: str(v) if v is not None else None)
+    return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(name, spark, duck):
+    spark_pdf = QUERIES[name](spark, SF_SMOKE).toPandas()
+    duck_pdf = duck.execute(ORACLES[name]).df()
+    assert sorted(c.lower() for c in spark_pdf.columns) == sorted(
+        c.lower() for c in duck_pdf.columns
+    )
+    assert len(spark_pdf) == len(duck_pdf)
+    a, b = canon(spark_pdf), canon(duck_pdf)
+    for c in a.columns:
+        xa, xb = a[c].to_numpy(), b[c].to_numpy()
+        if xa.dtype.kind == "f":
+            na, nb = pd.isna(xa), pd.isna(xb)
+            assert (na == nb).all(), f"null pattern mismatch in {c}"
+            assert np.array_equal(xa[~na], xb[~nb]), f"value mismatch in {c}"
+        else:
+            assert (
+                (pd.Series(xa).fillna("\0") == pd.Series(xb).fillna("\0")).all()
+            ), f"value mismatch in {c}"
+
+
+def test_every_query_has_callable():
+    for name, fn in QUERIES.items():
+        assert callable(fn), name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as em
+
+    df = em.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema) > 0
