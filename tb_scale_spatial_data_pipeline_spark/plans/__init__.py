@@ -9,18 +9,27 @@ rows-only check (reserved for genuinely non-SQL-expressible ops).
 
 from __future__ import annotations
 
-from . import relational, text_queries, vector_queries, raster_queries, event_queries
+from . import (
+    event_queries,
+    pipelines,
+    raster_queries,
+    relational,
+    text_queries,
+    vector_queries,
+)
+
+_MODULES = (relational, text_queries, vector_queries, raster_queries, event_queries, pipelines)
 
 
 def all_queries():
     q = {}
-    for mod in (relational, text_queries, vector_queries, raster_queries, event_queries):
+    for mod in _MODULES:
         q.update(mod.QUERIES)
     return q
 
 
 def all_oracles():
     o = {}
-    for mod in (relational, text_queries, vector_queries, raster_queries, event_queries):
+    for mod in _MODULES:
         o.update(mod.ORACLES)
     return o

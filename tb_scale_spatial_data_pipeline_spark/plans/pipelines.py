@@ -1,0 +1,234 @@
+"""The reference's four pipeline lifecycles (SURVEY §3 E1–E4)
+re-expressed as DataFrame programs over deterministic synthetic
+rasters — plus rows-only query registrations for the raster kernels,
+ML layer, and Structured Streaming operators (non-SQL-expressible →
+driver records the weaker rows-only check; invariants are covered by
+pytest property tests instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.indices import contrast_stretch, ndvi, ndwi
+from ..functions.sentinels import null_to_sentinel, sentinel_to_null
+from ..operators.composites import argmax_composite, grouped_median, grouped_percentiles
+from ..operators.relabel import solar_shadow_rules
+from ..raster.kernels import gaussian_smooth_tiles, pca_texture_tiles, reproject_tiles
+from ..raster.segmentation import segment_shape_metrics, segment_tiles
+from ..raster.tiles import assign_tiles, halo_duplicate, synthetic_raster
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# E1 — feature-stack build (`0_preprocessing/feature_stacking.py:298-366`):
+# multi-scene synthesis → per-scene NDVI + nodata masking → grouped
+# median composite (A1) + max-NDVI argmax composite (A2) → grid zip
+# join (J4) into the final per-pixel feature stack.
+def _scenes(spark: SparkSession, width: int = 64, height: int = 64, n_scenes: int = 6) -> DataFrame:
+    base = synthetic_raster(spark, width, height, bands=2)
+    scenes = None
+    for s in range(1, n_scenes + 1):
+        sc = base.select(
+            "x",
+            "y",
+            F.lit(s).alias("scene"),
+            (F.col("b1") + s * 3.0).alias("red"),
+            (F.col("b2") + s * 5.0).alias("nir"),
+        )
+        # deterministic per-scene cloud mask → sentinel nodata (P5/P6)
+        masked = sc.withColumn(
+            "nir",
+            F.when((F.col("x") + F.col("y") + F.col("scene")) % 7 == 0, F.lit(-9999.0)).otherwise(
+                F.col("nir")
+            ),
+        )
+        scenes = masked if scenes is None else scenes.unionByName(masked)
+    return scenes
+
+
+@_q("pipeline_feature_stack")
+def e1_feature_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scenes = _scenes(spark)
+    px = scenes.select(
+        "x",
+        "y",
+        "scene",
+        sentinel_to_null(F.col("red")).alias("red"),
+        sentinel_to_null(F.col("nir")).alias("nir"),
+    )
+    px = px.withColumn("ndvi", ndvi(F.col("nir"), F.col("red")))
+    med = grouped_median(px, ["x", "y"], "ndvi", out_col="median_ndvi")
+    winner = argmax_composite(px, ["x", "y"], "ndvi", ["red", "nir"])
+    stack = med.join(winner, ["x", "y"], "left")
+    return stack.select(
+        "x",
+        "y",
+        F.round(null_to_sentinel(F.col("median_ndvi")), 6).alias("median_ndvi"),
+        F.round(null_to_sentinel(F.col("max_ndvi")), 6).alias("max_ndvi"),
+        F.round(null_to_sentinel(ndwi(F.col("red"), F.col("nir"))), 6).alias("winter_ndwi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E2 — pixel classification (`1_pixel_classification/
+# pixel_classifier_stream.py`): RF inference over the pixel feature
+# stack + heuristic CASE relabeling. Labels for training are a
+# deterministic function of the synthetic scene geometry.
+@_q("pipeline_pixel_classification")
+def e2_pixel_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.classify import predict, train_rf
+
+    px = synthetic_raster(spark, 64, 64, bands=3)
+    labeled = px.withColumn(
+        "label",
+        F.when(F.col("b1") > 150, 12).when(F.col("b2") > 150, 16).otherwise(2).cast("double"),
+    )
+    train = labeled.where((F.col("x") + F.col("y")) % 3 == 0)
+    model = train_rf(train, ["b1", "b2", "b3"], "label", num_trees=20, max_depth=8)
+    scored = predict(model, labeled.drop("label"), out_col="pred")
+    out = scored.withColumn(
+        "final_label",
+        solar_shadow_rules(F.col("pred"), F.col("pred_conf")).cast("int"),
+    )
+    return out.select("x", "y", "pred", "final_label")
+
+
+# ---------------------------------------------------------------------------
+# E3 — tiled segmentation (`2_segmentation/image_segmentation.py`):
+# engineered feature stack (stretch + indices + PCA + gaussian) →
+# halo-tiled Felzenszwalb → shape metrics + polygonization.
+@_q("pipeline_segmentation")
+def e3_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = synthetic_raster(spark, 96, 96, bands=3)
+    # percentile stretch per tile column-block (A3 + P8, W1 pattern)
+    img = assign_tiles(img, 48)
+    pct = grouped_percentiles(img, ["tile_x", "tile_y"], "b1")
+    img = img.join(pct, ["tile_x", "tile_y"]).withColumn(
+        "b1s", contrast_stretch(F.col("b1"), F.col("p2"), F.col("p98"))
+    )
+    feat = img.select(
+        "x",
+        "y",
+        "b1s",
+        ndvi(F.col("b2"), F.col("b1")).alias("nd"),
+        F.col("b3"),
+    )
+    tiled = halo_duplicate(feat, tile_size=48, halo=8)
+    smooth = gaussian_smooth_tiles(tiled, ["b1s", "nd", "b3"], sigma=0.5)
+    tex = pca_texture_tiles(tiled, ["b1s", "nd", "b3"])
+    stack = smooth.join(tex, ["x", "y"])
+    tiled2 = halo_duplicate(stack, tile_size=48, halo=8)
+    segs = segment_tiles(tiled2, ["b1s", "nd", "b3", "texture"])
+    return segment_shape_metrics(segs)
+
+
+# ---------------------------------------------------------------------------
+# E4 — object classification (`3_object_classification/
+# object_classifier.py`): dual-model RF over segment shape features
+# with main/backup fallback (M2/M3/J2).
+@_q("pipeline_object_classification")
+def e4_object_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.classify import dual_model_predict, train_rf
+
+    metrics = e3_segmentation(spark, sf_dir).cache()
+    shape_cols = [
+        "rectangularity",
+        "elongation",
+        "compactness",
+        "shape_index",
+        "vertex_density",
+    ]
+    labeled = metrics.withColumn(
+        "label",
+        F.when(F.col("area") > 500, 1.0).when(F.col("elongation") > 1.5, 2.0).otherwise(3.0),
+    )
+    train = labeled.where(F.col("seg_id") % 2 == 0)
+    main = train_rf(train, ["area", "perimeter", *shape_cols], "label", num_trees=20, max_depth=8)
+    backup = train_rf(train, shape_cols, "label", num_trees=20, max_depth=8)
+    # simulate partial main-feature coverage: odd segments lose area
+    probe = labeled.drop("label").withColumn(
+        "area",
+        F.when(F.col("seg_id") % 3 == 0, F.lit(None).cast("long")).otherwise(F.col("area")),
+    ).withColumn("area", F.col("area").cast("double"))
+    out = dual_model_predict(probe, main, backup, ["area"])
+    return out.select("seg_id", "PredClass")
+
+
+# ---------------------------------------------------------------------------
+# Raster kernels as rows-only queries (invariants in tests/test_raster.py)
+@_q("raster_gaussian_smooth")
+def q_raster_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = synthetic_raster(spark, 64, 64, bands=2)
+    tiled = halo_duplicate(img, tile_size=32, halo=4)
+    out = gaussian_smooth_tiles(tiled, ["b1", "b2"], sigma=0.5)
+    return out.select("x", "y", F.round("b1", 6).alias("b1"), F.round("b2", 6).alias("b2"))
+
+
+@_q("raster_reproject")
+def q_raster_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = synthetic_raster(spark, 64, 64, bands=1)
+    tiled = halo_duplicate(img, tile_size=32, halo=4)
+    out = reproject_tiles(tiled, ["b1"], scale=2.0, method="bilinear")
+    return out.select("x", "y", F.round("b1", 6).alias("b1"))
+
+
+@_q("raster_segmentation_metrics")
+def q_raster_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = synthetic_raster(spark, 64, 64, bands=2)
+    tiled = halo_duplicate(img, tile_size=32, halo=8)
+    segs = segment_tiles(tiled, ["b1", "b2"])
+    return segment_shape_metrics(segs).select(
+        "seg_id",
+        "geometry",
+        "area",
+        "perimeter",
+        "num_vertices",
+        F.round("rectangularity", 6).alias("rectangularity"),
+        F.round("compactness", 6).alias("compactness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (rows-only except tumbling, which shares the
+# batch oracle — complete-mode availableNow over a bounded source is
+# semantically identical to the batch aggregation).
+@_q("stream_tumbling_window")
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import stream_tumbling_counts
+
+    return stream_tumbling_counts(spark, sf_dir)
+
+
+# the streaming tumbling aggregation must equal the batch one — reuse
+# the batch oracle so the driver hash-checks streaming correctness too
+from . import event_queries as _eq  # noqa: E402
+
+ORACLES["stream_tumbling_window"] = _eq.ORACLES["tumbling_window"]
+
+
+@_q("stream_session_windows")
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import stream_session_windows
+
+    return stream_session_windows(spark, sf_dir)
+
+
+@_q("stream_dedup")
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import stream_dedup_within_watermark
+
+    return stream_dedup_within_watermark(spark, sf_dir)

@@ -1,0 +1,195 @@
+"""Tiled raster kernels as Arrow-batched applyInPandas (SURVEY §2.6).
+
+Each kernel receives one tile group (core + halo rows from
+``halo_duplicate``), pivots the long-format pixels to a dense 2-D
+array, runs vectorized NumPy, and emits core rows only. This is the
+Spark mapping of the reference's tiled-buffer architecture
+(`2_segmentation/image_segmentation.py:122-149`): the halo kills
+tile-edge artifacts; the core crop guarantees each output pixel is
+produced exactly once.
+
+No imaging libraries are required: gaussian is a separable NumPy
+convolution, PCA is an SVD, reprojection is affine grid sampling.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+def _tile_to_arrays(pdf: pd.DataFrame, value_cols: list[str]):
+    """Pivot long-format pixel rows to dense (H, W, C); returns
+    (stack, x0, y0, core_mask)."""
+    x0, y0 = int(pdf["x"].min()), int(pdf["y"].min())
+    w = int(pdf["x"].max()) - x0 + 1
+    h = int(pdf["y"].max()) - y0 + 1
+    stack = np.full((h, w, len(value_cols)), np.nan, dtype=np.float64)
+    core = np.zeros((h, w), dtype=bool)
+    xi = pdf["x"].to_numpy() - x0
+    yi = pdf["y"].to_numpy() - y0
+    for c, col in enumerate(value_cols):
+        stack[yi, xi, c] = pdf[col].to_numpy()
+    core[yi, xi] = pdf["is_core"].to_numpy()
+    return stack, x0, y0, core
+
+
+def _gaussian_kernel1d(sigma: float) -> np.ndarray:
+    radius = max(1, int(math.ceil(3.0 * sigma)))
+    xs = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-(xs**2) / (2.0 * sigma * sigma))
+    return k / k.sum()
+
+
+def _convolve_sep(img: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """Separable 2-D convolution with edge replication (NaN-safe:
+    NaNs are filled with 0 and renormalized by the valid-weight sum)."""
+    pad = len(k) // 2
+    valid = ~np.isnan(img)
+    filled = np.where(valid, img, 0.0)
+
+    def conv1(a: np.ndarray, axis: int) -> np.ndarray:
+        ap = np.pad(a, [(pad, pad) if i == axis else (0, 0) for i in range(a.ndim)], mode="edge")
+        out = np.zeros_like(a, dtype=np.float64)
+        for i, w in enumerate(k):
+            sl = [slice(None)] * a.ndim
+            sl[axis] = slice(i, i + a.shape[axis])
+            out += w * ap[tuple(sl)]
+        return out
+
+    num = conv1(conv1(filled, 0), 1)
+    den = conv1(conv1(valid.astype(np.float64), 0), 1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = num / den
+    out[den == 0] = np.nan
+    return out
+
+
+def gaussian_smooth_tiles(
+    tiled: DataFrame, value_cols: list[str], sigma: float = 0.5
+) -> DataFrame:
+    """R2: per-tile multichannel gaussian smoothing
+    (`2_segmentation/image_segmentation.py:30,92-96`, sigma=0.5).
+    Requires halo >= ceil(3*sigma) for exact tile-origin invariance."""
+    out_schema = "x int, y int, " + ", ".join(f"{c} double" for c in value_cols)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        stack, x0, y0, core = _tile_to_arrays(pdf, value_cols)
+        k = _gaussian_kernel1d(sigma)
+        sm = np.stack([_convolve_sep(stack[:, :, c], k) for c in range(stack.shape[2])], axis=-1)
+        ys, xs = np.nonzero(core)
+        data = {"x": xs + x0, "y": ys + y0}
+        for c, col in enumerate(value_cols):
+            data[col] = sm[ys, xs, c]
+        return pd.DataFrame(data)
+
+    return (
+        tiled.groupBy("tile_x", "tile_y")
+        .applyInPandas(kernel, schema=out_schema)
+    )
+
+
+def pca_texture_tiles(tiled: DataFrame, value_cols: list[str]) -> DataFrame:
+    """R3: per-tile 1-component PCA texture band
+    (`2_segmentation/image_segmentation.py:72-78`). Matches the
+    reference's *per-tile* fit semantics (a global Spark ML PCA would
+    change results across tile boundaries). Sign is normalized so the
+    largest-|loading| component is positive — deterministic across
+    LAPACK implementations."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        core_pdf = pdf[pdf["is_core"]]
+        if core_pdf.empty:  # halo-only border group: nothing to emit
+            return pd.DataFrame({"x": [], "y": [], "texture": []})
+        m = core_pdf[value_cols].to_numpy(dtype=np.float64)
+        mu = np.nanmean(m, axis=0)
+        centered = np.where(np.isnan(m), 0.0, m - mu)
+        _, _, vt = np.linalg.svd(centered, full_matrices=False)
+        pc = vt[0]
+        if pc[np.argmax(np.abs(pc))] < 0:
+            pc = -pc
+        tex = centered @ pc
+        return pd.DataFrame(
+            {"x": core_pdf["x"].to_numpy(), "y": core_pdf["y"].to_numpy(), "texture": tex}
+        )
+
+    return tiled.groupBy("tile_x", "tile_y").applyInPandas(
+        kernel, schema="x int, y int, texture double"
+    )
+
+
+def reproject_tiles(
+    tiled: DataFrame,
+    value_cols: list[str],
+    scale: float = 2.0,
+    offset_x: float = 0.0,
+    offset_y: float = 0.0,
+    method: str = "nearest",
+) -> DataFrame:
+    """R1: grid reprojection/resampling
+    (`0_preprocessing/feature_stacking.py:72-102`): target pixel (X,Y)
+    samples source at (X*scale+offset). ``nearest`` for masks,
+    ``bilinear`` for continuous bands (the reference also uses cubic;
+    bilinear is the implemented subset). Source tiles must carry
+    enough halo to cover the sampling footprint."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        stack, x0, y0, core = _tile_to_arrays(pdf, value_cols)
+        h, w, _ = stack.shape
+        ys, xs = np.nonzero(core)
+        gx = xs + x0
+        gy = ys + y0
+        # target pixels covered by this tile's core, in target coords
+        tgt_x = np.unique(np.floor(gx / scale).astype(int))
+        tgt_y = np.unique(np.floor(gy / scale).astype(int))
+        TX, TY = np.meshgrid(tgt_x, tgt_y)
+        sx = TX.ravel() * scale + offset_x
+        sy = TY.ravel() * scale + offset_y
+        # keep only targets whose source sample lies in this tile core
+        keep = (
+            (sx >= x0) & (sx <= x0 + w - 1) & (sy >= y0) & (sy <= y0 + h - 1)
+        )
+        sx, sy, tx, ty = sx[keep], sy[keep], TX.ravel()[keep], TY.ravel()[keep]
+        core_ok = np.zeros(len(sx), dtype=bool)
+        data = {}
+        if method == "nearest":
+            ix = np.clip(np.rint(sx).astype(int) - x0, 0, w - 1)
+            iy = np.clip(np.rint(sy).astype(int) - y0, 0, h - 1)
+            core_ok = core[iy, ix]
+            for c, col in enumerate(value_cols):
+                data[col] = stack[iy, ix, c]
+        elif method == "bilinear":
+            fx = np.clip(sx - x0, 0, w - 1)
+            fy = np.clip(sy - y0, 0, h - 1)
+            ix0 = np.floor(fx).astype(int)
+            iy0 = np.floor(fy).astype(int)
+            ix1 = np.minimum(ix0 + 1, w - 1)
+            iy1 = np.minimum(iy0 + 1, h - 1)
+            wx = fx - ix0
+            wy = fy - iy0
+            core_ok = core[iy0, ix0]
+            for c, col in enumerate(value_cols):
+                band = stack[:, :, c]
+                data[col] = (
+                    band[iy0, ix0] * (1 - wx) * (1 - wy)
+                    + band[iy0, ix1] * wx * (1 - wy)
+                    + band[iy1, ix0] * (1 - wx) * wy
+                    + band[iy1, ix1] * wx * wy
+                )
+        else:
+            raise ValueError(f"unknown method {method}")
+        out = {"x": tx[core_ok], "y": ty[core_ok]}
+        for col in value_cols:
+            out[col] = np.asarray(data[col])[core_ok]
+        return pd.DataFrame(out)
+
+    out_schema = "x int, y int, " + ", ".join(f"{c} double" for c in value_cols)
+    return (
+        tiled.groupBy("tile_x", "tile_y")
+        .applyInPandas(kernel, schema=out_schema)
+        .dropDuplicates(["x", "y"])
+    )

@@ -1,0 +1,104 @@
+"""Structured Streaming operators over the `events` table (SURVEY
+§2.8 / §7.5 extension surface — the reference has no event streams;
+its "streaming" is bounded sequential I/O, SURVEY §1.4).
+
+Each operator is defined on a streaming DataFrame (``readStream`` over
+the events parquet with an explicit schema) and runs with the
+``availableNow`` trigger into a memory sink for deterministic,
+bounded-test execution — identical code would run continuously against
+a file/Kafka source in production. Watermarks bound state at scale:
+a windowed aggregation over an unbounded stream is only feasible
+because closed windows are evicted.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events fixture. Schema comes from a batch
+    footer read (streaming sources need explicit schemas); nanosecond
+    timestamps arrive as longs and convert to µs timestamps exactly as
+    in the batch catalog."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # FileStreamSource requires a directory: stream the sf dir with a
+    # glob filter selecting only the events file
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    return stream
+
+
+def run_stream_to_table(out: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming plan to completion (availableNow) and
+    return the result as a batch DataFrame from the memory sink."""
+    name = f"stream_result_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = out.sparkSession
+    return spark.table(name)
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute windowed aggregation with a 1-hour watermark.
+    Complete-mode memory sink → emits every window, so the result is
+    comparable to the batch `tumbling_window` query (same oracle)."""
+    ev = events_stream(spark, sf_dir)
+    from ..plans._util import dsum
+
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return run_stream_to_table(agg, "complete")
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user with watermark —
+    Spark's built-in session_window stateful operator."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+    return run_stream_to_table(agg, "complete")
+
+
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dropDuplicates on (user_id, event_type) within the
+    watermark horizon → count per user of distinct event types seen."""
+    ev = events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    out = deduped.select("user_id", "event_type", "event_id")
+    return run_stream_to_table(out, "append")

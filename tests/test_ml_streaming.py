@@ -1,0 +1,103 @@
+"""Tests for the Spark ML dual-model layer, Structured Streaming
+operators, and the four pipeline compositions (rows-only semantics +
+agreement between streaming and batch formulations)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from conftest import SF_SMOKE
+
+
+def test_rf_train_predict_roundtrip(spark, tmp_path):
+    from tb_scale_spatial_data_pipeline_spark.ml.classify import (
+        load_model,
+        predict,
+        save_model,
+        train_rf,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i % 10), float((i * 7) % 10), float(1 if i % 10 > 4 else 0)) for i in range(200)],
+        "f1 double, f2 double, label double",
+    )
+    model = train_rf(df, ["f1", "f2"], "label", num_trees=10, max_depth=4)
+    out = predict(model, df, out_col="pred")
+    assert out.count() == 200
+    # separable rule → high accuracy
+    acc = out.where(F.col("pred") == F.col("label").cast("int")).count() / 200
+    assert acc > 0.95
+    assert out.select(F.min("pred_conf")).first()[0] >= 0.0
+
+    path = str(tmp_path / "rf_model")
+    save_model(model, path)
+    out2 = predict(load_model(path), df, out_col="pred")
+    assert out2.where(F.col("pred") >= 0).count() == 200
+
+
+def test_dual_model_fallback_split(spark):
+    from tb_scale_spatial_data_pipeline_spark.ml.classify import (
+        dual_model_predict,
+        train_rf,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, float(i % 5), float((i * 3) % 7), float(1 if i % 2 else 2))
+            for i in range(100)
+        ],
+        "id int, main_feat double, shape_feat double, label double",
+    )
+    main = train_rf(df, ["main_feat", "shape_feat"], "label", num_trees=5, max_depth=3)
+    backup = train_rf(df, ["shape_feat"], "label", num_trees=5, max_depth=3)
+    probe = df.drop("label").withColumn(
+        "main_feat",
+        F.when(F.col("id") % 4 == 0, F.lit(None).cast("double")).otherwise(F.col("main_feat")),
+    )
+    out = dual_model_predict(probe, main, backup, ["main_feat"])
+    assert out.count() == 100
+    assert out.where(F.col("PredClass").isNull()).count() == 0
+
+
+def test_streaming_tumbling_matches_batch(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans import all_queries
+
+    qs = all_queries()
+    stream_pdf = (
+        qs["stream_tumbling_window"](spark, SF_SMOKE)
+        .orderBy("wstart", "event_type")
+        .toPandas()
+    )
+    batch_pdf = (
+        qs["tumbling_window"](spark, SF_SMOKE).orderBy("wstart", "event_type").toPandas()
+    )
+    assert stream_pdf.equals(batch_pdf)
+
+
+def test_streaming_dedup_matches_batch(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans import all_queries
+
+    qs = all_queries()
+    # streaming dropDuplicates keeps the first arrival; batch keeps
+    # min-ts row — the sets of (user, event_type) keys must agree
+    stream_keys = {
+        (r["user_id"], r["event_type"])
+        for r in qs["stream_dedup"](spark, SF_SMOKE).collect()
+    }
+    batch_keys = {
+        (r["user_id"], r["event_type"])
+        for r in qs["dedup_first_event"](spark, SF_SMOKE).collect()
+    }
+    assert stream_keys == batch_keys
+
+
+def test_pipelines_produce_rows(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans import all_queries
+
+    qs = all_queries()
+    for name in (
+        "pipeline_feature_stack",
+        "pipeline_segmentation",
+    ):
+        df = qs[name](spark, SF_SMOKE)
+        assert df.count() > 0, name

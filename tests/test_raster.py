@@ -1,0 +1,133 @@
+"""Property tests for the tile/halo/kernel layer (FIXTURES.md §5):
+halo invariance (kernel outputs on the core must not change with the
+tile grid), determinism, and shape-metric ground truths."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from tb_scale_spatial_data_pipeline_spark.raster.kernels import (
+    gaussian_smooth_tiles,
+    pca_texture_tiles,
+    reproject_tiles,
+)
+from tb_scale_spatial_data_pipeline_spark.raster.segmentation import (
+    _felzenszwalb,
+    segment_shape_metrics,
+    segment_tiles,
+)
+from tb_scale_spatial_data_pipeline_spark.raster.tiles import (
+    halo_duplicate,
+    synthetic_raster,
+)
+
+
+def _to_map(df, cols):
+    return {
+        (r["x"], r["y"]): tuple(r[c] for c in cols) for r in df.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def raster(spark):
+    return synthetic_raster(spark, width=96, height=96, bands=2).cache()
+
+
+def test_halo_duplicate_core_partition(spark, raster):
+    tiled = halo_duplicate(raster, tile_size=32, halo=4)
+    # every pixel is core in exactly one tile
+    core_counts = (
+        tiled.where("is_core").groupBy("x", "y").count().where("count != 1").count()
+    )
+    assert core_counts == 0
+    # halo copies exist for pixels near tile borders
+    assert tiled.count() > raster.count()
+
+
+def test_gaussian_halo_invariance(spark, raster):
+    # smoothing must be invariant to the tile grid (halo >= 3*sigma)
+    a = gaussian_smooth_tiles(halo_duplicate(raster, 32, 4), ["b1", "b2"], sigma=0.5)
+    b = gaussian_smooth_tiles(halo_duplicate(raster, 48, 4), ["b1", "b2"], sigma=0.5)
+    ma, mb = _to_map(a, ["b1", "b2"]), _to_map(b, ["b1", "b2"])
+    assert ma.keys() == mb.keys()
+    diffs = [abs(ma[k][0] - mb[k][0]) + abs(ma[k][1] - mb[k][1]) for k in ma]
+    assert max(diffs) < 1e-9
+
+
+def test_gaussian_constant_field(spark):
+    flat = (
+        spark.range(32 * 32)
+        .select(
+            (F.col("id") % 32).cast("int").alias("x"),
+            (F.col("id") / 32).cast("int").alias("y"),
+            F.lit(7.0).alias("b1"),
+        )
+    )
+    out = gaussian_smooth_tiles(halo_duplicate(flat, 16, 4), ["b1"], sigma=0.5)
+    vals = [r["b1"] for r in out.collect()]
+    assert max(abs(v - 7.0) for v in vals) < 1e-12
+
+
+def test_pca_texture_deterministic(spark, raster):
+    tiled = halo_duplicate(raster, 48, 0)
+    a = _to_map(pca_texture_tiles(tiled, ["b1", "b2"]), ["texture"])
+    b = _to_map(pca_texture_tiles(tiled, ["b1", "b2"]), ["texture"])
+    assert a == b
+    assert len(a) == 96 * 96
+
+
+def test_reproject_nearest_identity(spark, raster):
+    # scale=1 nearest reprojection is the identity
+    tiled = halo_duplicate(raster, 32, 2)
+    out = reproject_tiles(tiled, ["b1"], scale=1.0, method="nearest")
+    src = _to_map(raster.select("x", "y", "b1"), ["b1"])
+    dst = _to_map(out, ["b1"])
+    assert dst == src
+
+
+def test_reproject_downscale_shape(spark, raster):
+    tiled = halo_duplicate(raster, 32, 2)
+    out = reproject_tiles(tiled, ["b1"], scale=2.0, method="bilinear")
+    pts = {(r["x"], r["y"]) for r in out.collect()}
+    assert (0, 0) in pts
+    assert max(p[0] for p in pts) <= 48
+    assert len(pts) >= 47 * 47
+
+
+def test_felzenszwalb_uniform_image_single_segment():
+    img = np.zeros((20, 20, 1))
+    labels = _felzenszwalb(img, scale=35.0, min_size=15)
+    assert len(np.unique(labels)) == 1
+
+
+def test_felzenszwalb_two_regions():
+    img = np.zeros((20, 20, 1))
+    img[:, 10:, 0] = 1000.0
+    labels = _felzenszwalb(img, scale=35.0, min_size=15)
+    assert len(np.unique(labels)) == 2
+    assert len(np.unique(labels[:, :10])) == 1
+    assert len(np.unique(labels[:, 10:])) == 1
+
+
+def test_segment_tiles_cover_and_determinism(spark, raster):
+    tiled = halo_duplicate(raster, 48, 8)
+    segs = segment_tiles(tiled, ["b1", "b2"]).cache()
+    assert segs.count() == 96 * 96
+    # deterministic across runs
+    a = _to_map(segs, ["seg_id"])
+    b = _to_map(segment_tiles(tiled, ["b1", "b2"]), ["seg_id"])
+    assert a == b
+
+
+def test_shape_metrics_rectangle(spark):
+    rows = [(int(x), int(y), 1) for x in range(4) for y in range(6)]
+    df = spark.createDataFrame(rows, "x int, y int, seg_id long")
+    m = segment_shape_metrics(df).collect()[0]
+    assert m["area"] == 24
+    assert m["perimeter"] == 2 * (4 + 6)
+    assert m["rectangularity"] == 1.0
+    assert m["elongation"] == 1.5
+    assert m["num_vertices"] == 4
+    assert m["geometry"] == "POLYGON((0 0, 4 0, 4 6, 0 6, 0 0))"
