@@ -14,11 +14,20 @@ from . import (
     pipelines,
     raster_queries,
     relational,
+    relational2,
     text_queries,
     vector_queries,
 )
 
-_MODULES = (relational, text_queries, vector_queries, raster_queries, event_queries, pipelines)
+_MODULES = (
+    relational,
+    relational2,
+    text_queries,
+    vector_queries,
+    raster_queries,
+    event_queries,
+    pipelines,
+)
 
 
 def all_queries():
