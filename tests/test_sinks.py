@@ -27,7 +27,7 @@ def test_write_tiled_partition_layout(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 64
     pruned = back.where("tile_y = 0 AND tile_x = 0")
-    assert pruned.count() == 16
+    assert pruned.count() == 4  # 2x2 pixel block per tile
 
 
 def test_overlay_update_semantics(spark):
