@@ -1,0 +1,207 @@
+"""Multimodal columns (north-star extension): image/audio/video as
+opaque ``binary`` columns with typed metadata structs, processed by
+Arrow-batched ``mapInPandas`` kernels.
+
+The Spark-side plumbing — schema, partitioning, UDF signatures, batch
+shapes — is real and tested. The codec itself is STUBBED: this
+container has no imaging libraries, so ``_decode_payload`` first tries
+a real decoder import and falls back to a deterministic fake (bytes →
+uint8 array reshaped to the metadata dimensions). Swapping in a real
+decoder changes one function, not the pipeline.
+
+Design notes for 100 TB of media:
+- binary payloads stay opaque to Catalyst: select/filter on METADATA
+  columns so pruning and pushdown never touch the blobs;
+- mapInPandas streams Arrow record batches (bounded memory per task,
+  `spark.sql.execution.arrow.maxRecordsPerBatch`), never collecting
+  a partition of blobs as one list;
+- derived features are small typed columns — downstream joins and
+  dedup run on those, with the blobs long dropped from the plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def synth_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media fixture derived from `documents`: payload
+    bytes = md5-keyed expansion of the text; metadata struct gives the
+    typed decode contract (width/height/channels/format/n_frames)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    width = (F.col("doc_id") % 8 + 4).cast("int")
+    height = (F.col("doc_id") % 5 + 4).cast("int")
+    channels = F.lit(3)
+    n_frames = (F.col("doc_id") % 4 + 1).cast("int")
+    fmt = F.when(F.col("doc_id") % 3 == 0, "png").otherwise(F.lit("jpeg"))
+    payload = F.to_binary(F.md5(F.col("text")), F.lit("hex"))
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            width.alias("width"),
+            height.alias("height"),
+            channels.alias("channels"),
+            fmt.alias("format"),
+            n_frames.alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _decode_payload(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
+    """STUB decode. Tries a real imaging decoder; falls back to the
+    deterministic fake: md5-stream-expand payload bytes to exactly
+    width*height*channels uint8 values."""
+    try:  # pragma: no cover - PIL not present in this environment
+        from PIL import Image  # noqa: F401
+
+        raise NotImplementedError(
+            "real image decoding not wired yet; payloads in this repo are "
+            "synthetic — the deterministic fake below defines test behavior"
+        )
+    except ImportError:
+        pass
+    need = width * height * channels
+    buf = bytearray()
+    seed = payload
+    while len(buf) < need:
+        seed = hashlib.md5(seed).digest()
+        buf.extend(seed)
+    arr = np.frombuffer(bytes(buf[:need]), dtype=np.uint8)
+    return arr.reshape(height, width, channels)
+
+
+def decode_images(media: DataFrame) -> DataFrame:
+    """binary payload + meta → long-format decoded pixels
+    (media_id, y, x, c0..c2). mapInPandas: one Arrow batch in, one out;
+    blobs never round-trip through the driver."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                m = row["meta"]
+                arr = _decode_payload(
+                    bytes(row["payload"]), m["width"], m["height"], m["channels"]
+                )
+                h, w, _ = arr.shape
+                ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "media_id": row["media_id"],
+                            "y": ys.ravel(),
+                            "x": xs.ravel(),
+                            "c0": arr[:, :, 0].ravel(),
+                            "c1": arr[:, :, 1].ravel(),
+                            "c2": arr[:, :, 2].ravel(),
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                columns=["media_id", "y", "x", "c0", "c1", "c2"]
+            )
+
+    return media.mapInPandas(
+        kernel, schema="media_id long, y int, x int, c0 int, c1 int, c2 int"
+    )
+
+
+def image_channel_stats(media: DataFrame) -> DataFrame:
+    """Feature extraction: per-image channel means/stds — decoded and
+    reduced INSIDE the kernel so only (media_id, 6 doubles) leaves the
+    task, not pixels."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                m = row["meta"]
+                arr = _decode_payload(
+                    bytes(row["payload"]), m["width"], m["height"], m["channels"]
+                ).astype(np.float64)
+                rows.append(
+                    (
+                        row["media_id"],
+                        *[float(arr[:, :, c].mean()) for c in range(3)],
+                        *[float(arr[:, :, c].std()) for c in range(3)],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "mean_c0", "mean_c1", "mean_c2", "std_c0", "std_c1", "std_c2"],
+            )
+
+    return media.mapInPandas(
+        kernel,
+        schema=(
+            "media_id long, mean_c0 double, mean_c1 double, mean_c2 double, "
+            "std_c0 double, std_c1 double, std_c2 double"
+        ),
+    )
+
+
+def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """Nearest-neighbor resize: decode → sample grid → re-encode bytes,
+    metadata updated to the new dimensions (schema evolution travels
+    with the payload)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                m = row["meta"]
+                arr = _decode_payload(
+                    bytes(row["payload"]), m["width"], m["height"], m["channels"]
+                )
+                h, w, c = arr.shape
+                yi = (np.arange(out_h) * h // out_h).astype(int)
+                xi = (np.arange(out_w) * w // out_w).astype(int)
+                small = arr[np.ix_(yi, xi)]
+                rows.append((row["media_id"], small.tobytes(), out_w, out_h, c))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "width", "height", "channels"]
+            )
+
+    return media.mapInPandas(
+        kernel,
+        schema="media_id long, payload binary, width int, height int, channels int",
+    )
+
+
+def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Video-style frame sampling: metadata declares n_frames; emit one
+    row per sampled frame (UDTF-style one-to-many), frame payload =
+    deterministic per-frame slice. Pure column expressions for the
+    frame index explosion; only the payload slice is kernel work."""
+    frames = media.select(
+        "media_id",
+        "payload",
+        "meta",
+        F.explode(F.sequence(F.lit(0), F.col("meta.n_frames") - 1)).alias("frame_idx"),
+    ).where(F.col("frame_idx") % every_k == 0)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                m = row["meta"]
+                arr = _decode_payload(
+                    bytes(row["payload"]) + bytes([row["frame_idx"]]),
+                    m["width"],
+                    m["height"],
+                    m["channels"],
+                )
+                rows.append((row["media_id"], int(row["frame_idx"]), float(arr.mean())))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_mean"])
+
+    return frames.mapInPandas(
+        kernel, schema="media_id long, frame_idx int, frame_mean double"
+    )

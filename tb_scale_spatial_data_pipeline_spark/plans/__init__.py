@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from . import (
     event_queries,
+    media_queries,
     pipelines,
     raster_queries,
     relational,
@@ -27,6 +28,7 @@ _MODULES = (
     raster_queries,
     event_queries,
     pipelines,
+    media_queries,
 )
 
 

@@ -1,0 +1,76 @@
+"""Multimodal plumbing tests: schema/batch-shape correctness and
+decode-stub determinism (FIXTURES-style invariants — the decode is a
+deterministic fake, so exact values are reproducible)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from conftest import SF_SMOKE
+
+from tb_scale_spatial_data_pipeline_spark.multimodal.media import (
+    _decode_payload,
+    decode_images,
+    image_channel_stats,
+    resize_images,
+    sample_frames,
+    synth_media_table,
+)
+
+
+def test_media_table_schema(spark):
+    media = synth_media_table(spark, SF_SMOKE)
+    assert dict(media.dtypes)["payload"] == "binary"
+    assert "struct" in dict(media.dtypes)["meta"]
+    row = media.first()
+    assert row["meta"]["channels"] == 3
+    assert len(row["payload"]) == 16  # md5 digest payload
+
+
+def test_decode_stub_deterministic_and_shaped():
+    a = _decode_payload(b"abc", 6, 4, 3)
+    b = _decode_payload(b"abc", 6, 4, 3)
+    assert a.shape == (4, 6, 3)
+    assert a.dtype == np.uint8
+    assert np.array_equal(a, b)
+    c = _decode_payload(b"abd", 6, 4, 3)
+    assert not np.array_equal(a, c)
+
+
+def test_decode_images_row_counts(spark):
+    media = synth_media_table(spark, SF_SMOKE).limit(20).cache()
+    px = decode_images(media)
+    got = {
+        r["media_id"]: r["n"]
+        for r in px.groupBy("media_id").count().withColumnRenamed("count", "n").collect()
+    }
+    for row in media.select("media_id", "meta").collect():
+        m = row["meta"]
+        assert got[row["media_id"]] == m["width"] * m["height"]
+
+
+def test_channel_stats_bounds(spark):
+    media = synth_media_table(spark, SF_SMOKE).limit(20)
+    stats = image_channel_stats(media).collect()
+    assert len(stats) == 20
+    for r in stats:
+        for c in ("mean_c0", "mean_c1", "mean_c2"):
+            assert 0.0 <= r[c] <= 255.0
+
+
+def test_resize_payload_size(spark):
+    media = synth_media_table(spark, SF_SMOKE).limit(10)
+    out = resize_images(media, out_w=4, out_h=4).collect()
+    for r in out:
+        assert r["width"] == 4 and r["height"] == 4
+        assert len(r["payload"]) == 4 * 4 * 3
+
+
+def test_frame_sampling_stride(spark):
+    media = synth_media_table(spark, SF_SMOKE).limit(40).cache()
+    out = sample_frames(media, every_k=2)
+    rows = out.collect()
+    assert all(r["frame_idx"] % 2 == 0 for r in rows)
+    # every media with n_frames >= 1 contributes frame 0
+    n_media = media.count()
+    assert out.where("frame_idx = 0").count() == n_media
