@@ -64,10 +64,20 @@ def minhash_signatures(
     it's the shape that scales: shingle rows never collect anywhere.
     """
     normed = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_norm"))
+    # no shingle array is ever materialized: explode the start-index
+    # sequence and substring per row. Duplicates are NOT removed —
+    # min over a multiset equals min over its set, so array_distinct
+    # would be pure overhead here.
     exploded = normed.select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles_of_norm(F.col("_norm"), k))).alias("_sh"),
-    )
+        F.col("_norm"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("_norm") - F.lit(k - 1), F.lit(1)))
+        ).alias("_i"),
+    ).select(F.col(id_col), F.expr(f"substr(_norm, _i, {k})").alias("_sh"))
+    # full 128-bit salted digests per hash function: slicing one md5
+    # into several short hashes was measured to double LSH candidate
+    # pairs (min ties in a 32-bit space) without saving wall-clock
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh")))).alias(f"mh{i}")
         for i in range(num_hashes)
