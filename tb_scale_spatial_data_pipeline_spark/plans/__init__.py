@@ -16,6 +16,7 @@ from . import (
     raster_queries,
     relational,
     relational2,
+    relational3,
     text_queries,
     vector_queries,
 )
@@ -23,6 +24,7 @@ from . import (
 _MODULES = (
     relational,
     relational2,
+    relational3,
     text_queries,
     vector_queries,
     raster_queries,
