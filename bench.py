@@ -40,6 +40,12 @@ HEADLINE = [
     "tumbling_window",
     "sessionization",
     "asof_click_before_purchase",
+    "ann_top1_in_bucket",
+    "combo_model_inference",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "salted_skew_agg",
+    "window_analytics",
 ]
 
 

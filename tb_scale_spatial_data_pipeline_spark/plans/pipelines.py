@@ -232,3 +232,13 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import stream_dedup_within_watermark
 
     return stream_dedup_within_watermark(spark, sf_dir)
+
+
+@_q("stream_sliding_window")
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import stream_sliding_counts
+
+    return stream_sliding_counts(spark, sf_dir)
+
+
+ORACLES["stream_sliding_window"] = _eq.ORACLES["sliding_window"]

@@ -270,3 +270,180 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("vec_id", "centroid_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3-shaped shipping priority: the classic 3-way join +
+# aggregation + top-k, adapted to the fixture schema.
+@_q(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    joined = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+    )
+    return (
+        joined.groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5-shaped local-supplier revenue: 6-way join through the
+# region→nation→customer/supplier star, revenue per nation.
+@_q(
+    "q5_local_supplier",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = t(spark, sf_dir, "nation")
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    joined = (
+        region.join(nation, nation["n_regionkey"] == region["r_regionkey"])
+        .join(cust, cust["c_nationkey"] == nation["n_nationkey"])
+        .join(orders, orders["o_custkey"] == cust["c_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            supp,
+            (supp["s_suppkey"] == li["l_suppkey"])
+            & (supp["s_nationkey"] == nation["n_nationkey"]),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E2's per-combo model dispatch + vectorized inference, relationally:
+# nearest-centroid models trained per (combo, label) from a training
+# slice, broadcast-joined to probe pixels by combo signature (J3), and
+# applied via argmin distance (M1's vectorized predict analog) — fully
+# oracle-checkable.
+@_q(
+    "combo_model_inference",
+    """
+    WITH px AS (
+      SELECT l_orderkey, l_linenumber,
+             coalesce(CASE WHEN l_quantity > 10 THEN l_quantity END, 0.0) AS b1,
+             coalesce(CASE WHEN l_discount > 0.02 THEN l_discount * 100.0 END, 0.0) AS b2,
+             coalesce(CASE WHEN l_tax > 0.0 THEN l_tax * 100.0 END, 0.0) AS b3,
+             concat_ws('_',
+               CASE WHEN l_quantity > 10 THEN 'B1' END,
+               CASE WHEN l_discount > 0.02 THEN 'B2' END,
+               CASE WHEN l_tax > 0.0 THEN 'B3' END) AS combo_sig,
+             CAST(l_partkey % 3 AS INT) AS label,
+             l_linenumber <= 2 AS is_train
+      FROM lineitem
+    ),
+    centroids AS (
+      SELECT combo_sig, label,
+             CAST(SUM(CAST(b1 AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS c1,
+             CAST(SUM(CAST(b2 AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS c2,
+             CAST(SUM(CAST(b3 AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS c3
+      FROM px WHERE is_train GROUP BY combo_sig, label
+    )
+    SELECT l_orderkey, l_linenumber, pred
+    FROM (
+      SELECT p.l_orderkey, p.l_linenumber, c.label AS pred,
+             row_number() OVER (
+               PARTITION BY p.l_orderkey, p.l_linenumber
+               ORDER BY round((p.b1-c.c1)*(p.b1-c.c1) + (p.b2-c.c2)*(p.b2-c.c2)
+                              + (p.b3-c.c3)*(p.b3-c.c3), 6), c.label) AS rn
+      FROM px p JOIN centroids c ON p.combo_sig = c.combo_sig
+      WHERE NOT p.is_train
+    ) WHERE rn = 1
+    """,
+)
+def q_combo_model_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    b1r = F.when(F.col("l_quantity") > 10, F.col("l_quantity"))
+    b2r = F.when(F.col("l_discount") > 0.02, F.col("l_discount") * 100.0)
+    b3r = F.when(F.col("l_tax") > 0.0, F.col("l_tax") * 100.0)
+    from ..functions.signatures import combo_signature
+
+    px = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(b1r, F.lit(0.0)).alias("b1"),
+        F.coalesce(b2r, F.lit(0.0)).alias("b2"),
+        F.coalesce(b3r, F.lit(0.0)).alias("b3"),
+        combo_signature([("B1", b1r), ("B2", b2r), ("B3", b3r)]).alias("combo_sig"),
+        (F.col("l_partkey") % 3).cast("int").alias("label"),
+        (F.col("l_linenumber") <= 2).alias("is_train"),
+    )
+    davg4 = lambda c: F.sum(F.col(c).cast("decimal(18,4)")).cast("double") / F.count(F.lit(1))
+    centroids = (
+        px.where("is_train")
+        .groupBy("combo_sig", "label")
+        .agg(davg4("b1").alias("c1"), davg4("b2").alias("c2"), davg4("b3").alias("c3"))
+    )
+    probe = px.where(~F.col("is_train"))
+    joined = probe.join(F.broadcast(centroids.withColumnRenamed("label", "pred")), "combo_sig")
+    dist = F.round(
+        (F.col("b1") - F.col("c1")) * (F.col("b1") - F.col("c1"))
+        + (F.col("b2") - F.col("c2")) * (F.col("b2") - F.col("c2"))
+        + (F.col("b3") - F.col("c3")) * (F.col("b3") - F.col("c3")),
+        6,
+    )
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(dist.asc(), F.col("pred").asc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "pred")
+    )

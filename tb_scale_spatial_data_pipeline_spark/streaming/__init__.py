@@ -2,6 +2,7 @@ from .events import (
     events_stream,
     run_stream_to_table,
     stream_tumbling_counts,
+    stream_sliding_counts,
     stream_session_windows,
     stream_dedup_within_watermark,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "events_stream",
     "run_stream_to_table",
     "stream_tumbling_counts",
+    "stream_sliding_counts",
     "stream_session_windows",
     "stream_dedup_within_watermark",
 ]

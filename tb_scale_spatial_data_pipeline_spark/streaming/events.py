@@ -93,6 +93,25 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(agg, "complete")
 
 
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min / 5 min slide) on the stream — same
+    result set as the batch `sliding_window` query (shared oracle)."""
+    ev = events_stream(spark, sf_dir)
+    from ..plans._util import dsum
+
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+            "n",
+            "sum_value",
+        )
+    )
+    return run_stream_to_table(agg, "complete")
+
+
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful dropDuplicates on (user_id, event_type) within the
     watermark horizon → count per user of distinct event types seen."""
