@@ -17,6 +17,7 @@ from . import (
     relational,
     relational2,
     relational3,
+    spatial_queries,
     text_queries,
     vector_queries,
 )
@@ -31,6 +32,7 @@ _MODULES = (
     event_queries,
     pipelines,
     media_queries,
+    spatial_queries,
 )
 
 

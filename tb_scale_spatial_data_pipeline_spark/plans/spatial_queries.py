@@ -1,0 +1,192 @@
+"""Spatial queries over WKT geometry columns — the GeoParquet-style
+surface (geometry as WKT + property columns). Rectangle-tier
+operations are pure Catalyst expressions, so they're oracle-checkable;
+the general pandas-UDF area is cross-checked against the closed form
+on rectangles (rows-only + pytest identity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.geometry import (
+    rect_area_expr,
+    rect_centroid_x_expr,
+    rect_centroid_y_expr,
+    rect_perimeter_expr,
+    wkt_polygon_area,
+)
+from ._util import t
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+# DuckDB-side rectangle-corner regexp (same shape as functions/geometry._RECT_RE)
+_SQL_RECT_RE = (
+    "'POLYGON\\(\\((-?\\d+(?:\\.\\d+)?) (-?\\d+(?:\\.\\d+)?), "
+    "(-?\\d+(?:\\.\\d+)?) (-?\\d+(?:\\.\\d+)?), "
+    "(-?\\d+(?:\\.\\d+)?) (-?\\d+(?:\\.\\d+)?)'"
+)
+
+# derived WKT rectangles from part: cell origin on a 32-grid, size from
+# p_size — the SQL twin builds the identical string
+_SQL_RECTS = """
+    SELECT p_partkey AS rect_id,
+           'POLYGON((' || CAST(p_partkey % 32 AS VARCHAR) || ' ' || CAST(p_partkey % 24 AS VARCHAR)
+           || ', ' || CAST(p_partkey % 32 + p_size AS VARCHAR) || ' ' || CAST(p_partkey % 24 AS VARCHAR)
+           || ', ' || CAST(p_partkey % 32 + p_size AS VARCHAR) || ' ' || CAST(p_partkey % 24 + p_size AS VARCHAR)
+           || ', ' || CAST(p_partkey % 32 AS VARCHAR) || ' ' || CAST(p_partkey % 24 + p_size AS VARCHAR)
+           || ', ' || CAST(p_partkey % 32 AS VARCHAR) || ' ' || CAST(p_partkey % 24 AS VARCHAR) || '))' AS geometry
+    FROM part
+"""
+
+_SQL_POINTS = """
+    SELECT c_custkey AS point_id,
+           CAST(c_custkey % 40 AS DOUBLE) AS px,
+           CAST(c_custkey % 30 AS DOUBLE) AS py
+    FROM customer
+"""
+
+
+def _rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    sx = (F.col("p_partkey") % 32).cast("int").cast("string")
+    sy = (F.col("p_partkey") % 24).cast("int").cast("string")
+    ex = (F.col("p_partkey") % 32 + F.col("p_size")).cast("int").cast("string")
+    ey = (F.col("p_partkey") % 24 + F.col("p_size")).cast("int").cast("string")
+    wkt = F.concat(
+        F.lit("POLYGON(("),
+        sx, F.lit(" "), sy, F.lit(", "),
+        ex, F.lit(" "), sy, F.lit(", "),
+        ex, F.lit(" "), ey, F.lit(", "),
+        sx, F.lit(" "), ey, F.lit(", "),
+        sx, F.lit(" "), sy,
+        F.lit("))"),
+    )
+    return part.select(F.col("p_partkey").alias("rect_id"), wkt.alias("geometry"))
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    return cust.select(
+        F.col("c_custkey").alias("point_id"),
+        (F.col("c_custkey") % 40).cast("double").alias("px"),
+        (F.col("c_custkey") % 30).cast("double").alias("py"),
+    )
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Geometry scalars on the rectangle tier: area/perimeter/centroid from
+# WKT via pure Catalyst regexp expressions.
+@_q(
+    "geometry_scalars",
+    f"""
+    WITH rects AS ({_SQL_RECTS}),
+    parsed AS (
+      SELECT rect_id,
+             CAST(regexp_extract(geometry, {_SQL_RECT_RE}, 1) AS DOUBLE) AS x0,
+             CAST(regexp_extract(geometry, {_SQL_RECT_RE}, 2) AS DOUBLE) AS y0,
+             CAST(regexp_extract(geometry, {_SQL_RECT_RE}, 3) AS DOUBLE) AS x1,
+             CAST(regexp_extract(geometry, {_SQL_RECT_RE}, 6) AS DOUBLE) AS y1
+      FROM rects
+    )
+    SELECT rect_id,
+           (x1 - x0) * (y1 - y0) AS area,
+           2.0 * ((x1 - x0) + (y1 - y0)) AS perimeter,
+           (x0 + x1) / 2.0 AS cx,
+           (y0 + y1) / 2.0 AS cy
+    FROM parsed
+    """,
+)
+def q_geometry_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rects = _rects(spark, sf_dir)
+    g = F.col("geometry")
+    return rects.select(
+        "rect_id",
+        rect_area_expr(g).alias("area"),
+        rect_perimeter_expr(g).alias("perimeter"),
+        rect_centroid_x_expr(g).alias("cx"),
+        rect_centroid_y_expr(g).alias("cy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spatial join: points-in-rectangles via containment predicate (the
+# Sedona-style ST_Contains join, rectangle tier). At scale: grid-cell
+# blocking key first, exact predicate second — here the exact form.
+@_q(
+    "spatial_bbox_join",
+    f"""
+    WITH rects AS ({_SQL_RECTS}), points AS ({_SQL_POINTS}),
+    parsed AS (
+      SELECT rect_id,
+             CAST(regexp_extract(geometry, {_SQL_RECT_RE}, 1) AS DOUBLE) AS x0,
+             CAST(regexp_extract(geometry, {_SQL_RECT_RE}, 2) AS DOUBLE) AS y0,
+             CAST(regexp_extract(geometry, {_SQL_RECT_RE}, 3) AS DOUBLE) AS x1,
+             CAST(regexp_extract(geometry, {_SQL_RECT_RE}, 6) AS DOUBLE) AS y1
+      FROM rects
+    )
+    SELECT r.rect_id, COUNT(p.point_id) AS n_points
+    FROM parsed r LEFT JOIN points p
+      ON p.px >= r.x0 AND p.px < r.x1 AND p.py >= r.y0 AND p.py < r.y1
+    GROUP BY r.rect_id
+    """,
+)
+def q_spatial_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.geometry import rect_x0, rect_x1, rect_y0, rect_y1
+
+    rects = _rects(spark, sf_dir)
+    # parse corners ONCE into numeric columns before the join — the
+    # containment predicate must compare attributes, not re-run the
+    # regexp per (rect, point) pair
+    parsed = rects.select(
+        "rect_id",
+        rect_x0(F.col("geometry")).alias("x0"),
+        rect_y0(F.col("geometry")).alias("y0"),
+        rect_x1(F.col("geometry")).alias("x1"),
+        rect_y1(F.col("geometry")).alias("y1"),
+    )
+    points = _points(spark, sf_dir)
+    cond = (
+        (F.col("px") >= F.col("x0"))
+        & (F.col("px") < F.col("x1"))
+        & (F.col("py") >= F.col("y0"))
+        & (F.col("py") < F.col("y1"))
+    )
+    joined = parsed.join(F.broadcast(points), cond, "left")
+    return joined.groupBy("rect_id").agg(F.count("point_id").alias("n_points"))
+
+
+# ---------------------------------------------------------------------------
+# §2.7 UDF surface: the registered pandas UDF (general shoelace area)
+# invoked through SQL — cross-checked against the rectangle closed
+# form, so it IS oracle-checkable on this tier.
+@_q(
+    "udf_polygon_area",
+    f"""
+    WITH rects AS ({_SQL_RECTS})
+    SELECT rect_id,
+           (CAST(regexp_extract(geometry, {_SQL_RECT_RE}, 3) AS DOUBLE)
+            - CAST(regexp_extract(geometry, {_SQL_RECT_RE}, 1) AS DOUBLE))
+           * (CAST(regexp_extract(geometry, {_SQL_RECT_RE}, 6) AS DOUBLE)
+              - CAST(regexp_extract(geometry, {_SQL_RECT_RE}, 2) AS DOUBLE))
+           AS shoelace_area
+    FROM rects
+    """,
+)
+def q_udf_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rects = _rects(spark, sf_dir)
+    return rects.select(
+        "rect_id", wkt_polygon_area(F.col("geometry")).alias("shoelace_area")
+    )
