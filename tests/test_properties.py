@@ -1,0 +1,108 @@
+"""Hypothesis property tests for operator invariants (SURVEY §5
+strategy: self-consistency properties where no oracle applies).
+Example counts are small — each example runs real Spark jobs."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tb_scale_spatial_data_pipeline_spark.operators.skew import salted_agg
+from tb_scale_spatial_data_pipeline_spark.sources.sinks import overlay_update
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+finite_floats = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4), finite_floats), min_size=1, max_size=40
+    )
+)
+@_settings
+def test_salted_agg_equals_direct_property(spark, rows):
+    df = spark.createDataFrame(
+        [(f"k{k}", v) for k, v in rows], "k string, v double"
+    )
+    direct = {
+        r["k"]: (r["n"], r["mx"])
+        for r in df.groupBy("k").agg(F.count("*").alias("n"), F.max("v").alias("mx")).collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["mx"])
+        for r in salted_agg(
+            df, ["k"], {"n": (F.lit(1), "count"), "mx": (F.col("v"), "max")}, n_salts=4
+        ).collect()
+    }
+    assert direct == salted
+
+
+@given(
+    existing=st.dictionaries(st.integers(0, 9), finite_floats, max_size=8),
+    updates=st.dictionaries(st.integers(0, 9), finite_floats, max_size=8),
+)
+@_settings
+def test_overlay_update_property(spark, existing, updates):
+    ex = spark.createDataFrame(
+        [(k, v) for k, v in existing.items()] or [(None, None)], "k int, v double"
+    ).where("k IS NOT NULL")
+    up = spark.createDataFrame(
+        [(k, v) for k, v in updates.items()] or [(None, None)], "k int, v double"
+    ).where("k IS NOT NULL")
+    out = {
+        r["k"]: r["v"] for r in overlay_update(ex, up, ["k"], ["v"]).collect()
+    }
+    expected = dict(existing)
+    expected.update(updates)
+    assert out.keys() == expected.keys()
+    for k in expected:
+        assert math.isclose(out[k], expected[k], rel_tol=0, abs_tol=0)
+
+
+@given(vals=st.lists(finite_floats, min_size=1, max_size=30))
+@_settings
+def test_sentinel_roundtrip_property(spark, vals):
+    from tb_scale_spatial_data_pipeline_spark.functions.sentinels import (
+        null_to_sentinel,
+        sentinel_to_null,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = [
+        r["o"]
+        for r in df.select(
+            null_to_sentinel(sentinel_to_null(F.col("v"))).alias("o")
+        ).collect()
+    ]
+    for v, o in zip(vals, out):
+        if abs(v - (-9999.0)) < 0.01:
+            assert o == -9999.0
+        else:
+            assert o == v
+
+
+@given(
+    xs=st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=1, max_size=25)
+)
+@_settings
+def test_halo_core_partition_property(spark, xs):
+    from tb_scale_spatial_data_pipeline_spark.raster.tiles import halo_duplicate
+
+    df = spark.createDataFrame(
+        list({(x, y) for x, y in xs}), "x int, y int"
+    ).withColumn("v", F.col("x") + F.col("y"))
+    tiled = halo_duplicate(df, tile_size=8, halo=3)
+    # exactly one core copy per pixel; halo copies carry is_core=false
+    core = tiled.where("is_core").groupBy("x", "y").count()
+    assert core.where("count != 1").count() == 0
+    assert core.count() == df.count()
