@@ -242,3 +242,10 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["stream_sliding_window"] = _eq.ORACLES["sliding_window"]
+
+
+@_q("stream_stateful_totals")
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import stream_user_running_totals
+
+    return stream_user_running_totals(spark, sf_dir)

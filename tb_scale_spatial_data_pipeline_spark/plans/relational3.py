@@ -174,17 +174,28 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the bucket join is the scale path: candidates per query = bucket
 # size, not corpus size).
 def _sql_ann_top1() -> str:
-    from .vector_queries import _sql_cosine, _sql_lsh_buckets
+    from .vector_queries import DIM, _SQL_NORM_A, _sql_lsh_buckets
 
+    norm = _SQL_NORM_A.format(a="embedding", n=DIM)
+    dot_nn = (
+        f"list_aggregate(list_transform(generate_series(1, {DIM}), "
+        f"i -> qe.ne[i] * ce.ne[i]), 'sum')"
+    )
     return f"""
     WITH b AS ({_sql_lsh_buckets()}),
+    ne AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, {DIM}),
+                            i -> CAST(embedding[i] AS DOUBLE) / ({norm} + 1e-12)) AS ne
+      FROM embeddings
+    ),
     pairs AS (
       SELECT qa.vec_id AS query_id, ca.vec_id AS cand_id,
-             round({_sql_cosine('qe.embedding', 'ce.embedding')}, 6) AS cos_sim
+             round({dot_nn}, 6) AS cos_sim
       FROM b qa
       JOIN b ca ON qa.bucket = ca.bucket AND qa.vec_id <> ca.vec_id
-      JOIN embeddings qe ON qe.vec_id = qa.vec_id
-      JOIN embeddings ce ON ce.vec_id = ca.vec_id
+      JOIN ne qe ON qe.vec_id = qa.vec_id
+      JOIN ne ce ON ce.vec_id = ca.vec_id
     )
     SELECT query_id, cand_id AS nn_id, cos_sim
     FROM (
@@ -197,28 +208,32 @@ def _sql_ann_top1() -> str:
 
 @_q("ann_top1_in_bucket", _sql_ann_top1())
 def q_ann_top1_in_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.vectors import cosine_similarity
+    from ..functions.vectors import dot, l2_norm
     from ..operators.similarity import as_double_array, lsh_ann_buckets
     from .vector_queries import DIM, N_PLANES
 
     emb = t(spark, sf_dir, "embeddings")
     buckets = lsh_ann_buckets(emb, "embedding", "vec_id", dim=DIM, n_planes=N_PLANES)
-    withb = emb.join(buckets, "vec_id").select("vec_id", "bucket", "embedding")
+    # pre-normalize ONCE per row (two projections: the norm must be an
+    # attribute before the divide lambda captures it, else the fold
+    # re-runs per element) so the within-bucket pair join computes a
+    # single dot-fold instead of dot + two norms
+    de = emb.select("vec_id", as_double_array(F.col("embedding")).alias("e"))
+    with_norm = de.select("vec_id", "e", (l2_norm(F.col("e")) + F.lit(1e-12)).alias("nrm"))
+    normed = with_norm.select(
+        "vec_id", F.transform(F.col("e"), lambda x: x / F.col("nrm")).alias("ne")
+    )
+    withb = normed.join(buckets, "vec_id")
     a = withb.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("bucket").alias("b_a"),
-        F.col("embedding").alias("qe"),
+        F.col("vec_id").alias("query_id"), F.col("bucket").alias("b_a"), F.col("ne").alias("qe")
     )
     b = withb.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("bucket").alias("b_b"),
-        F.col("embedding").alias("ce"),
+        F.col("vec_id").alias("cand_id"), F.col("bucket").alias("b_b"), F.col("ne").alias("ce")
     )
     pairs = a.join(b, (a["b_a"] == b["b_b"]) & (a["query_id"] != b["cand_id"]))
-    sim = F.round(
-        cosine_similarity(as_double_array(F.col("qe")), as_double_array(F.col("ce"))), 6
+    scored = pairs.select(
+        "query_id", "cand_id", F.round(dot(F.col("qe"), F.col("ce")), 6).alias("cos_sim")
     )
-    scored = pairs.select("query_id", "cand_id", sim.alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

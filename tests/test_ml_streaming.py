@@ -101,3 +101,27 @@ def test_pipelines_produce_rows(spark):
     ):
         df = qs[name](spark, SF_SMOKE)
         assert df.count() > 0, name
+
+
+def test_stateful_totals_match_batch(spark):
+    import pyspark.sql.functions as F
+
+    from tb_scale_spatial_data_pipeline_spark.plans import all_queries
+    from tb_scale_spatial_data_pipeline_spark.sources.catalog import load_table
+
+    qs = all_queries()
+    stream = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in qs["stream_stateful_totals"](spark, SF_SMOKE).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert stream.keys() == batch.keys()
+    for u in batch:
+        assert stream[u][0] == batch[u][0]
+        assert abs(stream[u][1] - batch[u][1]) < 0.02
