@@ -201,6 +201,17 @@ _NUM_HASHES = 8
 _BAND_SIZE = 2
 
 
+# word 3-shingles for MinHash (tokens of the normalized text)
+_SQL_NORM_TOKENS = (
+    r"list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),"
+    r" '\s+'), x -> x <> '')"
+)
+_SQL_WORD_SHINGLES = (
+    f"list_transform(generate_series(1, greatest(len({_SQL_NORM_TOKENS}) - 2, 1)), "
+    f"i -> array_to_string(list_slice({_SQL_NORM_TOKENS}, i, i + 2), ' '))"
+)
+
+
 def _sql_minhash_lsh() -> str:
     mh_cols = ", ".join(
         f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS mh{i}"
@@ -213,7 +224,7 @@ def _sql_minhash_lsh() -> str:
     )
     return f"""
     WITH sh AS (
-      SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh FROM documents
+      SELECT doc_id, {_SQL_WORD_SHINGLES} AS sh FROM documents
     ),
     mh AS (SELECT doc_id, {mh_cols} FROM sh),
     bands AS ({band_rows})
