@@ -10,9 +10,13 @@
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tb_scale_spatial_data_pipeline_spark.plans import all_oracles, all_queries
 

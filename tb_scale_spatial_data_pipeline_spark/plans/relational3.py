@@ -456,9 +456,9 @@ def q_combo_model_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.col("b3") - F.col("c3")) * (F.col("b3") - F.col("c3")),
         6,
     )
-    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(dist.asc(), F.col("pred").asc())
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("l_orderkey", "l_linenumber", "pred")
+    # argmin via min_by on a (dist, pred) struct: one hash aggregate
+    # with map-side partials instead of a window sort — same result as
+    # the oracle's row_number (the struct tiebreak mirrors its ORDER BY)
+    return joined.groupBy("l_orderkey", "l_linenumber").agg(
+        F.min_by("pred", F.struct(dist.alias("d"), F.col("pred"))).alias("pred")
     )

@@ -137,6 +137,15 @@ def reproject_tiles(
     bilinear is the implemented subset). Source tiles must carry
     enough halo to cover the sampling footprint."""
 
+    def _cubic_weights(t: np.ndarray) -> tuple[np.ndarray, ...]:
+        # standard cubic-convolution taps (Keys 1981, a = -0.5)
+        a = -0.5
+        w_m1 = a * t**3 - 2 * a * t**2 + a * t
+        w_0 = (a + 2) * t**3 - (a + 3) * t**2 + 1
+        w_1 = -(a + 2) * t**3 + (2 * a + 3) * t**2 - a * t
+        w_2 = -a * t**3 + a * t**2
+        return w_m1, w_0, w_1, w_2
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         stack, x0, y0, core = _tile_to_arrays(pdf, value_cols)
         h, w, _ = stack.shape
@@ -156,7 +165,30 @@ def reproject_tiles(
         sx, sy, tx, ty = sx[keep], sy[keep], TX.ravel()[keep], TY.ravel()[keep]
         core_ok = np.zeros(len(sx), dtype=bool)
         data = {}
-        if method == "nearest":
+        if method == "cubic":
+            # 4x4 cubic convolution (the reference's imagery method,
+            # `0_preprocessing/feature_stacking.py:319`); needs halo >= 2
+            fx = np.clip(sx - x0, 0, w - 1)
+            fy = np.clip(sy - y0, 0, h - 1)
+            ix = np.floor(fx).astype(int)
+            iy = np.floor(fy).astype(int)
+            tx_f = fx - ix
+            ty_f = fy - iy
+            wx = _cubic_weights(tx_f)
+            wy = _cubic_weights(ty_f)
+            core_ok = core[iy, ix]
+            for c, col in enumerate(value_cols):
+                band = stack[:, :, c]
+                acc = np.zeros(len(sx), dtype=np.float64)
+                for dy in range(-1, 3):
+                    ry = np.clip(iy + dy, 0, h - 1)
+                    row_acc = np.zeros(len(sx), dtype=np.float64)
+                    for dx in range(-1, 3):
+                        rx = np.clip(ix + dx, 0, w - 1)
+                        row_acc += wx[dx + 1] * band[ry, rx]
+                    acc += wy[dy + 1] * row_acc
+                data[col] = acc
+        elif method == "nearest":
             ix = np.clip(np.rint(sx).astype(int) - x0, 0, w - 1)
             iy = np.clip(np.rint(sy).astype(int) - y0, 0, h - 1)
             core_ok = core[iy, ix]

@@ -131,3 +131,24 @@ def test_shape_metrics_rectangle(spark):
     assert m["elongation"] == 1.5
     assert m["num_vertices"] == 4
     assert m["geometry"] == "POLYGON((0 0, 4 0, 4 6, 0 6, 0 0))"
+
+
+def test_reproject_cubic_identity_on_linear_field(spark):
+    # cubic convolution reproduces values exactly on a linear ramp
+    import pyspark.sql.functions as F
+
+    ramp = (
+        spark.range(40 * 40)
+        .select(
+            (F.col("id") % 40).cast("int").alias("x"),
+            (F.col("id") / 40).cast("int").alias("y"),
+        )
+        .withColumn("b1", (2.0 * F.col("x") + 3.0 * F.col("y")).cast("double"))
+    )
+    tiled = halo_duplicate(ramp, tile_size=20, halo=4)
+    out = reproject_tiles(tiled, ["b1"], scale=2.0, offset_x=0.5, offset_y=0.5, method="cubic")
+    for r in out.collect():
+        expected = 2.0 * (r["x"] * 2.0 + 0.5) + 3.0 * (r["y"] * 2.0 + 0.5)
+        # interior points must be near-exact (boundary clamps excluded)
+        if 1 <= r["x"] <= 17 and 1 <= r["y"] <= 17:
+            assert abs(r["b1"] - expected) < 1e-9, (r["x"], r["y"], r["b1"], expected)
