@@ -390,9 +390,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # slice, broadcast-joined to probe pixels by combo signature (J3), and
 # applied via argmin distance (M1's vectorized predict analog) — fully
 # oracle-checkable.
-@_q(
-    "combo_model_inference",
-    """
+_SQL_COMBO_INFERENCE = """
     WITH px AS (
       SELECT l_orderkey, l_linenumber,
              coalesce(CASE WHEN l_quantity > 10 THEN l_quantity END, 0.0) AS b1,
@@ -423,16 +421,19 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM px p JOIN centroids c ON p.combo_sig = c.combo_sig
       WHERE NOT p.is_train
     ) WHERE rn = 1
-    """,
-)
-def q_combo_model_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def combo_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pixel synthesis for the combo-dispatch inference demos
+    (relational twin + applyInPandas kernel form in ml/dispatch.py)."""
     li = t(spark, sf_dir, "lineitem")
     b1r = F.when(F.col("l_quantity") > 10, F.col("l_quantity"))
     b2r = F.when(F.col("l_discount") > 0.02, F.col("l_discount") * 100.0)
     b3r = F.when(F.col("l_tax") > 0.0, F.col("l_tax") * 100.0)
     from ..functions.signatures import combo_signature
 
-    px = li.select(
+    return li.select(
         "l_orderkey",
         "l_linenumber",
         F.coalesce(b1r, F.lit(0.0)).alias("b1"),
@@ -442,6 +443,11 @@ def q_combo_model_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") % 3).cast("int").alias("label"),
         (F.col("l_linenumber") <= 2).alias("is_train"),
     )
+
+
+@_q("combo_model_inference", _SQL_COMBO_INFERENCE)
+def q_combo_model_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    px = combo_pixels(spark, sf_dir)
     davg4 = lambda c: F.sum(F.col(c).cast("decimal(18,4)")).cast("double") / F.count(F.lit(1))
     centroids = (
         px.where("is_train")
@@ -461,4 +467,113 @@ def q_combo_model_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle's row_number (the struct tiebreak mirrors its ORDER BY)
     return joined.groupBy("l_orderkey", "l_linenumber").agg(
         F.min_by("pred", F.struct(dist.alias("d"), F.col("pred"))).alias("pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# The SAME combo-dispatch inference in its kernel form — broadcast
+# model dict + groupBy(combo).applyInPandas batch predict (A7/J3/M1's
+# literal architecture). Shares the relational twin's oracle: the two
+# formulations must produce identical predictions.
+@_q("combo_dispatch_kernel", _SQL_COMBO_INFERENCE)
+def q_combo_dispatch_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.dispatch import dispatch_predict, train_centroid_models
+
+    px = combo_pixels(spark, sf_dir)
+    davg4 = lambda c: F.sum(F.col(c).cast("decimal(18,4)")).cast("double") / F.count(F.lit(1))
+    models = (
+        px.where("is_train")
+        .groupBy("combo_sig", "label")
+        .agg(davg4("b1").alias("b1"), davg4("b2").alias("b2"), davg4("b3").alias("b3"))
+    )
+    probe = px.where(~F.col("is_train"))
+    return dispatch_predict(
+        probe,
+        models,
+        combo_col="combo_sig",
+        label_col="label",
+        feature_cols=["b1", "b2", "b3"],
+        id_cols=["l_orderkey", "l_linenumber"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF fine search: after the coarse-quantizer assignment (ivf_assign),
+# rank candidates WITHIN each cell — per probe vector, the top-1
+# same-cell neighbor by cosine. Search cost per probe = cell size.
+def _sql_ivf_fine() -> str:
+    from .vector_queries import DIM, _SQL_NORM_A
+
+    norm = _SQL_NORM_A.format(a="embedding", n=DIM)
+    dist = (
+        f"sqrt(list_aggregate(list_transform(generate_series(1, {DIM}), "
+        f"i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) "
+        f"* (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))), 'sum'))"
+    )
+    dot_nn = (
+        f"list_aggregate(list_transform(generate_series(1, {DIM}), "
+        f"i -> qe.ne[i] * ce.ne[i]), 'sum')"
+    )
+    return f"""
+    WITH cents AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, centroid_id
+      FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY round({dist}, 9), c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    ne AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, {DIM}),
+                            i -> CAST(embedding[i] AS DOUBLE) / ({norm} + 1e-12)) AS ne
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT qa.vec_id AS query_id, ca.vec_id AS cand_id,
+             round({dot_nn}, 6) AS cos_sim
+      FROM assign qa
+      JOIN assign ca ON qa.centroid_id = ca.centroid_id AND qa.vec_id <> ca.vec_id
+      JOIN ne qe ON qe.vec_id = qa.vec_id
+      JOIN ne ce ON ce.vec_id = ca.vec_id
+    )
+    SELECT query_id, cand_id AS nn_id, cos_sim
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, cand_id) AS rn
+      FROM pairs
+    ) WHERE rn = 1
+    """
+
+
+@_q("ivf_fine_search", _sql_ivf_fine())
+def q_ivf_fine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot, l2_norm
+    from ..operators.similarity import as_double_array
+
+    emb = t(spark, sf_dir, "embeddings")
+    assign = QUERIES["ivf_assign"](spark, sf_dir)
+    de = emb.select("vec_id", as_double_array(F.col("embedding")).alias("e"))
+    with_norm = de.select("vec_id", "e", (l2_norm(F.col("e")) + F.lit(1e-12)).alias("nrm"))
+    normed = with_norm.select(
+        "vec_id", F.transform(F.col("e"), lambda x: x / F.col("nrm")).alias("ne")
+    )
+    withcell = normed.join(assign, "vec_id")
+    a = withcell.select(
+        F.col("vec_id").alias("query_id"), F.col("centroid_id").alias("cell_a"), F.col("ne").alias("qe")
+    )
+    b = withcell.select(
+        F.col("vec_id").alias("cand_id"), F.col("centroid_id").alias("cell_b"), F.col("ne").alias("ce")
+    )
+    pairs = a.join(b, (a["cell_a"] == b["cell_b"]) & (a["query_id"] != b["cand_id"]))
+    scored = pairs.select(
+        "query_id", "cand_id", F.round(dot(F.col("qe"), F.col("ce")), 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("cand_id").alias("nn_id"), "cos_sim")
     )

@@ -273,3 +273,50 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return simhash_signatures(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash document fingerprint: left-to-right polynomial hash
+# (h = h*31 + code(char) mod 2^31) over the normalized text — the
+# brief's "document fingerprinting (rolling hash)" in pure fold form,
+# identical on both engines.
+@_q(
+    "rolling_fingerprint",
+    f"""
+    WITH norm AS (SELECT doc_id, {_SQL_NORM} AS n FROM documents)
+    SELECT doc_id,
+           CAST(list_aggregate(
+             list_transform(generate_series(1, length(n)),
+                            i -> CAST((ord(substring(n, i, 1)) % 65536) AS BIGINT)),
+             'sum') AS BIGINT) AS char_checksum,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, length(n)),
+                              i -> CAST((ord(substring(n, i, 1)) % 65536) AS BIGINT))),
+             (h, c) -> (h * 31 + c) % 2147483647) AS BIGINT) AS rolling_hash
+    FROM norm
+    """,
+)
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import normalize_text
+
+    docs = t(spark, sf_dir, "documents")
+    normed = docs.select("doc_id", normalize_text(F.col("text")).alias("n"))
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length("n")),
+        lambda i: (F.ascii(F.col("n").substr(i, F.lit(1))) % 65536).cast("bigint"),
+    )
+    with_codes = normed.select("doc_id", codes.alias("codes"))
+    checksum = F.aggregate(
+        F.col("codes"), F.lit(0).cast("bigint"), lambda acc, c: acc + c
+    )
+    rolling = F.aggregate(
+        F.col("codes"),
+        F.lit(0).cast("bigint"),
+        lambda h, c: (h * 31 + c) % F.lit(2147483647).cast("bigint"),
+    )
+    return with_codes.select(
+        "doc_id",
+        checksum.alias("char_checksum"),
+        rolling.alias("rolling_hash"),
+    )
