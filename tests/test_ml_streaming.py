@@ -125,3 +125,44 @@ def test_stateful_totals_match_batch(spark):
     for u in batch:
         assert stream[u][0] == batch[u][0]
         assert abs(stream[u][1] - batch[u][1]) < 0.02
+
+
+def test_stream_foreachbatch_to_tiled_sink(spark, tmp_path):
+    """Streaming → S7 integration: windowed aggregation written to a
+    partitioned parquet sink via foreachBatch (the production shape:
+    each micro-batch lands atomically in the tile/partition layout)."""
+    import pyspark.sql.functions as F
+
+    from tb_scale_spatial_data_pipeline_spark.streaming.events import events_stream
+
+    out_dir = str(tmp_path / "windowed_sink")
+    ev = events_stream(spark, SF_SMOKE)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd-HH").alias("wstart"),
+            "event_type",
+            "n",
+        )
+    )
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("append").partitionBy("event_type").parquet(out_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out_dir)
+    assert back.count() > 0
+    import os
+
+    assert any(d.startswith("event_type=") for d in os.listdir(out_dir))
+    total = back.agg(F.sum("n")).first()[0]
+    assert total == spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()

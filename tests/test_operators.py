@@ -105,3 +105,19 @@ def test_dual_model_fallback_precedence(spark):
         ).collect()
     }
     assert out == {1: 10, 2: 20, 3: 0}
+
+
+def test_lang_id_heuristic_full(spark):
+    from tb_scale_spatial_data_pipeline_spark.functions.text import lang_id_heuristic
+
+    rows = [
+        ("これは日本語のテキストです", "ja"),
+        ("Это русский текст", "ru"),
+        ("der Hund und die Katze ist hier", "de"),
+        ("le chat est dans la maison", "fr"),
+        ("el perro es una mascota", "es"),
+        ("the quick brown fox jumps", "en"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    out = [r["l"] for r in df.select(lang_id_heuristic(F.col("text")).alias("l")).collect()]
+    assert out == [lang for _, lang in rows]
