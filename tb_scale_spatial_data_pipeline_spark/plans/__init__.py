@@ -17,6 +17,7 @@ from . import (
     relational,
     relational2,
     relational3,
+    scalar_queries,
     spatial_queries,
     text_queries,
     vector_queries,
@@ -33,6 +34,7 @@ _MODULES = (
     pipelines,
     media_queries,
     spatial_queries,
+    scalar_queries,
 )
 
 

@@ -1,0 +1,137 @@
+"""Scalar-function breadth bundles (SURVEY §2.2 "free extensions"):
+string, date, and math scalar surfaces exercised end-to-end with
+oracle twins. Only functions with identical cross-engine semantics are
+bundled; every float output goes through the usual rounding/decimal
+discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import t
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_q(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS up,
+           lower(p_brand) AS lo,
+           substring(p_type, 2, 5) AS sub,
+           lpad(p_brand, 12, '*') AS lp,
+           rpad(p_brand, 12, '#') AS rp,
+           replace(p_type, 'a', '@') AS repl,
+           reverse(p_name) AS rev,
+           length(p_name) AS len,
+           concat(p_brand, '/', p_type) AS cat,
+           trim('  ' || p_brand || '  ') AS trimmed,
+           contains(p_type, 'ano') AS has_ano,
+           starts_with(p_name, 'p') AS starts_p
+    FROM part
+    """,
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.substring("p_type", 2, 5).alias("sub"),
+        F.lpad("p_brand", 12, "*").alias("lp"),
+        F.rpad("p_brand", 12, "#").alias("rp"),
+        F.replace(F.col("p_type"), F.lit("a"), F.lit("@")).alias("repl"),
+        F.reverse("p_name").alias("rev"),
+        F.length("p_name").alias("len"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("cat"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("trimmed"),
+        F.col("p_type").contains("ano").alias("has_ano"),
+        F.col("p_name").startswith("p").alias("starts_p"),
+    )
+
+
+@_q(
+    "date_functions",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dy,
+           CAST(dayofweek(o_orderdate) AS INT) AS dow,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           strftime(o_orderdate + INTERVAL '90 days', '%Y-%m-%d') AS plus90,
+           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since_epoch0,
+           CAST(quarter(o_orderdate) AS INT) AS qtr
+    FROM orders
+    """,
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dy"),
+        # Spark dayofweek: 1=Sunday; DuckDB dayofweek: 0=Sunday
+        (F.dayofweek(d) - 1).alias("dow"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_add(d.cast("date"), 90), "yyyy-MM-dd").alias("plus90"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch0"
+        ),
+        F.quarter(d).alias("qtr"),
+    )
+
+
+@_q(
+    "math_functions",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           abs(l_quantity - 25.0) AS absdev,
+           CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ceil7,
+           CAST(floor(l_quantity / 7.0) AS BIGINT) AS floor7,
+           round(sqrt(l_extendedprice), 6) AS sqrtp,
+           round(ln(l_extendedprice + 1.0), 6) AS lnp,
+           round(pow(l_discount, 2.0), 6) AS disc2,
+           sign(l_quantity - 25.0) AS sgn,
+           greatest(l_quantity, l_tax * 100.0) AS gr,
+           least(l_quantity, l_tax * 100.0) AS le,
+           CAST(l_quantity AS BIGINT) % 7 AS mod7
+    FROM lineitem
+    """,
+)
+def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.abs(q - 25.0).alias("absdev"),
+        F.ceil(q / 7.0).alias("ceil7"),
+        F.floor(q / 7.0).alias("floor7"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrtp"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("lnp"),
+        F.round(F.pow("l_discount", F.lit(2.0)), 6).alias("disc2"),
+        F.signum(q - 25.0).alias("sgn"),
+        F.greatest(q, F.col("l_tax") * 100.0).alias("gr"),
+        F.least(q, F.col("l_tax") * 100.0).alias("le"),
+        (q.cast("bigint") % 7).alias("mod7"),
+    )
