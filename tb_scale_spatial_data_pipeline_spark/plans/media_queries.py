@@ -50,3 +50,25 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media_table(spark, sf_dir)
     out = sample_frames(media, every_k=2)
     return out.select("media_id", "frame_idx", F.round("frame_mean", 6).alias("frame_mean"))
+
+
+@_q("multimodal_feature_neardup")
+def q_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal dedup: decode → channel-stat feature
+    vector → cosine near-dup on adjacent media ids. The blobs never
+    leave the feature-extraction task; similarity runs on the small
+    typed features (the 100 TB shape for media dedup)."""
+    from ..functions.vectors import cosine_similarity
+    from ..operators.similarity import as_double_array
+
+    media = synth_media_table(spark, sf_dir)
+    stats = image_channel_stats(media)
+    feat_cols = ["mean_c0", "mean_c1", "mean_c2", "std_c0", "std_c1", "std_c2"]
+    vecs = stats.select(
+        "media_id", F.array(*[F.col(c) for c in feat_cols]).alias("fv")
+    )
+    a = vecs.select(F.col("media_id").alias("id_a"), F.col("fv").alias("fa"))
+    b = vecs.select(F.col("media_id").alias("id_b"), F.col("fv").alias("fb"))
+    pairs = a.join(b, b["id_b"] == a["id_a"] + 1)
+    sim = cosine_similarity(as_double_array(F.col("fa")), as_double_array(F.col("fb")))
+    return pairs.select("id_a", "id_b", F.round(sim, 6).alias("feature_cos"))

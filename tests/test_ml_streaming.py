@@ -166,3 +166,69 @@ def test_stream_foreachbatch_to_tiled_sink(spark, tmp_path):
     assert any(d.startswith("event_type=") for d in os.listdir(out_dir))
     total = back.agg(F.sum("n")).first()[0]
     assert total == spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """True late-data semantics: two micro-batches (second batch is
+    entirely older than the first), a tight watermark, append-mode
+    window aggregation — the late batch's windows are below the
+    watermark and must NOT appear beyond the first batch's results."""
+    import pyspark.sql.functions as F
+
+    import glob
+    import os
+    import time
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    ts = F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    ev = ev.withColumn("ts", ts)
+    cutoff = ev.agg(F.expr("percentile(cast(ts as long), 0.5)")).first()[0]
+    recent = ev.where(F.col("ts").cast("long") >= cutoff)
+    late = ev.where(F.col("ts").cast("long") < cutoff)
+    # three micro-batches: recent, a small recent nudge (Spark's
+    # watermark takes effect one batch late), then the late batch
+    recent.coalesce(1).write.parquet(f"{src}/b1")
+    recent.limit(5).coalesce(1).write.parquet(f"{src}/b2")
+    late.coalesce(1).write.parquet(f"{src}/b3")
+    now = time.time()
+    for i, d in enumerate(["b1", "b2", "b3"]):
+        for f in glob.glob(f"{src}/{d}/part-*.parquet"):
+            os.utime(f, (now - 300 + i * 100, now - 300 + i * 100))
+
+    stream = (
+        spark.readStream.schema(recent.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("wstart"), "n")
+    )
+    name = "late_data_test_result"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    emitted = out.agg(F.sum("n")).first()[0] or 0
+    n_late = late.count()
+    n_fed = ev.count() + 5  # the 5-row nudge batch re-feeds rows
+    # the late batch (entirely below the operative watermark) was
+    # dropped: emitted counts can never cover all fed rows
+    assert emitted > 0
+    assert emitted <= n_fed - n_late
+    # and no emitted window predates the cutoff (late windows absent)
+    import datetime
+
+    cutoff_dt = datetime.datetime.utcfromtimestamp(cutoff / 1_000_000)
+    n_old = out.where(F.col("wstart") < F.lit(cutoff_dt) - F.expr("INTERVAL 10 minutes")).count()
+    assert n_old == 0
