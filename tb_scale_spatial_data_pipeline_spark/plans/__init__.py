@@ -17,6 +17,7 @@ from . import (
     relational,
     relational2,
     relational3,
+    sampling_queries,
     scalar_queries,
     spatial_queries,
     text_queries,
@@ -35,6 +36,7 @@ _MODULES = (
     media_queries,
     spatial_queries,
     scalar_queries,
+    sampling_queries,
 )
 
 

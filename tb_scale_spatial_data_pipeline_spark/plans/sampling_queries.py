@@ -1,0 +1,158 @@
+"""Sampling + reshaping queries for training-data pipelines.
+
+Random `df.sample` is engine- and partitioning-dependent, so the
+engine's sampling story is DETERMINISTIC hash-based sampling — the
+reproducible form used by real dataset pipelines (same rows selected
+on any cluster size, any engine):
+
+- systematic sample: keep rows where md5(key) lands in a rate bucket;
+- stratified sample: per-class rates from a broadcast rate table;
+- stratified cap: at most K per class by hash order (rebalancing).
+
+Plus reshaping: pivot (long→wide crosstab via conditional aggregates,
+engine-portable) and posexplode (wide→long array flattening).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import t
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# md5-hex prefix → integer in [0, 65536)
+_SQL_BUCKET = "CAST(('0x' || substring(md5(CAST({key} AS VARCHAR)), 1, 4)) AS INTEGER)"
+
+
+def _bucket(key) -> F.Column:
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# Systematic deterministic sample: ~10% of lineitem by key hash.
+@_q(
+    "systematic_sample",
+    f"""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE {_SQL_BUCKET.format(key="l_orderkey * 10 + l_linenumber")} < 6554
+    """,
+)
+def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    return li.where(_bucket(key) < 6554).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sample: per-class rates (downsample the majority class) —
+# the class-rebalancing primitive.
+@_q(
+    "stratified_sample",
+    f"""
+    WITH rates AS (
+      SELECT 'en' AS lang, 13107 AS thr UNION ALL
+      SELECT 'de', 32768 UNION ALL SELECT 'es', 32768 UNION ALL
+      SELECT 'fr', 32768 UNION ALL SELECT 'zh', 32768
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE {_SQL_BUCKET.format(key="d.doc_id")} < r.thr
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [("en", 13107), ("de", 32768), ("es", 32768), ("fr", 32768), ("zh", 32768)],
+        "lang string, thr int",
+    )
+    joined = docs.join(F.broadcast(rates), "lang")
+    return joined.where(_bucket(F.col("doc_id")) < F.col("thr")).select(
+        "doc_id", "lang"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified cap: at most 20 docs per language, chosen by deterministic
+# hash order (not arrival order — cluster-size invariant).
+@_q(
+    "stratified_cap",
+    f"""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {_SQL_BUCKET.format(key="doc_id")}, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(_bucket(F.col("doc_id")), F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (long→wide crosstab) via conditional aggregates — identical
+# formulation on both engines (Spark .pivot() compiles to the same).
+@_q(
+    "pivot_status_counts",
+    """
+    SELECT l_returnflag,
+           COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_open,
+           COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# posexplode (wide→long array flattening with ordinal).
+@_q(
+    "posexplode_embeddings",
+    """
+    SELECT e.vec_id, CAST(i - 1 AS INT) AS pos,
+           round(CAST(e.embedding[i] AS DOUBLE), 6) AS val
+    FROM embeddings e CROSS JOIN generate_series(1, 64) t(i)
+    WHERE e.vec_id < 50
+    """,
+)
+def q_posexplode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    return ex.select(
+        "vec_id", F.col("pos").cast("int"), F.round(F.col("val").cast("double"), 6).alias("val")
+    )
