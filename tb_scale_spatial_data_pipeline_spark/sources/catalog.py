@@ -40,6 +40,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and are truncated to microsecond timestamps here — the same value
     DuckDB sees at µs resolution.
     """
+    if name == "events":
+        # defensive: the caller's session may not carry the builder
+        # config (e.g. the driver's own session) — the legacy conf is
+        # runtime-settable and required to read TIMESTAMP(NANOS)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))

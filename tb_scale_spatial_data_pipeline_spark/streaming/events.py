@@ -24,6 +24,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     footer read (streaming sources need explicit schemas); nanosecond
     timestamps arrive as longs and convert to µs timestamps exactly as
     in the batch catalog."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # defensive
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     # FileStreamSource requires a directory: stream the sf dir with a
     # glob filter selecting only the events file
