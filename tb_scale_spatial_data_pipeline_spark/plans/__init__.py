@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from . import (
     event_queries,
+    full_pipeline,
     media_queries,
     pipelines,
     raster_queries,
@@ -37,6 +38,7 @@ _MODULES = (
     spatial_queries,
     scalar_queries,
     sampling_queries,
+    full_pipeline,
 )
 
 

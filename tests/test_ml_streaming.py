@@ -232,3 +232,25 @@ def test_watermark_drops_late_data(spark, tmp_path):
     cutoff_dt = datetime.datetime.utcfromtimestamp(cutoff / 1_000_000)
     n_old = out.where(F.col("wstart") < F.lit(cutoff_dt) - F.expr("INTERVAL 10 minutes")).count()
     assert n_old == 0
+
+
+def test_full_pipeline_chain_with_checkpoints(spark, tmp_path):
+    from tb_scale_spatial_data_pipeline_spark.plans.full_pipeline import (
+        run_full_pipeline,
+    )
+
+    out = run_full_pipeline(spark, SF_SMOKE, workdir=str(tmp_path))
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["PredClass"] in (0, 1, 2, 3) for r in rows)
+    assert all(r["geometry"].startswith("POLYGON((") for r in rows)
+    # stage datasets were materialized (memoization surface)
+    import os
+
+    for stage in ("e1_stack", "e2_pixels", "e3_metrics"):
+        assert os.path.exists(str(tmp_path / stage / "_SUCCESS"))
+    # rerun with the same workdir reuses all stages and agrees
+    out2 = run_full_pipeline(spark, SF_SMOKE, workdir=str(tmp_path))
+    assert {(r["seg_id"], r["PredClass"]) for r in rows} == {
+        (r["seg_id"], r["PredClass"]) for r in out2.collect()
+    }
