@@ -135,3 +135,60 @@ def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(q, F.col("l_tax") * 100.0).alias("le"),
         (q.cast("bigint") % 7).alias("mod7"),
     )
+
+
+@_q(
+    "array_functions",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS max_val,
+           round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS min_val,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           round(CAST(list_sort(embedding)[32] AS DOUBLE), 6) AS sorted_mid,
+           round(CAST(list_aggregate(list_slice(embedding, 1, 8),
+                                     'sum') AS DOUBLE), 6) AS head_sum
+    FROM embeddings
+    """,
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.round(F.element_at(e, 1).cast("double"), 6).alias("first_val"),
+        F.round(F.array_max(e).cast("double"), 6).alias("max_val"),
+        F.round(F.array_min(e).cast("double"), 6).alias("min_val"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+        F.round(F.element_at(F.sort_array(e), 32).cast("double"), 6).alias("sorted_mid"),
+        F.round(
+            F.aggregate(
+                F.slice(e, 1, 8), F.lit(0.0), lambda a, x: a + x.cast("double")
+            ),
+            6,
+        ).alias("head_sum"),
+    )
+
+
+@_q(
+    "regexp_extract_all",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]{5,}')) AS INT) AS n_long_words,
+           CAST(len(regexp_extract_all(text, '\d+')) AS INT) AS n_numbers,
+           array_to_string(list_slice(regexp_extract_all(text, '[a-z]{5,}'), 1, 3), ',') AS first3
+    FROM documents
+    """,
+)
+def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    long_words = F.regexp_extract_all("text", F.lit("[a-z]{5,}"), 0)
+    numbers = F.regexp_extract_all("text", F.lit(r"\d+"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(long_words).alias("n_long_words"),
+        F.size(numbers).alias("n_numbers"),
+        F.array_join(F.slice(long_words, 1, 3), ",").alias("first3"),
+    )

@@ -106,3 +106,34 @@ def test_halo_core_partition_property(spark, xs):
     core = tiled.where("is_core").groupBy("x", "y").count()
     assert core.where("count != 1").count() == 0
     assert core.count() == df.count()
+
+
+@given(
+    a=st.lists(finite_floats, min_size=2, max_size=8),
+    b=st.lists(finite_floats, min_size=2, max_size=8),
+)
+@_settings
+def test_vector_identities(spark, a, b):
+    """dot/norm identities: |dot(a,b)| <= |a||b| (Cauchy-Schwarz) and
+    l2_distance² == |a|² + |b|² - 2·dot within fp tolerance."""
+    import math
+
+    from tb_scale_spatial_data_pipeline_spark.functions.vectors import (
+        dot,
+        l2_distance,
+        l2_norm,
+    )
+
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    r = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        l2_norm(F.col("a")).alias("na"),
+        l2_norm(F.col("b")).alias("nb"),
+        l2_distance(F.col("a"), F.col("b")).alias("dist"),
+    ).first()
+    assert abs(r["d"]) <= r["na"] * r["nb"] * (1 + 1e-9) + 1e-9
+    lhs = r["dist"] ** 2
+    rhs = r["na"] ** 2 + r["nb"] ** 2 - 2 * r["d"]
+    assert math.isclose(lhs, rhs, rel_tol=1e-6, abs_tol=1e-6 * max(1.0, abs(rhs)))
