@@ -1,0 +1,46 @@
+"""Partition-count invariance: results must be identical under
+different parallelism (the local stand-in for 'same answer on any
+cluster size'). The exact-decimal aggregation convention and
+deterministic tie-breaks are what make this hold bit-exactly."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from conftest import SF_SMOKE
+
+from tb_scale_spatial_data_pipeline_spark.plans import all_queries
+
+REPRESENTATIVE = [
+    "pricing_summary",
+    "grouped_median",
+    "argmax_composite",
+    "dual_model_fallback",
+    "minhash_lsh_pairs",
+    "cosine_topk",
+    "sessionization",
+    "salted_skew_agg",
+]
+
+
+def canon(df) -> pd.DataFrame:
+    pdf = df.toPandas()
+    pdf = pdf[sorted(pdf.columns)]
+    return pdf.sort_values(by=list(pdf.columns), na_position="last").reset_index(
+        drop=True
+    )
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_partition_invariance(name, spark):
+    qs = all_queries()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        a = canon(qs[name](spark, SF_SMOKE))
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = canon(qs[name](spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    pd.testing.assert_frame_equal(a, b)
