@@ -205,3 +205,59 @@ def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
     return frames.mapInPandas(
         kernel, schema="media_id long, frame_idx int, frame_mean double"
     )
+
+
+def synth_audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality fixture: payload bytes decode as int16 PCM
+    samples; metadata declares sample_rate and n_samples."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_samples = (F.col("doc_id") % 64 + 64).cast("int")
+    payload = F.to_binary(
+        F.concat(F.md5(F.col("text")), F.md5(F.concat(F.lit("a:"), F.col("text")))),
+        F.lit("hex"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(16000).alias("sample_rate"),
+            n_samples.alias("n_samples"),
+        ).alias("meta"),
+    )
+
+
+def _decode_audio(payload: bytes, n_samples: int) -> np.ndarray:
+    """STUB audio decode: md5-stream-expand payload to n_samples int16
+    values (same deterministic-fake contract as images)."""
+    need = n_samples * 2
+    buf = bytearray()
+    seed = payload
+    while len(buf) < need:
+        seed = hashlib.md5(seed).digest()
+        buf.extend(seed)
+    return np.frombuffer(bytes(buf[:need]), dtype="<i2").astype(np.float64)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Waveform feature extraction: RMS energy, zero-crossing rate,
+    peak amplitude — reduced inside the kernel; only small typed
+    features leave the task."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                m = row["meta"]
+                w = _decode_audio(bytes(row["payload"]), m["n_samples"])
+                rms = float(np.sqrt((w**2).mean()))
+                zcr = float((np.diff(np.signbit(w)) != 0).mean()) if len(w) > 1 else 0.0
+                peak = float(np.abs(w).max())
+                rows.append((row["media_id"], len(w), rms, zcr, peak))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "rms", "zcr", "peak"]
+            )
+
+    return media.mapInPandas(
+        kernel,
+        schema="media_id long, n_samples int, rms double, zcr double, peak double",
+    )

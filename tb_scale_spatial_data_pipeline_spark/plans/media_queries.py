@@ -72,3 +72,18 @@ def q_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, b["id_b"] == a["id_a"] + 1)
     sim = cosine_similarity(as_double_array(F.col("fa")), as_double_array(F.col("fb")))
     return pairs.select("id_a", "id_b", F.round(sim, 6).alias("feature_cos"))
+
+
+@_q("multimodal_audio_features")
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.media import audio_features, synth_audio_table
+
+    audio = synth_audio_table(spark, sf_dir)
+    out = audio_features(audio)
+    return out.select(
+        "media_id",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+        F.round("peak", 6).alias("peak"),
+    )

@@ -320,3 +320,49 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         checksum.alias("char_checksum"),
         rolling.alias("rolling_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Surface-statistic ratios (brief: "length/punct/stopword ratios"):
+# punctuation, whitespace, digit, and stopword-token ratios per doc.
+_SQL_STOP20 = "', '".join(STOPWORDS[:20])
+@_q(
+    "text_ratios",
+    f"""
+    SELECT doc_id,
+           round(length(regexp_replace(text, '[^.,;:!?''\"-]', '', 'g')) * 1.0
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           round(length(regexp_replace(text, '[^ \t]', '', 'g')) * 1.0
+                 / greatest(length(text), 1), 6) AS space_ratio,
+           round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                 / greatest(length(text), 1), 6) AS digit_ratio,
+           round(len(list_filter({_SQL_TOKENS},
+                     w -> list_contains(['{_SQL_STOP20}'], lower(w)))) * 1.0
+                 / greatest(len({_SQL_TOKENS}), 1), 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def q_text_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import STOPWORDS as _SW
+    from ..functions.text import word_tokens
+
+    docs = t(spark, sf_dir, "documents")
+    n = F.greatest(F.length("text"), F.lit(1))
+
+    def char_ratio(keep_pattern: str):
+        return F.round(
+            F.length(F.regexp_replace(F.col("text"), keep_pattern, "")) / n, 6
+        )
+
+    toks = word_tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in _SW[:20]])
+    n_stop = F.size(
+        F.filter(toks, lambda w: F.array_contains(stop_arr, F.lower(w)))
+    )
+    return docs.select(
+        "doc_id",
+        char_ratio("[^.,;:!?'\"-]").alias("punct_ratio"),
+        char_ratio("[^ \t]").alias("space_ratio"),
+        char_ratio("[^0-9]").alias("digit_ratio"),
+        F.round(n_stop / F.greatest(F.size(toks), F.lit(1)), 6).alias("stopword_ratio"),
+    )

@@ -74,3 +74,19 @@ def test_frame_sampling_stride(spark):
     # every media with n_frames >= 1 contributes frame 0
     n_media = media.count()
     assert out.where("frame_idx = 0").count() == n_media
+
+
+def test_audio_features(spark):
+    from tb_scale_spatial_data_pipeline_spark.multimodal.media import (
+        audio_features,
+        synth_audio_table,
+    )
+
+    audio = synth_audio_table(spark, SF_SMOKE).limit(30).cache()
+    out = audio_features(audio).collect()
+    assert len(out) == 30
+    meta = {r["media_id"]: r["meta"]["n_samples"] for r in audio.collect()}
+    for r in out:
+        assert r["n_samples"] == meta[r["media_id"]]
+        assert 0.0 <= r["zcr"] <= 1.0
+        assert r["peak"] >= r["rms"] >= 0.0
