@@ -27,7 +27,6 @@ from ..functions.text import (
     doc_fingerprint,
     normalize_text,
     shingles,
-    shingles_of_norm,
     word_tokens,
 )
 

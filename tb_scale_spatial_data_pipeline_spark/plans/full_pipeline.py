@@ -22,7 +22,6 @@ from ..operators.relabel import solar_shadow_rules
 from ..raster.segmentation import segment_shape_metrics, segment_tiles
 from ..raster.tiles import halo_duplicate
 from .checkpoint import materialize_stage
-from .pipelines import QUERIES as _PIPE_QUERIES
 from .pipelines import e1_feature_stack
 
 QUERIES: dict = {}

@@ -477,7 +477,7 @@ def q_combo_model_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 # formulations must produce identical predictions.
 @_q("combo_dispatch_kernel", _SQL_COMBO_INFERENCE)
 def q_combo_dispatch_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..ml.dispatch import dispatch_predict, train_centroid_models
+    from ..ml.dispatch import dispatch_predict
 
     px = combo_pixels(spark, sf_dir)
     davg4 = lambda c: F.sum(F.col(c).cast("decimal(18,4)")).cast("double") / F.count(F.lit(1))

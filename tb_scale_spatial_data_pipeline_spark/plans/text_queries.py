@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     STOPWORDS,
     bpe_ish_token_count,
-    doc_fingerprint,
     quality_score,
     token_count,
 )
