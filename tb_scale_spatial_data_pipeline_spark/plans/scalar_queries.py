@@ -192,3 +192,72 @@ def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(numbers).alias("n_numbers"),
         F.array_join(F.slice(long_words, 1, 3), ",").alias("first3"),
     )
+
+
+@_q(
+    "window_value_functions",
+    """
+    SELECT o_orderkey, o_custkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+           round(percent_rank() OVER wp, 6) AS pct_rank,
+           round(cume_dist() OVER wp, 6) AS cume,
+           coalesce(lead(o_totalprice, 1) OVER w, -1.0) AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wp AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wp = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.round(F.percent_rank().over(wp), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(wp), 6).alias("cume"),
+        F.coalesce(F.lead("o_totalprice", 1).over(w), F.lit(-1.0)).alias("next_price"),
+    )
+
+
+@_q(
+    "nested_json",
+    """
+    WITH nested AS (
+      SELECT event_id,
+             '{"meta": {"type": "' || event_type || '", "score": ' ||
+             CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) || '}, "tags": ["t1", "t2"]}' AS doc
+      FROM events
+    )
+    SELECT event_id,
+           json_extract_string(doc, '$.meta.type') AS mtype,
+           CAST(json_extract_string(doc, '$.meta.score') AS DOUBLE) AS score,
+           json_extract_string(doc, '$.tags[0]') AS tag0,
+           json_extract_string(doc, '$.meta.missing') AS missing
+    FROM nested
+    """,
+)
+def q_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"meta": {"type": "'),
+        F.col("event_type"),
+        F.lit('", "score": '),
+        F.col("value").cast("decimal(18,2)").cast("string"),
+        F.lit('}, "tags": ["t1", "t2"]}'),
+    )
+    nested = ev.select("event_id", doc.alias("doc"))
+    return nested.select(
+        "event_id",
+        F.get_json_object("doc", "$.meta.type").alias("mtype"),
+        F.get_json_object("doc", "$.meta.score").cast("double").alias("score"),
+        F.get_json_object("doc", "$.tags[0]").alias("tag0"),
+        F.get_json_object("doc", "$.meta.missing").alias("missing"),
+    )

@@ -99,3 +99,15 @@ def test_bucketed_random_projection_lsh(spark):
     ids = [r["vec_id"] for r in nn.collect()]
     assert len(ids) == 3
     assert emb.first()["vec_id"] in ids  # the probe itself is its own NN
+
+
+def test_approx_count_distinct_tolerance(spark):
+    """approx_count_distinct (HLL) — the 100 TB knob for exact
+    countDistinct — stays within its default 5% rsd of truth."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(100_000).select((F.col("id") % 9173).alias("v"))
+    exact = df.select(F.countDistinct("v")).first()[0]
+    approx = df.select(F.approx_count_distinct("v")).first()[0]
+    assert exact == 9173
+    assert abs(approx - exact) / exact < 0.1
