@@ -24,9 +24,11 @@ directly from the label raster: area (pixel count), perimeter
 (exposed-edge count), rectangularity (area/bbox area), elongation
 (bbox aspect), compactness (4πA/P²), shape_index (P/(4√A)),
 num_vertices (corner count of the rasterized boundary via 2×2
-odd-parity windows), vertex_density (vertices/perimeter). A bbox WKT
-polygon is emitted per segment (R6's polygonization, simplified to
-bounding boxes — full boundary tracing is a declared deviation).
+odd-parity windows), vertex_density (vertices/perimeter). R6's
+polygonization emits the EXACT outer-boundary ring per segment
+(crack-following ``trace_boundary``; shoelace area of the ring equals
+the pixel count — the FIXTURES.md invariant); holes are represented
+by the outer ring only.
 """
 
 from __future__ import annotations
@@ -131,6 +133,97 @@ def segment_tiles(
     )
 
 
+def trace_boundary(mask: np.ndarray) -> list[tuple[int, int]] | None:
+    """Exact outer-boundary ring of a rasterized region (R6's true
+    polygonization): crack-following along pixel edges.
+
+    Directed boundary edges are emitted with the interior on the LEFT
+    (top edges run +x, right edges +y, bottom edges -x, left edges -y),
+    then stitched into rings; at pinch vertices (diagonally-touching
+    cells) the leftmost turn relative to the incoming direction keeps
+    each ring simple. Returns the largest-|area| ring (the outer
+    boundary; inner rings are holes) with collinear vertices merged —
+    closed (first == last). None for an empty mask.
+    """
+    h, w = mask.shape
+    if not mask.any():
+        return None
+    pad = np.zeros((h + 2, w + 2), dtype=bool)
+    pad[1:-1, 1:-1] = mask
+    edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
+
+    def add(a, b):
+        edges.setdefault(a, []).append(b)
+
+    ys, xs = np.nonzero(pad)
+    for y, x in zip(ys, xs):
+        gx, gy = x - 1, y - 1  # back to unpadded coords
+        if not pad[y - 1, x]:  # top edge, interior below → run +x
+            add((gx, gy), (gx + 1, gy))
+        if not pad[y + 1, x]:  # bottom edge → run -x
+            add((gx + 1, gy + 1), (gx, gy + 1))
+        if not pad[y, x - 1]:  # left edge → run -y
+            add((gx, gy + 1), (gx, gy))
+        if not pad[y, x + 1]:  # right edge → run +y
+            add((gx + 1, gy), (gx + 1, gy + 1))
+
+    def leftmost_turn(incoming, options):
+        # prefer left turn, then straight, then right, then back
+        ix, iy = incoming
+        order = [(-iy, ix), (ix, iy), (iy, -ix), (-ix, -iy)]
+        for d in order:
+            for o in options:
+                if (o[0] - cur[0], o[1] - cur[1]) == d:
+                    return o
+        return options[0]
+
+    rings = []
+    while edges:
+        start = min(edges)
+        cur = start
+        nxt = edges[cur].pop()
+        if not edges[cur]:
+            del edges[cur]
+        ring = [cur]
+        incoming = (nxt[0] - cur[0], nxt[1] - cur[1])
+        cur = nxt
+        while cur != start:
+            ring.append(cur)
+            options = edges.get(cur)
+            if not options:  # malformed (shouldn't happen) — bail out
+                return None
+            nxt = leftmost_turn(incoming, options)
+            options.remove(nxt)
+            if not options:
+                del edges[cur]
+            incoming = (nxt[0] - cur[0], nxt[1] - cur[1])
+            cur = nxt
+        ring.append(start)
+        rings.append(ring)
+
+    def ring_area(r):
+        xs_ = np.array([p[0] for p in r])
+        ys_ = np.array([p[1] for p in r])
+        return float(np.dot(xs_[:-1], ys_[1:]) - np.dot(ys_[:-1], xs_[1:])) / 2.0
+
+    outer = max(rings, key=lambda r: abs(ring_area(r)))
+    # merge collinear runs
+    merged = [outer[0]]
+    for p in outer[1:]:
+        if len(merged) >= 2:
+            a, b = merged[-2], merged[-1]
+            if (b[0] - a[0]) * (p[1] - b[1]) == (b[1] - a[1]) * (p[0] - b[0]):
+                merged[-1] = p
+                continue
+        merged.append(p)
+    # first point may be mid-edge: re-check closure collinearity
+    if len(merged) > 3:
+        a, b, c = merged[-2], merged[0], merged[1]
+        if (b[0] - a[0]) * (c[1] - b[1]) == (b[1] - a[1]) * (c[0] - b[0]):
+            merged = merged[1:-1] + [merged[1]]
+    return merged
+
+
 def segment_shape_metrics(segments: DataFrame) -> DataFrame:
     """R6/R7: per-segment polygonization (bbox WKT) + the 6 shape
     features, computed distributively: pixels shuffle once on seg_id
@@ -170,10 +263,15 @@ def segment_shape_metrics(segments: DataFrame) -> DataFrame:
             compactness = 4.0 * np.pi * area / (per * per) if per else 0.0
             shape_index = per / (4.0 * np.sqrt(area)) if area else 0.0
             vertex_density = n_vertices / per if per else 0.0
-            wkt = (
-                f"POLYGON(({x0} {y0}, {x1 + 1} {y0}, {x1 + 1} {y1 + 1}, "
-                f"{x0} {y1 + 1}, {x0} {y0}))"
-            )
+            ring = trace_boundary(mask[1:-1, 1:-1])
+            if ring is not None:
+                pts = ", ".join(f"{px + x0} {py + y0}" for px, py in ring)
+                wkt = f"POLYGON(({pts}))"
+            else:  # degenerate fallback: bbox ring
+                wkt = (
+                    f"POLYGON(({x0} {y0}, {x1 + 1} {y0}, {x1 + 1} {y1 + 1}, "
+                    f"{x0} {y1 + 1}, {x0} {y0}))"
+                )
             out.append(
                 (
                     seg_id,

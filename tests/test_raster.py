@@ -152,3 +152,57 @@ def test_reproject_cubic_identity_on_linear_field(spark):
         # interior points must be near-exact (boundary clamps excluded)
         if 1 <= r["x"] <= 17 and 1 <= r["y"] <= 17:
             assert abs(r["b1"] - expected) < 1e-9, (r["x"], r["y"], r["b1"], expected)
+
+
+def test_trace_boundary_rectangle():
+    from tb_scale_spatial_data_pipeline_spark.raster.segmentation import trace_boundary
+
+    mask = np.zeros((6, 4), dtype=bool)
+    mask[:, :] = True  # 4 wide, 6 tall
+    ring = trace_boundary(mask)
+    assert ring[0] == ring[-1]
+    assert set(ring[:-1]) == {(0, 0), (4, 0), (4, 6), (0, 6)}
+    assert len(ring) - 1 == 4
+
+
+def test_trace_boundary_l_shape_and_area():
+    from tb_scale_spatial_data_pipeline_spark.raster.segmentation import trace_boundary
+
+    mask = np.zeros((4, 4), dtype=bool)
+    mask[:4, :2] = True  # vertical bar
+    mask[2:4, :4] = True  # horizontal foot → L shape
+    ring = trace_boundary(mask)
+    assert ring[0] == ring[-1]
+    assert len(ring) - 1 == 6  # L has 6 corners
+    xs = np.array([p[0] for p in ring])
+    ys = np.array([p[1] for p in ring])
+    shoelace = abs(float(np.dot(xs[:-1], ys[1:]) - np.dot(ys[:-1], xs[1:]))) / 2.0
+    assert shoelace == mask.sum()
+
+
+def test_trace_boundary_with_hole_keeps_outer():
+    from tb_scale_spatial_data_pipeline_spark.raster.segmentation import trace_boundary
+
+    mask = np.ones((5, 5), dtype=bool)
+    mask[2, 2] = False  # one-pixel hole
+    ring = trace_boundary(mask)
+    assert set(ring[:-1]) == {(0, 0), (5, 0), (5, 5), (0, 5)}
+
+
+def test_shape_metrics_wkt_area_matches_pixels(spark):
+    # traced-ring shoelace area equals pixel count (FIXTURES invariant)
+    from tb_scale_spatial_data_pipeline_spark.functions.geometry import wkt_polygon_area
+    from tb_scale_spatial_data_pipeline_spark.raster.segmentation import (
+        segment_shape_metrics,
+    )
+
+    rows = [(int(x), int(y), 1) for x in range(4) for y in range(6)]
+    rows += [(int(x), int(y), 2) for x in range(10, 12) for y in range(3)]
+    rows += [(10, 3, 2), (10, 4, 2)]  # L-ish appendage on segment 2
+    df = spark.createDataFrame(rows, "x int, y int, seg_id long")
+    m = segment_shape_metrics(df)
+    checked = m.select(
+        "seg_id", "area", wkt_polygon_area(F.col("geometry")).alias("poly_area")
+    ).collect()
+    for r in checked:
+        assert r["poly_area"] == r["area"], r
