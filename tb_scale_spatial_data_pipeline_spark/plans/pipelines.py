@@ -249,3 +249,24 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import stream_user_running_totals
 
     return stream_user_running_totals(spark, sf_dir)
+
+
+@_q("raster_polygon_features")
+def q_raster_polygon_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 in its geometry form: traced segment polygons → min-rotated-
+    rect shape features (the reference's shapely-feature analog)."""
+    from ..functions.geometry import with_polygon_shape_features
+
+    img = synthetic_raster(spark, 64, 64, bands=2)
+    tiled = halo_duplicate(img, tile_size=32, halo=8)
+    segs = segment_tiles(tiled, ["b1", "b2"])
+    metrics = segment_shape_metrics(segs)
+    out = with_polygon_shape_features(metrics.select("seg_id", "geometry", "area"))
+    return out.select(
+        "seg_id",
+        "area",
+        F.round("geo_area", 6).alias("geo_area"),
+        F.round("geo_rectangularity", 6).alias("geo_rectangularity"),
+        F.round("geo_elongation", 6).alias("geo_elongation"),
+        F.round("geo_compactness", 6).alias("geo_compactness"),
+    )
