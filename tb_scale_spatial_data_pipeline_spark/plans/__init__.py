@@ -18,6 +18,7 @@ from . import (
     relational,
     relational2,
     relational3,
+    relational4,
     sampling_queries,
     scalar_queries,
     spatial_queries,
@@ -29,6 +30,7 @@ _MODULES = (
     relational,
     relational2,
     relational3,
+    relational4,
     text_queries,
     vector_queries,
     raster_queries,
