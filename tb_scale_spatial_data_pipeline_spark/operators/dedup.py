@@ -200,3 +200,68 @@ def simhash16(text: Column) -> Column:
     for j in range(16):
         sig = sig + F.when(F.element_at(counts, j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return sig
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list via iterative
+    min-label propagation: every node's label converges to the minimum
+    node id reachable from it. Output: ``(node, cluster_id)``.
+
+    This is the cluster-resolution step of near-duplicate removal —
+    LSH candidate pairs (``lsh_candidate_pairs``) are the edges; each
+    component is one duplicate cluster, and ``min`` makes the kept
+    representative deterministic regardless of partitioning.
+
+    Scale shape: each iteration is ONE shuffle (edge src joined to the
+    current label table, then min-aggregated on dst) — no driver-side
+    graph state, no collect. Iteration count is the component
+    *diameter*, and LSH duplicate clusters are near-cliques (diameter
+    ≤ ~3), so the loop runs 2–4 times in practice; ``max_iter`` is a
+    safety bound, with convergence detected by the strictly-decreasing
+    global label sum (labels only ever decrease, so equal sums ⇒ fixed
+    point). ``localCheckpoint`` truncates the per-iteration lineage so
+    plans don't grow exponentially. For adversarial long-chain graphs
+    (not the dedup shape) the classic fix is large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce"),
+    which this API could switch to without changing its contract.
+    """
+    # materialize the (possibly expensive) edge derivation ONCE before
+    # the two-direction union — otherwise the union's two branches each
+    # recompute the full upstream plan (e.g. the MinHash pipeline).
+    e0 = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).localCheckpoint(
+        eager=True
+    )
+    sym = e0.union(e0.select(F.col("_d"), F.col("_s")))
+
+    labels = (
+        sym.select(F.col("_s").alias("node")).distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["_s"] == labels["node"])
+            .groupBy(F.col("_d").alias("node2"))
+            .agg(F.min("lbl").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))

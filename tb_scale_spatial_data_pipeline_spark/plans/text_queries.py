@@ -365,3 +365,52 @@ def q_text_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         char_ratio("[^0-9]").alias("digit_ratio"),
         F.round(n_stop / F.greatest(F.size(toks), F.lit(1)), 6).alias("stopword_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution: connected components over the MinHash
+# LSH candidate-pair graph. Spark side is the iterative min-label
+# propagation operator (one shuffle per iteration, converges in
+# O(component diameter) ≈ 2-4 rounds for near-clique dup clusters);
+# the oracle is DuckDB's WITH RECURSIVE transitive closure over the
+# SAME pair SQL — an end-to-end check that an iterative distributed
+# algorithm reaches the exact relational fixpoint.
+def _sql_dup_clusters() -> str:
+    pairs = _sql_minhash_lsh()
+    # MATERIALIZED: without it DuckDB re-evaluates the MinHash pipeline
+    # inside every recursion step (measured 96s -> 18s at sf0.1).
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({pairs}),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, lbl) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+      WHERE r.lbl < e.d
+    ),
+    labels AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+               FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM labels
+    """
+
+
+@_q("dup_cluster_components", _sql_dup_clusters())
+def q_dup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, band_size=_BAND_SIZE
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )

@@ -121,3 +121,46 @@ def test_lang_id_heuristic_full(spark):
     df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
     out = [r["l"] for r in df.select(lang_id_heuristic(F.col("text")).alias("l")).collect()]
     assert out == [lang for _, lang in rows]
+
+
+def test_connected_components_shapes(spark):
+    """Chain, clique, isolated pair, singleton-free: labels converge to
+    the min node id of each component regardless of edge direction."""
+    from tb_scale_spatial_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            # chain 1-2-3-4 (diameter 3: exercises multiple iterations)
+            (2, 1), (2, 3), (4, 3),
+            # clique 10,11,12
+            (10, 11), (11, 12), (10, 12),
+            # isolated pair
+            (20, 21),
+        ],
+        "id_a bigint, id_b bigint",
+    )
+    out = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edges, "id_a", "id_b").collect()
+    }
+    assert out == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node directed-high-to-low chain needs ~11 propagation
+    rounds — proves the convergence loop isn't capped too early."""
+    from tb_scale_spatial_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "id_a bigint, id_b bigint"
+    )
+    out = connected_components(edges, "id_a", "id_b")
+    assert {r["cluster_id"] for r in out.collect()} == {1}
