@@ -211,3 +211,47 @@ def q_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("purchase_id").agg(
         F.date_format(F.max("c_ts"), _FMT).alias("last_click_ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time interval join (batch twin of the stream-stream join):
+# click ⋈ same-user purchase within [click, click+30min]. At scale this
+# is a shuffle join on user_id with the time predicate evaluated
+# post-probe; the streaming form bounds state with the same interval.
+@_q(
+    "interval_join_click_purchase",
+    f"""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           strftime(c.ts, '{_SQL_FMT}') AS click_ts,
+           strftime(p.ts, '{_SQL_FMT}') AS purchase_ts
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        F.date_format("c_ts", _FMT).alias("click_ts"),
+        F.date_format("p_ts", _FMT).alias("purchase_ts"),
+    )

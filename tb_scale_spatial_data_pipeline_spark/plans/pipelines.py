@@ -270,3 +270,15 @@ def q_raster_polygon_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("geo_elongation", 6).alias("geo_elongation"),
         F.round("geo_compactness", 6).alias("geo_compactness"),
     )
+
+
+@_q("stream_stream_join")
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import stream_stream_click_purchase
+
+    return stream_stream_click_purchase(spark, sf_dir)
+
+
+# the stream-stream interval join must emit exactly the batch join's
+# rows — share the batch oracle so the driver hash-checks it too
+ORACLES["stream_stream_join"] = _eq.ORACLES["interval_join_click_purchase"]
