@@ -46,6 +46,12 @@ HEADLINE = [
     "q5_local_supplier",
     "salted_skew_agg",
     "window_analytics",
+    "exists_semi_priority",
+    "correlated_avg_filter",
+    "tfidf_topk",
+    "dup_cluster_components",
+    "clean_corpus_pipeline",
+    "interval_join_click_purchase",
 ]
 
 

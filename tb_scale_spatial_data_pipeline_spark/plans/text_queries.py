@@ -211,7 +211,7 @@ _SQL_WORD_SHINGLES = (
 )
 
 
-def _sql_minhash_lsh() -> str:
+def _sql_minhash_lsh(src: str = "documents") -> str:
     mh_cols = ", ".join(
         f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS mh{i}"
         for i in range(_NUM_HASHES)
@@ -223,7 +223,7 @@ def _sql_minhash_lsh() -> str:
     )
     return f"""
     WITH sh AS (
-      SELECT doc_id, {_SQL_WORD_SHINGLES} AS sh FROM documents
+      SELECT doc_id, {_SQL_WORD_SHINGLES} AS sh FROM {src}
     ),
     mh AS (SELECT doc_id, {mh_cols} FROM sh),
     bands AS ({band_rows})
@@ -413,4 +413,63 @@ def q_dup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         "cluster_id",
         F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end LLM training-corpus cleaning (the north-star pipeline as
+# ONE dataflow): quality filter → exact dedup (keep min id per
+# fingerprint) → MinHash-LSH near-dedup over the survivors (drop the
+# larger id of every candidate pair — the standard "keep first"
+# policy) → per-language corpus accounting. Every stage reuses the
+# individually-oracle-verified operator; the composition is verified
+# end-to-end by the chained SQL twin. At 100 TB: quality + fingerprint
+# are one scan, near-dedup shuffles only band hashes of survivors,
+# and the anti join's right side (pair losers) is tiny.
+def _sql_clean_corpus() -> str:
+    pairs = _sql_minhash_lsh("surv")
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text, n_chars, (
+        least(length(text) / 1000.0, 1.0)
+      + CASE WHEN len({_SQL_TOKENS}) > 0
+                  AND length(text) * 1.0 / len({_SQL_TOKENS}) BETWEEN 3.0 AND 12.0
+             THEN 1.0 ELSE 0.0 END
+      + CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
+             ELSE 0.0 END
+      + CASE WHEN {_SQL_QUALITY_STOP} THEN 1.0 ELSE 0.0 END
+      ) / 4.0 AS quality
+      FROM documents
+    ),
+    good AS (SELECT * FROM scored WHERE quality >= 0.5),
+    keepers AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY md5({_SQL_NORM})),
+    surv AS (SELECT g.* FROM good g JOIN keepers k ON g.doc_id = k.doc_id),
+    pairs AS MATERIALIZED ({pairs}),
+    clean AS (SELECT s.* FROM surv s
+              WHERE s.doc_id NOT IN (SELECT id_b FROM pairs))
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS total_tokens
+    FROM clean GROUP BY lang
+    """
+
+
+@_q("clean_corpus_pipeline", _sql_clean_corpus())
+def q_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    good = docs.where(quality_score(F.col("text")) >= 0.5)
+    fp = exact_dedup(good, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    surv = good.join(fp, "doc_id")
+    losers = lsh_candidate_pairs(
+        surv, "doc_id", "text", num_hashes=_NUM_HASHES, band_size=_BAND_SIZE
+    ).select(F.col("id_b").alias("doc_id")).distinct()
+    clean = surv.join(losers, "doc_id", "left_anti")
+    return clean.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("total_tokens"),
     )
