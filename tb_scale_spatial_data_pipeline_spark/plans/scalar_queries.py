@@ -261,3 +261,71 @@ def q_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("doc", "$.tags[0]").alias("tag0"),
         F.get_json_object("doc", "$.meta.missing").alias("missing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise scalar surface: AND/OR/XOR/NOT/shifts over integer keys —
+# identical two's-complement semantics on both engines.
+@_q(
+    "bitwise_functions",
+    """
+    SELECT l_orderkey,
+           l_orderkey & 255 AS band,
+           l_orderkey | 4096 AS orr,
+           xor(l_orderkey, l_partkey) AS xo,
+           ~l_orderkey AS inv,
+           l_orderkey << 2 AS shl,
+           l_orderkey >> 3 AS shr,
+           CAST(bit_count(l_orderkey) AS INT) AS pop
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def q_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    k = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("orr"),
+        k.bitwiseXOR(F.col("l_partkey")).alias("xo"),
+        F.bitwise_not(k).alias("inv"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.bit_count(k).cast("int").alias("pop"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional scalar surface: nullif / ifnull / nvl2 / greatest /
+# least / CASE chains — null-propagation semantics aligned.
+@_q(
+    "conditional_functions",
+    """
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'O') AS null_o,
+           ifnull(nullif(o_orderstatus, 'O'), 'open') AS backfilled,
+           CASE WHEN nullif(o_orderstatus, 'O') IS NOT NULL
+                THEN 'closed-ish' ELSE 'open' END AS nvl2_form,
+           greatest(o_totalprice, 50000.0) AS floor50k,
+           least(o_totalprice, 200000.0) AS cap200k,
+           CASE WHEN o_totalprice < 75000 THEN 'S'
+                WHEN o_totalprice < 150000 THEN 'M'
+                ELSE 'L' END AS size_band
+    FROM orders
+    """,
+)
+def q_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    null_o = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        null_o.alias("null_o"),
+        F.ifnull(null_o, F.lit("open")).alias("backfilled"),
+        F.nvl2(null_o, F.lit("closed-ish"), F.lit("open")).alias("nvl2_form"),
+        F.greatest(F.col("o_totalprice"), F.lit(50000.0)).alias("floor50k"),
+        F.least(F.col("o_totalprice"), F.lit(200000.0)).alias("cap200k"),
+        F.when(F.col("o_totalprice") < 75000, "S")
+        .when(F.col("o_totalprice") < 150000, "M")
+        .otherwise("L")
+        .alias("size_band"),
+    )
