@@ -23,6 +23,7 @@ from . import (
     scalar_queries,
     spatial_queries,
     text_queries,
+    timeseries_queries,
     vector_queries,
 )
 
@@ -40,6 +41,7 @@ _MODULES = (
     spatial_queries,
     scalar_queries,
     sampling_queries,
+    timeseries_queries,
     full_pipeline,
 )
 

@@ -1,0 +1,172 @@
+"""Time-series and reshaping tier over `events`/`lineitem`: range-
+interval window frames, gap-filled resampling with forward fill,
+unpivot to long format, and null-safe joins.
+
+These are the ops a telemetry/sensor pipeline (the event-stream face
+of the reference's scanline streaming, SURVEY §1.4) runs at scale:
+- range frames and resampling shuffle once on the partition key;
+- the gap-fill spine is generated (no scan) and joined broadcast;
+- unpivot is a generator projection — no shuffle at all;
+- null-safe equality keeps sentinel-free NULL keys joinable without
+  a COALESCE-to-sentinel rewrite (P6's sentinel discipline stays at
+  the I/O boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import t
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+_SQL_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# RANGE window frame over event time: per-user trailing 10-minute sum
+# and count at every event. Spark's range frame is numeric, so the
+# order key is epoch seconds; DuckDB's takes the interval directly —
+# same frame, two spellings.
+@_q(
+    "range_frame_window",
+    f"""
+    SELECT event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_10m,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_10m
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    # microsecond epoch, not cast-to-seconds: truncation would widen
+    # the frame by up to 1s at the boundary vs the interval form
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_10m"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum_10m"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-filled hourly resample with forward fill: an hour spine spans
+# [min, max] event time (generated, not scanned); hours with no events
+# get zero counts and the last known hourly average carried forward.
+# The spine is tiny (one row/hour) and broadcast; the aggregate side
+# shuffles once on the hour bucket.
+@_q(
+    "gapfill_resample",
+    f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_v
+      FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                      date_trunc('hour', max(ts)) AS hi FROM events),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+    joined AS (
+      SELECT s.h, COALESCE(n, 0) AS n_events, avg_v FROM spine s
+      LEFT JOIN hourly USING (h)
+    )
+    SELECT strftime(h, '{_SQL_FMT}') AS hour_ts,
+           n_events,
+           round(last_value(avg_v IGNORE NULLS) OVER
+                 (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS ffill_avg
+    FROM joined
+    """,
+)
+def q_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count("value")
+        ).alias("avg_v"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    joined = spine.join(hourly, "h", "left").select(
+        "h", F.coalesce("n", F.lit(0)).alias("n_events"), "avg_v"
+    )
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return joined.select(
+        F.date_format("h", _FMT).alias("hour_ts"),
+        "n_events",
+        F.round(F.last("avg_v", ignorenulls=True).over(w), 6).alias("ffill_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot to long format: lineitem's four measures as (measure, value)
+# rows — a generator projection (4 output rows per input, no shuffle).
+@_q(
+    "unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, measure, v AS value
+    FROM lineitem
+    UNPIVOT (v FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+    """,
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM): 'error' events
+# carry a NULL join key; a plain equi-join silently drops them, the
+# null-safe form keeps NULL==NULL matches — no sentinel rewrite needed.
+@_q(
+    "null_safe_join",
+    """
+    WITH keyed AS (SELECT nullif(event_type, 'error') AS k, value FROM events),
+    dims AS (SELECT DISTINCT nullif(event_type, 'error') AS k FROM events)
+    SELECT d.k, COUNT(*) AS n
+    FROM keyed e JOIN dims d ON e.k IS NOT DISTINCT FROM d.k
+    GROUP BY d.k
+    """,
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    keyed = ev.select(F.nullif("event_type", F.lit("error")).alias("k"), "value")
+    dims = keyed.select("k").distinct().select(F.col("k").alias("dk"))
+    return (
+        keyed.join(F.broadcast(dims), keyed["k"].eqNullSafe(dims["dk"]))
+        .groupBy("dk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("dk").alias("k"), "n")
+    )
