@@ -329,3 +329,52 @@ def q_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("L")
         .alias("size_band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Map scalar surface: build from arrays, extract, keys/values,
+# cardinality — scalarized outputs (DuckDB map_extract returns a
+# 1-element list, hence the [1]).
+@_q(
+    "map_functions",
+    """
+    WITH m AS (
+      SELECT event_id,
+             map(['base', 'double', 'half'],
+                 [CAST(value AS DECIMAL(18,2)),
+                  CAST(value AS DECIMAL(18,2)) * 2,
+                  CAST(value AS DECIMAL(18,2)) / 2]) AS mp
+      FROM events
+    )
+    SELECT event_id,
+           CAST(mp['double'][1] AS DOUBLE) AS v_double,
+           CAST(cardinality(mp) AS INT) AS n_keys,
+           array_to_string(map_keys(mp), ',') AS keys_csv,
+           round(CAST(list_aggregate(map_values(mp), 'sum') AS DOUBLE), 6) AS v_sum
+    FROM m
+    """,
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    mp = F.map_from_arrays(
+        F.array(F.lit("base"), F.lit("double"), F.lit("half")),
+        F.array(dec, dec * 2, dec / 2),
+    )
+    m = ev.select("event_id", mp.alias("mp"))
+    return m.select(
+        "event_id",
+        F.element_at("mp", "double").cast("double").alias("v_double"),
+        F.size("mp").alias("n_keys"),
+        F.array_join(F.map_keys("mp"), ",").alias("keys_csv"),
+        F.aggregate(
+            F.map_values("mp"),
+            F.lit(0).cast("decimal(28,6)"),
+            # decimal addition widens precision each step; cast the
+            # accumulator back so the fold type stays fixed (exact: 28,6
+            # has ample headroom over the 3-value sum)
+            lambda a, x: (a + x.cast("decimal(28,6)")).cast("decimal(28,6)"),
+        )
+        .cast("double")
+        .alias("_vs"),
+    ).withColumn("v_sum", F.round("_vs", 6)).drop("_vs")
