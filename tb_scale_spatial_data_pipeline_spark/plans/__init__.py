@@ -19,6 +19,7 @@ from . import (
     relational2,
     relational3,
     relational4,
+    relational5,
     sampling_queries,
     scalar_queries,
     spatial_queries,
@@ -32,6 +33,7 @@ _MODULES = (
     relational2,
     relational3,
     relational4,
+    relational5,
     text_queries,
     vector_queries,
     raster_queries,
