@@ -52,6 +52,11 @@ HEADLINE = [
     "dup_cluster_components",
     "clean_corpus_pipeline",
     "interval_join_click_purchase",
+    "q9_profit_nation_year",
+    "q10_returned_revenue",
+    "q19_disjunctive_pred",
+    "q22_anti_idle_customers",
+    "stats_moments",
 ]
 
 

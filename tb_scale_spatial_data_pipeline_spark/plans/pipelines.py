@@ -282,3 +282,20 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the stream-stream interval join must emit exactly the batch join's
 # rows — share the batch oracle so the driver hash-checks it too
 ORACLES["stream_stream_join"] = _eq.ORACLES["interval_join_click_purchase"]
+
+
+@_q("stream_static_enrich")
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import stream_static_enrich
+
+    return stream_static_enrich(spark, sf_dir)
+
+
+# batch twin: a complete-mode availableNow stream-static join over a
+# bounded source equals the batch join — hash-checkable by the driver
+ORACLES["stream_static_enrich"] = """
+    SELECT c_mktsegment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c_mktsegment
+"""

@@ -197,3 +197,32 @@ def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
     )
     return run_stream_to_table(joined, "append")
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: streaming events joined to the
+    static customer dimension, aggregated per market segment.
+
+    The standard production shape for dimension enrichment: the static
+    side is re-read per micro-batch (picking up dimension updates) and
+    broadcast — no state is kept for the join itself, so it scales to
+    unbounded streams; only the tiny per-segment aggregate is stateful.
+    The reference's analog is its broadcast lookup-dict probe
+    (`3_object_classification/object_classifier.py:134-165`) applied to
+    a live stream.
+    """
+    ev = events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+    )
+    enriched = ev.join(
+        F.broadcast(cust), ev["user_id"] == cust["c_custkey"]
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    return run_stream_to_table(agg, "complete")
