@@ -25,6 +25,7 @@ from . import (
     spatial_queries,
     text_queries,
     timeseries_queries,
+    udtf_queries,
     vector_queries,
 )
 
@@ -44,6 +45,7 @@ _MODULES = (
     scalar_queries,
     sampling_queries,
     timeseries_queries,
+    udtf_queries,
     full_pipeline,
 )
 

@@ -1,0 +1,111 @@
+"""Python UDTF and VARIANT surfaces (Spark ≥ 3.5 / 4.0).
+
+The reference's UDTF-style one-to-many shape is its polygonization —
+many polygons out per tile in (`2_segmentation/image_segmentation.py:
+160-162`, see SURVEY §2.7). That kernel runs as `applyInPandas`; this
+module covers the other half of the surface: a registered Python UDTF
+consumed via SQL LATERAL, and Spark's binary VARIANT type for
+semi-structured data.
+
+Scale posture:
+- The UDTF is the *API-surface* demo; the JVM fast path for the same
+  job (posexplode over split) is already in the registry
+  (`posexplode_embeddings`, `tfidf_topk`). Arrow-optimized UDTFs
+  batch rows, but a built-in generator expression always wins — the
+  docstring IS the guidance: reach for a UDTF only when per-row
+  imperative logic cannot be expressed with generators.
+- VARIANT parses JSON once into a binary form; repeated
+  `get_json_object` calls re-parse the string per extraction. With
+  many extractions per row at 100 TB, parse-once is the right plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import register_views
+from ._util import t
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF consumed through SQL LATERAL: per document emit
+# (pos, term) for every term of length ≥ 5. Deterministic row-wise
+# expansion; the DuckDB twin is a lateral unnest over the same split.
+@_q(
+    "udtf_term_positions",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      FROM documents
+    )
+    SELECT doc_id, CAST(u.i AS INT) AS pos, ts[u.i] AS term
+    FROM toks, unnest(generate_series(1, len(ts))) AS u(i)
+    WHERE length(ts[u.i]) >= 5
+    """,
+)
+def q_udtf_term_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, term string")
+    class TermPositions:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, term in enumerate(text.split(), start=1):
+                if len(term) >= 5:
+                    yield i, term
+
+    spark.udtf.register("term_positions", TermPositions)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, tp.pos, tp.term
+        FROM documents d, LATERAL term_positions(d.text) tp
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT: parse the JSON props column once into Spark's binary
+# variant form, extract with variant_get, aggregate. get_json_object
+# re-parses the string on every extraction; variant parses once per
+# row — the 100 TB-relevant difference when extracting many fields.
+@_q(
+    "variant_props_stats",
+    """
+    SELECT CAST(floor(CAST(json_extract(props, '$.k') AS INT) / 10) AS INT)
+             AS k_decile,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY k_decile
+    """,
+)
+def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select(k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy(F.floor(F.col("k") / 10).cast("int").alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+    )
