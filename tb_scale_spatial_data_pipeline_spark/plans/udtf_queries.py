@@ -109,3 +109,46 @@ def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("bigint").alias("sum_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource scan (Spark 4 datasource API): per-tile
+# checksums over the deterministic rastergen source. The DuckDB twin
+# regenerates the identical pixels with generate_series — a
+# hash-checkable correctness gate for a custom *source*, proving the
+# partition-per-tile scan yields exactly the declared rows.
+@_q(
+    "datasource_raster_scan",
+    f"""
+    WITH px AS (
+      SELECT tx.i AS tile_x, ty.i AS tile_y,
+             tx.i * {32} + x.i AS gx, ty.i * {32} + y.i AS gy
+      FROM unnest(generate_series(0, 1)) AS tx(i),
+           unnest(generate_series(0, 1)) AS ty(i),
+           unnest(generate_series(0, {32 - 1})) AS x(i),
+           unnest(generate_series(0, {32 - 1})) AS y(i)
+    )
+    SELECT CAST(tile_x AS INT) AS tile_x, CAST(tile_y AS INT) AS tile_y,
+           COUNT(*) AS n_px,
+           CAST(SUM((gx * 31 + gy * 17 + 7) % 256) AS DOUBLE) AS sum_b1,
+           CAST(SUM((gx * 31 + gy * 17 + 14) % 256) AS DOUBLE) AS sum_b2,
+           CAST(SUM((gx * 31 + gy * 17 + 21) % 256) AS DOUBLE) AS sum_b3
+    FROM px GROUP BY tile_x, tile_y
+    """,
+)
+def q_datasource_raster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.rastergen import register
+
+    register(spark)
+    px = (
+        spark.read.format("rastergen")
+        .option("tiles_x", "2")
+        .option("tiles_y", "2")
+        .load()
+    )
+    return px.groupBy("tile_x", "tile_y").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.sum("b1").alias("sum_b1"),
+        F.sum("b2").alias("sum_b2"),
+        F.sum("b3").alias("sum_b3"),
+    )
