@@ -190,3 +190,64 @@ def q_udf_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rects.select(
         "rect_id", wkt_polygon_area(F.col("geometry")).alias("shoelace_area")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) spatial clustering key — the layout technique that
+# makes bbox queries prune files/row-groups at 100 TB: interleaving
+# the bits of (x, y) puts 2-D-near cells near each other in the 1-D
+# sort order, so min/max statistics on z-sorted files become 2-D
+# bounding boxes. The reference gets the same locality from GeoTIFF
+# internal tiling (`0_preprocessing/feature_stacking.py:226-230`);
+# z-ordering is the lake-format equivalent.
+#
+# ONE builder emits the bit-spread expression for both engines, so the
+# Spark column and the DuckDB oracle are the same arithmetic by
+# construction (only the shift spelling differs).
+def _spread_bits(e: str, engine: str) -> str:
+    cur = f"({e} & 65535)"
+    for sh, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        shifted = (
+            f"(({cur}) << {sh})" if engine == "duckdb" else f"shiftleft(({cur}), {sh})"
+        )
+        cur = f"((({cur}) | {shifted}) & {mask})"
+    return cur
+
+
+def morton_sql(x: str, y: str, engine: str) -> str:
+    sx = _spread_bits(x, engine)
+    sy = _spread_bits(y, engine)
+    dbl = f"(({sy}) << 1)" if engine == "duckdb" else f"shiftleft(({sy}), 1)"
+    return f"(({sx}) | {dbl})"
+
+
+def _sql_zorder() -> str:
+    m = morton_sql(
+        "CAST(event_id % 256 AS BIGINT)", "CAST(user_id * 7 % 256 AS BIGINT)", "duckdb"
+    )
+    return f"""
+    WITH z AS (
+      SELECT event_id, {m} AS zval FROM events
+    )
+    SELECT CAST(zval // 4096 AS BIGINT) AS z_bucket,
+           COUNT(*) AS n,
+           CAST(MIN(zval) AS BIGINT) AS z_min,
+           CAST(MAX(zval) AS BIGINT) AS z_max
+    FROM z GROUP BY z_bucket
+    """
+
+
+@_q("zorder_clustering", _sql_zorder())
+def q_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    m = morton_sql(
+        "CAST(event_id % 256 AS BIGINT)", "CAST(user_id * 7 % 256 AS BIGINT)", "spark"
+    )
+    z = ev.select("event_id", F.expr(m).alias("zval"))
+    return z.groupBy(
+        F.floor(F.col("zval") / 4096).cast("bigint").alias("z_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("zval").cast("bigint").alias("z_min"),
+        F.max("zval").cast("bigint").alias("z_max"),
+    )

@@ -158,3 +158,16 @@ def q_norm_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("_n"), 6).alias("max_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative Lloyd k-means (rows-only: a 3-iteration fixpoint loop is
+# not single-statement SQL; DuckDB's recursive CTEs can't rebind an
+# aggregate per iteration cleanly). Verified by pytest properties:
+# scatter monotonicity, determinism across partitioning, centroid
+# closure. Feeds the IVF quantizer (`ivf_assign`/`ivf_fine_search`).
+@_q("kmeans_clusters")
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.clustering import kmeans_cluster_profile
+
+    return kmeans_cluster_profile(spark, sf_dir, k=8, iters=3)
