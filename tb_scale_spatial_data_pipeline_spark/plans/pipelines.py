@@ -299,3 +299,22 @@ ORACLES["stream_static_enrich"] = """
     FROM events e JOIN customer c ON c.c_custkey = e.user_id
     GROUP BY c_mktsegment
 """
+
+
+@_q("raster_terrain")
+def q_raster_terrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEM slope/aspect/hillshade (Horn 3×3) over the synthetic
+    raster's smooth band — rows-only (focal trig is not 1-statement
+    SQL); invariants in tests/test_terrain.py."""
+    from ..raster.kernels import terrain_tiles
+
+    img = synthetic_raster(spark, 64, 64, bands=1)
+    tiled = halo_duplicate(img, tile_size=32, halo=2)
+    out = terrain_tiles(tiled, "b1")
+    return out.select(
+        "x",
+        "y",
+        F.round("slope_deg", 5).alias("slope_deg"),
+        F.round("aspect_deg", 5).alias("aspect_deg"),
+        F.round("hillshade", 5).alias("hillshade"),
+    )

@@ -225,3 +225,72 @@ def reproject_tiles(
         .applyInPandas(kernel, schema=out_schema)
         .dropDuplicates(["x", "y"])
     )
+
+
+def terrain_tiles(
+    tiled: DataFrame,
+    dem_col: str = "b1",
+    cellsize: float = 1.0,
+    z_factor: float = 1.0,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+) -> DataFrame:
+    """DEM terrain derivatives — slope, aspect, hillshade — via Horn's
+    3×3 finite differences (the standard GIS formulation).
+
+    The reference treats the DEM as just another aligned band
+    (`0_preprocessing/feature_stacking.py:316-320`, bilinear warp);
+    terrain derivatives are the canonical focal consumers of that
+    band. A 3×3 focal stencil needs halo ≥ 1 for exact tile-origin
+    invariance (same contract as gaussian R2).
+
+    Conventions: slope/aspect in degrees; aspect is the compass
+    direction of steepest descent (0=N, 90=E; flat cells → -1);
+    hillshade in [0, 255] (ArcGIS-style), NaN where the DEM is NaN.
+    """
+    out_schema = (
+        "x int, y int, slope_deg double, aspect_deg double, hillshade double"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        stack, x0, y0, core = _tile_to_arrays(pdf, [dem_col])
+        z = stack[:, :, 0]
+        zp = np.pad(z, 1, mode="edge")
+        a, b, c = zp[:-2, :-2], zp[:-2, 1:-1], zp[:-2, 2:]
+        d, f = zp[1:-1, :-2], zp[1:-1, 2:]
+        g, h, i = zp[2:, :-2], zp[2:, 1:-1], zp[2:, 2:]
+        dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8.0 * cellsize)
+        # +y is south (row-major images): north is -y
+        dzdy = ((g + 2 * h + i) - (a + 2 * b + c)) / (8.0 * cellsize)
+        rise2 = (z_factor * dzdx) ** 2 + (z_factor * dzdy) ** 2
+        slope_rad = np.arctan(np.sqrt(rise2))
+        slope_deg = np.degrees(slope_rad)
+        # aspect: downslope compass bearing (ArcGIS convention)
+        asp = np.degrees(np.arctan2(dzdy, -dzdx))
+        aspect = np.where(
+            asp < 0, 90.0 - asp, np.where(asp > 90.0, 360.0 - asp + 90.0, 90.0 - asp)
+        )
+        flat = rise2 == 0
+        aspect = np.where(flat, -1.0, aspect)
+        az_rad = math.radians(360.0 - azimuth_deg + 90.0)
+        zen_rad = math.radians(90.0 - altitude_deg)
+        asp_rad = np.where(flat, 0.0, np.radians(360.0 - aspect + 90.0))
+        hs = 255.0 * (
+            np.cos(zen_rad) * np.cos(slope_rad)
+            + np.sin(zen_rad) * np.sin(slope_rad) * np.cos(az_rad - asp_rad)
+        )
+        hs = np.clip(hs, 0.0, 255.0)
+        ys, xs = np.nonzero(core)
+        return pd.DataFrame(
+            {
+                "x": xs + x0,
+                "y": ys + y0,
+                "slope_deg": slope_deg[ys, xs],
+                "aspect_deg": aspect[ys, xs],
+                "hillshade": hs[ys, xs],
+            }
+        )
+
+    return tiled.groupBy("tile_x", "tile_y").applyInPandas(
+        kernel, schema=out_schema
+    )
