@@ -318,3 +318,19 @@ def q_raster_terrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("aspect_deg", 5).alias("aspect_deg"),
         F.round("hillshade", 5).alias("hillshade"),
     )
+
+
+@_q("stream_transform_with_state")
+def q_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import stream_transform_with_state_totals
+
+    return stream_transform_with_state_totals(spark, sf_dir)
+
+
+# a bounded availableNow run in update mode emits one final row per
+# user — equal to the batch per-user aggregate, so it hash-checks
+ORACLES["stream_transform_with_state"] = """
+    SELECT user_id, COUNT(*) AS n_events,
+           round(SUM(value), 2) AS total_value
+    FROM events GROUP BY user_id
+"""

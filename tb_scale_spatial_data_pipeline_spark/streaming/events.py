@@ -226,3 +226,74 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_value"),
     )
     return run_stream_to_table(agg, "complete")
+
+
+def stream_transform_with_state_totals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The same per-user running totals on the transformWithState v2
+    API (Spark 4): typed ValueState via a StatefulProcessor handle —
+    the successor surface to applyInPandasWithState, with composable
+    state variables (value/list/map), TTL, and timers. Semantics match
+    `stream_user_running_totals`; both are kept because the two APIs
+    coexist in Spark 4 and an engine user may target either.
+
+    Environment gate: the v2 state server speaks protobuf to the
+    Python worker; when `google.protobuf.descriptor` is unavailable
+    (as in this container) the operator degrades to the v1
+    `applyInPandasWithState` path, which is semantically identical
+    for this processor (same key, same state tuple, same output)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        return stream_user_running_totals(spark, sf_dir)
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self.totals.get() if self.totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self.totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = events_stream(spark, sf_dir).select("user_id", "value")
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    return run_stream_to_table(out, "update")
