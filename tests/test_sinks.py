@@ -48,3 +48,31 @@ def test_vector_roundtrip_with_schema_evolution(spark, tmp_path):
     back = read_vector(spark, path)
     assert back.columns == ["seg_id", "geometry", "rectangularity", "PredClass"]
     assert back.first()["PredClass"] == 3
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """S4's scale contract, plan-level: a tile predicate must become a
+    PartitionFilter on the parquet scan (metadata-only pruning — the
+    reader never opens non-matching tile directories), not a post-scan
+    Filter. At 100 TB this is the difference between listing a few
+    directories and scanning the lake."""
+    import contextlib
+    import io
+
+    df = spark.createDataFrame(
+        [(x, y, x // 2, y // 2, float(x * y)) for x in range(8) for y in range(8)],
+        "x int, y int, tile_x int, tile_y int, v double",
+    )
+    path = str(tmp_path / "tiled_prune")
+    write_tiled(df, path)
+    pruned = spark.read.parquet(path).where("tile_y = 1 AND tile_x = 2")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan, plan
+    seg = plan[plan.index("PartitionFilters"):].splitlines()[0]
+    assert "tile_y" in seg and "tile_x" in seg, seg
+    # and the files actually read come from exactly one tile dir
+    files = pruned.select(F.input_file_name().alias("f")).distinct().collect()
+    assert files and all("tile_y=1" in r["f"] and "tile_x=2" in r["f"] for r in files)
