@@ -517,3 +517,151 @@ def q_stringagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nations_csv"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: min-cost supplier per part (correlated MIN
+# subquery). De-correlated Spark form: ONE aggregation with
+# min_by(struct) — argmin with a deterministic s_suppkey tiebreak —
+# instead of the naive min-then-join-back double scan the SQL implies.
+# The supplier dim broadcasts; lineitem provides the part↔supplier
+# relation and shuffles once on l_partkey.
+@_q(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), ranked AS (
+      SELECT ps.l_partkey, s.s_suppkey, s.s_name, s.s_acctbal,
+             row_number() OVER (PARTITION BY ps.l_partkey
+                                ORDER BY s.s_acctbal, s.s_suppkey) AS rn
+      FROM ps JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    )
+    SELECT l_partkey AS p_partkey, s_suppkey, s_name,
+           CAST(s_acctbal AS DOUBLE) AS min_acctbal
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    supp = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    j = li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+    best = F.min_by(
+        F.struct("s_suppkey", "s_name", "s_acctbal"),
+        F.struct(F.col("s_acctbal").alias("a"), F.col("s_suppkey").alias("k")),
+    )
+    return (
+        j.groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(best.alias("b"))
+        .select(
+            "p_partkey",
+            F.col("b.s_suppkey").alias("s_suppkey"),
+            F.col("b.s_name").alias("s_name"),
+            F.col("b.s_acctbal").cast("double").alias("min_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: bilateral trade volume — revenue by (supplier
+# nation, customer nation, year) for two selected nation pairs. Two
+# independent dimension chains hang off the same fact row (supplier
+# side and customer side); both broadcast, the fact shuffles once for
+# the orders join, and the pair predicate applies post-join (it needs
+# both chains).
+@_q(
+    "q7_nation_volume",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, o_year
+    """,
+)
+def q_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        j.where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: market share — one nation's fraction of total
+# revenue per year. Numerator and denominator come from the SAME
+# single aggregation pass (conditional sum over the full join), not
+# two scans; the ratio forms in double at the end.
+@_q(
+    "q8_market_share",
+    f"""
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           round(CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                               THEN {_SQL_REV} END) AS DOUBLE)
+                 / CAST(SUM({_SQL_REV}) AS DOUBLE), 6) AS mkt_share
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o_year
+    """,
+)
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    )
+    rev = _revenue()
+    agg = j.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        F.sum(F.when(F.col("n_name") == "NATION_3", rev)).alias("_n"),
+        F.sum(rev).alias("_d"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(
+            F.col("_n").cast("double") / F.col("_d").cast("double"), 6
+        ).alias("mkt_share"),
+    )
