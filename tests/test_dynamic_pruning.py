@@ -59,9 +59,6 @@ def test_runtime_bloom_filter_injected(spark, tmp_path):
     the dim side into the fact scan — row-group/row skipping where DPP
     cannot apply. The conf is the 100 TB knob; assert the rewrite fires
     when forced."""
-    import contextlib
-    import io
-
     path = str(tmp_path / "fact_bloom")
     spark.range(200_000).select(
         (F.col("id") % 1000).alias("join_key"), F.col("id").alias("v")
