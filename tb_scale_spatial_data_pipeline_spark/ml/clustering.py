@@ -4,35 +4,63 @@ quantizer's centroids come from exactly this loop; `ivf_assign` /
 `ivf_fine_search` consume them).
 
 Scale design (the part that matters at 100 TB):
-- Each iteration is ONE distributed pass: broadcast the k×dim
-  centroid table (tiny), assign via min_by over the k candidate
-  distances (map-side, no shuffle for the argmin), then recompute
-  means with a single posexplode → groupBy(cluster, dim) aggregation
-  (one shuffle of k×dim partial sums per partition — constant-size
-  map-side state, independent of row count).
+- Each iteration is ONE distributed pass. The k×dim centroid table is
+  tiny, so it is embedded as a LITERAL array-of-structs column and the
+  assignment is a pure projection: ``array_min(transform(cents, c ->
+  struct(dist, cid)))``. No join, no groupBy — the assign stage
+  contains ZERO Exchange (plan-asserted in tests/test_kmeans.py).
+- Means are recomputed with a single posexplode → groupBy(cluster, dim)
+  aggregation: one shuffle of k×dim partial sums per partition —
+  constant-size map-side state, independent of row count.
 - Only k×dim numbers ever reach the driver (the new centroids); the
   corpus never moves. Iteration count is the only driver round-trip.
-- Deterministic: init = first k vectors by id (no RNG), and the mean
+- Deterministic: init = first k vectors by id (no RNG), distances are
+  rounded to 9 decimals with cid as tiebreak, and the mean
   recomputation uses decimal-exact partial sums so assignments are
   partition-order-independent across cluster sizes.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import l2_distance
 
 
-def _assign(df: DataFrame, vec_col: str, cents: DataFrame) -> DataFrame:
-    """One assignment pass: nearest centroid id per row."""
-    cand = df.join(F.broadcast(cents))
-    d = F.round(l2_distance(F.col(vec_col), F.col("cvec")), 9)
-    # min_by over a (dist, cid) struct: deterministic tiebreak, no sort
-    return cand.groupBy(*df.columns).agg(
-        F.min_by("cid", F.struct(d.alias("d"), F.col("cid"))).alias("cluster")
+def _cent_literal(cent_rows: list[tuple[int, list[float]]]) -> Column:
+    """k×dim centroids as a literal array<struct<cid,cvec>> column."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(v)) for v in vec]).alias("cvec"),
+            )
+            for cid, vec in cent_rows
+        ]
     )
+
+
+def _assign(
+    df: DataFrame, vec_col: str, cent_rows: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """One assignment pass: nearest centroid id per row.
+
+    Pure projection — centroids ride along as a literal, the argmin is
+    ``array_min`` over (dist, cid) structs (deterministic tiebreak, no
+    sort, no shuffle, no join).
+    """
+    cand = _cent_literal(cent_rows)
+    best = F.array_min(
+        F.transform(
+            cand,
+            lambda c: F.struct(
+                F.round(l2_distance(F.col(vec_col), c["cvec"]), 9).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    return df.withColumn("cluster", best["cid"])
 
 
 def lloyd_kmeans(
@@ -41,8 +69,9 @@ def lloyd_kmeans(
     vec_col: str,
     k: int = 8,
     iters: int = 3,
-) -> DataFrame:
-    """Run `iters` Lloyd iterations; returns (id, cluster) assignments.
+) -> tuple[DataFrame, DataFrame]:
+    """Run `iters` Lloyd iterations; returns (assignments, centroids)
+    as ((id, cluster) DataFrame, (cid, cvec) DataFrame).
 
     Init is the first k vectors ordered by id — deterministic and
     partition-independent (contrast the reference's order-dependent
@@ -55,13 +84,10 @@ def lloyd_kmeans(
         .select(F.col(vec_col).alias("cvec"))
         .collect()
     )
-    cents = spark.createDataFrame(
-        [(i, [float(v) for v in r["cvec"]]) for i, r in enumerate(init)],
-        "cid int, cvec array<double>",
-    )
+    cent_rows = [(i, [float(v) for v in r["cvec"]]) for i, r in enumerate(init)]
     data = df.select(id_col, vec_col)
     for _ in range(iters):
-        assigned = _assign(data, vec_col, cents)
+        assigned = _assign(data, vec_col, cent_rows)
         # mean per (cluster, dim): one posexplode pass, decimal-exact
         # partial sums → order-independent means
         new_rows = (
@@ -81,13 +107,12 @@ def lloyd_kmeans(
             )
             .collect()
         )
-        cents = spark.createDataFrame(
-            [(int(r["cluster"]), [float(v) for v in r["cvec"]]) for r in new_rows],
-            "cid int, cvec array<double>",
-        )
-    return _assign(data, vec_col, cents).select(
-        id_col, "cluster"
-    ), cents
+        cent_rows = [
+            (int(r["cluster"]), [float(v) for v in r["cvec"]]) for r in new_rows
+        ]
+        cent_rows.sort()
+    cents = spark.createDataFrame(cent_rows, "cid int, cvec array<double>")
+    return _assign(data, vec_col, cent_rows).select(id_col, "cluster"), cents
 
 
 def kmeans_cluster_profile(

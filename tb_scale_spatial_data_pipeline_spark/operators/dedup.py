@@ -222,13 +222,18 @@ def connected_components(
     graph state, no collect. Iteration count is the component
     *diameter*, and LSH duplicate clusters are near-cliques (diameter
     ≤ ~3), so the loop runs 2–4 times in practice; ``max_iter`` is a
-    safety bound, with convergence detected by the strictly-decreasing
-    global label sum (labels only ever decrease, so equal sums ⇒ fixed
-    point). ``localCheckpoint`` truncates the per-iteration lineage so
-    plans don't grow exponentially. For adversarial long-chain graphs
-    (not the dedup shape) the classic fix is large-star/small-star
-    contraction (Kiveris et al., "Connected Components in MapReduce"),
-    which this API could switch to without changing its contract.
+    safety bound, with convergence detected by counting rows whose
+    label changed this iteration (zero changes ⇒ fixed point). The
+    count works for ANY orderable node-id type — numeric, string,
+    binary — unlike a label-sum check, which is NULL on strings and
+    would silently "converge" after one round. Exhausting ``max_iter``
+    without convergence raises rather than returning a partial
+    labelling. ``localCheckpoint`` truncates the per-iteration lineage
+    so plans don't grow exponentially. For adversarial long-chain
+    graphs (not the dedup shape) the classic fix is large-star/
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce"), which this API could switch to without changing its
+    contract.
     """
     # materialize the (possibly expensive) edge derivation ONCE before
     # the two-direction union — otherwise the union's two branches each
@@ -243,25 +248,38 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
 
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["_s"] == labels["node"])
             .groupBy(F.col("_d").alias("node2"))
             .agg(F.min("lbl").alias("nmin"))
         )
-        labels = (
+        stepped = (
             labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
             .select(
                 "node",
+                F.col("lbl").alias("_old"),
                 F.least(F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))).alias("lbl"),
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-        if cur_sum == prev_sum:
+        n_changed = (
+            stepped.agg(
+                F.sum(F.when(F.col("lbl") != F.col("_old"), 1).otherwise(0)).alias("n")
+            ).collect()[0]["n"]
+            or 0
+        )
+        labels = stepped.select("node", "lbl")
+        if n_changed == 0:
+            converged = True
             break
-        prev_sum = cur_sum
 
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "iterations; the graph has components with diameter > max_iter "
+            "(raise max_iter, or switch to large-star/small-star contraction)"
+        )
     return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))

@@ -97,8 +97,8 @@ def q_validity_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "property_bag_defaults",
     """
     SELECT event_type,
-           SUM(coalesce(CAST(json_extract_string(props, '$.k') AS INT), 0)) AS sum_k,
-           SUM(coalesce(CAST(json_extract_string(props, '$.missing') AS INT), 0)) AS sum_missing
+           CAST(SUM(coalesce(CAST(json_extract_string(props, '$.k') AS INT), 0)) AS BIGINT) AS sum_k,
+           CAST(SUM(coalesce(CAST(json_extract_string(props, '$.missing') AS INT), 0)) AS BIGINT) AS sum_missing
     FROM events GROUP BY event_type
     """,
 )
@@ -106,8 +106,11 @@ def q_property_bag_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     k = F.coalesce(F.get_json_object("props", "$.k").cast("int"), F.lit(0))
     missing = F.coalesce(F.get_json_object("props", "$.missing").cast("int"), F.lit(0))
+    # Spark SUM(INT) -> BIGINT, DuckDB SUM(INT) -> HUGEINT; cast BOTH sides to
+    # BIGINT so the driver's exact value-hash compares like with like.
     return ev.groupBy("event_type").agg(
-        F.sum(k).alias("sum_k"), F.sum(missing).alias("sum_missing")
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.sum(missing).cast("bigint").alias("sum_missing"),
     )
 
 

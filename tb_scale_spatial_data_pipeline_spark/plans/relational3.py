@@ -234,11 +234,16 @@ def q_ann_top1_in_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pairs.select(
         "query_id", "cand_id", F.round(dot(F.col("qe"), F.col("ce")), 6).alias("cos_sim")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("query_id", F.col("cand_id").alias("nn_id"), "cos_sim")
+    # top-1 via max_by (hash agg, map-side partials) instead of a
+    # row_number window — no per-partition sort of all candidate pairs
+    best = F.max_by(
+        F.struct(F.col("cand_id"), F.col("cos_sim")),
+        F.struct(F.col("cos_sim"), (-F.col("cand_id")).alias("neg_id")),
+    ).alias("best")
+    return scored.groupBy("query_id").agg(best).select(
+        "query_id",
+        F.col("best.cand_id").alias("nn_id"),
+        F.col("best.cos_sim").alias("cos_sim"),
     )
 
 
@@ -571,9 +576,13 @@ def q_ivf_fine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pairs.select(
         "query_id", "cand_id", F.round(dot(F.col("qe"), F.col("ce")), 6).alias("cos_sim")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("query_id", F.col("cand_id").alias("nn_id"), "cos_sim")
+    # top-1 via max_by — same rationale as ann_top1_in_bucket
+    best = F.max_by(
+        F.struct(F.col("cand_id"), F.col("cos_sim")),
+        F.struct(F.col("cos_sim"), (-F.col("cand_id")).alias("neg_id")),
+    ).alias("best")
+    return scored.groupBy("query_id").agg(best).select(
+        "query_id",
+        F.col("best.cand_id").alias("nn_id"),
+        F.col("best.cos_sim").alias("cos_sim"),
     )

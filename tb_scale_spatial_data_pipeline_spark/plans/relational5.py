@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._util import dsum, sql_dsum, t
+from ._util import t
 
 QUERIES: dict = {}
 ORACLES: dict = {}

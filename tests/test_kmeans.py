@@ -66,3 +66,25 @@ def test_partition_invariance(spark):
     r1 = {r["vec_id"]: r["cluster"] for r in a1.collect()}
     r2 = {r["vec_id"]: r["cluster"] for r in a2.collect()}
     assert r1 == r2
+
+
+def test_assign_stage_has_no_exchange(spark):
+    """The assign stage is a pure projection over literal centroids —
+    zero Exchange (the r1/r2 implementation shuffled the full corpus,
+    vectors included, once per iteration)."""
+    import contextlib
+    import io
+
+    from tb_scale_spatial_data_pipeline_spark.ml.clustering import _assign
+
+    emb = _emb(spark)
+    cent_rows = [
+        (i, [float(v) for v in r["e"]]) for i, r in enumerate(emb.take(4))
+    ]
+    assigned = _assign(emb, "e", cent_rows)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assigned.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan

@@ -164,3 +164,37 @@ def test_connected_components_long_chain_converges(spark):
     )
     out = connected_components(edges, "id_a", "id_b")
     assert {r["cluster_id"] for r in out.collect()} == {1}
+
+def test_connected_components_string_ids(spark):
+    """String node ids: the r1/r2 sum-based convergence check was NULL
+    on strings and silently stopped after one round — the changed-label
+    count must propagate a diameter-3 chain to the lexicographic min."""
+    from tb_scale_spatial_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [("d", "c"), ("c", "b"), ("b", "a"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    out = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edges, "id_a", "id_b").collect()
+    }
+    assert out == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_raises_on_max_iter(spark):
+    """Exhausting max_iter must raise, never return a partial labelling."""
+    import pytest
+
+    from tb_scale_spatial_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, "id_a", "id_b", max_iter=2)
+
