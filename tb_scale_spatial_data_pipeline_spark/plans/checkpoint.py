@@ -9,9 +9,44 @@ for the reference's temp-file discipline.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import tempfile
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Bump when pipeline-stage SEMANTICS change, so stale on-disk stage
+# products from an older code revision can never be read back.
+STAGE_CACHE_VERSION = "r3a"
+
+
+def stage_root(sf_dir: str) -> str:
+    """Deterministic per-(fixture dir, code version) stage-cache root.
+
+    The reference keys its exists-skip products by output filename
+    under a fixed work dir (`0_preprocessing/feature_stacking.py:261`);
+    the engine's equivalent is a content-addressed directory under the
+    system temp root, shared by every pipeline query in (and across)
+    processes so common stages are computed exactly once per fixture.
+    """
+    key = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|{STAGE_CACHE_VERSION}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), "tb_stage_cache", key)
+
+
+def stage(
+    spark: SparkSession, path: str, builder: Callable[[], DataFrame]
+) -> DataFrame:
+    """Compute-if-absent variant of :func:`materialize_stage`: the
+    builder (and any eager work inside it, e.g. an RF fit) runs ONLY
+    when the stage product is missing — the exists-skip applies to the
+    whole stage construction, not just the write."""
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        builder().write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 def materialize_stage(

@@ -18,6 +18,7 @@ from ..operators.relabel import solar_shadow_rules
 from ..raster.kernels import gaussian_smooth_tiles, pca_texture_tiles, reproject_tiles
 from ..raster.segmentation import segment_shape_metrics, segment_tiles
 from ..raster.tiles import assign_tiles, halo_duplicate, synthetic_raster
+from .checkpoint import stage, stage_root
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -62,6 +63,14 @@ def _scenes(spark: SparkSession, width: int = 64, height: int = 64, n_scenes: in
 
 @_q("pipeline_feature_stack")
 def e1_feature_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 stage product, memoized on disk (SURVEY §4 exists-skip):
+    shared verbatim with `pipeline_full_chain`'s first stage."""
+    return stage(
+        spark, f"{stage_root(sf_dir)}/e1_stack", lambda: _build_e1(spark)
+    )
+
+
+def _build_e1(spark: SparkSession) -> DataFrame:
     scenes = _scenes(spark)
     px = scenes.select(
         "x",
@@ -90,6 +99,14 @@ def e1_feature_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic function of the synthetic scene geometry.
 @_q("pipeline_pixel_classification")
 def e2_pixel_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 stage product, memoized on disk — the (eager) RF fit only
+    runs when the stage is missing."""
+    return stage(
+        spark, f"{stage_root(sf_dir)}/e2_pixels", lambda: _build_e2(spark)
+    )
+
+
+def _build_e2(spark: SparkSession) -> DataFrame:
     from ..ml.classify import predict, train_rf
 
     px = synthetic_raster(spark, 64, 64, bands=3)
@@ -113,6 +130,14 @@ def e2_pixel_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 # halo-tiled Felzenszwalb → shape metrics + polygonization.
 @_q("pipeline_segmentation")
 def e3_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 stage product, memoized on disk — shared with
+    `pipeline_object_classification`, which trains on these metrics."""
+    return stage(
+        spark, f"{stage_root(sf_dir)}/e3_metrics", lambda: _build_e3(spark)
+    )
+
+
+def _build_e3(spark: SparkSession) -> DataFrame:
     img = synthetic_raster(spark, 96, 96, bands=3)
     # percentile stretch per tile column-block (A3 + P8, W1 pattern)
     img = assign_tiles(img, 48)
@@ -142,9 +167,19 @@ def e3_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with main/backup fallback (M2/M3/J2).
 @_q("pipeline_object_classification")
 def e4_object_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 stage product, memoized on disk; reads E3's materialized
+    metrics (no re-segmentation, no in-memory cache to leak)."""
+    return stage(
+        spark,
+        f"{stage_root(sf_dir)}/e4_objects",
+        lambda: _build_e4(spark, sf_dir),
+    )
+
+
+def _build_e4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.classify import dual_model_predict, train_rf
 
-    metrics = e3_segmentation(spark, sf_dir).cache()
+    metrics = e3_segmentation(spark, sf_dir)
     shape_cols = [
         "rectangularity",
         "elongation",

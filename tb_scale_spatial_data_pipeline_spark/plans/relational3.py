@@ -177,16 +177,13 @@ def _sql_ann_top1() -> str:
     from .vector_queries import DIM, _SQL_NORM_A, _sql_lsh_buckets
 
     norm = _SQL_NORM_A.format(a="embedding", n=DIM)
-    dot_nn = (
-        f"list_aggregate(list_transform(generate_series(1, {DIM}), "
-        f"i -> qe.ne[i] * ce.ne[i]), 'sum')"
-    )
+    dot_nn = "list_dot_product(qe.ne, ce.ne)"
     return f"""
     WITH b AS ({_sql_lsh_buckets()}),
     ne AS (
       SELECT vec_id,
-             list_transform(generate_series(1, {DIM}),
-                            i -> CAST(embedding[i] AS DOUBLE) / ({norm} + 1e-12)) AS ne
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> x / ({norm} + 1e-12)) AS ne
       FROM embeddings
     ),
     pairs AS (
@@ -515,10 +512,7 @@ def _sql_ivf_fine() -> str:
         f"i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) "
         f"* (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))), 'sum'))"
     )
-    dot_nn = (
-        f"list_aggregate(list_transform(generate_series(1, {DIM}), "
-        f"i -> qe.ne[i] * ce.ne[i]), 'sum')"
-    )
+    dot_nn = "list_dot_product(qe.ne, ce.ne)"
     return f"""
     WITH cents AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < 8),
     assign AS (
@@ -532,8 +526,8 @@ def _sql_ivf_fine() -> str:
     ),
     ne AS (
       SELECT vec_id,
-             list_transform(generate_series(1, {DIM}),
-                            i -> CAST(embedding[i] AS DOUBLE) / ({norm} + 1e-12)) AS ne
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> x / ({norm} + 1e-12)) AS ne
       FROM embeddings
     ),
     pairs AS (

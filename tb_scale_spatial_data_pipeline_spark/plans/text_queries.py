@@ -154,15 +154,13 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "ngram_jaccard_pairs",
     f"""
-    WITH sh AS (
+    WITH sh AS MATERIALIZED (
       SELECT doc_id, source, list_distinct({_SQL_SHINGLES}) AS sh FROM documents
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(CASE WHEN len(a.sh) + len(b.sh)
-                           - len(list_filter(a.sh, x -> list_contains(b.sh, x))) > 0
-                 THEN len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0
-                      / (len(a.sh) + len(b.sh)
-                         - len(list_filter(a.sh, x -> list_contains(b.sh, x))))
+           round(CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+                 THEN len(list_intersect(a.sh, b.sh)) * 1.0
+                      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                  ELSE 0.0 END, 6) AS jaccard
     FROM sh a JOIN sh b ON a.source = b.source AND b.doc_id = a.doc_id + 20
     """,
@@ -222,11 +220,11 @@ def _sql_minhash_lsh(src: str = "documents") -> str:
         for b in range(_NUM_HASHES // _BAND_SIZE)
     )
     return f"""
-    WITH sh AS (
+    WITH sh AS MATERIALIZED (
       SELECT doc_id, {_SQL_WORD_SHINGLES} AS sh FROM {src}
     ),
-    mh AS (SELECT doc_id, {mh_cols} FROM sh),
-    bands AS ({band_rows})
+    mh AS MATERIALIZED (SELECT doc_id, {mh_cols} FROM sh),
+    bands AS MATERIALIZED ({band_rows})
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b
       ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
@@ -429,7 +427,7 @@ def q_dup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_clean_corpus() -> str:
     pairs = _sql_minhash_lsh("surv")
     return f"""
-    WITH scored AS (
+    WITH scored AS MATERIALIZED (
       SELECT doc_id, lang, text, n_chars, (
         least(length(text) / 1000.0, 1.0)
       + CASE WHEN len({_SQL_TOKENS}) > 0
@@ -442,9 +440,9 @@ def _sql_clean_corpus() -> str:
       ) / 4.0 AS quality
       FROM documents
     ),
-    good AS (SELECT * FROM scored WHERE quality >= 0.5),
+    good AS MATERIALIZED (SELECT * FROM scored WHERE quality >= 0.5),
     keepers AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY md5({_SQL_NORM})),
-    surv AS (SELECT g.* FROM good g JOIN keepers k ON g.doc_id = k.doc_id),
+    surv AS MATERIALIZED (SELECT g.* FROM good g JOIN keepers k ON g.doc_id = k.doc_id),
     pairs AS MATERIALIZED ({pairs}),
     clean AS (SELECT s.* FROM surv s
               WHERE s.doc_id NOT IN (SELECT id_b FROM pairs))

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._util import t
+from ._util import dsum, sql_dsum, t
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -127,22 +127,28 @@ def q_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Unpivot to long format: lineitem's four measures as (measure, value)
-# rows — a generator projection (4 output rows per input, no shuffle).
+# rows — a generator projection (4 output rows per input, no shuffle)
+# — then folded to per-measure totals so the verified result is the
+# measure summary, not 4×|lineitem| raw rows.
 @_q(
     "unpivot_measures",
-    """
-    SELECT l_orderkey, l_linenumber, measure, v AS value
+    f"""
+    SELECT measure, COUNT(*) AS n, {sql_dsum('v')} AS total
     FROM lineitem
     UNPIVOT (v FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+    GROUP BY measure
     """,
 )
 def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    return li.unpivot(
+    long = li.unpivot(
         ["l_orderkey", "l_linenumber"],
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
         "measure",
         "value",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total")
     )
 
 

@@ -22,16 +22,14 @@ ORACLES: dict = {}
 DIM = 64
 N_PLANES = 8
 
-# dot(a, b) with explicit double casts, sequential fold — mirror of
-# functions.vectors.dot
-_SQL_DOT_AB = (
-    "list_aggregate(list_transform(generate_series(1, {n}), "
-    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
-)
-_SQL_NORM_A = (
-    "sqrt(list_aggregate(list_transform(generate_series(1, {n}), "
-    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), 'sum'))"
-)
+# dot(a, b) in double precision — mirror of functions.vectors.dot.
+# list_dot_product over DOUBLE[] is a single vectorized C++ pass;
+# the per-element generate_series/list_transform fold it replaces was
+# ~10× slower and dominated the oracle runtime of every vector query.
+# User-visible similarity values are rounded to 6 decimals on both
+# engines, which absorbs any sub-ulp summation-order difference.
+_SQL_DOT_AB = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+_SQL_NORM_A = "sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
 
 
 def _sql_cosine(a: str, b: str, n: int = DIM) -> str:
@@ -92,8 +90,8 @@ def _sql_lsh_buckets() -> str:
     for p in range(N_PLANES):
         signs = ", ".join(str(float(plane_sign(p, j))) for j in range(DIM))
         dot = (
-            f"list_aggregate(list_transform(generate_series(1, {DIM}), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * ([{signs}])[i]), 'sum')"
+            f"list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"CAST([{signs}] AS DOUBLE[]))"
         )
         terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END")
     bucket = " + ".join(terms)
@@ -118,7 +116,7 @@ def q_lsh_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
            round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND b.vec_id > a.vec_id
-    WHERE {_sql_cosine('a.embedding', 'b.embedding')} > 0.3
+    WHERE round({_sql_cosine('a.embedding', 'b.embedding')}, 6) > 0.3
     """,
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,7 +125,9 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lbl_b"), F.col("embedding").alias("eb"))
     pairs = a.join(b, (a["lbl_a"] == b["lbl_b"]) & (b["id_b"] > a["id_a"]))
     sim = cosine_similarity(as_double_array(F.col("ea")), as_double_array(F.col("eb")))
-    return pairs.where(sim > 0.3).select(
+    # threshold on the ROUNDED similarity (both engines): row membership
+    # must not hinge on sub-ulp summation-order differences
+    return pairs.where(F.round(sim, 6) > 0.3).select(
         "id_a", "id_b", F.round(sim, 6).alias("cos_sim")
     )
 

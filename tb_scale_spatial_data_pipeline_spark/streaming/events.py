@@ -42,17 +42,29 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_stream_to_table(out: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Execute a streaming plan to completion (availableNow) and
-    return the result as a batch DataFrame from the memory sink."""
-    name = f"stream_result_{uuid.uuid4().hex[:12]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    return the result as a batch DataFrame from the memory sink.
+
+    Stateful operators open one state store PER shuffle partition per
+    micro-batch; on the bounded test fixtures that store overhead (not
+    the data) dominates, so the shuffle-partition count is scoped down
+    for the run. In production the same knob is sized UP to spread
+    state across executors — it is per-query-start, not a code change,
+    because the state layout is fixed at first checkpoint."""
     spark = out.sparkSession
+    name = f"stream_result_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
