@@ -221,6 +221,22 @@ def q_raster_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("x", "y", F.round("b1", 6).alias("b1"))
 
 
+@_q("raster_affine_warp")
+def q_raster_affine_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 general form: rotation+scale+shear warp (the reference's
+    cross-CRS rasterio reproject, `0_preprocessing/
+    feature_stacking.py:72-102`). Invariants (identity, 90° rotation,
+    ramp-exact bilinear, tile-grid independence) in tests/test_raster.py."""
+    from ..raster.kernels import warp_affine_tiles
+
+    img = synthetic_raster(spark, 64, 64, bands=1)
+    tiled = halo_duplicate(img, tile_size=32, halo=4)
+    out = warp_affine_tiles(
+        tiled, ["b1"], affine=(0.9, 0.15, 2.0, -0.15, 0.9, 1.0), method="bilinear"
+    )
+    return out.select("x", "y", F.round("b1", 6).alias("b1"))
+
+
 @_q("raster_segmentation_metrics")
 def q_raster_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     img = synthetic_raster(spark, 64, 64, bands=2)

@@ -122,6 +122,82 @@ def pca_texture_tiles(tiled: DataFrame, value_cols: list[str]) -> DataFrame:
     )
 
 
+def _cubic_weights(t: np.ndarray) -> tuple[np.ndarray, ...]:
+    # standard cubic-convolution taps (Keys 1981, a = -0.5)
+    a = -0.5
+    w_m1 = a * t**3 - 2 * a * t**2 + a * t
+    w_0 = (a + 2) * t**3 - (a + 3) * t**2 + 1
+    w_1 = -(a + 2) * t**3 + (2 * a + 3) * t**2 - a * t
+    w_2 = -a * t**3 + a * t**2
+    return w_m1, w_0, w_1, w_2
+
+
+def _sample_at(
+    stack: np.ndarray,
+    core: np.ndarray,
+    x0: int,
+    y0: int,
+    sx: np.ndarray,
+    sy: np.ndarray,
+    method: str,
+    value_cols: list[str],
+):
+    """Sample every band of a dense tile at fractional source coords
+    (sx, sy) with the given interpolation. Returns (core_ok, data):
+    core_ok marks samples whose anchor pixel lies in the tile CORE —
+    the exactly-once ownership rule for overlapping halo tiles."""
+    h, w, _ = stack.shape
+    data: dict[str, np.ndarray] = {}
+    if method == "cubic":
+        # 4x4 cubic convolution (the reference's imagery method,
+        # `0_preprocessing/feature_stacking.py:319`); needs halo >= 2
+        fx = np.clip(sx - x0, 0, w - 1)
+        fy = np.clip(sy - y0, 0, h - 1)
+        ix = np.floor(fx).astype(int)
+        iy = np.floor(fy).astype(int)
+        wx = _cubic_weights(fx - ix)
+        wy = _cubic_weights(fy - iy)
+        core_ok = core[iy, ix]
+        for c, col in enumerate(value_cols):
+            band = stack[:, :, c]
+            acc = np.zeros(len(sx), dtype=np.float64)
+            for dy in range(-1, 3):
+                ry = np.clip(iy + dy, 0, h - 1)
+                row_acc = np.zeros(len(sx), dtype=np.float64)
+                for dx in range(-1, 3):
+                    rx = np.clip(ix + dx, 0, w - 1)
+                    row_acc += wx[dx + 1] * band[ry, rx]
+                acc += wy[dy + 1] * row_acc
+            data[col] = acc
+    elif method == "nearest":
+        ix = np.clip(np.rint(sx).astype(int) - x0, 0, w - 1)
+        iy = np.clip(np.rint(sy).astype(int) - y0, 0, h - 1)
+        core_ok = core[iy, ix]
+        for c, col in enumerate(value_cols):
+            data[col] = stack[iy, ix, c]
+    elif method == "bilinear":
+        fx = np.clip(sx - x0, 0, w - 1)
+        fy = np.clip(sy - y0, 0, h - 1)
+        ix0 = np.floor(fx).astype(int)
+        iy0 = np.floor(fy).astype(int)
+        ix1 = np.minimum(ix0 + 1, w - 1)
+        iy1 = np.minimum(iy0 + 1, h - 1)
+        wx = fx - ix0
+        wy = fy - iy0
+        core_ok = core[iy0, ix0]
+        for c, col in enumerate(value_cols):
+            band = stack[:, :, c]
+            data[col] = (
+                band[iy0, ix0] * (1 - wx) * (1 - wy)
+                + band[iy0, ix1] * wx * (1 - wy)
+                + band[iy1, ix0] * (1 - wx) * wy
+                + band[iy1, ix1] * wx * wy
+            )
+    else:
+        raise ValueError(f"unknown method {method}")
+    return core_ok, data
+
+
 def reproject_tiles(
     tiled: DataFrame,
     value_cols: list[str],
@@ -130,91 +206,81 @@ def reproject_tiles(
     offset_y: float = 0.0,
     method: str = "nearest",
 ) -> DataFrame:
-    """R1: grid reprojection/resampling
+    """R1 (axis-aligned subset): grid reprojection/resampling
     (`0_preprocessing/feature_stacking.py:72-102`): target pixel (X,Y)
     samples source at (X*scale+offset). ``nearest`` for masks,
-    ``bilinear`` for continuous bands (the reference also uses cubic;
-    bilinear is the implemented subset). Source tiles must carry
-    enough halo to cover the sampling footprint."""
+    ``bilinear``/``cubic`` for continuous bands. Source tiles must
+    carry enough halo to cover the sampling footprint. The general
+    rotation/shear form is :func:`warp_affine_tiles`."""
+    return warp_affine_tiles(
+        tiled,
+        value_cols,
+        affine=(scale, 0.0, offset_x, 0.0, scale, offset_y),
+        method=method,
+    )
 
-    def _cubic_weights(t: np.ndarray) -> tuple[np.ndarray, ...]:
-        # standard cubic-convolution taps (Keys 1981, a = -0.5)
-        a = -0.5
-        w_m1 = a * t**3 - 2 * a * t**2 + a * t
-        w_0 = (a + 2) * t**3 - (a + 3) * t**2 + 1
-        w_1 = -(a + 2) * t**3 + (2 * a + 3) * t**2 - a * t
-        w_2 = -a * t**3 + a * t**2
-        return w_m1, w_0, w_1, w_2
+
+def warp_affine_tiles(
+    tiled: DataFrame,
+    value_cols: list[str],
+    affine: tuple[float, float, float, float, float, float],
+    method: str = "nearest",
+) -> DataFrame:
+    """R1 (general form): affine CRS warp between pixel grids — the
+    engine's mapping of the reference's rasterio ``reproject`` between
+    genuinely different CRSs (`0_preprocessing/feature_stacking.py:72-102`).
+
+    ``affine = (a, b, c, d, e, f)`` is the TARGET→SOURCE transform
+    (the inverse grid transform, exactly what warp resampling needs):
+
+        sx = a*tx + b*ty + c
+        sy = d*tx + e*ty + f
+
+    Rotation/shear are fully supported (b, d ≠ 0). Distribution shape:
+    each source tile inverts the affine over its own core bounding box
+    to enumerate exactly the target pixels it could own, samples them,
+    and emits only those whose anchor source pixel falls in its core —
+    every target pixel is produced exactly once, no global raster is
+    ever assembled, and tiles never communicate (the halo from
+    ``halo_duplicate`` supplies the cross-tile sampling footprint).
+    The transform must be invertible (|det| > 0).
+    """
+    a, b, c, d, e, f = (float(v) for v in affine)
+    det = a * e - b * d
+    if abs(det) < 1e-12:
+        raise ValueError(f"affine transform is singular: {affine}")
+    pad = {"nearest": 1.0, "bilinear": 2.0, "cubic": 3.0}[method]
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         stack, x0, y0, core = _tile_to_arrays(pdf, value_cols)
-        h, w, _ = stack.shape
         ys, xs = np.nonzero(core)
+        if len(xs) == 0:  # halo-only border group: nothing to own
+            return pd.DataFrame({k: [] for k in ["x", "y", *value_cols]})
         gx = xs + x0
         gy = ys + y0
-        # target pixels covered by this tile's core, in target coords
-        tgt_x = np.unique(np.floor(gx / scale).astype(int))
-        tgt_y = np.unique(np.floor(gy / scale).astype(int))
-        TX, TY = np.meshgrid(tgt_x, tgt_y)
-        sx = TX.ravel() * scale + offset_x
-        sy = TY.ravel() * scale + offset_y
-        # keep only targets whose source sample lies in this tile core
-        keep = (
-            (sx >= x0) & (sx <= x0 + w - 1) & (sy >= y0) & (sy <= y0 + h - 1)
+        # preimage of the core bbox corners under the inverse affine
+        # bounds the target pixels this tile can own
+        cx = np.array([gx.min(), gx.max()], dtype=np.float64)
+        cy = np.array([gy.min(), gy.max()], dtype=np.float64)
+        CX, CY = np.meshgrid(cx, cy)
+        inv_tx = (e * (CX - c) - b * (CY - f)) / det
+        inv_ty = (-d * (CX - c) + a * (CY - f)) / det
+        tx_lo = int(np.floor(inv_tx.min() - pad))
+        tx_hi = int(np.ceil(inv_tx.max() + pad))
+        ty_lo = int(np.floor(inv_ty.min() - pad))
+        ty_hi = int(np.ceil(inv_ty.max() + pad))
+        TX, TY = np.meshgrid(
+            np.arange(tx_lo, tx_hi + 1), np.arange(ty_lo, ty_hi + 1)
         )
-        sx, sy, tx, ty = sx[keep], sy[keep], TX.ravel()[keep], TY.ravel()[keep]
-        core_ok = np.zeros(len(sx), dtype=bool)
-        data = {}
-        if method == "cubic":
-            # 4x4 cubic convolution (the reference's imagery method,
-            # `0_preprocessing/feature_stacking.py:319`); needs halo >= 2
-            fx = np.clip(sx - x0, 0, w - 1)
-            fy = np.clip(sy - y0, 0, h - 1)
-            ix = np.floor(fx).astype(int)
-            iy = np.floor(fy).astype(int)
-            tx_f = fx - ix
-            ty_f = fy - iy
-            wx = _cubic_weights(tx_f)
-            wy = _cubic_weights(ty_f)
-            core_ok = core[iy, ix]
-            for c, col in enumerate(value_cols):
-                band = stack[:, :, c]
-                acc = np.zeros(len(sx), dtype=np.float64)
-                for dy in range(-1, 3):
-                    ry = np.clip(iy + dy, 0, h - 1)
-                    row_acc = np.zeros(len(sx), dtype=np.float64)
-                    for dx in range(-1, 3):
-                        rx = np.clip(ix + dx, 0, w - 1)
-                        row_acc += wx[dx + 1] * band[ry, rx]
-                    acc += wy[dy + 1] * row_acc
-                data[col] = acc
-        elif method == "nearest":
-            ix = np.clip(np.rint(sx).astype(int) - x0, 0, w - 1)
-            iy = np.clip(np.rint(sy).astype(int) - y0, 0, h - 1)
-            core_ok = core[iy, ix]
-            for c, col in enumerate(value_cols):
-                data[col] = stack[iy, ix, c]
-        elif method == "bilinear":
-            fx = np.clip(sx - x0, 0, w - 1)
-            fy = np.clip(sy - y0, 0, h - 1)
-            ix0 = np.floor(fx).astype(int)
-            iy0 = np.floor(fy).astype(int)
-            ix1 = np.minimum(ix0 + 1, w - 1)
-            iy1 = np.minimum(iy0 + 1, h - 1)
-            wx = fx - ix0
-            wy = fy - iy0
-            core_ok = core[iy0, ix0]
-            for c, col in enumerate(value_cols):
-                band = stack[:, :, c]
-                data[col] = (
-                    band[iy0, ix0] * (1 - wx) * (1 - wy)
-                    + band[iy0, ix1] * wx * (1 - wy)
-                    + band[iy1, ix0] * (1 - wx) * wy
-                    + band[iy1, ix1] * wx * wy
-                )
-        else:
-            raise ValueError(f"unknown method {method}")
-        out = {"x": tx[core_ok], "y": ty[core_ok]}
+        tx = TX.ravel().astype(np.float64)
+        ty = TY.ravel().astype(np.float64)
+        sx = a * tx + b * ty + c
+        sy = d * tx + e * ty + f
+        h, w, _ = stack.shape
+        keep = (sx >= x0) & (sx <= x0 + w - 1) & (sy >= y0) & (sy <= y0 + h - 1)
+        sx, sy, tx, ty = sx[keep], sy[keep], tx[keep], ty[keep]
+        core_ok, data = _sample_at(stack, core, x0, y0, sx, sy, method, value_cols)
+        out = {"x": tx[core_ok].astype(int), "y": ty[core_ok].astype(int)}
         for col in value_cols:
             out[col] = np.asarray(data[col])[core_ok]
         return pd.DataFrame(out)

@@ -12,6 +12,7 @@ from tb_scale_spatial_data_pipeline_spark.raster.kernels import (
     gaussian_smooth_tiles,
     pca_texture_tiles,
     reproject_tiles,
+    warp_affine_tiles,
 )
 from tb_scale_spatial_data_pipeline_spark.raster.segmentation import (
     _felzenszwalb,
@@ -94,6 +95,61 @@ def test_reproject_downscale_shape(spark, raster):
     assert (0, 0) in pts
     assert max(p[0] for p in pts) <= 48
     assert len(pts) >= 47 * 47
+
+
+def test_warp_affine_identity(spark, raster):
+    # identity affine + nearest == the source raster, exactly
+    tiled = halo_duplicate(raster, 32, 2)
+    out = warp_affine_tiles(
+        tiled, ["b1"], affine=(1.0, 0.0, 0.0, 0.0, 1.0, 0.0), method="nearest"
+    )
+    assert _to_map(out, ["b1"]) == _to_map(raster.select("x", "y", "b1"), ["b1"])
+
+
+def test_warp_affine_rotation_90(spark):
+    """target->source affine (0,-1,0, 1,0,0): sx=-ty, sy=tx — a 90°
+    rotation. Every rotated target pixel must carry its source value."""
+    img = synthetic_raster(spark, 48, 48, bands=1)
+    tiled = halo_duplicate(img, 24, 2)
+    out = warp_affine_tiles(
+        tiled, ["b1"], affine=(0.0, -1.0, 0.0, 1.0, 0.0, 0.0), method="nearest"
+    )
+    src = _to_map(img.select("x", "y", "b1"), ["b1"])
+    dst = _to_map(out, ["b1"])
+    # (tx, ty) samples source (-ty, tx): enumerate from the source side
+    expect = {(sy, -sx): v for (sx, sy), v in src.items()}
+    assert dst == expect
+
+
+def test_warp_affine_translation_bilinear_exact_on_ramp(spark):
+    """bilinear interpolation reproduces a linear ramp exactly at
+    fractional offsets (the canonical warp correctness identity)."""
+    from pyspark.sql import functions as SF
+
+    base = synthetic_raster(spark, 40, 40, bands=1).select(
+        "x", "y", (2.0 * SF.col("x") + 3.0 * SF.col("y") + 1.0).alias("b1")
+    )
+    tiled = halo_duplicate(base, 20, 3)
+    out = warp_affine_tiles(
+        tiled, ["b1"], affine=(1.0, 0.0, 0.5, 0.0, 1.0, 0.25), method="bilinear"
+    )
+    for r in out.collect():
+        sx, sy = r["x"] + 0.5, r["y"] + 0.25
+        if 0 <= sx <= 39 and 0 <= sy <= 39:
+            assert abs(r["b1"] - (2.0 * sx + 3.0 * sy + 1.0)) < 1e-9
+
+
+def test_warp_affine_tile_origin_invariance(spark):
+    """The warped raster must be identical under different tile grids —
+    the exactly-once ownership rule is partitioning-independent."""
+    img = synthetic_raster(spark, 48, 48, bands=1)
+    aff = (0.8, 0.2, 1.0, -0.2, 0.8, 2.0)  # rotation + scale + shear
+    a = warp_affine_tiles(halo_duplicate(img, 24, 4), ["b1"], aff, "bilinear")
+    b = warp_affine_tiles(halo_duplicate(img, 16, 4), ["b1"], aff, "bilinear")
+    ma, mb = _to_map(a, ["b1"]), _to_map(b, ["b1"])
+    assert set(ma) == set(mb)
+    for k in ma:
+        assert abs(ma[k][0] - mb[k][0]) < 1e-9, k
 
 
 def test_felzenszwalb_uniform_image_single_segment():
