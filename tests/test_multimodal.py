@@ -90,3 +90,59 @@ def test_audio_features(spark):
         assert r["n_samples"] == meta[r["media_id"]]
         assert 0.0 <= r["zcr"] <= 1.0
         assert r["peak"] >= r["rms"] >= 0.0
+
+
+def test_real_wav_decode_roundtrip(spark):
+    """The audio decode seam parses REAL RIFF/WAVE bytes with the
+    stdlib wave module — synthesize a 16-bit PCM WAV, push it through
+    audio_features, and check the features against the known samples."""
+    import io as _io
+    import wave as _wave
+
+    from tb_scale_spatial_data_pipeline_spark.multimodal.media import (
+        _decode_audio,
+        audio_features,
+    )
+
+    samples = (np.sin(np.arange(100) * 0.3) * 20000).astype("<i2")
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(samples.tobytes())
+    wav_bytes = buf.getvalue()
+
+    # kernel-level: decoded samples ARE the PCM frames
+    dec = _decode_audio(wav_bytes, 100)
+    assert np.array_equal(dec, samples.astype(np.float64))
+
+    # Spark-level: the same bytes flow through the mapInPandas kernel
+    df = spark.createDataFrame(
+        [(1, bytearray(wav_bytes), {"sample_rate": 16000, "n_samples": 100})],
+        "media_id long, payload binary, meta struct<sample_rate:int,n_samples:int>",
+    )
+    row = audio_features(df).collect()[0]
+    expect_rms = float(np.sqrt((samples.astype(np.float64) ** 2).mean()))
+    assert abs(row["rms"] - expect_rms) < 1e-9
+    assert row["peak"] == float(np.abs(samples).max())
+
+
+def test_real_image_decode_roundtrip(spark):
+    """PIL path of the image decode seam — skip-marked where PIL is
+    absent (this container); the fake path is covered by every other
+    multimodal test."""
+    import pytest
+
+    PIL = pytest.importorskip("PIL.Image")
+    import io as _io
+
+    from tb_scale_spatial_data_pipeline_spark.multimodal.media import (
+        _decode_payload,
+    )
+
+    arr = (np.arange(4 * 5 * 3, dtype=np.uint8)).reshape(5, 4, 3)
+    buf = _io.BytesIO()
+    PIL.fromarray(arr).save(buf, format="PNG")
+    out = _decode_payload(buf.getvalue(), 4, 5, 3)
+    assert np.array_equal(out, arr)
