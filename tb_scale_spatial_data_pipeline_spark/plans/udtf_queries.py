@@ -152,3 +152,49 @@ def q_datasource_raster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("b2").alias("sum_b2"),
         F.sum("b3").alias("sum_b3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GeoTIFF adapter round trip as a hash-checked query: a closed-form
+# raster goes out through tile_table_to_tiff, back in through
+# tiff_to_tile_table, and is block-aggregated; the DuckDB twin
+# regenerates the identical pixels from generate_series. A value
+# mismatch anywhere in the codec path (byte layout, dtype, band
+# order) breaks the hash.
+@_q(
+    "tiff_roundtrip_scan",
+    """
+    WITH px AS (
+      SELECT x.i AS x, y.i AS y,
+             CAST((x.i * 31 + y.i * 17 + 7) % 256 AS DOUBLE) AS b1
+      FROM unnest(generate_series(0, 31)) AS x(i),
+           unnest(generate_series(0, 31)) AS y(i)
+    )
+    SELECT CAST(x // 8 AS INT) AS block_x, CAST(y // 8 AS INT) AS block_y,
+           COUNT(*) AS n_px, CAST(SUM(b1) AS DOUBLE) AS sum_b1
+    FROM px GROUP BY block_x, block_y
+    """,
+)
+def q_tiff_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.geotiff import tiff_to_tile_table, tile_table_to_tiff
+
+    px = spark.range(32 * 32).select(
+        (F.col("id") % 32).cast("int").alias("x"),
+        (F.col("id") / 32).cast("int").alias("y"),
+    )
+    px = px.withColumn(
+        "b1", ((F.col("x") * 31 + F.col("y") * 17 + 7) % 256).cast("double")
+    )
+    path = os.path.join(tempfile.gettempdir(), "tb_tiff_roundtrip.tif")
+    tile_table_to_tiff(px, path, ["b1"])
+    back = tiff_to_tile_table(spark, path, band_names=["b1"])
+    return back.groupBy(
+        F.floor(F.col("x") / 8).cast("int").alias("block_x"),
+        F.floor(F.col("y") / 8).cast("int").alias("block_y"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.sum("b1").cast("double").alias("sum_b1"),
+    )
