@@ -14,6 +14,7 @@ from . import (
     full_pipeline,
     media_queries,
     pipelines,
+    pq_queries,
     raster_queries,
     relational,
     relational2,
@@ -37,6 +38,7 @@ _MODULES = (
     relational5,
     text_queries,
     vector_queries,
+    pq_queries,
     raster_queries,
     event_queries,
     pipelines,

@@ -1,0 +1,130 @@
+"""Product-Quantization queries (IVF-PQ tier, PLANS.md self-identified
+gap): code assignment and asymmetric-distance search over `embeddings`,
+both hash-checked against DuckDB twins that regenerate the same
+deterministic codebooks (sub-vectors of the first K rows — the same
+SQL-regenerable convention as `ivf_assign`'s first-8 centroids).
+Codebook TRAINING (per-sub-space Lloyd) is covered by the rows-only
+`pq_train_assign` plus invariant tests in tests/test_pq.py.
+
+Cross-engine float discipline: every squared-distance is an explicit
+left-associated sum of (a-b)^2 terms in BOTH engines (same IEEE op
+sequence), rounded before any ordering decision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import t
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+DIM = 64
+M = 8          # sub-spaces
+SUB = DIM // M
+K = 4          # codewords per sub-space
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _sql_sub_dist2(m: int, a: str, b: str) -> str:
+    """Left-associated Σ (a[i]-b[i])² over sub-space m — op-for-op the
+    Spark fold in ml/pq._sub_dist2."""
+    terms = " + ".join(
+        f"(CAST({a}[{m * SUB + i + 1}] AS DOUBLE) - CAST({b}[{m * SUB + i + 1}] AS DOUBLE))"
+        f" * (CAST({a}[{m * SUB + i + 1}] AS DOUBLE) - CAST({b}[{m * SUB + i + 1}] AS DOUBLE))"
+        for i in range(SUB)
+    )
+    return f"(0.0 + {terms})"
+
+
+def _sql_cb_codes_ctes() -> str:
+    """Shared CTE block: codebook (first K rows), per-(vector,
+    codeword) sub-distances, and the per-vector code assignment."""
+    d_cols = ", ".join(
+        f"round({_sql_sub_dist2(m, 'e.embedding', 'c.cv')}, 9) AS d{m}" for m in range(M)
+    )
+    code_cols = ", ".join(
+        f"CAST(first(cid ORDER BY d{m}, cid) AS INT) AS code{m}" for m in range(M)
+    )
+    return f"""
+    cb AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {K}),
+    d AS MATERIALIZED (
+      SELECT e.vec_id, c.cid, {d_cols}
+      FROM embeddings e CROSS JOIN cb c
+    ),
+    codes AS (SELECT vec_id, {code_cols} FROM d GROUP BY vec_id)
+    """
+
+
+def _sql_pq_assign() -> str:
+    return f"""
+    WITH {_sql_cb_codes_ctes()}
+    SELECT * FROM codes
+    """
+
+
+@_q("pq_assign", _sql_pq_assign())
+def q_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.pq import pq_assign_codes, pq_codebooks_from_first_k
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = pq_codebooks_from_first_k(emb, "vec_id", "embedding", DIM, M, K)
+    return pq_assign_codes(emb.select("vec_id", "embedding"), "embedding", books).drop(
+        "embedding"
+    )
+
+
+def _sql_pq_search() -> str:
+    ld_cols = ", ".join(
+        f"{_sql_sub_dist2(m, 'q.qv', 'c.cv')} AS d{m}" for m in range(M)
+    )
+    joins = " ".join(f"JOIN ld l{m} ON l{m}.cid = a.code{m}" for m in range(M))
+    adc = " + ".join(f"l{m}.d{m}" for m in range(M))
+    return f"""
+    WITH {_sql_cb_codes_ctes()},
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    ld AS MATERIALIZED (SELECT c.cid, {ld_cols} FROM cb c CROSS JOIN q)
+    SELECT a.vec_id, round(sqrt(0.0 + {adc}), 6) AS adc
+    FROM codes a {joins}
+    ORDER BY adc, a.vec_id LIMIT 10
+    """
+
+
+@_q("pq_search", _sql_pq_search())
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.pq import pq_adc_search, pq_codebooks_from_first_k
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = pq_codebooks_from_first_k(emb, "vec_id", "embedding", DIM, M, K)
+    qv = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    return pq_adc_search(
+        emb.select("vec_id", "embedding"), "vec_id", "embedding", books, qv, top=10
+    )
+
+
+@_q("pq_train_assign")
+def q_pq_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: codes under TRAINED codebooks (per-sub-space Lloyd,
+    2 iterations — an iterative fixpoint, not single-statement SQL).
+    Invariants (code range, determinism, quantization-error
+    improvement over the untrained codebook) in tests/test_pq.py."""
+    from ..ml.pq import pq_assign_codes, train_pq_codebooks
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e")
+    )
+    books = train_pq_codebooks(emb, "vec_id", "e", DIM, M, K, iters=2)
+    return pq_assign_codes(emb, "e", books).drop("e")
