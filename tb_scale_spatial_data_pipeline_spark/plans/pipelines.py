@@ -335,6 +335,18 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["stream_stream_join"] = _eq.ORACLES["interval_join_click_purchase"]
 
 
+@_q("stream_stream_outer_join")
+def q_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: left-outer stream-stream interval join — null rows
+    require watermark EVICTION, so near-tail clicks legitimately stay
+    in state and the result is not batch-expressible for the full
+    stream; the closed-watermark region is batch-twin-checked in
+    tests/test_ml_streaming.py."""
+    from ..streaming.events import stream_stream_click_purchase_outer
+
+    return stream_stream_click_purchase_outer(spark, sf_dir)
+
+
 @_q("stream_static_enrich")
 def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import stream_static_enrich

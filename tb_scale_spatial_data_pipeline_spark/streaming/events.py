@@ -258,6 +258,16 @@ def stream_transform_with_state_totals(
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError:
+        import warnings
+
+        warnings.warn(
+            "transformWithState v2 unavailable (google.protobuf missing); "
+            "falling back to the applyInPandasWithState v1 path — "
+            "semantics identical for this processor, API surface not "
+            "exercised",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return stream_user_running_totals(spark, sf_dir)
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
@@ -309,3 +319,53 @@ def stream_transform_with_state_totals(
         timeMode="None",
     )
     return run_stream_to_table(out, "update")
+
+
+def stream_stream_click_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER event-time interval join: every click
+    emits exactly once — joined to same-user purchases in the following
+    30 minutes, or with NULL purchase columns once the purchase-side
+    watermark passes the click's join window and the state store evicts
+    it. This is the outer-join shape that requires watermark eviction
+    to be correct at all (without the time bound + watermarks, null
+    rows could never be finalized on an unbounded stream).
+
+    availableNow caveat (inherent to the semantics, not this code):
+    clicks whose join window the final watermark has not yet passed
+    remain in state and emit no null row — the batch-twin agreement
+    test (tests/test_ml_streaming.py) therefore compares the
+    closed-watermark region, where streaming and batch results must
+    match row-for-row."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+    return run_stream_to_table(joined, "append")

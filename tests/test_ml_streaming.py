@@ -254,3 +254,90 @@ def test_full_pipeline_chain_with_checkpoints(spark, tmp_path):
     assert {(r["seg_id"], r["PredClass"]) for r in rows} == {
         (r["seg_id"], r["PredClass"]) for r in out2.collect()
     }
+
+
+def test_stream_outer_join_matches_batch_in_closed_region(spark):
+    """Left-outer stream-stream join vs the batch left join: inside the
+    closed-watermark region (clicks whose 30-minute join window the
+    final 1-hour watermark has passed) the two must agree row-for-row,
+    including the NULL purchase rows that only watermark eviction can
+    finalize."""
+    import datetime
+
+    from tb_scale_spatial_data_pipeline_spark.sources.catalog import load_table
+    from tb_scale_spatial_data_pipeline_spark.streaming.events import (
+        stream_stream_click_purchase_outer,
+    )
+
+    got = stream_stream_click_purchase_outer(spark, SF_SMOKE)
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+    # closed region: click windows fully passed by the final watermark
+    # (min over both sides' max event time, - 1h delay - 30m window)
+    maxes = ev.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("mc"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("mp"),
+    ).collect()[0]
+    horizon = (
+        min(maxes["mc"], maxes["mp"])
+        - datetime.timedelta(hours=1)
+        - datetime.timedelta(minutes=30)
+    )
+    cutoff = horizon.strftime("%Y-%m-%d %H:%M:%S")
+
+    def closed(df):
+        return {
+            (r["click_id"], r["purchase_id"])
+            for r in df.where(F.col("click_ts") < F.lit(cutoff)).collect()
+        }
+
+    got_set, batch_set = closed(got), closed(batch)
+    assert len(batch_set) > 0
+    # null rows must be present (eviction actually fired)
+    assert any(p is None for _, p in batch_set)
+    assert got_set == batch_set
+
+
+def test_transform_with_state_fallback_is_visible(spark):
+    """When the v2 transformWithState path degrades to v1 (protobuf
+    absent) it must WARN, never silently substitute; where protobuf
+    exists, the v2 path runs warning-free and this test skips."""
+    import warnings as _warnings
+
+    import pytest
+
+    from tb_scale_spatial_data_pipeline_spark.streaming.events import (
+        stream_transform_with_state_totals,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        pytest.skip("protobuf installed; v2 path active, no fallback to observe")
+    except ImportError:
+        pass
+    with pytest.warns(RuntimeWarning, match="falling back"):
+        out = stream_transform_with_state_totals(spark, SF_SMOKE)
+    assert out.count() > 0
