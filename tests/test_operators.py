@@ -198,3 +198,50 @@ def test_connected_components_raises_on_max_iter(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, "id_a", "id_b", max_iter=2)
 
+
+
+def test_connected_components_star_matches_label_propagation(spark):
+    """Large-star/small-star contraction must produce the identical
+    labelling as min-label propagation on every graph shape: chain,
+    clique, isolated pair, plus a seeded random graph."""
+    import random
+
+    from tb_scale_spatial_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    rand_edges = [(rng.randrange(100, 160), rng.randrange(100, 160)) for _ in range(80)]
+    shapes = {
+        "chain": [(i, i + 1) for i in range(1, 30)],
+        "clique+pair": [(10, 11), (11, 12), (10, 12), (20, 21)],
+        "random": [(a, b) for a, b in rand_edges if a != b],
+    }
+    for name, es in shapes.items():
+        edges = spark.createDataFrame(es, "id_a bigint, id_b bigint")
+        want = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(edges, "id_a", "id_b", max_iter=60).collect()
+        }
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components_star(edges, "id_a", "id_b").collect()
+        }
+        assert got == want, name
+
+
+def test_connected_components_star_string_ids(spark):
+    from tb_scale_spatial_data_pipeline_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [("d", "c"), ("c", "b"), ("b", "a"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    out = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(edges, "id_a", "id_b").collect()
+    }
+    assert out == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
