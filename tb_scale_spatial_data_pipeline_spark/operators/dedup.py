@@ -354,21 +354,21 @@ def connected_components_star(
         contracted = _small_star(
             grown.unionByName(grown.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
         ).localCheckpoint(eager=True)
-        # fixed point: the (directed high->low) edge sets are identical
-        n_new = contracted.count()
-        n_old = e.where(F.col("_v") < F.col("_u")).count()
-        delta = (
-            contracted.exceptAll(
-                e.where(F.col("_v") < F.col("_u")).select("_u", "_v")
+        # fixed point ⇔ star forest: no target is still a source (no
+        # two-level chain survives) — one semi-join count per round,
+        # type-agnostic like the min-label changed-count check
+        chains = (
+            contracted.join(
+                contracted.select(F.col("_u").alias("_v")).distinct(),
+                "_v",
+                "leftsemi",
             ).count()
-            if n_new == n_old
-            else 1
         )
         sym = contracted.unionByName(
             contracted.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
         )
         e = sym.distinct().localCheckpoint(eager=True)
-        if delta == 0:
+        if chains == 0:
             converged = True
             break
     if not converged:

@@ -414,6 +414,31 @@ def q_dup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("dup_cluster_components_star", _sql_dup_clusters())
+def q_dup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate clusters, resolved by the large-star/small-star
+    contraction (`operators/dedup.connected_components_star`) — the
+    O(log n)-round adversarial-graph path, hash-checked against the
+    SAME recursive-CTE oracle as the min-label variant: both
+    distributed algorithms must reach the identical relational
+    fixpoint."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components_star
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, band_size=_BAND_SIZE
+    )
+    comp = connected_components_star(pairs, "id_a", "id_b")
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # End-to-end LLM training-corpus cleaning (the north-star pipeline as
 # ONE dataflow): quality filter → exact dedup (keep min id per
