@@ -128,3 +128,73 @@ def q_pq_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     books = train_pq_codebooks(emb, "vec_id", "e", DIM, M, K, iters=2)
     return pq_assign_codes(emb, "e", books).drop("e")
+
+
+# ---------------------------------------------------------------------------
+# Composed IVF-PQ search: coarse quantizer restricts candidates to the
+# query's cell (the IVF tier, `relational3.ivf_assign` convention:
+# centroids = first 8 vectors), then PQ asymmetric distance ranks the
+# cell — per-probe cost = cell_size × M lookups, never corpus × dim.
+def _sql_ivfpq_search() -> str:
+    ncents = 8
+    ivf_dist = (
+        "sqrt(list_aggregate(list_transform(generate_series(1, 64), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) "
+        "* (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))), 'sum'))"
+    )
+    d_cols = ", ".join(
+        f"round({_sql_sub_dist2(m, 'e.embedding', 'c.cv')}, 9) AS d{m}" for m in range(M)
+    )
+    code_cols = ", ".join(
+        f"CAST(first(cid ORDER BY d{m}, cid) AS INT) AS code{m}" for m in range(M)
+    )
+    ld_cols = ", ".join(f"{_sql_sub_dist2(m, 'q.qv', 'c.cv')} AS d{m}" for m in range(M))
+    joins = " ".join(f"JOIN ld l{m} ON l{m}.cid = a.code{m}" for m in range(M))
+    adc = " + ".join(f"l{m}.d{m}" for m in range(M))
+    return f"""
+    WITH cents AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < {ncents}),
+    assign AS MATERIALIZED (
+      SELECT vec_id, centroid_id
+      FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY round({ivf_dist}, 9), c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    cb AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {K}),
+    cell AS (SELECT e.vec_id, e.embedding FROM embeddings e
+             JOIN assign a ON a.vec_id = e.vec_id
+             WHERE a.centroid_id = (SELECT centroid_id FROM assign WHERE vec_id = 0)),
+    d AS MATERIALIZED (
+      SELECT e.vec_id, c.cid, {d_cols}
+      FROM cell e CROSS JOIN cb c
+    ),
+    codes AS (SELECT vec_id, {code_cols} FROM d GROUP BY vec_id),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    ld AS MATERIALIZED (SELECT c.cid, {ld_cols} FROM cb c CROSS JOIN q)
+    SELECT a.vec_id, round(sqrt(0.0 + {adc}), 6) AS adc
+    FROM codes a {joins}
+    ORDER BY adc, a.vec_id LIMIT 10
+    """
+
+
+@_q("ivfpq_search", _sql_ivfpq_search())
+def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.pq import pq_adc_search, pq_codebooks_from_first_k
+    from .relational3 import QUERIES as _R3
+
+    emb = t(spark, sf_dir, "embeddings")
+    assign = _R3["ivf_assign"](spark, sf_dir)
+    qcell = assign.where(F.col("vec_id") == 0).collect()[0]["centroid_id"]
+    cell = emb.join(
+        assign.where(F.col("centroid_id") == F.lit(qcell)).select("vec_id"), "vec_id"
+    )
+    books = pq_codebooks_from_first_k(emb, "vec_id", "embedding", DIM, M, K)
+    qv = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    return pq_adc_search(
+        cell.select("vec_id", "embedding"), "vec_id", "embedding", books, qv, top=10
+    )
