@@ -47,55 +47,101 @@ def pq_codebooks_from_first_k(
 def train_pq_codebooks(
     df: DataFrame, id_col: str, vec_col: str, dim: int, m: int, k: int, iters: int = 2
 ) -> Codebooks:
-    """Trained codebooks: per-sub-space Lloyd k-means over vector
-    slices — one distributed loop per sub-space, each using the
-    shuffle-free literal-centroid assign."""
-    from .clustering import lloyd_kmeans
-
+    """Trained codebooks: Lloyd k-means over ALL sub-spaces jointly —
+    vectors explode to (sub-space, sub-vector) rows once, every
+    iteration assigns against the full (m × k)-centroid literal
+    (filtered to the row's own sub-space) and recomputes all means in
+    ONE decimal-exact aggregation. Two driver round-trips per
+    iteration total, independent of M — the per-sub-space-loop
+    formulation costs M× that."""
     sub = dim // m
-    books: Codebooks = []
-    for mi in range(m):
-        sliced = df.select(
-            F.col(id_col).alias("_id"),
-            F.slice(F.col(vec_col), mi * sub + 1, sub).alias("_sv"),
+    data = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+
+    init = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    vecs = [[float(v) for v in r[vec_col]] for r in init]
+    books: Codebooks = [
+        [(j, _subvec(vecs[j], mi, sub)) for j in range(k)] for mi in range(m)
+    ]
+
+    for _ in range(iters):
+        # one static projection assigns ALL sub-space codes (unrolled
+        # arithmetic → whole-stage codegen, no higher-order functions),
+        # then one explode + aggregation recomputes every mean:
+        # two jobs per iteration, independent of M
+        coded = pq_assign_codes(data, "_v", books)
+        pieces = F.array(
+            *[
+                F.struct(
+                    F.lit(mi).alias("m"),
+                    F.col(f"code{mi}").alias("cluster"),
+                    F.slice(F.col("_v"), mi * sub + 1, sub).alias("sv"),
+                )
+                for mi in range(m)
+            ]
         )
-        _, cents = lloyd_kmeans(sliced, "_id", "_sv", k=k, iters=iters)
-        books.append(
-            [(int(r["cid"]), [float(v) for v in r["cvec"]]) for r in cents.collect()]
+        new_rows = (
+            coded.select(F.explode(pieces).alias("s"))
+            .select(
+                F.col("s.m").alias("m"),
+                F.col("s.cluster").alias("cluster"),
+                F.posexplode("s.sv").alias("pos", "v"),
+            )
+            .groupBy("m", "cluster", "pos")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(28,9)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mean")
+            )
+            .collect()
         )
+        cents: dict[tuple[int, int], list[float]] = {}
+        for r in new_rows:
+            cents.setdefault((r["m"], r["cluster"]), [0.0] * sub)[r["pos"]] = r["mean"]
+        books = [
+            [(j, cents[(mi, j)]) for j in range(k) if (mi, j) in cents]
+            for mi in range(m)
+        ]
     return books
 
 
-def _sub_dist2(vec_col: Column, start0: int, sub: list[float]) -> Column:
-    """Squared L2 between vec[start0:start0+len(sub)] and the literal
-    sub-vector — sequential fold, same order as the SQL twin."""
-    acc = F.lit(0.0)
-    for i, s in enumerate(sub):
-        d = vec_col.getItem(start0 + i).cast("double") - F.lit(float(s))
-        acc = acc + d * d
-    return acc
+def _dlit(v: float) -> str:
+    """Exact double literal for Spark SQL text (string-cast round-trips
+    the full precision regardless of exponent formatting)."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
+def _sub_dist2_sql(vec_col: str, start0: int, sub: list[float]) -> str:
+    """Squared L2 between vec[start0:start0+len(sub)] (0-based Spark
+    array indexing) and the literal sub-vector — left-associated sum,
+    op-for-op the DuckDB oracle's fold."""
+    terms = " + ".join(
+        f"(CAST({vec_col}[{start0 + i}] AS DOUBLE) - {_dlit(s)})"
+        f" * (CAST({vec_col}[{start0 + i}] AS DOUBLE) - {_dlit(s)})"
+        for i, s in enumerate(sub)
+    )
+    return f"(0.0d + {terms})"
 
 
 def pq_assign_codes(df: DataFrame, vec_col: str, codebooks: Codebooks) -> DataFrame:
     """Code assignment: per sub-space, the id of the nearest codeword —
     a pure projection over literal codebooks (no join, no shuffle).
-    Output adds code0..code{M-1} int columns."""
+    Output adds code0..code{M-1} int columns. Each argmin is ONE
+    F.expr() built from generated SQL text: composing it from Column
+    operators costs ~2000 py4j round-trips of driver time (measured
+    3.8 s — 15× the actual execution), string building costs none."""
     sub_dim = len(codebooks[0][0][1])
-    out = df
+    code_cols = []
     for mi, book in enumerate(codebooks):
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        F.round(_sub_dist2(F.col(vec_col), mi * sub_dim, sv), 9).alias("d"),
-                        F.lit(int(cid)).alias("cid"),
-                    )
-                    for cid, sv in book
-                ]
-            )
+        structs = ", ".join(
+            f"named_struct('d', round({_sub_dist2_sql(vec_col, mi * sub_dim, sv)}, 9), "
+            f"'cid', {int(cid)})"
+            for cid, sv in book
         )
-        out = out.withColumn(f"code{mi}", best["cid"])
-    return out
+        code_cols.append(
+            F.expr(f"array_min(array({structs}))['cid']").alias(f"code{mi}")
+        )
+    return df.select("*", *code_cols)
 
 
 def pq_adc_search(

@@ -117,16 +117,18 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("pq_train_assign")
 def q_pq_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: codes under TRAINED codebooks (per-sub-space Lloyd,
-    2 iterations — an iterative fixpoint, not single-statement SQL).
-    Invariants (code range, determinism, quantization-error
-    improvement over the untrained codebook) in tests/test_pq.py."""
+    """Rows-only: codes under TRAINED codebooks (joint-sub-space Lloyd
+    — an iterative fixpoint, not single-statement SQL). One iteration
+    here: each Lloyd pass costs one codegen of the full assignment
+    projection, and the sweep needs the demonstration, not the
+    converged codebook; multi-iteration invariants (quantization-error
+    monotonicity, determinism) run in tests/test_pq.py with iters=2."""
     from ..ml.pq import pq_assign_codes, train_pq_codebooks
 
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e")
     )
-    books = train_pq_codebooks(emb, "vec_id", "e", DIM, M, K, iters=2)
+    books = train_pq_codebooks(emb, "vec_id", "e", DIM, M, K, iters=1)
     return pq_assign_codes(emb, "e", books).drop("e")
 
 
