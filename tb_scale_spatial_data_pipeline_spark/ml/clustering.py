@@ -22,23 +22,26 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import l2_distance
 
 
-def _cent_literal(cent_rows: list[tuple[int, list[float]]]) -> Column:
-    """k×dim centroids as a literal array<struct<cid,cvec>> column."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).alias("cid"),
-                F.array(*[F.lit(float(v)) for v in vec]).alias("cvec"),
-            )
-            for cid, vec in cent_rows
-        ]
+def _cent_literal_sql(cent_rows: list[tuple[int, list[float]]]) -> str:
+    """k×dim centroids as SQL text for an array<struct<cid,cvec>>
+    literal. Exact double literals via string casts; generated as TEXT
+    because composing the same tree from Column operators costs one
+    py4j round-trip per element (~500 per call — measured dominant
+    over execution in the PQ tier, same pathology here)."""
+    structs = ", ".join(
+        "named_struct('cid', {cid}, 'cvec', array({vs}))".format(
+            cid=int(cid),
+            vs=", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vec),
+        )
+        for cid, vec in cent_rows
     )
+    return f"array({structs})"
 
 
 def _assign(
@@ -48,19 +51,19 @@ def _assign(
 
     Pure projection — centroids ride along as a literal, the argmin is
     ``array_min`` over (dist, cid) structs (deterministic tiebreak, no
-    sort, no shuffle, no join).
-    """
-    cand = _cent_literal(cent_rows)
-    best = F.array_min(
-        F.transform(
-            cand,
-            lambda c: F.struct(
-                F.round(l2_distance(F.col(vec_col), c["cvec"]), 9).alias("d"),
-                c["cid"].alias("cid"),
-            ),
-        )
+    sort, no shuffle, no join). The distance is the same
+    sqrt(aggregate(zip_with)) fold as functions.vectors.l2_distance,
+    rounded to 9 with cid tiebreak — expressed as one generated SQL
+    string for a single py4j call."""
+    dist = (
+        f"round(sqrt(aggregate(zip_with({vec_col}, c.cvec, "
+        "(x, y) -> (x - y) * (x - y)), 0.0d, (acc, v) -> acc + v)), 9)"
     )
-    return df.withColumn("cluster", best["cid"])
+    best = (
+        f"array_min(transform({_cent_literal_sql(cent_rows)}, "
+        f"c -> named_struct('d', {dist}, 'cid', c.cid)))['cid']"
+    )
+    return df.withColumn("cluster", F.expr(best))
 
 
 def lloyd_kmeans(
