@@ -231,8 +231,10 @@ def q_ann_top1_in_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pairs.select(
         "query_id", "cand_id", F.round(dot(F.col("qe"), F.col("ce")), 6).alias("cos_sim")
     )
-    # top-1 via max_by (hash agg, map-side partials) instead of a
-    # row_number window — no per-partition sort of all candidate pairs
+    # top-1 via max_by instead of a row_number window. Struct-keyed
+    # max_by plans as SortAggregate, but with MAP-SIDE PARTIALS: only
+    # one candidate row per (query, partition) reaches the exchange,
+    # where the window shuffled and sorted EVERY candidate pair.
     best = F.max_by(
         F.struct(F.col("cand_id"), F.col("cos_sim")),
         F.struct(F.col("cos_sim"), (-F.col("cand_id")).alias("neg_id")),
