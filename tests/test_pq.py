@@ -101,3 +101,18 @@ def test_adc_search_is_compressed_domain_brute_force(spark):
             qm = q[m * sub : (m + 1) * sub]
             expect += float(((qm - cb[(m, codes[r["vec_id"]][m])]) ** 2).sum())
         assert abs(r["adc"] - round(np.sqrt(expect), 6)) < 1e-6
+
+
+def test_adc_search_plans_top_k_heap(spark):
+    """ADC top-k must plan as TakeOrderedAndProject (per-partition
+    heap + driver merge), never a global sort."""
+    emb = _emb(spark)
+    books = pq_codebooks_from_first_k(emb, "vec_id", "embedding", DIM, M, K)
+    qv = [float(v) for v in emb.take(1)[0]["embedding"]]
+    out = pq_adc_search(emb, "vec_id", "embedding", books, qv, top=5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[0], plan
