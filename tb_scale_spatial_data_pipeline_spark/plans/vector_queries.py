@@ -171,3 +171,55 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.clustering import kmeans_cluster_profile
 
     return kmeans_cluster_profile(spark, sf_dir, k=8, iters=3)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-duplicate clusters: the cosine near-dup pairs become edges
+# of a similarity graph; connected components (star contraction)
+# resolve transitive duplicate groups — the embedding-space mirror of
+# the MinHash dup_cluster_components chain, checked against the same
+# recursive-CTE fixpoint pattern.
+def _sql_embedding_dup_clusters() -> str:
+    pair_sql = f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND b.vec_id > a.vec_id
+    WHERE round({_sql_cosine('a.embedding', 'b.embedding')}, 6) > 0.3
+    """
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({pair_sql}),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, lbl) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+      WHERE r.lbl < e.d
+    ),
+    labels AS (SELECT node AS vec_id, MIN(lbl) AS cluster_id
+               FROM reach GROUP BY node)
+    SELECT vec_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM labels
+    """
+
+
+@_q("embedding_dup_clusters", _sql_embedding_dup_clusters())
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components_star
+
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label").alias("lbl_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lbl_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, (a["lbl_a"] == b["lbl_b"]) & (b["id_b"] > a["id_a"]))
+    sim = cosine_similarity(as_double_array(F.col("ea")), as_double_array(F.col("eb")))
+    edges = pairs.where(F.round(sim, 6) > 0.3).select("id_a", "id_b")
+    comp = connected_components_star(edges, "id_a", "id_b")
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
