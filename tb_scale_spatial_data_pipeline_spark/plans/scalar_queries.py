@@ -103,27 +103,43 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "math_functions",
     """
-    SELECT l_orderkey, l_linenumber, l_partkey,
-           abs(l_quantity - 25.0) AS absdev,
-           CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ceil7,
-           CAST(floor(l_quantity / 7.0) AS BIGINT) AS floor7,
-           round(sqrt(l_extendedprice), 6) AS sqrtp,
-           round(ln(l_extendedprice + 1.0), 6) AS lnp,
-           round(pow(l_discount, 2.0), 6) AS disc2,
-           sign(l_quantity - 25.0) AS sgn,
-           greatest(l_quantity, l_tax * 100.0) AS gr,
-           least(l_quantity, l_tax * 100.0) AS le,
-           CAST(l_quantity AS BIGINT) % 7 AS mod7
-    FROM lineitem
+    WITH m AS (
+      SELECT l_linenumber,
+             abs(l_quantity - 25.0) AS absdev,
+             CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ceil7,
+             CAST(floor(l_quantity / 7.0) AS BIGINT) AS floor7,
+             round(sqrt(l_extendedprice), 6) AS sqrtp,
+             round(ln(l_extendedprice + 1.0), 6) AS lnp,
+             round(pow(l_discount, 2.0), 6) AS disc2,
+             sign(l_quantity - 25.0) AS sgn,
+             greatest(l_quantity, l_tax * 100.0) AS gr,
+             least(l_quantity, l_tax * 100.0) AS le,
+             CAST(l_quantity AS BIGINT) % 7 AS mod7
+      FROM lineitem
+    )
+    SELECT l_linenumber, COUNT(*) AS n,
+           CAST(SUM(CAST(absdev AS DECIMAL(28,6))) AS DOUBLE) AS s_absdev,
+           CAST(SUM(ceil7) AS BIGINT) AS s_ceil7,
+           CAST(SUM(floor7) AS BIGINT) AS s_floor7,
+           CAST(SUM(CAST(sqrtp AS DECIMAL(28,6))) AS DOUBLE) AS s_sqrtp,
+           CAST(SUM(CAST(lnp AS DECIMAL(28,6))) AS DOUBLE) AS s_lnp,
+           CAST(SUM(CAST(disc2 AS DECIMAL(28,6))) AS DOUBLE) AS s_disc2,
+           CAST(SUM(CAST(sgn AS DECIMAL(28,6))) AS DOUBLE) AS s_sgn,
+           CAST(SUM(CAST(gr AS DECIMAL(28,6))) AS DOUBLE) AS s_gr,
+           CAST(SUM(CAST(le AS DECIMAL(28,6))) AS DOUBLE) AS s_le,
+           CAST(SUM(mod7) AS BIGINT) AS s_mod7
+    FROM m GROUP BY l_linenumber
     """,
 )
 def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every scalar math function still runs per lineitem row; the
+    verified artifact is the per-linenumber decimal-exact SUM of each
+    function's output (one wrong value anywhere breaks its group sum)
+    — 7 rows to hash instead of |lineitem|."""
     li = t(spark, sf_dir, "lineitem")
     q = F.col("l_quantity")
-    return li.select(
-        "l_orderkey",
+    m = li.select(
         "l_linenumber",
-        "l_partkey",
         F.abs(q - 25.0).alias("absdev"),
         F.ceil(q / 7.0).alias("ceil7"),
         F.floor(q / 7.0).alias("floor7"),
@@ -134,6 +150,20 @@ def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(q, F.col("l_tax") * 100.0).alias("gr"),
         F.least(q, F.col("l_tax") * 100.0).alias("le"),
         (q.cast("bigint") % 7).alias("mod7"),
+    )
+    dsum6 = lambda c: F.sum(F.col(c).cast("decimal(28,6)")).cast("double")
+    return m.groupBy("l_linenumber").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum6("absdev").alias("s_absdev"),
+        F.sum("ceil7").cast("bigint").alias("s_ceil7"),
+        F.sum("floor7").cast("bigint").alias("s_floor7"),
+        dsum6("sqrtp").alias("s_sqrtp"),
+        dsum6("lnp").alias("s_lnp"),
+        dsum6("disc2").alias("s_disc2"),
+        dsum6("sgn").alias("s_sgn"),
+        dsum6("gr").alias("s_gr"),
+        dsum6("le").alias("s_le"),
+        F.sum("mod7").cast("bigint").alias("s_mod7"),
     )
 
 
