@@ -278,6 +278,31 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_session_windows(spark, sf_dir)
 
 
+# streaming session_window(gap=30m) over a bounded source equals batch
+# gaps-and-islands sessionization; Spark opens a NEW session when the
+# gap is >= 30 minutes (merge only while next_ts < prev_ts + gap), so
+# the twin flags on >=, unlike the batch `sessionization` query's >.
+ORACLES["stream_session_windows"] = """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """
+
+
 @_q("stream_dedup")
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import stream_dedup_within_watermark
