@@ -129,3 +129,50 @@ def test_segments_to_vector_file_requires_fiona(spark):
     )
     with pytest.raises(ImportError, match="segments_to_geojson"):
         vector_io.segments_to_vector_file(df, "/tmp/x.gpkg")
+
+
+def test_tiff_reader_handles_multi_strip(tmp_path):
+    """rasterio/GDAL write striped TIFFs; the built-in reader must
+    reassemble multiple strips, not just the single-strip layout the
+    built-in writer emits. Hand-pack a 2-strip file to pin that."""
+    import struct
+
+    arr = np.arange(6 * 4, dtype=np.uint8).reshape(6, 4, 1)
+    rows_per_strip = 3
+    strips = [arr[0:3].tobytes(), arr[3:6].tobytes()]
+    data = b"".join(strips)
+    off0 = 8
+    off1 = off0 + len(strips[0])
+    ifd_offset = 8 + len(data)
+    entries = [
+        (256, 4, 1, 4),                 # width
+        (257, 4, 1, 6),                 # height
+        (258, 3, 1, 8),                 # bits per sample
+        (259, 3, 1, 1),                 # uncompressed
+        (262, 3, 1, 1),                 # photometric
+        (277, 3, 1, 1),                 # samples per pixel
+        (278, 4, 1, rows_per_strip),    # rows per strip
+        (339, 3, 1, 1),                 # sample format: unsigned
+    ]
+    # strip offsets/counts arrays live after the IFD
+    n_entries = len(entries) + 2
+    extra_base = ifd_offset + 2 + 12 * n_entries + 4
+    entries.append((273, 4, 2, extra_base))       # strip offsets ptr
+    entries.append((279, 4, 2, extra_base + 8))   # strip byte counts ptr
+    entries.sort()
+    p = str(tmp_path / "striped.tif")
+    with open(p, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", ifd_offset))
+        f.write(data)
+        f.write(struct.pack("<H", n_entries))
+        for tag, typ, cnt, val in entries:
+            f.write(struct.pack("<HHII", tag, typ, cnt, val))
+        f.write(struct.pack("<I", 0))
+        f.write(struct.pack("<II", off0, off1))
+        f.write(struct.pack("<II", len(strips[0]), len(strips[1])))
+
+    from tb_scale_spatial_data_pipeline_spark.sources.geotiff import read_tiff
+
+    back = read_tiff(p)
+    assert back.shape == (6, 4, 1)
+    assert np.array_equal(back, arr)
