@@ -314,15 +314,18 @@ def connected_components_star(
     chain structure (entity resolution over transitive matches, web
     graphs) get log-round guarantees here.
     """
-    deg = F.col("_u") != F.col("_v")
+    sym0 = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v")).unionByName(
+        edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v"))
+    )
+    # node set BEFORE dropping self-loops: a node appearing only in
+    # (u, u) edges is its own component and must still be labelled
+    # (the min-label variant keeps it; the contract must match)
+    nodes = sym0.select(F.col("_u").alias("node")).distinct().localCheckpoint(eager=True)
     e = (
-        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
-        .unionByName(edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v")))
-        .where(deg)
+        sym0.where(F.col("_u") != F.col("_v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = e.select(F.col("_u").alias("node")).distinct().localCheckpoint(eager=True)
 
     def _large_star(ed: DataFrame) -> DataFrame:
         # m(u) = min over Γ(u) ∪ {u}; link strictly-larger neighbors to m

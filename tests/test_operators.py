@@ -245,3 +245,27 @@ def test_connected_components_star_string_ids(spark):
         for r in connected_components_star(edges, "id_a", "id_b").collect()
     }
     assert out == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_star_self_loops(spark):
+    """A node appearing only in self-loop edges is its own component —
+    both CC variants must label it rather than drop it."""
+    from tb_scale_spatial_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(5, 5), (1, 2), (2, 2)], "id_a bigint, id_b bigint"
+    )
+    want = {1: 1, 2: 1, 5: 5}
+    got_label = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edges, "id_a", "id_b").collect()
+    }
+    got_star = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(edges, "id_a", "id_b").collect()
+    }
+    assert got_label == want
+    assert got_star == want
