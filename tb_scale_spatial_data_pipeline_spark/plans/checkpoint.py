@@ -42,10 +42,29 @@ def stage(
     """Compute-if-absent variant of :func:`materialize_stage`: the
     builder (and any eager work inside it, e.g. an RF fit) runs ONLY
     when the stage product is missing — the exists-skip applies to the
-    whole stage construction, not just the write."""
+    whole stage construction, not just the write.
+
+    Concurrent-writer safe: each writer materializes into its own
+    temp directory and publishes with an atomic directory rename; the
+    loser of a race (rename fails because the product now exists)
+    discards its copy and reads the winner's. Two processes writing
+    ``mode("overwrite")`` into the SAME path would instead trample
+    each other's _temporary dirs."""
+    import shutil
+
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        builder().write.mode("overwrite").parquet(path)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        builder().write.mode("overwrite").parquet(tmp)
+        if not os.path.exists(marker):
+            if os.path.isdir(path):  # stale partial product, no marker
+                shutil.rmtree(path, ignore_errors=True)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                pass  # concurrent writer published first — use theirs
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)
 
 
