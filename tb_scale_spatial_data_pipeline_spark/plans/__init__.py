@@ -53,9 +53,20 @@ _MODULES = (
 
 
 def all_queries():
+    """Merged registry, ordered ROUND-ROBIN across modules: position k
+    holds the (k // n_modules)-th query of module (k % n_modules). A
+    correctness sweep that is budget-bounded to a prefix therefore
+    samples every tier (relational, text, vector, raster, streaming,
+    pipelines, PQ, ...) instead of exhausting its budget inside the
+    first module. Deterministic: module tuple order × each module's
+    registration order."""
+    per_mod = [list(mod.QUERIES.items()) for mod in _MODULES]
     q = {}
-    for mod in _MODULES:
-        q.update(mod.QUERIES)
+    for i in range(max(len(m) for m in per_mod)):
+        for m in per_mod:
+            if i < len(m):
+                name, fn = m[i]
+                q[name] = fn
     return q
 
 
