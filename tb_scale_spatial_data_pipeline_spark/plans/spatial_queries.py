@@ -168,6 +168,71 @@ def q_spatial_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("rect_id").agg(F.count("point_id").alias("n_points"))
 
 
+@_q("spatial_bbox_join_blocked")
+def q_spatial_bbox_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE form of the bbox join: rects explode to the grid
+    cells they cover, points map to their one cell, and the join is an
+    EQUI-join on the cell key with the exact containment predicate as
+    a residual filter — candidate pairs are cell-local, never
+    rects×points. Each qualifying (rect, point) pair appears exactly
+    once (a point's unique cell is covered by a rect's cell list at
+    most once), so the result is identical to the nested-loop form —
+    proven by sharing its oracle hash."""
+    from ..functions.geometry import rect_x0, rect_x1, rect_y0, rect_y1
+
+    G = 16.0
+    rects = _rects(spark, sf_dir)
+    parsed = rects.select(
+        "rect_id",
+        rect_x0(F.col("geometry")).alias("x0"),
+        rect_y0(F.col("geometry")).alias("y0"),
+        rect_x1(F.col("geometry")).alias("x1"),
+        rect_y1(F.col("geometry")).alias("y1"),
+    )
+    # half-open containment (px < x1): the last covered cell is the
+    # one holding x1 - epsilon
+    rcells = parsed.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("x0") / G), F.floor((F.col("x1") - F.lit(1e-9)) / G)
+            )
+        ).alias("cell_x"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("y0") / G), F.floor((F.col("y1") - F.lit(1e-9)) / G)
+            )
+        ).alias("cell_y"),
+    )
+    points = _points(spark, sf_dir).select(
+        "point_id",
+        "px",
+        "py",
+        F.floor(F.col("px") / G).alias("cell_x"),
+        F.floor(F.col("py") / G).alias("cell_y"),
+    )
+    exact = (
+        (F.col("px") >= F.col("x0"))
+        & (F.col("px") < F.col("x1"))
+        & (F.col("py") >= F.col("y0"))
+        & (F.col("py") < F.col("y1"))
+    )
+    hits = (
+        rcells.join(points, ["cell_x", "cell_y"])
+        .where(exact)
+        .groupBy("rect_id")
+        .agg(F.count("point_id").alias("_n"))
+    )
+    return parsed.select("rect_id").join(hits, "rect_id", "left").select(
+        "rect_id", F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_points")
+    )
+
+
+ORACLES["spatial_bbox_join_blocked"] = ORACLES["spatial_bbox_join"]
+
+
 # ---------------------------------------------------------------------------
 # §2.7 UDF surface: the registered pandas UDF (general shoelace area)
 # invoked through SQL — cross-checked against the rectangle closed
