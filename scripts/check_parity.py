@@ -26,6 +26,25 @@ from tb_scale_spatial_data_pipeline_spark.session import get_spark
 from tb_scale_spatial_data_pipeline_spark.sources.catalog import TABLES
 
 
+def dtype_sig(s: pd.Series) -> str:
+    """Width-sensitive dtype signature. The driver's exact hash
+    distinguishes integer widths (Spark SUM(INT)=BIGINT vs DuckDB
+    SUM(INT)=HUGEINT→float64), so the local harness must too."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "ts"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        try:
+            nbits = np.dtype(str(s.dtype).lower()).itemsize * 8
+        except TypeError:
+            nbits = 64
+        return f"i{nbits}"
+    if pd.api.types.is_float_dtype(s):
+        return "f"
+    return "obj"
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.copy()
     df.columns = [c.lower() for c in df.columns]
@@ -52,6 +71,24 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return issues
     if len(spark_pdf) != len(duck_pdf):
         issues.append(f"rowcount mismatch: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+        return issues
+    # Width-strict dtype gate BEFORE canonicalization: an int column on
+    # one side vs a float/wider-int on the other means the two engines
+    # produced different result types (e.g. unwrapped SUM over INT) —
+    # the driver's exact hash fails on that even when values agree.
+    sa = {c.lower(): dtype_sig(spark_pdf[c]) for c in spark_pdf.columns}
+    sb = {c.lower(): dtype_sig(duck_pdf[c]) for c in duck_pdf.columns}
+    for c in sorted(sa):
+        ka, kb = sa[c], sb[c]
+        if ka == kb:
+            continue
+        # A null-bearing int column arrives as float64 from BOTH
+        # engines; a one-sided int/float or width mismatch is real.
+        issues.append(
+            f"col {c}: dtype-width mismatch spark={ka} duck={kb} "
+            "(driver exact hash would fail — cast BOTH engines explicitly)"
+        )
+    if issues:
         return issues
     a, b = canon(spark_pdf), canon(duck_pdf)
     for c in a.columns:

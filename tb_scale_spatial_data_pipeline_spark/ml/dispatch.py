@@ -57,8 +57,12 @@ def dispatch_predict(
     active = list(model_map.keys())
     filtered = probe.where(F.col(combo_col).isin(active))  # J3 semi-filter
 
+    # id columns keep their INPUT types (hardcoding `long` widened an
+    # int32 l_linenumber and broke exact-hash parity with the oracle)
+    probe_types = dict(probe.dtypes)
     schema = (
-        ", ".join(f"{c} long" for c in id_cols) + f", {out_col} int, _dist double"
+        ", ".join(f"{c} {probe_types[c]}" for c in id_cols)
+        + f", {out_col} int, _dist double"
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -162,9 +162,17 @@ def pq_adc_search(
     adc2 = F.lit(0.0)
     for mi, book in enumerate(codebooks):
         qm = [float(v) for v in query_vec[mi * sub_dim : (mi + 1) * sub_dim]]
-        lut = {cid: sum((a - b) ** 2 for a, b in zip(qm, sv)) for cid, sv in book}
-        # dense LUT literal indexed by codeword id (+1: element_at is 1-based)
-        arr = F.array(*[F.lit(float(lut[cid])) for cid in sorted(lut)])
+        lut = {int(cid): sum((a - b) ** 2 for a, b in zip(qm, sv)) for cid, sv in book}
+        # LUT literal positioned by codeword id (+1: element_at is
+        # 1-based). Trained codebooks can have NON-contiguous cids
+        # (train_pq_codebooks drops empty clusters), so the array spans
+        # 0..max_cid with +inf placeholders at dropped ids — those ids
+        # are never emitted by pq_assign_codes, so a placeholder read
+        # would only surface as an impossible-distance sentinel, never
+        # a silent wrong-slot lookup.
+        arr = F.array(
+            *[F.lit(float(lut.get(i, float("inf")))) for i in range(max(lut) + 1)]
+        )
         adc2 = adc2 + F.element_at(arr, F.col(f"code{mi}") + 1)
     return (
         coded.select(id_col, F.round(F.sqrt(adc2), 6).alias("adc"))

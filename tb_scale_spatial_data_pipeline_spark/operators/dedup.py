@@ -357,9 +357,12 @@ def connected_components_star(
         contracted = _small_star(
             grown.unionByName(grown.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
         ).localCheckpoint(eager=True)
-        # fixed point ⇔ star forest: no target is still a source (no
-        # two-level chain survives) — one semi-join count per round,
-        # type-agnostic like the min-label changed-count check
+        # fixed point ⇔ star forest, which needs BOTH: (a) no target is
+        # still a source (no two-level chain survives) and (b) every
+        # source maps to exactly ONE distinct target. (a) alone is not a
+        # fixed-point test — on the butterfly graph
+        # {(1,5),(2,6),(3,5),(3,6)} node 3 ends linked to roots 1 AND 2
+        # with no chain, and exiting there splits the component.
         chains = (
             contracted.join(
                 contracted.select(F.col("_u").alias("_v")).distinct(),
@@ -367,11 +370,17 @@ def connected_components_star(
                 "leftsemi",
             ).count()
         )
+        multi_parent = (
+            contracted.groupBy("_u")
+            .agg(F.countDistinct("_v").alias("_nd"))
+            .where(F.col("_nd") > 1)
+            .count()
+        )
         sym = contracted.unionByName(
             contracted.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
         )
         e = sym.distinct().localCheckpoint(eager=True)
-        if chains == 0:
+        if chains == 0 and multi_parent == 0:
             converged = True
             break
     if not converged:

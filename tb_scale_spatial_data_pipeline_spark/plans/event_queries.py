@@ -38,7 +38,7 @@ _SQL_FMT = "%Y-%m-%d %H:%M:%S"
     "json_props",
     """
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
            COUNT(json_extract_string(props, '$.k')) AS n_with_k
     FROM events GROUP BY event_type
     """,
@@ -47,7 +47,7 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
-        F.sum("k").alias("sum_k"), F.count("k").alias("n_with_k")
+        F.sum("k").cast("long").alias("sum_k"), F.count("k").alias("n_with_k")
     )
 
 

@@ -466,10 +466,10 @@ def q_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_predicates",
     """
     SELECT o_orderpriority,
-           count_if(o_totalprice > 200000) AS n_big,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
            bool_and(o_totalprice > 0) AS all_positive,
            bool_or(o_orderstatus = 'O') AS any_open,
-           count_if(o_orderstatus = 'F' AND o_totalprice > 150000)
+           CAST(count_if(o_orderstatus = 'F' AND o_totalprice > 150000) AS BIGINT)
              AS n_big_finished
     FROM orders
     GROUP BY o_orderpriority

@@ -37,7 +37,7 @@ def _q(name: str, oracle: str | None = None):
            rpad(p_brand, 12, '#') AS rp,
            replace(p_type, 'a', '@') AS repl,
            reverse(p_name) AS rev,
-           length(p_name) AS len,
+           CAST(length(p_name) AS INT) AS len,
            concat(p_brand, '/', p_type) AS cat,
            trim('  ' || p_brand || '  ') AS trimmed,
            contains(p_type, 'ano') AS has_ano,

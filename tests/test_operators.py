@@ -231,6 +231,26 @@ def test_connected_components_star_matches_label_propagation(spark):
         assert got == want, name
 
 
+def test_connected_components_star_butterfly(spark):
+    """Regression: the 'no target is still a source' check alone is not
+    a fixed-point test. On {(1,5),(2,6),(3,5),(3,6)} round one contracts
+    to {(3,1),(5,1),(3,2),(6,2)} — chain-free, but node 3 carries TWO
+    roots, and exiting there returned a split component with node 3
+    labelled twice. Convergence now also requires every source to map
+    to exactly one distinct target."""
+    from tb_scale_spatial_data_pipeline_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 5), (2, 6), (3, 5), (3, 6)], "id_a bigint, id_b bigint"
+    )
+    rows = connected_components_star(edges, "id_a", "id_b").collect()
+    out = {r["node"]: r["cluster_id"] for r in rows}
+    assert len(rows) == len(out) == 5, "each node labelled exactly once"
+    assert out == {1: 1, 2: 1, 3: 1, 5: 1, 6: 1}
+
+
 def test_connected_components_star_string_ids(spark):
     from tb_scale_spatial_data_pipeline_spark.operators.dedup import (
         connected_components_star,

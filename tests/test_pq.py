@@ -103,6 +103,45 @@ def test_adc_search_is_compressed_domain_brute_force(spark):
         assert abs(r["adc"] - round(np.sqrt(expect), 6)) < 1e-6
 
 
+def test_adc_search_with_noncontiguous_trained_cids(spark):
+    """Regression: train_pq_codebooks drops empty clusters, so trained
+    codebooks can carry NON-contiguous cids (here [0, 2] after cid 1's
+    duplicate-of-0 init centroid empties out). pq_adc_search's LUT used
+    to be packed by sort order — code 2 then read past the array end
+    (NULL/ANSI error). The LUT is now positioned by cid; distances must
+    match the NumPy ground truth computed from the same books."""
+    dim, m, k = 4, 2, 3
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # duplicate init centroid -> cid 1 empties
+        (2, [10.0, 10.0, 10.0, 10.0]),
+        (3, [0.5, 0.5, 0.5, 0.5]),
+        (4, [9.5, 9.5, 9.5, 9.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    books = train_pq_codebooks(df, "vec_id", "embedding", dim, m, k, iters=1)
+    cids = {cid for book in books for cid, _ in book}
+    assert cids == {0, 2}, f"fixture must yield non-contiguous cids, got {cids}"
+
+    qv = [10.0, 10.0, 10.0, 10.0]
+    got = pq_adc_search(df, "vec_id", "embedding", books, qv, top=5).collect()
+    assert len(got) == 5 and all(r["adc"] is not None for r in got)
+
+    sub = dim // m
+    codes = {
+        r["vec_id"]: [r[f"code{mi}"] for mi in range(m)]
+        for r in pq_assign_codes(df, "embedding", books).collect()
+    }
+    cb = {(mi, cid): np.array(sv) for mi, book in enumerate(books) for cid, sv in book}
+    q = np.array(qv)
+    for r in got:
+        expect = sum(
+            float(((q[mi * sub : (mi + 1) * sub] - cb[(mi, codes[r["vec_id"]][mi])]) ** 2).sum())
+            for mi in range(m)
+        )
+        assert abs(r["adc"] - round(np.sqrt(expect), 6)) < 1e-6
+
+
 def test_adc_search_plans_top_k_heap(spark):
     """ADC top-k must plan as TakeOrderedAndProject (per-partition
     heap + driver merge), never a global sort."""

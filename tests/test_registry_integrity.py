@@ -2,15 +2,111 @@
 dict.update over plans._MODULES — a duplicate query name across
 modules would silently shadow an earlier operator, and an oracle
 without a query would KeyError in the driver's compare loop.
+
+Also the width gate: the driver's exact value hash distinguishes
+integer widths (Spark SUM(INT) = BIGINT, DuckDB SUM(INT) = HUGEINT),
+a bug class that recurred three rounds because the local harness
+coerced widths away. `test_spark_and_oracle_result_types_agree`
+type-checks EVERY oracle pair via planning only (Spark .schema +
+DuckDB DESCRIBE), so an unwrapped int aggregate fails the suite
+before it can fail the driver.
 """
 
 from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
 
 from tb_scale_spatial_data_pipeline_spark.plans import (
     _MODULES,
     all_oracles,
     all_queries,
 )
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck_sig(t: str) -> str:
+    """DuckDB type string -> width-sensitive signature."""
+    t = t.upper()
+    if t.startswith(("HUGEINT", "UHUGEINT")):
+        return "HUGEINT"  # never acceptable: no Spark twin
+    if t.startswith(("STRUCT", "MAP")):
+        return "struct"
+    if t.endswith("[]") or t.startswith("LIST"):
+        return "list"
+    for prefix, sig in (
+        ("BIGINT", "i64"), ("UBIGINT", "i64"),
+        ("INTEGER", "i32"), ("UINTEGER", "i32"), ("INT", "i32"),
+        ("SMALLINT", "i16"), ("TINYINT", "i8"),
+        ("DOUBLE", "f64"), ("FLOAT", "f32"), ("REAL", "f32"),
+        ("DECIMAL", "dec"), ("VARCHAR", "str"), ("BOOLEAN", "bool"),
+        ("DATE", "date"), ("TIMESTAMP", "ts"), ("TIME", "ts"),
+        ("BLOB", "bin"),
+    ):
+        if t.startswith(prefix):
+            return sig
+    return t
+
+
+def _spark_sig(dt) -> str:
+    s = dt.simpleString()
+    if s.startswith(("array", "struct", "map")):
+        return "list" if s.startswith("array") else "struct"
+    return {
+        "bigint": "i64", "int": "i32", "smallint": "i16", "tinyint": "i8",
+        "double": "f64", "float": "f32", "string": "str", "boolean": "bool",
+        "date": "date", "timestamp": "ts", "timestamp_ntz": "ts",
+        "binary": "bin",
+    }.get(s, "dec" if s.startswith("decimal") else s)
+
+
+def test_spark_and_oracle_result_types_agree(spark):
+    """Plan (never execute) every oracle-paired query on both engines
+    and require column-for-column width-identical result types. This is
+    the structural fix for the recurring SUM-width bug: the driver's
+    exact hash fails on i64-vs-HUGEINT even when values agree."""
+    qs, os_ = all_queries(), all_oracles()
+    con = duckdb.connect()
+    from tb_scale_spatial_data_pipeline_spark.sources.catalog import TABLES
+
+    for tname in TABLES:
+        con.execute(f"CREATE VIEW {tname} AS SELECT * FROM '{SF}/{tname}.parquet'")
+
+    bad: list[str] = []
+    for name, sql in sorted(os_.items()):
+        try:
+            duck_types = {
+                r[0].lower(): _duck_sig(r[1])
+                for r in con.execute(f"DESCRIBE {sql}").fetchall()
+            }
+            spark_types = {
+                f.name.lower(): _spark_sig(f.dataType)
+                for f in qs[name](spark, SF).schema.fields
+            }
+        except Exception as e:  # planning failure is its own failure
+            bad.append(f"{name}: planning error {type(e).__name__}: {e}")
+            continue
+        if set(duck_types) != set(spark_types):
+            bad.append(
+                f"{name}: column sets differ spark={sorted(spark_types)} "
+                f"duck={sorted(duck_types)}"
+            )
+            continue
+        for c in sorted(duck_types):
+            if duck_types[c] == "HUGEINT":
+                bad.append(
+                    f"{name}.{c}: oracle yields HUGEINT (unwrapped int "
+                    "aggregate?) — CAST(... AS BIGINT) in the oracle SQL"
+                )
+            elif duck_types[c] != spark_types[c]:
+                bad.append(
+                    f"{name}.{c}: spark={spark_types[c]} duck={duck_types[c]} "
+                    "— cast BOTH engines to the same width"
+                )
+    assert not bad, "\n".join(bad)
 
 
 def test_no_duplicate_query_names_across_modules():
