@@ -176,9 +176,12 @@ def q_datasource_raster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tiff_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import contextlib
     import os
     import tempfile
+    import uuid
 
+    from ..sources import geotiff
     from ..sources.geotiff import tiff_to_tile_table, tile_table_to_tiff
 
     px = spark.range(32 * 32).select(
@@ -188,9 +191,25 @@ def q_tiff_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     px = px.withColumn(
         "b1", ((F.col("x") * 31 + F.col("y") * 17 + 7) % 256).cast("double")
     )
-    path = os.path.join(tempfile.gettempdir(), "tb_tiff_roundtrip.tif")
-    tile_table_to_tiff(px, path, ["b1"])
-    back = tiff_to_tile_table(spark, path, band_names=["b1"])
+    # per-process unique path: two concurrent sweeps racing on one
+    # fixed filename could interleave write/read into a corrupt scan
+    path = os.path.join(
+        tempfile.gettempdir(), f"tb_tiff_roundtrip_{os.getpid()}_{uuid.uuid4().hex}.tif"
+    )
+    # reference sink profile: LZW + internal tiling + BigTIFF
+    # (`0_preprocessing/feature_stacking.py:226-235`; tile size scaled
+    # to the 32x32 fixture — production uses 1024x1024)
+    tile_table_to_tiff(
+        px, path, ["b1"], compression="lzw", tile=(16, 16), bigtiff=True
+    )
+    try:
+        back = tiff_to_tile_table(spark, path, band_names=["b1"])
+    finally:
+        # the built-in codec path has already read the file eagerly;
+        # the rasterio path reads lazily at execution, so keep it
+        if geotiff._rasterio is None:
+            with contextlib.suppress(OSError):
+                os.remove(path)
     return back.groupBy(
         F.floor(F.col("x") / 8).cast("int").alias("block_x"),
         F.floor(F.col("y") / 8).cast("int").alias("block_y"),

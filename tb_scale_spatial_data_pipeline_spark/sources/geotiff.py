@@ -9,11 +9,15 @@ Two codec layers behind one seam:
 - **rasterio**, when importable: full GeoTIFF support (compression,
   CRS/transform metadata, block-windowed executor-side reads for the
   scale path).
-- **built-in minimal baseline-TIFF codec**, always available:
-  uncompressed, little-endian, chunky-interleaved TIFF 6.0 (uint8 /
-  int16 / uint16 / float32 / float64, any band count). This pins the
-  adapter contract — round-trip tested in this rasterio-less
-  container — so swapping in rasterio changes no call sites.
+- **built-in TIFF codec**, always available: little-endian,
+  chunky-interleaved TIFF 6.0 AND BigTIFF (uint8 / int16 / uint16 /
+  float32 / float64, any band count), uncompressed or LZW, single- or
+  multi-strip or internally TILED — enough to honor the reference's
+  sink contract (LZW + 1024×1024 internal tiles + BigTIFF,
+  `0_preprocessing/feature_stacking.py:226-235`) without rasterio.
+  This pins the adapter contract — round-trip tested in this
+  rasterio-less container — so swapping in rasterio changes no call
+  sites.
 
 Scale note: ``tiff_to_tile_table`` with rasterio distributes
 block-window reads across executors (each task opens the file and
@@ -36,9 +40,10 @@ try:  # optional geospatial dependency — absent in this container
 except ImportError:  # pragma: no cover
     _rasterio = None
 
-# --- minimal baseline-TIFF codec -----------------------------------------
+# --- built-in TIFF codec ---------------------------------------------------
 
-_TIFF_TYPES = {3: ("H", 2), 4: ("I", 4)}  # SHORT, LONG
+# TIFF field types used here: SHORT, LONG, LONG8 (BigTIFF)
+_TIFF_TYPES = {3: ("H", 2), 4: ("I", 4), 16: ("Q", 8)}
 _DTYPES = {
     # (bits, sample_format) -> numpy dtype; format 1=uint, 2=int, 3=float
     (8, 1): np.uint8,
@@ -52,67 +57,208 @@ _FORMATS = {np.dtype(k): v for v, k in {
     (32, 3): np.float32, (64, 3): np.float64,
 }.items()}
 
+_LZW_CLEAR, _LZW_EOI = 256, 257
 
-def write_tiff(path: str, arr: np.ndarray) -> None:
-    """Write (H, W) or (H, W, C) as an uncompressed little-endian
-    baseline TIFF, single strip, chunky interleave."""
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW (MSB-first bit packing, early code-width change,
+    table reset at 4094) — the public TIFF 6.0 §13 algorithm."""
+    out = bytearray()
+    bitbuf = nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((bitbuf >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(_LZW_CLEAR)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        # early change: widen one code BEFORE the width overflows
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:
+            emit(_LZW_CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([byte])
+    if w:
+        emit(table[w])
+    emit(_LZW_EOI)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """Inverse of :func:`_lzw_encode` (same early-change discipline)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    bitpos = 0
+    total_bits = len(data) * 8
+    prev: bytes | None = None
+    while bitpos + width <= total_bits:
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(data[byte0 : byte0 + 4].ljust(4, b"\0"), "big")
+        code = (chunk >> (32 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            del table[258:]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} > table size")
+        # the decoder's table trails the encoder's by exactly one entry
+        # (it reconstructs entry i only upon reading code i+1), so it
+        # widens at 2^w - 2 where the encoder widens at 2^w - 1 — the
+        # libtiff "early change" pairing
+        if prev is not None and len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def write_tiff(
+    path: str,
+    arr: np.ndarray,
+    *,
+    compression: str = "none",
+    tile: tuple[int, int] | None = None,
+    bigtiff: bool = False,
+) -> None:
+    """Write (H, W) or (H, W, C) as a little-endian chunky-interleaved
+    TIFF. Defaults preserve the original contract (uncompressed, one
+    strip, classic TIFF); the reference's sink profile
+    (`feature_stacking.py:226-235`) is ``compression="lzw",
+    tile=(1024, 1024), bigtiff=True``. ``tile`` is (width, height);
+    edge tiles are zero-padded to full tile size per TIFF 6.0 §15."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
     if arr.dtype not in _FORMATS:
         raise ValueError(f"unsupported dtype {arr.dtype}")
+    if compression not in ("none", "lzw"):
+        raise ValueError(f"unsupported compression {compression!r}")
     bits, fmt = _FORMATS[arr.dtype]
-    data = np.ascontiguousarray(arr, dtype=arr.dtype.newbyteorder("<")).tobytes()
+    arr = np.ascontiguousarray(arr, dtype=arr.dtype.newbyteorder("<"))
+    comp_id = 5 if compression == "lzw" else 1
+    pack = _lzw_encode if compression == "lzw" else (lambda b: b)
 
-    entries: list[tuple[int, int, int, int]] = []  # tag, type, count, value
-    extra = b""
-    extra_base = 8 + len(data) + 2 + 12 * 10 + 4  # header+data+IFD size
-
-    def _short_array(values: list[int]) -> tuple[int, int, int]:
-        nonlocal extra
-        if len(values) == 1:
-            return 3, 1, values[0]
-        if len(values) <= 2:
-            packed = values + [0] * (2 - len(values))
-            return 3, len(values), packed[0] | (packed[1] << 16)
-        off = extra_base + len(extra)
-        extra += struct.pack(f"<{len(values)}H", *values)
-        return 3, len(values), off
-
-    t, n, v = _short_array([bits] * c)
-    entries.append((258, t, n, v))  # BitsPerSample
-    t, n, v = _short_array([fmt] * c)
-    sample_format = (339, t, n, v)
-    entries = [
-        (256, 4, 1, w),           # ImageWidth
-        (257, 4, 1, h),           # ImageLength
-        entries[0],               # BitsPerSample
-        (259, 3, 1, 1),           # Compression = none
-        (262, 3, 1, 1),           # Photometric = BlackIsZero
-        (273, 4, 1, 8),           # StripOffsets: data starts right after header
-        (277, 3, 1, c),           # SamplesPerPixel
-        (278, 4, 1, h),           # RowsPerStrip = whole image
-        (279, 4, 1, len(data)),   # StripByteCounts
-        sample_format,            # SampleFormat
+    chunks: list[bytes] = []
+    entries: list[tuple[int, int, list[int]]] = [  # (tag, type, values)
+        (256, 4, [w]),            # ImageWidth
+        (257, 4, [h]),            # ImageLength
+        (258, 3, [bits] * c),     # BitsPerSample
+        (259, 3, [comp_id]),      # Compression
+        (262, 3, [1]),            # Photometric = BlackIsZero
+        (277, 3, [c]),            # SamplesPerPixel
+        (339, 3, [fmt] * c),      # SampleFormat
     ]
+    off_type = 16 if bigtiff else 4
+    if tile is None:
+        chunks.append(pack(arr.tobytes()))
+        entries += [
+            (273, off_type, [0]),             # StripOffsets (patched below)
+            (278, 4, [h]),                    # RowsPerStrip = whole image
+            (279, off_type, [len(chunks[0])]),  # StripByteCounts
+        ]
+        offsets_tag = 273
+    else:
+        tw, th = tile
+        if tw % 16 or th % 16:
+            raise ValueError("TIFF tile dimensions must be multiples of 16")
+        for ty in range(0, h, th):
+            for tx in range(0, w, tw):
+                block = np.zeros((th, tw, c), dtype=arr.dtype)
+                sub = arr[ty : ty + th, tx : tx + tw]
+                block[: sub.shape[0], : sub.shape[1]] = sub
+                chunks.append(pack(block.tobytes()))
+        entries += [
+            (322, 4, [tw]),                        # TileWidth
+            (323, 4, [th]),                        # TileLength
+            (324, off_type, [0] * len(chunks)),    # TileOffsets (patched)
+            (325, off_type, [len(b) for b in chunks]),  # TileByteCounts
+        ]
+        offsets_tag = 324
+
+    # layout: header | chunk data | IFD | out-of-line arrays
+    data_start = 16 if bigtiff else 8
+    offs, pos = [], data_start
+    for b in chunks:
+        offs.append(pos)
+        pos += len(b)
+    entries = [(t, ty, offs if t == offsets_tag else v) for t, ty, v in entries]
     entries.sort(key=lambda e: e[0])
-    ifd_offset = 8 + len(data)
+    ifd_off = pos
+    inline = 8 if bigtiff else 4
+    ifd_size = (8 + 20 * len(entries) + 8) if bigtiff else (2 + 12 * len(entries) + 4)
+    extra = bytearray()
+    packed_entries = []
+    for tag, typ, values in entries:
+        code, _ = _TIFF_TYPES[typ]
+        payload = struct.pack(f"<{len(values)}{code}", *values)
+        if len(payload) <= inline:
+            val_field = payload.ljust(inline, b"\0")
+        else:
+            off = ifd_off + ifd_size + len(extra)
+            extra += payload
+            val_field = struct.pack("<Q" if bigtiff else "<I", off).ljust(inline, b"\0")
+        packed_entries.append((tag, typ, len(values), val_field))
+
     with open(path, "wb") as f:
-        f.write(b"II*\x00" + struct.pack("<I", ifd_offset))
-        f.write(data)
-        f.write(struct.pack("<H", len(entries)))
-        for tag, typ, cnt, val in entries:
-            f.write(struct.pack("<HHII", tag, typ, cnt, val))
-        f.write(struct.pack("<I", 0))  # no next IFD
+        if bigtiff:
+            f.write(b"II+\x00" + struct.pack("<HHQ", 8, 0, ifd_off))
+        else:
+            f.write(b"II*\x00" + struct.pack("<I", ifd_off))
+        for b in chunks:
+            f.write(b)
+        if bigtiff:
+            f.write(struct.pack("<Q", len(packed_entries)))
+            for tag, typ, cnt, val in packed_entries:
+                f.write(struct.pack("<HHQ", tag, typ, cnt) + val)
+            f.write(struct.pack("<Q", 0))  # no next IFD
+        else:
+            f.write(struct.pack("<H", len(packed_entries)))
+            for tag, typ, cnt, val in packed_entries:
+                f.write(struct.pack("<HHI", tag, typ, cnt) + val)
+            f.write(struct.pack("<I", 0))
         f.write(extra)
 
 
-def _read_ifd_value(f, typ: int, cnt: int, raw: bytes) -> list[int]:
+def _read_ifd_value(f, typ: int, cnt: int, raw: bytes, big: bool) -> list[int]:
     code, size = _TIFF_TYPES[typ]
     total = size * cnt
-    if total <= 4:
+    inline = 8 if big else 4
+    if total <= inline:
         return list(struct.unpack(f"<{cnt}{code}", raw[:total]))
-    (off,) = struct.unpack("<I", raw)
+    (off,) = struct.unpack("<Q" if big else "<I", raw[: 8 if big else 4])
     pos = f.tell()
     f.seek(off)
     out = list(struct.unpack(f"<{cnt}{code}", f.read(total)))
@@ -121,38 +267,73 @@ def _read_ifd_value(f, typ: int, cnt: int, raw: bytes) -> list[int]:
 
 
 def read_tiff(path: str) -> np.ndarray:
-    """Read an uncompressed little-endian baseline TIFF to (H, W, C).
-    Uses rasterio when available (full format support); otherwise the
-    built-in codec (uncompressed only)."""
+    """Read a little-endian TIFF or BigTIFF (uncompressed or LZW,
+    stripped or tiled) to (H, W, C). Uses rasterio when available (full
+    format support); otherwise the built-in codec."""
     if _rasterio is not None:  # pragma: no cover - rasterio not in container
         with _rasterio.open(path) as src:
             return np.transpose(src.read(), (1, 2, 0))
     with open(path, "rb") as f:
-        head = f.read(8)
-        if head[:4] != b"II*\x00":
+        head = f.read(4)
+        if head[:2] != b"II":
             raise ValueError("built-in codec reads little-endian TIFF only")
-        (ifd_off,) = struct.unpack("<I", head[4:])
+        (version,) = struct.unpack("<H", head[2:4])
+        if version == 42:
+            big = False
+            (ifd_off,) = struct.unpack("<I", f.read(4))
+        elif version == 43:
+            big = True
+            osize, _pad = struct.unpack("<HH", f.read(4))
+            if osize != 8:
+                raise ValueError(f"unsupported BigTIFF offset size {osize}")
+            (ifd_off,) = struct.unpack("<Q", f.read(8))
+        else:
+            raise ValueError(f"not a TIFF (version {version})")
         f.seek(ifd_off)
-        (n_entries,) = struct.unpack("<H", f.read(2))
+        if big:
+            (n_entries,) = struct.unpack("<Q", f.read(8))
+        else:
+            (n_entries,) = struct.unpack("<H", f.read(2))
         tags: dict[int, list[int]] = {}
         for _ in range(n_entries):
-            tag, typ, cnt = struct.unpack("<HHI", f.read(8))
-            raw = f.read(4)
+            if big:
+                tag, typ, cnt = struct.unpack("<HHQ", f.read(12))
+                raw = f.read(8)
+            else:
+                tag, typ, cnt = struct.unpack("<HHI", f.read(8))
+                raw = f.read(4)
             if typ in _TIFF_TYPES:
-                tags[tag] = _read_ifd_value(f, typ, cnt, raw)
+                tags[tag] = _read_ifd_value(f, typ, cnt, raw, big)
         w, h = tags[256][0], tags[257][0]
-        if tags.get(259, [1])[0] != 1:
-            raise ValueError("built-in codec reads uncompressed TIFF only")
+        comp = tags.get(259, [1])[0]
+        if comp not in (1, 5):
+            raise ValueError(f"built-in codec reads compression 1/5 only, got {comp}")
+        unpack = _lzw_decode if comp == 5 else (lambda b: b)
         c = tags.get(277, [1])[0]
         bits = tags[258][0]
         fmt = tags.get(339, [1])[0]
-        dtype = _DTYPES[(bits, fmt)]
-        chunks = []
-        for off, cnt_b in zip(tags[273], tags[279]):
+        dtype = np.dtype(_DTYPES[(bits, fmt)]).newbyteorder("<")
+
+        def _chunk(off: int, nbytes: int) -> bytes:
             f.seek(off)
-            chunks.append(f.read(cnt_b))
-        arr = np.frombuffer(b"".join(chunks), dtype=np.dtype(dtype).newbyteorder("<"))
-        return arr.reshape(h, w, c)
+            return unpack(f.read(nbytes))
+
+        if 322 in tags:  # tiled layout
+            tw, th = tags[322][0], tags[323][0]
+            tiles_across = -(-w // tw)
+            arr = np.zeros((h, w, c), dtype=dtype)
+            for idx, (off, nb) in enumerate(zip(tags[324], tags[325])):
+                block = np.frombuffer(_chunk(off, nb), dtype=dtype)
+                block = block[: th * tw * c].reshape(th, tw, c)
+                ty, tx = divmod(idx, tiles_across)
+                y0, x0 = ty * th, tx * tw
+                ys, xs = min(th, h - y0), min(tw, w - x0)
+                arr[y0 : y0 + ys, x0 : x0 + xs] = block[:ys, :xs]
+            return arr
+        data = b"".join(
+            _chunk(off, nb) for off, nb in zip(tags[273], tags[279])
+        )
+        return np.frombuffer(data, dtype=dtype).reshape(h, w, c)
 
 
 # --- Spark adapters -------------------------------------------------------
@@ -216,13 +397,32 @@ def tiff_to_tile_table(
 
 
 def tile_table_to_tiff(
-    df: DataFrame, path: str, value_cols: list[str], fill: float = np.nan
+    df: DataFrame,
+    path: str,
+    value_cols: list[str],
+    fill: float = np.nan,
+    max_rows: int = 64_000_000,
+    **tiff_kwargs,
 ) -> None:
     """Long-format pixel table → single float64 .tif (bands =
     value_cols). Mirrors the reference's whole-scene GeoTIFF writes
     (`2_segmentation/image_segmentation.py:153-162`): a DRIVER-side
     sink for single scenes — at 100 TB use the tiled parquet raster
-    sinks (S7/S9) and export per tile."""
+    sinks (S7/S9) and export per tile. ``max_rows`` enforces that
+    contract: the table is collected to driver memory, so a table
+    larger than one scene must be rejected, not OOM'd (64M pixels ≈
+    1.5 GB collected at 3 float64 bands). ``tiff_kwargs`` pass through
+    to :func:`write_tiff` (``compression="lzw"``, ``tile=(1024,
+    1024)``, ``bigtiff=True`` is the reference sink profile)."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"tile table has {n} rows > max_rows={max_rows}: "
+            "tile_table_to_tiff is a driver-side SINGLE-SCENE export. "
+            "For scene collections use the tiled parquet raster sinks "
+            "(sources/sinks.py S7/S9) and export per tile, or raise "
+            "max_rows explicitly if the scene really fits driver RAM."
+        )
     pdf = df.select("x", "y", *value_cols).toPandas()
     if pdf.empty:
         raise ValueError("empty tile table")
@@ -246,4 +446,4 @@ def tile_table_to_tiff(
         ) as dst:
             dst.write(np.transpose(arr, (2, 0, 1)))
         return
-    write_tiff(path, arr)
+    write_tiff(path, arr, **tiff_kwargs)
