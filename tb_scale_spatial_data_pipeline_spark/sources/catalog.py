@@ -46,8 +46,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # runtime-settable and required to read TIMESTAMP(NANOS)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Unify `ts` to TIMESTAMP (with local-tz semantics, session tz UTC)
+    across fixture generations: TIMESTAMP(NANOS) parquet arrives as
+    nanos-since-epoch longs (truncated to µs — the value DuckDB sees),
+    TIMESTAMP(MICROS) without a timezone arrives as TIMESTAMP_NTZ (a
+    same-value cast under the UTC session tz). Watermarks and time
+    windows require the TIMESTAMP type, so this runs at every events
+    read — batch and streaming."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

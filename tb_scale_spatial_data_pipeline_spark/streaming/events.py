@@ -33,11 +33,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
-    return stream
+    from ..sources.catalog import normalize_event_ts
+
+    return normalize_event_ts(stream)
 
 
 def run_stream_to_table(out: DataFrame, output_mode: str = "complete") -> DataFrame:

@@ -181,9 +181,9 @@ def test_watermark_drops_late_data(spark, tmp_path):
 
     src = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt")
-    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-    ts = F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-    ev = ev.withColumn("ts", ts)
+    from tb_scale_spatial_data_pipeline_spark.sources.catalog import normalize_event_ts
+
+    ev = normalize_event_ts(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
     cutoff = ev.agg(F.expr("percentile(cast(ts as long), 0.5)")).first()[0]
     recent = ev.where(F.col("ts").cast("long") >= cutoff)
     late = ev.where(F.col("ts").cast("long") < cutoff)
