@@ -237,6 +237,25 @@ def q_raster_affine_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("x", "y", F.round("b1", 6).alias("b1"))
 
 
+@_q("raster_crs_warp")
+def q_raster_crs_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 non-affine form: projective (curved-grid) warp through
+    warp_grid_tiles — the analog of true datum/CRS reprojection
+    (`0_preprocessing/feature_stacking.py:86-96`), which is not an
+    affine map between pixel grids. Invariants (affine special case
+    bit-equals warp_affine_tiles, round-trip error bound on a smooth
+    field) in tests/test_raster.py."""
+    from ..raster.kernels import projective_transform, warp_grid_tiles
+
+    img = synthetic_raster(spark, 64, 64, bands=1)
+    tiled = halo_duplicate(img, tile_size=32, halo=4)
+    t2s, s2t = projective_transform(
+        ((0.95, 0.08, 1.5), (-0.06, 0.97, 0.8), (4e-4, -3e-4, 1.0))
+    )
+    out = warp_grid_tiles(tiled, ["b1"], t2s, s2t, method="bilinear")
+    return out.select("x", "y", F.round("b1", 6).alias("b1"))
+
+
 @_q("raster_segmentation_metrics")
 def q_raster_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     img = synthetic_raster(spark, 64, 64, bands=2)

@@ -293,6 +293,118 @@ def warp_affine_tiles(
     )
 
 
+def projective_transform(
+    matrix: tuple[tuple[float, float, float], ...],
+):
+    """Build the (target_to_source, source_to_target) callable pair for
+    :func:`warp_grid_tiles` from a 3×3 homography mapping TARGET pixel
+    coords to SOURCE pixel coords in homogeneous form:
+
+        [sx', sy', w]^T = H @ [tx, ty, 1]^T ;  sx = sx'/w, sy = sy'/w
+
+    A homography is the simplest genuinely non-affine grid transform —
+    straight lines stay straight but parallelism is lost and the
+    Jacobian varies across the image, the same qualitative behavior as
+    a datum/projection change over a small extent. The inverse map is
+    the inverse matrix (must be non-singular).
+    """
+    H = np.asarray(matrix, dtype=np.float64)
+    if H.shape != (3, 3):
+        raise ValueError("homography must be 3x3")
+    Hinv = np.linalg.inv(H)
+
+    def _apply(M: np.ndarray, x: np.ndarray, y: np.ndarray):
+        w = M[2, 0] * x + M[2, 1] * y + M[2, 2]
+        return (
+            (M[0, 0] * x + M[0, 1] * y + M[0, 2]) / w,
+            (M[1, 0] * x + M[1, 1] * y + M[1, 2]) / w,
+        )
+
+    return (
+        lambda tx, ty: _apply(H, tx, ty),
+        lambda sx, sy: _apply(Hinv, sx, sy),
+    )
+
+
+def warp_grid_tiles(
+    tiled: DataFrame,
+    value_cols: list[str],
+    target_to_source,
+    source_to_target,
+    method: str = "nearest",
+    boundary_samples: int = 9,
+    bound_pad: float = 2.0,
+) -> DataFrame:
+    """R1 (non-affine form): callable-grid warp — the engine's analog of
+    true CRS reprojection (`0_preprocessing/feature_stacking.py:86-96`),
+    where the pixel-grid mapping between datums/projections is curved,
+    not affine. :func:`warp_affine_tiles` covers rotation/shear; this
+    path accepts an arbitrary smooth, invertible coordinate mapping
+    (projective homography, thin-plate spline, a pyproj Transformer
+    closure, ...) given as a pair of vectorized callables:
+
+        target_to_source(tx, ty) -> (sx, sy)   # sampling direction
+        source_to_target(sx, sy) -> (tx, ty)   # bounding direction
+
+    Distribution shape (same exactly-once ownership as the affine
+    path): each source tile forward-maps a ``boundary_samples``²
+    lattice over its core bounding box to bound the target pixels it
+    could own (corners alone under-cover curved maps — the lattice plus
+    ``bound_pad`` covers bounded curvature), enumerates those integer
+    target pixels, samples them through ``target_to_source``, and emits
+    only pixels whose anchor source pixel lies in its core. Tiles never
+    communicate; no global raster is assembled; the halo supplies the
+    cross-tile sampling footprint. ``bound_pad`` must dominate the
+    transform's deviation from the lattice interpolant over one cell —
+    for projective/CRS-grade smoothness the default is generous.
+    """
+    pad = {"nearest": 1.0, "bilinear": 2.0, "cubic": 3.0}[method] + float(bound_pad)
+    n = int(boundary_samples)
+    if n < 2:
+        raise ValueError("boundary_samples must be >= 2")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        stack, x0, y0, core = _tile_to_arrays(pdf, value_cols)
+        ys, xs = np.nonzero(core)
+        if len(xs) == 0:  # halo-only border group: nothing to own
+            return pd.DataFrame({k: [] for k in ["x", "y", *value_cols]})
+        gx = xs + x0
+        gy = ys + y0
+        # forward-map a lattice over the core bbox to bound owned targets
+        LX, LY = np.meshgrid(
+            np.linspace(gx.min(), gx.max(), n),
+            np.linspace(gy.min(), gy.max(), n),
+        )
+        fwd_tx, fwd_ty = source_to_target(LX.ravel(), LY.ravel())
+        tx_lo = int(np.floor(np.min(fwd_tx) - pad))
+        tx_hi = int(np.ceil(np.max(fwd_tx) + pad))
+        ty_lo = int(np.floor(np.min(fwd_ty) - pad))
+        ty_hi = int(np.ceil(np.max(fwd_ty) + pad))
+        TX, TY = np.meshgrid(
+            np.arange(tx_lo, tx_hi + 1), np.arange(ty_lo, ty_hi + 1)
+        )
+        tx = TX.ravel().astype(np.float64)
+        ty = TY.ravel().astype(np.float64)
+        sx, sy = target_to_source(tx, ty)
+        sx = np.asarray(sx, dtype=np.float64)
+        sy = np.asarray(sy, dtype=np.float64)
+        h, w, _ = stack.shape
+        keep = (sx >= x0) & (sx <= x0 + w - 1) & (sy >= y0) & (sy <= y0 + h - 1)
+        sx, sy, tx, ty = sx[keep], sy[keep], tx[keep], ty[keep]
+        core_ok, data = _sample_at(stack, core, x0, y0, sx, sy, method, value_cols)
+        out = {"x": tx[core_ok].astype(int), "y": ty[core_ok].astype(int)}
+        for col in value_cols:
+            out[col] = np.asarray(data[col])[core_ok]
+        return pd.DataFrame(out)
+
+    out_schema = "x int, y int, " + ", ".join(f"{c} double" for c in value_cols)
+    return (
+        tiled.groupBy("tile_x", "tile_y")
+        .applyInPandas(kernel, schema=out_schema)
+        .dropDuplicates(["x", "y"])
+    )
+
+
 def terrain_tiles(
     tiled: DataFrame,
     dem_col: str = "b1",

@@ -152,6 +152,114 @@ def test_warp_affine_tile_origin_invariance(spark):
         assert abs(ma[k][0] - mb[k][0]) < 1e-9, k
 
 
+def test_warp_grid_affine_special_case_bit_equals_affine_path(spark):
+    """warp_grid_tiles with an affine homography must reproduce
+    warp_affine_tiles bit-for-bit — the curved-grid path degrades to
+    the affine path exactly when the transform is affine."""
+    from tb_scale_spatial_data_pipeline_spark.raster.kernels import (
+        projective_transform,
+        warp_grid_tiles,
+    )
+
+    img = synthetic_raster(spark, 48, 48, bands=1)
+    a, b, c, d, e, f = (0.9, 0.15, 2.0, -0.15, 0.9, 1.0)
+    t2s, s2t = projective_transform(((a, b, c), (d, e, f), (0.0, 0.0, 1.0)))
+    via_affine = warp_affine_tiles(
+        halo_duplicate(img, 24, 4), ["b1"], (a, b, c, d, e, f), "bilinear"
+    )
+    via_grid = warp_grid_tiles(
+        halo_duplicate(img, 24, 4), ["b1"], t2s, s2t, method="bilinear"
+    )
+    ma, mg = _to_map(via_affine, ["b1"]), _to_map(via_grid, ["b1"])
+    assert set(ma) == set(mg)
+    for k in ma:
+        assert ma[k] == mg[k], k
+
+
+def test_warp_grid_projective_exact_on_ramp(spark):
+    """A genuinely non-affine (projective) warp with bilinear sampling
+    reproduces a linear ramp exactly: interpolation is exact on linear
+    fields no matter where the curved map places the sample points."""
+    from pyspark.sql import functions as SF
+
+    from tb_scale_spatial_data_pipeline_spark.raster.kernels import (
+        projective_transform,
+        warp_grid_tiles,
+    )
+
+    base = synthetic_raster(spark, 40, 40, bands=1).select(
+        "x", "y", (2.0 * SF.col("x") + 3.0 * SF.col("y") + 1.0).alias("b1")
+    )
+    H = ((0.95, 0.08, 1.5), (-0.06, 0.97, 0.8), (4e-4, -3e-4, 1.0))
+    t2s, s2t = projective_transform(H)
+    out = warp_grid_tiles(
+        halo_duplicate(base, 20, 4), ["b1"], t2s, s2t, method="bilinear"
+    )
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        sx, sy = t2s(np.array([float(r["x"])]), np.array([float(r["y"])]))
+        sx, sy = float(sx[0]), float(sy[0])
+        if 0 <= sx <= 39 and 0 <= sy <= 39:
+            assert abs(r["b1"] - (2.0 * sx + 3.0 * sy + 1.0)) < 1e-9
+
+
+def test_warp_grid_roundtrip_error_bound(spark):
+    """Warp a smooth field through a projective map and back through
+    its inverse: values must return to the original within the
+    two-pass bilinear interpolation error bound."""
+    from pyspark.sql import functions as SF
+
+    from tb_scale_spatial_data_pipeline_spark.raster.kernels import (
+        projective_transform,
+        warp_grid_tiles,
+    )
+
+    base = synthetic_raster(spark, 48, 48, bands=1).select(
+        "x", "y", (SF.sin(SF.col("x") / 8.0) * SF.cos(SF.col("y") / 8.0)).alias("b1")
+    )
+    H = ((0.97, 0.05, 1.0), (-0.04, 0.98, 0.5), (3e-4, -2e-4, 1.0))
+    t2s, s2t = projective_transform(H)
+    fwd = warp_grid_tiles(
+        halo_duplicate(base, 24, 4), ["b1"], t2s, s2t, method="bilinear"
+    )
+    back = warp_grid_tiles(
+        halo_duplicate(fwd.where("x >= 0 and y >= 0"), 24, 4),
+        ["b1"],
+        s2t,  # inverse warp: swap the directions
+        t2s,
+        method="bilinear",
+    )
+    orig = _to_map(base, ["b1"])
+    rt = _to_map(back, ["b1"])
+    # compare interior pixels that survived both warps
+    compared = 0
+    for (x, y), v in rt.items():
+        if (x, y) in orig and 8 <= x < 40 and 8 <= y < 40:
+            assert abs(v[0] - orig[(x, y)][0]) < 0.01, (x, y)
+            compared += 1
+    assert compared > 400
+
+
+def test_warp_grid_tile_origin_invariance(spark):
+    """Curved-grid warp output must not depend on the tile grid."""
+    from tb_scale_spatial_data_pipeline_spark.raster.kernels import (
+        projective_transform,
+        warp_grid_tiles,
+    )
+
+    img = synthetic_raster(spark, 48, 48, bands=1)
+    t2s, s2t = projective_transform(
+        ((0.95, 0.08, 1.5), (-0.06, 0.97, 0.8), (4e-4, -3e-4, 1.0))
+    )
+    a = warp_grid_tiles(halo_duplicate(img, 24, 4), ["b1"], t2s, s2t, "bilinear")
+    b = warp_grid_tiles(halo_duplicate(img, 16, 4), ["b1"], t2s, s2t, "bilinear")
+    ma, mb = _to_map(a, ["b1"]), _to_map(b, ["b1"])
+    assert set(ma) == set(mb)
+    for k in ma:
+        assert abs(ma[k][0] - mb[k][0]) < 1e-9, k
+
+
 def test_felzenszwalb_uniform_image_single_segment():
     img = np.zeros((20, 20, 1))
     labels = _felzenszwalb(img, scale=35.0, min_size=15)
