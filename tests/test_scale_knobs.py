@@ -37,6 +37,46 @@ def test_approx_percentile_within_tolerance(spark):
     assert abs(exact["p98"] - approx["p98"]) <= 100.0
 
 
+def test_percentile_auto_flip_at_threshold(spark):
+    """exact=None resolves by plan-estimated input size: below the
+    threshold the physical plan carries the exact percentile/median,
+    above it (forced here with a tiny threshold) the same call plans
+    approx_percentile — oracle fixtures stay exact, 100 TB inputs flip
+    automatically."""
+    from conftest import SF_SMOKE
+
+    # parquet scan: footer stats give a real size estimate
+    df = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select(F.col("l_returnflag").alias("g"), F.col("l_quantity").alias("v"))
+    )
+
+    def plan(q):
+        return q._jdf.queryExecution().executedPlan().toString()
+
+    assert "percentile_approx" not in plan(grouped_median(df, ["g"], "v"))
+    assert "percentile_approx" in plan(
+        grouped_median(df, ["g"], "v", auto_threshold_bytes=1)
+    )
+    assert "percentile_approx" not in plan(grouped_percentiles(df, ["g"], "v"))
+    assert "percentile_approx" in plan(
+        grouped_percentiles(df, ["g"], "v", auto_threshold_bytes=1)
+    )
+    # explicit pins override the estimate in both directions
+    assert "percentile_approx" in plan(grouped_median(df, ["g"], "v", exact=False))
+    assert "percentile_approx" not in plan(
+        grouped_median(df, ["g"], "v", exact=True, auto_threshold_bytes=1)
+    )
+    # statless leaves (local relations) report the unknown sentinel:
+    # auto must stay exact even under a tiny threshold
+    local = spark.createDataFrame(
+        [(i % 4, float(i)) for i in range(1000)], "g int, v double"
+    )
+    assert "percentile_approx" not in plan(
+        grouped_median(local, ["g"], "v", auto_threshold_bytes=1)
+    )
+
+
 def test_predict_batch_udf_centroid_model(spark):
     """predict_batch_udf: Arrow-batched numpy inference with the model
     loaded once per executor — the M1 mapping for non-Spark-ML models
