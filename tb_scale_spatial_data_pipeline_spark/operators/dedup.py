@@ -207,6 +207,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list via iterative
     min-label propagation: every node's label converges to the minimum
@@ -250,7 +251,9 @@ def connected_components(
     )
 
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neighbor_min = (
             sym.join(labels, sym["_s"] == labels["node"])
             .groupBy(F.col("_d").alias("node2"))
@@ -276,6 +279,8 @@ def connected_components(
             converged = True
             break
 
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "
@@ -290,6 +295,7 @@ def connected_components_star(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -352,7 +358,9 @@ def connected_components_star(
         return linked
 
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         grown = _large_star(e)
         contracted = _small_star(
             grown.unionByName(grown.select(F.col("_v").alias("_u"), F.col("_u").alias("_v")))
@@ -383,6 +391,8 @@ def connected_components_star(
         if chains == 0 and multi_parent == 0:
             converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge within {max_iter} rounds"

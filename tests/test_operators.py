@@ -200,6 +200,51 @@ def test_connected_components_raises_on_max_iter(spark):
 
 
 
+def test_cc_star_crossover_on_long_chain(spark):
+    """The crossover shape (VERDICT r3 #8): a path graph with diameter
+    far above the min-label default cap. Min-label propagation needs
+    ~diameter rounds — one shuffle each — and raises at the default
+    max_iter=25; star contraction folds the same chain in O(log n)
+    rounds. Round counts come from the stats out-param and are recorded
+    in PLANS.md (§round-5 notes)."""
+    import pytest
+
+    from tb_scale_spatial_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # 33-node path 1-2-...-33: diameter 32 > default max_iter 25
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 33)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, "id_a", "id_b")
+
+    star_stats: dict = {}
+    out = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(
+            edges, "id_a", "id_b", stats=star_stats
+        ).collect()
+    }
+    assert out == {i: 1 for i in range(1, 34)}
+    assert star_stats["rounds"] <= 8  # O(log n), not O(diameter)
+
+    # min-label does converge when the cap admits the diameter — in
+    # ~diameter rounds, the measured crossover against star's O(log n)
+    minlbl_stats: dict = {}
+    out2 = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(
+            edges, "id_a", "id_b", max_iter=40, stats=minlbl_stats
+        ).collect()
+    }
+    assert out2 == out
+    assert minlbl_stats["rounds"] >= 30
+    assert star_stats["rounds"] * 3 < minlbl_stats["rounds"]
+
+
 def test_connected_components_star_matches_label_propagation(spark):
     """Large-star/small-star contraction must produce the identical
     labelling as min-label propagation on every graph shape: chain,
