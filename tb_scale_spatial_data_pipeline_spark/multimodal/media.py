@@ -81,34 +81,61 @@ def _fake_decode(payload: bytes, need: int) -> bytes:
     return bytes(buf[:need])
 
 
-def _decode_payload(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
+def decode_fallback_counter(spark: SparkSession):
+    """Executor-side counter of REAL image decodes that failed and fell
+    back to the deterministic fake. PIL-absent deployments never touch
+    it (the fake is by design there); a nonzero value under PIL means
+    payloads are malformed — the observability hook the silent
+    try/except fallback otherwise hides. Pass to decode_images /
+    image_channel_stats / resize_images / sample_frames and read
+    ``counter.value`` after an action."""
+    return spark.sparkContext.accumulator(0)
+
+
+def _decode_payload(
+    payload: bytes,
+    width: int,
+    height: int,
+    channels: int,
+    pil=None,
+    fallback_counter=None,
+) -> np.ndarray:
     """Image decode seam. Real path: PIL parses the payload (any format
     PIL knows), converted to RGB and resized to the declared metadata
     dimensions if they disagree. Fallback: deterministic fake —
     md5-stream-expand payload bytes to width*height*channels uint8.
-    The fake defines fixture behavior wherever PIL is absent."""
-    if _PILImage is not None:
+    The fake defines fixture behavior wherever PIL is absent; when a
+    REAL decode fails, ``fallback_counter`` (a Spark accumulator)
+    records it so malformed payloads are observable, not silent."""
+    pil = _PILImage if pil is None else pil
+    if pil is not None:
         try:
-            img = _PILImage.open(io.BytesIO(payload))
+            img = pil.open(io.BytesIO(payload))
             img = img.convert("RGB")
             if img.size != (width, height):
-                img = img.resize((width, height), _PILImage.NEAREST)
+                img = img.resize((width, height), pil.NEAREST)
             arr = np.asarray(img, dtype=np.uint8)
             if channels < 3:
                 arr = arr[:, :, :channels]
             return arr
         except Exception:
-            pass  # not real image bytes — fall through to the fake
+            # not real image bytes — fall through to the fake, counted
+            if fallback_counter is not None:
+                fallback_counter.add(1)
     arr = np.frombuffer(
         _fake_decode(payload, width * height * channels), dtype=np.uint8
     )
     return arr.reshape(height, width, channels)
 
 
-def decode_images(media: DataFrame) -> DataFrame:
+def decode_images(media: DataFrame, fallback_counter=None, _pil=None) -> DataFrame:
     """binary payload + meta → long-format decoded pixels
     (media_id, y, x, c0..c2). mapInPandas: one Arrow batch in, one out;
-    blobs never round-trip through the driver."""
+    blobs never round-trip through the driver. ``fallback_counter``
+    (see :func:`decode_fallback_counter`) counts real-decode failures;
+    ``_pil`` overrides the PIL module (test seam — it is cloudpickled
+    into the kernel closure, so a driver-side stub reaches workers)."""
+    pil = _PILImage if _pil is None else _pil
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -117,7 +144,8 @@ def decode_images(media: DataFrame) -> DataFrame:
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
                 arr = _decode_payload(
-                    bytes(payload), m["width"], m["height"], m["channels"]
+                    bytes(payload), m["width"], m["height"], m["channels"],
+                    pil=pil, fallback_counter=fallback_counter,
                 )
                 h, w, _ = arr.shape
                 ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
@@ -142,10 +170,11 @@ def decode_images(media: DataFrame) -> DataFrame:
     )
 
 
-def image_channel_stats(media: DataFrame) -> DataFrame:
+def image_channel_stats(media: DataFrame, fallback_counter=None, _pil=None) -> DataFrame:
     """Feature extraction: per-image channel means/stds — decoded and
     reduced INSIDE the kernel so only (media_id, 6 doubles) leaves the
     task, not pixels."""
+    pil = _PILImage if _pil is None else _pil
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -154,7 +183,8 @@ def image_channel_stats(media: DataFrame) -> DataFrame:
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
                 arr = _decode_payload(
-                    bytes(payload), m["width"], m["height"], m["channels"]
+                    bytes(payload), m["width"], m["height"], m["channels"],
+                    pil=pil, fallback_counter=fallback_counter,
                 ).astype(np.float64)
                 rows.append(
                     (
@@ -177,10 +207,13 @@ def image_channel_stats(media: DataFrame) -> DataFrame:
     )
 
 
-def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+def resize_images(
+    media: DataFrame, out_w: int = 4, out_h: int = 4, fallback_counter=None, _pil=None
+) -> DataFrame:
     """Nearest-neighbor resize: decode → sample grid → re-encode bytes,
     metadata updated to the new dimensions (schema evolution travels
     with the payload)."""
+    pil = _PILImage if _pil is None else _pil
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -189,7 +222,8 @@ def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
                 arr = _decode_payload(
-                    bytes(payload), m["width"], m["height"], m["channels"]
+                    bytes(payload), m["width"], m["height"], m["channels"],
+                    pil=pil, fallback_counter=fallback_counter,
                 )
                 h, w, c = arr.shape
                 yi = (np.arange(out_h) * h // out_h).astype(int)
@@ -206,11 +240,14 @@ def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame
     )
 
 
-def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+def sample_frames(
+    media: DataFrame, every_k: int = 2, fallback_counter=None, _pil=None
+) -> DataFrame:
     """Video-style frame sampling: metadata declares n_frames; emit one
     row per sampled frame (UDTF-style one-to-many), frame payload =
     deterministic per-frame slice. Pure column expressions for the
     frame index explosion; only the payload slice is kernel work."""
+    pil = _PILImage if _pil is None else _pil
     frames = media.select(
         "media_id",
         "payload",
@@ -229,6 +266,8 @@ def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
                     m["width"],
                     m["height"],
                     m["channels"],
+                    pil=pil,
+                    fallback_counter=fallback_counter,
                 )
                 rows.append((media_id, int(frame_idx), float(arr.mean())))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_mean"])

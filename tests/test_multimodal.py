@@ -49,6 +49,44 @@ def test_decode_images_row_counts(spark):
         assert got[row["media_id"]] == m["width"] * m["height"]
 
 
+def test_decode_fallback_counter_counts_failures(spark):
+    """Real-decode failures must be counted, not silent: with a PIL
+    that raises on every payload, the accumulator ends at the row
+    count and the output still equals the deterministic fake's."""
+    from tb_scale_spatial_data_pipeline_spark.multimodal.media import (
+        decode_fallback_counter,
+    )
+
+    class _FailingPIL:
+        # PIL-shaped stub whose open() always raises — drives the
+        # real-decode-failure path without real PIL in the container.
+        # Defined inside the test so cloudpickle ships it by value.
+        NEAREST = 0
+
+        @staticmethod
+        def open(fp):
+            raise OSError("cannot identify image file")
+
+    media = synth_media_table(spark, SF_SMOKE).limit(12).cache()
+    n = media.count()
+
+    counter = decode_fallback_counter(spark)
+    with_fail = image_channel_stats(
+        media, fallback_counter=counter, _pil=_FailingPIL
+    ).collect()
+    assert counter.value == n
+
+    # fallback output is byte-identical to the PIL-absent fake path
+    plain = image_channel_stats(media).collect()
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(with_fail) == key(plain)
+
+    # PIL-absent deployments never touch the counter (fake by design)
+    counter2 = decode_fallback_counter(spark)
+    image_channel_stats(media, fallback_counter=counter2, _pil=None).collect()
+    assert counter2.value == 0
+
+
 def test_channel_stats_bounds(spark):
     media = synth_media_table(spark, SF_SMOKE).limit(20)
     stats = image_channel_stats(media).collect()
