@@ -7,12 +7,21 @@ one JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Execution is forced with the noop sink (full plan runs, nothing
 collects to the driver), which measures engine time rather than
 Arrow-to-pandas transfer.
+
+Identical-code wall time on this box drifts ±20% between runs (42.5 s
+vs 59.9 s observed across rounds), so single-pass numbers cannot
+separate noise from regression. After one warm pass (JIT/codegen/
+file-index caches), $SPARK_GRAFT_BENCH_REPEATS measured passes run
+(default 3) and each query reports its per-pass MEDIAN; set
+SPARK_GRAFT_BENCH_SPREAD=1 to also print a min/median/max table per
+query to stderr (stdout stays the single driver-contract JSON line).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -63,18 +72,33 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     spark = get_spark("bench")
     queries = all_queries()
 
-    # two passes: the first warms JIT/codegen/file-index caches, the
-    # second measures steady-state engine time
-    timings: dict[str, float] = {}
-    for _pass in range(2):
+    def run(name: str) -> float:
+        t0 = time.time()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    for name in HEADLINE:  # warm pass: JIT/codegen/file-index caches
+        run(name)
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(repeats):
         for name in HEADLINE:
-            fn = queries[name]
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            samples[name].append(run(name))
+
+    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    if os.environ.get("SPARK_GRAFT_BENCH_SPREAD"):
+        print(f"| query | min | median | max | spread (n={repeats}) |", file=sys.stderr)
+        print("|---|---|---|---|---|", file=sys.stderr)
+        for n, s in sorted(samples.items(), key=lambda kv: -statistics.median(kv[1])):
+            lo, med, hi = min(s), statistics.median(s), max(s)
+            rel = (hi - lo) / med if med else 0.0
+            print(
+                f"| {n} | {lo:.2f} | {med:.2f} | {hi:.2f} | {rel:.0%} |",
+                file=sys.stderr,
+            )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -176,3 +176,62 @@ def test_tiff_reader_handles_multi_strip(tmp_path):
     back = read_tiff(p)
     assert back.shape == (6, 4, 1)
     assert np.array_equal(back, arr)
+
+
+@pytest.mark.parametrize("bigtiff", [False, True])
+def test_tiff_lzw_tiled_roundtrip(tmp_path, bigtiff):
+    """The reference sink profile (`feature_stacking.py:226-235`):
+    LZW compression + internal tiling (+ BigTIFF) must round-trip a
+    multi-band image bit-exactly, including non-tile-multiple edges."""
+    rng = np.arange(70 * 45 * 3, dtype=np.int64)
+    arr = ((rng * 2654435761) % 251).astype(np.float32).reshape(70, 45, 3)
+    p = str(tmp_path / ("big.tif" if bigtiff else "t.tif"))
+    write_tiff(p, arr, compression="lzw", tile=(32, 16), bigtiff=bigtiff)
+    back = read_tiff(p)
+    assert back.shape == (70, 45, 3)
+    assert back.dtype == np.float32
+    assert np.array_equal(back, arr)
+
+
+def test_tiff_lzw_compresses_repetitive_data(tmp_path):
+    """LZW must actually compress: a constant image's file must be far
+    smaller than its uncompressed twin (guards against a pack function
+    that silently passes bytes through)."""
+    import os
+
+    arr = np.full((64, 64, 2), 7, dtype=np.uint16)
+    raw, lzw = str(tmp_path / "raw.tif"), str(tmp_path / "lzw.tif")
+    write_tiff(raw, arr)
+    write_tiff(lzw, arr, compression="lzw")
+    assert np.array_equal(read_tiff(lzw), arr)
+    assert os.path.getsize(lzw) < os.path.getsize(raw) / 4
+
+
+def test_tile_table_to_tiff_guard_rejects_oversize(spark, tmp_path):
+    """The documented single-scene contract is enforced: a table above
+    max_rows raises with a pointer to the distributed sinks instead of
+    collecting toward driver OOM."""
+    from tb_scale_spatial_data_pipeline_spark.raster.tiles import synthetic_raster
+
+    img = synthetic_raster(spark, 16, 12, bands=1)
+    with pytest.raises(ValueError, match="S7/S9"):
+        tile_table_to_tiff(img, str(tmp_path / "x.tif"), ["b1"], max_rows=10)
+    # at or under the cap the export still works
+    tile_table_to_tiff(img, str(tmp_path / "ok.tif"), ["b1"], max_rows=16 * 12)
+    assert read_tiff(str(tmp_path / "ok.tif")).shape == (12, 16, 1)
+
+
+def test_tile_table_to_tiff_reference_sink_profile(spark, tmp_path):
+    """tile_table_to_tiff with the reference's LZW+tiled+BigTIFF kwargs
+    round-trips through tiff_to_tile_table."""
+    from tb_scale_spatial_data_pipeline_spark.raster.tiles import synthetic_raster
+
+    img = synthetic_raster(spark, 40, 24, bands=2)
+    p = str(tmp_path / "scene_lzw.tif")
+    tile_table_to_tiff(
+        img, p, ["b1", "b2"], compression="lzw", tile=(32, 16), bigtiff=True
+    )
+    back = tiff_to_tile_table(spark, p, band_names=["b1", "b2"])
+    src = {(r["x"], r["y"]): (r["b1"], r["b2"]) for r in img.collect()}
+    dst = {(r["x"], r["y"]): (r["b1"], r["b2"]) for r in back.collect()}
+    assert dst == src
