@@ -21,6 +21,7 @@ from . import (
     relational3,
     relational4,
     relational5,
+    relational6,
     sampling_queries,
     scalar_queries,
     spatial_queries,
@@ -36,6 +37,7 @@ _MODULES = (
     relational3,
     relational4,
     relational5,
+    relational6,
     text_queries,
     vector_queries,
     pq_queries,
