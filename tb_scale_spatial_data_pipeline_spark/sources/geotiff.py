@@ -98,6 +98,14 @@ def _lzw_encode(data: bytes) -> bytes:
         w = bytes([byte])
     if w:
         emit(table[w])
+        # The decoder appends a table entry upon READING this final
+        # code and then applies its early-change check — so the
+        # encoder must advance the phantom next_code and re-check the
+        # width before emitting EOI, or EOI's width disagrees at the
+        # 2^w boundary (libtiff's LZWPostEncode does the same bump).
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
     emit(_LZW_EOI)
     if nbits:
         out.append((bitbuf << (8 - nbits)) & 0xFF)

@@ -235,3 +235,23 @@ def test_tile_table_to_tiff_reference_sink_profile(spark, tmp_path):
     src = {(r["x"], r["y"]): (r["b1"], r["b2"]) for r in img.collect()}
     dst = {(r["x"], r["y"]): (r["b1"], r["b2"]) for r in back.collect()}
     assert dst == src
+
+
+def test_lzw_eoi_width_boundary_regression():
+    """Regression: a 256-byte high-entropy payload lands the final data
+    code exactly on the 9→10-bit early-change boundary — the decoder
+    widens after its final table append, so the encoder must bump its
+    phantom next_code before emitting EOI or EOI is read at the wrong
+    width (found by hypothesis, round 5)."""
+    import numpy as np
+
+    from tb_scale_spatial_data_pipeline_spark.sources.geotiff import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = np.random.default_rng(0)
+    payload = np.ascontiguousarray(
+        rng.standard_normal((2, 16, 2)).astype(np.float32)
+    ).tobytes()
+    assert _lzw_decode(_lzw_encode(payload)) == payload

@@ -137,3 +137,132 @@ def test_vector_identities(spark, a, b):
     lhs = r["dist"] ** 2
     rhs = r["na"] ** 2 + r["nb"] ** 2 - 2 * r["d"]
     assert math.isclose(lhs, rhs, rel_tol=1e-6, abs_tol=1e-6 * max(1.0, abs(rhs)))
+
+
+@given(data=st.binary(min_size=0, max_size=4000))
+@settings(max_examples=200, deadline=None)
+def test_lzw_roundtrip_property(data):
+    """TIFF-variant LZW must be lossless on arbitrary byte streams —
+    the property the whole compressed-sink contract rests on."""
+    from tb_scale_spatial_data_pipeline_spark.sources.geotiff import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    assert _lzw_decode(_lzw_encode(data)) == data
+
+
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    c=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+    compression=st.sampled_from(["none", "lzw"]),
+    tiled=st.booleans(),
+    bigtiff=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_tiff_roundtrip_property(tmp_path_factory, h, w, c, seed, compression, tiled, bigtiff):
+    """Any (H, W, C) float32 raster must round-trip bit-exactly through
+    every codec layout combination (strip/tiled × raw/LZW × classic/
+    BigTIFF), including non-tile-multiple edges."""
+    import numpy as np
+
+    from tb_scale_spatial_data_pipeline_spark.sources.geotiff import (
+        read_tiff,
+        write_tiff,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.standard_normal((h, w, c)).astype(np.float32)
+    p = str(tmp_path_factory.mktemp("tiffprop") / "t.tif")
+    write_tiff(
+        p,
+        arr,
+        compression=compression,
+        tile=(16, 16) if tiled else None,
+        bigtiff=bigtiff,
+    )
+    assert np.array_equal(read_tiff(p), arr)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=15
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_equivalence_property(spark, edges):
+    """Min-label propagation, star contraction, and a driver-side
+    union-find must agree on arbitrary small graphs (self-loops and
+    parallel edges included)."""
+    from tb_scale_spatial_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # canonical label = min of each component
+    comp = {}
+    for n in parent:
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    expected = {n: min(ns) for r, ns in comp.items() for n in ns}
+
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got_min = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(df, "id_a", "id_b").collect()
+    }
+    got_star = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(df, "id_a", "id_b").collect()
+    }
+    assert got_min == expected
+    assert got_star == expected
+
+
+@given(
+    tx=st.floats(-100, 100, allow_nan=False),
+    ty=st.floats(-100, 100, allow_nan=False),
+    g=st.floats(-1e-3, 1e-3, allow_nan=False),
+    h=st.floats(-1e-3, 1e-3, allow_nan=False),
+)
+@settings(max_examples=100, deadline=None)
+def test_projective_transform_inverse_property(tx, ty, g, h):
+    """target_to_source and source_to_target must be mutual inverses
+    for any well-conditioned homography."""
+    import numpy as np
+
+    from tb_scale_spatial_data_pipeline_spark.raster.kernels import (
+        projective_transform,
+    )
+
+    t2s, s2t = projective_transform(
+        ((0.95, 0.08, 1.5), (-0.06, 0.97, 0.8), (g, h, 1.0))
+    )
+    x = np.array([tx], dtype=np.float64)
+    y = np.array([ty], dtype=np.float64)
+    sx, sy = t2s(x, y)
+    bx, by = s2t(sx, sy)
+    assert abs(bx[0] - tx) < 1e-6 * max(1.0, abs(tx))
+    assert abs(by[0] - ty) < 1e-6 * max(1.0, abs(ty))
