@@ -78,3 +78,65 @@ def lsh_ann_buckets(
     return df.select(
         F.col(id_col), lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket")
     )
+
+
+def multitable_plane_signs(table: int, n_planes: int, dim: int) -> list[list[float]]:
+    """±1 hyperplane components for one LSH table, drawn from a seeded
+    PCG64 stream (stable across platforms/numpy versions). Signs are
+    generated at PLAN BUILD time and baked as literals into both the
+    Spark expression and the DuckDB oracle SQL, so true randomness is
+    free — unlike the single-table `plane_sign` parity formula, whose
+    algebraic structure correlates across shifted plane indices and
+    collapses multi-table recall (measured: 0.02 candidate recall@10
+    with shifted parity planes vs 0.50 with seeded random planes at
+    the same L×P cost)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7 + table)
+    return rng.choice([-1.0, 1.0], size=(n_planes, dim)).tolist()
+
+
+def lsh_multitable_buckets(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    n_tables: int = 8,
+    n_planes: int = 5,
+) -> DataFrame:
+    """OR-amplified sign-LSH: (id, table_id, bucket) with one
+    independent random plane set per table. Candidates are the UNION
+    over tables of same-bucket pairs — the classic recall lever for
+    LSH: single-table collision probability p^P becomes
+    1-(1-p^P)^L across L tables, at L× the bucket-join cost (still
+    bucket-local, never all-pairs). Fewer planes per table (wider
+    buckets) raises per-table recall; more tables multiplies it.
+    For near-duplicate detection (cos ≥ 0.9, p ≈ 0.86) the default
+    8×5 reaches ~0.99; on weakly-similar neighbors (the fixture's
+    regime, cos ≈ 0.4) it measures ~0.5 — see PLANS.md round-5."""
+    tables = []
+    for ti in range(n_tables):
+        signs_rows = multitable_plane_signs(ti, n_planes, dim)
+        acc = F.lit(0)
+        for p in range(n_planes):
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(s) for s in signs_rows[p]]),
+                    lambda x, s: x.cast("double") * s,
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            acc = acc + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        tables.append(
+            df.select(
+                F.col(id_col),
+                F.lit(ti).alias("table_id"),
+                acc.alias("bucket"),
+            )
+        )
+    out = tables[0]
+    for t_df in tables[1:]:
+        out = out.unionByName(t_df)
+    return out

@@ -223,3 +223,225 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF search with nprobe > 1 — the standard recall lever for inverted-
+# file ANN. Measured on this fixture (PLANS.md round-5 quality table):
+# single-cell (nprobe=1) recall@10 vs brute force is 0.47; probing the
+# 3 nearest of 8 cells lifts the candidate fraction to ~3/8 of the
+# corpus and recall to ~0.9 while preserving the scale shape — the
+# fact side joins cell-bucketed candidates, never all pairs. Queries =
+# vec_id < 5; output = top-5 per query among probed-cell candidates.
+NPROBE = 3
+N_QUERIES = 5
+IVF_TOPK = 5
+
+
+def _sql_ivf_nprobe() -> str:
+    dist_qc = (
+        "sqrt(list_aggregate(list_transform(generate_series(1, {n}), "
+        "i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) "
+        "* (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))), 'sum'))"
+    ).format(n=DIM)
+    dist_ec = (
+        "sqrt(list_aggregate(list_transform(generate_series(1, {n}), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) "
+        "* (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))), 'sum'))"
+    ).format(n=DIM)
+    cos = _sql_cosine("q.embedding", "e.embedding")
+    return f"""
+    WITH cents AS (SELECT vec_id AS centroid_id, embedding
+                   FROM embeddings WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY round({dist_ec}, 9), c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probed AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.vec_id AS query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY round({dist_qc}, 9), c.centroid_id) AS rn
+        FROM embeddings q CROSS JOIN cents c
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rn <= {NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS cand_id,
+             round({cos}, 6) AS cos_sim
+      FROM probed p
+      JOIN assign a ON a.centroid_id = p.centroid_id
+      JOIN embeddings e ON e.vec_id = a.vec_id
+      JOIN embeddings q ON q.vec_id = p.query_id
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, cand_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, cand_id) AS rn
+      FROM scored
+    ) WHERE rn <= {IVF_TOPK}
+    """
+
+
+@_q("ivf_search_nprobe", _sql_ivf_nprobe())
+def q_ivf_search_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vectors import l2_distance
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    # corpus assignment: nearest centroid per vector (= ivf_assign)
+    pairs = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents))
+    dist = F.round(
+        l2_distance(as_double_array(F.col("embedding")), as_double_array(F.col("ce"))),
+        9,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(dist.asc(), F.col("centroid_id").asc())
+    assign = (
+        pairs.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    # probe list: the NPROBE nearest cells per query vector
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    qc = queries.crossJoin(F.broadcast(cents))
+    qdist = F.round(
+        l2_distance(as_double_array(F.col("qe")), as_double_array(F.col("ce"))), 9
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(qdist.asc(), F.col("centroid_id").asc())
+    probed = (
+        qc.withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= NPROBE)
+        .select("query_id", "centroid_id", "qe")
+    )
+    # candidates: corpus vectors in any probed cell (cell-bucketed join)
+    cand = probed.join(assign, "centroid_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    ce = emb.select(F.col("vec_id"), F.col("embedding").alias("cand_e"))
+    scored = cand.join(ce, "vec_id").select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        F.round(
+            cosine_similarity(
+                as_double_array(F.col("qe")), as_double_array(F.col("cand_e"))
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= IVF_TOPK)
+        .select("query_id", "cand_id", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-table (OR-amplified) LSH ANN — the recall lever for sign-LSH.
+# Measured on this fixture: one 8-plane table gives candidate
+# recall@10 ≈ 0.01 (256 buckets over 500 vectors ≈ 2 per bucket);
+# 8 tables × 5 seeded-random planes union to candidate recall ≈ 0.5
+# at ~24% of the corpus as candidates — and this fixture is the
+# adversarial regime (true neighbors at cos ≈ 0.4; at the near-dup
+# regime cos ≥ 0.9 the same 8×5 reaches ~0.99). Candidates stay
+# bucket-local per table (never all-pairs); the union dedups on
+# (query, cand). Output = top-3 per query among candidates.
+N_TABLES = 8
+PLANES_PER_TABLE = 5
+LSH_TOPK = 3
+
+
+def _sql_lsh_multitable() -> str:
+    from ..operators.similarity import multitable_plane_signs
+
+    cos = _sql_cosine("q.embedding", "e.embedding")
+    per_table = []
+    for ti in range(N_TABLES):
+        rows = multitable_plane_signs(ti, PLANES_PER_TABLE, DIM)
+        terms = []
+        for p in range(PLANES_PER_TABLE):
+            signs = ", ".join(str(float(v)) for v in rows[p])
+            dot = (
+                f"list_dot_product(CAST(embedding AS DOUBLE[]), "
+                f"CAST([{signs}] AS DOUBLE[]))"
+            )
+            terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END")
+        bucket = " + ".join(terms)
+        per_table.append(
+            f"SELECT vec_id, {ti} AS table_id, CAST({bucket} AS INT) AS bucket"
+            " FROM embeddings"
+        )
+    buckets = " UNION ALL ".join(per_table)
+    return f"""
+    WITH b AS ({buckets}),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS cand_id
+      FROM b qb
+      JOIN b cb ON cb.table_id = qb.table_id AND cb.bucket = qb.bucket
+                AND cb.vec_id <> qb.vec_id
+      WHERE qb.vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT c.query_id, c.cand_id, round({cos}, 6) AS cos_sim
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings e ON e.vec_id = c.cand_id
+    )
+    SELECT query_id, cand_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, cand_id) AS rn
+      FROM scored
+    ) WHERE rn <= {LSH_TOPK}
+    """
+
+
+@_q("lsh_multitable_ann", _sql_lsh_multitable())
+def q_lsh_multitable_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import lsh_multitable_buckets
+
+    emb = t(spark, sf_dir, "embeddings")
+    b = lsh_multitable_buckets(
+        emb, "embedding", "vec_id", dim=DIM, n_tables=N_TABLES, n_planes=PLANES_PER_TABLE
+    )
+    qb = b.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "table_id", "bucket"
+    )
+    cb = b.select(F.col("vec_id").alias("cand_id"), "table_id", "bucket")
+    cand = (
+        qb.join(cb, ["table_id", "bucket"])
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    ce = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cand_e"))
+    scored = cand.join(F.broadcast(qe), "query_id").join(ce, "cand_id").select(
+        "query_id",
+        "cand_id",
+        F.round(
+            cosine_similarity(
+                as_double_array(F.col("qe")), as_double_array(F.col("cand_e"))
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= LSH_TOPK)
+        .select("query_id", "cand_id", "cos_sim")
+    )
