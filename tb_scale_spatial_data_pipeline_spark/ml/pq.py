@@ -151,6 +151,8 @@ def pq_adc_search(
     codebooks: Codebooks,
     query_vec: list[float],
     top: int = 10,
+    exclude_id: int | None = None,
+    adc_round: int = 6,
 ) -> DataFrame:
     """Asymmetric-distance search: ADC(q, x) = sqrt(Σ_m ‖q_m −
     cb_m[code_m(x)]‖²). The per-(m, codeword) partial distances are
@@ -174,8 +176,7 @@ def pq_adc_search(
             *[F.lit(float(lut.get(i, float("inf")))) for i in range(max(lut) + 1)]
         )
         adc2 = adc2 + F.element_at(arr, F.col(f"code{mi}") + 1)
-    return (
-        coded.select(id_col, F.round(F.sqrt(adc2), 6).alias("adc"))
-        .orderBy(F.asc("adc"), F.asc(id_col))
-        .limit(top)
-    )
+    out = coded.select(id_col, F.round(F.sqrt(adc2), adc_round).alias("adc"))
+    if exclude_id is not None:
+        out = out.where(F.col(id_col) != exclude_id)
+    return out.orderBy(F.asc("adc"), F.asc(id_col)).limit(top)

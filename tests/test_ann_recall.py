@@ -124,3 +124,32 @@ def test_multitable_beats_single_table(spark):
     best_single = max(recall([t_]) for t_ in all_tables)
     assert union_rec >= best_single
     assert union_rec > 0
+
+
+def test_pq_rerank_recall_floor(spark):
+    """PQ production shape: ADC shortlist + exact rerank. Pure ADC
+    recall@10 is 0.12 on this fixture (PQ's worst case — random
+    Gaussians); the K=16 / shortlist-100 rerank measured 0.80. Floor
+    at 0.6: fails if the shortlist stops covering the true neighbors
+    or the rerank ordering breaks."""
+    from tb_scale_spatial_data_pipeline_spark.plans.pq_queries import (
+        QUERIES as PQQ,
+    )
+    from tb_scale_spatial_data_pipeline_spark.plans.pq_queries import (
+        RERANK_TOPK,
+    )
+
+    emb, ids, nrm = _load(spark)
+    mat = np.stack(
+        [
+            np.array(r["embedding"], dtype=np.float64)
+            for r in sorted(
+                spark.read.parquet(f"{SF_CORRECTNESS}/embeddings.parquet").collect(),
+                key=lambda r: r["vec_id"],
+            )
+        ]
+    )
+    d2 = ((mat[0][None, :] - mat) ** 2).sum(axis=1)
+    exact = [ids[j] for j in np.argsort(d2) if ids[j] != 0][:RERANK_TOPK]
+    got = [r["vec_id"] for r in PQQ["pq_rerank_search"](spark, SF_CORRECTNESS).collect()]
+    assert len(set(got) & set(exact)) / RERANK_TOPK >= 0.6  # measured 0.8
