@@ -441,3 +441,15 @@ ORACLES["stream_transform_with_state"] = """
            round(SUM(value), 2) AS total_value
     FROM events GROUP BY user_id
 """
+
+
+@_q("stream_stream_full_outer_join")
+def q_stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: FULL OUTER stream-stream interval join — unmatched
+    rows on BOTH sides require watermark eviction (each side's state
+    store finalizes its null rows only when the watermark passes), so
+    the full-stream result is not batch-expressible; the closed-
+    watermark region is batch-twin-checked in tests/test_ml_streaming.py."""
+    from ..streaming.events import stream_stream_click_purchase_full_outer
+
+    return stream_stream_click_purchase_full_outer(spark, sf_dir)

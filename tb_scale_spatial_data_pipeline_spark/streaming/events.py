@@ -371,3 +371,49 @@ def stream_stream_click_purchase_outer(spark: SparkSession, sf_dir: str) -> Data
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
     )
     return run_stream_to_table(joined, "append")
+
+
+def stream_stream_click_purchase_full_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join — completes the join-mode
+    matrix (inner / left-outer / full-outer). Both sides need
+    watermarks AND the time-range conjunct so BOTH state stores can
+    evict: an unmatched click emits its null row when the watermark
+    passes the click's join window, an unmatched purchase emits when
+    the watermark passes the purchase itself. Same availableNow caveat
+    as the left-outer form: rows whose window the final watermark has
+    not passed remain in state, so the batch-twin agreement holds on
+    the closed-watermark region (tests/test_ml_streaming.py)."""
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "fullOuter",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+    return run_stream_to_table(joined, "append")

@@ -341,3 +341,70 @@ def test_transform_with_state_fallback_is_visible(spark):
     with pytest.warns(RuntimeWarning, match="falling back"):
         out = stream_transform_with_state_totals(spark, SF_SMOKE)
     assert out.count() > 0
+
+
+def test_stream_full_outer_join_matches_batch_in_closed_region(spark):
+    """Full-outer stream-stream join vs the batch full join: inside the
+    region closed on BOTH sides (click windows passed AND purchase
+    timestamps passed by the final watermark) the two must agree,
+    including null rows from both directions."""
+    import datetime
+
+    from tb_scale_spatial_data_pipeline_spark.sources.catalog import load_table
+    from tb_scale_spatial_data_pipeline_spark.streaming.events import (
+        stream_stream_click_purchase_full_outer,
+    )
+
+    got = stream_stream_click_purchase_full_outer(spark, SF_SMOKE)
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "full",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+    maxes = ev.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("mc"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("mp"),
+    ).collect()[0]
+    horizon = (
+        min(maxes["mc"], maxes["mp"])
+        - datetime.timedelta(hours=1)
+        - datetime.timedelta(minutes=30)
+    )
+    cutoff = horizon.strftime("%Y-%m-%d %H:%M:%S")
+
+    def closed(df):
+        # a row is in the closed region if its click side is closed
+        # (click_ts < cutoff) or, for click-less rows, its purchase
+        # side is (purchase_ts < cutoff)
+        return {
+            (r["click_id"], r["purchase_id"])
+            for r in df.where(
+                F.coalesce(F.col("click_ts"), F.col("purchase_ts")) < F.lit(cutoff)
+            ).collect()
+        }
+
+    got_set, batch_set = closed(got), closed(batch)
+    assert len(batch_set) > 0
+    # null rows in BOTH directions must be present
+    assert any(p is None for _, p in batch_set)
+    assert any(c is None for c, _ in batch_set)
+    assert got_set == batch_set
