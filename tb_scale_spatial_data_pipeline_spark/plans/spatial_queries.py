@@ -316,3 +316,157 @@ def q_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("zval").cast("bigint").alias("z_min"),
         F.max("zval").cast("bigint").alias("z_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon join on CONCAVE polygons (L-shaped hexagons) —
+# bbox joins only bound candidates; real containment needs the
+# ray-casting predicate. Scale shape (Spark side): polygon bbox cells
+# explode to a grid (cell = equi-join key), each point maps to exactly
+# ONE cell, candidates form by cell equi-join, and the exact ray-cast
+# refinement is a pure higher-order fold over the polygon's vertex
+# array carried inline on the candidate row — no edge table, no second
+# join, one shuffle total. Never polys × points. Points sit at
+# half-integer coordinates so no point lies on an edge (the predicate
+# is still deterministic on boundaries — identical IEEE expression
+# both engines — but the fixture shouldn't hinge on it).
+PIP_CELL = 8.0
+
+
+def _sql_pip() -> str:
+    return """
+    WITH polys AS (
+      SELECT p_partkey AS poly_id,
+             CAST(p_partkey % 28 AS DOUBLE) AS cx,
+             CAST(p_partkey % 20 AS DOUBLE) AS cy,
+             CAST(p_size % 8 + 2 AS DOUBLE) AS s
+      FROM part WHERE p_partkey % 13 = 0
+    ),
+    pts AS (
+      SELECT c_custkey AS point_id,
+             CAST(c_custkey % 40 AS DOUBLE) + 0.5 AS px,
+             CAST(c_custkey % 30 AS DOUBLE) + 0.5 AS py
+      FROM customer
+    ),
+    verts AS (
+      SELECT poly_id, i,
+        CASE i WHEN 0 THEN cx WHEN 1 THEN cx+2*s WHEN 2 THEN cx+2*s
+               WHEN 3 THEN cx+s WHEN 4 THEN cx+s ELSE cx END AS vx,
+        CASE i WHEN 0 THEN cy WHEN 1 THEN cy WHEN 2 THEN cy+s
+               WHEN 3 THEN cy+s WHEN 4 THEN cy+2*s ELSE cy+2*s END AS vy
+      FROM polys, generate_series(0, 5) g(i)
+    ),
+    edges AS (
+      SELECT a.poly_id, a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+      FROM verts a JOIN verts b ON b.poly_id = a.poly_id
+                               AND b.i = (a.i + 1) % 6
+    ),
+    cross_counts AS (
+      SELECT e.poly_id, p.point_id,
+             SUM(CASE WHEN (e.y1 > p.py) <> (e.y2 > p.py)
+                       AND p.px < e.x1 + (e.x2 - e.x1) * (p.py - e.y1)
+                                         / (e.y2 - e.y1)
+                 THEN 1 ELSE 0 END) AS crossings
+      FROM edges e CROSS JOIN pts p
+      GROUP BY e.poly_id, p.point_id
+    )
+    SELECT poly_id, COUNT(*) AS n_inside
+    FROM cross_counts WHERE crossings % 2 = 1
+    GROUP BY poly_id
+    """
+
+
+@_q("spatial_point_in_polygon", _sql_pip())
+def q_spatial_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part").where(F.col("p_partkey") % 13 == 0)
+    cx = (F.col("p_partkey") % 28).cast("double")
+    cy = (F.col("p_partkey") % 20).cast("double")
+    s = (F.col("p_size") % 8 + 2).cast("double")
+    vert = lambda x, y: F.struct(x.alias("vx"), y.alias("vy"))
+    polys = part.select(
+        F.col("p_partkey").alias("poly_id"),
+        F.array(
+            vert(cx, cy),
+            vert(cx + 2 * s, cy),
+            vert(cx + 2 * s, cy + s),
+            vert(cx + s, cy + s),
+            vert(cx + s, cy + 2 * s),
+            vert(cx, cy + 2 * s),
+        ).alias("verts"),
+        cx.alias("bx0"), (cx + 2 * s).alias("bx1"),
+        cy.alias("by0"), (cy + 2 * s).alias("by1"),
+    )
+    cells = polys.select(
+        "poly_id",
+        "verts",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("bx0") / PIP_CELL), F.floor(F.col("bx1") / PIP_CELL)
+            )
+        ).alias("cell_x"),
+        F.col("by0"), F.col("by1"),
+    ).select(
+        "poly_id",
+        "verts",
+        "cell_x",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("by0") / PIP_CELL), F.floor(F.col("by1") / PIP_CELL)
+            )
+        ).alias("cell_y"),
+    )
+    cust = t(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("point_id"),
+        ((F.col("c_custkey") % 40).cast("double") + 0.5).alias("px"),
+        ((F.col("c_custkey") % 30).cast("double") + 0.5).alias("py"),
+    ).select(
+        "point_id", "px", "py",
+        F.floor(F.col("px") / PIP_CELL).alias("cell_x"),
+        F.floor(F.col("py") / PIP_CELL).alias("cell_y"),
+    )
+    cand = pts.join(cells, ["cell_x", "cell_y"])
+    # ray-cast refinement: fold over the 6 edges of the inline vertex
+    # array — same IEEE expression tree as the oracle's edge predicate
+    n = 6
+    crossings = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda i: (
+                F.when(
+                    (
+                        (_vy(i, n) > F.col("py"))
+                        != (_vy_next(i, n) > F.col("py"))
+                    )
+                    & (
+                        F.col("px")
+                        < _vx(i, n)
+                        + (_vx_next(i, n) - _vx(i, n))
+                        * (F.col("py") - _vy(i, n))
+                        / (_vy_next(i, n) - _vy(i, n))
+                    ),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    inside = cand.where(crossings % 2 == 1)
+    return inside.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n_inside"))
+
+
+def _vx(i, n):
+    return F.element_at(F.col("verts"), i + 1).getField("vx")
+
+
+def _vy(i, n):
+    return F.element_at(F.col("verts"), i + 1).getField("vy")
+
+
+def _vx_next(i, n):
+    return F.element_at(F.col("verts"), (i + 1) % n + 1).getField("vx")
+
+
+def _vy_next(i, n):
+    return F.element_at(F.col("verts"), (i + 1) % n + 1).getField("vy")
