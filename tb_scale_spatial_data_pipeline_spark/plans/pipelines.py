@@ -453,3 +453,29 @@ def q_stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFra
     from ..streaming.events import stream_stream_click_purchase_full_outer
 
     return stream_stream_click_purchase_full_outer(spark, sf_dir)
+
+
+@_q("stream_custom_source_totals")
+def q_stream_custom_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the custom STREAMING Python DataSource (eventgen —
+    offset-bounded replay-deterministic ticks, one InputPartition per
+    (tick, shard), Arrow batches) drained via availableNow into a
+    per-user aggregation. Replay determinism + exact totals are pinned
+    in tests/test_datasource.py."""
+    from ..sources.eventgen import register
+    from ..streaming.events import run_stream_to_table
+
+    register(spark)
+    drained = run_stream_to_table(
+        spark.readStream.format("eventgen").load(), "append"
+    )
+    return (
+        drained
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,1)")).cast("double"), 1).alias(
+                "total_value"
+            ),
+        )
+    )
