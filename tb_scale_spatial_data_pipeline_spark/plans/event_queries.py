@@ -255,3 +255,95 @@ def q_interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFram
         F.date_format("c_ts", _FMT).alias("click_ts"),
         F.date_format("p_ts", _FMT).alias("purchase_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join, union-sort-window form — the scale-superior physical
+# shape. The join+max form above pairs every purchase with EVERY prior
+# click of that user before aggregating (quadratic per user in the
+# worst case); this form unions the two event sets, sorts once within
+# each user partition, and carries the last click forward with
+# last(ignorenulls) — one shuffle, linear work per user, no pair
+# explosion. Equal-ts ties order clicks before purchases so an
+# exactly-simultaneous click is visible (the <= semantics of the
+# oracle). Same oracle as the join form — identical semantics, plan
+# shapes compared.
+@_q(
+    "asof_union_window",
+    f"""
+    SELECT p.event_id AS purchase_id,
+           strftime(max(c.ts), '{_SQL_FMT}') AS last_click_ts
+    FROM events p LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def q_asof_union_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("is_purchase"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "last_click", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return carried.where(F.col("is_purchase") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        F.date_format("last_click", _FMT).alias("last_click_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FORWARD as-of: for each purchase, the EARLIEST click at-or-after it
+# (lead-time analysis: "how soon after buying does the user come
+# back"). Same union-sort-window shape, sorted descending so
+# last(ignorenulls) carries the next click backward.
+@_q(
+    "asof_forward_next_click",
+    f"""
+    SELECT p.event_id AS purchase_id,
+           strftime(min(c.ts), '{_SQL_FMT}') AS next_click_ts
+    FROM events p LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts >= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def q_asof_forward_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.asc("is_purchase"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "next_click", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return carried.where(F.col("is_purchase") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        F.date_format("next_click", _FMT).alias("next_click_ts"),
+    )
