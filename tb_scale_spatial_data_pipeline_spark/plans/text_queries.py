@@ -496,3 +496,54 @@ def q_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.sum(token_count(F.col("text"))).cast("long").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality metric — Shannon entropy of the per-doc
+# character distribution, the classic cheap detector for degenerate
+# training text (repeated-char spam scores near 0 bits, natural prose
+# ~4 bits/char). Shape: explode to (doc, char) pairs, two chained
+# aggregations on the same doc key (the second rides the first's
+# partitioning), entropy as an exact -Σ (c/n)·log2(c/n) fold. log2 is
+# correctly-rounded in both engines for identical doubles; round(6)
+# absorbs nothing but formatting.
+@_q(
+    "char_entropy_quality",
+    """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM chars GROUP BY doc_id, ch
+    ),
+    tot AS (
+      SELECT doc_id, SUM(c) AS n, COUNT(*) AS distinct_chars
+      FROM counts GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_chars,
+           CAST(t.distinct_chars AS BIGINT) AS distinct_chars,
+           round(-SUM((k.c / t.n) * log2(k.c / t.n)), 6) AS entropy_bits
+    FROM counts k JOIN tot t ON t.doc_id = k.doc_id
+    GROUP BY t.doc_id, t.n, t.distinct_chars
+    """,
+)
+def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    w = Window.partitionBy("doc_id")
+    p = F.col("c") / F.sum("c").over(w)
+    ent = counts.withColumn("_term", p * F.log2(p))
+    return ent.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_chars"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.round(-F.sum("_term"), 6).alias("entropy_bits"),
+    )

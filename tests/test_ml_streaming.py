@@ -408,3 +408,41 @@ def test_stream_full_outer_join_matches_batch_in_closed_region(spark):
     assert any(p is None for _, p in batch_set)
     assert any(c is None for c, _ in batch_set)
     assert got_set == batch_set
+
+
+def test_foreachbatch_idempotent_replay(spark, tmp_path):
+    """Exactly-once foreachBatch sink pattern: each micro-batch writes
+    into its own _batch=<id> partition with dynamic partition
+    overwrite, so REPLAYING a batch (the at-least-once delivery case
+    after a crash between sink write and checkpoint commit) overwrites
+    its own partition instead of appending duplicates."""
+    import pyspark.sql.functions as F
+
+    out_dir = str(tmp_path / "idem_sink")
+    src = spark.range(100).select(
+        (F.col("id") % 7).alias("k"), F.col("id").cast("double").alias("v")
+    )
+
+    def write_batch(batch_df, batch_id):
+        (
+            batch_df.withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(out_dir)
+        )
+
+    agg = src.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    write_batch(agg, 0)
+    once = spark.read.parquet(out_dir).collect()
+    # replay the same batch id — the at-least-once case
+    write_batch(agg, 0)
+    write_batch(agg, 0)
+    twice = spark.read.parquet(out_dir).collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, twice))
+    assert len(twice) == 7  # no duplicates
+    # a NEW batch id lands alongside, untouched
+    write_batch(agg.withColumn("n", F.col("n") + 100), 1)
+    allb = spark.read.parquet(out_dir)
+    assert allb.count() == 14
+    assert allb.where("_batch = 0").count() == 7
