@@ -156,3 +156,41 @@ def q_posexplode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.select(
         "vec_id", F.col("pos").cast("int"), F.round(F.col("val").cast("double"), 6).alias("val")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sample without replacement (Efraimidis–Spirakis A-ES):
+# draw k rows with inclusion probability ∝ weight by racing
+# exponential clocks — key_i = -ln(u_i)/w_i, keep the k smallest.
+# u_i comes from the deterministic md5 bucket (same selection on any
+# cluster size or engine), and the k smallest are a TakeOrdered heap:
+# per-partition partial top-k, no global sort — the scale form of
+# "give me 200 orders, big spenders more likely".
+@_q(
+    "weighted_sample_orders",
+    f"""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM (
+      SELECT o_orderkey, o_totalprice,
+             round(-ln(({_SQL_BUCKET.format(key="o_orderkey")} + 0.5)
+                       / 65536.0)
+                   / CAST(o_totalprice AS DOUBLE), 12) AS ekey
+      FROM orders
+    )
+    ORDER BY ekey, o_orderkey LIMIT 200
+    """,
+)
+def q_weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    u = (_bucket(F.col("o_orderkey")) + F.lit(0.5)) / F.lit(65536.0)
+    ekey = F.round(-F.log(u) / F.col("o_totalprice").cast("double"), 12)
+    return (
+        orders.select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            ekey.alias("ekey"),
+        )
+        .orderBy(F.asc("ekey"), F.asc("o_orderkey"))
+        .limit(200)
+        .select("o_orderkey", "o_totalprice")
+    )
