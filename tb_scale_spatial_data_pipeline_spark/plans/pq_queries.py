@@ -279,3 +279,143 @@ def q_pq_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.expr(f"round(sqrt({exact2}), 6)").alias("l2_dist")
     )
     return reranked.orderBy(F.asc("l2_dist"), F.asc("vec_id")).limit(RERANK_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# The COMPOSED production ANN stack: IVF coarse cells (nprobe=3 of 8)
+# bound the candidate set → PQ-ADC (K=16) ranks the candidates over
+# compressed codes → a 50-row shortlist is reranked exactly against
+# raw vectors. At scale each stage touches strictly less data than the
+# last: cells cut the corpus to ~nprobe/n_cells, ADC reads 8-byte
+# codes instead of raw vectors, and raw-vector reads are bounded by
+# the shortlist. This is what a real deployment runs; the single-cell
+# ivfpq_search above is its nprobe=1, no-rerank ablation.
+IVFPQ_NPROBE = 3
+IVFPQ_SHORTLIST = 50
+
+
+def _sql_ivfpq_nprobe_rerank() -> str:
+    ivf_dist = (
+        "sqrt(list_aggregate(list_transform(generate_series(1, {n}), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) "
+        "* (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))), 'sum'))"
+    ).format(n=DIM)
+    qc_dist = ivf_dist.replace("e.embedding", "qq.embedding")
+    d_cols = ", ".join(
+        f"round({_sql_sub_dist2(m, 'e.embedding', 'c.cv')}, 9) AS d{m}" for m in range(M)
+    )
+    code_cols = ", ".join(
+        f"CAST(first(cid ORDER BY d{m}, cid) AS INT) AS code{m}" for m in range(M)
+    )
+    ld_cols = ", ".join(f"{_sql_sub_dist2(m, 'q.qv', 'c.cv')} AS d{m}" for m in range(M))
+    joins = " ".join(f"JOIN ld l{m} ON l{m}.cid = a.code{m}" for m in range(M))
+    adc = " + ".join(f"l{m}.d{m}" for m in range(M))
+    exact2 = " + ".join(_sql_sub_dist2(m, "e.embedding", "q.qv") for m in range(M))
+    return f"""
+    WITH cents AS (SELECT vec_id AS centroid_id, embedding
+                   FROM embeddings WHERE vec_id < 8),
+    assign AS MATERIALIZED (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY round({ivf_dist}, 9), c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probed AS (
+      SELECT centroid_id FROM (
+        SELECT c.centroid_id,
+               row_number() OVER (ORDER BY round({qc_dist}, 9), c.centroid_id) AS rn
+        FROM embeddings qq CROSS JOIN cents c
+        WHERE qq.vec_id = 0
+      ) WHERE rn <= {IVFPQ_NPROBE}
+    ),
+    cand AS (
+      SELECT e.vec_id, e.embedding FROM embeddings e
+      JOIN assign a ON a.vec_id = e.vec_id
+      JOIN probed p ON p.centroid_id = a.centroid_id
+      WHERE e.vec_id <> 0
+    ),
+    cb AS (SELECT vec_id AS cid, embedding AS cv
+           FROM embeddings WHERE vec_id < {RERANK_K}),
+    d AS MATERIALIZED (
+      SELECT e.vec_id, c.cid, {d_cols} FROM cand e CROSS JOIN cb c
+    ),
+    codes AS (SELECT vec_id, {code_cols} FROM d GROUP BY vec_id),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    ld AS MATERIALIZED (SELECT c.cid, {ld_cols} FROM cb c CROSS JOIN q),
+    short AS (
+      SELECT a.vec_id FROM codes a {joins}
+      ORDER BY round(sqrt(0.0 + {adc}), 9), a.vec_id LIMIT {IVFPQ_SHORTLIST}
+    )
+    SELECT s.vec_id, round(sqrt(0.0 + {exact2}), 6) AS l2_dist
+    FROM short s
+    JOIN embeddings e ON e.vec_id = s.vec_id
+    CROSS JOIN q
+    ORDER BY l2_dist, s.vec_id LIMIT 10
+    """
+
+
+@_q("ivfpq_nprobe_rerank", _sql_ivfpq_nprobe_rerank())
+def q_ivfpq_nprobe_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vectors import l2_distance
+    from ..ml.pq import _sub_dist2_sql, pq_adc_search, pq_codebooks_from_first_k
+    from ..operators.similarity import as_double_array
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    pairs = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents))
+    dist = F.round(
+        l2_distance(as_double_array(F.col("embedding")), as_double_array(F.col("ce"))),
+        9,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(dist.asc(), F.col("centroid_id").asc())
+    assign = (
+        pairs.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    # probed cells for the query vector: nprobe ids, one bounded collect
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding")
+    qv = [float(v) for v in qrow.collect()[0][0]]
+    qc = cents.select(
+        "centroid_id",
+        F.round(
+            l2_distance(
+                as_double_array(F.col("ce")),
+                F.array(*[F.lit(v) for v in qv]),
+            ),
+            9,
+        ).alias("qd"),
+    )
+    probed = [
+        r["centroid_id"]
+        for r in qc.orderBy(F.asc("qd"), F.asc("centroid_id"))
+        .limit(IVFPQ_NPROBE)
+        .collect()
+    ]
+    cand = emb.join(
+        assign.where(F.col("centroid_id").isin(probed)).select("vec_id"), "vec_id"
+    ).where(F.col("vec_id") != 0)
+    books = pq_codebooks_from_first_k(emb, "vec_id", "embedding", DIM, M, RERANK_K)
+    short = pq_adc_search(
+        cand.select("vec_id", "embedding"),
+        "vec_id",
+        "embedding",
+        books,
+        qv,
+        top=IVFPQ_SHORTLIST,
+        adc_round=9,
+    ).select("vec_id")
+    exact2 = "0.0d + " + " + ".join(
+        _sub_dist2_sql("embedding", m * SUB, qv[m * SUB : (m + 1) * SUB])
+        for m in range(M)
+    )
+    reranked = short.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        "vec_id", F.expr(f"round(sqrt({exact2}), 6)").alias("l2_dist")
+    )
+    return reranked.orderBy(F.asc("l2_dist"), F.asc("vec_id")).limit(10)
