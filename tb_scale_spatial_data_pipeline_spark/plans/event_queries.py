@@ -347,3 +347,122 @@ def q_asof_forward_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         F.date_format("next_click", _FMT).alias("next_click_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion: view → click → purchase in strict order per user,
+# the whole funnel inside 24 h of the first view. Each stage is a
+# grouped MIN re-joined to the next — three aggregations on the same
+# user key (the exchanges reuse), never an events×events explosion.
+@_q(
+    "funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > v.v_ts AND e.ts <= v.v_ts + INTERVAL 24 HOURS
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e
+      JOIN c ON c.user_id = e.user_id
+      JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.c_ts AND e.ts <= v.v_ts + INTERVAL 24 HOURS
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked,
+           (SELECT COUNT(*) FROM p) AS n_purchased
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    ec = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    c = (
+        ec.join(v, ec["cu"] == v["user_id"])
+        .where(
+            (F.col("cts") > F.col("v_ts"))
+            & (F.col("cts") <= F.col("v_ts") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("cu")
+        .agg(F.min("cts").alias("c_ts"))
+    )
+    ep = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    p = (
+        ep.join(c, ep["pu"] == c["cu"])
+        .join(v, ep["pu"] == v["user_id"])
+        .where(
+            (F.col("pts") > F.col("c_ts"))
+            & (F.col("pts") <= F.col("v_ts") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("pu")
+        .agg(F.min("pts").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-seen day; per cohort, how
+# many return in week 1 / week 2. first-seen is one grouped MIN; the
+# activity join re-shuffles on the same user key; the conditional
+# COUNT(DISTINCT CASE ...) stages are one aggregation pass.
+@_q(
+    "cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             date_diff('day', f.d0, CAST(e.ts AS DATE)) AS dd
+      FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    )
+    SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
+           COUNT(DISTINCT f.user_id) AS cohort_size,
+           COUNT(DISTINCT CASE WHEN a.dd BETWEEN 7 AND 13
+                               THEN a.user_id END) AS retained_w1,
+           COUNT(DISTINCT CASE WHEN a.dd BETWEEN 14 AND 20
+                               THEN a.user_id END) AS retained_w2
+    FROM first_seen f JOIN activity a ON a.user_id = f.user_id
+    GROUP BY f.d0
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    activity = (
+        ev.select(F.col("user_id").alias("au"), F.to_date("ts").alias("ad"))
+        .join(first_seen, F.col("au") == F.col("user_id"))
+        .select("au", F.datediff(F.col("ad"), F.col("d0")).alias("dd"))
+        .distinct()
+    )
+    j = first_seen.join(activity, first_seen["user_id"] == activity["au"])
+    return j.groupBy(F.date_format("d0", "yyyy-MM-dd").alias("cohort_day")).agg(
+        F.countDistinct("user_id").alias("cohort_size"),
+        F.countDistinct(
+            F.when(F.col("dd").between(7, 13), F.col("user_id"))
+        ).alias("retained_w1"),
+        F.countDistinct(
+            F.when(F.col("dd").between(14, 20), F.col("user_id"))
+        ).alias("retained_w2"),
+    )
