@@ -58,3 +58,42 @@ def salted_agg(
 
     partial = df.withColumn("_salt", salt).groupBy(*key_cols, "_salt").agg(*stage1_aggs)
     return partial.groupBy(*key_cols).agg(*stage2_aggs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+    salt_source: Column | None = None,
+) -> DataFrame:
+    """Salted equi-join for a skewed FACT side joining a small-but-not-
+    broadcastable DIM side.
+
+    AQE's skew-join split handles most cases at runtime, but it only
+    fires on sort-merge joins and only when statistics reveal the skew;
+    salting is the deterministic, planner-independent form. Each fact
+    row gets a random salt in [0, n_salts); the dim side is EXPLODED
+    across all n_salts values (dim must be the small side — its rows
+    replicate n_salts×); joining on (keys..., salt) splits each hot
+    key's rows over n_salts reducers. Results equal the unsalted join
+    row-for-row (verified in tests) because every fact row still meets
+    every matching dim row exactly once — under exactly one salt.
+
+    ``how`` supports 'inner' and 'left' (fact-preserving); right/full
+    would need the salt dropped from dim-only rows and are better
+    served by swapping the sides.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how in {'inner', 'left'}")
+    salt = (
+        salt_source
+        if salt_source is not None
+        else F.floor(F.rand(seed=42) * n_salts)
+    ).cast("int")
+    f = fact.withColumn("_salt", salt)
+    d = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return f.join(d, [*on, "_salt"], how).drop("_salt")

@@ -58,6 +58,55 @@ def q_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skew salting, JOIN form: a skewed fact key (90%+ of lines funnel to
+# one synthetic hot key) equi-joined to a non-broadcast dim through
+# salted_join — the dim replicates across n_salts sub-keys so the hot
+# key's probe rows spread over n_salts reducers instead of one. The
+# oracle is the UNsalted join: salting must be a pure physical
+# rewrite, bit-identical output.
+@_q(
+    "salted_skew_join",
+    f"""
+    WITH fact AS (
+      SELECT CASE WHEN l_linenumber > 1 THEN 0
+                  ELSE CAST(l_suppkey % 100 AS INT) END AS k,
+             l_quantity
+      FROM lineitem
+    ),
+    dim AS (
+      SELECT CAST(s_suppkey % 100 AS INT) AS k,
+             min(s_name) AS grp_name
+      FROM supplier GROUP BY 1
+    )
+    SELECT d.grp_name,
+           COUNT(*) AS n,
+           {sql_dsum('f.l_quantity')} AS sum_qty
+    FROM fact f JOIN dim d ON d.k = f.k
+    GROUP BY d.grp_name
+    """,
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_linenumber") > 1, 0)
+        .otherwise((F.col("l_suppkey") % 100).cast("int"))
+        .alias("k"),
+        "l_quantity",
+    )
+    supp = t(spark, sf_dir, "supplier")
+    dim = supp.groupBy((F.col("s_suppkey") % 100).cast("int").alias("k")).agg(
+        F.min("s_name").alias("grp_name")
+    )
+    joined = salted_join(fact, dim, ["k"], n_salts=8)
+    return joined.groupBy("grp_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Analytic window frames: lag delta + 3-row moving sum per customer
 # (free Spark extension over the reference's W1/W2 surface).
 @_q(

@@ -334,3 +334,33 @@ def test_connected_components_star_self_loops(spark):
     }
     assert got_label == want
     assert got_star == want
+
+
+def test_salted_join_equals_direct(spark):
+    """salted_join must be a pure physical rewrite: identical rows to
+    the direct join for both inner and left, including unmatched
+    fact rows under 'left'."""
+    from tb_scale_spatial_data_pipeline_spark.operators.skew import salted_join
+
+    # skewed fact: 90% of rows share key 0
+    fact = spark.createDataFrame(
+        [(0 if i % 10 else i % 7, float(i)) for i in range(2000)],
+        "k int, v double",
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(5)], "k int, label string"
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    for how in ("inner", "left"):
+        direct = fact.join(dim, ["k"], how)
+        salted = salted_join(fact, dim, ["k"], n_salts=8, how=how)
+        assert rows(salted) == rows(direct), how
+    # the salted plan actually splits the hot key across salts
+    from pyspark.sql import functions as SF
+
+    f = fact.withColumn("_salt", SF.floor(SF.rand(seed=42) * 8).cast("int"))
+    n_groups = f.where("k = 0").select("_salt").distinct().count()
+    assert n_groups > 1
