@@ -21,6 +21,14 @@ REPRESENTATIVE = [
     "cosine_topk",
     "sessionization",
     "salted_skew_agg",
+    # round-5 additions: skew join, union-window as-of, composed ANN,
+    # weighted sample, PIP join, funnel
+    "salted_skew_join",
+    "asof_union_window",
+    "ivf_search_nprobe",
+    "weighted_sample_orders",
+    "spatial_point_in_polygon",
+    "funnel_conversion",
 ]
 
 
