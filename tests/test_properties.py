@@ -266,3 +266,33 @@ def test_projective_transform_inverse_property(tx, ty, g, h):
     bx, by = s2t(sx, sy)
     assert abs(bx[0] - tx) < 1e-6 * max(1.0, abs(tx))
     assert abs(by[0] - ty) < 1e-6 * max(1.0, abs(ty))
+
+
+@given(
+    n=st.integers(1, 400),
+    seed=st.integers(0, 2**31 - 1),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_decode_property(n, seed, rate):
+    """Any 16-bit mono PCM WAV must decode to exactly its samples
+    through the audio seam (stdlib wave parse, truncated/padded to the
+    declared n_samples contract)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from tb_scale_spatial_data_pipeline_spark.multimodal.media import _decode_audio
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32767, size=n, dtype=np.int16).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.tobytes())
+    out = _decode_audio(buf.getvalue(), n)
+    assert len(out) == n
+    assert np.array_equal(np.asarray(out[:n], dtype=np.int16), samples)
