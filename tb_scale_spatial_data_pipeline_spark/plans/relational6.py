@@ -553,3 +553,96 @@ def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
     )
     return j.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting — the classic distributed multiway self-join, a
+# different shape from connected components (which is iterative; this
+# is one three-way join with an ordering trick). Edges are oriented
+# low→high so each triangle is counted exactly once as (a<b<c); at
+# scale the standard refinement (orient by degree, not id, so hubs
+# terminate wedges instead of generating them) drops in without
+# changing results. Graph: suppliers sharing a part, md5-sampled to
+# realistic sparsity (the unsampled co-supplier graph is complete —
+# every pair shares some part in this fixture).
+@_q(
+    "triangle_count",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    e0 AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+                         AND a.l_suppkey < b.l_suppkey
+    ),
+    e AS (
+      SELECT u, v FROM e0
+      WHERE CAST(('0x' || substring(md5(CAST(u * 1000 + v AS VARCHAR)), 1, 4))
+                 AS INTEGER) < 9830
+    )
+    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT COUNT(*) FROM e e1
+            JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("u"))
+    b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("v"))
+    e0 = (
+        a.join(b, "pk")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    bucket = F.conv(
+        F.substring(F.md5((F.col("u") * 1000 + F.col("v")).cast("string")), 1, 4),
+        16,
+        10,
+    ).cast("int")
+    e = e0.where(bucket < 9830)
+    e1 = e.select(F.col("u").alias("a1"), F.col("v").alias("b1"))
+    e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c2"))
+    e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b1") == F.col("b2"))
+        .join(e3, (F.col("a1") == F.col("a3")) & (F.col("c2") == F.col("c3")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(tri)
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table checksum — the data-engineering integrity
+# primitive (compare a table across engines/copies/migrations without
+# sorting it). Per row: md5 of the canonical string form of the key
+# columns, folded to a 60-bit int; aggregate = exact decimal SUM —
+# commutative, so any partitioning/ordering yields the identical
+# fingerprint. Pure map-side-combinable aggregation: the cheapest
+# possible full-table pass.
+@_q(
+    "table_checksum",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CAST(('0x' || substring(
+                    md5(CAST(l_orderkey AS VARCHAR) || '|'
+                        || CAST(l_linenumber AS VARCHAR) || '|'
+                        || CAST(l_quantity AS VARCHAR)),
+                    1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR)
+             AS checksum
+    FROM lineitem
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    row_str = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_quantity").cast("string"),
+    )
+    h60 = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("decimal(38,0)")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h60).cast("decimal(38,0)").cast("string").alias("checksum"),
+    )
