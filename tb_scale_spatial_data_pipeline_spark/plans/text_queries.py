@@ -547,3 +547,55 @@ def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("distinct_chars"),
         F.round(-F.sum("_term"), 6).alias("entropy_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection via MAD (median absolute deviation) — the
+# quality-filtering primitive that survives the heavy-tailed length
+# distributions real corpora have (mean/stddev z-scores are dragged by
+# the very outliers they should flag). Two exact grouped medians (the
+# second over |x - median|), then a modified z-score filter at 3.5
+# (the Iglewicz-Hoaglin convention). Both medians are the same grouped
+# percentile machinery as A1 — at 100 TB the approx knob applies.
+@_q(
+    "mad_outlier_docs",
+    """
+    WITH m AS (
+      SELECT lang, median(CAST(length(text) AS DOUBLE)) AS med
+      FROM documents GROUP BY lang
+    ),
+    dev AS (
+      SELECT d.lang, d.doc_id, CAST(length(d.text) AS DOUBLE) AS len, m.med,
+             abs(CAST(length(d.text) AS DOUBLE) - m.med) AS adev
+      FROM documents d JOIN m ON m.lang = d.lang
+    ),
+    mad AS (
+      SELECT lang, median(adev) AS mad FROM dev GROUP BY lang
+    )
+    SELECT dev.lang, dev.doc_id, dev.len,
+           round(0.6745 * (dev.len - dev.med) / mad.mad, 6) AS mod_z
+    FROM dev JOIN mad ON mad.lang = dev.lang
+    WHERE mad.mad > 0
+      AND abs(0.6745 * (dev.len - dev.med) / mad.mad) > 3.5
+    """,
+)
+def q_mad_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    lens = docs.select(
+        "lang", "doc_id", F.length("text").cast("double").alias("len")
+    )
+    med = lens.groupBy(F.col("lang").alias("mlang")).agg(
+        F.median("len").alias("med")
+    )
+    dev = lens.join(med, F.col("lang") == F.col("mlang")).select(
+        "lang", "doc_id", "len", "med", F.abs(F.col("len") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy(F.col("lang").alias("mdlang")).agg(
+        F.median("adev").alias("mad")
+    )
+    z = F.lit(0.6745) * (F.col("len") - F.col("med")) / F.col("mad")
+    return (
+        dev.join(mad, F.col("lang") == F.col("mdlang"))
+        .where((F.col("mad") > 0) & (F.abs(z) > 3.5))
+        .select("lang", "doc_id", "len", F.round(z, 6).alias("mod_z"))
+    )
