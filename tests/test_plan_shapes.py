@@ -1,0 +1,75 @@
+"""Physical-plan shape assertions for the round-5 queries: the
+property that matters at 100 TB is not the answer (the oracle checks
+that) but WHICH plan produces it — a candidate-bounded join that
+silently degrades to a nested loop is correct and useless. These pin
+the shapes .explain audits found."""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_SMOKE
+
+from tb_scale_spatial_data_pipeline_spark.plans import all_queries
+
+
+def plan_of(spark, name: str) -> str:
+    q = all_queries()[name](spark, SF_SMOKE)
+    return q._jdf.queryExecution().executedPlan().toString()
+
+
+def test_point_in_polygon_no_nested_loop(spark):
+    """The PIP join must stay a cell equi-join + fold — a
+    BroadcastNestedLoopJoin/CartesianProduct here means the blocking
+    degraded to polys × points."""
+    p = plan_of(spark, "spatial_point_in_polygon")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_salted_join_query_splits_hot_key(spark):
+    """salted_skew_join must join on (key, salt) — the salt column in
+    the join keys IS the skew split."""
+    p = plan_of(spark, "salted_skew_join")
+    assert "_salt" in p
+    assert "CartesianProduct" not in p
+
+
+def test_asof_union_window_single_window(spark):
+    """The union-window as-of must plan ONE window over the union —
+    not a join (the whole point vs the join+max form)."""
+    p = plan_of(spark, "asof_union_window")
+    assert "RunningWindowFunction" in p or "Window" in p
+    for join_kind in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert join_kind not in p, join_kind
+
+
+def test_triangle_count_equi_joins_only(spark):
+    """The three-way self-join must plan as equi joins on the wedge
+    keys, never a cartesian of the edge set. (The single permitted
+    nested loop is the final 1-row x 1-row edge-count crossJoin.)"""
+    p = plan_of(spark, "triangle_count")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_table_checksum_single_aggregate(spark):
+    """The checksum is one map-side-combinable aggregation pass: no
+    joins, no windows, exactly one final aggregate over partials."""
+    p = plan_of(spark, "table_checksum")
+    assert "Join" not in p
+    assert "Window" not in p
+    assert "HashAggregate" in p or "SortAggregate" in p
+
+
+def test_funnel_no_events_squared(spark):
+    """Funnel stages re-join grouped MINs — no events x events
+    explosion, no nested loop."""
+    p = plan_of(spark, "funnel_conversion")
+    assert "CartesianProduct" not in p
+    # the three stage-count crossJoins are 1-row x 1-row broadcasts —
+    # nested-loop of single-row sides is fine; what must not appear is
+    # a nested loop over the events relation itself, which (scanned
+    # rows being grouped first) would show as a NLJ over a Scan
+    assert p.count("BroadcastNestedLoopJoin") <= 2
