@@ -446,3 +446,84 @@ def test_foreachbatch_idempotent_replay(spark, tmp_path):
     allb = spark.read.parquet(out_dir)
     assert allb.count() == 14
     assert allb.where("_batch = 0").count() == 7
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """End-to-end incremental contract: an availableNow run drains the
+    source and checkpoints; files arriving later are picked up by a
+    SECOND run from the SAME checkpoint — each event lands in the sink
+    exactly once across both runs (no reprocessing, no loss)."""
+    import glob
+    import os
+    import time
+
+    import pyspark.sql.functions as F
+
+    from tb_scale_spatial_data_pipeline_spark.sources.catalog import normalize_event_ts
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    ev = normalize_event_ts(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
+    half = ev.where("event_id % 2 = 0")
+    rest = ev.where("event_id % 2 = 1")
+    half.coalesce(1).write.parquet(f"{src}/a")
+    now = time.time()
+    for f in glob.glob(f"{src}/a/part-*.parquet"):
+        os.utime(f, (now - 100, now - 100))
+
+    def run_once():
+        q = (
+            spark.readStream.schema(ev.schema)
+            .parquet(f"{src}/*")
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == half.count()
+    # late-arriving files: the resumed query must process ONLY these
+    rest.coalesce(1).write.parquet(f"{src}/b")
+    run_once()
+    out = spark.read.parquet(sink)
+    assert out.count() == ev.count()
+    # exactly once: no event id appears twice
+    assert out.groupBy("event_id").count().where("count > 1").count() == 0
+
+
+def test_drop_duplicates_within_watermark(spark):
+    """dropDuplicatesWithinWatermark — the bounded-state dedup API for
+    unbounded key domains: state for a key is held only within the
+    watermark horizon (classic dropDuplicates holds it forever). On a
+    bounded fixture whose duplicates always arrive inside the horizon,
+    the kept key set must equal the batch distinct."""
+    import pyspark.sql.functions as F
+
+    from tb_scale_spatial_data_pipeline_spark.sources.catalog import load_table
+    from tb_scale_spatial_data_pipeline_spark.streaming.events import (
+        events_stream,
+        run_stream_to_table,
+    )
+
+    ev = events_stream(spark, SF_SMOKE)
+    deduped = ev.withWatermark("ts", "31 days").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    got = run_stream_to_table(
+        deduped.select("user_id", "event_type"), "append"
+    )
+    stream_keys = {(r["user_id"], r["event_type"]) for r in got.collect()}
+    batch_keys = {
+        (r["user_id"], r["event_type"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert stream_keys == batch_keys
