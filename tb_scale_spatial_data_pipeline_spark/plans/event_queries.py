@@ -466,3 +466,60 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("dd").between(14, 20), F.col("user_id"))
         ).alias("retained_w2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval concurrency via the +1/−1 sweep line — the classic
+# "maximum simultaneous sessions" algorithm as one union + one
+# window cumsum: every interval contributes a +1 at its start and a
+# −1 at its end; the running sum ordered by boundary time IS the
+# concurrency curve, and its per-type max is the answer. One shuffle
+# (the window partition), no interval×interval self-join — the naive
+# overlap-join form is quadratic per type. Intervals: [ts, ts + value
+# minutes] per event (deterministic from fixture columns). End
+# boundaries sort BEFORE coincident starts (delta ascending at equal
+# ts), making [a, b] and [b, c] non-overlapping — the half-open
+# convention both engines apply identically.
+@_q(
+    "max_concurrency_sweep",
+    """
+    WITH bounds AS (
+      SELECT event_type, ts AS bt, 1 AS delta FROM events
+      UNION ALL
+      SELECT event_type,
+             ts + to_minutes(CAST(round(value, 0) AS BIGINT)) AS bt,
+             -1 AS delta
+      FROM events
+    ),
+    curve AS (
+      SELECT event_type,
+             SUM(delta) OVER (PARTITION BY event_type
+                              ORDER BY bt, delta
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM bounds
+    )
+    SELECT event_type, CAST(MAX(conc) AS BIGINT) AS max_concurrent
+    FROM curve GROUP BY event_type
+    """,
+)
+def q_max_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    dur = F.round(F.col("value"), 0).cast("bigint")
+    starts = ev.select("event_type", F.col("ts").alias("bt"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + (dur * F.expr("INTERVAL 1 MINUTE"))).alias("bt"),
+        F.lit(-1).alias("delta"),
+    )
+    bounds = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("bt"), F.asc("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = bounds.withColumn("conc", F.sum("delta").over(w))
+    return curve.groupBy("event_type").agg(
+        F.max("conc").cast("bigint").alias("max_concurrent")
+    )
