@@ -646,3 +646,105 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(h60).cast("decimal(38,0)").cast("string").alias("checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test over a contingency table — is order
+# priority independent of order status? One exact-count aggregation
+# builds the observed table; margins broadcast back; the statistic is
+# Σ (O−E)²/E in double with the identical expression tree in both
+# engines. The scale shape: the fact table is touched once, everything
+# after the first groupBy is margin-sized.
+@_q(
+    "chi_square_independence",
+    """
+    WITH obs AS (
+      SELECT o_orderpriority AS r, o_orderstatus AS c,
+             CAST(COUNT(*) AS DOUBLE) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    rm AS (SELECT r, SUM(o) AS rn FROM obs GROUP BY r),
+    cm AS (SELECT c, SUM(o) AS cn FROM obs GROUP BY c),
+    tot AS (SELECT SUM(o) AS n FROM obs)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           round(SUM((obs.o - rm.rn * cm.cn / tot.n)
+                     * (obs.o - rm.rn * cm.cn / tot.n)
+                     / (rm.rn * cm.cn / tot.n)), 6) AS chi2
+    FROM obs
+    JOIN rm ON rm.r = obs.r
+    JOIN cm ON cm.c = obs.c
+    CROSS JOIN tot
+    """,
+)
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    obs = orders.groupBy(
+        F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("c")
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    rm = obs.groupBy(F.col("r").alias("rr")).agg(F.sum("o").alias("rn"))
+    cm = obs.groupBy(F.col("c").alias("cc")).agg(F.sum("o").alias("cn"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    j = (
+        obs.join(F.broadcast(rm), F.col("r") == F.col("rr"))
+        .join(F.broadcast(cm), F.col("c") == F.col("cc"))
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("rn") * F.col("cn") / F.col("n")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median — the 50% point of a weight-CDF, not of row counts:
+# per returnflag, the price below which half the shipped QUANTITY
+# lies. Sort by value within the group, running weight cumsum, first
+# row crossing half the total — one window pass over decimal-exact
+# cumulative weights, with the boundary chosen by deterministic
+# (price, orderkey, linenumber) order. The row-median of prices
+# answers a different question; weighting by quantity is the form
+# inventory/pricing analysis actually needs.
+@_q(
+    "weighted_median_price",
+    """
+    WITH w AS (
+      SELECT l_returnflag,
+             l_extendedprice,
+             CAST(l_quantity AS DECIMAL(18,2)) AS wt,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)))
+               OVER (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)))
+               OVER (PARTITION BY l_returnflag) AS tot
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS weighted_median_price
+    FROM w
+    WHERE CAST(cum AS DOUBLE) * 2 >= CAST(tot AS DOUBLE)
+    GROUP BY l_returnflag
+    """,
+)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    wt = F.col("l_quantity").cast("decimal(18,2)")
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.asc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(wt).over(w_cum).alias("cum"),
+        F.sum(wt).over(w_tot).alias("tot"),
+    )
+    crossing = cum.where(F.col("cum").cast("double") * 2 >= F.col("tot").cast("double"))
+    return crossing.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").cast("double").alias("weighted_median_price")
+    )

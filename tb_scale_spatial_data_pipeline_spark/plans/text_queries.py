@@ -599,3 +599,44 @@ def q_mad_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("mad") > 0) & (F.abs(z) > 3.5))
         .select("lang", "doc_id", "len", F.round(z, 6).alias("mod_z"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary induction: corpus-wide top-k tokens with coverage — the
+# first step of building a tokenizer vocab. Explode → count (map-side
+# combinable) → TakeOrdered with deterministic (count desc, token asc)
+# ties. Distinct from tfidf_topk, which ranks per document.
+@_q(
+    "vocab_topk",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    counts AS (
+      SELECT tok, COUNT(*) AS n FROM toks WHERE tok <> '' GROUP BY tok
+    )
+    SELECT tok, n,
+           round(CAST(n AS DOUBLE)
+                 / (SELECT CAST(SUM(n) AS DOUBLE) FROM counts), 6) AS frac
+    FROM counts
+    ORDER BY n DESC, tok LIMIT 50
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("tok")
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").cast("double").alias("_tot"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "tok",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("_tot"), 6).alias("frac"),
+        )
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(50)
+    )
