@@ -176,3 +176,83 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("dk").alias("k"), "n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection: each event scored against the
+# mean/std of the 20 events preceding it (same user ordering by ts).
+# Moments come from decimal-exact frame sums (Σw, Σw²) — the same
+# one-pass power-sum discipline as stats_moments, windowed: no second
+# pass, no mean-then-residual instability, deterministic under any
+# partitioning. Emits only |z| > 3 anomalies.
+@_q(
+    "rolling_zscore_anomaly",
+    """
+    WITH f AS (
+      SELECT user_id, event_id, value,
+             COUNT(*) OVER w AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))
+                           * CAST(value AS DECIMAL(18,2))
+                           AS DECIMAL(24,4))) OVER w AS DOUBLE) AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           round((value - s1 / n)
+                 / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS z
+    FROM f
+    WHERE n >= 10
+      AND s2 / n - (s1 / n) * (s1 / n) > 0
+      AND abs((value - s1 / n)
+              / sqrt(s2 / n - (s1 / n) * (s1 / n))) > 3
+    """,
+)
+def q_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-20, -1)
+    )
+    vd = F.col("value").cast("decimal(18,2)")
+    f = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(vd).over(w).cast("double").alias("s1"),
+        F.sum((vd * vd).cast("decimal(24,4)")).over(w).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return f.where((F.col("n") >= 10) & (var > 0) & (F.abs(z) > 3)).select(
+        "user_id", "event_id", F.round(z, 6).alias("z")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram: order totals bucketed into fixed 25k bands —
+# floor division IS the bucket key, so the whole histogram is one
+# map-side-combinable aggregation (no sorting, no percentile state).
+@_q(
+    "price_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / 25000.0) * 25000 AS DOUBLE) AS lo,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 25000.0)
+    return orders.groupBy(
+        bucket.cast("bigint").alias("bucket"),
+        (bucket * 25000).cast("double").alias("lo"),
+    ).agg(F.count(F.lit(1)).alias("n"))
