@@ -344,3 +344,43 @@ def audio_features(media: DataFrame) -> DataFrame:
         kernel,
         schema="media_id long, n_samples int, rms double, zcr double, peak double",
     )
+
+
+def image_ahash(media: DataFrame, fallback_counter=None, _pil=None) -> DataFrame:
+    """Perceptual average-hash (aHash): decode → grayscale → 8×8
+    nearest-neighbor thumbnail → 64 bits of (pixel > mean), packed to
+    one BIGINT per image. The classic cheap perceptual fingerprint:
+    visually-identical images hash equal, small edits flip few bits,
+    so near-dup detection becomes small-Hamming-distance search over
+    64-bit ints — pure JVM arithmetic once the kernel emits the hash
+    (blobs never leave the task)."""
+    pil = _PILImage if _pil is None else _pil
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload, m in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                arr = _decode_payload(
+                    bytes(payload), m["width"], m["height"], m["channels"],
+                    pil=pil, fallback_counter=fallback_counter,
+                ).astype(np.float64)
+                gray = arr.mean(axis=2)
+                h, w = gray.shape
+                yi = (np.arange(8) * h // 8).astype(int)
+                xi = (np.arange(8) * w // 8).astype(int)
+                thumb = gray[np.ix_(yi, xi)]
+                bits = (thumb > thumb.mean()).ravel()
+                # pack to int64 via int32 halves (bit 63 would overflow
+                # a signed shift done naively in float space)
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                # wrap to signed 64-bit for the BIGINT column
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                rows.append((media_id, val))
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+
+    return media.mapInPandas(kernel, schema="media_id long, ahash long")

@@ -87,3 +87,48 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("zcr", 6).alias("zcr"),
         F.round("peak", 6).alias("peak"),
     )
+
+
+@_q("multimodal_phash_neardup")
+def q_multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over the image modality: aHash in the
+    decode kernel, then BANDED candidate generation (four 16-bit bands
+    of the 64-bit hash — identical images collide on every band, small
+    edits still collide on some band) and an exact Hamming filter
+    (bit_count(xor) <= 6) on candidates only. Never all-pairs: the
+    band value is the shuffle key, the same LSH-banding shape as
+    MinHash. Fixture plants exact duplicates (the same payloads under
+    shifted ids), which must all surface at Hamming 0."""
+    from ..multimodal.media import image_ahash
+
+    media = synth_media_table(spark, sf_dir)
+    planted = media.withColumn("media_id", F.col("media_id") + 1_000_000)
+    hashes = image_ahash(media.unionByName(planted))
+    bands = hashes.select(
+        "media_id",
+        "ahash",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band_idx"),
+    ).withColumn(
+        "band_val",
+        F.expr("shiftrightunsigned(ahash, band_idx * 16)").bitwiseAND(
+            F.lit(0xFFFF)
+        ),
+    )
+    a = bands.select(
+        F.col("media_id").alias("id_a"), F.col("ahash").alias("ha"),
+        "band_idx", "band_val",
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"), F.col("ahash").alias("hb"),
+        "band_idx", "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.where(ham <= 6).select(
+        "id_a", "id_b", ham.alias("hamming")
+    )

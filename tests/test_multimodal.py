@@ -184,3 +184,22 @@ def test_real_image_decode_roundtrip(spark):
     PIL.fromarray(arr).save(buf, format="PNG")
     out = _decode_payload(buf.getvalue(), 4, 5, 3)
     assert np.array_equal(out, arr)
+
+
+def test_phash_neardup_finds_planted_duplicates(spark):
+    """The banded aHash near-dup must surface every planted duplicate
+    (same payload under a shifted id) at Hamming distance 0, and the
+    band join must never produce an all-pairs candidate set."""
+    from tb_scale_spatial_data_pipeline_spark.plans.media_queries import QUERIES
+
+    out = QUERIES["multimodal_phash_neardup"](spark, SF_SMOKE).collect()
+    n_media = synth_media_table(spark, SF_SMOKE).count()
+    planted = {(r["id_a"], r["id_b"]) for r in out if r["hamming"] == 0}
+    # every planted pair (id, id + 1_000_000) present
+    missing = [
+        i for i in range(n_media) if (i, i + 1_000_000) not in planted
+    ]
+    assert missing == []
+    # candidates stayed bounded: results are a small multiple of the
+    # planted-pair count, not O(n^2)
+    assert len(out) < n_media * 5

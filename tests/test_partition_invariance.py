@@ -29,6 +29,10 @@ REPRESENTATIVE = [
     "weighted_sample_orders",
     "spatial_point_in_polygon",
     "funnel_conversion",
+    "weighted_median_price",
+    "max_concurrency_sweep",
+    "rolling_zscore_anomaly",
+    "triangle_count",
 ]
 
 
