@@ -194,3 +194,51 @@ def q_weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(200)
         .select("o_orderkey", "o_totalprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# Negative sampling for contrastive training: per document, k
+# pseudo-random non-matching partners drawn by a deterministic hash
+# ring (md5 of (doc_id, slot) mod corpus size, re-rolled once on
+# self-collision). Pure projection + one broadcast scalar (the corpus
+# count) — no shuffle of the corpus, no rand() nondeterminism; the
+# same pairs on any cluster and any engine.
+@_q(
+    "negative_sampling_pairs",
+    f"""
+    WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+    cand AS (
+      SELECT d.doc_id, s.slot,
+             {_SQL_BUCKET.format(key="d.doc_id * 10 + s.slot")} % n.cnt AS neg_id
+      FROM documents d
+      CROSS JOIN (SELECT unnest([0, 1, 2]) AS slot) s
+      CROSS JOIN n
+    )
+    SELECT doc_id, slot,
+           CAST(CASE WHEN neg_id = doc_id
+                     THEN (neg_id + 1) % (SELECT cnt FROM n)
+                     ELSE neg_id END AS BIGINT) AS neg_id
+    FROM cand
+    """,
+)
+def q_negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("cnt"))
+    slots = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("slot")
+    cand = (
+        docs.select("doc_id")
+        .select("doc_id", slots)
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "neg_id",
+            _bucket(F.col("doc_id") * 10 + F.col("slot")) % F.col("cnt"),
+        )
+    )
+    return cand.select(
+        "doc_id",
+        "slot",
+        F.when(F.col("neg_id") == F.col("doc_id"), (F.col("neg_id") + 1) % F.col("cnt"))
+        .otherwise(F.col("neg_id"))
+        .cast("bigint")
+        .alias("neg_id"),
+    )

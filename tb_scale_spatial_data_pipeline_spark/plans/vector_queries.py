@@ -445,3 +445,45 @@ def q_lsh_multitable_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= LSH_TOPK)
         .select("query_id", "cand_id", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension quantile normalization of embeddings — the rank-based
+# scaling step of ML preprocessing (robust to arbitrary marginal
+# distributions, unlike mean/std standardization). posexplode to
+# (vec, dim, value), percent_rank per dimension (the shuffle key is
+# the dimension — 64 partitions of ~n values each, embarrassingly
+# parallel), re-assemble by sorting on position within each vector.
+# Output: first 8 dims of 5 probe vectors (bounded, hash-checkable).
+@_q(
+    "embedding_quantile_norm",
+    """
+    WITH exploded AS (
+      SELECT vec_id, CAST(u.pos AS BIGINT) AS pos, u.val
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, 8)) AS pos,
+                           unnest(embedding[1:8]) AS val) u
+    ),
+    ranked AS (
+      SELECT vec_id, pos,
+             round(percent_rank() OVER
+                   (PARTITION BY pos ORDER BY val, vec_id), 6) AS q
+      FROM exploded
+    )
+    SELECT vec_id, pos, q
+    FROM ranked WHERE vec_id < 5
+    """,
+)
+def q_embedding_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "vec_id",
+        F.posexplode(F.slice(F.col("embedding"), 1, 8)).alias("pos0", "val"),
+    ).select("vec_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "val")
+    w = Window.partitionBy("pos").orderBy(F.asc("val"), F.asc("vec_id"))
+    ranked = exploded.select(
+        "vec_id", "pos", F.round(F.percent_rank().over(w), 6).alias("q")
+    )
+    return ranked.where(F.col("vec_id") < 5)
