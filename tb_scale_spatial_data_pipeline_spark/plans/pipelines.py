@@ -479,3 +479,39 @@ def q_stream_custom_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+@_q("stream_session_windows_dynamic")
+def q_stream_sessions_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import stream_session_windows_dynamic_gap
+
+    return stream_session_windows_dynamic_gap(spark, sf_dir)
+
+
+# dynamic-gap session windows over a bounded source equal per-user-gap
+# gaps-and-islands: the gap threshold is a per-user CASE in the twin
+ORACLES["stream_session_windows_dynamic"] = """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN user_id % 2 = 0 THEN INTERVAL '15 minutes'
+                  ELSE INTERVAL '45 minutes' END AS gap
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, gap,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= gap
+                  THEN 1 ELSE 0 END AS new_session
+      FROM g
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """

@@ -417,3 +417,28 @@ def stream_stream_click_purchase_full_outer(
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
     )
     return run_stream_to_table(joined, "append")
+
+
+def stream_session_windows_dynamic_gap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session windows with a DYNAMIC per-row gap — the gap is a
+    column expression (15 minutes for even user ids, 45 for odd), the
+    form real sessionization needs when engagement profiles differ by
+    cohort. Same watermark-bounded state as the fixed-gap operator;
+    the batch twin is per-user-gap gaps-and-islands (oracle-checked)."""
+    ev = events_stream(spark, sf_dir)
+    gap = F.when(F.col("user_id") % 2 == 0, F.lit("15 minutes")).otherwise(
+        F.lit("45 minutes")
+    )
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+    return run_stream_to_table(agg, "complete")
