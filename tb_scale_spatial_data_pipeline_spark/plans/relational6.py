@@ -748,3 +748,84 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crossing.groupBy("l_returnflag").agg(
         F.min("l_extendedprice").cast("double").alias("weighted_median_price")
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group AS AN ARRAY — the API-response shape ("3 priciest
+# parts per brand, inline"). Grouped collect of (price, key) structs,
+# sort descending, slice k — collect state is bounded by the group
+# size; for unbounded groups the window row_number form (window_rank)
+# pre-filters. Struct sort gives the deterministic (price desc, key
+# asc) tie order in both engines.
+@_q(
+    "topk_per_group_array",
+    """
+    WITH s AS (
+      SELECT p_brand,
+             list_sort(list({'p_retailprice': p_retailprice,
+                             'p_partkey': p_partkey,
+                             'p_name': p_name}), 'DESC') AS sorted
+      FROM part GROUP BY p_brand
+    )
+    SELECT p_brand,
+           [x.p_name FOR x IN sorted[1:3]] AS top_names,
+           CAST(sorted[1].p_retailprice AS DOUBLE) AS top_price
+    FROM s
+    """,
+)
+def q_topk_per_group_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    s = F.struct(
+        F.col("p_retailprice").alias("p_retailprice"),
+        F.col("p_partkey").alias("p_partkey"),
+        F.col("p_name").alias("p_name"),
+    )
+    top = F.slice(F.reverse(F.array_sort(F.collect_list(s))), 1, 3)
+    return part.groupBy("p_brand").agg(
+        F.transform(top, lambda x: x.getField("p_name")).alias("top_names"),
+        F.element_at(top, 1).getField("p_retailprice").cast("double").alias("top_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quartile statistics via ntile(4): orders bucketed into price
+# quartiles per priority, then per-quartile exact decimal aggregates —
+# the A/B-analysis shape (compare segments by quantile band). ntile's
+# bucket boundaries depend only on the deterministic (price, orderkey)
+# order, so both engines produce identical buckets.
+@_q(
+    "quartile_stats",
+    """
+    WITH q AS (
+      SELECT o_orderpriority, o_totalprice,
+             CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+               AS quartile
+      FROM orders
+    )
+    SELECT o_orderpriority, quartile,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM q GROUP BY o_orderpriority, quartile
+    """,
+)
+def q_quartile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    q = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+    return q.groupBy("o_orderpriority", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
