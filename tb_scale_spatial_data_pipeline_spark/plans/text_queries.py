@@ -640,3 +640,41 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("tok"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy matching — entity resolution's core join: candidate
+# pairs from cheap blocking keys (first character + length band), the
+# expensive edit distance only on candidates. Never names × names: the
+# block key is the join key, and the length-band conjunct prunes
+# within the block. levenshtein is the standard DP edit distance in
+# both engines.
+@_q(
+    "fuzzy_name_match",
+    """
+    WITH n AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM n a JOIN n b
+      ON substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
+     AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = t(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    cand = a.join(
+        b,
+        (F.substring("name_a", 1, 1) == F.substring("name_b", 1, 1))
+        & (
+            F.abs(F.length("name_a") - F.length("name_b")) <= 2
+        )
+        & (F.col("name_a") < F.col("name_b")),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return cand.where(dist <= 3).select(
+        "name_a", "name_b", dist.cast("bigint").alias("edit_dist")
+    )
