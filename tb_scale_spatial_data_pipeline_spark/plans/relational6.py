@@ -829,3 +829,67 @@ def q_quartile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").cast("double").alias("hi"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical subtree rollup — the recursive-aggregation class (BOM
+# explosion, org charts, category trees). Spark has no recursive CTE;
+# the distributed form is level-synchronous transitive closure: seed
+# (node, node), then each round extends every known ancestor pair by
+# one child edge — O(depth) rounds, one shuffle each, convergence =
+# zero new pairs (the same iterative discipline as connected
+# components, which the driver hash-checks against a recursive oracle
+# the same way). Hierarchy: binary-heap parent floor(k/2) over
+# custkeys (k >= 2; 0 and 1 are roots); rollup = descendant count +
+# exact subtree balance per ancestor.
+@_q(
+    "hierarchy_subtree_rollup",
+    """
+    WITH RECURSIVE desc_pairs AS (
+      SELECT c_custkey AS anc, c_custkey AS node FROM customer
+      UNION ALL
+      SELECT dp.anc, c.c_custkey AS node
+      FROM desc_pairs dp
+      JOIN customer c ON c.c_custkey // 2 = dp.node AND c.c_custkey > 1
+    )
+    SELECT dp.anc AS c_custkey,
+           COUNT(*) AS n_subtree,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS subtree_bal
+    FROM desc_pairs dp JOIN customer c ON c.c_custkey = dp.node
+    GROUP BY dp.anc
+    """,
+)
+def q_hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    edges = (
+        cust.where(F.col("c_custkey") > 1)
+        .select(
+            F.floor(F.col("c_custkey") / 2).cast("bigint").alias("parent"),
+            F.col("c_custkey").alias("child"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs = cust.select(
+        F.col("c_custkey").alias("anc"), F.col("c_custkey").alias("node")
+    ).localCheckpoint(eager=True)
+    frontier = pairs
+    for _ in range(40):  # depth of a binary heap over ~10^12 keys
+        step = (
+            frontier.join(edges, frontier["node"] == edges["parent"])
+            .select("anc", F.col("child").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        if step.limit(1).count() == 0:
+            break
+        pairs = pairs.unionByName(step).localCheckpoint(eager=True)
+        frontier = step
+    else:
+        raise RuntimeError("hierarchy deeper than iteration bound")
+    j = pairs.join(
+        cust.select(F.col("c_custkey").alias("node"), "c_acctbal"), "node"
+    )
+    return j.groupBy(F.col("anc").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n_subtree"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("subtree_bal"),
+    )
