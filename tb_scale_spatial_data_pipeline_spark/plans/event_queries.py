@@ -523,3 +523,43 @@ def q_max_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curve.groupBy("event_type").agg(
         F.max("conc").cast("bigint").alias("max_concurrent")
     )
+
+
+# ---------------------------------------------------------------------------
+# Malformed-record handling — the PERMISSIVE-parse contract: corrupt
+# payloads must be COUNTED and quarantined, not crash the job and not
+# silently vanish. Fixture corrupts a deterministic subset (truncating
+# the closing brace of props where event_id % 7 = 0); classification =
+# does the payload parse as a JSON object. Spark: get_json_object
+# returns NULL on malformed input (the engine's try-parse);
+# DuckDB: json_valid. Both classify truncated JSON identically.
+@_q(
+    "json_malformed_handling",
+    """
+    WITH corrupted AS (
+      SELECT event_type,
+             CASE WHEN event_id % 7 = 0
+                  THEN substring(props, 1, length(props) - 1)
+                  ELSE props END AS payload
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count_if(json_valid(payload)) AS BIGINT) AS n_valid,
+           CAST(count_if(NOT json_valid(payload)) AS BIGINT) AS n_malformed
+    FROM corrupted
+    GROUP BY event_type
+    """,
+)
+def q_json_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 7 == 0,
+        F.expr("substring(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    # a payload is valid iff it parses as a JSON object: probe with
+    # get_json_object('$') — NULL on malformed input
+    valid = F.get_json_object(payload, "$").isNotNull()
+    return ev.select("event_type", valid.alias("v")).groupBy("event_type").agg(
+        F.count_if(F.col("v")).alias("n_valid"),
+        F.count_if(~F.col("v")).alias("n_malformed"),
+    )
