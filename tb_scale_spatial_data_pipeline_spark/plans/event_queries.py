@@ -563,3 +563,32 @@ def q_json_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("v")).alias("n_valid"),
         F.count_if(~F.col("v")).alias("n_malformed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distinct users per hour — COUNT(DISTINCT) under a time window: the
+# two-level expansion (dedup (window, user), then count) is what Spark
+# plans for distinct aggregates, and it is exactly the map-side-
+# partial-able shape; at 100 TB the HLL sketch variant
+# (approx_count_distinct, tests/test_sketches_observe.py) replaces the
+# exact expand when 2% error is acceptable.
+@_q(
+    "window_distinct_users",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+    """,
+)
+def q_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "wstart"
+        )
+    ).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
