@@ -893,3 +893,48 @@ def q_hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_subtree"),
         F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("subtree_bal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-aware anti join — SQL's classic trap, made explicit: NOT IN
+# over a subquery CONTAINING NULLS matches nothing (three-valued
+# logic: x <> NULL is unknown for every x), while NOT EXISTS keeps its
+# intuitive row-wise meaning. Spark plans the first as a null-aware
+# anti join (BroadcastNestedLoopJoin w/ the null check), the second as
+# a plain LeftAnti — both engines agree on both counts, which is the
+# point: an engine that "fixed" NOT IN would be wrong.
+@_q(
+    "null_aware_anti_join",
+    """
+    WITH keys AS (
+      SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                  ELSE o_custkey END AS k
+      FROM orders
+    )
+    SELECT
+      (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+         (SELECT k FROM keys)) AS not_in_with_nulls,
+      (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+         (SELECT 1 FROM keys WHERE keys.k = c.c_custkey))
+        AS not_exists_form
+    """,
+)
+def q_null_aware_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH keys AS (
+          SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                      ELSE o_custkey END AS k
+          FROM orders
+        )
+        SELECT
+          (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+             (SELECT k FROM keys)) AS not_in_with_nulls,
+          (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+             (SELECT 1 FROM keys WHERE keys.k = c.c_custkey))
+            AS not_exists_form
+        """
+    )
