@@ -470,3 +470,137 @@ def _vx_next(i, n):
 
 def _vy_next(i, n):
     return F.element_at(F.col("verts"), (i + 1) % n + 1).getField("vy")
+
+
+# ---------------------------------------------------------------------------
+# Zonal statistics — the canonical GIS aggregation (mean/min/max of a
+# raster per polygon zone), composed from the PIP machinery: pixel
+# centers map to one grid cell each, polygon bbox cells bound
+# candidates, the inline ray-cast fold refines, and the zonal
+# aggregates are map-side-combinable per polygon. The reference's
+# object classifier consumes exactly this shape (per-segment band
+# stats feeding the RF); here the zones are the concave L-polygons
+# and the raster is the closed-form synthetic field.
+@_q(
+    "zonal_statistics",
+    """
+    WITH polys AS (
+      SELECT p_partkey AS poly_id,
+             CAST(p_partkey % 28 AS DOUBLE) AS cx,
+             CAST(p_partkey % 20 AS DOUBLE) AS cy,
+             CAST(p_size % 8 + 2 AS DOUBLE) AS s
+      FROM part WHERE p_partkey % 13 = 0
+    ),
+    px AS (
+      SELECT x.i AS gx, y.i AS gy,
+             CAST(x.i AS DOUBLE) + 0.5 AS px,
+             CAST(y.i AS DOUBLE) + 0.5 AS py,
+             CAST((x.i * 31 + y.i * 17 + 7) % 256 AS DOUBLE) AS val
+      FROM unnest(generate_series(0, 47)) AS x(i),
+           unnest(generate_series(0, 39)) AS y(i)
+    ),
+    verts AS (
+      SELECT poly_id, i,
+        CASE i WHEN 0 THEN cx WHEN 1 THEN cx+2*s WHEN 2 THEN cx+2*s
+               WHEN 3 THEN cx+s WHEN 4 THEN cx+s ELSE cx END AS vx,
+        CASE i WHEN 0 THEN cy WHEN 1 THEN cy WHEN 2 THEN cy+s
+               WHEN 3 THEN cy+s WHEN 4 THEN cy+2*s ELSE cy+2*s END AS vy
+      FROM polys, generate_series(0, 5) g(i)
+    ),
+    edges AS (
+      SELECT a.poly_id, a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+      FROM verts a JOIN verts b ON b.poly_id = a.poly_id
+                               AND b.i = (a.i + 1) % 6
+    ),
+    inside AS (
+      SELECT e.poly_id, p.gx, p.gy, p.val
+      FROM edges e CROSS JOIN px p
+      GROUP BY e.poly_id, p.gx, p.gy, p.val, p.px, p.py
+      HAVING SUM(CASE WHEN (e.y1 > p.py) <> (e.y2 > p.py)
+                       AND p.px < e.x1 + (e.x2 - e.x1) * (p.py - e.y1)
+                                         / (e.y2 - e.y1)
+                 THEN 1 ELSE 0 END) % 2 = 1
+    )
+    SELECT poly_id, COUNT(*) AS n_px,
+           round(CAST(SUM(val) AS DOUBLE) / COUNT(*), 6) AS mean_val,
+           CAST(MIN(val) AS DOUBLE) AS min_val,
+           CAST(MAX(val) AS DOUBLE) AS max_val
+    FROM inside GROUP BY poly_id
+    """,
+)
+def q_zonal_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part").where(F.col("p_partkey") % 13 == 0)
+    cx = (F.col("p_partkey") % 28).cast("double")
+    cy = (F.col("p_partkey") % 20).cast("double")
+    s = (F.col("p_size") % 8 + 2).cast("double")
+    vert = lambda x, y: F.struct(x.alias("vx"), y.alias("vy"))
+    polys = part.select(
+        F.col("p_partkey").alias("poly_id"),
+        F.array(
+            vert(cx, cy),
+            vert(cx + 2 * s, cy),
+            vert(cx + 2 * s, cy + s),
+            vert(cx + s, cy + s),
+            vert(cx + s, cy + 2 * s),
+            vert(cx, cy + 2 * s),
+        ).alias("verts"),
+        cx.alias("bx0"), (cx + 2 * s).alias("bx1"),
+        cy.alias("by0"), (cy + 2 * s).alias("by1"),
+    )
+    cells = polys.select(
+        "poly_id", "verts",
+        F.explode(
+            F.sequence(F.floor(F.col("bx0") / PIP_CELL), F.floor(F.col("bx1") / PIP_CELL))
+        ).alias("cell_x"),
+        F.col("by0"), F.col("by1"),
+    ).select(
+        "poly_id", "verts", "cell_x",
+        F.explode(
+            F.sequence(F.floor(F.col("by0") / PIP_CELL), F.floor(F.col("by1") / PIP_CELL))
+        ).alias("cell_y"),
+    )
+    # synthetic raster pixels with centers at half-integers
+    gx = F.explode(F.sequence(F.lit(0), F.lit(47))).alias("gx")
+    px0 = t(spark, sf_dir, "part").sparkSession.range(1).select(gx)
+    px = px0.select(
+        "gx", F.explode(F.sequence(F.lit(0), F.lit(39))).alias("gy")
+    ).select(
+        "gx",
+        "gy",
+        (F.col("gx").cast("double") + 0.5).alias("px"),
+        (F.col("gy").cast("double") + 0.5).alias("py"),
+        ((F.col("gx") * 31 + F.col("gy") * 17 + 7) % 256).cast("double").alias("val"),
+    ).select(
+        "*",
+        F.floor(F.col("px") / PIP_CELL).alias("cell_x"),
+        F.floor(F.col("py") / PIP_CELL).alias("cell_y"),
+    )
+    cand = px.join(cells, ["cell_x", "cell_y"])
+    n = 6
+    crossings = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda i: (
+                F.when(
+                    ((_vy(i, n) > F.col("py")) != (_vy_next(i, n) > F.col("py")))
+                    & (
+                        F.col("px")
+                        < _vx(i, n)
+                        + (_vx_next(i, n) - _vx(i, n))
+                        * (F.col("py") - _vy(i, n))
+                        / (_vy_next(i, n) - _vy(i, n))
+                    ),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    inside = cand.where(crossings % 2 == 1)
+    return inside.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("mean_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )

@@ -217,3 +217,46 @@ def q_tiff_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_px"),
         F.sum("b1").cast("double").alias("sum_b1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Block-mean downsampling — the RELATIONAL raster operator: coarsening
+# a grid by k×k block aggregation is a pure groupBy on integer-divided
+# coordinates, fully oracle-checkable (unlike the stencil kernels,
+# which need halo state). One map-side-combinable pass; at 100 TB this
+# is how overview pyramids build — level N+1 is one aggregation over
+# level N, never a gather.
+@_q(
+    "raster_downsample_mean",
+    f"""
+    WITH px AS (
+      SELECT tx.i * 32 + x.i AS gx, ty.i * 32 + y.i AS gy
+      FROM unnest(generate_series(0, 1)) AS tx(i),
+           unnest(generate_series(0, 1)) AS ty(i),
+           unnest(generate_series(0, 31)) AS x(i),
+           unnest(generate_series(0, 31)) AS y(i)
+    )
+    SELECT CAST(gx // 4 AS BIGINT) AS bx, CAST(gy // 4 AS BIGINT) AS by,
+           COUNT(*) AS n_px,
+           round(CAST(SUM((gx * 31 + gy * 17 + 7) % 256) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_b1
+    FROM px GROUP BY 1, 2
+    """,
+)
+def q_raster_downsample_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.rastergen import register
+
+    register(spark)
+    px = (
+        spark.read.format("rastergen")
+        .option("tiles_x", "2")
+        .option("tiles_y", "2")
+        .load()
+    )
+    return px.groupBy(
+        F.floor(F.col("x") / 4).cast("bigint").alias("bx"),
+        F.floor(F.col("y") / 4).cast("bigint").alias("by"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.round(F.sum("b1") / F.count(F.lit(1)), 6).alias("mean_b1"),
+    )
