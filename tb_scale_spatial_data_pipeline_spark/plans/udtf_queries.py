@@ -260,3 +260,78 @@ def q_raster_downsample_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_px"),
         F.round(F.sum("b1") / F.count(F.lit(1)), 6).alias("mean_b1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-pixel temporal trend — least-squares slope of value vs scene
+# index for EVERY pixel, one grouped aggregation of exact regression
+# sums (n, Σs, Σv, Σsv, Σs²): the "fit a tiny model per key" shape at
+# raster scale, map-side combinable, no per-group iteration. Masked
+# observations (the deterministic cloud pattern) drop out as NULLs so
+# per-pixel n varies — exactly the reference's masked-composite
+# regime (`0_preprocessing/feature_stacking.py:131-135`), extended
+# from median/argmax to trend.
+@_q(
+    "pixel_trend_regression",
+    """
+    WITH obs AS (
+      SELECT x.i AS gx, y.i AS gy, s.i AS s,
+             CASE WHEN (x.i + y.i + s.i) % 7 = 0 THEN NULL
+                  ELSE CAST((x.i * 31 + y.i * 17) % 97 + s.i * (x.i % 5)
+                       AS DOUBLE) END AS val
+      FROM unnest(generate_series(0, 31)) AS x(i),
+           unnest(generate_series(0, 23)) AS y(i),
+           unnest(generate_series(0, 5)) AS s(i)
+    )
+    SELECT CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+           CAST(COUNT(val) AS BIGINT) AS n_obs,
+           round((COUNT(val) * SUM(s * val) - SUM(CASE WHEN val IS NOT NULL
+                                                       THEN s END) * SUM(val))
+                 / (COUNT(val) * SUM(CASE WHEN val IS NOT NULL
+                                          THEN s * s END)
+                    - SUM(CASE WHEN val IS NOT NULL THEN s END)
+                      * SUM(CASE WHEN val IS NOT NULL THEN s END)), 6)
+             AS slope
+    FROM obs
+    GROUP BY gx, gy
+    """,
+)
+def q_pixel_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark_ = t(spark, sf_dir, "part").sparkSession
+    obs = (
+        spark_.range(32)
+        .select(F.col("id").cast("int").alias("gx"))
+        .select("gx", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("gy"))
+        .select("gx", "gy", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("s"))
+        .select(
+            "gx",
+            "gy",
+            "s",
+            F.when(
+                (F.col("gx") + F.col("gy") + F.col("s")) % 7 == 0, F.lit(None)
+            )
+            .otherwise(
+                ((F.col("gx") * 31 + F.col("gy") * 17) % 97
+                 + F.col("s") * (F.col("gx") % 5)).cast("double")
+            )
+            .alias("val"),
+        )
+    )
+    sv = F.when(F.col("val").isNotNull(), F.col("s"))
+    agg = obs.groupBy("gx", "gy").agg(
+        F.count("val").alias("n_obs"),
+        F.sum(F.col("s") * F.col("val")).alias("ssv"),
+        F.sum(sv).alias("ss"),
+        F.sum("val").alias("svl"),
+        F.sum(sv * sv).alias("ss2"),
+    )
+    n = F.col("n_obs").cast("double")
+    slope = (n * F.col("ssv") - F.col("ss") * F.col("svl")) / (
+        n * F.col("ss2") - F.col("ss") * F.col("ss")
+    )
+    return agg.select(
+        F.col("gx").cast("bigint").alias("gx"),
+        F.col("gy").cast("bigint").alias("gy"),
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        F.round(slope, 6).alias("slope"),
+    )
