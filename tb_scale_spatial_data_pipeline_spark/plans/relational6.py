@@ -938,3 +938,145 @@ def q_null_aware_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS not_exists_form
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-gap detection — the data-quality check for "did ingestion
+# drop rows": lead() over the ordered key surfaces every hole in one
+# window pass (no self-join against generate_series, which at 100 TB
+# would materialize the full id range). The fixture's keys are dense,
+# so deterministic gaps are planted (every 97th key dropped) to give
+# the detector real holes to find.
+@_q(
+    "sequence_gap_detection",
+    """
+    WITH gaps AS (
+      SELECT o_orderkey AS gap_after,
+             lead(o_orderkey) OVER (ORDER BY o_orderkey) AS next_key
+      FROM orders WHERE o_orderkey % 97 <> 0
+    )
+    SELECT gap_after, next_key,
+           CAST(next_key - gap_after - 1 AS BIGINT) AS n_missing
+    FROM gaps
+    WHERE next_key - gap_after > 1
+    """,
+)
+def q_sequence_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 97 != 0)
+    w = Window.orderBy(F.asc("o_orderkey"))
+    g = orders.select(
+        F.col("o_orderkey").alias("gap_after"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+    )
+    return g.where(F.col("next_key") - F.col("gap_after") > 1).select(
+        "gap_after",
+        "next_key",
+        (F.col("next_key") - F.col("gap_after") - 1).cast("bigint").alias("n_missing"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit analysis — the fraud/data-quality screen:
+# observed first-significant-digit frequencies of order totals vs the
+# Benford expectation log10(1 + 1/d). One aggregation; the expectation
+# is a closed-form literal per digit, identical in both engines.
+@_q(
+    "benford_first_digit",
+    """
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    )
+    SELECT digit,
+           COUNT(*) AS n,
+           round(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT CAST(COUNT(*) AS DOUBLE) FROM d), 6) AS observed,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_expected
+    FROM d GROUP BY digit
+    """,
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    d = orders.select(
+        F.substring(F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("digit")
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("double").alias("_tot"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("_tot"), 6).alias("observed"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_expected"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto (80/20) concentration — how many top customers cover 80% of
+# revenue: revenue per customer, ordered cumsum over the exact decimal
+# totals, count rows below the threshold plus the crossing row. The
+# global window is the honest shape for a concentration question (the
+# answer IS a global order statistic); the per-group variant partitions
+# the same window.
+@_q(
+    "pareto_concentration",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    c AS (
+      SELECT o_custkey, r,
+             SUM(r) OVER (ORDER BY r DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(r) OVER () AS tot
+      FROM rev
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_top_customers,
+           (SELECT COUNT(*) FROM rev) AS n_customers,
+           round(CAST(MAX(cum) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE), 6)
+             AS covered_share
+    FROM c
+    WHERE CAST(cum - r AS DOUBLE) < 0.8 * CAST(tot AS DOUBLE)
+    """,
+)
+def q_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
+    )
+    w_cum = Window.orderBy(F.desc("r"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy()
+    c = rev.select(
+        "o_custkey",
+        "r",
+        F.sum("r").over(w_cum).alias("cum"),
+        F.sum("r").over(w_tot).alias("tot"),
+    )
+    kept = c.where(
+        (F.col("cum") - F.col("r")).cast("double") < 0.8 * F.col("tot").cast("double")
+    )
+    n_cust = rev.agg(F.count(F.lit(1)).alias("n_customers"))
+    return (
+        kept.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_top_customers"),
+            F.round(
+                F.max("cum").cast("double") / F.max("tot").cast("double"), 6
+            ).alias("covered_share"),
+        )
+        .crossJoin(F.broadcast(n_cust))
+        .select("n_top_customers", "n_customers", "covered_share")
+    )
