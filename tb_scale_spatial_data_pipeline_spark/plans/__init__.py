@@ -58,17 +58,19 @@ def all_queries():
     """Merged registry, ordered for a budget-bounded driver sweep that
     checks only a PREFIX (observed cap: first 50 entries).
 
-    Two-level order, deterministic:
-    1. coverage class — names WITHOUT a driver CORRECTNESS row in any
-       past round (`_driver_seen.DRIVER_SEEN`) come first, oracle-paired
+    Three-level order, deterministic:
+    1. FORCE_RESWEEP — names whose last driver row was red/err and
+       whose fix needs a confirming green row, ahead of everything;
+    2. coverage class — names WITHOUT a driver CORRECTNESS row in any
+       past round (`_driver_seen.DRIVER_SEEN`) come next, oracle-paired
        before rows-only, so each round's prefix maximizes first-time
        exact-hash coverage;
-    2. within each class, ROUND-ROBIN across modules: position k holds
+    3. within each class, ROUND-ROBIN across modules: position k holds
        the (k // n_modules)-th query of module (k % n_modules), so the
        prefix still samples every tier (relational, text, vector,
        raster, streaming, pipelines, PQ, ...) instead of exhausting its
        budget inside one module."""
-    from ._driver_seen import DRIVER_SEEN
+    from ._driver_seen import DRIVER_SEEN, FORCE_RESWEEP
 
     per_mod = [list(mod.QUERIES.items()) for mod in _MODULES]
     oracles = all_oracles()
@@ -78,10 +80,14 @@ def all_queries():
             if i < len(m):
                 rr.append(m[i])
 
-    def _cls(name: str) -> int:
+    forced = {n: i for i, n in enumerate(FORCE_RESWEEP)}
+
+    def _cls(name: str) -> tuple[int, int]:
+        if name in forced:
+            return (0, forced[name])
         if name not in DRIVER_SEEN:
-            return 0 if name in oracles else 1
-        return 2
+            return (1, 0) if name in oracles else (2, 0)
+        return (3, 0)
 
     return {name: fn for name, fn in sorted(rr, key=lambda kv: _cls(kv[0]))}
 

@@ -751,12 +751,15 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Top-k per group AS AN ARRAY — the API-response shape ("3 priciest
-# parts per brand, inline"). Grouped collect of (price, key) structs,
-# sort descending, slice k — collect state is bounded by the group
-# size; for unbounded groups the window row_number form (window_rank)
-# pre-filters. Struct sort gives the deterministic (price desc, key
-# asc) tie order in both engines.
+# Top-k per group AS AN INLINE LIST — the API-response shape ("3
+# priciest parts per brand, inline"). Grouped collect of (price, key)
+# structs, sort descending, slice k — collect state is bounded by the
+# group size; for unbounded groups the window row_number form
+# (window_rank) pre-filters. Struct sort gives the deterministic
+# (price desc, key asc) tie order in both engines. The top-name list
+# is emitted as a '|'-joined STRING (not a raw array) so downstream
+# hash/compare tooling that canonicalizes rows never has to hash an
+# array cell; the raw-array variant below keeps the typed shape.
 @_q(
     "topk_per_group_array",
     """
@@ -768,12 +771,32 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM part GROUP BY p_brand
     )
     SELECT p_brand,
-           [x.p_name FOR x IN sorted[1:3]] AS top_names,
+           array_to_string([x.p_name FOR x IN sorted[1:3]], '|') AS top_names,
            CAST(sorted[1].p_retailprice AS DOUBLE) AS top_price
     FROM s
     """,
 )
 def q_topk_per_group_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    s = F.struct(
+        F.col("p_retailprice").alias("p_retailprice"),
+        F.col("p_partkey").alias("p_partkey"),
+        F.col("p_name").alias("p_name"),
+    )
+    top = F.slice(F.reverse(F.array_sort(F.collect_list(s))), 1, 3)
+    return part.groupBy("p_brand").agg(
+        F.concat_ws(
+            "|", F.transform(top, lambda x: x.getField("p_name"))
+        ).alias("top_names"),
+        F.element_at(top, 1).getField("p_retailprice").cast("double").alias("top_price"),
+    )
+
+
+# Raw-array twin of topk_per_group_array: same computation but the
+# top-name list stays a typed array<string> column (rows-only check —
+# array cells aren't hashable by the external canonicalizer).
+@_q("topk_per_group_array_raw", None)
+def q_topk_per_group_array_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part")
     s = F.struct(
         F.col("p_retailprice").alias("p_retailprice"),
