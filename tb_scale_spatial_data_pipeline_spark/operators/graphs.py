@@ -1,0 +1,95 @@
+"""Distributed graph primitives on edge DataFrames.
+
+Triangle counting via the oriented three-way self-join. The edge set
+is undirected, held canonically as (u, v) with u < v; counting
+orients each edge and joins path wedges (a→b, b→c) against the
+closing edge (a→c), so every triangle is produced exactly once at
+its lowest-rank vertex.
+
+Orientation is the scale lever: with ID order, a hub vertex whose id
+sits mid-range has both in- and out-edges, generating
+indeg·outdeg = O(d²) wedge candidates at the join. Orienting by
+(degree, id) — every edge points from its lower-degree endpoint to
+its higher-degree endpoint — makes hubs sinks: their out-degree under
+this orientation is bounded by O(√m) (a vertex with out-degree k has
+k neighbors of degree ≥ its own, each contributing ≥ that many edge
+endpoints), so total wedge candidates fall from Σd² to O(m^1.5), the
+standard bound (Suri & Vassilvitskii, "Counting Triangles and the
+Curse of the Last Reducer", WWW'11 — public literature). The triangle
+COUNT is orientation-invariant; only the intermediate size changes.
+
+Reference parity: the reference has no graph engine; this backs the
+registry's `triangle_count` query (co-supplier graph).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def vertex_degrees(edges: DataFrame) -> DataFrame:
+    """Degree of every vertex of an undirected (u, v) edge set.
+    One map-side-combinable aggregation over 2·m endpoint rows."""
+    return (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def orient_edges(edges: DataFrame, by_degree: bool = True) -> DataFrame:
+    """Orient undirected (u, v) edges into directed (s, d) edges.
+
+    by_degree=True (the scale default) points each edge at its
+    higher-(degree, id) endpoint; False keeps id order (s=u, d=v,
+    requires u < v canonical form). Output schema: (s, d).
+    """
+    if not by_degree:
+        return edges.select(F.col("u").alias("s"), F.col("v").alias("d"))
+    deg = vertex_degrees(edges)
+    ed = edges.join(
+        deg.select(F.col("x").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(deg.select(F.col("x").alias("v"), F.col("deg").alias("dv")), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("d"),
+    )
+
+
+def wedge_count(oriented: DataFrame) -> int:
+    """Number of path-wedge candidates (a→b, b→c) the triangle join
+    materializes for a given orientation — Σ_b indeg(b)·outdeg(b).
+    Diagnostic for tests/planning; computed from two degree aggs,
+    never by materializing the wedges."""
+    outd = oriented.groupBy(F.col("s").alias("x")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    ind = oriented.groupBy(F.col("d").alias("x")).agg(
+        F.count(F.lit(1)).alias("indeg")
+    )
+    row = (
+        ind.join(outd, "x")
+        .agg(F.sum(F.col("indeg") * F.col("outdeg")).alias("w"))
+        .collect()[0]
+    )
+    return int(row["w"] or 0)
+
+
+def oriented_triangle_count(edges: DataFrame, by_degree: bool = True) -> DataFrame:
+    """Count triangles of an undirected (u, v) edge set (u < v).
+    Returns a 1-row DataFrame (n_edges, n_triangles)."""
+    o = orient_edges(edges, by_degree=by_degree)
+    e1 = o.select(F.col("s").alias("a1"), F.col("d").alias("b1"))
+    e2 = o.select(F.col("s").alias("b2"), F.col("d").alias("c2"))
+    e3 = o.select(F.col("s").alias("a3"), F.col("d").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b1") == F.col("b2"))
+        .join(e3, (F.col("a1") == F.col("a3")) & (F.col("c2") == F.col("c3")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(tri)

@@ -326,7 +326,17 @@ ORACLES["stream_session_windows"] = """
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import stream_dedup_within_watermark
 
-    return stream_dedup_within_watermark(spark, sf_dir)
+    # project away event_id: dropDuplicates keeps the FIRST-arriving
+    # row per key, and arrival order is an execution detail — the
+    # deterministic, oracle-checkable contract is the KEY SET itself
+    return stream_dedup_within_watermark(spark, sf_dir).select(
+        "user_id", "event_type"
+    )
+
+
+# stateful streaming dropDuplicates over a bounded source must emit
+# exactly the distinct key set — the batch twin is SELECT DISTINCT
+ORACLES["stream_dedup"] = "SELECT DISTINCT user_id, event_type FROM events"
 
 
 @_q("stream_sliding_window")
@@ -343,7 +353,25 @@ ORACLES["stream_sliding_window"] = _eq.ORACLES["sliding_window"]
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import stream_user_running_totals
 
-    return stream_user_running_totals(spark, sf_dir)
+    # the update-mode memory sink accumulates one row per key per
+    # micro-batch; n_events is strictly increasing per key, so the
+    # FINAL state is the max-n row — reduce to it so the result is
+    # micro-batch-partitioning-invariant and equals the batch totals
+    raw = stream_user_running_totals(spark, sf_dir)
+    return raw.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
+
+
+# running totals drained over a bounded source == batch per-user
+# aggregate (value is a 2-decimal double; ~100 summands keep the
+# incremental float sum well inside the round(2) determinism seam)
+ORACLES["stream_stateful_totals"] = """
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """
 
 
 @_q("raster_polygon_features")

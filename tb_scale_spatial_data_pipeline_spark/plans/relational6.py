@@ -558,13 +558,14 @@ def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Triangle counting — the classic distributed multiway self-join, a
 # different shape from connected components (which is iterative; this
-# is one three-way join with an ordering trick). Edges are oriented
-# low→high so each triangle is counted exactly once as (a<b<c); at
-# scale the standard refinement (orient by degree, not id, so hubs
-# terminate wedges instead of generating them) drops in without
-# changing results. Graph: suppliers sharing a part, md5-sampled to
-# realistic sparsity (the unsampled co-supplier graph is complete —
-# every pair shares some part in this fixture).
+# is one three-way join with an ordering trick). Edges are oriented by
+# (degree, id) — the Suri-Vassilvitskii scale form: hubs become sinks,
+# bounding wedge candidates at O(m^1.5) instead of Σd²
+# (operators/graphs.py). The triangle COUNT is orientation-invariant,
+# so the oracle keeps the simpler id-orientation — the hash match IS
+# the orientation-invariance proof. Graph: suppliers sharing a part,
+# md5-sampled to realistic sparsity (the unsampled co-supplier graph
+# is complete — every pair shares some part in this fixture).
 @_q(
     "triangle_count",
     """
@@ -601,15 +602,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("int")
     e = e0.where(bucket < 9830)
-    e1 = e.select(F.col("u").alias("a1"), F.col("v").alias("b1"))
-    e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c2"))
-    e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
-    tri = (
-        e1.join(e2, F.col("b1") == F.col("b2"))
-        .join(e3, (F.col("a1") == F.col("a3")) & (F.col("c2") == F.col("c3")))
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-    return e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(tri)
+    from ..operators.graphs import oriented_triangle_count
+
+    return oriented_triangle_count(e, by_degree=True)
 
 
 # ---------------------------------------------------------------------------

@@ -557,17 +557,29 @@ def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # second over |x - median|), then a modified z-score filter at 3.5
 # (the Iglewicz-Hoaglin convention). Both medians are the same grouped
 # percentile machinery as A1 — at 100 TB the approx knob applies.
+#
+# The fixture corpus has near-uniform lengths (max |mod_z| ≈ 1.8, so
+# a 3.5 filter can never fire on it); to prove the filter actually
+# fires, a deterministic ~1% slice (doc_id % 101 == 0) is "corrupted"
+# to 25× its length — simulating the runaway-concatenation/boilerplate
+# docs MAD filtering exists to catch. Both engines apply the identical
+# corruption, so the check is still exact.
 @_q(
     "mad_outlier_docs",
     """
-    WITH m AS (
-      SELECT lang, median(CAST(length(text) AS DOUBLE)) AS med
-      FROM documents GROUP BY lang
+    WITH corpus AS (
+      SELECT lang, doc_id,
+             CASE WHEN doc_id % 101 = 0
+                  THEN CAST(length(text) AS DOUBLE) * 25
+                  ELSE CAST(length(text) AS DOUBLE) END AS len
+      FROM documents
+    ),
+    m AS (
+      SELECT lang, median(len) AS med FROM corpus GROUP BY lang
     ),
     dev AS (
-      SELECT d.lang, d.doc_id, CAST(length(d.text) AS DOUBLE) AS len, m.med,
-             abs(CAST(length(d.text) AS DOUBLE) - m.med) AS adev
-      FROM documents d JOIN m ON m.lang = d.lang
+      SELECT c.lang, c.doc_id, c.len, m.med, abs(c.len - m.med) AS adev
+      FROM corpus c JOIN m ON m.lang = c.lang
     ),
     mad AS (
       SELECT lang, median(adev) AS mad FROM dev GROUP BY lang
@@ -582,7 +594,11 @@ def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mad_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     lens = docs.select(
-        "lang", "doc_id", F.length("text").cast("double").alias("len")
+        "lang",
+        "doc_id",
+        F.when(F.col("doc_id") % 101 == 0, F.length("text").cast("double") * 25)
+        .otherwise(F.length("text").cast("double"))
+        .alias("len"),
     )
     med = lens.groupBy(F.col("lang").alias("mlang")).agg(
         F.median("len").alias("med")

@@ -364,3 +364,35 @@ def test_salted_join_equals_direct(spark):
     f = fact.withColumn("_salt", SF.floor(SF.rand(seed=42) * 8).cast("int"))
     n_groups = f.where("k = 0").select("_salt").distinct().count()
     assert n_groups > 1
+
+
+def test_triangle_degree_orientation_bounds_hub_wedges(spark):
+    """A hub whose id sits mid-range is the id-orientation worst case:
+    half its edges point in, half out, so the path-wedge join
+    materializes ~(d/2)^2 candidates at the hub. Degree orientation
+    makes the hub a pure sink (leaves have lower degree), so it
+    generates ZERO wedges — same triangle count either way."""
+    from tb_scale_spatial_data_pipeline_spark.operators.graphs import (
+        orient_edges,
+        oriented_triangle_count,
+        wedge_count,
+    )
+
+    n = 40
+    hub = n // 2
+    edges = [(min(i, hub), max(i, hub)) for i in range(n + 1) if i != hub]
+    # one leaf-leaf edge to close a single triangle (1, hub, n-1)
+    edges.append((1, n - 1))
+    e = spark.createDataFrame(edges, "u long, v long")
+
+    w_id = wedge_count(orient_edges(e, by_degree=False))
+    w_deg = wedge_count(orient_edges(e, by_degree=True))
+    # id orientation: hub has 20 in- and 21 out-edges -> >=400 wedges
+    assert w_id >= (hub - 1) * (n - hub)
+    # degree orientation: hub is a sink; only the leaf-leaf edge and
+    # degree-2 leaves can open wedges
+    assert w_deg <= 4
+    r_id = oriented_triangle_count(e, by_degree=False).collect()[0]
+    r_deg = oriented_triangle_count(e, by_degree=True).collect()[0]
+    assert r_id["n_triangles"] == r_deg["n_triangles"] == 1
+    assert r_id["n_edges"] == r_deg["n_edges"] == len(edges)
