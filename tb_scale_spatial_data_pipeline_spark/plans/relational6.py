@@ -914,6 +914,87 @@ def q_hierarchy_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Upward-aggregation twin of hierarchy_subtree_rollup: when only the
+# per-ancestor AGGREGATES are wanted (not the ancestor-descendant pair
+# table), folding levels bottom-up computes them without ever
+# materializing the O(n·depth) closure. Each node's subtree total =
+# own value + sum of its children's subtree totals, so processing
+# levels deepest-first touches every node exactly once — O(n) total
+# rows shuffled across O(depth) rounds vs O(n·depth) for the closure.
+# The closure form stays the right tool when the PAIRS themselves are
+# the product (ancestor filters, path queries); see PLANS.md. Level of
+# a heap key = bit-length − 1 (integer arithmetic via base-2 conv —
+# no float log2 edge cases). Oracle: the identical recursive-CTE
+# rollup, so the hash match proves the two strategies agree.
+@_q(
+    "hierarchy_rollup_upward",
+    """
+    WITH RECURSIVE desc_pairs AS (
+      SELECT c_custkey AS anc, c_custkey AS node FROM customer
+      UNION ALL
+      SELECT dp.anc, c.c_custkey AS node
+      FROM desc_pairs dp
+      JOIN customer c ON c.c_custkey // 2 = dp.node AND c.c_custkey > 1
+    )
+    SELECT dp.anc AS c_custkey,
+           COUNT(*) AS n_subtree,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS subtree_bal
+    FROM desc_pairs dp JOIN customer c ON c.c_custkey = dp.node
+    GROUP BY dp.anc
+    """,
+)
+def q_hierarchy_rollup_upward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    base = cust.select(
+        F.col("c_custkey").alias("node"),
+        (
+            F.length(F.conv(F.col("c_custkey").cast("string"), 10, 2)).cast("int")
+            - F.lit(1)
+        ).alias("lvl"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("subtree_bal"),
+        F.lit(1).cast("bigint").alias("n_subtree"),
+    ).localCheckpoint(eager=True)
+    max_lvl = base.agg(F.max("lvl")).collect()[0][0]  # one scalar to driver
+    done = []
+    cur = base.where(F.col("lvl") == max_lvl)
+    for lvl in range(int(max_lvl), 0, -1):
+        done.append(cur)
+        parent_add = (
+            cur.where(F.col("node") > 1)
+            .groupBy(F.floor(F.col("node") / 2).cast("bigint").alias("node"))
+            .agg(
+                F.sum("subtree_bal").cast("decimal(18,2)").alias("add_bal"),
+                F.sum("n_subtree").alias("add_n"),
+            )
+        )
+        cur = (
+            base.where(F.col("lvl") == lvl - 1)
+            .join(parent_add, "node", "left")
+            .select(
+                "node",
+                "lvl",
+                (F.col("subtree_bal") + F.coalesce(F.col("add_bal"), F.lit(0)))
+                .cast("decimal(18,2)")
+                .alias("subtree_bal"),
+                (F.col("n_subtree") + F.coalesce(F.col("add_n"), F.lit(0)))
+                .cast("bigint")
+                .alias("n_subtree"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    done.append(cur)
+    from functools import reduce
+
+    out = reduce(lambda a, b: a.unionByName(b), done)
+    return out.select(
+        F.col("node").alias("c_custkey"),
+        "n_subtree",
+        F.col("subtree_bal").cast("double").alias("subtree_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Null-aware anti join — SQL's classic trap, made explicit: NOT IN
 # over a subquery CONTAINING NULLS matches nothing (three-valued
 # logic: x <> NULL is unknown for every x), while NOT EXISTS keeps its
