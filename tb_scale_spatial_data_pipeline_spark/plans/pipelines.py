@@ -239,19 +239,32 @@ def q_raster_affine_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("raster_crs_warp")
 def q_raster_crs_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R1 non-affine form: projective (curved-grid) warp through
-    warp_grid_tiles — the analog of true datum/CRS reprojection
-    (`0_preprocessing/feature_stacking.py:86-96`), which is not an
-    affine map between pixel grids. Invariants (affine special case
-    bit-equals warp_affine_tiles, round-trip error bound on a smooth
-    field) in tests/test_raster.py."""
-    from ..raster.kernels import projective_transform, warp_grid_tiles
+    """R1 non-affine form: true CRS reprojection through
+    warp_grid_tiles — a geographic (lon/lat) source grid resampled
+    onto a Web Mercator target grid using the public Snyder formulas
+    (`raster/projections.py`), the same EPSG:4326→3857 warp the
+    reference performs through rasterio
+    (`0_preprocessing/feature_stacking.py:86-96`). Invariants (affine
+    special case bit-equals warp_affine_tiles, projection round-trip
+    error bounds, exactly-once pixel ownership) in
+    tests/test_raster.py."""
+    from ..raster.kernels import warp_grid_tiles
+    from ..raster.projections import pixel_grid_maps, web_mercator_forward
 
     img = synthetic_raster(spark, 64, 64, bands=1)
     tiled = halo_duplicate(img, tile_size=32, halo=4)
-    t2s, s2t = projective_transform(
-        ((0.95, 0.08, 1.5), (-0.06, 0.97, 0.8), (4e-4, -3e-4, 1.0))
+    # source: 0.64°×0.64° geographic box at (10E, 45N), 0.01°/px;
+    # target: Web Mercator grid over the same box at matched resolution
+    src_gt = (10.0, 0.01, 45.0, 0.01)
+    x_lo, y_lo = web_mercator_forward(10.0, 45.0)
+    x_hi, y_hi = web_mercator_forward(10.64, 45.64)
+    dst_gt = (
+        float(x_lo),
+        (float(x_hi) - float(x_lo)) / 64.0,
+        float(y_lo),
+        (float(y_hi) - float(y_lo)) / 64.0,
     )
+    t2s, s2t = pixel_grid_maps("geographic", "web_mercator", src_gt, dst_gt)
     out = warp_grid_tiles(tiled, ["b1"], t2s, s2t, method="bilinear")
     return out.select("x", "y", F.round("b1", 6).alias("b1"))
 

@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def _tile_to_arrays(pdf: pd.DataFrame, value_cols: list[str]):
@@ -286,11 +287,14 @@ def warp_affine_tiles(
         return pd.DataFrame(out)
 
     out_schema = "x int, y int, " + ", ".join(f"{c} double" for c in value_cols)
-    return (
-        tiled.groupBy("tile_x", "tile_y")
-        .applyInPandas(kernel, schema=out_schema)
-        .dropDuplicates(["x", "y"])
-    )
+    out = tiled.groupBy("tile_x", "tile_y").applyInPandas(kernel, schema=out_schema)
+    # Core ownership is exactly-once by construction (each target pixel's
+    # anchor source pixel lies in exactly one tile core). Reduce with a
+    # DETERMINISTIC min instead of dropDuplicates so that if a transform
+    # ever exceeded its bound and double-owned a pixel, the result stays
+    # stable run-to-run (and uniqueness tests can catch the violation)
+    # rather than keeping a silently arbitrary row.
+    return out.groupBy("x", "y").agg(*[F.min(c).alias(c) for c in value_cols])
 
 
 def projective_transform(
@@ -398,11 +402,14 @@ def warp_grid_tiles(
         return pd.DataFrame(out)
 
     out_schema = "x int, y int, " + ", ".join(f"{c} double" for c in value_cols)
-    return (
-        tiled.groupBy("tile_x", "tile_y")
-        .applyInPandas(kernel, schema=out_schema)
-        .dropDuplicates(["x", "y"])
-    )
+    out = tiled.groupBy("tile_x", "tile_y").applyInPandas(kernel, schema=out_schema)
+    # Core ownership is exactly-once by construction (each target pixel's
+    # anchor source pixel lies in exactly one tile core). Reduce with a
+    # DETERMINISTIC min instead of dropDuplicates so that if a transform
+    # ever exceeded its bound and double-owned a pixel, the result stays
+    # stable run-to-run (and uniqueness tests can catch the violation)
+    # rather than keeping a silently arbitrary row.
+    return out.groupBy("x", "y").agg(*[F.min(c).alias(c) for c in value_cols])
 
 
 def terrain_tiles(

@@ -370,3 +370,93 @@ def test_shape_metrics_wkt_area_matches_pixels(spark):
     ).collect()
     for r in checked:
         assert r["poly_area"] == r["area"], r
+
+
+def test_web_mercator_roundtrip_and_known_points():
+    import numpy as np
+
+    from tb_scale_spatial_data_pipeline_spark.raster.projections import (
+        web_mercator_forward,
+        web_mercator_inverse,
+    )
+
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-179.9, 179.9, 500)
+    lat = rng.uniform(-84.9, 84.9, 500)
+    x, y = web_mercator_forward(lon, lat)
+    lon2, lat2 = web_mercator_inverse(x, y)
+    assert np.max(np.abs(lon2 - lon)) < 1e-9
+    assert np.max(np.abs(lat2 - lat)) < 1e-9
+    # known anchor: (0,0) -> (0,0); 180W -> -pi*R
+    x0, y0 = web_mercator_forward(0.0, 0.0)
+    assert abs(float(x0)) < 1e-6 and abs(float(y0)) < 1e-6
+    x180, _ = web_mercator_forward(-180.0, 0.0)
+    assert abs(float(x180) + np.pi * 6378137.0) < 1e-6
+
+
+def test_utm_roundtrip_and_known_point():
+    import numpy as np
+
+    from tb_scale_spatial_data_pipeline_spark.raster.projections import (
+        utm_forward,
+        utm_inverse,
+    )
+
+    # zone 31N covers 0..6E; sample across the zone and a lat band
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(0.2, 5.8, 500)
+    lat = rng.uniform(-79.0, 83.0, 500)
+    e, n = utm_forward(lon, lat, zone=31)
+    lon2, lat2 = utm_inverse(e, n, zone=31)
+    # series accuracy within a zone: sub-centimeter -> < 1e-6 deg
+    assert np.max(np.abs(lon2 - lon)) < 1e-6
+    assert np.max(np.abs(lat2 - lat)) < 1e-6
+    # central meridian, equator -> exactly (FE, 0)
+    e0, n0 = utm_forward(3.0, 0.0, zone=31)
+    assert abs(float(e0) - 500000.0) < 1e-6
+    assert abs(float(n0)) < 1e-6
+    # southern hemisphere false northing
+    _, ns = utm_forward(3.0, -1.0, zone=31, north=False)
+    assert 9.8e6 < float(ns) < 1.0e7
+
+
+def test_crs_warp_real_projection_roundtrip(spark):
+    """warp_grid_tiles through the geographic->web_mercator preset:
+    every emitted target pixel must map back inside the source grid,
+    and the warp must cover the interior of the target extent."""
+    import numpy as np
+
+    from tb_scale_spatial_data_pipeline_spark.raster.kernels import warp_grid_tiles
+    from tb_scale_spatial_data_pipeline_spark.raster.projections import (
+        pixel_grid_maps,
+        web_mercator_forward,
+    )
+    from tb_scale_spatial_data_pipeline_spark.raster.tiles import (
+        halo_duplicate,
+        synthetic_raster,
+    )
+
+    # source: 64x64 geographic grid over a 0.64x0.64 deg box at (10E, 45N)
+    src_gt = (10.0, 0.01, 45.0, 0.01)
+    # target: web-mercator grid over the same box, ~same resolution
+    x_lo, y_lo = web_mercator_forward(10.0, 45.0)
+    x_hi, y_hi = web_mercator_forward(10.64, 45.64)
+    dst_gt = (float(x_lo), (float(x_hi) - float(x_lo)) / 64.0,
+              float(y_lo), (float(y_hi) - float(y_lo)) / 64.0)
+    t2s, s2t = pixel_grid_maps("geographic", "web_mercator", src_gt, dst_gt)
+
+    img = synthetic_raster(spark, 64, 64, bands=1)
+    tiled = halo_duplicate(img, tile_size=32, halo=4)
+    out = warp_grid_tiles(tiled, ["b1"], t2s, s2t, method="bilinear").toPandas()
+    assert len(out) > 0
+    # exactly-once ownership
+    assert not out.duplicated(["x", "y"]).any()
+    # every target pixel's source anchor lies within the source grid
+    sx, sy = t2s(out["x"].to_numpy(float), out["y"].to_numpy(float))
+    assert float(np.min(sx)) >= -0.5 and float(np.max(sx)) <= 63.5
+    assert float(np.min(sy)) >= -0.5 and float(np.max(sy)) <= 63.5
+    # interior coverage: the central block of the target grid is dense
+    got = {(int(r.x), int(r.y)) for r in out.itertuples()}
+    missing = [(tx, ty) for tx in range(8, 56) for ty in range(8, 56)
+               if (tx, ty) not in got]
+    assert not missing
