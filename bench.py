@@ -101,6 +101,16 @@ def main() -> None:
             )
 
     total = round(sum(timings.values()), 3)
+    # per-query {median,min,max} travels IN the artifact so a later
+    # reader can separate noise from regression without cross-refs
+    spread = {
+        n: {
+            "median": round(statistics.median(s), 3),
+            "min": round(min(s), 3),
+            "max": round(max(s), 3),
+        }
+        for n, s in samples.items()
+    }
     print(
         json.dumps(
             {
@@ -108,6 +118,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_spread": spread,
+                "repeats": repeats,
                 "sf": sf,
             }
         )

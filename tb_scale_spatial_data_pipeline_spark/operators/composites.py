@@ -27,19 +27,39 @@ from pyspark.sql import functions as F
 AUTO_APPROX_BYTES = 1 << 30
 
 
+_LONG_MAX = (1 << 63) - 1
+
+
 def _auto_exact(df: DataFrame, exact: bool | None, threshold_bytes: int) -> bool:
     """Resolve exact=None to a size-based choice using Catalyst's
     plan-statistics estimate (driver-side only — runs no job).
 
-    Leaves without stats (in-memory relations, RDD scans) report
-    spark.sql.defaultSizeInBytes = Long.MaxValue — treat at-or-above
-    that sentinel as UNKNOWN and stay exact: unknown-size inputs are
-    local/test relations, while every real 100 TB input is a file scan
-    whose footer stats yield a genuine estimate."""
+    Callers who need result precision pinned independent of
+    stats/AQE/session config must pass exact=True/False explicitly —
+    the auto path trades that invariance for not sorting 100 TB.
+
+    Sentinel handling: leaves without stats (in-memory relations, RDD
+    scans) report exactly spark.sql.defaultSizeInBytes (Long.MaxValue
+    by default) — ONLY that exact value is treated as UNKNOWN → exact
+    (unknown-size inputs are local/test relations; every real 100 TB
+    input is a file scan whose footer stats yield a genuine estimate).
+    Statistics.sizeInBytes is a BigInt, so genuinely huge estimates
+    (join products) can EXCEED Long.MaxValue — those are 'huge', not
+    'unknown', and flip to approx. If the private plan-stats API is
+    unavailable (e.g. Spark Connect), fall back to exact."""
     if exact is not None:
         return exact
-    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    if est >= (1 << 63) - 1:
+    try:
+        sentinel = int(
+            df.sparkSession.conf.get("spark.sql.defaultSizeInBytes", str(_LONG_MAX))
+        )
+    except Exception:
+        sentinel = _LONG_MAX
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # Spark Connect / API drift: no stats → stay exact
+        return True
+    if est == sentinel:
         return True
     return est <= threshold_bytes
 

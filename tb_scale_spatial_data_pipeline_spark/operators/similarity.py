@@ -67,7 +67,9 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
             F.lit(0.0),
             lambda a, v: a + v,
         )
-        acc = acc + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        # round(9) before the sign test — cross-engine FP-order seam,
+        # same as the multi-table path below
+        acc = acc + F.when(F.round(dot, 9) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return acc
 
 
@@ -128,7 +130,14 @@ def lsh_multitable_buckets(
                 F.lit(0.0),
                 lambda a, v: a + v,
             )
-            acc = acc + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            # round before the sign test: the left-fold and the
+            # oracle's list_dot_product sum in different FP orders, so
+            # a dot within rounding error of 0 could flip buckets
+            # across engines — the same determinism seam as the
+            # distance expressions
+            acc = acc + F.when(F.round(dot, 9) >= 0, F.lit(1 << p)).otherwise(
+                F.lit(0)
+            )
         tables.append(
             df.select(
                 F.col(id_col),

@@ -12,6 +12,7 @@ from __future__ import annotations
 from . import (
     event_queries,
     full_pipeline,
+    graph_queries,
     media_queries,
     pipelines,
     pq_queries,
@@ -38,6 +39,7 @@ _MODULES = (
     relational4,
     relational5,
     relational6,
+    graph_queries,
     text_queries,
     vector_queries,
     pq_queries,

@@ -1,0 +1,234 @@
+"""Iterative graph analytics beyond connected components / triangles:
+PageRank and label propagation over the sampled co-supplier graph.
+
+Scale discipline shared with `operators/dedup.py`'s CC: every
+iteration is one join + one shuffle-by-dst aggregation, nothing but
+(node, rank) rows move, localCheckpoint truncates lineage per round.
+The oracle is the SAME fixed number of power-iteration steps unrolled
+as chained CTEs, with each iteration's ranks rounded to 12 decimals
+in BOTH engines — FP sums differ across engines only in summation
+order (≈1e-16 absolute at fixture scale), so the per-iteration
+round(12) re-synchronizes the trajectories and the final round(6)
+hash match is exact, the same determinism seam as the distance
+expressions in the vector tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import t
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# The same md5-sampled co-supplier edge set as triangle_count
+# (relational6) — undirected pairs u < v, symmetrized for walks.
+_SQL_EDGES = """
+    ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    e0 AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+                         AND a.l_suppkey < b.l_suppkey
+    ),
+    eu AS (
+      SELECT u, v FROM e0
+      WHERE CAST(('0x' || substring(md5(CAST(u * 1000 + v AS VARCHAR)), 1, 4))
+                 AS INTEGER) < 9830
+    ),
+    edges AS (SELECT u AS src, v AS dst FROM eu
+              UNION ALL SELECT v AS src, u AS dst FROM eu)
+"""
+
+_PR_ITERS = 10
+_PR_DAMP = 0.85
+
+
+def _undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("u"))
+    b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("v"))
+    e0 = a.join(b, "pk").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    bucket = F.conv(
+        F.substring(F.md5((F.col("u") * 1000 + F.col("v")).cast("string")), 1, 4),
+        16,
+        10,
+    ).cast("int")
+    return e0.where(bucket < 9830)
+
+
+def _sql_pagerank() -> str:
+    # unrolled power iteration: r0 = 1/n; r_{k+1}(v) = (1-d)/n
+    # + d * sum_{(u,v) in edges} r_k(u)/outdeg(u), rounded per step
+    d = _PR_DAMP
+    ctes = [
+        _SQL_EDGES.strip().rstrip(),
+        """nodes AS (SELECT DISTINCT src AS node FROM edges),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS outdeg
+            FROM edges GROUP BY src),
+    r0 AS (SELECT node, round(1.0 / (SELECT n FROM n), 12) AS rank
+           FROM nodes)""",
+    ]
+    for k in range(_PR_ITERS):
+        ctes.append(
+            f"""r{k + 1} AS (
+      SELECT nd.node,
+             round((1.0 - {d}) / (SELECT n FROM n)
+                   + {d} * COALESCE(c.contrib, 0.0), 12) AS rank
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank / g.outdeg) AS contrib
+        FROM r{k} r JOIN edges e ON e.src = r.node
+        JOIN deg g ON g.node = r.node
+        GROUP BY e.dst
+      ) c ON c.node = nd.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS s_suppkey, round(rank, 6) AS pagerank
+    FROM r{_PR_ITERS}"""
+    )
+
+
+@_q("pagerank_suppliers", _sql_pagerank())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eu = _undirected_edges(spark, sf_dir)
+    edges = (
+        eu.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(eu.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    n = nodes.count()  # one scalar to the driver, like CC's convergence count
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("outdeg")
+    )
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0 / n), 12).alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ranks.join(deg, "node")
+            .join(edges, ranks["node"] == edges["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit((1.0 - _PR_DAMP) / n)
+                    + F.lit(_PR_DAMP) * F.coalesce(F.col("contrib"), F.lit(0.0)),
+                    12,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage per round
+        )
+    return ranks.select(
+        F.col("node").alias("s_suppkey"), F.round("rank", 6).alias("pagerank")
+    )
+
+
+_LP_ITERS = 5
+
+
+def _sql_label_propagation() -> str:
+    # synchronous min-label propagation, fixed rounds: each node takes
+    # the MIN label among itself and its neighbors — deterministic
+    # (no tie-breaking randomness), converges to per-component min,
+    # intermediate rounds observable. Distinct from CC's min-label
+    # frontier: this is the fixed-round synchronous form.
+    ctes = [
+        _SQL_EDGES.strip(),
+        """nodes AS (SELECT DISTINCT src AS node FROM edges),
+    l0 AS (SELECT node, node AS label FROM nodes)""",
+    ]
+    for k in range(_LP_ITERS):
+        ctes.append(
+            f"""l{k + 1} AS (
+      SELECT n.node, LEAST(o.label, COALESCE(m.nbr_min, o.label)) AS label
+      FROM nodes n
+      JOIN l{k} o ON o.node = n.node
+      LEFT JOIN (
+        SELECT e.dst AS node, MIN(l.label) AS nbr_min
+        FROM l{k} l JOIN edges e ON e.src = l.node
+        GROUP BY e.dst
+      ) m ON m.node = n.node
+    )"""
+        )
+    trajectory = "\n      UNION ALL ".join(
+        f"SELECT {k} AS round, COUNT(DISTINCT label) AS n_labels,"
+        f" MIN(label) AS min_label FROM l{k}"
+        for k in range(_LP_ITERS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT round, n_labels, min_label FROM ({trajectory})"""
+    )
+
+
+@_q("label_propagation_rounds", _sql_label_propagation())
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output = the convergence TRAJECTORY (round, distinct labels):
+    the observable that distinguishes synchronous fixed-round
+    propagation from the frontier CC operators (which only expose the
+    fixpoint)."""
+    eu = _undirected_edges(spark, sf_dir)
+    edges = (
+        eu.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(eu.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
+        eager=True
+    )
+
+    def _snap(k: int, lab: DataFrame) -> DataFrame:
+        return lab.agg(
+            F.lit(k).cast("int").alias("round"),
+            F.countDistinct("label").alias("n_labels"),
+            F.min("label").alias("min_label"),
+        )
+
+    snaps = [_snap(0, labels)]
+    for k in range(1, _LP_ITERS + 1):
+        nbr_min = (
+            labels.join(edges, labels["node"] == edges["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        snaps.append(_snap(k, labels))
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), snaps)

@@ -539,7 +539,7 @@ ORACLES["stream_session_windows_dynamic"] = """
       FROM events
     ),
     flagged AS (
-      SELECT user_id, ts, gap,
+      SELECT user_id, ts, event_id, gap,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w >= gap
                   THEN 1 ELSE 0 END AS new_session
@@ -548,7 +548,8 @@ ORACLES["stream_session_windows_dynamic"] = """
     ),
     sess AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )

@@ -93,7 +93,7 @@ def _sql_lsh_buckets() -> str:
             f"list_dot_product(CAST(embedding AS DOUBLE[]), "
             f"CAST([{signs}] AS DOUBLE[]))"
         )
-        terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END")
+        terms.append(f"CASE WHEN round({dot}, 9) >= 0 THEN {1 << p} ELSE 0 END")
     bucket = " + ".join(terms)
     return f"SELECT vec_id, CAST({bucket} AS INT) AS bucket FROM embeddings"
 
@@ -377,7 +377,7 @@ def _sql_lsh_multitable() -> str:
                 f"list_dot_product(CAST(embedding AS DOUBLE[]), "
                 f"CAST([{signs}] AS DOUBLE[]))"
             )
-            terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END")
+            terms.append(f"CASE WHEN round({dot}, 9) >= 0 THEN {1 << p} ELSE 0 END")
         bucket = " + ".join(terms)
         per_table.append(
             f"SELECT vec_id, {ti} AS table_id, CAST({bucket} AS INT) AS bucket"

@@ -396,3 +396,47 @@ def test_triangle_degree_orientation_bounds_hub_wedges(spark):
     r_deg = oriented_triangle_count(e, by_degree=True).collect()[0]
     assert r_id["n_triangles"] == r_deg["n_triangles"] == 1
     assert r_id["n_edges"] == r_deg["n_edges"] == len(edges)
+
+
+def test_fuzzy_banding_shrinks_blocks(spark):
+    """On a skewed name distribution (one dominant first letter — the
+    real-corpus case first-char blocking handles worst) the (first
+    char, length band) composite key must cut both the max block size
+    and the candidate-pair bound by a large factor; and each name is
+    replicated into at most 2 band blocks. The fixture part names are
+    too few/uniform to exhibit skew, so the distribution is
+    synthesized: 200 names sharing first char, lengths spread 5..44."""
+    import pyspark.sql.functions as F
+
+    from tb_scale_spatial_data_pipeline_spark.plans.text_queries import (
+        fuzzy_name_bands,
+    )
+
+    names = [
+        ("p" + chr(ord("a") + i % 26) * (5 + (i % 40)) + str(i),)
+        for i in range(200)
+    ]
+    part = spark.createDataFrame(names, "p_name string")
+
+    char_blocks = (
+        part.select("p_name")
+        .distinct()
+        .groupBy(F.substring("p_name", 1, 1).alias("c1"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    char_pairs = sum(r["n"] * (r["n"] - 1) // 2 for r in char_blocks)
+    char_max = max(r["n"] for r in char_blocks)
+    assert char_max == 200  # the skew scenario under test
+
+    bands = fuzzy_name_bands(part)
+    assert bands.count() <= 2 * 200  # replication ceiling
+    band_blocks = (
+        bands.groupBy("c1", "band").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    # candidate bound = sum over blocks of C(n,2)
+    band_pairs = sum(r["n"] * (r["n"] - 1) // 2 for r in band_blocks)
+    band_max = max(r["n"] for r in band_blocks)
+
+    assert band_max <= char_max // 4
+    assert band_pairs <= char_pairs // 4
