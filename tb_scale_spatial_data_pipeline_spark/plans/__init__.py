@@ -25,7 +25,9 @@ from . import (
     relational6,
     sampling_queries,
     scalar_queries,
+    sketch_queries,
     spatial_queries,
+    temporal_queries,
     text_queries,
     timeseries_queries,
     udtf_queries,
@@ -51,6 +53,8 @@ _MODULES = (
     scalar_queries,
     sampling_queries,
     timeseries_queries,
+    temporal_queries,
+    sketch_queries,
     udtf_queries,
     full_pipeline,
 )

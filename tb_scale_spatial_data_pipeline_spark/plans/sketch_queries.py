@@ -1,0 +1,174 @@
+"""Deterministic sketch structures: KMV distinct-count estimation and
+a Bloom-filter semi-join prefilter.
+
+Unlike approx_count_distinct / native Bloom pushdown (engine-private
+sketches a cross-engine oracle can't reproduce), both structures here
+are built from explicit md5-derived hashes, so DuckDB computes the
+IDENTICAL sketch and the driver hash-checks the whole path, not just
+the final answer.
+
+- KMV (k minimum values): the distinct count of a key is estimated by
+  (k-1)/h_(k) where h_(k) is the k-th smallest hash mapped to (0,1] —
+  the bottom-k sketch (Bar-Yossef et al. 2002, public literature).
+  The sketch is mergeable (union = min-k of unions), which is what
+  makes it the distributed cardinality primitive: partials carry k
+  values regardless of partition size.
+- Bloom prefilter: the standard shuffle-reduction for a selective
+  dim-fact join at 100 TB — build m-bit filter from the dim keys
+  (two hash positions per key), broadcast it, drop fact rows that
+  miss, THEN do the exact join. False positives only cost work; the
+  ORACLE IS THE PLAIN JOIN, so the hash match proves the filter
+  never false-drops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import t
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_KMV_K = 64
+# 15 hex chars -> 60-bit int; divide by 16^15 to map into (0, 1]
+_HEX_DEN = float(16**15)
+
+
+def _spark_hash_frac(col):
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+            "double"
+        )
+        / F.lit(_HEX_DEN)
+    )
+
+
+def _sql_hash_frac(expr: str) -> str:
+    return (
+        f"CAST(('0x' || substring(md5(CAST({expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
+        f" / {_HEX_DEN!r}"
+    )
+
+
+@_q(
+    "kmv_distinct_estimate",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT {_sql_hash_frac("o_custkey")} AS frac FROM orders
+    ),
+    bottomk AS (SELECT frac FROM h ORDER BY frac LIMIT {_KMV_K})
+    SELECT {_KMV_K} AS k,
+           round(MAX(frac), 12) AS kth_hash,
+           round(({_KMV_K} - 1) / MAX(frac), 3) AS est_distinct,
+           (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS true_distinct
+    FROM bottomk
+    """,
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    h = orders.select(
+        _spark_hash_frac(F.col("o_custkey")).alias("frac")
+    ).distinct()
+    bottomk = h.orderBy("frac").limit(_KMV_K)
+    truth = orders.agg(F.countDistinct("o_custkey").alias("true_distinct"))
+    est = bottomk.agg(
+        F.lit(_KMV_K).cast("int").alias("k"),
+        F.round(F.max("frac"), 12).alias("kth_hash"),
+        F.round((F.lit(_KMV_K) - 1) / F.max("frac"), 3).alias("est_distinct"),
+    )
+    return est.crossJoin(truth)  # two 1-row aggregates
+
+
+_BLOOM_M = 4096
+
+
+def _spark_bloom_pos(col, offset: int):
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1 + offset, 7), 16, 10)
+        .cast("bigint")
+        % _BLOOM_M
+    )
+
+
+def _sql_bloom_pos(expr: str, offset: int) -> str:
+    return (
+        f"CAST(('0x' || substring(md5(CAST({expr} AS VARCHAR)),"
+        f" {1 + offset}, 7)) AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+@_q(
+    "bloom_prefilter_join",
+    # THE PLAIN JOIN: equality with the bloom-prefiltered plan proves
+    # the filter admits every true match (false positives are removed
+    # by the exact join; false negatives would show as missing rows)
+    """
+    SELECT l.l_suppkey AS s_suppkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_nationkey = 7
+    GROUP BY l.l_suppkey
+    """,
+)
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == 7)
+        .select("s_suppkey")
+    )
+    positions = (
+        supp.select(
+            F.explode(
+                F.array(
+                    _spark_bloom_pos(F.col("s_suppkey"), 0),
+                    _spark_bloom_pos(F.col("s_suppkey"), 8),
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    # both hash positions must be set — two broadcast semi-joins
+    # against the (≤ 2·|dim|)-row position table; at 100 TB this is
+    # where most fact rows die without shuffling
+    p1 = positions.select(F.col("pos").alias("pos1"))
+    p2 = positions.select(F.col("pos").alias("pos2"))
+    pre = li.join(
+        F.broadcast(p1),
+        _spark_bloom_pos(F.col("l_suppkey"), 0) == F.col("pos1"),
+        "left_semi",
+    ).join(
+        F.broadcast(p2),
+        _spark_bloom_pos(F.col("l_suppkey"), 8) == F.col("pos2"),
+        "left_semi",
+    )
+    exact = pre.join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return exact.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -73,3 +73,22 @@ def test_funnel_no_events_squared(spark):
     # a nested loop over the events relation itself, which (scanned
     # rows being grouped first) would show as a NLJ over a Scan
     assert p.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_bloom_prefilter_plan_and_kmv_accuracy(spark):
+    """The bloom prefilter must appear as two broadcast LEFT-SEMI
+    hash joins ahead of the exact join (fact rows die before any
+    shuffle), and the KMV estimate must land within the k=64
+    bottom-k sketch's expected error band (~1/sqrt(k) ≈ 12.5%, test
+    allows 3 sigma)."""
+    from tb_scale_spatial_data_pipeline_spark.plans import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.01"
+    plan = qs["bloom_prefilter_join"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftSemi") == 2
+    assert "BroadcastHashJoin" in plan
+
+    row = qs["kmv_distinct_estimate"](spark, sf).collect()[0]
+    est, true = float(row["est_distinct"]), float(row["true_distinct"])
+    assert abs(est - true) / true < 0.375
