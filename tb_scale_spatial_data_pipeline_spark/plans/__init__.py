@@ -14,6 +14,7 @@ from . import (
     full_pipeline,
     graph_queries,
     media_queries,
+    mlprep_queries,
     pipelines,
     pq_queries,
     raster_queries,
@@ -55,6 +56,7 @@ _MODULES = (
     timeseries_queries,
     temporal_queries,
     sketch_queries,
+    mlprep_queries,
     udtf_queries,
     full_pipeline,
 )

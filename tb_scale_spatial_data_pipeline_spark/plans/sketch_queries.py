@@ -172,3 +172,91 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(rev).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy-hitter estimation: d=4 rows × w=256 counters,
+# hash positions from disjoint md5 substrings; the estimate for a key
+# is the MIN over its d counters (CM's one-sided overestimate,
+# Cormode-Muthukrishnan 2005, public literature). The sketch build is
+# one groupBy over (row, position) — map-side combinable, d×w cells
+# total regardless of input size — which is why CMS is the streaming/
+# distributed frequency primitive. Estimates are exact-compared to
+# true counts for the 5 event types (w=256 >> 5 keys ⇒ collisions
+# possible but deterministic — the oracle builds the identical sketch).
+_CMS_D = 4
+_CMS_W = 256
+
+
+def _cms_pos_sql(expr: str, row: int) -> str:
+    return (
+        f"CAST(('0x' || substring(md5(CAST({expr} AS VARCHAR)),"
+        f" {1 + 8 * row}, 7)) AS BIGINT) % {_CMS_W}"
+    )
+
+
+def _cms_pos_spark(col, row: int):
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1 + 8 * row, 7), 16, 10)
+        .cast("bigint")
+        % _CMS_W
+    )
+
+
+def _sql_countmin() -> str:
+    cells = " UNION ALL ".join(
+        f"SELECT {r} AS row, {_cms_pos_sql('event_type', r)} AS pos,"
+        " COUNT(*) AS c FROM events GROUP BY 2"
+        for r in range(_CMS_D)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT k.event_type, {r} AS row, {_cms_pos_sql('k.event_type', r)}"
+        " AS pos FROM keys k"
+        for r in range(_CMS_D)
+    )
+    return f"""
+    WITH sketch AS ({cells}),
+    keys AS (SELECT DISTINCT event_type FROM events),
+    probe AS ({probes}),
+    est AS (
+      SELECT p.event_type, MIN(s.c) AS cm_estimate
+      FROM probe p JOIN sketch s ON s.row = p.row AND s.pos = p.pos
+      GROUP BY p.event_type
+    ),
+    truth AS (SELECT event_type, COUNT(*) AS true_count
+              FROM events GROUP BY event_type)
+    SELECT e.event_type, e.cm_estimate, t.true_count
+    FROM est e JOIN truth t ON t.event_type = e.event_type
+    """
+
+
+@_q("countmin_heavy_hitters", _sql_countmin())
+def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cells = None
+    for r in range(_CMS_D):
+        cell = ev.groupBy(
+            F.lit(r).cast("int").alias("row"),
+            _cms_pos_spark(F.col("event_type"), r).alias("pos"),
+        ).agg(F.count(F.lit(1)).alias("c"))
+        cells = cell if cells is None else cells.unionByName(cell)
+    keys = ev.select("event_type").distinct()
+    probes = None
+    for r in range(_CMS_D):
+        p = keys.select(
+            "event_type",
+            F.lit(r).cast("int").alias("row"),
+            _cms_pos_spark(F.col("event_type"), r).alias("pos"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    est = (
+        probes.join(cells, ["row", "pos"])
+        .groupBy("event_type")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    truth = ev.groupBy(F.col("event_type").alias("tkey")).agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    return est.join(truth, F.col("event_type") == F.col("tkey")).select(
+        "event_type", "cm_estimate", "true_count"
+    )
