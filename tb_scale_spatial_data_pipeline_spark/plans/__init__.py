@@ -17,6 +17,7 @@ from . import (
     mlprep_queries,
     pipelines,
     pq_queries,
+    quality_queries,
     raster_queries,
     relational,
     relational2,
@@ -57,6 +58,7 @@ _MODULES = (
     temporal_queries,
     sketch_queries,
     mlprep_queries,
+    quality_queries,
     udtf_queries,
     full_pipeline,
 )

@@ -1,0 +1,232 @@
+"""Data-quality and audit operators: expectation checks, referential
+integrity, and snapshot deltas — the validation layer a production
+lake runs before promoting data.
+
+Every check is a full-scan aggregate (map-side combinable, one
+Exchange of per-check scalars) or a key-level anti/outer join — the
+shapes that stay cheap at 100 TB because only violation COUNTS and
+tiny violation samples move, never the passing rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import t
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Expectation suite over lineitem — the table-contract check (null
+# fraction, value ranges, set membership, uniqueness), one row per
+# expectation with the measured metric and pass/fail. All checks
+# compute in ONE scan: conditional aggregates, no per-check passes.
+@_q(
+    "dq_expectations",
+    """
+    WITH m AS (
+      SELECT
+        COUNT(*) AS n_rows,
+        COUNT(*) - COUNT(l_orderkey) AS null_orderkey,
+        COUNT(*) FILTER (l_quantity < 1 OR l_quantity > 50) AS bad_qty,
+        COUNT(*) FILTER (l_discount < 0 OR l_discount > 0.1) AS bad_disc,
+        COUNT(*) FILTER (l_returnflag NOT IN ('A', 'N', 'R')) AS bad_flag,
+        COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS dup_keys
+      FROM lineitem
+    )
+    SELECT * FROM (
+      SELECT 'orderkey_not_null' AS expectation,
+             CAST(null_orderkey AS BIGINT) AS violations,
+             null_orderkey = 0 AS passed FROM m
+      UNION ALL
+      SELECT 'quantity_in_1_50', CAST(bad_qty AS BIGINT), bad_qty = 0 FROM m
+      UNION ALL
+      SELECT 'discount_in_0_01', CAST(bad_disc AS BIGINT), bad_disc = 0 FROM m
+      UNION ALL
+      SELECT 'returnflag_domain', CAST(bad_flag AS BIGINT), bad_flag = 0 FROM m
+      UNION ALL
+      SELECT 'pk_unique', CAST(dup_keys AS BIGINT), dup_keys = 0 FROM m
+    )
+    """,
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    m = li.agg(
+        (F.count(F.lit(1)) - F.count("l_orderkey")).alias("null_orderkey"),
+        F.count_if(
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+        ).alias("bad_qty"),
+        F.count_if(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+        ).alias("bad_disc"),
+        F.count_if(~F.col("l_returnflag").isin("A", "N", "R")).alias("bad_flag"),
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(F.struct("l_orderkey", "l_linenumber"))
+        ).alias("dup_keys"),
+    )
+    checks = [
+        ("orderkey_not_null", "null_orderkey"),
+        ("quantity_in_1_50", "bad_qty"),
+        ("discount_in_0_01", "bad_disc"),
+        ("returnflag_domain", "bad_flag"),
+        ("pk_unique", "dup_keys"),
+    ]
+    rows = None
+    for name, col in checks:
+        row = m.select(
+            F.lit(name).alias("expectation"),
+            F.col(col).cast("bigint").alias("violations"),
+            (F.col(col) == 0).alias("passed"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit across the whole star schema: orphan
+# counts for every FK edge in one result table. Each edge is a
+# LEFT-ANTI join (fact keys with no dim match) reduced to a count —
+# at 100 TB each check shuffles only the distinct keys of the fact
+# side, and broadcast applies when the dim is small.
+@_q(
+    "fk_orphan_audit",
+    """
+    SELECT * FROM (
+      SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+             (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem) f
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = f.l_orderkey))
+               AS orphan_keys
+      UNION ALL
+      SELECT 'orders.o_custkey->customer',
+             (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders) f
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = f.o_custkey))
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation',
+             (SELECT COUNT(*) FROM (SELECT DISTINCT c_nationkey FROM customer) f
+              WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = f.c_nationkey))
+      UNION ALL
+      SELECT 'supplier.s_nationkey->nation',
+             (SELECT COUNT(*) FROM (SELECT DISTINCT s_nationkey FROM supplier) f
+              WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = f.s_nationkey))
+      UNION ALL
+      SELECT 'nation.n_regionkey->region',
+             (SELECT COUNT(*) FROM (SELECT DISTINCT n_regionkey FROM nation) f
+              WHERE NOT EXISTS (SELECT 1 FROM region r
+                                WHERE r.r_regionkey = f.n_regionkey))
+    )
+    """,
+)
+def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    rows = None
+    for label, fact, fk, dim, pk in edges:
+        orphans = (
+            t(spark, sf_dir, fact)
+            .select(F.col(fk).alias("k"))
+            .distinct()
+            .join(
+                t(spark, sf_dir, dim).select(F.col(pk).alias("k")),
+                "k",
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("orphan_keys"))
+            .select(F.lit(label).alias("fk_edge"), "orphan_keys")
+        )
+        rows = orphans if rows is None else rows.unionByName(orphans)
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Snapshot delta audit (CDC-style): per-user purchase totals as of
+# day 2 vs as of day 30 (the early cutoff makes 'added' users real
+# on the fixture — a full-month cutoff degenerates to all-'changed'),
+# classified added / changed / unchanged —
+# the diff a lake computes to validate an incremental load against a
+# full recompute. FULL OUTER join on the entity key; only per-key
+# aggregates move. ('removed' is structurally impossible with
+# append-only events but the class stays in the contract — an
+# incremental pipeline that produced one would be broken.)
+@_q(
+    "snapshot_delta_audit",
+    """
+    WITH a AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-03'
+      GROUP BY user_id
+    ),
+    b AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY user_id
+    )
+    SELECT
+      CASE WHEN a.user_id IS NULL THEN 'added'
+           WHEN b.user_id IS NULL THEN 'removed'
+           WHEN a.n <> b.n OR a.total <> b.total THEN 'changed'
+           ELSE 'unchanged' END AS delta_class,
+      COUNT(*) AS n_users,
+      CAST(SUM(COALESCE(b.n, 0) - COALESCE(a.n, 0)) AS BIGINT) AS added_rows
+    FROM a FULL OUTER JOIN b ON b.user_id = a.user_id
+    GROUP BY 1
+    """,
+)
+def q_snapshot_delta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+
+    def snap(df: DataFrame, prefix: str) -> DataFrame:
+        return df.groupBy(F.col("user_id").alias(f"{prefix}_user")).agg(
+            F.count(F.lit(1)).alias(f"{prefix}_n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias(f"{prefix}_total"),
+        )
+
+    a = snap(ev.where(F.col("ts") < F.lit("2024-01-03").cast("timestamp")), "a")
+    b = snap(ev, "b")
+    j = a.join(b, F.col("a_user") == F.col("b_user"), "full_outer")
+    cls = (
+        F.when(F.col("a_user").isNull(), "added")
+        .when(F.col("b_user").isNull(), "removed")
+        .when(
+            (F.col("a_n") != F.col("b_n"))
+            | (F.col("a_total") != F.col("b_total")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return j.groupBy(cls.alias("delta_class")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            F.coalesce(F.col("b_n"), F.lit(0)) - F.coalesce(F.col("a_n"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("added_rows"),
+    )
