@@ -10,6 +10,7 @@ rows-only check (reserved for genuinely non-SQL-expressible ops).
 from __future__ import annotations
 
 from . import (
+    corpus_queries,
     event_queries,
     full_pipeline,
     graph_queries,
@@ -29,6 +30,7 @@ from . import (
     scalar_queries,
     sketch_queries,
     spatial_queries,
+    stats_queries,
     temporal_queries,
     text_queries,
     timeseries_queries,
@@ -59,6 +61,8 @@ _MODULES = (
     sketch_queries,
     mlprep_queries,
     quality_queries,
+    corpus_queries,
+    stats_queries,
     udtf_queries,
     full_pipeline,
 )

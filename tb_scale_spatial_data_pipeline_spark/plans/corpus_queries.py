@@ -1,0 +1,333 @@
+"""Corpus-preparation queries: the operations an LLM training-data
+pipeline runs between raw scrape and tokenizer — benchmark
+decontamination, corpus-level segment dedup (the C4 shape), chunking
+with overlap, repetition-based quality filtering (the Gopher shape),
+and PII pseudonymization with a k-anonymity audit.
+
+Scale notes (100 TB):
+- Decontamination joins the corpus n-gram stream against the
+  *benchmark* n-gram set, which is tiny (eval suites are MBs) — the
+  join is broadcast, so the corpus never shuffles on the gram key.
+- Segment dedup is the one shape that MUST shuffle on content: keep-
+  first semantics need all copies of a segment hash on one reducer.
+  One Exchange on the hash, then a window row_number — no all-pairs.
+- Chunking and repetition metrics are per-row array math (pure
+  Catalyst, zero Python), so they pipeline inside the scan stage.
+- Pseudonymization is per-row; the k-anonymity audit is one window
+  count over the quasi-identifier — a single shuffle on (nation,
+  band), the same cost as the groupBy a reporting query would do.
+
+All oracle SQL is kept in lock-step with the Spark expressions:
+identical normalization, identical gram/segment boundaries, and
+single-division rationals (exact-integer numerators/denominators) so
+floats are bit-equal across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text, word_tokens
+from ._util import t
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# DuckDB twin of word_tokens(normalize_text(text)).
+_SQL_WORDS = (
+    r"list_filter(regexp_split_to_array("
+    r"trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x <> '')"
+)
+
+# Benchmark membership: every 7th doc plays the held-out eval suite.
+_BENCH_MOD = 7
+_GRAM_N = 8
+_SEG_N = 8
+_CHUNK_LEN = 32
+_CHUNK_STRIDE = 24
+_KANON_K = 5
+# Band width chosen so the (nation, band) classes split into kept AND
+# suppressed at BOTH sf0.001 (134/16) and sf0.01 (27/1473) — a
+# threshold that accepts or rejects everything proves nothing.
+_KANON_BAND = 4000
+# Gopher-style repetition ceilings (word-salad fixture calibrated).
+_TOP_WORD_FRAC = 0.10
+_TOP_BIGRAM_FRAC = 0.05
+
+
+def _words_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", word_tokens(normalize_text(F.col("text"))).alias("w")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag training docs sharing >=1 verbatim
+# 8-gram with the benchmark set (the n-gram-overlap decontamination
+# used for LLM eval hygiene; 13-grams in the literature, 8 here to
+# match the fixture's doc lengths). Benchmark gram set is broadcast.
+@_q(
+    "benchmark_decontamination",
+    f"""
+    WITH words AS (
+      SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+{_GRAM_N - 1}], ' ') AS gram
+      FROM words, LATERAL unnest(generate_series(1, len(w) - {_GRAM_N - 1})) AS s(i)
+      WHERE len(w) >= {_GRAM_N}
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % {_BENCH_MOD} = 0
+    ), train AS (
+      SELECT * FROM grams WHERE doc_id % {_BENCH_MOD} <> 0
+    ), tot AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY 1
+    ), con AS (
+      SELECT t.doc_id, COUNT(*) AS n_contam
+      FROM train t JOIN bench b USING (gram) GROUP BY 1
+    )
+    SELECT c.doc_id, t.n_grams, c.n_contam,
+           round(CAST(c.n_contam AS DOUBLE) / t.n_grams, 9) AS contam_rate
+    FROM con c JOIN tot t USING (doc_id)
+    """,
+)
+def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _words_df(spark, sf_dir).where(F.size("w") >= _GRAM_N)
+    grams = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {_GRAM_N - 1}),"
+                f" i -> array_join(slice(w, i, {_GRAM_N}), ' '))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    bench = (
+        grams.where(F.col("doc_id") % _BENCH_MOD == 0).select("gram").distinct()
+    )
+    train = grams.where(F.col("doc_id") % _BENCH_MOD != 0)
+    tot = train.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    con = (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contam"))
+    )
+    return con.join(tot, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_contam",
+        F.round(
+            F.col("n_contam").cast("double") / F.col("n_grams"), 9
+        ).alias("contam_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level segment dedup: split each doc into non-overlapping
+# 8-word segments, keep each segment's globally-first occurrence
+# (order = (doc_id, seg_idx)), report per-doc retention. This is the
+# C4 "dedup repeated spans across the corpus" shape: one Exchange on
+# the segment content, keep-first via window row_number.
+@_q(
+    "corpus_segment_dedup",
+    f"""
+    WITH words AS (
+      SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ), segs AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(w[(i*{_SEG_N}+1):((i+1)*{_SEG_N})], ' ') AS seg
+      FROM words, LATERAL unnest(generate_series(
+             0, CAST(floor(len(w) / {_SEG_N}) AS INT) - 1)) AS s(i)
+    ), ranked AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segs,
+           COUNT(*) FILTER (rn = 1) AS n_kept,
+           COUNT(*) FILTER (rn > 1) AS n_dropped
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_corpus_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _words_df(spark, sf_dir)
+    segs = words.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(floor(size(w) / {_SEG_N}) as int) - 1),"
+                f" i -> array_join(slice(w, i * {_SEG_N} + 1, {_SEG_N}), ' '))"
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    )
+    return (
+        segs.withColumn("rn", rn)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segs"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dropped"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAG/training chunking: fixed 32-token windows at stride 24 (8-token
+# overlap), partial tail kept. Pure per-row array math — pipelines
+# inside the scan, no shuffle at any scale. Chunk text leaves the
+# operator as an md5 so wide strings never travel further than needed.
+@_q(
+    "doc_chunk_overlap",
+    f"""
+    WITH words AS (
+      SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST(s // {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(len(w[(s+1):(s+{_CHUNK_LEN})]) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(w[(s+1):(s+{_CHUNK_LEN})], ' ')) AS chunk_hash
+    FROM words, LATERAL unnest(generate_series(0, len(w) - 1, {_CHUNK_STRIDE})) AS t(s)
+    WHERE len(w) > 0
+    """,
+)
+def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _words_df(spark, sf_dir).where(F.size("w") > 0)
+    return (
+        words.select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.sequence(F.lit(0), F.size("w") - 1, F.lit(_CHUNK_STRIDE))
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            (F.col("s") / _CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+            F.size(F.expr(f"slice(w, s + 1, {_CHUNK_LEN})")).alias(
+                "n_chunk_tokens"
+            ),
+            F.md5(
+                F.expr(f"array_join(slice(w, s + 1, {_CHUNK_LEN}), ' ')")
+            ).alias("chunk_hash"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality: fraction of words claimed by the
+# single most frequent word / bigram. Fractions are single divisions
+# of exact integers, so flags compare bit-identically cross-engine.
+@_q(
+    "gopher_repetition_quality",
+    f"""
+    WITH words AS (
+      SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ), uni AS (
+      SELECT doc_id, word, COUNT(*) AS c
+      FROM words, LATERAL unnest(w) AS u(word) GROUP BY 1, 2
+    ), bi AS (
+      SELECT doc_id, bg, COUNT(*) AS c
+      FROM (SELECT doc_id, w[i-1] || ' ' || w[i] AS bg
+            FROM words, LATERAL unnest(generate_series(2, len(w))) AS s(i)
+            WHERE len(w) >= 2) GROUP BY 1, 2
+    ), us AS (
+      SELECT doc_id, CAST(max(c) AS DOUBLE) / SUM(c) AS top_word_frac FROM uni GROUP BY 1
+    ), bs AS (
+      SELECT doc_id, CAST(max(c) AS DOUBLE) / SUM(c) AS top_bigram_frac FROM bi GROUP BY 1
+    )
+    SELECT us.doc_id,
+           round(us.top_word_frac, 9) AS top_word_frac,
+           round(bs.top_bigram_frac, 9) AS top_bigram_frac,
+           (us.top_word_frac > {_TOP_WORD_FRAC}
+            OR bs.top_bigram_frac > {_TOP_BIGRAM_FRAC}) AS repetitive
+    FROM us JOIN bs USING (doc_id)
+    """,
+)
+def q_gopher_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _words_df(spark, sf_dir)
+    uni = (
+        words.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c").cast("double") / F.sum("c")).alias("top_word_frac"))
+    )
+    bi = (
+        words.where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(w)),"
+                    " i -> concat(element_at(w, i - 1), ' ', element_at(w, i)))"
+                )
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac"))
+    )
+    return uni.join(bi, "doc_id").select(
+        "doc_id",
+        F.round("top_word_frac", 9).alias("top_word_frac"),
+        F.round("top_bigram_frac", 9).alias("top_bigram_frac"),
+        (
+            (F.col("top_word_frac") > _TOP_WORD_FRAC)
+            | (F.col("top_bigram_frac") > _TOP_BIGRAM_FRAC)
+        ).alias("repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII pseudonymization + k-anonymity audit: direct identifier becomes
+# a salted-hash pseudonym; the quasi-identifier (nation, acctbal band)
+# gets its equivalence-class size, and classes below k are marked for
+# suppression — the release-gating audit a privacy-preserving corpus
+# build runs before shipping user-derived rows.
+@_q(
+    "pii_pseudonymize_kanon",
+    f"""
+    SELECT c_custkey,
+           substring(md5('pepper::' || c_name), 1, 16) AS pseudonym,
+           c_nationkey,
+           CAST(floor(c_acctbal / {_KANON_BAND}) AS INT) AS acct_band,
+           COUNT(*) OVER (PARTITION BY c_nationkey,
+                          CAST(floor(c_acctbal / {_KANON_BAND}) AS INT)) AS k_size,
+           COUNT(*) OVER (PARTITION BY c_nationkey,
+                          CAST(floor(c_acctbal / {_KANON_BAND}) AS INT))
+             < {_KANON_K} AS suppress
+    FROM customer
+    """,
+)
+def q_pii_pseudonymize_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / _KANON_BAND).cast("int")
+    k_size = F.count("*").over(Window.partitionBy("c_nationkey", "acct_band"))
+    return (
+        cust.select(
+            "c_custkey",
+            F.substring(F.md5(F.concat(F.lit("pepper::"), F.col("c_name"))), 1, 16).alias(
+                "pseudonym"
+            ),
+            "c_nationkey",
+            band.alias("acct_band"),
+        )
+        .withColumn("k_size", k_size)
+        .withColumn("suppress", F.col("k_size") < _KANON_K)
+    )

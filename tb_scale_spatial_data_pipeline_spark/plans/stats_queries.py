@@ -1,0 +1,305 @@
+"""Distribution-comparison statistics: two-sample KS, Mann-Whitney U
+(tie-corrected), one-way ANOVA, and a sort-based 2-D skyline.
+
+Determinism strategy (the repo-wide seam): every statistic is pushed
+to EXACT INTEGER or DECIMAL arithmetic for the order-sensitive part
+(cumulative counts, rank sums, sums of squares), with one final float
+expression whose operation sequence is identical in both engines —
+IEEE /, *, sqrt are exactly rounded, so the doubles match bit-for-bit.
+
+Scale notes (100 TB):
+- KS and MWU reduce the value stream to per-distinct-value counts
+  first (one shuffle), then run a window over the distinct values —
+  cardinality of the window input is |distinct values|, not |rows|.
+- ANOVA is a pure two-level aggregate: per-group partial sums combine
+  map-side; nothing but (group, sum, sumsq, n) ever crosses the wire.
+- The 2-D skyline uses the sort-based sweep: sort by (x asc, y desc)
+  and keep rows whose y strictly exceeds the running max of all
+  earlier rows — O(n log n) via Spark's distributed sort + one
+  window, versus the naive O(n^2) dominance anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import t
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov over order totals: BUILDING vs
+# MACHINERY customers. D = max |F1 - F2| is computed on the integer
+# lattice: D_num = max |c1*n2 - c2*n1| over cumulative per-value
+# counts, divided once at the end.
+@_q(
+    "ks_two_sample",
+    """
+    WITH vals AS (
+      SELECT o.o_totalprice AS v, c.c_mktsegment AS seg
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ), per_v AS (
+      SELECT v,
+             COUNT(*) FILTER (seg = 'BUILDING') AS c1,
+             COUNT(*) FILTER (seg = 'MACHINERY') AS c2
+      FROM vals GROUP BY 1
+    ), cum AS (
+      SELECT v,
+             SUM(c1) OVER (ORDER BY v) AS f1,
+             SUM(c2) OVER (ORDER BY v) AS f2,
+             SUM(c1) OVER () AS n1,
+             SUM(c2) OVER () AS n2
+      FROM per_v
+    ), scored AS (
+      SELECT v, n1, n2, abs(f1 * n2 - f2 * n1) AS d_num FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(max(d_num) AS BIGINT) AS d_num,
+           round(CAST(max(d_num) AS DOUBLE) / (n1 * n2), 9) AS d_stat,
+           min(v) FILTER (d_num = (SELECT max(d_num) FROM scored)) AS d_at_value
+    FROM scored GROUP BY n1, n2
+    """,
+)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    vals = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select(F.col("o_totalprice").alias("v"), F.col("c_mktsegment").alias("seg"))
+    per_v = vals.groupBy("v").agg(
+        F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("seg") == "MACHINERY", 1).otherwise(0)).alias("c2"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scored = per_v.select(
+        "v",
+        F.sum("c1").over(w_cum).alias("f1"),
+        F.sum("c2").over(w_cum).alias("f2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    ).select(
+        "v",
+        "n1",
+        "n2",
+        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).alias(
+            "d_num"
+        ),
+    )
+    mx = F.max("d_num").over(w_all)
+    return (
+        scored.withColumn("mx", mx)
+        .groupBy("n1", "n2")
+        .agg(
+            F.max("d_num").alias("d_num"),
+            F.round(
+                F.max("d_num").cast("double") / (F.col("n1") * F.col("n2")), 9
+            ).alias("d_stat"),
+            F.min(F.when(F.col("d_num") == F.col("mx"), F.col("v"))).alias(
+                "d_at_value"
+            ),
+        )
+        .select("n1", "n2", "d_num", "d_stat", "d_at_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (returnflag A vs R over l_quantity, heavy ties):
+# rank sums on the doubled-integer lattice (average tie rank has
+# denominator 2, so 2*R1 and 2*U1 are exact integers); z uses the
+# tie-corrected variance. sqrt/division are single exactly-rounded
+# IEEE ops over exact integers -> bit-equal across engines.
+@_q(
+    "mann_whitney_u",
+    """
+    WITH vals AS (
+      SELECT l_quantity AS v, l_returnflag AS g FROM lineitem
+      WHERE l_returnflag IN ('A', 'R')
+    ), per_v AS (
+      SELECT v,
+             COUNT(*) FILTER (g = 'A') AS c1,
+             COUNT(*) FILTER (g = 'R') AS c2
+      FROM vals GROUP BY 1
+    ), cum AS (
+      SELECT c1, c2, c1 + c2 AS c,
+             COALESCE(SUM(c1 + c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM per_v
+    ), agg AS (
+      SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+             SUM(c1 * (2 * before + c + 1)) AS r1_x2,
+             SUM(c * c * c - c) AS tie_sum
+      FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           round((CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2 - CAST(n1 * n2 AS DOUBLE) / 2)
+             / sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+                    * ((n1 + n2 + 1) - CAST(tie_sum AS DOUBLE)
+                       / ((n1 + n2) * (n1 + n2 - 1)))), 9) AS z_score
+    FROM agg
+    """,
+)
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag").isin("A", "R"))
+    per_v = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("c2"),
+    )
+    w_before = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_v.select(
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("c"),
+        F.coalesce(
+            F.sum(F.col("c1") + F.col("c2")).over(w_before), F.lit(0)
+        ).alias("before"),
+    )
+    agg = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(
+            F.col("c1") * (2 * F.col("before") + F.col("c") + 1)
+        ).alias("r1_x2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias(
+            "tie_sum"
+        ),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1_x2 = F.col("r1_x2") - n1 * (n1 + 1)
+    n = n1 + n2
+    z = (
+        (u1_x2.cast("double") / 2 - (n1 * n2).cast("double") / 2)
+        / F.sqrt(
+            n1.cast("double") * n2 / 12
+            * ((n + 1) - F.col("tie_sum").cast("double") / (n * (n - 1)))
+        )
+    )
+    return agg.select(
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        u1_x2.cast("bigint").alias("u1_x2"),
+        F.round(z, 9).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA: o_totalprice across the five order priorities. Sums
+# and sums of squares in exact DECIMAL (2dp inputs -> 4dp squares),
+# combined map-side; F assembled from exact partials in one float
+# expression.
+@_q(
+    "anova_f_oneway",
+    """
+    WITH g AS (
+      SELECT o_orderpriority AS grp,
+             COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                 * CAST(o_totalprice AS DECIMAL(18,2))) AS ss
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT COUNT(*) AS k, SUM(n) AS n_tot, SUM(s) AS s_tot,
+             SUM(ss) AS ss_tot,
+             -- ordered fold: k is tiny, but double summation order must
+             -- still be pinned for the cross-engine bit-exact contract
+             SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n ORDER BY grp) AS between_raw
+      FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(n_tot AS BIGINT) AS n_tot,
+           round((between_raw - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / n_tot)
+                   / (k - 1)
+                 / ((CAST(ss_tot AS DOUBLE) - between_raw) / (n_tot - k)), 9)
+             AS f_stat
+    FROM tot
+    """,
+)
+def q_anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    d = F.col("o_totalprice").cast("decimal(18,2)")
+    g = orders.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count("*").alias("n"),
+        F.sum(d).alias("s"),
+        F.sum(d * d).alias("ss"),
+    )
+    # Deterministic left fold in grp order (sort_array on the struct's
+    # leading field): summation order of the double terms is pinned so
+    # the result is bit-equal to the oracle's `SUM(... ORDER BY grp)`.
+    term = (
+        F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    )
+    tot = g.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("n_tot"),
+        F.sum("s").alias("s_tot"),
+        F.sum("ss").alias("ss_tot"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct(F.col("grp"), term.alias("term")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("between_raw"),
+    )
+    k, n_tot = F.col("k"), F.col("n_tot")
+    s_tot = F.col("s_tot").cast("double")
+    ssb = F.col("between_raw") - s_tot * s_tot / n_tot
+    ssw = F.col("ss_tot").cast("double") - F.col("between_raw")
+    return tot.select(
+        k.cast("bigint").alias("k"),
+        n_tot.cast("bigint").alias("n_tot"),
+        F.round((ssb / (k - 1)) / (ssw / (n_tot - k)), 9).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier) of parts: minimize retail price,
+# maximize size. Distinct (price, size) pairs sorted by (price asc,
+# size desc); a pair survives iff its size strictly exceeds every
+# earlier pair's — the running max over the strict predecessor frame.
+@_q(
+    "skyline_parts",
+    """
+    WITH pairs AS (
+      SELECT p_retailprice AS price, p_size AS psize,
+             min(p_partkey) AS first_part, COUNT(*) AS n_parts
+      FROM part GROUP BY 1, 2
+    ), swept AS (
+      SELECT *, max(psize) OVER (ORDER BY price ASC, psize DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM pairs
+    )
+    SELECT price, psize, first_part, n_parts
+    FROM swept WHERE prev_max IS NULL OR psize > prev_max
+    """,
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    pairs = part.groupBy(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("psize")
+    ).agg(
+        F.min("p_partkey").alias("first_part"), F.count("*").alias("n_parts")
+    )
+    w = Window.orderBy(F.asc("price"), F.desc("psize")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    swept = pairs.withColumn("prev_max", F.max("psize").over(w))
+    return swept.where(
+        F.col("prev_max").isNull() | (F.col("psize") > F.col("prev_max"))
+    ).select("price", "psize", "first_part", "n_parts")

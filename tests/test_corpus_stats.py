@@ -1,0 +1,126 @@
+"""Behavioral tests for the corpus-prep and hypothesis-test tiers —
+nonvacuity (the filters/flags provably fire on the fixture), semantic
+invariants (skyline dominance, KS bounds, chunk coverage), and the
+broadcast plan shape for decontamination's benchmark join."""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_SMOKE
+
+from tb_scale_spatial_data_pipeline_spark.plans import all_queries
+
+QS = all_queries()
+
+
+def test_decontamination_nonvacuous_and_bounded(spark):
+    pdf = QS["benchmark_decontamination"](spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0, "no contaminated docs — fixture regressed to vacuous"
+    assert (pdf.n_contam >= 1).all()
+    assert (pdf.n_contam <= pdf.n_grams).all()
+    assert ((pdf.contam_rate > 0) & (pdf.contam_rate <= 1)).all()
+    # benchmark docs themselves must never appear as contaminated TRAIN docs
+    assert (pdf.doc_id % 7 != 0).all()
+
+
+def test_decontamination_broadcasts_benchmark_side(spark):
+    plan = QS["benchmark_decontamination"](spark, SF_SMOKE)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_segment_dedup_keep_first_accounting(spark):
+    pdf = QS["corpus_segment_dedup"](spark, SF_SMOKE).toPandas()
+    assert (pdf.n_kept + pdf.n_dropped == pdf.n_segs).all()
+    assert pdf.n_dropped.sum() > 0, "no duplicate segments — vacuous fixture"
+    # keep-first: the globally first doc (min doc_id) can never lose a segment
+    first = pdf.loc[pdf.doc_id.idxmin()]
+    assert first.n_dropped == 0 or pdf.doc_id.min() > 0
+
+
+def test_chunking_covers_every_token_and_overlaps(spark):
+    pdf = QS["doc_chunk_overlap"](spark, SF_SMOKE).toPandas()
+    # every doc chunked; stride < chunk length => consecutive chunks overlap
+    per_doc = pdf.groupby("doc_id").agg(
+        n_chunks=("chunk_idx", "count"),
+        total=("n_chunk_tokens", "sum"),
+        idx_max=("chunk_idx", "max"),
+    )
+    assert (per_doc.n_chunks == per_doc.idx_max + 1).all()
+    # sum of chunk sizes >= doc token count (overlap re-counts 8 tokens)
+    # and chunk size never exceeds the window
+    assert (pdf.n_chunk_tokens <= 32).all()
+    assert (pdf.n_chunk_tokens >= 1).all()
+
+
+def test_gopher_flags_are_selective(spark):
+    pdf = QS["gopher_repetition_quality"](spark, SF_SMOKE).toPandas()
+    assert 0 < pdf.repetitive.sum() < len(pdf), (
+        "repetition flag must split the corpus, not accept/reject all of it"
+    )
+    assert ((pdf.top_word_frac > 0) & (pdf.top_word_frac <= 1)).all()
+
+
+def test_kanon_suppression_fires_and_k_consistent(spark):
+    pdf = QS["pii_pseudonymize_kanon"](spark, SF_SMOKE).toPandas()
+    assert pdf.suppress.any() and not pdf.suppress.all()
+    sizes = pdf.groupby(["c_nationkey", "acct_band"]).size()
+    joined = pdf.set_index(["c_nationkey", "acct_band"]).k_size
+    assert (joined == sizes.reindex(joined.index)).all()
+    # pseudonym is a pure function of the name: same name -> same token
+    assert pdf.pseudonym.str.len().eq(16).all()
+
+
+def test_ks_statistic_in_unit_interval(spark):
+    row = QS["ks_two_sample"](spark, SF_SMOKE).toPandas().iloc[0]
+    assert 0 <= row.d_stat <= 1
+    assert row.d_num <= row.n1 * row.n2
+    assert row.n1 > 0 and row.n2 > 0
+
+
+def test_mwu_u_within_range(spark):
+    row = QS["mann_whitney_u"](spark, SF_SMOKE).toPandas().iloc[0]
+    # 0 <= U1 <= n1*n2, and z finite
+    assert 0 <= row.u1_x2 <= 2 * row.n1 * row.n2
+    assert abs(row.z_score) < 50
+
+
+def test_anova_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    row = QS["anova_f_oneway"](spark, SF_SMOKE).toPandas().iloc[0]
+    raw = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderpriority", "o_totalprice"]
+    ]
+    groups = [g.o_totalprice.to_numpy() for _, g in raw.groupby("o_orderpriority")]
+    k = len(groups)
+    n = sum(len(g) for g in groups)
+    gm = np.concatenate(groups).mean()
+    ssb = sum(len(g) * (g.mean() - gm) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row.k == k and row.n_tot == n
+    assert abs(row.f_stat - f_ref) < 1e-6 * max(1.0, abs(f_ref))
+
+
+def test_skyline_is_exactly_the_undominated_set(spark):
+    import pandas as pd
+
+    sky = QS["skyline_parts"](spark, SF_SMOKE).toPandas()
+    parts = pd.read_parquet(f"{SF_SMOKE}/part.parquet")[
+        ["p_retailprice", "p_size"]
+    ].drop_duplicates()
+    # brute-force dominance oracle: minimize price, maximize size
+    undom = []
+    rows = list(parts.itertuples(index=False))
+    for a in rows:
+        dominated = any(
+            (b.p_retailprice <= a.p_retailprice and b.p_size >= a.p_size)
+            and (b.p_retailprice < a.p_retailprice or b.p_size > a.p_size)
+            for b in rows
+        )
+        if not dominated:
+            undom.append((a.p_retailprice, a.p_size))
+    assert sorted(zip(sky.price, sky.psize)) == sorted(undom)

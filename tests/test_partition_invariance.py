@@ -33,6 +33,14 @@ REPRESENTATIVE = [
     "max_concurrency_sweep",
     "rolling_zscore_anomaly",
     "triangle_count",
+    # round-6 additions: corpus dedup/decontamination shuffle on
+    # content hashes; ANOVA's ordered double fold; skyline's global
+    # sort sweep
+    "corpus_segment_dedup",
+    "benchmark_decontamination",
+    "anova_f_oneway",
+    "ks_two_sample",
+    "skyline_parts",
 ]
 
 
