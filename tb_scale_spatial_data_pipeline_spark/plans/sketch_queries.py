@@ -260,3 +260,102 @@ def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(truth, F.col("event_type") == F.col("tkey")).select(
         "event_type", "cm_estimate", "true_count"
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007): the production distributed
+# cardinality sketch. approx_count_distinct uses an engine-private
+# HLL, so (as with KMV above) the registers here are built from
+# explicit md5 bits both engines can reproduce: bucket = first 8 md5
+# bits (m=256), rho = leading-zero count of the next 40 bits + 1.
+# Register maxima are integer (order-independent partials that
+# combine map-side — the whole sketch is 256 bytes per partition at
+# any scale); the harmonic sum is kept on the integer lattice as
+# S = sum(2^(41-M)) in BIGINT, so the only float math is the final
+# alpha*m^2*2^41/S expression, identical both engines. Linear-
+# counting small-range branch included (never fires on this fixture:
+# true distinct >> 2.5m).
+_HLL_M = 256
+_HLL_TWO41 = 2199023255552.0  # 2^41, exact double
+
+
+def _sql_hll() -> str:
+    v = "CAST(l_orderkey AS VARCHAR)"
+    return f"""
+    WITH h AS (
+      SELECT CAST(('0x' || substring(md5({v}), 1, 2)) AS BIGINT) AS bucket,
+             CAST(('0x' || substring(md5({v}), 3, 10)) AS BIGINT) AS w
+      FROM lineitem
+    ), regs AS (
+      SELECT bucket,
+             max(CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END) AS m
+      FROM h GROUP BY bucket
+    ), sk AS (
+      SELECT SUM(CAST(1 AS BIGINT) << (41 - m)) AS s_used,
+             COUNT(*) AS used
+      FROM regs
+    ), ex AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct FROM lineitem
+    ), est AS (
+      SELECT used, ({_HLL_M} - used) AS v_empty,
+             0.7213 / (1.0 + 1.079 / {_HLL_M}.0) * {_HLL_M * _HLL_M}.0
+               * {_HLL_TWO41}
+               / (s_used + ({_HLL_M} - used) * CAST({int(_HLL_TWO41)} AS BIGINT))
+               AS e_raw
+      FROM sk
+    )
+    SELECT CAST(used AS BIGINT) AS buckets_used,
+           round(CASE WHEN e_raw <= 2.5 * {_HLL_M} AND v_empty > 0
+                      THEN {_HLL_M}.0 * ln({_HLL_M}.0 / v_empty)
+                      ELSE e_raw END, 4) AS hll_estimate,
+           exact_distinct,
+           round((CASE WHEN e_raw <= 2.5 * {_HLL_M} AND v_empty > 0
+                       THEN {_HLL_M}.0 * ln({_HLL_M}.0 / v_empty)
+                       ELSE e_raw END - exact_distinct) / exact_distinct, 6)
+             AS rel_err
+    FROM est, ex
+    """
+
+
+@_q("hll_distinct_estimate", _sql_hll())
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    v = F.col("l_orderkey").cast("string")
+    h = li.select(
+        F.conv(F.substring(F.md5(v), 1, 2), 16, 10).cast("bigint").alias("bucket"),
+        F.conv(F.substring(F.md5(v), 3, 10), 16, 10).cast("bigint").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, 41).otherwise(
+        41 - F.length(F.bin(F.col("w")))
+    )
+    regs = h.groupBy("bucket").agg(F.max(rho).alias("m"))
+    sk = regs.agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 41 - m)")).alias("s_used"),
+        F.count(F.lit(1)).alias("used"),
+    )
+    ex = li.agg(F.count_distinct(F.col("l_orderkey")).alias("exact_distinct"))
+    v_empty = _HLL_M - F.col("used")
+    e_raw = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / _HLL_M)
+        * (_HLL_M * _HLL_M)
+        * _HLL_TWO41
+        / (F.col("s_used") + v_empty * F.lit(int(_HLL_TWO41)))
+    )
+    est = (
+        F.when(
+            (e_raw <= 2.5 * _HLL_M) & (v_empty > 0),
+            _HLL_M * F.log(_HLL_M / v_empty.cast("double")),
+        ).otherwise(e_raw)
+    )
+    return (
+        sk.crossJoin(F.broadcast(ex))
+        .select(
+            F.col("used").cast("bigint").alias("buckets_used"),
+            F.round(est, 4).alias("hll_estimate"),
+            "exact_distinct",
+            F.round(
+                (est - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+            ).alias("rel_err"),
+        )
+    )

@@ -73,3 +73,20 @@ def test_observation_metrics_piggyback(spark):
     assert got["rows_seen"] == 10_000
     assert got["sev_rows"] == 1429
     assert n == 10_000 - 1429
+
+
+def test_hll_estimate_within_error_bound(spark):
+    from conftest import SF_SMOKE
+    from tb_scale_spatial_data_pipeline_spark.plans import all_queries
+
+    row = (
+        all_queries()["hll_distinct_estimate"](spark, SF_SMOKE)
+        .toPandas()
+        .iloc[0]
+    )
+    # m=256 => relative standard error 1.04/sqrt(256) = 6.5%; allow 4 sigma.
+    assert abs(row.rel_err) < 4 * 1.04 / 16
+    # fixture cardinality saturates the sketch: raw-HLL branch, not
+    # linear counting
+    assert row.buckets_used >= 250
+    assert row.exact_distinct > 2.5 * 256
