@@ -557,3 +557,56 @@ ORACLES["stream_session_windows_dynamic"] = """
            COUNT(*) AS n_events
     FROM sess GROUP BY user_id, session_id
     """
+
+
+@_q("stream_stream_outer_join_sealed")
+def q_stream_stream_outer_join_sealed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer stream-stream join over the watermark-SEALED stream
+    (a far-future sentinel pair closes every real join window before
+    the stream drains — the "epoch close" control-record idiom), which
+    makes the streaming result equal the batch outer join exactly and
+    therefore hash-checkable. The unsealed twin above stays rows-only
+    to document the open-tail semantics."""
+    from ..streaming.events import stream_stream_outer_sealed
+
+    return stream_stream_outer_sealed(spark, sf_dir, "leftOuter")
+
+
+ORACLES["stream_stream_outer_join_sealed"] = """
+    WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+               WHERE event_type = 'purchase')
+    SELECT c.click_id, p.purchase_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM c LEFT JOIN p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
+@_q("stream_stream_full_outer_join_sealed")
+def q_stream_stream_full_outer_join_sealed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL-outer sealed twin: both sides' unmatched rows finalize
+    once the sentinel watermark passes, so the result equals the batch
+    full outer join (see stream_stream_outer_join_sealed)."""
+    from ..streaming.events import stream_stream_outer_sealed
+
+    return stream_stream_outer_sealed(spark, sf_dir, "fullOuter")
+
+
+ORACLES["stream_stream_full_outer_join_sealed"] = """
+    WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+               WHERE event_type = 'purchase')
+    SELECT c.click_id, p.purchase_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM c FULL OUTER JOIN p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""

@@ -442,3 +442,94 @@ def stream_session_windows_dynamic_gap(
         )
     )
     return run_stream_to_table(agg, "complete")
+
+
+# --- watermark-sealed outer joins -----------------------------------------
+
+_SEALED_DIRS: dict[str, str] = {}
+
+
+def sealed_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events fixture next to a watermark-sealing sentinel:
+    one far-future click and one far-future purchase (user_id -1,
+    12 h apart so they cannot join each other). When the stream drains,
+    the sentinels push BOTH sides' watermarks past every real row's
+    join window, so all outer-join state evicts and the append-mode
+    result equals the batch outer join exactly — which is what makes
+    the sealed variants oracle-pairable. This is the production
+    "stream epoch close" idiom: emit a high-watermark control record
+    to finalize a bounded replay (e.g. a backfill) instead of leaving
+    tail rows in state forever."""
+    key = sf_dir
+    if key in _SEALED_DIRS:
+        return _SEALED_DIRS[key]
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    tmp = tempfile.mkdtemp(prefix="sealed_events_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events.parquet")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sent = spark.createDataFrame(
+        [
+            (-1, datetime(2030, 1, 1), -1, "click", 0.0, "{}"),
+            (-2, datetime(2030, 1, 2), -1, "purchase", 0.0, "{}"),
+        ],
+        raw.schema,
+    )
+    sent.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/seal.parquet")
+    _SEALED_DIRS[key] = tmp
+    return tmp
+
+
+def stream_stream_outer_sealed(
+    spark: SparkSession, sf_dir: str, how: str
+) -> DataFrame:
+    """Left-/full-outer stream-stream interval join over the SEALED
+    events stream (see sealed_events_dir): every real row's window is
+    closed by the sentinel watermark, so the streaming result is
+    bit-equal to the batch outer join — the driver hash-checks it
+    against the plain SQL outer join. Sentinel rows are dropped by a
+    stateless post-join filter."""
+    from ..sources.catalog import normalize_event_ts
+
+    staged = sealed_events_dir(spark, sf_dir)
+    schema = spark.read.parquet(f"{staged}/events.parquet").schema
+    ev = normalize_event_ts(
+        spark.readStream.schema(schema).parquet(f"{staged}/*.parquet")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+            how,
+        )
+        .where(F.coalesce(F.col("c_user"), F.col("p_user")) >= 0)
+        .select(
+            "click_id",
+            "purchase_id",
+            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        )
+    )
+    return run_stream_to_table(joined, "append")
