@@ -13,6 +13,7 @@ from . import (
     corpus_queries,
     event_queries,
     full_pipeline,
+    lm_queries,
     graph_queries,
     media_queries,
     mlprep_queries,
@@ -63,6 +64,7 @@ _MODULES = (
     quality_queries,
     corpus_queries,
     stats_queries,
+    lm_queries,
     udtf_queries,
     full_pipeline,
 )

@@ -1,0 +1,316 @@
+"""Language-model data-prep queries: windowed co-occurrence PMI (the
+embedding-training statistic), greedy next-fit sequence packing (the
+pretraining batch-builder), and held-out bigram perplexity (the
+data-quality score a curriculum/mixing pipeline ranks sources by).
+
+Determinism: counts stay on the integer lattice; every transcendental
+(ln) is applied to a single division of exact integers and the final
+statistic is round(...,6) — the repo's transcendental seam. Per-doc
+log-sums are ORDERED folds (sort_array+aggregate in Spark,
+list_sum(list(... ORDER BY pos)) in DuckDB) so float accumulation
+order is pinned cross-engine.
+
+Scale notes (100 TB):
+- PMI reduces the corpus to (pair, count) partials that combine
+  map-side; the window (±2 positions) bounds pair generation to
+  2n per doc, never n^2. The min-count floor keeps the output the
+  head of the distribution, not the long noise tail.
+- Packing is sequential WITHIN a group by construction (next-fit is
+  a running state), so the group key is the parallelism unit:
+  production shards by (lang, hash-bucket) to bound group size; each
+  group is one applyInPandas call doing an O(n) fill scan.
+- Perplexity joins held-out bigrams against the train LM — the LM is
+  the small side at eval time (vocab^2 cap + min-count pruning) and
+  broadcasts; here it's a plain shuffle join since the fixture LM is
+  unpruned.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text, word_tokens
+from ._util import t
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_SQL_WORDS = (
+    r"list_filter(regexp_split_to_array("
+    r"trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x <> '')"
+)
+
+_PMI_WINDOW = 2
+_PMI_MIN_COUNT = 30
+_PACK_CAP = 256
+_PPL_HOLDOUT_MOD = 5
+
+
+def _words_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", word_tokens(normalize_text(F.col("text"))).alias("w")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed co-occurrence PMI: pairs within +-2 positions, unordered
+# (lexically canonical), min-count floored. pmi = ln(c_ab*Nu^2 /
+# (Np*c_a*c_b)) — numerator/denominator exact BIGINT products, one
+# division, one ln.
+@_q(
+    "pmi_cooccurrence",
+    f"""
+    WITH words AS (
+      SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ), uni AS (
+      SELECT word, COUNT(*) AS c
+      FROM words, LATERAL unnest(w) AS u(word) GROUP BY 1
+    ), nu AS (
+      SELECT SUM(c) AS n_u FROM uni
+    ), pairs AS (
+      -- pair stream stays per-row array math: offsets 1..W unrolled
+      -- inside the doc, never a positional self-join
+      SELECT CASE WHEN w[i] <= w[i+off] THEN w[i] ELSE w[i+off] END AS w1,
+             CASE WHEN w[i] <= w[i+off] THEN w[i+off] ELSE w[i] END AS w2,
+             COUNT(*) AS c_ab
+      FROM words,
+           LATERAL unnest(generate_series(1, {_PMI_WINDOW})) AS o(off),
+           LATERAL unnest(generate_series(1, len(w) - off)) AS s(i)
+      GROUP BY 1, 2
+    ), np AS (
+      SELECT SUM(c_ab) AS n_p FROM pairs
+    )
+    SELECT p.w1, p.w2, p.c_ab,
+           round(ln(CAST(p.c_ab * nu.n_u * nu.n_u AS DOUBLE)
+                    / (np.n_p * ua.c * ub.c)), 6) AS pmi
+    FROM pairs p
+    JOIN uni ua ON ua.word = p.w1
+    JOIN uni ub ON ub.word = p.w2
+    CROSS JOIN nu CROSS JOIN np
+    WHERE p.c_ab >= {_PMI_MIN_COUNT}
+    """,
+)
+def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _words_df(spark, sf_dir)
+    uni = (
+        words.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    n_u = uni.agg(F.sum("c").alias("n_u"))
+    # pair stream from per-row array math (offsets unrolled inside the
+    # doc) — no positional self-join, so the only shuffle is the
+    # (w1, w2) count aggregation
+    pairs = (
+        words.select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, {_PMI_WINDOW}), off ->"
+                    " CASE WHEN size(w) > off THEN"
+                    " transform(sequence(1, size(w) - off), i ->"
+                    " struct(CASE WHEN element_at(w, i) <= element_at(w, i + off)"
+                    "   THEN element_at(w, i) ELSE element_at(w, i + off) END AS w1,"
+                    " CASE WHEN element_at(w, i) <= element_at(w, i + off)"
+                    "   THEN element_at(w, i + off) ELSE element_at(w, i) END AS w2))"
+                    " ELSE array() END))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    n_p = pairs.agg(F.sum("c_ab").alias("n_p"))
+    ua = uni.select(F.col("word").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("word").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        pairs.where(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(n_u))
+        .crossJoin(F.broadcast(n_p))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") * F.col("n_u") * F.col("n_u")).cast("double")
+                    / (F.col("n_p") * F.col("c_a") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greedy next-fit sequence packing: per language, docs in doc_id
+# order fill 256-token bins; a doc that would overflow opens the next
+# bin. Sequential state => applyInPandas per group; the oracle is the
+# same recurrence as a recursive CTE.
+@_q(
+    "sequence_packing",
+    f"""
+    WITH words AS (
+      SELECT doc_id, lang, CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), seq AS (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM words
+    ), packed AS (
+      WITH RECURSIVE fill AS (
+        SELECT doc_id, lang, n_tokens, rn,
+               CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill_after
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.doc_id, s.lang, s.n_tokens, s.rn,
+               CASE WHEN f.fill_after + s.n_tokens <= {_PACK_CAP}
+                    THEN f.bin_id ELSE f.bin_id + 1 END,
+               CASE WHEN f.fill_after + s.n_tokens <= {_PACK_CAP}
+                    THEN f.fill_after + s.n_tokens ELSE s.n_tokens END
+        FROM fill f JOIN seq s ON s.lang = f.lang AND s.rn = f.rn + 1
+      )
+      SELECT * FROM fill
+    )
+    SELECT doc_id, lang, n_tokens, bin_id, fill_after FROM packed
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(word_tokens(normalize_text(F.col("text"))))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fills = [], []
+        bin_id, fill = 0, 0
+        for n in pdf.n_tokens:
+            if fill + n <= _PACK_CAP and fills:
+                fill += n
+            else:
+                if fills:
+                    bin_id += 1
+                fill = n
+            bins.append(bin_id)
+            fills.append(fill)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["fill_after"] = pd.Series(fills, dtype="int64")
+        return pdf
+
+    return docs.groupBy("lang").applyInPandas(
+        pack,
+        schema="doc_id bigint, lang string, n_tokens bigint, "
+        "bin_id bigint, fill_after bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Held-out bigram perplexity: add-1-smoothed bigram LM from the train
+# split (doc_id % 5 != 0) scored on held-out docs. Per-doc NLL is an
+# ORDERED fold over positions so the float sum is engine-identical.
+@_q(
+    "bigram_perplexity",
+    f"""
+    WITH words AS (
+      SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ), bigrams AS (
+      SELECT doc_id, i - 1 AS pos, w[i-1] AS a, w[i] AS b
+      FROM words, LATERAL unnest(generate_series(2, len(w))) AS s(i)
+      WHERE len(w) >= 2
+    ), train_bi AS (
+      SELECT a, b, COUNT(*) AS c_ab FROM bigrams
+      WHERE doc_id % {_PPL_HOLDOUT_MOD} <> 0 GROUP BY 1, 2
+    ), train_uni AS (
+      SELECT word, COUNT(*) AS c_a
+      FROM words, LATERAL unnest(w) AS u(word)
+      WHERE doc_id % {_PPL_HOLDOUT_MOD} <> 0 GROUP BY 1
+    ), vocab AS (
+      SELECT COUNT(*) AS v FROM train_uni
+    ), scored AS (
+      SELECT h.doc_id, h.pos,
+             ln(CAST(COALESCE(tb.c_ab, 0) + 1 AS DOUBLE)
+                / (COALESCE(tu.c_a, 0) + vocab.v)) AS lnp
+      FROM bigrams h
+      LEFT JOIN train_bi tb ON tb.a = h.a AND tb.b = h.b
+      LEFT JOIN train_uni tu ON tu.word = h.a
+      CROSS JOIN vocab
+      WHERE h.doc_id % {_PPL_HOLDOUT_MOD} = 0
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           round(-list_sum(list(lnp ORDER BY pos)) / COUNT(*), 6) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _words_df(spark, sf_dir)
+    bigrams = (
+        words.where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(2, size(w)), i ->"
+                    " struct(element_at(w, i - 1) AS a, element_at(w, i) AS b))"
+                )
+            ).alias("pos", "ab"),
+        )
+        .select("doc_id", "pos", F.col("ab.a").alias("a"), F.col("ab.b").alias("b"))
+    )
+    train_bi = (
+        bigrams.where(F.col("doc_id") % _PPL_HOLDOUT_MOD != 0)
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    train_uni = (
+        words.where(F.col("doc_id") % _PPL_HOLDOUT_MOD != 0)
+        .select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c_a"))
+    )
+    vocab = train_uni.agg(F.count("*").alias("v"))
+    held = bigrams.where(F.col("doc_id") % _PPL_HOLDOUT_MOD == 0)
+    scored = (
+        held.join(train_bi, ["a", "b"], "left")
+        .join(
+            train_uni.withColumnRenamed("word", "a"), "a", "left"
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "pos",
+            F.log(
+                (F.coalesce(F.col("c_ab"), F.lit(0)) + 1).cast("double")
+                / (F.coalesce(F.col("c_a"), F.lit(0)) + F.col("v"))
+            ).alias("lnp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            -F.aggregate(
+                F.sort_array(F.collect_list(F.struct("pos", "lnp"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["lnp"],
+            )
+            / F.count("*"),
+            6,
+        ).alias("avg_nll"),
+    )

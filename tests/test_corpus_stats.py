@@ -124,3 +124,43 @@ def test_skyline_is_exactly_the_undominated_set(spark):
         if not dominated:
             undom.append((a.p_retailprice, a.p_size))
     assert sorted(zip(sky.price, sky.psize)) == sorted(undom)
+
+
+def test_pmi_pairs_canonical_and_floored(spark):
+    pdf = QS["pmi_cooccurrence"](spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0
+    assert (pdf.w1 <= pdf.w2).all()
+    assert (pdf.c_ab >= 30).all()
+    # word salad: co-occurrence ~ independence, so PMI concentrates
+    # near 0 (|PMI| < ln(4) is a loose sanity band for this fixture)
+    assert pdf.pmi.abs().max() < 1.5
+
+
+def test_sequence_packing_respects_capacity_and_order(spark):
+    pdf = QS["sequence_packing"](spark, SF_SMOKE).toPandas()
+    assert (pdf.fill_after <= 256).all()
+    assert (pdf.n_tokens <= pdf.fill_after).all()
+    for _, g in pdf.groupby("lang"):
+        g = g.sort_values("doc_id")
+        # bin ids are nondecreasing along the packing order and the
+        # fill recurrence holds exactly
+        assert (g.bin_id.diff().dropna() >= 0).all()
+        fill, bin_id = 0, 0
+        for r in g.itertuples(index=False):
+            if fill and fill + r.n_tokens <= 256:
+                fill += r.n_tokens
+            else:
+                bin_id += 1 if fill else 0
+                fill = r.n_tokens
+            assert r.fill_after == fill and r.bin_id == bin_id
+
+
+def test_bigram_perplexity_sane(spark):
+    import numpy as np
+
+    pdf = QS["bigram_perplexity"](spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0
+    assert (pdf.doc_id % 5 == 0).all()
+    # add-1 smoothed NLL is bounded by ln(c_max + V) and positive
+    assert (pdf.avg_nll > 0).all()
+    assert np.isfinite(pdf.avg_nll).all()
