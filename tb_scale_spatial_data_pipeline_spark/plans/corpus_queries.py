@@ -331,3 +331,63 @@ def q_pii_pseudonymize_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("k_size", k_size)
         .withColumn("suppress", F.col("k_size") < _KANON_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Directional shingle containment: C(A->B) = |sh(A) n sh(B)| / |sh(A)|.
+# Jaccard misses subset duplication (a short doc quoted inside a long
+# one scores low Jaccard but containment ~1) — the asymmetric check an
+# LLM dedup pass needs for quote/boilerplate inclusion. Same
+# deterministic pairing as ngram_jaccard_pairs, shingles projected
+# once per doc before the pair join.
+@_q(
+    "shingle_containment_pairs",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+      FROM documents
+    ), sh AS MATERIALIZED (
+      SELECT doc_id, source,
+             list_distinct(CASE WHEN length(n) < 5 THEN [n]
+               ELSE list_transform(generate_series(1, length(n) - 4),
+                    i -> substring(n, i, 5)) END) AS sh
+      FROM norm
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6)
+             AS containment_a,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(b.sh), 6)
+             AS containment_b
+    FROM sh a JOIN sh b ON a.source = b.source AND b.doc_id = a.doc_id + 20
+    """,
+)
+def q_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import shingles_of_norm
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    sh = docs.select(
+        "doc_id", "source", normalize_text(F.col("text")).alias("_n")
+    ).select(
+        "doc_id",
+        "source",
+        F.array_distinct(shingles_of_norm(F.col("_n"))).alias("sh"),
+    )
+    a = sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("src_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("src_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    pairs = a.join(b, (a["src_a"] == b["src_b"]) & (b["id_b"] == a["id_a"] + 20))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(inter.cast("double") / F.size("sh_a"), 6).alias("containment_a"),
+        F.round(inter.cast("double") / F.size("sh_b"), 6).alias("containment_b"),
+    )

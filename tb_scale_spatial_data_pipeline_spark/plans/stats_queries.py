@@ -303,3 +303,171 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return swept.where(
         F.col("prev_max").isNull() | (F.col("psize") > F.col("prev_max"))
     ).select("price", "psize", "first_part", "n_parts")
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t-test (same two segments as the KS query,
+# so the two tests cross-validate each other's data path). Sample
+# variances assemble from exact DECIMAL sums; t and the
+# Welch-Satterthwaite df are one fixed-order float expression each.
+@_q(
+    "welch_t_test",
+    """
+    WITH g AS (
+      SELECT c.c_mktsegment AS seg, COUNT(*) AS n,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS s,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))
+                 * CAST(o.o_totalprice AS DECIMAL(18,2))) AS ss
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+      GROUP BY 1
+    ), w AS (
+      SELECT
+        max(CASE WHEN seg = 'BUILDING' THEN n END) AS n1,
+        max(CASE WHEN seg = 'MACHINERY' THEN n END) AS n2,
+        max(CASE WHEN seg = 'BUILDING' THEN CAST(s AS DOUBLE) END) AS s1,
+        max(CASE WHEN seg = 'MACHINERY' THEN CAST(s AS DOUBLE) END) AS s2,
+        max(CASE WHEN seg = 'BUILDING' THEN CAST(ss AS DOUBLE) END) AS ss1,
+        max(CASE WHEN seg = 'MACHINERY' THEN CAST(ss AS DOUBLE) END) AS ss2
+      FROM g
+    ), v AS (
+      SELECT n1, n2,
+             (ss1 - s1 * s1 / n1) / (n1 - 1) / n1 AS se1,
+             (ss2 - s2 * s2 / n2) / (n2 - 1) / n2 AS se2,
+             s1 / n1 - s2 / n2 AS mdiff
+      FROM w
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(mdiff / sqrt(se1 + se2), 6) AS t_stat,
+           round((se1 + se2) * (se1 + se2)
+                 / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 3) AS df
+    FROM v
+    """,
+)
+def q_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    d = F.col("o_totalprice").cast("decimal(18,2)")
+    g = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(d).alias("s"),
+            F.sum(d * d).alias("ss"),
+        )
+    )
+    def pick(col, seg):
+        return F.max(F.when(F.col("seg") == seg, F.col(col)))
+    w = g.agg(
+        pick("n", "BUILDING").alias("n1"),
+        pick("n", "MACHINERY").alias("n2"),
+        pick("s", "BUILDING").cast("double").alias("s1"),
+        pick("s", "MACHINERY").cast("double").alias("s2"),
+        pick("ss", "BUILDING").cast("double").alias("ss1"),
+        pick("ss", "MACHINERY").cast("double").alias("ss2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    se1 = (F.col("ss1") - F.col("s1") * F.col("s1") / n1) / (n1 - 1) / n1
+    se2 = (F.col("ss2") - F.col("s2") * F.col("s2") / n2) / (n2 - 1) / n2
+    mdiff = F.col("s1") / n1 - F.col("s2") / n2
+    v = w.select(
+        n1, n2, se1.alias("se1"), se2.alias("se2"), mdiff.alias("mdiff")
+    )
+    se1c, se2c = F.col("se1"), F.col("se2")
+    return v.select(
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        F.round(F.col("mdiff") / F.sqrt(se1c + se2c), 6).alias("t_stat"),
+        F.round(
+            (se1c + se2c) * (se1c + se2c)
+            / (se1c * se1c / (n1 - 1) + se2c * se2c / (n2 - 1)),
+            3,
+        ).alias("df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between two sources' word distributions
+# (the mixing/curation statistic: how different is src1's unigram mix
+# from src2's?). Per-word KL terms have exact-integer log arguments
+# (2*c1*n2 / (c1*n2 + c2*n1)); the vocab sum is an ORDERED fold.
+@_q(
+    "js_divergence_sources",
+    r"""
+    WITH words AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+               x -> x <> '') AS w
+      FROM documents WHERE source IN ('src1', 'src2')
+    ), cnt AS (
+      SELECT source, word, COUNT(*) AS c
+      FROM words, LATERAL unnest(w) AS u(word) GROUP BY 1, 2
+    ), piv AS (
+      SELECT word,
+             COALESCE(max(CASE WHEN source = 'src1' THEN c END), 0) AS c1,
+             COALESCE(max(CASE WHEN source = 'src2' THEN c END), 0) AS c2
+      FROM cnt GROUP BY 1
+    ), tot AS (
+      SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM piv
+    ), terms AS (
+      SELECT word,
+             CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE) / n1)
+                  * ln(CAST(2 * c1 * n2 AS DOUBLE) / (c1 * n2 + c2 * n1))
+                  ELSE 0.0 END
+             + CASE WHEN c2 > 0 THEN (CAST(c2 AS DOUBLE) / n2)
+                  * ln(CAST(2 * c2 * n1 AS DOUBLE) / (c1 * n2 + c2 * n1))
+                  ELSE 0.0 END AS term
+      FROM piv CROSS JOIN tot
+    )
+    SELECT COUNT(*) AS n_vocab,
+           round(0.5 * list_sum(list(term ORDER BY word)), 6) AS js_div
+    FROM terms
+    """,
+)
+def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import normalize_text, word_tokens
+
+    docs = t(spark, sf_dir, "documents").where(
+        F.col("source").isin("src1", "src2")
+    )
+    cnt = (
+        docs.select("source", F.explode(word_tokens(normalize_text(F.col("text")))).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    piv = cnt.groupBy("word").agg(
+        F.coalesce(
+            F.max(F.when(F.col("source") == "src1", F.col("c"))), F.lit(0)
+        ).alias("c1"),
+        F.coalesce(
+            F.max(F.when(F.col("source") == "src2", F.col("c"))), F.lit(0)
+        ).alias("c2"),
+    )
+    tot = piv.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    c1, c2, n1, n2 = F.col("c1"), F.col("c2"), F.col("n1"), F.col("n2")
+    term = F.when(
+        c1 > 0,
+        (c1.cast("double") / n1)
+        * F.log((2 * c1 * n2).cast("double") / (c1 * n2 + c2 * n1)),
+    ).otherwise(F.lit(0.0)) + F.when(
+        c2 > 0,
+        (c2.cast("double") / n2)
+        * F.log((2 * c2 * n1).cast("double") / (c1 * n2 + c2 * n1)),
+    ).otherwise(F.lit(0.0))
+    terms = piv.crossJoin(F.broadcast(tot)).select("word", term.alias("term"))
+    return terms.agg(
+        F.count("*").alias("n_vocab"),
+        F.round(
+            0.5
+            * F.aggregate(
+                F.sort_array(F.collect_list(F.struct("word", "term"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["term"],
+            ),
+            6,
+        ).alias("js_div"),
+    )

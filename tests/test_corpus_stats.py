@@ -164,3 +164,37 @@ def test_bigram_perplexity_sane(spark):
     # add-1 smoothed NLL is bounded by ln(c_max + V) and positive
     assert (pdf.avg_nll > 0).all()
     assert np.isfinite(pdf.avg_nll).all()
+
+
+def test_welch_t_consistent_with_scipy_formula(spark):
+    import numpy as np
+    import pandas as pd
+
+    row = QS["welch_t_test"](spark, SF_SMOKE).toPandas().iloc[0]
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    g1 = j[j.c_mktsegment == "BUILDING"].o_totalprice.to_numpy()
+    g2 = j[j.c_mktsegment == "MACHINERY"].o_totalprice.to_numpy()
+    se1 = g1.var(ddof=1) / len(g1)
+    se2 = g2.var(ddof=1) / len(g2)
+    t_ref = (g1.mean() - g2.mean()) / np.sqrt(se1 + se2)
+    assert row.n1 == len(g1) and row.n2 == len(g2)
+    assert abs(row.t_stat - t_ref) < 1e-4
+
+
+def test_js_divergence_bounded(spark):
+    import math
+
+    row = QS["js_divergence_sources"](spark, SF_SMOKE).toPandas().iloc[0]
+    assert 0 <= row.js_div <= math.log(2) + 1e-9
+    assert row.n_vocab > 0
+
+
+def test_containment_asymmetry_and_bounds(spark):
+    pdf = QS["shingle_containment_pairs"](spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0
+    assert ((pdf.containment_a >= 0) & (pdf.containment_a <= 1)).all()
+    assert ((pdf.containment_b >= 0) & (pdf.containment_b <= 1)).all()
+    # directionality must actually differ somewhere (different doc sizes)
+    assert (pdf.containment_a != pdf.containment_b).any()
