@@ -391,3 +391,52 @@ def q_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(inter.cast("double") / F.size("sh_a"), 6).alias("containment_a"),
         F.round(inter.cast("double") / F.size("sh_b"), 6).alias("containment_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: fuzzy-match pairs (blocked edit distance, the
+# fuzzy_name_match contract) become edges; connected components give
+# each name an entity id (min name in its cluster) — the "same
+# real-world thing, different spellings" grouping step a corpus
+# de-biasing / catalog-merge pipeline runs after pairwise matching.
+# Oracle: recursive min-label CTE over the identical pair set.
+@_q(
+    "entity_resolution_clusters",
+    """
+    WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+    pairs AS MATERIALIZED (
+      SELECT a.p_name AS name_a, b.p_name AS name_b
+      FROM n a JOIN n b
+        ON substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+       AND abs(length(a.p_name) - length(b.p_name)) <= 2
+       AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ),
+    edges AS (SELECT name_a AS s, name_b AS d FROM pairs
+              UNION ALL SELECT name_b, name_a FROM pairs),
+    reach(node, lbl) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+      WHERE r.lbl < e.d
+    ),
+    labels AS (SELECT node AS name, MIN(lbl) AS entity_id
+               FROM reach GROUP BY node)
+    SELECT name, entity_id,
+           CAST(COUNT(*) OVER (PARTITION BY entity_id) AS BIGINT)
+             AS entity_size
+    FROM labels
+    """,
+)
+def q_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+    from .text_queries import q_fuzzy_name_match
+
+    pairs = q_fuzzy_name_match(spark, sf_dir).select("name_a", "name_b")
+    comp = connected_components(pairs, "name_a", "name_b")
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        F.col("node").alias("name"),
+        F.col("cluster_id").alias("entity_id"),
+        F.count(F.lit(1)).over(w).alias("entity_size"),
+    )

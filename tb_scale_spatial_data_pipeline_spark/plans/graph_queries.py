@@ -232,3 +232,56 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     return reduce(lambda a, b: a.unionByName(b), snaps)
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distance: minimum hops from the seed set (suppliers with
+# suppkey % 10 == 0) over the same sampled co-supplier graph.
+# Level-synchronous frontier expansion — each round is ONE join + one
+# anti-join against the settled set; rows in flight are only the
+# frontier, and the round count is the reached diameter (bounded by
+# _BFS_MAX_HOPS). The recursive-CTE oracle proves the frontier
+# algorithm computes the relational min-hop fixpoint.
+_BFS_MAX_HOPS = 6
+
+
+def _sql_bfs() -> str:
+    return f"""
+    WITH RECURSIVE {_SQL_EDGES.strip()},
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, hop) AS (
+      SELECT node, 0 FROM nodes WHERE node % 10 = 0
+      UNION
+      SELECT e.dst, r.hop + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.hop < {_BFS_MAX_HOPS}
+    )
+    SELECT node AS s_suppkey, CAST(MIN(hop) AS BIGINT) AS hop
+    FROM reach GROUP BY node
+    """
+
+
+@_q("bfs_hop_distance", _sql_bfs())
+def q_bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eu = _undirected_edges(spark, sf_dir)
+    edges = eu.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(eu.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    seeds = nodes.where(F.col("node") % 10 == 0)
+    dist = seeds.withColumn("hop", F.lit(0).cast("bigint")).localCheckpoint()
+    frontier = seeds
+    for k in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("hop", F.lit(k).cast("bigint"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return dist.select(F.col("node").alias("s_suppkey"), "hop")

@@ -256,3 +256,61 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.cast("bigint").alias("bucket"),
         (bucket * 25000).cast("double").alias("lo"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars: per (event_type, 10-minute bucket) the first/max/min/last
+# value. Open/close use min_by/max_by on the (ts, event_id) composite
+# so duplicate timestamps break ties deterministically — one
+# aggregation pass, no window re-sort, partials combine map-side (the
+# candle-builder shape for market/telemetry rollups at any scale).
+@_q(
+    "ohlc_bars",
+    f"""
+    WITH e AS (
+      SELECT event_type, time_bucket(INTERVAL '10 minutes', ts) AS b,
+             ts, event_id, value
+      FROM events
+    ), r AS (
+      -- DuckDB's arg_min/arg_max take scalar keys only, so the twin
+      -- expresses the same (ts, event_id) composite order as windows
+      SELECT *,
+        row_number() OVER (PARTITION BY event_type, b
+                           ORDER BY ts, event_id) AS rn_a,
+        row_number() OVER (PARTITION BY event_type, b
+                           ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM e
+    )
+    SELECT strftime(b, '{_SQL_FMT}') AS wstart, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close
+    FROM r GROUP BY b, event_type
+    """,
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+        )
+        .select(
+            F.date_format("w.start", _FMT).alias("wstart"),
+            "event_type",
+            "n",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )

@@ -311,6 +311,7 @@ def stream_transform_with_state_totals(
             )
 
         def close(self) -> None:
+            # required StatefulProcessor override; no resources to release
             pass
 
     ev = events_stream(spark, sf_dir).select("user_id", "value")

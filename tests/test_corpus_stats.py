@@ -198,3 +198,66 @@ def test_containment_asymmetry_and_bounds(spark):
     assert ((pdf.containment_b >= 0) & (pdf.containment_b <= 1)).all()
     # directionality must actually differ somewhere (different doc sizes)
     assert (pdf.containment_a != pdf.containment_b).any()
+
+
+def test_bfs_hops_are_shortest_paths(spark):
+    from collections import deque
+
+    import duckdb
+
+    hops = {
+        int(r.s_suppkey): int(r.hop)
+        for r in QS["bfs_hop_distance"](spark, SF_SMOKE)
+        .toPandas()
+        .itertuples(index=False)
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF_SMOKE}/lineitem.parquet'"
+    )
+    edges = con.sql("""
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        e0 AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+               FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+                                  AND a.l_suppkey < b.l_suppkey)
+        SELECT u, v FROM e0
+        WHERE CAST(('0x' || substring(md5(CAST(u * 1000 + v AS VARCHAR)), 1, 4))
+                   AS INTEGER) < 9830
+    """).fetchall()
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    seeds = [n for n in adj if n % 10 == 0]
+    ref = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        n = q.popleft()
+        if ref[n] >= 6:
+            continue
+        for m in adj.get(n, ()):
+            if m not in ref:
+                ref[m] = ref[n] + 1
+                q.append(m)
+    assert hops == ref
+
+
+def test_ohlc_invariants(spark):
+    pdf = QS["ohlc_bars"](spark, SF_SMOKE).toPandas()
+    assert ((pdf.low <= pdf.open) & (pdf.open <= pdf.high)).all()
+    assert ((pdf.low <= pdf.close) & (pdf.close <= pdf.high)).all()
+    assert (pdf.n >= 1).all()
+    multi = pdf[pdf.n > 1]
+    assert len(multi) > 0 and (multi.open != multi.close).any()
+
+
+def test_entity_clusters_contain_their_edges(spark):
+    ent = QS["entity_resolution_clusters"](spark, SF_SMOKE).toPandas()
+    pairs = QS["fuzzy_name_match"](spark, SF_SMOKE).toPandas()
+    eid = dict(zip(ent.name, ent.entity_id))
+    # every matched pair must land in the same entity
+    for r in pairs.itertuples(index=False):
+        assert eid[r.name_a] == eid[r.name_b]
+    # entity id is the min member name
+    grp = ent.groupby("entity_id").name.min()
+    assert (grp.index == grp.values).all()
