@@ -14,6 +14,7 @@ from . import (
     event_queries,
     full_pipeline,
     lm_queries,
+    mixing_queries,
     graph_queries,
     media_queries,
     mlprep_queries,
@@ -65,6 +66,7 @@ _MODULES = (
     corpus_queries,
     stats_queries,
     lm_queries,
+    mixing_queries,
     udtf_queries,
     full_pipeline,
 )

@@ -261,3 +261,40 @@ def test_entity_clusters_contain_their_edges(spark):
     # entity id is the min member name
     grp = ent.groupby("entity_id").name.min()
     assert (grp.index == grp.values).all()
+
+
+def test_mixture_sampling_tempers_the_head(spark):
+    import pandas as pd
+
+    kept = QS["mixture_sample_sources"](spark, SF_SMOKE).toPandas()
+    raw = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    raw_share = raw.lang.value_counts(normalize=True)
+    kept_share = kept.lang.value_counts(normalize=True)
+    # tempering must shrink the head group's share toward uniform
+    head = raw_share.idxmax()
+    assert kept_share[head] < raw_share[head]
+    # every group survives (tail is preserved, not zeroed)
+    assert set(kept_share.index) == set(raw_share.index)
+    assert 0 < len(kept) < len(raw)
+
+
+def test_seasonal_ratio_in_unit_interval(spark):
+    pdf = QS["seasonal_decompose_hourly"](spark, SF_SMOKE).toPandas()
+    assert len(pdf) == 24
+    assert pdf.seasonal_var_ratio.nunique() == 1
+    r = pdf.seasonal_var_ratio.iloc[0]
+    assert 0 <= r <= 1
+
+
+def test_acf_bounds_and_coverage(spark):
+    pdf = QS["autocorrelation_lags"](spark, SF_SMOKE).toPandas()
+    assert ((pdf.acf >= -1) & (pdf.acf <= 1)).all()
+    assert set(pdf.lag) == {1, 2, 3}
+
+
+def test_contamination_spans_subset_of_flagged_docs(spark):
+    spans = QS["contamination_spans"](spark, SF_SMOKE).toPandas()
+    flagged = QS["benchmark_decontamination"](spark, SF_SMOKE).toPandas()
+    assert set(spans.doc_id) == set(flagged.doc_id)
+    assert (spans.longest_run >= 1).all()
+    assert (spans.n_runs >= 1).all()
