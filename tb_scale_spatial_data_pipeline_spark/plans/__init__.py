@@ -10,6 +10,7 @@ rows-only check (reserved for genuinely non-SQL-expressible ops).
 from __future__ import annotations
 
 from . import (
+    analytics_queries,
     corpus_queries,
     event_queries,
     full_pipeline,
@@ -67,6 +68,7 @@ _MODULES = (
     stats_queries,
     lm_queries,
     mixing_queries,
+    analytics_queries,
     udtf_queries,
     full_pipeline,
 )

@@ -1,0 +1,230 @@
+"""Product-analytics depth queries: item-item co-occurrence
+similarity ("bought X also bought Y"), CEP-style sequence-pattern
+detection over per-user event strings, and first/last-touch
+attribution for purchases.
+
+Scale notes (100 TB):
+- Item-item similarity generates pairs WITHIN an order only (bounded
+  by basket size, never item x item), aggregates pair counts with
+  map-side combine, and computes cosine from exact integer
+  (pair, degree) counts — the classic co-occurrence recommender
+  build, shuffle-bounded by Σ basket².
+- Sequence patterns compress each user's history to one ordered
+  event-initial string (collect → sort by (ts, event_id) → join),
+  then run ONE regex per user — the Flink-CEP shape re-expressed as
+  "aggregate then match", with per-user state bounded by history
+  length, not pattern complexity.
+- Attribution is two deterministic window joins (last click before /
+  first click after assignment windows), linear per user like the
+  as-of family — no pair explosion between purchases and clicks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import t
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_COOC_MIN_PAIRS = 3
+
+
+# ---------------------------------------------------------------------------
+# Item-item co-occurrence cosine: sim(a,b) = co(a,b) /
+# sqrt(deg(a)*deg(b)) over order baskets. Pairs are generated inside
+# each basket (a < b), so pair volume is Σ|basket|², never |items|².
+@_q(
+    "item_cooccurrence_similarity",
+    f"""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), deg AS (
+      SELECT l_partkey, COUNT(*) AS d FROM basket GROUP BY 1
+    ), pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS co
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p.pa, p.pb, p.co,
+           round(CAST(p.co AS DOUBLE)
+                 / sqrt(CAST(da.d AS DOUBLE) * CAST(db.d AS DOUBLE)), 6)
+             AS cosine
+    FROM pairs p
+    JOIN deg da ON da.l_partkey = p.pa
+    JOIN deg db ON db.l_partkey = p.pb
+    WHERE p.co >= {_COOC_MIN_PAIRS}
+    """,
+)
+def q_item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    basket = (
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    deg = basket.groupBy("l_partkey").agg(F.count("*").alias("d"))
+    a = basket.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = basket.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("co"))
+        .where(F.col("co") >= _COOC_MIN_PAIRS)
+    )
+    da = deg.select(F.col("l_partkey").alias("pa"), F.col("d").alias("da"))
+    db = deg.select(F.col("l_partkey").alias("pb"), F.col("d").alias("db"))
+    return (
+        pairs.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            "pa",
+            "pb",
+            "co",
+            F.round(
+                F.col("co").cast("double")
+                / F.sqrt(F.col("da").cast("double") * F.col("db").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-pattern detection: per user, the ordered initials of the
+# event history form a string; the CEP pattern "signup, then 1+
+# clicks with no error between, then purchase" is one regex
+# (s[ckvp]*c+p with no 'e'). Reports match count and first match
+# offset per matching user.
+_SEQ_PATTERN = "s[^e]*c[^e]*p"
+
+
+@_q(
+    "sequence_pattern_match",
+    f"""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, s AS event_string,
+           CAST(length(s) AS BIGINT) AS n_events,
+           CAST(length(regexp_extract(s, '^(.*?){_SEQ_PATTERN}', 1)) + 1
+                AS BIGINT) AS first_match_at
+    FROM seq
+    WHERE regexp_matches(s, '{_SEQ_PATTERN}')
+    """,
+)
+def q_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id").alias("k"),
+            F.substring("event_type", 1, 1).alias("c"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "c"))),
+                    lambda x: x["c"],
+                ),
+                "",
+            ).alias("s")
+        )
+    )
+    first_at = F.when(
+        F.col("s").rlike(_SEQ_PATTERN),
+        F.length(F.regexp_extract(F.col("s"), f"^(.*?){_SEQ_PATTERN}", 1)) + 1,
+    ).otherwise(0)
+    return (
+        seq.where(F.col("s").rlike(_SEQ_PATTERN))
+        .select(
+            "user_id",
+            F.col("s").alias("event_string"),
+            F.length("s").cast("bigint").alias("n_events"),
+            first_at.cast("bigint").alias("first_match_at"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-/last-touch attribution: every purchase credits the FIRST and
+# the LAST click in the preceding 7 days (same user). Window-ranked
+# over the interval join candidates — the candidate set per purchase
+# is bounded by the 7-day window, the as-of family's scale contract.
+@_q(
+    "purchase_attribution",
+    """
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS c_ts FROM events
+      WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts FROM events
+      WHERE event_type = 'purchase'
+    ), cand AS (
+      SELECT p.purchase_id, p.user_id, c.click_id, c.c_ts
+      FROM purchases p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.c_ts < p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 7 DAY
+    ), r AS (
+      -- composite (c_ts, click_id) order keeps duplicate-timestamp
+      -- ties deterministic; DuckDB arg_min takes scalar keys only
+      SELECT *,
+        row_number() OVER (PARTITION BY purchase_id
+                           ORDER BY c_ts, click_id) AS rn_a,
+        row_number() OVER (PARTITION BY purchase_id
+                           ORDER BY c_ts DESC, click_id DESC) AS rn_d
+      FROM cand
+    )
+    SELECT purchase_id, user_id,
+           CAST(max(CASE WHEN rn_a = 1 THEN click_id END) AS BIGINT)
+             AS first_touch,
+           CAST(max(CASE WHEN rn_d = 1 THEN click_id END) AS BIGINT)
+             AS last_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_touches
+    FROM r GROUP BY purchase_id, user_id
+    """,
+)
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    cand = purchases.join(
+        clicks,
+        (F.col("cu") == F.col("user_id"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    key = F.struct(F.col("c_ts"), F.col("click_id"))
+    return cand.groupBy("purchase_id", "user_id").agg(
+        F.min_by("click_id", key).cast("bigint").alias("first_touch"),
+        F.max_by("click_id", key).cast("bigint").alias("last_touch"),
+        F.count("*").alias("n_touches"),
+    )

@@ -298,3 +298,32 @@ def test_contamination_spans_subset_of_flagged_docs(spark):
     assert set(spans.doc_id) == set(flagged.doc_id)
     assert (spans.longest_run >= 1).all()
     assert (spans.n_runs >= 1).all()
+
+
+def test_cooccurrence_cosine_bounds_and_floor(spark):
+    pdf = QS["item_cooccurrence_similarity"](spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0
+    assert (pdf.pa < pdf.pb).all()
+    assert (pdf.co >= 3).all()
+    assert ((pdf.cosine > 0) & (pdf.cosine <= 1)).all()
+
+
+def test_sequence_pattern_semantics(spark):
+    import re
+
+    pdf = QS["sequence_pattern_match"](spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0
+    pat = re.compile(r"s[^e]*c[^e]*p")
+    for r in pdf.itertuples(index=False):
+        m = pat.search(r.event_string)
+        assert m is not None
+        assert r.first_match_at == m.start() + 1
+
+
+def test_attribution_touch_ordering(spark):
+    pdf = QS["purchase_attribution"](spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0
+    single = pdf[pdf.n_touches == 1]
+    assert (single.first_touch == single.last_touch).all()
+    multi = pdf[pdf.n_touches > 1]
+    assert len(multi) > 0 and (multi.first_touch != multi.last_touch).all()
