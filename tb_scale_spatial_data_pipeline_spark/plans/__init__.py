@@ -13,6 +13,7 @@ from . import (
     analytics_queries,
     corpus_queries,
     event_queries,
+    maintenance_queries,
     full_pipeline,
     lm_queries,
     mixing_queries,
@@ -69,6 +70,7 @@ _MODULES = (
     lm_queries,
     mixing_queries,
     analytics_queries,
+    maintenance_queries,
     udtf_queries,
     full_pipeline,
 )

@@ -327,3 +327,29 @@ def test_attribution_touch_ordering(spark):
     assert (single.first_touch == single.last_touch).all()
     multi = pdf[pdf.n_touches > 1]
     assert len(multi) > 0 and (multi.first_touch != multi.last_touch).all()
+
+
+def test_cdc_apply_all_three_paths_fire(spark):
+    import pandas as pd
+
+    pdf = QS["cdc_apply_changes"](spark, SF_SMOKE).toPandas()
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    assert len(pdf) < len(cust), "no deletes applied"
+    assert (pdf.src == "base").any() and (pdf.src == "cdc").any()
+    base_rows = pdf[pdf.src == "base"].set_index("c_custkey").final_bal
+    ref = cust.set_index("c_custkey").c_acctbal.reindex(base_rows.index)
+    assert (base_rows.round(2) == ref.round(2)).all()
+    assert (pdf[pdf.src == "cdc"].n_changes >= 1).all()
+
+
+def test_incremental_agg_equals_full_recompute(spark):
+    import pandas as pd
+
+    pdf = QS["incremental_agg_maintenance"](spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    full = ev.groupby("event_type").agg(
+        n=("event_id", "count"), total=("value", "sum")
+    )
+    merged = pdf.set_index("event_type")
+    assert (merged.n == full.n.reindex(merged.index)).all()
+    assert (abs(merged.total - full.total.reindex(merged.index)) < 1e-6).all()
