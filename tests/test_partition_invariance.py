@@ -41,6 +41,13 @@ REPRESENTATIVE = [
     "anova_f_oneway",
     "ks_two_sample",
     "skyline_parts",
+    # later round-6 batches: sampling ring, sequential packing,
+    # attribution windows, CDC last-wins merge
+    "mixture_sample_sources",
+    "sequence_packing",
+    "purchase_attribution",
+    "cdc_apply_changes",
+    "bfs_hop_distance",
 ]
 
 

@@ -92,3 +92,37 @@ def test_bloom_prefilter_plan_and_kmv_accuracy(spark):
     row = qs["kmv_distinct_estimate"](spark, sf).collect()[0]
     est, true = float(row["est_distinct"]), float(row["true_distinct"])
     assert abs(est - true) / true < 0.375
+
+
+def test_item_cooccurrence_stays_equi_join(spark):
+    """Basket pair generation must remain an equi self-join on the
+    order key — a CartesianProduct means items × items."""
+    p = plan_of(spark, "item_cooccurrence_similarity")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pmi_pair_generation_has_no_positional_join(spark):
+    """PMI pairs come from per-row offset unrolling; the only joins
+    are broadcast probes of the small unigram/total tables."""
+    p = plan_of(spark, "pmi_cooccurrence")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_mixture_sampling_never_shuffles_the_corpus(spark):
+    """The per-lang probability table is broadcast back — the corpus
+    joins without an Exchange on its own rows."""
+    p = plan_of(spark, "mixture_sample_sources")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_cdc_reduces_changes_before_merging(spark):
+    """The change stream collapses to one row per key (window
+    last-wins) BEFORE the base join — no CartesianProduct, exactly
+    one join."""
+    p = plan_of(spark, "cdc_apply_changes")
+    assert "CartesianProduct" not in p
+    assert p.count("Join") >= 1
