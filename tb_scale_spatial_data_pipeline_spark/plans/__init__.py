@@ -13,6 +13,7 @@ from . import (
     analytics_queries,
     corpus_queries,
     event_queries,
+    experiment_queries,
     maintenance_queries,
     full_pipeline,
     lm_queries,
@@ -71,6 +72,7 @@ _MODULES = (
     mixing_queries,
     analytics_queries,
     maintenance_queries,
+    experiment_queries,
     udtf_queries,
     full_pipeline,
 )

@@ -1,0 +1,285 @@
+"""Experimentation and iterative-algorithm queries: hash-bucketed A/B
+assignment with a two-proportion z-test, k-core decomposition by
+iterative peeling, and exact distributed median via domain bisection
+(no global sort).
+
+Scale notes (100 TB):
+- A/B analysis: assignment is a pure hash of the unit id (no
+  assignment table to join), conversion is one aggregate per arm,
+  and the z-test runs on four integers — the whole analysis moves
+  eight numbers to the driver.
+- k-core: each peel round is one degree aggregation + one semi-join;
+  round count is the core number of the graph, not |V|. The oracle
+  unrolls the same peel as chained CTEs, so the hash match proves the
+  iterative fixpoint.
+- Bisection median: O(log(range/eps)) passes each computing ONE
+  count(value <= mid) — at 100 TB this replaces a full sort with ~40
+  scans that all pushdown-prune, the classic "median without
+  shuffling the lake" pattern. The oracle is DuckDB's exact median.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import t
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout: users hash into control/treatment by md5
+# parity; "conversion" = user has >= 1 purchase event. Two-proportion
+# pooled z-test on exact integer counts, one float expression.
+@_q(
+    "ab_experiment_analysis",
+    """
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 4))
+                        AS INTEGER) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm
+      FROM events
+    ), conv AS (
+      -- high-value conversion: plain 'any purchase' saturates to 100%
+      -- on this fixture (every active user buys), which degenerates
+      -- lift to 0 and the pooled z to 0/0
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND value > 150
+    ), arms AS (
+      SELECT a.arm, COUNT(*) AS n_users,
+             COUNT(c.user_id) AS n_converted
+      FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
+      GROUP BY a.arm
+    ), w AS (
+      SELECT
+        max(CASE WHEN arm = 'control' THEN n_users END) AS n1,
+        max(CASE WHEN arm = 'control' THEN n_converted END) AS x1,
+        max(CASE WHEN arm = 'treatment' THEN n_users END) AS n2,
+        max(CASE WHEN arm = 'treatment' THEN n_converted END) AS x2
+      FROM arms
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+           CAST(n2 AS BIGINT) AS n2, CAST(x2 AS BIGINT) AS x2,
+           round(CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2, 6) AS lift,
+           round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+                 / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                        * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                        * (1.0 / n1 + 1.0 / n2)), 6) AS z_score
+    FROM w
+    """,
+)
+def q_ab_experiment_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    assign = ev.select("user_id").distinct().withColumn("arm", arm)
+    conv = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .select(F.col("user_id").alias("cu"))
+        .distinct()
+    )
+    arms = (
+        assign.join(conv, assign.user_id == conv.cu, "left")
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.count("cu").alias("n_converted"),
+        )
+    )
+    def pick(col, a):
+        return F.max(F.when(F.col("arm") == a, F.col(col)))
+    w = arms.agg(
+        pick("n_users", "control").alias("n1"),
+        pick("n_converted", "control").alias("x1"),
+        pick("n_users", "treatment").alias("n2"),
+        pick("n_converted", "treatment").alias("x2"),
+    )
+    n1, x1 = F.col("n1"), F.col("x1")
+    n2, x2 = F.col("n2"), F.col("x2")
+    p1 = x1.cast("double") / n1
+    p2 = x2.cast("double") / n2
+    pp = (x1 + x2).cast("double") / (n1 + n2)
+    z = (p1 - p2) / F.sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2))
+    return w.select(
+        n1.cast("bigint").alias("n1"),
+        x1.cast("bigint").alias("x1"),
+        n2.cast("bigint").alias("n2"),
+        x2.cast("bigint").alias("x2"),
+        F.round(p1 - p2, 6).alias("lift"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (k=2) by iterative peeling: repeatedly drop
+# nodes with degree < k until fixpoint. Graph = customer co-purchase
+# (customers sharing a part), md5-sampled to 1% so the peel actually
+# removes nodes at BOTH fixture scales (124→59 at sf0.001, 1496→1478
+# at sf0.01; the denser co-supplier graph is all-or-nothing). The
+# oracle unrolls the same peel a fixed number of rounds (fixpoint by
+# round 4 on the fixture; the Spark loop asserts convergence).
+_KCORE_K = 2
+_KCORE_ROUNDS = 8
+_KCORE_THR = 655
+
+# MATERIALIZED: each unrolled peel round references `edges` — without
+# it DuckDB re-inlines the whole self-join pipeline per round (the
+# same lesson as the CC oracle, text_queries._sql_dup_clusters).
+_SQL_EDGE_BASE = f"""
+    cp AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT a.c AS u, b.c AS v
+      FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+    ),
+    eu AS MATERIALIZED (
+      SELECT u, v FROM e0
+      WHERE CAST(('0x' || substring(md5(CAST(u * 100000 + v AS VARCHAR)), 1, 4))
+                 AS INTEGER) < {_KCORE_THR}
+    ),
+    edges AS MATERIALIZED (SELECT u AS src, v AS dst FROM eu
+              UNION ALL SELECT v AS src, u AS dst FROM eu)
+"""
+
+
+def _sql_kcore() -> str:
+    k = _KCORE_K
+    ctes = [
+        _SQL_EDGE_BASE.strip(),
+        "n0 AS (SELECT DISTINCT src AS node FROM edges)",
+    ]
+    for r in range(_KCORE_ROUNDS):
+        # MATERIALIZED: n{r} is referenced twice per round — inlining
+        # would re-derive every earlier round 2^rounds times
+        ctes.append(
+            f"""n{r + 1} AS MATERIALIZED (
+      SELECT e.src AS node FROM edges e
+      JOIN n{r} a ON a.node = e.src
+      JOIN n{r} b ON b.node = e.dst
+      GROUP BY e.src HAVING COUNT(*) >= {k}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS c_custkey FROM n{_KCORE_ROUNDS}"""
+    )
+
+
+@_q("kcore_decomposition", _sql_kcore())
+def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = cp.select(F.col("p").alias("pk"), F.col("c").alias("u"))
+    b = cp.select(F.col("p").alias("pk"), F.col("c").alias("v"))
+    e0 = a.join(b, "pk").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    bucket = F.conv(
+        F.substring(
+            F.md5((F.col("u") * 100000 + F.col("v")).cast("string")), 1, 4
+        ),
+        16,
+        10,
+    ).cast("int")
+    eu = e0.where(bucket < _KCORE_THR)
+    edges = eu.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(eu.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    alive = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    for _ in range(_KCORE_ROUNDS):
+        surviving = (
+            edges.join(alive.withColumnRenamed("node", "src"), "src")
+            .join(alive.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint()
+        )
+        if surviving.count() == alive.count():
+            alive = surviving
+            break
+        alive = surviving
+    else:
+        raise RuntimeError(
+            f"k-core peel did not converge in {_KCORE_ROUNDS} rounds"
+        )
+    return alive.select(F.col("node").alias("c_custkey"))
+
+
+# ---------------------------------------------------------------------------
+# Exact median WITHOUT a global sort: bisect the value domain, each
+# step one count(v <= mid) aggregate. Terminates when the bracket
+# pins the k-th order statistic, then one bounded scan retrieves the
+# exact value. Oracle: DuckDB's median (odd fixture counts make it an
+# actual data value; the even case takes lower-mid to stay exact).
+@_q(
+    "bisection_median",
+    """
+    WITH v AS (SELECT o_totalprice AS x FROM orders),
+    n AS (SELECT COUNT(*) AS n FROM v),
+    k AS (SELECT (n + 1) // 2 AS k FROM n)
+    SELECT CAST((SELECT n FROM n) AS BIGINT) AS n,
+           (SELECT min(x) FROM (
+              SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v
+            ) WHERE rn = (SELECT k FROM k)) AS median_value
+    """,
+)
+def q_bisection_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    vals = orders.select(F.col("o_totalprice").alias("x"))
+    n = vals.count()
+    k = (n + 1) // 2
+    lo_hi = vals.agg(F.min("x"), F.max("x")).collect()[0]
+    lo, hi = float(lo_hi[0]), float(lo_hi[1])
+    # bisect until the bracket is small, then resolve exactly from the
+    # (tiny) remaining candidate set — total passes O(log range)
+    # bracket below half the data's 0.01 quantum: at most one distinct
+    # 2-dp value remains in (lo, hi] — ~27 passes instead of 40
+    for _ in range(40):
+        if hi - lo < 0.005:
+            break
+        mid = (lo + hi) / 2
+        cnt = vals.where(F.col("x") <= mid).count()
+        if cnt >= k:
+            hi = mid
+        else:
+            lo = mid
+    # exact k-th order statistic = min value > lo-bracket boundary:
+    # count(v <= lo) < k <= count(v <= hi) => median is the smallest
+    # value in (lo, hi]
+    med = (
+        vals.where((F.col("x") > lo) & (F.col("x") <= hi))
+        .agg(F.min("x").alias("m"))
+        .collect()[0][0]
+    )
+    return (
+        orders.sparkSession.createDataFrame(
+            [(n, float(med))], "n bigint, median_value double"
+        )
+    )
