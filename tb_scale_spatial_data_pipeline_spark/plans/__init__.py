@@ -15,6 +15,7 @@ from . import (
     event_queries,
     experiment_queries,
     maintenance_queries,
+    revenue_queries,
     full_pipeline,
     lm_queries,
     mixing_queries,
@@ -73,6 +74,7 @@ _MODULES = (
     analytics_queries,
     maintenance_queries,
     experiment_queries,
+    revenue_queries,
     udtf_queries,
     full_pipeline,
 )

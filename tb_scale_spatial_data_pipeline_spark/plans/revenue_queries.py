@@ -1,0 +1,263 @@
+"""Growth/BI decomposition queries: growth accounting (new/retained/
+resurrected/churned), mix-vs-rate revenue decomposition between two
+periods, and a join-key skew diagnosis (Gini + heavy hitters).
+
+Determinism: classifications and Gini run on integer month indexes /
+counts; monetary rates assemble from exact DECIMAL sums; every float
+output is a short fixed-order expression rounded once.
+
+Scale notes (100 TB):
+- Growth accounting reduces to distinct (customer, month) activity
+  (one shuffle), then window lag/lead per customer — state per
+  customer is its activity timeline, never a cross join of months.
+- Mix-shift needs only (segment, period) aggregates: six numbers per
+  segment cross the wire; the decomposition is arithmetic on the
+  driver-sized result.
+- Skew diagnosis is the operational pre-check for the salted-join
+  path (operators/skew.py): per-key counts (map-side combined), one
+  sort by count for the Gini index and the top-k — output is a
+  one-row report, input never collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import t
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting over monthly order activity.
+@_q(
+    "growth_accounting",
+    """
+    WITH act AS (
+      SELECT DISTINCT o_custkey AS cust,
+             year(o_orderdate) * 12 + month(o_orderdate) AS mon
+      FROM orders
+    ), seq AS (
+      SELECT cust, mon,
+             lag(mon) OVER (PARTITION BY cust ORDER BY mon) AS prev_mon,
+             lead(mon) OVER (PARTITION BY cust ORDER BY mon) AS next_mon,
+             min(mon) OVER (PARTITION BY cust) AS first_mon
+      FROM act
+    ), mx AS (SELECT max(mon) AS max_mon FROM act)
+    SELECT CAST(mon AS BIGINT) AS mon,
+           CAST(COUNT(*) FILTER (mon = first_mon) AS BIGINT) AS n_new,
+           CAST(COUNT(*) FILTER (prev_mon = mon - 1) AS BIGINT) AS n_retained,
+           CAST(COUNT(*) FILTER (mon <> first_mon
+                 AND (prev_mon IS NULL OR prev_mon < mon - 1)) AS BIGINT)
+             AS n_resurrected,
+           CAST(COUNT(*) FILTER (mon < (SELECT max_mon FROM mx)
+                 AND (next_mon IS NULL OR next_mon > mon + 1)) AS BIGINT)
+             AS n_churned_next
+    FROM seq GROUP BY mon
+    """,
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    act = orders.select(
+        F.col("o_custkey").alias("cust"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mon"),
+    ).distinct()
+    w = Window.partitionBy("cust").orderBy("mon")
+    wc = Window.partitionBy("cust")
+    seq = act.select(
+        "cust",
+        "mon",
+        F.lag("mon").over(w).alias("prev_mon"),
+        F.lead("mon").over(w).alias("next_mon"),
+        F.min("mon").over(wc).alias("first_mon"),
+    )
+    mx = act.agg(F.max("mon").alias("max_mon"))
+    return (
+        seq.crossJoin(F.broadcast(mx))
+        .groupBy(F.col("mon").cast("bigint").alias("mon"))
+        .agg(
+            F.sum(
+                F.when(F.col("mon") == F.col("first_mon"), 1).otherwise(0)
+            ).alias("n_new"),
+            F.sum(
+                F.when(F.col("prev_mon") == F.col("mon") - 1, 1).otherwise(0)
+            ).alias("n_retained"),
+            F.sum(
+                F.when(
+                    (F.col("mon") != F.col("first_mon"))
+                    & (
+                        F.col("prev_mon").isNull()
+                        | (F.col("prev_mon") < F.col("mon") - 1)
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("n_resurrected"),
+            F.sum(
+                F.when(
+                    (F.col("mon") < F.col("max_mon"))
+                    & (
+                        F.col("next_mon").isNull()
+                        | (F.col("next_mon") > F.col("mon") + 1)
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("n_churned_next"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mix-vs-rate decomposition of average order value between 1997 and
+# 1998, by market segment: ΔAOV = Σ rate effects + Σ mix effects +
+# Σ interactions. Six exact numbers per segment; the decomposition is
+# per-segment arithmetic.
+@_q(
+    "mix_shift_decomposition",
+    """
+    WITH base AS (
+      SELECT c.c_mktsegment AS seg, year(o.o_orderdate) AS y,
+             COUNT(*) AS n,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS s
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE year(o.o_orderdate) IN (1997, 1998)
+      GROUP BY 1, 2
+    ), piv AS (
+      SELECT seg,
+        max(CASE WHEN y = 1997 THEN n END) AS n1,
+        max(CASE WHEN y = 1998 THEN n END) AS n2,
+        max(CASE WHEN y = 1997 THEN CAST(s AS DOUBLE) END) AS s1,
+        max(CASE WHEN y = 1998 THEN CAST(s AS DOUBLE) END) AS s2
+      FROM base GROUP BY seg
+    ), tot AS (
+      SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM piv
+    )
+    SELECT seg,
+           round(s1 / n1, 6) AS rate1, round(s2 / n2, 6) AS rate2,
+           round(CAST(n1 AS DOUBLE) / t1, 6) AS w1,
+           round(CAST(n2 AS DOUBLE) / t2, 6) AS w2,
+           round((CAST(n1 AS DOUBLE) / t1) * (s2 / n2 - s1 / n1), 6)
+             AS rate_effect,
+           round((CAST(n2 AS DOUBLE) / t2 - CAST(n1 AS DOUBLE) / t1)
+                 * (s1 / n1), 6) AS mix_effect,
+           round((CAST(n2 AS DOUBLE) / t2 - CAST(n1 AS DOUBLE) / t1)
+                 * (s2 / n2 - s1 / n1), 6) AS interaction
+    FROM piv CROSS JOIN tot
+    """,
+)
+def q_mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    d = F.col("o_totalprice").cast("decimal(18,2)")
+    base = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .where(F.year("o_orderdate").isin(1997, 1998))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.year("o_orderdate").alias("y"),
+        )
+        .agg(F.count("*").alias("n"), F.sum(d).alias("s"))
+    )
+    def pick(col, y):
+        return F.max(F.when(F.col("y") == y, F.col(col)))
+    piv = base.groupBy("seg").agg(
+        pick("n", 1997).alias("n1"),
+        pick("n", 1998).alias("n2"),
+        pick("s", 1997).cast("double").alias("s1"),
+        pick("s", 1998).cast("double").alias("s2"),
+    )
+    tot = piv.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    n1, n2 = F.col("n1"), F.col("n2")
+    s1, s2 = F.col("s1"), F.col("s2")
+    t1, t2 = F.col("t1"), F.col("t2")
+    r1, r2 = s1 / n1, s2 / n2
+    w1, w2 = n1.cast("double") / t1, n2.cast("double") / t2
+    return piv.crossJoin(F.broadcast(tot)).select(
+        "seg",
+        F.round(r1, 6).alias("rate1"),
+        F.round(r2, 6).alias("rate2"),
+        F.round(w1, 6).alias("w1"),
+        F.round(w2, 6).alias("w2"),
+        F.round(w1 * (r2 - r1), 6).alias("rate_effect"),
+        F.round((w2 - w1) * r1, 6).alias("mix_effect"),
+        F.round((w2 - w1) * (r2 - r1), 6).alias("interaction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnosis for lineitem.l_suppkey: Gini index of the
+# key-count distribution (integer lattice: G = (2*Σ i*c_i − (n+1)*Σc)
+# / (n*Σc) over counts sorted asc) plus the top-5 heavy keys — the
+# report that decides whether a join needs the salted path.
+@_q(
+    "join_key_skew_report",
+    """
+    WITH cnt AS (
+      SELECT l_suppkey AS key, COUNT(*) AS c FROM lineitem GROUP BY 1
+    ), ranked AS (
+      SELECT key, c, row_number() OVER (ORDER BY c, key) AS i FROM cnt
+    ), g AS (
+      SELECT COUNT(*) AS n, SUM(c) AS tot, SUM(i * c) AS ic,
+             max(c) AS max_c FROM ranked
+    ), top5 AS (
+      SELECT string_agg(CAST(key AS VARCHAR), '|' ORDER BY c DESC, key) AS hot
+      FROM (SELECT key, c FROM cnt ORDER BY c DESC, key LIMIT 5)
+    )
+    SELECT CAST(g.n AS BIGINT) AS n_keys, CAST(g.tot AS BIGINT) AS n_rows,
+           CAST(g.max_c AS BIGINT) AS max_key_rows,
+           round(CAST(2 * g.ic - (g.n + 1) * g.tot AS DOUBLE)
+                 / (g.n * g.tot), 9) AS gini,
+           top5.hot AS top5_keys
+    FROM g CROSS JOIN top5
+    """,
+)
+def q_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    cnt = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count("*").alias("c")
+    )
+    ranked = cnt.withColumn(
+        "i", F.row_number().over(Window.orderBy("c", "key"))
+    )
+    g = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("tot"),
+        F.sum(F.col("i") * F.col("c")).alias("ic"),
+        F.max("c").alias("max_c"),
+    )
+    top5 = (
+        cnt.orderBy(F.desc("c"), F.asc("key"))
+        .limit(5)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct((-F.col("c")).alias("nc"), "key"))
+                    ),
+                    lambda x: x["key"].cast("string"),
+                ),
+                "|",
+            ).alias("hot")
+        )
+    )
+    n, tot, ic = F.col("n"), F.col("tot"), F.col("ic")
+    return g.crossJoin(F.broadcast(top5)).select(
+        n.cast("bigint").alias("n_keys"),
+        tot.cast("bigint").alias("n_rows"),
+        F.col("max_c").cast("bigint").alias("max_key_rows"),
+        F.round(
+            (2 * ic - (n + 1) * tot).cast("double") / (n * tot), 9
+        ).alias("gini"),
+        F.col("hot").alias("top5_keys"),
+    )

@@ -414,3 +414,59 @@ def test_bisection_median_equals_sorted_middle(spark):
     k = (len(x) + 1) // 2
     assert row.n == len(x)
     assert row.median_value == x.iloc[k - 1]
+
+
+def test_growth_accounting_identity(spark):
+    import pandas as pd
+
+    pdf = (
+        QS["growth_accounting"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("mon")
+        .reset_index(drop=True)
+    )
+    act = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    act["mon"] = (
+        act.o_orderdate.dt.year * 12 + act.o_orderdate.dt.month
+    )
+    actives = act.groupby("mon").o_custkey.nunique()
+    # identity: actives(m) = new + retained + resurrected
+    got = pdf.set_index("mon")
+    total = got.n_new + got.n_retained + got.n_resurrected
+    assert (total == actives.reindex(got.index)).all()
+    # flow identity: actives(m) - churned_next(m) = retained(m+1)
+    for m in got.index:
+        if m + 1 in got.index:
+            assert (
+                actives[m] - got.n_churned_next[m] == got.n_retained[m + 1]
+            )
+
+
+def test_mix_shift_components_sum_to_delta(spark):
+    import pandas as pd
+
+    pdf = QS["mix_shift_decomposition"](spark, SF_SMOKE).toPandas()
+    # Σ(rate+mix+interaction) = AOV_98 - AOV_97 (up to rounding)
+    aov1 = (pdf.rate1 * pdf.w1).sum()
+    aov2 = (pdf.rate2 * pdf.w2).sum()
+    total = (pdf.rate_effect + pdf.mix_effect + pdf.interaction).sum()
+    # components are rounded to 6dp but rates are ~2.5e5, so the
+    # reconstruction error bound is ~n_seg * 0.5e-6 * rate ≈ 0.6
+    assert abs(total - (aov2 - aov1)) < 1.0
+
+
+def test_skew_report_gini_and_hotkeys(spark):
+    import pandas as pd
+
+    row = QS["join_key_skew_report"](spark, SF_SMOKE).toPandas().iloc[0]
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    counts = li.l_suppkey.value_counts()
+    assert row.n_keys == len(counts)
+    assert row.n_rows == len(li)
+    assert row.max_key_rows == counts.max()
+    assert 0 <= row.gini < 1
+    hot = [int(k) for k in row.top5_keys.split("|")]
+    ref = counts.reset_index().sort_values(
+        ["count", "l_suppkey"], ascending=[False, True]
+    ).l_suppkey.head(5).tolist()
+    assert hot == ref
