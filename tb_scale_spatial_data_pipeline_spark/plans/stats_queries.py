@@ -471,3 +471,123 @@ def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("js_div"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap CI for the mean order value — THE distributed
+# bootstrap: instead of resampling n rows WITH replacement (which
+# needs global coordination), each row independently draws a
+# Poisson(1) count per replicate. Counts come from an md5-derived
+# uniform inverted through hard-coded cumulative Poisson thresholds,
+# so both engines draw IDENTICAL resamples; replicate means assemble
+# from exact DECIMAL sums. 32 replicates; CI = 2nd/31st order
+# statistics (~94% coverage). One pass over the data produces all
+# replicates — the shuffle carries 32 partial sums, nothing else.
+_BOOT_B = 32
+# cumulative Poisson(1) CDF thresholds, full double precision
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+
+
+def _sql_poisson_count(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c!r} THEN {i}" for i, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+def _sql_bootstrap() -> str:
+    u = (
+        "(CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '-' ||"
+        " CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0)"
+    )
+    return f"""
+    WITH reps AS (
+      SELECT b, {_sql_poisson_count(u)} AS c,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS x
+      FROM orders, LATERAL unnest(generate_series(0, {_BOOT_B - 1})) AS t(b)
+    ), means AS (
+      SELECT b, CAST(SUM(c * x) AS DOUBLE) / SUM(c) AS m
+      FROM reps GROUP BY b
+    ), ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m) AS rn FROM means
+    ), pt AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS est
+      FROM orders
+    )
+    SELECT round(pt.est, 6) AS point_mean,
+           round((SELECT m FROM ranked WHERE rn = 2), 6) AS ci_lo,
+           round((SELECT m FROM ranked WHERE rn = {_BOOT_B - 1}), 6) AS ci_hi,
+           CAST({_BOOT_B} AS BIGINT) AS n_replicates
+    FROM pt
+    """
+
+
+@_q("poisson_bootstrap_ci", _sql_bootstrap())
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    cnt = F.lit(7)
+    for i in range(len(_POIS_CDF) - 1, -1, -1):
+        cnt = F.when(u < _POIS_CDF[i], i).otherwise(cnt)
+    reps = (
+        orders.select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        )
+        .select("b", cnt.alias("c"), "x")
+    )
+    means = reps.groupBy("b").agg(
+        (
+            F.sum(F.col("c") * F.col("x")).cast("double") / F.sum("c")
+        ).alias("m")
+    )
+    ranked = means.withColumn(
+        "rn", F.row_number().over(Window.orderBy("m"))
+    )
+    lo = ranked.where(F.col("rn") == 2).select(F.col("m").alias("lo"))
+    hi = ranked.where(F.col("rn") == _BOOT_B - 1).select(
+        F.col("m").alias("hi")
+    )
+    pt = orders.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("est")
+    )
+    return (
+        pt.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.round("est", 6).alias("point_mean"),
+            F.round("lo", 6).alias("ci_lo"),
+            F.round("hi", 6).alias("ci_hi"),
+            F.lit(_BOOT_B).cast("bigint").alias("n_replicates"),
+        )
+    )

@@ -470,3 +470,17 @@ def test_skew_report_gini_and_hotkeys(spark):
         ["count", "l_suppkey"], ascending=[False, True]
     ).l_suppkey.head(5).tolist()
     assert hot == ref
+
+
+def test_poisson_bootstrap_ci_brackets_mean(spark):
+    import pandas as pd
+
+    row = QS["poisson_bootstrap_ci"](spark, SF_SMOKE).toPandas().iloc[0]
+    x = pd.read_parquet(f"{SF_SMOKE}/orders.parquet").o_totalprice
+    assert abs(row.point_mean - x.mean()) < 1e-3
+    assert row.ci_lo < row.point_mean < row.ci_hi
+    # width ~ 2 * 1.88sigma/sqrt(n) for the 2nd/31st of 32 replicates —
+    # sanity band only, not an exact quantile claim
+    import math
+    se = x.std() / math.sqrt(len(x))
+    assert 0.5 * se < (row.ci_hi - row.ci_lo) / 2 < 8 * se
