@@ -228,3 +228,125 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("click_id", key).cast("bigint").alias("last_touch"),
         F.count("*").alias("n_touches"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top user-journey trigrams: per user the (ts, event_id)-ordered event
+# stream yields sliding event-type 3-grams via window leads (no
+# collect, no self-join); global top-20 with a total order
+# (count DESC, path ASC) so the cut is deterministic.
+@_q(
+    "top_journey_trigrams",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS e,
+             lead(event_type, 1) OVER w AS e1,
+             lead(event_type, 2) OVER w AS e2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e || '>' || e1 || '>' || e2 AS path, COUNT(*) AS n
+    FROM seq WHERE e2 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def q_top_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e"),
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+    )
+    return (
+        seq.where(F.col("e2").isNotNull())
+        .select(
+            F.concat_ws(">", "e", "e1", "e2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event accuracy: the transition matrix learned on train
+# users (argmax next state per prior, ties to the lexicographically
+# smallest) is evaluated on held-out users' transitions — the
+# backtest shape that turns a descriptive transition matrix into a
+# scored predictor.
+_MARKOV_HOLDOUT_MOD = 5
+
+
+@_q(
+    "markov_next_event_accuracy",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS a,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS b
+      FROM events
+    ), trans AS (
+      SELECT * FROM seq WHERE b IS NOT NULL
+    ), train AS (
+      SELECT a, b, COUNT(*) AS c FROM trans
+      WHERE user_id % {_MARKOV_HOLDOUT_MOD} <> 0 GROUP BY 1, 2
+    ), pred AS (
+      SELECT a, b AS predicted FROM (
+        SELECT a, b, row_number() OVER (PARTITION BY a
+                     ORDER BY c DESC, b) AS rn
+        FROM train
+      ) WHERE rn = 1
+    )
+    SELECT t.a,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(COUNT(*) FILTER (t.b = p.predicted) AS BIGINT) AS n_correct,
+           round(CAST(COUNT(*) FILTER (t.b = p.predicted) AS DOUBLE)
+                 / COUNT(*), 6) AS accuracy
+    FROM trans t JOIN pred p ON p.a = t.a
+    WHERE t.user_id % {_MARKOV_HOLDOUT_MOD} = 0
+    GROUP BY t.a
+    """,
+)
+def q_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).where(F.col("b").isNotNull())
+    train = (
+        seq.where(F.col("user_id") % _MARKOV_HOLDOUT_MOD != 0)
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    pred = (
+        train.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("a").orderBy(F.desc("c"), F.asc("b"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("a", F.col("b").alias("predicted"))
+    )
+    test = seq.where(F.col("user_id") % _MARKOV_HOLDOUT_MOD == 0)
+    return (
+        test.join(F.broadcast(pred), "a")
+        .groupBy("a")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(
+                F.when(F.col("b") == F.col("predicted"), 1).otherwise(0)
+            ).alias("n_correct"),
+            F.round(
+                F.sum(
+                    F.when(F.col("b") == F.col("predicted"), 1).otherwise(0)
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("accuracy"),
+        )
+    )

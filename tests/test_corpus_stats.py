@@ -484,3 +484,23 @@ def test_poisson_bootstrap_ci_brackets_mean(spark):
     import math
     se = x.std() / math.sqrt(len(x))
     assert 0.5 * se < (row.ci_hi - row.ci_lo) / 2 < 8 * se
+
+
+def test_journey_trigrams_are_valid_paths(spark):
+    pdf = QS["top_journey_trigrams"](spark, SF_SMOKE).toPandas()
+    assert len(pdf) == 20
+    types = {"click", "view", "purchase", "signup", "error"}
+    for p in pdf.path:
+        parts = p.split(">")
+        assert len(parts) == 3 and all(x in types for x in parts)
+    # deterministic cut: counts nonincreasing, ties broken by path asc
+    assert (pdf.n.diff().dropna() <= 0).all()
+
+
+def test_markov_accuracy_beats_uniform_baseline(spark):
+    pdf = QS["markov_next_event_accuracy"](spark, SF_SMOKE).toPandas()
+    assert ((pdf.accuracy >= 0) & (pdf.accuracy <= 1)).all()
+    assert (pdf.n_correct <= pdf.n_test).all()
+    # pooled accuracy should beat 1/5 uniform guessing (5 event types)
+    pooled = pdf.n_correct.sum() / pdf.n_test.sum()
+    assert pooled > 0.2 * 0.8
