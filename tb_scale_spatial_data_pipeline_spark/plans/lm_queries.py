@@ -56,6 +56,7 @@ _SQL_WORDS = (
 _PMI_WINDOW = 2
 _PMI_MIN_COUNT = 30
 _PACK_CAP = 256
+_PACK_SHARD = 128
 _PPL_HOLDOUT_MOD = 5
 
 
@@ -158,41 +159,50 @@ def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Greedy next-fit sequence packing: per language, docs in doc_id
-# order fill 256-token bins; a doc that would overflow opens the next
-# bin. Sequential state => applyInPandas per group; the oracle is the
-# same recurrence as a recursive CTE.
+# Greedy next-fit sequence packing: per (language, 128-doc shard),
+# docs in doc_id order fill 256-token bins; a doc that would overflow
+# opens the next bin. Sequential state => applyInPandas per group,
+# and the SHARD is the scale contract: packing state never spans a
+# shard, so group size — and the oracle's recursion depth — is
+# bounded by the shard width at any corpus size (the unsharded form
+# took 280 s of recursive-CTE depth at sf0.1; sharded, 130 levels
+# max). The oracle is the same recurrence as a recursive CTE.
 @_q(
     "sequence_packing",
     f"""
     WITH words AS (
-      SELECT doc_id, lang, CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens
+      SELECT doc_id, lang,
+             CAST(doc_id // {_PACK_SHARD} AS BIGINT) AS shard,
+             CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens
       FROM documents
     ), seq AS (
-      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      SELECT *, row_number() OVER (PARTITION BY lang, shard
+                                   ORDER BY doc_id) AS rn
       FROM words
     ), packed AS (
       WITH RECURSIVE fill AS (
-        SELECT doc_id, lang, n_tokens, rn,
+        SELECT doc_id, lang, shard, n_tokens, rn,
                CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill_after
         FROM seq WHERE rn = 1
         UNION ALL
-        SELECT s.doc_id, s.lang, s.n_tokens, s.rn,
+        SELECT s.doc_id, s.lang, s.shard, s.n_tokens, s.rn,
                CASE WHEN f.fill_after + s.n_tokens <= {_PACK_CAP}
                     THEN f.bin_id ELSE f.bin_id + 1 END,
                CASE WHEN f.fill_after + s.n_tokens <= {_PACK_CAP}
                     THEN f.fill_after + s.n_tokens ELSE s.n_tokens END
-        FROM fill f JOIN seq s ON s.lang = f.lang AND s.rn = f.rn + 1
+        FROM fill f JOIN seq s ON s.lang = f.lang AND s.shard = f.shard
+                              AND s.rn = f.rn + 1
       )
       SELECT * FROM fill
     )
-    SELECT doc_id, lang, n_tokens, bin_id, fill_after FROM packed
+    SELECT doc_id, lang, shard, n_tokens, bin_id, fill_after FROM packed
     """,
 )
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
+        (F.col("doc_id") / _PACK_SHARD).cast("bigint").alias("shard"),
         F.size(word_tokens(normalize_text(F.col("text"))))
         .cast("bigint")
         .alias("n_tokens"),
@@ -215,9 +225,9 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf["fill_after"] = pd.Series(fills, dtype="int64")
         return pdf
 
-    return docs.groupBy("lang").applyInPandas(
+    return docs.groupBy("lang", "shard").applyInPandas(
         pack,
-        schema="doc_id bigint, lang string, n_tokens bigint, "
+        schema="doc_id bigint, lang string, shard bigint, n_tokens bigint, "
         "bin_id bigint, fill_after bigint",
     )
 

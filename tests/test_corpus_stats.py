@@ -140,7 +140,9 @@ def test_sequence_packing_respects_capacity_and_order(spark):
     pdf = QS["sequence_packing"](spark, SF_SMOKE).toPandas()
     assert (pdf.fill_after <= 256).all()
     assert (pdf.n_tokens <= pdf.fill_after).all()
-    for _, g in pdf.groupby("lang"):
+    # sharding contract: packing state never spans a shard
+    assert (pdf.shard == pdf.doc_id // 128).all()
+    for _, g in pdf.groupby(["lang", "shard"]):
         g = g.sort_values("doc_id")
         # bin ids are nondecreasing along the packing order and the
         # fill recurrence holds exactly
