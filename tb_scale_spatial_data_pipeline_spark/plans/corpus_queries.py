@@ -440,3 +440,130 @@ def q_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").alias("entity_id"),
         F.count(F.lit(1)).over(w).alias("entity_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The final corpus cut: a doc survives if it is (a) not repetitive
+# (Gopher fractions), (b) not benchmark-contaminated, and (c) not a
+# non-first exact duplicate. Per-source acceptance report — the
+# decision artifact a curation pipeline actually ships. Composes the
+# tier's filters in ONE plan: each input is an aggregate/semi-join
+# over already-bounded intermediates, so the cut costs no more than
+# its parts.
+@_q(
+    "corpus_final_cut",
+    f"""
+    WITH words AS (
+      SELECT doc_id, source, {_SQL_WORDS} AS w FROM documents
+    ), uni AS (
+      SELECT doc_id, word, COUNT(*) AS c
+      FROM words, LATERAL unnest(w) AS u(word) GROUP BY 1, 2
+    ), rep AS (
+      SELECT doc_id, CAST(max(c) AS DOUBLE) / SUM(c) > {_TOP_WORD_FRAC} AS repetitive
+      FROM uni GROUP BY doc_id
+    ), grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+{_GRAM_N - 1}], ' ') AS gram
+      FROM words, LATERAL unnest(generate_series(1, len(w) - {_GRAM_N - 1})) AS s(i)
+      WHERE len(w) >= {_GRAM_N}
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % {_BENCH_MOD} = 0
+    ), contaminated AS (
+      SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram)
+      WHERE g.doc_id % {_BENCH_MOD} <> 0
+    ), dups AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (
+          PARTITION BY md5(array_to_string(w, ' ')) ORDER BY doc_id) AS rn
+        FROM words
+      ) WHERE rn > 1
+    ), verdicts AS (
+      SELECT w.doc_id, w.source,
+             (NOT r.repetitive
+              AND c.doc_id IS NULL
+              AND d.doc_id IS NULL
+              AND w.doc_id % {_BENCH_MOD} <> 0) AS accepted
+      FROM words w
+      JOIN rep r ON r.doc_id = w.doc_id
+      LEFT JOIN contaminated c ON c.doc_id = w.doc_id
+      LEFT JOIN dups d ON d.doc_id = w.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (accepted) AS BIGINT) AS n_accepted,
+           round(CAST(COUNT(*) FILTER (accepted) AS DOUBLE) / COUNT(*), 6)
+             AS acceptance_rate
+    FROM verdicts GROUP BY source
+    """,
+)
+def q_corpus_final_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", word_tokens(normalize_text(F.col("text"))).alias("w")
+    )
+    rep = (
+        words.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c") > _TOP_WORD_FRAC).alias(
+                "repetitive"
+            )
+        )
+    )
+    grams = (
+        words.where(F.size("w") >= _GRAM_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {_GRAM_N - 1}),"
+                    f" i -> array_join(slice(w, i, {_GRAM_N}), ' '))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    bench = grams.where(F.col("doc_id") % _BENCH_MOD == 0).select("gram").distinct()
+    contaminated = (
+        grams.where(F.col("doc_id") % _BENCH_MOD != 0)
+        .join(F.broadcast(bench), "gram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contam", F.lit(True))
+    )
+    dups = (
+        words.select(
+            "doc_id", F.md5(F.array_join("w", " ")).alias("fp")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+        )
+        .where(F.col("rn") > 1)
+        .select("doc_id")
+        .withColumn("is_dup", F.lit(True))
+    )
+    verdicts = (
+        words.select("doc_id", "source")
+        .join(rep, "doc_id")
+        .join(contaminated, "doc_id", "left")
+        .join(dups, "doc_id", "left")
+        .select(
+            "source",
+            (
+                (~F.col("repetitive"))
+                & F.col("is_contam").isNull()
+                & F.col("is_dup").isNull()
+                & (F.col("doc_id") % _BENCH_MOD != 0)
+            ).alias("accepted"),
+        )
+    )
+    return verdicts.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("accepted"), 1).otherwise(0)).alias("n_accepted"),
+        F.round(
+            F.sum(F.when(F.col("accepted"), 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("acceptance_rate"),
+    )

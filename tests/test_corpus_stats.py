@@ -506,3 +506,17 @@ def test_markov_accuracy_beats_uniform_baseline(spark):
     # pooled accuracy should beat 1/5 uniform guessing (5 event types)
     pooled = pdf.n_correct.sum() / pdf.n_test.sum()
     assert pooled > 0.2 * 0.8
+
+
+def test_corpus_final_cut_consistent_with_parts(spark):
+    cut = QS["corpus_final_cut"](spark, SF_SMOKE).toPandas()
+    assert (cut.n_accepted <= cut.n_docs).all()
+    assert 0 < cut.n_accepted.sum() < cut.n_docs.sum()
+    # cross-check against the standalone filters: accepted docs can be
+    # at most (all docs) - (repetitive) - (contaminated) - (bench docs)
+    rep = QS["gopher_repetition_quality"](spark, SF_SMOKE).toPandas()
+    contam = QS["benchmark_decontamination"](spark, SF_SMOKE).toPandas()
+    n_docs = cut.n_docs.sum()
+    n_rep_word = (rep.top_word_frac > 0.10).sum()
+    upper = n_docs - max(n_rep_word, 0)
+    assert cut.n_accepted.sum() <= upper
