@@ -261,3 +261,69 @@ def q_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini"),
         F.col("hot").alias("top5_keys"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trending movers: parts ranked by 1997 vs 1998 revenue; report the
+# biggest rank climbers among parts present in both years. Rank delta
+# on the integer lattice (dense ranks, (revenue DESC, part) total
+# order) — the "what's trending" report, computed from two per-period
+# aggregates joined on the key, never a full history scan.
+@_q(
+    "trending_rank_movers",
+    """
+    WITH rev AS (
+      SELECT l.l_partkey AS part, year(o.o_orderdate) AS y,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS r
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE year(o.o_orderdate) IN (1997, 1998)
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT part, y,
+             row_number() OVER (PARTITION BY y ORDER BY r DESC, part) AS rk
+      FROM rev
+    ), piv AS (
+      SELECT a.part, a.rk AS rk_97, b.rk AS rk_98,
+             a.rk - b.rk AS climb
+      FROM ranked a JOIN ranked b ON a.part = b.part
+      WHERE a.y = 1997 AND b.y = 1998
+    )
+    SELECT part, CAST(rk_97 AS BIGINT) AS rk_97,
+           CAST(rk_98 AS BIGINT) AS rk_98,
+           CAST(climb AS BIGINT) AS climb
+    FROM piv ORDER BY climb DESC, part LIMIT 25
+    """,
+)
+def q_trending_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.year("o_orderdate").isin(1997, 1998))
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.year("o_orderdate").alias("y"),
+        )
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("y").orderBy(F.desc("r"), F.asc("part"))
+    )
+    ranked = rev.withColumn("rk", rk)
+    a = ranked.where(F.col("y") == 1997).select(
+        "part", F.col("rk").alias("rk_97")
+    )
+    b = ranked.where(F.col("y") == 1998).select(
+        F.col("part").alias("part_b"), F.col("rk").alias("rk_98")
+    )
+    return (
+        a.join(b, a.part == b.part_b)
+        .select(
+            "part",
+            F.col("rk_97").cast("bigint").alias("rk_97"),
+            F.col("rk_98").cast("bigint").alias("rk_98"),
+            (F.col("rk_97") - F.col("rk_98")).cast("bigint").alias("climb"),
+        )
+        .orderBy(F.desc("climb"), F.asc("part"))
+        .limit(25)
+    )
