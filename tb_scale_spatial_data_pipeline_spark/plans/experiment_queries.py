@@ -20,7 +20,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._util import t
@@ -281,5 +281,116 @@ def q_bisection_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.sparkSession.createDataFrame(
             [(n, float(med))], "n bigint, median_value double"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier time-to-first-purchase: per user, origin = first event,
+# event = first purchase, right-censored at the last observed event
+# for never-purchasers. S(t) = exp(Σ_{t_i <= t} ln(1 - d_i/n_i)) —
+# the cumulative window's frame pins the ln-sum order, so the float
+# accumulation is engine-identical (the same guarantee every running
+# window in the repo relies on). Data reduces to per-distinct-time
+# (deaths, at-risk) counts before any float math.
+@_q(
+    "kaplan_meier_conversion",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(ts) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_ev,
+             max(ts) AS t_last
+      FROM events GROUP BY user_id
+    ), spells AS (
+      SELECT user_id,
+             CASE WHEN t_ev IS NOT NULL
+                  THEN CAST(date_diff('second', t0, t_ev) AS BIGINT)
+                  ELSE CAST(date_diff('second', t0, t_last) AS BIGINT)
+             END AS t_sec,
+             (t_ev IS NOT NULL) AS observed
+      FROM per_user
+    ), times AS (
+      SELECT t_sec,
+             COUNT(*) FILTER (observed) AS d,
+             COUNT(*) AS leaving
+      FROM spells GROUP BY t_sec
+    ), risk AS (
+      SELECT t_sec, d,
+             SUM(leaving) OVER (ORDER BY t_sec DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+      FROM times
+    )
+    SELECT CAST(t_sec AS BIGINT) AS t_sec,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           -- terminal time may have d = n_risk (survival hits exact 0):
+           -- keep ln() off that row and zero via the cumulative flag
+           CASE WHEN SUM(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t_sec
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+                THEN 0.0
+                ELSE round(exp(SUM(CASE WHEN d = n_risk THEN 0.0
+                                        ELSE ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                                   END)
+                     OVER (ORDER BY t_sec
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                 6) END AS survival
+    FROM risk WHERE d > 0
+    """,
+)
+def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_ev"
+        ),
+        F.max("ts").alias("t_last"),
+    )
+    t_end = F.coalesce(F.col("t_ev"), F.col("t_last"))
+    spells = per_user.select(
+        (
+            F.unix_timestamp(t_end) - F.unix_timestamp(F.col("t0"))
+        ).cast("bigint").alias("t_sec"),
+        F.col("t_ev").isNotNull().alias("observed"),
+    )
+    times = spells.groupBy("t_sec").agg(
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).alias("d"),
+        F.count("*").alias("leaving"),
+    )
+    w_desc = Window.orderBy(F.desc("t_sec")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = times.select(
+        "t_sec", "d", F.sum("leaving").over(w_desc).alias("n_risk")
+    )
+    w_asc = Window.orderBy("t_sec").rowsBetween(Window.unboundedPreceding, 0)
+    hit_zero = (
+        F.sum(
+            F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+        ).over(w_asc)
+        > 0
+    )
+    surv = F.when(hit_zero, F.lit(0.0)).otherwise(
+        F.round(
+            F.exp(
+                F.sum(
+                    F.when(F.col("d") == F.col("n_risk"), F.lit(0.0)).otherwise(
+                        F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))
+                    )
+                ).over(w_asc)
+            ),
+            6,
+        )
+    )
+    return (
+        risk.withColumn("survival", surv)
+        .where(F.col("d") > 0)
+        .select(
+            F.col("t_sec").cast("bigint").alias("t_sec"),
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("d").cast("bigint").alias("n_events"),
+            "survival",
         )
     )

@@ -520,3 +520,49 @@ def test_corpus_final_cut_consistent_with_parts(spark):
     n_rep_word = (rep.top_word_frac > 0.10).sum()
     upper = n_docs - max(n_rep_word, 0)
     assert cut.n_accepted.sum() <= upper
+
+
+def test_kaplan_meier_monotone_and_matches_reference(spark):
+    import pandas as pd
+
+    pdf = (
+        QS["kaplan_meier_conversion"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("t_sec")
+        .reset_index(drop=True)
+    )
+    # survival is nonincreasing in [0, 1]
+    assert ((pdf.survival >= 0) & (pdf.survival <= 1)).all()
+    assert (pdf.survival.diff().dropna() <= 1e-12).all()
+    # independent product-limit reference from raw events
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    per = ev.groupby("user_id").agg(
+        t0=("ts", "min"), t_last=("ts", "max")
+    )
+    tp = (
+        ev[ev.event_type == "purchase"].groupby("user_id").ts.min()
+    )
+    per["t_ev"] = tp
+    # engines truncate each timestamp to seconds BEFORE subtracting
+    # (unix_timestamp / date_diff('second')); mirror that here
+    end = per.t_ev.fillna(per.t_last)
+    spells = pd.DataFrame(
+        {
+            "t": (
+                end.astype("datetime64[s]").astype("int64")
+                - per.t0.astype("datetime64[s]").astype("int64")
+            ).astype("int64"),
+            "obs": per.t_ev.notna(),
+        }
+    )
+    s = 1.0
+    ref = {}
+    for tt in sorted(spells[spells.obs].t.unique()):
+        n_risk = (spells.t >= tt).sum()
+        d = ((spells.t == tt) & spells.obs).sum()
+        s *= 1 - d / n_risk
+        ref[tt] = round(s, 6)
+    got = dict(zip(pdf.t_sec, pdf.survival))
+    assert got.keys() == ref.keys()
+    for k in ref:
+        assert abs(got[k] - ref[k]) < 1e-5, (k, got[k], ref[k])
