@@ -36,19 +36,24 @@ def _q(name: str, oracle: str | None = None):
 
 # The same md5-sampled co-supplier edge set as triangle_count
 # (relational6) — undirected pairs u < v, symmetrized for walks.
+# MATERIALIZED throughout: the unrolled pagerank/label-prop rounds
+# reference `edges` (and each other) repeatedly — without it DuckDB
+# re-inlines the e0 self-join per reference, which at sf0.1 turns the
+# label-prop oracle from seconds into a hang (2^rounds chain
+# re-derivations; the same lesson as the CC and k-core oracles).
 _SQL_EDGES = """
-    ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-    e0 AS (
+    ps AS MATERIALIZED (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    e0 AS MATERIALIZED (
       SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
       FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
                          AND a.l_suppkey < b.l_suppkey
     ),
-    eu AS (
+    eu AS MATERIALIZED (
       SELECT u, v FROM e0
       WHERE CAST(('0x' || substring(md5(CAST(u * 1000 + v AS VARCHAR)), 1, 4))
                  AS INTEGER) < 9830
     ),
-    edges AS (SELECT u AS src, v AS dst FROM eu
+    edges AS MATERIALIZED (SELECT u AS src, v AS dst FROM eu
               UNION ALL SELECT v AS src, u AS dst FROM eu)
 """
 
@@ -75,16 +80,16 @@ def _sql_pagerank() -> str:
     d = _PR_DAMP
     ctes = [
         _SQL_EDGES.strip().rstrip(),
-        """nodes AS (SELECT DISTINCT src AS node FROM edges),
-    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-    deg AS (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS outdeg
+        """nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+    n AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS outdeg
             FROM edges GROUP BY src),
-    r0 AS (SELECT node, round(1.0 / (SELECT n FROM n), 12) AS rank
+    r0 AS MATERIALIZED (SELECT node, round(1.0 / (SELECT n FROM n), 12) AS rank
            FROM nodes)""",
     ]
     for k in range(_PR_ITERS):
         ctes.append(
-            f"""r{k + 1} AS (
+            f"""r{k + 1} AS MATERIALIZED (
       SELECT nd.node,
              round((1.0 - {d}) / (SELECT n FROM n)
                    + {d} * COALESCE(c.contrib, 0.0), 12) AS rank
@@ -158,12 +163,12 @@ def _sql_label_propagation() -> str:
     # frontier: this is the fixed-round synchronous form.
     ctes = [
         _SQL_EDGES.strip(),
-        """nodes AS (SELECT DISTINCT src AS node FROM edges),
-    l0 AS (SELECT node, node AS label FROM nodes)""",
+        """nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+    l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)""",
     ]
     for k in range(_LP_ITERS):
         ctes.append(
-            f"""l{k + 1} AS (
+            f"""l{k + 1} AS MATERIALIZED (
       SELECT n.node, LEAST(o.label, COALESCE(m.nbr_min, o.label)) AS label
       FROM nodes n
       JOIN l{k} o ON o.node = n.node
