@@ -566,3 +566,14 @@ def test_kaplan_meier_monotone_and_matches_reference(spark):
     assert got.keys() == ref.keys()
     for k in ref:
         assert abs(got[k] - ref[k]) < 1e-5, (k, got[k], ref[k])
+
+
+def test_trending_movers_rank_consistency(spark):
+    import pandas as pd
+
+    pdf = QS["trending_rank_movers"](spark, SF_SMOKE).toPandas()
+    assert len(pdf) == 25
+    assert (pdf.climb == pdf.rk_97 - pdf.rk_98).all()
+    # the cut is the top of a total order: climbs nonincreasing
+    assert (pdf.climb.diff().dropna() <= 0).all()
+    assert (pdf.rk_97 >= 1).all() and (pdf.rk_98 >= 1).all()
