@@ -290,3 +290,101 @@ def q_bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = dist.unionByName(nxt).localCheckpoint()
         frontier = nxt.select("node")
     return dist.select(F.col("node").alias("s_suppkey"), "hop")
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source(-set) shortest paths: Bellman-Ford relaxation
+# rounds over the co-part supplier graph with deterministic integer
+# edge weights (md5-derived, 1..9, symmetric per undirected edge).
+#
+# Scale (100 TB): each round is ONE join (dist x edges, shuffled on
+# the node key) + ONE min aggregation — rows in flight are |dist| +
+# |edges|, never a pair explosion. Round count is the weighted-path
+# hop diameter, not |V|; localCheckpoint truncates lineage per round
+# (the same discipline as connected_components / pagerank). Integer
+# weights keep every distance exact, so the unrolled-CTE oracle is
+# bit-identical. Production variant for huge diameters: delta-stepping
+# (bucketed relaxation); this fixture's diameter fits the fixed-round
+# form, asserted by test_sssp_converged_before_round_cap.
+_SSSP_ROUNDS = 10
+
+_SQL_WEDGES = """
+    wedges AS MATERIALIZED (
+      SELECT u, v,
+             CAST(('0x' || substring(md5(CAST(u * 1000 + v AS VARCHAR)), 5, 2))
+                  AS INTEGER) % 9 + 1 AS w
+      FROM eu
+    ),
+    edgesw AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM wedges
+               UNION ALL SELECT v AS src, u AS dst, w FROM wedges)
+"""
+
+
+def _sql_sssp() -> str:
+    ctes = [
+        _SQL_EDGES.strip().rstrip(),
+        _SQL_WEDGES.strip().rstrip(),
+        """d0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+      FROM edgesw WHERE src % 20 = 0)""",
+    ]
+    for k in range(_SSSP_ROUNDS):
+        ctes.append(
+            f"""d{k + 1} AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{k}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM d{k} d JOIN edgesw e ON e.src = d.node
+      ) GROUP BY node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS s_suppkey, CAST(dist AS BIGINT) AS dist
+    FROM d{_SSSP_ROUNDS}
+    """
+    )
+
+
+def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eu = _undirected_edges(spark, sf_dir)
+    w = (
+        F.conv(
+            F.substring(F.md5((F.col("u") * 1000 + F.col("v")).cast("string")), 5, 2),
+            16,
+            10,
+        ).cast("int")
+        % 9
+        + 1
+    ).cast("bigint")
+    ew = eu.withColumn("w", w)
+    return ew.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionByName(ew.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w"))
+
+
+@_q("sssp_weighted", _sql_sssp())
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _weighted_edges(spark, sf_dir).localCheckpoint(eager=True)
+    dist = (
+        edges.select(F.col("src").alias("node"))
+        .where(F.col("node") % 20 == 0)
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .localCheckpoint()
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = (
+            dist.join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.select(F.col("node").alias("s_suppkey"), "dist")

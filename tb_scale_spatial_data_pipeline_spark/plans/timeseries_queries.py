@@ -314,3 +314,63 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "close",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection, closed form. The textbook one-sided
+# CUSUM is the sequential recurrence s_i = max(0, s_{i-1} + (x_i - c))
+# — apparently unparallelizable. But unrolling gives
+#   s_i = P_i - min(0, P_0, ..., P_i)   with P = running sum of (x-c),
+# so it is TWO window functions (running sum + running min), no
+# recursion, no applyInPandas. Per-user windows mean the global plan
+# is embarrassingly parallel over users at 100 TB; arithmetic stays on
+# the decimal lattice (values have <=2 dp) so both engines produce
+# bit-identical statistics in any partitioning. Rows where s crosses
+# the alarm threshold h are the change-point alarms.
+_CUSUM_C = 65.0    # drift allowance: a bit above the value mean (~50)
+_CUSUM_H = 180.0   # alarm threshold
+
+
+@_q(
+    "cusum_changepoint",
+    f"""
+    WITH stepped AS (
+      SELECT user_id, ts, event_id,
+             SUM(CAST(value - {_CUSUM_C} AS DECIMAL(18,2)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS p
+      FROM events
+    ), runmin AS (
+      SELECT user_id, ts, event_id, p,
+             MIN(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS m
+      FROM stepped
+    ), cusum AS (
+      -- CASE, not LEAST: DuckDB's LEAST over decimals promotes to
+      -- DOUBLE, silently losing the exact-lattice property
+      SELECT user_id, ts, event_id,
+             CASE WHEN m < 0 THEN p - m ELSE p END AS s
+      FROM runmin
+    )
+    SELECT user_id, ts, event_id, CAST(s AS DOUBLE) AS cusum_stat
+    FROM cusum WHERE s > {_CUSUM_H}
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = F.sum((F.col("value") - F.lit(_CUSUM_C)).cast("decimal(18,2)")).over(w)
+    stepped = ev.select("user_id", "ts", "event_id", p.alias("p"))
+    m = F.min("p").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    s = F.when(m < 0, F.col("p") - m).otherwise(F.col("p"))
+    return (
+        stepped.withColumn("s", s)
+        .where(F.col("s") > _CUSUM_H)
+        .select("user_id", "ts", "event_id", F.col("s").cast("double").alias("cusum_stat"))
+    )
