@@ -230,3 +230,66 @@ def q_snapshot_delta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("added_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private noisy counts (Laplace mechanism) with
+# ENGINE-REPRODUCIBLE noise: the uniform draw is the first 8 hex chars
+# of md5(lang|source) — a deterministic function of the group key, so
+# Spark and DuckDB derive bit-identical "randomness" (the repo's
+# seeded-md5 idiom, same as weighted_sample_orders / poisson_bootstrap).
+# noise = -b * sign(u-0.5) * ln(1 - 2|u-0.5|) is the standard inverse-
+# CDF Laplace transform; b = sensitivity/epsilon = 1/0.5 for a count.
+# At 100 TB this is one aggregation + a scalar expression per group —
+# the DP release adds zero distributed work. ln is transcendental →
+# round(...,6) last-ulp seam.
+_DP_EPSILON = 0.5
+_DP_B = 1.0 / _DP_EPSILON
+
+
+@_q(
+    "dp_noisy_counts",
+    f"""
+    WITH counts AS (
+      SELECT lang, source, COUNT(*) AS true_count
+      FROM documents GROUP BY lang, source
+    ), draws AS (
+      SELECT lang, source, true_count,
+             CAST(('0x' || substring(md5(lang || '|' || source), 1, 8))
+                  AS BIGINT) / 4294967296.0 AS u
+      FROM counts
+    )
+    SELECT lang, source, true_count,
+           round(true_count
+                 - {_DP_B} * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)),
+                 6) AS noisy_count
+    FROM draws
+    ORDER BY lang, source
+    """,
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("lang"), F.col("source"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    noise = (
+        -F.lit(_DP_B)
+        * F.signum(u - 0.5)
+        * F.log(F.lit(1.0) - 2.0 * F.abs(u - 0.5))
+    )
+    return counts.select(
+        "lang",
+        "source",
+        "true_count",
+        F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
+    ).orderBy("lang", "source")

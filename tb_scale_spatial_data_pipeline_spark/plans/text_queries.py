@@ -723,3 +723,89 @@ def fuzzy_name_bands(part: DataFrame, width: int = 4) -> DataFrame:
             )
         ).alias("band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index conjunctive search: the search-engine core loop as a
+# relational plan. Postings = (term, doc, tf); an AND-of-terms query is
+# a semi-join against the posting lists of the query terms only — the
+# term filter lands in the parquet scan's generated predicate, so at
+# 100 TB the index build shuffles |postings of matched terms|, never
+# the corpus. Ranking is tf-idf with the per-term products summed in a
+# FIXED expression order (t1 + t2 + t3) so the one transcendental (ln)
+# accumulates identically in both engines; round(...,6) is the usual
+# last-ulp seam.
+_SEARCH_TERMS = ("vector", "hash", "window")  # conjunctive AND query
+
+
+def _sql_inverted_search() -> str:
+    terms = ", ".join(f"'{x}'" for x in _SEARCH_TERMS)
+    score = " + ".join(
+        f"tf_{x} * ln((SELECT n FROM total) / CAST(df_{x} AS DOUBLE))"
+        for x in _SEARCH_TERMS
+    )
+    tf_cols = ", ".join(
+        f"SUM(CASE WHEN tok = '{x}' THEN 1 ELSE 0 END) AS tf_{x}"
+        for x in _SEARCH_TERMS
+    )
+    df_cols = ", ".join(
+        f"COUNT(DISTINCT CASE WHEN tok = '{x}' THEN doc_id END) AS df_{x}"
+        for x in _SEARCH_TERMS
+    )
+    conj = " AND ".join(f"tf_{x} > 0" for x in _SEARCH_TERMS)
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+      FROM documents
+    ), hits AS MATERIALIZED (
+      SELECT doc_id, tok FROM toks WHERE tok IN ({terms})
+    ),
+    total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    dfs AS (SELECT {df_cols} FROM hits),
+    tfs AS (SELECT doc_id, {tf_cols} FROM hits GROUP BY doc_id)
+    SELECT doc_id, round({score}, 6) AS score
+    FROM tfs, dfs
+    WHERE {conj}
+    ORDER BY score DESC, doc_id LIMIT 20
+    """
+
+
+@_q("inverted_index_search", _sql_inverted_search())
+def q_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    hits = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("tok"),
+    ).where(F.col("tok").isin(*_SEARCH_TERMS))
+    tfs = hits.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("tok") == x, 1).otherwise(0)).alias(f"tf_{x}")
+            for x in _SEARCH_TERMS
+        ]
+    )
+    dfs = hits.agg(
+        *[
+            F.countDistinct(
+                F.when(F.col("tok") == x, F.col("doc_id"))
+            ).alias(f"df_{x}")
+            for x in _SEARCH_TERMS
+        ]
+    )
+    total = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    score = None
+    for x in _SEARCH_TERMS:
+        term = F.col(f"tf_{x}") * F.log(F.col("n") / F.col(f"df_{x}").cast("double"))
+        score = term if score is None else score + term
+    conj = None
+    for x in _SEARCH_TERMS:
+        c = F.col(f"tf_{x}") > 0
+        conj = c if conj is None else conj & c
+    return (
+        tfs.join(F.broadcast(dfs))
+        .join(F.broadcast(total))
+        .where(conj)
+        .select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
