@@ -324,3 +324,136 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_nll"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (byte-pair encoding, the tokenizer-training core
+# loop): start from characters, repeatedly merge the highest-count
+# adjacent symbol pair. The distributed step is the corpus word-type
+# count (at 100 TB: one aggregation over the token stream); every
+# merge round then runs over the word-TYPE table (|vocab| rows, not
+# |corpus|), exactly how production BPE trainers exploit type counts.
+# Per round only the single argmax pair row moves to the driver (the
+# k-means-centroid discipline), which becomes a literal in the next
+# round's plan.
+#
+# Merge application is greedy left-to-right non-overlapping — the BPE
+# convention — implemented with three plain string replaces: double
+# every boundary space, replace ' a  b ' with ' ab ', collapse double
+# spaces. The doubling makes adjacent occurrences share no characters
+# (each match consumes one private space per side), so engine
+# replace-all semantics are identical; no regex lookahead (which RE2/
+# DuckDB lacks) is needed. Pair counting is the standard overlapping
+# zip(s, s[1:]) weighted by type count; ties break on (lft, rgt)
+# ascii order in both engines.
+_BPE_MERGES = 8
+
+
+def _sql_bpe() -> str:
+    ctes = [
+        """words AS MATERIALIZED (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    w0 AS MATERIALIZED (
+      SELECT word, cnt,
+             ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym
+      FROM words
+    )"""
+    ]
+    for k in range(_BPE_MERGES):
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+      SELECT l[i] AS lft, l[i + 1] AS rgt, SUM(cnt) AS pair_count
+      FROM (
+        SELECT cnt, l, unnest(range(1, len(l))) AS i
+        FROM (SELECT cnt, string_split(trim(sym), ' ') AS l FROM w{k})
+      ) GROUP BY lft, rgt
+    ),
+    m{k} AS MATERIALIZED (
+      SELECT lft, rgt, pair_count FROM p{k}
+      ORDER BY pair_count DESC, lft, rgt LIMIT 1
+    ),
+    w{k + 1} AS MATERIALIZED (
+      SELECT word, cnt,
+             replace(replace(replace(sym, ' ', '  '),
+                     ' ' || (SELECT lft FROM m{k}) || '  '
+                         || (SELECT rgt FROM m{k}) || ' ',
+                     ' ' || (SELECT lft FROM m{k})
+                         || (SELECT rgt FROM m{k}) || ' '),
+                     '  ', ' ') AS sym
+      FROM w{k}
+    )"""
+        )
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {k + 1} AS merge_round, lft, rgt, pair_count FROM m{k}"
+        for k in range(_BPE_MERGES)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(merge_round AS BIGINT) AS merge_round, lft, rgt,
+           CAST(pair_count AS BIGINT) AS pair_count
+    FROM ({sel}) ORDER BY merge_round
+    """
+    )
+
+
+@_q("bpe_merge_train", _sql_bpe())
+def q_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+            ).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = words.withColumn(
+        "sym",
+        F.concat(F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 ")),
+    ).localCheckpoint()
+
+    merges = []
+    for k in range(_BPE_MERGES):
+        pairs = (
+            w.withColumn("l", F.split(F.trim(F.col("sym")), " "))
+            # single-symbol words yield no pairs; also guards Spark's
+            # sequence(1, 0), which counts DOWN instead of emptying
+            .where(F.size(F.col("l")) >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(l) - 1), "
+                        "i -> struct(element_at(l, i) AS lft, "
+                        "element_at(l, i + 1) AS rgt))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.lft").alias("lft"), F.col("p.rgt").alias("rgt"))
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        best = pairs.orderBy(
+            F.desc("pair_count"), F.asc("lft"), F.asc("rgt")
+        ).first()
+        merges.append((k + 1, best.lft, best.rgt, best.pair_count))
+        doubled = F.replace(F.col("sym"), F.lit(" "), F.lit("  "))
+        merged = F.replace(
+            doubled,
+            F.lit(f" {best.lft}  {best.rgt} "),
+            F.lit(f" {best.lft}{best.rgt} "),
+        )
+        w = w.withColumn(
+            "sym", F.replace(merged, F.lit("  "), F.lit(" "))
+        ).localCheckpoint()
+
+    return spark.createDataFrame(
+        merges, "merge_round bigint, lft string, rgt string, pair_count bigint"
+    ).orderBy("merge_round")

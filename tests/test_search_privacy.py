@@ -64,3 +64,53 @@ def test_dp_noise_properties(spark):
     # determinism: same release on re-run (md5-seeded, not RNG)
     again = QUERIES["dp_noisy_counts"](spark, SF_SMOKE).collect()
     assert rows == again
+
+
+def test_bpe_merges_match_reference_algorithm(spark):
+    """Replay Sennrich-style BPE training in pure Python on the same
+    word-type counts and compare the learned merge table."""
+    import collections
+
+    from tb_scale_spatial_data_pipeline_spark.plans.lm_queries import (
+        _BPE_MERGES,
+        QUERIES,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    words = collections.Counter()
+    for text in docs.text:
+        for w in re.split(r"[^a-z0-9]+", text.lower()):
+            if w:
+                words[w] += 1
+    vocab = {tuple(w): c for w, c in words.items()}
+
+    expected = []
+    for rnd in range(1, _BPE_MERGES + 1):
+        pairs = collections.Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        (lft, rgt), pc = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((rnd, lft, rgt, pc))
+        merged = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lft and syms[i + 1] == rgt:
+                    out.append(lft + rgt)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged[tuple(out)] = merged.get(tuple(out), 0) + c
+        vocab = merged
+
+    got = [
+        (r.merge_round, r.lft, r.rgt, r.pair_count)
+        for r in QUERIES["bpe_merge_train"](spark, SF_SMOKE).collect()
+    ]
+    assert got == expected
+    # nonvacuity: a later merge must build on an earlier merged symbol
+    assert any(len(l) > 1 or len(r) > 1 for _, l, r, _ in got[1:])
