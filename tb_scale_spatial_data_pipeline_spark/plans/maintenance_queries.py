@@ -146,3 +146,97 @@ def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n").cast("bigint").alias("n"),
         F.col("s").cast("double").alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Golden-record survivorship (master-data merge): after entity
+# resolution clusters name variants (fuzzy pairs -> connected
+# components, reusing operators/dedup.connected_components), build ONE
+# canonical record per entity with explicit survivorship rules:
+#   - canonical_brand: most frequent brand in the cluster, ties to the
+#     lexicographically smallest (deterministic mode);
+#   - max_price: max retail price across members (2-dp doubles, exact);
+#   - latest_type: attribute of the most recent member (arg-max by
+#     p_partkey, the recency proxy; unique key => deterministic);
+#   - n_parts: member accounting.
+# Names with no fuzzy match survive as their own singleton entity
+# (COALESCE to self), the standard MDM contract. Scale: the fuzzy
+# block join and CC are the bounded ER pipeline already audited; the
+# survivorship layer is two grouped aggregations + one broadcast-back
+# of the tiny per-entity mode table.
+@_q(
+    "golden_record_survivorship",
+    """
+    WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+    pairs AS MATERIALIZED (
+      SELECT a.p_name AS name_a, b.p_name AS name_b
+      FROM n a JOIN n b
+        ON substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+       AND abs(length(a.p_name) - length(b.p_name)) <= 2
+       AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ),
+    edges AS (SELECT name_a AS s, name_b AS d FROM pairs
+              UNION ALL SELECT name_b, name_a FROM pairs),
+    reach(node, lbl) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+      WHERE r.lbl < e.d
+    ),
+    labels AS MATERIALIZED (
+      SELECT node AS name, MIN(lbl) AS entity_id FROM reach GROUP BY node
+    ),
+    members AS MATERIALIZED (
+      SELECT COALESCE(l.entity_id, p.p_name) AS entity_id, p.*
+      FROM part p LEFT JOIN labels l ON l.name = p.p_name
+    ),
+    brand_counts AS (
+      SELECT entity_id, p_brand, COUNT(*) AS c,
+             row_number() OVER (PARTITION BY entity_id
+                                ORDER BY COUNT(*) DESC, p_brand) AS rn
+      FROM members GROUP BY entity_id, p_brand
+    )
+    SELECT m.entity_id,
+           CAST(COUNT(DISTINCT m.p_name) AS BIGINT) AS n_names,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           max(b.p_brand) AS canonical_brand,
+           max(m.p_retailprice) AS max_price,
+           arg_max(m.p_type, m.p_partkey) AS latest_type
+    FROM members m
+    JOIN brand_counts b ON b.entity_id = m.entity_id AND b.rn = 1
+    GROUP BY m.entity_id
+    """,
+)
+def q_golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+    from .text_queries import q_fuzzy_name_match
+
+    part = t(spark, sf_dir, "part")
+    pairs = q_fuzzy_name_match(spark, sf_dir).select("name_a", "name_b")
+    labels = connected_components(pairs, "name_a", "name_b").select(
+        F.col("node").alias("p_name"), F.col("cluster_id").alias("entity_id")
+    )
+    members = part.join(F.broadcast(labels), "p_name", "left").withColumn(
+        "entity_id", F.coalesce(F.col("entity_id"), F.col("p_name"))
+    )
+    brand_rn = Window.partitionBy("entity_id").orderBy(
+        F.desc("c"), F.asc("p_brand")
+    )
+    canonical = (
+        members.groupBy("entity_id", "p_brand")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(brand_rn))
+        .where(F.col("rn") == 1)
+        .select("entity_id", F.col("p_brand").alias("canonical_brand"))
+    )
+    agg = members.groupBy("entity_id").agg(
+        F.countDistinct("p_name").alias("n_names"),
+        F.count(F.lit(1)).alias("n_parts"),
+        F.max("p_retailprice").alias("max_price"),
+        F.max_by("p_type", "p_partkey").alias("latest_type"),
+    )
+    return agg.join(F.broadcast(canonical), "entity_id").select(
+        "entity_id", "n_names", "n_parts", "canonical_brand",
+        "max_price", "latest_type",
+    )
