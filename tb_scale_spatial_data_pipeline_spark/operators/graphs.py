@@ -93,3 +93,22 @@ def oriented_triangle_count(edges: DataFrame, by_degree: bool = True) -> DataFra
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(tri)
+
+
+def oriented_triangles(edges: DataFrame, by_degree: bool = True) -> DataFrame:
+    """Materialize each triangle of an undirected (u, v) edge set
+    exactly once as its vertex triple (a, b, c). Same oriented wedge
+    join as oriented_triangle_count — the orientation bounds the
+    intermediate, and the output triple is the triangle's vertex SET
+    (order carries no meaning)."""
+    o = orient_edges(edges, by_degree=by_degree)
+    e1 = o.select(F.col("s").alias("a1"), F.col("d").alias("b1"))
+    e2 = o.select(F.col("s").alias("b2"), F.col("d").alias("c2"))
+    e3 = o.select(F.col("s").alias("a3"), F.col("d").alias("c3"))
+    return (
+        e1.join(e2, F.col("b1") == F.col("b2"))
+        .join(e3, (F.col("a1") == F.col("a3")) & (F.col("c2") == F.col("c3")))
+        .select(
+            F.col("a1").alias("a"), F.col("b1").alias("b"), F.col("c2").alias("c")
+        )
+    )

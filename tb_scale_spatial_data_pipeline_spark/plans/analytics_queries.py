@@ -350,3 +350,127 @@ def q_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative-filtering recommendations: score(c, j) =
+# sum of cosine similarities between candidate j and the items c
+# already bought, excluding owned items; top-3 per customer. The sim
+# table is the co-occurrence head (co >= 2) — MBs at any corpus size,
+# so it BROADCASTS and the customer-item table never shuffles for the
+# scoring join. Determinism: each cosine is rounded to 6 dp and cast
+# to DECIMAL(18,6) before the per-(c,j) SUM, putting the score on the
+# exact lattice — the sum is order-independent under any partitioning
+# (the repo's decimal-lattice idiom applied to float similarities).
+_REC_MIN_CO = 2
+_REC_TOP = 3
+
+
+@_q(
+    "item_recommendations",
+    f"""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), deg AS (
+      SELECT l_partkey, COUNT(*) AS d FROM basket GROUP BY 1
+    ), pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS co
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), sims AS MATERIALIZED (
+      SELECT pa, pb,
+             CAST(round(CAST(co AS DOUBLE)
+                  / sqrt(CAST(da.d AS DOUBLE) * CAST(db.d AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS sim
+      FROM pairs JOIN deg da ON da.l_partkey = pairs.pa
+                 JOIN deg db ON db.l_partkey = pairs.pb
+      WHERE co >= {_REC_MIN_CO}
+    ), sim2 AS (
+      SELECT pa AS i, pb AS j, sim FROM sims
+      UNION ALL SELECT pb AS i, pa AS j, sim FROM sims
+    ), citems AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS i
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), scored AS (
+      SELECT ci.c, s.j, SUM(s.sim) AS score, COUNT(*) AS n_contributing
+      FROM citems ci JOIN sim2 s ON s.i = ci.i
+      WHERE NOT EXISTS (SELECT 1 FROM citems o
+                        WHERE o.c = ci.c AND o.i = s.j)
+      GROUP BY ci.c, s.j
+    ), ranked AS (
+      SELECT c, j, score, n_contributing,
+             row_number() OVER (PARTITION BY c
+                                ORDER BY score DESC, j) AS rn
+      FROM scored
+    )
+    SELECT c AS custkey, j AS rec_partkey,
+           CAST(score AS DOUBLE) AS score,
+           CAST(n_contributing AS BIGINT) AS n_contributing
+    FROM ranked WHERE rn <= {_REC_TOP}
+    """,
+)
+def q_item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    basket = (
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    deg = basket.groupBy("l_partkey").agg(F.count("*").alias("d"))
+    a = basket.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = basket.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("co"))
+        .where(F.col("co") >= _REC_MIN_CO)
+    )
+    da = deg.select(F.col("l_partkey").alias("pa"), F.col("d").alias("da"))
+    db = deg.select(F.col("l_partkey").alias("pb"), F.col("d").alias("db"))
+    sims = pairs.join(da, "pa").join(db, "pb").select(
+        "pa",
+        "pb",
+        F.round(
+            F.col("co").cast("double")
+            / F.sqrt(F.col("da").cast("double") * F.col("db").cast("double")),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("sim"),
+    )
+    sim2 = sims.select(
+        F.col("pa").alias("i"), F.col("pb").alias("j"), "sim"
+    ).unionByName(sims.select(F.col("pb").alias("i"), F.col("pa").alias("j"), "sim"))
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    citems = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    owned = citems.select(F.col("c").alias("oc"), F.col("i").alias("oj"))
+    cand = citems.join(F.broadcast(sim2), "i")
+    scored = (
+        cand.join(
+            owned,
+            (cand["c"] == owned["oc"]) & (cand["j"] == owned["oj"]),
+            "left_anti",
+        )
+        .groupBy("c", "j")
+        .agg(
+            F.sum("sim").alias("score"),
+            F.count(F.lit(1)).alias("n_contributing"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("c").orderBy(F.desc("score"), F.asc("j"))
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .where(F.col("rn") <= _REC_TOP)
+        .select(
+            F.col("c").alias("custkey"),
+            F.col("j").alias("rec_partkey"),
+            F.col("score").cast("double").alias("score"),
+            F.col("n_contributing").cast("bigint").alias("n_contributing"),
+        )
+    )

@@ -1179,3 +1179,90 @@ def q_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_cust))
         .select("n_top_customers", "n_customers", "covered_share")
     )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient: per-vertex triangle participation over
+# the same md5-sampled co-supplier graph as triangle_count. Each
+# triangle is materialized once by the degree-oriented wedge join
+# (operators/graphs.oriented_triangles) and charged to its three
+# vertices by an explode — so per-vertex counts cost one extra
+# 3x|triangles| shuffle on top of the bounded triangle join, never a
+# per-vertex neighborhood intersection. coeff = 2*tri / (d*(d-1)),
+# one division per vertex, round(...,6). The oracle keeps the simple
+# id-orientation; the hash match re-proves orientation invariance at
+# per-vertex granularity.
+@_q(
+    "local_clustering_coefficient",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    e0 AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+                         AND a.l_suppkey < b.l_suppkey
+    ),
+    e AS MATERIALIZED (
+      SELECT u, v FROM e0
+      WHERE CAST(('0x' || substring(md5(CAST(u * 1000 + v AS VARCHAR)), 1, 4))
+                 AS INTEGER) < 9830
+    ),
+    deg AS (
+      SELECT x, COUNT(*) AS d FROM (
+        SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e
+      ) GROUP BY x
+    ),
+    tri AS MATERIALIZED (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tv AS (
+      SELECT x, COUNT(*) AS t FROM (
+        SELECT a AS x FROM tri UNION ALL SELECT b AS x FROM tri
+        UNION ALL SELECT c AS x FROM tri
+      ) GROUP BY x
+    )
+    SELECT deg.x AS s_suppkey, CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(tv.t, 0) AS BIGINT) AS n_triangles,
+           round(2.0 * COALESCE(tv.t, 0) / (deg.d * (deg.d - 1)), 6)
+             AS clustering_coeff
+    FROM deg LEFT JOIN tv ON tv.x = deg.x
+    WHERE deg.d >= 2
+    """,
+)
+def q_local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graphs import oriented_triangles, vertex_degrees
+
+    ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("u"))
+    b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("v"))
+    e0 = a.join(b, "pk").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    bucket = F.conv(
+        F.substring(F.md5((F.col("u") * 1000 + F.col("v")).cast("string")), 1, 4),
+        16,
+        10,
+    ).cast("int")
+    e = e0.where(bucket < 9830).localCheckpoint(eager=True)
+    deg = vertex_degrees(e)
+    tri = oriented_triangles(e, by_degree=True)
+    tv = (
+        tri.select(F.col("a").alias("x"))
+        .unionAll(tri.select(F.col("b").alias("x")))
+        .unionAll(tri.select(F.col("c").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.join(tv, "x", "left")
+        .where(F.col("deg") >= 2)
+        .select(
+            F.col("x").alias("s_suppkey"),
+            F.col("deg").cast("bigint").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.round(
+                2.0 * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

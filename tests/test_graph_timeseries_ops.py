@@ -87,3 +87,68 @@ def test_cusum_matches_sequential_recurrence(spark):
     }
     assert got == expected
     assert len(got) > 0  # nonvacuity: the alarm actually fires
+
+
+def test_clustering_coefficient_replay(spark):
+    from itertools import combinations
+
+    from tb_scale_spatial_data_pipeline_spark.plans.relational6 import QUERIES
+
+    rows = QUERIES["local_clustering_coefficient"](spark, SF_SMOKE).collect()
+    # rebuild the same sampled graph driver-side
+    import hashlib
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_partkey", "l_suppkey"]
+    ].drop_duplicates()
+    edges = set()
+    by_part: dict[int, list[int]] = {}
+    for r in li.itertuples():
+        by_part.setdefault(r.l_partkey, []).append(r.l_suppkey)
+    for sup in by_part.values():
+        for u, v in combinations(sorted(set(sup)), 2):
+            h = int(hashlib.md5(str(u * 1000 + v).encode()).hexdigest()[:4], 16)
+            if h < 9830:
+                edges.add((u, v))
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    for r in rows:
+        nbrs = adj[r.s_suppkey]
+        assert r.degree == len(nbrs)
+        tri = sum(
+            1 for x, y in combinations(sorted(nbrs), 2) if y in adj.get(x, ())
+        )
+        assert r.n_triangles == tri
+        assert r.clustering_coeff == round(
+            2.0 * tri / (len(nbrs) * (len(nbrs) - 1)), 6
+        )
+
+
+def test_recommendations_exclude_owned_and_rank(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.analytics_queries import (
+        _REC_TOP,
+        QUERIES,
+    )
+
+    recs = QUERIES["item_recommendations"](spark, SF_SMOKE).collect()
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ]
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")[
+        ["o_orderkey", "o_custkey"]
+    ]
+    owned = set(
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")[
+            ["o_custkey", "l_partkey"]
+        ].itertuples(index=False, name=None)
+    )
+    per_cust: dict[int, list[float]] = {}
+    for r in recs:
+        assert (r.custkey, r.rec_partkey) not in owned
+        per_cust.setdefault(r.custkey, []).append(r.score)
+    for scores in per_cust.values():
+        assert len(scores) <= _REC_TOP
+        assert scores == sorted(scores, reverse=True)
+    assert len(recs) > 0
