@@ -567,3 +567,58 @@ def q_corpus_final_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("acceptance_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup ingest: the batch-append contract — an incoming
+# half of the corpus is deduplicated (a) within itself (keep-first by
+# doc_id per fingerprint) and (b) against the already-ingested base
+# via an anti-join on the fingerprint. At 100 TB the base side is the
+# accumulated fingerprint index (fingerprints only — text never
+# reshuffles), the incoming batch shuffles once on fingerprint for
+# both steps, and the anti-join is the standard "new data only"
+# ingestion gate. Fingerprint = md5 of the 40-char prefix (the
+# fixture's near-dup generator repeats prefixes; full-text md5 is the
+# exact_dedup query). The split point is max(doc_id)/2, computed
+# in-plan (one scalar, broadcast).
+@_q(
+    "incremental_dedup_ingest",
+    """
+    WITH half AS (SELECT (max(doc_id) + 1) // 2 AS h FROM documents),
+    fp AS (
+      SELECT doc_id, source, md5(substring(text, 1, 40)) AS fingerprint
+      FROM documents
+    ),
+    base AS (SELECT DISTINCT fingerprint FROM fp, half WHERE doc_id < h),
+    incoming AS (SELECT fp.* FROM fp, half WHERE doc_id >= h),
+    firsts AS (
+      SELECT doc_id, source, fingerprint,
+             row_number() OVER (PARTITION BY fingerprint
+                                ORDER BY doc_id) AS rn
+      FROM incoming
+    )
+    SELECT doc_id, source, fingerprint
+    FROM firsts
+    WHERE rn = 1
+      AND fingerprint NOT IN (SELECT fingerprint FROM base)
+    """,
+)
+def q_incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    half = docs.agg(((F.max("doc_id") + 1) / 2).cast("bigint").alias("h"))
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.substring(F.col("text"), 1, 40)).alias("fingerprint"),
+    ).crossJoin(F.broadcast(half))
+    base = fp.where(F.col("doc_id") < F.col("h")).select("fingerprint").distinct()
+    incoming = fp.where(F.col("doc_id") >= F.col("h"))
+    rn = F.row_number().over(
+        Window.partitionBy("fingerprint").orderBy("doc_id")
+    )
+    return (
+        incoming.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .join(base, "fingerprint", "left_anti")
+        .select("doc_id", "source", "fingerprint")
+    )

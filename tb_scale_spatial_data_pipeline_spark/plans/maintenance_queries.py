@@ -240,3 +240,48 @@ def q_golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entity_id", "n_names", "n_parts", "canonical_brand",
         "max_price", "latest_type",
     )
+
+
+# ---------------------------------------------------------------------------
+# Range-partition planner: equal-frequency range boundaries for
+# repartitionByRange/bucketing decisions, computed with ntile so both
+# engines agree bit-for-bit. ntile assigns by row POSITION, so with
+# duplicate sort keys the row->bin mapping is ambiguous — but the
+# per-bin COUNT is fixed by definition, and at a boundary inside a
+# run of equal keys bin k's max == bin k+1's min == that key, so the
+# (count, lo, hi) report is deterministic anyway. This is the exact
+# planning artifact a 100 TB load uses to pick range splits: one sort
+# (sampled in production) -> 16 balanced key ranges + skew visibility.
+_PLAN_BINS = 16
+
+
+@_q(
+    "range_partition_planner",
+    f"""
+    WITH binned AS (
+      SELECT l_extendedprice AS k,
+             ntile({_PLAN_BINS}) OVER (ORDER BY l_extendedprice) AS bin
+      FROM lineitem
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           min(k) AS range_lo, max(k) AS range_hi
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def q_range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    binned = li.select(
+        F.col("l_extendedprice").alias("k"),
+        F.ntile(_PLAN_BINS)
+        .over(Window.orderBy("l_extendedprice"))
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy(F.col("bin").cast("bigint").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("k").alias("range_lo"),
+            F.max("k").alias("range_hi"),
+        )
+        .orderBy("bin")
+    )

@@ -359,3 +359,107 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-wise HLL + sketch MERGE: per-event-type distinct-user
+# registers, then the per-type sketches merged (bucket-wise max) into
+# one global sketch WITHOUT re-scanning the fact table — the mergeable-
+# sketch property that makes HLL the 100 TB rollup workhorse (per-
+# partition/per-day sketches fold into any coarser grain). Registers
+# are the repo's md5-explicit HLL (engine-reproducible); the MERGED row
+# must equal an HLL built directly on the union because max is
+# associative-commutative — asserted cross-engine by the hash match
+# and locally by test_hll_merge_equals_direct.
+def _sql_hll_groupwise() -> str:
+    v = "CAST(user_id AS VARCHAR)"
+    est = (
+        f"0.7213 / (1.0 + 1.079 / {_HLL_M}.0) * {_HLL_M * _HLL_M}.0"
+        f" * {_HLL_TWO41}"
+        f" / (s_used + ({_HLL_M} - used) * CAST({int(_HLL_TWO41)} AS BIGINT))"
+    )
+    lin = f"{_HLL_M}.0 * ln({_HLL_M}.0 / ({_HLL_M} - used))"
+    pick = (
+        f"CASE WHEN ({est}) <= 2.5 * {_HLL_M} AND used < {_HLL_M}"
+        f" THEN ({lin}) ELSE ({est}) END"
+    )
+    return f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substring(md5({v}), 1, 2)) AS BIGINT) AS bucket,
+             CAST(('0x' || substring(md5({v}), 3, 10)) AS BIGINT) AS w
+      FROM events
+    ), regs AS MATERIALIZED (
+      SELECT event_type, bucket,
+             max(CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END) AS m
+      FROM h GROUP BY event_type, bucket
+    ), merged AS (
+      SELECT 'ALL' AS event_type, bucket, max(m) AS m
+      FROM regs GROUP BY bucket
+    ), sk AS (
+      SELECT event_type,
+             SUM(CAST(1 AS BIGINT) << (41 - m)) AS s_used,
+             COUNT(*) AS used
+      FROM (SELECT * FROM regs UNION ALL SELECT * FROM merged)
+      GROUP BY event_type
+    ), ex AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT 'ALL', COUNT(DISTINCT user_id) FROM events
+    )
+    SELECT sk.event_type, CAST(used AS BIGINT) AS buckets_used,
+           round({pick}, 4) AS hll_estimate, ex.exact_distinct
+    FROM sk JOIN ex ON ex.event_type = sk.event_type
+    """
+
+
+@_q("hll_groupwise_merge", _sql_hll_groupwise())
+def q_hll_groupwise_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    v = F.col("user_id").cast("string")
+    h = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(v), 1, 2), 16, 10).cast("bigint").alias("bucket"),
+        F.conv(F.substring(F.md5(v), 3, 10), 16, 10).cast("bigint").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, 41).otherwise(41 - F.length(F.bin(F.col("w"))))
+    regs = h.groupBy("event_type", "bucket").agg(F.max(rho).alias("m"))
+    merged = regs.groupBy("bucket").agg(F.max("m").alias("m")).select(
+        F.lit("ALL").alias("event_type"), "bucket", "m"
+    )
+    sk = (
+        regs.unionByName(merged)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 41 - m)")).alias("s_used"),
+            F.count(F.lit(1)).alias("used"),
+        )
+    )
+    ex = (
+        ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+        .unionByName(
+            ev.agg(F.count_distinct("user_id").alias("exact_distinct")).select(
+                F.lit("ALL").alias("event_type"), "exact_distinct"
+            )
+        )
+    )
+    v_empty = _HLL_M - F.col("used")
+    e_raw = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / _HLL_M)
+        * (_HLL_M * _HLL_M)
+        * _HLL_TWO41
+        / (F.col("s_used") + v_empty * F.lit(int(_HLL_TWO41)))
+    )
+    est = F.when(
+        (e_raw <= 2.5 * _HLL_M) & (v_empty > 0),
+        _HLL_M * F.log(_HLL_M / v_empty.cast("double")),
+    ).otherwise(e_raw)
+    return sk.join(F.broadcast(ex), "event_type").select(
+        "event_type",
+        F.col("used").cast("bigint").alias("buckets_used"),
+        F.round(est, 4).alias("hll_estimate"),
+        "exact_distinct",
+    )

@@ -114,3 +114,89 @@ def test_bpe_merges_match_reference_algorithm(spark):
     assert got == expected
     # nonvacuity: a later merge must build on an earlier merged symbol
     assert any(len(l) > 1 or len(r) > 1 for _, l, r, _ in got[1:])
+
+
+def test_hll_merge_equals_direct(spark):
+    """The MERGED row must equal an HLL built directly on all events —
+    register max is associative, so folding per-type sketches loses
+    nothing. Replayed with python md5 registers."""
+    import hashlib
+    import math
+
+    from tb_scale_spatial_data_pipeline_spark.plans.sketch_queries import (
+        _HLL_M,
+        QUERIES,
+    )
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    regs = [0] * _HLL_M
+    for uid in ev.user_id:
+        h = hashlib.md5(str(uid).encode()).hexdigest()
+        bucket = int(h[:2], 16)
+        w = int(h[2:12], 16)
+        rho = 41 if w == 0 else 41 - w.bit_length()
+        regs[bucket] = max(regs[bucket], rho)
+    used = sum(1 for m in regs if m > 0)
+    s_used = sum(1 << (41 - m) for m in regs if m > 0)
+    two41 = 2199023255552.0
+    e_raw = (
+        0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * two41
+        / (s_used + (_HLL_M - used) * int(two41))
+    )
+    if e_raw <= 2.5 * _HLL_M and used < _HLL_M:
+        e_raw = _HLL_M * math.log(_HLL_M / (_HLL_M - used))
+    expected = round(e_raw, 4)
+
+    rows = {r.event_type: r for r in QUERIES["hll_groupwise_merge"](spark, SF_SMOKE).collect()}
+    assert rows["ALL"].hll_estimate == expected
+    assert rows["ALL"].exact_distinct == ev.user_id.nunique()
+
+
+def test_range_planner_invariants(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.maintenance_queries import (
+        _PLAN_BINS,
+        QUERIES,
+    )
+
+    rows = sorted(
+        QUERIES["range_partition_planner"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.bin,
+    )
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    assert len(rows) == _PLAN_BINS
+    assert sum(r.n_rows for r in rows) == len(li)
+    counts = [r.n_rows for r in rows]
+    assert max(counts) - min(counts) <= 1  # ntile balance contract
+    for a, b in zip(rows, rows[1:]):
+        assert a.range_hi <= b.range_lo  # ranges are ordered, non-overlapping
+
+
+def test_incremental_dedup_contract(spark):
+    import hashlib
+
+    from tb_scale_spatial_data_pipeline_spark.plans.corpus_queries import QUERIES
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    half = (docs.doc_id.max() + 1) // 2
+    fp = {
+        r.doc_id: hashlib.md5(r.text[:40].encode()).hexdigest()
+        for r in docs.itertuples()
+    }
+    base = {fp[d] for d in fp if d < half}
+    survivors = QUERIES["incremental_dedup_ingest"](spark, SF_SMOKE).collect()
+    got = {r.doc_id: r.fingerprint for r in survivors}
+    # survivors: unique fingerprints, none known to base, all incoming
+    assert len(set(got.values())) == len(got)
+    assert not (set(got.values()) & base)
+    assert all(d >= half for d in got)
+    # completeness: an incoming doc is excluded iff base-dup or a
+    # smaller incoming doc shares its fingerprint
+    seen: dict[str, int] = {}
+    expected = {}
+    for d in sorted(k for k in fp if k >= half):
+        f = fp[d]
+        if f not in base and f not in seen:
+            expected[d] = f
+        seen.setdefault(f, d)
+    assert got == expected
+    assert len(expected) < len([d for d in fp if d >= half])  # filter fired
