@@ -437,6 +437,10 @@ def q_item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,6)")
         .alias("sim"),
     )
+    # the sim table is a reusable model artifact: materialize it once
+    # (localCheckpoint) so the union's two directions don't re-derive
+    # the basket-pair pipeline — halves the Exchange count
+    sims = sims.localCheckpoint(eager=True)
     sim2 = sims.select(
         F.col("pa").alias("i"), F.col("pb").alias("j"), "sim"
     ).unionByName(sims.select(F.col("pb").alias("i"), F.col("pa").alias("j"), "sim"))
@@ -446,6 +450,7 @@ def q_item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("i"))
         .distinct()
+        .localCheckpoint(eager=True)  # used by both scoring and owned-filter
     )
     owned = citems.select(F.col("c").alias("oc"), F.col("i").alias("oj"))
     cand = citems.join(F.broadcast(sim2), "i")

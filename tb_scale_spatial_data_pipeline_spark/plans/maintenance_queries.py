@@ -249,9 +249,15 @@ def q_golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # duplicate sort keys the row->bin mapping is ambiguous — but the
 # per-bin COUNT is fixed by definition, and at a boundary inside a
 # run of equal keys bin k's max == bin k+1's min == that key, so the
-# (count, lo, hi) report is deterministic anyway. This is the exact
-# planning artifact a 100 TB load uses to pick range splits: one sort
-# (sampled in production) -> 16 balanced key ranges + skew visibility.
+# (count, lo, hi) report is deterministic anyway.
+#
+# SCALE NOTE: the global ntile window is a single-reducer sort — the
+# fixture-exact form only. At 100 TB the planner runs on a SAMPLE
+# (exactly how Spark's own RangePartitioner / repartitionByRange picks
+# boundaries: sampleByKeyExact over ~20 rows/partition), and the ntile
+# below is applied to that sample; boundary error is the sampling
+# error, which is what every production range planner accepts. The
+# fixture form stays exact so the DuckDB oracle can hash-match.
 _PLAN_BINS = 16
 
 
