@@ -10,7 +10,7 @@ tiny violation samples move, never the passing rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._util import t
@@ -293,3 +293,110 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_count",
         F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
     ).orderBy("lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# PSI drift report (population stability index) — the standard ML-
+# monitoring statistic for "did the distribution move between the
+# reference window and now". Reference = orders in the first half of
+# the date range, current = second half; reference DECILE boundaries
+# come from ntile on the reference window (the fixture-exact form;
+# production computes them on a sample, as range_partition_planner
+# documents), current rows are binned against those boundaries by a
+# broadcast range join. Counts are exact integers; the only floats
+# are the per-bin share ratio and its ln, emitted PER BIN (rounded) —
+# the scalar PSI total is the ordered sum the caller does over 10
+# rows, so no cross-engine float accumulation ambiguity exists in the
+# hashed output.
+_PSI_BINS = 10
+
+
+@_q(
+    "psi_drift_report",
+    f"""
+    WITH split AS (
+      -- integer epoch-ms midpoint: timestamp+interval arithmetic is
+      -- engine-fragile, BIGINT halving is not
+      SELECT (min(epoch_ms(o_orderdate)) + max(epoch_ms(o_orderdate))) // 2
+               AS mid
+      FROM orders
+    ), ref AS (
+      SELECT o_totalprice AS v FROM orders, split
+      WHERE epoch_ms(o_orderdate) < mid
+    ), cur AS (
+      -- rid: per-row unique id (CTEs expose no rowid) — only the
+      -- grouping key for the per-row min-bin, never in the output
+      SELECT o_totalprice AS v, row_number() OVER () AS rid
+      FROM orders, split
+      WHERE epoch_ms(o_orderdate) >= mid
+    ), refbin AS (
+      SELECT v, ntile({_PSI_BINS}) OVER (ORDER BY v) AS bin FROM ref
+    ), bounds AS (
+      SELECT bin, max(v) AS hi, COUNT(*) AS n_ref FROM refbin GROUP BY bin
+    ), curbin AS (
+      SELECT COALESCE(min(b.bin), {_PSI_BINS}) AS bin
+      FROM cur LEFT JOIN bounds b ON cur.v <= b.hi
+      GROUP BY cur.rid
+    ), curcounts AS (
+      SELECT bin, COUNT(*) AS n_cur FROM curbin GROUP BY bin
+    ), tot AS (
+      SELECT (SELECT SUM(n_ref) FROM bounds) AS tr,
+             (SELECT SUM(n_cur) FROM curcounts) AS tc
+    )
+    SELECT b.bin, CAST(b.n_ref AS BIGINT) AS n_ref,
+           CAST(COALESCE(c.n_cur, 0) AS BIGINT) AS n_cur,
+           round((COALESCE(c.n_cur, 0) / CAST(tc AS DOUBLE)
+                  - b.n_ref / CAST(tr AS DOUBLE))
+                 * ln(GREATEST(COALESCE(c.n_cur, 0), 1) / CAST(tc AS DOUBLE)
+                      / (b.n_ref / CAST(tr AS DOUBLE))), 6)
+             AS psi_contribution
+    FROM bounds b LEFT JOIN curcounts c ON c.bin = b.bin
+    CROSS JOIN tot
+    ORDER BY b.bin
+    """,
+)
+def q_psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    ms = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    split = orders.agg(
+        F.floor((F.min(ms) + F.max(ms)) / 2).cast("bigint").alias("mid")
+    )
+    w = orders.withColumn("_ms", ms).crossJoin(F.broadcast(split))
+    ref = w.where(F.col("_ms") < F.col("mid")).select(
+        F.col("o_totalprice").alias("v")
+    )
+    cur = w.where(F.col("_ms") >= F.col("mid")).select(
+        F.col("o_totalprice").alias("v")
+    )
+    refbin = ref.select(
+        "v", F.ntile(_PSI_BINS).over(Window.orderBy("v")).alias("bin")
+    )
+    bounds = refbin.groupBy("bin").agg(
+        F.max("v").alias("hi"), F.count(F.lit(1)).alias("n_ref")
+    )
+    curbin = (
+        cur.withColumn("_rid", F.monotonically_increasing_id())
+        .join(F.broadcast(bounds.select("bin", "hi")), F.col("v") <= F.col("hi"), "left")
+        .groupBy("_rid")
+        .agg(F.coalesce(F.min("bin"), F.lit(_PSI_BINS)).alias("bin"))
+    )
+    curcounts = curbin.groupBy("bin").agg(F.count(F.lit(1)).alias("n_cur"))
+    tr = bounds.agg(F.sum("n_ref").alias("tr"))
+    tc = curcounts.agg(F.sum("n_cur").alias("tc"))
+    joined = (
+        bounds.join(curcounts, "bin", "left")
+        .withColumn("n_cur", F.coalesce(F.col("n_cur"), F.lit(0)))
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(tc))
+    )
+    p_ref = F.col("n_ref") / F.col("tr").cast("double")
+    p_cur = F.col("n_cur") / F.col("tc").cast("double")
+    p_cur_f = F.greatest(F.col("n_cur"), F.lit(1)) / F.col("tc").cast("double")
+    return joined.select(
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur_f / p_ref), 6).alias(
+            "psi_contribution"
+        ),
+    ).orderBy("bin")

@@ -23,7 +23,7 @@ the final answer.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._util import t
@@ -462,4 +462,138 @@ def q_hll_groupwise_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("used").cast("bigint").alias("buckets_used"),
         F.round(est, 4).alias("hll_estimate"),
         "exact_distinct",
+    )
+
+
+# ---------------------------------------------------------------------------
+# DDSketch-style quantile sketch on an ALL-INTEGER bucket lattice:
+# bucket = (bit_length(floor(v)), top-2 mantissa bits) — four
+# sub-buckets per octave, i.e. relative accuracy gamma = 2^(1/4)
+# (~19% worst-case), with ZERO transcendentals in the bucketing (a
+# ln-based index could flip a boundary value between engines in the
+# last ulp; bit arithmetic cannot). Bucket counts are map-side-
+# combinable partials — the sketch is ~30 integers per partition at
+# any scale and merges by addition, like the HLL registers. Quantile
+# estimate = upper bound of the first bucket whose cumulative count
+# reaches ceil(p*n), computed in exact integer arithmetic; the exact
+# quantile rides along for the error report.
+_DDS_PS = (50, 90, 99)  # percentiles, as integers
+
+
+def _sql_dd_quantile() -> str:
+    probes = ", ".join(
+        f"({p}, (99 * 0 + {p}))" for p in _DDS_PS
+    )  # (p, p) rows
+    return f"""
+    WITH base AS (
+      SELECT CAST(floor(l_extendedprice) AS BIGINT) AS iv
+      FROM lineitem
+    ), bucketed AS (
+      SELECT length(bin(iv)) AS e,
+             (iv >> (length(bin(iv)) - 3)) & 3 AS m
+      FROM base
+    ), counts AS (
+      SELECT e, m, COUNT(*) AS c FROM bucketed GROUP BY e, m
+    ), cum AS (
+      SELECT e, m, c,
+             SUM(c) OVER (ORDER BY e, m ROWS UNBOUNDED PRECEDING) AS cumc,
+             (1 << (e - 3)) * (4 + m + 1) AS ub
+      FROM counts
+    ), n AS (SELECT COUNT(*) AS n FROM base),
+    probes(p) AS (VALUES ({'), ('.join(str(p) for p in _DDS_PS)})),
+    hit AS (
+      SELECT p, min(ub) AS est
+      FROM probes, cum, n
+      WHERE cumc >= (p * n.n + 99) // 100
+      GROUP BY p
+    ), ex AS (
+      -- quantile_cont needs CONSTANT fractions: list form + lockstep unnest
+      SELECT unnest([{', '.join(str(p) for p in _DDS_PS)}]) AS p,
+             unnest([{', '.join(
+                 f"round(quantile_cont(l_extendedprice, {p / 100.0}), 6)"
+                 for p in _DDS_PS)}]) AS exact_q
+      FROM lineitem
+    )
+    SELECT CAST(hit.p AS BIGINT) AS pct, CAST(hit.est AS DOUBLE) AS sketch_ub,
+           ex.exact_q,
+           round(CAST(hit.est AS DOUBLE) / ex.exact_q - 1.0, 6) AS rel_slack
+    FROM hit JOIN ex ON ex.p = hit.p
+    ORDER BY pct
+    """
+
+
+@_q("dd_quantile_sketch", _sql_dd_quantile())
+def q_dd_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    iv = F.floor(F.col("l_extendedprice")).cast("bigint")
+    e = F.length(F.bin(iv))
+    # python F.shiftright wants a literal shift; the SQL form takes an
+    # expression shift amount
+    m = F.expr(
+        "shiftright(cast(floor(l_extendedprice) as bigint), "
+        "cast(length(bin(cast(floor(l_extendedprice) as bigint))) - 3 as int)) & 3"
+    )
+    counts = (
+        li.select(e.alias("e"), m.alias("m"))
+        .groupBy("e", "m")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = counts.select(
+        "e",
+        "m",
+        "c",
+        F.sum("c")
+        .over(
+            Window.orderBy("e", "m").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cumc"),
+        F.expr(
+            "shiftleft(cast(1 as bigint), cast(e - 3 as int)) * (4 + m + 1)"
+        ).alias("ub"),
+    )
+    n = li.agg(F.count(F.lit(1)).alias("n"))
+    probes = li.sparkSession.createDataFrame(
+        [(p,) for p in _DDS_PS], "p bigint"
+    )
+    hit = (
+        F.broadcast(probes)
+        .crossJoin(F.broadcast(n))
+        .join(
+            cum,
+            F.col("cumc")
+            >= F.floor((F.col("p") * F.col("n") + 99) / 100).cast("bigint"),
+        )
+        .groupBy("p")
+        .agg(F.min("ub").alias("est"))
+    )
+    # percentile() wants a FOLDABLE fraction: one agg over a literal
+    # array, then posexplode back to (p, exact_q) rows
+    fracs = ", ".join(f"{p / 100.0}D" for p in _DDS_PS)
+    ex = (
+        li.agg(
+            F.expr(f"percentile(l_extendedprice, array({fracs}))").alias("qs")
+        )
+        .select(F.posexplode("qs").alias("i", "q"))
+        .select(
+            F.element_at(
+                F.array(*[F.lit(p) for p in _DDS_PS]), F.col("i") + 1
+            )
+            .cast("bigint")
+            .alias("p"),
+            F.round(F.col("q"), 6).alias("exact_q"),
+        )
+    )
+    return (
+        hit.join(ex, "p")
+        .select(
+            F.col("p").alias("pct"),
+            F.col("est").cast("double").alias("sketch_ub"),
+            "exact_q",
+            F.round(F.col("est").cast("double") / F.col("exact_q") - 1.0, 6).alias(
+                "rel_slack"
+            ),
+        )
+        .orderBy("pct")
     )

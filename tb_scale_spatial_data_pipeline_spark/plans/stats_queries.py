@@ -591,3 +591,61 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_BOOT_B).cast("bigint").alias("n_replicates"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend: the median of pairwise slopes between
+# monthly revenue points — the outlier-resistant regression slope
+# (breakdown point 29%) used where OLS (pixel_trend_regression's
+# form) is skew-fragile. The month rollup is the only corpus-scale
+# aggregation; the O(k^2) pair set lives on the ~80-row month table
+# (at any corpus size — months don't grow with rows), so "all pairs"
+# here is deliberately bounded by the time grain. Revenues are exact
+# decimals; each slope is ONE double division; the median averages
+# the same two middle doubles in both engines.
+@_q(
+    "theil_sen_trend",
+    """
+    WITH monthly AS (
+      SELECT (CAST(year(o_orderdate) AS BIGINT) * 12
+              + CAST(month(o_orderdate) AS BIGINT)) AS midx,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ), pairs AS (
+      SELECT a.midx AS m1, b.midx AS m2,
+             CAST(b.rev - a.rev AS DOUBLE) / (b.midx - a.midx) AS slope
+      FROM monthly a JOIN monthly b ON b.midx > a.midx
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM monthly) AS n_months,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 6) AS theil_sen_slope
+    FROM pairs
+    """,
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (
+            F.year("o_orderdate").cast("bigint") * 12
+            + F.month("o_orderdate").cast("bigint")
+        ).alias("midx")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    a = monthly.select(F.col("midx").alias("m1"), F.col("rev").alias("r1"))
+    b = monthly.select(F.col("midx").alias("m2"), F.col("rev").alias("r2"))
+    pairs = a.join(F.broadcast(b), F.col("m2") > F.col("m1")).select(
+        (
+            (F.col("r2") - F.col("r1")).cast("double")
+            / (F.col("m2") - F.col("m1"))
+        ).alias("slope")
+    )
+    nm = monthly.agg(F.count(F.lit(1)).alias("n_months"))
+    return (
+        pairs.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.expr("percentile(slope, 0.5D)"), 6).alias(
+                "theil_sen_slope"
+            ),
+        )
+        .crossJoin(F.broadcast(nm))
+        .select("n_months", "n_pairs", "theil_sen_slope")
+    )

@@ -200,3 +200,58 @@ def test_incremental_dedup_contract(spark):
         seen.setdefault(f, d)
     assert got == expected
     assert len(expected) < len([d for d in fp if d >= half])  # filter fired
+
+
+def test_dd_sketch_bounds(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.sketch_queries import QUERIES
+
+    rows = QUERIES["dd_quantile_sketch"](spark, SF_SMOKE).collect()
+    assert {r.pct for r in rows} == {50, 90, 99}
+    for r in rows:
+        # one-sided overestimate, bounded by the bucket width:
+        # consecutive upper bounds ratio is at most 5/4 (m=0 bucket)
+        assert r.sketch_ub >= r.exact_q
+        assert 0.0 <= r.rel_slack <= 0.25
+
+
+def test_theil_sen_replay(spark):
+    import numpy as np
+
+    from tb_scale_spatial_data_pipeline_spark.plans.stats_queries import QUERIES
+
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    orders["midx"] = orders.o_orderdate.dt.year * 12 + orders.o_orderdate.dt.month
+    monthly = (
+        orders.assign(tp=orders.o_totalprice.round(2))
+        .groupby("midx")
+        .tp.sum()
+        .round(2)
+        .sort_index()
+    )
+    ms, revs = monthly.index.to_numpy(), monthly.to_numpy()
+    slopes = [
+        (revs[j] - revs[i]) / (ms[j] - ms[i])
+        for i in range(len(ms))
+        for j in range(i + 1, len(ms))
+    ]
+    row = QUERIES["theil_sen_trend"](spark, SF_SMOKE).collect()[0]
+    assert row.n_months == len(ms)
+    assert row.n_pairs == len(slopes)
+    assert abs(row.theil_sen_slope - round(float(np.median(slopes)), 6)) < 1e-6
+
+
+def test_psi_report_properties(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.quality_queries import (
+        _PSI_BINS,
+        QUERIES,
+    )
+
+    rows = QUERIES["psi_drift_report"](spark, SF_SMOKE).collect()
+    assert len(rows) == _PSI_BINS
+    # each PSI term is non-negative (same-sign product by construction)
+    assert all(r.psi_contribution >= 0 for r in rows)
+    # reference deciles are balanced; both halves fully assigned
+    ref = [r.n_ref for r in rows]
+    assert max(ref) - min(ref) <= 1
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    assert sum(r.n_ref + r.n_cur for r in rows) == len(orders)
