@@ -287,3 +287,249 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("p"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Centroid-silhouette cluster-quality report on an EXACT integer
+# lattice. Per-coordinate values quantize to round(x*1e6) BIGINTs, so
+# the per-label centroid is the exact pair (S_c = sum of quantized
+# coords, n_c) and the squared distance to a centroid is
+# sum_d (x_d * n_c - S_cd)^2 — DECIMAL(38,0)-exact, order-independent,
+# engine-identical; only the final sqrt/divide/ratio run in double.
+# a = distance to own centroid, b = min over other centroids,
+# silhouette = (b-a)/max(a,b), per-point values rounded to the
+# DECIMAL(18,6) lattice before the per-label mean (so the mean is an
+# exact sum too). Scale: centroids are k x dim rows (broadcast); each
+# point expands to dim x k terms map-side and reduces immediately —
+# the same bounded shape as the IVF assign step.
+@_q(
+    "cluster_silhouette_report",
+    """
+    WITH pts AS (
+      SELECT vec_id, label, i AS pos,
+             CAST(round(embedding[i] * 1000000) AS BIGINT) AS xi
+      FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS s(i)
+    ), cent AS (
+      SELECT label AS clabel, pos,
+             CAST(SUM(xi) AS DECIMAL(38,0)) AS s,
+             COUNT(DISTINCT vec_id) AS n
+      FROM pts GROUP BY label, pos
+    ), d2 AS (
+      SELECT p.vec_id, p.label, c.clabel,
+             SUM(CAST((p.xi * cn.n - c.s) * (p.xi * cn.n - c.s)
+                      AS DECIMAL(38,0))) AS dd,
+             cn.n AS cn
+      FROM pts p
+      JOIN (SELECT clabel, max(n) AS n FROM cent GROUP BY clabel) cn ON TRUE
+      JOIN cent c ON c.clabel = cn.clabel AND c.pos = p.pos
+      GROUP BY p.vec_id, p.label, c.clabel, cn.n
+    ), dist AS (
+      SELECT vec_id, label, clabel,
+             sqrt(CAST(dd AS DOUBLE)) / cn / 1000000.0 AS d
+      FROM d2
+    ), ab AS (
+      SELECT vec_id, label,
+             min(CASE WHEN clabel = label THEN d END) AS a,
+             min(CASE WHEN clabel <> label THEN d END) AS b
+      FROM dist GROUP BY vec_id, label
+    ), sil AS (
+      SELECT label,
+             CAST(round((b - a) / GREATEST(a, b), 6) AS DECIMAL(18,6)) AS s
+      FROM ab
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           round(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean_silhouette
+    FROM sil GROUP BY label ORDER BY label
+    """,
+)
+def q_cluster_silhouette_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("x") * 1000000).cast("bigint").alias("xi"),
+    )
+    cent = pts.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.sum("xi").cast("decimal(38,0)").alias("s"),
+        F.countDistinct("vec_id").alias("n"),
+    )
+    d2 = (
+        pts.join(F.broadcast(cent), pts.pos == cent.pos)
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            "n",
+            ((F.col("xi") * F.col("n") - F.col("s"))
+             * (F.col("xi") * F.col("n") - F.col("s"))).cast("decimal(38,0)").alias("t"),
+        )
+        .groupBy("vec_id", "label", "clabel", "n")
+        .agg(F.sum("t").alias("dd"))
+    )
+    dist = d2.select(
+        "vec_id",
+        "label",
+        "clabel",
+        (F.sqrt(F.col("dd").cast("double")) / F.col("n") / 1000000.0).alias("d"),
+    )
+    ab = dist.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d"))).alias("b"),
+    )
+    sil = ab.select(
+        "label",
+        F.round(
+            (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("s"),
+    )
+    return (
+        sil.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.sum("s").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_silhouette"
+            ),
+        )
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            F.col("n_points").cast("bigint").alias("n_points"),
+            "mean_silhouette",
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-evidence / information-value binning — the credit-scoring
+# feature-strength report: deciles of o_totalprice vs the binary
+# target "urgent-or-high priority". Counts are exact; WoE =
+# ln(good_share/bad_share) and the IV term (gs - bs)*WoE are the only
+# floats, emitted PER BIN (the caller sums 10 rows for total IV).
+# Same ntile-on-reference shape as psi_drift_report; at 100 TB the
+# binning runs on a sample exactly as documented there.
+_WOE_BINS = 10
+
+
+@_q(
+    "woe_iv_binning",
+    f"""
+    WITH base AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), binned AS (
+      SELECT y, ntile({_WOE_BINS}) OVER (ORDER BY v) AS bin FROM base
+    ), cells AS (
+      SELECT bin, SUM(y) AS n_good, COUNT(*) - SUM(y) AS n_bad
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT SUM(n_good) AS tg, SUM(n_bad) AS tb FROM cells
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(n_good AS BIGINT) AS n_good, CAST(n_bad AS BIGINT) AS n_bad,
+           round(ln((n_good / CAST(tg AS DOUBLE))
+                    / (n_bad / CAST(tb AS DOUBLE))), 6) AS woe,
+           round((n_good / CAST(tg AS DOUBLE) - n_bad / CAST(tb AS DOUBLE))
+                 * ln((n_good / CAST(tg AS DOUBLE))
+                      / (n_bad / CAST(tb AS DOUBLE))), 6) AS iv_term
+    FROM cells CROSS JOIN tot
+    ORDER BY bin
+    """,
+)
+def q_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_totalprice").alias("v"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("y"),
+    )
+    binned = base.select(
+        "y", F.ntile(_WOE_BINS).over(Window.orderBy("v")).alias("bin")
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum("y").alias("n_good"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n_bad"),
+    )
+    tot = cells.agg(
+        F.sum("n_good").alias("tg"), F.sum("n_bad").alias("tb")
+    )
+    gs = F.col("n_good") / F.col("tg").cast("double")
+    bs = F.col("n_bad") / F.col("tb").cast("double")
+    woe = F.log(gs / bs)
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            F.col("n_good").cast("bigint").alias("n_good"),
+            F.col("n_bad").cast("bigint").alias("n_bad"),
+            F.round(woe, 6).alias("woe"),
+            F.round((gs - bs) * woe, 6).alias("iv_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validation assignment audit: fold = md5(key) % k (the
+# same deterministic split family as train_test_split_hash), with the
+# report a CV harness needs before training — per-fold size and label
+# balance. Pure hash + one aggregation; folds are reproducible on any
+# cluster with no assignment table.
+_CV_FOLDS = 5
+
+
+@_q(
+    "kfold_assignment_audit",
+    f"""
+    WITH folds AS (
+      SELECT CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_CV_FOLDS} AS fold,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(y) AS BIGINT) AS n_positive,
+           round(SUM(y) / CAST(COUNT(*) AS DOUBLE), 6) AS positive_rate
+    FROM folds GROUP BY fold ORDER BY fold
+    """,
+)
+def q_kfold_assignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % _CV_FOLDS
+    )
+    y = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        orders.select(fold.alias("fold"), y.alias("y"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("y").cast("bigint").alias("n_positive"),
+            F.round(
+                F.sum("y") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("positive_rate"),
+        )
+        .select(
+            F.col("fold").cast("bigint").alias("fold"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            "n_positive",
+            "positive_rate",
+        )
+        .orderBy("fold")
+    )

@@ -255,3 +255,49 @@ def test_psi_report_properties(spark):
     assert max(ref) - min(ref) <= 1
     orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
     assert sum(r.n_ref + r.n_cur for r in rows) == len(orders)
+
+
+def test_silhouette_report_bounds(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.mlprep_queries import QUERIES
+
+    rows = QUERIES["cluster_silhouette_report"](spark, SF_SMOKE).collect()
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    assert {r.label for r in rows} == set(emb.label.unique())
+    counts = emb.label.value_counts().to_dict()
+    for r in rows:
+        assert r.n_points == counts[r.label]
+        assert -1.0 <= r.mean_silhouette <= 1.0
+
+
+def test_woe_iv_replay(spark):
+    import math
+
+    from tb_scale_spatial_data_pipeline_spark.plans.mlprep_queries import QUERIES
+
+    rows = sorted(
+        QUERIES["woe_iv_binning"](spark, SF_SMOKE).collect(), key=lambda r: r.bin
+    )
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    assert sum(r.n_good + r.n_bad for r in rows) == len(orders)
+    tg = sum(r.n_good for r in rows)
+    tb = sum(r.n_bad for r in rows)
+    for r in rows:
+        gs, bs = r.n_good / tg, r.n_bad / tb
+        assert r.woe == round(math.log(gs / bs), 6)
+        assert r.iv_term == round((gs - bs) * math.log(gs / bs), 6)
+        assert r.iv_term >= 0  # same-sign product
+
+
+def test_kfold_balance(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.mlprep_queries import (
+        _CV_FOLDS,
+        QUERIES,
+    )
+
+    rows = QUERIES["kfold_assignment_audit"](spark, SF_SMOKE).collect()
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    assert {r.fold for r in rows} == set(range(_CV_FOLDS))
+    assert sum(r.n_rows for r in rows) == len(orders)
+    ideal = len(orders) / _CV_FOLDS
+    for r in rows:
+        assert 0.8 * ideal < r.n_rows < 1.2 * ideal
