@@ -48,6 +48,17 @@ REPRESENTATIVE = [
     "purchase_attribution",
     "cdc_apply_changes",
     "bfs_hop_distance",
+    # continuation-session additions: iterative relaxation, decimal
+    # CUSUM windows, decimal-lattice similarity sums, lattice
+    # silhouette, sketch merge, ntile under ties
+    "sssp_weighted",
+    "cusum_changepoint",
+    "item_recommendations",
+    "cluster_silhouette_report",
+    "hll_groupwise_merge",
+    "range_partition_planner",
+    "bpe_merge_train",
+    "incremental_dedup_ingest",
 ]
 
 
