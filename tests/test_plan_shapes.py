@@ -126,3 +126,35 @@ def test_cdc_reduces_changes_before_merging(spark):
     p = plan_of(spark, "cdc_apply_changes")
     assert "CartesianProduct" not in p
     assert p.count("Join") >= 1
+
+
+def test_inverted_search_broadcasts_stats(spark):
+    """Postings are filtered to the query terms before any join; the
+    df/total stat tables broadcast — no sort-merge join anywhere."""
+    p = plan_of(spark, "inverted_index_search")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_recommender_broadcasts_sim_table(spark):
+    """The similarity head must broadcast into the scoring join; the
+    owned-item exclusion may sort-merge (both sides are user-scale)."""
+    p = plan_of(spark, "item_recommendations")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_incremental_dedup_antijoins_on_fingerprint(spark):
+    """The base side must reach the anti-join as fingerprints only
+    (text pruned from the scan)."""
+    p = plan_of(spark, "incremental_dedup_ingest")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_silhouette_broadcasts_centroids(spark):
+    """Point-dims join k x dim centroid rows — centroids broadcast,
+    points never shuffle for the distance computation."""
+    p = plan_of(spark, "cluster_silhouette_report")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
