@@ -388,3 +388,79 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return dist.select(F.col("node").alias("s_suppkey"), "dist")
+
+
+# ---------------------------------------------------------------------------
+# Link prediction by neighborhood Jaccard — the classic non-edge
+# scoring baseline: candidate (a, c) pairs are 2-hop neighbors
+# (generated at the middle vertex, so the intermediate is the wedge
+# set — the same Σd² quantity the triangle join bounds), common-
+# neighbor counts come from the wedge groupBy, existing edges are
+# anti-joined away, and jaccard = cn / (deg(a) + deg(c) - cn) stays
+# integer until the one division. Top-20 with full deterministic
+# tie-break. At 100 TB the wedge generation is the cost driver; the
+# degree-cap / orientation mitigations from operators/graphs.py apply
+# unchanged (wedges here need BOTH directions so cn is exact).
+_LP_TOP = 20
+
+
+def _sql_link_prediction() -> str:
+    return f"""
+    WITH {_SQL_EDGES.strip()},
+    deg AS MATERIALIZED (
+      SELECT src AS x, COUNT(*) AS d FROM edges GROUP BY src
+    ),
+    wedges AS (
+      SELECT e1.dst AS a, e2.dst AS c, COUNT(*) AS cn
+      FROM edges e1 JOIN edges e2
+        ON e1.src = e2.src AND e1.dst < e2.dst
+      GROUP BY e1.dst, e2.dst
+    ),
+    cand AS (
+      SELECT w.a, w.c, w.cn FROM wedges w
+      WHERE NOT EXISTS (SELECT 1 FROM eu WHERE eu.u = w.a AND eu.v = w.c)
+    )
+    SELECT cand.a AS u, cand.c AS v, CAST(cand.cn AS BIGINT) AS common_neighbors,
+           round(CAST(cand.cn AS DOUBLE) / (da.d + dc.d - cand.cn), 6)
+             AS jaccard
+    FROM cand JOIN deg da ON da.x = cand.a JOIN deg dc ON dc.x = cand.c
+    ORDER BY jaccard DESC, u, v LIMIT {_LP_TOP}
+    """
+
+
+@_q("link_prediction_jaccard", _sql_link_prediction())
+def q_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eu = _undirected_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = eu.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(eu.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    deg = edges.groupBy(F.col("src").alias("x")).agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.select(F.col("src").alias("b"), F.col("dst").alias("a"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    wedges = (
+        e1.join(e2, "b")
+        .where(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = wedges.join(
+        eu, (wedges["a"] == eu["u"]) & (wedges["c"] == eu["v"]), "left_anti"
+    )
+    da = deg.select(F.col("x").alias("a"), F.col("d").alias("da"))
+    dc = deg.select(F.col("x").alias("c"), F.col("d").alias("dc"))
+    return (
+        cand.join(F.broadcast(da), "a")
+        .join(F.broadcast(dc), "c")
+        .select(
+            F.col("a").alias("u"),
+            F.col("c").alias("v"),
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("dc") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v"))
+        .limit(_LP_TOP)
+    )

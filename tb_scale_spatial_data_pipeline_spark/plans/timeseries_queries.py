@@ -374,3 +374,61 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("s") > _CUSUM_H)
         .select("user_id", "ts", "event_id", F.col("s").cast("double").alias("cusum_stat"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest with MASE scoring: forecast(d) =
+# revenue(d-7) (weekly seasonal naive), scored as MAE over the days
+# where the lag exists and scaled by the naive-1 MAE — MASE < 1 means
+# the seasonal model beats the random-walk baseline. The daily rollup
+# is the only corpus-scale aggregation; the backtest runs on the
+# bounded date table. Absolute errors are exact decimals (2-dp
+# revenues), so both MAEs are order-independent sums; the final ratio
+# is one double division.
+@_q(
+    "seasonal_naive_mase",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ), lagged AS (
+      SELECT d, rev,
+             lag(rev, 7) OVER (ORDER BY d) AS rev_s,
+             lag(rev, 1) OVER (ORDER BY d) AS rev_1
+      FROM daily
+    ), scored AS (
+      SELECT abs(rev - rev_s) AS e_model, abs(rev - rev_1) AS e_naive
+      FROM lagged WHERE rev_s IS NOT NULL AND rev_1 IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(e_model) AS DOUBLE) / COUNT(*) AS mae_model,
+           CAST(SUM(e_naive) AS DOUBLE) / COUNT(*) AS mae_naive,
+           round(CAST(SUM(e_model) AS DOUBLE) / CAST(SUM(e_naive) AS DOUBLE), 6)
+             AS mase
+    FROM scored
+    """,
+)
+def q_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "rev",
+        F.lag("rev", 7).over(w).alias("rev_s"),
+        F.lag("rev", 1).over(w).alias("rev_1"),
+    ).where(F.col("rev_s").isNotNull() & F.col("rev_1").isNotNull())
+    scored = lagged.select(
+        F.abs(F.col("rev") - F.col("rev_s")).alias("e_model"),
+        F.abs(F.col("rev") - F.col("rev_1")).alias("e_naive"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.sum("e_model").cast("double") / F.count(F.lit(1))).alias("mae_model"),
+        (F.sum("e_naive").cast("double") / F.count(F.lit(1))).alias("mae_naive"),
+        F.round(
+            F.sum("e_model").cast("double") / F.sum("e_naive").cast("double"), 6
+        ).alias("mase"),
+    )

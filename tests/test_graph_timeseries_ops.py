@@ -152,3 +152,67 @@ def test_recommendations_exclude_owned_and_rank(spark):
         assert len(scores) <= _REC_TOP
         assert scores == sorted(scores, reverse=True)
     assert len(recs) > 0
+
+
+def test_link_prediction_replay(spark):
+    """Replay neighborhood-Jaccard scoring driver-side on the same
+    sampled graph; candidate pairs must be non-edges at 2 hops."""
+    from itertools import combinations
+
+    from tb_scale_spatial_data_pipeline_spark.plans.graph_queries import (
+        _LP_TOP,
+        QUERIES,
+        _undirected_edges,
+    )
+
+    eu = {(r.u, r.v) for r in _undirected_edges(spark, SF_SMOKE).collect()}
+    adj: dict[int, set[int]] = {}
+    for u, v in eu:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    scores = {}
+    for a, c in combinations(sorted(adj), 2):
+        if (a, c) in eu:
+            continue
+        cn = len(adj[a] & adj[c])
+        if cn:
+            scores[(a, c)] = (
+                cn,
+                round(cn / (len(adj[a]) + len(adj[c]) - cn), 6),
+            )
+    expected = sorted(
+        ((j, a, c, cn) for (a, c), (cn, j) in scores.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:_LP_TOP]
+    got = [
+        (r.jaccard, r.u, r.v, r.common_neighbors)
+        for r in QUERIES["link_prediction_jaccard"](spark, SF_SMOKE).collect()
+    ]
+    assert got == expected
+
+
+def test_mase_replay(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.timeseries_queries import (
+        QUERIES,
+    )
+
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    daily = (
+        orders.assign(
+            d=orders.o_orderdate.dt.date, tp=orders.o_totalprice.round(2)
+        )
+        .groupby("d")
+        .tp.sum()
+        .round(2)
+        .sort_index()
+    )
+    v = daily.to_numpy()
+    # NOTE: lag over the DATE-ORDERED daily table = positional lag
+    # only because the fixture has no missing days in-range; the
+    # query semantics are positional (lag 7 rows), replayed as such
+    e_model = abs(v[7:] - v[:-7])
+    e_naive = abs(v[7:] - v[6:-1])
+    row = QUERIES["seasonal_naive_mase"](spark, SF_SMOKE).collect()[0]
+    assert row.n_days == len(v) - 7
+    assert row.mase == round(e_model.sum() / e_naive.sum(), 6)
+    assert 0 < row.mase  # nonvacuous errors on both sides
