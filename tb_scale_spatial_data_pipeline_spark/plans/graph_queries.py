@@ -464,3 +464,108 @@ def q_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v"))
         .limit(_LP_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank: the restart mass concentrates on a SEED SET
+# (node % 20 == 0, the SSSP seeds) instead of spreading uniformly —
+# the similarity-to-seeds ranking used for recommendation and fraud
+# halo scoring. Same fixed-round synchronous iteration and per-round
+# round(...,12) determinism seam as pagerank_suppliers; the only
+# change is the restart vector, which is exactly what "personalized"
+# means. Seeds hold rank mass the uniform walk would spread, so the
+# ordering is locality-to-seeds, asserted in tests.
+_PPR_ITERS = 10
+_PPR_DAMP = 0.85
+
+
+def _sql_ppr() -> str:
+    d = _PPR_DAMP
+    ctes = [
+        _SQL_EDGES.strip().rstrip(),
+        """nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+    seeds AS MATERIALIZED (SELECT node FROM nodes WHERE node % 20 = 0),
+    ns AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM seeds),
+    deg AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS outdeg
+            FROM edges GROUP BY src),
+    p0 AS MATERIALIZED (
+      SELECT nd.node,
+             CASE WHEN s.node IS NOT NULL
+                  THEN round(1.0 / (SELECT ns FROM ns), 12) ELSE 0.0 END AS rank
+      FROM nodes nd LEFT JOIN seeds s ON s.node = nd.node)""",
+    ]
+    for k in range(_PPR_ITERS):
+        ctes.append(
+            f"""p{k + 1} AS MATERIALIZED (
+      SELECT nd.node,
+             round((1.0 - {d}) * CASE WHEN s.node IS NOT NULL
+                                      THEN 1.0 / (SELECT ns FROM ns)
+                                      ELSE 0.0 END
+                   + {d} * COALESCE(c.contrib, 0.0), 12) AS rank
+      FROM nodes nd
+      LEFT JOIN seeds s ON s.node = nd.node
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank / g.outdeg) AS contrib
+        FROM p{k} r JOIN edges e ON e.src = r.node
+        JOIN deg g ON g.node = r.node
+        GROUP BY e.dst
+      ) c ON c.node = nd.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS s_suppkey, round(rank, 6) AS ppr
+    FROM p{_PPR_ITERS} WHERE rank > 0
+    """
+    )
+
+
+@_q("personalized_pagerank", _sql_ppr())
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eu = _undirected_edges(spark, sf_dir)
+    edges = (
+        eu.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(eu.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    seeds = nodes.where(F.col("node") % 20 == 0).localCheckpoint(eager=True)
+    ns = seeds.count()  # one scalar, like pagerank's n
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("outdeg")
+    )
+    restart = nodes.join(
+        seeds.withColumn("_s", F.lit(1)), "node", "left"
+    ).select(
+        "node",
+        F.when(F.col("_s").isNotNull(), F.round(F.lit(1.0 / ns), 12))
+        .otherwise(F.lit(0.0))
+        .alias("restart"),
+    ).localCheckpoint(eager=True)
+    ranks = restart.select("node", F.col("restart").alias("rank"))
+    for _ in range(_PPR_ITERS):
+        contrib = (
+            ranks.join(deg, "node")
+            .join(edges, ranks["node"] == edges["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
+        )
+        ranks = (
+            restart.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    (1.0 - _PPR_DAMP) * F.col("restart")
+                    + _PPR_DAMP * F.coalesce(F.col("contrib"), F.lit(0.0)),
+                    12,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.where(F.col("rank") > 0).select(
+        F.col("node").alias("s_suppkey"), F.round("rank", 6).alias("ppr")
+    )

@@ -291,3 +291,71 @@ def q_range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Footer-stats audit: read the parquet FOOTER ONLY (zero data pages)
+# and emit per-column min/max/null_count/row_count; the oracle
+# computes the same numbers by scanning the data — the hash match
+# certifies the file's metadata is trustworthy, which is the
+# precondition for everything that relies on stats (pruning, zone
+# maps, AQE estimates). Driver side this is a metadata op by design;
+# at 100 TB the per-FILE footer reads fan out as a mapPartitions over
+# the file listing and the per-column aggregation merges (min of
+# mins / max of maxes / sum of counts), exactly as aggregated across
+# row groups here.
+_AUDIT_COLS = ("l_orderkey", "l_quantity", "l_extendedprice")
+
+
+@_q(
+    "footer_stats_audit",
+    """
+    SELECT 'l_orderkey' AS col,
+           CAST(min(l_orderkey) AS DOUBLE) AS min_v,
+           CAST(max(l_orderkey) AS DOUBLE) AS max_v,
+           CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS null_count,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', CAST(min(l_quantity) AS DOUBLE),
+           CAST(max(l_quantity) AS DOUBLE),
+           CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(min(l_extendedprice) AS DOUBLE),
+           CAST(max(l_extendedprice) AS DOUBLE),
+           CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def q_footer_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata
+    agg: dict[str, list] = {}
+    n_rows = md.num_rows
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for i in range(rg.num_columns):
+            c = rg.column(i)
+            name = c.path_in_schema
+            if name not in _AUDIT_COLS or c.statistics is None:
+                continue
+            s = c.statistics
+            cur = agg.get(name)
+            if cur is None:
+                agg[name] = [s.min, s.max, s.null_count]
+            else:
+                cur[0] = min(cur[0], s.min)
+                cur[1] = max(cur[1], s.max)
+                cur[2] += s.null_count
+    rows = [
+        (name, float(v[0]), float(v[1]), int(v[2]), int(n_rows))
+        for name, v in sorted(agg.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "col string, min_v double, max_v double, null_count bigint, n_rows bigint",
+    )

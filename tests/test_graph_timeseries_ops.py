@@ -216,3 +216,39 @@ def test_mase_replay(spark):
     assert row.n_days == len(v) - 7
     assert row.mase == round(e_model.sum() / e_naive.sum(), 6)
     assert 0 < row.mase  # nonvacuous errors on both sides
+
+
+def test_personalized_pagerank_properties(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.graph_queries import (
+        _PPR_DAMP,
+        QUERIES,
+    )
+
+    rows = QUERIES["personalized_pagerank"](spark, SF_SMOKE).collect()
+    ranks = {r.s_suppkey: r.ppr for r in rows}
+    seeds = [n for n in ranks if n % 20 == 0]
+    assert seeds, "seed set nonempty"
+    # every seed keeps at least its restart mass share
+    floor = (1.0 - _PPR_DAMP) / len(seeds) - 1e-6
+    assert all(ranks[s] >= floor for s in seeds)
+    # total mass bounded by 1 (leaks only via rounding)
+    assert sum(ranks.values()) <= 1.0 + 1e-3
+    # personalization: mass concentrates on/near seeds, so the top
+    # rank is a seed
+    top = max(ranks, key=lambda n: ranks[n])
+    assert top in seeds
+
+
+def test_footer_audit_matches_data(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.maintenance_queries import (
+        QUERIES,
+    )
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    rows = {r.col: r for r in QUERIES["footer_stats_audit"](spark, SF_SMOKE).collect()}
+    for col in ("l_orderkey", "l_quantity", "l_extendedprice"):
+        r = rows[col]
+        assert r.min_v == float(li[col].min())
+        assert r.max_v == float(li[col].max())
+        assert r.null_count == int(li[col].isna().sum())
+        assert r.n_rows == len(li)
