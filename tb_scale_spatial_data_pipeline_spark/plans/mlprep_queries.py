@@ -355,12 +355,14 @@ def q_cluster_silhouette_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos0") + 1).alias("pos"),
         F.round(F.col("x") * 1000000).cast("bigint").alias("xi"),
     )
-    cent = pts.groupBy(F.col("label").alias("clabel"), "pos").agg(
+    cent = pts.groupBy(
+        F.col("label").alias("clabel"), F.col("pos").alias("cpos")
+    ).agg(
         F.sum("xi").cast("decimal(38,0)").alias("s"),
         F.countDistinct("vec_id").alias("n"),
     )
     d2 = (
-        pts.join(F.broadcast(cent), pts.pos == cent.pos)
+        pts.join(F.broadcast(cent), F.col("pos") == F.col("cpos"))
         .select(
             "vec_id",
             "label",
