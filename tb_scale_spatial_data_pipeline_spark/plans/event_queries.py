@@ -592,3 +592,77 @@ def q_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness: per-user gap statistics (mean, CV, and the
+# Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) in [-1, 1]:
+# -1 periodic, 0 Poisson, ->1 bursty). Gaps are exact integer seconds
+# from consecutive events (one lag window per user); moments are
+# integer power sums, so everything up to the final sqrt/ratio is
+# order-independent. The per-user shape makes the whole query
+# embarrassingly parallel over users at 100 TB.
+@_q(
+    "interarrival_burstiness",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+               AS gap_ms
+      FROM events
+    ), m AS (
+      SELECT user_id, COUNT(gap_ms) AS n,
+             SUM(gap_ms) AS s1,
+             SUM(CAST(gap_ms AS DECIMAL(38,0)) * gap_ms) AS s2
+      FROM gaps WHERE gap_ms IS NOT NULL
+      GROUP BY user_id HAVING COUNT(gap_ms) >= 2
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+           round(CAST(s1 AS DOUBLE) / n / 1000.0, 6) AS mean_gap_s,
+           round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                      / (n - 1)) / (CAST(s1 AS DOUBLE) / n), 6) AS cv,
+           round((sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                       / (n - 1)) - CAST(s1 AS DOUBLE) / n)
+                 / (sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                         / (n - 1)) + CAST(s1 AS DOUBLE) / n), 6)
+             AS burstiness
+    FROM m
+    """,
+)
+def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # truncate to ms PER TIMESTAMP (matching epoch_ms) before the
+    # diff — truncating the difference of fractional ms instead
+    # shifts gaps by up to 1 ms
+    ms = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast(
+        "bigint"
+    )
+    gaps = ev.select(
+        "user_id",
+        (ms - F.lag(ms).over(w)).alias("gap_ms"),
+    ).where(F.col("gap_ms").isNotNull())
+    m = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_ms").alias("n"),
+            F.sum("gap_ms").alias("s1"),
+            F.sum(F.col("gap_ms").cast("decimal(38,0)") * F.col("gap_ms")).alias(
+                "s2"
+            ),
+        )
+        .where(F.col("n") >= 2)
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return m.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        F.round(mu / 1000.0, 6).alias("mean_gap_s"),
+        F.round(sd / mu, 6).alias("cv"),
+        F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
+    )

@@ -242,3 +242,75 @@ def q_negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("neg_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman (variance-optimal) allocation for stratified sampling: given
+# a total budget, the per-stratum sample size is proportional to
+# N_h * S_h (stratum size x stratum std) — the design that minimizes
+# estimator variance for a fixed budget, vs the proportional
+# allocation stratified_sample uses. Per-stratum moments come from
+# ONE pass of decimal-exact power sums (Σw, Σw²); the only floats are
+# each stratum's sqrt and the final share — computed per row from
+# exact inputs, no cross-row float accumulation. The sqrt-sum
+# normalizer is an ordered fold (sort_array / SUM(... ORDER BY))
+# pinning accumulation order cross-engine.
+_NEYMAN_BUDGET = 100
+
+
+@_q(
+    "neyman_allocation",
+    f"""
+    WITH m AS (
+      SELECT o_orderpriority AS stratum,
+             COUNT(*) AS n_h,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                           * CAST(o_totalprice AS DECIMAL(18,2))
+                           AS DECIMAL(30,4))) AS DOUBLE) AS s2
+      FROM orders GROUP BY 1
+    ), w AS (
+      SELECT stratum, n_h,
+             n_h * sqrt((s2 - s1 * s1 / n_h) / (n_h - 1)) AS nhsh
+      FROM m
+    ), tot AS (
+      SELECT SUM(nhsh ORDER BY stratum) AS z FROM w
+    )
+    SELECT stratum, CAST(n_h AS BIGINT) AS n_h,
+           round(nhsh / z, 6) AS alloc_share,
+           CAST(round({_NEYMAN_BUDGET} * nhsh / z) AS BIGINT) AS alloc_n
+    FROM w CROSS JOIN tot
+    ORDER BY stratum
+    """,
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    v = F.col("o_totalprice").cast("decimal(18,2)")
+    m = orders.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(30,4)")).cast("double").alias("s2"),
+    )
+    nhsh = F.col("n_h") * F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_h"))
+        / (F.col("n_h") - 1)
+    )
+    w = m.select("stratum", "n_h", nhsh.alias("nhsh"))
+    tot = w.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(stratum, nhsh))),"
+            " cast(0.0 as double), (acc, x) -> acc + x.nhsh)"
+        ).alias("z")
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            F.col("n_h").cast("bigint").alias("n_h"),
+            F.round(F.col("nhsh") / F.col("z"), 6).alias("alloc_share"),
+            F.round(F.lit(_NEYMAN_BUDGET) * F.col("nhsh") / F.col("z"))
+            .cast("bigint")
+            .alias("alloc_n"),
+        )
+        .orderBy("stratum")
+    )

@@ -649,3 +649,78 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nm))
         .select("n_months", "n_pairs", "theil_sen_slope")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trimmed and winsorized means — the robust-center estimators: trim
+# drops the tail 5% on each side, winsorize clamps values to the
+# 5th/95th percentile instead. Cut points are exact order statistics
+# (percent_rank over the global sort); the retained/clamped values
+# are 2-dp decimals so both means are exact sums. percent_rank with
+# tie-broken ordering (v, o_orderkey) makes the cut deterministic
+# cross-engine even through duplicate values.
+_TRIM_FRAC = 0.05
+
+
+@_q(
+    "trimmed_winsorized_stats",
+    f"""
+    WITH ranked AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+             percent_rank() OVER (ORDER BY o_totalprice, o_orderkey) AS pr
+      FROM orders
+    ), cuts AS (
+      SELECT min(CASE WHEN pr >= {_TRIM_FRAC} THEN v END) AS lo,
+             max(CASE WHEN pr <= 1 - {_TRIM_FRAC} THEN v END) AS hi
+      FROM ranked
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(CASE WHEN pr >= {_TRIM_FRAC}
+                            AND pr <= 1 - {_TRIM_FRAC} THEN 1 END) AS BIGINT)
+             AS n_kept,
+           round(CAST(SUM(CASE WHEN pr >= {_TRIM_FRAC} AND pr <= 1 - {_TRIM_FRAC}
+                               THEN v END) AS DOUBLE)
+                 / COUNT(CASE WHEN pr >= {_TRIM_FRAC}
+                              AND pr <= 1 - {_TRIM_FRAC} THEN 1 END), 6)
+             AS trimmed_mean,
+           round(CAST(SUM(CASE WHEN v < lo THEN lo
+                               WHEN v > hi THEN hi ELSE v END) AS DOUBLE)
+                 / COUNT(*), 6) AS winsorized_mean
+    FROM ranked CROSS JOIN cuts
+    """,
+)
+def q_trimmed_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    ranked = orders.select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        F.percent_rank()
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("pr"),
+    )
+    inside = (F.col("pr") >= _TRIM_FRAC) & (F.col("pr") <= 1 - _TRIM_FRAC)
+    cuts = ranked.agg(
+        F.min(F.when(F.col("pr") >= _TRIM_FRAC, F.col("v"))).alias("lo"),
+        F.max(F.when(F.col("pr") <= 1 - _TRIM_FRAC, F.col("v"))).alias("hi"),
+    )
+    wv = (
+        F.when(F.col("v") < F.col("lo"), F.col("lo"))
+        .when(F.col("v") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("v"))
+    )
+    return ranked.crossJoin(F.broadcast(cuts)).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(inside, 1)).alias("n_kept"),
+        F.round(
+            F.sum(F.when(inside, F.col("v"))).cast("double")
+            / F.count(F.when(inside, 1)),
+            6,
+        ).alias("trimmed_mean"),
+        F.round(F.sum(wv).cast("double") / F.count(F.lit(1)), 6).alias(
+            "winsorized_mean"
+        ),
+    ).select(
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        "trimmed_mean",
+        "winsorized_mean",
+    )

@@ -301,3 +301,55 @@ def test_kfold_balance(spark):
     ideal = len(orders) / _CV_FOLDS
     for r in rows:
         assert 0.8 * ideal < r.n_rows < 1.2 * ideal
+
+
+def test_neyman_allocation_replay(spark):
+    import math
+
+    from tb_scale_spatial_data_pipeline_spark.plans.sampling_queries import (
+        _NEYMAN_BUDGET,
+        QUERIES,
+    )
+
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    g = orders.assign(v=orders.o_totalprice.round(2)).groupby("o_orderpriority").v
+    nhsh = {}
+    for k, s in g:
+        nhsh[k] = len(s) * s.std(ddof=1)
+    z = sum(nhsh[k] for k in sorted(nhsh))
+    rows = QUERIES["neyman_allocation"](spark, SF_SMOKE).collect()
+    for r in rows:
+        assert abs(r.alloc_share - nhsh[r.stratum] / z) < 2e-6
+    # shares form a distribution; allocation spends ~the budget
+    assert abs(sum(r.alloc_share for r in rows) - 1.0) < 1e-5
+    assert abs(sum(r.alloc_n for r in rows) - _NEYMAN_BUDGET) <= len(rows)
+
+
+def test_burstiness_bounds_and_replay(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.event_queries import QUERIES
+
+    rows = QUERIES["interarrival_burstiness"](spark, SF_SMOKE).collect()
+    assert rows
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    for r in rows:
+        assert -1.0 <= r.burstiness <= 1.0
+        g = ev[ev.user_id == r.user_id].sort_values(["ts", "event_id"])
+        # parquet timestamps are datetime64[us]: int64 view is µs
+        gaps_ms = (g.ts.astype("datetime64[us]").astype("int64") // 10**3).diff().dropna()
+        assert r.n_gaps == len(gaps_ms)
+        assert abs(r.mean_gap_s - round(gaps_ms.mean() / 1000.0, 6)) < 1e-5
+
+
+def test_trimmed_winsorized_bracketing(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.stats_queries import QUERIES
+
+    row = QUERIES["trimmed_winsorized_stats"](spark, SF_SMOKE).collect()[0]
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    v = orders.o_totalprice.round(2)
+    # ~90% kept
+    assert abs(row.n_kept / row.n_total - 0.9) < 0.02
+    # right-skewed data: robust centers sit below the raw mean, above
+    # the median
+    assert row.trimmed_mean < v.mean()
+    assert row.winsorized_mean < v.mean()
+    assert row.trimmed_mean > v.median() * 0.8
