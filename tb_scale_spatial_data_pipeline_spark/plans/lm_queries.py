@@ -457,3 +457,113 @@ def q_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_round bigint, lft string, rgt string, pair_count bigint"
     ).orderBy("merge_round")
+
+
+# ---------------------------------------------------------------------------
+# BPE ENCODE: apply the trained merge table corpus-wide and report the
+# compression — tokens-per-word before (characters) and after the 8
+# merges, per language. Completes the tokenizer story (train above,
+# encode here): the merge literals come from the same argmax rounds,
+# the application is the same double-space replace fold, and the
+# report aggregates Σ cnt·|symbols| over word TYPES — the corpus
+# itself is touched once (the type-count aggregation).
+@_q(
+    "bpe_encode_corpus",
+    # reuse the training CTE chain: w{K} is the fully-merged type table
+    _sql_bpe().split("SELECT CAST(merge_round")[0]
+    + f"""
+    , wordsl AS MATERIALIZED (
+      SELECT lang, word, COUNT(*) AS cnt FROM (
+        SELECT lang,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY lang, word
+    )
+    SELECT wl.lang,
+           CAST(SUM(wl.cnt) AS BIGINT) AS n_words,
+           CAST(SUM(wl.cnt * length(wl.word)) AS BIGINT) AS char_tokens,
+           CAST(SUM(wl.cnt * len(string_split(trim(w.sym), ' '))) AS BIGINT)
+             AS bpe_tokens,
+           round(CAST(SUM(wl.cnt * length(wl.word)) AS DOUBLE)
+                 / SUM(wl.cnt * len(string_split(trim(w.sym), ' '))), 6)
+             AS compression
+    FROM wordsl wl JOIN w{_BPE_MERGES} w ON w.word = wl.word
+    GROUP BY wl.lang ORDER BY wl.lang
+    """,
+)
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    # train (same rounds as bpe_merge_train, on the global type table)
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = words.withColumn(
+        "sym",
+        F.concat(F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 ")),
+    ).localCheckpoint()
+    for _ in range(_BPE_MERGES):
+        pairs = (
+            w.withColumn("l", F.split(F.trim(F.col("sym")), " "))
+            .where(F.size(F.col("l")) >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(l) - 1), "
+                        "i -> struct(element_at(l, i) AS lft, "
+                        "element_at(l, i + 1) AS rgt))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.lft").alias("lft"), F.col("p.rgt").alias("rgt"))
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        best = pairs.orderBy(
+            F.desc("pair_count"), F.asc("lft"), F.asc("rgt")
+        ).first()
+        doubled = F.replace(F.col("sym"), F.lit(" "), F.lit("  "))
+        merged = F.replace(
+            doubled,
+            F.lit(f" {best.lft}  {best.rgt} "),
+            F.lit(f" {best.lft}{best.rgt} "),
+        )
+        w = w.withColumn(
+            "sym", F.replace(merged, F.lit("  "), F.lit(" "))
+        ).localCheckpoint()
+
+    wordsl = (
+        docs.select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    enc = wordsl.join(
+        F.broadcast(
+            w.select(
+                "word", F.size(F.split(F.trim(F.col("sym")), " ")).alias("n_sym")
+            )
+        ),
+        "word",
+    )
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.length("word")).cast("bigint").alias("char_tokens"),
+            F.sum(F.col("cnt") * F.col("n_sym")).cast("bigint").alias("bpe_tokens"),
+            F.round(
+                F.sum(F.col("cnt") * F.length("word")).cast("double")
+                / F.sum(F.col("cnt") * F.col("n_sym")),
+                6,
+            ).alias("compression"),
+        )
+        .orderBy("lang")
+    )

@@ -353,3 +353,17 @@ def test_trimmed_winsorized_bracketing(spark):
     assert row.trimmed_mean < v.mean()
     assert row.winsorized_mean < v.mean()
     assert row.trimmed_mean > v.median() * 0.8
+
+
+def test_bpe_encode_compresses(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.lm_queries import QUERIES
+
+    rows = QUERIES["bpe_encode_corpus"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # merges can only shrink the symbol stream, chars upper-bound it
+        assert r.bpe_tokens <= r.char_tokens
+        assert r.compression >= 1.0
+        assert r.n_words <= r.bpe_tokens  # a word is >= 1 symbol
+    # 8 merges on this corpus must actually fire
+    assert any(r.compression > 1.2 for r in rows)
