@@ -479,3 +479,72 @@ def q_item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_contributing").cast("bigint").alias("n_contributing"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — the standard customer-value scoring: recency
+# (days since last order, lower is better), frequency (order count),
+# monetary (decimal-exact spend), each scored 1-5 by ntile over a
+# FULLY tie-broken order (metric, custkey) so bucket assignment is
+# deterministic cross-engine. One aggregation over orders + three
+# cheap windows on the customer-grain table; the segment label is the
+# score triple.
+@_q(
+    "rfm_segmentation",
+    """
+    WITH agg AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', max(o_orderdate), TIMESTAMP '2001-09-01')
+               AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT *,
+             ntile(5) OVER (ORDER BY recency_days DESC, custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary, custkey) AS m_score
+      FROM agg
+    )
+    SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency, monetary,
+           CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+    FROM scored
+    """,
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    agg = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("date"), F.max("o_orderdate").cast("date")
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    r = F.ntile(5).over(Window.orderBy(F.desc("recency_days"), F.asc("custkey")))
+    f_ = F.ntile(5).over(Window.orderBy("frequency", "custkey"))
+    m = F.ntile(5).over(Window.orderBy("monetary", "custkey"))
+    scored = agg.select(
+        "custkey",
+        F.col("recency_days").cast("bigint").alias("recency_days"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        "monetary",
+        r.cast("bigint").alias("r_score"),
+        f_.cast("bigint").alias("f_score"),
+        m.cast("bigint").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )

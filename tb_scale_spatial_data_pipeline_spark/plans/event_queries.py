@@ -666,3 +666,129 @@ def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sd / mu, 6).alias("cv"),
         F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP / time-in-state mean): each event's
+# value holds until the next event of the same user, so the mean is
+# Σ(value·dwell_ms)/Σ(dwell_ms) — the correct average for sampled
+# state (a plain AVG overweights bursts). Dwell times are exact
+# integer ms from one lead window; value·dwell products are
+# DECIMAL(38,2)-exact (2-dp value × integer ms), so the whole
+# aggregation is order-independent. Last event per user has no dwell
+# and is excluded (open interval), the standard TWAP convention.
+@_q(
+    "time_weighted_average",
+    """
+    WITH d AS (
+      SELECT user_id,
+             CAST(round(value, 2) AS DECIMAL(18,2)) AS v,
+             lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+               - epoch_ms(ts) AS dwell_ms
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dwell_ms) AS BIGINT) AS total_ms,
+           round(CAST(SUM(v * dwell_ms) AS DOUBLE) / SUM(dwell_ms), 6)
+             AS twap,
+           round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS plain_avg
+    FROM d WHERE dwell_ms IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast(
+        "bigint"
+    )
+    d = ev.select(
+        "user_id",
+        F.round("value", 2).cast("decimal(18,2)").alias("v"),
+        (F.lead(ms).over(w) - ms).alias("dwell_ms"),
+    ).where(F.col("dwell_ms").isNotNull())
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dwell_ms").cast("bigint").alias("total_ms"),
+        F.round(
+            F.sum(F.col("v") * F.col("dwell_ms")).cast("double")
+            / F.sum("dwell_ms"),
+            6,
+        ).alias("twap"),
+        F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6).alias(
+            "plain_avg"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-union coverage: each event opens a 5-minute activity
+# interval; overlapping intervals merge (gaps-and-islands via the
+# running max of interval ends) and the report is per-user covered
+# time — "how long was the user actually active" as opposed to
+# event counts. Island detection is one window pass on integer ms;
+# at 100 TB it parallelizes over users like every per-user window
+# here.
+_COVER_MS = 300_000  # 5 minutes
+
+
+@_q(
+    "interval_union_coverage",
+    f"""
+    WITH iv AS (
+      SELECT user_id, epoch_ms(ts) AS s, epoch_ms(ts) + {_COVER_MS} AS e
+      FROM events
+    ), flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > COALESCE(max(e) OVER (
+                    PARTITION BY user_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s
+                                   ROWS UNBOUNDED PRECEDING) AS island_id
+      FROM flagged
+    ), merged AS (
+      SELECT user_id, island_id, min(s) AS ms, max(e) AS me
+      FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(me - ms) AS BIGINT) AS covered_ms
+    FROM merged GROUP BY user_id
+    """,
+)
+def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    ms = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast(
+        "bigint"
+    )
+    iv = ev.select("user_id", ms.alias("s"), (ms + _COVER_MS).alias("e"))
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(wprev), F.lit(-1)), 1
+        ).otherwise(0),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.withColumn("island_id", F.sum("new_island").over(wcum))
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("me") - F.col("ms")).cast("bigint").alias("covered_ms"),
+    )

@@ -307,7 +307,8 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pts AS (
       SELECT vec_id, label, i AS pos,
-             CAST(round(embedding[i] * 1000000) AS BIGINT) AS xi
+             -- DOUBLE first: float32 multiply quantizes off-by-one
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
       FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS s(i)
     ), cent AS (
       SELECT label AS clabel, pos,

@@ -809,3 +809,63 @@ def q_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood ER blocking (Hernandez-Stolfo): sort the
+# distinct names once, slide a window of W successors over the sorted
+# order, and run the expensive edit distance only on those pairs.
+# Complementary to fuzzy_name_match's key blocking: sorted
+# neighborhoods catch prefix-similar variants regardless of length
+# band, candidate count is EXACTLY n*W by construction (no skew —
+# the property key blocking can't give), and the sort is Spark's
+# distributed sort. Window leads keep everything in one pass; at
+# 100 TB the global sort is the cost, which is what multi-pass SNM
+# with rotated sort keys amortizes (documented, single key here).
+_SNM_WINDOW = 3
+_SNM_MAXDIST = 3
+
+
+def _sql_snm() -> str:
+    leads = ", ".join(
+        f"lead(p_name, {k}) OVER (ORDER BY p_name) AS nb{k}"
+        for k in range(1, _SNM_WINDOW + 1)
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT p_name AS name_a, nb{k} AS name_b FROM s WHERE nb{k} IS NOT NULL"
+        for k in range(1, _SNM_WINDOW + 1)
+    )
+    return f"""
+    WITH n AS (SELECT DISTINCT p_name FROM part),
+    s AS (SELECT p_name, {leads} FROM n),
+    cand AS ({arms})
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= {_SNM_MAXDIST}
+    """
+
+
+@_q("sorted_neighborhood_pairs", _sql_snm())
+def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    names = t(spark, sf_dir, "part").select("p_name").distinct()
+    w = Window.orderBy("p_name")
+    s = names.select(
+        "p_name",
+        *[
+            F.lead("p_name", k).over(w).alias(f"nb{k}")
+            for k in range(1, _SNM_WINDOW + 1)
+        ],
+    )
+    cand = None
+    for k in range(1, _SNM_WINDOW + 1):
+        arm = s.where(F.col(f"nb{k}").isNotNull()).select(
+            F.col("p_name").alias("name_a"), F.col(f"nb{k}").alias("name_b")
+        )
+        cand = arm if cand is None else cand.unionByName(arm)
+    dist = F.levenshtein("name_a", "name_b")
+    return cand.where(dist <= _SNM_MAXDIST).select(
+        "name_a", "name_b", dist.cast("bigint").alias("edit_dist")
+    )

@@ -487,3 +487,158 @@ def q_embedding_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "pos", F.round(F.percent_rank().over(w), 6).alias("q")
     )
     return ranked.where(F.col("vec_id") < 5)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection with a distortion report:
+# 64-dim embeddings project to 8 dims through a ±1 sign matrix whose
+# entries are md5 parity (engine-reproducible randomness, the LSH
+# plane idiom), and the report measures how well pairwise distances
+# survive: distortion = sqrt((proj_d2/k) / orig_d2) per sampled
+# pair. EXACT LATTICE trick: coordinates quantize to round(x*1e6)
+# BIGINTs and the sign matrix is ±1, so projected coordinates and
+# both squared distances are exact integers (DECIMAL(38,0) sums) —
+# a float geometry pipeline whose only float op is the final
+# sqrt/ratio. Scale: the sign matrix is k x d rows broadcast; each
+# vector's projection is one grouped sum — the same bounded shape as
+# IVF assignment.
+_JL_K = 8
+_JL_D = 64
+
+
+def _sql_jl() -> str:
+    return f"""
+    WITH planes AS MATERIALIZED (
+      SELECT j, i,
+             CASE WHEN CAST(('0x' || substring(
+                      md5('jl|' || CAST(j AS VARCHAR) || '|' || CAST(i AS VARCHAR)),
+                      1, 1)) AS INTEGER) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM (SELECT unnest(generate_series(0, {_JL_K - 1})) AS j),
+           (SELECT unnest(generate_series(1, {_JL_D})) AS i)
+    ), pts AS (
+      SELECT vec_id, i,
+             -- DOUBLE first: FLOAT[] element * int stays float32 in
+             -- DuckDB and quantizes off-by-one vs the double path
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+      FROM embeddings, LATERAL unnest(generate_series(1, {_JL_D})) AS s(i)
+    ), proj AS MATERIALIZED (
+      SELECT p.vec_id, pl.j, SUM(p.xi * pl.sgn) AS pj
+      FROM pts p JOIN planes pl ON pl.i = p.i
+      GROUP BY p.vec_id, pl.j
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 20
+    ), od AS (
+      SELECT pr.id_a, pr.id_b,
+             SUM(CAST((pa.xi - pb.xi) * (pa.xi - pb.xi) AS DECIMAL(38,0)))
+               AS orig_d2
+      FROM pairs pr
+      JOIN pts pa ON pa.vec_id = pr.id_a
+      JOIN pts pb ON pb.vec_id = pr.id_b AND pb.i = pa.i
+      GROUP BY pr.id_a, pr.id_b
+    ), pd AS (
+      SELECT pr.id_a, pr.id_b,
+             SUM(CAST((qa.pj - qb.pj) * (qa.pj - qb.pj) AS DECIMAL(38,0)))
+               AS proj_d2
+      FROM pairs pr
+      JOIN proj qa ON qa.vec_id = pr.id_a
+      JOIN proj qb ON qb.vec_id = pr.id_b AND qb.j = qa.j
+      GROUP BY pr.id_a, pr.id_b
+    )
+    SELECT od.id_a, od.id_b,
+           round(sqrt(CAST(od.orig_d2 AS DOUBLE) / {_JL_D}) / 1000000.0, 6)
+             AS orig_dist_scaled,
+           -- E[proj_d2] = k * orig_d2 for a +-1 matrix, so the
+           -- unbiased ratio is (proj_d2/k) / orig_d2
+           round(sqrt((CAST(pd.proj_d2 AS DOUBLE) / {_JL_K})
+                      / CAST(od.orig_d2 AS DOUBLE)), 6)
+             AS distortion
+    FROM od JOIN pd ON pd.id_a = od.id_a AND pd.id_b = od.id_b
+    WHERE od.orig_d2 > 0
+    """
+
+
+@_q("jl_projection_distortion", _sql_jl())
+def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    emb = t(spark, sf_dir, "embeddings")
+    planes = emb.sparkSession.createDataFrame(
+        [
+            (
+                j,
+                i,
+                1
+                if int(hashlib.md5(f"jl|{j}|{i}".encode()).hexdigest()[0], 16) % 2
+                == 0
+                else -1,
+            )
+            for j in range(_JL_K)
+            for i in range(1, _JL_D + 1)
+        ],
+        "j int, i int, sgn int",
+    )
+    pts = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("i"),
+        F.round(F.col("x") * 1000000).cast("bigint").alias("xi"),
+    )
+    proj = (
+        pts.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("xi") * F.col("sgn")).alias("pj"))
+    )
+    ids = emb.select("vec_id")
+    pairs = ids.select(F.col("vec_id").alias("id_a")).join(
+        ids.select(F.col("vec_id").alias("id_b")),
+        F.col("id_b") == F.col("id_a") + 20,
+    )
+    pa = pts.select(F.col("vec_id").alias("id_a"), "i", F.col("xi").alias("xa"))
+    pb = pts.select(F.col("vec_id").alias("id_b"), "i", F.col("xi").alias("xb"))
+    od = (
+        pairs.join(pa, "id_a")
+        .join(pb, ["id_b", "i"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("orig_d2")
+        )
+    )
+    qa = proj.select(F.col("vec_id").alias("id_a"), "j", F.col("pj").alias("pja"))
+    qb = proj.select(F.col("vec_id").alias("id_b"), "j", F.col("pj").alias("pjb"))
+    pd_ = (
+        pairs.join(qa, "id_a")
+        .join(qb, ["id_b", "j"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                ((F.col("pja") - F.col("pjb")) * (F.col("pja") - F.col("pjb"))).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("proj_d2")
+        )
+    )
+    return (
+        od.join(pd_, ["id_a", "id_b"])
+        .where(F.col("orig_d2") > 0)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.sqrt(F.col("orig_d2").cast("double") / _JL_D) / 1000000.0, 6
+            ).alias("orig_dist_scaled"),
+            F.round(
+                F.sqrt(
+                    (F.col("proj_d2").cast("double") / _JL_K)
+                    / F.col("orig_d2").cast("double")
+                ),
+                6,
+            ).alias("distortion"),
+        )
+    )

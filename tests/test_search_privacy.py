@@ -367,3 +367,97 @@ def test_bpe_encode_compresses(spark):
         assert r.n_words <= r.bpe_tokens  # a word is >= 1 symbol
     # 8 merges on this corpus must actually fire
     assert any(r.compression > 1.2 for r in rows)
+
+
+def test_sorted_neighborhood_candidate_bound(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.text_queries import (
+        _SNM_MAXDIST,
+        _SNM_WINDOW,
+        QUERIES,
+    )
+
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet")
+    n = part.p_name.nunique()
+    rows = QUERIES["sorted_neighborhood_pairs"](spark, SF_SMOKE).collect()
+    # exact candidate bound: n*W pairs scanned, so at most that match
+    assert len(rows) <= n * _SNM_WINDOW
+    assert all(r.edit_dist <= _SNM_MAXDIST for r in rows)
+    # every reported pair really is within W in the sorted order
+    names = sorted(part.p_name.unique())
+    pos = {nm: i for i, nm in enumerate(names)}
+    for r in rows:
+        assert 0 < abs(pos[r.name_a] - pos[r.name_b]) <= _SNM_WINDOW
+
+
+def test_twap_vs_plain_avg(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.event_queries import QUERIES
+
+    rows = QUERIES["time_weighted_average"](spark, SF_SMOKE).collect()
+    assert rows
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    for r in rows[:5]:
+        g = ev[ev.user_id == r.user_id].sort_values(["ts", "event_id"])
+        ms = g.ts.astype("datetime64[us]").astype("int64") // 10**3
+        dwell = ms.diff().shift(-1).dropna()
+        vals = g.value.round(2).iloc[:-1]
+        expect = (vals.to_numpy() * dwell.to_numpy()).sum() / dwell.sum()
+        assert abs(r.twap - round(expect, 6)) < 1e-5
+        assert r.n_intervals == len(dwell)
+    # twap differs from the plain mean somewhere (it corrects for dwell)
+    assert any(abs(r.twap - r.plain_avg) > 1e-3 for r in rows)
+
+
+def test_interval_union_replay(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.event_queries import (
+        _COVER_MS,
+        QUERIES,
+    )
+
+    rows = {r.user_id: r for r in QUERIES["interval_union_coverage"](spark, SF_SMOKE).collect()}
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    for uid, g in ev.groupby("user_id"):
+        starts = sorted(g.ts.astype("datetime64[us]").astype("int64") // 10**3)
+        islands, cov, cur_s, cur_e = 0, 0, None, None
+        for s in starts:
+            e = s + _COVER_MS
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    cov += cur_e - cur_s
+                islands += 1
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        cov += cur_e - cur_s
+        assert rows[uid].n_islands == islands
+        assert rows[uid].covered_ms == cov
+
+
+def test_rfm_scores_consistent(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.analytics_queries import (
+        QUERIES,
+    )
+
+    rows = QUERIES["rfm_segmentation"](spark, SF_SMOKE).collect()
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    assert len(rows) == orders.o_custkey.nunique()
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+        assert r.segment == f"{r.r_score}{r.f_score}{r.m_score}"
+    # monotonicity spot check: the most recent customer cannot score 1
+    best = min(rows, key=lambda r: (r.recency_days, r.custkey))
+    assert best.r_score >= 4
+
+
+def test_jl_distortion_concentrates(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.vector_queries import (
+        QUERIES,
+    )
+
+    rows = QUERIES["jl_projection_distortion"](spark, SF_SMOKE).collect()
+    assert rows
+    ds = [r.distortion for r in rows]
+    # JL with k=8: distortion concentrates around 1 with heavy-ish
+    # tails; the median must land near 1 and nothing collapses to 0
+    med = sorted(ds)[len(ds) // 2]
+    assert 0.5 < med < 2.0
+    assert min(ds) > 0.05
