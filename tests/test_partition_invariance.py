@@ -59,6 +59,15 @@ REPRESENTATIVE = [
     "range_partition_planner",
     "bpe_merge_train",
     "incremental_dedup_ingest",
+    # later continuation batches: global ntile under ties, dwell-time
+    # decimal products, islands via running max, lattice projections
+    "rfm_segmentation",
+    "time_weighted_average",
+    "interval_union_coverage",
+    "jl_projection_distortion",
+    "sorted_neighborhood_pairs",
+    "dd_quantile_sketch",
+    "personalized_pagerank",
 ]
 
 
