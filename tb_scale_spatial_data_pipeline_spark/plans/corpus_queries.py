@@ -622,3 +622,90 @@ def q_incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(base, "fingerprint", "left_anti")
         .select("doc_id", "source", "fingerprint")
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking: boundaries where the hash of the 8-char
+# gram ending at each position satisfies hash % 64 == 0 (expected
+# chunk ~64 chars) — the dedup-friendly chunking (LBFS/rsync family)
+# whose boundaries survive insertions because they depend on CONTENT,
+# not offsets, unlike doc_chunk_overlap's fixed windows. Per-position
+# gram hashing unrolls inside the row (generate_series/transform — no
+# join); the report is per-doc chunk count and mean/max chunk length.
+_CDC_GRAM = 8
+_CDC_MASK = 64
+
+
+@_q(
+    "content_defined_chunking",
+    f"""
+    WITH bounds AS (
+      SELECT doc_id, length(text) AS n,
+             list_sort(list_filter(
+               [CASE WHEN CAST(('0x' || substring(
+                        md5(substring(text, i, {_CDC_GRAM})), 1, 8))
+                        AS BIGINT) % {_CDC_MASK} = 0
+                     THEN i + {_CDC_GRAM} - 1 END
+                FOR i IN generate_series(1, length(text) - {_CDC_GRAM} + 1)],
+               x -> x IS NOT NULL)) AS cuts
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, n,
+             list_prepend(CAST(0 AS BIGINT),
+                          list_append(cuts, CAST(n AS BIGINT))) AS edges
+      FROM bounds
+    ), lens AS (
+      SELECT doc_id,
+             [edges[i + 1] - edges[i]
+              FOR i IN generate_series(1, len(edges) - 1)] AS ls
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(ls, x -> x > 0)) AS BIGINT) AS n_chunks,
+           round(CAST(list_sum(ls) AS DOUBLE)
+                 / len(list_filter(ls, x -> x > 0)), 6) AS mean_chunk_len,
+           CAST(list_max(ls) AS BIGINT) AS max_chunk_len
+    FROM lens
+    """,
+)
+def q_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    cuts = F.expr(
+        f"array_sort(filter(transform("
+        f"sequence(1, length(text) - {_CDC_GRAM} + 1),"
+        f" i -> CASE WHEN conv(substring(md5(substring(text, i, {_CDC_GRAM})),"
+        f" 1, 8), 16, 10) % {_CDC_MASK} = 0"
+        f" THEN cast(i + {_CDC_GRAM} - 1 as bigint) END),"
+        f" x -> x IS NOT NULL))"
+    )
+    bounds = docs.select(
+        "doc_id", F.length("text").alias("n"), cuts.alias("cuts")
+    )
+    edges = F.concat(
+        F.array(F.lit(0).cast("bigint")),
+        F.col("cuts"),
+        F.array(F.col("n").cast("bigint")),
+    )
+    lens = (
+        bounds.withColumn("edges", edges)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, size(edges) - 1),"
+                " i -> element_at(edges, i + 1) - element_at(edges, i))"
+            ).alias("ls"),
+        )
+    )
+    nz = F.size(F.filter(F.col("ls"), lambda x: x > 0))
+    return lens.select(
+        "doc_id",
+        nz.cast("bigint").alias("n_chunks"),
+        F.round(
+            F.aggregate(
+                "ls", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+            ).cast("double")
+            / nz,
+            6,
+        ).alias("mean_chunk_len"),
+        F.array_max("ls").cast("bigint").alias("max_chunk_len"),
+    )

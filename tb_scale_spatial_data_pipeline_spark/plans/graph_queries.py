@@ -569,3 +569,69 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.where(F.col("rank") > 0).select(
         F.col("node").alias("s_suppkey"), F.round("rank", 6).alias("ppr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution + power-law fit: the graph's degree histogram
+# and the Hill/Newman MLE exponent alpha = 1 + n / Σ ln(d / (dmin-0.5))
+# over degrees >= dmin — the standard "is this scale-free" readout
+# that decides whether skew mitigations (salting, degree orientation)
+# are needed. Degrees are one aggregation; the ln sum is an ORDERED
+# fold (the ANOVA seam) so float accumulation is pinned cross-engine.
+_PL_DMIN = 2
+
+
+@_q(
+    "degree_powerlaw_fit",
+    f"""
+    WITH {_SQL_EDGES.strip()},
+    deg AS MATERIALIZED (
+      SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src
+    ),
+    hist AS (
+      SELECT d, COUNT(*) AS n_nodes FROM deg GROUP BY d
+    ),
+    tail AS (
+      SELECT d FROM deg WHERE d >= {_PL_DMIN}
+    ),
+    fit AS (
+      SELECT COUNT(*) AS n_tail,
+             SUM(ln(d / ({_PL_DMIN} - 0.5)) ORDER BY d) AS lnsum
+      FROM tail
+    )
+    SELECT CAST(h.d AS BIGINT) AS degree, CAST(h.n_nodes AS BIGINT) AS n_nodes,
+           CAST(f.n_tail AS BIGINT) AS n_tail,
+           round(1.0 + f.n_tail / f.lnsum, 6) AS alpha
+    FROM hist h CROSS JOIN fit f
+    ORDER BY degree
+    """,
+)
+def q_degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eu = _undirected_edges(spark, sf_dir)
+    edges = eu.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        eu.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("n_nodes"))
+    tail = deg.where(F.col("d") >= _PL_DMIN)
+    fit = tail.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        # 1.5D, not (2 - 0.5): Spark parses the latter as DECIMAL and
+        # the decimal division truncates before ln
+        F.expr(
+            f"aggregate(array_sort(collect_list(d)), cast(0.0 as double),"
+            f" (acc, x) -> acc + ln(cast(x as double) / {_PL_DMIN - 0.5}D))"
+        ).alias("lnsum"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("d").cast("bigint").alias("degree"),
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_tail").cast("bigint").alias("n_tail"),
+            F.round(1.0 + F.col("n_tail") / F.col("lnsum"), 6).alias("alpha"),
+        )
+        .orderBy("degree")
+    )

@@ -252,3 +252,62 @@ def test_footer_audit_matches_data(spark):
         assert r.max_v == float(li[col].max())
         assert r.null_count == int(li[col].isna().sum())
         assert r.n_rows == len(li)
+
+
+def test_powerlaw_fit_replay(spark):
+    import math
+
+    from tb_scale_spatial_data_pipeline_spark.plans.graph_queries import (
+        _PL_DMIN,
+        QUERIES,
+        _undirected_edges,
+    )
+
+    eu = _undirected_edges(spark, SF_SMOKE).collect()
+    deg: dict[int, int] = {}
+    for r in eu:
+        deg[r.u] = deg.get(r.u, 0) + 1
+        deg[r.v] = deg.get(r.v, 0) + 1
+    tail = sorted(d for d in deg.values() if d >= _PL_DMIN)
+    lnsum = 0.0
+    for d in tail:
+        lnsum += math.log(d / (_PL_DMIN - 0.5))
+    alpha = round(1.0 + len(tail) / lnsum, 6)
+    rows = QUERIES["degree_powerlaw_fit"](spark, SF_SMOKE).collect()
+    hist: dict[int, int] = {}
+    for d in deg.values():
+        hist[d] = hist.get(d, 0) + 1
+    assert {(r.degree, r.n_nodes) for r in rows} == set(hist.items())
+    assert all(r.alpha == alpha and r.n_tail == len(tail) for r in rows)
+
+
+def test_cdc_chunking_replay(spark):
+    import hashlib
+
+    from tb_scale_spatial_data_pipeline_spark.plans.corpus_queries import (
+        _CDC_GRAM,
+        _CDC_MASK,
+        QUERIES,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet").head(40)
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["content_defined_chunking"](spark, SF_SMOKE).collect()
+    }
+    for r in docs.itertuples():
+        text = r.text
+        cuts = []
+        for i in range(len(text) - _CDC_GRAM + 1):
+            g = text[i : i + _CDC_GRAM]
+            if int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % _CDC_MASK == 0:
+                cuts.append(i + _CDC_GRAM)  # 1-based end position
+        edges = [0] + cuts + [len(text)]
+        ls = [b - a for a, b in zip(edges, edges[1:])]
+        nz = [x for x in ls if x > 0]
+        got = rows[r.doc_id]
+        assert got.n_chunks == len(nz)
+        assert got.max_chunk_len == max(ls)
+        assert got.mean_chunk_len == round(sum(ls) / len(nz), 6)
+    # boundaries actually fire somewhere (expected chunk ~64 chars)
+    assert any(rows[d].n_chunks > 1 for d in rows)
