@@ -548,3 +548,188 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution — the data-driven alternative to
+# first/last-touch: build the journey transition matrix (start →
+# events → purchase/null), compute conversion probability from
+# 'start' by K rounds of matrix-vector iteration, then re-compute
+# with each channel REMOVED (its inbound transitions redirected to
+# null); removal_effect = 1 − p_removed/p_full is the channel's
+# credit. The corpus-scale work is ONE pass building transition
+# counts; every iteration runs on the ≤7-state matrix. Determinism:
+# probabilities and iterates live on the DECIMAL(18,12) lattice
+# (round after each division/round), so the tiny per-round sums are
+# exact in any order.
+_MRA_ROUNDS = 8
+_MRA_CHANNELS = ("click", "view", "signup")
+
+
+def _sql_markov_removal() -> str:
+    variants = [("full", None)] + [(c, c) for c in _MRA_CHANNELS]
+    ctes = [
+        """j AS MATERIALIZED (
+      SELECT user_id, ts, event_id, event_type,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id) AS conv_ts
+      FROM events
+    ), pre AS MATERIALIZED (
+      SELECT user_id, ts, event_id, event_type FROM j
+      WHERE conv_ts IS NULL OR ts <= conv_ts
+    ), steps AS MATERIALIZED (
+      SELECT user_id, event_type AS s,
+             COALESCE(lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id),
+                      'null') AS t
+      FROM pre
+      UNION ALL
+      -- DuckDB min_by takes scalar keys only: rank the first event
+      -- with the composite (ts, event_id) window instead
+      SELECT user_id, 'start', event_type FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM pre
+      ) WHERE rn = 1
+    )"""
+    ]
+    sel = []
+    for tag, removed in variants:
+        redirect = (
+            f"CASE WHEN t = '{removed}' THEN 'null' ELSE t END"
+            if removed
+            else "t"
+        )
+        src_filter = f"WHERE s <> '{removed}'" if removed else ""
+        ctes.append(
+            f"""tr_{tag} AS MATERIALIZED (
+      SELECT s, {redirect} AS t,
+             CAST(round(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY s)
+                                        AS DOUBLE), 12)
+                  AS DECIMAL(18,12)) AS p
+      FROM steps {src_filter}
+      GROUP BY s, {redirect}
+    ),
+    p_{tag}_0 AS (SELECT 'purchase' AS state, CAST(1 AS DECIMAL(18,12)) AS p)"""
+        )
+        for k in range(_MRA_ROUNDS):
+            ctes.append(
+                f"""p_{tag}_{k + 1} AS MATERIALIZED (
+      SELECT tr.s AS state,
+             CAST(round(CASE WHEN tr.s = 'purchase' THEN 1.0
+                  ELSE SUM(tr.p * COALESCE(pv.p, 0)) END, 12)
+                  AS DECIMAL(18,12)) AS p
+      FROM tr_{tag} tr LEFT JOIN p_{tag}_{k} pv ON pv.state = tr.t
+      GROUP BY tr.s
+    )"""
+            )
+        sel.append(
+            f"SELECT '{tag}' AS variant, CAST(p AS DOUBLE) AS p_convert"
+            f" FROM p_{tag}_{_MRA_ROUNDS} WHERE state = 'start'"
+        )
+    union = "\n      UNION ALL ".join(sel)
+    chans = ", ".join(f"'{c}'" for c in _MRA_CHANNELS)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    res AS ({union}),
+    full_p AS (SELECT p_convert AS pf FROM res WHERE variant = 'full')
+    SELECT variant AS channel, round(pf, 6) AS p_full,
+           round(p_convert, 6) AS p_removed,
+           round(1.0 - p_convert / pf, 6) AS removal_effect
+    FROM res CROSS JOIN full_p
+    WHERE variant IN ({chans})
+    ORDER BY channel
+    """
+    )
+
+
+@_q("markov_removal_attribution", _sql_markov_removal())
+def q_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    wconv = Window.partitionBy("user_id")
+    j = ev.withColumn(
+        "conv_ts",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).over(wconv),
+    )
+    pre = j.where(
+        F.col("conv_ts").isNull() | (F.col("ts") <= F.col("conv_ts"))
+    ).select("user_id", "ts", "event_id", "event_type")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chain = pre.select(
+        F.col("event_type").alias("s"),
+        F.coalesce(F.lead("event_type").over(wseq), F.lit("null")).alias("t"),
+    )
+    starts = pre.groupBy("user_id").agg(
+        F.min_by("event_type", F.struct("ts", "event_id")).alias("t")
+    ).select(F.lit("start").alias("s"), "t")
+    steps = chain.unionByName(starts).localCheckpoint(eager=True)
+
+    out = None
+    for tag, removed in [("full", None)] + [(c, c) for c in _MRA_CHANNELS]:
+        st = steps
+        if removed:
+            st = steps.where(F.col("s") != removed).withColumn(
+                "t",
+                F.when(F.col("t") == removed, "null").otherwise(F.col("t")),
+            )
+        counts = st.groupBy("s", "t").agg(F.count(F.lit(1)).alias("c"))
+        tot = Window.partitionBy("s")
+        tr = counts.select(
+            "s",
+            "t",
+            F.round(
+                F.col("c") / F.sum("c").over(tot).cast("double"), 12
+            )
+            .cast("decimal(18,12)")
+            .alias("p"),
+        ).localCheckpoint(eager=True)
+        pdf = tr.sparkSession.createDataFrame(
+            [("purchase", 1.0)], "pstate string, pv double"
+        ).select("pstate", F.col("pv").cast("decimal(18,12)").alias("pv"))
+        for _ in range(_MRA_ROUNDS):
+            pdf = (
+                tr.join(pdf, tr["t"] == pdf["pstate"], "left")
+                .groupBy(F.col("s").alias("pstate"))
+                .agg(
+                    F.round(
+                        # refer to the grouping key via s — "pstate"
+                        # would resolve to the joined iterate's column
+                        F.when(F.first("s") == "purchase", F.lit(1.0))
+                        .otherwise(
+                            F.sum(
+                                F.col("p")
+                                * F.coalesce(F.col("pv"), F.lit(0).cast("decimal(18,12)"))
+                            )
+                        ),
+                        12,
+                    )
+                    .cast("decimal(18,12)")
+                    .alias("pv")
+                )
+            )
+        row = pdf.where(F.col("pstate") == "start").select(
+            F.lit(tag).alias("variant"),
+            F.col("pv").cast("double").alias("p_convert"),
+        )
+        out = row if out is None else out.unionByName(row)
+    full_p = out.where(F.col("variant") == "full").select(
+        F.col("p_convert").alias("pf")
+    )
+    return (
+        out.where(F.col("variant").isin(*_MRA_CHANNELS))
+        .crossJoin(F.broadcast(full_p))
+        .select(
+            F.col("variant").alias("channel"),
+            F.round("pf", 6).alias("p_full"),
+            F.round("p_convert", 6).alias("p_removed"),
+            F.round(1.0 - F.col("p_convert") / F.col("pf"), 6).alias(
+                "removal_effect"
+            ),
+        )
+        .orderBy("channel")
+    )

@@ -311,3 +311,65 @@ def test_cdc_chunking_replay(spark):
         assert got.mean_chunk_len == round(sum(ls) / len(nz), 6)
     # boundaries actually fire somewhere (expected chunk ~64 chars)
     assert any(rows[d].n_chunks > 1 for d in rows)
+
+
+def test_markov_removal_replay(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.analytics_queries import (
+        _MRA_CHANNELS,
+        _MRA_ROUNDS,
+        QUERIES,
+    )
+
+    ev = (
+        pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    steps = []
+    for uid, g in ev.groupby("user_id"):
+        conv = g[g.event_type == "purchase"].ts.min()
+        gg = g if pd.isna(conv) else g[g.ts <= conv]
+        seq = list(gg.event_type)
+        steps.append(("start", seq[0]))
+        for a, b in zip(seq, seq[1:]):
+            steps.append((a, b))
+        steps.append((seq[-1], "null"))
+
+    def p_convert(removed=None):
+        from collections import Counter, defaultdict
+
+        cnt = Counter()
+        for s, t in steps:
+            if removed and s == removed:
+                continue
+            t2 = "null" if (removed and t == removed) else t
+            cnt[(s, t2)] += 1
+        tot = defaultdict(int)
+        for (s, _), c in cnt.items():
+            tot[s] += c
+        tr = {k: round(c / tot[k[0]], 12) for k, c in cnt.items()}
+        p = {"purchase": 1.0}
+        for _ in range(_MRA_ROUNDS):
+            nxt = {}
+            for s in tot:
+                if s == "purchase":
+                    nxt[s] = 1.0
+                else:
+                    nxt[s] = round(
+                        sum(
+                            pr * p.get(t, 0.0)
+                            for (ss, t), pr in tr.items()
+                            if ss == s
+                        ),
+                        12,
+                    )
+            p = nxt
+        return p["start"]
+
+    pf = p_convert()
+    rows = QUERIES["markov_removal_attribution"](spark, SF_SMOKE).collect()
+    assert {r.channel for r in rows} == set(_MRA_CHANNELS)
+    for r in rows:
+        assert r.p_full == round(pf, 6)
+        assert abs(r.p_removed - round(p_convert(r.channel), 6)) < 2e-6
+        assert 0 < r.removal_effect < 1  # removal always hurts here
