@@ -635,3 +635,68 @@ def q_degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (Newman): Pearson correlation of endpoint
+# degrees over the directed edge list — do hubs attach to hubs
+# (r > 0) or to leaves (r < 0)? Everything is integer power sums
+# (Σdu, Σdv, Σdu², Σdv², Σdu·dv over the 2m directed edges) until
+# the one final ratio — the moments discipline from stats_moments
+# applied to graph structure. Complements degree_powerlaw_fit: the
+# two numbers together decide skew strategy (salting helps a
+# disassortative hub graph most).
+@_q(
+    "degree_assortativity",
+    f"""
+    WITH {_SQL_EDGES.strip()},
+    deg AS MATERIALIZED (
+      SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src
+    ),
+    ed AS (
+      SELECT da.d AS du, db.d AS dv
+      FROM edges e JOIN deg da ON da.node = e.src
+                   JOIN deg db ON db.node = e.dst
+    ),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(du) AS s1, SUM(dv) AS s2,
+             SUM(du * du) AS q1, SUM(dv * dv) AS q2,
+             SUM(du * dv) AS x
+      FROM ed
+    )
+    SELECT CAST(n AS BIGINT) AS n_directed_edges,
+           round((CAST(n AS DOUBLE) * x - CAST(s1 AS DOUBLE) * s2)
+                 / (sqrt(CAST(n AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)
+                    * sqrt(CAST(n AS DOUBLE) * q2 - CAST(s2 AS DOUBLE) * s2)),
+                 6) AS assortativity
+    FROM m
+    """,
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eu = _undirected_edges(spark, sf_dir)
+    edges = eu.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        eu.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    da = deg.select(F.col("node").alias("src"), F.col("d").alias("du"))
+    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("dv"))
+    ed = edges.join(F.broadcast(da), "src").join(F.broadcast(db), "dst")
+    m = ed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("du").alias("s1"),
+        F.sum("dv").alias("s2"),
+        F.sum(F.col("du") * F.col("du")).alias("q1"),
+        F.sum(F.col("dv") * F.col("dv")).alias("q2"),
+        F.sum(F.col("du") * F.col("dv")).alias("x"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("x") - F.col("s1").cast("double") * F.col("s2")
+    den = F.sqrt(n * F.col("q1") - F.col("s1").cast("double") * F.col("s1")) * F.sqrt(
+        n * F.col("q2") - F.col("s2").cast("double") * F.col("s2")
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_directed_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )

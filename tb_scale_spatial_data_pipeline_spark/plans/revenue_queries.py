@@ -327,3 +327,91 @@ def q_trending_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("climb"), F.asc("part"))
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-strategy advisor: the rule table a planner (or an engineer
+# reading join_key_skew_report) applies — per candidate join of the
+# star schema, measure build-side size and probe-side key skew from
+# exact counts and emit the recommended physical strategy:
+#   build rows <= broadcast threshold        -> BROADCAST
+#   else max key share > skew threshold      -> SALTED shuffle join
+#   else                                     -> SHUFFLE (sort-merge)
+# This is a decision ARTIFACT, not a hint Spark consumes — AQE makes
+# the same call from runtime stats; the query makes the reasoning
+# auditable (and testable) ahead of time. One aggregation per side.
+_ADV_BROADCAST_ROWS = 1000
+_ADV_SKEW_SHARE = 0.05
+
+
+def _sql_join_advisor() -> str:
+    edges = [
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier"),
+        ("lineitem->part", "lineitem", "l_partkey", "part"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders"),
+        ("orders->customer", "orders", "o_custkey", "customer"),
+        ("customer->nation", "customer", "c_nationkey", "nation"),
+    ]
+    arms = []
+    for label, fact, fk, dim in edges:
+        arms.append(
+            f"""SELECT '{label}' AS join_edge,
+             (SELECT COUNT(*) FROM {dim}) AS build_rows,
+             (SELECT COUNT(*) FROM {fact}) AS probe_rows,
+             (SELECT max(c) FROM (SELECT COUNT(*) AS c FROM {fact}
+                                  GROUP BY {fk})) AS max_key_rows"""
+        )
+    u = "\n      UNION ALL ".join(arms)
+    return f"""
+    WITH m AS ({u})
+    SELECT join_edge, CAST(build_rows AS BIGINT) AS build_rows,
+           CAST(probe_rows AS BIGINT) AS probe_rows,
+           CAST(max_key_rows AS BIGINT) AS max_key_rows,
+           round(CAST(max_key_rows AS DOUBLE) / probe_rows, 6)
+             AS max_key_share,
+           CASE WHEN build_rows <= {_ADV_BROADCAST_ROWS} THEN 'BROADCAST'
+                WHEN CAST(max_key_rows AS DOUBLE) / probe_rows
+                     > {_ADV_SKEW_SHARE} THEN 'SALTED'
+                ELSE 'SHUFFLE' END AS strategy
+    FROM m ORDER BY join_edge
+    """
+
+
+@_q("join_strategy_advisor", _sql_join_advisor())
+def q_join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = [
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier"),
+        ("lineitem->part", "lineitem", "l_partkey", "part"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders"),
+        ("orders->customer", "orders", "o_custkey", "customer"),
+        ("customer->nation", "customer", "c_nationkey", "nation"),
+    ]
+    out = None
+    for label, fact, fk, dim in edges:
+        f_df = t(spark, sf_dir, fact)
+        build = t(spark, sf_dir, dim).agg(F.count(F.lit(1)).alias("build_rows"))
+        probe = f_df.agg(F.count(F.lit(1)).alias("probe_rows"))
+        mx = (
+            f_df.groupBy(fk)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").alias("max_key_rows"))
+        )
+        row = (
+            build.crossJoin(probe)
+            .crossJoin(mx)
+            .select(F.lit(label).alias("join_edge"), "build_rows",
+                    "probe_rows", "max_key_rows")
+        )
+        out = row if out is None else out.unionByName(row)
+    share = F.col("max_key_rows").cast("double") / F.col("probe_rows")
+    return out.select(
+        "join_edge",
+        F.col("build_rows").cast("bigint").alias("build_rows"),
+        F.col("probe_rows").cast("bigint").alias("probe_rows"),
+        F.col("max_key_rows").cast("bigint").alias("max_key_rows"),
+        F.round(share, 6).alias("max_key_share"),
+        F.when(F.col("build_rows") <= _ADV_BROADCAST_ROWS, "BROADCAST")
+        .when(share > _ADV_SKEW_SHARE, "SALTED")
+        .otherwise("SHUFFLE")
+        .alias("strategy"),
+    ).orderBy("join_edge")

@@ -373,3 +373,52 @@ def test_markov_removal_replay(spark):
         assert r.p_full == round(pf, 6)
         assert abs(r.p_removed - round(p_convert(r.channel), 6)) < 2e-6
         assert 0 < r.removal_effect < 1  # removal always hurts here
+
+
+def test_join_advisor_rules(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.revenue_queries import (
+        _ADV_BROADCAST_ROWS,
+        _ADV_SKEW_SHARE,
+        QUERIES,
+    )
+
+    rows = QUERIES["join_strategy_advisor"](spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        if r.build_rows <= _ADV_BROADCAST_ROWS:
+            assert r.strategy == "BROADCAST"
+        elif r.max_key_share > _ADV_SKEW_SHARE:
+            assert r.strategy == "SALTED"
+        else:
+            assert r.strategy == "SHUFFLE"
+        assert abs(r.max_key_share - r.max_key_rows / r.probe_rows) < 1e-6
+    # on the fixture every dim is tiny -> broadcast everywhere at
+    # sf0.001; the rule table itself is what's under test
+    assert any(r.strategy == "BROADCAST" for r in rows)
+
+
+def test_assortativity_replay(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.graph_queries import (
+        QUERIES,
+        _undirected_edges,
+    )
+
+    eu = _undirected_edges(spark, SF_SMOKE).collect()
+    deg: dict[int, int] = {}
+    for r in eu:
+        deg[r.u] = deg.get(r.u, 0) + 1
+        deg[r.v] = deg.get(r.v, 0) + 1
+    pairs = [(deg[r.u], deg[r.v]) for r in eu] + [(deg[r.v], deg[r.u]) for r in eu]
+    n = len(pairs)
+    s1 = sum(a for a, _ in pairs)
+    s2 = sum(b for _, b in pairs)
+    q1 = sum(a * a for a, _ in pairs)
+    q2 = sum(b * b for _, b in pairs)
+    x = sum(a * b for a, b in pairs)
+    r_exp = (n * x - s1 * s2) / (
+        (n * q1 - s1 * s1) ** 0.5 * (n * q2 - s2 * s2) ** 0.5
+    )
+    row = QUERIES["degree_assortativity"](spark, SF_SMOKE).collect()[0]
+    assert row.n_directed_edges == n
+    assert row.assortativity == round(r_exp, 6)
+    assert -1.0 <= row.assortativity <= 1.0
