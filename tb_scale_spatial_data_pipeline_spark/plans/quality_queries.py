@@ -400,3 +400,128 @@ def q_psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_contribution"
         ),
     ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# Bot / automation detection score: a composite heuristic per user —
+# (a) event rate (events per active hour), (b) inter-arrival
+# regularity (low CV = machine-like periodicity), (c) event-type mix
+# entropy (bots hammer one endpoint). Each signal is computed on the
+# integer/decimal lattice (counts, integer-ms gaps, exact power sums);
+# entropy is an ordered fold over the per-type counts; the composite
+# score = sum of the three indicator flags. This is the abuse-
+# detection readout a rate-limiting pipeline drives; per-user windows
+# parallelize trivially.
+_BOT_RATE_PER_HR = 12.0
+_BOT_CV_FLOOR = 0.30
+_BOT_ENTROPY_FLOOR = 1.0
+
+
+@_q(
+    "bot_detection_score",
+    f"""
+    WITH base AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ms,
+             lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ms
+      FROM events
+    ), gaps AS (
+      SELECT user_id, COUNT(*) AS n_gaps,
+             SUM(ms - prev_ms) AS s1,
+             SUM(CAST(ms - prev_ms AS DECIMAL(38,0)) * (ms - prev_ms)) AS s2
+      FROM base WHERE prev_ms IS NOT NULL GROUP BY user_id
+    ), counts AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ), shares AS (
+      -- window in its own CTE: DuckDB rejects windows inside
+      -- aggregate arguments
+      SELECT user_id, event_type, c,
+             c / CAST(SUM(c) OVER (PARTITION BY user_id) AS DOUBLE) AS sh
+      FROM counts
+    ), mix AS (
+      SELECT user_id, SUM(c) AS n_events,
+             SUM(-1.0 * sh * ln(sh) ORDER BY event_type) AS entropy
+      FROM shares GROUP BY user_id
+    )
+    SELECT g.user_id,
+           CAST(m.n_events AS BIGINT) AS n_events,
+           round(m.n_events / (CAST(g.s1 AS DOUBLE) / 3600000.0), 6)
+             AS events_per_hr,
+           round(sqrt((CAST(g.s2 AS DOUBLE) - CAST(g.s1 AS DOUBLE) * g.s1
+                       / g.n_gaps) / (g.n_gaps - 1))
+                 / (CAST(g.s1 AS DOUBLE) / g.n_gaps), 6) AS gap_cv,
+           round(m.entropy, 6) AS type_entropy,
+           CAST((CASE WHEN m.n_events / (CAST(g.s1 AS DOUBLE) / 3600000.0)
+                           > {_BOT_RATE_PER_HR} THEN 1 ELSE 0 END)
+                + (CASE WHEN sqrt((CAST(g.s2 AS DOUBLE)
+                                   - CAST(g.s1 AS DOUBLE) * g.s1 / g.n_gaps)
+                                  / (g.n_gaps - 1))
+                             / (CAST(g.s1 AS DOUBLE) / g.n_gaps)
+                             < {_BOT_CV_FLOOR} THEN 1 ELSE 0 END)
+                + (CASE WHEN m.entropy < {_BOT_ENTROPY_FLOOR}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS bot_score
+    FROM gaps g JOIN mix m ON m.user_id = g.user_id
+    WHERE g.n_gaps >= 2
+    """,
+)
+def q_bot_detection_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast(
+        "bigint"
+    )
+    base = ev.select(
+        "user_id", "event_type", ms.alias("ms"), F.lag(ms).over(w).alias("prev_ms")
+    )
+    gap = F.col("ms") - F.col("prev_ms")
+    gaps = (
+        base.where(F.col("prev_ms").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum(gap).alias("s1"),
+            F.sum(gap.cast("decimal(38,0)") * gap).alias("s2"),
+        )
+        .where(F.col("n_gaps") >= 2)
+    )
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wtot = Window.partitionBy("user_id")
+    share = F.col("c") / F.sum("c").over(wtot).cast("double")
+    terms = counts.select(
+        "user_id",
+        "event_type",
+        "c",
+        (-share * F.log(share)).alias("term"),
+    )
+    mix = terms.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(event_type, term))),"
+            " cast(0.0 as double), (acc, x) -> acc + x.term)"
+        ).alias("entropy"),
+    )
+    j = gaps.join(mix, "user_id")
+    hours = F.col("s1").cast("double") / 3600000.0
+    rate = F.col("n_events") / hours
+    mu = F.col("s1").cast("double") / F.col("n_gaps")
+    sd = F.sqrt(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n_gaps"))
+        / (F.col("n_gaps") - 1)
+    )
+    cv = sd / mu
+    score = (
+        (rate > _BOT_RATE_PER_HR).cast("int")
+        + (cv < _BOT_CV_FLOOR).cast("int")
+        + (F.col("entropy") < _BOT_ENTROPY_FLOOR).cast("int")
+    )
+    return j.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(rate, 6).alias("events_per_hr"),
+        F.round(cv, 6).alias("gap_cv"),
+        F.round("entropy", 6).alias("type_entropy"),
+        score.cast("bigint").alias("bot_score"),
+    )

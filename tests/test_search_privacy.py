@@ -461,3 +461,35 @@ def test_jl_distortion_concentrates(spark):
     med = sorted(ds)[len(ds) // 2]
     assert 0.5 < med < 2.0
     assert min(ds) > 0.05
+
+
+def test_bot_score_components(spark):
+    import math
+
+    from tb_scale_spatial_data_pipeline_spark.plans.quality_queries import (
+        _BOT_CV_FLOOR,
+        _BOT_ENTROPY_FLOOR,
+        _BOT_RATE_PER_HR,
+        QUERIES,
+    )
+
+    rows = QUERIES["bot_detection_score"](spark, SF_SMOKE).collect()
+    assert rows
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    for r in rows:
+        flags = (
+            int(r.events_per_hr > _BOT_RATE_PER_HR)
+            + int(r.gap_cv < _BOT_CV_FLOOR)
+            + int(r.type_entropy < _BOT_ENTROPY_FLOOR)
+        )
+        assert r.bot_score == flags
+        assert 0 <= r.bot_score <= 3
+        # entropy replay for this user
+        c = ev[ev.user_id == r.user_id].event_type.value_counts()
+        sh = c / c.sum()
+        ent = 0.0
+        for k in sorted(sh.index):
+            ent += -sh[k] * math.log(sh[k])
+        assert abs(r.type_entropy - round(ent, 6)) < 1e-6
+    # synthetic human traffic: mixed types -> high entropy, no 3-flag bots
+    assert all(r.bot_score < 3 for r in rows)
