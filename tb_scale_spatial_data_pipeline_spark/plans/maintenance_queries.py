@@ -359,3 +359,48 @@ def q_footer_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "col string, min_v double, max_v double, null_count bigint, n_rows bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-freshness SLA report: per event stream, last-seen event time
+# vs the table's global watermark and an SLA verdict — the ops
+# monitoring query every ingestion pipeline runs on a schedule. One
+# aggregation; integer-ms lags.
+_FRESH_SLA_MS = 6 * 3600 * 1000  # 6 hours
+
+
+@_q(
+    "freshness_sla_report",
+    f"""
+    WITH per AS (
+      SELECT event_type, COUNT(*) AS n_events,
+             max(epoch_ms(ts)) AS last_ms
+      FROM events GROUP BY event_type
+    ), wm AS (SELECT max(last_ms) AS w FROM per)
+    SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+           CAST(w - last_ms AS BIGINT) AS staleness_ms,
+           (w - last_ms) <= {_FRESH_SLA_MS} AS within_sla
+    FROM per CROSS JOIN wm
+    ORDER BY event_type
+    """,
+)
+def q_freshness_sla_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    ms = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast(
+        "bigint"
+    )
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.max(ms).alias("last_ms")
+    )
+    wm = per.agg(F.max("last_ms").alias("w"))
+    stale = F.col("w") - F.col("last_ms")
+    return (
+        per.crossJoin(F.broadcast(wm))
+        .select(
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            stale.cast("bigint").alias("staleness_ms"),
+            (stale <= _FRESH_SLA_MS).alias("within_sla"),
+        )
+        .orderBy("event_type")
+    )

@@ -314,3 +314,68 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+# ---------------------------------------------------------------------------
+# Balanced class downsampling: undersample every label to the
+# minority-class count, selecting each label's keepers by md5 rank
+# (deterministic, reproducible on any cluster — the md5-order idiom
+# of stratified_sample applied to class balancing). The per-label
+# rank window parallelizes over labels; the minority count is one
+# tiny broadcast scalar. Output: per-label kept counts + which ids
+# survived, verified exactly.
+@_q(
+    "class_balance_downsample",
+    """
+    WITH m AS (
+      SELECT min(c) AS target FROM (
+        SELECT COUNT(*) AS c FROM embeddings GROUP BY label)
+    ), ranked AS (
+      SELECT vec_id, label,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS rn
+      FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(min(vec_id) AS BIGINT) AS min_kept_id,
+           CAST(max(vec_id) AS BIGINT) AS max_kept_id,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_kept_ids
+    FROM ranked CROSS JOIN m
+    WHERE rn <= target
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_class_balance_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    target = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.min("c").alias("target"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("label").orderBy(
+            F.md5(F.col("vec_id").cast("string")), "vec_id"
+        )
+    )
+    ranked = emb.select("vec_id", "label").withColumn("rn", rn)
+    return (
+        ranked.crossJoin(F.broadcast(target))
+        .where(F.col("rn") <= F.col("target"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("vec_id").cast("bigint").alias("min_kept_id"),
+            F.max("vec_id").cast("bigint").alias("max_kept_id"),
+            F.sum("vec_id").cast("bigint").alias("sum_kept_ids"),
+        )
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            "min_kept_id",
+            "max_kept_id",
+            "sum_kept_ids",
+        )
+        .orderBy("label")
+    )

@@ -493,3 +493,35 @@ def test_bot_score_components(spark):
         assert abs(r.type_entropy - round(ent, 6)) < 1e-6
     # synthetic human traffic: mixed types -> high entropy, no 3-flag bots
     assert all(r.bot_score < 3 for r in rows)
+
+
+def test_class_balance_downsample_contract(spark):
+    import hashlib
+
+    from tb_scale_spatial_data_pipeline_spark.plans.sampling_queries import (
+        QUERIES,
+    )
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    target = emb.label.value_counts().min()
+    rows = QUERIES["class_balance_downsample"](spark, SF_SMOKE).collect()
+    assert len(rows) == emb.label.nunique()
+    for r in rows:
+        assert r.n_kept == target  # balanced by construction
+        ids = sorted(
+            emb[emb.label == r.label].vec_id,
+            key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v),
+        )[:target]
+        assert r.sum_kept_ids == sum(ids)
+        assert r.min_kept_id == min(ids) and r.max_kept_id == max(ids)
+
+
+def test_freshness_report_shape(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.maintenance_queries import (
+        QUERIES,
+    )
+
+    rows = QUERIES["freshness_sla_report"](spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    assert min(r.staleness_ms for r in rows) == 0  # the watermark stream
+    assert all(r.staleness_ms >= 0 for r in rows)
