@@ -733,3 +733,84 @@ def q_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence lift + chi-square significance: the statistical
+# upgrade of item_cooccurrence_similarity — lift = P(a,b)/(P(a)P(b))
+# says HOW MUCH more often the pair co-occurs than independence
+# predicts, and the 2x2 chi-square says whether that's noise. All
+# four contingency cells come from exact integer counts already
+# computed for the cosine; the statistics are per-row float
+# expressions. Same Σ|basket|² shuffle bound.
+_LIFT_MIN_CO = 3
+
+
+@_q(
+    "cooccurrence_lift_significance",
+    f"""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM basket),
+    deg AS (
+      SELECT l_partkey, COUNT(*) AS d FROM basket GROUP BY 1
+    ), pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS co
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p.pa, p.pb, CAST(p.co AS BIGINT) AS co,
+           round(CAST(p.co AS DOUBLE) * nb.n
+                 / (CAST(da.d AS DOUBLE) * db.d), 6) AS lift,
+           round(CAST(nb.n AS DOUBLE)
+                 * pow(CAST(p.co AS DOUBLE) * nb.n
+                       - CAST(da.d AS DOUBLE) * db.d, 2)
+                 / (CAST(da.d AS DOUBLE) * db.d
+                    * (nb.n - da.d) * (nb.n - db.d)), 6) AS chi2
+    FROM pairs p
+    JOIN deg da ON da.l_partkey = p.pa
+    JOIN deg db ON db.l_partkey = p.pb
+    CROSS JOIN nb
+    WHERE p.co >= {_LIFT_MIN_CO}
+    """,
+)
+def q_cooccurrence_lift_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    basket = (
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    nb = basket.agg(F.countDistinct("l_orderkey").alias("n"))
+    deg = basket.groupBy("l_partkey").agg(F.count("*").alias("d"))
+    a = basket.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = basket.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("co"))
+        .where(F.col("co") >= _LIFT_MIN_CO)
+    )
+    da = deg.select(F.col("l_partkey").alias("pa"), F.col("d").alias("da"))
+    db = deg.select(F.col("l_partkey").alias("pb"), F.col("d").alias("db"))
+    j = (
+        pairs.join(F.broadcast(da), "pa")
+        .join(F.broadcast(db), "pb")
+        .crossJoin(F.broadcast(nb))
+    )
+    nf = F.col("n").cast("double")
+    dad = F.col("da").cast("double")
+    dbd = F.col("db").cast("double")
+    cof = F.col("co").cast("double")
+    lift = cof * F.col("n") / (dad * dbd)
+    chi2 = (
+        nf
+        * F.pow(cof * F.col("n") - dad * dbd, 2)
+        / (dad * dbd * (F.col("n") - F.col("da")) * (F.col("n") - F.col("db")))
+    )
+    return j.select(
+        "pa",
+        "pb",
+        F.col("co").cast("bigint").alias("co"),
+        F.round(lift, 6).alias("lift"),
+        F.round(chi2, 6).alias("chi2"),
+    )

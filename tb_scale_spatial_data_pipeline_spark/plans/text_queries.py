@@ -869,3 +869,92 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.where(dist <= _SNM_MAXDIST).select(
         "name_a", "name_b", dist.cast("bigint").alias("edit_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit: OLS of ln(frequency) on ln(rank) over the top-K vocabulary
+# — the "is this corpus naturally distributed" check (natural text
+# slopes near -1; synthetic/templated corpora flatten). The corpus-
+# scale step is the token count; the regression runs on K rows. All
+# four ln-sums are ORDERED folds by rank (the ANOVA seam), so the
+# float accumulation is pinned cross-engine.
+_ZIPF_TOP = 200
+
+
+@_q(
+    "zipf_fit_vocab",
+    f"""
+    WITH counts AS (
+      SELECT tok, COUNT(*) AS n FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        FROM documents
+      ) WHERE tok <> '' GROUP BY tok
+    ), ranked AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, tok) AS DOUBLE)) AS x,
+             ln(CAST(n AS DOUBLE)) AS y,
+             row_number() OVER (ORDER BY n DESC, tok) AS r
+      FROM counts
+      ORDER BY n DESC, tok LIMIT {_ZIPF_TOP}
+    ), s AS (
+      SELECT COUNT(*) AS k,
+             SUM(x ORDER BY r) AS sx, SUM(y ORDER BY r) AS sy,
+             SUM(x * x ORDER BY r) AS sxx, SUM(x * y ORDER BY r) AS sxy
+      FROM ranked
+    )
+    SELECT CAST(k AS BIGINT) AS n_terms,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6)
+             AS intercept
+    FROM s
+    """,
+)
+def q_zipf_fit_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    r = F.row_number().over(Window.orderBy(F.desc("n"), F.asc("tok")))
+    ranked = (
+        counts.withColumn("r", r)
+        .where(F.col("r") <= _ZIPF_TOP)
+        .select(
+            "r",
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("n").cast("double")).alias("y"),
+        )
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(r, x))),"
+            " cast(0.0 as double), (acc, t) -> acc + t.x)"
+        ).alias("sx"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(r, y))),"
+            " cast(0.0 as double), (acc, t) -> acc + t.y)"
+        ).alias("sy"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(r, x))),"
+            " cast(0.0 as double), (acc, t) -> acc + t.x * t.x)"
+        ).alias("sxx"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(r, x, y))),"
+            " cast(0.0 as double), (acc, t) -> acc + t.x * t.y)"
+        ).alias("sxy"),
+    )
+    k = F.col("k").cast("double")
+    slope = (k * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        k * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("k").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / k, 6).alias("intercept"),
+    )

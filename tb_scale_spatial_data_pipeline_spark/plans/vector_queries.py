@@ -642,3 +642,65 @@ def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("distortion"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics — the drift/normalization monitor
+# an embedding pipeline runs on every batch (collapsed dimensions,
+# scale creep, dead units). Values quantize to the 1e-6 integer
+# lattice; mean/std come from exact integer power sums per dimension;
+# the only floats are the final divisions/sqrt. One posexplode + one
+# aggregation: dims × 4 numbers out, any corpus size.
+@_q(
+    "embedding_dimension_stats",
+    """
+    WITH pts AS (
+      SELECT i AS dim,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS xi
+      FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS s(i)
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(xi) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS mean_v,
+           round(sqrt((CAST(SUM(CAST(xi AS DECIMAL(38,0)) * xi) AS DOUBLE)
+                       - CAST(SUM(xi) AS DOUBLE) * SUM(xi) / COUNT(*))
+                      / (COUNT(*) - 1)) / 1000000.0, 6) AS std_v,
+           round(min(xi) / 1000000.0, 6) AS min_v,
+           round(max(xi) / 1000000.0, 6) AS max_v
+    FROM pts GROUP BY dim ORDER BY dim
+    """,
+)
+def q_embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    pts = emb.select(F.posexplode("embedding").alias("pos0", "x")).select(
+        (F.col("pos0") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000).cast("bigint").alias("xi"),
+    )
+    n = F.count(F.lit(1))
+    s1 = F.sum("xi")
+    s2 = F.sum(F.col("xi").cast("decimal(38,0)") * F.col("xi"))
+    return (
+        pts.groupBy("dim")
+        .agg(
+            n.alias("n"),
+            F.round(s1.cast("double") / n / 1000000.0, 6).alias("mean_v"),
+            F.round(
+                F.sqrt(
+                    (s2.cast("double") - s1.cast("double") * s1 / n) / (n - 1)
+                )
+                / 1000000.0,
+                6,
+            ).alias("std_v"),
+            F.round(F.min("xi") / 1000000.0, 6).alias("min_v"),
+            F.round(F.max("xi") / 1000000.0, 6).alias("max_v"),
+        )
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.col("n").cast("bigint").alias("n"),
+            "mean_v",
+            "std_v",
+            "min_v",
+            "max_v",
+        )
+        .orderBy("dim")
+    )

@@ -525,3 +525,49 @@ def test_freshness_report_shape(spark):
     assert len(rows) == 5
     assert min(r.staleness_ms for r in rows) == 0  # the watermark stream
     assert all(r.staleness_ms >= 0 for r in rows)
+
+
+def test_embedding_dim_stats_replay(spark):
+    import numpy as np
+
+    from tb_scale_spatial_data_pipeline_spark.plans.vector_queries import (
+        QUERIES,
+    )
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    mat = np.round(
+        np.stack(emb.embedding.to_numpy()).astype("float64") * 1e6
+    ).astype("int64")
+    rows = QUERIES["embedding_dimension_stats"](spark, SF_SMOKE).collect()
+    assert len(rows) == mat.shape[1]
+    for r in rows:
+        col = mat[:, r.dim - 1]
+        assert r.n == len(col)
+        assert r.mean_v == round(col.sum() / len(col) / 1e6, 6)
+        assert r.min_v == round(col.min() / 1e6, 6)
+        assert r.max_v == round(col.max() / 1e6, 6)
+
+
+def test_lift_consistency(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.analytics_queries import (
+        QUERIES,
+    )
+
+    rows = QUERIES["cooccurrence_lift_significance"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows[:50]:
+        assert r.lift > 0 and r.chi2 >= 0
+    # lift > 1 somewhere: real co-purchase affinity exists
+    assert any(r.lift > 1 for r in rows)
+
+
+def test_zipf_slope_negative(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.text_queries import (
+        QUERIES,
+    )
+
+    row = QUERIES["zipf_fit_vocab"](spark, SF_SMOKE).collect()[0]
+    # frequency decreases with rank: slope strictly negative; the
+    # synthetic corpus is flatter than natural text (slope > -1)
+    assert row.zipf_slope < 0
+    assert row.n_terms > 50
