@@ -415,3 +415,114 @@ def q_join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("SHUFFLE")
         .alias("strategy"),
     ).orderBy("join_edge")
+
+
+# ---------------------------------------------------------------------------
+# Discount elasticity by brand: per-brand OLS slope of quantity on
+# discount — "does discounting move volume for this brand". Slope =
+# (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) from per-brand power sums; discount
+# has ≤2 dp and quantity is integral, so the sums are decimal-exact
+# and the slope is ONE float division per brand — a grouped
+# regression with zero per-group iteration (the pixel_trend_regression
+# discipline on business data).
+@_q(
+    "discount_elasticity_by_brand",
+    """
+    WITH j AS (
+      SELECT p.p_brand AS brand,
+             CAST(l.l_discount AS DECIMAL(18,2)) AS x,
+             CAST(l.l_quantity AS DECIMAL(18,2)) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), m AS (
+      SELECT brand, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x * x AS DECIMAL(30,4))) AS sxx,
+             SUM(CAST(x * y AS DECIMAL(30,4))) AS sxy
+      FROM j GROUP BY brand
+    )
+    SELECT brand, CAST(n AS BIGINT) AS n_lines,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS qty_per_discount_slope
+    FROM m ORDER BY brand
+    """,
+)
+def q_discount_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_discount").cast("decimal(18,2)").alias("x"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("y"),
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    m = j.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,4)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(30,4)")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")) / (
+        n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return m.select(
+        "brand",
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.round(slope, 6).alias("qty_per_discount_slope"),
+    ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# Order→ship latency percentiles per priority: latency in integer
+# days (exact); exact interpolated percentiles (p50/p90/p99) per
+# priority class — the fulfilment-SLA distribution. NOTE the fixture
+# is not causally consistent (≈half the ship dates precede the order
+# date), so latencies include negatives; the distribution report is
+# faithful to the data, which is exactly what an SLA audit must be.
+@_q(
+    "ship_latency_percentiles",
+    """
+    WITH lat AS (
+      SELECT o.o_orderpriority AS priority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           round(quantile_cont(days, 0.5), 6) AS p50_days,
+           round(quantile_cont(days, 0.9), 6) AS p90_days,
+           round(quantile_cont(days, 0.99), 6) AS p99_days
+    FROM lat GROUP BY priority ORDER BY priority
+    """,
+)
+def q_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days"),
+    )
+    return (
+        lat.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.expr("percentile(days, 0.5D)"), 6).alias("p50_days"),
+            F.round(F.expr("percentile(days, 0.9D)"), 6).alias("p90_days"),
+            F.round(F.expr("percentile(days, 0.99D)"), 6).alias("p99_days"),
+        )
+        .select(
+            "priority",
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            "p50_days",
+            "p90_days",
+            "p99_days",
+        )
+        .orderBy("priority")
+    )

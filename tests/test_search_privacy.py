@@ -573,3 +573,38 @@ def test_zipf_slope_negative(spark):
     # synthetic corpus is flatter than natural text (slope > -1)
     assert row.zipf_slope < 0
     assert row.n_terms > 20  # synthetic vocab is ~31 types
+
+
+def test_elasticity_replay(spark):
+    import numpy as np
+
+    from tb_scale_spatial_data_pipeline_spark.plans.revenue_queries import (
+        QUERIES,
+    )
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet")[["p_partkey", "p_brand"]]
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    rows = {r.brand: r for r in QUERIES["discount_elasticity_by_brand"](spark, SF_SMOKE).collect()}
+    for brand, g in j.groupby("p_brand"):
+        x = g.l_discount.round(2).to_numpy()
+        y = g.l_quantity.round(2).to_numpy()
+        n = len(x)
+        slope = (n * (x * y).sum() - x.sum() * y.sum()) / (
+            n * (x * x).sum() - x.sum() ** 2
+        )
+        assert rows[brand].n_lines == n
+        assert abs(rows[brand].qty_per_discount_slope - slope) < 1e-4
+
+
+def test_ship_latency_shape(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.revenue_queries import (
+        QUERIES,
+    )
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    rows = QUERIES["ship_latency_percentiles"](spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    assert sum(r.n_lines for r in rows) == len(li)
+    for r in rows:
+        assert r.p50_days <= r.p90_days <= r.p99_days
