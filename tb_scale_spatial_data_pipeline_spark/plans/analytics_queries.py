@@ -776,8 +776,10 @@ _LIFT_MIN_CO = 3
     """,
 )
 def q_cooccurrence_lift_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # basket feeds nb, deg AND pairs: materialize once
     basket = (
         t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        .localCheckpoint()
     )
     nb = basket.agg(F.countDistinct("l_orderkey").alias("n"))
     deg = basket.groupBy("l_partkey").agg(F.count("*").alias("d"))

@@ -361,7 +361,9 @@ def q_psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = orders.agg(
         F.floor((F.min(ms) + F.max(ms)) / 2).cast("bigint").alias("mid")
     )
-    w = orders.withColumn("_ms", ms).crossJoin(F.broadcast(split))
+    # one materialization: ref/cur/binning branches otherwise re-derive
+    # the scan+split pipeline (plan audit: 54 Exchanges -> ~1/3)
+    w = orders.withColumn("_ms", ms).crossJoin(F.broadcast(split)).localCheckpoint()
     ref = w.where(F.col("_ms") < F.col("mid")).select(
         F.col("o_totalprice").alias("v")
     )
