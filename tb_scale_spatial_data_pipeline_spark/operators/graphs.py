@@ -83,7 +83,9 @@ def wedge_count(oriented: DataFrame) -> int:
 def oriented_triangle_count(edges: DataFrame, by_degree: bool = True) -> DataFrame:
     """Count triangles of an undirected (u, v) edge set (u < v).
     Returns a 1-row DataFrame (n_edges, n_triangles)."""
-    o = orient_edges(edges, by_degree=by_degree)
+    # the oriented edge set feeds all three join branches —
+    # materialize once instead of re-running the orientation joins
+    o = orient_edges(edges, by_degree=by_degree).localCheckpoint(eager=True)
     e1 = o.select(F.col("s").alias("a1"), F.col("d").alias("b1"))
     e2 = o.select(F.col("s").alias("b2"), F.col("d").alias("c2"))
     e3 = o.select(F.col("s").alias("a3"), F.col("d").alias("c3"))
@@ -101,7 +103,7 @@ def oriented_triangles(edges: DataFrame, by_degree: bool = True) -> DataFrame:
     join as oriented_triangle_count — the orientation bounds the
     intermediate, and the output triple is the triangle's vertex SET
     (order carries no meaning)."""
-    o = orient_edges(edges, by_degree=by_degree)
+    o = orient_edges(edges, by_degree=by_degree).localCheckpoint(eager=True)
     e1 = o.select(F.col("s").alias("a1"), F.col("d").alias("b1"))
     e2 = o.select(F.col("s").alias("b2"), F.col("d").alias("c2"))
     e3 = o.select(F.col("s").alias("a3"), F.col("d").alias("c3"))

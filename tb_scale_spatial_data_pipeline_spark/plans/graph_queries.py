@@ -610,7 +610,7 @@ def q_degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     eu = _undirected_edges(spark, sf_dir)
     edges = eu.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
         eu.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)  # hist + tail branches share it
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )
@@ -676,7 +676,7 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     eu = _undirected_edges(spark, sf_dir)
     edges = eu.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
         eu.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)  # deg + edge-join branches share it
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )

@@ -601,7 +601,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("int")
-    e = e0.where(bucket < 9830)
+    # materialize the sampled edge set once: the oriented triangle
+    # join consumes it via THREE branches plus two degree joins, which
+    # otherwise re-derive the lineitem self-join per branch (plan
+    # census: 166 -> ~30 Exchanges)
+    e = e0.where(bucket < 9830).localCheckpoint(eager=True)
     from ..operators.graphs import oriented_triangle_count
 
     return oriented_triangle_count(e, by_degree=True)
@@ -1244,7 +1248,8 @@ def q_local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFram
     ).cast("int")
     e = e0.where(bucket < 9830).localCheckpoint(eager=True)
     deg = vertex_degrees(e)
-    tri = oriented_triangles(e, by_degree=True)
+    # tri feeds three union branches: materialize the triangle list
+    tri = oriented_triangles(e, by_degree=True).localCheckpoint(eager=True)
     tv = (
         tri.select(F.col("a").alias("x"))
         .unionAll(tri.select(F.col("b").alias("x")))
