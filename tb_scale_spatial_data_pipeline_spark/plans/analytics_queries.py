@@ -816,3 +816,72 @@ def q_cooccurrence_lift_significance(spark: SparkSession, sf_dir: str) -> DataFr
         F.round(lift, 6).alias("lift"),
         F.round(chi2, 6).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cold-start fallback recommendations: recency-weighted item
+# popularity (half-life decay over order months) for customers with
+# no co-occurrence signal — the fallback arm every CF recommender
+# ships behind item_recommendations. The decay weight is
+# 2^(-age_months/half_life) with INTEGER month ages, evaluated as a
+# per-row expression and summed as DECIMAL(18,6) casts of 6-dp
+# rounded weights — the similarity-lattice idiom, so popularity is
+# order-independent. Top-10 global items with deterministic ties.
+_POP_HALF_LIFE_MONTHS = 12
+_POP_TOP = 10
+
+
+@_q(
+    "coldstart_popularity_recs",
+    f"""
+    WITH mx AS (
+      SELECT max(CAST(year(o_orderdate) AS BIGINT) * 12
+                 + month(o_orderdate)) AS m FROM orders
+    ), scored AS (
+      SELECT l.l_partkey,
+             CAST(round(pow(2.0, -CAST(mx.m - (CAST(year(o.o_orderdate) AS BIGINT) * 12
+                                              + month(o.o_orderdate)) AS DOUBLE)
+                                 / {_POP_HALF_LIFE_MONTHS}), 6)
+                  AS DECIMAL(18,6)) AS w
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      CROSS JOIN mx
+    )
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(w) AS DOUBLE) AS popularity
+    FROM scored GROUP BY l_partkey
+    ORDER BY popularity DESC, l_partkey LIMIT {_POP_TOP}
+    """,
+)
+def q_coldstart_popularity_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    mx = orders.agg(
+        F.max(
+            F.year("o_orderdate").cast("bigint") * 12 + F.month("o_orderdate")
+        ).alias("m")
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).crossJoin(
+        F.broadcast(mx)
+    )
+    age = (
+        F.col("m")
+        - (F.year("o_orderdate").cast("bigint") * 12 + F.month("o_orderdate"))
+    ).cast("double")
+    w = F.round(F.pow(F.lit(2.0), -age / _POP_HALF_LIFE_MONTHS), 6).cast(
+        "decimal(18,6)"
+    )
+    return (
+        j.select("l_partkey", w.alias("w"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("w").cast("double").alias("popularity"),
+        )
+        .select(
+            "l_partkey",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            "popularity",
+        )
+        .orderBy(F.desc("popularity"), F.asc("l_partkey"))
+        .limit(_POP_TOP)
+    )
