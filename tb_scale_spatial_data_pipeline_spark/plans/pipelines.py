@@ -610,3 +610,30 @@ ORACLES["stream_stream_full_outer_join_sealed"] = """
       ON p.user_id = c.user_id
      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
 """
+
+
+@_q("stream_windowed_topk")
+def q_stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import stream_windowed_topk
+
+    return stream_windowed_topk(spark, sf_dir)
+
+
+# stream-maintained counts + serving-layer rank == batch counts + rank
+ORACLES["stream_windowed_topk"] = """
+    WITH counts AS (
+      SELECT time_bucket(INTERVAL '10 minutes', ts) AS w, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT w, event_type, n,
+             row_number() OVER (PARTITION BY w
+                                ORDER BY n DESC, event_type) AS rn,
+             SUM(n) OVER (PARTITION BY w) AS window_total
+      FROM counts
+    )
+    SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS wstart,
+           event_type AS top_type, CAST(n AS BIGINT) AS top_n,
+           CAST(window_total AS BIGINT) AS window_total
+    FROM ranked WHERE rn = 1
+    """

@@ -534,3 +534,36 @@ def stream_stream_outer_sealed(
         )
     )
     return run_stream_to_table(joined, "append")
+
+
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda-architecture serving shape: the STREAM maintains tumbling
+    10-minute per-type counts (complete mode, availableNow drain); the
+    SERVING layer ranks the drained table — ranking is not a streaming
+    aggregation, which is exactly why production top-k dashboards rank
+    at read time over the maintained counts. Returns the per-window
+    winner type with its count and the window total."""
+    from pyspark.sql import Window as W
+
+    ev = events_stream(spark, sf_dir)
+    counts = ev.groupBy(
+        F.window("ts", "10 minutes").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    drained = run_stream_to_table(counts, "complete")
+    rn = F.row_number().over(
+        W.partitionBy("w").orderBy(F.desc("n"), F.asc("event_type"))
+    )
+    tot = F.sum("n").over(W.partitionBy("w"))
+    return (
+        drained.withColumn("rn", rn)
+        .withColumn("window_total", tot)
+        .where(F.col("rn") == 1)
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "wstart"
+            ),
+            F.col("event_type").alias("top_type"),
+            F.col("n").cast("bigint").alias("top_n"),
+            F.col("window_total").cast("bigint").alias("window_total"),
+        )
+    )
