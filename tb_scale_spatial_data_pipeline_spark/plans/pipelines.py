@@ -637,3 +637,16 @@ ORACLES["stream_windowed_topk"] = """
            CAST(window_total AS BIGINT) AS window_total
     FROM ranked WHERE rn = 1
     """
+
+
+@_q("stream_cusum_alerts")
+def q_stream_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import stream_cusum_alerts
+
+    return stream_cusum_alerts(spark, sf_dir)
+
+
+# the stateful streaming CUSUM must reproduce the batch closed form
+from . import timeseries_queries as _tq  # noqa: E402
+
+ORACLES["stream_cusum_alerts"] = _tq.ORACLES["cusum_changepoint"]

@@ -567,3 +567,53 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("window_total").cast("bigint").alias("window_total"),
         )
     )
+
+
+def stream_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM change-point detection as a CUSTOM STATEFUL
+    streaming operator: applyInPandasWithState carries the running
+    statistic s (in exact integer cents) per user and emits alarm rows
+    where s crosses the threshold — the streaming twin of the batch
+    closed-form `cusum_changepoint`, hash-checked against the same
+    oracle. Event-time order: the bounded availableNow replay delivers
+    the fixture in one micro-batch, so the per-user frame is sorted
+    in-function; a production deployment buffers within the watermark
+    (or relies on per-key ordered delivery) to get the same contract."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..plans.timeseries_queries import _CUSUM_C, _CUSUM_H
+
+    c_cents = int(round(_CUSUM_C * 100))
+    h_cents = int(round(_CUSUM_H * 100))
+
+    ev = events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "value"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (s,) = state.get if state.exists else (0,)
+        out = {"user_id": [], "ts": [], "event_id": [], "cusum_stat": []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for row in pdf.itertuples():
+                y = int(round(round(row.value, 2) * 100)) - c_cents
+                s = max(0, s + y)
+                if s > h_cents:
+                    out["user_id"].append(key[0])
+                    out["ts"].append(row.ts)
+                    out["event_id"].append(row.event_id)
+                    out["cusum_stat"].append(s / 100.0)
+        state.update((s,))
+        yield pd.DataFrame(out)
+
+    alerts = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, ts timestamp, event_id long,"
+        " cusum_stat double",
+        stateStructType="s long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_stream_to_table(alerts, "append")
