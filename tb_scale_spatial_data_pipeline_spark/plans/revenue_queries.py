@@ -526,3 +526,82 @@ def q_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier scorecard — the BI composite a procurement team actually
+# reads: per supplier, exact-decimal revenue, distinct-part breadth,
+# return rate (share of 'R' lines), and median ship latency, joined
+# with the supplier dimension. ONE pass over lineitem computes every
+# measure (conditional aggregates + exact interpolated median); the
+# dimension join broadcasts. Top-20 by revenue, deterministic ties.
+@_q(
+    "supplier_scorecard",
+    """
+    WITH m AS (
+      SELECT l.l_suppkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE) AS revenue,
+             COUNT(*) AS n_lines,
+             COUNT(DISTINCT l.l_partkey) AS n_parts,
+             round(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS return_rate,
+             round(quantile_cont(date_diff('day',
+                     CAST(o.o_orderdate AS DATE),
+                     CAST(l.l_shipdate AS DATE)), 0.5), 6) AS median_latency
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY l.l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           round(m.revenue, 2) AS revenue,
+           CAST(m.n_lines AS BIGINT) AS n_lines,
+           CAST(m.n_parts AS BIGINT) AS n_parts,
+           m.return_rate, m.median_latency
+    FROM m JOIN supplier s ON s.s_suppkey = m.l_suppkey
+    ORDER BY revenue DESC, s.s_suppkey LIMIT 20
+    """,
+)
+def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    lat = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    m = j.groupBy("l_suppkey").agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.round(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("return_rate"),
+        F.round(
+            F.expr(
+                "percentile(datediff(cast(l_shipdate as date),"
+                " cast(o_orderdate as date)), 0.5D)"
+            ),
+            6,
+        ).alias("median_latency"),
+    )
+    _ = lat  # latency is computed inside the agg expression above
+    return (
+        m.join(F.broadcast(supp), m.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("revenue", 2).alias("revenue"),
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            F.col("n_parts").cast("bigint").alias("n_parts"),
+            "return_rate",
+            "median_latency",
+        )
+        .orderBy(F.desc("revenue"), F.asc("s_suppkey"))
+        .limit(20)
+    )
