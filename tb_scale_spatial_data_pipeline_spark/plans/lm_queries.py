@@ -567,3 +567,107 @@ def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law vocabulary growth: |vocab(N)| at corpus prefixes N (by
+# doc_id order) plus the fitted Heaps exponent beta from the first/
+# last checkpoint pair (V = K * n^beta -> beta = ln(V2/V1)/ln(n2/n1)).
+# The whole curve comes from ONE corpus pass: each token type's FIRST
+# document (min doc_id) decides which prefixes count it, so vocab(N)
+# = #{types: first_doc < N} — no per-prefix rescans. The companion to
+# zipf_fit_vocab: together they say whether a corpus grows vocabulary
+# like natural text (beta ~ 0.4-0.6) or is template-saturated.
+_HEAPS_CHECKPOINTS = (100, 200, 300, 400, 500)
+
+
+def _sql_heaps() -> str:
+    cps = ", ".join(f"({n})" for n in _HEAPS_CHECKPOINTS)
+    return f"""
+    WITH firsts AS (
+      SELECT tok, min(doc_id) AS first_doc, COUNT(*) AS cnt FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        FROM documents
+      ) WHERE tok <> '' GROUP BY tok
+    ),
+    toks AS (
+      SELECT doc_id, COUNT(*) AS n_toks FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+        FROM documents
+      ) WHERE tok <> '' GROUP BY doc_id
+    ),
+    cps(n_docs) AS (VALUES {cps}),
+    curve AS (
+      SELECT c.n_docs,
+             (SELECT COUNT(*) FROM firsts f WHERE f.first_doc < c.n_docs)
+               AS vocab_size,
+             (SELECT CAST(SUM(n_toks) AS BIGINT) FROM toks t
+              WHERE t.doc_id < c.n_docs) AS corpus_tokens
+      FROM cps c
+    ),
+    fit AS (
+      SELECT ln(CAST(b.vocab_size AS DOUBLE) / a.vocab_size)
+             / ln(CAST(b.corpus_tokens AS DOUBLE) / a.corpus_tokens) AS beta
+      FROM curve a, curve b
+      WHERE a.n_docs = {_HEAPS_CHECKPOINTS[0]}
+        AND b.n_docs = {_HEAPS_CHECKPOINTS[-1]}
+    )
+    SELECT CAST(c.n_docs AS BIGINT) AS n_docs,
+           CAST(c.vocab_size AS BIGINT) AS vocab_size,
+           c.corpus_tokens,
+           round(f.beta, 6) AS heaps_beta
+    FROM curve c CROSS JOIN fit f
+    ORDER BY n_docs
+    """
+
+
+@_q("heaps_law_vocab_growth", _sql_heaps())
+def q_heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    cps = docs.sparkSession.createDataFrame(
+        [(n,) for n in _HEAPS_CHECKPOINTS], "n_docs bigint"
+    )
+    curve = (
+        F.broadcast(cps)
+        .join(firsts, firsts.first_doc < cps.n_docs)
+        .groupBy("n_docs")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+        .join(
+            F.broadcast(cps)
+            .join(per_doc, per_doc.doc_id < cps.n_docs)
+            .groupBy("n_docs")
+            .agg(F.sum("n_toks").cast("bigint").alias("corpus_tokens")),
+            "n_docs",
+        )
+        .localCheckpoint(eager=True)  # curve feeds output AND the fit
+    )
+    a = curve.where(F.col("n_docs") == _HEAPS_CHECKPOINTS[0]).select(
+        F.col("vocab_size").alias("v1"), F.col("corpus_tokens").alias("t1")
+    )
+    b = curve.where(F.col("n_docs") == _HEAPS_CHECKPOINTS[-1]).select(
+        F.col("vocab_size").alias("v2"), F.col("corpus_tokens").alias("t2")
+    )
+    fit = a.crossJoin(b).select(
+        (
+            F.log(F.col("v2").cast("double") / F.col("v1"))
+            / F.log(F.col("t2").cast("double") / F.col("t1"))
+        ).alias("beta")
+    )
+    return (
+        curve.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("vocab_size").cast("bigint").alias("vocab_size"),
+            "corpus_tokens",
+            F.round("beta", 6).alias("heaps_beta"),
+        )
+        .orderBy("n_docs")
+    )
