@@ -700,3 +700,134 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_directed_edges"),
         F.round(num / den, 6).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hub-removal resilience (percolation readout): component structure
+# of the graph BEFORE vs AFTER deleting the top-K highest-degree
+# hubs — the supply-chain/network robustness question ("what breaks
+# if the biggest supplier disappears"). Components come from the same
+# fixed-round synchronous min-label propagation as
+# label_propagation_rounds (deterministic even pre-convergence, and
+# the fixture converges within the round budget), run on both edge
+# sets; the report is per-variant label count and giant-component
+# share. Hub selection is deterministic ((degree, id) ties).
+_RES_ROUNDS = 6
+_RES_HUBS = 3
+
+
+def _sql_resilience() -> str:
+    ctes = [
+        _SQL_EDGES.strip().rstrip(),
+        f"""deg AS MATERIALIZED (
+      SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src
+    ),
+    hubs AS MATERIALIZED (
+      SELECT node FROM deg ORDER BY d DESC, node LIMIT {_RES_HUBS}
+    ),
+    edges_cut AS MATERIALIZED (
+      SELECT e.src, e.dst FROM edges e
+      WHERE e.src NOT IN (SELECT node FROM hubs)
+        AND e.dst NOT IN (SELECT node FROM hubs)
+    )""",
+    ]
+    for tag, etab in (("full", "edges"), ("cut", "edges_cut")):
+        ctes.append(
+            f"""n_{tag} AS MATERIALIZED (SELECT DISTINCT src AS node FROM {etab}),
+    l_{tag}_0 AS MATERIALIZED (SELECT node, node AS label FROM n_{tag})"""
+        )
+        for k in range(_RES_ROUNDS):
+            ctes.append(
+                f"""l_{tag}_{k + 1} AS MATERIALIZED (
+      SELECT n.node, LEAST(o.label, COALESCE(m.nbr_min, o.label)) AS label
+      FROM n_{tag} n
+      JOIN l_{tag}_{k} o ON o.node = n.node
+      LEFT JOIN (
+        SELECT e.dst AS node, MIN(l.label) AS nbr_min
+        FROM l_{tag}_{k} l JOIN {etab} e ON e.src = l.node
+        GROUP BY e.dst
+      ) m ON m.node = n.node
+    )"""
+            )
+    sel = "\n      UNION ALL ".join(
+        f"""SELECT '{tag}' AS variant,
+             (SELECT COUNT(*) FROM n_{tag}) AS n_nodes,
+             COUNT(DISTINCT label) AS n_components,
+             max(cnt) AS giant_size
+      FROM (SELECT label, COUNT(*) AS cnt
+            FROM l_{tag}_{_RES_ROUNDS} GROUP BY label)"""
+        for tag in ("full", "cut")
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT variant, CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_components AS BIGINT) AS n_components,
+           CAST(giant_size AS BIGINT) AS giant_size,
+           round(CAST(giant_size AS DOUBLE) / n_nodes, 6) AS giant_share
+    FROM ({sel}) ORDER BY variant
+    """
+    )
+
+
+@_q("hub_removal_resilience", _sql_resilience())
+def q_hub_removal_resilience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eu = _undirected_edges(spark, sf_dir)
+    edges = (
+        eu.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(eu.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    hubs = deg.orderBy(F.desc("d"), F.asc("node")).limit(_RES_HUBS).select("node")
+    edges_cut = (
+        edges.join(hubs.withColumnRenamed("node", "src"), "src", "left_anti")
+        .join(hubs.withColumnRenamed("node", "dst"), "dst", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+
+    out = None
+    for tag, e in (("full", edges), ("cut", edges_cut)):
+        nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(
+            eager=True
+        )
+        labels = nodes.withColumn("label", F.col("node"))
+        for _ in range(_RES_ROUNDS):
+            nbr_min = (
+                labels.join(e, labels.node == e.src)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            labels = (
+                labels.join(nbr_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nbr_min"), F.col("label")),
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        comp = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
+        row = (
+            comp.agg(
+                F.count(F.lit(1)).alias("n_components"),
+                F.max("cnt").alias("giant_size"),
+            )
+            .crossJoin(F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n_nodes"))))
+            .select(
+                F.lit(tag).alias("variant"),
+                F.col("n_nodes").cast("bigint").alias("n_nodes"),
+                F.col("n_components").cast("bigint").alias("n_components"),
+                F.col("giant_size").cast("bigint").alias("giant_size"),
+                F.round(
+                    F.col("giant_size").cast("double") / F.col("n_nodes"), 6
+                ).alias("giant_share"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("variant")

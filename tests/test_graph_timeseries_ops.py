@@ -422,3 +422,53 @@ def test_assortativity_replay(spark):
     assert row.n_directed_edges == n
     assert row.assortativity == round(r_exp, 6)
     assert -1.0 <= row.assortativity <= 1.0
+
+
+def test_resilience_replay(spark):
+    """Replay hub removal + true connected components driver-side;
+    the fixed-round labels must have CONVERGED to true components on
+    the fixture (the deterministic-even-unconverged contract is the
+    oracle's, convergence is this test's)."""
+    from tb_scale_spatial_data_pipeline_spark.plans.graph_queries import (
+        _RES_HUBS,
+        QUERIES,
+        _undirected_edges,
+    )
+
+    eu = [(r.u, r.v) for r in _undirected_edges(spark, SF_SMOKE).collect()]
+
+    def components(edges):
+        adj: dict[int, set[int]] = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        seen, comps = set(), []
+        for s in adj:
+            if s in seen:
+                continue
+            stack, comp = [s], set()
+            while stack:
+                x = stack.pop()
+                if x in comp:
+                    continue
+                comp.add(x)
+                stack.extend(adj[x] - comp)
+            seen |= comp
+            comps.append(len(comp))
+        return len(adj), comps
+
+    deg: dict[int, int] = {}
+    for u, v in eu:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    hubs = set(
+        sorted(deg, key=lambda n: (-deg[n], n))[:_RES_HUBS]
+    )
+    cut = [(u, v) for u, v in eu if u not in hubs and v not in hubs]
+
+    rows = {r.variant: r for r in QUERIES["hub_removal_resilience"](spark, SF_SMOKE).collect()}
+    for tag, edges in (("full", eu), ("cut", cut)):
+        n, comps = components(edges)
+        assert rows[tag].n_nodes == n
+        assert rows[tag].n_components == len(comps)
+        assert rows[tag].giant_size == max(comps)
