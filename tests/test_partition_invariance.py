@@ -68,6 +68,12 @@ REPRESENTATIVE = [
     "sorted_neighborhood_pairs",
     "dd_quantile_sketch",
     "personalized_pagerank",
+    # final batches: decimal-lattice chain iteration, integer power
+    # sums over edges, fixed-round component labels, prefix counting
+    "markov_removal_attribution",
+    "degree_assortativity",
+    "hub_removal_resilience",
+    "heaps_law_vocab_growth",
 ]
 
 
