@@ -709,3 +709,51 @@ def q_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_chunk_len"),
         F.array_max("ls").cast("bigint").alias("max_chunk_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source language-mix entropy: how language-diverse each source's
+# contribution is — the corpus-curation readout that catches a
+# "multilingual" source that is actually 95% one language. Counts are
+# exact; the entropy sum is an ordered fold over languages (the
+# repo's transcendental seam).
+@_q(
+    "source_language_entropy",
+    """
+    WITH counts AS (
+      SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY source, lang
+    ), shares AS (
+      SELECT source, lang, c,
+             c / CAST(SUM(c) OVER (PARTITION BY source) AS DOUBLE) AS sh
+      FROM counts
+    )
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           round(SUM(-1.0 * sh * ln(sh) ORDER BY lang), 6) AS lang_entropy
+    FROM shares GROUP BY source ORDER BY source
+    """,
+)
+def q_source_language_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    sh = F.col("c") / F.sum("c").over(Window.partitionBy("source")).cast(
+        "double"
+    )
+    terms = counts.select(
+        "source", "lang", "c", (-sh * F.log(sh)).alias("term")
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+            F.round(
+                F.expr(
+                    "aggregate(array_sort(collect_list(struct(lang, term))),"
+                    " cast(0.0 as double), (acc, x) -> acc + x.term)"
+                ),
+                6,
+            ).alias("lang_entropy"),
+        )
+        .orderBy("source")
+    )

@@ -605,3 +605,48 @@ def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("s_suppkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Week-over-week revenue change: the dashboard staple — weekly
+# decimal-exact revenue with lag-1 percent change and a direction
+# flag. ISO week bucketing via date_trunc('week') in both engines
+# (identical Monday-start semantics); one aggregation + one lag
+# window on the small week table.
+@_q(
+    "revenue_wow_change",
+    """
+    WITH weekly AS (
+      SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(wk, '%Y-%m-%d') AS week_start,
+           CAST(rev AS DOUBLE) AS revenue,
+           round(CAST(rev - lag(rev) OVER (ORDER BY wk) AS DOUBLE)
+                 / CAST(lag(rev) OVER (ORDER BY wk) AS DOUBLE) * 100, 6)
+             AS wow_pct,
+           CASE WHEN lag(rev) OVER (ORDER BY wk) IS NULL THEN 'first'
+                WHEN rev >= lag(rev) OVER (ORDER BY wk) THEN 'up'
+                ELSE 'down' END AS direction
+    FROM weekly ORDER BY wk
+    """,
+)
+def q_revenue_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.date_trunc("week", "o_orderdate").cast("date").alias("wk")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.orderBy("wk")
+    prev = F.lag("rev").over(w)
+    return weekly.select(
+        F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            (F.col("rev") - prev).cast("double") / prev.cast("double") * 100, 6
+        ).alias("wow_pct"),
+        F.when(prev.isNull(), "first")
+        .when(F.col("rev") >= prev, "up")
+        .otherwise("down")
+        .alias("direction"),
+    ).orderBy("wk")
