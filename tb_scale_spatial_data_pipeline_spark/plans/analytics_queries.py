@@ -43,6 +43,32 @@ def _q(name: str, oracle: str | None = None):
 _COOC_MIN_PAIRS = 3
 
 
+def _basket_pairs(spark: SparkSession, sf_dir: str, min_co: int):
+    """Shared basket machinery for the co-occurrence family: distinct
+    (order, part) baskets, per-part degrees, and within-basket pair
+    counts floored at min_co. Pair volume is bounded by Σ|basket|²,
+    never |items|² — the property all three consumers inherit."""
+    basket = (
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    deg = basket.groupBy("l_partkey").agg(F.count("*").alias("d"))
+    a = basket.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = basket.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("co"))
+        .where(F.col("co") >= min_co)
+    )
+    return basket, deg, pairs
+
+
+
 # ---------------------------------------------------------------------------
 # Item-item co-occurrence cosine: sim(a,b) = co(a,b) /
 # sqrt(deg(a)*deg(b)) over order baskets. Pairs are generated inside
@@ -71,23 +97,7 @@ _COOC_MIN_PAIRS = 3
     """,
 )
 def q_item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    basket = (
-        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    )
-    deg = basket.groupBy("l_partkey").agg(F.count("*").alias("d"))
-    a = basket.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
-    )
-    b = basket.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
-    )
-    pairs = (
-        a.join(b, "ok")
-        .where(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count("*").alias("co"))
-        .where(F.col("co") >= _COOC_MIN_PAIRS)
-    )
+    _, deg, pairs = _basket_pairs(spark, sf_dir, _COOC_MIN_PAIRS)
     da = deg.select(F.col("l_partkey").alias("pa"), F.col("d").alias("da"))
     db = deg.select(F.col("l_partkey").alias("pb"), F.col("d").alias("db"))
     return (
@@ -411,19 +421,7 @@ _REC_TOP = 3
     """,
 )
 def q_item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    basket = (
-        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    )
-    deg = basket.groupBy("l_partkey").agg(F.count("*").alias("d"))
-    a = basket.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = basket.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    pairs = (
-        a.join(b, "ok")
-        .where(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count("*").alias("co"))
-        .where(F.col("co") >= _REC_MIN_CO)
-    )
+    _, deg, pairs = _basket_pairs(spark, sf_dir, _REC_MIN_CO)
     da = deg.select(F.col("l_partkey").alias("pa"), F.col("d").alias("da"))
     db = deg.select(F.col("l_partkey").alias("pb"), F.col("d").alias("db"))
     sims = pairs.join(da, "pa").join(db, "pb").select(
@@ -776,22 +774,8 @@ _LIFT_MIN_CO = 3
     """,
 )
 def q_cooccurrence_lift_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # basket feeds nb, deg AND pairs: materialize once
-    basket = (
-        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-        .localCheckpoint()
-    )
+    basket, deg, pairs = _basket_pairs(spark, sf_dir, _LIFT_MIN_CO)
     nb = basket.agg(F.countDistinct("l_orderkey").alias("n"))
-    deg = basket.groupBy("l_partkey").agg(F.count("*").alias("d"))
-    a = basket.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = basket.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    pairs = (
-        a.join(b, "ok")
-        .where(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count("*").alias("co"))
-        .where(F.col("co") >= _LIFT_MIN_CO)
-    )
     da = deg.select(F.col("l_partkey").alias("pa"), F.col("d").alias("da"))
     db = deg.select(F.col("l_partkey").alias("pb"), F.col("d").alias("db"))
     j = (
