@@ -50,6 +50,8 @@ def _basket_pairs(spark: SparkSession, sf_dir: str, min_co: int):
     never |items|² — the property all three consumers inherit."""
     basket = (
         t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        .localCheckpoint(eager=True)  # deg, pairs (2 sides) and any
+        # caller-side count all reuse the distinct baskets
     )
     deg = basket.groupBy("l_partkey").agg(F.count("*").alias("d"))
     a = basket.select(
