@@ -472,3 +472,37 @@ def test_resilience_replay(spark):
         assert rows[tag].n_nodes == n
         assert rows[tag].n_components == len(comps)
         assert rows[tag].giant_size == max(comps)
+
+
+def test_sssp_satisfies_relaxation_invariant(spark):
+    """Fixpoint check: no edge can still relax — dist[v] <= dist[u] + w
+    for every directed edge with a settled source. This is the
+    definitional invariant of a converged Bellman-Ford, independent of
+    the Dijkstra replay above."""
+    from tb_scale_spatial_data_pipeline_spark.plans.graph_queries import (
+        QUERIES,
+        _weighted_edges,
+    )
+
+    dist = {
+        r.s_suppkey: r.dist
+        for r in QUERIES["sssp_weighted"](spark, SF_SMOKE).collect()
+    }
+    for e in _weighted_edges(spark, SF_SMOKE).collect():
+        if e.src in dist:
+            assert dist.get(e.dst, float("inf")) <= dist[e.src] + e.w
+
+
+def test_interval_coverage_bounds(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.event_queries import (
+        _COVER_MS,
+        QUERIES,
+    )
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    n_by_user = ev.user_id.value_counts()
+    for r in QUERIES["interval_union_coverage"](spark, SF_SMOKE).collect():
+        n = n_by_user[r.user_id]
+        # union of n windows: at least one window, at most n disjoint
+        assert _COVER_MS <= r.covered_ms <= n * _COVER_MS
+        assert 1 <= r.n_islands <= n
