@@ -650,3 +650,172 @@ def q_stream_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import timeseries_queries as _tq  # noqa: E402
 
 ORACLES["stream_cusum_alerts"] = _tq.ORACLES["cusum_changepoint"]
+
+
+def _sql_terrain() -> str:
+    """Horn 3x3 oracle for raster_terrain: the synthetic DEM is a
+    CLOSED-FORM field (tiles.synthetic_raster, bands=1, seed=42), so
+    every neighbor elevation is recomputed from the formula with
+    edge-clamped coordinates — no pixel table, no self-joins; the
+    stencil, aspect piecewise and hillshade trig replicate the numpy
+    kernel expression-for-expression (round(5) both engines)."""
+
+    def z(xx: str, yy: str) -> str:
+        cx = f"least(greatest({xx}, 0), 63)"
+        cy = f"least(greatest({yy}, 0), 63)"
+        base = (
+            f"(sin(CAST({cx} AS DOUBLE) / 10.0) * 40.0"
+            f" + cos(CAST({cy} AS DOUBLE) / 12.0) * 40.0 + 100.0)"
+        )
+        d2 = (
+            f"((CAST({cx} AS DOUBLE) - 35.0) * (CAST({cx} AS DOUBLE) - 35.0)"
+            f" + (CAST({cy} AS DOUBLE) - 30.0) * (CAST({cy} AS DOUBLE) - 30.0))"
+        )
+        return f"(CASE WHEN {d2} < 400.0 THEN {base} + 80.0 ELSE {base} END)"
+
+    a, b, c = z("x-1", "y-1"), z("x", "y-1"), z("x+1", "y-1")
+    d, f_ = z("x-1", "y"), z("x+1", "y")
+    g, h, i = z("x-1", "y+1"), z("x", "y+1"), z("x+1", "y+1")
+    dzdx = f"((({c} + 2 * {f_} + {i}) - ({a} + 2 * {d} + {g})) / 8.0)"
+    dzdy = f"((({g} + 2 * {h} + {i}) - ({a} + 2 * {b} + {c})) / 8.0)"
+    return f"""
+    WITH grid AS (
+      SELECT CAST(gx.x AS INTEGER) AS x, CAST(gy.y AS INTEGER) AS y
+      FROM (SELECT unnest(generate_series(0, 63)) AS x) gx,
+           (SELECT unnest(generate_series(0, 63)) AS y) gy
+    ), der AS (
+      SELECT x, y, {dzdx} AS dzdx, {dzdy} AS dzdy FROM grid
+    ), s AS (
+      SELECT x, y, dzdx, dzdy,
+             dzdx * dzdx + dzdy * dzdy AS rise2,
+             atan(sqrt(dzdx * dzdx + dzdy * dzdy)) AS slope_rad
+      FROM der
+    ), asp AS (
+      SELECT *, degrees(atan2(dzdy, -dzdx)) AS asp0 FROM s
+    ), aspect AS (
+      SELECT x, y, rise2, slope_rad,
+             CASE WHEN rise2 = 0 THEN -1.0
+                  WHEN asp0 < 0 THEN 90.0 - asp0
+                  WHEN asp0 > 90.0 THEN 360.0 - asp0 + 90.0
+                  ELSE 90.0 - asp0 END AS aspect_deg
+      FROM asp
+    )
+    SELECT x, y,
+           round(degrees(slope_rad), 5) AS slope_deg,
+           round(aspect_deg, 5) AS aspect_deg,
+           round(least(greatest(255.0 * (
+               cos(radians(45.0)) * cos(slope_rad)
+               + sin(radians(45.0)) * sin(slope_rad)
+                 * cos(radians(135.0)
+                       - (CASE WHEN rise2 = 0 THEN 0.0
+                               ELSE radians(360.0 - aspect_deg + 90.0) END))
+           ), 0.0), 255.0), 5) AS hillshade
+    FROM aspect
+    """
+
+
+# the synthetic DEM is closed-form, so the focal stencil IS
+# 1-statement SQL after all — upgrade raster_terrain to hash-checked
+ORACLES["raster_terrain"] = _sql_terrain()
+
+
+def _sql_gaussian() -> str:
+    """Closed-form oracle for raster_gaussian_smooth: the 5-tap
+    separable kernel (sigma=0.5) applied to the closed-form 2-band
+    synthetic field. The nested sums replicate the numpy convolution
+    accumulation order exactly (inner = axis-0/y taps ascending,
+    outer = axis-1/x taps ascending, left-associated adds), the tap
+    weights are embedded as exact double literals, and the constant
+    valid-weight denominator is precomputed in the identical order."""
+    import math as _m
+
+    radius = 2
+    xs = [float(t) for t in range(-radius, radius + 1)]
+    raw = [_m.exp(-(t * t) / (2.0 * 0.5 * 0.5)) for t in xs]
+    ksum = 0.0
+    for r in raw:
+        ksum += r
+    k = [r / ksum for r in raw]
+    # den = conv(ones): inner sum then outer, numpy loop order
+    s1 = 0.0
+    for w in k:
+        s1 += w * 1.0
+    den = 0.0
+    for w in k:
+        den += w * s1
+
+    def z(band: int, xx: str, yy: str) -> str:
+        cx = f"least(greatest({xx}, 0), 63)"
+        cy = f"least(greatest({yy}, 0), 63)"
+        per_x = 7.0 + band + 2  # seed % 5 == 2
+        per_y = 11.0 + band
+        dcx, dcy = 32 + band * 3, 32 - band * 2
+        base = (
+            f"(sin(CAST({cx} AS DOUBLE) / {per_x!r}) * 40.0"
+            f" + cos(CAST({cy} AS DOUBLE) / {per_y!r}) * 40.0 + 100.0)"
+        )
+        d2 = (
+            f"((CAST({cx} AS DOUBLE) - {float(dcx)!r}) * (CAST({cx} AS DOUBLE) - {float(dcx)!r})"
+            f" + (CAST({cy} AS DOUBLE) - {float(dcy)!r}) * (CAST({cy} AS DOUBLE) - {float(dcy)!r}))"
+        )
+        return f"(CASE WHEN {d2} < 400.0 THEN {base} + 80.0 ELSE {base} END)"
+
+    def smooth(band: int) -> str:
+        outer = []
+        for j, wj in enumerate(k):
+            inner = []
+            for i, wi in enumerate(k):
+                inner.append(
+                    f"{wi!r} * {z(band, f'x + {j - radius}', f'y + {i - radius}')}"
+                )
+            outer.append(f"{wj!r} * ({' + '.join(inner)})")
+        return f"(({' + '.join(outer)}) / {den!r})"
+
+    return f"""
+    WITH grid AS (
+      SELECT CAST(gx.x AS INTEGER) AS x, CAST(gy.y AS INTEGER) AS y
+      FROM (SELECT unnest(generate_series(0, 63)) AS x) gx,
+           (SELECT unnest(generate_series(0, 63)) AS y) gy
+    )
+    SELECT x, y,
+           round({smooth(1)}, 6) AS b1,
+           round({smooth(2)}, 6) AS b2
+    FROM grid
+    """
+
+
+# same closed-form upgrade as raster_terrain: the separable gaussian
+# over a formula field is 1-statement SQL
+ORACLES["raster_gaussian_smooth"] = _sql_gaussian()
+
+
+def _sql_reproject() -> str:
+    """Closed-form oracle for raster_reproject: target→source is
+    (sx, sy) = (2·tx, 2·ty) — INTEGER source coords, so the bilinear
+    weights are exactly 0/1 and the resample reduces to direct
+    evaluation of the synthetic field at (2x, 2y). Target domain =
+    sources inside [0,63] → 32×32 outputs."""
+
+    def z(xx: str, yy: str) -> str:
+        base = (
+            f"(sin(CAST({xx} AS DOUBLE) / 10.0) * 40.0"
+            f" + cos(CAST({yy} AS DOUBLE) / 12.0) * 40.0 + 100.0)"
+        )
+        d2 = (
+            f"((CAST({xx} AS DOUBLE) - 35.0) * (CAST({xx} AS DOUBLE) - 35.0)"
+            f" + (CAST({yy} AS DOUBLE) - 30.0) * (CAST({yy} AS DOUBLE) - 30.0))"
+        )
+        return f"(CASE WHEN {d2} < 400.0 THEN {base} + 80.0 ELSE {base} END)"
+
+    return f"""
+    WITH grid AS (
+      SELECT CAST(gx.x AS INTEGER) AS x, CAST(gy.y AS INTEGER) AS y
+      FROM (SELECT unnest(generate_series(0, 31)) AS x) gx,
+           (SELECT unnest(generate_series(0, 31)) AS y) gy
+    )
+    SELECT x, y, round({z('2 * x', '2 * y')}, 6) AS b1
+    FROM grid
+    """
+
+
+ORACLES["raster_reproject"] = _sql_reproject()
