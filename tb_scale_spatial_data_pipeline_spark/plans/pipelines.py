@@ -819,3 +819,55 @@ def _sql_reproject() -> str:
 
 
 ORACLES["raster_reproject"] = _sql_reproject()
+
+
+def _sql_affine_warp() -> str:
+    """Closed-form oracle for raster_affine_warp: target→source coords
+    are the same IEEE expression (0.9·tx + 0.15·ty + 2, −0.15·tx +
+    0.9·ty + 1) in both engines — bit-identical, so the emit predicate
+    (source inside [0,63]²) and the floor anchors agree exactly; the
+    bilinear blend then evaluates the synthetic field at the four
+    integer anchors (field sin/cos ulps pass through the continuous
+    blend and vanish under round(6))."""
+
+    def z(xx: str, yy: str) -> str:
+        base = (
+            f"(sin(CAST({xx} AS DOUBLE) / 10.0) * 40.0"
+            f" + cos(CAST({yy} AS DOUBLE) / 12.0) * 40.0 + 100.0)"
+        )
+        d2 = (
+            f"((CAST({xx} AS DOUBLE) - 35.0) * (CAST({xx} AS DOUBLE) - 35.0)"
+            f" + (CAST({yy} AS DOUBLE) - 30.0) * (CAST({yy} AS DOUBLE) - 30.0))"
+        )
+        return f"(CASE WHEN {d2} < 400.0 THEN {base} + 80.0 ELSE {base} END)"
+
+    return f"""
+    WITH grid AS (
+      SELECT CAST(gx.x AS INTEGER) AS x, CAST(gy.y AS INTEGER) AS y
+      FROM (SELECT unnest(generate_series(-40, 110)) AS x) gx,
+           (SELECT unnest(generate_series(-40, 110)) AS y) gy
+    ), src AS (
+      SELECT x, y,
+             0.9 * x + 0.15 * y + 2.0 AS sx,
+             -0.15 * x + 0.9 * y + 1.0 AS sy
+      FROM grid
+    ), kept AS (
+      SELECT x, y, sx, sy,
+             CAST(floor(sx) AS INTEGER) AS ix0,
+             CAST(floor(sy) AS INTEGER) AS iy0,
+             least(CAST(floor(sx) AS INTEGER) + 1, 63) AS ix1,
+             least(CAST(floor(sy) AS INTEGER) + 1, 63) AS iy1,
+             sx - floor(sx) AS wx, sy - floor(sy) AS wy
+      FROM src
+      WHERE sx >= 0 AND sx <= 63 AND sy >= 0 AND sy <= 63
+    )
+    SELECT x, y,
+           round({z('ix0', 'iy0')} * (1 - wx) * (1 - wy)
+                 + {z('ix1', 'iy0')} * wx * (1 - wy)
+                 + {z('ix0', 'iy1')} * (1 - wx) * wy
+                 + {z('ix1', 'iy1')} * wx * wy, 6) AS b1
+    FROM kept
+    """
+
+
+ORACLES["raster_affine_warp"] = _sql_affine_warp()
