@@ -958,3 +958,46 @@ def q_zipf_fit_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((F.col("sy") - slope * F.col("sx")) / k, 6).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dup-cluster size distribution: the dedup REPORT — how many clusters
+# of each size the near-dup graph contains (the histogram a curation
+# run prints before deciding the keep policy; the long tail of
+# singletons is implicit, pairs+ shown here). Reuses the hash-proven
+# CC machinery; the extra layer is two tiny aggregations. Also emits
+# docs_removable = Σ (size-1) per size class — the dedup yield.
+@_q(
+    "dup_cluster_size_distribution",
+    f"""
+    SELECT cluster_size,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(COUNT(DISTINCT cluster_id) * (cluster_size - 1) AS BIGINT)
+             AS docs_removable
+    FROM ({{base}}) sub
+    GROUP BY cluster_size ORDER BY cluster_size
+    """.format(base=_sql_dup_clusters()),
+)
+def q_dup_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, band_size=_BAND_SIZE
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.countDistinct("cluster_id").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            (F.col("n_clusters") * (F.col("cluster_size") - 1))
+            .cast("bigint")
+            .alias("docs_removable"),
+        )
+        .orderBy("cluster_size")
+    )
