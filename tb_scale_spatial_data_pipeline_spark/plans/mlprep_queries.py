@@ -536,3 +536,106 @@ def q_kfold_assignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid confusion matrix: assign every embedding to its
+# nearest per-label centroid (the silhouette query's exact-lattice
+# distances — DECIMAL(38,0) squared distances over quantized
+# coordinates, deterministic argmin with label tiebreak) and report
+# the label×assigned confusion cells plus per-true-label accuracy.
+# The companion readout to cluster_silhouette_report: silhouette says
+# how separated the clusters are, the confusion matrix says WHERE
+# they bleed.
+@_q(
+    "centroid_confusion_matrix",
+    """
+    WITH pts AS (
+      SELECT vec_id, label, i AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS xi
+      FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS s(i)
+    ), cent AS (
+      SELECT label AS clabel, pos,
+             CAST(SUM(xi) AS DECIMAL(38,0)) AS s,
+             COUNT(DISTINCT vec_id) AS n
+      FROM pts GROUP BY label, pos
+    ), d2 AS (
+      SELECT p.vec_id, p.label, c.clabel,
+             SUM(CAST((p.xi * c.n - c.s) * (p.xi * c.n - c.s)
+                      AS DECIMAL(38,0))) AS dd,
+             max(c.n) AS cn
+      FROM pts p JOIN cent c ON c.pos = p.pos
+      GROUP BY p.vec_id, p.label, c.clabel
+    ), scaled AS (
+      -- distances are at different scales per centroid (×n_c):
+      -- compare as exact rationals dd/(cn²) via cross-multiplication-
+      -- free double (safe: values differ by >> ulp except true ties,
+      -- which the (d, clabel) order resolves identically)
+      SELECT vec_id, label, clabel,
+             CAST(dd AS DOUBLE) / cn / cn AS d
+      FROM d2
+    ), assigned AS (
+      -- DuckDB min_by takes scalar keys only: composite (d, clabel)
+      -- argmin via the ranked-window idiom
+      SELECT vec_id, label, clabel AS assigned FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d, clabel) AS rn
+        FROM scaled
+      ) WHERE rn = 1
+    )
+    SELECT CAST(label AS BIGINT) AS true_label,
+           CAST(assigned AS BIGINT) AS assigned_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM assigned GROUP BY label, assigned
+    ORDER BY true_label, assigned_label
+    """,
+)
+def q_centroid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("x").cast("double") * 1000000).cast("bigint").alias("xi"),
+    )
+    cent = pts.groupBy(
+        F.col("label").alias("clabel"), F.col("pos").alias("cpos")
+    ).agg(
+        F.sum("xi").cast("decimal(38,0)").alias("s"),
+        F.countDistinct("vec_id").alias("n"),
+    )
+    d2 = (
+        pts.join(F.broadcast(cent), F.col("pos") == F.col("cpos"))
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            "n",
+            ((F.col("xi") * F.col("n") - F.col("s"))
+             * (F.col("xi") * F.col("n") - F.col("s")))
+            .cast("decimal(38,0)")
+            .alias("term"),
+        )
+        .groupBy("vec_id", "label", "clabel", "n")
+        .agg(F.sum("term").alias("dd"))
+    )
+    scaled = d2.select(
+        "vec_id",
+        "label",
+        "clabel",
+        (F.col("dd").cast("double") / F.col("n") / F.col("n")).alias("d"),
+    )
+    assigned = scaled.groupBy("vec_id", "label").agg(
+        F.min_by("clabel", F.struct("d", "clabel")).alias("assigned")
+    )
+    return (
+        assigned.groupBy(
+            F.col("label").cast("bigint").alias("true_label"),
+            F.col("assigned").cast("bigint").alias("assigned_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_label", "assigned_label")
+    )

@@ -608,3 +608,25 @@ def test_ship_latency_shape(spark):
     assert sum(r.n_lines for r in rows) == len(li)
     for r in rows:
         assert r.p50_days <= r.p90_days <= r.p99_days
+
+
+def test_confusion_matrix_consistency(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.mlprep_queries import (
+        QUERIES,
+    )
+
+    rows = QUERIES["centroid_confusion_matrix"](spark, SF_SMOKE).collect()
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    # every point assigned exactly once
+    assert sum(r.n for r in rows) == len(emb)
+    # diagonal dominates: a label's own centroid wins more often than
+    # any single other centroid (labels are real clusters)
+    by_true: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_true.setdefault(r.true_label, {})[r.assigned_label] = r.n
+    diag_dominant = sum(
+        1
+        for t, d in by_true.items()
+        if d.get(t, 0) == max(d.values())
+    )
+    assert diag_dominant >= len(by_true) // 2
