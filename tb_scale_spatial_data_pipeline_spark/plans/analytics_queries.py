@@ -871,3 +871,46 @@ def q_coldstart_popularity_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("popularity"), F.asc("l_partkey"))
         .limit(_POP_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-week activity heatmap: event counts + decimal-exact value
+# sums per (ISO day-of-week, hour) cell — the 7×24 operational
+# heatmap. One aggregation; the dow/hour extraction uses isodow/
+# hour() with identical Monday=1 semantics in both engines.
+@_q(
+    "hour_of_week_heatmap",
+    """
+    SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY dow, hour_of_day
+    """,
+)
+def q_hour_of_week_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").alias("_dow_sun1"),
+            F.hour("ts").alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            # Spark dayofweek is Sunday=1; convert to ISO Monday=1
+            F.when(F.col("_dow_sun1") == 1, 7)
+            .otherwise(F.col("_dow_sun1") - 1)
+            .cast("bigint")
+            .alias("dow"),
+            F.col("hour_of_day").cast("bigint").alias("hour_of_day"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("dow", "hour_of_day")
+    )
