@@ -101,8 +101,12 @@ def main() -> None:
             )
 
     total = round(sum(timings.values()), 3)
-    # per-query {median,min,max} travels IN the artifact so a later
-    # reader can separate noise from regression without cross-refs
+    # The driver records only the LAST 2000 chars of stdout (observed:
+    # BENCH_r06 tail_len=2000, parsed=null because the r6 line carried
+    # a per-query spread block and overflowed the window). The stdout
+    # contract line therefore stays compact — timings only, ~1.2 KB for
+    # 35 queries — and the {median,min,max} spread detail goes to a
+    # side file + stderr instead.
     spread = {
         n: {
             "median": round(statistics.median(s), 3),
@@ -111,19 +115,33 @@ def main() -> None:
         }
         for n, s in samples.items()
     }
-    print(
-        json.dumps(
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREAD.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump({"repeats": repeats, "sf": sf, "query_spread": spread}, f, indent=1)
+    line = json.dumps(
+        {
+            "metric": "headline_query_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "repeats": repeats,
+            "sf": sf,
+        }
+    )
+    if len(line) > 1900:  # keep the contract line inside the tail window
+        line = json.dumps(
             {
                 "metric": "headline_query_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "query_spread": spread,
-                "repeats": repeats,
+                "queries": {n: round(t, 2) for n, t in timings.items()},
                 "sf": sf,
             }
         )
-    )
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

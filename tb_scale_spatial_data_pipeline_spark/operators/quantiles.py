@@ -1,0 +1,178 @@
+"""Exact distributed order statistics + equal-frequency (ntile)
+binning WITHOUT a global single-partition sort.
+
+The problem: ``ntile(k) OVER (ORDER BY v)`` on a raw fact table plans
+a single-partition WindowExec — every row moves through ONE task, the
+one shape that cannot survive a 100 TB input (round-6 verdict, items
+1-5). But equal-frequency bin BOUNDARIES are just order statistics at
+k-1 known global ranks, and an order statistic can be located with a
+two-phase distributed selection, the same structure Spark's own
+RangePartitioner uses (sample -> bounds -> route); here the counting
+pass is exact instead of sampled so a DuckDB oracle can hash-match:
+
+1. ``repartitionByRange`` on the sort key: each output partition owns
+   a contiguous key range, ranges ascend with partition id (range
+   bounds come from Spark's sampler — *which* rows land where may
+   vary, but every partition is a contiguous slice of the total
+   order, which is the only property used).
+2. per-partition COUNTS (one shuffle of P integers; collected to the
+   driver — P rows, the same driver-side footprint as the bounds
+   array inside RangePartitioner itself).
+3. prefix sums locate, for each requested global rank, the owning
+   partition and the local rank inside it; a single ``mapInPandas``
+   pass extracts those rows (each task sorts only ITS partition —
+   pandas ``sort_values`` over one partition's key columns, the
+   memory profile of any per-partition sort).
+
+Total: two jobs over a localCheckpointed key projection, zero global
+sorts, driver traffic P + len(positions) rows.
+
+With a UNIQUE sort key (metric + a tiebreaker key column, e.g.
+``(o_totalprice, o_orderkey)``), ntile's row->bin map is a pure
+function of the key's global rank, so "bin = 1 + number of cut-tuples
+strictly before this row's key in sort order" reproduces ntile
+BIT-FOR-BIT — the DuckDB oracle can keep its naive ``ntile`` window
+while the Spark side bins by broadcast cutpoints (a handful of
+literal comparisons, whole-stage-codegen'd, no window at all).
+
+NULL sort keys are the caller's problem (Spark and DuckDB disagree on
+default NULL placement); every caller here sorts on non-nullable
+TPC-H keys.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ntile_cut_positions(n: int, k: int) -> list[int]:
+    """1-indexed global rank of the LAST row of ntile bins 1..k-1.
+
+    ntile(k) over n rows gives the first n % k bins ceil(n/k) rows and
+    the rest floor(n/k), so bin i ends at rank i*(n//k) + min(i, n%k).
+    """
+    return [i * (n // k) + min(i, n % k) for i in range(1, k)]
+
+
+def exact_order_statistics(
+    df: DataFrame,
+    sort_cols: Sequence[str],
+    positions: Sequence[int] | None = None,
+    ascending: Sequence[bool] | None = None,
+    num_ranges: int | None = None,
+    positions_fn=None,
+) -> list[tuple]:
+    """Rows of ``sort_cols`` at the given 1-indexed global ranks under
+    the (sort_cols, ascending) total order; returned in rank order as
+    tuples of Python values. See module docstring for the algorithm.
+
+    ``positions_fn(n) -> list[int]`` may be given instead of literal
+    ``positions`` when the ranks depend on the (as yet unknown) total
+    row count — e.g. ntile bin boundaries — so the count pass is not
+    paid twice.
+    """
+    cols = list(sort_cols)
+    asc = list(ascending) if ascending is not None else [True] * len(cols)
+    spark = df.sparkSession
+    if num_ranges is None:
+        num_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    exprs = [F.col(c).asc() if a else F.col(c).desc() for c, a in zip(cols, asc)]
+    ranged = (
+        df.select(*cols).repartitionByRange(num_ranges, *exprs).localCheckpoint()
+    )
+
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in ranged.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n = sum(counts.values())
+    if positions_fn is not None:
+        positions = positions_fn(n)
+    want = sorted(set(positions))
+    if want and (want[0] < 1 or want[-1] > n):
+        raise ValueError(f"positions out of range 1..{n}: {positions}")
+
+    # rank -> (owning partition, local rank) via prefix sums in pid order
+    targets: dict[int, list[tuple[int, int]]] = {}
+    cum = 0
+    it = iter(want)
+    p = next(it, None)
+    for pid in sorted(counts):
+        hi = cum + counts[pid]
+        while p is not None and p <= hi:
+            targets.setdefault(pid, []).append((p - cum, p))
+            p = next(it, None)
+        cum = hi
+    bc = spark.sparkContext.broadcast(targets)
+
+    out_schema = "_rank long, " + ", ".join(
+        f"{c} {t}" for (c, t) in ranged.dtypes
+    )
+
+    def extract(batches):
+        parts = [b for b in batches]
+        if not parts:
+            return
+        full = pd.concat(parts, ignore_index=True)
+        pid = int(full["_pid"].iloc[0])
+        wanted = bc.value.get(pid)
+        if not wanted:
+            return
+        local = full.sort_values(by=cols, ascending=asc, kind="mergesort")
+        idx = [lr - 1 for (lr, _) in wanted]
+        picked = local.iloc[idx].reset_index(drop=True)
+        picked.insert(0, "_rank", [g for (_, g) in wanted])
+        yield picked.drop(columns=["_pid"])
+
+    rows = (
+        ranged.withColumn("_pid", F.spark_partition_id())
+        .mapInPandas(extract, schema=out_schema)
+        .collect()
+    )
+    by_rank = {r["_rank"]: tuple(r[c] for c in cols) for r in rows}
+    return [by_rank[p] for p in want]
+
+
+def after_cut(cols: Sequence[str], ascending: Sequence[bool], cut: tuple) -> Column:
+    """Boolean Column: is this row's key tuple STRICTLY AFTER ``cut``
+    in the (cols, ascending) lexicographic sort order? Pure literal
+    comparisons — whole-stage-codegen'd, broadcast-free."""
+    expr = F.lit(False)
+    eq = F.lit(True)
+    for c, a, v in zip(cols, ascending, cut):
+        gt = (F.col(c) > F.lit(v)) if a else (F.col(c) < F.lit(v))
+        expr = expr | (eq & gt)
+        eq = eq & (F.col(c) == F.lit(v))
+    return expr
+
+
+def ntile_bin_column(
+    df: DataFrame,
+    sort_cols: Sequence[str],
+    k: int,
+    ascending: Sequence[bool] | None = None,
+) -> Column:
+    """A Column reproducing ``ntile(k) OVER (ORDER BY sort_cols)``
+    bit-for-bit — PROVIDED the sort key is unique (append a key column
+    as tiebreaker) — as 1 + (number of bin-boundary cut-tuples before
+    this row), with the boundaries found by distributed selection
+    instead of a single-partition window."""
+    asc = list(ascending) if ascending is not None else [True] * len(sort_cols)
+    cuts = exact_order_statistics(
+        df,
+        sort_cols,
+        ascending=asc,
+        positions_fn=lambda n: ntile_cut_positions(n, k),
+    )
+    bin_col = F.lit(1)
+    for cut in cuts:
+        bin_col = bin_col + after_cut(sort_cols, asc, cut).cast("int")
+    return bin_col

@@ -486,9 +486,13 @@ def q_item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (days since last order, lower is better), frequency (order count),
 # monetary (decimal-exact spend), each scored 1-5 by ntile over a
 # FULLY tie-broken order (metric, custkey) so bucket assignment is
-# deterministic cross-engine. One aggregation over orders + three
-# cheap windows on the customer-grain table; the segment label is the
-# score triple.
+# deterministic cross-engine. One aggregation over orders; the three
+# quintile scores are then computed WITHOUT global ntile windows over
+# the customer-grain table (round-6 verdict item 3): each metric's 4
+# bucket boundaries come from exact distributed selection
+# (operators/quantiles.py) and rows are scored by broadcast literal
+# cut-tuple comparisons — bit-identical to the oracle's tiebroken
+# ntile, but nothing single-partition at 100M customers.
 @_q(
     "rfm_segmentation",
     """
@@ -518,6 +522,8 @@ def q_item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import ntile_bin_column
+
     orders = t(spark, sf_dir, "orders")
     agg = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.datediff(
@@ -527,10 +533,12 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double")
         .alias("monetary"),
+    ).localCheckpoint()  # 3 selection passes + the final scan read this once
+    r = ntile_bin_column(
+        agg, ["recency_days", "custkey"], 5, ascending=[False, True]
     )
-    r = F.ntile(5).over(Window.orderBy(F.desc("recency_days"), F.asc("custkey")))
-    f_ = F.ntile(5).over(Window.orderBy("frequency", "custkey"))
-    m = F.ntile(5).over(Window.orderBy("monetary", "custkey"))
+    f_ = ntile_bin_column(agg, ["frequency", "custkey"], 5)
+    m = ntile_bin_column(agg, ["monetary", "custkey"], 5)
     scored = agg.select(
         "custkey",
         F.col("recency_days").cast("bigint").alias("recency_days"),

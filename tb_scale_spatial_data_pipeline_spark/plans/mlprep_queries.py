@@ -416,8 +416,12 @@ def q_cluster_silhouette_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # target "urgent-or-high priority". Counts are exact; WoE =
 # ln(good_share/bad_share) and the IV term (gs - bs)*WoE are the only
 # floats, emitted PER BIN (the caller sums 10 rows for total IV).
-# Same ntile-on-reference shape as psi_drift_report; at 100 TB the
-# binning runs on a sample exactly as documented there.
+# Decile assignment is tiebroken by o_orderkey so it is a pure
+# function of global rank; the Spark side finds the 9 decile
+# boundaries by exact distributed selection (operators/quantiles.py —
+# no single-partition ntile window over raw orders, round-6 verdict
+# item 3) and bins with broadcast literal cut-tuples, which with a
+# unique sort key reproduces the oracle's ntile bit-for-bit.
 _WOE_BINS = 10
 
 
@@ -425,12 +429,12 @@ _WOE_BINS = 10
     "woe_iv_binning",
     f"""
     WITH base AS (
-      SELECT o_totalprice AS v,
+      SELECT o_totalprice AS v, o_orderkey AS k,
              CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                   THEN 1 ELSE 0 END AS y
       FROM orders
     ), binned AS (
-      SELECT y, ntile({_WOE_BINS}) OVER (ORDER BY v) AS bin FROM base
+      SELECT y, ntile({_WOE_BINS}) OVER (ORDER BY v, k) AS bin FROM base
     ), cells AS (
       SELECT bin, SUM(y) AS n_good, COUNT(*) - SUM(y) AS n_bad
       FROM binned GROUP BY bin
@@ -449,15 +453,18 @@ _WOE_BINS = 10
     """,
 )
 def q_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import ntile_bin_column
+
     orders = t(spark, sf_dir, "orders")
     base = orders.select(
         F.col("o_totalprice").alias("v"),
+        F.col("o_orderkey").alias("k"),
         F.when(
             F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
         ).otherwise(0).alias("y"),
     )
     binned = base.select(
-        "y", F.ntile(_WOE_BINS).over(Window.orderBy("v")).alias("bin")
+        "y", ntile_bin_column(base, ["v", "k"], _WOE_BINS).alias("bin")
     )
     cells = binned.groupBy("bin").agg(
         F.sum("y").alias("n_good"),

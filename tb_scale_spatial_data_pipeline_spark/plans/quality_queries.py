@@ -300,10 +300,15 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # monitoring statistic for "did the distribution move between the
 # reference window and now". Reference = orders in the first half of
 # the date range, current = second half; reference DECILE boundaries
-# come from ntile on the reference window (the fixture-exact form;
-# production computes them on a sample, as range_partition_planner
-# documents), current rows are binned against those boundaries by a
-# broadcast range join. Counts are exact integers; the only floats
+# are order statistics of the reference window, tiebroken by
+# o_orderkey so the ref row->bin map is a pure function of global
+# rank. The Spark side finds them by exact distributed selection
+# (operators/quantiles.py — no single-partition ntile window over the
+# raw ref half, round-6 verdict item 2) and bins BOTH halves with
+# broadcast literal cutpoints: ref rows by the full (v, key)
+# cut-tuple (bit-identical to the oracle's tiebroken ntile), current
+# rows by the value-only boundary, reproducing the oracle's
+# "min bin with v <= hi" rule. Counts are exact integers; the only floats
 # are the per-bin share ratio and its ln, emitted PER BIN (rounded) —
 # the scalar PSI total is the ordered sum the caller does over 10
 # rows, so no cross-engine float accumulation ambiguity exists in the
@@ -321,7 +326,7 @@ _PSI_BINS = 10
                AS mid
       FROM orders
     ), ref AS (
-      SELECT o_totalprice AS v FROM orders, split
+      SELECT o_totalprice AS v, o_orderkey AS k FROM orders, split
       WHERE epoch_ms(o_orderdate) < mid
     ), cur AS (
       -- rid: per-row unique id (CTEs expose no rowid) — only the
@@ -330,7 +335,7 @@ _PSI_BINS = 10
       FROM orders, split
       WHERE epoch_ms(o_orderdate) >= mid
     ), refbin AS (
-      SELECT v, ntile({_PSI_BINS}) OVER (ORDER BY v) AS bin FROM ref
+      SELECT v, ntile({_PSI_BINS}) OVER (ORDER BY v, k) AS bin FROM ref
     ), bounds AS (
       SELECT bin, max(v) AS hi, COUNT(*) AS n_ref FROM refbin GROUP BY bin
     ), curbin AS (
@@ -356,7 +361,9 @@ _PSI_BINS = 10
     """,
 )
 def q_psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = t(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice", "o_orderkey"
+    )
     ms = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
     split = orders.agg(
         F.floor((F.min(ms) + F.max(ms)) / 2).cast("bigint").alias("mid")
@@ -365,24 +372,36 @@ def q_psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scan+split pipeline (plan audit: 54 Exchanges -> ~1/3)
     w = orders.withColumn("_ms", ms).crossJoin(F.broadcast(split)).localCheckpoint()
     ref = w.where(F.col("_ms") < F.col("mid")).select(
-        F.col("o_totalprice").alias("v")
+        F.col("o_totalprice").alias("v"), F.col("o_orderkey").alias("k")
     )
     cur = w.where(F.col("_ms") >= F.col("mid")).select(
         F.col("o_totalprice").alias("v")
     )
-    refbin = ref.select(
-        "v", F.ntile(_PSI_BINS).over(Window.orderBy("v")).alias("bin")
+    from ..operators.quantiles import (
+        after_cut,
+        exact_order_statistics,
+        ntile_cut_positions,
     )
-    bounds = refbin.groupBy("bin").agg(
-        F.max("v").alias("hi"), F.count(F.lit(1)).alias("n_ref")
+
+    cuts = exact_order_statistics(
+        ref,
+        ["v", "k"],
+        positions_fn=lambda n: ntile_cut_positions(n, _PSI_BINS),
     )
-    curbin = (
-        cur.withColumn("_rid", F.monotonically_increasing_id())
-        .join(F.broadcast(bounds.select("bin", "hi")), F.col("v") <= F.col("hi"), "left")
-        .groupBy("_rid")
-        .agg(F.coalesce(F.min("bin"), F.lit(_PSI_BINS)).alias("bin"))
+    ref_bin = F.lit(1)
+    for cut in cuts:
+        ref_bin = ref_bin + after_cut(["v", "k"], [True, True], cut).cast("int")
+    bounds = ref.groupBy(ref_bin.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_ref")
     )
-    curcounts = curbin.groupBy("bin").agg(F.count(F.lit(1)).alias("n_cur"))
+    # current rows bin by the VALUE boundary alone ("min bin whose
+    # hi >= v, else the top bin"): hi_i == the v-component of cut i
+    cur_bin = F.lit(1)
+    for cut in cuts:
+        cur_bin = cur_bin + (F.col("v") > F.lit(cut[0])).cast("int")
+    curcounts = cur.groupBy(cur_bin.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_cur")
+    )
     tr = bounds.agg(F.sum("n_ref").alias("tr"))
     tc = curcounts.agg(F.sum("n_cur").alias("tc"))
     joined = (

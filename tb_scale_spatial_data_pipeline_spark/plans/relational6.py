@@ -1045,11 +1045,25 @@ def q_null_aware_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Sequence-gap detection — the data-quality check for "did ingestion
-# drop rows": lead() over the ordered key surfaces every hole in one
-# window pass (no self-join against generate_series, which at 100 TB
-# would materialize the full id range). The fixture's keys are dense,
-# so deterministic gaps are planted (every 97th key dropped) to give
-# the detector real holes to find.
+# drop rows": surfaces every hole in the key sequence as a
+# (gap_after, next_key) range (no self-join against generate_series,
+# which at 100 TB would materialize the full id range). The fixture's
+# keys are dense, so deterministic gaps are planted (every 97th key
+# dropped) to give the detector real holes to find.
+#
+# SCALE SHAPE (round-6 verdict item 4): gap detection does NOT need a
+# total-order window. Keys are bucketed into fixed-width blocks
+# (floor(k / B)); lead() runs PARTITIONED by block — parallel, no
+# single-partition sort — which finds every within-block gap. Gaps
+# that straddle block boundaries are recovered from the per-block
+# (min, max) aggregate: that frame has n/B rows (an aggregated
+# intermediate ~4096x smaller than the input), so its block-level
+# lead() window is the acceptable tiny-frame kind, and a hole
+# spanning entire empty blocks collapses into one (prev_max,
+# next_min) pair because lead skips blocks with no rows. The oracle
+# keeps the naive global-lead form; the two decompositions are
+# provably identical on any key set.
+_GAP_BLOCK = 4096
 @_q(
     "sequence_gap_detection",
     """
@@ -1067,13 +1081,37 @@ def q_null_aware_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sequence_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 97 != 0)
-    w = Window.orderBy(F.asc("o_orderkey"))
-    g = orders.select(
-        F.col("o_orderkey").alias("gap_after"),
-        F.lead("o_orderkey").over(w).alias("next_key"),
+    keys = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 97 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.floor(F.col("o_orderkey") / _GAP_BLOCK).alias("blk"),
+        )
     )
-    return g.where(F.col("next_key") - F.col("gap_after") > 1).select(
+    in_blk = Window.partitionBy("blk").orderBy("k")
+    within = (
+        keys.select(
+            F.col("k").alias("gap_after"),
+            F.lead("k").over(in_blk).alias("next_key"),
+        )
+        .where(F.col("next_key") - F.col("gap_after") > 1)
+    )
+    # block-boundary gaps: per-block extrema (n/B rows), lead over the
+    # tiny block frame stitches consecutive NONEMPTY blocks
+    blocks = keys.groupBy("blk").agg(
+        F.min("k").alias("blk_min"), F.max("k").alias("blk_max")
+    )
+    over_blocks = Window.orderBy("blk")
+    boundary = (
+        blocks.select(
+            F.col("blk_max").alias("gap_after"),
+            F.lead("blk_min").over(over_blocks).alias("next_key"),
+        )
+        .where(F.col("next_key") - F.col("gap_after") > 1)
+    )
+    g = within.unionByName(boundary)
+    return g.select(
         "gap_after",
         "next_key",
         (F.col("next_key") - F.col("gap_after") - 1).cast("bigint").alias("n_missing"),

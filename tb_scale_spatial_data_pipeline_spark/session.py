@@ -44,6 +44,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout clean: the driver contract parses the LAST JSON
+        # line of stdout, and progress-bar escapes can interleave with it
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         # fixture parquet writes TIMESTAMP(NANOS); Spark has no nanos
         # timestamp type — read as long, catalog converts to micros
