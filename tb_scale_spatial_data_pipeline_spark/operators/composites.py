@@ -69,7 +69,7 @@ def grouped_median(
     group_cols: Sequence[str],
     value_col: str | Column,
     out_col: str = "median_value",
-    exact: bool | None = None,
+    exact: bool | None = True,
     auto_threshold_bytes: int = AUTO_APPROX_BYTES,
 ) -> DataFrame:
     """Per-group median ignoring NULLs (A1, nanmedian composite).
@@ -77,9 +77,11 @@ def grouped_median(
     ``exact=True`` uses Spark's exact ``median`` (linear-interpolated,
     matches DuckDB's ``median``); ``exact=False`` switches to
     ``percentile_approx`` — the knob to turn at 100 TB where exact
-    median forces a full sort of each group's values. The default
-    ``exact=None`` flips automatically when the plan-estimated input
-    exceeds ``auto_threshold_bytes`` (see AUTO_APPROX_BYTES).
+    median forces a full sort of each group's values. The default is
+    ``exact=True``: result precision never silently depends on plan
+    statistics. ``exact=None`` OPTS IN to the size-based auto-flip
+    (approx above ``auto_threshold_bytes``, see AUTO_APPROX_BYTES) —
+    say so explicitly when approximate tails are acceptable.
     """
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     agg = (
@@ -120,16 +122,16 @@ def grouped_percentiles(
     group_cols: Sequence[str],
     value_col: str,
     percentiles: Sequence[float] = (0.02, 0.98),
-    exact: bool | None = None,
+    exact: bool | None = True,
     auto_threshold_bytes: int = AUTO_APPROX_BYTES,
 ) -> DataFrame:
     """Grouped percentile aggregate (A3) for the contrast stretch (P8).
 
     Exact ``percentile`` (continuous-interpolated, matches DuckDB
-    quantile_cont) on small inputs; ``percentile_approx`` as the 100 TB
-    path. ``exact=None`` (default) resolves by plan-estimated input
-    size against ``auto_threshold_bytes`` — pass ``exact=True/False``
-    to pin either mode. Output columns are named p<percent> (p2, ...).
+    quantile_cont) by default; ``percentile_approx`` as the 100 TB
+    path. ``exact=True`` (default) pins precision; ``exact=None``
+    OPTS IN to resolving by plan-estimated input size against
+    ``auto_threshold_bytes``; ``exact=False`` pins approx. Output columns are named p<percent> (p2, ...).
     """
     aggs = []
     use_exact = _auto_exact(df, exact, auto_threshold_bytes)

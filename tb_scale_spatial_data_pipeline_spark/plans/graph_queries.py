@@ -535,8 +535,10 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = nodes.where(F.col("node") % 20 == 0).localCheckpoint(eager=True)
     ns = seeds.count()  # one scalar, like pagerank's n
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("double").alias("outdeg")
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
+        .localCheckpoint(eager=True)  # read by every iteration, built once
     )
     restart = nodes.join(
         seeds.withColumn("_s", F.lit(1)), "node", "left"

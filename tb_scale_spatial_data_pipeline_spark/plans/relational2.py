@@ -133,14 +133,23 @@ def q_property_bag_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_deterministic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dense_rank() OVER (ORDER BY source) on the RAW table would be a
+    # single-partition window over every document; the same ordinal is
+    # the rank of the DISTINCT source — a dimension-sized aggregate —
+    # broadcast back. The per-source row_number stays partitioned.
     docs = t(spark, sf_dir, "documents")
     w_local = Window.partitionBy("source").orderBy("doc_id")
-    w_src = Window.orderBy("source")
-    local = docs.select(
-        "doc_id",
-        F.row_number().over(w_local).alias("local_id"),
-        F.dense_rank().over(w_src).alias("src_ordinal"),
+    src_ord = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.row_number().over(Window.orderBy("source")).alias("src_ordinal"),
+        )
     )
+    local = docs.select(
+        "doc_id", "source", F.row_number().over(w_local).alias("local_id")
+    ).join(F.broadcast(src_ord), "source")
     return local.select(
         "doc_id",
         (F.col("src_ordinal").cast("bigint") * 10_000_000 + F.col("local_id")).alias(

@@ -654,11 +654,18 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Trimmed and winsorized means — the robust-center estimators: trim
 # drops the tail 5% on each side, winsorize clamps values to the
-# 5th/95th percentile instead. Cut points are exact order statistics
-# (percent_rank over the global sort); the retained/clamped values
-# are 2-dp decimals so both means are exact sums. percent_rank with
-# tie-broken ordering (v, o_orderkey) makes the cut deterministic
-# cross-engine even through duplicate values.
+# 5th/95th percentile instead. Cut points are exact order statistics;
+# the retained/clamped values are 2-dp decimals so both means are
+# exact sums. The ordering is tiebroken by o_orderkey, so "pr inside
+# [f, 1-f]" is equivalent to "global rank inside [r_lo, r_hi]" — the
+# Spark side finds the two boundary (v, key) tuples by distributed
+# selection (operators/quantiles.py; no single-partition percent_rank
+# window over raw orders) and tests rows against them with literal
+# lexicographic comparisons. r_lo/r_hi are derived with the SAME IEEE
+# double arithmetic the oracle's percent_rank comparison uses
+# ((rank-1)/(n-1) vs the 0.05 literal), so boundary ranks where
+# f*(n-1) is mathematically-but-not-floating-point integral still
+# agree bit-for-bit.
 _TRIM_FRAC = 0.05
 
 
@@ -690,24 +697,45 @@ _TRIM_FRAC = 0.05
     """,
 )
 def q_trimmed_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import after_cut, exact_order_statistics
+
     orders = t(spark, sf_dir, "orders")
-    ranked = orders.select(
+    base = orders.select(
         F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
-        F.percent_rank()
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .alias("pr"),
+        F.col("o_orderkey").alias("k"),
     )
-    inside = (F.col("pr") >= _TRIM_FRAC) & (F.col("pr") <= 1 - _TRIM_FRAC)
-    cuts = ranked.agg(
-        F.min(F.when(F.col("pr") >= _TRIM_FRAC, F.col("v"))).alias("lo"),
-        F.max(F.when(F.col("pr") <= 1 - _TRIM_FRAC, F.col("v"))).alias("hi"),
+
+    def _cut_ranks(n: int) -> list[int]:
+        # min rank with (rank-1)/(n-1) >= f and max rank with
+        # (rank-1)/(n-1) <= 1-f, in the engines' own double arithmetic;
+        # scan a ±4 neighborhood of the real-valued boundary (driver
+        # scalars, O(1))
+        lo0 = max(1, int(_TRIM_FRAC * (n - 1)) - 3)
+        lo = next(
+            r for r in range(lo0, n + 1) if (r - 1) / (n - 1) >= _TRIM_FRAC
+        )
+        hi0 = min(n, int((1 - _TRIM_FRAC) * (n - 1)) + 5)
+        hi = next(
+            r
+            for r in range(hi0, 0, -1)
+            if (r - 1) / (n - 1) <= 1 - _TRIM_FRAC
+        )
+        return [lo, hi]
+
+    cut_lo, cut_hi = exact_order_statistics(
+        base, ["v", "k"], positions_fn=_cut_ranks
     )
+    cols, asc = ["v", "k"], [True, True]
+    before_lo = after_cut(cols, [False, False], cut_lo)  # strictly before
+    after_hi = after_cut(cols, asc, cut_hi)
+    inside = ~before_lo & ~after_hi
+    lo, hi = F.lit(cut_lo[0]), F.lit(cut_hi[0])
     wv = (
-        F.when(F.col("v") < F.col("lo"), F.col("lo"))
-        .when(F.col("v") > F.col("hi"), F.col("hi"))
+        F.when(F.col("v") < lo, lo)
+        .when(F.col("v") > hi, hi)
         .otherwise(F.col("v"))
     )
-    return ranked.crossJoin(F.broadcast(cuts)).agg(
+    return base.agg(
         F.count(F.lit(1)).alias("n_total"),
         F.count(F.when(inside, 1)).alias("n_kept"),
         F.round(

@@ -38,11 +38,11 @@ def test_approx_percentile_within_tolerance(spark):
 
 
 def test_percentile_auto_flip_at_threshold(spark):
-    """exact=None resolves by plan-estimated input size: below the
-    threshold the physical plan carries the exact percentile/median,
-    above it (forced here with a tiny threshold) the same call plans
-    approx_percentile — oracle fixtures stay exact, 100 TB inputs flip
-    automatically."""
+    """exact=None OPTS IN to resolving by plan-estimated input size:
+    below the threshold the physical plan carries the exact
+    percentile/median, above it (forced here with a tiny threshold)
+    the same call plans approx_percentile. The DEFAULT is exact=True —
+    precision never silently depends on plan statistics."""
     from conftest import SF_SMOKE
 
     # parquet scan: footer stats give a real size estimate
@@ -54,13 +54,21 @@ def test_percentile_auto_flip_at_threshold(spark):
     def plan(q):
         return q._jdf.queryExecution().executedPlan().toString()
 
-    assert "percentile_approx" not in plan(grouped_median(df, ["g"], "v"))
-    assert "percentile_approx" in plan(
-        grouped_median(df, ["g"], "v", auto_threshold_bytes=1)
+    assert "percentile_approx" not in plan(
+        grouped_median(df, ["g"], "v", exact=None)
     )
-    assert "percentile_approx" not in plan(grouped_percentiles(df, ["g"], "v"))
     assert "percentile_approx" in plan(
-        grouped_percentiles(df, ["g"], "v", auto_threshold_bytes=1)
+        grouped_median(df, ["g"], "v", exact=None, auto_threshold_bytes=1)
+    )
+    assert "percentile_approx" not in plan(
+        grouped_percentiles(df, ["g"], "v", exact=None)
+    )
+    assert "percentile_approx" in plan(
+        grouped_percentiles(df, ["g"], "v", exact=None, auto_threshold_bytes=1)
+    )
+    # the DEFAULT is exact=True: a tiny threshold must NOT flip it
+    assert "percentile_approx" not in plan(
+        grouped_median(df, ["g"], "v", auto_threshold_bytes=1)
     )
     # explicit pins override the estimate in both directions
     assert "percentile_approx" in plan(grouped_median(df, ["g"], "v", exact=False))
@@ -73,7 +81,7 @@ def test_percentile_auto_flip_at_threshold(spark):
         [(i % 4, float(i)) for i in range(1000)], "g int, v double"
     )
     assert "percentile_approx" not in plan(
-        grouped_median(local, ["g"], "v", auto_threshold_bytes=1)
+        grouped_median(local, ["g"], "v", exact=None, auto_threshold_bytes=1)
     )
 
 
