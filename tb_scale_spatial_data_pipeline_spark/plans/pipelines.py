@@ -269,19 +269,104 @@ def q_raster_crs_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("x", "y", F.round("b1", 6).alias("b1"))
 
 
-@_q("raster_segmentation_metrics")
+# --- closed-form segmentation field (round-7 hash upgrade) ---------
+# A 64x64 2-band field that is piecewise-CONSTANT on a 4x4 grid of
+# unequal rectangles whose cut lines include the tile boundary x=32 /
+# y=32, with >=100 feature contrast between any two adjacent blocks.
+# FH04 (scale=35, min_size=15) provably segments this into EXACTLY the
+# 16 blocks: all zero-weight within-block edges merge first (0 <= any
+# threshold), every cross-block edge has weight >= 100 > 35 >= the
+# singleton threshold (and ~0.25 at merged sizes), and every
+# halo-window fragment is >= 8x8 = 64 px so min_size absorption never
+# fires. Block geometry/area/perimeter/vertex metrics are therefore
+# closed-form SQL — the DuckDB oracle enumerates the 16 rectangles —
+# and the output re-keys on (min_x, min_y) because the engine's
+# deterministic P18 seg ids are tile-scoped (the declared benign
+# divergence from the reference's sequential ids).
+_BLK_XCUTS = (0, 10, 32, 48, 64)  # widths 10, 22, 16, 16
+_BLK_YCUTS = (0, 14, 32, 50, 64)  # heights 14, 18, 18, 14
+
+
+def _block_field(spark: SparkSession) -> DataFrame:
+    px = spark.range(64 * 64).select(
+        (F.col("id") % 64).cast("int").alias("x"),
+        (F.col("id") / 64).cast("int").alias("y"),
+    )
+
+    def _bin(col, cuts):
+        e = F.lit(len(cuts) - 2)
+        for i in range(len(cuts) - 2, 0, -1):
+            e = F.when(col < F.lit(cuts[i]), F.lit(i - 1)).otherwise(e)
+        return e
+
+    bx = _bin(F.col("x"), _BLK_XCUTS)
+    by = _bin(F.col("y"), _BLK_YCUTS)
+    blk = (by * 4 + bx).cast("double")
+    return px.select(
+        "x",
+        "y",
+        (blk * 100.0 + 10.0).alias("b1"),
+        ((blk + 1.0) * 77.0).alias("b2"),
+    )
+
+
+def _block_oracle(select: str) -> str:
+    return f"""
+    WITH blocks AS (
+      SELECT CASE bx.i WHEN 0 THEN 0 WHEN 1 THEN 10 WHEN 2 THEN 32 ELSE 48 END AS x0,
+             CASE bx.i WHEN 0 THEN 10 WHEN 1 THEN 22 ELSE 16 END AS w,
+             CASE by.i WHEN 0 THEN 0 WHEN 1 THEN 14 WHEN 2 THEN 32 ELSE 50 END AS y0,
+             CASE by.i WHEN 0 THEN 14 WHEN 1 THEN 18 WHEN 2 THEN 18 ELSE 14 END AS h
+      FROM range(0, 4) bx(i), range(0, 4) by(i)
+    )
+    {select}
+    FROM blocks ORDER BY min_x, min_y
+    """
+
+
+@_q(
+    "raster_segmentation_metrics",
+    _block_oracle(
+        """
+    SELECT CAST(x0 AS BIGINT) AS min_x, CAST(y0 AS BIGINT) AS min_y,
+           'POLYGON((' || x0 || ' ' || y0 || ', ' || (x0 + w) || ' ' || y0
+             || ', ' || (x0 + w) || ' ' || (y0 + h) || ', ' || x0 || ' '
+             || (y0 + h) || ', ' || x0 || ' ' || y0 || '))' AS geometry,
+           CAST(w * h AS BIGINT) AS area,
+           CAST(2 * (w + h) AS BIGINT) AS perimeter,
+           CAST(4 AS INT) AS num_vertices,
+           CAST(1.0 AS DOUBLE) AS rectangularity,
+           round(4 * pi() * (w * h)
+                 / CAST((2 * (w + h)) * (2 * (w + h)) AS DOUBLE), 6)
+             AS compactness
+    """
+    ),
+)
 def q_raster_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    img = synthetic_raster(spark, 64, 64, bands=2)
+    """R4+R6+R7 hash-checked end-to-end: FH04 over halo tiles on the
+    closed-form block field, exact boundary tracing, shape metrics —
+    every number matches the enumerated-rectangle oracle bit-for-bit.
+    (Irregular-shape ground truths live in tests/test_raster.py /
+    tests/test_geometry.py.)"""
+    img = _block_field(spark)
     tiled = halo_duplicate(img, tile_size=32, halo=8)
     segs = segment_tiles(tiled, ["b1", "b2"])
-    return segment_shape_metrics(segs).select(
-        "seg_id",
-        "geometry",
-        "area",
-        "perimeter",
-        "num_vertices",
-        F.round("rectangularity", 6).alias("rectangularity"),
-        F.round("compactness", 6).alias("compactness"),
+    keyed = segs.groupBy("seg_id").agg(
+        F.min("x").alias("min_x"), F.min("y").alias("min_y")
+    )
+    return (
+        segment_shape_metrics(segs)
+        .join(keyed, "seg_id")
+        .select(
+            F.col("min_x").cast("bigint").alias("min_x"),
+            F.col("min_y").cast("bigint").alias("min_y"),
+            "geometry",
+            "area",
+            "perimeter",
+            "num_vertices",
+            F.round("rectangularity", 6).alias("rectangularity"),
+            F.round("compactness", 6).alias("compactness"),
+        )
     )
 
 
@@ -387,19 +472,42 @@ ORACLES["stream_stateful_totals"] = """
     """
 
 
-@_q("raster_polygon_features")
+@_q(
+    "raster_polygon_features",
+    _block_oracle(
+        """
+    SELECT CAST(x0 AS BIGINT) AS min_x, CAST(y0 AS BIGINT) AS min_y,
+           CAST(w * h AS BIGINT) AS area,
+           round(CAST(w * h AS DOUBLE), 6) AS geo_area,
+           CAST(1.0 AS DOUBLE) AS geo_rectangularity,
+           round(greatest(w, h) / CAST(least(w, h) AS DOUBLE), 6)
+             AS geo_elongation,
+           round(4 * pi() * (w * h)
+                 / CAST((2 * (w + h)) * (2 * (w + h)) AS DOUBLE), 6)
+             AS geo_compactness
+    """
+    ),
+)
 def q_raster_polygon_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R7 in its geometry form: traced segment polygons → min-rotated-
-    rect shape features (the reference's shapely-feature analog)."""
+    """R7 in its geometry form, hash-checked: traced segment polygons →
+    min-rotated-rect shape features (the reference's shapely-feature
+    analog) over the closed-form block field — shoelace area, caliper
+    rectangularity/elongation, and ring compactness all match the
+    enumerated-rectangle oracle. Irregular-polygon ground truths stay
+    in tests/test_geometry.py."""
     from ..functions.geometry import with_polygon_shape_features
 
-    img = synthetic_raster(spark, 64, 64, bands=2)
+    img = _block_field(spark)
     tiled = halo_duplicate(img, tile_size=32, halo=8)
     segs = segment_tiles(tiled, ["b1", "b2"])
+    keyed = segs.groupBy("seg_id").agg(
+        F.min("x").alias("min_x"), F.min("y").alias("min_y")
+    )
     metrics = segment_shape_metrics(segs)
     out = with_polygon_shape_features(metrics.select("seg_id", "geometry", "area"))
-    return out.select(
-        "seg_id",
+    return out.join(keyed, "seg_id").select(
+        F.col("min_x").cast("bigint").alias("min_x"),
+        F.col("min_y").cast("bigint").alias("min_y"),
         "area",
         F.round("geo_area", 6).alias("geo_area"),
         F.round("geo_rectangularity", 6).alias("geo_rectangularity"),
