@@ -508,18 +508,38 @@ def q_combo_model_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(davg4("b1").alias("c1"), davg4("b2").alias("c2"), davg4("b3").alias("c3"))
     )
     probe = px.where(~F.col("is_train"))
-    joined = probe.join(F.broadcast(centroids.withColumnRenamed("label", "pred")), "combo_sig")
-    dist = F.round(
-        (F.col("b1") - F.col("c1")) * (F.col("b1") - F.col("c1"))
-        + (F.col("b2") - F.col("c2")) * (F.col("b2") - F.col("c2"))
-        + (F.col("b3") - F.col("c3")) * (F.col("b3") - F.col("c3")),
-        6,
+    # pack each combo's centroids into ONE array row (<= n_combos x
+    # n_labels rows total), broadcast, join 1:1, and take the argmin
+    # inside a codegen'd array fold: the probe side never explodes and
+    # never re-shuffles — the r6 form's (probe x labels) Exchange into
+    # a min_by aggregate is gone entirely. array_min on (d, pred)
+    # structs mirrors the oracle's ORDER BY (round(dist,6), label).
+    cent_arr = centroids.groupBy("combo_sig").agg(
+        F.collect_list(
+            F.struct(F.col("c1"), F.col("c2"), F.col("c3"), F.col("label"))
+        ).alias("cents")
     )
-    # argmin via min_by on a (dist, pred) struct: one hash aggregate
-    # with map-side partials instead of a window sort — same result as
-    # the oracle's row_number (the struct tiebreak mirrors its ORDER BY)
-    return joined.groupBy("l_orderkey", "l_linenumber").agg(
-        F.min_by("pred", F.struct(dist.alias("d"), F.col("pred"))).alias("pred")
+    joined = probe.join(F.broadcast(cent_arr), "combo_sig")
+
+    def _scored(c):
+        d = (
+            (F.col("b1") - c["c1"]) * (F.col("b1") - c["c1"])
+            + (F.col("b2") - c["c2"]) * (F.col("b2") - c["c2"])
+            + (F.col("b3") - c["c3"]) * (F.col("b3") - c["c3"])
+        )
+        return F.struct(F.round(d, 6).alias("d"), c["label"].alias("pred"))
+
+    # per-ROW argmin in the array fold; the one remaining Exchange is
+    # the per-key min of those (d, pred) structs — needed because the
+    # fixture's (orderkey, linenumber) carries duplicates and the
+    # oracle's row_number dedupes across them. Map-side partials
+    # collapse duplicates before the shuffle; row count = probe rows,
+    # not probe x labels as in the r6 form.
+    best = F.array_min(F.transform(F.col("cents"), _scored))
+    return (
+        joined.select("l_orderkey", "l_linenumber", best.alias("_best"))
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.min("_best")["pred"].alias("pred"))
     )
 
 

@@ -1,0 +1,117 @@
+"""Unit tests for operators/quantiles.py — the distributed-selection
+order statistics that replaced every raw-table global window (round-7).
+
+Ground truth is a driver-side pandas sort of the same fixture data;
+the equivalence claim under test is the module's central theorem: with
+a unique sort key, cut-tuple binning == ntile bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from tb_scale_spatial_data_pipeline_spark.operators.quantiles import (
+    after_cut,
+    exact_order_statistics,
+    ntile_bin_column,
+    ntile_cut_positions,
+)
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+
+
+def _truth(pdf, cols, asc, pos):
+    srt = pdf.sort_values(cols, ascending=asc, kind="mergesort").reset_index(
+        drop=True
+    )
+    return [tuple(float(v) for v in srt.iloc[p - 1]) for p in pos]
+
+
+def test_ntile_cut_positions_partition_sizes():
+    # n=10, k=4 -> ntile sizes 3,3,2,2 -> ends 3,6,8
+    assert ntile_cut_positions(10, 4) == [3, 6, 8]
+    # even split
+    assert ntile_cut_positions(8, 4) == [2, 4, 6]
+    # k > n degenerates to one row per leading bin
+    assert ntile_cut_positions(3, 5) == [1, 2, 3, 3]
+
+
+def test_order_statistics_match_driver_sort(orders, spark):
+    pdf = orders.select("o_totalprice", "o_orderkey").toPandas()
+    pos = [1, 7, len(pdf) // 2, len(pdf)]
+    got = exact_order_statistics(orders, ["o_totalprice", "o_orderkey"], pos)
+    assert [tuple(map(float, g)) for g in got] == _truth(
+        pdf, ["o_totalprice", "o_orderkey"], [True, True], pos
+    )
+
+
+def test_order_statistics_mixed_direction(orders):
+    pdf = orders.select("o_totalprice", "o_orderkey").toPandas()
+    pos = [2, 100, 1400]
+    got = exact_order_statistics(
+        orders, ["o_totalprice", "o_orderkey"], pos, ascending=[False, True]
+    )
+    assert [tuple(map(float, g)) for g in got] == _truth(
+        pdf, ["o_totalprice", "o_orderkey"], [False, True], pos
+    )
+
+
+def test_order_statistics_survive_heavy_duplicates(spark):
+    # 1000 rows over only 3 distinct values: range partitions are
+    # forced to split tie runs across boundaries
+    df = spark.createDataFrame(
+        [(i % 3, i) for i in range(1000)], "v int, k int"
+    )
+    pos = [1, 334, 335, 667, 1000]
+    got = exact_order_statistics(df, ["v", "k"], pos)
+    pdf = df.toPandas()
+    assert [tuple(map(float, g)) for g in got] == _truth(
+        pdf, ["v", "k"], [True, True], pos
+    )
+
+
+def test_positions_out_of_range_raises(orders):
+    with pytest.raises(ValueError):
+        exact_order_statistics(orders, ["o_totalprice", "o_orderkey"], [0])
+
+
+def test_ntile_bin_column_equals_window_ntile(orders):
+    """The central theorem: unique sort key -> cut-tuple binning is
+    ntile, row for row, including mixed sort directions."""
+    for k, asc in ((5, [True, True]), (7, [False, True])):
+        keys = ["o_totalprice", "o_orderkey"]
+        mine = orders.withColumn(
+            "bin", ntile_bin_column(orders, keys, k, ascending=asc)
+        )
+        w = Window.orderBy(
+            *[F.col(c).asc() if a else F.col(c).desc() for c, a in zip(keys, asc)]
+        )
+        ref = orders.select(
+            "o_orderkey", F.ntile(k).over(w).alias("bin_ref")
+        )
+        diff = (
+            mine.join(ref, "o_orderkey")
+            .where(F.col("bin") != F.col("bin_ref"))
+            .count()
+        )
+        assert diff == 0, f"k={k} asc={asc}"
+
+
+def test_after_cut_is_strict_lexicographic(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1), (1.0, 2), (2.0, 1)], "v double, k int"
+    )
+    marked = df.select(
+        "v", "k", after_cut(["v", "k"], [True, True], (1.0, 2)).alias("a")
+    ).collect()
+    got = {(r["v"], r["k"]): r["a"] for r in marked}
+    assert got == {(1.0, 1): False, (1.0, 2): False, (2.0, 1): True}
