@@ -96,3 +96,32 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def all_global_windows(root) -> list[str]:
+    """Every zero-partition WindowExec with the first reducing/scan
+    node found below it (for grain triage, not gating)."""
+    out = []
+
+    def first_marker(node):
+        name = node.getClass().getSimpleName()
+        if any(m in name for m in _REDUCE_MARKS) or any(
+            m in name for m in _SCAN_MARKS
+        ):
+            return name
+        for c in _children(node):
+            m = first_marker(c)
+            if m:
+                return m
+        return None
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "WindowExec" and node.partitionSpec().isEmpty():
+            marks = [first_marker(c) or "?" for c in _children(node)]
+            out.append("+".join(marks))
+        for c in _children(node):
+            walk(c)
+
+    walk(root)
+    return out

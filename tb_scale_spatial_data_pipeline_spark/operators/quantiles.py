@@ -141,6 +141,99 @@ def exact_order_statistics(
     return [by_rank[p] for p in want]
 
 
+def with_global_cumsum(
+    df: DataFrame,
+    sort_cols: Sequence[str],
+    value_cols: Sequence[str],
+    ascending: Sequence[bool] | None = None,
+    out_prefix: str = "cum_",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Running SUM of each value column over the GLOBAL (sort_cols,
+    ascending) order — a distributed prefix scan, not a
+    single-partition window:
+
+    1. ``repartitionByRange`` on the sort key (contiguous ranges,
+       ascending with partition id), localCheckpointed so both
+       consumers below see the SAME partition assignment;
+    2. within-partition running sums (``Window.partitionBy(pid)`` —
+       parallel);
+    3. per-partition totals -> exclusive prefix offsets (a window over
+       P rows — the acceptable tiny-frame kind) broadcast back;
+    4. cumsum = local running sum + own partition's offset.
+
+    EXACTNESS CONTRACT: the decomposition regroups the addition order,
+    so value columns must be on an exact lattice (integers / counts /
+    DECIMAL) — every caller in this repo is; for raw doubles the
+    result would differ from a sequential fold by associativity ulps.
+    Sort keys must be non-null and SHOULD be unique per row (append a
+    key tiebreaker) so the running sum is well-defined under ties.
+    """
+    cols = list(sort_cols)
+    vals = list(value_cols)
+    asc = list(ascending) if ascending is not None else [True] * len(cols)
+    spark = df.sparkSession
+    if num_ranges is None:
+        num_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    exprs = [F.col(c).asc() if a else F.col(c).desc() for c, a in zip(cols, asc)]
+    from pyspark.sql import Window
+
+    ranged = (
+        df.repartitionByRange(num_ranges, *exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*exprs).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = ranged.select(
+        "*", *[F.sum(v).over(w_local).alias(f"_loc_{v}") for v in vals]
+    )
+    totals = ranged.groupBy("_pid").agg(
+        *[F.sum(v).alias(f"_tot_{v}") for v in vals]
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid",
+        *[
+            F.coalesce(F.sum(f"_tot_{v}").over(w_off), F.lit(0)).alias(f"_off_{v}")
+            for v in vals
+        ],
+    )
+    out = local.join(F.broadcast(offsets), "_pid")
+    keep = [c for c in df.columns]
+    return out.select(
+        *keep,
+        *[
+            (F.col(f"_loc_{v}") + F.col(f"_off_{v}")).alias(f"{out_prefix}{v}")
+            for v in vals
+        ],
+    )
+
+
+def with_global_rank(
+    df: DataFrame,
+    sort_cols: Sequence[str],
+    ascending: Sequence[bool] | None = None,
+    out_col: str = "rank",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """row_number() over the GLOBAL (sort_cols, ascending) order as a
+    distributed prefix scan of ones (see with_global_cumsum) — requires
+    a unique sort key, under which rank == row_number exactly."""
+    return (
+        with_global_cumsum(
+            df.withColumn("_rk1", F.lit(1)),
+            sort_cols,
+            ["_rk1"],
+            ascending=ascending,
+            num_ranges=num_ranges,
+        )
+        .withColumnRenamed("cum__rk1", out_col)
+        .drop("_rk1")
+    )
+
+
 def after_cut(cols: Sequence[str], ascending: Sequence[bool], cut: tuple) -> Column:
     """Boolean Column: is this row's key tuple STRICTLY AFTER ``cut``
     in the (cols, ascending) lexicographic sort order? Pure literal

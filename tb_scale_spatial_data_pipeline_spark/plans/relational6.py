@@ -1191,21 +1191,23 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    # the concentration answer IS a global order statistic, but the
+    # cumulative DECIMAL revenue is computed by a distributed prefix
+    # scan over the customer-grain frame (decimal addition regroups
+    # exactly), not a single-partition window (round-7)
+    from ..operators.quantiles import with_global_cumsum
 
     orders = t(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
     )
-    w_cum = Window.orderBy(F.desc("r"), F.asc("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_tot = Window.partitionBy()
-    c = rev.select(
-        "o_custkey",
-        "r",
-        F.sum("r").over(w_cum).alias("cum"),
-        F.sum("r").over(w_tot).alias("tot"),
+    tot = rev.agg(F.sum("r").alias("tot"))
+    c = (
+        with_global_cumsum(
+            rev, ["r", "o_custkey"], ["r"], ascending=[False, True]
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("o_custkey", "r", F.col("cum_r").alias("cum"), "tot")
     )
     kept = c.where(
         (F.col("cum") - F.col("r")).cast("double") < 0.8 * F.col("tot").cast("double")

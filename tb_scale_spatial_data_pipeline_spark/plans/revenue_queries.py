@@ -227,9 +227,12 @@ def q_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = li.groupBy(F.col("l_suppkey").alias("key")).agg(
         F.count("*").alias("c")
     )
-    ranked = cnt.withColumn(
-        "i", F.row_number().over(Window.orderBy("c", "key"))
-    )
+    # global rank over the key-count frame (key-grain can be huge at
+    # 100 TB) via the distributed prefix scan, not a single-partition
+    # row_number window (round-7)
+    from ..operators.quantiles import with_global_rank
+
+    ranked = with_global_rank(cnt, ["c", "key"], out_col="i")
     g = ranked.agg(
         F.count("*").alias("n"),
         F.sum("c").alias("tot"),

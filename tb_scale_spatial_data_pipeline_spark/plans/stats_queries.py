@@ -86,27 +86,25 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("seg") == "MACHINERY", 1).otherwise(0)).alias("c2"),
     )
-    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    scored = per_v.select(
-        "v",
-        F.sum("c1").over(w_cum).alias("f1"),
-        F.sum("c2").over(w_cum).alias("f2"),
-        F.sum("c1").over(w_all).alias("n1"),
-        F.sum("c2").over(w_all).alias("n2"),
-    ).select(
+    # both CDFs in ONE distributed prefix scan over the per-value
+    # frame (integer lattice -> regrouped addition is exact); totals
+    # and the argmax row come from broadcast scalar aggregates — no
+    # single-partition window anywhere (round-7 de-globalization)
+    from ..operators.quantiles import with_global_cumsum
+
+    scanned = with_global_cumsum(per_v, ["v"], ["c1", "c2"], out_prefix="f_")
+    tot = per_v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    scored = scanned.crossJoin(F.broadcast(tot)).select(
         "v",
         "n1",
         "n2",
-        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).alias(
-            "d_num"
-        ),
+        F.abs(
+            F.col("f_c1") * F.col("n2") - F.col("f_c2") * F.col("n1")
+        ).alias("d_num"),
     )
-    mx = F.max("d_num").over(w_all)
+    mxdf = scored.agg(F.max("d_num").alias("mx"))
     return (
-        scored.withColumn("mx", mx)
+        scored.crossJoin(F.broadcast(mxdf))
         .groupBy("n1", "n2")
         .agg(
             F.max("d_num").alias("d_num"),
@@ -164,14 +162,15 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("c2"),
     )
-    w_before = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    cum = per_v.select(
-        "c1",
-        "c2",
-        (F.col("c1") + F.col("c2")).alias("c"),
-        F.coalesce(
-            F.sum(F.col("c1") + F.col("c2")).over(w_before), F.lit(0)
-        ).alias("before"),
+    # rank offsets via the distributed prefix scan (exact integer
+    # lattice): before = inclusive cumsum - own count
+    from ..operators.quantiles import with_global_cumsum
+
+    withc = per_v.select(
+        "v", "c1", "c2", (F.col("c1") + F.col("c2")).alias("c")
+    )
+    cum = with_global_cumsum(withc, ["v"], ["c"]).select(
+        "c1", "c2", "c", (F.col("cum_c") - F.col("c")).alias("before")
     )
     agg = cum.agg(
         F.sum("c1").alias("n1"),

@@ -848,23 +848,25 @@ def _sql_snm() -> str:
 
 @_q("sorted_neighborhood_pairs", _sql_snm())
 def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    # sorted-neighborhood blocking NEEDS the global sort order, but not
+    # a global window: assign each distinct name its global rank via
+    # the distributed prefix scan, then "neighbor within W positions"
+    # becomes a rank-distance EQUI-join (explode k=1..W, join on
+    # rank+k) — balanced shuffle on the dense integer rank, no
+    # single-partition lead() over the name universe (round-7)
+    from ..operators.quantiles import with_global_rank
 
     names = t(spark, sf_dir, "part").select("p_name").distinct()
-    w = Window.orderBy("p_name")
-    s = names.select(
-        "p_name",
-        *[
-            F.lead("p_name", k).over(w).alias(f"nb{k}")
-            for k in range(1, _SNM_WINDOW + 1)
-        ],
-    )
-    cand = None
-    for k in range(1, _SNM_WINDOW + 1):
-        arm = s.where(F.col(f"nb{k}").isNotNull()).select(
-            F.col("p_name").alias("name_a"), F.col(f"nb{k}").alias("name_b")
-        )
-        cand = arm if cand is None else cand.unionByName(arm)
+    ranked = with_global_rank(names, ["p_name"], out_col="r").localCheckpoint()
+    a = ranked.select(
+        F.col("p_name").alias("name_a"),
+        "r",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, _SNM_WINDOW + 1)])
+        ).alias("_k"),
+    ).select("name_a", (F.col("r") + F.col("_k")).alias("rb"))
+    b = ranked.select(F.col("p_name").alias("name_b"), F.col("r").alias("rb"))
+    cand = a.join(b, "rb")
     dist = F.levenshtein("name_a", "name_b")
     return cand.where(dist <= _SNM_MAXDIST).select(
         "name_a", "name_b", dist.cast("bigint").alias("edit_dist")

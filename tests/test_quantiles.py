@@ -106,6 +106,66 @@ def test_ntile_bin_column_equals_window_ntile(orders):
         assert diff == 0, f"k={k} asc={asc}"
 
 
+def test_global_cumsum_matches_window(orders, spark):
+    """Distributed prefix scan == single-partition running sum, on the
+    integer lattice (exact regrouping)."""
+    from tb_scale_spatial_data_pipeline_spark.operators.quantiles import (
+        with_global_cumsum,
+    )
+
+    df = orders.select(
+        "o_orderkey", (F.col("o_custkey") % 100).cast("long").alias("v")
+    )
+    got = with_global_cumsum(df, ["o_orderkey"], ["v"])
+    w = Window.orderBy("o_orderkey").rowsBetween(Window.unboundedPreceding, 0)
+    ref = df.select("o_orderkey", F.sum("v").over(w).alias("ref"))
+    diff = (
+        got.join(ref, "o_orderkey")
+        .where(F.col("cum_v") != F.col("ref"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_global_cumsum_decimal_and_desc(orders):
+    from tb_scale_spatial_data_pipeline_spark.operators.quantiles import (
+        with_global_cumsum,
+    )
+
+    df = orders.select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("v")
+    )
+    got = with_global_cumsum(
+        df, ["v", "o_orderkey"], ["v"], ascending=[False, True]
+    )
+    w = Window.orderBy(F.desc("v"), F.asc("o_orderkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ref = df.select("o_orderkey", F.sum("v").over(w).alias("ref"))
+    diff = (
+        got.join(ref, "o_orderkey")
+        .where(F.col("cum_v") != F.col("ref"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_global_rank_matches_row_number(orders):
+    from tb_scale_spatial_data_pipeline_spark.operators.quantiles import (
+        with_global_rank,
+    )
+
+    got = with_global_rank(orders, ["o_totalprice", "o_orderkey"], out_col="r")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ref = orders.select(
+        "o_orderkey", F.row_number().over(w).alias("ref")
+    )
+    diff = (
+        got.join(ref, "o_orderkey").where(F.col("r") != F.col("ref")).count()
+    )
+    assert diff == 0
+
+
 def test_after_cut_is_strict_lexicographic(spark):
     df = spark.createDataFrame(
         [(1.0, 1), (1.0, 2), (2.0, 1)], "v double, k int"
