@@ -166,6 +166,60 @@ def test_global_rank_matches_row_number(orders):
     assert diff == 0
 
 
+def test_scan_results_invariant_to_range_count(orders):
+    """num_ranges is an execution knob, never a semantics knob: 1, 3
+    and 64 ranges must give identical order statistics and cumsums
+    (1 range = the degenerate single-partition case; 3 = ranges that
+    split tie runs; 64 = more ranges than fixture partitions)."""
+    from tb_scale_spatial_data_pipeline_spark.operators.quantiles import (
+        exact_order_statistics,
+        with_global_cumsum,
+    )
+
+    pos = [1, 500, 1500]
+    base = None
+    for nr in (1, 3, 64):
+        got = exact_order_statistics(
+            orders, ["o_totalprice", "o_orderkey"], pos, num_ranges=nr
+        )
+        base = got if base is None else base
+        assert got == base, f"num_ranges={nr}"
+
+    df = orders.select(
+        "o_orderkey", (F.col("o_custkey") % 10).cast("long").alias("v")
+    )
+    ref = None
+    for nr in (1, 3, 64):
+        got = (
+            with_global_cumsum(df, ["o_orderkey"], ["v"], num_ranges=nr)
+            .orderBy("o_orderkey")
+            .select("cum_v")
+            .toPandas()["cum_v"]
+            .tolist()
+        )
+        ref = got if ref is None else ref
+        assert got == ref, f"num_ranges={nr}"
+
+
+def test_cumsum_all_equal_sort_keys_with_tiebreak(spark):
+    """Degenerate skew: every row shares one value key; the o_orderkey
+    tiebreak still defines a total order and the scan must agree with
+    the single-partition window."""
+    from tb_scale_spatial_data_pipeline_spark.operators.quantiles import (
+        with_global_cumsum,
+    )
+
+    df = spark.createDataFrame(
+        [(7, i, i % 5) for i in range(2000)], "v int, k int, val long"
+    )
+    got = with_global_cumsum(df, ["v", "k"], ["val"])
+    w = Window.orderBy("v", "k").rowsBetween(Window.unboundedPreceding, 0)
+    ref = df.select("k", F.sum("val").over(w).alias("ref"))
+    assert (
+        got.join(ref, "k").where(F.col("cum_val") != F.col("ref")).count() == 0
+    )
+
+
 def test_after_cut_is_strict_lexicographic(spark):
     df = spark.createDataFrame(
         [(1.0, 1), (1.0, 2), (2.0, 1)], "v double, k int"
