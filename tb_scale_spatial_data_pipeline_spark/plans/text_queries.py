@@ -482,11 +482,18 @@ def _sql_clean_corpus() -> str:
 @_q("clean_corpus_pipeline", _sql_clean_corpus())
 def q_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    good = docs.where(quality_score(F.col("text")) >= 0.5)
+    # materialize each stage product once: good feeds the fingerprint
+    # agg AND the survivor join, surv feeds LSH banding AND the final
+    # accounting — without the barriers each branch re-runs the
+    # quality-regex scan (~25% of wall at sf0.1). The 100 TB shape is
+    # the same: a corpus pipeline persists its survivor set between
+    # stages anyway (that is what the reference's staged scripts do),
+    # trading one materialization for three re-scans of the text.
+    good = docs.where(quality_score(F.col("text")) >= 0.5).localCheckpoint()
     fp = exact_dedup(good, "doc_id", "text").select(
         F.col("keep_id").alias("doc_id")
     )
-    surv = good.join(fp, "doc_id")
+    surv = good.join(fp, "doc_id").localCheckpoint()
     losers = lsh_candidate_pairs(
         surv, "doc_id", "text", num_hashes=_NUM_HASHES, band_size=_BAND_SIZE
     ).select(F.col("id_b").alias("doc_id")).distinct()
