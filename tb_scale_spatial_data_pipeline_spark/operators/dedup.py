@@ -119,7 +119,13 @@ def lsh_candidate_pairs(
     num_hashes/band_size), so the within-bucket self-join never
     becomes a global cross join."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
-    buckets = lsh_band_buckets(sigs, id_col, num_hashes, band_size)
+    # lazy-materialize the bucket table: both sides of the self-join
+    # read it, and without the barrier the shingle-explode + md5-min
+    # pipeline is planned twice (lazy: no job until an action, so
+    # plan-only consumers pay nothing)
+    buckets = lsh_band_buckets(sigs, id_col, num_hashes, band_size).localCheckpoint(
+        eager=False
+    )
     a = buckets.select(
         F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_a")
     )

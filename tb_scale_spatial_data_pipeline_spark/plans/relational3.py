@@ -269,7 +269,11 @@ def q_ann_top1_in_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = with_norm.select(
         "vec_id", F.transform(F.col("e"), lambda x: x / F.col("nrm")).alias("ne")
     )
-    withb = normed.join(buckets, "vec_id")
+    # materialize (normalized vector, bucket) once: both sides of the
+    # pair self-join read it, and without the barrier the normalize +
+    # bucket-hash pipeline runs twice. Real ANN systems STORE
+    # pre-normalized vectors for exactly this reason.
+    withb = normed.join(buckets, "vec_id").localCheckpoint()
     a = withb.select(
         F.col("vec_id").alias("query_id"), F.col("bucket").alias("b_a"), F.col("ne").alias("qe")
     )
