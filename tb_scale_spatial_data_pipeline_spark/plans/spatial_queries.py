@@ -404,7 +404,7 @@ def q_spatial_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.col("bx0") / PIP_CELL), F.floor(F.col("bx1") / PIP_CELL)
             )
         ).alias("cell_x"),
-        F.col("by0"), F.col("by1"),
+        "bx0", "bx1", "by0", "by1",
     ).select(
         "poly_id",
         "verts",
@@ -414,6 +414,7 @@ def q_spatial_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.col("by0") / PIP_CELL), F.floor(F.col("by1") / PIP_CELL)
             )
         ).alias("cell_y"),
+        "bx0", "bx1", "by0", "by1",
     )
     cust = t(spark, sf_dir, "customer")
     pts = cust.select(
@@ -425,7 +426,17 @@ def q_spatial_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("px") / PIP_CELL).alias("cell_x"),
         F.floor(F.col("py") / PIP_CELL).alias("cell_y"),
     )
-    cand = pts.join(cells, ["cell_x", "cell_y"])
+    # exact-bbox refinement BEFORE the 6-edge ray-cast fold: a point
+    # outside the bbox always ray-casts to an EVEN crossing count, so
+    # dropping it early cannot change the inside set — it just spares
+    # the expensive fold on the ~2x candidates the coarse cell grid
+    # over-admits (cells are 8x8; bboxes span whole cells)
+    cand = pts.join(cells, ["cell_x", "cell_y"]).where(
+        (F.col("px") >= F.col("bx0"))
+        & (F.col("px") <= F.col("bx1"))
+        & (F.col("py") >= F.col("by0"))
+        & (F.col("py") <= F.col("by1"))
+    )
     # ray-cast refinement: fold over the 6 edges of the inline vertex
     # array — same IEEE expression tree as the oracle's edge predicate
     n = 6

@@ -211,10 +211,38 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components_star
 
     emb = t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label").alias("lbl_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lbl_b"), F.col("embedding").alias("eb"))
+    # per-ROW work hoisted out of the pair join: the float->double cast
+    # and the l2 norm are row-local folds, so computing them once per
+    # vector (instead of once per PAIR) produces bit-identical doubles
+    # — the per-pair expression is then one dot fold + a divide, and
+    # the materialized frame is shared by both join sides
+    from ..functions.vectors import dot, l2_norm
+
+    base = (
+        emb.select(
+            "vec_id", "label", as_double_array(F.col("embedding")).alias("e")
+        )
+        .withColumn("nm", l2_norm(F.col("e")))
+        .localCheckpoint()
+    )
+    a = base.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("lbl_a"),
+        F.col("e").alias("ea"),
+        F.col("nm").alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("lbl_b"),
+        F.col("e").alias("eb"),
+        F.col("nm").alias("nb"),
+    )
     pairs = a.join(b, (a["lbl_a"] == b["lbl_b"]) & (b["id_b"] > a["id_a"]))
-    sim = cosine_similarity(as_double_array(F.col("ea")), as_double_array(F.col("eb")))
+    # same expression tree as cosine_similarity, with the norm
+    # subtrees precomputed: dot/(na*nb + 1e-12)
+    sim = dot(F.col("ea"), F.col("eb")) / (
+        F.col("na") * F.col("nb") + F.lit(1e-12)
+    )
     edges = pairs.where(F.round(sim, 6) > 0.3).select("id_a", "id_b")
     comp = connected_components_star(edges, "id_a", "id_b")
     w = Window.partitionBy("cluster_id")
