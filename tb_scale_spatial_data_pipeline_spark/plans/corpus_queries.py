@@ -372,7 +372,7 @@ def q_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.array_distinct(shingles_of_norm(F.col("_n"))).alias("sh"),
-    )
+    ).localCheckpoint()  # shingle once; both join sides read the table
     a = sh.select(
         F.col("doc_id").alias("id_a"),
         F.col("source").alias("src_a"),
