@@ -120,11 +120,35 @@ def q_lsh_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-ROW cast + norm hoisted out of the pair join (bit-identical
+    # doubles — both are row-local folds), shared frame for both join
+    # sides; per-pair work = one dot fold + divide
+    from ..functions.vectors import dot, l2_norm
+
     emb = t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label").alias("lbl_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lbl_b"), F.col("embedding").alias("eb"))
+    base = (
+        emb.select(
+            "vec_id", "label", as_double_array(F.col("embedding")).alias("e")
+        )
+        .withColumn("nm", l2_norm(F.col("e")))
+        .localCheckpoint()
+    )
+    a = base.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("lbl_a"),
+        F.col("e").alias("ea"),
+        F.col("nm").alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("lbl_b"),
+        F.col("e").alias("eb"),
+        F.col("nm").alias("nb"),
+    )
     pairs = a.join(b, (a["lbl_a"] == b["lbl_b"]) & (b["id_b"] > a["id_a"]))
-    sim = cosine_similarity(as_double_array(F.col("ea")), as_double_array(F.col("eb")))
+    sim = dot(F.col("ea"), F.col("eb")) / (
+        F.col("na") * F.col("nb") + F.lit(1e-12)
+    )
     # threshold on the ROUNDED similarity (both engines): row membership
     # must not hinge on sub-ulp summation-order differences
     return pairs.where(F.round(sim, 6) > 0.3).select(
