@@ -207,9 +207,13 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("int")
     eu = e0.where(bucket < _KCORE_THR)
-    edges = eu.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionByName(eu.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    edges = (
+        eu.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(eu.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        # every peel round reads the edge table: materialize it once
+        # instead of re-deriving the co-purchase self-join per round
+        .localCheckpoint()
+    )
     alive = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     for _ in range(_KCORE_ROUNDS):
         surviving = (

@@ -122,16 +122,25 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     n = nodes.count()  # one scalar to the driver, like CC's convergence count
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("double").alias("outdeg")
+    # fold the (static) out-degree INTO the edge table once: each
+    # iteration is then ONE join + one aggregate instead of two joins
+    # — the same contribution multiset, half the per-round shuffles
+    edges_deg = (
+        edges.join(
+            edges.groupBy(F.col("src").alias("_dn")).agg(
+                F.count(F.lit(1)).cast("double").alias("outdeg")
+            ),
+            edges["src"] == F.col("_dn"),
+        )
+        .select("src", "dst", "outdeg")
+        .localCheckpoint(eager=True)
     )
     ranks = nodes.select(
         "node", F.round(F.lit(1.0 / n), 12).alias("rank")
     )
     for _ in range(_PR_ITERS):
         contrib = (
-            ranks.join(deg, "node")
-            .join(edges, ranks["node"] == edges["src"])
+            ranks.join(edges_deg, ranks["node"] == edges_deg["src"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
         )
@@ -269,9 +278,11 @@ def _sql_bfs() -> str:
 @_q("bfs_hop_distance", _sql_bfs())
 def q_bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     eu = _undirected_edges(spark, sf_dir)
-    edges = eu.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionByName(eu.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    edges = (
+        eu.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(eu.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint()  # read by every hop: derive the edge join once
+    )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     seeds = nodes.where(F.col("node") % 10 == 0)
     dist = seeds.withColumn("hop", F.lit(0).cast("bigint")).localCheckpoint()
@@ -535,10 +546,17 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = nodes.where(F.col("node") % 20 == 0).localCheckpoint(eager=True)
     ns = seeds.count()  # one scalar, like pagerank's n
-    deg = (
-        edges.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
-        .localCheckpoint(eager=True)  # read by every iteration, built once
+    # degree folded into the edge table once (see pagerank_suppliers):
+    # one join + one aggregate per iteration
+    edges_deg = (
+        edges.join(
+            edges.groupBy(F.col("src").alias("_dn")).agg(
+                F.count(F.lit(1)).cast("double").alias("outdeg")
+            ),
+            edges["src"] == F.col("_dn"),
+        )
+        .select("src", "dst", "outdeg")
+        .localCheckpoint(eager=True)
     )
     restart = nodes.join(
         seeds.withColumn("_s", F.lit(1)), "node", "left"
@@ -551,8 +569,7 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = restart.select("node", F.col("restart").alias("rank"))
     for _ in range(_PPR_ITERS):
         contrib = (
-            ranks.join(deg, "node")
-            .join(edges, ranks["node"] == edges["src"])
+            ranks.join(edges_deg, ranks["node"] == edges_deg["src"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
         )
