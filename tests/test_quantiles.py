@@ -220,6 +220,29 @@ def test_cumsum_all_equal_sort_keys_with_tiebreak(spark):
     )
 
 
+def test_order_statistics_property_random(spark):
+    """Property check over adversarial value shapes: random data with
+    heavy ties, negatives, and denormal-ish spreads — selection must
+    equal the driver-side sort for every requested rank."""
+    import random
+
+    rng = random.Random(421)
+    for trial in range(5):
+        n = rng.randint(5, 400)
+        vals = [
+            (rng.choice([rng.uniform(-5, 5), float(rng.randint(-2, 2))]), i)
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(vals, "v double, k int")
+        pos = sorted(rng.sample(range(1, n + 1), min(5, n)))
+        got = exact_order_statistics(
+            df, ["v", "k"], pos, num_ranges=rng.choice([1, 4, 16])
+        )
+        srt = sorted(vals)
+        want = [tuple(map(float, srt[p - 1])) for p in pos]
+        assert [tuple(map(float, g)) for g in got] == want, f"trial {trial}"
+
+
 def test_after_cut_is_strict_lexicographic(spark):
     df = spark.createDataFrame(
         [(1.0, 1), (1.0, 2), (2.0, 1)], "v double, k int"
