@@ -94,10 +94,6 @@ def main() -> None:
     print(f"-- {flagged} flagged / {len(todo)} audited")
 
 
-if __name__ == "__main__":
-    main()
-
-
 def all_global_windows(root) -> list[str]:
     """Every zero-partition WindowExec with the first reducing/scan
     node found below it (for grain triage, not gating)."""
@@ -125,3 +121,7 @@ def all_global_windows(root) -> list[str]:
 
     walk(root)
     return out
+
+
+if __name__ == "__main__":
+    main()
