@@ -196,6 +196,24 @@ def test_no_single_partition_window_over_raw_tables(spark):
     assert not offenders, offenders
 
 
+def test_cutpoint_binning_queries_plan_no_windows(spark):
+    """The distributed-selection rewrites bin by broadcast literal
+    cut-tuples, so the FINAL plan of these queries must contain no
+    WindowExec at all (the selection itself runs at construction time
+    on a separate checkpointed projection). A Window reappearing here
+    means someone reverted to the ntile form."""
+    qs = all_queries()
+    for name in (
+        "range_partition_planner",
+        "woe_iv_binning",
+        "rfm_segmentation",
+        "trimmed_winsorized_stats",
+        "psi_drift_report",
+    ):
+        p = plan_of(spark, name)
+        assert "Window" not in p, name
+
+
 def test_silhouette_broadcasts_centroids(spark):
     """Point-dims join k x dim centroid rows — centroids broadcast,
     points never shuffle for the distance computation."""
