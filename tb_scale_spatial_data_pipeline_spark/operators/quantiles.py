@@ -19,13 +19,28 @@ pass is exact instead of sampled so a DuckDB oracle can hash-match:
    driver — P rows, the same driver-side footprint as the bounds
    array inside RangePartitioner itself).
 3. prefix sums locate, for each requested global rank, the owning
-   partition and the local rank inside it; a single ``mapInPandas``
-   pass extracts those rows (each task sorts only ITS partition —
-   pandas ``sort_values`` over one partition's key columns, the
-   memory profile of any per-partition sort).
+   partition and the local rank inside it; ``sortWithinPartitions``
+   (Spark's SPILLABLE ExternalSorter — no exchange, each task sorts
+   only ITS range) orders every partition, and a streaming
+   ``mapInPandas`` pass just counts rows batch-by-batch and emits the
+   ones at the targeted local ranks — Python holds ONE Arrow batch at
+   a time, never the partition.
 
 Total: two jobs over a localCheckpointed key projection, zero global
-sorts, driver traffic P + len(positions) rows.
+sorts, driver traffic P + len(positions) rows. ``num_ranges`` defaults
+to max(shuffle.partitions, estimated-input-bytes / 256 MiB) from
+Catalyst's plan statistics, so a 100 TB key projection gets enough
+ranges to bound per-task sort input regardless of session conf.
+
+NaN keys: routing (repartitionByRange) and ordering
+(sortWithinPartitions) both use Spark's comparator — NaN sorts
+GREATER than every real double, under ASC and DESC alike — so the
+two phases can never disagree; the returned row is simply located
+under that total order. The same holds for NULLs (Spark's
+asc/desc default NULL placement, identical in both phases). Callers
+pairing results with a DuckDB oracle still need NaN/NULL-free keys,
+because the ENGINES order them differently — an operator-vs-oracle
+seam, not an internal one.
 
 With a UNIQUE sort key (metric + a tiebreaker key column, e.g.
 ``(o_totalprice, o_orderkey)``), ntile's row->bin map is a pure
@@ -35,19 +50,42 @@ BIT-FOR-BIT — the DuckDB oracle can keep its naive ``ntile`` window
 while the Spark side bins by broadcast cutpoints (a handful of
 literal comparisons, whole-stage-codegen'd, no window at all).
 
-NULL sort keys are the caller's problem (Spark and DuckDB disagree on
-default NULL placement); every caller here sorts on non-nullable
-TPC-H keys.
+Every caller in this repo sorts on non-nullable, NaN-free TPC-H keys.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
-
-import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Target bytes of key projection per range partition when num_ranges is
+# derived from plan statistics: bounds the per-task ExternalSorter
+# input (which spills anyway — this keeps spill the exception).
+TARGET_RANGE_BYTES = 256 * 1024 * 1024
+
+
+def _derived_num_ranges(
+    keyproj: DataFrame, target_range_bytes: int = TARGET_RANGE_BYTES
+) -> int:
+    """max(shuffle.partitions, est_bytes/target) from Catalyst's
+    plan-statistics estimate of the KEY PROJECTION (driver-side, no
+    job). Unknown-size inputs (stats sentinel, API drift) fall back to
+    shuffle.partitions — the pre-round-8 behavior."""
+    spark = keyproj.sparkSession
+    floor = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        sentinel = int(
+            spark.conf.get("spark.sql.defaultSizeInBytes", str((1 << 63) - 1))
+        )
+        est = int(keyproj._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return floor
+    if est == sentinel:
+        return floor
+    return max(floor, math.ceil(est / target_range_bytes))
 
 
 def ntile_cut_positions(n: int, k: int) -> list[int]:
@@ -68,24 +106,29 @@ def exact_order_statistics(
     positions_fn=None,
 ) -> list[tuple]:
     """Rows of ``sort_cols`` at the given 1-indexed global ranks under
-    the (sort_cols, ascending) total order; returned in rank order as
+    the (sort_cols, ascending) total order; returned ALIGNED to the
+    caller's ``positions`` — same order, duplicates included — as
     tuples of Python values. See module docstring for the algorithm.
 
     ``positions_fn(n) -> list[int]`` may be given instead of literal
     ``positions`` when the ranks depend on the (as yet unknown) total
     row count — e.g. ntile bin boundaries — so the count pass is not
-    paid twice.
+    paid twice. Exactly one of the two must be provided.
     """
     cols = list(sort_cols)
     asc = list(ascending) if ascending is not None else [True] * len(cols)
+    if (positions is None) == (positions_fn is None):
+        raise ValueError(
+            "provide exactly one of positions= or positions_fn= "
+            f"(got positions={positions!r}, positions_fn={positions_fn!r})"
+        )
     spark = df.sparkSession
-    if num_ranges is None:
-        num_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     exprs = [F.col(c).asc() if a else F.col(c).desc() for c, a in zip(cols, asc)]
-    ranged = (
-        df.select(*cols).repartitionByRange(num_ranges, *exprs).localCheckpoint()
-    )
+    keyproj = df.select(*cols)
+    if num_ranges is None:
+        num_ranges = _derived_num_ranges(keyproj)
+    ranged = keyproj.repartitionByRange(num_ranges, *exprs).localCheckpoint()
 
     counts = {
         r["pid"]: r["cnt"]
@@ -96,6 +139,7 @@ def exact_order_statistics(
     n = sum(counts.values())
     if positions_fn is not None:
         positions = positions_fn(n)
+    positions = [int(p) for p in positions]
     want = sorted(set(positions))
     if want and (want[0] < 1 or want[-1] > n):
         raise ValueError(f"positions out of range 1..{n}: {positions}")
@@ -118,27 +162,48 @@ def exact_order_statistics(
     )
 
     def extract(batches):
-        parts = [b for b in batches]
-        if not parts:
-            return
-        full = pd.concat(parts, ignore_index=True)
-        pid = int(full["_pid"].iloc[0])
-        wanted = bc.value.get(pid)
-        if not wanted:
-            return
-        local = full.sort_values(by=cols, ascending=asc, kind="mergesort")
-        idx = [lr - 1 for (lr, _) in wanted]
-        picked = local.iloc[idx].reset_index(drop=True)
-        picked.insert(0, "_rank", [g for (_, g) in wanted])
-        yield picked.drop(columns=["_pid"])
+        # The partition arrives PRE-SORTED (sortWithinPartitions below:
+        # Spark's spillable ExternalSorter), so this pass only counts
+        # rows — one Arrow batch in memory at a time, never the
+        # partition. mapInArrow, not mapInPandas: the pandas roundtrip
+        # rewrites NaN doubles to NULL (Arrow's pandas null sentinel);
+        # raw RecordBatches pass every value through bit-exact. wanted
+        # is ascending in local rank (built from ascending global ranks
+        # within one pid above).
+        import pyarrow as pa
+
+        seen = 0
+        wanted: list[tuple[int, int]] | None = None
+        wi = 0
+        for b in batches:
+            nb = b.num_rows
+            if nb == 0:
+                continue
+            if wanted is None:
+                wanted = bc.value.get(b.column("_pid")[0].as_py(), [])
+            idx, ranks = [], []
+            while wi < len(wanted) and wanted[wi][0] <= seen + nb:
+                lr, gr = wanted[wi]
+                idx.append(lr - 1 - seen)
+                ranks.append(gr)
+                wi += 1
+            if idx:
+                taken = b.take(pa.array(idx, type=pa.int64()))
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(ranks, type=pa.int64())]
+                    + [taken.column(c) for c in cols],
+                    names=["_rank"] + cols,
+                )
+            seen += nb
 
     rows = (
         ranged.withColumn("_pid", F.spark_partition_id())
-        .mapInPandas(extract, schema=out_schema)
+        .sortWithinPartitions(*exprs)
+        .mapInArrow(extract, schema=out_schema)
         .collect()
     )
     by_rank = {r["_rank"]: tuple(r[c] for c in cols) for r in rows}
-    return [by_rank[p] for p in want]
+    return [by_rank[p] for p in positions]
 
 
 def with_global_cumsum(
@@ -257,7 +322,16 @@ def ntile_bin_column(
     bit-for-bit — PROVIDED the sort key is unique (append a key column
     as tiebreaker) — as 1 + (number of bin-boundary cut-tuples before
     this row), with the boundaries found by distributed selection
-    instead of a single-partition window."""
+    instead of a single-partition window.
+
+    ENVELOPE: the bin expression is k-1 chained literal cut
+    comparisons — one whole-stage-codegen'd projection, sized for the
+    quantile/decile/percentile range (k <= ~32, tested at 32; repo
+    callers use k <= 16). Row cost is O(k x |sort_cols|) comparisons,
+    so at k in the hundreds switch shape: put the cut tuples in a tiny
+    DataFrame and broadcast range-join (bin = 1 + count of cuts before
+    the row), which trades the literal tree for a O(log k)-probeable
+    build side. No current caller needs it."""
     asc = list(ascending) if ascending is not None else [True] * len(sort_cols)
     cuts = exact_order_statistics(
         df,

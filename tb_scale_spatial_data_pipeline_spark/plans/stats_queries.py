@@ -708,7 +708,10 @@ def q_trimmed_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # min rank with (rank-1)/(n-1) >= f and max rank with
         # (rank-1)/(n-1) <= 1-f, in the engines' own double arithmetic;
         # scan a ±4 neighborhood of the real-valued boundary (driver
-        # scalars, O(1))
+        # scalars, O(1)). n<=1: percent_rank is degenerate (0/0) — both
+        # engines keep the single row, so both cuts sit at rank 1.
+        if n <= 1:
+            return [n, n]
         lo0 = max(1, int(_TRIM_FRAC * (n - 1)) - 3)
         lo = next(
             r for r in range(lo0, n + 1) if (r - 1) / (n - 1) >= _TRIM_FRAC

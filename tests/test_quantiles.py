@@ -252,3 +252,121 @@ def test_after_cut_is_strict_lexicographic(spark):
     ).collect()
     got = {(r["v"], r["k"]): r["a"] for r in marked}
     assert got == {(1.0, 1): False, (1.0, 2): False, (2.0, 1): True}
+
+
+def test_positions_arguments_validated(orders):
+    # exactly one of positions / positions_fn
+    with pytest.raises(ValueError, match="exactly one"):
+        exact_order_statistics(orders, ["o_totalprice", "o_orderkey"])
+    with pytest.raises(ValueError, match="exactly one"):
+        exact_order_statistics(
+            orders,
+            ["o_totalprice", "o_orderkey"],
+            positions=[1],
+            positions_fn=lambda n: [1],
+        )
+
+
+def test_results_aligned_to_requested_positions(orders):
+    """Results come back in the CALLER's order with duplicates kept —
+    a positions_fn returning [r, r] (e.g. trimmed-stats cuts at tiny n
+    where lo == hi) must still 2-unpack."""
+    pdf = orders.select("o_totalprice", "o_orderkey").toPandas()
+    pos = [100, 5, 5, 100]
+    got = exact_order_statistics(orders, ["o_totalprice", "o_orderkey"], pos)
+    assert len(got) == 4
+    truth = _truth(pdf, ["o_totalprice", "o_orderkey"], [True, True], pos)
+    assert [tuple(map(float, g)) for g in got] == truth
+    lo, hi = exact_order_statistics(
+        orders, ["o_totalprice", "o_orderkey"], positions_fn=lambda n: [7, 7]
+    )
+    assert lo == hi
+
+
+def test_num_ranges_derived_from_plan_stats(orders):
+    """A stats-bearing parquet scan derives num_ranges from estimated
+    bytes / target_range_bytes (floored at shuffle.partitions), so a
+    100 TB key projection can't silently run at the session conf's 32
+    ranges."""
+    from tb_scale_spatial_data_pipeline_spark.operators.quantiles import (
+        _derived_num_ranges,
+    )
+
+    keyproj = orders.select("o_totalprice", "o_orderkey")
+    floor = int(
+        orders.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    # generous target -> floor wins
+    assert _derived_num_ranges(keyproj, target_range_bytes=1 << 40) == floor
+    # 1 KiB target -> the fixture's ~15k-row key projection must derive
+    # more ranges than the floor, proportional to its stats estimate
+    derived = _derived_num_ranges(keyproj, target_range_bytes=1024)
+    assert derived > floor
+    # and the default path still answers (no exception, >= floor)
+    assert _derived_num_ranges(keyproj) >= floor
+
+
+def test_nan_keys_internally_consistent(spark):
+    """NaN routing (repartitionByRange) and ordering
+    (sortWithinPartitions) now share Spark's comparator — NaN greater
+    than every real double under ASC and DESC alike — so selection
+    with NaN keys returns exactly the rows of Spark's own total order,
+    including the DESC case where pandas' na_position would have
+    disagreed."""
+    import math as _math
+
+    vals = [(float("nan") if i % 7 == 0 else float(i % 13), i) for i in range(200)]
+    df = spark.createDataFrame(vals, "v double, k int")
+
+    def spark_key(t, desc):
+        v, k = t
+        big = _math.inf if _math.isnan(v) else v
+        return (-big if desc else big, -k if desc else k)
+
+    for desc in (False, True):
+        srt = sorted(vals, key=lambda t: spark_key(t, desc))
+        pos = [1, 2, 29, 100, 200]
+        got = exact_order_statistics(
+            df, ["v", "k"], pos, ascending=[not desc, not desc], num_ranges=8
+        )
+        for g, p in zip(got, pos):
+            want = srt[p - 1]
+            assert g[1] == want[1], f"desc={desc} rank={p}"
+            assert (_math.isnan(g[0]) and _math.isnan(want[0])) or g[0] == want[0]
+
+
+def test_ntile_bin_column_k32_envelope(orders):
+    """The documented envelope bound: k=32 chained-literal binning
+    still equals the window ntile row-for-row."""
+    keys = ["o_totalprice", "o_orderkey"]
+    mine = orders.withColumn("bin", ntile_bin_column(orders, keys, 32))
+    w = Window.orderBy(*keys)
+    ref = orders.select("o_orderkey", F.ntile(32).over(w).alias("bin_ref"))
+    assert (
+        mine.join(ref, "o_orderkey")
+        .where(F.col("bin") != F.col("bin_ref"))
+        .count()
+        == 0
+    )
+
+
+def test_cumsum_adversarial_ties_desc_mixed(spark):
+    """Verdict r7 stretch: DESC+mixed-direction sort with DUPLICATE
+    metric values — the unique-key tiebreaker contract is what makes
+    the prefix scan equal the sequential window under ties."""
+    rows = [((i * 7) % 10, i, (i * 3) % 4) for i in range(3000)]
+    df = spark.createDataFrame(rows, "v int, k int, val long")
+    from tb_scale_spatial_data_pipeline_spark.operators.quantiles import (
+        with_global_cumsum,
+    )
+
+    got = with_global_cumsum(
+        df, ["v", "k"], ["val"], ascending=[False, True], num_ranges=16
+    )
+    w = Window.orderBy(F.desc("v"), F.asc("k")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ref = df.select("k", F.sum("val").over(w).alias("ref"))
+    assert (
+        got.join(ref, "k").where(F.col("cum_val") != F.col("ref")).count() == 0
+    )
