@@ -120,26 +120,30 @@ def main() -> None:
     )
     with open(detail_path, "w") as f:
         json.dump({"repeats": repeats, "sf": sf, "query_spread": spread}, f, indent=1)
-    line = json.dumps(
-        {
-            "metric": "headline_query_total",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "repeats": repeats,
-            "sf": sf,
-        }
-    )
+    # load1 documents contention skew in the artifact itself (r7 ran
+    # ~8% slow under a concurrent sweep); cross-round deltas should be
+    # discounted when load1 >> the bench's own 32 cores of work.
+    try:
+        load1 = round(os.getloadavg()[0], 1)
+    except OSError:
+        load1 = None
+    payload = {
+        "metric": "headline_query_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "repeats": repeats,
+        "sf": sf,
+        "load1": load1,
+    }
+    line = json.dumps(payload)
     if len(line) > 1900:  # keep the contract line inside the tail window
-        line = json.dumps(
-            {
-                "metric": "headline_query_total",
-                "value": total,
-                "unit": "sec",
-                "queries": {n: round(t, 2) for n, t in timings.items()},
-                "sf": sf,
-            }
-        )
+        payload["queries"] = {n: round(t, 2) for n, t in timings.items()}
+        payload.pop("repeats", None)
+        line = json.dumps(payload)
+    if len(line) > 1900:  # last resort: totals only — per-query detail
+        payload.pop("queries", None)  # already lives in BENCH_SPREAD.json
+        line = json.dumps(payload)
     sys.stdout.flush()
     print(line, flush=True)
 

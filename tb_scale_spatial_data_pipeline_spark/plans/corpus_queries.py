@@ -757,3 +757,198 @@ def q_source_language_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-doc repeated-substring spans (the substring-level dedup signal
+# of Lee et al. 2022, "Deduplicating Training Data Makes Language
+# Models Better", re-shaped from suffix arrays to a relational plan):
+# hash every W-token window, keep window hashes occurring in >= 2
+# DISTINCT docs, and merge each doc's duplicated windows into maximal
+# spans (windows at positions p, q overlap/adjoin when q - p <= W).
+# Unlike doc-level MinHash this localizes WHICH tokens are boilerplate
+# shared across documents — the spans are what a substring-dedup pass
+# would cut.
+#
+# Scale: windows are n-per-doc rows whose 16-byte md5 is the ONLY
+# shuffled payload; the duplicated-hash set (corpus-bounded, typically
+# tiny) comes back via a semi-join; span merging is a per-doc window
+# (partitioned by doc_id, never global). The suffix-array formulation
+# needs a global sort of every suffix — this plan needs one hash
+# aggregation.
+_DUPWIN = 8  # window length in tokens
+
+
+@_q(
+    "repeated_substring_spans",
+    f"""
+    WITH words AS (
+      SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ), wins AS MATERIALIZED (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(w[i:i+{_DUPWIN - 1}], ' ')) AS h
+      FROM words, LATERAL unnest(generate_series(1, len(w) - {_DUPWIN - 1})) AS s(i)
+      WHERE len(w) >= {_DUPWIN}
+    ), dup AS (
+      SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT w.doc_id, w.pos FROM wins w SEMI JOIN dup d ON w.h = d.h
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {_DUPWIN} THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ), islands AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {_DUPWIN} AS e
+      FROM islands GROUP BY doc_id, island
+    ), lens AS (
+      SELECT doc_id, len(w) AS n_tokens FROM words
+    )
+    SELECT spans.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(e - s) AS BIGINT) AS dup_tokens,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(SUM(e - s) AS DOUBLE) / n_tokens, 6) AS dup_frac
+    FROM spans JOIN lens USING (doc_id)
+    GROUP BY spans.doc_id, n_tokens
+    """,
+)
+def q_repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _words_df(spark, sf_dir)
+    wins = (
+        words.where(F.size("w") >= _DUPWIN)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {_DUPWIN - 1}),"
+                    f" i -> md5(array_join(slice(w, i, {_DUPWIN}), ' ')))"
+                )
+            ).alias("pos0", "h"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+        .localCheckpoint(eager=False)  # window table feeds dup-set AND hits
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = wins.join(dup, "h", "left_semi").select("doc_id", "pos")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = hits.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w_doc) <= _DUPWIN, 0).otherwise(1),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("brk").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + _DUPWIN).alias("e")
+    )
+    lens = words.select("doc_id", F.size("w").alias("n_tokens"))
+    return (
+        spans.join(lens, "doc_id")
+        .groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+            F.sum(F.col("e") - F.col("s")).cast("bigint").alias("dup_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_dup_spans",
+            "dup_tokens",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.col("dup_tokens").cast("double") / F.col("n_tokens"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus datasheet: the per-source summary a training-data release
+# ships (Gebru et al., "Datasheets for Datasets") — volume, language
+# spread, token budget, exact-dup rate, and the majority language with
+# a deterministic tie-break. One corpus pass for the per-doc facts;
+# everything else aggregates per source (|sources| rows).
+@_q(
+    "corpus_datasheet",
+    f"""
+    WITH facts AS (
+      SELECT source, lang,
+             len({_SQL_WORDS}) AS n_tok,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), per_src AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             COUNT(DISTINCT lang) AS n_langs,
+             SUM(n_tok) AS total_tokens,
+             COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dups
+      FROM facts GROUP BY source
+    ), lc AS (
+      SELECT source, lang, COUNT(*) AS c FROM facts GROUP BY source, lang
+    ), toplang AS (
+      SELECT lc.source, MIN(lc.lang) AS top_lang
+      FROM lc JOIN (SELECT source, MAX(c) AS mx FROM lc GROUP BY source) m
+        ON m.source = lc.source AND lc.c = m.mx
+      GROUP BY lc.source
+    )
+    SELECT p.source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           round(CAST(total_tokens AS DOUBLE) / n_docs, 6) AS avg_tokens,
+           CAST(n_exact_dups AS BIGINT) AS n_exact_dups,
+           round(CAST(n_exact_dups AS DOUBLE) / n_docs, 6) AS dup_frac,
+           top_lang
+    FROM per_src p JOIN toplang USING (source)
+    ORDER BY p.source
+    """,
+)
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    facts = docs.select(
+        "source",
+        "lang",
+        F.size(word_tokens(normalize_text(F.col("text")))).alias("n_tok"),
+        F.md5(normalize_text(F.col("text"))).alias("fp"),
+    ).localCheckpoint(eager=False)  # shared by rollup and lang-mode
+    per_src = facts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tok").alias("total_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dups"),
+    )
+    lc = facts.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    mx = lc.groupBy("source").agg(F.max("c").alias("mx"))
+    toplang = (
+        lc.join(mx, "source")
+        .where(F.col("c") == F.col("mx"))
+        .groupBy("source")
+        .agg(F.min("lang").alias("top_lang"))
+    )
+    return (
+        per_src.join(toplang, "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_langs").cast("bigint").alias("n_langs"),
+            F.col("total_tokens").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("n_docs"), 6
+            ).alias("avg_tokens"),
+            F.col("n_exact_dups").cast("bigint").alias("n_exact_dups"),
+            F.round(
+                F.col("n_exact_dups").cast("double") / F.col("n_docs"), 6
+            ).alias("dup_frac"),
+            "top_lang",
+        )
+        .orderBy("source")
+    )

@@ -671,3 +671,92 @@ def q_heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram smoothing (Kneser & Ney 1995; Chen &
+# Goodman 1999 empirical form, fixed discount D=0.75) — the standard
+# n-gram LM estimator, and the LM-tier step past raw conditional
+# probabilities: P(w2|w1) = max(c(w1w2)-D, 0)/c(w1.) +
+# (D/c(w1.)) * N1+(w1.) * Pcont(w2), with the continuation
+# probability Pcont(w2) = N1+(.w2) / |distinct bigram types| built
+# from TYPE counts, not token counts.
+#
+# Scale: the corpus reduces to the bigram TYPE table in one
+# explode+groupBy pass (map-side partials); every other statistic
+# (left/right type counts, the type total) is an aggregate over that
+# table, so the corpus never re-shuffles. Determinism: all counts are
+# integers; the smoothing formula is ONE fixed-shape float expression
+# evaluated per row (casts at pinned points, round(...,6)).
+_KN_D = 0.75
+
+
+@_q(
+    "kneser_ney_bigram",
+    f"""
+    WITH words AS (
+      SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ), bi AS (
+      SELECT w[i-1] AS w1, w[i] AS w2
+      FROM words, LATERAL unnest(generate_series(2, len(w))) AS s(i)
+      WHERE len(w) >= 2
+    ), bc AS (
+      SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2
+    ), uni AS (
+      SELECT w1, SUM(c) AS c1, COUNT(*) AS n_follow FROM bc GROUP BY w1
+    ), cont AS (
+      SELECT w2, COUNT(*) AS n_precede FROM bc GROUP BY w2
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_types FROM bc
+    )
+    SELECT bc.w1, bc.w2, CAST(bc.c AS BIGINT) AS c_bigram,
+           CAST(uni.c1 AS BIGINT) AS c_w1,
+           CAST(uni.n_follow AS BIGINT) AS n_follow,
+           CAST(cont.n_precede AS BIGINT) AS n_precede,
+           round((GREATEST(CAST(bc.c AS DOUBLE) - {_KN_D}, 0.0)
+                  + {_KN_D} * uni.n_follow
+                    * (CAST(cont.n_precede AS DOUBLE) / (SELECT n_types FROM tot)))
+                 / uni.c1, 6) AS kn_prob
+    FROM bc JOIN uni USING (w1) JOIN cont USING (w2)
+    ORDER BY bc.c DESC, bc.w1, bc.w2 LIMIT 20
+    """,
+)
+def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _words_df(spark, sf_dir).where(F.size("w") >= 2)
+    bi = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(w)),"
+                " i -> struct(element_at(w, i - 1) AS w1, element_at(w, i) AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    bc = bc.localCheckpoint(eager=False)  # three aggregates below share it
+    uni = bc.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n_follow")
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n_precede"))
+    tot = bc.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    kn = (
+        F.greatest(F.col("c").cast("double") - _KN_D, F.lit(0.0))
+        + F.lit(_KN_D)
+        * F.col("n_follow")
+        * (F.col("n_precede").cast("double") / F.col("n_types"))
+    ) / F.col("c1")
+    return (
+        bc.join(uni, "w1")
+        .join(cont, "w2")
+        .join(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("bigint").alias("c_bigram"),
+            F.col("c1").cast("bigint").alias("c_w1"),
+            F.col("n_follow").cast("bigint").alias("n_follow"),
+            F.col("n_precede").cast("bigint").alias("n_precede"),
+            F.round(kn, 6).alias("kn_prob"),
+        )
+        .orderBy(F.desc("c_bigram"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )

@@ -1010,3 +1010,252 @@ def q_dup_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking (Robertson-Sparck Jones; the Lucene-form IDF) — the
+# retrieval scorer the tf-idf queries graduate to. Disjunctive query:
+# any doc matching >= 1 term scores. Plan shape mirrors
+# inverted_index_search: the term filter reaches the parquet scan, so
+# only the query terms' postings shuffle; document length (dl) is one
+# corpus-pass aggregate whose (doc, dl) table joins the matched docs
+# only, and avgdl/df are broadcast scalars. Per-term scores sum in a
+# FIXED expression order (t1 + t2 + t3) — the transcendental (ln) and
+# the dl/avgdl division are the only float ops, identical both
+# engines; round(...,6) is the usual last-ulp seam.
+_BM25_TERMS = ("sort", "batch", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _sql_bm25() -> str:
+    terms = ", ".join(f"'{x}'" for x in _BM25_TERMS)
+    tf_cols = ", ".join(
+        f"SUM(CASE WHEN tok = '{x}' THEN 1 ELSE 0 END) AS tf_{x}"
+        for x in _BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"COUNT(DISTINCT CASE WHEN tok = '{x}' THEN doc_id END) AS df_{x}"
+        for x in _BM25_TERMS
+    )
+    score = " + ".join(
+        f"ln(1.0 + ((SELECT n FROM total) - df_{x} + 0.5) / (df_{x} + 0.5))"
+        f" * (tf_{x} * {_BM25_K1 + 1.0})"
+        f" / (tf_{x} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl"
+        f" / (SELECT avgdl FROM lens)))"
+        for x in _BM25_TERMS
+    )
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+      FROM documents
+    ), nonempty AS MATERIALIZED (
+      SELECT doc_id, tok FROM toks WHERE tok <> ''
+    ),
+    dls AS (SELECT doc_id, COUNT(*) AS dl FROM nonempty GROUP BY doc_id),
+    lens AS (SELECT SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dls),
+    total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    hits AS (SELECT doc_id, tok FROM nonempty WHERE tok IN ({terms})),
+    dfs AS (SELECT {df_cols} FROM hits),
+    tfs AS (SELECT doc_id, {tf_cols} FROM hits GROUP BY doc_id)
+    SELECT tfs.doc_id, round({score}, 6) AS bm25
+    FROM tfs JOIN dls USING (doc_id), dfs
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """
+
+
+@_q("bm25_topk", _sql_bm25())
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    dls = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    lens = dls.agg(
+        (F.sum("dl") / F.count(F.lit(1)).cast("double")).alias("avgdl")
+    )
+    total = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    hits = toks.where(F.col("tok").isin(*_BM25_TERMS))
+    tfs = hits.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("tok") == x, 1).otherwise(0)).alias(f"tf_{x}")
+            for x in _BM25_TERMS
+        ]
+    )
+    dfs = hits.agg(
+        *[
+            F.countDistinct(F.when(F.col("tok") == x, F.col("doc_id"))).alias(
+                f"df_{x}"
+            )
+            for x in _BM25_TERMS
+        ]
+    )
+    score = None
+    for x in _BM25_TERMS:
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col(f"df_{x}") + 0.5) / (F.col(f"df_{x}") + 0.5)
+        )
+        term = (
+            idf
+            * (F.col(f"tf_{x}") * F.lit(_BM25_K1 + 1.0))
+            / (
+                F.col(f"tf_{x}")
+                + F.lit(_BM25_K1)
+                * (
+                    F.lit(1.0 - _BM25_B)
+                    + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+                )
+            )
+        )
+        score = term if score is None else score + term
+    return (
+        tfs.join(dls, "doc_id")
+        .join(F.broadcast(dfs))
+        .join(F.broadcast(lens))
+        .join(F.broadcast(total))
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration: over the LSH candidate pairs, compare
+# the sketch's Jaccard estimate (fraction of equal signature
+# components) with the EXACT shingle-set Jaccard, grouped by equal-
+# component count. The "measure, don't guess" audit for the dedup
+# threshold: it answers "when 6 of 8 minhashes agree, how similar are
+# the documents really?" from the corpus itself. Scale: per-doc work
+# (signatures, shingle sets) happens once per DOCUMENT; only LSH
+# candidates (banding-bounded) pay the pair-level set intersection,
+# and the report is |distinct component counts| <= 9 rows.
+def _sql_minhash_calibration() -> str:
+    mh_cols = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS mh{i}"
+        for i in range(_NUM_HASHES)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(mh{b * _BAND_SIZE} || '|' || mh{b * _BAND_SIZE + 1}) AS band_hash FROM mh"
+        for b in range(_NUM_HASHES // _BAND_SIZE)
+    )
+    n_eq = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+        for i in range(_NUM_HASHES)
+    )
+    return f"""
+    WITH sh AS MATERIALIZED (
+      SELECT doc_id, {_SQL_WORD_SHINGLES} AS sh FROM documents
+    ),
+    mh AS MATERIALIZED (SELECT doc_id, {mh_cols} FROM sh),
+    bands AS MATERIALIZED ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    sets AS MATERIALIZED (SELECT doc_id, list_distinct(sh) AS st FROM sh),
+    pairs AS (
+      SELECT ({n_eq}) AS n_equal,
+             round(len(list_intersect(sa.st, sb.st)) * 1.0
+                   / (len(sa.st) + len(sb.st)
+                      - len(list_intersect(sa.st, sb.st))), 6) AS exact_j
+      FROM cand
+      JOIN mh a ON a.doc_id = cand.id_a
+      JOIN mh b ON b.doc_id = cand.id_b
+      JOIN sets sa ON sa.doc_id = cand.id_a
+      JOIN sets sb ON sb.doc_id = cand.id_b
+    )
+    SELECT CAST(n_equal AS INT) AS n_equal,
+           round(n_equal / {float(_NUM_HASHES)}, 6) AS est_jaccard,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(CAST(exact_j AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_exact_jaccard
+    FROM pairs GROUP BY n_equal ORDER BY n_equal
+    """
+
+
+@_q("minhash_jaccard_calibration", _sql_minhash_calibration())
+def q_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import normalize_text, word_tokens
+    from ..operators.dedup import lsh_band_buckets, minhash_signatures
+
+    docs = t(spark, sf_dir, "documents")
+    # signatures computed ONCE, shared by banding and the component
+    # comparison (localCheckpoint: the barrier the shared-subtree pass
+    # established for every self-join consumer)
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES
+    ).localCheckpoint(eager=False)
+    buckets = lsh_band_buckets(sigs, "doc_id", _NUM_HASHES, _BAND_SIZE)
+    a = buckets.select("band_idx", "band_hash", F.col("doc_id").alias("id_a"))
+    b = buckets.select("band_idx", "band_hash", F.col("doc_id").alias("id_b"))
+    cand = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # distinct word-3-shingle sets, the same construction the
+    # signatures hash (greatest(n-2, 1) keeps short docs one-shingle)
+    sets = docs.select(
+        "doc_id", word_tokens(normalize_text(F.col("text"))).alias("_toks")
+    ).select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(size(_toks) - 2, 1)),"
+                " i -> array_join(slice(_toks, i, 3), ' '))"
+            )
+        ).alias("st"),
+    ).localCheckpoint(eager=False)
+    sig_a = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_NUM_HASHES)],
+    )
+    sig_b = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_NUM_HASHES)],
+    )
+    set_a = sets.select(F.col("doc_id").alias("id_a"), F.col("st").alias("st_a"))
+    set_b = sets.select(F.col("doc_id").alias("id_b"), F.col("st").alias("st_b"))
+    n_eq = None
+    for i in range(_NUM_HASHES):
+        c = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        n_eq = c if n_eq is None else n_eq + c
+    inter = F.size(F.array_intersect("st_a", "st_b"))
+    union = F.size("st_a") + F.size("st_b") - inter
+    pairs = (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .join(set_a, "id_a")
+        .join(set_b, "id_b")
+        .select(
+            n_eq.alias("n_equal"),
+            F.round(inter.cast("double") / union, 6).alias("exact_j"),
+        )
+    )
+    return (
+        pairs.groupBy("n_equal")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("exact_j").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_exact_jaccard"),
+        )
+        .select(
+            F.col("n_equal").cast("int").alias("n_equal"),
+            F.round(F.col("n_equal") / float(_NUM_HASHES), 6).alias(
+                "est_jaccard"
+            ),
+            "n_pairs",
+            "mean_exact_jaccard",
+        )
+        .orderBy("n_equal")
+    )
