@@ -979,3 +979,45 @@ def _sql_affine_warp() -> str:
 
 
 ORACLES["raster_affine_warp"] = _sql_affine_warp()
+
+
+@_q("stream_windowed_distinct_hll")
+def q_stream_windowed_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import stream_windowed_distinct_hll
+
+    return stream_windowed_distinct_hll(spark, sf_dir)
+
+
+# streamed HLL registers == the batch sketch, register for register
+# (same md5 layout as sketch_queries._sql_hll, grouped per window)
+ORACLES["stream_windowed_distinct_hll"] = """
+    WITH h AS (
+      SELECT time_bucket(INTERVAL '10 minutes', ts) AS win,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT)
+               AS bucket,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 3, 10)) AS BIGINT)
+               AS w
+      FROM events
+    ), regs AS (
+      SELECT win, bucket,
+             max(CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END) AS m
+      FROM h GROUP BY win, bucket
+    ), sk AS (
+      SELECT win,
+             SUM(CAST(1 AS BIGINT) << (41 - m)) AS s_used,
+             COUNT(*) AS used
+      FROM regs GROUP BY win
+    )
+    SELECT strftime(win, '%Y-%m-%d %H:%M:%S') AS wstart,
+           CAST(used AS BIGINT) AS buckets_used,
+           round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+                            * 2199023255552.0
+                            / (s_used + (256 - used) * CAST(2199023255552 AS BIGINT)))
+                           <= 640.0 AND (256 - used) > 0
+                      THEN 256.0 * ln(256.0 / (256 - used))
+                      ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+                           * 2199023255552.0
+                           / (s_used + (256 - used) * CAST(2199023255552 AS BIGINT))
+                      END, 4) AS hll_users
+    FROM sk
+    """

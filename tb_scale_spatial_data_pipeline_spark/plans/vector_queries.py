@@ -756,3 +756,94 @@ def q_embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance screen: top dimension PAIRS by |covariance| —
+# the feature-redundancy audit run before whitening/PCA of an
+# embedding table. Distributed-covariance shape: each row contributes
+# its 2016 (i<j) quantized coordinate products ROW-LOCALLY (a flatten/
+# transform projection — no join, no per-pair shuffle); one
+# aggregation reduces to the 2016-cell pair-sum table, and the per-dim
+# sums come from the same one-pass posexplode as
+# embedding_dimension_stats. FP discipline: coordinates quantize to
+# the 1e-6 integer lattice FIRST, so every sum/product is exact
+# (DECIMAL(38,0) partials) and the only float math is the final
+# covariance expression, fixed-shape in both engines.
+@_q(
+    "embedding_covariance_pairs",
+    """
+    WITH q AS MATERIALIZED (
+      SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+      FROM embeddings
+    ), pairs AS (
+      SELECT i AS di, j AS dj, qv[i] * qv[j] AS p
+      FROM q,
+           LATERAL unnest(generate_series(1, len(qv) - 1)) AS s(i),
+           LATERAL unnest(generate_series(i + 1, len(qv))) AS t2(j)
+    ), psum AS (
+      SELECT di, dj, SUM(CAST(p AS DECIMAL(38,0))) AS sp
+      FROM pairs GROUP BY di, dj
+    ), dims AS (
+      SELECT i AS dim, SUM(qv[i]) AS s1
+      FROM q, LATERAL unnest(generate_series(1, len(qv))) AS s(i)
+      GROUP BY i
+    ), nrow AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM q)
+    SELECT CAST(di AS BIGINT) AS dim_i, CAST(dj AS BIGINT) AS dim_j,
+           round((CAST(sp AS DOUBLE) - CAST(a.s1 AS DOUBLE) * b.s1 / n)
+                 / (n - 1) / 1000000000000.0, 6) AS cov_v
+    FROM psum JOIN dims a ON a.dim = di JOIN dims b ON b.dim = dj, nrow
+    ORDER BY abs(round((CAST(sp AS DOUBLE) - CAST(a.s1 AS DOUBLE) * b.s1 / n)
+                 / (n - 1) / 1000000000000.0, 6)) DESC, di, dj
+    LIMIT 10
+    """,
+)
+def q_embedding_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("qv")
+    ).localCheckpoint(eager=False)  # pair products + dim sums + n share it
+    pairs = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(qv) - 1),"
+                " i -> transform(sequence(i + 1, size(qv)),"
+                " j -> struct(i AS di, j AS dj,"
+                " element_at(qv, i) * element_at(qv, j) AS p))))"
+            )
+        ).alias("pr")
+    ).select("pr.di", "pr.dj", "pr.p")
+    psum = pairs.groupBy("di", "dj").agg(
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("sp")
+    )
+    dims = q.select(F.posexplode("qv").alias("pos0", "x")).select(
+        (F.col("pos0") + 1).alias("dim"), F.col("x").alias("xi")
+    ).groupBy("dim").agg(F.sum("xi").alias("s1"))
+    nrow = q.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    a = dims.select(F.col("dim").alias("di"), F.col("s1").alias("s1_a"))
+    b = dims.select(F.col("dim").alias("dj"), F.col("s1").alias("s1_b"))
+    cov = F.round(
+        (
+            F.col("sp").cast("double")
+            - F.col("s1_a").cast("double") * F.col("s1_b") / F.col("n")
+        )
+        / (F.col("n") - 1)
+        / 1000000000000.0,
+        6,
+    )
+    return (
+        psum.join(F.broadcast(a), "di")
+        .join(F.broadcast(b), "dj")
+        .join(F.broadcast(nrow))
+        .select(
+            F.col("di").cast("bigint").alias("dim_i"),
+            F.col("dj").cast("bigint").alias("dim_j"),
+            cov.alias("cov_v"),
+        )
+        .orderBy(F.abs(F.col("cov_v")).desc(), "dim_i", "dim_j")
+        .limit(10)
+    )

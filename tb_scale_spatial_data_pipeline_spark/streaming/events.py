@@ -617,3 +617,59 @@ def stream_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_stream_to_table(alerts, "append")
+
+
+def stream_windowed_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window approximate distinct users via mergeable HLL
+    registers — the streaming cardinality pattern: COUNT(DISTINCT) is
+    not a streaming aggregation (unbounded per-key state), but an HLL
+    register table IS (max per (window, bucket) — 256 bounded cells
+    per window, watermark-evicted). The STREAM maintains the
+    registers; the SERVING layer folds them into the estimate at read
+    time, exactly like stream_windowed_topk ranks maintained counts.
+    Registers use the repo's engine-reproducible md5 layout
+    (bucket = first 8 md5 bits, rho over the next 40 — see
+    sketch_queries._sql_hll), so the DuckDB oracle rebuilds the
+    identical sketch from the batch table and the result hash-checks:
+    a STREAMING query proven equal to a batch sketch, register for
+    register."""
+    ev = events_stream(spark, sf_dir)
+    v = F.col("user_id").cast("string")
+    h = ev.select(
+        F.col("ts"),
+        F.conv(F.substring(F.md5(v), 1, 2), 16, 10).cast("bigint").alias("bucket"),
+        F.conv(F.substring(F.md5(v), 3, 10), 16, 10).cast("bigint").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, 41).otherwise(41 - F.length(F.bin(F.col("w"))))
+    regs = h.groupBy(
+        F.window("ts", "10 minutes").alias("win"), F.col("bucket")
+    ).agg(F.max(rho).alias("m"))
+    # complete mode: the register table is the MAINTAINED state (like
+    # stream_windowed_topk's counts) — append mode would hold back the
+    # final watermark-unsealed windows on a bounded drain. Production
+    # pairs append+watermark with an epoch-close control record (the
+    # sealed-join idiom) when downstream needs finalized emits.
+    drained = run_stream_to_table(regs, "complete")
+    sk = drained.groupBy("win").agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 41 - m)")).alias("s_used"),
+        F.count(F.lit(1)).alias("used"),
+    )
+    m_regs = 256
+    two41 = 2199023255552.0
+    v_empty = m_regs - F.col("used")
+    e_raw = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / m_regs)
+        * (m_regs * m_regs)
+        * two41
+        / (F.col("s_used") + v_empty * F.lit(int(two41)))
+    )
+    est = F.when(
+        (e_raw <= 2.5 * m_regs) & (v_empty > 0),
+        m_regs * F.log(m_regs / v_empty.cast("double")),
+    ).otherwise(e_raw)
+    return sk.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+        F.col("used").cast("bigint").alias("buckets_used"),
+        F.round(est, 4).alias("hll_users"),
+    )
