@@ -646,3 +646,90 @@ def q_centroid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("true_label", "assigned_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Prediction calibration report (reliability diagram + Brier terms) —
+# the model-monitoring table a scoring pipeline emits next to its
+# predictions: decile bins of predicted probability vs observed
+# outcome rate. The "model" is a deterministic price-based score
+# (o_totalprice / max price), the outcome is the high-priority flag —
+# a miscalibrated-by-construction pair, which is exactly what the
+# report exists to reveal. FP discipline: scores quantize to the 1e-6
+# lattice, so per-bin sums (Σs, Σ(s-y)²) are exact integers
+# (DECIMAL(38,0) partials) and the only float math is the final
+# per-bin division + round. One corpus pass + a broadcast max.
+@_q(
+    "prediction_calibration_report",
+    """
+    WITH mx AS (SELECT MAX(o_totalprice) AS mp FROM orders),
+    scored AS (
+      SELECT CAST(round(CAST(o_totalprice AS DOUBLE) / (SELECT mp FROM mx)
+                        * 1000000) AS BIGINT) AS s6,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), binned AS (
+      SELECT LEAST(s6 // 100000, 9) AS bin, s6, y,
+             CAST((s6 - y * 1000000) AS DECIMAL(38,0))
+               * (s6 - y * 1000000) AS sq
+      FROM scored
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(s6) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+             AS mean_pred,
+           round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS obs_rate,
+           round(CAST(SUM(sq) AS DOUBLE) / COUNT(*) / 1000000000000.0, 6)
+             AS brier_bin
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def q_prediction_calibration_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_totalprice").alias("mp"))
+    scored = orders.join(F.broadcast(mx)).select(
+        F.round(
+            F.col("o_totalprice").cast("double") / F.col("mp") * 1000000
+        )
+        .cast("bigint")
+        .alias("s6"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    sq = (F.col("s6") - F.col("y") * 1000000).cast("decimal(38,0)") * (
+        F.col("s6") - F.col("y") * 1000000
+    )
+    binned = scored.select(
+        F.least(F.expr("s6 div 100000"), F.lit(9).cast("bigint")).alias("bin"),
+        "s6",
+        "y",
+        sq.alias("sq"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        binned.groupBy("bin")
+        .agg(
+            n.cast("bigint").alias("n"),
+            F.round(F.sum("s6").cast("double") / n / 1000000.0, 6).alias(
+                "mean_pred"
+            ),
+            F.round(F.sum("y").cast("double") / n, 6).alias("obs_rate"),
+            F.round(
+                F.sum("sq").cast("double") / n / 1000000000000.0, 6
+            ).alias("brier_bin"),
+        )
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            "n",
+            "mean_pred",
+            "obs_rate",
+            "brier_bin",
+        )
+        .orderBy("bin")
+    )

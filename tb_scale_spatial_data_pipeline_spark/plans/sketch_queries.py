@@ -597,3 +597,108 @@ def q_dd_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation from CMS inner products (Cormode-Muthukrishnan
+# 2005 §4.2): |R ⋈ S on k| = Σ_k c_R(k)·c_S(k), and the inner product
+# of two Count-Min rows built with the SAME hashes upper-bounds it —
+# the estimate is the MIN over the d rows. This is "join cardinality
+# without joining": each side reduces to d×w integer cells with
+# map-side partials, so a planner (cf. join_strategy_advisor, which
+# uses exact stats) can size a 100 TB join from two 4×256 sketches.
+# The ground truth here is Σ c_o·c_c over per-key counts — the same
+# number an actual join would produce, without materializing it.
+# All arithmetic is integer; collisions are deterministic (md5), so
+# the oracle rebuilds bit-identical sketches.
+@_q(
+    "cms_join_size_estimate",
+    (lambda: f"""
+    WITH o_cells AS ({" UNION ALL ".join(
+        f"SELECT {r} AS row, {_cms_pos_sql('o_custkey', r)} AS pos,"
+        " COUNT(*) AS c FROM orders GROUP BY 2"
+        for r in range(_CMS_D)
+    )}),
+    c_cells AS ({" UNION ALL ".join(
+        f"SELECT {r} AS row, {_cms_pos_sql('c_custkey', r)} AS pos,"
+        " COUNT(*) AS c FROM customer GROUP BY 2"
+        for r in range(_CMS_D)
+    )}),
+    ips AS (
+      SELECT o.row, SUM(o.c * c.c) AS ip
+      FROM o_cells o JOIN c_cells c ON c.row = o.row AND c.pos = o.pos
+      GROUP BY o.row
+    ),
+    est AS (SELECT MIN(ip) AS cms_join_rows FROM ips),
+    truth AS (
+      SELECT SUM(oc.n * cc.n) AS exact_join_rows
+      FROM (SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1) oc
+      JOIN (SELECT c_custkey AS k, COUNT(*) AS n FROM customer GROUP BY 1) cc
+        ON cc.k = oc.k
+    )
+    SELECT CAST(cms_join_rows AS BIGINT) AS cms_join_rows,
+           CAST(exact_join_rows AS BIGINT) AS exact_join_rows,
+           round((CAST(cms_join_rows AS DOUBLE) - exact_join_rows)
+                 / exact_join_rows, 6) AS rel_overestimate
+    FROM est, truth
+    """)(),
+)
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+
+    def cells(df: DataFrame, key: str) -> DataFrame:
+        rows = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("row"),
+                            _cms_pos_spark(F.col(key), r).alias("pos"),
+                        )
+                        for r in range(_CMS_D)
+                    ]
+                )
+            ).alias("cell")
+        )
+        return rows.groupBy("cell.row", "cell.pos").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    o_cells = cells(orders, "o_custkey")
+    c_cells = cells(cust, "c_custkey").select(
+        F.col("row").alias("crow"), F.col("pos").alias("cpos"), F.col("c").alias("cc")
+    )
+    ips = (
+        o_cells.join(
+            c_cells,
+            (F.col("row") == F.col("crow")) & (F.col("pos") == F.col("cpos")),
+        )
+        .groupBy("row")
+        .agg(F.sum(F.col("c") * F.col("cc")).alias("ip"))
+    )
+    est = ips.agg(F.min("ip").alias("cms_join_rows"))
+    oc = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_o")
+    )
+    cc = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    truth = (
+        oc.join(cc, "k")
+        .agg(F.sum(F.col("n_o") * F.col("n_c")).alias("exact_join_rows"))
+    )
+    return (
+        est.join(F.broadcast(truth))
+        .select(
+            F.col("cms_join_rows").cast("bigint").alias("cms_join_rows"),
+            F.col("exact_join_rows").cast("bigint").alias("exact_join_rows"),
+            F.round(
+                (
+                    F.col("cms_join_rows").cast("double")
+                    - F.col("exact_join_rows")
+                )
+                / F.col("exact_join_rows"),
+                6,
+            ).alias("rel_overestimate"),
+        )
+    )
