@@ -1200,8 +1200,10 @@ def q_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("id_a", "id_b")
         .distinct()
     )
-    # distinct word-3-shingle sets, the same construction the
-    # signatures hash (greatest(n-2, 1) keeps short docs one-shingle)
+    # per-doc feature table: signature columns + the distinct
+    # word-3-shingle set (same construction the signatures hash;
+    # greatest(n-2, 1) keeps short docs one-shingle) — ONE table, so
+    # each pair side needs one join, not two
     sets = docs.select(
         "doc_id", word_tokens(normalize_text(F.col("text"))).alias("_toks")
     ).select(
@@ -1212,17 +1214,18 @@ def q_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
                 " i -> array_join(slice(_toks, i, 3), ' '))"
             )
         ).alias("st"),
-    ).localCheckpoint(eager=False)
-    sig_a = sigs.select(
+    )
+    feat = sigs.join(sets, "doc_id").localCheckpoint(eager=False)
+    feat_a = feat.select(
         F.col("doc_id").alias("id_a"),
+        F.col("st").alias("st_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_NUM_HASHES)],
     )
-    sig_b = sigs.select(
+    feat_b = feat.select(
         F.col("doc_id").alias("id_b"),
+        F.col("st").alias("st_b"),
         *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_NUM_HASHES)],
     )
-    set_a = sets.select(F.col("doc_id").alias("id_a"), F.col("st").alias("st_a"))
-    set_b = sets.select(F.col("doc_id").alias("id_b"), F.col("st").alias("st_b"))
     n_eq = None
     for i in range(_NUM_HASHES):
         c = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
@@ -1230,10 +1233,8 @@ def q_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     inter = F.size(F.array_intersect("st_a", "st_b"))
     union = F.size("st_a") + F.size("st_b") - inter
     pairs = (
-        cand.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .join(set_a, "id_a")
-        .join(set_b, "id_b")
+        cand.join(feat_a, "id_a")
+        .join(feat_b, "id_b")
         .select(
             n_eq.alias("n_equal"),
             F.round(inter.cast("double") / union, 6).alias("exact_j"),
