@@ -1,0 +1,284 @@
+"""Independent-implementation replays + invariants for the round-8
+query additions. The DuckDB oracles already pin cross-engine hash
+equality; these tests pin the MATH against driver-side Python/numpy
+reimplementations and the structural guarantees each operator makes
+(one-sided sketch bounds, probability normalization, bin partitions).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+import numpy as np
+import pytest
+
+from conftest import SF_SMOKE
+
+from tb_scale_spatial_data_pipeline_spark.plans import all_queries
+
+
+@pytest.fixture(scope="module")
+def docs_tokens(spark):
+    rows = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    out = {}
+    for r in rows:
+        norm = re.sub(r"\s+", " ", r["text"].lower()).strip()
+        out[r["doc_id"]] = [t for t in norm.split(" ") if t]
+    return out
+
+
+def test_kneser_ney_replay_and_normalization(spark, docs_tokens):
+    """Top-20 KN probabilities equal a pure-Python replay, and the
+    FULL smoothed conditional distribution sums to 1 per context —
+    the normalization property that distinguishes Kneser-Ney from an
+    ad-hoc discount."""
+    bc: Counter = Counter()
+    for toks in docs_tokens.values():
+        for a, b in zip(toks, toks[1:]):
+            bc[(a, b)] += 1
+    c1: Counter = Counter()
+    n_follow: Counter = Counter()
+    n_precede: Counter = Counter()
+    for (a, b), c in bc.items():
+        c1[a] += c
+        n_follow[a] += 1
+        n_precede[b] += 1
+    n_types = float(len(bc))
+    D = 0.75
+
+    def kn(a, b):
+        return (
+            max(bc[(a, b)] - D, 0.0)
+            + D * n_follow[a] * (n_precede[b] / n_types)
+        ) / c1[a]
+
+    got = all_queries()["kneser_ney_bigram"](spark, SF_SMOKE).collect()
+    assert len(got) == 20
+    for r in got:
+        assert r["c_bigram"] == bc[(r["w1"], r["w2"])]
+        assert abs(r["kn_prob"] - round(kn(r["w1"], r["w2"]), 6)) <= 1e-6
+
+    # normalization: sum over the full continuation vocab for a few
+    # contexts. Restricted to observed w2 types the sum is < 1; adding
+    # the unobserved-type mass D*n_follow*Pcont(w2) completes it.
+    vocab_cont = list(n_precede)
+    for a in list(c1)[:5]:
+        s = sum(
+            (
+                max(bc.get((a, b), 0) - D, 0.0)
+                + D * n_follow[a] * (n_precede[b] / n_types)
+            )
+            / c1[a]
+            for b in vocab_cont
+        )
+        assert abs(s - 1.0) < 1e-9, f"context {a}: sum {s}"
+
+
+def test_bm25_replay(spark, docs_tokens):
+    """Top-20 BM25 equals a pure-Python replay (Lucene IDF form)."""
+    terms = ("sort", "batch", "vector")
+    k1, b = 1.2, 0.75
+    # the query tokenizes on [^a-z0-9]+ over the RAW lowercased text
+    rows = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    toks = {
+        r["doc_id"]: [t for t in re.split(r"[^a-z0-9]+", r["text"].lower()) if t]
+        for r in rows
+    }
+    n_docs = float(len(toks))
+    dl = {d: len(ts) for d, ts in toks.items()}
+    avgdl = sum(dl.values()) / n_docs
+    df = {x: sum(1 for ts in toks.values() if x in ts) for x in terms}
+
+    def bm25(d):
+        s = 0.0
+        for x in terms:
+            tf = toks[d].count(x)
+            idf = math.log(1.0 + (n_docs - df[x] + 0.5) / (df[x] + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * dl[d] / avgdl)
+            )
+        return s
+
+    scored = sorted(
+        ((d, round(bm25(d), 6)) for d in toks if any(x in toks[d] for x in terms)),
+        key=lambda t: (-t[1], t[0]),
+    )[:20]
+    got = [
+        (r["doc_id"], r["bm25"])
+        for r in all_queries()["bm25_topk"](spark, SF_SMOKE).collect()
+    ]
+    assert got == scored
+
+
+def test_cms_join_size_one_sided_and_exact_truth(spark):
+    """CMS inner product NEVER underestimates the true join size
+    (Cormode-Muthukrishnan one-sided error), and the exact arm equals
+    the real join cardinality."""
+    r = all_queries()["cms_join_size_estimate"](spark, SF_SMOKE).collect()[0]
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    true_join = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).count()
+    assert r["exact_join_rows"] == true_join
+    assert r["cms_join_rows"] >= true_join
+    assert r["rel_overestimate"] >= 0.0
+
+
+def test_repeated_substring_spans_replay(spark, docs_tokens):
+    """Per-doc span stats equal a pure-Python replay of the
+    window-hash/dup-set/island-merge pipeline."""
+    W = 8
+    owners = defaultdict(set)
+    wins = {}
+    for d, ts in docs_tokens.items():
+        ps = []
+        for i in range(len(ts) - W + 1):
+            key = " ".join(ts[i : i + W])
+            owners[key].add(d)
+            ps.append((i + 1, key))
+        wins[d] = ps
+    expect = {}
+    for d, ps in wins.items():
+        hits = [p for p, key in ps if len(owners[key]) >= 2]
+        if not hits:
+            continue
+        spans = []
+        start = prev = hits[0]
+        for p in hits[1:]:
+            if p - prev <= W:
+                prev = p
+            else:
+                spans.append((start, prev + W))
+                start = prev = p
+        spans.append((start, prev + W))
+        dup_tokens = sum(e - s for s, e in spans)
+        expect[d] = (len(spans), dup_tokens, len(docs_tokens[d]))
+    got = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"], r["n_tokens"])
+        for r in all_queries()["repeated_substring_spans"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == expect
+    for d, (_, dup, n) in got.items():
+        assert dup <= n, f"doc {d} coverage exceeds length"
+
+
+def test_embedding_covariance_replay(spark):
+    """Top-10 |covariance| pairs equal a numpy replay over the
+    quantized matrix."""
+    rows = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "embedding"
+    ).collect()
+    X = np.array(
+        [
+            [round(float(x) * 1e6) for x in r["embedding"]]
+            for r in rows
+        ],
+        dtype=np.int64,
+    )
+    n, d = X.shape
+    s1 = X.sum(axis=0).astype(float)
+    expect = []
+    for i in range(d - 1):
+        sp = (X[:, i][:, None] * X[:, i + 1 :]).sum(axis=0).astype(float)
+        for off, spv in enumerate(sp):
+            j = i + 1 + off
+            cov = round((spv - s1[i] * s1[j] / n) / (n - 1) / 1e12, 6)
+            expect.append((i + 1, j + 1, cov))
+    expect.sort(key=lambda t: (-abs(t[2]), t[0], t[1]))
+    got = [
+        (r["dim_i"], r["dim_j"], r["cov_v"])
+        for r in all_queries()["embedding_covariance_pairs"](
+            spark, SF_SMOKE
+        ).collect()
+    ]
+    assert got == expect[:10]
+
+
+def test_calibration_bins_partition_and_brier(spark):
+    """Bins partition the orders table exactly, and the n-weighted
+    mean of per-bin Brier terms equals the overall Brier score from a
+    numpy replay."""
+    out = all_queries()["prediction_calibration_report"](
+        spark, SF_SMOKE
+    ).collect()
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_totalprice", "o_orderpriority"
+    ).toPandas()
+    assert sum(r["n"] for r in out) == len(orders)
+    mp = float(orders["o_totalprice"].max())
+    s6 = np.round(
+        orders["o_totalprice"].astype(float) / mp * 1e6
+    ).astype(np.int64)
+    y = orders["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).astype(int)
+    brier = float(((s6 - y * 1000000) ** 2).sum()) / len(orders) / 1e12
+    got = sum(r["brier_bin"] * r["n"] for r in out) / sum(r["n"] for r in out)
+    assert abs(got - brier) < 1e-5
+
+
+def test_minhash_calibration_structure(spark):
+    """n_equal stays in 0..8 with est = n/8, and the calibration is
+    populated (LSH candidates exist at the smoke SF)."""
+    out = all_queries()["minhash_jaccard_calibration"](
+        spark, SF_SMOKE
+    ).collect()
+    assert out, "no LSH candidate pairs at smoke SF"
+    for r in out:
+        assert 0 <= r["n_equal"] <= 8
+        assert abs(r["est_jaccard"] - r["n_equal"] / 8.0) <= 1e-9
+        assert 0.0 <= r["mean_exact_jaccard"] <= 1.0
+        assert r["n_pairs"] >= 1
+
+
+def test_corpus_datasheet_totals(spark):
+    """Source rows partition the corpus; token totals agree with the
+    tokenizer."""
+    out = all_queries()["corpus_datasheet"](spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    for r in out:
+        assert r["n_exact_dups"] >= 0
+        assert 0.0 <= r["dup_frac"] < 1.0
+        assert abs(r["avg_tokens"] - round(r["total_tokens"] / r["n_docs"], 6)) <= 1e-6
+
+
+def test_stream_hll_tracks_exact_distinct(spark):
+    """Windowed HLL estimates track the exact per-window distinct-user
+    counts within the sketch's error envelope (m=256 linear-counting
+    regime at this cardinality)."""
+    from pyspark.sql import functions as F
+
+    out = {
+        r["wstart"]: r["hll_users"]
+        for r in all_queries()["stream_windowed_distinct_hll"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    from tb_scale_spatial_data_pipeline_spark.sources.catalog import (
+        normalize_event_ts,
+    )
+
+    exact = {
+        r["wstart"]: r["nd"]
+        for r in normalize_event_ts(ev)
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+            "nd",
+        )
+        .collect()
+    }
+    assert set(out) == set(exact)
+    for w, est in out.items():
+        nd = exact[w]
+        assert abs(est - nd) <= max(2.0, 0.25 * nd), (w, est, nd)
