@@ -850,3 +850,96 @@ def q_hub_removal_resilience(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("variant")
+
+
+# ---------------------------------------------------------------------------
+# Sampled closeness + harmonic centrality — the landmark pattern:
+# all-pairs BFS is O(n·m), so production centrality runs from a seed
+# SAMPLE (here the bfs_hop_distance seed set). One level-synchronous
+# multi-source BFS carries (seed, node, hop) — per round ONE edge join
+# + ONE anti-join against the settled set, frontier rows bounded by
+# |seeds|×|nodes| — then closeness(s) = reached/Σd and harmonic(s) =
+# Σ 1/d fold per seed.
+#
+# Exactness: hops are integers ≤ 8, and every 1/d with d ≤ 8 is an
+# exact multiple of 1/840 (lcm(1..8)), so the harmonic sum runs on
+# the integer lattice (Σ 840/d in BIGINT) — order-free partials, one
+# float division at the end. Same hop cap in the oracle's recursive
+# CTE pins identical truncation.
+_CLOSE_MAX_HOPS = 8
+_CLOSE_LCM = 840  # lcm(1..8): makes every 1/d an integer multiple
+
+
+def _sql_closeness() -> str:
+    return f"""
+    WITH RECURSIVE {_SQL_EDGES.strip()},
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(seed, node, hop) AS (
+      SELECT node, node, 0 FROM nodes WHERE node % 10 = 0
+      UNION
+      SELECT r.seed, e.dst, r.hop + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.hop < {_CLOSE_MAX_HOPS}
+    ),
+    dist AS (
+      SELECT seed, node, MIN(hop) AS d FROM reach GROUP BY seed, node
+    )
+    SELECT seed AS s_suppkey,
+           CAST(COUNT(*) FILTER (d > 0) AS BIGINT) AS n_reached,
+           CAST(SUM(d) AS BIGINT) AS sum_hops,
+           round(CAST(COUNT(*) FILTER (d > 0) AS DOUBLE) / SUM(d), 6)
+             AS closeness,
+           round(CAST(SUM(CASE WHEN d > 0 THEN {_CLOSE_LCM} // d
+                               ELSE 0 END) AS DOUBLE) / {_CLOSE_LCM}.0, 6)
+             AS harmonic
+    FROM dist GROUP BY seed ORDER BY seed
+    """
+
+
+@_q("closeness_centrality_sampled", _sql_closeness())
+def q_closeness_centrality_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    eu = _undirected_edges(spark, sf_dir)
+    edges = (
+        eu.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(eu.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint()  # read every round
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    seeds = nodes.where(F.col("node") % 10 == 0).select(
+        F.col("node").alias("seed")
+    )
+    dist = seeds.select(
+        "seed", F.col("seed").alias("node"), F.lit(0).cast("bigint").alias("d")
+    ).localCheckpoint()
+    frontier = dist.select("seed", "node")
+    for k in range(1, _CLOSE_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("seed", "node"), ["seed", "node"], "left_anti")
+            .withColumn("d", F.lit(k).cast("bigint"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("seed", "node")
+    reached = F.count(F.when(F.col("d") > 0, 1))
+    lcm_term = F.when(
+        F.col("d") > 0, F.floor(F.lit(_CLOSE_LCM) / F.col("d"))
+    ).otherwise(0)
+    return (
+        dist.groupBy(F.col("seed").alias("s_suppkey"))
+        .agg(
+            reached.cast("bigint").alias("n_reached"),
+            F.sum("d").cast("bigint").alias("sum_hops"),
+            F.round(reached.cast("double") / F.sum("d"), 6).alias("closeness"),
+            F.round(
+                F.sum(lcm_term).cast("double") / float(_CLOSE_LCM), 6
+            ).alias("harmonic"),
+        )
+        .orderBy("s_suppkey")
+    )

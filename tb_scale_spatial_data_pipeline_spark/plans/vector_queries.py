@@ -847,3 +847,146 @@ def q_embedding_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("cov_v")).desc(), "dim_i", "dim_j")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall report — the quality measurement behind the ANN tier,
+# promoted from test-only (tests/test_ann_recall.py pins floors) to a
+# driver-visible query: for each sampled query vector, recall@10 of
+# the sign-LSH bucket's top-10 against the exact brute-force top-10.
+# The exact arm is deliberately brute force (that IS the ground
+# truth); its cost is bounded by the SAMPLED query set — the landmark
+# pattern that makes recall measurable at any corpus size. Recalls
+# are exact multiples of 1/(10*nq) (integer hit counts), so the mean
+# needs no float accumulation; ranking ties break on (rounded cos,
+# vec_id) in both engines.
+_RECALL_QMOD = 50  # vec_id % 50 == 0 -> 10 query vectors
+
+
+def _sql_ann_recall() -> str:
+    buckets = _sql_lsh_buckets()
+    cos_eq = _sql_cosine("e.embedding", "q.qv")
+    return f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id % {_RECALL_QMOD} = 0
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round({cos_eq}, 6) DESC, e.vec_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.qid
+      ) WHERE rn <= 10
+    ),
+    buckets AS MATERIALIZED ({buckets}),
+    cand AS MATERIALIZED (
+      SELECT q.qid, c.vec_id
+      FROM q JOIN buckets bq ON bq.vec_id = q.qid
+      JOIN buckets c ON c.bucket = bq.bucket AND c.vec_id <> q.qid
+    ),
+    top_cand AS (
+      SELECT qid, vec_id FROM (
+        SELECT cand.qid, cand.vec_id,
+               row_number() OVER (
+                 PARTITION BY cand.qid
+                 ORDER BY round({cos_eq}, 6) DESC, e.vec_id
+               ) AS rn
+        FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+        JOIN q ON q.qid = cand.qid
+      ) WHERE rn <= 10
+    ),
+    hits AS (
+      SELECT exact.qid, COUNT(*) AS h
+      FROM exact JOIN top_cand
+        ON top_cand.qid = exact.qid AND top_cand.vec_id = exact.vec_id
+      GROUP BY exact.qid
+    ),
+    ccount AS (SELECT qid, COUNT(*) AS nc FROM cand GROUP BY qid),
+    agg AS (
+      SELECT COUNT(*) AS n_queries,
+             SUM(COALESCE(h.h, 0)) AS total_hits,
+             SUM(COALESCE(c.nc, 0)) AS total_cands
+      FROM q LEFT JOIN hits h ON h.qid = q.qid
+      LEFT JOIN ccount c ON c.qid = q.qid
+    )
+    SELECT CAST(n_queries AS BIGINT) AS n_queries,
+           CAST(total_hits AS BIGINT) AS total_hits,
+           round(CAST(total_hits AS DOUBLE) / (10 * n_queries), 6)
+             AS recall_at_10,
+           round(CAST(total_cands AS DOUBLE) / n_queries, 6)
+             AS mean_bucket_candidates
+    FROM agg
+    """
+
+
+@_q("ann_recall_report", _sql_ann_recall())
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import lsh_ann_buckets as lsh_buckets_op
+
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("e")
+    ).localCheckpoint(eager=False)  # exact arm + candidate arm share it
+    q = base.where(F.col("vec_id") % _RECALL_QMOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qv")
+    )
+    sim = F.round(cosine_similarity(F.col("e"), F.col("qv")), 6)
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    exact = (
+        base.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    buckets = lsh_buckets_op(
+        emb, "embedding", "vec_id", dim=DIM, n_planes=N_PLANES
+    ).select("vec_id", "bucket").localCheckpoint(eager=False)
+    qb = q.join(
+        buckets.select(F.col("vec_id").alias("qid"), "bucket"), "qid"
+    )
+    cand = (
+        qb.join(buckets, "bucket")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qv", "vec_id")
+        .localCheckpoint(eager=False)  # top-10 + count consumers
+    )
+    top_cand = (
+        cand.join(base, "vec_id")
+        .select("qid", "vec_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    hits = exact.join(top_cand, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    ccount = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("nc"))
+    return (
+        q.select("qid")
+        .join(hits, "qid", "left")
+        .join(ccount, "qid", "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum(F.coalesce(F.col("h"), F.lit(0)))
+            .cast("bigint")
+            .alias("total_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("h"), F.lit(0))).cast("double")
+                / (10 * F.count(F.lit(1))),
+                6,
+            ).alias("recall_at_10"),
+            F.round(
+                F.sum(F.coalesce(F.col("nc"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_bucket_candidates"),
+        )
+    )
