@@ -282,3 +282,97 @@ def test_stream_hll_tracks_exact_distinct(spark):
     for w, est in out.items():
         nd = exact[w]
         assert abs(est - nd) <= max(2.0, 0.25 * nd), (w, est, nd)
+
+
+def test_closeness_centrality_replay(spark):
+    """Multi-source BFS centralities equal a deque-BFS replay."""
+    from collections import deque
+
+    from tb_scale_spatial_data_pipeline_spark.plans.graph_queries import (
+        _undirected_edges,
+    )
+
+    eu = _undirected_edges(spark, SF_SMOKE).collect()
+    adj = defaultdict(set)
+    for r in eu:
+        adj[r["u"]].add(r["v"])
+        adj[r["v"]].add(r["u"])
+    seeds = [n for n in adj if n % 10 == 0]
+    expect = {}
+    for s in seeds:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            if dist[u] >= 8:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        ds = [d for d in dist.values() if d > 0]
+        expect[s] = (
+            len(ds),
+            sum(ds),
+            round(len(ds) / sum(ds), 6),
+            round(sum(840 // d for d in ds) / 840.0, 6),
+        )
+    got = {
+        r["s_suppkey"]: (
+            r["n_reached"],
+            r["sum_hops"],
+            r["closeness"],
+            r["harmonic"],
+        )
+        for r in all_queries()["closeness_centrality_sampled"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_ann_recall_report_replay(spark):
+    """Recall@10 equals a numpy brute-force + bucket replay."""
+    from tb_scale_spatial_data_pipeline_spark.operators.similarity import (
+        plane_sign,
+    )
+
+    rows = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    planes = np.array(
+        [[float(plane_sign(p, j)) for j in range(64)] for p in range(8)]
+    )
+    dots = X @ planes.T
+    buckets = {
+        i: int(sum((1 << p) for p in range(8) if round(dots[k, p], 9) >= 0))
+        for k, i in enumerate(ids)
+    }
+    norms = np.sqrt((X * X).sum(axis=1))
+    qids = [i for i in ids if i % 50 == 0]
+    idx = {i: k for k, i in enumerate(ids)}
+
+    def topk(qid, cands):
+        qv = X[idx[qid]]
+        scored = sorted(
+            (
+                (-round(float(X[idx[c]] @ qv / (norms[idx[c]] * norms[idx[qid]] + 1e-12)), 6), c)
+                for c in cands
+            ),
+        )[:10]
+        return {c for _, c in scored}
+
+    hits = 0
+    total_c = 0
+    for qid in qids:
+        exact = topk(qid, [i for i in ids if i != qid])
+        cands = [i for i in ids if i != qid and buckets[i] == buckets[qid]]
+        total_c += len(cands)
+        hits += len(exact & topk(qid, cands)) if cands else 0
+    r = all_queries()["ann_recall_report"](spark, SF_SMOKE).collect()[0]
+    assert r["n_queries"] == len(qids)
+    assert r["total_hits"] == hits
+    assert r["recall_at_10"] == round(hits / (10 * len(qids)), 6)
+    assert r["mean_bucket_candidates"] == round(total_c / len(qids), 6)
