@@ -546,3 +546,76 @@ def q_bot_detection_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("entropy", 6).alias("type_entropy"),
         score.cast("bigint").alias("bot_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Column profile (the ANALYZE TABLE / data-profiling report): one pass
+# over lineitem emits per-column null count, exact distinct count, and
+# min/max rendered to strings — the stats a catalog keeps per column
+# and the first thing run against an unknown 100 TB table. One-pass
+# shape: all per-column aggregates ride a single scan (no per-column
+# jobs); the unpivot to (column, stats) rows happens on the 1-row
+# aggregate, not the data.
+_PROFILE_COLS = (
+    "l_orderkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_shipdate",
+    "l_returnflag",
+)
+
+
+def _sql_table_profile() -> str:
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append(
+            f"COUNT(*) - COUNT({c}) AS nulls_{c}, "
+            f"COUNT(DISTINCT {c}) AS ndv_{c}, "
+            f"CAST(MIN({c}) AS VARCHAR) AS min_{c}, "
+            f"CAST(MAX({c}) AS VARCHAR) AS max_{c}"
+        )
+        # DuckDB renders DATE/DECIMAL defaults identically to the
+        # Spark casts used below for these column types
+    arms = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, n_rows, nulls_{c} AS n_nulls,"
+        f" ndv_{c} AS n_distinct, min_{c} AS min_value, max_{c} AS max_value"
+        " FROM m"
+        for c in _PROFILE_COLS
+    )
+    return f"""
+    WITH m AS (
+      SELECT COUNT(*) AS n_rows, {", ".join(aggs)} FROM lineitem
+    )
+    SELECT column_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_nulls AS BIGINT) AS n_nulls,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           min_value, max_value
+    FROM ({arms}) ORDER BY column_name
+    """
+
+
+@_q("table_profile_lineitem", _sql_table_profile())
+def q_table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nulls_{c}"),
+            F.countDistinct(c).alias(f"ndv_{c}"),
+            F.min(c).cast("string").alias(f"min_{c}"),
+            F.max(c).cast("string").alias(f"max_{c}"),
+        ]
+    m = li.agg(*aggs)
+    arms = None
+    for c in _PROFILE_COLS:
+        arm = m.select(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col(f"nulls_{c}").cast("bigint").alias("n_nulls"),
+            F.col(f"ndv_{c}").cast("bigint").alias("n_distinct"),
+            F.col(f"min_{c}").alias("min_value"),
+            F.col(f"max_{c}").alias("max_value"),
+        )
+        arms = arm if arms is None else arms.unionByName(arm)
+    return arms.orderBy("column_name")

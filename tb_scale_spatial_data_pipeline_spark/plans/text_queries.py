@@ -1260,3 +1260,143 @@ def q_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("n_equal")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup policy sweep: the what-if table behind choosing a dedup
+# threshold — for each candidate Jaccard cutoff, how many LSH
+# candidate pairs exceed it and how many documents those pairs touch.
+# Pair similarities are computed ONCE (the LSH-blocked exact-verify
+# set, same machinery as minhash_jaccard_calibration); the sweep is a
+# per-pair threshold explode over a 5-element literal array — the
+# policy table costs |thresholds| x |candidates| tiny rows, never a
+# recompute of the expensive stage.
+# calibrated to the fixture's bimodal candidate distribution
+# (false candidates at j~0.01, true near-dups at j>=0.9):
+# thresholds must SEPARATE policies or the sweep proves nothing
+_SWEEP_THRESHOLDS = (0.0, 0.05, 0.5, 0.96, 0.99)
+
+
+def _sql_neardup_sweep() -> str:
+    mh_cols = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS mh{i}"
+        for i in range(_NUM_HASHES)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(mh{b * _BAND_SIZE} || '|' || mh{b * _BAND_SIZE + 1}) AS band_hash FROM mh"
+        for b in range(_NUM_HASHES // _BAND_SIZE)
+    )
+    thresholds = ", ".join(str(t) for t in _SWEEP_THRESHOLDS)
+    return f"""
+    WITH sh AS MATERIALIZED (
+      SELECT doc_id, {_SQL_WORD_SHINGLES} AS sh FROM documents
+    ),
+    mh AS MATERIALIZED (SELECT doc_id, {mh_cols} FROM sh),
+    bands AS MATERIALIZED ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    sets AS MATERIALIZED (SELECT doc_id, list_distinct(sh) AS st FROM sh),
+    pairs AS MATERIALIZED (
+      SELECT id_a, id_b,
+             round(len(list_intersect(sa.st, sb.st)) * 1.0
+                   / (len(sa.st) + len(sb.st)
+                      - len(list_intersect(sa.st, sb.st))), 6) AS j
+      FROM cand
+      JOIN sets sa ON sa.doc_id = cand.id_a
+      JOIN sets sb ON sb.doc_id = cand.id_b
+    ),
+    sweep AS (
+      SELECT t.threshold, p.id_a, p.id_b
+      FROM (SELECT unnest([{thresholds}]) AS threshold) t
+      JOIN pairs p ON p.j >= t.threshold
+    ),
+    docs_hit AS (
+      SELECT threshold, id_a AS d FROM sweep
+      UNION
+      SELECT threshold, id_b AS d FROM sweep
+    ),
+    np AS (SELECT threshold, COUNT(*) AS n_pairs FROM sweep GROUP BY threshold),
+    nd AS (SELECT threshold, COUNT(*) AS n_docs FROM docs_hit GROUP BY threshold)
+    SELECT t.threshold,
+           CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(nd.n_docs, 0) AS BIGINT) AS n_docs_affected
+    FROM (SELECT unnest([{thresholds}]) AS threshold) t
+    LEFT JOIN np ON np.threshold = t.threshold
+    LEFT JOIN nd ON nd.threshold = t.threshold
+    ORDER BY t.threshold
+    """
+
+
+@_q("neardup_policy_sweep", _sql_neardup_sweep())
+def q_neardup_policy_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import normalize_text, word_tokens
+    from ..operators.dedup import lsh_band_buckets, minhash_signatures
+
+    docs = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES
+    ).localCheckpoint(eager=False)
+    buckets = lsh_band_buckets(sigs, "doc_id", _NUM_HASHES, _BAND_SIZE)
+    a = buckets.select("band_idx", "band_hash", F.col("doc_id").alias("id_a"))
+    b = buckets.select("band_idx", "band_hash", F.col("doc_id").alias("id_b"))
+    cand = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = docs.select(
+        "doc_id", word_tokens(normalize_text(F.col("text"))).alias("_toks")
+    ).select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(size(_toks) - 2, 1)),"
+                " i -> array_join(slice(_toks, i, 3), ' '))"
+            )
+        ).alias("st"),
+    ).localCheckpoint(eager=False)
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("st").alias("st_a"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("st").alias("st_b"))
+    inter = F.size(F.array_intersect("st_a", "st_b"))
+    union = F.size("st_a") + F.size("st_b") - inter
+    pairs = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / union, 6).alias("j"),
+        )
+        .localCheckpoint(eager=False)  # pair counts + doc counts share it
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in _SWEEP_THRESHOLDS], "threshold double"
+    )
+    sweep = F.broadcast(thr).join(pairs, F.col("j") >= F.col("threshold"))
+    docs_hit = (
+        sweep.select("threshold", F.col("id_a").alias("d"))
+        .unionByName(sweep.select("threshold", F.col("id_b").alias("d")))
+        .distinct()
+    )
+    np_ = sweep.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    nd_ = docs_hit.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        thr.join(np_, "threshold", "left")
+        .join(nd_, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce(F.col("n_pairs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.coalesce(F.col("n_docs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_affected"),
+        )
+        .orderBy("threshold")
+    )
