@@ -1312,7 +1312,7 @@ def _sql_neardup_sweep() -> str:
     ),
     sweep AS (
       SELECT t.threshold, p.id_a, p.id_b
-      FROM (SELECT unnest([{thresholds}]) AS threshold) t
+      FROM (SELECT CAST(unnest([{thresholds}]) AS DOUBLE) AS threshold) t
       JOIN pairs p ON p.j >= t.threshold
     ),
     docs_hit AS (
@@ -1325,7 +1325,7 @@ def _sql_neardup_sweep() -> str:
     SELECT t.threshold,
            CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
            CAST(COALESCE(nd.n_docs, 0) AS BIGINT) AS n_docs_affected
-    FROM (SELECT unnest([{thresholds}]) AS threshold) t
+    FROM (SELECT CAST(unnest([{thresholds}]) AS DOUBLE) AS threshold) t
     LEFT JOIN np ON np.threshold = t.threshold
     LEFT JOIN nd ON nd.threshold = t.threshold
     ORDER BY t.threshold
