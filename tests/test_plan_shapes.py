@@ -177,6 +177,23 @@ _DEGLOBALIZED = (
     "deterministic_ids",
 )
 
+# round-8 additions whose window usage must stay per-doc/per-query
+# partitioned (gaps-and-islands, per-query top-k) — never global
+_R8_WINDOWED = (
+    "repeated_substring_spans",
+    "ann_recall_report",
+    "bm25_topk",
+    "kneser_ney_bigram",
+    "minhash_jaccard_calibration",
+    "neardup_policy_sweep",
+    "embedding_covariance_pairs",
+    "cms_join_size_estimate",
+    "prediction_calibration_report",
+    "corpus_datasheet",
+    "table_profile_lineitem",
+    "closeness_centrality_sampled",
+)
+
 
 def test_no_single_partition_window_over_raw_tables(spark):
     """No headline query, and none of the de-globalized registry
@@ -189,7 +206,9 @@ def test_no_single_partition_window_over_raw_tables(spark):
 
     qs = all_queries()
     offenders = {}
-    for name in dict.fromkeys(list(bench.HEADLINE) + list(_DEGLOBALIZED)):
+    for name in dict.fromkeys(
+        list(bench.HEADLINE) + list(_DEGLOBALIZED) + list(_R8_WINDOWED)
+    ):
         bad = _raw_global_windows(qs[name](spark, SF_SMOKE))
         if bad:
             offenders[name] = bad[0][:120]
