@@ -943,3 +943,102 @@ def q_closeness_centrality_sampled(
         )
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Diameter estimation by double BFS sweep (the standard lower-bound
+# heuristic, cf. Magnien-Latapy-Habib 2009): BFS from a canonical
+# start (min node), hop to the farthest node found, BFS again from
+# there — the second eccentricity is a diameter lower bound that is
+# exact on trees and empirically tight on real graphs. Two
+# level-synchronous BFS loops (one join + one anti-join per round,
+# the bfs_hop_distance discipline); the only driver traffic is the
+# farthest-node argmax (1 row) between sweeps. All-pairs BFS would be
+# O(n*m) — the sweep is 2 BFS runs at ANY graph size.
+_DIAM_MAX_HOPS = 12
+
+
+def _sql_diameter() -> str:
+    return f"""
+    WITH RECURSIVE {_SQL_EDGES.strip()},
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    start AS (SELECT MIN(node) AS s FROM nodes),
+    r1(node, hop) AS (
+      SELECT s, 0 FROM start
+      UNION
+      SELECT e.dst, r.hop + 1
+      FROM r1 r JOIN edges e ON e.src = r.node
+      WHERE r.hop < {_DIAM_MAX_HOPS}
+    ),
+    d1 AS (SELECT node, MIN(hop) AS h FROM r1 GROUP BY node),
+    far AS (
+      SELECT node AS f FROM d1
+      ORDER BY h DESC, node LIMIT 1
+    ),
+    r2(node, hop) AS (
+      SELECT f, 0 FROM far
+      UNION
+      SELECT e.dst, r.hop + 1
+      FROM r2 r JOIN edges e ON e.src = r.node
+      WHERE r.hop < {_DIAM_MAX_HOPS}
+    ),
+    d2 AS (SELECT node, MIN(hop) AS h FROM r2 GROUP BY node)
+    SELECT (SELECT CAST(s AS BIGINT) FROM start) AS start_node,
+           (SELECT CAST(MAX(h) AS BIGINT) FROM d1) AS ecc_start,
+           (SELECT CAST(f AS BIGINT) FROM far) AS far_node,
+           (SELECT CAST(MAX(h) AS BIGINT) FROM d2) AS diameter_lb,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM d1) AS component_size
+    """
+
+
+def _bfs_from(edges: DataFrame, seed_df: DataFrame, max_hops: int) -> DataFrame:
+    """Level-synchronous BFS from the (1-row) seed frame; returns
+    (node, d) min-hop distances within the hop cap."""
+    dist = seed_df.select(
+        F.col("node"), F.lit(0).cast("bigint").alias("d")
+    ).localCheckpoint()
+    frontier = dist.select("node")
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("d", F.lit(k).cast("bigint"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return dist
+
+
+@_q("graph_diameter_sweep", _sql_diameter())
+def q_graph_diameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eu = _undirected_edges(spark, sf_dir)
+    edges = (
+        eu.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(eu.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    start = nodes.agg(F.min("node").alias("node"))
+    d1 = _bfs_from(edges, start, _DIAM_MAX_HOPS)
+    far = d1.orderBy(F.desc("d"), F.asc("node")).limit(1).select("node")
+    d2 = _bfs_from(edges, far, _DIAM_MAX_HOPS)
+    return (
+        start.select(F.col("node").cast("bigint").alias("start_node"))
+        .join(F.broadcast(d1.agg(F.max("d").alias("ecc_start"))))
+        .join(
+            F.broadcast(
+                far.select(F.col("node").cast("bigint").alias("far_node"))
+            )
+        )
+        .join(F.broadcast(d2.agg(F.max("d").alias("diameter_lb"))))
+        .join(
+            F.broadcast(
+                d1.agg(F.count(F.lit(1)).cast("bigint").alias("component_size"))
+            )
+        )
+    )

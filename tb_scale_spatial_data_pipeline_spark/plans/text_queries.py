@@ -1400,3 +1400,97 @@ def q_neardup_policy_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+# ---------------------------------------------------------------------------
+# Query-likelihood ranking with Dirichlet smoothing (Ponte-Croft 1998;
+# Zhai-Lafferty 2001, mu=2000 the standard default scaled to the
+# fixture's short docs) — the language-model ranker that completes the
+# retrieval triad (tf-idf: inverted_index_search, BM25: bm25_topk):
+# score(q, d) = sum_t ln((tf_t,d + mu*P(t|C)) / (dl_d + mu)).
+# Unlike tf-idf/BM25, every doc scores against every query term (the
+# collection model backs off missing terms), so the ranked set is ALL
+# docs — the plan still only shuffles the query-term postings, the
+# collection LM is two broadcast scalars per term, and dl rides the
+# same one-aggregate table as BM25. Fixed per-term expression order,
+# ln of one ratio of exact-integer-derived doubles, round(...,6).
+_QL_TERMS = ("merge", "filter", "group")
+_QL_MU = 100.0  # Dirichlet prior, sized to the fixture's ~60-token docs
+
+
+def _sql_ql_dirichlet() -> str:
+    terms = ", ".join(f"'{x}'" for x in _QL_TERMS)
+    tf_cols = ", ".join(
+        f"SUM(CASE WHEN tok = '{x}' THEN 1 ELSE 0 END) AS tf_{x}"
+        for x in _QL_TERMS
+    )
+    cf_cols = ", ".join(
+        f"SUM(CASE WHEN tok = '{x}' THEN 1 ELSE 0 END) AS cf_{x}"
+        for x in _QL_TERMS
+    )
+    score = " + ".join(
+        f"ln((COALESCE(tf_{x}, 0) + {_QL_MU} * (cf_{x} / (SELECT n_tok FROM coll)))"
+        f" / (dl + {_QL_MU}))"
+        for x in _QL_TERMS
+    )
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+      FROM documents
+    ), nonempty AS MATERIALIZED (
+      SELECT doc_id, tok FROM toks WHERE tok <> ''
+    ),
+    dls AS (SELECT doc_id, COUNT(*) AS dl FROM nonempty GROUP BY doc_id),
+    coll AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_tok FROM nonempty),
+    cfs AS (SELECT {cf_cols} FROM nonempty WHERE tok IN ({terms})),
+    tfs AS (
+      SELECT doc_id, {tf_cols} FROM nonempty WHERE tok IN ({terms})
+      GROUP BY doc_id
+    )
+    SELECT dls.doc_id, round({score}, 6) AS ql_score
+    FROM dls LEFT JOIN tfs ON tfs.doc_id = dls.doc_id, cfs
+    ORDER BY ql_score DESC, dls.doc_id LIMIT 20
+    """
+
+
+@_q("query_likelihood_dirichlet", _sql_ql_dirichlet())
+def q_query_likelihood_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("tok"),
+    ).where(F.col("tok") != "").localCheckpoint(eager=False)  # dl + cf + tf
+    dls = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    coll = toks.agg(F.count(F.lit(1)).cast("double").alias("n_tok"))
+    hits = toks.where(F.col("tok").isin(*_QL_TERMS))
+    cfs = hits.agg(
+        *[
+            F.sum(F.when(F.col("tok") == x, 1).otherwise(0)).alias(f"cf_{x}")
+            for x in _QL_TERMS
+        ]
+    )
+    tfs = hits.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("tok") == x, 1).otherwise(0)).alias(f"tf_{x}")
+            for x in _QL_TERMS
+        ]
+    )
+    score = None
+    for x in _QL_TERMS:
+        term = F.log(
+            (
+                F.coalesce(F.col(f"tf_{x}"), F.lit(0))
+                + F.lit(_QL_MU) * (F.col(f"cf_{x}") / F.col("n_tok"))
+            )
+            / (F.col("dl") + F.lit(_QL_MU))
+        )
+        score = term if score is None else score + term
+    return (
+        dls.join(tfs, "doc_id", "left")
+        .join(F.broadcast(cfs))
+        .join(F.broadcast(coll))
+        .select("doc_id", F.round(score, 6).alias("ql_score"))
+        .orderBy(F.desc("ql_score"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -192,6 +192,8 @@ _R8_WINDOWED = (
     "corpus_datasheet",
     "table_profile_lineitem",
     "closeness_centrality_sampled",
+    "query_likelihood_dirichlet",
+    "graph_diameter_sweep",
 )
 
 

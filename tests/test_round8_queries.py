@@ -376,3 +376,83 @@ def test_ann_recall_report_replay(spark):
     assert r["total_hits"] == hits
     assert r["recall_at_10"] == round(hits / (10 * len(qids)), 6)
     assert r["mean_bucket_candidates"] == round(total_c / len(qids), 6)
+
+
+def test_query_likelihood_dirichlet_replay(spark):
+    """Top-20 Dirichlet QL scores equal a pure-Python replay, and
+    every doc scores (collection-model backoff) unlike BM25's
+    matched-only set."""
+    terms = ("merge", "filter", "group")
+    mu = 100.0
+    rows = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    toks = {
+        r["doc_id"]: [t for t in re.split(r"[^a-z0-9]+", r["text"].lower()) if t]
+        for r in rows
+    }
+    n_tok = float(sum(len(ts) for ts in toks.values()))
+    cf = {x: sum(ts.count(x) for ts in toks.values()) for x in terms}
+
+    def ql(d):
+        dl = len(toks[d])
+        return sum(
+            math.log((toks[d].count(x) + mu * (cf[x] / n_tok)) / (dl + mu))
+            for x in terms
+        )
+
+    scored = sorted(
+        ((d, round(ql(d), 6)) for d in toks), key=lambda t: (-t[1], t[0])
+    )[:20]
+    got = [
+        (r["doc_id"], r["ql_score"])
+        for r in all_queries()["query_likelihood_dirichlet"](
+            spark, SF_SMOKE
+        ).collect()
+    ]
+    assert got == scored
+
+
+def test_graph_diameter_sweep_replay(spark):
+    """Double-sweep outputs equal a deque-BFS replay, and the second
+    eccentricity dominates the first (the sweep's defining
+    inequality)."""
+    from collections import deque
+
+    from tb_scale_spatial_data_pipeline_spark.plans.graph_queries import (
+        _undirected_edges,
+    )
+
+    eu = _undirected_edges(spark, SF_SMOKE).collect()
+    adj = defaultdict(set)
+    for r in eu:
+        adj[r["u"]].add(r["v"])
+        adj[r["v"]].add(r["u"])
+
+    def bfs(s):
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            if dist[u] >= 12:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        return dist
+
+    start = min(adj)
+    d1 = bfs(start)
+    ecc1 = max(d1.values())
+    far = min(n for n, h in d1.items() if h == ecc1)
+    d2 = bfs(far)
+    r = all_queries()["graph_diameter_sweep"](spark, SF_SMOKE).collect()[0]
+    assert (
+        r["start_node"],
+        r["ecc_start"],
+        r["far_node"],
+        r["diameter_lb"],
+        r["component_size"],
+    ) == (start, ecc1, far, max(d2.values()), len(d1))
+    assert r["diameter_lb"] >= r["ecc_start"]
