@@ -105,3 +105,83 @@ def q_max_ndvi_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return argmax_composite(
         px, ["x", "y"], "ndvi", ["l_orderkey", "l_linenumber", "b1", "b2"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Zonal majority filter — the standard LULC post-classification step
+# (cf. reference 1_pixel_classification: per-zone modal class smooths
+# salt-and-pepper pixel labels): classify the synthetic field into
+# coarse bands, then per 16x16 zone emit the MAJORITY class
+# (deterministic tie-break: min class among max counts) and its
+# purity. Plan: one projection classifies (no shuffle), one groupBy
+# (zone, class) with map-side partials, and the |zones|x|classes|
+# count table resolves the argmax — pixels shuffle once as counts.
+# Determinism seam: the trig field is round(,6)-ed BEFORE the coarse
+# floor(/60) banding, the same continuous-blend rounding that makes
+# the r6 raster oracles hash-exact; band boundaries (multiples of 60)
+# are not attained by the rounded field on this grid.
+def _sql_zonal_majority() -> str:
+    # field(x, y) for synthetic_raster(64, 64, bands=1, seed=42) —
+    # expression-for-expression the same as _sql_terrain's z()
+    fld = (
+        "(sin(CAST(x AS DOUBLE) / 10.0) * 40.0"
+        " + cos(CAST(y AS DOUBLE) / 12.0) * 40.0 + 100.0"
+        " + CASE WHEN (CAST(x AS DOUBLE) - 35.0) * (CAST(x AS DOUBLE) - 35.0)"
+        "        + (CAST(y AS DOUBLE) - 30.0) * (CAST(y AS DOUBLE) - 30.0)"
+        "        < 400.0 THEN 80.0 ELSE 0.0 END)"
+    )
+    return f"""
+    WITH px AS (
+      SELECT x.i AS x, y.i AS y,
+             CAST(floor(round({fld.replace('x', 'x.i').replace('y', 'y.i')}, 6)
+                        / 60.0) AS BIGINT) AS cls
+      FROM unnest(generate_series(0, 63)) AS x(i),
+           unnest(generate_series(0, 63)) AS y(i)
+    ), counts AS (
+      SELECT x // 16 AS zone_x, y // 16 AS zone_y, cls, COUNT(*) AS c
+      FROM px GROUP BY 1, 2, 3
+    ), mx AS (
+      SELECT zone_x, zone_y, MAX(c) AS mc, SUM(c) AS zone_px
+      FROM counts GROUP BY 1, 2
+    )
+    SELECT CAST(c.zone_x AS BIGINT) AS zone_x,
+           CAST(c.zone_y AS BIGINT) AS zone_y,
+           CAST(MIN(c.cls) AS BIGINT) AS majority_class,
+           CAST(MAX(m.mc) AS BIGINT) AS class_px,
+           round(CAST(MAX(m.mc) AS DOUBLE) / MAX(m.zone_px), 6) AS purity
+    FROM counts c JOIN mx m ON m.zone_x = c.zone_x AND m.zone_y = c.zone_y
+                           AND c.c = m.mc
+    GROUP BY c.zone_x, c.zone_y
+    ORDER BY zone_x, zone_y
+    """
+
+
+@_q("zonal_majority_filter", _sql_zonal_majority())
+def q_zonal_majority_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..raster.tiles import synthetic_raster
+
+    px = synthetic_raster(spark, 64, 64, bands=1)
+    classified = px.select(
+        (F.col("x") / 16).cast("bigint").alias("zone_x"),
+        (F.col("y") / 16).cast("bigint").alias("zone_y"),
+        F.floor(F.round(F.col("b1"), 6) / 60.0).cast("bigint").alias("cls"),
+    )
+    counts = classified.groupBy("zone_x", "zone_y", "cls").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mx = counts.groupBy("zone_x", "zone_y").agg(
+        F.max("c").alias("mc"), F.sum("c").alias("zone_px")
+    )
+    return (
+        counts.join(mx, ["zone_x", "zone_y"])
+        .where(F.col("c") == F.col("mc"))
+        .groupBy("zone_x", "zone_y")
+        .agg(
+            F.min("cls").cast("bigint").alias("majority_class"),
+            F.max("mc").cast("bigint").alias("class_px"),
+            F.round(
+                F.max("mc").cast("double") / F.max("zone_px"), 6
+            ).alias("purity"),
+        )
+        .orderBy("zone_x", "zone_y")
+    )

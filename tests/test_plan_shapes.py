@@ -194,6 +194,7 @@ _R8_WINDOWED = (
     "closeness_centrality_sampled",
     "query_likelihood_dirichlet",
     "graph_diameter_sweep",
+    "zonal_majority_filter",
 )
 
 
