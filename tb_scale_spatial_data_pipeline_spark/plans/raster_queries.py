@@ -185,3 +185,64 @@ def q_zonal_majority_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zone_x", "zone_y")
     )
+
+
+# ---------------------------------------------------------------------------
+# D8 flow direction over the synthetic DEM — the hydrology primitive
+# after slope/aspect; Spark side runs the REAL halo-tiled focal
+# kernel (raster/kernels.d8_flow_tiles), the oracle recomputes every
+# clamped neighbor elevation from the closed-form field (the r6
+# raster-oracle technique). The discontinuous argmax is made
+# engine-stable by rounding drops to the 6-dp lattice with an
+# EXPLICIT half-away expression (sign*floor(abs*1e6+0.5)/1e6) in both
+# engines, then tie-breaking to the smallest direction code.
+def _sql_d8_flow() -> str:
+    def z(xx: str, yy: str) -> str:
+        cx = f"least(greatest({xx}, 0), 63)"
+        cy = f"least(greatest({yy}, 0), 63)"
+        return (
+            f"(sin(CAST({cx} AS DOUBLE) / 10.0) * 40.0"
+            f" + cos(CAST({cy} AS DOUBLE) / 12.0) * 40.0 + 100.0"
+            f" + CASE WHEN (CAST({cx} AS DOUBLE) - 35.0) * (CAST({cx} AS DOUBLE) - 35.0)"
+            f"        + (CAST({cy} AS DOUBLE) - 30.0) * (CAST({cy} AS DOUBLE) - 30.0)"
+            f"        < 400.0 THEN 80.0 ELSE 0.0 END)"
+        )
+
+    raw = f"(({z('p.x', 'p.y')}) - ({z('p.x + d.dx', 'p.y + d.dy')})) / d.dist"
+    return f"""
+    WITH px AS (
+      SELECT x.i AS x, y.i AS y
+      FROM unnest(generate_series(0, 63)) AS x(i),
+           unnest(generate_series(0, 63)) AS y(i)
+    ),
+    dirs(code, dy, dx, dist) AS (
+      VALUES (1, 0, 1, 1.0), (2, 1, 1, sqrt(2.0)), (4, 1, 0, 1.0),
+             (8, 1, -1, sqrt(2.0)), (16, 0, -1, 1.0),
+             (32, -1, -1, sqrt(2.0)), (64, -1, 0, 1.0),
+             (128, -1, 1, sqrt(2.0))
+    ),
+    drops AS (
+      SELECT p.x, p.y, d.code,
+             sign({raw}) * floor(abs({raw}) * 1000000.0 + 0.5)
+               / 1000000.0 AS drop6
+      FROM px p CROSS JOIN dirs d
+    ),
+    agg AS (SELECT x, y, MAX(drop6) AS mx FROM drops GROUP BY x, y)
+    SELECT CAST(a.x AS INT) AS x, CAST(a.y AS INT) AS y,
+           CAST(CASE WHEN a.mx > 0
+                THEN (SELECT MIN(code) FROM drops dd
+                      WHERE dd.x = a.x AND dd.y = a.y AND dd.drop6 = a.mx)
+                ELSE 0 END AS INT) AS flow_dir,
+           CASE WHEN a.mx > 0 THEN a.mx ELSE 0.0 END AS max_drop
+    FROM agg a ORDER BY x, y
+    """
+
+
+@_q("raster_d8_flow", _sql_d8_flow())
+def q_raster_d8_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..raster.kernels import d8_flow_tiles
+    from ..raster.tiles import halo_duplicate, synthetic_raster
+
+    img = synthetic_raster(spark, 64, 64, bands=1)
+    tiled = halo_duplicate(img, tile_size=32, halo=1)
+    return d8_flow_tiles(tiled, "b1").orderBy("x", "y")

@@ -479,3 +479,71 @@ def terrain_tiles(
     return tiled.groupBy("tile_x", "tile_y").applyInPandas(
         kernel, schema=out_schema
     )
+
+
+# ESRI D8 direction codes, ascending: E, SE, S, SW, W, NW, N, NE.
+_D8 = (
+    (1, 0, 1, 1.0),
+    (2, 1, 1, math.sqrt(2.0)),
+    (4, 1, 0, 1.0),
+    (8, 1, -1, math.sqrt(2.0)),
+    (16, 0, -1, 1.0),
+    (32, -1, -1, math.sqrt(2.0)),
+    (64, -1, 0, 1.0),
+    (128, -1, 1, math.sqrt(2.0)),
+)
+
+
+def _round_half_away(v: np.ndarray, dp: int = 6) -> np.ndarray:
+    """round() with SQL semantics (half away from zero) — np.round is
+    half-even, which would disagree with Spark/DuckDB at exact .5
+    boundaries."""
+    s = 10.0**dp
+    return np.sign(v) * np.floor(np.abs(v) * s + 0.5) / s
+
+
+def d8_flow_tiles(
+    tiled: DataFrame, dem_col: str = "b1", cellsize: float = 1.0
+) -> DataFrame:
+    """D8 flow direction (O'Callaghan-Mark 1984; ESRI code layout):
+    per pixel, the direction of steepest POSITIVE descent among the 8
+    neighbors — drop = (z - z_n) / dist — or 0 for pits/flats. The
+    hydrology primitive that follows slope/aspect in any DEM stack.
+
+    Focal contract: 3×3 stencil → halo ≥ 1, tile-origin invariant
+    (same as terrain_tiles). Determinism: drops are rounded to 6 dp
+    (half-away, the engines' round()) BEFORE the argmax, and ties at
+    6 dp resolve to the SMALLEST direction code in every engine — the
+    discontinuous argmax is taken over a deterministic lattice, the
+    same discipline as the relabel/banding queries.
+    """
+    out_schema = "x int, y int, flow_dir int, max_drop double"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        stack, x0, y0, core = _tile_to_arrays(pdf, [dem_col])
+        z = stack[:, :, 0]
+        zp = np.pad(z, 1, mode="edge")
+        h, w = z.shape
+        best = np.full(z.shape, -np.inf)
+        bdir = np.zeros(z.shape, dtype=np.int64)
+        for code, dy, dx, dist in _D8:  # ascending code + strict > ⇒
+            zn = zp[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+            drop = _round_half_away((z - zn) / (dist * cellsize))
+            upd = drop > best  # smallest code wins ties
+            best = np.where(upd, drop, best)
+            bdir = np.where(upd, code, bdir)
+        flow = np.where(best > 0, bdir, 0)
+        md = np.where(best > 0, best, 0.0)
+        ys, xs = np.nonzero(core)
+        return pd.DataFrame(
+            {
+                "x": xs + x0,
+                "y": ys + y0,
+                "flow_dir": flow[ys, xs].astype("int32"),
+                "max_drop": md[ys, xs],
+            }
+        )
+
+    return tiled.groupBy("tile_x", "tile_y").applyInPandas(
+        kernel, schema=out_schema
+    )

@@ -195,6 +195,7 @@ _R8_WINDOWED = (
     "query_likelihood_dirichlet",
     "graph_diameter_sweep",
     "zonal_majority_filter",
+    "raster_d8_flow",
 )
 
 

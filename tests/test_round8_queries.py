@@ -456,3 +456,51 @@ def test_graph_diameter_sweep_replay(spark):
         r["component_size"],
     ) == (start, ecc1, far, max(d2.values()), len(d1))
     assert r["diameter_lb"] >= r["ecc_start"]
+
+
+def test_d8_flow_tile_invariance_and_replay(spark):
+    """D8 flow is tile-origin invariant (halo contract) and equals a
+    direct numpy replay over the whole field, including the
+    smallest-code tie-break and the pit/flat zero."""
+    from tb_scale_spatial_data_pipeline_spark.raster.kernels import (
+        _D8,
+        _round_half_away,
+        d8_flow_tiles,
+    )
+    from tb_scale_spatial_data_pipeline_spark.raster.tiles import (
+        halo_duplicate,
+        synthetic_raster,
+    )
+
+    img = synthetic_raster(spark, 48, 48, bands=1)
+
+    def run(tile, halo):
+        out = d8_flow_tiles(halo_duplicate(img, tile, halo), "b1")
+        return {
+            (r["x"], r["y"]): (r["flow_dir"], r["max_drop"])
+            for r in out.collect()
+        }
+
+    a = run(16, 1)
+    b = run(24, 2)
+    keys = [k for k in a if 1 <= k[0] <= 46 and 1 <= k[1] <= 46]
+    assert keys and all(a[k] == b[k] for k in keys)
+
+    # full-field numpy replay (edge-clamped pad, ascending codes)
+    pdf = img.toPandas()
+    z = np.full((48, 48), np.nan)
+    for _, r in pdf.iterrows():
+        z[int(r["y"]), int(r["x"])] = r["b1"]
+    zp = np.pad(z, 1, mode="edge")
+    best = np.full(z.shape, -np.inf)
+    bdir = np.zeros(z.shape, dtype=int)
+    for code, dy, dx, dist in _D8:
+        zn = zp[1 + dy : 49 + dy, 1 + dx : 49 + dx]
+        drop = _round_half_away((z - zn) / dist)
+        upd = drop > best
+        best = np.where(upd, drop, best)
+        bdir = np.where(upd, code, bdir)
+    for (x, y), (fd, md) in a.items():
+        want_fd = bdir[y, x] if best[y, x] > 0 else 0
+        want_md = best[y, x] if best[y, x] > 0 else 0.0
+        assert fd == want_fd and md == want_md, (x, y)
