@@ -246,3 +246,89 @@ def q_raster_d8_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     img = synthetic_raster(spark, 64, 64, bands=1)
     tiled = halo_duplicate(img, tile_size=32, halo=1)
     return d8_flow_tiles(tiled, "b1").orderBy("x", "y")
+
+
+# ---------------------------------------------------------------------------
+# Per-tile histogram equalization — the contrast-enhancement sibling
+# of percentile_stretch (P8): remap each pixel value to
+# (255 * cdf) // n within its tile, then report the equalized 16-bin
+# histogram per tile (the flatness of which is the point of the op).
+# Everything stays on the integer lattice: values enter as the
+# round(,6) field (the continuous-blend seam), the CDF is a
+# cumulative COUNT over the per-tile DISTINCT-value table (a bounded
+# frame — |distinct values| per tile, never pixels), and the remap is
+# integer floor division — no float division anywhere, so both
+# engines agree exactly. At scale the only pixel-grain work is one
+# groupBy into (tile, value) counts with map-side partials.
+def _sql_hist_equalization() -> str:
+    fld = (
+        "(sin(CAST(x.i AS DOUBLE) / 10.0) * 40.0"
+        " + cos(CAST(y.i AS DOUBLE) / 12.0) * 40.0 + 100.0"
+        " + CASE WHEN (CAST(x.i AS DOUBLE) - 35.0) * (CAST(x.i AS DOUBLE) - 35.0)"
+        "        + (CAST(y.i AS DOUBLE) - 30.0) * (CAST(y.i AS DOUBLE) - 30.0)"
+        "        < 400.0 THEN 80.0 ELSE 0.0 END)"
+    )
+    return f"""
+    WITH px AS (
+      SELECT x.i // 32 AS tile_x, y.i // 32 AS tile_y,
+             round({fld}, 6) AS v6
+      FROM unnest(generate_series(0, 63)) AS x(i),
+           unnest(generate_series(0, 63)) AS y(i)
+    ), counts AS (
+      SELECT tile_x, tile_y, v6, COUNT(*) AS c
+      FROM px GROUP BY 1, 2, 3
+    ), cdf AS (
+      SELECT tile_x, tile_y, v6, c,
+             SUM(c) OVER (PARTITION BY tile_x, tile_y ORDER BY v6) AS cum,
+             SUM(c) OVER (PARTITION BY tile_x, tile_y) AS n
+      FROM counts
+    ), eq AS (
+      SELECT tile_x, tile_y, (255 * cum) // n AS eqv, c FROM cdf
+    )
+    SELECT CAST(tile_x AS BIGINT) AS tile_x,
+           CAST(tile_y AS BIGINT) AS tile_y,
+           CAST(eqv // 16 AS BIGINT) AS bin,
+           CAST(SUM(c) AS BIGINT) AS n_px
+    FROM eq GROUP BY 1, 2, 3 ORDER BY tile_x, tile_y, bin
+    """
+
+
+@_q("raster_hist_equalization", _sql_hist_equalization())
+def q_raster_hist_equalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..raster.tiles import synthetic_raster
+
+    px = synthetic_raster(spark, 64, 64, bands=1).select(
+        F.floor(F.col("x") / 32).alias("tile_x"),
+        F.floor(F.col("y") / 32).alias("tile_y"),
+        F.round(F.col("b1"), 6).alias("v6"),
+    )
+    counts = px.groupBy("tile_x", "tile_y", "v6").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("tile_x", "tile_y")
+        .orderBy("v6")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("tile_x", "tile_y")
+    cdf = counts.select(
+        "tile_x",
+        "tile_y",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    eq = cdf.select(
+        "tile_x", "tile_y", F.expr("(255 * cum) div n").alias("eqv"), "c"
+    )
+    return (
+        eq.groupBy(
+            F.col("tile_x").cast("bigint").alias("tile_x"),
+            F.col("tile_y").cast("bigint").alias("tile_y"),
+            F.expr("eqv div 16").cast("bigint").alias("bin"),
+        )
+        .agg(F.sum("c").cast("bigint").alias("n_px"))
+        .orderBy("tile_x", "tile_y", "bin")
+    )

@@ -7,7 +7,7 @@ on rectangles (rows-only + pytest identity).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.geometry import (
@@ -614,4 +614,111 @@ def q_zonal_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("mean_val"),
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grid-blocked spatial KNN join: for every customer point, the k=3
+# nearest supplier points among the 3x3 neighboring grid cells — the
+# scale form of a spatial nearest-neighbor join (same candidate
+# semantics as spatial_bbox_join_blocked and the LSH tiers: the cell
+# join bounds candidates, and the envelope — exact when the true
+# k-NN radius <= cell size — is part of the operator contract, not a
+# bug). Coordinates live on the integer lattice, so every distance^2
+# is an exact BIGINT and ranking ties break on (dist2, supplier id)
+# identically in both engines. Plan: points explode x9 neighbor
+# cells (row-local), one equi-join on the cell key, per-point window
+# — no all-pairs distance computation anywhere.
+_KNN_CELL = 10
+_KNN_K = 3
+
+
+def _sql_spatial_knn() -> str:
+    return f"""
+    WITH a AS (
+      SELECT c_custkey AS a_id,
+             c_custkey % 40 AS ax, c_custkey % 30 AS ay
+      FROM customer
+    ), b AS (
+      SELECT s_suppkey AS b_id,
+             (s_suppkey * 7) % 40 AS bx, (s_suppkey * 11) % 30 AS by
+      FROM supplier
+    ), bc AS (
+      SELECT b_id, bx, by, bx // {_KNN_CELL} AS cx, by // {_KNN_CELL} AS cy
+      FROM b
+    ), probes AS (
+      SELECT a.a_id, a.ax, a.ay,
+             ax // {_KNN_CELL} + dx.i AS cx, ay // {_KNN_CELL} + dy.i AS cy
+      FROM a, unnest(generate_series(-1, 1)) AS dx(i),
+             unnest(generate_series(-1, 1)) AS dy(i)
+    ), cand AS (
+      SELECT p.a_id, bc.b_id,
+             (p.ax - bc.bx) * (p.ax - bc.bx)
+             + (p.ay - bc.by) * (p.ay - bc.by) AS dist2
+      FROM probes p JOIN bc ON bc.cx = p.cx AND bc.cy = p.cy
+    ), ranked AS (
+      SELECT a_id, b_id, dist2,
+             row_number() OVER (PARTITION BY a_id
+                                ORDER BY dist2, b_id) AS rn
+      FROM cand
+    )
+    SELECT a_id, CAST(rn AS INT) AS rn, b_id, CAST(dist2 AS BIGINT) AS dist2
+    FROM ranked WHERE rn <= {_KNN_K}
+    """
+
+
+@_q("spatial_knn_join", _sql_spatial_knn())
+def q_spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    a = cust.select(
+        F.col("c_custkey").alias("a_id"),
+        (F.col("c_custkey") % 40).alias("ax"),
+        (F.col("c_custkey") % 30).alias("ay"),
+    )
+    b = supp.select(
+        F.col("s_suppkey").alias("b_id"),
+        ((F.col("s_suppkey") * 7) % 40).alias("bx"),
+        ((F.col("s_suppkey") * 11) % 30).alias("by"),
+    ).select(
+        "b_id",
+        "bx",
+        "by",
+        F.floor(F.col("bx") / _KNN_CELL).alias("cx"),
+        F.floor(F.col("by") / _KNN_CELL).alias("cy"),
+    )
+    probes = a.select(
+        "a_id",
+        "ax",
+        "ay",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1),"
+                " dx -> transform(sequence(-1, 1),"
+                " dy -> struct(dx AS dx, dy AS dy))))"
+            )
+        ).alias("d"),
+    ).select(
+        "a_id",
+        "ax",
+        "ay",
+        (F.floor(F.col("ax") / _KNN_CELL) + F.col("d.dx")).alias("cx"),
+        (F.floor(F.col("ay") / _KNN_CELL) + F.col("d.dy")).alias("cy"),
+    )
+    dist2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    cand = probes.join(F.broadcast(b), ["cx", "cy"]).select(
+        "a_id", "b_id", dist2.alias("dist2")
+    )
+    w = Window.partitionBy("a_id").orderBy("dist2", "b_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KNN_K)
+        .select(
+            "a_id",
+            F.col("rn").cast("int").alias("rn"),
+            "b_id",
+            F.col("dist2").cast("bigint").alias("dist2"),
+        )
     )

@@ -196,6 +196,8 @@ _R8_WINDOWED = (
     "graph_diameter_sweep",
     "zonal_majority_filter",
     "raster_d8_flow",
+    "spatial_knn_join",
+    "raster_hist_equalization",
 )
 
 

@@ -504,3 +504,53 @@ def test_d8_flow_tile_invariance_and_replay(spark):
         want_fd = bdir[y, x] if best[y, x] > 0 else 0
         want_md = best[y, x] if best[y, x] > 0 else 0.0
         assert fd == want_fd and md == want_md, (x, y)
+
+
+def test_spatial_knn_join_replay(spark):
+    """Blocked KNN equals a brute-force replay RESTRICTED to the same
+    3x3-cell candidate set (the documented envelope), with integer
+    distances and (dist2, b_id) tie-break."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").select(
+        "c_custkey"
+    ).collect()
+    supp = spark.read.parquet(f"{SF_SMOKE}/supplier.parquet").select(
+        "s_suppkey"
+    ).collect()
+    bs = [
+        (r["s_suppkey"], (r["s_suppkey"] * 7) % 40, (r["s_suppkey"] * 11) % 30)
+        for r in supp
+    ]
+    expect = {}
+    for r in cust:
+        a = r["c_custkey"]
+        ax, ay = a % 40, a % 30
+        cellx, celly = ax // 10, ay // 10
+        cand = [
+            (bid, (ax - bx) ** 2 + (ay - by) ** 2)
+            for bid, bx, by in bs
+            if abs(bx // 10 - cellx) <= 1 and abs(by // 10 - celly) <= 1
+        ]
+        cand.sort(key=lambda t: (t[1], t[0]))
+        for i, (bid, d2) in enumerate(cand[:3], 1):
+            expect[(a, i)] = (bid, d2)
+    got = {
+        (r["a_id"], r["rn"]): (r["b_id"], r["dist2"])
+        for r in all_queries()["spatial_knn_join"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_hist_equalization_flattens(spark):
+    """Equalized per-tile histograms are near-uniform (that's the
+    point of the op): every tile's 16 bins each hold 32x32/16 = 64
+    pixels up to CDF-granularity slack, and bins partition the tile."""
+    out = all_queries()["raster_hist_equalization"](spark, SF_SMOKE).collect()
+    per_tile = defaultdict(dict)
+    for r in out:
+        per_tile[(r["tile_x"], r["tile_y"])][r["bin"]] = r["n_px"]
+    assert len(per_tile) == 4
+    for tile, bins in per_tile.items():
+        assert sum(bins.values()) == 32 * 32, tile
+        # near-uniform: no bin more than 2x the ideal 64 (the field is
+        # smooth, so distinct-value granularity is fine-grained)
+        assert max(bins.values()) <= 128, (tile, bins)
