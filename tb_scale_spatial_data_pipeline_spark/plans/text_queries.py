@@ -1179,15 +1179,16 @@ def _sql_minhash_calibration() -> str:
     """
 
 
-@_q("minhash_jaccard_calibration", _sql_minhash_calibration())
-def q_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_verified_inputs(spark: SparkSession, sf_dir: str):
+    """Shared machinery for the sketch-verification queries
+    (minhash_jaccard_calibration, neardup_policy_sweep): LSH-banded
+    candidate pairs plus the per-doc signature and distinct
+    word-3-shingle-set tables, each computed once behind a lazy
+    checkpoint. Returns (cand, sigs, sets)."""
     from ..functions.text import normalize_text, word_tokens
     from ..operators.dedup import lsh_band_buckets, minhash_signatures
 
     docs = t(spark, sf_dir, "documents")
-    # signatures computed ONCE, shared by banding and the component
-    # comparison (localCheckpoint: the barrier the shared-subtree pass
-    # established for every self-join consumer)
     sigs = minhash_signatures(
         docs, "doc_id", "text", num_hashes=_NUM_HASHES
     ).localCheckpoint(eager=False)
@@ -1200,10 +1201,8 @@ def q_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("id_a", "id_b")
         .distinct()
     )
-    # per-doc feature table: signature columns + the distinct
-    # word-3-shingle set (same construction the signatures hash;
-    # greatest(n-2, 1) keeps short docs one-shingle) — ONE table, so
-    # each pair side needs one join, not two
+    # distinct word-3-shingle sets, the same construction the
+    # signatures hash (greatest(n-2, 1) keeps short docs one-shingle)
     sets = docs.select(
         "doc_id", word_tokens(normalize_text(F.col("text"))).alias("_toks")
     ).select(
@@ -1214,7 +1213,15 @@ def q_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
                 " i -> array_join(slice(_toks, i, 3), ' '))"
             )
         ).alias("st"),
-    )
+    ).localCheckpoint(eager=False)
+    return cand, sigs, sets
+
+
+@_q("minhash_jaccard_calibration", _sql_minhash_calibration())
+def q_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand, sigs, sets = _lsh_verified_inputs(spark, sf_dir)
+    # per-doc feature table: signature columns + shingle set in ONE
+    # table, so each pair side needs one join, not two
     feat = sigs.join(sets, "doc_id").localCheckpoint(eager=False)
     feat_a = feat.select(
         F.col("doc_id").alias("id_a"),
@@ -1334,33 +1341,7 @@ def _sql_neardup_sweep() -> str:
 
 @_q("neardup_policy_sweep", _sql_neardup_sweep())
 def q_neardup_policy_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import normalize_text, word_tokens
-    from ..operators.dedup import lsh_band_buckets, minhash_signatures
-
-    docs = t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(
-        docs, "doc_id", "text", num_hashes=_NUM_HASHES
-    ).localCheckpoint(eager=False)
-    buckets = lsh_band_buckets(sigs, "doc_id", _NUM_HASHES, _BAND_SIZE)
-    a = buckets.select("band_idx", "band_hash", F.col("doc_id").alias("id_a"))
-    b = buckets.select("band_idx", "band_hash", F.col("doc_id").alias("id_b"))
-    cand = (
-        a.join(b, ["band_idx", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    sets = docs.select(
-        "doc_id", word_tokens(normalize_text(F.col("text"))).alias("_toks")
-    ).select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, greatest(size(_toks) - 2, 1)),"
-                " i -> array_join(slice(_toks, i, 3), ' '))"
-            )
-        ).alias("st"),
-    ).localCheckpoint(eager=False)
+    cand, _sigs, sets = _lsh_verified_inputs(spark, sf_dir)
     sa = sets.select(F.col("doc_id").alias("id_a"), F.col("st").alias("st_a"))
     sb = sets.select(F.col("doc_id").alias("id_b"), F.col("st").alias("st_b"))
     inter = F.size(F.array_intersect("st_a", "st_b"))
