@@ -114,3 +114,78 @@ def oriented_triangles(edges: DataFrame, by_degree: bool = True) -> DataFrame:
             F.col("a1").alias("a"), F.col("b1").alias("b"), F.col("c2").alias("c")
         )
     )
+
+
+def functional_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_pow: int = 20,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Descendant closure of a FUNCTIONAL graph — out-degree ≤ 1,
+    acyclic (a forest of paths/trees pointing at roots, e.g. a D8
+    hydrology flow grid, a parent-pointer hierarchy, a next-version
+    chain). Output: every ``(src, dst)`` pair with ``dst`` strictly
+    downstream of ``src``.
+
+    Pointer doubling, NOT wavefront: ``close`` holds all pairs at
+    distance in [1, 2^k] and ``far`` the node at distance exactly 2^k;
+    each round composes both with themselves, so a maximum path length
+    of L needs ceil(log2 L) rounds — a 53-step flow path closes in 6
+    rounds where per-hop propagation (the recursive-CTE shape) takes
+    53. Each round is two equi-joins + a union, lineage truncated by
+    localCheckpoint; convergence = ``far`` empty (every 2^k-jump ran
+    off the end of its path), checked with one driver-side count.
+
+    Unique-decomposition invariant: out-degree ≤ 1 means every
+    (ancestor, descendant) pair has exactly ONE distance, and the
+    round-k extension emits exactly the pairs at distance in
+    (2^k, 2^(k+1)] — so ``close`` never holds duplicates and needs no
+    distinct().
+
+    Scale envelope: the closure itself is the output — O(sum of path
+    lengths) rows. Right whenever downstream consumers need per-pair
+    rows (accumulation counts, ancestry joins) and path lengths are
+    bounded (drainage basins, org charts, version chains). For
+    million-step chains where only aggregates are needed, the
+    contraction family (Euler-tour / tree contraction) replaces the
+    closure; documented rather than implemented — no registry caller
+    has that shape. Exhausting ``max_pow`` (default depth 2^20) raises:
+    a functional graph that deep almost certainly has a cycle, and a
+    silent partial closure would corrupt downstream counts.
+    """
+    close = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    far = close
+    rounds = 0
+    converged = False
+    for _ in range(max_pow):
+        if far.isEmpty():
+            converged = True
+            break
+        rounds += 1
+        f_u = far.select(F.col("src").alias("_u"), F.col("dst").alias("_m"))
+        ext = (
+            f_u.join(close, F.col("_m") == F.col("src"))
+            .select(F.col("_u").alias("src"), F.col("dst"))
+        )
+        close = close.unionByName(ext).localCheckpoint(eager=True)
+        far = (
+            f_u.join(far, F.col("_m") == F.col("src"))
+            .select(F.col("_u").alias("src"), F.col("dst"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        converged = far.isEmpty()
+    if stats is not None:
+        stats["rounds"] = rounds
+    if not converged:
+        raise RuntimeError(
+            f"functional_closure did not converge within max_pow={max_pow} "
+            "doubling rounds (path length > 2^max_pow); the graph likely "
+            "has a cycle — a functional closure is only defined on acyclic "
+            "out-degree-<=1 graphs"
+        )
+    return close

@@ -332,3 +332,139 @@ def q_raster_hist_equalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").cast("bigint").alias("n_px"))
         .orderBy("tile_x", "tile_y", "bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# D8 flow ACCUMULATION — the hydrology step after flow direction
+# (O'Callaghan-Mark 1984; ESRI Flow Accumulation): per cell, the
+# number of upstream cells whose flow path drains through it. The
+# flow graph has out-degree <= 1 and strictly-descending elevations
+# along every edge (drop6 > 0 ⟹ z strictly decreases), so it is an
+# acyclic functional forest and the closure is well-defined.
+#
+# Spark plan: the REAL halo-tiled focal kernel produces flow_dir
+# (same plan as raster_d8_flow), a projection maps direction codes to
+# (dx, dy) and keeps only in-grid targets (border cells whose
+# steepest clamped drop points off-grid drain off the map), then
+# operators/graphs.functional_closure builds every
+# (upstream, downstream) pair by POINTER DOUBLING — ceil(log2 L)
+# rounds (6 for this field's 53-step longest path) instead of the
+# L-round per-hop wavefront — and one count-by-target aggregation
+# yields the accumulation. All integers end-to-end: cell ids are
+# x*64+y, the count is exact; the only float work is inside the
+# already-hash-proven flow-direction kernel.
+#
+# Oracle: DuckDB recomputes flow_dir from the closed-form clamped
+# field (the raster_d8_flow oracle, verbatim CTEs) and walks the
+# closure with a recursive CTE — per-hop, fine at oracle scale; the
+# doubling operator is the 100 TB shape.
+def _sql_d8_flow_accum() -> str:
+    def z(xx: str, yy: str) -> str:
+        cx = f"least(greatest({xx}, 0), 63)"
+        cy = f"least(greatest({yy}, 0), 63)"
+        return (
+            f"(sin(CAST({cx} AS DOUBLE) / 10.0) * 40.0"
+            f" + cos(CAST({cy} AS DOUBLE) / 12.0) * 40.0 + 100.0"
+            f" + CASE WHEN (CAST({cx} AS DOUBLE) - 35.0) * (CAST({cx} AS DOUBLE) - 35.0)"
+            f"        + (CAST({cy} AS DOUBLE) - 30.0) * (CAST({cy} AS DOUBLE) - 30.0)"
+            f"        < 400.0 THEN 80.0 ELSE 0.0 END)"
+        )
+
+    raw = f"(({z('p.x', 'p.y')}) - ({z('p.x + d.dx', 'p.y + d.dy')})) / d.dist"
+    return f"""
+    WITH RECURSIVE px AS (
+      SELECT x.i AS x, y.i AS y
+      FROM unnest(generate_series(0, 63)) AS x(i),
+           unnest(generate_series(0, 63)) AS y(i)
+    ),
+    dirs(code, dy, dx, dist) AS (
+      VALUES (1, 0, 1, 1.0), (2, 1, 1, sqrt(2.0)), (4, 1, 0, 1.0),
+             (8, 1, -1, sqrt(2.0)), (16, 0, -1, 1.0),
+             (32, -1, -1, sqrt(2.0)), (64, -1, 0, 1.0),
+             (128, -1, 1, sqrt(2.0))
+    ),
+    drops AS (
+      SELECT p.x, p.y, d.code,
+             sign({raw}) * floor(abs({raw}) * 1000000.0 + 0.5)
+               / 1000000.0 AS drop6
+      FROM px p CROSS JOIN dirs d
+    ),
+    agg AS (SELECT x, y, MAX(drop6) AS mx FROM drops GROUP BY x, y),
+    flow AS (
+      SELECT a.x, a.y,
+             CASE WHEN a.mx > 0
+                  THEN (SELECT MIN(code) FROM drops dd
+                        WHERE dd.x = a.x AND dd.y = a.y AND dd.drop6 = a.mx)
+                  ELSE 0 END AS fd
+      FROM agg a
+    ),
+    edges AS (
+      SELECT f.x * 64 + f.y AS src,
+             (f.x + d.dx) * 64 + (f.y + d.dy) AS dst
+      FROM flow f JOIN dirs d ON d.code = f.fd
+      WHERE f.fd > 0
+        AND f.x + d.dx BETWEEN 0 AND 63
+        AND f.y + d.dy BETWEEN 0 AND 63
+    ),
+    up AS (
+      SELECT src, dst FROM edges
+      UNION ALL
+      SELECT u.src, e.dst FROM up u JOIN edges e ON e.src = u.dst
+    ),
+    acc AS (SELECT dst, COUNT(*) AS c FROM up GROUP BY dst)
+    SELECT CAST(p.x AS INT) AS x, CAST(p.y AS INT) AS y,
+           CAST(COALESCE(a.c, 0) AS BIGINT) AS flow_acc
+    FROM px p LEFT JOIN acc a ON a.dst = p.x * 64 + p.y
+    ORDER BY x, y
+    """
+
+
+@_q("d8_flow_accumulation", _sql_d8_flow_accum())
+def q_d8_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graphs import functional_closure
+    from ..raster.kernels import d8_flow_tiles
+    from ..raster.tiles import halo_duplicate, synthetic_raster
+
+    img = synthetic_raster(spark, 64, 64, bands=1)
+    tiled = halo_duplicate(img, tile_size=32, halo=1)
+    # the focal kernel is the expensive subtree and feeds both the edge
+    # derivation and the output grid — materialize it once
+    flow = d8_flow_tiles(tiled, "b1").localCheckpoint(eager=False)
+    dx = (
+        "CASE flow_dir WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 128 THEN 1 "
+        "WHEN 8 THEN -1 WHEN 16 THEN -1 WHEN 32 THEN -1 ELSE 0 END"
+    )
+    dy = (
+        "CASE flow_dir WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 1 "
+        "WHEN 32 THEN -1 WHEN 64 THEN -1 WHEN 128 THEN -1 ELSE 0 END"
+    )
+    edges = (
+        flow.filter(F.col("flow_dir") > 0)
+        .select(
+            (F.col("x") * 64 + F.col("y")).alias("src"),
+            ((F.col("x") + F.expr(dx)) * 64 + (F.col("y") + F.expr(dy))).alias(
+                "dst"
+            ),
+            (F.col("x") + F.expr(dx)).alias("_tx"),
+            (F.col("y") + F.expr(dy)).alias("_ty"),
+        )
+        .filter(F.col("_tx").between(0, 63) & F.col("_ty").between(0, 63))
+        .select("src", "dst")
+    )
+    acc = functional_closure(edges).groupBy("dst").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return (
+        flow.select(
+            F.col("x").cast("int").alias("x"),
+            F.col("y").cast("int").alias("y"),
+            (F.col("x") * 64 + F.col("y")).alias("_id"),
+        )
+        .join(acc, F.col("_id") == F.col("dst"), "left")
+        .select(
+            "x",
+            "y",
+            F.coalesce(F.col("_c"), F.lit(0)).cast("bigint").alias("flow_acc"),
+        )
+        .orderBy("x", "y")
+    )

@@ -554,3 +554,101 @@ def test_hist_equalization_flattens(spark):
         # near-uniform: no bin more than 2x the ideal 64 (the field is
         # smooth, so distinct-value granularity is fine-grained)
         assert max(bins.values()) <= 128, (tile, bins)
+
+
+def test_functional_closure_chain_tree_and_cycle(spark):
+    """Pointer-doubling closure on a known chain and a known tree
+    equals the brute-force transitive closure; a cycle raises instead
+    of silently emitting a partial closure."""
+    from tb_scale_spatial_data_pipeline_spark.operators.graphs import (
+        functional_closure,
+    )
+
+    # chain 0 -> 1 -> ... -> 9 (length 10 needs 4 doubling rounds)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src bigint, dst bigint"
+    )
+    stats: dict = {}
+    got = {
+        (r["src"], r["dst"])
+        for r in functional_closure(chain, stats=stats).collect()
+    }
+    want = {(i, j) for i in range(9) for j in range(i + 1, 10)}
+    assert got == want
+    assert stats["rounds"] <= 4  # log2(9) rounds, not 9
+
+    # tree: 1->0, 2->0, 3->1, 4->1, 5->3  (parent pointers)
+    tree = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1), (5, 3)], "src bigint, dst bigint"
+    )
+    got_t = {
+        (r["src"], r["dst"]) for r in functional_closure(tree).collect()
+    }
+    want_t = {
+        (1, 0), (2, 0), (3, 1), (3, 0), (4, 1), (4, 0),
+        (5, 3), (5, 1), (5, 0),
+    }
+    assert got_t == want_t
+
+    cyc = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src bigint, dst bigint"
+    )
+    with pytest.raises(RuntimeError, match="cycle"):
+        functional_closure(cyc, max_pow=4)
+
+
+def test_d8_flow_accumulation_replay(spark):
+    """Flow accumulation equals a direct per-cell path walk over the
+    numpy-replayed flow grid — every cell's count is the number of
+    upstream cells whose descent path drains through it — and the
+    conservation identity holds: the total accumulation equals the
+    sum of all path lengths."""
+    from tb_scale_spatial_data_pipeline_spark.plans import all_queries
+
+    out = {
+        (r["x"], r["y"]): r["flow_acc"]
+        for r in all_queries()["d8_flow_accumulation"](spark, SF_SMOKE).collect()
+    }
+    assert len(out) == 64 * 64
+
+    from tb_scale_spatial_data_pipeline_spark.raster.kernels import (
+        _D8,
+        _round_half_away,
+    )
+    from tb_scale_spatial_data_pipeline_spark.raster.tiles import (
+        synthetic_raster,
+    )
+
+    pdf = synthetic_raster(spark, 64, 64, bands=1).toPandas()
+    z = np.full((64, 64), np.nan)
+    for _, r in pdf.iterrows():
+        z[int(r["y"]), int(r["x"])] = r["b1"]
+    zp = np.pad(z, 1, mode="edge")
+    best = np.full(z.shape, -np.inf)
+    bdx = np.zeros(z.shape, dtype=int)
+    bdy = np.zeros(z.shape, dtype=int)
+    for code, dy, dx, dist in _D8:
+        zn = zp[1 + dy : 65 + dy, 1 + dx : 65 + dx]
+        drop = _round_half_away((z - zn) / dist)
+        upd = drop > best
+        best = np.where(upd, drop, best)
+        bdx = np.where(upd, dx, bdx)
+        bdy = np.where(upd, dy, bdy)
+    nxt = {}
+    for yy in range(64):
+        for xx in range(64):
+            if best[yy, xx] > 0:
+                tx, ty = xx + bdx[yy, xx], yy + bdy[yy, xx]
+                if 0 <= tx < 64 and 0 <= ty < 64:
+                    nxt[(xx, yy)] = (tx, ty)
+    acc: defaultdict = defaultdict(int)
+    total_path = 0
+    for cell in list(nxt):
+        cur = cell
+        while cur in nxt:
+            cur = nxt[cur]
+            acc[cur] += 1
+            total_path += 1
+    for k, v in out.items():
+        assert v == acc.get(k, 0), k
+    assert sum(out.values()) == total_path
