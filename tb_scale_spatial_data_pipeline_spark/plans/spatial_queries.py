@@ -722,3 +722,210 @@ def q_spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist2").cast("bigint").alias("dist2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid-blocked DBSCAN (Ester et al. 1996) over hash-scattered customer
+# points — the density clustering every spatial/embedding pipeline
+# reaches for after KNN. Deterministic variant: core points are exact
+# (>= minPts points within eps, self included); clusters are connected
+# components of the core-core eps-graph labelled by MIN core id; each
+# border point joins the MIN cluster label among its core neighbors
+# (classic DBSCAN leaves border assignment scan-order-dependent — min
+# makes it partition-invariant, the same determinism upgrade as the
+# relabel/survivorship queries); the rest is noise.
+#
+# Density normalization: coordinates are md5-hash uniforms over an
+# S x S space where S steps with the table size (40/125/400/1250 for
+# n <= 200/2e3/2e4/beyond), holding density at ~0.094 pts/site so the
+# SAME (eps, minPts) stays meaningful at every fixture scale — the
+# fixture-side analogue of sizing shuffle partitions to the input.
+#
+# Plan (the 100 TB shape): points explode x9 neighbor cells
+# (cell = 4 >= eps, row-local), ONE equi-join on the cell key bounds
+# candidates — no all-pairs distances anywhere; neighbor counts are
+# one groupBy with map-side partials; the core-core component
+# resolution is large-star/small-star contraction (O(log n) rounds —
+# near-percolation DBSCAN components are long and snaky, the exact
+# shape min-label's O(diameter) loop loses); border assignment is one
+# more equi-join + min. Oracle walks the identical pair graph with a
+# WITH RECURSIVE min-label closure.
+_DBSCAN_EPS2 = 13  # eps = sqrt(13) ~ 3.61
+_DBSCAN_MINPTS = 5
+_DBSCAN_CELL = 4
+
+
+def _sql_grid_dbscan() -> str:
+    bucket1 = "CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 4)) AS INTEGER)"
+    bucket2 = "CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 5, 4)) AS INTEGER)"
+    return f"""
+    WITH RECURSIVE params AS (
+      SELECT CASE WHEN COUNT(*) <= 200 THEN 40
+                  WHEN COUNT(*) <= 2000 THEN 125
+                  WHEN COUNT(*) <= 20000 THEN 400
+                  ELSE 1250 END AS s
+      FROM customer
+    ),
+    pts AS MATERIALIZED (
+      SELECT c_custkey AS id, {bucket1} % p.s AS x, {bucket2} % p.s AS y
+      FROM customer, params p
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.id AS a_id, b.id AS b_id
+      FROM pts a JOIN pts b
+        ON b.x BETWEEN a.x - 3 AND a.x + 3
+       AND b.y BETWEEN a.y - 3 AND a.y + 3
+      WHERE a.id <> b.id
+        AND (a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y) <= {_DBSCAN_EPS2}
+    ),
+    core AS MATERIALIZED (
+      SELECT a_id AS id FROM pairs GROUP BY a_id
+      HAVING COUNT(*) + 1 >= {_DBSCAN_MINPTS}
+    ),
+    ce AS MATERIALIZED (
+      SELECT p.a_id AS s, p.b_id AS d
+      FROM pairs p
+      JOIN core c1 ON c1.id = p.a_id
+      JOIN core c2 ON c2.id = p.b_id
+    ),
+    reach(node, lbl) AS (
+      SELECT DISTINCT s, s FROM ce
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN ce e ON e.s = r.node
+      WHERE r.lbl < e.d
+    ),
+    complbl AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node),
+    corelbl AS (
+      SELECT c.id, COALESCE(l.lbl, c.id) AS cluster_id
+      FROM core c LEFT JOIN complbl l ON l.node = c.id
+    ),
+    borderlbl AS (
+      SELECT p.a_id AS id, MIN(cl.cluster_id) AS cluster_id
+      FROM pairs p JOIN corelbl cl ON cl.id = p.b_id
+      WHERE p.a_id NOT IN (SELECT id FROM core)
+      GROUP BY p.a_id
+    )
+    SELECT CAST(pt.id AS BIGINT) AS id,
+           CAST(pt.x AS INT) AS x, CAST(pt.y AS INT) AS y,
+           CASE WHEN c.cluster_id IS NOT NULL THEN 'core'
+                WHEN b.cluster_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(COALESCE(c.cluster_id, b.cluster_id) AS BIGINT) AS cluster_id
+    FROM pts pt
+    LEFT JOIN corelbl c ON c.id = pt.id
+    LEFT JOIN borderlbl b ON b.id = pt.id
+    ORDER BY id
+    """
+
+
+@_q("grid_dbscan_clusters", _sql_grid_dbscan())
+def q_grid_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components_star
+
+    cust = t(spark, sf_dir, "customer")
+    md5s = F.md5(F.col("c_custkey").cast("string"))
+    h = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.conv(F.substring(md5s, 1, 4), 16, 10).cast("int").alias("h1"),
+        F.conv(F.substring(md5s, 5, 4), 16, 10).cast("int").alias("h2"),
+    )
+    s = cust.agg(F.count(F.lit(1)).alias("_n")).select(
+        F.expr(
+            "CASE WHEN _n <= 200 THEN 40 WHEN _n <= 2000 THEN 125 "
+            "WHEN _n <= 20000 THEN 400 ELSE 1250 END"
+        ).alias("_s")
+    )
+    # points feed probes, targets, and the final labelling — one scan
+    pts = (
+        h.crossJoin(F.broadcast(s))
+        .select(
+            "id",
+            (F.col("h1") % F.col("_s")).alias("x"),
+            (F.col("h2") % F.col("_s")).alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tgt = pts.select(
+        F.col("id").alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.expr(f"x div {_DBSCAN_CELL}").alias("cx"),
+        F.expr(f"y div {_DBSCAN_CELL}").alias("cy"),
+    )
+    probes = pts.select(
+        F.col("id").alias("a_id"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1),"
+                " dx -> transform(sequence(-1, 1),"
+                " dy -> struct(dx AS dx, dy AS dy))))"
+            )
+        ).alias("d"),
+    ).select(
+        "a_id",
+        "ax",
+        "ay",
+        (F.expr(f"ax div {_DBSCAN_CELL}") + F.col("d.dx")).alias("cx"),
+        (F.expr(f"ay div {_DBSCAN_CELL}") + F.col("d.dy")).alias("cy"),
+    )
+    dist2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    pairs = (
+        probes.join(tgt, ["cx", "cy"])
+        .filter((F.col("a_id") != F.col("b_id")) & (dist2 <= _DBSCAN_EPS2))
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    core = (
+        pairs.groupBy("a_id")
+        .agg((F.count(F.lit(1)) + 1).alias("k"))
+        .filter(F.col("k") >= _DBSCAN_MINPTS)
+        .select(F.col("a_id").alias("id"))
+        .localCheckpoint(eager=False)
+    )
+    core_edges = (
+        pairs.join(core.select(F.col("id").alias("a_id")), "a_id")
+        .join(core.select(F.col("id").alias("b_id")), "b_id")
+        .select("a_id", "b_id")
+    )
+    # near-percolation density makes DBSCAN components long and snaky
+    # (diameter in the hundreds at sf0.1) — star contraction's
+    # O(log n) rounds, not min-label's O(diameter)
+    comp = connected_components_star(core_edges, "a_id", "b_id")
+    corelbl = (
+        core.join(comp, core["id"] == comp["node"], "left")
+        .select("id", F.coalesce("cluster_id", "id").alias("cluster_id"))
+        .localCheckpoint(eager=False)
+    )
+    borderlbl = (
+        pairs.join(
+            corelbl.select(
+                F.col("id").alias("b_id"), F.col("cluster_id").alias("_bcl")
+            ),
+            "b_id",
+        )
+        .join(core.select(F.col("id").alias("a_id")), "a_id", "left_anti")
+        .groupBy("a_id")
+        .agg(F.min("_bcl").alias("_blbl"))
+    )
+    return (
+        pts.join(
+            corelbl.select("id", F.col("cluster_id").alias("_clbl")), "id", "left"
+        )
+        .join(borderlbl, pts["id"] == borderlbl["a_id"], "left")
+        .select(
+            F.col("id").cast("bigint").alias("id"),
+            F.col("x").cast("int").alias("x"),
+            F.col("y").cast("int").alias("y"),
+            F.when(F.col("_clbl").isNotNull(), "core")
+            .when(F.col("_blbl").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce("_clbl", "_blbl").cast("bigint").alias("cluster_id"),
+        )
+        .orderBy("id")
+    )

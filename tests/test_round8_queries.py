@@ -652,3 +652,75 @@ def test_d8_flow_accumulation_replay(spark):
     for k, v in out.items():
         assert v == acc.get(k, 0), k
     assert sum(out.values()) == total_path
+
+
+def test_grid_dbscan_replay(spark):
+    """grid_dbscan_clusters equals a brute-force all-pairs DBSCAN
+    replay (union-find components, min-label clusters, min-core-label
+    borders) — pinning that the x9 cell blocking loses no neighbor
+    pair and the deterministic role/label assignment is exact."""
+    import hashlib
+    import itertools
+
+    out = {
+        r["id"]: (r["x"], r["y"], r["role"], r["cluster_id"])
+        for r in all_queries()["grid_dbscan_clusters"](spark, SF_SMOKE).collect()
+    }
+    n = len(out)
+    s = 40 if n <= 200 else 125 if n <= 2000 else 400
+
+    pts = {}
+    for cid in out:
+        hx = hashlib.md5(str(cid).encode()).hexdigest()
+        pts[cid] = (int(hx[0:4], 16) % s, int(hx[4:8], 16) % s)
+    # the query's coordinates must BE these hash coordinates
+    for cid, (x, y, _, _) in out.items():
+        assert pts[cid] == (x, y), cid
+
+    nb = {i: [] for i in pts}
+    for i, j in itertools.combinations(pts, 2):
+        (xi, yi), (xj, yj) = pts[i], pts[j]
+        if (xi - xj) ** 2 + (yi - yj) ** 2 <= 13:
+            nb[i].append(j)
+            nb[j].append(i)
+    core = {i for i in pts if 1 + len(nb[i]) >= 5}
+    parent = {c: c for c in core}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for c in core:
+        for o in nb[c]:
+            if o in core:
+                ra, rb = find(c), find(o)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    lbl = {}
+    for c in core:
+        root = find(c)
+        lbl[root] = min(lbl.get(root, root), c)
+    want = {}
+    for i in pts:
+        if i in core:
+            want[i] = ("core", min(c for c in core if find(c) == find(i)))
+        else:
+            cn = [find(o) for o in nb[i] if o in core]
+            if cn:
+                want[i] = (
+                    "border",
+                    min(
+                        min(c for c in core if find(c) == r) for r in cn
+                    ),
+                )
+            else:
+                want[i] = ("noise", None)
+    roles = {"core": 0, "border": 0, "noise": 0}
+    for i, (_, _, role, cl) in out.items():
+        assert (role, cl) == want[i], (i, (role, cl), want[i])
+        roles[role] += 1
+    # nonvacuity: all three roles and more than one cluster
+    assert min(roles.values()) > 0
+    assert len({cl for _, (_, _, ro, cl) in out.items() if ro == "core"}) > 1
