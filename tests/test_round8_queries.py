@@ -724,3 +724,42 @@ def test_grid_dbscan_replay(spark):
     # nonvacuity: all three roles and more than one cluster
     assert min(roles.values()) > 0
     assert len({cl for _, (_, _, ro, cl) in out.items() if ro == "core"}) > 1
+
+
+def test_grid_dbscan_blocking_envelope():
+    """The x9 neighbor-cell blocking is lossless only while
+    cell >= eps — a pair at distance <= eps can then span at most one
+    cell boundary per axis, so every eps-neighbor of a point lives in
+    its 3x3 cell neighborhood. Guard the constants against refactors
+    that would silently drop neighbor pairs."""
+    from tb_scale_spatial_data_pipeline_spark.plans.spatial_queries import (
+        _DBSCAN_CELL,
+        _DBSCAN_EPS2,
+        _DBSCAN_MINPTS,
+    )
+
+    assert _DBSCAN_CELL * _DBSCAN_CELL >= _DBSCAN_EPS2
+    assert _DBSCAN_MINPTS >= 2
+
+
+def test_grid_dbscan_partition_invariance(spark):
+    """The deterministic labelling claim: role and cluster_id per
+    point are identical under a different shuffle layout (the classic
+    DBSCAN border assignment is scan-order-dependent; the min-label
+    variant must not be)."""
+    base = {
+        (r["id"]): (r["role"], r["cluster_id"])
+        for r in all_queries()["grid_dbscan_clusters"](spark, SF_SMOKE).collect()
+    }
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        alt = {
+            (r["id"]): (r["role"], r["cluster_id"])
+            for r in all_queries()["grid_dbscan_clusters"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert alt == base
