@@ -245,3 +245,21 @@ def test_silhouette_broadcasts_centroids(spark):
     p = plan_of(spark, "cluster_silhouette_report")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_grid_dbscan_candidate_bounded(spark):
+    """DBSCAN must stay cell-equi-join-blocked: a CartesianProduct
+    means points x points distances. The only nested-loop-shaped join
+    allowed is the 1-row grid-side broadcast (the design-rule bound
+    for BroadcastNestedLoopJoin is <=~10-row bound tables)."""
+    p = plan_of(spark, "grid_dbscan_clusters")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_d8_flow_accumulation_no_cartesian(spark):
+    """The pointer-doubling closure must be equi-join rounds on the
+    successor key — a CartesianProduct would be cells x cells."""
+    p = plan_of(spark, "d8_flow_accumulation")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
