@@ -178,7 +178,18 @@ def functional_closure(
             .localCheckpoint(eager=True)
         )
     else:
-        converged = far.isEmpty()
+        # far non-empty after max_pow rounds is NOT by itself failure:
+        # when the longest path is exactly 2^max_pow, far still holds
+        # those (already-in-close) endpoint pairs. The closure is
+        # complete iff extending far one hop through close yields
+        # nothing — every far endpoint is a root with no outgoing edge.
+        if far.isEmpty():
+            converged = True
+        else:
+            f_u = far.select(F.col("src").alias("_u"), F.col("dst").alias("_m"))
+            converged = f_u.join(
+                close, F.col("_m") == F.col("src")
+            ).isEmpty()
     if stats is not None:
         stats["rounds"] = rounds
     if not converged:

@@ -83,9 +83,16 @@ def _derived_num_ranges(
         est = int(keyproj._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
         return floor
-    if est == sentinel:
+    # The size-only estimator propagates the defaultSizeInBytes sentinel
+    # THROUGH operators: Project scales it by a column-width ratio (< 1)
+    # and Join multiplies child sizes, so a stats-less input can surface
+    # as ~1e18 without ever equalling the sentinel exactly. Treat any
+    # estimate in the sentinel's order of magnitude as "unknown", and cap
+    # the derived count so a bad estimate can never request billions of
+    # range partitions.
+    if est >= sentinel // 2:
         return floor
-    return max(floor, math.ceil(est / target_range_bytes))
+    return min(max(floor, math.ceil(est / target_range_bytes)), 100_000)
 
 
 def ntile_cut_positions(n: int, k: int) -> list[int]:

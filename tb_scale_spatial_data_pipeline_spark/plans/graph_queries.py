@@ -859,7 +859,10 @@ def q_hub_removal_resilience(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multi-source BFS carries (seed, node, hop) — per round ONE edge join
 # + ONE anti-join against the settled set, frontier rows bounded by
 # |seeds|×|nodes| — then closeness(s) = reached/Σd and harmonic(s) =
-# Σ 1/d fold per seed.
+# Σ 1/d fold per seed. The node%10 seed rule is a FIXTURE ratio (keeps
+# the oracle deterministic); at scale fix the seed COUNT (e.g. 64
+# hash-chosen seeds), not the fraction — a constant fraction makes the
+# frontier state Θ(|V|²/10) and defeats the point of sampling.
 #
 # Exactness: hops are integers ≤ 8, and every 1/d with d ≤ 8 is an
 # exact multiple of 1/840 (lcm(1..8)), so the harmonic sum runs on

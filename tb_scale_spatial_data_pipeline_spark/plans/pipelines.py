@@ -1020,4 +1020,5 @@ ORACLES["stream_windowed_distinct_hll"] = """
                            / (s_used + (256 - used) * CAST(2199023255552 AS BIGINT))
                       END, 4) AS hll_users
     FROM sk
+    ORDER BY wstart
     """

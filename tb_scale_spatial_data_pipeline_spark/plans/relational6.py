@@ -791,22 +791,11 @@ def q_topk_per_group_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Raw-array twin of topk_per_group_array: same computation but the
-# top-name list stays a typed array<string> column (rows-only check —
-# array cells aren't hashable by the external canonicalizer).
-@_q("topk_per_group_array_raw", None)
-def q_topk_per_group_array_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = t(spark, sf_dir, "part")
-    s = F.struct(
-        F.col("p_retailprice").alias("p_retailprice"),
-        F.col("p_partkey").alias("p_partkey"),
-        F.col("p_name").alias("p_name"),
-    )
-    top = F.slice(F.reverse(F.array_sort(F.collect_list(s))), 1, 3)
-    return part.groupBy("p_brand").agg(
-        F.transform(top, lambda x: x.getField("p_name")).alias("top_names"),
-        F.element_at(top, 1).getField("p_retailprice").cast("double").alias("top_price"),
-    )
+# (A raw-array twin of topk_per_group_array was retired in round 9:
+# array<string> cells crash external row canonicalizers — pandas
+# sort_values cannot factorize list cells — so the typed-array shape
+# is untestable end-to-end. The '|'-joined string form above carries
+# the capability and is hash-checked.)
 
 
 # ---------------------------------------------------------------------------

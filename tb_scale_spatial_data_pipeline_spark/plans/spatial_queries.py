@@ -628,7 +628,11 @@ def q_zonal_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is an exact BIGINT and ranking ties break on (dist2, supplier id)
 # identically in both engines. Plan: points explode x9 neighbor
 # cells (row-local), one equi-join on the cell key, per-point window
-# — no all-pairs distance computation anywhere.
+# — no all-pairs distance computation anywhere. No broadcast hint on
+# the target side: at 100 TB BOTH sides of a spatial KNN are large,
+# and the cell equi-join must stay a shuffled hash join on the cell
+# key; Catalyst/AQE still auto-broadcasts when the target side is
+# genuinely small (as the fixture's supplier table is).
 _KNN_CELL = 10
 _KNN_K = 3
 
@@ -708,7 +712,7 @@ def q_spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
         F.col("ay") - F.col("by")
     ) * (F.col("ay") - F.col("by"))
-    cand = probes.join(F.broadcast(b), ["cx", "cy"]).select(
+    cand = probes.join(b, ["cx", "cy"]).select(
         "a_id", "b_id", dist2.alias("dist2")
     )
     w = Window.partitionBy("a_id").orderBy("dist2", "b_id")

@@ -672,4 +672,4 @@ def stream_windowed_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("wstart"),
         F.col("used").cast("bigint").alias("buckets_used"),
         F.round(est, 4).alias("hll_users"),
-    )
+    ).orderBy("wstart")
