@@ -22,6 +22,7 @@ from . import (
     graph_queries,
     media_queries,
     mlprep_queries,
+    olap_queries,
     pipelines,
     pq_queries,
     quality_queries,
@@ -66,6 +67,7 @@ _MODULES = (
     temporal_queries,
     sketch_queries,
     mlprep_queries,
+    olap_queries,
     quality_queries,
     corpus_queries,
     stats_queries,

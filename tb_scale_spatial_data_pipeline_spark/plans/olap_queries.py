@@ -1,0 +1,342 @@
+"""OLAP grouping-analytics batch: ROLLUP / CUBE / GROUPING SETS parity
+plus the recursive BOM-explosion shape and a window tie audit.
+
+SURVEY §2.3 names grouping sets / cube / rollup as the "free in Spark"
+aggregation family absent from the reference (the reference aggregates
+one grouping at a time — e.g. the per-pixel composite loops of
+0_preprocessing/feature_stacking.py:106-167 — where a warehouse engine
+computes every margin in one pass); this module gives that family
+first-class oracle-paired coverage.
+
+Cross-engine determinism notes specific to this family:
+
+- ``grouping_id()`` conventions AGREE between engines: Spark
+  ``grouping_id(a, b)`` and DuckDB ``GROUPING(a, b)`` both emit the
+  bitmask with ``a`` as the most significant bit (verified: rollup
+  emits {0, 1, 3}, cube {0, 1, 2, 3}). Cast to BIGINT on both sides.
+- Super-aggregate rows carry NULL group keys; both the Spark result
+  and the oracle COALESCE them to an out-of-domain sentinel ('ALL' /
+  -1) so row canonicalization never compares bare NULL keys, and the
+  grouping id keeps sentinel collisions impossible.
+- All measures are exact DECIMAL sums cast to double at the end (the
+  repo-wide convention) — margins are sums over disjoint leaf groups,
+  so partial-order independence matters twice here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import sql_davg, sql_dsum, t
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dec(col: str, p: int = 18, s: int = 2):
+    return F.col(col).cast(f"decimal({p},{s})")
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP over the pricing-summary dimensions: leaf groups plus the
+# per-returnflag margin plus the grand total, one pass. The Spark plan
+# is a single Expand + hash aggregate — the expand duplicates each
+# input row once per grouping set BUT map-side partial aggregation
+# collapses them before the (one) shuffle, so the 100 TB cost is the
+# same single shuffle as the plain groupBy, carrying |leaf groups| x
+# |sets| states instead of |rows| x |sets| rows.
+@_q(
+    "rollup_revenue_margins",
+    f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY gid, rf, ls
+    """,
+)
+def q_rollup_revenue_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    rev = (_dec("l_extendedprice") * (1 - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "gid",
+            "n",
+            "sum_qty",
+            "revenue",
+        )
+        .orderBy("gid", "rf", "ls")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE over order priority x status: all four margins (leaf, each
+# single-dimension rollup, grand total). Same Expand + single-shuffle
+# plan as ROLLUP — the extra grouping sets cost aggregate STATES, not
+# input passes; the dashboard query that would otherwise run 4 scans.
+@_q(
+    "cube_priority_status",
+    f"""
+    SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+           coalesce(o_orderstatus, 'ALL') AS st,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price,
+           {sql_davg('o_totalprice')} AS avg_price
+    FROM orders
+    GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    ORDER BY gid, pri, st
+    """,
+)
+def q_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+            (
+                F.sum(_dec("o_totalprice")).cast("double")
+                / F.count(F.col("o_totalprice"))
+            ).alias("avg_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("pri"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("st"),
+            "gid",
+            "n_orders",
+            "total_price",
+            "avg_price",
+        )
+        .orderBy("gid", "pri", "st")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS with heterogeneous sets — the report shape
+# CUBE can't express (brand totals, type totals, brand x size detail,
+# grand total; but NOT type x size). Spark exposes this through SQL
+# (GROUP BY GROUPING SETS), the one grouping surface the DataFrame API
+# lacks; the plan is the same Expand + single hash aggregate.
+@_q(
+    "grouping_sets_report",
+    f"""
+    SELECT coalesce(p_brand, 'ALL') AS brand,
+           coalesce(p_type, 'ALL') AS ptype,
+           coalesce(p_size, -1) AS psize,
+           CAST(GROUPING(p_brand, p_type, p_size) AS BIGINT) AS gid,
+           COUNT(*) AS n_parts,
+           {sql_davg('p_retailprice')} AS avg_price
+    FROM part
+    GROUP BY GROUPING SETS ((p_brand), (p_type), (p_brand, p_size), ())
+    ORDER BY gid, brand, ptype, psize
+    """,
+)
+def q_grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    part.createOrReplaceTempView("olap_part_v")
+    return spark.sql(
+        """
+        SELECT coalesce(p_brand, 'ALL') AS brand,
+               coalesce(p_type, 'ALL') AS ptype,
+               coalesce(p_size, -1) AS psize,
+               CAST(grouping_id(p_brand, p_type, p_size) AS BIGINT) AS gid,
+               COUNT(*) AS n_parts,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(p_retailprice) AS avg_price
+        FROM olap_part_v
+        GROUP BY GROUPING SETS ((p_brand), (p_type), (p_brand, p_size), ())
+        ORDER BY gid, brand, ptype, psize
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recursive BOM explosion — the WITH RECURSIVE shape warehouses use
+# for bill-of-materials / org-chart expansion. Containment is
+# synthesized from partkey arithmetic (the binary heap order: part p
+# contains parts 2p and 2p+1, per-edge quantity (child % 5) + 1), so
+# the component graph is a forest-free single tree with depth
+# ceil(log2 N) and every (assembly, component) pair has exactly ONE
+# path — path quantity products are exact BIGINTs and no distinct()
+# is ever needed.
+#
+# Spark has no recursive CTE; the explosion runs as a WAVEFRONT loop
+# (one equi-join frontier->edges per level, lineage truncated by
+# localCheckpoint, driver sees only the empty-check). Wavefront, NOT
+# pointer doubling (contrast operators/graphs.functional_closure):
+# out-degree here is 2, so doubling would square the intermediate
+# pair count for no round savings at depth ~log2 N — doubling wins
+# on deep CHAINS, wavefronts win on shallow bushy TREES; the depth
+# is the log of the table size, 11 rounds at sf0.01.
+#
+# Output is the per-(root, depth) aggregate (counts + exact quantity
+# sums) — bounded at 4 roots x depth rows regardless of scale.
+_BOM_ROOTS = (1, 2, 3, 4)
+
+
+def _sql_bom() -> str:
+    roots = ", ".join(f"({r})" for r in _BOM_ROOTS)
+    return f"""
+    WITH RECURSIVE mx AS (SELECT MAX(p_partkey) AS m FROM part),
+    edges AS (
+      SELECT p_partkey AS parent, p_partkey * 2 AS child,
+             (p_partkey * 2) % 5 + 1 AS qty
+      FROM part, mx WHERE p_partkey * 2 <= mx.m
+      UNION ALL
+      SELECT p_partkey, p_partkey * 2 + 1, (p_partkey * 2 + 1) % 5 + 1
+      FROM part, mx WHERE p_partkey * 2 + 1 <= mx.m
+    ),
+    bom(root, node, qty, depth) AS (
+      SELECT root, root, CAST(1 AS BIGINT), 0
+      FROM (VALUES {roots}) AS r(root)
+      UNION ALL
+      SELECT b.root, e.child, b.qty * e.qty, b.depth + 1
+      FROM bom b JOIN edges e ON e.parent = b.node
+    )
+    SELECT CAST(root AS BIGINT) AS root, CAST(depth AS INTEGER) AS depth,
+           COUNT(*) AS n_components,
+           CAST(SUM(qty) AS BIGINT) AS total_qty,
+           CAST(MAX(qty) AS BIGINT) AS max_path_qty
+    FROM bom WHERE depth > 0
+    GROUP BY root, depth ORDER BY root, depth
+    """
+
+
+@_q("recursive_bom_explosion", _sql_bom())
+def q_recursive_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    maxpk = part.agg(F.max("p_partkey")).collect()[0][0]  # one scalar
+    child = F.explode(
+        F.array(F.col("p_partkey") * 2, F.col("p_partkey") * 2 + 1)
+    ).alias("child")
+    edges = (
+        part.select(F.col("p_partkey").alias("parent"), child)
+        .where(F.col("child") <= maxpk)
+        .withColumn("qty", F.col("child") % 5 + 1)
+        .localCheckpoint(eager=True)  # read once per wavefront round
+    )
+    frontier = spark.createDataFrame(
+        [(r, r, 1, 0) for r in _BOM_ROOTS],
+        "root bigint, node bigint, qty bigint, depth int",
+    )
+    out = []
+    depth = 0
+    while not frontier.isEmpty():
+        out.append(frontier)
+        depth += 1
+        if depth > 64:  # cycle guard: containment must be acyclic
+            raise RuntimeError("BOM explosion exceeded depth 64 — cycle?")
+        frontier = (
+            frontier.join(edges, frontier.node == edges.parent)
+            .select(
+                "root",
+                F.col("child").alias("node"),
+                (frontier.qty * edges.qty).alias("qty"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    allp = out[0]
+    for f in out[1:]:
+        allp = allp.unionByName(f)
+    return (
+        allp.where(F.col("depth") > 0)
+        .groupBy("root", "depth")
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            F.sum("qty").cast("bigint").alias("total_qty"),
+            F.max("qty").cast("bigint").alias("max_path_qty"),
+        )
+        .select(
+            F.col("root").cast("bigint").alias("root"),
+            F.col("depth").cast("int").alias("depth"),
+            "n_components",
+            "total_qty",
+            "max_path_qty",
+        )
+        .orderBy("root", "depth")
+    )
+
+
+# ---------------------------------------------------------------------------
+# percent_rank tie audit: rank-based normalization (the feature-prep
+# step before quantile binning) is only reproducible if ties resolve
+# identically — percent_rank = (rank-1)/(n-1) assigns every tied row
+# the SAME value in both engines, so the per-brand audit (tie-group
+# count, largest tie, mean percent_rank of tie members) hash-checks
+# exactly. One window + one groupBy; (n-1) division is the only float
+# and is round()ed on both sides.
+@_q(
+    "percent_rank_tie_audit",
+    """
+    WITH r AS (
+      SELECT p_brand, p_retailprice,
+             percent_rank() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice) AS pr,
+             COUNT(*) OVER (PARTITION BY p_brand, p_retailprice) AS tie_n
+      FROM part
+    )
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           COUNT(DISTINCT p_retailprice) AS n_prices,
+           CAST(COUNT(DISTINCT CASE WHEN tie_n > 1 THEN p_retailprice END)
+                AS BIGINT) AS n_tie_groups,
+           CAST(MAX(tie_n) AS BIGINT) AS max_tie,
+           round(AVG(CASE WHEN tie_n > 1 THEN pr END), 6) AS avg_tied_pr
+    FROM r GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def q_percent_rank_tie_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice")
+    wt = Window.partitionBy("p_brand", "p_retailprice")
+    r = part.select(
+        "p_brand",
+        "p_retailprice",
+        F.percent_rank().over(w).alias("pr"),
+        F.count(F.lit(1)).over(wt).alias("tie_n"),
+    )
+    tied_price = F.when(F.col("tie_n") > 1, F.col("p_retailprice"))
+    return (
+        r.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.countDistinct("p_retailprice").alias("n_prices"),
+            F.countDistinct(tied_price).cast("bigint").alias("n_tie_groups"),
+            F.max("tie_n").cast("bigint").alias("max_tie"),
+            F.round(F.avg(F.when(F.col("tie_n") > 1, F.col("pr"))), 6).alias(
+                "avg_tied_pr"
+            ),
+        )
+        .orderBy("p_brand")
+    )
