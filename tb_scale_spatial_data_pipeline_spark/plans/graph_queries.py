@@ -1045,3 +1045,117 @@ def q_graph_diameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Community label propagation (Raghavan et al. 2007) with a
+# DETERMINISTIC min-tie rule: each round, every node adopts the most
+# frequent label among its NEIGHBORS, ties broken by the smallest
+# label — the community baseline, distinct from the min-label
+# propagation above (which computes components, not communities: mode
+# keeps dense blocks separate where min floods everything to one
+# label). Synchronous fixed-round updates (asynchronous LPA is
+# scan-order-dependent and irreproducible by construction — the same
+# determinism upgrade as DBSCAN's min border assignment).
+#
+# Plan per round (the 100 TB shape): ONE groupBy(dst, label) count
+# with map-side partials, then ONE argmax-by-(count, -label) groupBy —
+# two shuffles carrying (node, label, count) rows, nothing
+# proportional to edges beyond the count input; localCheckpoint
+# truncates the per-round lineage. The oracle unrolls the identical
+# rounds as chained CTEs (count -> per-node max -> min label at max),
+# all on exact integers — no FP seam at all.
+_CLP_ITERS = 4
+
+
+def _sql_community_lp() -> str:
+    ctes = [
+        _SQL_EDGES.strip(),
+        """nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+    c0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)""",
+    ]
+    for k in range(_CLP_ITERS):
+        ctes.append(
+            f"""cnt{k} AS MATERIALIZED (
+      SELECT e.dst AS node, l.label, COUNT(*) AS c
+      FROM c{k} l JOIN edges e ON e.src = l.node
+      GROUP BY e.dst, l.label
+    ),
+    mx{k} AS MATERIALIZED (
+      SELECT node, MAX(c) AS mc FROM cnt{k} GROUP BY node
+    ),
+    c{k + 1} AS MATERIALIZED (
+      SELECT c.node, MIN(c.label) AS label
+      FROM cnt{k} c JOIN mx{k} m ON m.node = c.node AND c.c = m.mc
+      GROUP BY c.node
+    )"""
+        )
+    traj = "\n      UNION ALL ".join(
+        f"SELECT {k} AS round, COUNT(DISTINCT label) AS n_comms,"
+        f" CAST(MAX(sz) AS BIGINT) AS max_size,"
+        f" CAST(SUM(label * sz) AS BIGINT) AS label_checksum"
+        f" FROM (SELECT label, COUNT(*) AS sz FROM c{k} GROUP BY label)"
+        for k in range(_CLP_ITERS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT round, n_comms, max_size, label_checksum FROM ({traj})
+    ORDER BY round"""
+    )
+
+
+@_q("community_label_propagation", _sql_community_lp())
+def q_community_label_propagation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Output = the trajectory (round, #communities, largest size,
+    label checksum): community counts stabilize in a handful of
+    rounds on the fixture graph, and the checksum makes the hash
+    sensitive to every node's label, not just the aggregate counts."""
+    eu = _undirected_edges(spark, sf_dir)
+    edges = (
+        eu.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(eu.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
+        eager=True
+    )
+
+    def _snap(k: int, lab: DataFrame) -> DataFrame:
+        sizes = lab.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+        return sizes.agg(
+            F.lit(k).cast("int").alias("round"),
+            F.count(F.lit(1)).alias("n_comms"),
+            F.max("sz").cast("bigint").alias("max_size"),
+            F.sum(F.col("label") * F.col("sz")).cast("bigint").alias(
+                "label_checksum"
+            ),
+        )
+
+    snaps = [_snap(0, labels)]
+    for k in range(1, _CLP_ITERS + 1):
+        cnt = (
+            labels.join(edges, labels["node"] == edges["src"])
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # argmax by (count, then smallest label): max(struct(c, -label))
+        # — one aggregation, no window, map-side partials intact.
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        snaps.append(_snap(k, labels))
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), snaps).orderBy("round")

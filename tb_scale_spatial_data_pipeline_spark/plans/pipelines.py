@@ -1022,3 +1022,42 @@ ORACLES["stream_windowed_distinct_hll"] = """
     FROM sk
     ORDER BY wstart
     """
+
+
+# ---------------------------------------------------------------------------
+# TTL-state streaming dedup vs its pure-window batch twin: the stream
+# keeps one last-seen timestamp per (user, type) key with event-time
+# TTL eviction; the oracle derives the identical admit set from lag()
+# — admitted iff no same-key event within the preceding 30 minutes.
+@_q(
+    "stream_ttl_dedup",
+    """
+    WITH g AS (
+      SELECT user_id, event_type, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    adm AS (
+      SELECT * FROM g
+      WHERE prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+    )
+    SELECT user_id, event_type,
+           COUNT(*) AS n_admitted,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum
+    FROM adm GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+)
+def q_stream_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import stream_ttl_dedup
+
+    admitted = stream_ttl_dedup(spark, sf_dir)
+    return (
+        admitted.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_admitted"),
+            F.sum("event_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("user_id", "event_type")
+    )

@@ -468,3 +468,93 @@ def q_d8_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("x", "y")
     )
+
+
+# ---------------------------------------------------------------------------
+# Horn slope / aspect / hillshade through the REAL halo-tile focal
+# path (raster/kernels.terrain_tiles) — the classic DEM kernel, hash-
+# checked against a closed-form-field oracle exactly like
+# raster_d8_flow: the oracle recomputes every edge-clamped 3x3
+# neighbor elevation from the synthetic field and applies the
+# identical Horn expression tree (dzdx/dzdy sums, atan/sqrt/atan2,
+# the ArcGIS aspect CASE cascade, the hillshade clip), so both sides
+# evaluate the same IEEE expressions and the round(,6) outputs match
+# bit-for-bit. Tile-origin invariance of the kernel itself is pinned
+# separately by tests/test_terrain.py; this row proves the halo path
+# END-TO-END on the driver's differential check.
+def _sql_terrain_slope() -> str:
+    def z(xx: str, yy: str) -> str:
+        cx = f"least(greatest({xx}, 0), 63)"
+        cy = f"least(greatest({yy}, 0), 63)"
+        return (
+            f"(sin(CAST({cx} AS DOUBLE) / 10.0) * 40.0"
+            f" + cos(CAST({cy} AS DOUBLE) / 12.0) * 40.0 + 100.0"
+            f" + CASE WHEN (CAST({cx} AS DOUBLE) - 35.0) * (CAST({cx} AS DOUBLE) - 35.0)"
+            f"        + (CAST({cy} AS DOUBLE) - 30.0) * (CAST({cy} AS DOUBLE) - 30.0)"
+            f"        < 400.0 THEN 80.0 ELSE 0.0 END)"
+        )
+
+    return f"""
+    WITH px AS (
+      SELECT x.i AS x, y.i AS y
+      FROM unnest(generate_series(0, 63)) AS x(i),
+           unnest(generate_series(0, 63)) AS y(i)
+    ),
+    nb AS (
+      SELECT x, y,
+             {z('x - 1', 'y - 1')} AS za, {z('x', 'y - 1')} AS zb,
+             {z('x + 1', 'y - 1')} AS zc, {z('x - 1', 'y')} AS zd,
+             {z('x + 1', 'y')} AS zf, {z('x - 1', 'y + 1')} AS zg,
+             {z('x', 'y + 1')} AS zh, {z('x + 1', 'y + 1')} AS zi
+      FROM px
+    ),
+    grad AS (
+      SELECT x, y,
+             ((zc + 2 * zf + zi) - (za + 2 * zd + zg)) / 8.0 AS dzdx,
+             ((zg + 2 * zh + zi) - (za + 2 * zb + zc)) / 8.0 AS dzdy
+      FROM nb
+    ),
+    sl AS (
+      SELECT x, y, dzdx, dzdy,
+             dzdx * dzdx + dzdy * dzdy AS rise2,
+             atan(sqrt(dzdx * dzdx + dzdy * dzdy)) AS slope_rad,
+             degrees(atan2(dzdy, -dzdx)) AS asp0
+      FROM grad
+    ),
+    asp AS (
+      SELECT x, y, rise2, slope_rad,
+             CASE WHEN rise2 = 0 THEN -1.0
+                  WHEN asp0 < 0 THEN 90.0 - asp0
+                  WHEN asp0 > 90.0 THEN 360.0 - asp0 + 90.0
+                  ELSE 90.0 - asp0 END AS aspect
+      FROM sl
+    )
+    SELECT CAST(x AS INT) AS x, CAST(y AS INT) AS y,
+           round(degrees(slope_rad), 6) AS slope_deg,
+           round(aspect, 6) AS aspect_deg,
+           round(least(greatest(255.0 * (
+               cos(radians(45.0)) * cos(slope_rad)
+               + sin(radians(45.0)) * sin(slope_rad)
+                 * cos(radians(135.0)
+                       - CASE WHEN rise2 = 0 THEN 0.0
+                         ELSE radians(360.0 - aspect + 90.0) END)
+           ), 0.0), 255.0), 6) AS hillshade
+    FROM asp ORDER BY x, y
+    """
+
+
+@_q("raster_slope_aspect", _sql_terrain_slope())
+def q_raster_slope_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..raster.kernels import terrain_tiles
+    from ..raster.tiles import halo_duplicate, synthetic_raster
+
+    img = synthetic_raster(spark, 64, 64, bands=1)
+    tiled = halo_duplicate(img, tile_size=32, halo=1)
+    out = terrain_tiles(tiled, "b1")
+    return out.select(
+        "x",
+        "y",
+        F.round("slope_deg", 6).alias("slope_deg"),
+        F.round("aspect_deg", 6).alias("aspect_deg"),
+        F.round("hillshade", 6).alias("hillshade"),
+    ).orderBy("x", "y")

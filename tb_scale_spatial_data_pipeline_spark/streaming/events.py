@@ -673,3 +673,75 @@ def stream_windowed_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("used").cast("bigint").alias("buckets_used"),
         F.round(est, 4).alias("hll_users"),
     ).orderBy("wstart")
+
+
+_TTL_DEDUP_MIN = 30
+
+
+def stream_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with TTL-EXPIRING key state: an event is
+    admitted iff no event with the same (user_id, event_type) arrived
+    within the preceding TTL (30 min); every arrival — admitted or
+    suppressed — refreshes the key's last-seen timestamp, and a key
+    whose state outlives its TTL is REMOVED via an event-time timeout
+    (state.hasTimedOut -> remove), so the state store holds only keys
+    active within the TTL horizon. This is the one state pattern the
+    streaming tier lacked: dropDuplicates holds keys for the whole
+    watermark; here expiry IS the semantics (after a quiet TTL the
+    same key re-admits).
+
+    Determinism contract (same as stream_cusum_alerts): the bounded
+    availableNow replay delivers each key's rows in one micro-batch
+    and the per-key frame sorts by (ts, event_id) in-function; the
+    gap rule "admit iff ts - prev_ts > TTL" then matches the batch
+    lag() twin row for row, so the result is hash-checked against a
+    pure-window DuckDB oracle — a STREAMING stateful operator proven
+    equal to a batch window query. At scale the watermark bounds how
+    late a row can reorder across batches; within-watermark replays
+    land in the same admit/suppress classes because the state refresh
+    depends only on the predecessor gap."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ttl_us = _TTL_DEDUP_MIN * 60 * 1_000_000
+    ttl_ms = _TTL_DEDUP_MIN * 60 * 1000
+    ev = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        empty = {"user_id": [], "event_type": [], "event_id": []}
+        if state.hasTimedOut:
+            state.remove()  # TTL expiry: the key re-admits on return
+            yield pd.DataFrame(empty)
+            return
+        last = state.get[0] if state.exists else None
+        out = dict(empty)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for row in pdf.itertuples():
+                t_us = row.ts.value // 1000  # ns -> us
+                if last is None or t_us - last > ttl_us:
+                    out["user_id"].append(key[0])
+                    out["event_type"].append(key[1])
+                    out["event_id"].append(row.event_id)
+                last = t_us  # every arrival refreshes the TTL
+        state.update((last,))
+        # evict TTL-quiet keys; clamp above the current watermark (a
+        # timeout timestamp at-or-before the watermark is rejected)
+        state.setTimeoutTimestamp(
+            max(last // 1000 + ttl_ms, state.getCurrentWatermarkMs() + 60_000)
+        )
+        yield pd.DataFrame(out)
+
+    out = ev.groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, event_type string, event_id long",
+        stateStructType="last_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_stream_to_table(out, "append")
