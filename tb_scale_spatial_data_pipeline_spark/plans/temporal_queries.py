@@ -190,3 +190,122 @@ def q_ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear trend smoothing via Brown's double-exponential form:
+# s1 = EWMA(y), s2 = EWMA(s1), level = 2*s1 - s2, trend =
+# (alpha/(1-alpha))*(s1 - s2), one-step forecast = level + trend.
+# Brown's form makes the trend recursion expressible as TWO CHAINED
+# WINDOW PASSES (the same bounded power-weighted sliding-window EWMA
+# as ewma_user_values — no driver iteration, no UDF), where the
+# direct Holt (l_t, b_t) recursion is a 2x2 matrix power that no
+# window sum expresses. Cross-engine seam: s1 is round(6)-ed BEFORE
+# feeding the second window — the per-stage re-synchronization that
+# makes the nested float windows hash-exact (same discipline as the
+# pagerank per-iteration round). alpha = 0.2 -> weight ratio 1.25,
+# 20-row window bounds the power term.
+@_q(
+    "holt_double_smoothing",
+    """
+    WITH p AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS DOUBLE) AS k
+      FROM events WHERE event_type = 'purchase'
+    ),
+    s1 AS (
+      SELECT user_id, event_id, ts, k,
+             round(SUM(value * power(1.25, k)) OVER w
+                   / SUM(power(1.25, k)) OVER w, 6) AS s1
+      FROM p
+      WINDOW w AS (PARTITION BY user_id ORDER BY k
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    s2 AS (
+      SELECT user_id, event_id, ts, s1,
+             round(SUM(s1 * power(1.25, k)) OVER w
+                   / SUM(power(1.25, k)) OVER w, 6) AS s2
+      FROM s1
+      WINDOW w AS (PARTITION BY user_id ORDER BY k
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    u AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(s1 * 1000000.0, 0) AS BIGINT) AS u1,
+             CAST(round(s2 * 1000000.0, 0) AS BIGINT) AS u2
+      FROM s2
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           CAST(2 * u1 - u2 AS DOUBLE) / 1000000.0 AS level,
+           CAST(u1 - u2 AS DOUBLE) / 4000000.0 AS trend,
+           CAST(4 * (2 * u1 - u2) + (u1 - u2) AS DOUBLE) / 4000000.0
+             AS forecast
+    FROM u
+    """,
+)
+def q_holt_double_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    wk = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.row_number().over(wk).cast("double").alias("k"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("k")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    den = F.sum(F.pow(F.lit(1.25), F.col("k"))).over(w)
+    s1df = p.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "k",
+        F.round(
+            F.sum(F.col("value") * F.pow(F.lit(1.25), F.col("k"))).over(w) / den,
+            6,
+        ).alias("s1"),
+    )
+    den2 = F.sum(F.pow(F.lit(1.25), F.col("k"))).over(w)
+    s2df = s1df.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "s1",
+        F.round(
+            F.sum(F.col("s1") * F.pow(F.lit(1.25), F.col("k"))).over(w) / den2,
+            6,
+        ).alias("s2"),
+    )
+    # final combination on the INTEGER micro-lattice: s1/s2 are 6dp
+    # doubles, so u1/u2 are exact BIGINTs; level/trend/forecast are
+    # then one exact integer expression + ONE final double division —
+    # no round() at all, hence no half-boundary ambiguity (the raw
+    # 0.25*(s1-s2) form lands exactly on x.5e-6 whenever
+    # (u1-u2) % 4 == 2 and 1-ulp engine noise flips the round).
+    u = s2df.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("s1") * 1000000.0, 0).cast("bigint").alias("u1"),
+        F.round(F.col("s2") * 1000000.0, 0).cast("bigint").alias("u2"),
+    )
+    return u.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        ((2 * F.col("u1") - F.col("u2")).cast("double") / 1000000.0).alias(
+            "level"
+        ),
+        ((F.col("u1") - F.col("u2")).cast("double") / 4000000.0).alias("trend"),
+        (
+            (4 * (2 * F.col("u1") - F.col("u2")) + (F.col("u1") - F.col("u2")))
+            .cast("double")
+            / 4000000.0
+        ).alias("forecast"),
+    )

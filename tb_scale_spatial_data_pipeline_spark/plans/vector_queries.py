@@ -990,3 +990,361 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_bucket_candidates"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Davies-Bouldin cluster-separation index over the labelled embedding
+# space — the centroid-separation audit that complements
+# cluster_silhouette_report (silhouette is point-pair based; DB is
+# centroid based and O(k^2), the form you can afford at every batch).
+# EXACT-LATTICE trick (same seam as embedding_dimension_stats / the
+# JL query): coordinates quantize to round(x*1e6) BIGINT; per-label
+# centroid stays a RATIONAL (sum s, count n) pair; every point/
+# centroid distance^2 becomes one exact integer quadratic —
+#   point:    sum_d (xi*n - s_d)^2        / (n^2 * 1e12)
+#   centroid: sum_d (s_i*n_j - s_j*n_i)^2 / (n_i^2 * n_j^2 * 1e12)
+# accumulated in DECIMAL(38,0)/HUGEINT (the cross terms overflow
+# BIGINT), with ONE double division + sqrt at the end — both engines
+# see identical integers, so the floats are bit-identical before the
+# final round(6). Plan: one posexplode + two bounded aggregations
+# (|labels| x dims and |labels|^2 x dims rows); nothing quadratic in
+# points anywhere.
+def _sql_davies_bouldin() -> str:
+    return """
+    WITH pts AS (
+      SELECT vec_id, label, i AS dim,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS xi
+      FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS s(i)
+    ),
+    cent AS (
+      SELECT label, dim, SUM(xi) AS s, COUNT(*) AS n
+      FROM pts GROUP BY label, dim
+    ),
+    pd AS (
+      SELECT p.vec_id, p.label,
+             SUM(CAST(p.xi * c.n - c.s AS HUGEINT)
+                 * (p.xi * c.n - c.s)) AS d2
+      FROM pts p JOIN cent c ON c.label = p.label AND c.dim = p.dim
+      GROUP BY p.vec_id, p.label
+    ),
+    scatter AS (
+      SELECT label, MAX(n) AS n,
+             sqrt(CAST(SUM(d2) AS DOUBLE)
+                  / (CAST(MAX(n) AS DOUBLE) * MAX(n) * MAX(n))) / 1000000.0
+               AS s_i
+      FROM (SELECT pd.label, pd.vec_id, pd.d2, c.n
+            FROM pd JOIN (SELECT label, MAX(n) AS n FROM cent
+                          GROUP BY label) c ON c.label = pd.label)
+      GROUP BY label
+    ),
+    cdist AS (
+      SELECT a.label AS la, b.label AS lb,
+             sqrt(CAST(SUM(CAST(a.s * b.n - b.s * a.n AS HUGEINT)
+                           * (a.s * b.n - b.s * a.n)) AS DOUBLE)
+                  / (CAST(MAX(a.n) AS DOUBLE) * MAX(a.n)
+                     * MAX(b.n) * MAX(b.n))) / 1000000.0 AS m_ij
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label <> b.label
+      GROUP BY a.label, b.label
+    ),
+    r AS (
+      SELECT d.la AS label, d.lb AS peer,
+             (sa.s_i + sb.s_i) / d.m_ij AS r_ij
+      FROM cdist d
+      JOIN scatter sa ON sa.label = d.la
+      JOIN scatter sb ON sb.label = d.lb
+    ),
+    best AS (
+      SELECT label,
+             CAST(MIN(peer) FILTER (r_ij = mx) AS BIGINT) AS worst_peer,
+             MAX(mx) AS r_max
+      FROM (SELECT label, peer, r_ij, MAX(r_ij) OVER (PARTITION BY label) AS mx
+            FROM r)
+      WHERE r_ij = mx
+      GROUP BY label
+    )
+    SELECT CAST(b.label AS BIGINT) AS label,
+           CAST(s.n AS BIGINT) AS n_points,
+           round(s.s_i, 6) AS scatter,
+           b.worst_peer,
+           round(b.r_max, 6) AS r_max,
+           round((SELECT AVG(r_max) FROM best), 6) AS db_index
+    FROM best b JOIN scatter s ON s.label = b.label
+    ORDER BY label
+    """
+
+
+@_q("davies_bouldin_index", _sql_davies_bouldin())
+def q_davies_bouldin_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000).cast("bigint").alias("xi"),
+    )
+    cent = pts.groupBy("label", "dim").agg(
+        F.sum("xi").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    c = cent.select(
+        F.col("label").alias("c_label"),
+        F.col("dim").alias("c_dim"),
+        "s",
+        "n",
+    )
+    diff = F.col("xi") * F.col("n") - F.col("s")
+    pd_ = (
+        pts.join(
+            c,
+            (pts["label"] == c["c_label"]) & (pts["dim"] == c["c_dim"]),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum(diff.cast("decimal(38,0)") * diff).alias("d2"))
+    )
+    nper = cent.groupBy("label").agg(F.max("n").alias("n"))
+    scatter = (
+        pd_.join(nper, "label")
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n"),
+            (
+                F.sqrt(
+                    F.sum("d2").cast("double")
+                    / (
+                        F.max("n").cast("double")
+                        * F.max("n")
+                        * F.max("n")
+                    )
+                )
+                / 1000000.0
+            ).alias("s_i"),
+        )
+    )
+    a = cent.select(
+        F.col("label").alias("la"), "dim",
+        F.col("s").alias("sa"), F.col("n").alias("na"),
+    )
+    b = cent.select(
+        F.col("label").alias("lb"), F.col("dim").alias("dimb"),
+        F.col("s").alias("sb"), F.col("n").alias("nb"),
+    )
+    cd = F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")
+    cdist = (
+        a.join(b, (a["dim"] == b["dimb"]) & (a["la"] != b["lb"]))
+        .groupBy("la", "lb")
+        .agg(
+            (
+                F.sqrt(
+                    F.sum(cd.cast("decimal(38,0)") * cd).cast("double")
+                    / (
+                        F.max("na").cast("double")
+                        * F.max("na")
+                        * F.max("nb")
+                        * F.max("nb")
+                    )
+                )
+                / 1000000.0
+            ).alias("m_ij")
+        )
+    )
+    sa = scatter.select(F.col("label").alias("la"), F.col("s_i").alias("si_a"))
+    sb = scatter.select(F.col("label").alias("lb"), F.col("s_i").alias("si_b"))
+    r = (
+        cdist.join(sa, "la")
+        .join(sb, "lb")
+        .select(
+            F.col("la").alias("label"),
+            F.col("lb").alias("peer"),
+            ((F.col("si_a") + F.col("si_b")) / F.col("m_ij")).alias("r_ij"),
+        )
+    )
+    # max R with deterministic min-peer tie: max(struct(r, -peer))
+    best = r.groupBy("label").agg(
+        F.max(F.struct(F.col("r_ij"), (-F.col("peer")).alias("np"))).alias("m")
+    ).select(
+        "label",
+        (-F.col("m.np")).cast("bigint").alias("worst_peer"),
+        F.col("m.r_ij").alias("r_max"),
+    )
+    db = best.agg(F.round(F.avg("r_max"), 6).alias("db_index"))
+    return (
+        best.join(scatter, "label")
+        .join(F.broadcast(db))  # 1-row global index
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            F.col("n").cast("bigint").alias("n_points"),
+            F.round("s_i", 6).alias("scatter"),
+            "worst_peer",
+            F.round("r_max", 6).alias("r_max"),
+            "db_index",
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Residual quantization (two-level additive codebook) quality report —
+# the RQ counterpart of the PQ tier (pq_queries quantize by
+# SUBSPACE; RQ quantizes the RESIDUAL left by the previous level,
+# cf. Chen et al. 2010 residual vector quantization). Deterministic
+# codebooks: level 1 = per-label centroid (the coarse quantizer),
+# level 2 = centroid of level-1 residuals within deterministic
+# subgroup vec_id % 4 — no trained k-means, so the oracle rebuilds
+# the identical codebooks and the report hash-checks. Same exact-
+# lattice discipline as davies_bouldin_index: residuals stay
+# integer-scaled rationals (denominator n for level 1, n*m for level
+# 2); the quadratic error sums accumulate in DECIMAL(38,0)/HUGEINT;
+# one double division at the end. The informative output: per-label
+# squared error after level 1 vs after level 2 — the "does the
+# second codebook earn its bits" audit.
+def _sql_residual_quantization() -> str:
+    return """
+    WITH pts AS (
+      SELECT vec_id, label, vec_id % 4 AS grp, i AS dim,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS xi
+      FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS s(i)
+    ),
+    cent AS (
+      SELECT label, dim, SUM(xi) AS s, COUNT(*) AS n
+      FROM pts GROUP BY label, dim
+    ),
+    res AS (
+      SELECT p.vec_id, p.label, p.grp, p.dim,
+             p.xi * c.n - c.s AS rq, c.n
+      FROM pts p JOIN cent c ON c.label = p.label AND c.dim = p.dim
+    ),
+    c2 AS (
+      SELECT label, grp, dim, SUM(rq) AS s2, COUNT(*) AS m
+      FROM res GROUP BY label, grp, dim
+    ),
+    err AS (
+      SELECT r.label,
+             SUM(CAST(r.rq AS HUGEINT) * r.rq) AS e1num,
+             MAX(r.n) AS n,
+             COUNT(DISTINCT r.vec_id) AS npts
+      FROM res r
+      GROUP BY r.label
+    ),
+    e2g AS (
+      SELECT r.label, g.m,
+             SUM(CAST(r.rq * g.m - g.s2 AS HUGEINT)
+                 * (r.rq * g.m - g.s2)) AS e2num
+      FROM res r JOIN c2 g ON g.label = r.label AND g.grp = r.grp
+                          AND g.dim = r.dim
+      GROUP BY r.label, g.m
+    ),
+    e2 AS (
+      SELECT label,
+             SUM(CAST(e2num AS DOUBLE)
+                 / (CAST(m AS DOUBLE) * m)) AS e2scaled
+      FROM e2g GROUP BY label
+    )
+    SELECT CAST(e.label AS BIGINT) AS label,
+           CAST(e.npts AS BIGINT) AS n_points,
+           round(CAST(e.e1num AS DOUBLE)
+                 / (CAST(e.n AS DOUBLE) * e.n)
+                 / e.npts / 1000000000000.0, 6) AS mse_level1,
+           round(x.e2scaled
+                 / (CAST(e.n AS DOUBLE) * e.n)
+                 / e.npts / 1000000000000.0, 6) AS mse_level2
+    FROM err e JOIN e2 x ON x.label = e.label
+    ORDER BY label
+    """
+
+
+@_q("residual_quantization_report", _sql_residual_quantization())
+def q_residual_quantization_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 4).alias("grp"),
+        F.posexplode("embedding").alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "grp",
+        (F.col("pos0") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000).cast("bigint").alias("xi"),
+    )
+    cent = pts.groupBy("label", "dim").agg(
+        F.sum("xi").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    c = cent.select(
+        F.col("label").alias("c_label"),
+        F.col("dim").alias("c_dim"),
+        "s",
+        "n",
+    )
+    res = pts.join(
+        c, (pts["label"] == c["c_label"]) & (pts["dim"] == c["c_dim"])
+    ).select(
+        "vec_id",
+        "label",
+        "grp",
+        "dim",
+        (F.col("xi") * F.col("n") - F.col("s")).alias("rq"),
+        "n",
+    )
+    c2 = res.groupBy("label", "grp", "dim").agg(
+        F.sum("rq").alias("s2"), F.count(F.lit(1)).alias("m")
+    )
+    g = c2.select(
+        F.col("label").alias("g_label"),
+        F.col("grp").alias("g_grp"),
+        F.col("dim").alias("g_dim"),
+        "s2",
+        "m",
+    )
+    j = res.join(
+        g,
+        (res["label"] == g["g_label"])
+        & (res["grp"] == g["g_grp"])
+        & (res["dim"] == g["g_dim"]),
+    )
+    r2 = F.col("rq") * F.col("m") - F.col("s2")
+    # per (label, m) partial so the m^2 scaling divides EXACT integer
+    # sums (subgroup sizes differ, so e2 cannot scale globally)
+    e2g = j.groupBy("label", "m").agg(
+        F.sum(r2.cast("decimal(38,0)") * r2).alias("e2num")
+    )
+    e2 = e2g.groupBy("label").agg(
+        F.sum(
+            F.col("e2num").cast("double")
+            / (F.col("m").cast("double") * F.col("m"))
+        ).alias("e2scaled")
+    )
+    err = j.groupBy("label").agg(
+        F.sum(F.col("rq").cast("decimal(38,0)") * F.col("rq")).alias("e1num"),
+        F.max("n").alias("n"),
+        F.countDistinct("vec_id").alias("npts"),
+    )
+    return (
+        err.join(e2, "label")
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            F.col("npts").cast("bigint").alias("n_points"),
+            F.round(
+                F.col("e1num").cast("double")
+                / (F.col("n").cast("double") * F.col("n"))
+                / F.col("npts")
+                / 1000000000000.0,
+                6,
+            ).alias("mse_level1"),
+            F.round(
+                F.col("e2scaled")
+                / (F.col("n").cast("double") * F.col("n"))
+                / F.col("npts")
+                / 1000000000000.0,
+                6,
+            ).alias("mse_level2"),
+        )
+        .orderBy("label")
+    )
