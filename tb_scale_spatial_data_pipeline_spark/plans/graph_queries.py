@@ -1159,3 +1159,190 @@ def q_community_label_propagation(
     from functools import reduce
 
     return reduce(lambda a, b: a.unionByName(b), snaps).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Sampled k-betweenness centrality (Brandes 2001 dependency
+# accumulation, truncated at radius 4 — the bounded-distance
+# k-betweenness variant): forward BFS from a FIXED SEED COUNT (the 8
+# smallest node ids — count-fixed, not ratio-fixed, per the
+# closeness_centrality_sampled scaling note) computes shortest-path
+# counts sigma on the exact integer lattice; the backward pass
+# accumulates delta(v) = sum_w sigma_v/sigma_w * (1 + delta_w) level
+# by level with a per-level round(12) (the pagerank re-sync seam —
+# the only floats in the whole query); per-node betweenness then
+# sums the per-seed deltas as exact picounits (round(delta*1e12)
+# BIGINT), so the cross-seed accumulation is order-free. Plan: each
+# forward level is ONE join + one groupBy + one anti-join (frontier
+# rows only); each backward level ONE three-way join on the
+# (level, level+1) frontier slices — everything bounded by
+# |seeds| x |frontier|, never all-pairs.
+_BC_SEEDS = 8
+_BC_MAX_HOPS = 4
+
+
+def _sql_betweenness() -> str:
+    ctes = [
+        _SQL_EDGES.strip(),
+        """nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+    seeds AS MATERIALIZED (SELECT node FROM nodes ORDER BY node LIMIT 8),
+    f0 AS MATERIALIZED (SELECT node AS seed, node, CAST(1 AS BIGINT) AS sigma
+          FROM seeds),
+    sett0 AS MATERIALIZED (SELECT seed, node FROM f0)""",
+    ]
+    for k in range(1, _BC_MAX_HOPS + 1):
+        ctes.append(
+            f"""f{k} AS MATERIALIZED (
+      SELECT f.seed, e.dst AS node, SUM(f.sigma) AS sigma
+      FROM f{k - 1} f JOIN edges e ON e.src = f.node
+      LEFT JOIN sett{k - 1} s ON s.seed = f.seed AND s.node = e.dst
+      WHERE s.node IS NULL
+      GROUP BY f.seed, e.dst
+    ),
+    sett{k} AS MATERIALIZED (
+      SELECT seed, node FROM sett{k - 1}
+      UNION ALL SELECT seed, node FROM f{k}
+    )"""
+        )
+    # backward: delta at the deepest level is 0; walk levels down,
+    # carrying the rounded delta of level k+1 into level k
+    prev = None
+    for k in range(_BC_MAX_HOPS - 1, 0, -1):
+        succ = f"f{k + 1}"
+        dterm = (
+            "0.0"
+            if prev is None
+            else f"COALESCE(b{k + 1}.delta, 0.0)"
+        )
+        bjoin = (
+            ""
+            if prev is None
+            else f"\n      LEFT JOIN b{k + 1} ON b{k + 1}.seed = f.seed"
+            f" AND b{k + 1}.node = w.node"
+        )
+        ctes.append(
+            f"""b{k} AS MATERIALIZED (
+      SELECT f.seed, f.node,
+             round(SUM(CAST(f.sigma AS DOUBLE) / w.sigma
+                       * (1.0 + {dterm})), 12) AS delta
+      FROM f{k} f
+      JOIN edges e ON e.src = f.node
+      JOIN {succ} w ON w.seed = f.seed AND w.node = e.dst{bjoin}
+      GROUP BY f.seed, f.node
+    )"""
+        )
+        prev = k
+    deltas = "\n      UNION ALL ".join(
+        f"SELECT seed, node, delta FROM b{k}"
+        for k in range(1, _BC_MAX_HOPS)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(node AS BIGINT) AS s_suppkey,
+           round(CAST(SUM(CAST(round(delta * 1000000000000.0, 0) AS BIGINT))
+                      AS DOUBLE) / 1000000000000.0, 6) AS k_betweenness
+    FROM ({deltas})
+    GROUP BY node
+    HAVING SUM(CAST(round(delta * 1000000000000.0, 0) AS BIGINT)) > 0
+    ORDER BY s_suppkey"""
+    )
+
+
+@_q("betweenness_sampled", _sql_betweenness())
+def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eu = _undirected_edges(spark, sf_dir)
+    edges = (
+        eu.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(eu.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    seeds = nodes.orderBy("node").limit(_BC_SEEDS)
+    f = {
+        0: seeds.select(
+            F.col("node").alias("seed"),
+            "node",
+            F.lit(1).cast("bigint").alias("sigma"),
+        ).localCheckpoint(eager=True)
+    }
+    settled = f[0].select("seed", "node").localCheckpoint(eager=True)
+    for k in range(1, _BC_MAX_HOPS + 1):
+        nxt = (
+            f[k - 1]
+            .join(edges, f[k - 1]["node"] == edges["src"])
+            .groupBy("seed", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(settled, ["seed", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        f[k] = nxt
+        settled = settled.unionByName(
+            nxt.select("seed", "node")
+        ).localCheckpoint(eager=True)
+    b: dict[int, DataFrame] = {}
+    for k in range(_BC_MAX_HOPS - 1, 0, -1):
+        w = f[k + 1].select(
+            F.col("seed").alias("w_seed"),
+            F.col("node").alias("w_node"),
+            F.col("sigma").alias("w_sigma"),
+        )
+        j = (
+            f[k]
+            .join(edges, f[k]["node"] == edges["src"])
+            .join(
+                w,
+                (F.col("w_seed") == F.col("seed"))
+                & (F.col("w_node") == F.col("dst")),
+            )
+        )
+        if k + 1 in b:
+            bd = b[k + 1].select(
+                F.col("seed").alias("b_seed"),
+                F.col("node").alias("b_node"),
+                F.col("delta").alias("b_delta"),
+            )
+            j = j.join(
+                bd,
+                (F.col("b_seed") == F.col("seed"))
+                & (F.col("b_node") == F.col("w_node")),
+                "left",
+            )
+            dterm = F.coalesce(F.col("b_delta"), F.lit(0.0))
+        else:
+            dterm = F.lit(0.0)
+        b[k] = (
+            j.groupBy("seed", "node")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("sigma").cast("double")
+                        / F.col("w_sigma")
+                        * (1.0 + dterm)
+                    ),
+                    12,
+                ).alias("delta")
+            )
+            .localCheckpoint(eager=True)
+        )
+    from functools import reduce
+
+    alld = reduce(
+        lambda x, y: x.unionByName(y),
+        [b[k] for k in range(1, _BC_MAX_HOPS)],
+    )
+    pico = F.round(F.col("delta") * 1000000000000.0, 0).cast("bigint")
+    return (
+        alld.select("node", pico.alias("p"))
+        .groupBy(F.col("node").cast("bigint").alias("s_suppkey"))
+        .agg(F.sum("p").alias("pico"))
+        .where(F.col("pico") > 0)
+        .select(
+            "s_suppkey",
+            F.round(F.col("pico").cast("double") / 1000000000000.0, 6).alias(
+                "k_betweenness"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )

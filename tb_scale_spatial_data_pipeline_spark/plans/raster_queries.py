@@ -558,3 +558,97 @@ def q_raster_slope_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("aspect_deg", 6).alias("aspect_deg"),
         F.round("hillshade", 6).alias("hillshade"),
     ).orderBy("x", "y")
+
+
+# ---------------------------------------------------------------------------
+# Tile-pyramid (overview) build as HIERARCHICAL aggregation: level
+# k+1 is computed FROM level k (2x2 mean downsample per step), the
+# way map-tile / COG overview pipelines actually build pyramids —
+# one bounded shuffle per level, each level 4x smaller, total work a
+# geometric series dominated by the base read. The oracle computes
+# every level DIRECTLY from the base via 2^k-block grouping, so the
+# hash match proves hierarchical mean-of-means == direct block mean.
+# Exactness: pixel values enter as round(,6) micros (exact BIGINT);
+# each level carries (micro_sum, n_px) pairs — sums of sums are
+# exact, so "mean of means" is not the usual lossy shortcut here;
+# per-cell means divide ONCE into double for the min/max stats.
+_PYR_LEVELS = 3
+
+
+def _sql_tile_pyramid() -> str:
+    fld = (
+        "(sin(CAST(x AS DOUBLE) / 10.0) * 40.0"
+        " + cos(CAST(y AS DOUBLE) / 12.0) * 40.0 + 100.0"
+        " + CASE WHEN (CAST(x AS DOUBLE) - 35.0) * (CAST(x AS DOUBLE) - 35.0)"
+        "        + (CAST(y AS DOUBLE) - 30.0) * (CAST(y AS DOUBLE) - 30.0)"
+        "        < 400.0 THEN 80.0 ELSE 0.0 END)"
+    )
+    levels = []
+    for k in range(_PYR_LEVELS + 1):
+        blk = 1 << k
+        levels.append(
+            f"""SELECT {k} AS level, COUNT(*) AS n_cells,
+           CAST(SUM(s) AS BIGINT) AS micro_checksum,
+           round(MIN(CAST(s AS DOUBLE) / n / 1000000.0), 6) AS min_cell_mean,
+           round(MAX(CAST(s AS DOUBLE) / n / 1000000.0), 6) AS max_cell_mean,
+           round(CAST(SUM(s) AS DOUBLE) / SUM(n) / 1000000.0, 6)
+             AS global_mean
+    FROM (
+      SELECT x // {blk} AS cx, y // {blk} AS cy,
+             SUM(v) AS s, COUNT(*) AS n
+      FROM base GROUP BY 1, 2
+    )"""
+        )
+    u = "\n    UNION ALL ".join(levels)
+    return f"""
+    WITH base AS (
+      SELECT x.i AS x, y.i AS y,
+             CAST(round(round({fld.replace('x', 'x.i').replace('y', 'y.i')}, 6)
+                        * 1000000.0, 0) AS BIGINT) AS v
+      FROM unnest(generate_series(0, 63)) AS x(i),
+           unnest(generate_series(0, 63)) AS y(i)
+    )
+    SELECT * FROM ({u}) ORDER BY level
+    """
+
+
+@_q("raster_tile_pyramid", _sql_tile_pyramid())
+def q_raster_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..raster.tiles import synthetic_raster
+
+    px = synthetic_raster(spark, 64, 64, bands=1)
+    lvl = px.select(
+        "x",
+        "y",
+        F.round(F.round("b1", 6) * 1000000.0, 0).cast("bigint").alias("s"),
+        F.lit(1).cast("bigint").alias("n"),
+    )
+
+    def _stats(k: int, cells: DataFrame) -> DataFrame:
+        mean = F.col("s").cast("double") / F.col("n") / 1000000.0
+        return cells.agg(
+            F.lit(k).cast("int").alias("level"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("s").cast("bigint").alias("micro_checksum"),
+            F.round(F.min(mean), 6).alias("min_cell_mean"),
+            F.round(F.max(mean), 6).alias("max_cell_mean"),
+            F.round(
+                F.sum("s").cast("double") / F.sum("n") / 1000000.0, 6
+            ).alias("global_mean"),
+        )
+
+    snaps = [_stats(0, lvl)]
+    for k in range(1, _PYR_LEVELS + 1):
+        # the genuine pyramid step: level k built FROM level k-1
+        lvl = (
+            lvl.groupBy(
+                (F.col("x") / 2).cast("int").alias("x"),
+                (F.col("y") / 2).cast("int").alias("y"),
+            )
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        snaps.append(_stats(k, lvl))
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), snaps).orderBy("level")
