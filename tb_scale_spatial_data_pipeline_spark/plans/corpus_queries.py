@@ -952,3 +952,72 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deduped-corpus token retention by source — the "what did dedup cost
+# each provider" report every training-data pipeline publishes next
+# to its datasheet: exact dedup keeps the MIN doc_id per normalized-
+# text md5 (the exact_dedup convention), and per source the report
+# compares docs/tokens before vs after with the retention ratio.
+# Plan: fingerprints shuffle as 16-byte md5 + BIGINT ids (never
+# text); the keep set resolves in ONE groupBy(min); token counts are
+# one projection — two shuffles total at any corpus size. The ratio
+# divides exact BIGINTs (one double division, round 6).
+@_q(
+    "dedup_token_retention",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM d GROUP BY fp)
+    SELECT d.source,
+           COUNT(*) AS docs_before,
+           COUNT(k.doc_id) AS docs_kept,
+           CAST(SUM(d.n_tokens) AS BIGINT) AS tokens_before,
+           CAST(COALESCE(SUM(d.n_tokens) FILTER (k.doc_id IS NOT NULL), 0)
+                AS BIGINT) AS tokens_kept,
+           round(CAST(COALESCE(SUM(d.n_tokens) FILTER (k.doc_id IS NOT NULL),
+                               0) AS DOUBLE)
+                 / SUM(d.n_tokens), 6) AS token_retention
+    FROM d LEFT JOIN keep k ON k.doc_id = d.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def q_dedup_token_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import normalize_text, token_count
+
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        token_count(normalize_text(F.col("text"))).cast("bigint").alias(
+            "n_tokens"
+        ),
+        F.md5(normalize_text(F.col("text"))).alias("fp"),
+    )
+    keep = d.groupBy("fp").agg(F.min("doc_id").alias("k_doc_id"))
+    j = d.join(keep, d["doc_id"] == keep["k_doc_id"], "left")
+    kept_tokens = F.sum(
+        F.when(F.col("k_doc_id").isNotNull(), F.col("n_tokens"))
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_before"),
+            F.count("k_doc_id").alias("docs_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_before"),
+            F.coalesce(kept_tokens, F.lit(0)).cast("bigint").alias(
+                "tokens_kept"
+            ),
+            F.round(
+                F.coalesce(kept_tokens, F.lit(0)).cast("double")
+                / F.sum("n_tokens"),
+                6,
+            ).alias("token_retention"),
+        )
+        .orderBy("source")
+    )

@@ -652,3 +652,106 @@ def q_raster_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     return reduce(lambda a, b: a.unionByName(b), snaps).orderBy("level")
+
+
+# ---------------------------------------------------------------------------
+# Viewshed on the 1-D scanline simplification: an observer at x = 0 of
+# each row sees cell x iff the elevation angle (z(x) - z(0)) / x
+# strictly exceeds every intermediate cell's angle — i.e. iff the
+# RUNNING MAX of angles over (0, x) is below the cell's own angle.
+# That prefix-max formulation turns the classic O(n^2) line-of-sight
+# loop into ONE ordered window per row — the same "closed-form
+# unroll" trick as CUSUM/Holt, applied to terrain visibility. FP
+# seam: elevations enter as exact round(,6) micros, each angle is ONE
+# integer-ratio division (identical IEEE result in both engines), and
+# the window max compares those deterministic doubles — no rounding
+# needed anywhere. Output: per-row visibility profile (n visible,
+# furthest visible cell, steepest angle).
+def _sql_viewshed() -> str:
+    fld = (
+        "(sin(CAST(x AS DOUBLE) / 10.0) * 40.0"
+        " + cos(CAST(y AS DOUBLE) / 12.0) * 40.0 + 100.0"
+        " + CASE WHEN (CAST(x AS DOUBLE) - 35.0) * (CAST(x AS DOUBLE) - 35.0)"
+        "        + (CAST(y AS DOUBLE) - 30.0) * (CAST(y AS DOUBLE) - 30.0)"
+        "        < 400.0 THEN 80.0 ELSE 0.0 END)"
+    )
+    return f"""
+    WITH px AS (
+      SELECT x.i AS x, y.i AS y,
+             CAST(round(round({fld.replace('(x ', '(x.i ').replace('(y ', '(y.i ')
+                               .replace('(CAST(x AS', '(CAST(x.i AS')
+                               .replace('(CAST(y AS', '(CAST(y.i AS')}, 6)
+                        * 1000000.0, 0) AS BIGINT) AS zmu
+      FROM unnest(generate_series(0, 63)) AS x(i),
+           unnest(generate_series(0, 63)) AS y(i)
+    ),
+    ang AS (
+      SELECT p.y, p.x,
+             CAST(p.zmu - o.zmu AS DOUBLE) / p.x AS angle
+      FROM px p JOIN px o ON o.y = p.y AND o.x = 0
+      WHERE p.x >= 1
+    ),
+    vis AS (
+      SELECT y, x, angle,
+             MAX(angle) OVER (PARTITION BY y ORDER BY x
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prior_max
+      FROM ang
+    )
+    SELECT CAST(y AS INT) AS y,
+           CAST(COUNT(*) FILTER (prior_max IS NULL OR angle > prior_max)
+                AS BIGINT) AS n_visible,
+           CAST(MAX(x) FILTER (prior_max IS NULL OR angle > prior_max)
+                AS INT) AS furthest_visible,
+           round(MAX(angle) / 1000000.0, 6) AS steepest_angle
+    FROM vis GROUP BY y ORDER BY y
+    """
+
+
+@_q("raster_viewshed_scanline", _sql_viewshed())
+def q_raster_viewshed_scanline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..raster.tiles import synthetic_raster
+
+    px = synthetic_raster(spark, 64, 64, bands=1).select(
+        "x",
+        "y",
+        F.round(F.round("b1", 6) * 1000000.0, 0).cast("bigint").alias("zmu"),
+    )
+    o = px.where(F.col("x") == 0).select(
+        F.col("y").alias("o_y"), F.col("zmu").alias("o_zmu")
+    )
+    ang = (
+        px.where(F.col("x") >= 1)
+        .join(F.broadcast(o), F.col("y") == F.col("o_y"))
+        .select(
+            "y",
+            "x",
+            (
+                (F.col("zmu") - F.col("o_zmu")).cast("double") / F.col("x")
+            ).alias("angle"),
+        )
+    )
+    w = (
+        Window.partitionBy("y")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vis = ang.select(
+        "y", "x", "angle", F.max("angle").over(w).alias("prior_max")
+    )
+    visible = F.col("prior_max").isNull() | (
+        F.col("angle") > F.col("prior_max")
+    )
+    return (
+        vis.groupBy(F.col("y").cast("int").alias("y"))
+        .agg(
+            F.count(F.when(visible, 1)).cast("bigint").alias("n_visible"),
+            F.max(F.when(visible, F.col("x"))).cast("int").alias(
+                "furthest_visible"
+            ),
+            F.round(F.max("angle") / 1000000.0, 6).alias("steepest_angle"),
+        )
+        .orderBy("y")
+    )

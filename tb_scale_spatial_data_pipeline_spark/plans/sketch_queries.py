@@ -702,3 +702,99 @@ def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_overestimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch set intersection (Dasgupta et al. 2016): two KMV
+# sketches (click users, purchase users) intersect WITHOUT touching
+# the raw sets — theta = min(theta_a, theta_b), estimate =
+# |S_a ∩ S_b below theta| / theta. The audit columns carry the exact
+# truth (the fixture is small enough), so the row measures the
+# sketch's own error — the "measured, not assumed" convention of the
+# ANN tier applied to sketch set algebra. All hashes are the repo's
+# md5 60-bit fraction (exact 2^-60 scaling, engine-identical), so
+# sketch contents are deterministic and the estimate hash-checks
+# bit-for-bit. At 100 TB each sketch is k=64 doubles per set — the
+# intersection never joins the raw tables.
+@_q(
+    "theta_sketch_intersection",
+    f"""
+    WITH ha AS (
+      SELECT DISTINCT {_sql_hash_frac("user_id")} AS frac
+      FROM events WHERE event_type = 'click'
+    ),
+    hb AS (
+      SELECT DISTINCT {_sql_hash_frac("user_id")} AS frac
+      FROM events WHERE event_type = 'purchase'
+    ),
+    sa AS (SELECT frac FROM ha ORDER BY frac LIMIT {_KMV_K}),
+    sb AS (SELECT frac FROM hb ORDER BY frac LIMIT {_KMV_K}),
+    theta AS (
+      SELECT LEAST((SELECT MAX(frac) FROM sa),
+                   (SELECT MAX(frac) FROM sb)) AS th
+    ),
+    inter AS (
+      SELECT COUNT(*) AS n_common
+      FROM sa JOIN sb USING (frac), theta
+      WHERE sa.frac < theta.th
+    )
+    SELECT {_KMV_K} AS k,
+           round((SELECT th FROM theta), 12) AS theta,
+           CAST((SELECT n_common FROM inter) AS BIGINT) AS n_common,
+           round((SELECT n_common FROM inter) / (SELECT th FROM theta), 3)
+             AS est_intersection,
+           (SELECT COUNT(*) FROM (
+              SELECT user_id FROM events WHERE event_type = 'click'
+              INTERSECT
+              SELECT user_id FROM events WHERE event_type = 'purchase'))
+             AS true_intersection
+    """,
+)
+def q_theta_sketch_intersection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    ha = (
+        ev.where(F.col("event_type") == "click")
+        .select(_spark_hash_frac(F.col("user_id")).alias("frac"))
+        .distinct()
+    )
+    hb = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(_spark_hash_frac(F.col("user_id")).alias("frac"))
+        .distinct()
+    )
+    sa = ha.orderBy("frac").limit(_KMV_K).localCheckpoint(eager=True)
+    sb = hb.orderBy("frac").limit(_KMV_K).localCheckpoint(eager=True)
+    theta = (
+        sa.agg(F.max("frac").alias("ta"))
+        .crossJoin(sb.agg(F.max("frac").alias("tb")))
+        .select(F.least("ta", "tb").alias("th"))
+    )
+    inter = (
+        sa.join(sb, "frac")
+        .crossJoin(F.broadcast(theta))
+        .where(F.col("frac") < F.col("th"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    truth = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id")
+        .intersect(ev.where(F.col("event_type") == "purchase").select("user_id"))
+        .agg(F.count(F.lit(1)).alias("true_intersection"))
+    )
+    return (
+        inter.crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(truth))  # three 1-row aggregates
+        .select(
+            F.lit(_KMV_K).cast("int").alias("k"),
+            F.round("th", 12).alias("theta"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(F.col("n_common") / F.col("th"), 3).alias(
+                "est_intersection"
+            ),
+            F.col("true_intersection").cast("bigint").alias(
+                "true_intersection"
+            ),
+        )
+    )
