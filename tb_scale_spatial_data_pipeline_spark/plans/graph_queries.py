@@ -1346,3 +1346,104 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-truss peeling (Cohen 2008): the edge-cohesion ladder above k-core
+# — an edge survives the k-truss iff it closes >= k-2 triangles with
+# OTHER surviving edges, so peeling low-support edges cascades.
+# Synchronous fixed-round peeling (k = 4, support >= 2): each round
+# recomputes every remaining edge's support with ONE wedge join over
+# the symmetrized remaining edge set (the oriented-triangle-count
+# plan shape) and drops the under-supported edges; the trajectory
+# (round, edges remaining, support checksum) is the observable, the
+# same convention as the LPA/pagerank trajectories. All counts are
+# exact integers — no FP seam. Plan per round: one self-join + one
+# groupBy on (edge) keys, intermediates bounded by wedge count;
+# localCheckpoint truncates the per-round lineage.
+_TRUSS_ROUNDS = 3
+_TRUSS_K = 4
+
+
+def _sql_ktruss() -> str:
+    ctes = [
+        _SQL_EDGES.strip(),
+        "t0 AS MATERIALIZED (SELECT u, v FROM eu)",
+    ]
+    for r in range(_TRUSS_ROUNDS):
+        ctes.append(
+            f"""sym{r} AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM t{r}
+      UNION ALL SELECT v AS a, u AS b FROM t{r}
+    ),
+    sup{r} AS MATERIALIZED (
+      SELECT e.u, e.v, COUNT(*) AS sup
+      FROM t{r} e
+      JOIN sym{r} s1 ON s1.a = e.u
+      JOIN sym{r} s2 ON s2.a = e.v AND s2.b = s1.b
+      GROUP BY e.u, e.v
+    ),
+    t{r + 1} AS MATERIALIZED (
+      SELECT u, v FROM sup{r} WHERE sup >= {_TRUSS_K - 2}
+    )"""
+        )
+    traj = "\n      UNION ALL ".join(
+        [
+            "SELECT 0 AS round, COUNT(*) AS n_edges,"
+            " CAST(0 AS BIGINT) AS support_checksum FROM t0"
+        ]
+        + [
+            f"SELECT {r + 1} AS round,"
+            f" (SELECT COUNT(*) FROM t{r + 1}) AS n_edges,"
+            f" CAST(COALESCE(SUM(sup), 0) AS BIGINT) AS support_checksum"
+            f" FROM sup{r} WHERE sup >= {_TRUSS_K - 2}"
+            for r in range(_TRUSS_ROUNDS)
+        ]
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT round, n_edges, support_checksum FROM ({traj}) ORDER BY round"""
+    )
+
+
+@_q("ktruss_peeling", _sql_ktruss())
+def q_ktruss_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eu = _undirected_edges(spark, sf_dir).localCheckpoint(eager=True)
+    snaps = [
+        eu.agg(
+            F.lit(0).cast("int").alias("round"),
+            F.count(F.lit(1)).alias("n_edges"),
+            F.lit(0).cast("bigint").alias("support_checksum"),
+        )
+    ]
+    cur = eu
+    for _ in range(_TRUSS_ROUNDS):
+        sym = cur.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+            cur.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        )
+        s1 = sym.select(F.col("a").alias("a1"), F.col("b").alias("w1"))
+        s2 = sym.select(F.col("a").alias("a2"), F.col("b").alias("w2"))
+        sup = (
+            cur.join(s1, cur["u"] == s1["a1"])
+            .join(s2, (cur["v"] == s2["a2"]) & (s1["w1"] == s2["w2"]))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("sup"))
+        )
+        keepers = sup.where(F.col("sup") >= _TRUSS_K - 2).localCheckpoint(
+            eager=True
+        )
+        snaps.append(
+            keepers.agg(
+                F.lit(len(snaps)).cast("int").alias("round"),
+                F.count(F.lit(1)).alias("n_edges"),
+                F.coalesce(F.sum("sup"), F.lit(0)).cast("bigint").alias(
+                    "support_checksum"
+                ),
+            )
+        )
+        cur = keepers.select("u", "v")
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), snaps).orderBy("round")

@@ -1475,3 +1475,139 @@ def q_query_likelihood_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ql_score"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine similarity pairs via an INVERTED-INDEX join —
+# the sparse-vector counterpart of the dense ANN tier: document
+# vectors live as (term, weight) postings; candidate pairs come ONLY
+# from shared postings (one equi-join on term), and rare-term pruning
+# (df <= 25) bounds each posting list — the df-filter stands where
+# PPJoin's prefix filter would at scale (drop the globally-common
+# terms whose postings would dominate the join; the cosine is then
+# over the PRUNED term subspace on both sides, consistently).
+# Exact-lattice discipline: idf = round(ln(N/df)*1e6) BIGINT once per
+# term (one transcendental, engine-identical); weights tf*idf_mu and
+# the dot/norm quadratics stay exact integers (DECIMAL(38,0)/
+# HUGEINT); one double division + sqrt at the end. Top-20 via
+# orderBy+limit = TakeOrderedAndProject, no global sort.
+_SPARSE_DF_MAX = 25
+
+
+def _sql_sparse_cosine() -> str:
+    words = (
+        r"list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),"
+        r" '\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, {words} AS ws FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, ws[i] || '_' || ws[i + 1] AS term
+      FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) AS s(i)
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS c FROM bg GROUP BY doc_id, term),
+    df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      HAVING COUNT(*) <= {_SPARSE_DF_MAX}
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    post AS (
+      SELECT tf.doc_id, tf.term,
+             tf.c * CAST(round(ln(CAST(n.n_docs AS DOUBLE) / df.df)
+                               * 1000000.0, 0) AS BIGINT) AS w_mu
+      FROM tf JOIN df ON df.term = tf.term, n
+    ),
+    nrm AS (
+      SELECT doc_id, SUM(CAST(w_mu AS HUGEINT) * w_mu) AS n2
+      FROM post GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             SUM(CAST(a.w_mu AS HUGEINT) * b.w_mu) AS dot
+      FROM post a JOIN post b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d.doc_a, d.doc_b,
+           round(CAST(d.dot AS DOUBLE)
+                 / (sqrt(CAST(na.n2 AS DOUBLE))
+                    * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos_sim
+    FROM dots d
+    JOIN nrm na ON na.doc_id = d.doc_a
+    JOIN nrm nb ON nb.doc_id = d.doc_b
+    ORDER BY cos_sim DESC, doc_a, doc_b
+    LIMIT 20
+    """
+
+
+@_q("sparse_cosine_pairs", _sql_sparse_cosine())
+def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import normalize_text, word_tokens
+
+    docs = t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", word_tokens(normalize_text(F.col("text"))).alias("ws")
+    )
+    bg = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> concat(ws[i - 1], '_', ws[i]))"
+            )
+        ).alias("term"),
+    )
+    tf = bg.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    df = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= _SPARSE_DF_MAX)
+    )
+    n_docs = docs.count()  # one scalar (like the BOM max key)
+    idf_mu = F.round(
+        F.log(F.lit(float(n_docs)) / F.col("df")) * 1000000.0, 0
+    ).cast("bigint")
+    post = (
+        tf.join(df, "term")
+        .select("doc_id", "term", (F.col("c") * idf_mu).alias("w_mu"))
+        .localCheckpoint(eager=True)  # read by norms AND both join sides
+    )
+    nrm = post.groupBy("doc_id").agg(
+        F.sum(F.col("w_mu").cast("decimal(38,0)") * F.col("w_mu")).alias("n2")
+    )
+    a = post.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("w_mu").alias("wa")
+    )
+    b = post.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("term").alias("term_b"),
+        F.col("w_mu").alias("wb"),
+    )
+    dots = (
+        a.join(b, (a["term"] == b["term_b"]) & (a["doc_a"] < b["doc_b"]))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("wa").cast("decimal(38,0)") * F.col("wb")).alias("dot")
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("na_id"), F.col("n2").alias("na2"))
+    nb = nrm.select(F.col("doc_id").alias("nb_id"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(na, dots["doc_a"] == na["na_id"])
+        .join(nb, dots["doc_b"] == nb["nb_id"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "doc_a", "doc_b")
+        .limit(20)
+    )

@@ -263,3 +263,50 @@ def test_d8_flow_accumulation_no_cartesian(spark):
     p = plan_of(spark, "d8_flow_accumulation")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_rollup_single_expand_single_agg_shuffle(spark):
+    """ROLLUP must plan as ONE Expand + partial/final hash aggregate
+    around ONE shuffle (plus the output sort) — N margins for the
+    price of one groupBy, never one scan per grouping set."""
+    p = plan_of(spark, "rollup_revenue_margins")
+    assert "Expand" in p
+    assert p.count("Exchange") <= 2  # agg shuffle + output sort
+    assert "HashAggregate" in p
+
+
+def test_sparse_cosine_no_cartesian(spark):
+    """The TF-IDF pair join must come from the inverted index (equi
+    join on term) — a cartesian/nested-loop here means the df-pruned
+    posting join degraded to all doc pairs."""
+    p = plan_of(spark, "sparse_cosine_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_betweenness_equi_joins_only(spark):
+    p = plan_of(spark, "betweenness_sampled")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ktruss_equi_joins_only(spark):
+    p = plan_of(spark, "ktruss_peeling")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_spatial_knn_join_no_forced_broadcast(spark):
+    """The operator must not HINT a broadcast of the target side (at
+    100 TB both sides are large); small fixtures may still AUTO
+    broadcast under the size threshold, which is fine — the pin is on
+    the join being a cell equi-join, not a nested loop."""
+    from tb_scale_spatial_data_pipeline_spark.plans import spatial_queries
+    import inspect
+
+    src = inspect.getsource(spatial_queries.q_spatial_knn_join)
+    assert "broadcast" not in src.lower()
+    p = plan_of(spark, "spatial_knn_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -1,0 +1,434 @@
+"""Independent-implementation replays + invariants for the round-9
+query additions. The DuckDB oracles already pin cross-engine hash
+equality; these tests pin the MATH against driver-side Python/numpy
+reimplementations and each operator's structural guarantees
+(grouping-margin consistency, peeling monotonicity, dependency
+normalization, TTL re-admission).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import numpy as np
+import pytest
+
+from conftest import SF_SMOKE
+
+from tb_scale_spatial_data_pipeline_spark.plans import all_queries
+
+
+# ---------------------------------------------------------------------------
+# OLAP grouping family
+
+
+def test_rollup_margins_consistent(spark):
+    """Every ROLLUP margin must equal the sum of its leaf groups —
+    the internal-consistency property of the single-pass Expand plan."""
+    rows = all_queries()["rollup_revenue_margins"](spark, SF_SMOKE).collect()
+    leaf = {(r["rf"], r["ls"]): r for r in rows if r["gid"] == 0}
+    mid = {r["rf"]: r for r in rows if r["gid"] == 1}
+    total = [r for r in rows if r["gid"] == 3]
+    assert len(total) == 1
+    for rf, m in mid.items():
+        sub = [v for (lrf, _), v in leaf.items() if lrf == rf]
+        assert m["n"] == sum(v["n"] for v in sub)
+        assert abs(m["revenue"] - sum(v["revenue"] for v in sub)) < 1e-6
+    assert total[0]["n"] == sum(v["n"] for v in leaf.values())
+
+
+def test_cube_has_all_margin_classes(spark):
+    got = {r["gid"] for r in all_queries()["cube_priority_status"](
+        spark, SF_SMOKE
+    ).collect()}
+    assert got == {0, 1, 2, 3}
+
+
+def test_bom_explosion_replay(spark):
+    """Pure-Python replay of the partkey-arithmetic BOM tree."""
+    part_max = (
+        spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+        .agg({"p_partkey": "max"})
+        .collect()[0][0]
+    )
+    agg: dict = defaultdict(lambda: [0, 0, 0])  # (root,depth) -> n,sum,max
+    for root in (1, 2, 3, 4):
+        frontier = [(root, 1)]
+        depth = 0
+        while frontier:
+            depth += 1
+            nxt = []
+            for node, qty in frontier:
+                for ch in (2 * node, 2 * node + 1):
+                    if ch <= part_max:
+                        q = qty * (ch % 5 + 1)
+                        nxt.append((ch, q))
+                        a = agg[(root, depth)]
+                        a[0] += 1
+                        a[1] += q
+                        a[2] = max(a[2], q)
+            frontier = nxt
+    rows = all_queries()["recursive_bom_explosion"](spark, SF_SMOKE).collect()
+    got = {(r["root"], r["depth"]): (r["n_components"], r["total_qty"],
+                                     r["max_path_qty"]) for r in rows}
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+# ---------------------------------------------------------------------------
+# Graph family
+
+
+def _edges_py(spark):
+    import hashlib
+
+    li = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .collect()
+    )
+    by_part = defaultdict(list)
+    for r in li:
+        by_part[r["l_partkey"]].append(r["l_suppkey"])
+    eu = set()
+    for sups in by_part.values():
+        ss = sorted(set(sups))
+        for i, u in enumerate(ss):
+            for v in ss[i + 1:]:
+                h = hashlib.md5(str(u * 1000 + v).encode()).hexdigest()
+                if int(h[:4], 16) < 9830:
+                    eu.add((u, v))
+    return eu
+
+
+def test_betweenness_brandes_replay(spark):
+    """Truncated-radius Brandes in pure Python (per-level rounding
+    mirrored) equals the distributed result."""
+    eu = _edges_py(spark)
+    adj = defaultdict(set)
+    for u, v in eu:
+        adj[u].add(v)
+        adj[v].add(u)
+    nodes = sorted(adj)
+    seeds = nodes[:8]
+    K = 4
+    bc_pico: Counter = Counter()
+    for s in seeds:
+        dist = {s: 0}
+        sigma = {s: 1}
+        levels = defaultdict(list)
+        levels[0] = [s]
+        for d in range(K):
+            for v in levels[d]:
+                for w in adj[v]:
+                    if w not in dist:
+                        dist[w] = d + 1
+                    if dist[w] == d + 1:
+                        sigma[w] = sigma.get(w, 0) + sigma[v]
+            levels[d + 1] = sorted(
+                {w for v in levels[d] for w in adj[v] if dist[w] == d + 1}
+            )
+        delta = defaultdict(float)
+        for d in range(K - 1, 0, -1):
+            nd = {}
+            for v in levels[d]:
+                tot = 0.0
+                for w in adj[v]:
+                    if dist.get(w) == d + 1:
+                        tot += sigma[v] / sigma[w] * (1.0 + delta[w])
+                if any(dist.get(w) == d + 1 for w in adj[v]):
+                    nd[v] = round(tot, 12)
+            for v, x in nd.items():
+                delta[v] = x
+                bc_pico[v] += int(round(x * 1e12))
+    want = {
+        n: round(p / 1e12, 6) for n, p in bc_pico.items() if p > 0
+    }
+    rows = all_queries()["betweenness_sampled"](spark, SF_SMOKE).collect()
+    got = {r["s_suppkey"]: r["k_betweenness"] for r in rows}
+    assert got == pytest.approx(want, abs=1e-6)
+
+
+def test_ktruss_monotone_and_replay(spark):
+    """Peeling never adds edges, and a pure-Python replay agrees."""
+    eu = _edges_py(spark)
+    cur = set(eu)
+    traj = [(0, len(cur), 0)]
+    for r in range(3):
+        adj = defaultdict(set)
+        for u, v in cur:
+            adj[u].add(v)
+            adj[v].add(u)
+        sup = {
+            (u, v): len(adj[u] & adj[v])
+            for (u, v) in cur
+        }
+        keep = {e for e, s in sup.items() if s >= 2}
+        traj.append((r + 1, len(keep), sum(sup[e] for e in keep)))
+        cur = keep
+    rows = all_queries()["ktruss_peeling"](spark, SF_SMOKE).collect()
+    got = [(r["round"], r["n_edges"], r["support_checksum"]) for r in rows]
+    assert got == traj
+    ns = [n for _, n, _ in got]
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
+
+
+def test_community_lp_round0_is_identity(spark):
+    rows = all_queries()["community_label_propagation"](
+        spark, SF_SMOKE
+    ).collect()
+    eu = _edges_py(spark)
+    nodes = {x for e in eu for x in e}
+    r0 = [r for r in rows if r["round"] == 0][0]
+    assert r0["n_comms"] == len(nodes)
+    assert r0["label_checksum"] == sum(nodes)
+    # label mass never exceeds the identity assignment (labels only
+    # ever move to the mode of neighbors, whose min-tie is <= max id)
+    for r in rows:
+        assert r["n_comms"] <= len(nodes)
+
+
+# ---------------------------------------------------------------------------
+# Raster family
+
+
+def _field(x, y):
+    base = (
+        math.sin(x / 10.0) * 40.0 + math.cos(y / 12.0) * 40.0 + 100.0
+    )
+    if (x - 35.0) ** 2 + (y - 30.0) ** 2 < 400.0:
+        base += 80.0
+    return base
+
+
+def test_slope_aspect_numpy_replay(spark):
+    """Horn slope/aspect against a straight numpy reimplementation on
+    the full 64x64 field with edge clamping."""
+    z = np.array(
+        [[_field(float(x), float(y)) for x in range(64)] for y in range(64)]
+    )
+    zp = np.pad(z, 1, mode="edge")
+    a, b, c = zp[:-2, :-2], zp[:-2, 1:-1], zp[:-2, 2:]
+    d, f = zp[1:-1, :-2], zp[1:-1, 2:]
+    g, h, i = zp[2:, :-2], zp[2:, 1:-1], zp[2:, 2:]
+    dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / 8.0
+    dzdy = ((g + 2 * h + i) - (a + 2 * b + c)) / 8.0
+    slope = np.degrees(np.arctan(np.sqrt(dzdx**2 + dzdy**2)))
+    rows = all_queries()["raster_slope_aspect"](spark, SF_SMOKE).collect()
+    assert len(rows) == 64 * 64
+    for r in rows[::97]:
+        assert r["slope_deg"] == pytest.approx(
+            slope[r["y"], r["x"]], abs=1e-5
+        )
+        assert 0.0 <= r["hillshade"] <= 255.0
+        assert r["aspect_deg"] == -1.0 or 0.0 <= r["aspect_deg"] <= 360.0
+
+
+def test_tile_pyramid_levels(spark):
+    """Level k has 4x fewer cells; the checksum is level-invariant
+    (sums of sums) and the global mean identical at every level."""
+    rows = all_queries()["raster_tile_pyramid"](spark, SF_SMOKE).collect()
+    assert [r["level"] for r in rows] == [0, 1, 2, 3]
+    assert [r["n_cells"] for r in rows] == [4096, 1024, 256, 64]
+    assert len({r["micro_checksum"] for r in rows}) == 1
+    assert len({r["global_mean"] for r in rows}) == 1
+    mins = [r["min_cell_mean"] for r in rows]
+    maxs = [r["max_cell_mean"] for r in rows]
+    # aggregation contracts the extremes monotonically
+    assert all(a <= b for a, b in zip(mins, mins[1:]))
+    assert all(a >= b for a, b in zip(maxs, maxs[1:]))
+
+
+def test_viewshed_replay(spark):
+    """Line-of-sight replay: O(n^2) loop per row equals the window
+    formulation."""
+    rows = all_queries()["raster_viewshed_scanline"](spark, SF_SMOKE).collect()
+    got = {r["y"]: (r["n_visible"], r["furthest_visible"]) for r in rows}
+    for y in range(0, 64, 7):
+        zmu = [int(round(round(_field(float(x), float(y)), 6) * 1e6))
+               for x in range(64)]
+        best = -math.inf
+        n_vis, far = 0, None
+        for x in range(1, 64):
+            ang = (zmu[x] - zmu[0]) / x
+            if ang > best:
+                n_vis += 1
+                far = x
+            best = max(best, ang)
+        assert got[y] == (n_vis, far)
+
+
+# ---------------------------------------------------------------------------
+# Streaming / temporal
+
+
+def test_ttl_dedup_readmits_after_gap(spark):
+    """Batch-twin law on the real fixture: a key's events admit iff
+    the gap from the PREVIOUS same-key event exceeds the TTL — i.e.
+    quiet keys re-admit (the expiry semantics)."""
+    import pandas as pd
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).toPandas()
+    ev = ev.sort_values(["user_id", "event_type", "ts", "event_id"])
+    ttl = pd.Timedelta(minutes=30)
+    want: Counter = Counter()
+    want_ck: Counter = Counter()
+    for (u, et), g in ev.groupby(["user_id", "event_type"]):
+        prev = None
+        for row in g.itertuples():
+            if prev is None or row.ts - prev > ttl:
+                want[(u, et)] += 1
+                want_ck[(u, et)] += row.event_id
+            prev = row.ts
+    rows = all_queries()["stream_ttl_dedup"](spark, SF_SMOKE).collect()
+    got = {(r["user_id"], r["event_type"]): (r["n_admitted"], r["id_checksum"])
+           for r in rows}
+    assert got == {k: (want[k], want_ck[k]) for k in want}
+
+
+def test_holt_tracks_linear_trend(spark):
+    """On the fixture, forecast = level + trend exactly (lattice
+    arithmetic), and level always lies within the value envelope
+    scaled by the window: sanity + replay of the first user."""
+    rows = all_queries()["holt_double_smoothing"](spark, SF_SMOKE).collect()
+    for r in rows[::37]:
+        assert r["forecast"] == pytest.approx(
+            r["level"] + r["trend"], abs=5e-7
+        )
+    # independent pandas replay for one user
+    import pandas as pd
+
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .where("event_type = 'purchase'")
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+    )
+    uid = rows[0]["user_id"]
+    g = ev[ev.user_id == uid].sort_values(["ts", "event_id"]).reset_index()
+    want = {}
+    vals = list(g["value"])
+    for n in range(1, len(vals) + 1):
+        lo = max(0, n - 20)
+        ws = [1.25 ** (k + 1) for k in range(lo, n)]
+        s1 = [
+            round(
+                sum(v * 1.25 ** (k + 1)
+                    for k, v in list(enumerate(vals))[max(0, j - 19): j + 1])
+                / sum(1.25 ** (k + 1)
+                      for k in range(max(0, j - 19), j + 1)),
+                6,
+            )
+            for j in range(n)
+        ]
+        s2 = round(
+            sum(s * 1.25 ** (k + 1)
+                for k, s in list(enumerate(s1))[lo:n])
+            / sum(ws),
+            6,
+        )
+        u1 = int(round(s1[-1] * 1e6))
+        u2 = int(round(s2 * 1e6))
+        want[g.loc[n - 1, "event_id"]] = (
+            (2 * u1 - u2) / 1e6,
+            (u1 - u2) / 4e6,
+        )
+    got = {
+        r["event_id"]: (r["level"], r["trend"])
+        for r in rows
+        if r["user_id"] == uid
+    }
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Vector / sketch / text
+
+
+def test_davies_bouldin_numpy_replay(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    X = {}
+    for r in emb:
+        X.setdefault(r["label"], []).append(
+            np.round(np.array(r["embedding"], dtype=np.float64) * 1e6)
+        )
+    labels = sorted(X)
+    cent = {l: np.mean(X[l], axis=0) for l in labels}
+    s = {
+        l: math.sqrt(
+            float(np.mean([np.sum((x - cent[l]) ** 2) for x in X[l]]))
+        )
+        / 1e6
+        for l in labels
+    }
+    r_max = {}
+    for i in labels:
+        best = -1.0
+        for j in labels:
+            if i == j:
+                continue
+            m = math.sqrt(float(np.sum((cent[i] - cent[j]) ** 2))) / 1e6
+            best = max(best, (s[i] + s[j]) / m)
+        r_max[i] = best
+    db = np.mean([r_max[i] for i in labels])
+    rows = all_queries()["davies_bouldin_index"](spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r["scatter"] == pytest.approx(s[r["label"]], abs=1e-4)
+        assert r["r_max"] == pytest.approx(r_max[r["label"]], abs=1e-3)
+        assert r["db_index"] == pytest.approx(db, abs=1e-3)
+
+
+def test_residual_quantization_improves(spark):
+    """Level-2 residual codebooks can only reduce (or keep) the MSE:
+    each subgroup centroid minimizes its own squared error."""
+    rows = all_queries()["residual_quantization_report"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["mse_level2"] <= r["mse_level1"] + 1e-9
+        assert r["mse_level1"] >= 0.0
+
+
+def test_theta_intersection_bounds(spark):
+    r = all_queries()["theta_sketch_intersection"](spark, SF_SMOKE).collect()[0]
+    assert 0 < r["theta"] <= 1.0
+    assert r["n_common"] <= r["k"]
+    # the sketch estimate should be within a loose factor of truth on
+    # the fixture (k=64 -> RSE ~ 1/sqrt(64) ~ 12.5%; allow 4 sigma)
+    if r["true_intersection"] > 0:
+        assert r["est_intersection"] == pytest.approx(
+            r["true_intersection"], rel=0.5
+        )
+
+
+def test_sparse_cosine_bounds_and_symmetric_terms(spark):
+    rows = all_queries()["sparse_cosine_pairs"](spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    sims = [r["cos_sim"] for r in rows]
+    assert all(0.0 <= x <= 1.0 + 1e-9 for x in sims)
+    assert sims == sorted(sims, reverse=True)
+    assert all(r["doc_a"] < r["doc_b"] for r in rows)
+
+
+def test_dedup_token_retention_mass_conservation(spark):
+    rows = all_queries()["dedup_token_retention"](spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n_docs = docs.count()
+    assert sum(r["docs_before"] for r in rows) == n_docs
+    for r in rows:
+        assert 0 < r["docs_kept"] <= r["docs_before"]
+        assert 0.0 < r["token_retention"] <= 1.0
+        assert r["tokens_kept"] <= r["tokens_before"]
+
+
+def test_percent_rank_tie_audit_invariants(spark):
+    rows = all_queries()["percent_rank_tie_audit"](spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r["n_prices"] <= r["n_parts"]
+        assert r["n_tie_groups"] <= r["n_prices"]
+        if r["max_tie"] == 1:
+            assert r["n_tie_groups"] == 0 and r["avg_tied_pr"] is None
