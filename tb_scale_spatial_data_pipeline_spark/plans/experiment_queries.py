@@ -398,3 +398,113 @@ def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survival",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard over the same spells as the
+# Kaplan-Meier query: H(t) = Σ_{t_i <= t} d_i / n_i, with the
+# Fleming-Harrington survival exp(-H) (the KM alternative that
+# behaves better at small risk sets) and the standard variance
+# Σ d_i / n_i². Same determinism contract as KM: data reduces to
+# per-distinct-time integer (d, n_risk) pairs BEFORE any float; the
+# cumulative window's frame pins the summation order, so the float
+# accumulation is engine-identical. The window runs over the reduced
+# per-distinct-time table (bounded by |distinct spell lengths|),
+# never the raw events.
+@_q(
+    "nelson_aalen_hazard",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(ts) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_ev,
+             max(ts) AS t_last
+      FROM events GROUP BY user_id
+    ), spells AS (
+      SELECT user_id,
+             CASE WHEN t_ev IS NOT NULL
+                  THEN CAST(date_diff('second', t0, t_ev) AS BIGINT)
+                  ELSE CAST(date_diff('second', t0, t_last) AS BIGINT)
+             END AS t_sec,
+             (t_ev IS NOT NULL) AS observed
+      FROM per_user
+    ), times AS (
+      SELECT t_sec,
+             COUNT(*) FILTER (observed) AS d,
+             COUNT(*) AS leaving
+      FROM spells GROUP BY t_sec
+    ), risk AS (
+      SELECT t_sec, d,
+             SUM(leaving) OVER (ORDER BY t_sec DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+      FROM times
+    )
+    SELECT CAST(t_sec AS BIGINT) AS t_sec,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           round(SUM(CAST(d AS DOUBLE) / n_risk)
+                 OVER (ORDER BY t_sec
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) AS cum_hazard,
+           round(exp(-SUM(CAST(d AS DOUBLE) / n_risk)
+                 OVER (ORDER BY t_sec
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                 6) AS fh_survival,
+           round(SUM(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * n_risk))
+                 OVER (ORDER BY t_sec
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) AS hazard_var
+    FROM risk WHERE d > 0
+    """,
+)
+def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_ev"
+        ),
+        F.max("ts").alias("t_last"),
+    )
+    t_end = F.coalesce(F.col("t_ev"), F.col("t_last"))
+    spells = per_user.select(
+        (F.unix_timestamp(t_end) - F.unix_timestamp(F.col("t0")))
+        .cast("bigint")
+        .alias("t_sec"),
+        F.col("t_ev").isNotNull().alias("observed"),
+    )
+    times = spells.groupBy("t_sec").agg(
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).alias("d"),
+        F.count("*").alias("leaving"),
+    )
+    w_desc = Window.orderBy(F.desc("t_sec")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = times.select(
+        "t_sec", "d", F.sum("leaving").over(w_desc).alias("n_risk")
+    )
+    w_asc = Window.orderBy("t_sec").rowsBetween(Window.unboundedPreceding, 0)
+    haz_term = F.col("d").cast("double") / F.col("n_risk")
+    var_term = F.col("d").cast("double") / (
+        F.col("n_risk").cast("double") * F.col("n_risk")
+    )
+    cum_h = F.sum(haz_term).over(w_asc)
+    return (
+        risk.select(
+            "t_sec",
+            "d",
+            "n_risk",
+            F.round(cum_h, 6).alias("cum_hazard"),
+            F.round(F.exp(-cum_h), 6).alias("fh_survival"),
+            F.round(F.sum(var_term).over(w_asc), 6).alias("hazard_var"),
+        )
+        .where(F.col("d") > 0)
+        .select(
+            F.col("t_sec").cast("bigint").alias("t_sec"),
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("d").cast("bigint").alias("n_events"),
+            "cum_hazard",
+            "fh_survival",
+            "hazard_var",
+        )
+    )

@@ -1348,3 +1348,140 @@ def q_residual_quantization_report(
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap (Webber et al. 2010) between two top-k
+# neighbor rankings of the same query vector — cosine vs raw L2 — the
+# rank-AWARE agreement audit that recall@k can't express (recall
+# treats position 1 and position k the same; RBO geometrically
+# discounts depth with persistence p). Both rankings are
+# deterministic: L2 distances are exact integer lattice quadratics;
+# cosine ranks by the round(6) similarity with vec_id tie-break; the
+# per-depth overlap X_d is an exact integer (count of items whose
+# max(rank_a, rank_b) <= d), and the truncated RBO_min sum runs in a
+# fixed-order cumulative window — engine-identical floats. k = 20,
+# p = 0.9. Plan: two TakeOrderedAndProject top-k's + one |k|-row
+# join; the quadratic work is k^2 = 400 comparisons, never corpus².
+_RBO_K = 20
+_RBO_P = 0.9
+
+
+def _sql_rbo() -> str:
+    norm = _SQL_NORM_A.format(a="e.embedding", n=DIM)
+    qnorm = _SQL_NORM_A.format(a="q.qv", n=DIM)
+    dot = "list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))"
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qq AS (
+      SELECT e.vec_id,
+             round({dot} / ({norm} * {qnorm} + 1e-12), 6) AS cos_sim,
+             list_sum(list_transform(generate_series(1, {DIM}),
+               i -> (CAST(round(CAST(e.embedding[i] AS DOUBLE)
+                                * 1000000.0) AS BIGINT)
+                     - CAST(round(CAST(q.qv[i] AS DOUBLE)
+                                  * 1000000.0) AS BIGINT))
+                    * (CAST(round(CAST(e.embedding[i] AS DOUBLE)
+                                  * 1000000.0) AS BIGINT)
+                       - CAST(round(CAST(q.qv[i] AS DOUBLE)
+                                    * 1000000.0) AS BIGINT)))) AS d2
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ),
+    ra AS (
+      SELECT vec_id, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS r
+      FROM qq QUALIFY r <= {_RBO_K}
+    ),
+    rb AS (
+      SELECT vec_id, row_number() OVER (ORDER BY d2 ASC, vec_id) AS r
+      FROM qq QUALIFY r <= {_RBO_K}
+    ),
+    m AS (
+      SELECT ra.vec_id, GREATEST(ra.r, rb.r) AS mx
+      FROM ra JOIN rb ON rb.vec_id = ra.vec_id
+    ),
+    depths AS (
+      SELECT d.d,
+             CAST((SELECT COUNT(*) FROM m WHERE m.mx <= d.d) AS BIGINT) AS x_d
+      FROM (SELECT unnest(generate_series(1, {_RBO_K})) AS d) d
+    )
+    SELECT CAST({_RBO_K} AS INT) AS k,
+           CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_common,
+           round(SUM(power({_RBO_P}, d - 1) * x_d / d)
+                 * (1.0 - {_RBO_P}), 6) AS rbo_min
+    FROM depths
+    """
+
+
+@_q("ann_rbo_overlap", _sql_rbo())
+def q_ann_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vectors import dot, l2_norm
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        as_double_array(F.col("embedding")).alias("qv")
+    )
+    base = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    e = as_double_array(F.col("embedding"))
+    cos = dot(e, F.col("qv")) / (l2_norm(e) * l2_norm(F.col("qv")) + 1e-12)
+    mu = lambda c: F.round(c * 1000000.0).cast("bigint")  # noqa: E731
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("qv"),
+            lambda a, b: (mu(a) - mu(b)) * (mu(a) - mu(b)),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    qq = base.select(
+        "vec_id", F.round(cos, 6).alias("cos_sim"), d2.alias("d2")
+    ).localCheckpoint(eager=True)  # feeds both rankings
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-
+    # partition heaps, no global sort); the rank window then runs
+    # over the k-row result only — never a single-partition window
+    # over the corpus-derived table
+    wa = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    wb = Window.orderBy(F.asc("d2"), F.asc("vec_id"))
+    ra = (
+        qq.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(_RBO_K)
+        .select("vec_id", "cos_sim", F.row_number().over(wa).alias("r"))
+    )
+    rb = (
+        qq.orderBy(F.asc("d2"), F.asc("vec_id"))
+        .limit(_RBO_K)
+        .select("vec_id", "d2", F.row_number().over(wb).alias("rb"))
+    )
+    m = ra.join(rb, "vec_id").select(
+        "vec_id", F.greatest("r", "rb").alias("mx")
+    ).localCheckpoint(eager=True)
+    depths = ra.sparkSession.range(1, _RBO_K + 1).select(
+        F.col("id").cast("int").alias("d")
+    )
+    xd = (
+        depths.join(F.broadcast(m), F.col("mx") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("vec_id").cast("bigint").alias("x_d"))
+    )
+    n_common = m.agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    return (
+        xd.agg(
+            F.round(
+                F.sum(
+                    F.pow(F.lit(_RBO_P), F.col("d") - 1)
+                    * F.col("x_d")
+                    / F.col("d")
+                )
+                * (1.0 - _RBO_P),
+                6,
+            ).alias("rbo_min")
+        )
+        .crossJoin(F.broadcast(n_common))  # two 1-row aggregates
+        .select(
+            F.lit(_RBO_K).cast("int").alias("k"),
+            "n_common",
+            "rbo_min",
+        )
+    )
