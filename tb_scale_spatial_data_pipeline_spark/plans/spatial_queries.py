@@ -933,3 +933,163 @@ def q_grid_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-vs-Z-order locality audit over a 16x16 cell grid — the
+# measurement behind choosing a space-filling curve for data layout
+# (Delta/Iceberg OPTIMIZE ZORDER vs Hilbert clustering): walk each
+# curve in index order and measure the Manhattan jump between
+# consecutive cells. Hilbert's defining property (every step is a
+# unit step) vs Z-order's quadrant seams falls straight out of the
+# numbers. The Hilbert index runs the standard xy2d rotation loop
+# (Wikipedia's algorithm) UNROLLED over the 4 levels s=8,4,2,1 with
+# pure integer CASE arithmetic — no xor builtin needed, so the same
+# expression tree runs in both engines; Z-order interleaves bits with
+# // and %. Everything integer until the one avg division.
+_HILB_N = 16
+
+
+def _sql_hilbert_locality() -> str:
+    # unrolled xy2d: at each level s, quadrant code q=(0,1,3,2) for
+    # (rx,ry)=(0,0),(0,1),(1,0),(1,1) -> d += s*s*q, then rotate/flip
+    steps = []
+    for s in (8, 4, 2, 1):
+        steps.append(
+            f"""SELECT cell, d + {s * s} * (
+               CASE WHEN x >= {s} AND y >= {s} THEN 2
+                    WHEN x >= {s} THEN 3
+                    WHEN y >= {s} THEN 1
+                    ELSE 0 END) AS d,
+             CASE WHEN y < {s} AND x >= {s} THEN {s} - 1 - (y % {s})
+                  WHEN y < {s} THEN y % {s}
+                  ELSE x % {s} END AS x,
+             CASE WHEN y < {s} AND x >= {s} THEN {s} - 1 - (x % {s})
+                  WHEN y < {s} THEN x % {s}
+                  ELSE y % {s} END AS y
+      FROM """
+        )
+    inner = f"""(SELECT cell, 0 AS d, cell % {_HILB_N} AS x,
+                 cell // {_HILB_N} AS y
+          FROM (SELECT unnest(generate_series(0, {_HILB_N * _HILB_N - 1}))
+                AS cell))"""
+    # innermost subquery evaluates FIRST: wrap in s=8,4,2,1 order so
+    # the s=8 step is innermost
+    hilbert = inner
+    for st in steps:
+        hilbert = f"({st}{hilbert})"
+    zbits = " + ".join(
+        f"(((cell % {_HILB_N}) // {1 << k}) % 2) * {1 << (2 * k)}"
+        f" + (((cell // {_HILB_N}) // {1 << k}) % 2) * {1 << (2 * k + 1)}"
+        for k in range(4)
+    )
+    return f"""
+    WITH h AS (
+      SELECT cell, d AS idx FROM {hilbert}
+    ),
+    z AS (
+      SELECT cell, {zbits} AS idx
+      FROM (SELECT unnest(generate_series(0, {_HILB_N * _HILB_N - 1}))
+            AS cell)
+    ),
+    both_curves AS (
+      SELECT 'hilbert' AS curve, cell, idx FROM h
+      UNION ALL SELECT 'zorder', cell, idx FROM z
+    ),
+    walk AS (
+      SELECT curve,
+             abs(cell % {_HILB_N}
+                 - lead(cell % {_HILB_N}) OVER w) +
+             abs(cell // {_HILB_N}
+                 - lead(cell // {_HILB_N}) OVER w) AS jump
+      FROM both_curves
+      WINDOW w AS (PARTITION BY curve ORDER BY idx)
+    )
+    SELECT curve,
+           CAST(COUNT(jump) AS BIGINT) AS n_steps,
+           CAST(SUM(CASE WHEN jump = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS unit_steps,
+           CAST(MAX(jump) AS BIGINT) AS max_jump,
+           round(CAST(SUM(jump) AS DOUBLE) / COUNT(jump), 6) AS avg_jump
+    FROM walk WHERE jump IS NOT NULL
+    GROUP BY curve ORDER BY curve
+    """
+
+
+@_q("hilbert_locality_audit", _sql_hilbert_locality())
+def q_hilbert_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _HILB_N
+    cells = t(spark, sf_dir, "region").sparkSession.range(n * n).select(
+        F.col("id").cast("bigint").alias("cell")
+    )
+    x = (F.col("cell") % n).alias("x")
+    y = (F.col("cell") / n).cast("bigint").alias("y")
+    cur = cells.select("cell", F.lit(0).cast("bigint").alias("d"), x, y)
+    for s in (8, 4, 2, 1):
+        q = (
+            F.when((F.col("x") >= s) & (F.col("y") >= s), 2)
+            .when(F.col("x") >= s, 3)
+            .when(F.col("y") >= s, 1)
+            .otherwise(0)
+        )
+        nx = (
+            F.when(
+                (F.col("y") < s) & (F.col("x") >= s),
+                s - 1 - (F.col("y") % s),
+            )
+            .when(F.col("y") < s, F.col("y") % s)
+            .otherwise(F.col("x") % s)
+        )
+        ny = (
+            F.when(
+                (F.col("y") < s) & (F.col("x") >= s),
+                s - 1 - (F.col("x") % s),
+            )
+            .when(F.col("y") < s, F.col("x") % s)
+            .otherwise(F.col("y") % s)
+        )
+        cur = cur.select(
+            "cell",
+            (F.col("d") + s * s * q).alias("d"),
+            nx.alias("x"),
+            ny.alias("y"),
+        )
+    h = cur.select(F.lit("hilbert").alias("curve"), "cell", F.col("d").alias("idx"))
+    zexpr = None
+    for k in range(4):
+        t1 = ((F.col("cell") % n) / (1 << k)).cast("bigint") % 2 * (1 << (2 * k))
+        t2 = (
+            ((F.col("cell") / n).cast("bigint") / (1 << k)).cast("bigint")
+            % 2
+            * (1 << (2 * k + 1))
+        )
+        zexpr = t1 + t2 if zexpr is None else zexpr + t1 + t2
+    z = cells.select(
+        F.lit("zorder").alias("curve"), "cell", zexpr.cast("bigint").alias("idx")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("curve").orderBy("idx")
+    cx = F.col("cell") % n
+    cy = (F.col("cell") / n).cast("bigint")
+    walk = h.unionByName(z).select(
+        "curve",
+        (
+            F.abs(cx - F.lead(cx).over(w)) + F.abs(cy - F.lead(cy).over(w))
+        ).alias("jump"),
+    )
+    return (
+        walk.where(F.col("jump").isNotNull())
+        .groupBy("curve")
+        .agg(
+            F.count("jump").cast("bigint").alias("n_steps"),
+            F.sum(F.when(F.col("jump") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("unit_steps"),
+            F.max("jump").cast("bigint").alias("max_jump"),
+            F.round(
+                F.sum("jump").cast("double") / F.count("jump"), 6
+            ).alias("avg_jump"),
+        )
+        .orderBy("curve")
+    )

@@ -432,3 +432,138 @@ def test_percent_rank_tie_audit_invariants(spark):
         assert r["n_tie_groups"] <= r["n_prices"]
         if r["max_tie"] == 1:
             assert r["n_tie_groups"] == 0 and r["avg_tied_pr"] is None
+
+
+def test_hilbert_unit_step_property(spark):
+    """The defining Hilbert property: EVERY consecutive step is a
+    unit Manhattan step; Z-order must show its quadrant seams."""
+    rows = all_queries()["hilbert_locality_audit"](spark, SF_SMOKE).collect()
+    by = {r["curve"]: r for r in rows}
+    h, z = by["hilbert"], by["zorder"]
+    assert h["n_steps"] == 255 and h["unit_steps"] == 255
+    assert h["max_jump"] == 1 and h["avg_jump"] == 1.0
+    assert z["unit_steps"] < z["n_steps"]
+    assert z["max_jump"] > 1 and z["avg_jump"] > 1.0
+
+
+def test_nelson_aalen_replay(spark):
+    """Pure-pandas replay of spells -> cumulative hazard."""
+    import pandas as pd
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "user_id", "event_type", "ts"
+    ).toPandas()
+    spells = []
+    for u, g in ev.groupby("user_id"):
+        t0 = g["ts"].min()
+        purch = g[g.event_type == "purchase"]["ts"]
+        if len(purch):
+            spells.append((int((purch.min() - t0).total_seconds()), True))
+        else:
+            spells.append((int((g["ts"].max() - t0).total_seconds()), False))
+    times = sorted({t for t, _ in spells})
+    want = {}
+    H = 0.0
+    for t in times:
+        d = sum(1 for s, obs in spells if s == t and obs)
+        n_risk = sum(1 for s, _ in spells if s >= t)
+        if d > 0:
+            H += d / n_risk
+            want[t] = (n_risk, d, round(H, 6))
+    rows = all_queries()["nelson_aalen_hazard"](spark, SF_SMOKE).collect()
+    got = {r["t_sec"]: (r["n_risk"], r["n_events"], r["cum_hazard"])
+           for r in rows}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:2] == want[k][:2], k
+        assert got[k][2] == pytest.approx(want[k][2], abs=1e-6), k
+    # hazard is nondecreasing; FH survival nonincreasing in t
+    ordered = sorted(rows, key=lambda r: r["t_sec"])
+    hz = [r["cum_hazard"] for r in ordered]
+    fh = [r["fh_survival"] for r in ordered]
+    assert hz == sorted(hz)
+    assert fh == sorted(fh, reverse=True)
+
+
+def test_rbo_replay_and_bounds(spark):
+    """RBO replay: recompute both rankings + the truncated RBO sum in
+    numpy from the raw embeddings."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    qv = None
+    X = {}
+    for r in emb:
+        v = np.array(r["embedding"], dtype=np.float64)
+        if r["vec_id"] == 0:
+            qv = v
+        else:
+            X[r["vec_id"]] = v
+    cos = {
+        i: round(float(v @ qv) / (np.linalg.norm(v) * np.linalg.norm(qv)
+                                  + 1e-12), 6)
+        for i, v in X.items()
+    }
+    mu = lambda v: np.round(v * 1e6)  # noqa: E731
+    d2 = {i: int(np.sum((mu(v) - mu(qv)) ** 2)) for i, v in X.items()}
+    k, p = 20, 0.9
+    ra = {i: r + 1 for r, (i, _) in enumerate(
+        sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[:k])}
+    rb = {i: r + 1 for r, (i, _) in enumerate(
+        sorted(d2.items(), key=lambda kv: (kv[1], kv[0]))[:k])}
+    common = set(ra) & set(rb)
+    mx = {i: max(ra[i], rb[i]) for i in common}
+    rbo = (1 - p) * sum(
+        p ** (d - 1) * sum(1 for i in common if mx[i] <= d) / d
+        for d in range(1, k + 1)
+    )
+    r = all_queries()["ann_rbo_overlap"](spark, SF_SMOKE).collect()[0]
+    assert r["k"] == k
+    assert r["n_common"] == len(common)
+    assert r["rbo_min"] == pytest.approx(rbo, abs=1e-6)
+    assert 0.0 <= r["rbo_min"] <= 1.0
+
+
+def test_sparse_cosine_replay_top_pair(spark):
+    """Replay the full sparse TF-IDF similarity in Python and check
+    the top-20 list matches."""
+    rows_q = all_queries()["sparse_cosine_pairs"](spark, SF_SMOKE).collect()
+    import re as _re
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    tf: dict = {}
+    for r in docs:
+        ws = [w for w in _re.sub(r"\s+", " ", r["text"].lower()).strip()
+              .split(" ") if w]
+        c: Counter = Counter(
+            f"{a}_{b}" for a, b in zip(ws, ws[1:])
+        )
+        tf[r["doc_id"]] = c
+    dfc: Counter = Counter()
+    for c in tf.values():
+        dfc.update(c.keys())
+    n_docs = len(docs)
+    keep = {t for t, d in dfc.items() if d <= 25}
+    w_mu = {
+        d: {
+            t: c * int(round(math.log(n_docs / dfc[t]) * 1e6))
+            for t, c in cs.items()
+            if t in keep
+        }
+        for d, cs in tf.items()
+    }
+    n2 = {d: sum(w * w for w in ws.values()) for d, ws in w_mu.items()}
+    sims = {}
+    ids = sorted(w_mu)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            shared = set(w_mu[a]) & set(w_mu[b])
+            if not shared:
+                continue
+            dot = sum(w_mu[a][t] * w_mu[b][t] for t in shared)
+            sims[(a, b)] = round(
+                dot / (math.sqrt(n2[a]) * math.sqrt(n2[b])), 6
+            )
+    want = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [((r["doc_a"], r["doc_b"]), r["cos_sim"]) for r in rows_q]
+    assert got == [(k, pytest.approx(v, abs=1e-6)) for k, v in want]
