@@ -455,12 +455,18 @@ def test_nelson_aalen_replay(spark):
     ).toPandas()
     spells = []
     for u, g in ev.groupby("user_id"):
-        t0 = g["ts"].min()
+        # both engines count SECOND BOUNDARIES (floor each timestamp,
+        # then subtract) — not the truncated exact difference
+        t0 = g["ts"].min().floor("s")
         purch = g[g.event_type == "purchase"]["ts"]
         if len(purch):
-            spells.append((int((purch.min() - t0).total_seconds()), True))
+            spells.append(
+                (int((purch.min().floor("s") - t0).total_seconds()), True)
+            )
         else:
-            spells.append((int((g["ts"].max() - t0).total_seconds()), False))
+            spells.append(
+                (int((g["ts"].max().floor("s") - t0).total_seconds()), False)
+            )
     times = sorted({t for t, _ in spells})
     want = {}
     H = 0.0
