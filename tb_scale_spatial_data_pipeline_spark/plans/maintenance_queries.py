@@ -408,3 +408,74 @@ def q_freshness_sla_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Compaction bin-packing planner — the OPTIMIZE/rewrite-data-files
+# grouping step: simulated file sizes (per order-month row counts x a
+# fixed row width) sort descending and pack into ~128 "MB" target
+# bins by CUMULATIVE-SUM BINNING (bin = cumsum_before // target) —
+# the distributed approximation of first-fit-decreasing that real
+# table services use: window-expressible (no sequential bin state),
+# deterministic, and within one file of the target per bin (each bin
+# overflows by at most the file that crosses the boundary; FFD's
+# backtracking would save at most that). All integer arithmetic; the
+# fill ratio is the one reporting division. The planner window runs
+# over the FILE LIST (one row per file), never the data.
+_COMPACT_TARGET = 128 * 1024  # simulated bytes
+_COMPACT_ROW_W = 64
+
+
+@_q(
+    "compaction_bin_packing",
+    f"""
+    WITH files AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS file_key,
+             COUNT(*) * {_COMPACT_ROW_W} AS bytes
+      FROM orders GROUP BY 1
+    ),
+    packed AS (
+      SELECT file_key, bytes,
+             COALESCE(SUM(bytes) OVER (ORDER BY bytes DESC, file_key
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS cum_before
+      FROM files
+    )
+    SELECT CAST(cum_before // {_COMPACT_TARGET} AS BIGINT) AS bin_id,
+           COUNT(*) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+           CAST(MAX(bytes) AS BIGINT) AS largest_file,
+           round(CAST(SUM(bytes) AS DOUBLE) / {_COMPACT_TARGET}, 6)
+             AS fill_ratio
+    FROM packed GROUP BY 1 ORDER BY bin_id
+    """,
+)
+def q_compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    files = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("file_key")
+    ).agg((F.count(F.lit(1)) * _COMPACT_ROW_W).alias("bytes"))
+    w = Window.orderBy(F.desc("bytes"), F.asc("file_key")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    packed = files.select(
+        "file_key",
+        "bytes",
+        F.coalesce(F.sum("bytes").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return (
+        packed.groupBy(
+            F.expr(f"cum_before div {_COMPACT_TARGET}")
+            .cast("bigint")
+            .alias("bin_id")  # integer div, not double-divide-then-cast
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").cast("bigint").alias("bin_bytes"),
+            F.max("bytes").cast("bigint").alias("largest_file"),
+            F.round(
+                F.sum("bytes").cast("double") / _COMPACT_TARGET, 6
+            ).alias("fill_ratio"),
+        )
+        .orderBy("bin_id")
+    )

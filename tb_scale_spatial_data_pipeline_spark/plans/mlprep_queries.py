@@ -733,3 +733,118 @@ def q_prediction_calibration_report(
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nucleus (top-p) sampling support sets over the bigram LM — the
+# inference-side statistic every sampling implementation needs: for
+# each context w1, the smallest prefix of next tokens (by count desc,
+# token asc — the deterministic tie rule) whose cumulative mass
+# reaches p = 0.9. FULLY INTEGER: the support condition
+# cumsum/total >= 0.9 is evaluated as 10*cumsum >= 9*total on exact
+# BIGINT counts, so there is no probability float anywhere until the
+# final reporting division. Plan: one bigram count pass, one
+# per-context ordered window (partitioned by w1 — never global), one
+# groupBy. Output per context (top-30 contexts by count): vocab
+# breadth vs nucleus size — the fat-head/long-tail audit.
+@_q(
+    "nucleus_sampling_support",
+    """
+    WITH arrs AS (
+      SELECT doc_id,
+             string_split_regex(lower(text), '[^a-z0-9]+') AS arr
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, i AS pos, arr[i] AS w
+      FROM arrs, unnest(range(1, len(arr) + 1)) AS u(i)
+      WHERE arr[i] <> ''
+    ),
+    bi AS (
+      SELECT doc_id, w AS w1,
+             lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM toks
+    ),
+    bc AS (
+      SELECT w1, w2, COUNT(*) AS c
+      FROM bi WHERE w2 IS NOT NULL GROUP BY w1, w2
+    ),
+    cum AS (
+      SELECT w1, w2, c,
+             SUM(c) OVER (PARTITION BY w1 ORDER BY c DESC, w2
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cs,
+             SUM(c) OVER (PARTITION BY w1) AS total
+      FROM bc
+    ),
+    marked AS (
+      SELECT w1, w2, c, cs, total,
+             CASE WHEN cs - c = 0 OR 10 * (cs - c) < 9 * total
+                  THEN 1 ELSE 0 END AS in_nucleus
+      FROM cum
+    )
+    SELECT w1,
+           CAST(MAX(total) AS BIGINT) AS n_continuations,
+           COUNT(*) AS vocab_breadth,
+           CAST(SUM(in_nucleus) AS BIGINT) AS nucleus_size,
+           round(CAST(SUM(CASE WHEN in_nucleus = 1 THEN c ELSE 0 END)
+                      AS DOUBLE) / MAX(total), 6) AS nucleus_mass
+    FROM marked
+    GROUP BY w1
+    ORDER BY n_continuations DESC, w1 LIMIT 30
+    """,
+)
+def q_nucleus_sampling_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda x: x != "",
+            )
+        ).alias("pos", "w"),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    bi = toks.select(
+        "doc_id", F.col("w").alias("w1"), F.lead("w").over(w_doc).alias("w2")
+    ).where(F.col("w2").isNotNull())
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("w1")
+        .orderBy(F.desc("c"), F.asc("w2"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("w1")
+    cum = bc.select(
+        "w1",
+        "w2",
+        "c",
+        F.sum("c").over(w_cum).alias("cs"),
+        F.sum("c").over(w_tot).alias("total"),
+    )
+    # a token is in the nucleus iff the mass BEFORE it is < p (the
+    # first token always is) — integer form: 10*(cs-c) < 9*total
+    in_nucleus = F.when(
+        ((F.col("cs") - F.col("c")) == 0)
+        | (10 * (F.col("cs") - F.col("c")) < 9 * F.col("total")),
+        1,
+    ).otherwise(0)
+    marked = cum.withColumn("in_nucleus", in_nucleus)
+    return (
+        marked.groupBy("w1")
+        .agg(
+            F.max("total").cast("bigint").alias("n_continuations"),
+            F.count(F.lit(1)).alias("vocab_breadth"),
+            F.sum("in_nucleus").cast("bigint").alias("nucleus_size"),
+            F.round(
+                F.sum(
+                    F.when(F.col("in_nucleus") == 1, F.col("c")).otherwise(0)
+                ).cast("double")
+                / F.max("total"),
+                6,
+            ).alias("nucleus_mass"),
+        )
+        .orderBy(F.desc("n_continuations"), "w1")
+        .limit(30)
+    )
