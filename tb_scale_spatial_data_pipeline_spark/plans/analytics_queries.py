@@ -922,3 +922,96 @@ def q_hour_of_week_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour_of_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch conversion attribution — linear and U-shaped (40/20/40)
+# credit models over each user's pre-conversion journey (all
+# non-purchase events strictly before the FIRST purchase), credited
+# to the touch's event_type. The marketing-analytics counterpart of
+# the existing last-touch purchase_attribution. EXACT-LATTICE credit:
+# fractional credits are integer PICOUNITS — linear 1e12/n (floor),
+# U-shaped 4e11 first + 4e11 last + 2e11/(n-2) middles — so the
+# cross-user sums are order-free exact BIGINTs and only the reporting
+# division is float. Floor-division remainders stay in the picounit
+# totals (documented: per-conversion credit sums to 1e12 - (n-1 ..0)
+# dust, identically in both engines). One window pass to rank
+# touches, one groupBy to credit.
+@_q(
+    "multitouch_attribution",
+    """
+    WITH firstp AS (
+      SELECT user_id, MIN(ts) AS conv_ts
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touches AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id,
+             row_number() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id) AS pos,
+             COUNT(*) OVER (PARTITION BY e.user_id) AS n
+      FROM events e JOIN firstp f ON f.user_id = e.user_id
+      WHERE e.event_type <> 'purchase' AND e.ts < f.conv_ts
+    ),
+    credited AS (
+      SELECT event_type,
+             CAST(1000000000000 AS BIGINT) // n AS lin_pico,
+             CASE WHEN n = 1 THEN CAST(1000000000000 AS BIGINT)
+                  WHEN pos = 1 OR pos = n THEN CAST(400000000000 AS BIGINT)
+                  ELSE CAST(200000000000 AS BIGINT) // (n - 2) END AS u_pico
+      FROM touches
+    )
+    SELECT event_type,
+           COUNT(*) AS n_touches,
+           round(CAST(SUM(lin_pico) AS DOUBLE) / 1000000000000.0, 6)
+             AS linear_credit,
+           round(CAST(SUM(u_pico) AS DOUBLE) / 1000000000000.0, 6)
+             AS u_shaped_credit
+    FROM credited GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    firstp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("fu"))
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    touches = (
+        ev.where(F.col("event_type") != "purchase")
+        .join(
+            firstp,
+            (F.col("user_id") == F.col("fu"))
+            & (F.col("ts") < F.col("conv_ts")),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = Window.partitionBy("user_id")
+    ranked = touches.select(
+        "event_type",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    pico = 1000000000000
+    lin = F.expr(f"CAST({pico} AS BIGINT) div n")
+    u = (
+        F.when(F.col("n") == 1, F.lit(pico).cast("bigint"))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n")),
+            F.lit(4 * pico // 10).cast("bigint"),
+        )
+        .otherwise(F.expr(f"CAST({2 * pico // 10} AS BIGINT) div (n - 2)"))
+    )
+    return (
+        ranked.select("event_type", lin.alias("lin_pico"), u.alias("u_pico"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(
+                F.sum("lin_pico").cast("double") / pico, 6
+            ).alias("linear_credit"),
+            F.round(
+                F.sum("u_pico").cast("double") / pico, 6
+            ).alias("u_shaped_credit"),
+        )
+        .orderBy("event_type")
+    )

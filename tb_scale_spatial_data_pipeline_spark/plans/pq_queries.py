@@ -419,3 +419,86 @@ def q_ivfpq_nprobe_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.expr(f"round(sqrt({exact2}), 6)").alias("l2_dist")
     )
     return reranked.orderBy(F.asc("l2_dist"), F.asc("vec_id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# OPQ-style subspace energy balance (Ge et al. 2013's objective,
+# permutation tier): product quantization splits dims into M=8
+# subspaces; OPQ rotates so per-subspace energy is balanced (balanced
+# energy -> balanced codebook utilization -> lower distortion at
+# equal bits). The proxy compares the NATURAL allocation (contiguous
+# dim blocks) against a STRIDED permutation (dim i -> subspace
+# i mod 8) on an anisotropy-STRETCHED view (dim i scaled by
+# (16 + i)/16 — the fixture embeddings are near-isotropic, so the
+# stretch makes imbalance visible; a permutation matrix IS an
+# orthogonal rotation, so this is the legitimate cheap tier of OPQ).
+# Exact lattice: stretched values are xq*(16+i) integers; energies
+# are DECIMAL(38,0)/HUGEINT sums; the imbalance ratio max/min is the
+# one float. Natural blocks concentrate the high-index (high-scale)
+# dims -> high ratio; striding spreads them -> ratio near 1.
+@_q(
+    "opq_energy_balance",
+    """
+    WITH pts AS (
+      SELECT CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+               * (16 + i) AS yq,
+             (i - 1) // 8 AS sub_nat,
+             (i - 1) % 8 AS sub_str
+      FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS s(i)
+    ),
+    e_nat AS (
+      SELECT 'natural' AS allocation, sub_nat AS subspace,
+             SUM(CAST(yq AS HUGEINT) * yq) AS energy
+      FROM pts GROUP BY sub_nat
+    ),
+    e_str AS (
+      SELECT 'strided' AS allocation, sub_str AS subspace,
+             SUM(CAST(yq AS HUGEINT) * yq) AS energy
+      FROM pts GROUP BY sub_str
+    ),
+    u AS (SELECT * FROM e_nat UNION ALL SELECT * FROM e_str)
+    SELECT allocation,
+           CAST(COUNT(*) AS BIGINT) AS n_subspaces,
+           round(CAST(MAX(energy) AS DOUBLE) / MIN(energy), 6)
+             AS imbalance_ratio,
+           round(CAST(MAX(energy) AS DOUBLE)
+                 / CAST(SUM(energy) AS DOUBLE), 6) AS max_share
+    FROM u GROUP BY allocation ORDER BY allocation
+    """,
+)
+def q_opq_energy_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    pts = emb.select(F.posexplode("embedding").alias("pos0", "x")).select(
+        (F.col("pos0") + 1).alias("i"),
+        (
+            F.round(F.col("x").cast("double") * 1000000).cast("bigint")
+            * (F.col("pos0") + 17)
+        ).alias("yq"),
+    )
+    pts = pts.select(
+        "yq",
+        ((F.col("i") - 1) / 8).cast("bigint").alias("sub_nat"),
+        ((F.col("i") - 1) % 8).alias("sub_str"),
+    )
+    en = pts.groupBy(F.col("sub_nat").alias("subspace")).agg(
+        F.sum(F.col("yq").cast("decimal(38,0)") * F.col("yq")).alias("energy")
+    ).select(F.lit("natural").alias("allocation"), "subspace", "energy")
+    es = pts.groupBy(F.col("sub_str").alias("subspace")).agg(
+        F.sum(F.col("yq").cast("decimal(38,0)") * F.col("yq")).alias("energy")
+    ).select(F.lit("strided").alias("allocation"), "subspace", "energy")
+    return (
+        en.unionByName(es)
+        .groupBy("allocation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_subspaces"),
+            F.round(
+                F.max("energy").cast("double") / F.min("energy").cast("double"),
+                6,
+            ).alias("imbalance_ratio"),
+            F.round(
+                F.max("energy").cast("double") / F.sum("energy").cast("double"),
+                6,
+            ).alias("max_share"),
+        )
+        .orderBy("allocation")
+    )

@@ -432,3 +432,108 @@ def q_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("e_model").cast("double") / F.sum("e_naive").cast("double"), 6
         ).alias("mase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Single change-point by binary segmentation (the first split of the
+# CUSUM-alternative family): over the hourly revenue series, choose
+# the split t that maximizes the between-segment sum of squares
+# SS(t) = S_t²/t + (S - S_t)²/(n - t) — equivalently minimizes
+# within-segment variance. Values enter as exact integer cents, the
+# prefix sums S_t are exact BIGINTs over the REDUCED hourly series
+# (never raw events), and the objective is ONE fixed expression per
+# candidate t from those exact integers — engine-identical doubles,
+# argmax by max(struct(ss, -t)) with deterministic earliest-t ties.
+@_q(
+    "binary_segmentation_split",
+    """
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h,
+             CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    seq AS (
+      SELECT row_number() OVER (ORDER BY h) AS pos, cents,
+             SUM(cents) OVER (ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_t,
+             COUNT(*) OVER () AS n,
+             SUM(cents) OVER () AS s_all
+      FROM hourly
+    ),
+    scored AS (
+      SELECT pos, s_t, n, s_all,
+             CAST(s_t AS DOUBLE) * s_t / pos
+             + CAST(s_all - s_t AS DOUBLE) * (s_all - s_t) / (n - pos)
+               AS between_ss
+      FROM seq WHERE pos < n
+    ),
+    best AS (
+      SELECT pos, between_ss, s_t, n, s_all,
+             MAX(between_ss) OVER () AS mx
+      FROM scored
+    )
+    SELECT CAST(pos AS BIGINT) AS split_pos,
+           CAST(n AS BIGINT) AS n_hours,
+           round(CAST(s_t AS DOUBLE) / pos / 100.0, 6) AS left_mean,
+           round(CAST(s_all - s_t AS DOUBLE) / (n - pos) / 100.0, 6)
+             AS right_mean,
+           round(between_ss / 10000.0, 4) AS between_ss
+    FROM best WHERE between_ss = mx
+    ORDER BY pos LIMIT 1
+    """,
+)
+def q_binary_segmentation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w_ord = Window.orderBy("h")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    seq = hourly.select(
+        F.row_number().over(w_ord).alias("pos"),
+        F.sum("cents").over(w_cum).alias("s_t"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("cents").over(w_all).alias("s_all"),
+    )
+    rest = F.col("s_all") - F.col("s_t")
+    ss = F.col("s_t").cast("double") * F.col("s_t") / F.col("pos") + rest.cast(
+        "double"
+    ) * rest / (F.col("n") - F.col("pos"))
+    scored = seq.where(F.col("pos") < F.col("n")).select(
+        "pos", "s_t", "n", "s_all", ss.alias("between_ss")
+    )
+    # argmax with earliest-pos tie: max(struct(ss, -pos))
+    best = scored.agg(
+        F.max(
+            F.struct(F.col("between_ss"), (-F.col("pos")).alias("np"))
+        ).alias("m")
+    )
+    return (
+        scored.join(
+            F.broadcast(best),
+            (scored["between_ss"] == F.col("m.between_ss"))
+            & (scored["pos"] == -F.col("m.np")),
+        )
+        .select(
+            F.col("pos").cast("bigint").alias("split_pos"),
+            F.col("n").cast("bigint").alias("n_hours"),
+            F.round(
+                F.col("s_t").cast("double") / F.col("pos") / 100.0, 6
+            ).alias("left_mean"),
+            F.round(
+                (F.col("s_all") - F.col("s_t")).cast("double")
+                / (F.col("n") - F.col("pos"))
+                / 100.0,
+                6,
+            ).alias("right_mean"),
+            F.round(F.col("between_ss") / 10000.0, 4).alias("between_ss"),
+        )
+    )

@@ -1485,3 +1485,108 @@ def q_ann_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rbo_min",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal rank fusion (Cormack et al. 2009) of the cosine and L2
+# top-20 rankings — the standard hybrid-search combiner (dense +
+# sparse, or any two retrievers): score(d) = Σ_i 1/(60 + rank_i(d)),
+# missing-from-list contributes nothing. Ranks come from the same
+# deterministic top-k construction as ann_rbo_overlap; the fused
+# score is a FIXED two-term expression over integer ranks (one
+# division per term, no accumulation), so it is engine-identical
+# before the round(9). Fused top-10 via orderBy+limit.
+_RRF_K = 60
+
+
+def _sql_rrf() -> str:
+    norm = _SQL_NORM_A.format(a="e.embedding", n=DIM)
+    qnorm = _SQL_NORM_A.format(a="q.qv", n=DIM)
+    dot = "list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))"
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qq AS (
+      SELECT e.vec_id,
+             round({dot} / ({norm} * {qnorm} + 1e-12), 6) AS cos_sim,
+             list_sum(list_transform(generate_series(1, {DIM}),
+               i -> (CAST(round(CAST(e.embedding[i] AS DOUBLE)
+                                * 1000000.0) AS BIGINT)
+                     - CAST(round(CAST(q.qv[i] AS DOUBLE)
+                                  * 1000000.0) AS BIGINT))
+                    * (CAST(round(CAST(e.embedding[i] AS DOUBLE)
+                                  * 1000000.0) AS BIGINT)
+                       - CAST(round(CAST(q.qv[i] AS DOUBLE)
+                                    * 1000000.0) AS BIGINT)))) AS d2
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ),
+    ra AS (
+      SELECT vec_id, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS r
+      FROM qq QUALIFY r <= 20
+    ),
+    rb AS (
+      SELECT vec_id, row_number() OVER (ORDER BY d2 ASC, vec_id) AS r
+      FROM qq QUALIFY r <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(ra.vec_id, rb.vec_id) AS vec_id,
+             round(COALESCE(1.0 / ({_RRF_K} + ra.r), 0.0)
+                   + COALESCE(1.0 / ({_RRF_K} + rb.r), 0.0), 9) AS rrf_score,
+             ra.r AS rank_cos, rb.r AS rank_l2
+      FROM ra FULL OUTER JOIN rb ON rb.vec_id = ra.vec_id
+    )
+    SELECT vec_id, rrf_score,
+           CAST(rank_cos AS BIGINT) AS rank_cos,
+           CAST(rank_l2 AS BIGINT) AS rank_l2
+    FROM fused ORDER BY rrf_score DESC, vec_id LIMIT 10
+    """
+
+
+@_q("reciprocal_rank_fusion", _sql_rrf())
+def q_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vectors import dot, l2_norm
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        as_double_array(F.col("embedding")).alias("qv")
+    )
+    base = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    e = as_double_array(F.col("embedding"))
+    cos = dot(e, F.col("qv")) / (l2_norm(e) * l2_norm(F.col("qv")) + 1e-12)
+    mu = lambda c: F.round(c * 1000000.0).cast("bigint")  # noqa: E731
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("qv"),
+            lambda a, b: (mu(a) - mu(b)) * (mu(a) - mu(b)),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    qq = base.select(
+        "vec_id", F.round(cos, 6).alias("cos_sim"), d2.alias("d2")
+    ).localCheckpoint(eager=True)
+    wa = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    wb = Window.orderBy(F.asc("d2"), F.asc("vec_id"))
+    ra = (
+        qq.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(20)
+        .select(F.col("vec_id").alias("va"), F.row_number().over(wa).alias("r"))
+    )
+    rb = (
+        qq.orderBy(F.asc("d2"), F.asc("vec_id"))
+        .limit(20)
+        .select(F.col("vec_id").alias("vb"), F.row_number().over(wb).alias("rb"))
+    )
+    fused = ra.join(rb, ra["va"] == rb["vb"], "full_outer").select(
+        F.coalesce("va", "vb").alias("vec_id"),
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("r")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("rb")), F.lit(0.0)),
+            9,
+        ).alias("rrf_score"),
+        F.col("r").cast("bigint").alias("rank_cos"),
+        F.col("rb").cast("bigint").alias("rank_l2"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), "vec_id").limit(10)

@@ -573,3 +573,87 @@ def test_sparse_cosine_replay_top_pair(spark):
     want = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     got = [((r["doc_a"], r["doc_b"]), r["cos_sim"]) for r in rows_q]
     assert got == [(k, pytest.approx(v, abs=1e-6)) for k, v in want]
+
+
+def test_rrf_contains_both_heads(spark):
+    """RRF must rank items appearing high in BOTH lists above
+    single-list items; every fused score is a valid 2-term RRF sum."""
+    rows = all_queries()["reciprocal_rank_fusion"](spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    for r in rows:
+        want = 0.0
+        if r["rank_cos"] is not None:
+            want += 1.0 / (60 + r["rank_cos"])
+        if r["rank_l2"] is not None:
+            want += 1.0 / (60 + r["rank_l2"])
+        assert r["rrf_score"] == pytest.approx(want, abs=1e-9)
+    both = [r for r in rows if r["rank_cos"] and r["rank_l2"]]
+    assert both, "top-10 should contain items present in both rankings"
+
+
+def test_binary_segmentation_replay(spark):
+    """Exact replay of the between-SS argmax over the hourly series."""
+    import pandas as pd
+
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .where("event_type = 'purchase'")
+        .select("ts", "value")
+        .toPandas()
+    )
+    ev["h"] = ev["ts"].dt.floor("h")
+    hourly = (
+        ev.assign(cents=(ev["value"] * 100.0).round().astype(int))
+        .groupby("h")["cents"]
+        .sum()
+        .sort_index()
+    )
+    vals = list(hourly)
+    n = len(vals)
+    s_all = sum(vals)
+    best = (None, -1.0)
+    s = 0
+    for t in range(1, n):
+        s += vals[t - 1]
+        ss = s * s / t + (s_all - s) * (s_all - s) / (n - t)
+        if ss > best[1]:
+            best = (t, ss)
+    r = all_queries()["binary_segmentation_split"](spark, SF_SMOKE).collect()[0]
+    assert r["split_pos"] == best[0]
+    assert r["n_hours"] == n
+    assert r["between_ss"] == pytest.approx(best[1] / 1e4, abs=1e-3)
+
+
+def test_multitouch_attribution_mass(spark):
+    """Total credit across channels ~= number of converting users
+    with touches (each conversion distributes 1 unit, minus integer
+    floor dust < n_touches picounits per conversion)."""
+    rows = all_queries()["multitouch_attribution"](spark, SF_SMOKE).collect()
+    lin_total = sum(r["linear_credit"] for r in rows)
+    u_total = sum(r["u_shaped_credit"] for r in rows)
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    import pandas as pd
+
+    pdf = ev.select("user_id", "event_type", "ts").toPandas()
+    firstp = (
+        pdf[pdf.event_type == "purchase"].groupby("user_id")["ts"].min()
+    )
+    n_conv = 0
+    for u, cts in firstp.items():
+        t = pdf[(pdf.user_id == u) & (pdf.event_type != "purchase")
+                & (pdf.ts < cts)]
+        if len(t):
+            n_conv += 1
+    assert lin_total == pytest.approx(n_conv, abs=0.01)
+    assert u_total == pytest.approx(n_conv, abs=0.01)
+
+
+def test_opq_strided_balances_energy(spark):
+    """The permutation must balance the stretched spectrum: strided
+    imbalance is far below natural (the OPQ objective direction)."""
+    rows = all_queries()["opq_energy_balance"](spark, SF_SMOKE).collect()
+    by = {r["allocation"]: r for r in rows}
+    assert by["natural"]["imbalance_ratio"] > 2.0
+    assert by["strided"]["imbalance_ratio"] < 2.0
+    assert by["strided"]["imbalance_ratio"] >= 1.0
+    assert by["natural"]["max_share"] > by["strided"]["max_share"]
