@@ -755,3 +755,155 @@ def q_raster_viewshed_scanline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("y")
     )
+
+
+# ---------------------------------------------------------------------------
+# Areal interpolation (area-weighted zonal reaggregation): transfer a
+# measure from one zone system (aligned 16px grid) onto a SHIFTED
+# zone system (offset by 8px) using exact rectangle-overlap weights —
+# the GIS operation behind census-tract -> service-area reporting.
+# est(target) = Σ_src value(src) * area(src ∩ target) / area(src).
+# Every overlap is an axis-aligned rect intersection on the integer
+# lattice (max(0, min(hi) - max(lo)) per axis — exact BIGINTs), and
+# the field values enter as round(,6) micros, so the only float is
+# the final division. The report carries the TRUE target value
+# (direct pixel aggregation) next to the estimate — the
+# interpolation-error audit, measured not assumed. Plan: each target
+# zone derives its <= 4 candidate source zones ROW-LOCALLY (explode
+# of the 2x2 corner offsets), one equi-join on source zone id —
+# never zones x zones.
+_AREAL_SRC = 16  # source zone size
+_AREAL_OFF = 8  # target grid offset
+
+
+def _sql_areal_interpolation() -> str:
+    fld = (
+        "(sin(CAST(x AS DOUBLE) / 10.0) * 40.0"
+        " + cos(CAST(y AS DOUBLE) / 12.0) * 40.0 + 100.0"
+        " + CASE WHEN (CAST(x AS DOUBLE) - 35.0) * (CAST(x AS DOUBLE) - 35.0)"
+        "        + (CAST(y AS DOUBLE) - 30.0) * (CAST(y AS DOUBLE) - 30.0)"
+        "        < 400.0 THEN 80.0 ELSE 0.0 END)"
+    )
+    s, o = _AREAL_SRC, _AREAL_OFF
+    return f"""
+    WITH px AS (
+      SELECT x.i AS x, y.i AS y,
+             CAST(round(round({fld.replace('(x ', '(x.i ').replace('(y ', '(y.i ')
+                               .replace('(CAST(x AS', '(CAST(x.i AS')
+                               .replace('(CAST(y AS', '(CAST(y.i AS')}, 6)
+                        * 1000000.0, 0) AS BIGINT) AS v
+      FROM unnest(generate_series(0, 63)) AS x(i),
+           unnest(generate_series(0, 63)) AS y(i)
+    ),
+    src AS (
+      SELECT x // {s} AS sx, y // {s} AS sy,
+             SUM(v) AS sval, COUNT(*) AS sarea
+      FROM px GROUP BY 1, 2
+    ),
+    tgt_true AS (
+      SELECT (x + {o}) // {s} AS tx, (y + {o}) // {s} AS ty,
+             SUM(v) AS tval
+      FROM px GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT t.tx, t.ty, t.tx - dx.i AS sx, t.ty - dy.i AS sy
+      FROM (SELECT DISTINCT tx, ty FROM tgt_true) t,
+           unnest(generate_series(0, 1)) AS dx(i),
+           unnest(generate_series(0, 1)) AS dy(i)
+    ),
+    weighted AS (
+      SELECT c.tx, c.ty, s.sval, s.sarea,
+             GREATEST(0, LEAST((c.sx + 1) * {s}, c.tx * {s} - {o} + {s}, 64)
+                         - GREATEST(c.sx * {s}, c.tx * {s} - {o}, 0))
+             * GREATEST(0, LEAST((c.sy + 1) * {s}, c.ty * {s} - {o} + {s}, 64)
+                           - GREATEST(c.sy * {s}, c.ty * {s} - {o}, 0))
+               AS ov
+      FROM cand c JOIN src s ON s.sx = c.sx AND s.sy = c.sy
+    )
+    SELECT CAST(w.tx AS BIGINT) AS tx, CAST(w.ty AS BIGINT) AS ty,
+           round(CAST(t.tval AS DOUBLE) / 1000000.0, 6) AS true_value,
+           round(SUM(CAST(w.sval AS DOUBLE) * w.ov / w.sarea)
+                 / 1000000.0, 6) AS est_value,
+           round((SUM(CAST(w.sval AS DOUBLE) * w.ov / w.sarea)
+                  - t.tval) / 1000000.0, 6) AS err
+    FROM weighted w
+    JOIN tgt_true t ON t.tx = w.tx AND t.ty = w.ty
+    WHERE w.ov > 0
+    GROUP BY w.tx, w.ty, t.tval
+    ORDER BY tx, ty
+    """
+
+
+@_q("areal_interpolation", _sql_areal_interpolation())
+def q_areal_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..raster.tiles import synthetic_raster
+
+    s, o = _AREAL_SRC, _AREAL_OFF
+    px = synthetic_raster(spark, 64, 64, bands=1).select(
+        "x",
+        "y",
+        F.round(F.round("b1", 6) * 1000000.0, 0).cast("bigint").alias("v"),
+    )
+    src = px.groupBy(
+        F.expr(f"x div {s}").alias("sx"), F.expr(f"y div {s}").alias("sy")
+    ).agg(F.sum("v").alias("sval"), F.count(F.lit(1)).alias("sarea"))
+    tgt_true = px.groupBy(
+        F.expr(f"(x + {o}) div {s}").alias("tx"),
+        F.expr(f"(y + {o}) div {s}").alias("ty"),
+    ).agg(F.sum("v").alias("tval"))
+    d = F.explode(
+        F.expr(
+            "flatten(transform(sequence(0, 1),"
+            " dx -> transform(sequence(0, 1),"
+            " dy -> struct(dx AS dx, dy AS dy))))"
+        )
+    ).alias("d")
+    cand = (
+        tgt_true.select("tx", "ty")
+        .distinct()
+        .select("tx", "ty", d)
+        .select(
+            "tx",
+            "ty",
+            (F.col("tx") - F.col("d.dx")).alias("sx"),
+            (F.col("ty") - F.col("d.dy")).alias("sy"),
+        )
+    )
+    ovx = F.greatest(
+        F.lit(0),
+        F.least(
+            (F.col("sx") + 1) * s, F.col("tx") * s - o + s, F.lit(64)
+        )
+        - F.greatest(F.col("sx") * s, F.col("tx") * s - o, F.lit(0)),
+    )
+    ovy = F.greatest(
+        F.lit(0),
+        F.least(
+            (F.col("sy") + 1) * s, F.col("ty") * s - o + s, F.lit(64)
+        )
+        - F.greatest(F.col("sy") * s, F.col("ty") * s - o, F.lit(0)),
+    )
+    weighted = cand.join(src, ["sx", "sy"]).select(
+        "tx", "ty", "sval", "sarea", (ovx * ovy).alias("ov")
+    )
+    est = F.sum(
+        F.col("sval").cast("double") * F.col("ov") / F.col("sarea")
+    )
+    return (
+        weighted.where(F.col("ov") > 0)
+        .join(tgt_true, ["tx", "ty"])
+        .groupBy(
+            F.col("tx").cast("bigint").alias("tx"),
+            F.col("ty").cast("bigint").alias("ty"),
+            "tval",
+        )
+        .agg(
+            F.round(F.col("tval").cast("double") / 1000000.0, 6).alias(
+                "true_value"
+            ),
+            F.round(est / 1000000.0, 6).alias("est_value"),
+            F.round((est - F.col("tval")) / 1000000.0, 6).alias("err"),
+        )
+        .drop("tval")
+        .orderBy("tx", "ty")
+    )

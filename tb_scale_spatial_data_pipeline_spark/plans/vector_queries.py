@@ -1590,3 +1590,126 @@ def q_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rb").cast("bigint").alias("rank_l2"),
     )
     return fused.orderBy(F.desc("rrf_score"), "vec_id").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training — for each anchor
+# vector, the NEAREST vector with a DIFFERENT label among its
+# sign-LSH bucket mates (the negatives that actually move a
+# contrastive loss; random negatives are trivially easy). The bucket
+# equi-join bounds candidates exactly like the ANN tier — never
+# all-pairs — and distances are exact integer-lattice L2, so the
+# per-anchor argmin (min_by with vec_id tie) is engine-deterministic.
+# Output: anchors with at least one cross-label bucket mate, their
+# hardest negative, and the margin to their nearest SAME-label mate
+# (NULL when none) — the triplet-mining report.
+def _sql_hard_negatives() -> str:
+    return f"""
+    WITH b AS ({_sql_lsh_buckets()}),
+    lab AS (
+      SELECT b.vec_id, b.bucket, e.label,
+             list_transform(CAST(e.embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+      FROM b JOIN embeddings e ON e.vec_id = b.vec_id
+    ),
+    pairs AS (
+      SELECT a.vec_id AS anchor, a.label AS a_label,
+             c.vec_id AS cand, c.label AS c_label,
+             list_sum(list_transform(generate_series(1, {DIM}),
+               i -> (a.q[i] - c.q[i]) * (a.q[i] - c.q[i]))) AS d2
+      FROM lab a JOIN lab c ON c.bucket = a.bucket AND c.vec_id <> a.vec_id
+    ),
+    mn AS (
+      SELECT anchor, a_label, MIN(d2) AS neg_d2
+      FROM pairs WHERE c_label <> a_label GROUP BY anchor, a_label
+    ),
+    neg AS (
+      SELECT m.anchor, m.a_label, m.neg_d2,
+             MIN(p.cand) AS hard_negative
+      FROM mn m JOIN pairs p ON p.anchor = m.anchor
+                            AND p.c_label <> p.a_label
+                            AND p.d2 = m.neg_d2
+      GROUP BY m.anchor, m.a_label, m.neg_d2
+    ),
+    pos AS (
+      SELECT anchor AS p_anchor, MIN(d2) AS pos_d2
+      FROM pairs WHERE c_label = a_label GROUP BY anchor
+    )
+    SELECT n.anchor, CAST(n.a_label AS BIGINT) AS label,
+           CAST(n.hard_negative AS BIGINT) AS hard_negative,
+           CAST(n.neg_d2 AS BIGINT) AS neg_d2,
+           CAST(p.pos_d2 AS BIGINT) AS pos_d2,
+           CAST(n.neg_d2 - p.pos_d2 AS BIGINT) AS margin_d2
+    FROM neg n LEFT JOIN pos p ON p.p_anchor = n.anchor
+    ORDER BY anchor
+    """
+
+
+@_q("hard_negative_mining", _sql_hard_negatives())
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    buckets = lsh_ann_buckets(
+        emb, "embedding", "vec_id", dim=DIM, n_planes=N_PLANES
+    ).select("vec_id", "bucket")
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * 1000000.0).cast("bigint"),
+    )
+    lab = (
+        emb.select("vec_id", "label", q.alias("q"))
+        .join(buckets, "vec_id")
+        .localCheckpoint(eager=True)  # both sides of the bucket join
+    )
+    a = lab.select(
+        F.col("vec_id").alias("anchor"),
+        F.col("label").alias("a_label"),
+        F.col("q").alias("qa"),
+        F.col("bucket").alias("ba"),
+    )
+    c = lab.select(
+        F.col("vec_id").alias("cand"),
+        F.col("label").alias("c_label"),
+        F.col("q").alias("qc"),
+        F.col("bucket").alias("bc"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qc"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(c, (a["ba"] == c["bc"]) & (a["anchor"] != c["cand"]))
+        .select("anchor", "a_label", "cand", "c_label", d2.alias("d2"))
+        .localCheckpoint(eager=True)  # feeds neg AND pos aggregations
+    )
+    # argmin with vec_id tie: min(struct(d2, cand))
+    neg = (
+        pairs.where(F.col("c_label") != F.col("a_label"))
+        .groupBy("anchor", "a_label")
+        .agg(F.min(F.struct("d2", "cand")).alias("m"))
+        .select(
+            "anchor",
+            F.col("a_label").cast("bigint").alias("label"),
+            F.col("m.cand").cast("bigint").alias("hard_negative"),
+            F.col("m.d2").cast("bigint").alias("neg_d2"),
+        )
+    )
+    pos = (
+        pairs.where(F.col("c_label") == F.col("a_label"))
+        .groupBy(F.col("anchor").alias("p_anchor"))
+        .agg(F.min("d2").cast("bigint").alias("pos_d2"))
+    )
+    return (
+        neg.join(pos, neg["anchor"] == pos["p_anchor"], "left")
+        .select(
+            "anchor",
+            "label",
+            "hard_negative",
+            "neg_d2",
+            "pos_d2",
+            (F.col("neg_d2") - F.col("pos_d2")).cast("bigint").alias(
+                "margin_d2"
+            ),
+        )
+        .orderBy("anchor")
+    )

