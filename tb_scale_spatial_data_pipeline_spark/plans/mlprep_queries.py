@@ -848,3 +848,194 @@ def q_nucleus_sampling_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_continuations"), "w1")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic (PAV) calibration — the standard post-hoc calibrator
+# (Zadrozny & Elkan KDD'02; Barlow et al. 1972): fit a non-decreasing
+# step function of observed outcome rate over score bins. The
+# distributed part is ONE corpus pass into bounded (bin, n, Σy)
+# aggregates; pool-adjacent-violators then runs driver-side on that
+# bounded table (the k-means-centroid envelope: B ≤ 20 cells at any
+# corpus size) with EXACT integer arithmetic — violation tests are
+# cross-multiplied counts, never float means — and the fitted rate is
+# emitted as one IEEE division per block. The DuckDB oracle computes
+# the SAME fit through the minimax characterization
+# fit(i) = max_{j<=i} min_{k>=i} mean(y[j..k]): distinct rationals
+# with denominators <= N differ by >= 1/N² ≈ 4e-9 while double
+# quotients of exact integers carry ~1e-16 relative error, so the
+# double-valued max/min selects exactly the PAV block mean and both
+# engines emit the identical double — no rounding seam needed.
+@_q(
+    "isotonic_pav_calibration",
+    """
+    WITH mx AS (SELECT MAX(o_totalprice) AS mp FROM orders),
+    scored AS (
+      SELECT CAST(round(CAST(o_totalprice AS DOUBLE) / (SELECT mp FROM mx)
+                        * 1000000) AS BIGINT) AS s6,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    bins AS MATERIALIZED (
+      SELECT LEAST(s6 // 50000, 19) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy
+      FROM scored GROUP BY 1
+    ),
+    pre AS MATERIALIZED (
+      SELECT bin, n, sy,
+             SUM(n) OVER (ORDER BY bin) AS cn,
+             SUM(sy) OVER (ORDER BY bin) AS cy
+      FROM bins
+    ),
+    seg AS (
+      SELECT a.bin AS j, b.bin AS k,
+             CAST(b.cy - (a.cy - a.sy) AS DOUBLE)
+               / CAST(b.cn - (a.cn - a.n) AS DOUBLE) AS m
+      FROM pre a JOIN pre b ON a.bin <= b.bin
+    ),
+    inner_min AS (
+      SELECT p.bin AS i, s.j, MIN(s.m) AS mn
+      FROM pre p JOIN seg s ON s.j <= p.bin AND s.k >= p.bin
+      GROUP BY p.bin, s.j
+    ),
+    fit AS (SELECT i AS bin, MAX(mn) AS iso_rate FROM inner_min GROUP BY i)
+    SELECT CAST(b.bin AS BIGINT) AS bin, b.n,
+           CAST(b.sy AS DOUBLE) / b.n AS raw_rate,
+           f.iso_rate
+    FROM bins b JOIN fit f ON f.bin = b.bin
+    ORDER BY bin
+    """,
+)
+def q_isotonic_pav_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_totalprice").alias("mp"))
+    scored = orders.join(F.broadcast(mx)).select(
+        F.round(F.col("o_totalprice").cast("double") / F.col("mp") * 1000000)
+        .cast("bigint")
+        .alias("s6"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    binned = (
+        scored.groupBy(
+            F.least(F.expr("s6 div 50000"), F.lit(19).cast("bigint")).alias(
+                "bin"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("sy"),
+        )
+        .localCheckpoint(eager=True)  # corpus reduced; read twice below
+    )
+    # Pool-adjacent-violators on the BOUNDED bin table (driver-side by
+    # design: B <= 20 rows at any scale; exact-integer violation test
+    # sy_prev * n_cur > sy_cur * n_prev, i.e. mean_prev > mean_cur).
+    rows = sorted(binned.collect(), key=lambda r: r["bin"])
+    stack: list[list] = []  # [n, sy, [bins...]]
+    for r in rows:
+        cur = [int(r["n"]), int(r["sy"]), [int(r["bin"])]]
+        while stack and stack[-1][1] * cur[0] > cur[1] * stack[-1][0]:
+            prev = stack.pop()
+            cur = [prev[0] + cur[0], prev[1] + cur[1], prev[2] + cur[2]]
+        stack.append(cur)
+    fit_rows = [
+        (b, block[1] / block[0]) for block in stack for b in block[2]
+    ]
+    fit = spark.createDataFrame(fit_rows, "bin bigint, iso_rate double")
+    return (
+        binned.join(F.broadcast(fit), "bin")
+        .select(
+            "bin",
+            "n",
+            (F.col("sy").cast("double") / F.col("n")).alias("raw_rate"),
+            "iso_rate",
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROC AUC by segment — model evaluation as a rank statistic: AUC of
+# "price predicts high order priority" per market segment, computed
+# through the Mann-Whitney identity AUC = (R1 - n1(n1+1)/2)/(n1*n0)
+# with AVERAGE ranks for ties. Fully integer until one division:
+# per-(segment, price) counts first (the window input is distinct
+# values, not rows), average tied rank doubled into
+# 2R1 = Σ pos*(2*prior + cnt + 1) so .5 ranks never materialize, and
+# AUC = (2R1 - n1(n1+1)) / (2 n1 n0) — one quotient of exact BIGINTs,
+# bit-identical across engines. One fact-dim join + one groupBy + one
+# segment-partitioned window over the distinct-value table.
+@_q(
+    "roc_auc_by_segment",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, o.o_totalprice AS v,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    g AS (
+      SELECT seg, v, COUNT(*) AS cnt, SUM(y) AS pos
+      FROM j GROUP BY seg, v
+    ),
+    cum AS (
+      SELECT seg, cnt, pos,
+             SUM(cnt) OVER (PARTITION BY seg ORDER BY v) AS cumn
+      FROM g
+    ),
+    r AS (
+      SELECT seg,
+             SUM(pos * (2 * (cumn - cnt) + cnt + 1)) AS r2,
+             SUM(pos) AS n1, SUM(cnt - pos) AS n0
+      FROM cum GROUP BY seg
+    )
+    SELECT seg AS segment,
+           CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+           CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+             / CAST(2 * n1 * n0 AS DOUBLE) AS auc
+    FROM r ORDER BY segment
+    """,
+)
+def q_roc_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    j = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    g = j.groupBy("seg", "v").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    w = (
+        Window.partitionBy("seg")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = g.select(
+        "seg", "cnt", "pos", F.sum("cnt").over(w).alias("cumn")
+    )
+    r = cum.groupBy("seg").agg(
+        F.sum(
+            F.col("pos") * (2 * (F.col("cumn") - F.col("cnt")) + F.col("cnt") + 1)
+        ).alias("r2"),
+        F.sum("pos").alias("n1"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("n0"),
+    )
+    return r.select(
+        F.col("seg").alias("segment"),
+        F.col("n1").cast("bigint").alias("n_pos"),
+        F.col("n0").cast("bigint").alias("n_neg"),
+        (
+            (F.col("r2") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+            / (2 * F.col("n1") * F.col("n0")).cast("double")
+        ).alias("auc"),
+    ).orderBy("segment")
