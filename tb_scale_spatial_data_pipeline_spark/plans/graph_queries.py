@@ -1447,3 +1447,262 @@ def q_ktruss_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     return reduce(lambda a, b: a.unionByName(b), snaps).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg JACM'99) on the bipartite
+# supplier→part supply graph: authority(p) = Σ hub(s) over suppliers
+# of p, hub(s) = Σ authority(p) over parts supplied — the mutual-
+# reinforcement twin of pagerank_suppliers, with the L1 normalization
+# PageRank's stochastic matrix makes unnecessary. Determinism seam:
+# per-round raw sums round(12) (the pagerank discipline), then the
+# normalizer is a DECIMAL(20,12) sum of those rounded values — exact
+# regardless of partition order — cast to double for the one division.
+# Per round: two joins + two aggregations; only (node, score) rows
+# move; the edge table is checkpointed once. Output: top-10 hubs +
+# top-10 authorities, tie-broken (rounded score DESC, node).
+_HITS_ITERS = 4
+
+
+def _sql_hits() -> str:
+    ctes = [
+        """edges AS MATERIALIZED (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    sup AS MATERIALIZED (SELECT DISTINCT s FROM edges),
+    ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM sup),
+    h0 AS MATERIALIZED (
+      SELECT s, round(1.0 / (SELECT n FROM ns), 12) AS h FROM sup
+    )"""
+    ]
+    for k in range(1, _HITS_ITERS + 1):
+        ctes.append(
+            f"""araw{k} AS MATERIALIZED (
+      SELECT e.p, round(SUM(h.h), 12) AS ar
+      FROM h{k - 1} h JOIN edges e ON e.s = h.s GROUP BY e.p
+    ),
+    sa{k} AS (SELECT CAST(SUM(CAST(ar AS DECIMAL(20,12))) AS DOUBLE) AS v
+              FROM araw{k}),
+    a{k} AS MATERIALIZED (
+      SELECT p, round(ar / (SELECT v FROM sa{k}), 12) AS a FROM araw{k}
+    ),
+    hraw{k} AS MATERIALIZED (
+      SELECT e.s, round(SUM(a.a), 12) AS hr
+      FROM a{k} a JOIN edges e ON e.p = a.p GROUP BY e.s
+    ),
+    sh{k} AS (SELECT CAST(SUM(CAST(hr AS DECIMAL(20,12))) AS DOUBLE) AS v
+              FROM hraw{k}),
+    h{k} AS MATERIALIZED (
+      SELECT s, round(hr / (SELECT v FROM sh{k}), 12) AS h FROM hraw{k}
+    )"""
+        )
+    k = _HITS_ITERS
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT * FROM (
+      SELECT 'authority' AS kind, CAST(p AS BIGINT) AS node,
+             round(a, 6) AS score
+      FROM a{k} ORDER BY round(a, 6) DESC, p LIMIT 10
+    )
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'hub' AS kind, CAST(s AS BIGINT) AS node, round(h, 6) AS score
+      FROM h{k} ORDER BY round(h, 6) DESC, s LIMIT 10
+    )
+    ORDER BY kind, score DESC, node"""
+    )
+
+
+@_q("hits_hubs_authorities", _sql_hits())
+def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)  # read 2x per round
+    )
+    sup = edges.select("s").distinct()
+    ns = sup.count()  # one scalar, like pagerank's n
+    h = sup.select("s", F.round(F.lit(1.0 / ns), 12).alias("h"))
+
+    def _l1_normalized(df: DataFrame, key: str, raw: str, out: str) -> DataFrame:
+        tot = df.agg(
+            F.sum(F.col(raw).cast("decimal(20,12)"))
+            .cast("double")
+            .alias("_tot")
+        )
+        return df.join(F.broadcast(tot)).select(
+            key, F.round(F.col(raw) / F.col("_tot"), 12).alias(out)
+        )
+
+    a = None
+    for _ in range(_HITS_ITERS):
+        araw = (
+            h.join(edges, "s")
+            .groupBy("p")
+            .agg(F.round(F.sum("h"), 12).alias("ar"))
+        )
+        a = _l1_normalized(araw, "p", "ar", "a").localCheckpoint(eager=True)
+        hraw = (
+            a.join(edges, "p")
+            .groupBy("s")
+            .agg(F.round(F.sum("a"), 12).alias("hr"))
+        )
+        h = _l1_normalized(hraw, "s", "hr", "h").localCheckpoint(eager=True)
+    top_a = (
+        a.select(
+            F.lit("authority").alias("kind"),
+            F.col("p").cast("bigint").alias("node"),
+            F.round("a", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "node")
+        .limit(10)
+    )
+    top_h = (
+        h.select(
+            F.lit("hub").alias("kind"),
+            F.col("s").cast("bigint").alias("node"),
+            F.round("h", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "node")
+        .limit(10)
+    )
+    return top_a.unionByName(top_h).orderBy("kind", F.desc("score"), "node")
+
+
+# ---------------------------------------------------------------------------
+# Temporal (time-respecting) reachability — earliest-arrival
+# propagation over the bipartite supplier–part contact graph
+# (Holme & Saramäki, Phys. Rep. 519 (2012): a temporal path must use
+# contacts with non-decreasing times). Seeds are "infected" at a
+# mid-range day; a part is contaminated at the EARLIEST shipment an
+# infected supplier makes on/after their infection day; a supplier is
+# infected at the earliest shipment they make of a contaminated part
+# on/after its contamination day. Pre-seed history cannot transmit —
+# that asymmetry (vs plain reachability) is the point of the op.
+# Everything is integer epoch-days with MIN merges, so every round is
+# exact; per round: two equi-joins + two min-aggregations, state is
+# one (node, day) row per reached node, lineage truncated per round.
+# Rounds are FIXED (3 two-hop waves) — the sssp_weighted envelope:
+# the report row per round makes saturation visible in the output.
+_TR_ROUNDS = 3
+_TR_SEED_DAY = 10592  # 1999-01-01 relative to 1970-01-01
+
+
+def _sql_temporal_reach() -> str:
+    ctes = [
+        f"""contacts AS MATERIALIZED (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p,
+             datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d
+      FROM lineitem
+    ),
+    inf0 AS MATERIALIZED (
+      SELECT DISTINCT s, {_TR_SEED_DAY} AS day FROM contacts WHERE s % 7 = 3
+    )"""
+    ]
+    for k in range(1, _TR_ROUNDS + 1):
+        prev_c = f"SELECT p, day FROM c{k - 1} UNION ALL " if k > 1 else ""
+        ctes.append(
+            f"""c{k} AS MATERIALIZED (
+      SELECT p, MIN(day) AS day FROM (
+        {prev_c}SELECT c.p, c.d AS day
+        FROM contacts c JOIN inf{k - 1} i ON i.s = c.s AND c.d >= i.day
+      ) GROUP BY p
+    ),
+    inf{k} AS MATERIALIZED (
+      SELECT s, MIN(day) AS day FROM (
+        SELECT s, day FROM inf{k - 1}
+        UNION ALL
+        SELECT c.s, c.d AS day
+        FROM contacts c JOIN c{k} x ON x.p = c.p AND c.d >= x.day
+      ) GROUP BY s
+    )"""
+        )
+    rows = "\n    UNION ALL ".join(
+        f"""SELECT {k} AS round,
+           (SELECT COUNT(*) FROM inf{k}) AS n_infected,
+           (SELECT COUNT(*) FROM c{k}) AS n_parts,
+           (SELECT CAST(SUM(day) AS BIGINT) FROM inf{k}) AS sum_inf_day,
+           (SELECT CAST(SUM(day) AS BIGINT) FROM c{k}) AS sum_part_day"""
+        for k in range(1, _TR_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(round AS INT) AS round, n_infected, n_parts,
+           sum_inf_day, sum_part_day
+    FROM ({rows}) ORDER BY round"""
+    )
+
+
+@_q("temporal_reachability", _sql_temporal_reach())
+def q_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    contacts = (
+        li.select(
+            F.col("l_suppkey").alias("s"),
+            F.col("l_partkey").alias("p"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # read twice per round
+    )
+    inf = (
+        contacts.where(F.col("s") % 7 == 3)
+        .select("s")
+        .distinct()
+        .withColumn("day", F.lit(_TR_SEED_DAY))
+        .localCheckpoint(eager=True)
+    )
+    cont = None
+    snaps = []
+    for k in range(1, _TR_ROUNDS + 1):
+        new_c = (
+            contacts.join(inf.withColumnRenamed("day", "iday"), "s")
+            .where(F.col("d") >= F.col("iday"))
+            .select("p", F.col("d").alias("day"))
+        )
+        cont = (
+            (cont.unionByName(new_c) if cont is not None else new_c)
+            .groupBy("p")
+            .agg(F.min("day").alias("day"))
+            .localCheckpoint(eager=True)
+        )
+        new_i = (
+            contacts.join(cont.withColumnRenamed("day", "cday"), "p")
+            .where(F.col("d") >= F.col("cday"))
+            .select("s", F.col("d").alias("day"))
+        )
+        inf = (
+            inf.unionByName(new_i)
+            .groupBy("s")
+            .agg(F.min("day").alias("day"))
+            .localCheckpoint(eager=True)
+        )
+        snaps.append(
+            inf.agg(
+                F.lit(k).cast("int").alias("round"),
+                F.count(F.lit(1)).alias("n_infected"),
+                F.sum("day").cast("bigint").alias("sum_inf_day"),
+            ).join(
+                cont.agg(
+                    F.count(F.lit(1)).alias("n_parts"),
+                    F.sum("day").cast("bigint").alias("sum_part_day"),
+                )
+            )
+        )
+    from functools import reduce
+
+    return (
+        reduce(lambda x, y: x.unionByName(y), snaps)
+        .select(
+            "round", "n_infected", "n_parts", "sum_inf_day", "sum_part_day"
+        )
+        .orderBy("round")
+    )

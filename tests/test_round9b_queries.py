@@ -101,3 +101,92 @@ def test_roc_auc_pairwise_replay(spark):
         assert abs(r["auc"] - expect[seg]) < 1e-12
         assert r["n_pos"] == len(by_seg[seg][0])
         assert r["n_neg"] == len(by_seg[seg][1])
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+
+
+def test_hits_numpy_replay(spark):
+    """Power-iteration replay with numpy, same rounding discipline."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect()
+    edges = sorted({(r["l_suppkey"], r["l_partkey"]) for r in li})
+    sups = sorted({s for s, _ in edges})
+    parts = sorted({p for _, p in edges})
+    h = {s: round(1.0 / len(sups), 12) for s in sups}
+    for _ in range(4):
+        a_raw = {p: 0.0 for p in parts}
+        for s, p in edges:
+            a_raw[p] += h[s]
+        a_raw = {p: round(v, 12) for p, v in a_raw.items()}
+        sa = float(sum(a_raw.values()))
+        a = {p: round(v / sa, 12) for p, v in a_raw.items()}
+        h_raw = {s: 0.0 for s in sups}
+        for s, p in edges:
+            h_raw[s] += a[p]
+        h_raw = {s: round(v, 12) for s, v in h_raw.items()}
+        sh = float(sum(h_raw.values()))
+        h = {s: round(v / sh, 12) for s, v in h_raw.items()}
+    exp_a = sorted(
+        ((round(v, 6), p) for p, v in a.items()), key=lambda t: (-t[0], t[1])
+    )[:10]
+    got = all_queries()["hits_hubs_authorities"](spark, SF_SMOKE).collect()
+    got_a = [
+        (r["score"], r["node"]) for r in got if r["kind"] == "authority"
+    ]
+    assert sorted(got_a, key=lambda t: (-t[0], t[1])) == exp_a
+    # normalization: full authority vector sums to ~1
+    assert abs(sum(a.values()) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Temporal reachability
+
+
+def test_temporal_reachability_replay_and_binding(spark):
+    """Python replay of earliest-arrival propagation; the temporal
+    constraint must BIND (fewer reached than static reachability)."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect()
+    contacts = sorted(
+        {
+            (
+                r["l_suppkey"],
+                r["l_partkey"],
+                (r["l_shipdate"].date() - __import__("datetime").date(1970, 1, 1)).days,
+            )
+            for r in li
+        }
+    )
+    seed_day = 10592
+    inf = {s: seed_day for s, _, _ in contacts if s % 7 == 3}
+    cont: dict = {}
+    snaps = []
+    for _ in range(3):
+        for s, p, d in contacts:
+            if s in inf and d >= inf[s]:
+                cont[p] = min(cont.get(p, d), d)
+        for s, p, d in contacts:
+            if p in cont and d >= cont[p]:
+                inf[s] = min(inf.get(s, d), d)
+        snaps.append(
+            (len(inf), len(cont), sum(inf.values()), sum(cont.values()))
+        )
+    got = sorted(
+        all_queries()["temporal_reachability"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["round"],
+    )
+    for r, (ni, np_, si, sp) in zip(got, snaps):
+        assert (r["n_infected"], r["n_parts"]) == (ni, np_)
+        assert (r["sum_inf_day"], r["sum_part_day"]) == (si, sp)
+    # non-vacuous: spread beyond the seeds
+    n_seeds = len({s for s, _, _ in contacts if s % 7 == 3})
+    assert got[-1]["n_infected"] > n_seeds
+    # the temporal constraint binds: static (ignore-time) reachability
+    # over shared parts reaches MORE suppliers than time-respecting
+    static = {s for s, _, _ in contacts if s % 7 == 3}
+    for _ in range(3):
+        ps = {p for s, p, _ in contacts if s in static}
+        static |= {s for s, p, _ in contacts if p in ps}
+    assert got[-1]["n_infected"] < len(static) or len(static) == len(
+        {s for s, _, _ in contacts}
+    )
