@@ -340,3 +340,103 @@ def q_percent_rank_tie_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Critical path (PERT / CPM longest path) over the synthesized BOM
+# DAG — the MAX-PLUS semiring closure, completing the repo's semiring
+# family: count/sum (recursive_bom_explosion), min-plus (sssp_weighted),
+# and now max-plus. Edge weight = task duration (child % 7 + 1,
+# exact integers); per root the critical cost is the longest
+# root-to-node path and the critical node is the max-cost node with
+# the deterministic (cost DESC, node ASC) tie-break via max_by on a
+# (cost, -node) struct... expressed as min_by on (-cost, node) so
+# both engines break ties identically. Same wavefront discipline as
+# the BOM explosion (shallow bushy tree ⇒ wavefront beats pointer
+# doubling); every quantity is BIGINT so the hash is exact.
+@_q(
+    "bom_critical_path",
+    f"""
+    WITH RECURSIVE mx AS (SELECT MAX(p_partkey) AS m FROM part),
+    edges AS (
+      SELECT p_partkey AS parent, p_partkey * 2 AS child,
+             (p_partkey * 2) % 7 + 1 AS w
+      FROM part, mx WHERE p_partkey * 2 <= mx.m
+      UNION ALL
+      SELECT p_partkey, p_partkey * 2 + 1, (p_partkey * 2 + 1) % 7 + 1
+      FROM part, mx WHERE p_partkey * 2 + 1 <= mx.m
+    ),
+    walk(root, node, cost, depth) AS (
+      SELECT root, root, CAST(0 AS BIGINT), 0
+      FROM (VALUES {", ".join(f"({r})" for r in _BOM_ROOTS)}) AS r(root)
+      UNION ALL
+      SELECT b.root, e.child, b.cost + e.w, b.depth + 1
+      FROM walk b JOIN edges e ON e.parent = b.node
+    )
+    SELECT CAST(root AS BIGINT) AS root,
+           CAST(MAX(depth) AS INTEGER) AS max_depth,
+           CAST(MAX(cost) AS BIGINT) AS crit_cost,
+           CAST((SELECT MIN(w2.node) FROM walk w2
+                 WHERE w2.root = walk.root
+                   AND w2.cost = (SELECT MAX(w3.cost) FROM walk w3
+                                  WHERE w3.root = walk.root))
+                AS BIGINT) AS crit_node,
+           COUNT(*) AS n_nodes
+    FROM walk GROUP BY root ORDER BY root
+    """,
+)
+def q_bom_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    maxpk = part.agg(F.max("p_partkey")).collect()[0][0]  # one scalar
+    child = F.explode(
+        F.array(F.col("p_partkey") * 2, F.col("p_partkey") * 2 + 1)
+    ).alias("child")
+    edges = (
+        part.select(F.col("p_partkey").alias("parent"), child)
+        .where(F.col("child") <= maxpk)
+        .withColumn("w", F.col("child") % 7 + 1)
+        .localCheckpoint(eager=True)
+    )
+    frontier = spark.createDataFrame(
+        [(r, r, 0, 0) for r in _BOM_ROOTS],
+        "root bigint, node bigint, cost bigint, depth int",
+    )
+    out = []
+    depth = 0
+    while not frontier.isEmpty():
+        out.append(frontier)
+        depth += 1
+        if depth > 64:
+            raise RuntimeError("critical path exceeded depth 64 — cycle?")
+        frontier = (
+            frontier.join(edges, frontier.node == edges.parent)
+            .select(
+                "root",
+                F.col("child").alias("node"),
+                (frontier.cost + edges.w).alias("cost"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    allp = out[0]
+    for f in out[1:]:
+        allp = allp.unionByName(f)
+    return (
+        allp.groupBy("root")
+        .agg(
+            F.max("depth").cast("int").alias("max_depth"),
+            F.max("cost").cast("bigint").alias("crit_cost"),
+            F.min_by("node", F.struct((-F.col("cost")).alias("nc"), "node"))
+            .cast("bigint")
+            .alias("crit_node"),
+            F.count(F.lit(1)).alias("n_nodes"),
+        )
+        .select(
+            F.col("root").cast("bigint").alias("root"),
+            "max_depth",
+            "crit_cost",
+            "crit_node",
+            "n_nodes",
+        )
+        .orderBy("root")
+    )

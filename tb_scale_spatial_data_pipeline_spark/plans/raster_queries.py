@@ -907,3 +907,61 @@ def q_areal_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("tval")
         .orderBy("tx", "ty")
     )
+
+
+# ---------------------------------------------------------------------------
+# Morphological opening + white top-hat through the REAL halo-tile
+# path — chained 3×3 erosion→dilation computed in ONE halo pass
+# (halo=2: the composed stencil radius), proving kernel composition
+# without a second shuffle. Hash-exact: the field enters on the
+# round(,6) lattice and min/max only SELECT lattice members, and
+# replicate-pad equals window∩image for min/max (clamping only
+# duplicates in-bounds values). The oracle recomputes both stages
+# from the closed-form field with offset equi-joins (out-of-bounds
+# neighbors drop out of the join — the same window∩image semantics).
+def _sql_morphology_open() -> str:
+    fld = (
+        "(sin(CAST(x.i AS DOUBLE) / 10.0) * 40.0"
+        " + cos(CAST(y.i AS DOUBLE) / 12.0) * 40.0 + 100.0"
+        " + CASE WHEN (CAST(x.i AS DOUBLE) - 35.0) * (CAST(x.i AS DOUBLE) - 35.0)"
+        "        + (CAST(y.i AS DOUBLE) - 30.0) * (CAST(y.i AS DOUBLE) - 30.0)"
+        "        < 400.0 THEN 80.0 ELSE 0.0 END)"
+    )
+    return f"""
+    WITH px AS MATERIALIZED (
+      SELECT x.i AS x, y.i AS y, round({fld}, 6) AS v6
+      FROM unnest(generate_series(0, 63)) AS x(i),
+           unnest(generate_series(0, 63)) AS y(i)
+    ),
+    offs AS (
+      SELECT dx.i AS dx, dy.i AS dy
+      FROM unnest(generate_series(-1, 1)) AS dx(i),
+           unnest(generate_series(-1, 1)) AS dy(i)
+    ),
+    eroded AS MATERIALIZED (
+      SELECT p.x, p.y, MIN(q.v6) AS e6
+      FROM px p CROSS JOIN offs o
+      JOIN px q ON q.x = p.x + o.dx AND q.y = p.y + o.dy
+      GROUP BY p.x, p.y
+    ),
+    opened AS (
+      SELECT p.x, p.y, MAX(q.e6) AS o6
+      FROM px p CROSS JOIN offs o
+      JOIN eroded q ON q.x = p.x + o.dx AND q.y = p.y + o.dy
+      GROUP BY p.x, p.y
+    )
+    SELECT CAST(o.x AS INT) AS x, CAST(o.y AS INT) AS y,
+           o.o6 AS opened, round(p.v6 - o.o6, 6) AS tophat
+    FROM opened o JOIN px p ON p.x = o.x AND p.y = o.y
+    ORDER BY x, y
+    """
+
+
+@_q("raster_morphology_open", _sql_morphology_open())
+def q_raster_morphology_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..raster.kernels import morphology_open_tiles
+    from ..raster.tiles import halo_duplicate, synthetic_raster
+
+    img = synthetic_raster(spark, 64, 64, bands=1)
+    tiled = halo_duplicate(img, tile_size=32, halo=2)
+    return morphology_open_tiles(tiled, "b1").orderBy("x", "y")

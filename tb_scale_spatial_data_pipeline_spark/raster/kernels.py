@@ -547,3 +547,52 @@ def d8_flow_tiles(
     return tiled.groupBy("tile_x", "tile_y").applyInPandas(
         kernel, schema=out_schema
     )
+
+
+def morphology_open_tiles(tiled: DataFrame, value_col: str = "b1") -> DataFrame:
+    """Grayscale morphological OPENING (3×3 erosion then 3×3 dilation,
+    Serra 1982) + white top-hat (v − opened), the classic small-bright-
+    object remover (speckle/noise suppression before segmentation —
+    the morphology step a reference LULC stack would run where
+    `2_segmentation/image_segmentation.py:92-96` runs gaussian).
+
+    Focal contract: the chained stencils have total radius 2, computed
+    in ONE halo pass (halo ≥ 2) — erosion evaluated on core±1 from
+    exact halo pixels, dilation of those eroded values on the core —
+    so kernel composition costs no second shuffle. Determinism: values
+    enter on the round(,6) lattice and min/max only SELECT lattice
+    members (no arithmetic), so outputs are bit-exact; edge handling
+    is replicate-pad, which equals "window ∩ image" for min/max since
+    clamping only duplicates in-bounds members.
+    """
+    out_schema = "x int, y int, opened double, tophat double"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        stack, x0, y0, core = _tile_to_arrays(pdf, [value_col])
+        v = _round_half_away(stack[:, :, 0])
+        h, w = v.shape
+
+        def focal(a: np.ndarray, op) -> np.ndarray:
+            ap = np.pad(a, 1, mode="edge")
+            out = a.copy()
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    out = op(out, ap[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w])
+            return out
+
+        eroded = focal(v, np.minimum)
+        opened = focal(eroded, np.maximum)
+        top = _round_half_away(v - opened)
+        ys, xs = np.nonzero(core)
+        return pd.DataFrame(
+            {
+                "x": xs + x0,
+                "y": ys + y0,
+                "opened": opened[ys, xs],
+                "tophat": top[ys, xs],
+            }
+        )
+
+    return tiled.groupBy("tile_x", "tile_y").applyInPandas(
+        kernel, schema=out_schema
+    )

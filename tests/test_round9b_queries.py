@@ -190,3 +190,87 @@ def test_temporal_reachability_replay_and_binding(spark):
     assert got[-1]["n_infected"] < len(static) or len(static) == len(
         {s for s, _, _ in contacts}
     )
+
+
+# ---------------------------------------------------------------------------
+# BOM critical path
+
+
+def test_bom_critical_path_replay(spark):
+    """Pure-Python longest-path replay over the partkey heap DAG."""
+    part_max = (
+        spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+        .agg({"p_partkey": "max"})
+        .collect()[0][0]
+    )
+    got = {
+        r["root"]: r
+        for r in all_queries()["bom_critical_path"](spark, SF_SMOKE).collect()
+    }
+    for root in (1, 2, 3, 4):
+        best_cost, best_node, max_depth, n_nodes = 0, root, 0, 0
+        frontier = [(root, 0, 0)]
+        while frontier:
+            nxt = []
+            for node, cost, depth in frontier:
+                n_nodes += 1
+                if cost > best_cost or (cost == best_cost and node < best_node):
+                    best_cost, best_node = cost, node
+                max_depth = max(max_depth, depth)
+                for ch in (2 * node, 2 * node + 1):
+                    if ch <= part_max:
+                        nxt.append((ch, cost + ch % 7 + 1, depth + 1))
+            frontier = nxt
+        r = got[root]
+        assert (r["crit_cost"], r["crit_node"]) == (best_cost, best_node)
+        assert (r["max_depth"], r["n_nodes"]) == (max_depth, n_nodes)
+
+
+# ---------------------------------------------------------------------------
+# Morphological opening
+
+
+def test_morphology_open_properties(spark):
+    """Opening is anti-extensive (opened <= v) and the top-hat is the
+    exact difference; the disk interior (flat +80 plateau wider than
+    the structuring element) must survive opening unchanged."""
+    rows = all_queries()["raster_morphology_open"](spark, SF_SMOKE).collect()
+    import math
+
+    assert len(rows) == 4096
+    for r in rows:
+        assert r["tophat"] >= -1e-12
+    # plateau center: field at (35, 30) ± structuring element stays in
+    # the disk, so erosion then dilation restores the original value
+    center = {(r["x"], r["y"]): r for r in rows}[(35, 30)]
+    v = round(
+        math.sin(35 / 10.0) * 40.0 + math.cos(30 / 12.0) * 40.0 + 100.0 + 80.0,
+        6,
+    )
+    assert abs(center["opened"] - v) < 2e-6 and abs(center["tophat"]) < 1e-9
+
+
+def test_morphology_open_tile_origin_invariance(spark):
+    """Core outputs must not depend on the tile grid (halo contract)."""
+    from tb_scale_spatial_data_pipeline_spark.raster.kernels import (
+        morphology_open_tiles,
+    )
+    from tb_scale_spatial_data_pipeline_spark.raster.tiles import (
+        halo_duplicate,
+        synthetic_raster,
+    )
+
+    img = synthetic_raster(spark, 48, 48, bands=1)
+    a = {
+        (r["x"], r["y"]): (r["opened"], r["tophat"])
+        for r in morphology_open_tiles(
+            halo_duplicate(img, tile_size=24, halo=2), "b1"
+        ).collect()
+    }
+    b = {
+        (r["x"], r["y"]): (r["opened"], r["tophat"])
+        for r in morphology_open_tiles(
+            halo_duplicate(img, tile_size=16, halo=2), "b1"
+        ).collect()
+    }
+    assert a == b
