@@ -1713,3 +1713,127 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation audit (Kusupati et al., NeurIPS'22: MRL
+# embeddings are served truncated to prefix dims) — measured recall@10
+# of prefix-dimension ranking against the full-dimension exact top-10,
+# per prefix length. The production question it answers: how many
+# leading dims must the serving tier keep? Same landmark pattern as
+# ann_recall_report (the brute-force arms are bounded by the SAMPLED
+# query set); hit counts are integers, so the only float is the final
+# recall division; rankings tie-break (round-6 cosine, vec_id) in
+# both engines. The full-dim exact arm is computed ONCE and shared by
+# all prefix arms.
+_MAT_PREFIXES = (8, 16, 32)
+
+
+def _sql_matryoshka() -> str:
+    def arm(k: int) -> str:
+        a = f"list_slice(CAST(e.embedding AS DOUBLE[]), 1, {k})"
+        b = f"list_slice(CAST(q.qv AS DOUBLE[]), 1, {k})"
+        return f"""pref{k} AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round({_sql_cosine(a, b)}, 6) DESC, e.vec_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.qid
+      ) WHERE rn <= 10
+    ),
+    hits{k} AS (
+      SELECT {k} AS prefix_dim, COUNT(*) AS h
+      FROM exact JOIN pref{k}
+        ON pref{k}.qid = exact.qid AND pref{k}.vec_id = exact.vec_id
+    )"""
+
+    cos_eq = _sql_cosine("e.embedding", "q.qv")
+    arms = ",\n    ".join(arm(k) for k in _MAT_PREFIXES)
+    rows = "\n    UNION ALL ".join(
+        f"SELECT prefix_dim, h FROM hits{k}" for k in _MAT_PREFIXES
+    )
+    return f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id % {_RECALL_QMOD} = 0
+    ),
+    nq AS (SELECT COUNT(*) AS n FROM q),
+    exact AS MATERIALIZED (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round({cos_eq}, 6) DESC, e.vec_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.qid
+      ) WHERE rn <= 10
+    ),
+    {arms}
+    SELECT CAST(prefix_dim AS INT) AS prefix_dim,
+           CAST((SELECT n FROM nq) AS BIGINT) AS n_queries,
+           CAST(h AS BIGINT) AS total_hits,
+           round(CAST(h AS DOUBLE) / (10 * (SELECT n FROM nq)), 6)
+             AS recall_at_10
+    FROM ({rows}) ORDER BY prefix_dim
+    """
+
+
+@_q("matryoshka_truncation_audit", _sql_matryoshka())
+def q_matryoshka_truncation_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("e")
+    ).localCheckpoint(eager=False)  # shared by all four ranking arms
+    q = base.where(F.col("vec_id") % _RECALL_QMOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qv")
+    )
+    pairs = (
+        base.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+
+    def top10(sim_col) -> DataFrame:
+        return (
+            pairs.select("qid", "vec_id", sim_col.alias("sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 10)
+            .select("qid", "vec_id")
+        )
+
+    exact = top10(
+        F.round(cosine_similarity(F.col("e"), F.col("qv")), 6)
+    ).localCheckpoint(eager=False)
+    nq = q.count()  # one scalar (sampled query-set size)
+    snaps = []
+    for k in _MAT_PREFIXES:
+        pref = top10(
+            F.round(
+                cosine_similarity(
+                    F.slice(F.col("e"), 1, k), F.slice(F.col("qv"), 1, k)
+                ),
+                6,
+            )
+        )
+        snaps.append(
+            exact.join(pref, ["qid", "vec_id"]).agg(
+                F.lit(k).cast("int").alias("prefix_dim"),
+                F.lit(nq).cast("bigint").alias("n_queries"),
+                F.count(F.lit(1)).cast("bigint").alias("total_hits"),
+                F.round(
+                    F.count(F.lit(1)).cast("double") / (10 * nq), 6
+                ).alias("recall_at_10"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda x, y: x.unionByName(y), snaps).orderBy("prefix_dim")

@@ -274,3 +274,25 @@ def test_morphology_open_tile_origin_invariance(spark):
         ).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation audit
+
+
+def test_matryoshka_recall_monotone_and_nonvacuous(spark):
+    """More prefix dims can only help (on average over the fixed query
+    set this fixture yields strict separation), and the smallest
+    prefix must NOT saturate — a flat-1.0 report proves nothing."""
+    rows = sorted(
+        all_queries()["matryoshka_truncation_audit"](
+            spark, SF_SMOKE
+        ).collect(),
+        key=lambda r: r["prefix_dim"],
+    )
+    assert [r["prefix_dim"] for r in rows] == [8, 16, 32]
+    recalls = [r["recall_at_10"] for r in rows]
+    assert recalls[0] < 1.0
+    assert all(a <= b + 1e-12 for a, b in zip(recalls, recalls[1:]))
+    for r in rows:
+        assert 0 <= r["total_hits"] <= 10 * r["n_queries"]
