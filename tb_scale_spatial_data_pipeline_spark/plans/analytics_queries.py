@@ -1015,3 +1015,151 @@ def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# EXACT Shapley-value attribution (Shapley 1953; Zhao et al. 2018's
+# coalition-reach model) — the third attribution model next to the
+# heuristic multitouch splits and the Markov removal effect. The
+# characteristic function v(S) = number of conversions whose
+# pre-conversion channel set is CONTAINED in coalition S; the Shapley
+# value of channel i is then computed exactly — no permutation
+# sampling — because the channel universe is bounded (4 non-purchase
+# event types ⇒ 16 coalitions): one corpus pass reduces journeys to
+# per-mask conversion counts, and the coalition algebra runs on that
+# ≤2^k-row table. Integer-exact: weights |S|!(n-1-|S|)! are integers
+# once scaled by n! = 24, so phi_num = 24·φ is an exact BIGINT and
+# the single division to φ happens at report time. Conversions with
+# an EMPTY pre-purchase journey sit in v(∅) and are deliberately
+# unattributed (Σφ = v(full) − v(∅)).
+@_q(
+    "shapley_attribution",
+    """
+    WITH firstp AS MATERIALIZED (
+      SELECT user_id, MIN(ts) AS conv_ts
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    chan AS MATERIALIZED (
+      SELECT ch, row_number() OVER (ORDER BY ch) - 1 AS bit
+      FROM (SELECT DISTINCT event_type AS ch FROM events
+            WHERE event_type <> 'purchase')
+    ),
+    touch AS (
+      SELECT DISTINCT f.user_id, c.bit
+      FROM events e
+      JOIN firstp f ON f.user_id = e.user_id AND e.ts < f.conv_ts
+      JOIN chan c ON c.ch = e.event_type
+    ),
+    umask AS (
+      SELECT f.user_id,
+             COALESCE(SUM(CAST(1 AS BIGINT) << t.bit), 0) AS m
+      FROM firstp f LEFT JOIN touch t ON t.user_id = f.user_id
+      GROUP BY f.user_id
+    ),
+    mc AS MATERIALIZED (SELECT m, COUNT(*) AS conv FROM umask GROUP BY m),
+    subsets AS (
+      SELECT s.i AS S
+      FROM unnest(generate_series(0,
+             (SELECT CAST(1 AS BIGINT) << COUNT(*) FROM chan) - 1)) AS s(i)
+    ),
+    v AS MATERIALIZED (
+      SELECT s.S, COALESCE(SUM(mc.conv), 0) AS v
+      FROM subsets s LEFT JOIN mc ON (mc.m & s.S) = mc.m
+      GROUP BY s.S
+    )
+    SELECT c.ch AS channel,
+           CAST(SUM((CASE bit_count(vx.S) WHEN 0 THEN 6 WHEN 1 THEN 2
+                     WHEN 2 THEN 2 WHEN 3 THEN 6 END)
+                    * (vy.v - vx.v)) AS BIGINT) AS phi_num,
+           CAST(SUM((CASE bit_count(vx.S) WHEN 0 THEN 6 WHEN 1 THEN 2
+                     WHEN 2 THEN 2 WHEN 3 THEN 6 END)
+                    * (vy.v - vx.v)) AS DOUBLE) / 24.0
+             AS shapley_conversions
+    FROM chan c
+    JOIN v vx ON (vx.S & (CAST(1 AS BIGINT) << c.bit)) = 0
+    JOIN v vy ON vy.S = (vx.S | (CAST(1 AS BIGINT) << c.bit))
+    GROUP BY c.ch ORDER BY channel
+    """,
+)
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    firstp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+        .localCheckpoint(eager=True)  # read by touch + umask base
+    )
+    chan = (
+        ev.where(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("ch"))
+        .distinct()
+        .select(
+            "ch",
+            (
+                F.row_number().over(Window.orderBy("ch")) - 1
+            ).alias("bit"),  # bounded frame: |channels| rows
+        )
+        .localCheckpoint(eager=True)
+    )
+    evt = ev.select(
+        F.col("user_id").alias("t_uid"), "event_type", F.col("ts").alias("t_ts")
+    )
+    touch = (
+        evt.join(
+            firstp,
+            (F.col("t_uid") == F.col("user_id"))
+            & (F.col("t_ts") < F.col("conv_ts")),
+        )
+        .select("user_id", "event_type")
+        .join(F.broadcast(chan), F.col("event_type") == F.col("ch"))
+        .select("user_id", "bit")
+        .distinct()
+    )
+    umask = (
+        firstp.join(touch, "user_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")),
+                F.lit(0),
+            ).alias("m")
+        )
+    )
+    mc = umask.groupBy("m").agg(F.count(F.lit(1)).alias("conv")).localCheckpoint(
+        eager=True
+    )
+    nch = chan.count()  # one scalar: the channel-universe size
+    subsets = spark.range(1 << nch).select(F.col("id").alias("S"))
+    v = (
+        subsets.join(
+            F.broadcast(mc),
+            (F.col("m").bitwiseAND(F.col("S"))) == F.col("m"),
+            "left",
+        )
+        .groupBy("S")
+        .agg(F.coalesce(F.sum("conv"), F.lit(0)).alias("v"))
+        .localCheckpoint(eager=True)  # both coalition arms read it
+    )
+    w_case = (
+        "CASE bit_count(S) WHEN 0 THEN 6 WHEN 1 THEN 2"
+        " WHEN 2 THEN 2 WHEN 3 THEN 6 END"
+    )
+    vx = v.select(F.col("S"), F.col("v").alias("vx"), F.expr(w_case).alias("w"))
+    vy = v.select(F.col("S").alias("Sy"), F.col("v").alias("vy"))
+    bitv = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+    return (
+        F.broadcast(chan)
+        .join(vx, (F.col("S").bitwiseAND(bitv)) == 0)
+        .join(vy, F.col("Sy") == (F.col("S").bitwiseOR(bitv)))
+        .groupBy(F.col("ch").alias("channel"))
+        .agg(
+            F.sum(F.col("w") * (F.col("vy") - F.col("vx")))
+            .cast("bigint")
+            .alias("phi_num"),
+            (
+                F.sum(F.col("w") * (F.col("vy") - F.col("vx"))).cast("double")
+                / 24.0
+            ).alias("shapley_conversions"),
+        )
+        .orderBy("channel")
+    )

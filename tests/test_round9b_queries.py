@@ -296,3 +296,52 @@ def test_matryoshka_recall_monotone_and_nonvacuous(spark):
     assert all(a <= b + 1e-12 for a, b in zip(recalls, recalls[1:]))
     for r in rows:
         assert 0 <= r["total_hits"] <= 10 * r["n_queries"]
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley attribution
+
+
+def test_shapley_permutation_replay(spark):
+    """Brute-force Shapley over all 4! channel permutations must equal
+    the subset-weighted closed form; efficiency: Σφ = v(full) − v(∅)."""
+    from itertools import permutations
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    firstp: dict = {}
+    for r in ev:
+        if r["event_type"] == "purchase":
+            u = r["user_id"]
+            if u not in firstp or r["ts"] < firstp[u]:
+                firstp[u] = r["ts"]
+    chans = sorted({r["event_type"] for r in ev if r["event_type"] != "purchase"})
+    assert len(chans) == 4  # the hardcoded n!=24 weights assume this
+    bit = {c: i for i, c in enumerate(chans)}
+    masks: dict = {u: 0 for u in firstp}
+    for r in ev:
+        u = r["user_id"]
+        if u in firstp and r["ts"] < firstp[u] and r["event_type"] != "purchase":
+            masks[u] |= 1 << bit[r["event_type"]]
+
+    def v(S: int) -> int:
+        return sum(1 for m in masks.values() if m & S == m)
+
+    phi = {c: 0.0 for c in chans}
+    for perm in permutations(range(4)):
+        S = 0
+        for i in perm:
+            phi[chans[i]] += v(S | (1 << i)) - v(S)
+            S |= 1 << i
+    got = {
+        r["channel"]: r
+        for r in all_queries()["shapley_attribution"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(chans)
+    total = 0.0
+    for c in chans:
+        # phi accumulated over 24 permutations == phi_num (n!-units)
+        assert got[c]["phi_num"] == round(phi[c])
+        assert abs(got[c]["shapley_conversions"] - phi[c] / 24.0) < 1e-9
+        total += got[c]["shapley_conversions"]
+    assert abs(total - (v(15) - v(0))) < 1e-9
+    assert any(got[c]["phi_num"] > 0 for c in chans)  # non-vacuous
