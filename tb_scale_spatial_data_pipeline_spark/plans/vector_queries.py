@@ -1837,3 +1837,163 @@ def q_matryoshka_truncation_audit(
     from functools import reduce
 
     return reduce(lambda x, y: x.unionByName(y), snaps).orderBy("prefix_dim")
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA direction via POWER ITERATION — the dominant
+# eigenvector of the embedding covariance (von Mises 1929; the
+# textbook spectral method behind PCA/HITS/PageRank). One corpus pass
+# reduces to the exact d×d second-moment table (the
+# embedding_covariance_pairs envelope: row-local i<=j products on the
+# 1e-6 integer lattice, DECIMAL(38,0) partials — right for d up to a
+# few hundred); the 8 matrix-vector rounds then run on that d²-row
+# table only — per round ONE join + one aggregation over 4096 cells,
+# with the pagerank round(12) seam on each component sum and an
+# inf-norm normalizer (max-abs is a SELECTION, exact in any engine).
+# The data rows are touched exactly once; the driver sees nothing.
+# Output: inf-norm eigenvalue estimate + top-10 |loading| dims.
+_POW_ITERS = 8
+
+
+def _sql_power_iteration() -> str:
+    ctes = [
+        f"""q AS MATERIALIZED (
+      SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    cells AS MATERIALIZED (
+      SELECT i AS di, j AS dj, SUM(CAST(qv[i] * qv[j] AS DECIMAL(38,0))) AS sp
+      FROM q,
+           LATERAL unnest(generate_series(1, len(qv))) AS s(i),
+           LATERAL unnest(generate_series(i, len(qv))) AS t2(j)
+      GROUP BY i, j
+    ),
+    dims AS MATERIALIZED (
+      SELECT i AS dim, SUM(qv[i]) AS s1
+      FROM q, LATERAL unnest(generate_series(1, len(qv))) AS s(i)
+      GROUP BY i
+    ),
+    nrow AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM q),
+    cov0 AS (
+      SELECT di, dj,
+             round((CAST(sp AS DOUBLE)
+                    - CAST(a.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE)
+                      / (SELECT n FROM nrow))
+                   / ((SELECT n FROM nrow) - 1) / 1000000000000.0, 12) AS c
+      FROM cells JOIN dims a ON a.dim = di JOIN dims b ON b.dim = dj
+    ),
+    cov AS MATERIALIZED (
+      SELECT di, dj, c FROM cov0
+      UNION ALL
+      SELECT dj, di, c FROM cov0 WHERE di <> dj
+    ),
+    v0 AS MATERIALIZED (
+      SELECT dim, 0.125 AS v FROM dims
+    )"""
+    ]
+    for k in range(1, _POW_ITERS + 1):
+        ctes.append(
+            f"""w{k} AS MATERIALIZED (
+      SELECT cov.di AS dim, round(SUM(cov.c * v.v), 12) AS w
+      FROM cov JOIN v{k - 1} v ON v.dim = cov.dj GROUP BY cov.di
+    ),
+    m{k} AS (SELECT MAX(abs(w)) AS m FROM w{k}),
+    v{k} AS MATERIALIZED (
+      SELECT dim, round(w / (SELECT m FROM m{k}), 12) AS v FROM w{k}
+    )"""
+        )
+    k = _POW_ITERS
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(dim AS BIGINT) AS dim, round(v, 6) AS loading,
+           round((SELECT m FROM m{k}), 6) AS eigval_est
+    FROM v{k}
+    ORDER BY abs(round(v, 6)) DESC, dim LIMIT 10"""
+    )
+
+
+@_q("spectral_power_iteration", _sql_power_iteration())
+def q_spectral_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("qv")
+    ).localCheckpoint(eager=False)  # moment cells + dim sums + n share it
+    cells = (
+        q.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(qv)),"
+                    " i -> transform(sequence(i, size(qv)),"
+                    " j -> struct(i as di, j as dj,"
+                    " qv[i-1] * qv[j-1] as p))))"
+                )
+            ).alias("e")
+        )
+        .select("e.di", "e.dj", "e.p")
+        .groupBy("di", "dj")
+        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("sp"))
+    )
+    dims = q.select(
+        F.posexplode(F.col("qv")).alias("pos", "x")
+    ).groupBy((F.col("pos") + 1).alias("dim")).agg(F.sum("x").alias("s1"))
+    nrow = q.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    a = dims.select(F.col("dim").alias("di"), F.col("s1").alias("s1a"))
+    b = dims.select(F.col("dim").alias("dj"), F.col("s1").alias("s1b"))
+    cov0 = (
+        cells.join(F.broadcast(a), "di")
+        .join(F.broadcast(b), "dj")
+        .join(F.broadcast(nrow))
+        .select(
+            "di",
+            "dj",
+            F.round(
+                (
+                    F.col("sp").cast("double")
+                    - F.col("s1a").cast("double")
+                    * F.col("s1b").cast("double")
+                    / F.col("n")
+                )
+                / (F.col("n") - 1)
+                / 1000000000000.0,
+                12,
+            ).alias("c"),
+        )
+    )
+    cov = (
+        cov0.unionByName(
+            cov0.where(F.col("di") != F.col("dj")).select(
+                F.col("dj").alias("di"), F.col("di").alias("dj"), "c"
+            )
+        )
+        .localCheckpoint(eager=True)  # read every iteration
+    )
+    v = dims.select("dim", F.lit(0.125).alias("v")).localCheckpoint(eager=True)
+    m = None
+    for _ in range(_POW_ITERS):
+        w = (
+            cov.join(v.select(F.col("dim").alias("dj"), "v"), "dj")
+            .groupBy(F.col("di").alias("dim"))
+            .agg(F.round(F.sum(F.col("c") * F.col("v")), 12).alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = (
+            w.join(F.broadcast(m))
+            .select("dim", F.round(F.col("w") / F.col("m"), 12).alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        v.join(F.broadcast(m))
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.round("v", 6).alias("loading"),
+            F.round("m", 6).alias("eigval_est"),
+        )
+        .orderBy(F.abs(F.col("loading")).desc(), "dim")
+        .limit(10)
+    )

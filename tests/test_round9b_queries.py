@@ -345,3 +345,40 @@ def test_shapley_permutation_replay(spark):
         total += got[c]["shapley_conversions"]
     assert abs(total - (v(15) - v(0))) < 1e-9
     assert any(got[c]["phi_num"] > 0 for c in chans)  # non-vacuous
+
+
+# ---------------------------------------------------------------------------
+# Spectral power iteration
+
+
+def test_power_iteration_numpy_replay(spark):
+    """Replay: same lattice covariance, same round(12) iteration —
+    results must agree; the inf-norm eigenvalue estimate must be
+    bounded by numpy's true top eigenvalue (Rayleigh bound)."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    X = np.array(
+        [[round(float(x) * 1e6) for x in r["embedding"]] for r in emb],
+        dtype=object,
+    )
+    n, d = X.shape
+    s1 = X.sum(axis=0)
+    cells = (X[:, :, None].astype(float) * X[:, None, :].astype(float)).sum(
+        axis=0
+    )
+    cov = np.round(
+        (cells - np.outer(s1.astype(float), s1.astype(float)) / n)
+        / (n - 1)
+        / 1e12,
+        12,
+    )
+    v = np.full(d, 0.125)
+    for _ in range(8):
+        w = np.round(cov @ v, 12)
+        m = np.abs(w).max()
+        v = np.round(w / m, 12)
+    order = sorted(range(d), key=lambda i: (-abs(round(v[i], 6)), i))[:10]
+    exp = [(i + 1, round(v[i], 6)) for i in order]
+    got = all_queries()["spectral_power_iteration"](spark, SF_SMOKE).collect()
+    assert [(r["dim"], r["loading"]) for r in got] == exp
+    lam1 = float(np.linalg.eigvalsh(cov.astype(float)).max())
+    assert 0 < got[0]["eigval_est"] <= lam1 * 1.05
