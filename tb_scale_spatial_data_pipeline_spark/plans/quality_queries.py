@@ -619,3 +619,135 @@ def q_table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         arms = arm if arms is None else arms.unionByName(arm)
     return arms.orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency audit — schema profiling's FD discovery step
+# (Papenbrock et al. VLDB'15 frame it as the core of dependency
+# profiling): for each CANDIDATE determinant→dependent pair, one
+# aggregation reports |distinct LHS|, |distinct (LHS,RHS)|, the count
+# of violating determinant values (those mapping to >1 dependent) and
+# the g3-style repair count (rows minus the per-LHS majority — here
+# approximated exactly as n_pairs − n_lhs, the number of EXTRA
+# mappings). The candidate list mixes true FDs (nation→region is
+# genuine) with false ones so the report separates. Each candidate is
+# one groupBy over a 2-column projection; counts are exact integers.
+@_q(
+    "fd_audit",
+    """
+    WITH cand AS (
+      SELECT 'nation' AS tbl, 'n_nationkey' AS lhs, 'n_regionkey' AS rhs,
+             n_nationkey AS l, CAST(n_regionkey AS VARCHAR) AS r FROM nation
+      UNION ALL
+      SELECT 'customer', 'c_nationkey', 'c_mktsegment',
+             c_nationkey, c_mktsegment FROM customer
+      UNION ALL
+      SELECT 'orders', 'o_custkey', 'o_orderpriority',
+             o_custkey, o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'lineitem', 'l_orderkey', 'l_returnflag',
+             l_orderkey, l_returnflag FROM lineitem
+      UNION ALL
+      SELECT 'part', 'p_brand', 'p_type', 0, p_brand || '|' || p_type
+      FROM part
+    ),
+    per_lhs AS (
+      SELECT tbl, lhs, rhs, l, COUNT(DISTINCT r) AS nr
+      FROM cand GROUP BY tbl, lhs, rhs, l
+    )
+    SELECT tbl, lhs, rhs,
+           COUNT(*) AS n_lhs,
+           CAST(SUM(nr) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_lhs,
+           CAST(SUM(nr) - COUNT(*) AS BIGINT) AS extra_mappings,
+           CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) = 0 AS BOOLEAN)
+             AS fd_holds
+    FROM per_lhs GROUP BY tbl, lhs, rhs ORDER BY tbl, lhs, rhs
+    """,
+)
+def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def cand(tbl: str, lhs: str, rhs: str, ldf) -> DataFrame:
+        return ldf.select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            F.col("_l").alias("l"),
+            F.col("_r").alias("r"),
+        )
+
+    nation = t(spark, sf_dir, "nation")
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    lineitem = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    arms = [
+        cand(
+            "nation",
+            "n_nationkey",
+            "n_regionkey",
+            nation.select(
+                F.col("n_nationkey").cast("bigint").alias("_l"),
+                F.col("n_regionkey").cast("string").alias("_r"),
+            ),
+        ),
+        cand(
+            "customer",
+            "c_nationkey",
+            "c_mktsegment",
+            customer.select(
+                F.col("c_nationkey").cast("bigint").alias("_l"),
+                F.col("c_mktsegment").alias("_r"),
+            ),
+        ),
+        cand(
+            "orders",
+            "o_custkey",
+            "o_orderpriority",
+            orders.select(
+                F.col("o_custkey").cast("bigint").alias("_l"),
+                F.col("o_orderpriority").alias("_r"),
+            ),
+        ),
+        cand(
+            "lineitem",
+            "l_orderkey",
+            "l_returnflag",
+            lineitem.select(
+                F.col("l_orderkey").cast("bigint").alias("_l"),
+                F.col("l_returnflag").alias("_r"),
+            ),
+        ),
+        cand(
+            "part",
+            "p_brand",
+            "p_type",
+            part.select(
+                F.lit(0).cast("bigint").alias("_l"),
+                F.concat_ws("|", "p_brand", "p_type").alias("_r"),
+            ),
+        ),
+    ]
+    from functools import reduce
+
+    allc = reduce(lambda x, y: x.unionByName(y), arms)
+    per_lhs = allc.groupBy("tbl", "lhs", "rhs", "l").agg(
+        F.countDistinct("r").alias("nr")
+    )
+    return (
+        per_lhs.groupBy("tbl", "lhs", "rhs")
+        .agg(
+            F.count(F.lit(1)).alias("n_lhs"),
+            F.sum("nr").cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("nr") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("violating_lhs"),
+            (F.sum("nr") - F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("extra_mappings"),
+            (
+                F.sum(F.when(F.col("nr") > 1, 1).otherwise(0)) == 0
+            ).alias("fd_holds"),
+        )
+        .orderBy("tbl", "lhs", "rhs")
+    )

@@ -382,3 +382,30 @@ def test_power_iteration_numpy_replay(spark):
     assert [(r["dim"], r["loading"]) for r in got] == exp
     lam1 = float(np.linalg.eigvalsh(cov.astype(float)).max())
     assert 0 < got[0]["eigval_est"] <= lam1 * 1.05
+
+
+# ---------------------------------------------------------------------------
+# FD audit
+
+
+def test_fd_audit_separates_and_counts(spark):
+    rows = {
+        (r["tbl"], r["lhs"]): r
+        for r in all_queries()["fd_audit"](spark, SF_SMOKE).collect()
+    }
+    # the genuine FD must hold; at least one candidate must fail
+    assert rows[("nation", "n_nationkey")]["fd_holds"]
+    assert not all(r["fd_holds"] for r in rows.values())
+    for r in rows.values():
+        assert r["n_pairs"] >= r["n_lhs"]
+        assert r["extra_mappings"] == r["n_pairs"] - r["n_lhs"]
+        assert r["fd_holds"] == (r["violating_lhs"] == 0)
+    # replay one candidate directly
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").collect()
+    seen: dict = {}
+    for c in cust:
+        seen.setdefault(c["c_nationkey"], set()).add(c["c_mktsegment"])
+    r = rows[("customer", "c_nationkey")]
+    assert r["n_lhs"] == len(seen)
+    assert r["n_pairs"] == sum(len(v) for v in seen.values())
+    assert r["violating_lhs"] == sum(1 for v in seen.values() if len(v) > 1)
