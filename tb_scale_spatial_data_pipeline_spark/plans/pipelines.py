@@ -1061,3 +1061,61 @@ def q_stream_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark lateness observability: the staged three-batch replay's
+# admit/drop outcome, hash-checked against a PURE SQL twin of Spark's
+# two-watermark rule (filter with the wm in effect one batch earlier;
+# seal with the final wm; ms-truncated). See
+# streaming.events.stream_late_drop_audit for the full semantics.
+@_q(
+    "stream_late_drop_audit",
+    """
+    WITH base AS (
+      SELECT event_id, epoch_us(ts) AS us FROM events
+    ),
+    bounds AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM base),
+    arr AS (
+      SELECT us,
+             LEAST(
+               (CASE WHEN us < lo + (hi - lo) // 3 THEN 0
+                     WHEN us < lo + (2 * (hi - lo)) // 3 THEN 1
+                     ELSE 2 END)
+               + (CASE WHEN CAST(('0x' || substring(
+                        md5(CAST(event_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                        % 5 = 0 THEN 2 ELSE 0 END),
+               2) AS b
+      FROM base, bounds
+    ),
+    bmax AS (SELECT b, MAX(us) AS mx FROM arr GROUP BY b),
+    wms AS (
+      SELECT
+        ((SELECT MAX(mx) FROM bmax WHERE b <= 0) // 1000 - 300000) * 1000
+          AS filter_wm_b2,
+        ((SELECT MAX(mx) FROM bmax) // 1000 - 300000) * 1000 AS final_wm
+    ),
+    admitted AS (
+      SELECT (us // 600000000) * 600000000 AS ws
+      FROM arr, wms
+      WHERE NOT (b = 2
+                 AND (us // 600000000) * 600000000 + 600000000
+                     <= filter_wm_b2)
+    ),
+    wcount AS (SELECT ws, COUNT(*) AS n_admitted FROM admitted GROUP BY ws),
+    total AS (
+      SELECT (us // 600000000) * 600000000 AS ws, COUNT(*) AS n_total
+      FROM base GROUP BY 1
+    )
+    SELECT strftime(make_timestamp(w.ws), '%Y-%m-%d %H:%M:%S') AS wstart,
+           w.n_admitted, t.n_total,
+           CAST(t.n_total - w.n_admitted AS BIGINT) AS n_late_dropped
+    FROM wcount w JOIN total t ON t.ws = w.ws, wms
+    WHERE w.ws + 600000000 <= final_wm
+    ORDER BY wstart
+    """,
+)
+def q_stream_late_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import stream_late_drop_audit
+
+    return stream_late_drop_audit(spark, sf_dir)

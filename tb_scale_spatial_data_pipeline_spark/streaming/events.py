@@ -745,3 +745,106 @@ def stream_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     return run_stream_to_table(out, "append")
+
+
+def stream_late_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATENESS OBSERVABILITY: replay the events fixture as
+    three deterministic arrival files (time-slice order, with an
+    md5-chosen straggler cohort arriving TWO batches late) through a
+    FileStreamSource with maxFilesPerTrigger=1, and report, per
+    emitted window, how many rows the watermark admitted vs the batch
+    ground truth. This pins — and hash-checks against a SQL twin —
+    Spark's two-watermark late-record semantics (SPARK-40925, the
+    post-3.4 unified design):
+
+      * batch k FILTERS input with the watermark in effect during
+        batch k-1 (max event-time over batches <= k-2, truncated to
+        ms, minus the delay) — a row is dropped iff its window END is
+        <= that value;
+      * batch k EVICTS-and-emits (append mode) with the watermark
+        from batches <= k-1;
+      * the availableNow drain runs a final no-data batch, so the
+        result holds exactly the windows whose end is <= the final
+        watermark — the unsealed tail stays in state (not emitted).
+
+    One-batch-late rows therefore merge into still-live state (full
+    counts), while the two-batch-late cohort targets filtered windows
+    and is dropped — the report's n_late_dropped column localizes
+    exactly which windows lost rows. Determinism: slices and the
+    straggler cohort are integer/md5 functions of the data; arrival
+    files get strictly increasing mtimes so FileStreamSource's
+    (mtime, path) order is the arrival order."""
+    import glob as _glob
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from ..sources.catalog import normalize_event_ts
+
+    ev = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    st = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).collect()[0]
+    lo, hi = st["lo"], st["hi"]
+    t1 = lo + (hi - lo) // 3
+    t2 = lo + (2 * (hi - lo)) // 3
+    straggler = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10
+        ).cast("int")
+        % 5
+        == 0
+    )
+    slice_ = (
+        F.when(F.unix_micros("ts") < t1, 0)
+        .when(F.unix_micros("ts") < t2, 1)
+        .otherwise(2)
+    )
+    arrival = F.least(
+        slice_ + F.when(straggler, 2).otherwise(0), F.lit(2)
+    )
+    staged = ev.withColumn("_arrival", arrival)
+    d = f"/tmp/spark_graft_late_{_uuid.uuid4().hex[:12]}"
+    os.makedirs(d)
+    try:
+        for k in range(3):
+            tmp = f"{d}/b{k}.tmp"
+            staged.where(F.col("_arrival") == k).drop("_arrival").coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            src = _glob.glob(f"{tmp}/part-*.parquet")[0]
+            dst = f"{d}/arrival_{k}.parquet"
+            shutil.copyfile(src, dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (1700000000 + k * 1000,) * 2)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        agg = (
+            stream.withWatermark("ts", "5 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_admitted"))
+        )
+        drained = run_stream_to_table(agg, "append")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    totals = ev.groupBy(F.window("ts", "10 minutes").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    ws = F.unix_micros(F.col("w.start")).alias("ws")
+    return (
+        drained.select(ws, "n_admitted")
+        .join(totals.select(ws, "n_total"), "ws")
+        .select(
+            F.date_format(
+                F.timestamp_micros(F.col("ws")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("wstart"),
+            "n_admitted",
+            "n_total",
+            (F.col("n_total") - F.col("n_admitted")).alias("n_late_dropped"),
+        )
+        .orderBy("wstart")
+    )

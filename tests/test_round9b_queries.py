@@ -409,3 +409,29 @@ def test_fd_audit_separates_and_counts(spark):
     assert r["n_lhs"] == len(seen)
     assert r["n_pairs"] == sum(len(v) for v in seen.values())
     assert r["violating_lhs"] == sum(1 for v in seen.values() if len(v) > 1)
+
+
+# ---------------------------------------------------------------------------
+# Streaming lateness audit
+
+
+def test_late_drop_audit_drops_and_seals(spark):
+    """The audit must be NON-VACUOUS: the two-batch-late cohort loses
+    rows (some n_late_dropped > 0), one-batch-late merges keep other
+    windows complete, and the unsealed tail is withheld (fewer
+    emitted windows than total windows)."""
+    rows = all_queries()["stream_late_drop_audit"](spark, SF_SMOKE).collect()
+    assert rows, "no sealed windows emitted"
+    dropped = [r for r in rows if r["n_late_dropped"] > 0]
+    complete = [r for r in rows if r["n_late_dropped"] == 0]
+    assert dropped, "late dropping never happened — audit is vacuous"
+    assert complete, "every window lost rows — staging is wrong"
+    for r in rows:
+        assert 0 <= r["n_admitted"] <= r["n_total"]
+    total_windows = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .selectExpr("window(ts, '10 minutes') AS w")
+        .distinct()
+        .count()
+    )
+    assert len(rows) < total_windows  # unsealed tail withheld
