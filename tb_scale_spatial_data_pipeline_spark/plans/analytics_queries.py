@@ -21,6 +21,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1024,12 +1026,14 @@ def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # characteristic function v(S) = number of conversions whose
 # pre-conversion channel set is CONTAINED in coalition S; the Shapley
 # value of channel i is then computed exactly — no permutation
-# sampling — because the channel universe is bounded (4 non-purchase
-# event types ⇒ 16 coalitions): one corpus pass reduces journeys to
-# per-mask conversion counts, and the coalition algebra runs on that
-# ≤2^k-row table. Integer-exact: weights |S|!(n-1-|S|)! are integers
-# once scaled by n! = 24, so phi_num = 24·φ is an exact BIGINT and
-# the single division to φ happens at report time. Conversions with
+# sampling — because the channel universe is bounded (n non-purchase
+# event types ⇒ 2^n coalitions, n ≤ 16 enforced): one corpus pass
+# reduces journeys to per-mask conversion counts, and the coalition
+# algebra runs on that ≤2^n-row table. Integer-exact: weights
+# |S|!(n-1-|S|)! and the n! divisor are DERIVED from the counted
+# channel set via factorial() on both engines (no hardcoded n), so
+# phi_num = n!·φ is an exact BIGINT and the single division to φ
+# happens at report time. Conversions with
 # an EMPTY pre-purchase journey sit in v(∅) and are deliberately
 # unattributed (Σφ = v(full) − v(∅)).
 @_q(
@@ -1068,12 +1072,16 @@ def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY s.S
     )
     SELECT c.ch AS channel,
-           CAST(SUM((CASE bit_count(vx.S) WHEN 0 THEN 6 WHEN 1 THEN 2
-                     WHEN 2 THEN 2 WHEN 3 THEN 6 END)
+           CAST(SUM(CAST(factorial(CAST(bit_count(vx.S) AS INTEGER)) AS BIGINT)
+                    * CAST(factorial(CAST((SELECT COUNT(*) FROM chan) - 1
+                                     - bit_count(vx.S) AS INTEGER)) AS BIGINT)
                     * (vy.v - vx.v)) AS BIGINT) AS phi_num,
-           CAST(SUM((CASE bit_count(vx.S) WHEN 0 THEN 6 WHEN 1 THEN 2
-                     WHEN 2 THEN 2 WHEN 3 THEN 6 END)
-                    * (vy.v - vx.v)) AS DOUBLE) / 24.0
+           CAST(SUM(CAST(factorial(CAST(bit_count(vx.S) AS INTEGER)) AS BIGINT)
+                    * CAST(factorial(CAST((SELECT COUNT(*) FROM chan) - 1
+                                     - bit_count(vx.S) AS INTEGER)) AS BIGINT)
+                    * (vy.v - vx.v)) AS DOUBLE)
+             / CAST(factorial(CAST((SELECT COUNT(*) FROM chan) AS INTEGER))
+                    AS DOUBLE)
              AS shapley_conversions
     FROM chan c
     JOIN v vx ON (vx.S & (CAST(1 AS BIGINT) << c.bit)) = 0
@@ -1140,11 +1148,21 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.coalesce(F.sum("conv"), F.lit(0)).alias("v"))
         .localCheckpoint(eager=True)  # both coalition arms read it
     )
-    w_case = (
-        "CASE bit_count(S) WHEN 0 THEN 6 WHEN 1 THEN 2"
-        " WHEN 2 THEN 2 WHEN 3 THEN 6 END"
+    # Weights |S|!(n-1-|S|)! derived from the COUNTED channel set
+    # (r9 ADVICE: the old CASE hardcoded n=4, so fixture drift would
+    # have produced silent NULL phi instead of adapting). Bounded to
+    # keep 2^n subsets and n!-scaled integers exact in BIGINT.
+    if nch > 16:
+        raise ValueError(
+            f"shapley_attribution: {nch} channels exceeds the exact "
+            "2^n coalition bound (16); sample or bucket channels first"
+        )
+    w_expr = (
+        f"CAST(factorial(bit_count(S)) AS BIGINT)"
+        f" * CAST(factorial({nch} - 1 - bit_count(S)) AS BIGINT)"
     )
-    vx = v.select(F.col("S"), F.col("v").alias("vx"), F.expr(w_case).alias("w"))
+    n_fact = float(_math.factorial(nch))
+    vx = v.select(F.col("S"), F.col("v").alias("vx"), F.expr(w_expr).alias("w"))
     vy = v.select(F.col("S").alias("Sy"), F.col("v").alias("vy"))
     bitv = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
     return (
@@ -1158,7 +1176,7 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("phi_num"),
             (
                 F.sum(F.col("w") * (F.col("vy") - F.col("vx"))).cast("double")
-                / 24.0
+                / F.lit(n_fact)
             ).alias("shapley_conversions"),
         )
         .orderBy("channel")

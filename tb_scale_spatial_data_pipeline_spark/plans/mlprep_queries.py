@@ -995,8 +995,9 @@ def q_isotonic_pav_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT seg AS segment,
            CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
-           CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
-             / CAST(2 * n1 * n0 AS DOUBLE) AS auc
+           CASE WHEN n1 = 0 OR n0 = 0 THEN NULL
+                ELSE CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+                     / CAST(2 * n1 * n0 AS DOUBLE) END AS auc
     FROM r ORDER BY segment
     """,
 )
@@ -1034,8 +1035,15 @@ def q_roc_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seg").alias("segment"),
         F.col("n1").cast("bigint").alias("n_pos"),
         F.col("n0").cast("bigint").alias("n_neg"),
-        (
+        # AUC is undefined for a single-class segment: NULL is the
+        # deliberate marker (r9 ADVICE), not an engine-dependent
+        # NaN/0-division artifact.
+        F.when(
+            (F.col("n1") == 0) | (F.col("n0") == 0), F.lit(None)
+        )
+        .otherwise(
             (F.col("r2") - F.col("n1") * (F.col("n1") + 1)).cast("double")
             / (2 * F.col("n1") * F.col("n0")).cast("double")
-        ).alias("auc"),
+        )
+        .alias("auc"),
     ).orderBy("segment")

@@ -648,7 +648,8 @@ def q_table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'lineitem', 'l_orderkey', 'l_returnflag',
              l_orderkey, l_returnflag FROM lineitem
       UNION ALL
-      SELECT 'part', 'p_brand', 'p_type', 0, p_brand || '|' || p_type
+      SELECT 'part', 'p_brand', 'p_type',
+             CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT), p_type
       FROM part
     ),
     per_lhs AS (
@@ -718,13 +719,20 @@ def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_returnflag").alias("_r"),
             ),
         ),
+        # A REAL determinant candidate (r9 ADVICE: the old encoding —
+        # constant l, brand||type as r — audited the trivial FD
+        # ∅→(brand,type)): the brand NUMBER is the determinant, p_type
+        # the dependent, and the FD is genuinely false (each brand
+        # carries many types), so the report's separation is exercised.
         cand(
             "part",
             "p_brand",
             "p_type",
             part.select(
-                F.lit(0).cast("bigint").alias("_l"),
-                F.concat_ws("|", "p_brand", "p_type").alias("_r"),
+                F.regexp_extract("p_brand", "([0-9]+)", 1)
+                .cast("bigint")
+                .alias("_l"),
+                F.col("p_type").alias("_r"),
             ),
         ),
     ]

@@ -813,9 +813,23 @@ def stream_late_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             staged.where(F.col("_arrival") == k).drop("_arrival").coalesce(
                 1
             ).write.mode("overwrite").parquet(tmp)
-            src = _glob.glob(f"{tmp}/part-*.parquet")[0]
+            parts = _glob.glob(f"{tmp}/part-*.parquet")
             dst = f"{d}/arrival_{k}.parquet"
-            shutil.copyfile(src, dst)
+            if parts:
+                shutil.copyfile(parts[0], dst)
+            else:
+                # Spark 4.x emits one part file even for an empty
+                # coalesce(1) slice, but that is an implementation
+                # detail: if a small/skewed fixture (or a future Spark)
+                # yields no file, write an explicit schema-preserving
+                # empty parquet so batch-k indexing — and therefore the
+                # two-watermark replay semantics — stays aligned
+                # (r9 ADVICE).
+                import pyarrow.parquet as _pq
+
+                from pyspark.sql.pandas.types import to_arrow_schema
+
+                _pq.write_table(to_arrow_schema(ev.schema).empty_table(), dst)
             shutil.rmtree(tmp)
             os.utime(dst, (1700000000 + k * 1000,) * 2)
         stream = (

@@ -409,6 +409,22 @@ def test_fd_audit_separates_and_counts(spark):
     assert r["n_lhs"] == len(seen)
     assert r["n_pairs"] == sum(len(v) for v in seen.values())
     assert r["violating_lhs"] == sum(1 for v in seen.values() if len(v) > 1)
+    # the part arm audits a REAL determinant (brand number → p_type),
+    # not the trivial ∅→(brand,type) encoding it had before r10:
+    # n_lhs must be the distinct brand-number count, and the FD must
+    # genuinely fail (each brand carries many types).
+    import re
+
+    parts = spark.read.parquet(f"{SF_SMOKE}/part.parquet").collect()
+    bmap: dict = {}
+    for p in parts:
+        bmap.setdefault(
+            int(re.search(r"([0-9]+)", p["p_brand"]).group(1)), set()
+        ).add(p["p_type"])
+    rp = rows[("part", "p_brand")]
+    assert rp["n_lhs"] == len(bmap) > 1
+    assert rp["n_pairs"] == sum(len(v) for v in bmap.values())
+    assert not rp["fd_holds"]
 
 
 # ---------------------------------------------------------------------------
