@@ -1353,13 +1353,16 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 # — an edge survives the k-truss iff it closes >= k-2 triangles with
 # OTHER surviving edges, so peeling low-support edges cascades.
 # Synchronous fixed-round peeling (k = 4, support >= 2): each round
-# recomputes every remaining edge's support with ONE wedge join over
-# the symmetrized remaining edge set (the oriented-triangle-count
-# plan shape) and drops the under-supported edges; the trajectory
-# (round, edges remaining, support checksum) is the observable, the
-# same convention as the LPA/pagerank trajectories. All counts are
-# exact integers — no FP seam. Plan per round: one self-join + one
-# groupBy on (edge) keys, intermediates bounded by wedge count;
+# recomputes every remaining edge's support by DEGREE-ORIENTED
+# triangle enumeration — edges oriented low→high by (deg, node), the
+# wedge join fans out by oriented out-degree (O(sqrt(m)) bounded,
+# skew-proof on power-law graphs) and each triangle credits its 3
+# canonical edges — then drops the under-supported edges; the
+# trajectory (round, edges remaining, support checksum) is the
+# observable, the same convention as the LPA/pagerank trajectories.
+# The SQL oracle keeps the straightforward symmetrized-wedge
+# formulation (per-edge common-neighbor count), which is the same
+# number by definition. All counts are exact integers — no FP seam.
 # localCheckpoint truncates the per-round lineage.
 _TRUSS_ROUNDS = 3
 _TRUSS_K = 4
@@ -1420,14 +1423,76 @@ def q_ktruss_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     cur = eu
     for _ in range(_TRUSS_ROUNDS):
-        sym = cur.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
-            cur.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        # Degree-oriented triangle enumeration (Chiba–Nishizeki; the
+        # cover-edge orientation in Shun & Tangwongsan PPoPP'15):
+        # orient every remaining edge from lower (deg, node) to higher,
+        # so each triangle is found exactly ONCE as the wedge at its
+        # lowest-degree corner. The wedge join then fans out by
+        # ORIENTED out-degree — O(sqrt(m)) on any graph — instead of
+        # Θ(deg(hub)) per hub edge, which is what kills the naive
+        # symmetrized plan on power-law graphs at scale. Each found
+        # triangle credits all 3 of its canonical (u<v) edges, so the
+        # per-edge support is identical to the symmetrized-wedge count
+        # the SQL oracle computes.
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("dg"))
         )
-        s1 = sym.select(F.col("a").alias("a1"), F.col("b").alias("w1"))
-        s2 = sym.select(F.col("a").alias("a2"), F.col("b").alias("w2"))
+        # total order: (deg, node) packed into one BIGINT (node ids are
+        # 32-bit suppkeys, so deg<<32 | node is collision-free)
+        dk = deg.select(
+            "node",
+            (F.col("dg").cast("bigint") * F.lit(1 << 32) + F.col("node")).alias(
+                "rk"
+            ),
+        )
+        ek = (
+            cur.join(dk.select(F.col("node").alias("u"), F.col("rk").alias("ru")), "u")
+            .join(dk.select(F.col("node").alias("v"), F.col("rk").alias("rv")), "v")
+        )
+        o = ek.select(
+            F.when(F.col("ru") < F.col("rv"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("a"),
+            F.when(F.col("ru") < F.col("rv"), F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("b"),
+            F.greatest("ru", "rv").alias("rb"),
+        ).localCheckpoint(eager=True)  # read 3x: two wedge arms + closer
+        o1 = o.select(F.col("a").alias("x"), F.col("b").alias("p"), F.col("rb").alias("rp"))
+        o2 = o.select(F.col("a").alias("y"), F.col("b").alias("q"), F.col("rb").alias("rq"))
+        closer = o.select(F.col("a").alias("ca"), F.col("b").alias("cb"))
+        tris = (
+            o1.join(o2, (F.col("x") == F.col("y")) & (F.col("rp") < F.col("rq")))
+            .join(
+                closer,
+                (F.col("ca") == F.col("p")) & (F.col("cb") == F.col("q")),
+                "left_semi",
+            )
+            .select(F.col("x").alias("ta"), F.col("p").alias("tb"), F.col("q").alias("tc"))
+        )
         sup = (
-            cur.join(s1, cur["u"] == s1["a1"])
-            .join(s2, (cur["v"] == s2["a2"]) & (s1["w1"] == s2["w2"]))
+            tris.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.least("ta", "tb").alias("u"),
+                            F.greatest("ta", "tb").alias("v"),
+                        ),
+                        F.struct(
+                            F.least("ta", "tc").alias("u"),
+                            F.greatest("ta", "tc").alias("v"),
+                        ),
+                        F.struct(
+                            F.least("tb", "tc").alias("u"),
+                            F.greatest("tb", "tc").alias("v"),
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
             .groupBy("u", "v")
             .agg(F.count(F.lit(1)).alias("sup"))
         )

