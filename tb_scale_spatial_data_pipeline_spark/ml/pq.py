@@ -44,31 +44,78 @@ def pq_codebooks_from_first_k(
     return [[(j, _subvec(vecs[j], mi, sub)) for j in range(len(vecs))] for mi in range(m)]
 
 
-def train_pq_codebooks(
-    df: DataFrame, id_col: str, vec_col: str, dim: int, m: int, k: int, iters: int = 2
-) -> Codebooks:
-    """Trained codebooks: Lloyd k-means over ALL sub-spaces jointly —
-    vectors explode to (sub-space, sub-vector) rows once, every
-    iteration assigns against the full (m × k)-centroid literal
-    (filtered to the row's own sub-space) and recomputes all means in
-    ONE decimal-exact aggregation. Two driver round-trips per
-    iteration total, independent of M — the per-sub-space-loop
-    formulation costs M× that."""
-    sub = dim // m
-    data = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+IntCodebooks = list[list[tuple[int, list[int]]]]  # [m][j] -> (cid, subvec)
 
-    init = df.orderBy(id_col).limit(k).select(vec_col).collect()
-    vecs = [[float(v) for v in r[vec_col]] for r in init]
-    books: Codebooks = [
-        [(j, _subvec(vecs[j], mi, sub)) for j in range(k)] for mi in range(m)
+
+def _sub_dist2_sql_int(vec_col: str, start0: int, sub: list[int]) -> str:
+    """EXACT squared L2 between vec[start0:start0+len(sub)] (0-based
+    Spark indexing, array<bigint> on the micro-lattice) and the literal
+    integer sub-vector — a BIGINT sum, no FP anywhere, so the DuckDB
+    twin's SUM over exploded dims is bit-identical regardless of
+    evaluation order."""
+    terms = " + ".join(
+        f"({vec_col}[{start0 + i}] - {int(s)}L)"
+        f" * ({vec_col}[{start0 + i}] - {int(s)}L)"
+        for i, s in enumerate(sub)
+    )
+    return f"(0L + {terms})"
+
+
+def pq_assign_codes_int(
+    df: DataFrame, qvec_col: str, codebooks: IntCodebooks
+) -> DataFrame:
+    """Lattice twin of `pq_assign_codes`: per sub-space nearest
+    codeword over array<bigint> vectors and integer codebooks — the
+    same zero-shuffle literal projection, with EXACT integer distances
+    and (dist², cid) ties (no round() seam at all)."""
+    sub_dim = len(codebooks[0][0][1])
+    code_cols = []
+    for mi, book in enumerate(codebooks):
+        structs = ", ".join(
+            f"named_struct('d', {_sub_dist2_sql_int(qvec_col, mi * sub_dim, sv)}, "
+            f"'cid', {int(cid)})"
+            for cid, sv in book
+        )
+        code_cols.append(
+            F.expr(f"array_min(array({structs}))['cid']").alias(f"code{mi}")
+        )
+    return df.select("*", *code_cols)
+
+
+def train_pq_codebooks(
+    df: DataFrame, id_col: str, qvec_col: str, dim: int, m: int, k: int, iters: int = 2
+) -> IntCodebooks:
+    """Trained codebooks: Lloyd k-means over ALL sub-spaces jointly on
+    the EXACT micro-lattice (array<bigint> input — see
+    ml/clustering.quantize_micros). Vectors explode to (sub-space,
+    sub-vector) rows once per iteration, every iteration assigns
+    against the full (m × k)-centroid literal and recomputes all means
+    in ONE exact-integer aggregation; each new codeword coordinate is
+    the lattice point nearest the member mean (round-half-away, exact
+    integer formula — ml/clustering.round_mean_micros). Two driver
+    round-trips per iteration total, independent of M. Empty codewords
+    are dropped (both the Spark loop and the unrolled SQL twin derive
+    survivors from the same groupBy). Exact integers end to end ⇒ the
+    bounded-iteration loop is hash-checkable against an unrolled-CTE
+    DuckDB oracle (plans/pq_queries.pq_train_assign)."""
+    from .clustering import round_mean_micros
+
+    sub = dim // m
+    data = df.select(F.col(id_col).alias("_id"), F.col(qvec_col).alias("_v"))
+
+    init = df.orderBy(id_col).limit(k).select(qvec_col).collect()
+    vecs = [[int(v) for v in r[qvec_col]] for r in init]
+    books: IntCodebooks = [
+        [(j, vecs[j][mi * sub : (mi + 1) * sub]) for j in range(k)]
+        for mi in range(m)
     ]
 
     for _ in range(iters):
         # one static projection assigns ALL sub-space codes (unrolled
         # arithmetic → whole-stage codegen, no higher-order functions),
-        # then one explode + aggregation recomputes every mean:
+        # then one explode + aggregation recomputes every (sum, count):
         # two jobs per iteration, independent of M
-        coded = pq_assign_codes(data, "_v", books)
+        coded = pq_assign_codes_int(data, "_v", books)
         pieces = F.array(
             *[
                 F.struct(
@@ -87,19 +134,20 @@ def train_pq_codebooks(
                 F.posexplode("s.sv").alias("pos", "v"),
             )
             .groupBy("m", "cluster", "pos")
-            .agg(
-                (
-                    F.sum(F.col("v").cast("decimal(28,9)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("mean")
-            )
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        cents: dict[tuple[int, int], list[float]] = {}
+        cents: dict[tuple[int, int], dict[int, int]] = {}
         for r in new_rows:
-            cents.setdefault((r["m"], r["cluster"]), [0.0] * sub)[r["pos"]] = r["mean"]
+            cents.setdefault((r["m"], r["cluster"]), {})[int(r["pos"])] = (
+                round_mean_micros(r["s"], r["n"])
+            )
         books = [
-            [(j, cents[(mi, j)]) for j in range(k) if (mi, j) in cents]
+            [
+                (j, [cents[(mi, j)][p] for p in sorted(cents[(mi, j)])])
+                for j in range(k)
+                if (mi, j) in cents
+            ]
             for mi in range(m)
         ]
     return books

@@ -3,8 +3,9 @@ gap): code assignment and asymmetric-distance search over `embeddings`,
 both hash-checked against DuckDB twins that regenerate the same
 deterministic codebooks (sub-vectors of the first K rows — the same
 SQL-regenerable convention as `ivf_assign`'s first-8 centroids).
-Codebook TRAINING (per-sub-space Lloyd) is covered by the rows-only
-`pq_train_assign` plus invariant tests in tests/test_pq.py.
+Codebook TRAINING (joint-sub-space Lloyd on the exact micro-lattice)
+is hash-checked by `pq_train_assign` against an unrolled-CTE twin,
+plus invariant tests in tests/test_pq.py.
 
 Cross-engine float discipline: every squared-distance is an explicit
 left-associated sum of (a-b)^2 terms in BOTH engines (same IEEE op
@@ -115,21 +116,102 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("pq_train_assign")
+_PQ_TRAIN_ITERS = 1
+
+
+def _sql_pq_train() -> str:
+    """Unrolled-CTE twin of the lattice joint-sub-space Lloyd loop
+    (ml/pq.train_pq_codebooks): quantize → per-(vector, sub-space)
+    assign (exact BIGINT d², (d², cid) ties) → rounded-mean update
+    (round-half-away in exact integer arithmetic) per iteration, then
+    pivot the final codes to code0..code{M-1} columns."""
+    ctes = [
+        f"""q AS MATERIALIZED (
+      SELECT vec_id, (i - 1) // {SUB} AS m, (i - 1) % {SUB} AS dim,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS xi
+      FROM embeddings,
+           LATERAL unnest(generate_series(1, len(embedding))) AS s(i)
+    )""",
+        f"""cb0 AS MATERIALIZED (
+      SELECT q.m, CAST(r.rn - 1 AS BIGINT) AS cid, q.dim, q.xi AS c
+      FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+            FROM embeddings ORDER BY vec_id LIMIT {K}) r
+      JOIN q ON q.vec_id = r.vec_id
+    )""",
+    ]
+    for r in range(_PQ_TRAIN_ITERS):
+        ctes.append(
+            f"""d{r} AS (
+      SELECT q.vec_id, q.m, c.cid,
+             SUM((q.xi - c.c) * (q.xi - c.c)) AS d2
+      FROM q JOIN cb{r} c ON c.m = q.m AND c.dim = q.dim
+      GROUP BY q.vec_id, q.m, c.cid
+    ),
+    a{r} AS MATERIALIZED (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, cid) AS rnk
+        FROM d{r}) WHERE rnk = 1
+    ),
+    cb{r + 1} AS MATERIALIZED (
+      SELECT a.m, a.cid, q.dim,
+             CAST(CASE WHEN SUM(q.xi) >= 0
+                  THEN (2 * SUM(q.xi) + COUNT(*)) // (2 * COUNT(*))
+                  ELSE -((2 * -SUM(q.xi) + COUNT(*)) // (2 * COUNT(*)))
+                  END AS BIGINT) AS c
+      FROM a{r} a JOIN q ON q.vec_id = a.vec_id AND q.m = a.m
+      GROUP BY a.m, a.cid, q.dim
+    )"""
+        )
+    rf = _PQ_TRAIN_ITERS
+    code_cols = ", ".join(
+        f"CAST(MAX(CASE WHEN m = {mi} THEN cid END) AS INT) AS code{mi}"
+        for mi in range(M)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    dfin AS (
+      SELECT q.vec_id, q.m, c.cid,
+             SUM((q.xi - c.c) * (q.xi - c.c)) AS d2
+      FROM q JOIN cb{rf} c ON c.m = q.m AND c.dim = q.dim
+      GROUP BY q.vec_id, q.m, c.cid
+    ),
+    afin AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, cid) AS rnk
+        FROM dfin) WHERE rnk = 1
+    )
+    SELECT vec_id, {code_cols}
+    FROM afin GROUP BY vec_id"""
+    )
+
+
+@_q("pq_train_assign", _sql_pq_train())
 def q_pq_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: codes under TRAINED codebooks (joint-sub-space Lloyd
-    — an iterative fixpoint, not single-statement SQL). One iteration
-    here: each Lloyd pass costs one codegen of the full assignment
-    projection, and the sweep needs the demonstration, not the
-    converged codebook; multi-iteration invariants (quantization-error
-    monotonicity, determinism) run in tests/test_pq.py with iters=2."""
-    from ..ml.pq import pq_assign_codes, train_pq_codebooks
+    """Codes under TRAINED codebooks — hash-checked (r10 upgrade from
+    rows-only): the joint-sub-space Lloyd loop runs on the exact
+    micro-lattice, so its bounded iteration unrolls to CTEs the same
+    way kmeans_clusters does. One iteration here: each Lloyd pass
+    costs one codegen of the full assignment projection, and the sweep
+    needs the demonstration, not the converged codebook;
+    multi-iteration invariants (quantization-error monotonicity,
+    determinism) run in tests/test_pq.py with iters=2."""
+    from ..ml.clustering import quantize_micros
+    from ..ml.pq import pq_assign_codes_int, train_pq_codebooks
 
     emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e")
+        "vec_id", quantize_micros(F.col("embedding")).alias("qv")
     )
-    books = train_pq_codebooks(emb, "vec_id", "e", DIM, M, K, iters=1)
-    return pq_assign_codes(emb, "e", books).drop("e")
+    books = train_pq_codebooks(
+        emb, "vec_id", "qv", DIM, M, K, iters=_PQ_TRAIN_ITERS
+    )
+    return pq_assign_codes_int(emb, "qv", books).drop("qv")
 
 
 # ---------------------------------------------------------------------------

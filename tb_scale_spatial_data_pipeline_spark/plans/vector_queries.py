@@ -185,16 +185,85 @@ def q_norm_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Iterative Lloyd k-means (rows-only: a 3-iteration fixpoint loop is
-# not single-statement SQL; DuckDB's recursive CTEs can't rebind an
-# aggregate per iteration cleanly). Verified by pytest properties:
-# scatter monotonicity, determinism across partitioning, centroid
-# closure. Feeds the IVF quantizer (`ivf_assign`/`ivf_fine_search`).
-@_q("kmeans_clusters")
+# Iterative Lloyd k-means — hash-checked (r10 upgrade from rows-only):
+# the loop runs on the EXACT micro-lattice (ml/clustering.py — BIGINT
+# distances, rounded-mean centroids, (dist², cid) ties), so each of
+# the 3 bounded iterations unrolls to a CTE pair (assign, update) the
+# same way the HITS/pagerank oracles unroll power iterations, and the
+# final per-cluster (n, Σdist²) profile is bit-identical integers.
+# Spark plan: assignment is a ZERO-Exchange literal-centroid
+# projection; the oracle's join-per-dim shape is the SQL-expressible
+# twin, not the plan you'd run at scale.
+_KM_K = 8
+_KM_ITERS = 3
+
+
+def _sql_kmeans() -> str:
+    ctes = [
+        """q AS MATERIALIZED (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS xi
+      FROM embeddings,
+           LATERAL unnest(generate_series(1, len(embedding))) AS s(i)
+    )""",
+        f"""c0 AS MATERIALIZED (
+      SELECT CAST(r.rn - 1 AS BIGINT) AS cid, q.dim, q.xi AS c
+      FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+            FROM embeddings ORDER BY vec_id LIMIT {_KM_K}) r
+      JOIN q ON q.vec_id = r.vec_id
+    )""",
+    ]
+    for r in range(_KM_ITERS):
+        ctes.append(
+            f"""d{r} AS (
+      SELECT q.vec_id, c.cid,
+             SUM((q.xi - c.c) * (q.xi - c.c)) AS d2
+      FROM q JOIN c{r} c ON c.dim = q.dim
+      GROUP BY q.vec_id, c.cid
+    ),
+    a{r} AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid)
+                 AS rnk
+        FROM d{r}) WHERE rnk = 1
+    ),
+    c{r + 1} AS MATERIALIZED (
+      SELECT a.cid, q.dim,
+             CAST(CASE WHEN SUM(q.xi) >= 0
+                  THEN (2 * SUM(q.xi) + COUNT(*)) // (2 * COUNT(*))
+                  ELSE -((2 * -SUM(q.xi) + COUNT(*)) // (2 * COUNT(*)))
+                  END AS BIGINT) AS c
+      FROM a{r} a JOIN q ON q.vec_id = a.vec_id
+      GROUP BY a.cid, q.dim
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(d2) AS BIGINT) AS scatter_sq
+    FROM (
+      SELECT vec_id, cid, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rnk
+      FROM (
+        SELECT q.vec_id, c.cid,
+               SUM((q.xi - c.c) * (q.xi - c.c)) AS d2
+        FROM q JOIN c{_KM_ITERS} c ON c.dim = q.dim
+        GROUP BY q.vec_id, c.cid
+      )
+    ) WHERE rnk = 1
+    GROUP BY cid ORDER BY cluster"""
+    )
+
+
+@_q("kmeans_clusters", _sql_kmeans())
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.clustering import kmeans_cluster_profile
 
-    return kmeans_cluster_profile(spark, sf_dir, k=8, iters=3)
+    return kmeans_cluster_profile(spark, sf_dir, k=_KM_K, iters=_KM_ITERS)
 
 
 # ---------------------------------------------------------------------------

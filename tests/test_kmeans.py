@@ -1,59 +1,70 @@
-"""Lloyd k-means properties (ml/clustering.py): the invariants that
-hold regardless of data — scatter never increases per iteration,
-results are partition-count-independent (decimal-exact means), every
-point lands on its nearest centroid, all k clusters stay addressable.
+"""Lattice Lloyd k-means properties (ml/clustering.py): the invariants
+that hold regardless of data — scatter never increases per iteration
+(rounded-mean centroids keep the descent guarantee: the new centroid is
+a nearest lattice point to the true mean), results are partition-count-
+independent (exact integer arithmetic end to end), every point lands on
+its nearest centroid, the assign stage never shuffles.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from tb_scale_spatial_data_pipeline_spark.functions.vectors import l2_distance
-from tb_scale_spatial_data_pipeline_spark.ml.clustering import lloyd_kmeans
+from tb_scale_spatial_data_pipeline_spark.ml.clustering import (
+    lloyd_kmeans,
+    quantize_micros,
+    round_mean_micros,
+)
 
 SF = "/root/testdata/sf0.001"
 
 
 def _emb(spark):
     return spark.read.parquet(f"{SF}/embeddings.parquet").select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+        "vec_id", quantize_micros(F.col("embedding")).alias("qv")
     )
 
 
-def _scatter(assigned, emb, cents):
-    j = assigned.join(emb, "vec_id").join(
-        F.broadcast(cents), F.col("cluster") == F.col("cid")
-    )
-    return j.agg(
-        F.sum(l2_distance(F.col("e"), F.col("cvec")).cast("decimal(18,6)"))
-        .cast("double")
-        .alias("s")
-    ).collect()[0]["s"]
+def _scatter(assigned) -> int:
+    return assigned.agg(F.sum("dist2").alias("s")).collect()[0]["s"]
 
 
 def test_scatter_decreases_over_iterations(spark):
     emb = _emb(spark)
     scatters = []
     for iters in (0, 1, 3):
-        assigned, cents = lloyd_kmeans(emb, "vec_id", "e", k=4, iters=iters)
-        scatters.append(_scatter(assigned, emb, cents))
-    assert scatters[1] <= scatters[0] + 1e-9, scatters
-    assert scatters[2] <= scatters[1] + 1e-9, scatters
+        assigned, _ = lloyd_kmeans(emb, "vec_id", "qv", k=4, iters=iters)
+        scatters.append(_scatter(assigned))
+    # exact integers: monotone non-increasing, no epsilon needed
+    assert scatters[1] <= scatters[0], scatters
+    assert scatters[2] <= scatters[1], scatters
 
 
 def test_assignment_is_nearest_centroid(spark):
     emb = _emb(spark)
-    assigned, cents = lloyd_kmeans(emb, "vec_id", "e", k=4, iters=2)
-    # recompute nearest brute-force and compare
-    cand = emb.join(F.broadcast(cents))
-    d = F.round(l2_distance(F.col("e"), F.col("cvec")), 9)
-    brute = cand.groupBy("vec_id").agg(
-        F.min_by("cid", F.struct(d.alias("d"), F.col("cid"))).alias("nearest")
+    assigned, cents = lloyd_kmeans(emb, "vec_id", "qv", k=4, iters=2)
+    # recompute nearest brute-force (join + exact integer fold) and compare
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    brute = (
+        emb.join(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                "cid", F.struct(d2.alias("d"), F.col("cid"))
+            ).alias("nearest"),
+            F.min(d2).alias("min_d2"),
+        )
     )
     diff = (
         assigned.join(brute, "vec_id")
-        .where(F.col("cluster") != F.col("nearest"))
+        .where(
+            (F.col("cluster") != F.col("nearest"))
+            | (F.col("dist2") != F.col("min_d2"))
+        )
         .count()
     )
     assert diff == 0
@@ -61,11 +72,39 @@ def test_assignment_is_nearest_centroid(spark):
 
 def test_partition_invariance(spark):
     emb = _emb(spark)
-    a1, _ = lloyd_kmeans(emb.repartition(1), "vec_id", "e", k=4, iters=2)
-    a2, _ = lloyd_kmeans(emb.repartition(17), "vec_id", "e", k=4, iters=2)
-    r1 = {r["vec_id"]: r["cluster"] for r in a1.collect()}
-    r2 = {r["vec_id"]: r["cluster"] for r in a2.collect()}
+    a1, _ = lloyd_kmeans(emb.repartition(1), "vec_id", "qv", k=4, iters=2)
+    a2, _ = lloyd_kmeans(emb.repartition(17), "vec_id", "qv", k=4, iters=2)
+    r1 = {r["vec_id"]: (r["cluster"], r["dist2"]) for r in a1.collect()}
+    r2 = {r["vec_id"]: (r["cluster"], r["dist2"]) for r in a2.collect()}
     assert r1 == r2
+
+
+def test_round_mean_micros_half_away():
+    # the exact-integer round-half-away-from-zero the SQL twin unrolls
+    assert round_mean_micros(7, 2) == 4      # 3.5 -> 4
+    assert round_mean_micros(-7, 2) == -4    # -3.5 -> -4
+    assert round_mean_micros(6, 4) == 2      # 1.5 -> 2
+    assert round_mean_micros(5, 4) == 1      # 1.25 -> 1
+    assert round_mean_micros(-5, 4) == -1
+    assert round_mean_micros(0, 3) == 0
+    assert round_mean_micros(10, 5) == 2     # exact mean stays exact
+
+
+def test_centroids_on_lattice_and_closed(spark):
+    """Every returned centroid coordinate must equal the rounded mean
+    of its members — the closure property the SQL twin relies on."""
+    emb = _emb(spark)
+    assigned, cents = lloyd_kmeans(emb, "vec_id", "qv", k=4, iters=2)
+    # NOTE: returned assignments are vs the FINAL centroids, but the
+    # final centroids were computed from the iteration-2 assignment,
+    # which used the iteration-1 centroids. Recompute that closure:
+    # re-running with iters=2 and deriving means from the returned
+    # assignment is only valid at a fixpoint, so instead check each
+    # centroid is ON the lattice (integers by construction) and that
+    # cluster ids are a subset of the init range.
+    rows = cents.collect()
+    assert all(isinstance(v, int) for r in rows for v in r["cvec"])
+    assert {r["cid"] for r in rows} <= set(range(4))
 
 
 def test_assign_stage_has_no_exchange(spark):
@@ -79,9 +118,9 @@ def test_assign_stage_has_no_exchange(spark):
 
     emb = _emb(spark)
     cent_rows = [
-        (i, [float(v) for v in r["e"]]) for i, r in enumerate(emb.take(4))
+        (i, [int(v) for v in r["qv"]]) for i, r in enumerate(emb.take(4))
     ]
-    assigned = _assign(emb, "e", cent_rows)
+    assigned = _assign(emb, "qv", cent_rows)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         assigned.explain("formatted")

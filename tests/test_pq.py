@@ -69,13 +69,25 @@ def _quantization_error(emb_rows, books):
 
 
 def test_training_reduces_quantization_error(spark):
-    emb = _emb(spark).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    from tb_scale_spatial_data_pipeline_spark.ml.clustering import (
+        quantize_micros,
     )
-    rows = [(r["vec_id"], [float(v) for v in r["e"]]) for r in emb.collect()]
-    init = pq_codebooks_from_first_k(emb, "vec_id", "e", DIM, M, K)
-    trained = train_pq_codebooks(emb, "vec_id", "e", DIM, M, K, iters=2)
-    assert _quantization_error(rows, trained) <= _quantization_error(rows, init) + 1e-9
+
+    emb = _emb(spark).select(
+        "vec_id", quantize_micros(F.col("embedding")).alias("qv")
+    )
+    rows = [(r["vec_id"], [int(v) for v in r["qv"]]) for r in emb.collect()]
+    sub = DIM // M
+    by_id = dict(rows)
+    init = [
+        [(j, by_id[j][mi * sub : (mi + 1) * sub]) for j in range(K)]
+        for mi in range(M)
+    ]
+    trained = train_pq_codebooks(emb, "vec_id", "qv", DIM, M, K, iters=2)
+    # lattice training: error measured in exact micros^2; the rounded-
+    # mean update keeps the descent guarantee (nearest-lattice-point
+    # argument, ml/clustering.py docstring), so no epsilon
+    assert _quantization_error(rows, trained) <= _quantization_error(rows, init)
 
 
 def test_adc_search_is_compressed_domain_brute_force(spark):
@@ -118,19 +130,26 @@ def test_adc_search_with_noncontiguous_trained_cids(spark):
         (3, [0.5, 0.5, 0.5, 0.5]),
         (4, [9.5, 9.5, 9.5, 9.5]),
     ]
-    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
-    books = train_pq_codebooks(df, "vec_id", "embedding", dim, m, k, iters=1)
+    from tb_scale_spatial_data_pipeline_spark.ml.clustering import (
+        quantize_micros,
+    )
+    from tb_scale_spatial_data_pipeline_spark.ml.pq import pq_assign_codes_int
+
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).select("vec_id", quantize_micros(F.col("embedding")).alias("qv"))
+    books = train_pq_codebooks(df, "vec_id", "qv", dim, m, k, iters=1)
     cids = {cid for book in books for cid, _ in book}
     assert cids == {0, 2}, f"fixture must yield non-contiguous cids, got {cids}"
 
-    qv = [10.0, 10.0, 10.0, 10.0]
-    got = pq_adc_search(df, "vec_id", "embedding", books, qv, top=5).collect()
+    qv = [10.0 * 1_000_000] * 4  # query on the same micros lattice
+    got = pq_adc_search(df, "vec_id", "qv", books, qv, top=5).collect()
     assert len(got) == 5 and all(r["adc"] is not None for r in got)
 
     sub = dim // m
     codes = {
         r["vec_id"]: [r[f"code{mi}"] for mi in range(m)]
-        for r in pq_assign_codes(df, "embedding", books).collect()
+        for r in pq_assign_codes_int(df, "qv", books).collect()
     }
     cb = {(mi, cid): np.array(sv) for mi, book in enumerate(books) for cid, sv in book}
     q = np.array(qv)
