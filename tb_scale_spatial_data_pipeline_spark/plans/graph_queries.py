@@ -1162,9 +1162,15 @@ def q_community_label_propagation(
 
 
 # ---------------------------------------------------------------------------
-# Sampled k-betweenness centrality (Brandes 2001 dependency
-# accumulation, truncated at radius 4 — the bounded-distance
-# k-betweenness variant): forward BFS from a FIXED SEED COUNT (the 8
+# Sampled betweenness centrality (Brandes 2001 dependency
+# accumulation), radius-capped at 4 hops. On every fixture SF the cap
+# EXCEEDS each seed's measured eccentricity (4 at sf0.001, 3 at
+# sf0.01, 2 at sf0.1 — pinned by
+# tests/test_round9_queries.test_betweenness_radius_covers_seed_
+# eccentricity, the sssp round-cap convention), so here this IS the
+# EXACT sampled Brandes from those seeds, not an approximation; at
+# production scale the radius becomes the deliberate bounded-distance
+# k-betweenness knob. Forward BFS from a FIXED SEED COUNT (the 8
 # smallest node ids — count-fixed, not ratio-fixed, per the
 # closeness_centrality_sampled scaling note) computes shortest-path
 # counts sigma on the exact integer lattice; the backward pass

@@ -150,6 +150,39 @@ def test_betweenness_brandes_replay(spark):
     assert got == pytest.approx(want, abs=1e-6)
 
 
+def test_betweenness_radius_covers_seed_eccentricity(spark):
+    """_BC_MAX_HOPS must be >= every seed's eccentricity on the fixture
+    graph (same convention as sssp_weighted's round-cap-above-diameter
+    assertion): when it is, the truncated-radius loop IS the exact
+    sampled Brandes from those seeds — no path is cut off. Measured
+    r10: max seed ecc = 4 (sf0.001), 3 (sf0.01), 2 (sf0.1) vs cap 4.
+    At production scale the radius is the deliberate k-betweenness
+    knob; at fixture scale it must not silently truncate."""
+    from collections import deque
+
+    from tb_scale_spatial_data_pipeline_spark.plans.graph_queries import (
+        _BC_MAX_HOPS,
+        _BC_SEEDS,
+    )
+
+    eu = _edges_py(spark)
+    adj = defaultdict(set)
+    for u, v in eu:
+        adj[u].add(v)
+        adj[v].add(u)
+    seeds = sorted(adj)[:_BC_SEEDS]
+    for s in seeds:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            x = q.popleft()
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        assert max(dist.values()) <= _BC_MAX_HOPS, (s, max(dist.values()))
+
+
 def test_ktruss_monotone_and_replay(spark):
     """Peeling never adds edges, and a pure-Python replay agrees."""
     eu = _edges_py(spark)
