@@ -66,7 +66,23 @@ HEADLINE = [
     "q19_disjunctive_pred",
     "q22_anti_idle_customers",
     "stats_moments",
+    # r10 additions: representatives of the post-r1 tiers (graph, OLAP,
+    # raster, sketches, time series, streaming, sparse vectors) so
+    # regressions are visible where the registry now lives. The
+    # original 35 stay untouched for cross-round continuity.
+    "rollup_revenue_margins",
+    "ktruss_peeling",
+    "betweenness_sampled",
+    "raster_slope_aspect",
+    "sparse_cosine_pairs",
+    "holt_double_smoothing",
+    "theta_sketch_intersection",
+    "stream_ttl_dedup",
 ]
+# cross-round comparisons of the headline total must use this prefix
+# (the r1-r9 frozen set); the full list total includes the r10 tier
+# additions and is NOT comparable to BENCH_r01..r09 values.
+LEGACY_35 = 35
 
 
 def main() -> None:
@@ -101,6 +117,9 @@ def main() -> None:
             )
 
     total = round(sum(timings.values()), 3)
+    # r1-r9 BENCH totals covered only the first 35 queries; report that
+    # prefix separately so cross-round trend lines stay comparable
+    legacy_total = round(sum(timings[n] for n in HEADLINE[:LEGACY_35]), 3)
     # The driver records only the LAST 2000 chars of stdout (observed:
     # BENCH_r06 tail_len=2000, parsed=null because the r6 line carried
     # a per-query spread block and overflowed the window). The stdout
@@ -131,6 +150,7 @@ def main() -> None:
         "metric": "headline_query_total",
         "value": total,
         "unit": "sec",
+        "legacy35_total": legacy_total,
         "queries": timings,
         "repeats": repeats,
         "sf": sf,
