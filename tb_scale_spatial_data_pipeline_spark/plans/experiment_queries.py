@@ -508,3 +508,195 @@ def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hazard_var",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired test (McNemar 1947) — the model-comparison test the
+# A/B z-test can't do: same rows, two classifiers, only the DISCORDANT
+# pairs carry signal. Rule models A (price > 150k predicts urgent) and
+# B (price > 100k AND status 'F') predict high priority per order;
+# b = A right & B wrong, c = B right & A wrong; χ² = (b−c)²/(b+c).
+# One scan, four exact integers to the driver, one division.
+@_q(
+    "mcnemar_paired_models",
+    """
+    WITH p AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y,
+             CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS a,
+             CASE WHEN o_totalprice > 100000 AND o_orderstatus = 'F'
+                  THEN 1 ELSE 0 END AS b
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END)
+                AS BIGINT) AS b_only_a_right,
+           CAST(SUM(CASE WHEN b = y AND a <> y THEN 1 ELSE 0 END)
+                AS BIGINT) AS c_only_b_right,
+           round(CAST(POWER(SUM(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END)
+                            - SUM(CASE WHEN b = y AND a <> y THEN 1 ELSE 0 END),
+                            2) AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END)
+                          + SUM(CASE WHEN b = y AND a <> y THEN 1 ELSE 0 END),
+                          0), 6) AS mcnemar_chi2
+    FROM p
+    """,
+)
+def q_mcnemar_paired_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    y = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    a = F.when(F.col("o_totalprice") > 150000, 1).otherwise(0)
+    b = F.when(
+        (F.col("o_totalprice") > 100000) & (F.col("o_orderstatus") == "F"), 1
+    ).otherwise(0)
+    p = o.select(y.alias("y"), a.alias("a"), b.alias("b"))
+    bn = F.sum(
+        F.when((F.col("a") == F.col("y")) & (F.col("b") != F.col("y")), 1)
+        .otherwise(0)
+    )
+    cn = F.sum(
+        F.when((F.col("b") == F.col("y")) & (F.col("a") != F.col("y")), 1)
+        .otherwise(0)
+    )
+    return p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        bn.cast("bigint").alias("b_only_a_right"),
+        cn.cast("bigint").alias("c_only_b_right"),
+        F.round(
+            F.pow((bn - cn).cast("double"), 2)
+            / F.nullif((bn + cn).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("mcnemar_chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown–Forsythe robust variance-homogeneity test (the |x − median|
+# variant of Levene 1960; Brown & Forsythe 1974) across market
+# segments — the assumption check that should precede anova_f_oneway.
+# Exactness ladder: prices live on the CENTS lattice; the per-group
+# doubled median m2 = y(⌊(n+1)/2⌋) + y(⌈(n+1)/2⌉) keeps half-values
+# integer; z2 = |2y − m2| is exact BIGINT; per-group (n, Σz2, Σz2²)
+# accumulate in DECIMAL(38,0) (Σz2² overflows BIGINT at sf≥0.1).
+# Cross-group combination follows the pagerank seam: each group's
+# between/within terms are computed as doubles FROM exact integers,
+# round(6)-ed, then summed as DECIMAL(38,6) — order-free — and the
+# final F = ((N−k)/(k−1))·SSB/SSW is one expression. Plan: one join +
+# one segment-partitioned window (median ranks) + two aggregations;
+# no global window anywhere.
+@_q(
+    "brown_forsythe_test",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    r AS (
+      SELECT seg, y,
+             row_number() OVER (PARTITION BY seg ORDER BY y) AS rn,
+             COUNT(*) OVER (PARTITION BY seg) AS n
+      FROM j
+    ),
+    med AS (
+      SELECT seg,
+             CAST(SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                           THEN y END)
+                  * MAX(CASE WHEN (n + 1) // 2 = (n + 2) // 2
+                             THEN 2 ELSE 1 END)
+                  AS BIGINT) AS m2
+      FROM r GROUP BY seg
+    ),
+    z AS (
+      SELECT r.seg, ABS(2 * r.y - m.m2) AS z2
+      FROM r JOIN med m ON m.seg = r.seg
+    ),
+    g AS (
+      SELECT seg, COUNT(*) AS n,
+             SUM(CAST(z2 AS HUGEINT)) AS s,
+             SUM(CAST(z2 AS HUGEINT) * z2) AS q
+      FROM z GROUP BY seg
+    ),
+    terms AS (
+      SELECT n, CAST(s AS DOUBLE) AS sd,
+             CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 6)
+                  AS DECIMAL(38,6)) AS t6,
+             CAST(round(CAST(q AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 6)
+                  AS DECIMAL(38,6)) AS w6
+      FROM g
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(n) AS BIGINT) AS n_total,
+           round((CAST(SUM(t6) AS DOUBLE)
+                  - round(CAST(SUM(sd) AS DOUBLE) * CAST(SUM(sd) AS DOUBLE)
+                          / SUM(n), 6))
+                 * (SUM(n) - COUNT(*))
+                 / ((COUNT(*) - 1) * CAST(SUM(w6) AS DOUBLE)), 6)
+             AS f_brown_forsythe
+    FROM terms
+    """,
+)
+def q_brown_forsythe_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    )
+    w = Window.partitionBy("seg").orderBy("y")
+    wc = Window.partitionBy("seg")
+    r = j.select(
+        "seg",
+        "y",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    lo = F.expr("(n + 1) DIV 2")
+    hi = F.expr("(n + 2) DIV 2")
+    med = r.groupBy("seg").agg(
+        (
+            F.sum(F.when(F.col("rn").isin(lo, hi), F.col("y")))
+            # n is group-constant, so max() just lifts the odd/even
+            # doubling flag through the aggregate boundary
+            * F.max(F.when(lo == hi, 2).otherwise(1))
+        )
+        .cast("bigint")
+        .alias("m2")
+    )
+    z = r.join(med, "seg").select(
+        "seg", F.abs(2 * F.col("y") - F.col("m2")).alias("z2")
+    )
+    g = z.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("z2").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("z2").cast("decimal(38,0)") * F.col("z2")).alias("q"),
+    )
+    sd = F.col("s").cast("double")
+    terms = g.select(
+        "n",
+        sd.alias("sd"),
+        F.round(sd * sd / F.col("n"), 6).cast("decimal(38,6)").alias("t6"),
+        F.round(F.col("q").cast("double") - sd * sd / F.col("n"), 6)
+        .cast("decimal(38,6)")
+        .alias("w6"),
+    )
+    ssum = F.sum("sd").cast("double")
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.round(
+            (
+                F.sum("t6").cast("double")
+                - F.round(ssum * ssum / F.sum("n"), 6)
+            )
+            * (F.sum("n") - F.count(F.lit(1)))
+            / (
+                (F.count(F.lit(1)) - 1)
+                * F.sum("w6").cast("double")
+            ),
+            6,
+        ).alias("f_brown_forsythe"),
+    )

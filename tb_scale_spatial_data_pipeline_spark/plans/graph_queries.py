@@ -1777,3 +1777,150 @@ def q_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("round")
     )
+
+
+# ---------------------------------------------------------------------------
+# 4-cycle (square) census — the quadrilateral tier of the motif stack
+# above triangle_count (Chiba–Nishizeki 1985 counts C4 through wedge
+# pairs): λ(u,w) = |common neighbors of the unordered pair| is the
+# wedge multiplicity, and every square is counted once per diagonal,
+# so n_squares = Σ C(λ,2) / 2 exactly. Plan: ONE wedge self-join on
+# the center + ONE groupBy on the endpoint pair — exact integers
+# throughout, same join skeleton the (pre-r10) triangle counter used.
+# At power-law scale the wedge fan-out at hub centers is Θ(deg²);
+# production mitigation is the same degree-ordering that k-truss now
+# uses (enumerate wedges only at each pair's lower-degree endpoint)
+# or a degree cap — documented rather than applied because the
+# co-supply fixture is degree-homogeneous (max deg 189 at sf0.1).
+def _sql_square_count() -> str:
+    return (
+        "WITH "
+        + _SQL_EDGES.strip()
+        + """,
+    sym AS MATERIALIZED (SELECT u AS a, v AS b FROM eu
+                         UNION ALL SELECT v, u FROM eu),
+    wedge AS (
+      SELECT s1.b AS u, s2.b AS w, COUNT(*) AS lam
+      FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+      GROUP BY s1.b, s2.b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_diagonal_pairs,
+           CAST(SUM(lam) AS BIGINT) AS n_wedges,
+           CAST(SUM(CASE WHEN lam > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_multi_pairs,
+           CAST(SUM(lam * (lam - 1) // 2) // 2 AS BIGINT) AS n_squares
+    FROM wedge"""
+    )
+
+
+@_q("square_count_c4", _sql_square_count())
+def q_square_count_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eu = _undirected_edges(spark, sf_dir)
+    sym = eu.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        eu.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    s1 = sym.select(F.col("a").alias("c1"), F.col("b").alias("u"))
+    s2 = sym.select(F.col("a").alias("c2"), F.col("b").alias("w"))
+    wedge = (
+        s1.join(s2, (F.col("c1") == F.col("c2")) & (F.col("u") < F.col("w")))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("lam"))
+    )
+    return wedge.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_diagonal_pairs"),
+        F.sum("lam").cast("bigint").alias("n_wedges"),
+        F.sum(F.when(F.col("lam") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_multi_pairs"),
+        (
+            F.sum(F.expr("lam * (lam - 1) DIV 2")).cast("bigint")
+            / F.lit(2)
+        )
+        .cast("bigint")
+        .alias("n_squares"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Newman modularity of the NATION partition over the co-supply graph
+# (Newman & Girvan 2004): does co-supplying cluster along supplier
+# nations? Q = Σ_c (e_c/m − (d_c/2m)²); multiplying by 4m² keeps the
+# whole computation on the integer lattice — per community the
+# contribution is (4m·e_c − d_c²)/(4m²), one exact integer numerator
+# and ONE double division at report time. Plan: one broadcast join of
+# the supplier dim onto each edge endpoint, one groupBy for e_c
+# (edges whose BOTH endpoints share a nation), one for d_c; all
+# integers exact, no iteration.
+def _sql_nation_modularity() -> str:
+    return (
+        "WITH "
+        + _SQL_EDGES.strip()
+        + """,
+    m AS MATERIALIZED (SELECT COUNT(*) AS m FROM eu),
+    lab AS MATERIALIZED (
+      SELECT s_suppkey AS node, CAST(s_nationkey AS BIGINT) AS com
+      FROM supplier
+    ),
+    intra AS (
+      SELECT lu.com, COUNT(*) AS e_c
+      FROM eu JOIN lab lu ON lu.node = eu.u
+              JOIN lab lv ON lv.node = eu.v
+      WHERE lu.com = lv.com GROUP BY lu.com
+    ),
+    degsum AS (
+      SELECT l.com, COUNT(*) AS d_c
+      FROM (SELECT u AS n FROM eu UNION ALL SELECT v FROM eu) e
+      JOIN lab l ON l.node = e.n GROUP BY l.com
+    )
+    SELECT d.com AS community,
+           CAST(COALESCE(i.e_c, 0) AS BIGINT) AS intra_edges,
+           CAST(d.d_c AS BIGINT) AS degree_sum,
+           CAST(4 * m.m * COALESCE(i.e_c, 0) - d.d_c * d.d_c AS BIGINT)
+             AS q_num,
+           round(CAST(4 * m.m * COALESCE(i.e_c, 0) - d.d_c * d.d_c
+                      AS DOUBLE) / (4.0 * m.m * m.m), 6) AS q_contrib
+    FROM degsum d LEFT JOIN intra i ON i.com = d.com CROSS JOIN m
+    ORDER BY community"""
+    )
+
+
+@_q("nation_modularity", _sql_nation_modularity())
+def q_nation_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eu = _undirected_edges(spark, sf_dir).localCheckpoint(eager=True)
+    m = eu.count()  # one scalar: the edge total
+    lab = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("node"),
+        F.col("s_nationkey").cast("bigint").alias("com"),
+    )
+    lu = lab.select(F.col("node").alias("u"), F.col("com").alias("cu"))
+    lv = lab.select(F.col("node").alias("v"), F.col("com").alias("cv"))
+    intra = (
+        eu.join(F.broadcast(lu), "u")
+        .join(F.broadcast(lv), "v")
+        .where(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("com"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    degsum = (
+        eu.select(F.col("u").alias("n"))
+        .unionAll(eu.select(F.col("v").alias("n")))
+        .join(F.broadcast(lab.withColumnRenamed("node", "n")), "n")
+        .groupBy("com")
+        .agg(F.count(F.lit(1)).alias("d_c"))
+    )
+    qn = 4 * m * F.coalesce(F.col("e_c"), F.lit(0)) - F.col("d_c") * F.col(
+        "d_c"
+    )
+    return (
+        degsum.join(intra, "com", "left")
+        .select(
+            F.col("com").alias("community"),
+            F.coalesce(F.col("e_c"), F.lit(0)).cast("bigint").alias(
+                "intra_edges"
+            ),
+            F.col("d_c").cast("bigint").alias("degree_sum"),
+            qn.cast("bigint").alias("q_num"),
+            F.round(qn.cast("double") / (4.0 * m * m), 6).alias("q_contrib"),
+        )
+        .orderBy("community")
+    )

@@ -1047,3 +1047,342 @@ def q_roc_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("auc"),
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# Cumulative gains / lift table (the decile report every propensity
+# model ships with): score = o_totalprice, outcome = urgent/high
+# priority; deciles by ntile(10) over (score DESC, key) — the key
+# tiebreak makes the binning total-order deterministic, which is what
+# lets two engines agree bit-for-bit. Per decile: counts, positives,
+# cumulative recall (gains) and lift vs the base rate — exact integer
+# ratios, divisions only at report time. Plan: one window (single
+# ordering) + one groupBy; at 100 TB the ntile ordering is the only
+# global sort and it rides range partitioning.
+@_q(
+    "cumulative_gains_lift",
+    """
+    WITH s AS (
+      SELECT ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey)
+               AS decile,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    d AS (
+      SELECT decile, COUNT(*) AS n, SUM(y) AS pos
+      FROM s GROUP BY decile
+    ),
+    c AS (
+      SELECT decile, n, pos,
+             SUM(n) OVER (ORDER BY decile) AS cum_n,
+             SUM(pos) OVER (ORDER BY decile) AS cum_pos,
+             SUM(n) OVER () AS tot_n, SUM(pos) OVER () AS tot_pos
+      FROM d
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+           round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS cum_gain,
+           round(CAST(cum_pos AS DOUBLE) * tot_n
+                 / (CAST(cum_n AS DOUBLE) * tot_pos), 6) AS cum_lift
+    FROM c ORDER BY decile
+    """,
+)
+def q_cumulative_gains_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    s = o.select(
+        F.ntile(10).over(w).alias("decile"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    d = s.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()  # 10-row frame: the decile table
+    c = d.select(
+        "decile",
+        "n",
+        "pos",
+        F.sum("n").over(wc).alias("cum_n"),
+        F.sum("pos").over(wc).alias("cum_pos"),
+        F.sum("n").over(wt).alias("tot_n"),
+        F.sum("pos").over(wt).alias("tot_pos"),
+    )
+    return c.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("pos").cast("bigint").alias("pos"),
+        F.round(F.col("cum_pos").cast("double") / F.col("tot_pos"), 6).alias(
+            "cum_gain"
+        ),
+        F.round(
+            F.col("cum_pos").cast("double")
+            * F.col("tot_n")
+            / (F.col("cum_n").cast("double") * F.col("tot_pos")),
+            6,
+        ).alias("cum_lift"),
+    ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump split gain (CART's Gini criterion, Breiman et al.
+# 1984) — the feature-screening pass a distributed GBDT does per
+# boosting round: for each (feature, threshold) candidate, the Gini
+# impurity reduction of splitting lineitem on it, label = returned.
+# Gini via the 2pq form keeps everything rational: weighted impurity
+# = Σ_side (n_s − (pos_s² + neg_s²)/n_s)/N, so the candidates rank by
+# exact-integer-derived doubles with two divisions each. Plan: ONE
+# scan — candidates ride as an exploded literal array, so the pass is
+# (rows × n_candidates) map-side followed by one small groupBy; no
+# per-candidate rescan.
+_STUMP_CANDS = [
+    ("l_quantity", q) for q in (10, 20, 30, 40)
+] + [("l_discount", d) for d in (0.02, 0.04, 0.06, 0.08)]
+
+
+def _sql_stump() -> str:
+    cand_rows = ", ".join(f"('{f}', {v})" for f, v in _STUMP_CANDS)
+    return f"""
+    WITH cand(feature, thr) AS (VALUES {cand_rows}),
+    sides AS (
+      SELECT c.feature, c.thr,
+             CASE WHEN (CASE c.feature WHEN 'l_quantity' THEN l.l_quantity
+                        ELSE l.l_discount END) <= c.thr
+                  THEN 'L' ELSE 'R' END AS side,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem l CROSS JOIN cand c
+    ),
+    g AS (
+      SELECT feature, thr, side, COUNT(*) AS n, SUM(y) AS pos
+      FROM sides GROUP BY feature, thr, side
+    ),
+    agg AS (
+      SELECT feature, thr,
+             SUM(n) AS nt, SUM(pos) AS post,
+             SUM(CAST(n AS DOUBLE)
+                 - (CAST(pos AS HUGEINT) * pos
+                    + CAST(n - pos AS HUGEINT) * (n - pos))
+                   / CAST(n AS DOUBLE)) AS w_impurity_n
+      FROM g GROUP BY feature, thr
+    )
+    SELECT feature, round(CAST(thr AS DOUBLE), 6) AS threshold,
+           round((CAST(nt AS DOUBLE)
+                  - (CAST(post AS HUGEINT) * post
+                     + CAST(nt - post AS HUGEINT) * (nt - post))
+                    / CAST(nt AS DOUBLE)
+                  - w_impurity_n) / nt, 6) AS gini_gain
+    FROM agg ORDER BY gini_gain DESC, feature, threshold
+    """
+
+
+@_q("stump_split_gain", _sql_stump())
+def q_stump_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    cand = F.array(
+        *[
+            F.struct(
+                F.lit(f).alias("feature"), F.lit(float(v)).alias("thr")
+            )
+            for f, v in _STUMP_CANDS
+        ]
+    )
+    sides = li.select(
+        F.explode(cand).alias("c"),
+        F.col("l_quantity"),
+        F.col("l_discount"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    ).select(
+        F.col("c.feature").alias("feature"),
+        F.col("c.thr").alias("thr"),
+        F.when(
+            F.when(
+                F.col("feature") == "l_quantity", F.col("l_quantity")
+            ).otherwise(F.col("l_discount"))
+            <= F.col("thr"),
+            "L",
+        )
+        .otherwise("R")
+        .alias("side"),
+        "y",
+    )
+    g = sides.groupBy("feature", "thr", "side").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    imp_n = F.col("n").cast("double") - (
+        dec("pos") * F.col("pos")
+        + (dec("n") - F.col("pos")) * (F.col("n") - F.col("pos"))
+    ).cast("double") / F.col("n").cast("double")
+    agg = g.groupBy("feature", "thr").agg(
+        F.sum("n").alias("nt"),
+        F.sum("pos").alias("post"),
+        F.sum(imp_n).alias("w_impurity_n"),
+    )
+    parent_n = F.col("nt").cast("double") - (
+        dec("post") * F.col("post")
+        + (dec("nt") - F.col("post")) * (F.col("nt") - F.col("post"))
+    ).cast("double") / F.col("nt").cast("double")
+    return agg.select(
+        "feature",
+        F.round(F.col("thr").cast("double"), 6).alias("threshold"),
+        F.round(
+            (parent_n - F.col("w_impurity_n")) / F.col("nt"), 6
+        ).alias("gini_gain"),
+    ).orderBy(F.desc("gini_gain"), "feature", "threshold")
+
+
+# ---------------------------------------------------------------------------
+# Mutual-information feature ranking — the filter-method screen for
+# categorical features vs a binary target (Cover & Thomas ch.2):
+# I(X;Y) = Σ_xy (c_xy/N)·ln(c_xy·N/(c_x·c_y)). Cross-engine float
+# discipline (the pagerank seam): each CELL's term is computed as a
+# double from exact integer counts, round(9)-ed, and the per-feature
+# MI is a DECIMAL(38,9) sum of those identical rounded terms —
+# order-free — then round(6). Features unpivot into (feature, x)
+# rows so all three screens ride ONE scan + one groupBy chain.
+@_q(
+    "mutual_information_features",
+    """
+    WITH base AS (
+      SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y,
+             o_orderstatus AS f_status,
+             o_orderpriority AS f_priority,
+             CAST(year(o_orderdate) AS VARCHAR) AS f_year
+      FROM orders
+    ),
+    long AS (
+      SELECT y, 'status' AS feature, f_status AS x FROM base
+      UNION ALL SELECT y, 'priority', f_priority FROM base
+      UNION ALL SELECT y, 'year', f_year FROM base
+    ),
+    cxy AS (SELECT feature, x, y, COUNT(*) AS c FROM long
+            GROUP BY feature, x, y),
+    cx AS (SELECT feature, x, SUM(c) AS cx FROM cxy GROUP BY feature, x),
+    cy AS (SELECT feature, y, SUM(c) AS cy FROM cxy GROUP BY feature, y),
+    nn AS (SELECT feature, SUM(c) AS n FROM cxy GROUP BY feature)
+    SELECT cxy.feature,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           round(CAST(SUM(CAST(round(CAST(cxy.c AS DOUBLE) / nn.n
+                     * ln(CAST(cxy.c AS DOUBLE) * nn.n
+                          / (CAST(cx.cx AS DOUBLE) * cy.cy)), 9)
+                     AS DECIMAL(38,9))) AS DOUBLE), 6) AS mutual_info
+    FROM cxy
+    JOIN cx ON cx.feature = cxy.feature AND cx.x = cxy.x
+    JOIN cy ON cy.feature = cxy.feature AND cy.y = cxy.y
+    JOIN nn ON nn.feature = cxy.feature
+    GROUP BY cxy.feature ORDER BY mutual_info DESC, cxy.feature
+    """,
+)
+def q_mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    base = o.select(
+        F.when(F.col("o_totalprice") > 150000, 1).otherwise(0).alias("y"),
+        F.col("o_orderstatus").alias("f_status"),
+        F.col("o_orderpriority").alias("f_priority"),
+        F.year("o_orderdate").cast("string").alias("f_year"),
+    )
+    long = (
+        base.select("y", F.lit("status").alias("feature"), F.col("f_status").alias("x"))
+        .unionByName(
+            base.select("y", F.lit("priority").alias("feature"), F.col("f_priority").alias("x"))
+        )
+        .unionByName(
+            base.select("y", F.lit("year").alias("feature"), F.col("f_year").alias("x"))
+        )
+    )
+    cxy = long.groupBy("feature", "x", "y").agg(F.count(F.lit(1)).alias("c"))
+    cx = cxy.groupBy("feature", "x").agg(F.sum("c").alias("cx"))
+    cy = cxy.groupBy("feature", "y").agg(F.sum("c").alias("cy"))
+    nn = cxy.groupBy("feature").agg(F.sum("c").alias("n"))
+    term = F.round(
+        F.col("c").cast("double")
+        / F.col("n")
+        * F.log(
+            F.col("c").cast("double")
+            * F.col("n")
+            / (F.col("cx").cast("double") * F.col("cy"))
+        ),
+        9,
+    ).cast("decimal(38,9)")
+    return (
+        cxy.join(cx, ["feature", "x"])
+        .join(cy, ["feature", "y"])
+        .join(nn, "feature")
+        .groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.round(F.sum(term).cast("double"), 6).alias("mutual_info"),
+        )
+        .orderBy(F.desc("mutual_info"), "feature")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ridge regression, closed form (Hoerl & Kennard 1970) — 2-feature
+# normal equations β = (XᵀX + λI)⁻¹Xᵀy solved by the exact 2×2
+# inverse: XᵀX and Xᵀy entries are EXACT integer sums on the lattice
+# (quantity units, discount cents, price cents), the determinant and
+# adjugate products stay exact in DECIMAL(38,0)/HUGEINT, and the only
+# float ops are the two final divisions, round(6). This is the
+# "sufficient statistics" pattern a distributed trainer uses at
+# 100 TB: ONE aggregation pass moves 5 numbers, the solve costs
+# nothing — no gradient iterations, no per-row weights.
+@_q(
+    "ridge_closed_form",
+    """
+    WITH x AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(round(l_discount * 100) AS BIGINT) AS x2,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS yv
+      FROM lineitem
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(x1 AS HUGEINT) * x1) + 1000 AS a,
+             SUM(CAST(x1 AS HUGEINT) * x2) AS b,
+             SUM(CAST(x2 AS HUGEINT) * x2) + 1000 AS c,
+             SUM(CAST(x1 AS HUGEINT) * yv) AS p,
+             SUM(CAST(x2 AS HUGEINT) * yv) AS q
+      FROM x
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(CAST(c * p - b * q AS DOUBLE)
+                 / CAST(a * c - b * b AS DOUBLE), 6) AS beta_quantity,
+           round(CAST(a * q - b * p AS DOUBLE)
+                 / CAST(a * c - b * b AS DOUBLE), 6) AS beta_discount_cents
+    FROM s
+    """,
+)
+def q_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("yv"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    s = x.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(dec("x1") * F.col("x1")) + 1000).alias("a"),
+        F.sum(dec("x1") * F.col("x2")).alias("b"),
+        (F.sum(dec("x2") * F.col("x2")) + 1000).alias("c"),
+        F.sum(dec("x1") * F.col("yv")).alias("p"),
+        F.sum(dec("x2") * F.col("yv")).alias("q"),
+    )
+    det = (F.col("a") * F.col("c") - F.col("b") * F.col("b")).cast("double")
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            (F.col("c") * F.col("p") - F.col("b") * F.col("q")).cast("double")
+            / det,
+            6,
+        ).alias("beta_quantity"),
+        F.round(
+            (F.col("a") * F.col("q") - F.col("b") * F.col("p")).cast("double")
+            / det,
+            6,
+        ).alias("beta_discount_cents"),
+    )

@@ -1093,3 +1093,82 @@ def q_hilbert_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("curve")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverse-distance-weighted interpolation (Shepard 1968) of account
+# balance onto a coarse grid — the geostatistical surface-estimation
+# step (reference's zonal/areal tier) done entirely on the INTEGER
+# lattice: point coords are integers, cell centers sit on the
+# half-lattice, so doubling every coordinate makes d² an exact (odd)
+# BIGINT ≥ 2 — no zero-distance guard needed — and the weight
+# 1/d² becomes the exact integer 10¹²//d². The estimate is then a
+# ratio of two exact sums (Σv·w in DECIMAL(38,0)/HUGEINT, Σw BIGINT)
+# with ONE division. A d² ≤ 800 radius cap bounds each cell's
+# neighborhood — the at-scale form blocks points to nearby cells
+# (grid equi-join) instead of the small-grid broadcast used here.
+@_q(
+    "idw_interpolation",
+    """
+    WITH pts AS (
+      SELECT CAST(c_custkey % 40 AS BIGINT) AS px,
+             CAST(c_custkey % 30 AS BIGINT) AS py,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS v
+      FROM customer
+    ),
+    grid AS (
+      SELECT gx, gy
+      FROM unnest(generate_series(0, 7)) AS g1(gx),
+           unnest(generate_series(0, 5)) AS g2(gy)
+    ),
+    pairs AS (
+      SELECT g.gx, g.gy, p.v,
+             (2 * p.px - (10 * g.gx + 5)) * (2 * p.px - (10 * g.gx + 5))
+             + (2 * p.py - (10 * g.gy + 5)) * (2 * p.py - (10 * g.gy + 5))
+               AS d2
+      FROM grid g CROSS JOIN pts p
+    )
+    SELECT CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           round(CAST(SUM(CAST(v AS HUGEINT) * (1000000000000 // d2))
+                      AS DOUBLE)
+                 / CAST(SUM(1000000000000 // d2) AS DOUBLE) / 100, 6)
+             AS idw_acctbal
+    FROM pairs WHERE d2 <= 800
+    GROUP BY gx, gy ORDER BY gx, gy
+    """,
+)
+def q_idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    pts = cust.select(
+        (F.col("c_custkey") % 40).cast("bigint").alias("px"),
+        (F.col("c_custkey") % 30).cast("bigint").alias("py"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("v"),
+    )
+    spark_ = cust.sparkSession
+    grid = (
+        spark_.range(8)
+        .select(F.col("id").alias("gx"))
+        .crossJoin(spark_.range(6).select(F.col("id").alias("gy")))
+    )
+    dx = 2 * F.col("px") - (10 * F.col("gx") + 5)
+    dy = 2 * F.col("py") - (10 * F.col("gy") + 5)
+    pairs = (
+        pts.crossJoin(F.broadcast(grid))
+        .select("gx", "gy", "v", (dx * dx + dy * dy).alias("d2"))
+        .where(F.col("d2") <= 800)
+    )
+    w = F.expr("1000000000000 DIV d2")
+    return (
+        pairs.groupBy("gx", "gy")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+            F.round(
+                F.sum(F.col("v").cast("decimal(38,0)") * w).cast("double")
+                / F.sum(w).cast("double")
+                / 100,
+                6,
+            ).alias("idw_acctbal"),
+        )
+        .orderBy("gx", "gy")
+    )

@@ -2066,3 +2066,73 @@ def q_spectral_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("loading")).desc(), "dim")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space benchmark decontamination — the semantic complement
+# of benchmark_decontamination's token 13-grams (the dual published in
+# the GPT-3/Llama data cards): a corpus document is contaminated if
+# its embedding is too close (cosine, rounded before compare — the
+# engine seam) to ANY benchmark vector. The benchmark set here is the
+# first 50 vec_ids; at 100 TB the benchmark side is always the tiny
+# one, so it broadcasts and the corpus never shuffles — contamination
+# screening costs exactly one corpus scan. Per-row norms are hoisted
+# out of the pair expression (computed once per vector, not per pair,
+# bit-identically — the embedding_dup_clusters discipline).
+@_q(
+    "embedding_decontamination",
+    f"""
+    WITH bench AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id < 50),
+    corp AS (SELECT vec_id, label, embedding FROM embeddings
+             WHERE vec_id >= 50),
+    sims AS (
+      SELECT c.vec_id, c.label,
+             MAX(round({_sql_cosine('c.embedding', 'b.embedding')}, 6))
+               AS max_sim
+      FROM corp c CROSS JOIN bench b
+      GROUP BY c.vec_id, c.label
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_corpus,
+           CAST(SUM(CASE WHEN max_sim > 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           round(MAX(max_sim), 6) AS max_label_sim
+    FROM sims GROUP BY label ORDER BY label
+    """,
+)
+def q_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot, l2_norm
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        as_double_array(F.col("embedding")).alias("e"),
+    ).withColumn("nm", l2_norm(F.col("e")))
+    bench = emb.where(F.col("vec_id") < 50).select(
+        F.col("e").alias("eb"), F.col("nm").alias("nb")
+    )
+    corp = emb.where(F.col("vec_id") >= 50).select(
+        "vec_id", "label", F.col("e").alias("ec"), F.col("nm").alias("nc")
+    )
+    sim = F.round(
+        dot(F.col("ec"), F.col("eb"))
+        / (F.col("nc") * F.col("nb") + F.lit(1e-12)),
+        6,
+    )
+    sims = (
+        corp.crossJoin(F.broadcast(bench))
+        .groupBy("vec_id", "label")
+        .agg(F.max(sim).alias("max_sim"))
+    )
+    return (
+        sims.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_corpus"),
+            F.sum(F.when(F.col("max_sim") > 0.3, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.round(F.max("max_sim"), 6).alias("max_label_sim"),
+        )
+        .orderBy("label")
+    )

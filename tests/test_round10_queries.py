@@ -1,0 +1,269 @@
+"""Round-10 additions: 4-cycle census, nation modularity, paired /
+robust tests (McNemar, Brown-Forsythe), gains/lift, stump split gain,
+mutual information, ridge closed form, embedding decontamination, IDW.
+Each test replays the math in pure Python/NumPy on the small fixture
+or pins an invariant that must hold regardless of data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import defaultdict
+
+import pytest
+
+from tb_scale_spatial_data_pipeline_spark.plans import all_queries
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_MID = "/root/testdata/sf0.01"
+
+
+def _edges_py(spark, sf=SF_SMOKE):
+    ps = {
+        (r["l_partkey"], r["l_suppkey"])
+        for r in spark.read.parquet(f"{sf}/lineitem.parquet")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .collect()
+    }
+    by_part = defaultdict(set)
+    for pk, sk in ps:
+        by_part[pk].add(sk)
+    eu = set()
+    for sks in by_part.values():
+        sks = sorted(sks)
+        for i, u in enumerate(sks):
+            for v in sks[i + 1 :]:
+                h = hashlib.md5(str(u * 1000 + v).encode()).hexdigest()
+                if int(h[:4], 16) < 9830:
+                    eu.add((u, v))
+    return eu
+
+
+def test_square_count_replay(spark):
+    """n_squares must equal a brute-force 4-cycle census: for every
+    unordered pair, C(common-neighbors, 2), halved (each square is
+    counted once per diagonal)."""
+    eu = _edges_py(spark, SF_MID)
+    adj = defaultdict(set)
+    for u, v in eu:
+        adj[u].add(v)
+        adj[v].add(u)
+    nodes = sorted(adj)
+    pair_sq = 0
+    n_pairs = 0
+    n_wedges = 0
+    for i, u in enumerate(nodes):
+        for w in nodes[i + 1 :]:
+            lam = len(adj[u] & adj[w])
+            if lam:
+                n_pairs += 1
+                n_wedges += lam
+                pair_sq += lam * (lam - 1) // 2
+    r = all_queries()["square_count_c4"](spark, SF_MID).collect()[0]
+    assert r["n_diagonal_pairs"] == n_pairs
+    assert r["n_wedges"] == n_wedges
+    assert pair_sq % 2 == 0  # every square has exactly two diagonals
+    assert r["n_squares"] == pair_sq // 2
+
+
+def test_nation_modularity_identities(spark):
+    """Σ degree_sum = 2m, Σ intra_edges <= m, every per-community
+    numerator matches 4m·e_c − d_c², and Q = Σ contrib stays in
+    Newman's [-1/2, 1) range."""
+    rows = all_queries()["nation_modularity"](spark, SF_MID).collect()
+    eu = _edges_py(spark, SF_MID)
+    m = len(eu)
+    assert sum(r["degree_sum"] for r in rows) == 2 * m
+    assert sum(r["intra_edges"] for r in rows) <= m
+    for r in rows:
+        assert r["q_num"] == 4 * m * r["intra_edges"] - r["degree_sum"] ** 2
+    q = sum(r["q_num"] for r in rows) / (4 * m * m)
+    assert -0.5 <= q < 1.0
+
+
+def test_mcnemar_replay(spark):
+    rows = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    b = c = 0
+    for r in rows:
+        y = 1 if r["o_orderpriority"] in ("1-URGENT", "2-HIGH") else 0
+        a = 1 if r["o_totalprice"] > 150000 else 0
+        bb = 1 if (r["o_totalprice"] > 100000 and r["o_orderstatus"] == "F") else 0
+        if a == y and bb != y:
+            b += 1
+        if bb == y and a != y:
+            c += 1
+    got = all_queries()["mcnemar_paired_models"](spark, SF_SMOKE).collect()[0]
+    assert (got["b_only_a_right"], got["c_only_b_right"]) == (b, c)
+    if b + c:
+        assert got["mcnemar_chi2"] == pytest.approx(
+            (b - c) ** 2 / (b + c), abs=1e-6
+        )
+
+
+def test_brown_forsythe_replay(spark):
+    """Exact-lattice replay: per-segment doubled medians, z2 = |2y−m2|,
+    then the BF statistic with the same round-then-sum seam."""
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    cust = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/customer.parquet").collect()
+    }
+    by_seg = defaultdict(list)
+    for o in orders:
+        seg = cust.get(o["o_custkey"])
+        if seg is not None:
+            by_seg[seg].append(int(round(o["o_totalprice"] * 100)))
+    stats = []
+    for seg, ys in by_seg.items():
+        ys.sort()
+        n = len(ys)
+        m2 = ys[(n + 1) // 2 - 1] + ys[(n + 2) // 2 - 1]
+        z2 = [abs(2 * y - m2) for y in ys]
+        s, q = sum(z2), sum(z * z for z in z2)
+        stats.append((n, s, q))
+    k = len(stats)
+    N = sum(n for n, _, _ in stats)
+    t6 = sum(round(s * s / n, 6) for n, s, _ in stats)
+    w6 = sum(round(q - s * s / n, 6) for n, s, q in stats)
+    S = sum(float(s) for _, s, _ in stats)
+    ssb = t6 - round(S * S / N, 6)
+    f = ssb * (N - k) / ((k - 1) * w6)
+    got = all_queries()["brown_forsythe_test"](spark, SF_SMOKE).collect()[0]
+    assert got["k"] == k and got["n_total"] == N
+    assert got["f_brown_forsythe"] == pytest.approx(f, abs=1e-5)
+    assert got["f_brown_forsythe"] >= 0
+
+
+def test_gains_lift_identities(spark):
+    rows = all_queries()["cumulative_gains_lift"](spark, SF_MID).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    n_orders = spark.read.parquet(f"{SF_MID}/orders.parquet").count()
+    assert sum(r["n"] for r in rows) == n_orders
+    # final decile closes the books: gain 1.0, lift 1.0
+    assert rows[-1]["cum_gain"] == pytest.approx(1.0, abs=1e-6)
+    assert rows[-1]["cum_lift"] == pytest.approx(1.0, abs=1e-6)
+    # gains are a cumulative distribution: nondecreasing
+    gains = [r["cum_gain"] for r in rows]
+    assert gains == sorted(gains)
+
+
+def test_stump_gain_nonnegative_and_replay(spark):
+    """Gini gain is nonnegative by concavity for every candidate;
+    replay the quantity<=20 candidate exactly."""
+    rows = all_queries()["stump_split_gain"](spark, SF_SMOKE).collect()
+    assert len(rows) == 8
+    assert all(r["gini_gain"] >= -1e-12 for r in rows)
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect()
+    sides = {"L": [0, 0], "R": [0, 0]}
+    for r in li:
+        s = "L" if r["l_quantity"] <= 20 else "R"
+        sides[s][0] += 1
+        sides[s][1] += 1 if r["l_returnflag"] == "R" else 0
+    nt = sum(v[0] for v in sides.values())
+    post = sum(v[1] for v in sides.values())
+    parent = nt - (post**2 + (nt - post) ** 2) / nt
+    child = sum(
+        n - (p**2 + (n - p) ** 2) / n for n, p in sides.values() if n
+    )
+    want = round((parent - child) / nt, 6)
+    got = {
+        (r["feature"], r["threshold"]): r["gini_gain"] for r in rows
+    }[("l_quantity", 20.0)]
+    assert got == pytest.approx(want, abs=1e-6)
+
+
+def test_mutual_information_replay(spark):
+    """Replay the 'status' feature's MI with the same round-then-sum
+    seam; MI must be >= 0 up to the rounding grain."""
+    rows = {
+        r["feature"]: r
+        for r in all_queries()["mutual_information_features"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(rows) == {"status", "priority", "year"}
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    cxy: defaultdict = defaultdict(int)
+    for o in orders:
+        y = 1 if o["o_totalprice"] > 150000 else 0
+        cxy[(o["o_orderstatus"], y)] += 1
+    n = sum(cxy.values())
+    cx: defaultdict = defaultdict(int)
+    cy: defaultdict = defaultdict(int)
+    for (x, y), c in cxy.items():
+        cx[x] += c
+        cy[y] += c
+    mi = sum(
+        round(c / n * math.log(c * n / (cx[x] * cy[y])), 9)
+        for (x, y), c in cxy.items()
+    )
+    assert rows["status"]["n_cells"] == len(cxy)
+    assert rows["status"]["mutual_info"] == pytest.approx(mi, abs=1e-6)
+    for r in rows.values():
+        assert r["mutual_info"] >= -1e-6
+
+
+def test_ridge_closed_form_replay(spark):
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect()
+    a = b = c = p = q = 0
+    lam = 1000
+    for r in li:
+        x1 = int(r["l_quantity"])
+        x2 = int(round(r["l_discount"] * 100))
+        yv = int(round(r["l_extendedprice"] * 100))
+        a += x1 * x1
+        b += x1 * x2
+        c += x2 * x2
+        p += x1 * yv
+        q += x2 * yv
+    a += lam
+    c += lam
+    det = a * c - b * b
+    got = all_queries()["ridge_closed_form"](spark, SF_SMOKE).collect()[0]
+    assert got["n"] == len(li)
+    assert got["beta_quantity"] == pytest.approx(
+        (c * p - b * q) / det, abs=1e-6
+    )
+    assert got["beta_discount_cents"] == pytest.approx(
+        (a * q - b * p) / det, abs=1e-6
+    )
+
+
+def test_embedding_decontamination_nonvacuous(spark):
+    """The screen must separate: some rows flagged, some clean, and the
+    per-label max similarity consistent with the flag."""
+    rows = all_queries()["embedding_decontamination"](spark, SF_MID).collect()
+    assert sum(r["n_contaminated"] for r in rows) > 0
+    assert any(r["n_contaminated"] < r["n_corpus"] for r in rows)
+    for r in rows:
+        assert 0 <= r["n_contaminated"] <= r["n_corpus"]
+        if r["n_contaminated"] > 0:
+            assert r["max_label_sim"] > 0.3
+
+
+def test_idw_interpolation_replay(spark):
+    """Replay one grid cell exactly (integer weights 1e12//d2) and pin
+    the estimate inside the value envelope of its neighborhood."""
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").collect()
+    gx, gy = 3, 2
+    num = den = 0
+    vals = []
+    for r in cust:
+        px, py = r["c_custkey"] % 40, r["c_custkey"] % 30
+        v = int(round(r["c_acctbal"] * 100))
+        d2 = (2 * px - (10 * gx + 5)) ** 2 + (2 * py - (10 * gy + 5)) ** 2
+        if d2 <= 800:
+            w = 10**12 // d2
+            num += v * w
+            den += w
+            vals.append(v)
+    rows = {
+        (r["gx"], r["gy"]): r
+        for r in all_queries()["idw_interpolation"](spark, SF_SMOKE).collect()
+    }
+    got = rows[(gx, gy)]
+    assert got["n_neighbors"] == len(vals)
+    assert got["idw_acctbal"] == pytest.approx(num / den / 100, abs=1e-6)
+    assert min(vals) / 100 <= got["idw_acctbal"] <= max(vals) / 100
