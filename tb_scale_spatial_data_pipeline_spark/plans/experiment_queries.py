@@ -700,3 +700,127 @@ def q_brown_forsythe_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f_brown_forsythe"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test (Mantel 1966) between two user cohorts on the same
+# signup→purchase spells as kaplan_meier_conversion (cohort = user_id
+# parity — an assignment-table-free split, the A/B convention here):
+# at each distinct event time, observed group-1 deaths vs the
+# hypergeometric expectation d·n1/n and variance
+# d·n1·(n−n1)·(n−d)/(n²(n−1)); χ² = (O1−E1)²/V. Determinism: data
+# reduces to per-distinct-time INTEGER (d, d1, n, n1) first (reverse
+# cumulative windows over the bounded distinct-time table), each
+# time's E/V term is one double expression from exact ints round(9),
+# and the cross-time sums run in DECIMAL(38,9) — order-free.
+@_q(
+    "logrank_test",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(ts) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_ev,
+             max(ts) AS t_last
+      FROM events GROUP BY user_id
+    ), spells AS (
+      SELECT CASE WHEN t_ev IS NOT NULL
+                  THEN CAST(date_diff('second', t0, t_ev) AS BIGINT)
+                  ELSE CAST(date_diff('second', t0, t_last) AS BIGINT)
+             END AS t_sec,
+             (t_ev IS NOT NULL) AS observed,
+             CAST(user_id % 2 AS INT) AS grp
+      FROM per_user
+    ), times AS (
+      SELECT t_sec,
+             COUNT(*) FILTER (observed) AS d,
+             COUNT(*) FILTER (observed AND grp = 1) AS d1,
+             COUNT(*) AS leaving,
+             COUNT(*) FILTER (grp = 1) AS leaving1
+      FROM spells GROUP BY t_sec
+    ), risk AS (
+      SELECT t_sec, d, d1,
+             SUM(leaving) OVER (ORDER BY t_sec DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+             SUM(leaving1) OVER (ORDER BY t_sec DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1
+      FROM times
+    ), terms AS (
+      SELECT d1,
+             CAST(round(CAST(d AS DOUBLE) * n1 / n, 9) AS DECIMAL(38,9))
+               AS e1,
+             CAST(round(CAST(d AS DOUBLE) * n1 * (n - n1) * (n - d)
+                        / (CAST(n AS DOUBLE) * n * GREATEST(n - 1, 1)), 9)
+                  AS DECIMAL(38,9)) AS v
+      FROM risk WHERE d > 0
+    )
+    SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+           round(CAST(SUM(e1) AS DOUBLE), 6) AS e1,
+           round(CAST(SUM(v) AS DOUBLE), 6) AS var_o1,
+           round(POWER(SUM(d1) - CAST(SUM(e1) AS DOUBLE), 2)
+                 / CAST(SUM(v) AS DOUBLE), 6) AS logrank_chi2
+    FROM terms
+    """,
+)
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_ev"
+        ),
+        F.max("ts").alias("t_last"),
+    )
+    t_end = F.coalesce(F.col("t_ev"), F.col("t_last"))
+    spells = per_user.select(
+        (F.unix_timestamp(t_end) - F.unix_timestamp(F.col("t0")))
+        .cast("bigint")
+        .alias("t_sec"),
+        F.col("t_ev").isNotNull().alias("observed"),
+        (F.col("user_id") % 2).cast("int").alias("grp"),
+    )
+    times = spells.groupBy("t_sec").agg(
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).alias("d"),
+        F.sum(
+            F.when(F.col("observed") & (F.col("grp") == 1), 1).otherwise(0)
+        ).alias("d1"),
+        F.count("*").alias("leaving"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("leaving1"),
+    )
+    w_desc = Window.orderBy(F.desc("t_sec")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = times.select(
+        "t_sec",
+        "d",
+        "d1",
+        F.sum("leaving").over(w_desc).alias("n"),
+        F.sum("leaving1").over(w_desc).alias("n1"),
+    ).where(F.col("d") > 0)
+    dd = F.col("d").cast("double")
+    nd = F.col("n").cast("double")
+    terms = risk.select(
+        "d1",
+        F.round(dd * F.col("n1") / F.col("n"), 9)
+        .cast("decimal(38,9)")
+        .alias("e1"),
+        F.round(
+            dd
+            * F.col("n1")
+            * (F.col("n") - F.col("n1"))
+            * (F.col("n") - F.col("d"))
+            / (nd * F.col("n") * F.greatest(F.col("n") - 1, F.lit(1))),
+            9,
+        )
+        .cast("decimal(38,9)")
+        .alias("v"),
+    )
+    return terms.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.round(F.sum("e1").cast("double"), 6).alias("e1"),
+        F.round(F.sum("v").cast("double"), 6).alias("var_o1"),
+        F.round(
+            F.pow(F.sum("d1") - F.sum("e1").cast("double"), 2)
+            / F.sum("v").cast("double"),
+            6,
+        ).alias("logrank_chi2"),
+    )

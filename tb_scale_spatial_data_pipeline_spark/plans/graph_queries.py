@@ -1924,3 +1924,94 @@ def q_nation_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rich-club coefficient (Zhou & Mondragón 2004): for each degree
+# cutoff k, φ(k) = 2·E_{>k} / (N_{>k}(N_{>k}−1)) — how densely the
+# high-degree "club" interconnects. Exact integers until one division
+# per cutoff. Plan: one degree aggregation, one broadcast of the
+# (node, deg) dim onto both edge endpoints, then the cutoffs ride a
+# literal array — one pass over edges regardless of |cutoffs|.
+def _sql_rich_club() -> str:
+    return (
+        "WITH "
+        + _SQL_EDGES.strip()
+        + """,
+    deg AS MATERIALIZED (
+      SELECT n, COUNT(*) AS dg
+      FROM (SELECT u AS n FROM eu UNION ALL SELECT v FROM eu) GROUP BY n
+    ),
+    ks AS (SELECT k FROM unnest([5, 10, 20, 40]) AS t(k)),
+    club_n AS (
+      SELECT ks.k, COUNT(*) AS n_club
+      FROM ks JOIN deg ON deg.dg > ks.k GROUP BY ks.k
+    ),
+    club_e AS (
+      SELECT ks.k, COUNT(*) AS e_club
+      FROM ks, eu
+      JOIN deg du ON du.n = eu.u JOIN deg dv ON dv.n = eu.v
+      WHERE du.dg > ks.k AND dv.dg > ks.k
+      GROUP BY ks.k
+    )
+    SELECT n.k AS k_cutoff,
+           CAST(n.n_club AS BIGINT) AS n_club,
+           CAST(COALESCE(e.e_club, 0) AS BIGINT) AS e_club,
+           CASE WHEN n.n_club > 1
+                THEN round(2.0 * COALESCE(e.e_club, 0)
+                           / (CAST(n.n_club AS DOUBLE) * (n.n_club - 1)), 6)
+           END AS phi
+    FROM club_n n LEFT JOIN club_e e ON e.k = n.k
+    ORDER BY k_cutoff"""
+    )
+
+
+@_q("rich_club_coefficient", _sql_rich_club())
+def q_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eu = _undirected_edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = (
+        eu.select(F.col("u").alias("n"))
+        .unionAll(eu.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    ks = eu.sparkSession.createDataFrame([(5,), (10,), (20,), (40,)], "k int")
+    club_n = (
+        F.broadcast(ks)
+        .join(deg, deg["dg"] > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_club"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("dg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("dg").alias("dv"))
+    club_e = (
+        eu.join(du, "u")
+        .join(dv, "v")
+        .crossJoin(F.broadcast(ks))
+        .where((F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("e_club"))
+    )
+    return (
+        club_n.join(club_e, "k", "left")
+        .select(
+            F.col("k").alias("k_cutoff"),
+            F.col("n_club").cast("bigint").alias("n_club"),
+            F.coalesce(F.col("e_club"), F.lit(0))
+            .cast("bigint")
+            .alias("e_club"),
+            F.when(
+                F.col("n_club") > 1,
+                F.round(
+                    2.0
+                    * F.coalesce(F.col("e_club"), F.lit(0))
+                    / (
+                        F.col("n_club").cast("double")
+                        * (F.col("n_club") - 1)
+                    ),
+                    6,
+                ),
+            ).alias("phi"),
+        )
+        .orderBy("k_cutoff")
+    )

@@ -759,3 +759,163 @@ def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbl", "lhs", "rhs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Brier score with the Murphy (1973) decomposition — the calibration
+# audit in its additive form: brier = reliability − resolution +
+# uncertainty. Honest forecast, no leakage: per-segment conversion
+# rates are ESTIMATED on even order keys and EVALUATED on odd ones
+# (the hash-split convention of train_test_split_hash). Per-segment
+# terms are doubles from exact integer counts round(9), summed in
+# DECIMAL(38,9) (order-free); uncertainty is one exact ratio. The
+# identity is exact because forecast groups are the distinct forecast
+# values (pinned in tests).
+@_q(
+    "brier_decomposition",
+    """
+    WITH j AS (
+      SELECT o.o_orderkey, c.c_mktsegment AS seg,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    train AS (
+      SELECT seg, round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS f
+      FROM j WHERE o_orderkey % 2 = 0 GROUP BY seg
+    ),
+    ev AS (
+      SELECT j.seg, t.f, COUNT(*) AS n, SUM(j.y) AS pos
+      FROM j JOIN train t ON t.seg = j.seg
+      WHERE j.o_orderkey % 2 = 1 GROUP BY j.seg, t.f
+    ),
+    tot AS (SELECT SUM(n) AS nt, SUM(pos) AS post FROM ev),
+    terms AS (
+      SELECT n, pos, f,
+             CAST(round(n * (f - CAST(pos AS DOUBLE) / n)
+                          * (f - CAST(pos AS DOUBLE) / n), 9)
+                  AS DECIMAL(38,9)) AS rel,
+             CAST(round(n * (CAST(pos AS DOUBLE) / n
+                             - CAST((SELECT post FROM tot) AS DOUBLE)
+                               / (SELECT nt FROM tot))
+                          * (CAST(pos AS DOUBLE) / n
+                             - CAST((SELECT post FROM tot) AS DOUBLE)
+                               / (SELECT nt FROM tot)), 9)
+                  AS DECIMAL(38,9)) AS res,
+             CAST(round(pos * (1 - f) * (1 - f)
+                        + (n - pos) * f * f, 9) AS DECIMAL(38,9)) AS bs
+      FROM ev
+    )
+    SELECT CAST((SELECT nt FROM tot) AS BIGINT) AS n_eval,
+           round(CAST(SUM(bs) AS DOUBLE) / (SELECT nt FROM tot), 6)
+             AS brier,
+           round(CAST(SUM(rel) AS DOUBLE) / (SELECT nt FROM tot), 6)
+             AS reliability,
+           round(CAST(SUM(res) AS DOUBLE) / (SELECT nt FROM tot), 6)
+             AS resolution,
+           round(CAST((SELECT post FROM tot) AS DOUBLE)
+                 / (SELECT nt FROM tot)
+                 * (1 - CAST((SELECT post FROM tot) AS DOUBLE)
+                        / (SELECT nt FROM tot)), 6) AS uncertainty
+    FROM terms
+    """,
+)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    train = (
+        j.where(F.col("o_orderkey") % 2 == 0)
+        .groupBy("seg")
+        .agg(
+            F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6).alias(
+                "f"
+            )
+        )
+    )
+    ev = (
+        j.where(F.col("o_orderkey") % 2 == 1)
+        .join(F.broadcast(train), "seg")
+        .groupBy("seg", "f")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+        .localCheckpoint(eager=True)  # read by tot + terms
+    )
+    trow = ev.agg(
+        F.sum("n").alias("nt"), F.sum("pos").alias("post")
+    ).collect()[0]
+    nt, post = int(trow["nt"]), int(trow["post"])
+    obar = post / nt
+    ob = F.col("pos").cast("double") / F.col("n")
+    terms = ev.select(
+        F.round(
+            F.col("n") * (F.col("f") - ob) * (F.col("f") - ob), 9
+        )
+        .cast("decimal(38,9)")
+        .alias("rel"),
+        F.round(F.col("n") * (ob - F.lit(obar)) * (ob - F.lit(obar)), 9)
+        .cast("decimal(38,9)")
+        .alias("res"),
+        F.round(
+            F.col("pos") * (1 - F.col("f")) * (1 - F.col("f"))
+            + (F.col("n") - F.col("pos")) * F.col("f") * F.col("f"),
+            9,
+        )
+        .cast("decimal(38,9)")
+        .alias("bs"),
+    )
+    return terms.agg(
+        F.lit(nt).cast("bigint").alias("n_eval"),
+        F.round(F.sum("bs").cast("double") / nt, 6).alias("brier"),
+        F.round(F.sum("rel").cast("double") / nt, 6).alias("reliability"),
+        F.round(F.sum("res").cast("double") / nt, 6).alias("resolution"),
+        F.round(F.lit(obar * (1 - obar)), 6).alias("uncertainty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (Machanavajjhala et al. 2007) — the privacy check
+# ABOVE k-anonymity that pii_pseudonymize_kanon stops at: a
+# quasi-identifier group is safe only if its SENSITIVE attribute
+# (account-balance band) takes ≥ l distinct values. Report: the
+# distribution of groups by their diversity l — counts, rows, and the
+# minimum group size at each l. One groupBy chain, exact integers.
+@_q(
+    "l_diversity_audit",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             COUNT(*) AS n_rows,
+             COUNT(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) AS l
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(l AS BIGINT) AS l,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(MIN(n_rows) AS BIGINT) AS min_group_size
+    FROM g GROUP BY l ORDER BY l
+    """,
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 2000).cast("bigint")
+        ).alias("l"),
+    )
+    return (
+        g.groupBy("l")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.min("n_rows").cast("bigint").alias("min_group_size"),
+        )
+        .select(F.col("l").cast("bigint").alias("l"), "n_groups", "n_rows", "min_group_size")
+        .orderBy("l")
+    )

@@ -9,7 +9,7 @@ the flag.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -1610,4 +1610,184 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cos_sim"), "doc_a", "doc_b")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate prefix clusters — the CCNet/RefinedWeb template-removal
+# precursor: documents sharing a normalized 32-char prefix are almost
+# always the same generator template (cookie banners, license
+# headers), and deduplicating them by prefix CLUSTER rather than
+# full-text hash catches near-identical boilerplate that exact_dedup
+# misses. One normalization projection + one groupBy; top clusters by
+# size with a deterministic sample doc. Normalization is the shared
+# lowercase/alpha-space collapse so both engines key identically.
+@_q(
+    "boilerplate_prefix_clusters",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             substring(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+                       1, 32) AS prefix
+      FROM documents
+    ),
+    cl AS (
+      SELECT prefix, COUNT(*) AS n_docs, MIN(doc_id) AS sample_doc
+      FROM norm GROUP BY prefix HAVING COUNT(*) > 1
+    )
+    SELECT prefix, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(sample_doc AS BIGINT) AS sample_doc
+    FROM cl ORDER BY n_docs DESC, prefix LIMIT 10
+    """,
+)
+def q_boilerplate_prefix_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", ""), 1, 32
+        ).alias("prefix"),
+    )
+    cl = (
+        norm.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("sample_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+    return (
+        cl.select(
+            "prefix",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("sample_doc").cast("bigint").alias("sample_doc"),
+        )
+        .orderBy(F.desc("n_docs"), "prefix")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010) — unsupervised keyphrase
+# mining: candidate phrases are maximal stopword-free token runs
+# (found with the gaps-and-islands pattern — pos − row_number inside
+# each doc, windows PARTITIONED by doc so nothing global), word score
+# = degree/frequency where degree counts the length of every phrase
+# containing the word (self included), and a phrase scores the sum of
+# its words' scores. Cross-engine float seam: each word's
+# degree/frequency ratio is an exact-integer-derived double round(9),
+# and the per-phrase sum runs in DECIMAL(38,9) — order-free.
+# Identical phrase texts share a score by construction (same word
+# multiset), so the corpus-level report groups by phrase.
+_RAKE_STOPS = (
+    "the", "a", "of", "and", "to", "in", "is", "it", "for", "on",
+)
+
+
+def _sql_rake() -> str:
+    stops = ", ".join(f"'{s}'" for s in _RAKE_STOPS)
+    return f"""
+    WITH arrs AS (
+      SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS arr
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, i AS pos, arr[i] AS w
+      FROM arrs, LATERAL unnest(generate_series(1, len(arr))) AS s(i)
+      WHERE arr[i] <> ''
+    ),
+    nonstop AS (
+      SELECT doc_id, pos, w,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM toks WHERE w NOT IN ({stops})
+    ),
+    phr AS (
+      SELECT doc_id, grp,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             COUNT(*) AS plen
+      FROM nonstop GROUP BY doc_id, grp
+    ),
+    wstat AS (
+      SELECT n.w, COUNT(*) AS freq, SUM(p.plen) AS deg
+      FROM nonstop n
+      JOIN phr p ON p.doc_id = n.doc_id AND p.grp = n.grp
+      GROUP BY n.w
+    ),
+    occ_score AS (
+      SELECT p.phrase, p.doc_id, p.grp,
+             SUM(CAST(round(CAST(ws.deg AS DOUBLE) / ws.freq, 9)
+                      AS DECIMAL(38,9))) AS score
+      FROM nonstop n
+      JOIN phr p ON p.doc_id = n.doc_id AND p.grp = n.grp
+      JOIN wstat ws ON ws.w = n.w
+      GROUP BY p.phrase, p.doc_id, p.grp
+    )
+    SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           round(CAST(MAX(score) AS DOUBLE), 6) AS rake_score
+    FROM occ_score GROUP BY phrase
+    ORDER BY rake_score DESC, phrase LIMIT 10
+    """
+
+
+@_q("rake_keyword_extraction", _sql_rake())
+def q_rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+        ).alias("pos0", "w"),
+    ).where(F.col("w") != "")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos0")
+    nonstop = (
+        toks.where(~F.col("w").isin(*_RAKE_STOPS))
+        .select(
+            "doc_id",
+            "pos0",
+            "w",
+            (F.col("pos0") - F.row_number().over(w_doc)).alias("grp"),
+        )
+    )
+    phr = (
+        nonstop.groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos0", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+        .localCheckpoint(eager=True)  # read by wstat + occ_score
+    )
+    wstat = (
+        nonstop.join(phr, ["doc_id", "grp"])
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
+    )
+    occ = (
+        nonstop.join(phr, ["doc_id", "grp"])
+        .join(wstat, "w")
+        .groupBy("phrase", "doc_id", "grp")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("deg").cast("double") / F.col("freq"), 9
+                ).cast("decimal(38,9)")
+            ).alias("score")
+        )
+    )
+    return (
+        occ.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.round(F.max("score").cast("double"), 6).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(10)
     )

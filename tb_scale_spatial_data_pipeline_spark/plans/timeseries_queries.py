@@ -537,3 +537,109 @@ def q_binary_segmentation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("between_ss") / 10000.0, 4).alias("between_ss"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast-combination backtest (Bates & Granger 1969: the simple
+# average of forecasters beats its components) — one-step-ahead
+# walk-forward over the daily revenue series with three baselines:
+# naive (y_{t-1}), seasonal naive (y_{t-7}), 7-day moving average,
+# and their equal-weight combination. EXACT lattice: revenue in
+# cents; the MA and the combo are RATIONALS kept as scaled integers
+# (ma7 = s7/7; combo = (7·naive + 7·snaive + s7)/21), so every
+# absolute error is an exact BIGINT-numerator rational and each MAE
+# is ONE division of exact decimal sums. The windows run over the
+# per-day aggregate (time-spine-bounded frame, the OHLC/Holt
+# convention), never the raw rows.
+@_q(
+    "forecast_combination_backtest",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1
+    ),
+    f AS (
+      SELECT d, y,
+             row_number() OVER (ORDER BY d) AS rn,
+             lag(y, 1) OVER (ORDER BY d) AS naive,
+             lag(y, 7) OVER (ORDER BY d) AS snaive,
+             SUM(y) OVER (ORDER BY d
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s7
+      FROM daily
+    ),
+    ev AS (SELECT * FROM f WHERE rn > 7)
+    SELECT * FROM (
+      SELECT 'naive' AS forecaster, CAST(COUNT(*) AS BIGINT) AS n_days,
+             round(CAST(SUM(CAST(ABS(y - naive) AS HUGEINT)) AS DOUBLE)
+                   / (100.0 * COUNT(*)), 6) AS mae_dollars
+      FROM ev
+      UNION ALL
+      SELECT 'seasonal_naive', CAST(COUNT(*) AS BIGINT),
+             round(CAST(SUM(CAST(ABS(y - snaive) AS HUGEINT)) AS DOUBLE)
+                   / (100.0 * COUNT(*)), 6)
+      FROM ev
+      UNION ALL
+      SELECT 'moving_avg_7', CAST(COUNT(*) AS BIGINT),
+             round(CAST(SUM(CAST(ABS(7 * y - s7) AS HUGEINT)) AS DOUBLE)
+                   / (700.0 * COUNT(*)), 6)
+      FROM ev
+      UNION ALL
+      SELECT 'combo_equal_weight', CAST(COUNT(*) AS BIGINT),
+             round(CAST(SUM(CAST(ABS(21 * y - (7 * naive + 7 * snaive + s7))
+                                 AS HUGEINT)) AS DOUBLE)
+                   / (2100.0 * COUNT(*)), 6)
+      FROM ev
+    ) ORDER BY forecaster
+    """,
+)
+def q_forecast_combination_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    w = Window.orderBy("d")
+    wma = Window.orderBy("d").rowsBetween(-7, -1)
+    f = daily.select(
+        "d",
+        "y",
+        F.row_number().over(w).alias("rn"),
+        F.lag("y", 1).over(w).alias("naive"),
+        F.lag("y", 7).over(w).alias("snaive"),
+        F.sum("y").over(wma).alias("s7"),
+    )
+    ev = f.where(F.col("rn") > 7).localCheckpoint(eager=True)  # 4 readers
+    dec = lambda c: c.cast("decimal(38,0)")
+
+    def arm(name: str, num, den: float) -> DataFrame:
+        return ev.agg(
+            F.lit(name).alias("forecaster"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(
+                F.sum(dec(F.abs(num))).cast("double")
+                / (F.lit(den) * F.count(F.lit(1))),
+                6,
+            ).alias("mae_dollars"),
+        )
+
+    arms = [
+        arm("naive", F.col("y") - F.col("naive"), 100.0),
+        arm("seasonal_naive", F.col("y") - F.col("snaive"), 100.0),
+        arm("moving_avg_7", 7 * F.col("y") - F.col("s7"), 700.0),
+        arm(
+            "combo_equal_weight",
+            21 * F.col("y")
+            - (7 * F.col("naive") + 7 * F.col("snaive") + F.col("s7")),
+            2100.0,
+        ),
+    ]
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), arms).orderBy("forecaster")

@@ -267,3 +267,133 @@ def test_idw_interpolation_replay(spark):
     assert got["n_neighbors"] == len(vals)
     assert got["idw_acctbal"] == pytest.approx(num / den / 100, abs=1e-6)
     assert min(vals) / 100 <= got["idw_acctbal"] <= max(vals) / 100
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: survival, graph club, calibration, privacy, forecasting,
+# text mining
+
+
+def test_logrank_identities(spark):
+    """O1 <= total deaths; V > 0; chi2 = (O1-E1)^2/V reproduced from
+    the query's own reported moments."""
+    r = all_queries()["logrank_test"](spark, SF_MID).collect()[0]
+    assert r["var_o1"] > 0
+    assert r["logrank_chi2"] == pytest.approx(
+        (r["o1"] - r["e1"]) ** 2 / r["var_o1"], rel=1e-3
+    )
+
+
+def test_rich_club_monotone_density(spark):
+    """The club shrinks as k rises, and e_club fits inside the clique
+    bound n(n-1)/2."""
+    rows = all_queries()["rich_club_coefficient"](spark, SF_MID).collect()
+    sizes = [r["n_club"] for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    for r in rows:
+        assert r["e_club"] <= r["n_club"] * (r["n_club"] - 1) // 2
+        if r["phi"] is not None:
+            assert 0.0 <= r["phi"] <= 1.0
+
+
+def test_brier_murphy_identity(spark):
+    """brier = reliability - resolution + uncertainty (Murphy 1973);
+    exact because forecast groups are the distinct forecast values."""
+    r = all_queries()["brier_decomposition"](spark, SF_MID).collect()[0]
+    assert r["brier"] == pytest.approx(
+        r["reliability"] - r["resolution"] + r["uncertainty"], abs=1e-4
+    )
+    assert 0 <= r["brier"] <= 1
+    assert r["resolution"] >= 0 and r["reliability"] >= 0
+
+
+def test_l_diversity_partitions_customers(spark):
+    rows = all_queries()["l_diversity_audit"](spark, SF_MID).collect()
+    n_cust = spark.read.parquet(f"{SF_MID}/customer.parquet").count()
+    assert sum(r["n_rows"] for r in rows) == n_cust
+    for r in rows:
+        assert r["l"] <= r["min_group_size"] <= r["n_rows"]
+
+
+def test_forecast_combination_replay(spark):
+    """Replay the naive arm exactly on the small fixture and pin the
+    scaled-integer combo identity on the report."""
+    import duckdb
+
+    con = duckdb.connect()
+    daily = con.execute(
+        f"""SELECT CAST(o_orderdate AS DATE) d,
+                   SUM(CAST(round(o_totalprice*100) AS BIGINT)) y
+            FROM read_parquet('{SF_SMOKE}/orders.parquet')
+            GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    ys = [int(y) for _, y in daily]
+    errs = [abs(ys[i] - ys[i - 1]) for i in range(7, len(ys))]
+    want = round(sum(errs) / (100.0 * len(errs)), 6)
+    rows = {
+        r["forecaster"]: r
+        for r in all_queries()["forecast_combination_backtest"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert rows["naive"]["n_days"] == len(errs)
+    assert rows["naive"]["mae_dollars"] == pytest.approx(want, abs=1e-6)
+    assert set(rows) == {
+        "naive",
+        "seasonal_naive",
+        "moving_avg_7",
+        "combo_equal_weight",
+    }
+
+
+def test_boilerplate_clusters_are_real(spark):
+    rows = all_queries()["boilerplate_prefix_clusters"](
+        spark, SF_MID
+    ).collect()
+    assert rows, "fixture must contain shared prefixes"
+    sizes = [r["n_docs"] for r in rows]
+    assert all(n > 1 for n in sizes)
+    assert sizes == sorted(sizes, reverse=True)
+
+
+def test_rake_scores_and_phrases(spark):
+    """Every reported phrase must be stopword-free, and the score of a
+    single-word phrase equals that word's degree/frequency replayed in
+    pure Python."""
+    from tb_scale_spatial_data_pipeline_spark.plans.text_queries import (
+        _RAKE_STOPS,
+    )
+    import re as _re
+    from collections import Counter
+
+    rows = all_queries()["rake_keyword_extraction"](spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert not set(r["phrase"].split()) & set(_RAKE_STOPS)
+        assert r["rake_score"] > 0
+    # full Python replay of word stats
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    freq: Counter = Counter()
+    deg: Counter = Counter()
+    phrases = []
+    for d in docs:
+        toks = [w for w in _re.split(r"[^a-z0-9]+", d["text"].lower()) if w]
+        run: list = []
+        for w in toks + ["the"]:  # sentinel flushes the last run
+            if w in _RAKE_STOPS:
+                if run:
+                    phrases.append(list(run))
+                    for x in run:
+                        freq[x] += 1
+                        deg[x] += len(run)
+                    run = []
+            else:
+                run.append(w)
+    score = {
+        " ".join(p): sum(round(deg[w] / freq[w], 9) for w in p)
+        for p in phrases
+    }
+    for r in rows:
+        assert r["rake_score"] == pytest.approx(
+            score[r["phrase"]], abs=1e-5
+        )
