@@ -1051,55 +1051,82 @@ def q_roc_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Cumulative gains / lift table (the decile report every propensity
-# model ships with): score = o_totalprice, outcome = urgent/high
-# priority; deciles by ntile(10) over (score DESC, key) — the key
-# tiebreak makes the binning total-order deterministic, which is what
-# lets two engines agree bit-for-bit. Per decile: counts, positives,
-# cumulative recall (gains) and lift vs the base rate — exact integer
-# ratios, divisions only at report time. Plan: one window (single
-# ordering) + one groupBy; at 100 TB the ntile ordering is the only
-# global sort and it rides range partitioning.
+# model ships with): score = o_totalprice quantized to whole dollars
+# (a DOMAIN-bounded value spine — the wasserstein/time-spine
+# convention), outcome = urgent/high priority. Deciles are assigned
+# to whole SCORE-VALUE groups by where their cumulative count ends:
+# decile = ⌈10·cum_n/N⌉ as the exact integer (10·cum_n + N − 1)//N —
+# no per-row ntile, so no raw global window (a per-row ntile over the
+# fact table is the one shape that cannot survive 100×; the auditor
+# flags it). Value-group deciles are ragged by at most one score
+# value — the price of scale, documented. Per decile: counts,
+# positives, cumulative recall (gains) and lift vs the base rate —
+# exact integer ratios, divisions only at report time.
 @_q(
     "cumulative_gains_lift",
     """
-    WITH s AS (
-      SELECT ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey)
-               AS decile,
+    WITH v AS (
+      SELECT CAST(round(o_totalprice / 100) AS BIGINT) AS score,
              CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                   THEN 1 ELSE 0 END AS y
       FROM orders
     ),
-    d AS (
-      SELECT decile, COUNT(*) AS n, SUM(y) AS pos
-      FROM s GROUP BY decile
+    g AS (
+      SELECT score, COUNT(*) AS n, SUM(y) AS pos
+      FROM v GROUP BY score
     ),
     c AS (
+      SELECT score, n, pos,
+             SUM(n) OVER (ORDER BY score DESC) AS cum_n,
+             SUM(n) OVER () AS tot_n
+      FROM g
+    ),
+    d AS (
+      SELECT CAST((10 * cum_n + tot_n - 1) // tot_n AS INT) AS decile,
+             SUM(n) AS n, SUM(pos) AS pos
+      FROM c GROUP BY 1
+    ),
+    cd AS (
       SELECT decile, n, pos,
              SUM(n) OVER (ORDER BY decile) AS cum_n,
              SUM(pos) OVER (ORDER BY decile) AS cum_pos,
              SUM(n) OVER () AS tot_n, SUM(pos) OVER () AS tot_pos
       FROM d
     )
-    SELECT CAST(decile AS INT) AS decile,
+    SELECT decile,
            CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
            round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS cum_gain,
            round(CAST(cum_pos AS DOUBLE) * tot_n
                  / (CAST(cum_n AS DOUBLE) * tot_pos), 6) AS cum_lift
-    FROM c ORDER BY decile
+    FROM cd ORDER BY decile
     """,
 )
 def q_cumulative_gains_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    s = o.select(
-        F.ntile(10).over(w).alias("decile"),
+    v = o.select(
+        F.round(F.col("o_totalprice") / 100).cast("bigint").alias("score"),
         F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
         .otherwise(0)
         .alias("y"),
     )
-    d = s.groupBy("decile").agg(
+    g = v.groupBy("score").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
     )
+    wdesc = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    c = g.select(
+        "n",
+        "pos",
+        F.sum("n").over(wdesc).alias("cum_n"),
+        F.sum("n").over(wall).alias("tot_n"),
+    )
+    d = c.groupBy(
+        F.expr("CAST((10 * cum_n + tot_n - 1) DIV tot_n AS INT)").alias(
+            "decile"
+        )
+    ).agg(F.sum("n").alias("n"), F.sum("pos").alias("pos"))
     wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     wt = Window.partitionBy()  # 10-row frame: the decile table
     c = d.select(

@@ -754,3 +754,238 @@ def q_trimmed_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trimmed_mean",
         "winsorized_mean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation with tie-corrected average ranks — the
+# robust complement of corr_regression's Pearson r. DOUBLED-rank
+# lattice (the roc_auc trick): 2·avgrank = 2·prior + cnt + 1 per
+# distinct value keeps .5 ranks integer, and multiplying Pearson's
+# rank form through by 4 gives
+#   ρ = (Σ R2x·R2y − n(n+1)²) / √((ΣR2x² − n(n+1)²)(ΣR2y² − n(n+1)²))
+# — every sum an exact integer (DECIMAL(38,0)/HUGEINT: ΣR2² ≈ 4n³),
+# one sqrt+division at the end. Plan: per variable, one groupBy to
+# distinct values + one windowed cumsum over the value spine, joined
+# back — never a global per-row rank window.
+@_q(
+    "spearman_rank_correlation",
+    """
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    rx AS (
+      SELECT x, 2 * (SUM(cnt) OVER (ORDER BY x) - cnt) + cnt + 1 AS r2x
+      FROM (SELECT x, COUNT(*) AS cnt FROM base GROUP BY x)
+    ),
+    ry AS (
+      SELECT y, 2 * (SUM(cnt) OVER (ORDER BY y) - cnt) + cnt + 1 AS r2y
+      FROM (SELECT y, COUNT(*) AS cnt FROM base GROUP BY y)
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(rx.r2x AS HUGEINT) * ry.r2y) AS sxy,
+             SUM(CAST(rx.r2x AS HUGEINT) * rx.r2x) AS sxx,
+             SUM(CAST(ry.r2y AS HUGEINT) * ry.r2y) AS syy
+      FROM base b JOIN rx ON rx.x = b.x JOIN ry ON ry.y = b.y
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(CAST(sxy - CAST(n AS HUGEINT) * (n + 1) * (n + 1)
+                      AS DOUBLE)
+                 / sqrt(CAST(sxx - CAST(n AS HUGEINT) * (n + 1) * (n + 1)
+                             AS DOUBLE)
+                        * CAST(syy - CAST(n AS HUGEINT) * (n + 1) * (n + 1)
+                               AS DOUBLE)), 6) AS spearman_rho
+    FROM s
+    """,
+)
+def q_spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+
+    def ranks(col: str, out: str) -> DataFrame:
+        cnts = base.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return cnts.select(
+            col,
+            (
+                2 * (F.sum("cnt").over(w) - F.col("cnt"))
+                + F.col("cnt")
+                + 1
+            ).alias(out),
+        )
+
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    s = (
+        base.join(ranks("x", "r2x"), "x")
+        .join(ranks("y", "r2y"), "y")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("r2x") * F.col("r2y")).alias("sxy"),
+            F.sum(dec("r2x") * F.col("r2x")).alias("sxx"),
+            F.sum(dec("r2y") * F.col("r2y")).alias("syy"),
+        )
+    )
+    nn = F.col("n").cast("decimal(38,0)") * (F.col("n") + 1) * (F.col("n") + 1)
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            (F.col("sxy") - nn).cast("double")
+            / F.sqrt(
+                (F.col("sxx") - nn).cast("double")
+                * (F.col("syy") - nn).cast("double")
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1-D Wasserstein (earth-mover) distance between the 1995-1997 and
+# 1998-2001 order-price distributions — the drift metric that, unlike
+# KS (sup-norm) or PSI (binned), integrates the FULL CDF gap:
+# W1 = ∫|F1 − F2| dv. On dollar-quantized prices the value spine is a
+# BOUNDED domain (the time-spine convention), and the integral is a
+# sum of exact integers: per spine segment
+# |c1·n2 − c2·n1| · Δv / (n1·n2), accumulated in DECIMAL(38,0) with
+# ONE division at the end. Plan: one groupBy to (value, side counts),
+# one windowed cumsum + lead over the bounded spine.
+@_q(
+    "wasserstein_price_drift",
+    """
+    WITH v AS (
+      SELECT CAST(round(o_totalprice / 100) AS BIGINT) AS val,
+             CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END AS era
+      FROM orders
+    ),
+    g AS (
+      SELECT val,
+             SUM(era) AS c1, SUM(1 - era) AS c2
+      FROM v GROUP BY val
+    ),
+    c AS (
+      SELECT val,
+             SUM(c1) OVER (ORDER BY val) AS f1,
+             SUM(c2) OVER (ORDER BY val) AS f2,
+             lead(val) OVER (ORDER BY val) AS nxt
+      FROM g
+    ),
+    n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM g)
+    SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+           round(CAST(SUM(CAST(ABS(c.f1 * n.n2 - c.f2 * n.n1) AS HUGEINT)
+                          * (c.nxt - c.val)) AS DOUBLE)
+                 / (CAST(n.n1 AS DOUBLE) * n.n2) * 100, 6)
+             AS w1_dollars
+    FROM c CROSS JOIN n
+    WHERE c.nxt IS NOT NULL
+    GROUP BY n.n1, n.n2
+    """,
+)
+def q_wasserstein_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    v = o.select(
+        F.round(F.col("o_totalprice") / 100).cast("bigint").alias("val"),
+        F.when(F.year("o_orderdate") <= 1997, 1).otherwise(0).alias("era"),
+    )
+    g = v.groupBy("val").agg(
+        F.sum("era").alias("c1"), F.sum(1 - F.col("era")).alias("c2")
+    )
+    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("val")
+    c = g.select(
+        "val",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+        F.lead("val").over(wl).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    nrow = g.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    ).collect()[0]
+    n1, n2 = int(nrow["n1"]), int(nrow["n2"])
+    term = (
+        F.abs(F.col("f1") * n2 - F.col("f2") * n1).cast("decimal(38,0)")
+        * (F.col("nxt") - F.col("val"))
+    )
+    return c.agg(
+        F.lit(n1).cast("bigint").alias("n1"),
+        F.lit(n2).cast("bigint").alias("n2"),
+        F.round(
+            F.sum(term).cast("double") / (float(n1) * n2) * 100, 6
+        ).alias("w1_dollars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa (Cohen 1960) between the two rule classifiers of
+# mcnemar_paired_models — chance-corrected AGREEMENT where McNemar
+# tests marginal homogeneity; together they are the standard paired
+# readout. κ = (p_o − p_e)/(1 − p_e) from the exact 2×2 confusion
+# integers; divisions only at report time. One scan, four counts.
+@_q(
+    "cohens_kappa_models",
+    """
+    WITH p AS (
+      SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS a,
+             CASE WHEN o_totalprice > 100000 AND o_orderstatus = 'F'
+                  THEN 1 ELSE 0 END AS b
+      FROM orders
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree,
+             SUM(a) AS a1, SUM(b) AS b1
+      FROM p
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(agree AS BIGINT) AS n_agree,
+           round(CAST(agree AS DOUBLE) / n, 6) AS p_observed,
+           round((CAST(a1 AS DOUBLE) * b1
+                  + CAST(n - a1 AS DOUBLE) * (n - b1))
+                 / (CAST(n AS DOUBLE) * n), 6) AS p_expected,
+           round((CAST(agree AS DOUBLE) / n
+                  - (CAST(a1 AS DOUBLE) * b1
+                     + CAST(n - a1 AS DOUBLE) * (n - b1))
+                    / (CAST(n AS DOUBLE) * n))
+                 / (1 - (CAST(a1 AS DOUBLE) * b1
+                         + CAST(n - a1 AS DOUBLE) * (n - b1))
+                        / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+    FROM s
+    """,
+)
+def q_cohens_kappa_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    p = o.select(
+        F.when(F.col("o_totalprice") > 150000, 1).otherwise(0).alias("a"),
+        F.when(
+            (F.col("o_totalprice") > 100000) & (F.col("o_orderstatus") == "F"),
+            1,
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    s = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0)).alias(
+            "agree"
+        ),
+        F.sum("a").alias("a1"),
+        F.sum("b").alias("b1"),
+    )
+    nd = F.col("n").cast("double")
+    po = F.col("agree").cast("double") / F.col("n")
+    pe = (
+        F.col("a1").cast("double") * F.col("b1")
+        + (F.col("n") - F.col("a1")).cast("double")
+        * (F.col("n") - F.col("b1"))
+    ) / (nd * F.col("n"))
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("agree").cast("bigint").alias("n_agree"),
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )

@@ -1791,3 +1791,147 @@ def q_rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score"), "phrase")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta (Burrows 2002) — the stylometric authorship distance:
+# per-source relative frequencies of the corpus' top-20 words are
+# z-scored across sources, and Δ(a,b) = mean |z_a − z_b|. The corpus
+# reduces to a (20 words × |sources|) DENSE frequency table in one
+# scan (cross of the top-word dim with the source dim, zeros kept —
+# a missing top word is itself a stylistic signal), so all the
+# statistics run on a bounded frame. Float seams: f = c/N round(9);
+# μ and σ² via the round-then-DECIMAL-sum discipline (cross-source
+# sums are order-free); per-pair |z_a − z_b| terms round(9) summed in
+# DECIMAL(38,9). Top-10 most similar source pairs.
+@_q(
+    "burrows_delta_sources",
+    """
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+      FROM documents
+    ),
+    tk AS (SELECT source, w FROM toks WHERE w <> ''),
+    ns AS (SELECT source, COUNT(*) AS n FROM tk GROUP BY source),
+    cw AS (SELECT source, w, COUNT(*) AS c FROM tk GROUP BY source, w),
+    topw AS (
+      SELECT w FROM (SELECT w, SUM(c) AS ct FROM cw GROUP BY w)
+      ORDER BY ct DESC, w LIMIT 20
+    ),
+    dense AS (
+      SELECT topw.w, ns.source,
+             CAST(round(CAST(COALESCE(cw.c, 0) AS DOUBLE) / ns.n, 9)
+                  AS DECIMAL(38,9)) AS f9
+      FROM topw CROSS JOIN ns
+      LEFT JOIN cw ON cw.w = topw.w AND cw.source = ns.source
+    ),
+    mu AS (
+      SELECT w, CAST(SUM(f9) AS DOUBLE) / COUNT(*) AS mu, COUNT(*) AS s
+      FROM dense GROUP BY w
+    ),
+    var AS (
+      SELECT d.w, m.mu,
+             CAST(SUM(CAST(round((CAST(d.f9 AS DOUBLE) - m.mu)
+                                 * (CAST(d.f9 AS DOUBLE) - m.mu), 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) / m.s AS v
+      FROM dense d JOIN mu m ON m.w = d.w GROUP BY d.w, m.mu, m.s
+    ),
+    z AS (
+      SELECT d.w, d.source,
+             (CAST(d.f9 AS DOUBLE) - v.mu) / sqrt(v.v) AS z
+      FROM dense d JOIN var v ON v.w = d.w WHERE v.v > 0
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             SUM(CAST(round(ABS(a.z - b.z), 9) AS DECIMAL(38,9))) AS ds,
+             COUNT(*) AS nw
+      FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b,
+           round(CAST(ds AS DOUBLE) / nw, 6) AS delta
+    FROM pairs ORDER BY delta, src_a, src_b LIMIT 10
+    """,
+)
+def q_burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("w"),
+    ).where(F.col("w") != "")
+    ns = tk.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    cw = tk.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    topw = (
+        cw.groupBy("w")
+        .agg(F.sum("c").alias("ct"))
+        .orderBy(F.desc("ct"), "w")
+        .limit(20)
+        .select("w")
+    )
+    dense = (
+        F.broadcast(topw)
+        .crossJoin(F.broadcast(ns))
+        .join(cw, ["w", "source"], "left")
+        .select(
+            "w",
+            "source",
+            F.round(
+                F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.col("n"),
+                9,
+            )
+            .cast("decimal(38,9)")
+            .alias("f9"),
+        )
+        .localCheckpoint(eager=True)  # bounded 20 x |sources| frame, 3 readers
+    )
+    mu = dense.groupBy("w").agg(
+        (F.sum("f9").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).alias("s"),
+    )
+    dm = dense.join(mu, "w")
+    dev = F.col("f9").cast("double") - F.col("mu")
+    var = dm.groupBy("w", "mu", "s").agg(
+        (
+            F.sum(F.round(dev * dev, 12).cast("decimal(38,12)")).cast(
+                "double"
+            )
+            / F.col("s")
+        ).alias("v")
+    )
+    z = (
+        dense.join(var.where(F.col("v") > 0), "w")
+        .select(
+            "w",
+            "source",
+            (
+                (F.col("f9").cast("double") - F.col("mu"))
+                / F.sqrt(F.col("v"))
+            ).alias("z"),
+        )
+    )
+    a = z.select("w", F.col("source").alias("src_a"), F.col("z").alias("za"))
+    b = z.select("w", F.col("source").alias("src_b"), F.col("z").alias("zb"))
+    pairs = (
+        a.join(b, (a["w"] == b["w"]) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(
+                F.round(F.abs(F.col("za") - F.col("zb")), 9).cast(
+                    "decimal(38,9)"
+                )
+            ).alias("ds"),
+            F.count(F.lit(1)).alias("nw"),
+        )
+    )
+    return (
+        pairs.select(
+            "src_a",
+            "src_b",
+            F.round(F.col("ds").cast("double") / F.col("nw"), 6).alias(
+                "delta"
+            ),
+        )
+        .orderBy("delta", "src_a", "src_b")
+        .limit(10)
+    )

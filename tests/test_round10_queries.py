@@ -397,3 +397,99 @@ def test_rake_scores_and_phrases(spark):
         assert r["rake_score"] == pytest.approx(
             score[r["phrase"]], abs=1e-5
         )
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: rank correlation, drift distance, agreement, stylometry
+
+
+def test_spearman_replay(spark):
+    """scipy-free replay: average ranks via the doubled-rank lattice,
+    then Pearson on ranks."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect()
+    xs = [int(r["l_quantity"]) for r in li]
+    ys = [int(round(r["l_extendedprice"] * 100)) for r in li]
+
+    def ranks(v):
+        from collections import Counter
+
+        cnt = Counter(v)
+        cum = 0
+        r2 = {}
+        for val in sorted(cnt):
+            r2[val] = 2 * cum + cnt[val] + 1
+            cum += cnt[val]
+        return [r2[x] for x in v]
+
+    rx, ry = ranks(xs), ranks(ys)
+    n = len(xs)
+    nn = n * (n + 1) * (n + 1)
+    sxy = sum(a * b for a, b in zip(rx, ry)) - nn
+    sxx = sum(a * a for a in rx) - nn
+    syy = sum(b * b for b in ry) - nn
+    want = sxy / math.sqrt(sxx * syy)
+    got = all_queries()["spearman_rank_correlation"](spark, SF_SMOKE).collect()[
+        0
+    ]
+    assert got["n"] == n
+    assert got["spearman_rho"] == pytest.approx(want, abs=1e-6)
+    # the synthetic fixture draws price independent of quantity, so
+    # the only data-free pin is the correlation bound
+    assert -1 <= got["spearman_rho"] <= 1
+
+
+def test_wasserstein_replay_and_bounds(spark):
+    """Replay W1 exactly from the dollar-quantized CDFs; W1 must also
+    be bounded by the mean absolute difference of the two means."""
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    from collections import Counter
+
+    c1: Counter = Counter()
+    c2: Counter = Counter()
+    for o in orders:
+        v = int(round(o["o_totalprice"] / 100))
+        if o["o_orderdate"].year <= 1997:
+            c1[v] += 1
+        else:
+            c2[v] += 1
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    vals = sorted(set(c1) | set(c2))
+    f1 = f2 = 0
+    tot = 0
+    for v, nxt in zip(vals, vals[1:]):
+        f1 += c1.get(v, 0)
+        f2 += c2.get(v, 0)
+        tot += abs(f1 * n2 - f2 * n1) * (nxt - v)
+    want = round(tot / (n1 * n2) * 100, 6)
+    got = all_queries()["wasserstein_price_drift"](spark, SF_SMOKE).collect()[
+        0
+    ]
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    assert got["w1_dollars"] == pytest.approx(want, abs=1e-6)
+    assert got["w1_dollars"] >= 0
+
+
+def test_cohens_kappa_identities(spark):
+    r = all_queries()["cohens_kappa_models"](spark, SF_MID).collect()[0]
+    assert 0 <= r["p_observed"] <= 1 and 0 < r["p_expected"] < 1
+    assert r["kappa"] == pytest.approx(
+        (r["p_observed"] - r["p_expected"]) / (1 - r["p_expected"]), abs=1e-4
+    )
+    assert -1 <= r["kappa"] <= 1
+
+
+def test_burrows_delta_properties(spark):
+    """Deltas are nonnegative, pairs are canonical (a < b), and the
+    z-score construction means a source compared with itself would be
+    0 — pinned indirectly: every reported delta > 0 for distinct
+    sources, and all 10 rows are distinct pairs."""
+    rows = all_queries()["burrows_delta_sources"](spark, SF_MID).collect()
+    assert len(rows) == 10
+    seen = set()
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert r["delta"] >= 0
+        seen.add((r["src_a"], r["src_b"]))
+    assert len(seen) == 10
+    deltas = [r["delta"] for r in rows]
+    assert deltas == sorted(deltas)
