@@ -643,3 +643,243 @@ def q_forecast_combination_backtest(
     from functools import reduce
 
     return reduce(lambda a, b: a.unionByName(b), arms).orderBy("forecaster")
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolic motif census (Lin et al. 2003) — the time-series
+# indexing primitive: daily revenue → 7-day PAA segments → gaussian
+# breakpoint symbols (alphabet 4: breakpoints −0.6745/0/0.6745) →
+# sliding 3-symbol words, counted. Exactness: daily values and their
+# global (S, Q, N) moments are exact cents integers; each segment's
+# z-score is ONE double expression from exact ints, round(6)-ed
+# BEFORE the breakpoint compare (the rounded-compare seam), so the
+# symbol assignment is engine-identical. All windows ride the bounded
+# day/segment spine.
+@_q(
+    "sax_motif_census",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT y, row_number() OVER (ORDER BY d) - 1 AS rn FROM daily
+    ),
+    mom AS (
+      SELECT COUNT(*) AS n, SUM(CAST(y AS HUGEINT)) AS s,
+             SUM(CAST(y AS HUGEINT) * y) AS q
+      FROM idx
+    ),
+    seg AS (
+      SELECT rn // 7 AS sid, SUM(CAST(y AS HUGEINT)) AS ss, COUNT(*) AS sn
+      FROM idx GROUP BY rn // 7 HAVING COUNT(*) = 7
+    ),
+    z AS (
+      SELECT sid,
+             round((CAST(ss AS DOUBLE) / sn - CAST(s AS DOUBLE) / n)
+                   / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                          / n), 6) AS zv
+      FROM seg CROSS JOIN mom
+    ),
+    sym AS (
+      SELECT sid,
+             CASE WHEN zv < -0.6745 THEN 'a' WHEN zv < 0 THEN 'b'
+                  WHEN zv < 0.6745 THEN 'c' ELSE 'd' END AS c
+      FROM z
+    ),
+    words AS (
+      SELECT c || lead(c, 1) OVER (ORDER BY sid)
+               || lead(c, 2) OVER (ORDER BY sid) AS w
+      FROM sym
+    )
+    SELECT w AS sax_word, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM words WHERE w IS NOT NULL
+    GROUP BY w ORDER BY n_occurrences DESC, sax_word LIMIT 10
+    """,
+)
+def q_sax_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    idx = daily.select(
+        "y", (F.row_number().over(Window.orderBy("d")) - 1).alias("rn")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    mrow = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("y")).alias("s"),
+        F.sum(dec("y") * F.col("y")).alias("q"),
+    ).collect()[0]
+    n, s, qq = int(mrow["n"]), int(mrow["s"]), int(mrow["q"])
+    seg = (
+        idx.groupBy(F.expr("rn DIV 7").alias("sid"))
+        .agg(F.sum(dec("y")).alias("ss"), F.count(F.lit(1)).alias("sn"))
+        .where(F.col("sn") == 7)
+    )
+    mu = float(s) / n
+    sig_expr = F.sqrt(
+        (F.lit(float(qq)) - F.lit(float(s)) * s / n) / F.lit(n)
+    )
+    zv = F.round(
+        (F.col("ss").cast("double") / F.col("sn") - F.lit(mu)) / sig_expr, 6
+    )
+    sym = seg.select(
+        "sid",
+        F.when(zv < -0.6745, "a")
+        .when(zv < 0, "b")
+        .when(zv < 0.6745, "c")
+        .otherwise("d")
+        .alias("c"),
+    )
+    w = Window.orderBy("sid")
+    words = sym.select(
+        F.concat(
+            F.col("c"), F.lead("c", 1).over(w), F.lead("c", 2).over(w)
+        ).alias("w")
+    ).where(F.col("w").isNotNull())
+    return (
+        words.groupBy(F.col("w").alias("sax_word"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "sax_word")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partial autocorrelation to lag 4 via the Durbin–Levinson recursion
+# unrolled in closed form (Box & Jenkins ch.3) — PACF is what
+# identifies AR order where autocorrelation_lags can't (ACF tails,
+# PACF cuts). Exactness ladder: lag covariances are EXACT N²-scaled
+# integers Σ(N·y_t − S)(N·y_{t+k} − S) in DECIMAL(38,0)/HUGEINT, the
+# r_k ratios are doubles from exact integers, and the DL recursion is
+# the IDENTICAL closed-form expression text on both engines (pure
+# scalar algebra on a 1-row frame) with round(6) at report time.
+# Plan: one moments pass + one self-join via lead() over the bounded
+# day spine; the recursion costs nothing.
+@_q(
+    "pacf_durbin_levinson",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1
+    ),
+    lagd AS (
+      SELECT y,
+             lead(y, 1) OVER (ORDER BY d) AS y1,
+             lead(y, 2) OVER (ORDER BY d) AS y2,
+             lead(y, 3) OVER (ORDER BY d) AS y3,
+             lead(y, 4) OVER (ORDER BY d) AS y4
+      FROM daily
+    ),
+    mom AS (
+      SELECT COUNT(*) AS n, SUM(CAST(y AS HUGEINT)) AS s FROM daily
+    ),
+    cov AS (
+      SELECT
+        SUM((CAST(m.n AS HUGEINT) * l.y - m.s)
+            * (CAST(m.n AS HUGEINT) * l.y - m.s)) AS c0,
+        SUM(CASE WHEN l.y1 IS NOT NULL
+            THEN (CAST(m.n AS HUGEINT) * l.y - m.s)
+                 * (CAST(m.n AS HUGEINT) * l.y1 - m.s) END) AS c1,
+        SUM(CASE WHEN l.y2 IS NOT NULL
+            THEN (CAST(m.n AS HUGEINT) * l.y - m.s)
+                 * (CAST(m.n AS HUGEINT) * l.y2 - m.s) END) AS c2,
+        SUM(CASE WHEN l.y3 IS NOT NULL
+            THEN (CAST(m.n AS HUGEINT) * l.y - m.s)
+                 * (CAST(m.n AS HUGEINT) * l.y3 - m.s) END) AS c3,
+        SUM(CASE WHEN l.y4 IS NOT NULL
+            THEN (CAST(m.n AS HUGEINT) * l.y - m.s)
+                 * (CAST(m.n AS HUGEINT) * l.y4 - m.s) END) AS c4
+      FROM lagd l CROSS JOIN mom m
+    ),
+    r AS (
+      SELECT CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r1,
+             CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r2,
+             CAST(c3 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r3,
+             CAST(c4 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r4
+      FROM cov
+    ),
+    dl AS (
+      SELECT r1, r2, r3, r4,
+             r1 AS p11,
+             (r2 - r1 * r1) / (1 - r1 * r1) AS p22
+      FROM r
+    ),
+    dl2 AS (
+      SELECT *, r1 - p22 * r1 AS p21 FROM dl
+    ),
+    dl3 AS (
+      SELECT *,
+             (r3 - p21 * r2 - p22 * r1)
+               / (1 - p21 * r1 - p22 * r2) AS p33
+      FROM dl2
+    ),
+    dl4 AS (
+      SELECT *, p21 - p33 * p22 AS p31, p22 - p33 * p21 AS p32 FROM dl3
+    ),
+    dl5 AS (
+      SELECT *,
+             (r4 - p31 * r3 - p32 * r2 - p33 * r1)
+               / (1 - p31 * r1 - p32 * r2 - p33 * r3) AS p44
+      FROM dl4
+    )
+    SELECT * FROM (
+      SELECT 1 AS lag, round(p11, 6) AS pacf FROM dl5
+      UNION ALL SELECT 2, round(p22, 6) FROM dl5
+      UNION ALL SELECT 3, round(p33, 6) FROM dl5
+      UNION ALL SELECT 4, round(p44, 6) FROM dl5
+    ) ORDER BY lag
+    """,
+)
+def q_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    w = Window.orderBy("d")
+    lagd = daily.select(
+        "y",
+        *[F.lead("y", k).over(w).alias(f"y{k}") for k in range(1, 5)],
+    )
+    mrow = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]
+    n, s = int(mrow["n"]), int(mrow["s"])
+    dev = lambda c: F.lit(n).cast("decimal(38,0)") * F.col(c) - F.lit(s).cast(
+        "decimal(38,0)"
+    )
+    cov = lagd.agg(
+        F.sum(dev("y") * dev("y")).alias("c0"),
+        *[
+            F.sum(
+                F.when(F.col(f"y{k}").isNotNull(), dev("y") * dev(f"y{k}"))
+            ).alias(f"c{k}")
+            for k in range(1, 5)
+        ],
+    ).collect()[0]
+    c0 = float(cov["c0"])
+    r1, r2, r3, r4 = (float(cov[f"c{k}"]) / c0 for k in range(1, 5))
+    # Durbin-Levinson closed form — same expression order as the SQL
+    p11 = r1
+    p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    p21 = r1 - p22 * r1
+    p33 = (r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2)
+    p31 = p21 - p33 * p22
+    p32 = p22 - p33 * p21
+    p44 = (r4 - p31 * r3 - p32 * r2 - p33 * r1) / (
+        1 - p31 * r1 - p32 * r2 - p33 * r3
+    )
+    rows = [(1, round(p11, 6)), (2, round(p22, 6)), (3, round(p33, 6)), (4, round(p44, 6))]
+    return o.sparkSession.createDataFrame(rows, "lag int, pacf double").orderBy(
+        "lag"
+    )

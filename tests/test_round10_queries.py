@@ -493,3 +493,69 @@ def test_burrows_delta_properties(spark):
     assert len(seen) == 10
     deltas = [r["delta"] for r in rows]
     assert deltas == sorted(deltas)
+
+
+# ---------------------------------------------------------------------------
+# Batch 4: symbolic time series
+
+
+def test_sax_words_well_formed(spark):
+    rows = all_queries()["sax_motif_census"](spark, SF_MID).collect()
+    assert rows
+    import re as _re
+
+    for r in rows:
+        assert _re.fullmatch(r"[abcd]{3}", r["sax_word"])
+        assert r["n_occurrences"] >= 1
+    counts = [r["n_occurrences"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # word count identity: segments = floor(days/7), words = segs - 2
+    import duckdb
+
+    con = duckdb.connect()
+    n_days = con.execute(
+        f"""SELECT COUNT(DISTINCT CAST(o_orderdate AS DATE))
+            FROM read_parquet('{SF_MID}/orders.parquet')"""
+    ).fetchone()[0]
+    n_words_total = n_days // 7 - 2
+    assert sum(counts) <= n_words_total  # top-10 covers at most all
+
+
+def test_pacf_replay(spark):
+    """NumPy replay of the exact-lattice covariances + DL recursion."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    daily = (
+        spark.read.parquet(f"{SF_MID}/orders.parquet")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "y"
+            )
+        )
+        .orderBy("d")
+        .collect()
+    )
+    y = np.array([int(r["y"]) for r in daily], dtype=object)
+    n, s = len(y), int(sum(y))
+    dev = n * y - s
+    c0 = int(sum(d * d for d in dev))
+    r = [int(sum(dev[:-k] * dev[k:])) / c0 for k in range(1, 5)]
+    r1, r2, r3, r4 = r
+    p11 = r1
+    p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    p21 = r1 - p22 * r1
+    p33 = (r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2)
+    p31 = p21 - p33 * p22
+    p32 = p22 - p33 * p21
+    p44 = (r4 - p31 * r3 - p32 * r2 - p33 * r1) / (
+        1 - p31 * r1 - p32 * r2 - p33 * r3
+    )
+    got = {
+        r_["lag"]: r_["pacf"]
+        for r_ in all_queries()["pacf_durbin_levinson"](spark, SF_MID).collect()
+    }
+    for lag, want in zip(range(1, 5), (p11, p22, p33, p44)):
+        assert got[lag] == pytest.approx(want, abs=1e-6)
+        assert -1 <= got[lag] <= 1
