@@ -479,3 +479,93 @@ def q_compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance (the delta-rule ΔV = ΔA ⋈ B for
+# key-preserved B — Blakeley et al. 1986; what incremental_agg_
+# maintenance does for a single table, done for a JOIN view): the
+# revenue-per-nation view over orders ⋈ customer ⋈ nation is split
+# into a base snapshot (orders before 1998-01-01) and a delta batch,
+# each aggregated independently, merged by FULL OUTER + coalesce, and
+# proven equal to the full recompute — per nation, as exact cents
+# integers, so `consistent` is a true integer equality, not a float
+# tolerance. At 100 TB this is the audit you run after every
+# incremental load: the delta side only scans the new partition.
+@_q(
+    "ivm_join_delta",
+    """
+    WITH j AS (
+      SELECT n.n_name AS nation, o.o_orderdate AS d,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    base AS (
+      SELECT nation, SUM(rev) AS v FROM j
+      WHERE d < TIMESTAMP '1998-01-01' GROUP BY nation
+    ),
+    delta AS (
+      SELECT nation, SUM(rev) AS v FROM j
+      WHERE d >= TIMESTAMP '1998-01-01' GROUP BY nation
+    ),
+    maintained AS (
+      SELECT COALESCE(b.nation, dl.nation) AS nation,
+             COALESCE(b.v, 0) + COALESCE(dl.v, 0) AS v
+      FROM base b FULL OUTER JOIN delta dl ON dl.nation = b.nation
+    ),
+    recomputed AS (SELECT nation, SUM(rev) AS v FROM j GROUP BY nation)
+    SELECT m.nation,
+           CAST(m.v AS BIGINT) AS maintained_cents,
+           CAST(r.v AS BIGINT) AS recomputed_cents,
+           m.v = r.v AS consistent
+    FROM maintained m JOIN recomputed r ON r.nation = m.nation
+    ORDER BY m.nation
+    """,
+)
+def q_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    j = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderdate").alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("rev"),
+        )
+    )
+    cut = F.lit("1998-01-01").cast("timestamp")
+    base = (
+        j.where(F.col("d") < cut)
+        .groupBy("nation")
+        .agg(F.sum("rev").alias("vb"))
+    )
+    delta = (
+        j.where(F.col("d") >= cut)
+        .groupBy("nation")
+        .agg(F.sum("rev").alias("vd"))
+    )
+    maintained = (
+        base.join(delta, "nation", "full_outer")
+        .select(
+            "nation",
+            (
+                F.coalesce(F.col("vb"), F.lit(0))
+                + F.coalesce(F.col("vd"), F.lit(0))
+            ).alias("vm"),
+        )
+    )
+    recomputed = j.groupBy("nation").agg(F.sum("rev").alias("vr"))
+    return (
+        maintained.join(recomputed, "nation")
+        .select(
+            "nation",
+            F.col("vm").cast("bigint").alias("maintained_cents"),
+            F.col("vr").cast("bigint").alias("recomputed_cents"),
+            (F.col("vm") == F.col("vr")).alias("consistent"),
+        )
+        .orderBy("nation")
+    )

@@ -559,3 +559,21 @@ def test_pacf_replay(spark):
     for lag, want in zip(range(1, 5), (p11, p22, p33, p44)):
         assert got[lag] == pytest.approx(want, abs=1e-6)
         assert -1 <= got[lag] <= 1
+
+
+def test_ivm_join_delta_consistent_and_nonvacuous(spark):
+    """Every nation must reconcile exactly, and BOTH sides of the split
+    must be non-empty (otherwise the identity is vacuously true)."""
+    rows = all_queries()["ivm_join_delta"](spark, SF_MID).collect()
+    assert rows and all(r["consistent"] for r in rows)
+    import duckdb
+
+    con = duckdb.connect()
+    pre, post = con.execute(
+        f"""SELECT SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                            THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                            THEN 1 ELSE 0 END)
+            FROM read_parquet('{SF_MID}/orders.parquet')"""
+    ).fetchone()
+    assert pre > 0 and post > 0
