@@ -1181,3 +1181,111 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Apriori frequent-triple mining (Agrawal & Srikant VLDB'94) over
+# customer × brand baskets — the level-3 step above the pairwise
+# co-occurrence tier: candidate triples come from JOINING frequent
+# pairs on their shared prefix AND pruning by the third face (every
+# 2-subset of a frequent triple must itself be frequent — the Apriori
+# property), so the support-count join only ever sees surviving
+# candidates, never the C(|items|,3) cross space. Support threshold
+# scales with the data (10% of customers, one scalar). All counts
+# exact integers.
+@_q(
+    "apriori_brand_triples",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT o.o_custkey AS cust, p.p_brand AS item
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    thr AS (
+      SELECT CAST(ceil(0.1 * COUNT(DISTINCT cust)) AS BIGINT) AS s
+      FROM baskets
+    ),
+    pairs AS (
+      SELECT a.item AS i1, b.item AS i2, COUNT(*) AS sup
+      FROM baskets a JOIN baskets b
+        ON a.cust = b.cust AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING COUNT(*) >= (SELECT s FROM thr)
+    ),
+    cand AS (
+      SELECT p1.i1, p1.i2, p2.i2 AS i3
+      FROM pairs p1 JOIN pairs p2
+        ON p2.i1 = p1.i1 AND p2.i2 > p1.i2
+      WHERE EXISTS (SELECT 1 FROM pairs f
+                    WHERE f.i1 = p1.i2 AND f.i2 = p2.i2)
+    ),
+    sup3 AS (
+      SELECT c.i1, c.i2, c.i3, COUNT(*) AS support
+      FROM cand c
+      JOIN baskets b1 ON b1.item = c.i1
+      JOIN baskets b2 ON b2.item = c.i2 AND b2.cust = b1.cust
+      JOIN baskets b3 ON b3.item = c.i3 AND b3.cust = b1.cust
+      GROUP BY c.i1, c.i2, c.i3
+      HAVING COUNT(*) >= (SELECT s FROM thr)
+    )
+    SELECT i1, i2, i3, CAST(support AS BIGINT) AS support
+    FROM sup3 ORDER BY support DESC, i1, i2, i3 LIMIT 10
+    """,
+)
+def q_apriori_brand_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    baskets = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("item"))
+        .distinct()
+        .localCheckpoint(eager=True)  # read by thr, pairs, sup3
+    )
+    s = int(
+        baskets.agg(
+            F.ceil(0.1 * F.countDistinct("cust")).cast("bigint").alias("s")
+        ).collect()[0]["s"]
+    )
+    a = baskets.select(F.col("cust").alias("ca"), F.col("item").alias("i1"))
+    b = baskets.select(F.col("cust").alias("cb"), F.col("item").alias("i2"))
+    pairs = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("i1") < F.col("i2")))
+        .groupBy("i1", "i2")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .where(F.col("sup") >= s)
+        .localCheckpoint(eager=True)  # read 3x: two join arms + prune face
+    )
+    p2 = pairs.select(
+        F.col("i1").alias("j1"), F.col("i2").alias("i3")
+    )
+    face = pairs.select(
+        F.col("i1").alias("f1"), F.col("i2").alias("f2")
+    )
+    cand = (
+        pairs.join(p2, (F.col("j1") == F.col("i1")) & (F.col("i3") > F.col("i2")))
+        .join(
+            face,
+            (F.col("f1") == F.col("i2")) & (F.col("f2") == F.col("i3")),
+            "left_semi",
+        )
+        .select("i1", "i2", "i3")
+    )
+    b1 = baskets.select(F.col("cust").alias("c1"), F.col("item").alias("m1"))
+    b2 = baskets.select(F.col("cust").alias("c2"), F.col("item").alias("m2"))
+    b3 = baskets.select(F.col("cust").alias("c3"), F.col("item").alias("m3"))
+    sup3 = (
+        cand.join(b1, F.col("m1") == F.col("i1"))
+        .join(b2, (F.col("m2") == F.col("i2")) & (F.col("c2") == F.col("c1")))
+        .join(b3, (F.col("m3") == F.col("i3")) & (F.col("c3") == F.col("c1")))
+        .groupBy("i1", "i2", "i3")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= s)
+    )
+    return (
+        sup3.select("i1", "i2", "i3", F.col("support").cast("bigint").alias("support"))
+        .orderBy(F.desc("support"), "i1", "i2", "i3")
+        .limit(10)
+    )

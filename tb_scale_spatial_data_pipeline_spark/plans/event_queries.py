@@ -792,3 +792,81 @@ def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_islands"),
         F.sum(F.col("me") - F.col("ms")).cast("bigint").alias("covered_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Abandoned-session detection — the ANTI interval join (the missing
+# quadrant next to interval_join_click_purchase's inner form): views
+# with NO purchase by the same user within the following hour. The
+# anti form plans as a NOT-EXISTS range probe on the (user) equi-key;
+# only per-user event slices meet, never a time cross product. Report
+# rolls abandonment rate up per event hour — exact integer ratios.
+@_q(
+    "abandoned_session_detection",
+    """
+    WITH views AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    purchases AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    flagged AS (
+      SELECT v.user_id, v.ts,
+             NOT EXISTS (
+               SELECT 1 FROM purchases p
+               WHERE p.user_id = v.user_id
+                 AND p.ts >= v.ts
+                 AND p.ts < v.ts + INTERVAL 1 HOUR
+             ) AS abandoned
+      FROM views v
+    )
+    SELECT CAST(date_part('hour', ts) AS INT) AS event_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_views,
+           CAST(SUM(CASE WHEN abandoned THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_abandoned,
+           round(CAST(SUM(CASE WHEN abandoned THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS abandon_rate
+    FROM flagged GROUP BY 1 ORDER BY event_hour
+    """,
+)
+def q_abandoned_session_detection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts")
+    )
+    followed = views.join(
+        purch,
+        (F.col("user_id") == F.col("p_uid"))
+        & (F.col("p_ts") >= F.col("ts"))
+        & (F.col("p_ts") < F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    ).select("user_id", "ts", F.lit(False).alias("abandoned"))
+    abandoned = views.join(
+        purch,
+        (F.col("user_id") == F.col("p_uid"))
+        & (F.col("p_ts") >= F.col("ts"))
+        & (F.col("p_ts") < F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_anti",
+    ).select("user_id", "ts", F.lit(True).alias("abandoned"))
+    flagged = followed.unionByName(abandoned)
+    return (
+        flagged.groupBy(F.hour("ts").cast("int").alias("event_hour"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_views"),
+            F.sum(F.when(F.col("abandoned"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_abandoned"),
+        )
+        .select(
+            "event_hour",
+            "n_views",
+            "n_abandoned",
+            F.round(
+                F.col("n_abandoned").cast("double") / F.col("n_views"), 6
+            ).alias("abandon_rate"),
+        )
+        .orderBy("event_hour")
+    )

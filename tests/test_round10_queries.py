@@ -577,3 +577,67 @@ def test_ivm_join_delta_consistent_and_nonvacuous(spark):
             FROM read_parquet('{SF_MID}/orders.parquet')"""
     ).fetchone()
     assert pre > 0 and post > 0
+
+
+def test_abandoned_sessions_replay(spark):
+    """Brute-force replay of the anti interval join on the small
+    fixture: a view is abandoned iff the user has no purchase in
+    [ts, ts+1h)."""
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    purch = defaultdict(list)
+    for e in ev:
+        if e["event_type"] == "purchase":
+            purch[e["user_id"]].append(e["ts"])
+    import datetime
+
+    hour = datetime.timedelta(hours=1)
+    want = defaultdict(lambda: [0, 0])
+    for e in ev:
+        if e["event_type"] != "view":
+            continue
+        ab = not any(
+            e["ts"] <= p < e["ts"] + hour for p in purch[e["user_id"]]
+        )
+        h = e["ts"].hour
+        want[h][0] += 1
+        want[h][1] += 1 if ab else 0
+    rows = all_queries()["abandoned_session_detection"](
+        spark, SF_SMOKE
+    ).collect()
+    got = {r["event_hour"]: (r["n_views"], r["n_abandoned"]) for r in rows}
+    assert got == {h: tuple(v) for h, v in want.items()}
+    # non-vacuity: both outcomes must occur somewhere
+    assert any(v[1] > 0 for v in want.values())
+    assert any(v[1] < v[0] for v in want.values())
+
+
+def test_apriori_triples_satisfy_apriori_property(spark):
+    """Every reported triple's support must not exceed any of its
+    2-subset supports (replayed in Python), and must meet the 10%
+    threshold."""
+    rows = all_queries()["apriori_brand_triples"](spark, SF_MID).collect()
+    assert rows, "fixture must yield frequent triples"
+    import duckdb
+
+    con = duckdb.connect()
+    baskets = con.execute(
+        f"""SELECT DISTINCT o.o_custkey, p.p_brand
+            FROM read_parquet('{SF_MID}/orders.parquet') o
+            JOIN read_parquet('{SF_MID}/lineitem.parquet') l
+              ON l.l_orderkey = o.o_orderkey
+            JOIN read_parquet('{SF_MID}/part.parquet') p
+              ON p.p_partkey = l.l_partkey"""
+    ).fetchall()
+    by_cust = defaultdict(set)
+    for cust, brand in baskets:
+        by_cust[cust].add(brand)
+    s = math.ceil(0.1 * len(by_cust))
+    for r in rows:
+        items = {r["i1"], r["i2"], r["i3"]}
+        sup = sum(1 for v in by_cust.values() if items <= v)
+        assert r["support"] == sup
+        assert sup >= s
+        for a in items:
+            pair = items - {a}
+            psup = sum(1 for v in by_cust.values() if pair <= v)
+            assert psup >= sup  # monotonicity (Apriori property)
