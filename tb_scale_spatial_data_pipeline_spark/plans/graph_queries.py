@@ -2015,3 +2015,174 @@ def q_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_cutoff")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bond-percolation robustness sweep (Callaway et al. PRL 2000, the
+# random-failure side of hub_removal_resilience's targeted attacks):
+# keep each edge iff its md5 uniform clears the retention threshold,
+# for retention ∈ {25%, 50%, 75%}, and report components and
+# giant-component share per level. Edge survival is a pure hash of
+# the edge key, so the sweep is deterministic and each level's
+# subgraph NESTS inside the next (75% ⊇ 50% ⊇ 25% — monotone by
+# construction, pinned in tests). Components via the same
+# star-contraction operator the dedup tier uses (O(log n) rounds);
+# one CC run per literal level, bounded.
+_PERC_LEVELS = (16384, 32768, 49152)  # of 65536: 25% / 50% / 75%
+
+
+def _sql_percolation() -> str:
+    per = []
+    for thr in _PERC_LEVELS:
+        per.append(
+            f"""(
+      WITH kept AS (
+        SELECT u, v FROM eu
+        WHERE CAST(('0x' || substring(md5(CAST(u * 7919 + v AS VARCHAR)),
+                    1, 4)) AS INTEGER) < {thr}
+      ),
+      e2 AS (SELECT u AS s, v AS d FROM kept
+             UNION ALL SELECT v, u FROM kept),
+      reach AS (
+        SELECT node, lbl FROM (
+          WITH RECURSIVE r(node, lbl) AS (
+            SELECT DISTINCT s, s FROM e2
+            UNION
+            SELECT e.d, r.lbl FROM r JOIN e2 e ON e.s = r.node
+            WHERE r.lbl < e.d
+          ) SELECT * FROM r
+        )
+      ),
+      comp AS (SELECT node, MIN(lbl) AS c FROM reach GROUP BY node),
+      sizes AS (SELECT c, COUNT(*) AS n FROM comp GROUP BY c)
+      SELECT {thr} AS thr,
+             CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_edges,
+             CAST((SELECT COUNT(*) FROM comp) AS BIGINT) AS n_nodes,
+             CAST((SELECT COUNT(*) FROM sizes) AS BIGINT) AS n_components,
+             CAST((SELECT MAX(n) FROM sizes) AS BIGINT) AS giant_size
+    )"""
+        )
+    u = "\n      UNION ALL ".join(per)
+    return (
+        "WITH "
+        + _SQL_EDGES.strip()
+        + f"""
+    SELECT round(thr / 655.36, 0) AS retention_pct, n_edges, n_nodes,
+           n_components, giant_size
+    FROM ({u}) ORDER BY retention_pct"""
+    )
+
+
+@_q("percolation_robustness", _sql_percolation())
+def q_percolation_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components_star
+
+    eu = _undirected_edges(spark, sf_dir).localCheckpoint(eager=True)
+    bucket = F.conv(
+        F.substring(
+            F.md5((F.col("u") * 7919 + F.col("v")).cast("string")), 1, 4
+        ),
+        16,
+        10,
+    ).cast("int")
+    rows = []
+    for thr in _PERC_LEVELS:
+        kept = eu.where(bucket < thr).localCheckpoint(eager=True)
+        comp = connected_components_star(kept, "u", "v")
+        sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+        rows.append(
+            kept.agg(F.count(F.lit(1)).alias("n_edges")).join(
+                comp.agg(F.count(F.lit(1)).alias("n_nodes"))
+            ).join(
+                sizes.agg(
+                    F.count(F.lit(1)).alias("n_components"),
+                    F.max("n").alias("giant_size"),
+                )
+            ).select(
+                F.lit(round(thr / 655.36)).cast("double").alias(
+                    "retention_pct"
+                ),
+                F.col("n_edges").cast("bigint"),
+                F.col("n_nodes").cast("bigint"),
+                F.col("n_components").cast("bigint"),
+                F.col("giant_size").cast("bigint"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), rows).orderBy(
+        "retention_pct"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Eigenvector centrality (Bonacich 1987) on the co-supply graph —
+# completes the centrality family (degree / closeness / betweenness /
+# pagerank / HITS / eigenvector): unrolled power iteration
+# x ← A·x with L∞ normalization. The L∞ norm is MAX of the
+# per-node rounded sums — a comparison, not a float reduction — so
+# unlike HITS's L1 seam there is nothing to re-synchronize: each
+# round is raw-sum → round(12) → divide by max → round(12), identical
+# on both engines. Per round: one join + one aggregation over
+# (node, score) rows; the edge table is checkpointed once. Output:
+# top-10 nodes, (rounded score DESC, node) ties.
+_EIG_ITERS = 6
+
+
+def _sql_eigenvector() -> str:
+    ctes = [
+        _SQL_EDGES.strip(),
+        """nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+    x0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS x FROM nodes)""",
+    ]
+    for k in range(1, _EIG_ITERS + 1):
+        ctes.append(
+            f"""raw{k} AS MATERIALIZED (
+      SELECT e.dst AS node, round(SUM(x.x), 12) AS r
+      FROM x{k - 1} x JOIN edges e ON e.src = x.node GROUP BY e.dst
+    ),
+    m{k} AS (SELECT MAX(r) AS v FROM raw{k}),
+    x{k} AS MATERIALIZED (
+      SELECT node, round(r / (SELECT v FROM m{k}), 12) AS x FROM raw{k}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(node AS BIGINT) AS s_suppkey, round(x, 6) AS eig_score
+    FROM x{_EIG_ITERS}
+    ORDER BY round(x, 6) DESC, node LIMIT 10"""
+    )
+
+
+@_q("eigenvector_centrality", _sql_eigenvector())
+def q_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eu = _undirected_edges(spark, sf_dir)
+    edges = (
+        eu.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(eu.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    x = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1.0).alias("x")
+    )
+    for _ in range(_EIG_ITERS):
+        raw = (
+            x.join(edges, x["node"] == edges["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.round(F.sum("x"), 12).alias("r"))
+            .localCheckpoint(eager=True)  # read by max + divide
+        )
+        mx = raw.agg(F.max("r").alias("v"))
+        x = raw.join(F.broadcast(mx)).select(
+            "node", F.round(F.col("r") / F.col("v"), 12).alias("x")
+        )
+    return (
+        x.select(
+            F.col("node").cast("bigint").alias("s_suppkey"),
+            F.round("x", 6).alias("eig_score"),
+        )
+        .orderBy(F.desc("eig_score"), "s_suppkey")
+        .limit(10)
+    )

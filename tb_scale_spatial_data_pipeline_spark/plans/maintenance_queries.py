@@ -569,3 +569,71 @@ def q_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map prune report — data-skipping effectiveness, the lakehouse
+# planning input behind footer_stats_audit: with orders laid out by
+# day (the row-group proxy), how many groups (and rows) would each of
+# a sweep of price predicates skip using only per-group (min, max)?
+# A group is prunable for `price > X` iff its max ≤ X — exact cents
+# integers, no actual scan of pruned groups. ONE aggregation builds
+# the zone map; the predicate sweep rides a literal explode over the
+# bounded per-day table. The report is what a layout service uses to
+# decide whether re-clustering (zorder_clustering's tier) pays.
+_ZONE_PREDS = (100_000, 200_000, 300_000, 400_000, 500_000)
+
+
+def _sql_zone_map() -> str:
+    preds = ", ".join(f"({p})" for p in _ZONE_PREDS)
+    return f"""
+    WITH zone AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             COUNT(*) AS n_rows,
+             MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
+      FROM orders GROUP BY 1
+    ),
+    preds(x) AS (VALUES {preds})
+    SELECT CAST(p.x AS BIGINT) AS price_threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN z.max_cents <= p.x * 100 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pruned_groups,
+           CAST(SUM(CASE WHEN z.max_cents <= p.x * 100 THEN z.n_rows
+                    ELSE 0 END) AS BIGINT) AS n_skipped_rows,
+           round(CAST(SUM(CASE WHEN z.max_cents <= p.x * 100 THEN z.n_rows
+                          ELSE 0 END) AS DOUBLE) / SUM(z.n_rows), 6)
+             AS skip_fraction
+    FROM zone z CROSS JOIN preds p
+    GROUP BY p.x ORDER BY price_threshold
+    """
+
+
+@_q("zone_map_prune_report", _sql_zone_map())
+def q_zone_map_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    zone = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "max_cents"
+        ),
+    )
+    preds = F.explode(
+        F.array(*[F.lit(int(p)) for p in _ZONE_PREDS])
+    ).alias("x")
+    z = zone.select("n_rows", "max_cents", preds)
+    pruned = F.when(F.col("max_cents") <= F.col("x") * 100, 1).otherwise(0)
+    skipped = F.when(
+        F.col("max_cents") <= F.col("x") * 100, F.col("n_rows")
+    ).otherwise(0)
+    return (
+        z.groupBy(F.col("x").cast("bigint").alias("price_threshold"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(pruned).cast("bigint").alias("n_pruned_groups"),
+            F.sum(skipped).cast("bigint").alias("n_skipped_rows"),
+            F.round(
+                F.sum(skipped).cast("double") / F.sum("n_rows"), 6
+            ).alias("skip_fraction"),
+        )
+        .orderBy("price_threshold")
+    )

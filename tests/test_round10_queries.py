@@ -641,3 +641,56 @@ def test_apriori_triples_satisfy_apriori_property(spark):
             pair = items - {a}
             psup = sum(1 for v in by_cust.values() if pair <= v)
             assert psup >= sup  # monotonicity (Apriori property)
+
+
+def test_percolation_monotone_nesting(spark):
+    """Edge survival is a fixed hash, so levels NEST: edges, nodes and
+    giant-component size are nondecreasing in retention; component
+    count of the 75% level is <= the 25% level's node count."""
+    rows = all_queries()["percolation_robustness"](spark, SF_MID).collect()
+    assert [r["retention_pct"] for r in rows] == [25.0, 50.0, 75.0]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_edges"] <= b["n_edges"]
+        assert a["n_nodes"] <= b["n_nodes"]
+        assert a["giant_size"] <= b["giant_size"]
+    for r in rows:
+        assert r["giant_size"] <= r["n_nodes"]
+        assert r["n_components"] >= 1
+
+
+def test_eigenvector_centrality_properties(spark):
+    """Scores are L-inf normalized (max = 1 after the final divide)
+    and positive on a connected graph; top node degree-dominant."""
+    rows = all_queries()["eigenvector_centrality"](spark, SF_MID).collect()
+    assert len(rows) == 10
+    scores = [r["eig_score"] for r in rows]
+    assert scores[0] == pytest.approx(1.0, abs=1e-6)
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_zone_map_report_replay(spark):
+    """Replay one threshold against per-day maxima; fractions must be
+    monotone in the threshold."""
+    import duckdb
+
+    con = duckdb.connect()
+    zones = con.execute(
+        f"""SELECT CAST(o_orderdate AS DATE), COUNT(*),
+                   MAX(CAST(round(o_totalprice*100) AS BIGINT))
+            FROM read_parquet('{SF_MID}/orders.parquet') GROUP BY 1"""
+    ).fetchall()
+    thr = 300_000
+    pruned = sum(1 for _, _, mx in zones if mx <= thr * 100)
+    skipped = sum(n for _, n, mx in zones if mx <= thr * 100)
+    rows = {
+        r["price_threshold"]: r
+        for r in all_queries()["zone_map_prune_report"](
+            spark, SF_MID
+        ).collect()
+    }
+    assert rows[thr]["n_groups"] == len(zones)
+    assert rows[thr]["n_pruned_groups"] == pruned
+    assert rows[thr]["n_skipped_rows"] == skipped
+    fr = [rows[p]["skip_fraction"] for p in sorted(rows)]
+    assert fr == sorted(fr)
