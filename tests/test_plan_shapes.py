@@ -332,3 +332,37 @@ def test_spatial_knn_join_no_forced_broadcast(spark):
     p = plan_of(spark, "spatial_knn_join")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_embedding_decontamination_broadcasts_benchmark(spark):
+    """The benchmark side is the tiny one by construction — it must
+    broadcast so the corpus never shuffles for the screen."""
+    p = plan_of(spark, "embedding_decontamination")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_idw_broadcasts_grid(spark):
+    """48 grid cells ride along as a broadcast; the points side never
+    shuffles."""
+    p = plan_of(spark, "idw_interpolation")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_apriori_no_cartesian(spark):
+    """Candidate generation is prefix-join + semi-join pruning; the
+    support count is a basket equi-join chain — nothing quadratic in
+    the item universe."""
+    p = plan_of(spark, "apriori_brand_triples")
+    assert "CartesianProduct" not in p
+
+
+def test_gains_lift_no_raw_global_window(spark):
+    """The decile assignment must ride the bounded score spine — the
+    window's input is an Aggregate, never the raw fact scan (the shape
+    scripts/audit_global_windows.py flags; the per-row ntile form this
+    query originally had was flagged and rewritten)."""
+    q = all_queries()["cumulative_gains_lift"](spark, SF_SMOKE)
+    assert not _raw_global_windows(q)
