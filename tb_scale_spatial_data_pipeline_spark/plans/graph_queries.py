@@ -2186,3 +2186,241 @@ def q_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("eig_score"), "s_suppkey")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Edge betweenness, top-10 (Girvan & Newman PNAS 2002 — the quantity
+# their community algorithm repeatedly removes): in Brandes' backward
+# pass the PER-EDGE credit is the very term the node accumulation
+# sums — c(v→w) = σv/σw · (1 + δw) for each tree edge into level
+# k+1 — so the same forward σ / backward δ frames emit per-edge rows
+# at every level INCLUDING the seed's own edges (level 0, which the
+# node statistic never needs). Same determinism ladder as
+# betweenness_sampled: exact integer σ, per-term round(12), cross-
+# seed sums in exact picounits; same radius/seed bounds, so this too
+# is EXACT at fixture scale. Edges report canonically (min, max).
+def _sql_edge_betweenness() -> str:
+    ctes = [
+        _SQL_EDGES.strip(),
+        """nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+    seeds AS MATERIALIZED (SELECT node FROM nodes ORDER BY node LIMIT 8),
+    f0 AS MATERIALIZED (SELECT node AS seed, node, CAST(1 AS BIGINT) AS sigma
+          FROM seeds),
+    sett0 AS MATERIALIZED (SELECT seed, node FROM f0)""",
+    ]
+    for k in range(1, _BC_MAX_HOPS + 1):
+        ctes.append(
+            f"""f{k} AS MATERIALIZED (
+      SELECT f.seed, e.dst AS node, SUM(f.sigma) AS sigma
+      FROM f{k - 1} f JOIN edges e ON e.src = f.node
+      LEFT JOIN sett{k - 1} s ON s.seed = f.seed AND s.node = e.dst
+      WHERE s.node IS NULL
+      GROUP BY f.seed, e.dst
+    ),
+    sett{k} AS MATERIALIZED (
+      SELECT seed, node FROM sett{k - 1}
+      UNION ALL SELECT seed, node FROM f{k}
+    )"""
+        )
+    prev = None
+    for k in range(_BC_MAX_HOPS - 1, 0, -1):
+        dterm = "0.0" if prev is None else f"COALESCE(b{k + 1}.delta, 0.0)"
+        bjoin = (
+            ""
+            if prev is None
+            else f"\n      LEFT JOIN b{k + 1} ON b{k + 1}.seed = f.seed"
+            f" AND b{k + 1}.node = w.node"
+        )
+        ctes.append(
+            f"""b{k} AS MATERIALIZED (
+      SELECT f.seed, f.node,
+             round(SUM(CAST(f.sigma AS DOUBLE) / w.sigma
+                       * (1.0 + {dterm})), 12) AS delta
+      FROM f{k} f
+      JOIN edges e ON e.src = f.node
+      JOIN f{k + 1} w ON w.seed = f.seed AND w.node = e.dst{bjoin}
+      GROUP BY f.seed, f.node
+    )"""
+        )
+        prev = k
+    # per-edge credits at every level 0..max-1 (level 0 = seed's edges)
+    for k in range(0, _BC_MAX_HOPS):
+        dterm = (
+            f"COALESCE(b{k + 1}.delta, 0.0)"
+            if k + 1 <= _BC_MAX_HOPS - 1
+            else "0.0"
+        )
+        bjoin = (
+            f"\n      LEFT JOIN b{k + 1} ON b{k + 1}.seed = f.seed"
+            f" AND b{k + 1}.node = w.node"
+            if k + 1 <= _BC_MAX_HOPS - 1
+            else ""
+        )
+        ctes.append(
+            f"""ec{k} AS (
+      SELECT LEAST(f.node, w.node) AS eu, GREATEST(f.node, w.node) AS ev,
+             round(CAST(f.sigma AS DOUBLE) / w.sigma
+                   * (1.0 + {dterm}), 12) AS c
+      FROM f{k} f
+      JOIN edges e ON e.src = f.node
+      JOIN f{k + 1} w ON w.seed = f.seed AND w.node = e.dst{bjoin}
+    )"""
+        )
+    credits = "\n      UNION ALL ".join(
+        f"SELECT eu, ev, c FROM ec{k}" for k in range(_BC_MAX_HOPS)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT * FROM (
+      SELECT CAST(eu AS BIGINT) AS u, CAST(ev AS BIGINT) AS v,
+             round(CAST(SUM(CAST(round(c * 1000000000000.0, 0) AS BIGINT))
+                        AS DOUBLE) / 1000000000000.0, 6) AS edge_betweenness
+      FROM ({credits})
+      GROUP BY eu, ev
+      ORDER BY round(CAST(SUM(CAST(round(c * 1000000000000.0, 0) AS BIGINT))
+                          AS DOUBLE) / 1000000000000.0, 6) DESC, eu, ev
+      LIMIT 10
+    )"""
+    )
+
+
+@_q("edge_betweenness_topk", _sql_edge_betweenness())
+def q_edge_betweenness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eu_ = _undirected_edges(spark, sf_dir)
+    edges = (
+        eu_.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(
+            eu_.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    seeds = nodes.orderBy("node").limit(_BC_SEEDS)
+    f = {
+        0: seeds.select(
+            F.col("node").alias("seed"),
+            "node",
+            F.lit(1).cast("bigint").alias("sigma"),
+        ).localCheckpoint(eager=True)
+    }
+    settled = f[0].select("seed", "node").localCheckpoint(eager=True)
+    for k in range(1, _BC_MAX_HOPS + 1):
+        nxt = (
+            f[k - 1]
+            .join(edges, f[k - 1]["node"] == edges["src"])
+            .groupBy("seed", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(settled, ["seed", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        f[k] = nxt
+        settled = settled.unionByName(
+            nxt.select("seed", "node")
+        ).localCheckpoint(eager=True)
+    b: dict[int, DataFrame] = {}
+    for k in range(_BC_MAX_HOPS - 1, 0, -1):
+        w = f[k + 1].select(
+            F.col("seed").alias("w_seed"),
+            F.col("node").alias("w_node"),
+            F.col("sigma").alias("w_sigma"),
+        )
+        j = (
+            f[k]
+            .join(edges, f[k]["node"] == edges["src"])
+            .join(
+                w,
+                (F.col("w_seed") == F.col("seed"))
+                & (F.col("w_node") == F.col("dst")),
+            )
+        )
+        if k + 1 in b:
+            bd = b[k + 1].select(
+                F.col("seed").alias("b_seed"),
+                F.col("node").alias("b_node"),
+                F.col("delta").alias("b_delta"),
+            )
+            j = j.join(
+                bd,
+                (F.col("b_seed") == F.col("seed"))
+                & (F.col("b_node") == F.col("w_node")),
+                "left",
+            )
+            dterm = F.coalesce(F.col("b_delta"), F.lit(0.0))
+        else:
+            dterm = F.lit(0.0)
+        b[k] = (
+            j.groupBy("seed", f[k]["node"].alias("node"))
+            .agg(
+                F.round(
+                    F.sum(
+                        F.col("sigma").cast("double")
+                        / F.col("w_sigma")
+                        * (1.0 + dterm)
+                    ),
+                    12,
+                ).alias("delta")
+            )
+            .localCheckpoint(eager=True)
+        )
+    creds = []
+    for k in range(0, _BC_MAX_HOPS):
+        w = f[k + 1].select(
+            F.col("seed").alias("w_seed"),
+            F.col("node").alias("w_node"),
+            F.col("sigma").alias("w_sigma"),
+        )
+        j = (
+            f[k]
+            .join(edges, f[k]["node"] == edges["src"])
+            .join(
+                w,
+                (F.col("w_seed") == F.col("seed"))
+                & (F.col("w_node") == F.col("dst")),
+            )
+        )
+        if k + 1 in b:
+            bd = b[k + 1].select(
+                F.col("seed").alias("b_seed"),
+                F.col("node").alias("b_node"),
+                F.col("delta").alias("b_delta"),
+            )
+            j = j.join(
+                bd,
+                (F.col("b_seed") == F.col("seed"))
+                & (F.col("b_node") == F.col("w_node")),
+                "left",
+            )
+            dterm = F.coalesce(F.col("b_delta"), F.lit(0.0))
+        else:
+            dterm = F.lit(0.0)
+        creds.append(
+            j.select(
+                F.least(f[k]["node"], F.col("w_node")).alias("eu"),
+                F.greatest(f[k]["node"], F.col("w_node")).alias("ev"),
+                F.round(
+                    F.col("sigma").cast("double")
+                    / F.col("w_sigma")
+                    * (1.0 + dterm),
+                    12,
+                ).alias("c"),
+            )
+        )
+    from functools import reduce
+
+    allc = reduce(lambda a, x: a.unionByName(x), creds)
+    pico = F.sum(F.round(F.col("c") * 1e12, 0).cast("bigint"))
+    return (
+        allc.groupBy("eu", "ev")
+        .agg(
+            F.round(pico.cast("double") / 1e12, 6).alias("edge_betweenness")
+        )
+        .select(
+            F.col("eu").cast("bigint").alias("u"),
+            F.col("ev").cast("bigint").alias("v"),
+            "edge_betweenness",
+        )
+        .orderBy(F.desc("edge_betweenness"), "u", "v")
+        .limit(10)
+    )

@@ -1413,3 +1413,113 @@ def q_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("beta_discount_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal coverage audit (Vovk et al.; Lei et al. JASA 2018) —
+# the distribution-free interval guarantee, done entirely on the
+# integer lattice: calibration = even order keys, test = odd;
+# nonconformity = |2y − m2| in doubled cents around the calibration
+# MEDIAN (the doubled-median trick keeps half-cent medians integer);
+# the conformal threshold is the ⌈(n_cal+1)·0.9⌉-th smallest
+# calibration score — an ORDER STATISTIC selected by windowed cumsum
+# over the BOUNDED distinct-score spine (never a per-row global
+# rank) — and the audit reports achieved test coverage, which the
+# theorem lower-bounds by 0.9 in expectation. Every number exact
+# until the one coverage division.
+@_q(
+    "conformal_coverage_audit",
+    """
+    WITH pr AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+             o_orderkey % 2 = 0 AS is_cal
+      FROM orders
+    ),
+    calr AS (
+      SELECT y, row_number() OVER (ORDER BY y) AS rn,
+             COUNT(*) OVER () AS n
+      FROM pr WHERE is_cal
+    ),
+    med AS (
+      SELECT CAST(SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                           THEN y END)
+                  * MAX(CASE WHEN (n + 1) // 2 = (n + 2) // 2
+                             THEN 2 ELSE 1 END) AS BIGINT) AS m2,
+             MAX(n) AS n_cal
+      FROM calr
+    ),
+    scores AS (
+      SELECT ABS(2 * p.y - m.m2) AS s2, p.is_cal
+      FROM pr p CROSS JOIN med m
+    ),
+    spine AS (
+      SELECT s2, COUNT(*) AS cnt FROM scores WHERE is_cal GROUP BY s2
+    ),
+    thr AS (
+      SELECT MIN(s2) AS q FROM (
+        SELECT s2, SUM(cnt) OVER (ORDER BY s2) AS cum
+        FROM spine
+      ) WHERE cum >= (SELECT CAST(ceil((n_cal + 1) * 0.9) AS BIGINT)
+                      FROM med)
+    )
+    SELECT CAST(m.n_cal AS BIGINT) AS n_cal,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(t.q AS BIGINT) AS q_s2,
+           round(CAST(SUM(CASE WHEN s.s2 <= t.q THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS coverage
+    FROM scores s CROSS JOIN thr t CROSS JOIN med m
+    WHERE NOT s.is_cal
+    GROUP BY m.n_cal, t.q
+    """,
+)
+def q_conformal_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    pr = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+        (F.col("o_orderkey") % 2 == 0).alias("is_cal"),
+    ).localCheckpoint(eager=True)  # read by median spine + both score sides
+    # calibration median on the BOUNDED distinct-value spine (the SQL
+    # twin's per-row row_number is fine for DuckDB; at scale Spark must
+    # never rank raw rows globally): m_lo/m_hi = first values whose
+    # cumulative count reaches the two middle ranks
+    yspine = pr.where("is_cal").groupBy("y").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wsp0 = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    ycum = yspine.select(
+        "y", F.sum("cnt").over(wsp0).alias("cum")
+    ).localCheckpoint(eager=True)  # read for n_cal + both middle ranks
+    n_cal = int(ycum.agg(F.max("cum")).collect()[0][0])
+    lo_rank, hi_rank = (n_cal + 1) // 2, (n_cal + 2) // 2
+    m_lo = ycum.where(F.col("cum") >= lo_rank).agg(F.min("y")).collect()[0][0]
+    m_hi = ycum.where(F.col("cum") >= hi_rank).agg(F.min("y")).collect()[0][0]
+    m2 = int(m_lo) + int(m_hi)
+    scores = pr.select(
+        F.abs(2 * F.col("y") - F.lit(m2)).alias("s2"), "is_cal"
+    )
+    k = -(-(n_cal + 1) * 9 // 10)  # ceil((n_cal+1)*0.9) exactly
+    spine = (
+        scores.where("is_cal").groupBy("s2").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wsp = Window.orderBy("s2").rowsBetween(Window.unboundedPreceding, 0)
+    q = int(
+        spine.select("s2", F.sum("cnt").over(wsp).alias("cum"))
+        .where(F.col("cum") >= k)
+        .agg(F.min("s2").alias("q"))
+        .collect()[0]["q"]
+    )
+    return (
+        scores.where(~F.col("is_cal"))
+        .agg(
+            F.lit(n_cal).cast("bigint").alias("n_cal"),
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.lit(q).cast("bigint").alias("q_s2"),
+            F.round(
+                F.sum(F.when(F.col("s2") <= q, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("coverage"),
+        )
+    )

@@ -989,3 +989,71 @@ def q_cohens_kappa_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("p_expected"),
         F.round((po - pe) / (1 - pe), 6).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cramér–von Mises drift statistic on the same era split as
+# wasserstein_price_drift — the SQUARED-integral member of the drift
+# family (KS = sup gap, W1 = ∫|gap|, CvM = ∫gap²·dF_pooled): on the
+# dollar-quantized spine, T = Σ_v (F1−F2)²·w_v / N with w_v the
+# pooled mass at v. Exact arithmetic: the gap at v is the integer
+# (F1·n2 − F2·n1), so each spine term is
+# (F1·n2 − F2·n1)²·w_v — an exact DECIMAL(38,0)/HUGEINT — and T needs
+# ONE division by n1²·n2²·N. Same bounded-spine windowed-cumsum plan
+# as W1.
+@_q(
+    "cramer_von_mises_drift",
+    """
+    WITH v AS (
+      SELECT CAST(round(o_totalprice / 100) AS BIGINT) AS val,
+             CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END AS era
+      FROM orders
+    ),
+    g AS (
+      SELECT val, SUM(era) AS c1, SUM(1 - era) AS c2
+      FROM v GROUP BY val
+    ),
+    c AS (
+      SELECT val, c1 + c2 AS w,
+             SUM(c1) OVER (ORDER BY val) AS f1,
+             SUM(c2) OVER (ORDER BY val) AS f2
+      FROM g
+    ),
+    n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM g)
+    SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+           round(CAST(SUM(CAST(c.f1 * n.n2 - c.f2 * n.n1 AS HUGEINT)
+                          * (c.f1 * n.n2 - c.f2 * n.n1) * c.w) AS DOUBLE)
+                 / (CAST(n.n1 AS DOUBLE) * n.n1 * n.n2 * n.n2
+                    * (n.n1 + n.n2)), 6) AS cvm_t
+    FROM c CROSS JOIN n
+    GROUP BY n.n1, n.n2
+    """,
+)
+def q_cramer_von_mises_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    v = o.select(
+        F.round(F.col("o_totalprice") / 100).cast("bigint").alias("val"),
+        F.when(F.year("o_orderdate") <= 1997, 1).otherwise(0).alias("era"),
+    )
+    g = v.groupBy("val").agg(
+        F.sum("era").alias("c1"), F.sum(1 - F.col("era")).alias("c2")
+    )
+    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        (F.col("c1") + F.col("c2")).alias("w"),
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+    )
+    nrow = g.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2")).collect()[0]
+    n1, n2 = int(nrow["n1"]), int(nrow["n2"])
+    gap = F.col("f1") * n2 - F.col("f2") * n1
+    term = gap.cast("decimal(38,0)") * gap * F.col("w")
+    return c.agg(
+        F.lit(n1).cast("bigint").alias("n1"),
+        F.lit(n2).cast("bigint").alias("n2"),
+        F.round(
+            F.sum(term).cast("double")
+            / (float(n1) * n1 * n2 * n2 * (n1 + n2)),
+            6,
+        ).alias("cvm_t"),
+    )
