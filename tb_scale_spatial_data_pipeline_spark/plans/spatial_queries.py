@@ -1172,3 +1172,176 @@ def q_idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gx", "gy")
     )
+
+
+# ---------------------------------------------------------------------------
+# Local Outlier Factor (Breunig et al. SIGMOD 2000) over the order
+# point lattice — the density-RATIO outlier detector (grid_dbscan
+# gives membership, LOF gives a graded score): k=4 neighbors found by
+# the same 3×3-cell blocked join as spatial_knn_join (envelope: exact
+# while kdist ≤ cell size 8, same documented contract), then
+# reach²(p,o) = max(d²(p,o), kdist²(o)), lrd(p) = k/Σ reach, and
+# LOF(p) = mean(lrd(o))/lrd(p). Determinism ladder: d² exact integers
+# on the (o_orderkey mod 251/241) lattice, (d², id) neighbor ties,
+# per-edge sqrt round(9), per-node sums of exactly k rounded values
+# in DECIMAL(38,9), lrd round(9) before the ratio, LOF round(6).
+# Co-located points max out at 3 < k on every fixture SF so kdist>0;
+# the zero-sum guard keeps a degenerate future fixture NULL, not inf.
+_LOF_K = 4
+_LOF_CELL = 8
+
+
+def _sql_lof() -> str:
+    k, cs = _LOF_K, _LOF_CELL
+    return f"""
+    WITH pts AS (
+      SELECT o_orderkey AS id,
+             CAST(o_orderkey % 251 AS BIGINT) AS px,
+             CAST(o_orderkey % 241 AS BIGINT) AS py
+      FROM orders
+    ),
+    cand AS (
+      SELECT p.id AS pid, q.id AS qid,
+             (p.px - q.px) * (p.px - q.px)
+             + (p.py - q.py) * (p.py - q.py) AS d2
+      FROM pts p
+      JOIN (SELECT id, px, py, px // {cs} AS cx, py // {cs} AS cy
+            FROM pts) q
+        ON q.cx BETWEEN p.px // {cs} - 1 AND p.px // {cs} + 1
+       AND q.cy BETWEEN p.py // {cs} - 1 AND p.py // {cs} + 1
+       AND q.id <> p.id
+    ),
+    knn AS (
+      SELECT pid, qid, d2 FROM (
+        SELECT pid, qid, d2,
+               row_number() OVER (PARTITION BY pid ORDER BY d2, qid) AS rn
+        FROM cand
+      ) WHERE rn <= {k}
+    ),
+    kd AS (SELECT pid, MAX(d2) AS kdist2, COUNT(*) AS nk
+           FROM knn GROUP BY pid),
+    reach AS (
+      SELECT n.pid, n.qid,
+             CAST(round(sqrt(CAST(GREATEST(n.d2, ko.kdist2) AS DOUBLE)), 9)
+                  AS DECIMAL(38,9)) AS r
+      FROM knn n JOIN kd ko ON ko.pid = n.qid
+    ),
+    lrd AS (
+      SELECT r.pid,
+             round(CASE WHEN SUM(r.r) > 0
+                   THEN {k}.0 / CAST(SUM(r.r) AS DOUBLE) END, 9) AS lrd9
+      FROM reach r JOIN kd ON kd.pid = r.pid
+      WHERE kd.nk = {k}
+      GROUP BY r.pid
+    ),
+    lof AS (
+      SELECT n.pid,
+             round(CAST(SUM(CAST(lo.lrd9 AS DECIMAL(38,9))) AS DOUBLE)
+                   / ({k} * lp.lrd9), 6) AS lof
+      FROM knn n
+      JOIN lrd lo ON lo.pid = n.qid
+      JOIN lrd lp ON lp.pid = n.pid
+      GROUP BY n.pid, lp.lrd9
+    )
+    SELECT CAST(l.pid AS BIGINT) AS o_orderkey, l.lof,
+           round(sqrt(CAST(kd.kdist2 AS DOUBLE)), 6) AS kdist
+    FROM lof l JOIN kd ON kd.pid = l.pid
+    ORDER BY l.lof DESC, o_orderkey LIMIT 10
+    """
+
+
+@_q("lof_outlier_scores", _sql_lof())
+def q_lof_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k, cs = _LOF_K, _LOF_CELL
+    o = t(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_orderkey") % 251).cast("bigint").alias("px"),
+        (F.col("o_orderkey") % 241).cast("bigint").alias("py"),
+    ).localCheckpoint(eager=True)  # probe + build sides
+    q = pts.select(
+        F.col("id").alias("qid"),
+        F.col("px").alias("qx"),
+        F.col("py").alias("qy"),
+        F.expr(f"px DIV {cs}").alias("cx"),
+        F.expr(f"py DIV {cs}").alias("cy"),
+    )
+    p = pts.select(
+        F.col("id").alias("pid"),
+        "px",
+        "py",
+        F.expr(f"px DIV {cs}").alias("pcx"),
+        F.expr(f"py DIV {cs}").alias("pcy"),
+    )
+    cand = p.join(
+        q,
+        (F.col("cx") >= F.col("pcx") - 1)
+        & (F.col("cx") <= F.col("pcx") + 1)
+        & (F.col("cy") >= F.col("pcy") - 1)
+        & (F.col("cy") <= F.col("pcy") + 1)
+        & (F.col("qid") != F.col("pid")),
+    ).select(
+        "pid",
+        "qid",
+        (
+            (F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx"))
+            + (F.col("py") - F.col("qy")) * (F.col("py") - F.col("qy"))
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("pid").orderBy("d2", "qid")
+    knn = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("pid", "qid", "d2")
+        .localCheckpoint(eager=True)  # read by kd, reach, lof
+    )
+    kd = knn.groupBy("pid").agg(
+        F.max("d2").alias("kdist2"), F.count(F.lit(1)).alias("nk")
+    )
+    ko = kd.select(F.col("pid").alias("qid"), F.col("kdist2").alias("kq"))
+    reach = knn.join(ko, "qid").select(
+        "pid",
+        "qid",
+        F.round(F.sqrt(F.greatest("d2", "kq").cast("double")), 9)
+        .cast("decimal(38,9)")
+        .alias("r"),
+    )
+    lrd = (
+        reach.join(kd.where(F.col("nk") == k).select("pid"), "pid")
+        .groupBy("pid")
+        .agg(
+            F.round(
+                F.when(
+                    F.sum("r") > 0, F.lit(float(k)) / F.sum("r").cast("double")
+                ),
+                9,
+            ).alias("lrd9")
+        )
+        .localCheckpoint(eager=True)  # read as both lo and lp
+    )
+    lo = lrd.select(F.col("pid").alias("qid"), F.col("lrd9").alias("lrdq"))
+    lp = lrd.select("pid", F.col("lrd9").alias("lrdp"))
+    lof = (
+        knn.join(lo, "qid")
+        .join(lp, "pid")
+        .groupBy("pid", "lrdp")
+        .agg(
+            F.round(
+                F.sum(F.col("lrdq").cast("decimal(38,9)")).cast("double")
+                / (k * F.col("lrdp")),
+                6,
+            ).alias("lof")
+        )
+    )
+    return (
+        lof.join(kd.select("pid", "kdist2"), "pid")
+        .select(
+            F.col("pid").cast("bigint").alias("o_orderkey"),
+            "lof",
+            F.round(F.sqrt(F.col("kdist2").cast("double")), 6).alias(
+                "kdist"
+            ),
+        )
+        .orderBy(F.desc("lof"), "o_orderkey")
+        .limit(10)
+    )

@@ -800,3 +800,51 @@ def test_edge_betweenness_consistency_with_nodes(spark):
     assert [
         (pytest.approx(w[0], abs=1e-6), w[1], w[2]) for w in want
     ] == got
+
+
+def test_lof_replay(spark):
+    """Full scipy-free LOF replay on the small fixture with the same
+    blocked candidate set, rounding ladder and tie rules."""
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    pts = {
+        o["o_orderkey"]: (o["o_orderkey"] % 251, o["o_orderkey"] % 241)
+        for o in orders
+    }
+    K, CS = 4, 8
+    from collections import defaultdict as dd
+
+    cells = dd(list)
+    for i, (x, y) in pts.items():
+        cells[(x // CS, y // CS)].append(i)
+    knn = {}
+    for i, (x, y) in pts.items():
+        cand = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for j in cells.get((x // CS + dx, y // CS + dy), []):
+                    if j != i:
+                        qx, qy = pts[j]
+                        cand.append(
+                            ((x - qx) ** 2 + (y - qy) ** 2, j)
+                        )
+        cand.sort()
+        knn[i] = cand[:K]
+    kd = {i: max(d for d, _ in nn) for i, nn in knn.items() if nn}
+    lrd9 = {}
+    for i, nn in knn.items():
+        if len(nn) != K:
+            continue
+        s = sum(round(math.sqrt(max(d, kd[j])), 9) for d, j in nn)
+        lrd9[i] = round(K / s, 9) if s > 0 else None
+    want = {}
+    for i, nn in knn.items():
+        if i not in lrd9 or any(j not in lrd9 for _, j in nn):
+            continue
+        want[i] = round(sum(lrd9[j] for _, j in nn) / (K * lrd9[i]), 6)
+    top = sorted(want.items(), key=lambda t: (-t[1], t[0]))[:10]
+    rows = all_queries()["lof_outlier_scores"](spark, SF_SMOKE).collect()
+    got = [(r["o_orderkey"], r["lof"]) for r in rows]
+    assert [(i, pytest.approx(v, abs=1e-6)) for i, v in top] == got
+    # density-ratio semantics: scores near 1 are inliers; the reported
+    # top-10 must be the HIGH tail
+    assert all(v >= 1.0 for _, v in got) or any(v > 1.0 for _, v in got)
