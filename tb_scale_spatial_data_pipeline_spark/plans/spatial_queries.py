@@ -1200,16 +1200,24 @@ def _sql_lof() -> str:
              CAST(o_orderkey % 241 AS BIGINT) AS py
       FROM orders
     ),
+    qx AS (
+      -- each point registers in its cell AND its 8 neighbors, so the
+      -- probe is a pure EQUI join on the cell key (a range-only join
+      -- plans as a nested loop = points x points; this exploded form
+      -- is the spatial_knn_join discipline)
+      SELECT id, px, py,
+             px // {cs} + dx.o AS cx, py // {cs} + dy.o AS cy
+      FROM pts,
+           LATERAL unnest([-1, 0, 1]) AS dx(o),
+           LATERAL unnest([-1, 0, 1]) AS dy(o)
+    ),
     cand AS (
       SELECT p.id AS pid, q.id AS qid,
              (p.px - q.px) * (p.px - q.px)
              + (p.py - q.py) * (p.py - q.py) AS d2
-      FROM pts p
-      JOIN (SELECT id, px, py, px // {cs} AS cx, py // {cs} AS cy
-            FROM pts) q
-        ON q.cx BETWEEN p.px // {cs} - 1 AND p.px // {cs} + 1
-       AND q.cy BETWEEN p.py // {cs} - 1 AND p.py // {cs} + 1
-       AND q.id <> p.id
+      FROM (SELECT id, px, py, px // {cs} AS cx, py // {cs} AS cy
+            FROM pts) p
+      JOIN qx q ON q.cx = p.cx AND q.cy = p.cy AND q.id <> p.id
     ),
     knn AS (
       SELECT pid, qid, d2 FROM (
@@ -1259,28 +1267,40 @@ def q_lof_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 251).cast("bigint").alias("px"),
         (F.col("o_orderkey") % 241).cast("bigint").alias("py"),
     ).localCheckpoint(eager=True)  # probe + build sides
-    q = pts.select(
-        F.col("id").alias("qid"),
-        F.col("px").alias("qx"),
-        F.col("py").alias("qy"),
-        F.expr(f"px DIV {cs}").alias("cx"),
-        F.expr(f"py DIV {cs}").alias("cy"),
+    # each point registers in its 9 surrounding cells so the probe is
+    # a pure EQUI join on (cx, cy) — a range-only join would plan as a
+    # nested loop (points × points, measured hanging at sf0.1)
+    off = F.explode(
+        F.array(*[F.lit(o) for o in (-1, 0, 1)])
+    )
+    q = (
+        pts.select(
+            F.col("id").alias("qid"),
+            F.col("px").alias("qx"),
+            F.col("py").alias("qy"),
+            F.expr(f"px DIV {cs}").alias("cx0"),
+            F.expr(f"py DIV {cs}").alias("cy0"),
+        )
+        .withColumn("dx", off)
+        .withColumn("dy", off)
+        .select(
+            "qid",
+            "qx",
+            "qy",
+            (F.col("cx0") + F.col("dx")).alias("cx"),
+            (F.col("cy0") + F.col("dy")).alias("cy"),
+        )
     )
     p = pts.select(
         F.col("id").alias("pid"),
         "px",
         "py",
-        F.expr(f"px DIV {cs}").alias("pcx"),
-        F.expr(f"py DIV {cs}").alias("pcy"),
+        F.expr(f"px DIV {cs}").alias("cx"),
+        F.expr(f"py DIV {cs}").alias("cy"),
     )
     cand = p.join(
-        q,
-        (F.col("cx") >= F.col("pcx") - 1)
-        & (F.col("cx") <= F.col("pcx") + 1)
-        & (F.col("cy") >= F.col("pcy") - 1)
-        & (F.col("cy") <= F.col("pcy") + 1)
-        & (F.col("qid") != F.col("pid")),
-    ).select(
+        q, ["cx", "cy"]
+    ).where(F.col("qid") != F.col("pid")).select(
         "pid",
         "qid",
         (

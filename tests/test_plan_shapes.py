@@ -366,3 +366,13 @@ def test_gains_lift_no_raw_global_window(spark):
     query originally had was flagged and rewritten)."""
     q = all_queries()["cumulative_gains_lift"](spark, SF_SMOKE)
     assert not _raw_global_windows(q)
+
+
+def test_lof_candidates_equi_join_only(spark):
+    """The 9-cell neighborhood must reach the join as an EQUI key
+    (points register in their 9 surrounding cells) — a range-only
+    join plans as a nested loop = points x points (measured hanging
+    at sf0.1 before the rewrite)."""
+    p = plan_of(spark, "lof_outlier_scores")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
