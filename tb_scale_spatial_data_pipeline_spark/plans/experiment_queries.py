@@ -824,3 +824,87 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("logrank_chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exposure-adjusted incidence-rate ratio (classic Poisson-process
+# epidemiology readout, the survival tier's rate-based sibling):
+# events = purchases, exposure = each user's observed seconds (first
+# to last event), cohorts = user-id parity. λ = events/exposure per
+# cohort — exact integer counts over exact integer second sums — and
+# the report is the rate ratio with its log-scale Wald standard error
+# 1/√e1 + ... (se² = 1/e1 + 1/e2, the classic Poisson approximation).
+# One aggregation per cohort; four integers + two divisions + one ln.
+@_q(
+    "incidence_rate_ratio",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INT) AS grp,
+             CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)
+               AS exposure_s,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS n_ev
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT grp, SUM(n_ev) AS ev, SUM(exposure_s) AS expo
+      FROM per_user WHERE exposure_s > 0 GROUP BY grp
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN grp = 1 THEN ev END) AS e1,
+             MAX(CASE WHEN grp = 1 THEN expo END) AS x1,
+             MAX(CASE WHEN grp = 0 THEN ev END) AS e0,
+             MAX(CASE WHEN grp = 0 THEN expo END) AS x0
+      FROM g
+    )
+    SELECT CAST(e1 AS BIGINT) AS events_1, CAST(x1 AS BIGINT) AS exposure_1,
+           CAST(e0 AS BIGINT) AS events_0, CAST(x0 AS BIGINT) AS exposure_0,
+           round(CAST(e1 AS DOUBLE) * x0 / (CAST(e0 AS DOUBLE) * x1), 6)
+             AS rate_ratio,
+           round(ln(CAST(e1 AS DOUBLE) * x0 / (CAST(e0 AS DOUBLE) * x1))
+                 / sqrt(1.0 / e1 + 1.0 / e0), 6) AS log_irr_z
+    FROM w
+    """,
+)
+def q_incidence_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).cast("bigint").alias("exposure_s"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_ev"),
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("grp"),
+        "exposure_s",
+        "n_ev",
+    )
+    g = (
+        per_user.where(F.col("exposure_s") > 0)
+        .groupBy("grp")
+        .agg(F.sum("n_ev").alias("ev"), F.sum("exposure_s").alias("expo"))
+    )
+    pick = lambda c, v: F.max(F.when(F.col("grp") == v, F.col(c)))
+    w = g.agg(
+        pick("ev", 1).alias("e1"),
+        pick("expo", 1).alias("x1"),
+        pick("ev", 0).alias("e0"),
+        pick("expo", 0).alias("x0"),
+    )
+    irr = (
+        F.col("e1").cast("double")
+        * F.col("x0")
+        / (F.col("e0").cast("double") * F.col("x1"))
+    )
+    return w.select(
+        F.col("e1").cast("bigint").alias("events_1"),
+        F.col("x1").cast("bigint").alias("exposure_1"),
+        F.col("e0").cast("bigint").alias("events_0"),
+        F.col("x0").cast("bigint").alias("exposure_0"),
+        F.round(irr, 6).alias("rate_ratio"),
+        F.round(
+            F.log(irr) / F.sqrt(1.0 / F.col("e1") + 1.0 / F.col("e0")), 6
+        ).alias("log_irr_z"),
+    )

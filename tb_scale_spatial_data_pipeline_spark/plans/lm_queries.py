@@ -28,7 +28,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize_text, word_tokens
@@ -759,4 +759,92 @@ def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("c_bigram"), F.asc("w1"), F.asc("w2"))
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# OOV-rate vocabulary curve — the tokenizer-budget planning table
+# (Heaps-law's operational twin: heaps_law_vocab_growth says how fast
+# vocab grows, this says what a FIXED vocab misses): train = even
+# doc_ids, held-out = odd; for each vocab size N in a literal sweep,
+# vocab = top-N train words by (count DESC, word) — a deterministic
+# total order — and the report is the held-out token OOV rate. Exact
+# integers; the top-N boundary rides the bounded distinct-word spine
+# (windowed rank over the aggregated word table, never raw tokens).
+_OOV_SIZES = (100, 500, 1000, 2000)
+
+
+def _sql_oov() -> str:
+    sizes = ", ".join(f"({n})" for n in _OOV_SIZES)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+      FROM documents
+    ),
+    tk AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+    train AS (
+      SELECT w, COUNT(*) AS c FROM tk WHERE doc_id % 2 = 0 GROUP BY w
+    ),
+    ranked AS (
+      SELECT w, row_number() OVER (ORDER BY c DESC, w) AS rnk FROM train
+    ),
+    held AS (
+      SELECT w, COUNT(*) AS c FROM tk WHERE doc_id % 2 = 1 GROUP BY w
+    ),
+    sizes(n) AS (VALUES {sizes})
+    SELECT CAST(s.n AS BIGINT) AS vocab_size,
+           CAST(SUM(h.c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN r.rnk IS NULL OR r.rnk > s.n
+                    THEN h.c ELSE 0 END) AS BIGINT) AS n_oov,
+           round(CAST(SUM(CASE WHEN r.rnk IS NULL OR r.rnk > s.n
+                          THEN h.c ELSE 0 END) AS DOUBLE)
+                 / SUM(h.c), 6) AS oov_rate
+    FROM held h
+    LEFT JOIN ranked r ON r.w = h.w
+    CROSS JOIN sizes s
+    GROUP BY s.n ORDER BY vocab_size
+    """
+
+
+@_q("oov_rate_by_vocab_size", _sql_oov())
+def q_oov_rate_by_vocab_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("w"),
+    ).where(F.col("w") != "")
+    train = (
+        tk.where(F.col("doc_id") % 2 == 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = train.select(
+        "w",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), "w"))
+        .alias("rnk"),  # bounded: the distinct-word table
+    )
+    held = (
+        tk.where(F.col("doc_id") % 2 == 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("hc"))
+    )
+    sizes = F.explode(
+        F.array(*[F.lit(int(n)) for n in _OOV_SIZES])
+    ).alias("n")
+    j = held.join(ranked, "w", "left").select("hc", "rnk", sizes)
+    oov = F.when(
+        F.col("rnk").isNull() | (F.col("rnk") > F.col("n")), F.col("hc")
+    ).otherwise(0)
+    return (
+        j.groupBy(F.col("n").cast("bigint").alias("vocab_size"))
+        .agg(
+            F.sum("hc").cast("bigint").alias("n_tokens"),
+            F.sum(oov).cast("bigint").alias("n_oov"),
+            F.round(
+                F.sum(oov).cast("double") / F.sum("hc"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("vocab_size")
     )

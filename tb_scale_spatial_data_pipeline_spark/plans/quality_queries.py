@@ -919,3 +919,95 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l").cast("bigint").alias("l"), "n_groups", "n_rows", "min_group_size")
         .orderBy("l")
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox audit (Simpson 1951; Bickel's Berkeley case) —
+# the BI sanity check that belongs next to mix_shift_decomposition:
+# does the pooled association between order status F and high
+# priority hold within every market segment, or does aggregation
+# reverse it? Report: pooled rate difference + per-segment rate
+# differences + the reversal verdict, all from exact integer counts
+# (one fact-dim join + two groupBys; divisions at report time). The
+# verdict column makes the paradox machine-checkable: 'reversal' iff
+# some segment's sign contradicts the pooled sign.
+@_q(
+    "simpsons_paradox_audit",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS x,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    seg AS (
+      SELECT seg,
+             SUM(CASE WHEN x = 1 THEN y ELSE 0 END) AS y1,
+             SUM(x) AS n1,
+             SUM(CASE WHEN x = 0 THEN y ELSE 0 END) AS y0,
+             SUM(1 - x) AS n0
+      FROM j GROUP BY seg
+    ),
+    pool AS (
+      SELECT SUM(y1) AS y1, SUM(n1) AS n1, SUM(y0) AS y0, SUM(n0) AS n0
+      FROM seg
+    )
+    SELECT s.seg AS segment,
+           CAST(s.n1 AS BIGINT) AS n_exposed,
+           CAST(s.n0 AS BIGINT) AS n_unexposed,
+           round(CAST(s.y1 AS DOUBLE) / s.n1
+                 - CAST(s.y0 AS DOUBLE) / s.n0, 6) AS seg_rate_diff,
+           round(CAST(p.y1 AS DOUBLE) / p.n1
+                 - CAST(p.y0 AS DOUBLE) / p.n0, 6) AS pooled_rate_diff,
+           CASE WHEN (CAST(s.y1 AS DOUBLE) / s.n1
+                      - CAST(s.y0 AS DOUBLE) / s.n0)
+                     * (CAST(p.y1 AS DOUBLE) / p.n1
+                        - CAST(p.y0 AS DOUBLE) / p.n0) < 0
+                THEN 'reversal' ELSE 'consistent' END AS verdict
+    FROM seg s CROSS JOIN pool p
+    ORDER BY segment
+    """,
+)
+def q_simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("x"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    seg = j.groupBy("seg").agg(
+        F.sum(F.when(F.col("x") == 1, F.col("y")).otherwise(0)).alias("y1"),
+        F.sum("x").alias("n1"),
+        F.sum(F.when(F.col("x") == 0, F.col("y")).otherwise(0)).alias("y0"),
+        F.sum(1 - F.col("x")).alias("n0"),
+    ).localCheckpoint(eager=True)  # read per-segment + pooled
+    pool = seg.agg(
+        F.sum("y1").alias("py1"),
+        F.sum("n1").alias("pn1"),
+        F.sum("y0").alias("py0"),
+        F.sum("n0").alias("pn0"),
+    )
+    sd = F.col("y1").cast("double") / F.col("n1") - F.col("y0").cast(
+        "double"
+    ) / F.col("n0")
+    pd_ = F.col("py1").cast("double") / F.col("pn1") - F.col("py0").cast(
+        "double"
+    ) / F.col("pn0")
+    return (
+        seg.crossJoin(F.broadcast(pool))
+        .select(
+            F.col("seg").alias("segment"),
+            F.col("n1").cast("bigint").alias("n_exposed"),
+            F.col("n0").cast("bigint").alias("n_unexposed"),
+            F.round(sd, 6).alias("seg_rate_diff"),
+            F.round(pd_, 6).alias("pooled_rate_diff"),
+            F.when(sd * pd_ < 0, "reversal")
+            .otherwise("consistent")
+            .alias("verdict"),
+        )
+        .orderBy("segment")
+    )

@@ -848,3 +848,75 @@ def test_lof_replay(spark):
     # density-ratio semantics: scores near 1 are inliers; the reported
     # top-10 must be the HIGH tail
     assert all(v >= 1.0 for _, v in got) or any(v > 1.0 for _, v in got)
+
+
+def test_oov_curve_monotone_and_replay(spark):
+    """OOV rate is nonincreasing in vocab size; replay N=100 exactly
+    with the same (count DESC, word) rank order."""
+    from collections import Counter
+    import re as _re
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    train: Counter = Counter()
+    held: Counter = Counter()
+    for d in docs:
+        toks = [w for w in _re.split(r"[^a-z0-9]+", d["text"].lower()) if w]
+        (train if d["doc_id"] % 2 == 0 else held).update(toks)
+    vocab100 = {
+        w
+        for w, _ in sorted(train.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :100
+        ]
+    }
+    n_tokens = sum(held.values())
+    n_oov = sum(c for w, c in held.items() if w not in vocab100)
+    rows = {
+        r["vocab_size"]: r
+        for r in all_queries()["oov_rate_by_vocab_size"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert rows[100]["n_tokens"] == n_tokens
+    assert rows[100]["n_oov"] == n_oov
+    rates = [rows[n]["oov_rate"] for n in sorted(rows)]
+    assert rates == sorted(rates, reverse=True)
+
+
+def test_incidence_rate_ratio_replay(spark):
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    agg = defaultdict(lambda: [None, None, 0])  # min, max, events
+    for e in ev:
+        a = agg[e["user_id"]]
+        a[0] = e["ts"] if a[0] is None or e["ts"] < a[0] else a[0]
+        a[1] = e["ts"] if a[1] is None or e["ts"] > a[1] else a[1]
+        a[2] += 1 if e["event_type"] == "purchase" else 0
+    stats = {0: [0, 0], 1: [0, 0]}
+    import calendar
+
+    def _floor_s(ts):
+        return calendar.timegm(ts.timetuple())
+
+    for uid, (lo, hi, n) in agg.items():
+        # both engines difference SECOND-FLOORED timestamps
+        # (unix_timestamp / date_diff('second')), not the floored
+        # difference — they disagree when micro(lo) > micro(hi)
+        expo = _floor_s(hi) - _floor_s(lo)
+        if expo > 0:
+            stats[uid % 2][0] += n
+            stats[uid % 2][1] += expo
+    r = all_queries()["incidence_rate_ratio"](spark, SF_SMOKE).collect()[0]
+    assert (r["events_1"], r["exposure_1"]) == tuple(stats[1])
+    assert (r["events_0"], r["exposure_0"]) == tuple(stats[0])
+    want = stats[1][0] * stats[0][1] / (stats[0][0] * stats[1][1])
+    assert r["rate_ratio"] == pytest.approx(want, abs=1e-6)
+
+
+def test_simpsons_audit_identities(spark):
+    rows = all_queries()["simpsons_paradox_audit"](spark, SF_MID).collect()
+    assert len(rows) == 5
+    pooled = {r["pooled_rate_diff"] for r in rows}
+    assert len(pooled) == 1  # same pooled value on every row
+    for r in rows:
+        assert r["verdict"] in ("reversal", "consistent")
+        if r["seg_rate_diff"] * r["pooled_rate_diff"] < 0:
+            assert r["verdict"] == "reversal"
