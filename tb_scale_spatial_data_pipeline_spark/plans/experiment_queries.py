@@ -860,10 +860,13 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(e1 AS BIGINT) AS events_1, CAST(x1 AS BIGINT) AS exposure_1,
            CAST(e0 AS BIGINT) AS events_0, CAST(x0 AS BIGINT) AS exposure_0,
-           round(CAST(e1 AS DOUBLE) * x0 / (CAST(e0 AS DOUBLE) * x1), 6)
-             AS rate_ratio,
-           round(ln(CAST(e1 AS DOUBLE) * x0 / (CAST(e0 AS DOUBLE) * x1))
-                 / sqrt(1.0 / e1 + 1.0 / e0), 6) AS log_irr_z
+           CASE WHEN e1 = 0 OR e0 = 0 OR x1 = 0 OR x0 = 0 THEN NULL
+                ELSE round(CAST(e1 AS DOUBLE) * x0
+                           / (CAST(e0 AS DOUBLE) * x1), 6) END AS rate_ratio,
+           CASE WHEN e1 = 0 OR e0 = 0 OR x1 = 0 OR x0 = 0 THEN NULL
+                ELSE round(ln(CAST(e1 AS DOUBLE) * x0
+                              / (CAST(e0 AS DOUBLE) * x1))
+                           / sqrt(1.0 / e1 + 1.0 / e0), 6) END AS log_irr_z
     FROM w
     """,
 )
@@ -898,13 +901,29 @@ def q_incidence_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("x0")
         / (F.col("e0").cast("double") * F.col("x1"))
     )
+    # a single-class cohort (no events or no exposure on either arm)
+    # yields an explicit NULL, not an engine-dependent inf/NaN (the
+    # r9 roc_auc advice class)
+    degen = (
+        (F.col("e1") == 0)
+        | (F.col("e0") == 0)
+        | (F.col("x1") == 0)
+        | (F.col("x0") == 0)
+    )
     return w.select(
         F.col("e1").cast("bigint").alias("events_1"),
         F.col("x1").cast("bigint").alias("exposure_1"),
         F.col("e0").cast("bigint").alias("events_0"),
         F.col("x0").cast("bigint").alias("exposure_0"),
-        F.round(irr, 6).alias("rate_ratio"),
-        F.round(
-            F.log(irr) / F.sqrt(1.0 / F.col("e1") + 1.0 / F.col("e0")), 6
-        ).alias("log_irr_z"),
+        F.when(degen, F.lit(None)).otherwise(F.round(irr, 6)).alias(
+            "rate_ratio"
+        ),
+        F.when(degen, F.lit(None))
+        .otherwise(
+            F.round(
+                F.log(irr) / F.sqrt(1.0 / F.col("e1") + 1.0 / F.col("e0")),
+                6,
+            )
+        )
+        .alias("log_irr_z"),
     )

@@ -1459,7 +1459,8 @@ def q_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT MIN(s2) AS q FROM (
         SELECT s2, SUM(cnt) OVER (ORDER BY s2) AS cum
         FROM spine
-      ) WHERE cum >= (SELECT CAST(ceil((n_cal + 1) * 0.9) AS BIGINT)
+      ) WHERE cum >= (SELECT LEAST(CAST(ceil((n_cal + 1) * 0.9) AS BIGINT),
+                                   n_cal)
                       FROM med)
     )
     SELECT CAST(m.n_cal AS BIGINT) AS n_cal,
@@ -1497,7 +1498,9 @@ def q_conformal_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = pr.select(
         F.abs(2 * F.col("y") - F.lit(m2)).alias("s2"), "is_cal"
     )
-    k = -(-(n_cal + 1) * 9 // 10)  # ceil((n_cal+1)*0.9) exactly
+    # ceil((n_cal+1)*0.9) exactly, clamped to n_cal so a tiny
+    # calibration set yields the max score instead of an empty MIN
+    k = min(-(-(n_cal + 1) * 9 // 10), n_cal)
     spine = (
         scores.where("is_cal").groupBy("s2").agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -791,12 +791,15 @@ def q_trimmed_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base b JOIN rx ON rx.x = b.x JOIN ry ON ry.y = b.y
     )
     SELECT CAST(n AS BIGINT) AS n,
-           round(CAST(sxy - CAST(n AS HUGEINT) * (n + 1) * (n + 1)
-                      AS DOUBLE)
-                 / sqrt(CAST(sxx - CAST(n AS HUGEINT) * (n + 1) * (n + 1)
-                             AS DOUBLE)
-                        * CAST(syy - CAST(n AS HUGEINT) * (n + 1) * (n + 1)
-                               AS DOUBLE)), 6) AS spearman_rho
+           CASE WHEN sxx = CAST(n AS HUGEINT) * (n + 1) * (n + 1)
+                  OR syy = CAST(n AS HUGEINT) * (n + 1) * (n + 1) THEN NULL
+                ELSE round(CAST(sxy - CAST(n AS HUGEINT) * (n + 1) * (n + 1)
+                           AS DOUBLE)
+                      / sqrt(CAST(sxx - CAST(n AS HUGEINT) * (n + 1) * (n + 1)
+                                  AS DOUBLE)
+                             * CAST(syy
+                                    - CAST(n AS HUGEINT) * (n + 1) * (n + 1)
+                                    AS DOUBLE)), 6) END AS spearman_rho
     FROM s
     """,
 )
@@ -831,16 +834,24 @@ def q_spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nn = F.col("n").cast("decimal(38,0)") * (F.col("n") + 1) * (F.col("n") + 1)
+    # a CONSTANT variable has zero rank variance: rho is undefined —
+    # explicit NULL, never an engine-dependent 0/0 artifact
     return s.select(
         F.col("n").cast("bigint").alias("n"),
-        F.round(
-            (F.col("sxy") - nn).cast("double")
-            / F.sqrt(
-                (F.col("sxx") - nn).cast("double")
-                * (F.col("syy") - nn).cast("double")
-            ),
-            6,
-        ).alias("spearman_rho"),
+        F.when(
+            (F.col("sxx") == nn) | (F.col("syy") == nn), F.lit(None)
+        )
+        .otherwise(
+            F.round(
+                (F.col("sxy") - nn).cast("double")
+                / F.sqrt(
+                    (F.col("sxx") - nn).cast("double")
+                    * (F.col("syy") - nn).cast("double")
+                ),
+                6,
+            )
+        )
+        .alias("spearman_rho"),
     )
 
 
