@@ -630,11 +630,12 @@ def q_mcnemar_paired_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS k,
            CAST(SUM(n) AS BIGINT) AS n_total,
-           round((CAST(SUM(t6) AS DOUBLE)
+           CASE WHEN COUNT(*) < 2 OR CAST(SUM(w6) AS DOUBLE) = 0 THEN NULL
+                ELSE round((CAST(SUM(t6) AS DOUBLE)
                   - round(CAST(SUM(sd) AS DOUBLE) * CAST(SUM(sd) AS DOUBLE)
                           / SUM(n), 6))
                  * (SUM(n) - COUNT(*))
-                 / ((COUNT(*) - 1) * CAST(SUM(w6) AS DOUBLE)), 6)
+                 / ((COUNT(*) - 1) * CAST(SUM(w6) AS DOUBLE)), 6) END
              AS f_brown_forsythe
     FROM terms
     """,
@@ -684,21 +685,30 @@ def q_brown_forsythe_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("w6"),
     )
     ssum = F.sum("sd").cast("double")
+    # one group (no between-variance dof) or zero within-variance →
+    # explicit NULL, never an engine-dependent 0/0 artifact
     return terms.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("n").cast("bigint").alias("n_total"),
-        F.round(
-            (
-                F.sum("t6").cast("double")
-                - F.round(ssum * ssum / F.sum("n"), 6)
+        F.when(
+            (F.count(F.lit(1)) < 2) | (F.sum("w6").cast("double") == 0),
+            F.lit(None),
+        )
+        .otherwise(
+            F.round(
+                (
+                    F.sum("t6").cast("double")
+                    - F.round(ssum * ssum / F.sum("n"), 6)
+                )
+                * (F.sum("n") - F.count(F.lit(1)))
+                / (
+                    (F.count(F.lit(1)) - 1)
+                    * F.sum("w6").cast("double")
+                ),
+                6,
             )
-            * (F.sum("n") - F.count(F.lit(1)))
-            / (
-                (F.count(F.lit(1)) - 1)
-                * F.sum("w6").cast("double")
-            ),
-            6,
-        ).alias("f_brown_forsythe"),
+        )
+        .alias("f_brown_forsythe"),
     )
 
 
