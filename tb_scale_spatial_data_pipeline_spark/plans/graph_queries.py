@@ -1832,12 +1832,11 @@ def q_square_count_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("lam") > 1, 1).otherwise(0))
         .cast("bigint")
         .alias("n_multi_pairs"),
-        (
-            F.sum(F.expr("lam * (lam - 1) DIV 2")).cast("bigint")
-            / F.lit(2)
-        )
-        .cast("bigint")
-        .alias("n_squares"),
+        # integer DIV end to end: routing the halving through a double
+        # division would silently lose exactness past 2^53 pair-counts
+        F.expr("CAST(SUM(lam * (lam - 1) DIV 2) DIV 2 AS BIGINT)").alias(
+            "n_squares"
+        ),
     )
 
 
