@@ -1289,3 +1289,81 @@ def q_apriori_brand_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), "i1", "i2", "i3")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified ATT via propensity buckets (Rosenbaum & Rubin 1983,
+# subclassification form) — the causal tier above ab_experiment's
+# randomized readout: treatment = order status F, outcome = urgent /
+# high priority, strata = (market segment × order year). Within each
+# stratum the treated/control outcome gap is an exact rational; the
+# ATT weights strata by their TREATED mass. Cross-stratum combination
+# follows the round-then-DECIMAL-sum seam: per-stratum contribution =
+# round(n1b·(ȳ1b − ȳ0b), 9) summed exactly, ONE division by total
+# treated. Strata with an empty arm are excluded and counted — the
+# off-support mass is part of the report, not silently dropped.
+@_q(
+    "att_propensity_strata",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, year(o.o_orderdate) AS yr,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS tr,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    strata AS (
+      SELECT seg, yr,
+             SUM(tr) AS n1, SUM(CASE WHEN tr = 1 THEN y ELSE 0 END) AS y1,
+             SUM(1 - tr) AS n0, SUM(CASE WHEN tr = 0 THEN y ELSE 0 END) AS y0
+      FROM j GROUP BY seg, yr
+    ),
+    supported AS (SELECT * FROM strata WHERE n1 > 0 AND n0 > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CAST((SELECT COUNT(*) FROM strata) - COUNT(*) AS BIGINT)
+             AS n_off_support,
+           CAST(SUM(n1) AS BIGINT) AS n_treated,
+           round(CAST(SUM(CAST(round(n1 * (CAST(y1 AS DOUBLE) / n1
+                                          - CAST(y0 AS DOUBLE) / n0), 9)
+                               AS DECIMAL(38,9))) AS DOUBLE)
+                 / SUM(n1), 6) AS att
+    FROM supported
+    """,
+)
+def q_att_propensity_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.year("o_orderdate").alias("yr"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("tr"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    strata = j.groupBy("seg", "yr").agg(
+        F.sum("tr").alias("n1"),
+        F.sum(F.when(F.col("tr") == 1, F.col("y")).otherwise(0)).alias("y1"),
+        F.sum(1 - F.col("tr")).alias("n0"),
+        F.sum(F.when(F.col("tr") == 0, F.col("y")).otherwise(0)).alias("y0"),
+    ).localCheckpoint(eager=True)  # read by total + supported arms
+    n_all = strata.count()  # one scalar: stratum census
+    sup = strata.where((F.col("n1") > 0) & (F.col("n0") > 0))
+    contrib = F.round(
+        F.col("n1")
+        * (
+            F.col("y1").cast("double") / F.col("n1")
+            - F.col("y0").cast("double") / F.col("n0")
+        ),
+        9,
+    ).cast("decimal(38,9)")
+    return sup.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        (F.lit(n_all) - F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_off_support"),
+        F.sum("n1").cast("bigint").alias("n_treated"),
+        F.round(
+            F.sum(contrib).cast("double") / F.sum("n1"), 6
+        ).alias("att"),
+    )

@@ -2423,3 +2423,139 @@ def q_edge_betweenness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("edge_betweenness"), "u", "v")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted PageRank over the co-supply graph — edges weighted by the
+# number of SHARED PARTS between the two suppliers, so the walk
+# prefers strong supply relationships (pagerank_suppliers treats all
+# edges equally). Transition mass splits proportionally: contribution
+# = r(u)·w(u,v)/W(u) with W(u) the node's total weight — exact
+# integer weights, the same per-round round(12) re-sync seam as the
+# unweighted oracle. Per round: one join + one groupBy over
+# (node, rank) rows; weights and out-totals are checkpointed once.
+_WPR_ITERS = 6
+_WPR_DAMP = 0.85
+
+
+def _sql_weighted_pagerank() -> str:
+    d = _WPR_DAMP
+    ctes = [
+        """ps AS MATERIALIZED (SELECT DISTINCT l_partkey, l_suppkey
+                               FROM lineitem),
+    ew0 AS MATERIALIZED (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+             COUNT(*) AS w
+      FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+                         AND a.l_suppkey < b.l_suppkey
+      GROUP BY a.l_suppkey, b.l_suppkey
+    ),
+    ew AS MATERIALIZED (
+      SELECT u, v, w FROM ew0
+      WHERE CAST(('0x' || substring(md5(CAST(u * 1000 + v AS VARCHAR)),
+                 1, 4)) AS INTEGER) < 9830
+    ),
+    wedges AS MATERIALIZED (
+      SELECT u AS src, v AS dst, w FROM ew
+      UNION ALL SELECT v, u, w FROM ew
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM wedges),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    wout AS MATERIALIZED (
+      SELECT src AS node, CAST(SUM(w) AS DOUBLE) AS wt
+      FROM wedges GROUP BY src
+    ),
+    r0 AS MATERIALIZED (
+      SELECT node, round(1.0 / (SELECT n FROM n), 12) AS rank FROM nodes
+    )""",
+    ]
+    for k in range(_WPR_ITERS):
+        ctes.append(
+            f"""r{k + 1} AS MATERIALIZED (
+      SELECT nd.node,
+             round((1.0 - {d}) / (SELECT n FROM n)
+                   + {d} * COALESCE(c.contrib, 0.0), 12) AS rank
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank * e.w / o.wt) AS contrib
+        FROM r{k} r JOIN wedges e ON e.src = r.node
+        JOIN wout o ON o.node = r.node
+        GROUP BY e.dst
+      ) c ON c.node = nd.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(node AS BIGINT) AS s_suppkey, round(rank, 6) AS wpr
+    FROM r{_WPR_ITERS}
+    ORDER BY round(rank, 6) DESC, node LIMIT 10"""
+    )
+
+
+@_q("weighted_pagerank", _sql_weighted_pagerank())
+def q_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    ).distinct()
+    a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("u"))
+    b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("v"))
+    ew0 = (
+        a.join(b, "pk")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    bucket = F.conv(
+        F.substring(F.md5((F.col("u") * 1000 + F.col("v")).cast("string")), 1, 4),
+        16,
+        10,
+    ).cast("int")
+    ew = ew0.where(bucket < 9830)
+    wedges = (
+        ew.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w")
+        .unionByName(
+            ew.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = wedges.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()  # one scalar
+    wout = wedges.groupBy(F.col("src").alias("node")).agg(
+        F.sum("w").cast("double").alias("wt")
+    ).localCheckpoint(eager=True)
+    r = nodes.select("node", F.round(F.lit(1.0 / n), 12).alias("rank"))
+    for _ in range(_WPR_ITERS):
+        contrib = (
+            r.join(wedges, r["node"] == wedges["src"])
+            .join(
+                wout.select(
+                    F.col("node").alias("o_node"), F.col("wt")
+                ),
+                F.col("o_node") == r["node"],
+            )
+            .groupBy(F.col("dst").alias("cnode"))
+            .agg(
+                F.sum(
+                    F.col("rank") * F.col("w") / F.col("wt")
+                ).alias("contrib")
+            )
+        )
+        r = nodes.join(
+            contrib, nodes["node"] == contrib["cnode"], "left"
+        ).select(
+            "node",
+            F.round(
+                F.lit((1.0 - _WPR_DAMP) / n)
+                + _WPR_DAMP * F.coalesce(F.col("contrib"), F.lit(0.0)),
+                12,
+            ).alias("rank"),
+        )
+    return (
+        r.select(
+            F.col("node").cast("bigint").alias("s_suppkey"),
+            F.round("rank", 6).alias("wpr"),
+        )
+        .orderBy(F.desc("wpr"), "s_suppkey")
+        .limit(10)
+    )

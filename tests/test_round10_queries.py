@@ -920,3 +920,55 @@ def test_simpsons_audit_identities(spark):
         assert r["verdict"] in ("reversal", "consistent")
         if r["seg_rate_diff"] * r["pooled_rate_diff"] < 0:
             assert r["verdict"] == "reversal"
+
+
+def test_att_strata_replay(spark):
+    """Replay the stratified ATT with the same round-then-sum seam;
+    supported + off-support strata partition the census."""
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    cust = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/customer.parquet").collect()
+    }
+    cells = defaultdict(lambda: [0, 0, 0, 0])  # n1, y1, n0, y0
+    for o in orders:
+        seg = cust.get(o["o_custkey"])
+        if seg is None:
+            continue
+        k = (seg, o["o_orderdate"].year)
+        tr = 1 if o["o_orderstatus"] == "F" else 0
+        y = 1 if o["o_orderpriority"] in ("1-URGENT", "2-HIGH") else 0
+        c = cells[k]
+        if tr:
+            c[0] += 1
+            c[1] += y
+        else:
+            c[2] += 1
+            c[3] += y
+    sup = {k: c for k, c in cells.items() if c[0] > 0 and c[2] > 0}
+    num = sum(
+        round(c[0] * (c[1] / c[0] - c[3] / c[2]), 9) for c in sup.values()
+    )
+    n1 = sum(c[0] for c in sup.values())
+    r = all_queries()["att_propensity_strata"](spark, SF_SMOKE).collect()[0]
+    assert r["n_strata"] == len(sup)
+    assert r["n_off_support"] == len(cells) - len(sup)
+    assert r["n_treated"] == n1
+    assert r["att"] == pytest.approx(num / n1, abs=1e-6)
+
+
+def test_weighted_pagerank_differs_from_unweighted(spark):
+    """Weights must matter: the weighted ranking differs from the
+    plain pagerank ranking somewhere in the top-10, and ranks stay a
+    probability-like positive vector."""
+    rows = all_queries()["weighted_pagerank"](spark, SF_MID).collect()
+    assert len(rows) == 10
+    assert all(r["wpr"] > 0 for r in rows)
+    wprs = [r["wpr"] for r in rows]
+    assert wprs == sorted(wprs, reverse=True)
+    plain = all_queries()["pagerank_suppliers"](spark, SF_MID).collect()
+    plain_nodes = [r[0] for r in plain][:10]
+    w_nodes = [r["s_suppkey"] for r in rows]
+    assert w_nodes != plain_nodes or [r["wpr"] for r in rows] != [
+        r[1] for r in plain
+    ][:10]
