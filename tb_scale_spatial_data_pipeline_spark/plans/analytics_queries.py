@@ -1367,3 +1367,64 @@ def q_att_propensity_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(contrib).cast("double") / F.sum("n1"), 6
         ).alias("att"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov entropy rate of the per-user event chain (Shannon 1948 §7 —
+# the information-theoretic summary of event_transition_matrix):
+# H = −Σ_ij p(i,j)·ln p(j|i) over observed bigram transitions, the
+# per-step unpredictability of user journeys in nats. Exact integer
+# bigram counts reduce the corpus to a |states|² table; each cell's
+# term is one double from exact ints round(9), decimal-summed —
+# order-free — with ONE final division by the transition total.
+@_q(
+    "markov_entropy_rate",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS s, ts, event_id FROM events
+    ),
+    bi AS (
+      SELECT s AS a,
+             lead(s) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS b
+      FROM seq
+    ),
+    c AS (
+      SELECT a, b, COUNT(*) AS n FROM bi WHERE b IS NOT NULL GROUP BY a, b
+    ),
+    row_tot AS (SELECT a, SUM(n) AS na FROM c GROUP BY a),
+    tot AS (SELECT SUM(n) AS nt FROM c)
+    SELECT CAST(tot.nt AS BIGINT) AS n_transitions,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           round(CAST(SUM(CAST(round(-1.0 * c.n
+                         * ln(CAST(c.n AS DOUBLE) / r.na), 9)
+                         AS DECIMAL(38,9))) AS DOUBLE) / tot.nt, 6)
+             AS entropy_rate_nats
+    FROM c JOIN row_tot r ON r.a = c.a CROSS JOIN tot
+    GROUP BY tot.nt
+    """,
+)
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bi = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).where(F.col("b").isNotNull())
+    c = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+    row_tot = c.groupBy("a").agg(F.sum("n").alias("na"))
+    nt = int(c.agg(F.sum("n")).collect()[0][0])  # one scalar
+    term = F.round(
+        -1.0 * F.col("n") * F.log(F.col("n").cast("double") / F.col("na")),
+        9,
+    ).cast("decimal(38,9)")
+    return (
+        c.join(F.broadcast(row_tot), "a")
+        .agg(
+            F.lit(nt).cast("bigint").alias("n_transitions"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.round(F.sum(term).cast("double") / nt, 6).alias(
+                "entropy_rate_nats"
+            ),
+        )
+    )

@@ -883,3 +883,107 @@ def q_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.sparkSession.createDataFrame(rows, "lag int, pacf double").orderBy(
         "lag"
     )
+
+
+# ---------------------------------------------------------------------------
+# Ljung–Box portmanteau test (Ljung & Box 1978) on the daily revenue
+# series — "is there ANY autocorrelation in the first 4 lags?", the
+# residual-whiteness check that belongs beside pacf_durbin_levinson
+# and shares its exactness ladder: lag covariances as exact N²-scaled
+# DECIMAL(38,0)/HUGEINT integers, r_k = c_k/c_0 doubles from exact
+# ints, and Q = N(N+2)·Σ round(r_k²/(N−k), 12) with the bounded sum
+# decimal-exact. One moments pass + one lead() pass over the day
+# spine.
+_LB_LAGS = 4
+
+
+@_q(
+    "ljung_box_test",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1
+    ),
+    lagd AS (
+      SELECT y,
+             {", ".join(f"lead(y, {k}) OVER (ORDER BY d) AS y{k}" for k in range(1, _LB_LAGS + 1))}
+      FROM daily
+    ),
+    mom AS (SELECT COUNT(*) AS n, SUM(CAST(y AS HUGEINT)) AS s FROM daily),
+    cov AS (
+      SELECT m.n,
+        SUM((CAST(m.n AS HUGEINT) * l.y - m.s)
+            * (CAST(m.n AS HUGEINT) * l.y - m.s)) AS c0,
+        {", ".join(
+            f'''SUM(CASE WHEN l.y{k} IS NOT NULL
+            THEN (CAST(m.n AS HUGEINT) * l.y - m.s)
+                 * (CAST(m.n AS HUGEINT) * l.y{k} - m.s) END) AS c{k}'''
+            for k in range(1, _LB_LAGS + 1))}
+      FROM lagd l CROSS JOIN mom m GROUP BY m.n
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(n * (n + 2.0)
+                 * ({" + ".join(
+                     f'''round(POWER(CAST(c{k} AS DOUBLE)
+                           / CAST(c0 AS DOUBLE), 2) / (n - {k}), 12)'''
+                     for k in range(1, _LB_LAGS + 1))}), 6)
+             AS ljung_box_q
+    FROM cov
+    """,
+)
+def q_ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    w = Window.orderBy("d")
+    lagd = daily.select(
+        "y",
+        *[F.lead("y", k).over(w).alias(f"y{k}") for k in range(1, _LB_LAGS + 1)],
+    )
+    mrow = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]
+    n, s = int(mrow["n"]), int(mrow["s"])
+    dev = lambda c: F.lit(n).cast("decimal(38,0)") * F.col(c) - F.lit(s).cast(
+        "decimal(38,0)"
+    )
+    cov = lagd.agg(
+        F.sum(dev("y") * dev("y")).alias("c0"),
+        *[
+            F.sum(
+                F.when(F.col(f"y{k}").isNotNull(), dev("y") * dev(f"y{k}"))
+            ).alias(f"c{k}")
+            for k in range(1, _LB_LAGS + 1)
+        ],
+    )
+    # the 4 rounded terms sum as DOUBLES in fixed left-assoc order on
+    # BOTH engines — identical inputs + identical order = identical
+    # sum. (A DECIMAL(38,12) sum is NOT the seam here: Spark's decimal
+    # ADDITION caps precision at 38 by cascading scale reductions
+    # (38,12)+(38,12) -> (38,11) -> ..., silently re-rounding each
+    # partial — measured 4e-10 drift vs DuckDB's scale-preserving
+    # decimal add. The decimal-sum pattern is only order-safe when the
+    # addends KEEP their scale.)
+    terms = None
+    for k in range(1, _LB_LAGS + 1):
+        tk = F.round(
+            F.pow(
+                F.col(f"c{k}").cast("double") / F.col("c0").cast("double"),
+                2,
+            )
+            / (n - k),
+            12,
+        )
+        terms = tk if terms is None else terms + tk
+    return cov.select(
+        F.lit(n).cast("bigint").alias("n_days"),
+        F.round(
+            F.lit(float(n)) * (n + 2.0) * terms, 6
+        ).alias("ljung_box_q"),
+    )

@@ -972,3 +972,59 @@ def test_weighted_pagerank_differs_from_unweighted(spark):
     assert w_nodes != plain_nodes or [r["wpr"] for r in rows] != [
         r[1] for r in plain
     ][:10]
+
+
+def test_markov_entropy_rate_replay(spark):
+    """H = -sum p(i,j) ln p(j|i) replayed from exact bigram counts;
+    bounded by ln(#states)."""
+    ev = sorted(
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect(),
+        key=lambda e: (e["user_id"], e["ts"], e["event_id"]),
+    )
+    from collections import Counter
+
+    bi: Counter = Counter()
+    for a, b in zip(ev, ev[1:]):
+        if a["user_id"] == b["user_id"]:
+            bi[(a["event_type"], b["event_type"])] += 1
+    row_tot: Counter = Counter()
+    for (a, _), n in bi.items():
+        row_tot[a] += n
+    nt = sum(bi.values())
+    h = sum(
+        round(-n * math.log(n / row_tot[a]), 9) for (a, _), n in bi.items()
+    ) / nt
+    r = all_queries()["markov_entropy_rate"](spark, SF_SMOKE).collect()[0]
+    assert r["n_transitions"] == nt
+    assert r["n_cells"] == len(bi)
+    assert r["entropy_rate_nats"] == pytest.approx(h, abs=1e-6)
+    n_states = len({e["event_type"] for e in ev})
+    assert 0 <= r["entropy_rate_nats"] <= math.log(n_states) + 1e-9
+
+
+def test_ljung_box_replay(spark):
+    """Exact-integer covariance replay; Q >= 0."""
+    import duckdb
+
+    con = duckdb.connect()
+    ys = [
+        int(y)
+        for (y,) in con.execute(
+            f"""SELECT SUM(CAST(round(o_totalprice*100) AS BIGINT))
+                FROM read_parquet('{SF_SMOKE}/orders.parquet')
+                GROUP BY CAST(o_orderdate AS DATE)
+                ORDER BY CAST(o_orderdate AS DATE)"""
+        ).fetchall()
+    ]
+    n, s = len(ys), sum(ys)
+    dev = [n * y - s for y in ys]
+    c0 = sum(d * d for d in dev)
+    tot = 0.0
+    for k in range(1, 5):
+        ck = sum(a * b for a, b in zip(dev[:-k], dev[k:]))
+        tot += round((ck / c0) ** 2 / (n - k), 12)
+    want = round(n * (n + 2.0) * tot, 6)
+    r = all_queries()["ljung_box_test"](spark, SF_SMOKE).collect()[0]
+    assert r["n_days"] == n
+    assert r["ljung_box_q"] == pytest.approx(want, abs=1e-6)
+    assert r["ljung_box_q"] >= 0
