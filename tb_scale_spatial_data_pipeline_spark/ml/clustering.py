@@ -169,7 +169,15 @@ def kmeans_cluster_profile(
         assigned.groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("dist2").cast("bigint").alias("scatter_sq"),
+            # Accumulate in decimal(38,0): a BIGINT sum wraps silently in
+            # non-ANSI Spark, and the per-coordinate micros² bound
+            # (dim * 4e12 per row) overflows 2^63 after only ~2.3k rows
+            # per cluster at dim=64 for non-unit-norm fixtures. The
+            # decimal sum is exact to 38 digits; the final cast fails
+            # loudly (ANSI) or NULLs (legacy) instead of wrapping.
+            F.sum(F.col("dist2").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("scatter_sq"),
         )
         .orderBy("cluster")
     )

@@ -1137,6 +1137,14 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     nch = chan.count()  # one scalar: the channel-universe size
+    # Guard BEFORE materializing 2^n coalitions: with fixture drift
+    # (say 40 channels) the eager checkpoint below would otherwise try
+    # to build 2^40 rows before any bound check fired.
+    if nch > 16:
+        raise ValueError(
+            f"shapley_attribution: {nch} channels exceeds the exact "
+            "2^n coalition bound (16); sample or bucket channels first"
+        )
     subsets = spark.range(1 << nch).select(F.col("id").alias("S"))
     v = (
         subsets.join(
@@ -1152,11 +1160,6 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r9 ADVICE: the old CASE hardcoded n=4, so fixture drift would
     # have produced silent NULL phi instead of adapting). Bounded to
     # keep 2^n subsets and n!-scaled integers exact in BIGINT.
-    if nch > 16:
-        raise ValueError(
-            f"shapley_attribution: {nch} channels exceeds the exact "
-            "2^n coalition bound (16); sample or bucket channels first"
-        )
     w_expr = (
         f"CAST(factorial(bit_count(S)) AS BIGINT)"
         f" * CAST(factorial({nch} - 1 - bit_count(S)) AS BIGINT)"

@@ -196,7 +196,11 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    a = cp.select(F.col("p").alias("pk"), F.col("c").alias("u"))
+    from .graph_queries import _guard_pk_fanout
+
+    a = _guard_pk_fanout(
+        cp.select(F.col("p").alias("pk"), F.col("c").alias("u")), "u"
+    )
     b = cp.select(F.col("p").alias("pk"), F.col("c").alias("v"))
     e0 = a.join(b, "pk").where(F.col("u") < F.col("v")).select("u", "v").distinct()
     bucket = F.conv(

@@ -61,9 +61,56 @@ _PR_ITERS = 10
 _PR_DAMP = 0.85
 
 
+# Per-part fan-out bound for the co-supply pk self-join. The join's
+# output is Θ(fanout²) per part key, all landing in ONE task for that
+# key — fine while the fixture is degree-homogeneous (max 189 co-
+# suppliers per part at sf0.1, PLANS.md), quadratic-in-one-task at
+# 100× if a hub part appears. The guard below makes that assumption
+# LOUD: an assert_true threaded through the kept column raises at the
+# scan that feeds the self-join instead of letting a hot part melt an
+# executor. Production mitigations once the bound trips: salt the hot
+# parts (replicate one side R ways, slice the other — the
+# salted_skew_join discipline) or degree-cap/sample per part.
+_PK_FANOUT_BOUND = 4096
+
+
+def _guard_pk_fanout(ps: DataFrame, keep: str) -> DataFrame:
+    """Return `ps` (columns pk, `keep`) with the per-pk fan-out bound
+    pinned in the dataflow: the count join reuses the pk hash
+    partitioning the downstream self-join needs anyway, and the
+    assert_true is folded into the kept column so column pruning
+    cannot silently drop the check."""
+    pkc = ps.groupBy("pk").agg(F.count(F.lit(1)).alias("_pk_fanout"))
+    # NOTE the shape: when(violated, raise_error).otherwise(col). The
+    # tempting assert_true(...).isNull() form is erased by Catalyst —
+    # AssertTrue is NullType, so NullPropagation folds IsNull(it) to
+    # literal TRUE and the check vanishes (observed, not theoretical).
+    guarded = (
+        F.when(
+            F.col("_pk_fanout") > _PK_FANOUT_BOUND,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "co-supply pk self-join: per-part fan-out exceeds "
+                        f"{_PK_FANOUT_BOUND} (got "
+                    ),
+                    F.col("_pk_fanout").cast("string"),
+                    F.lit("); salt or degree-cap hot parts before pairing"),
+                )
+            ).cast(dict(ps.dtypes)[keep]),
+        )
+        .otherwise(F.col(keep))
+        .alias(keep)
+    )
+    return ps.join(pkc, "pk").select("pk", guarded)
+
+
 def _undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
-    a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("u"))
+    a = _guard_pk_fanout(
+        ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("u")),
+        "u",
+    )
     b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("v"))
     e0 = a.join(b, "pk").where(F.col("u") < F.col("v")).select("u", "v").distinct()
     bucket = F.conv(
@@ -2498,7 +2545,10 @@ def q_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey"
     ).distinct()
-    a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("u"))
+    a = _guard_pk_fanout(
+        ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("u")),
+        "u",
+    )
     b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("v"))
     ew0 = (
         a.join(b, "pk")
@@ -2541,15 +2591,22 @@ def q_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("contrib")
             )
         )
-        r = nodes.join(
-            contrib, nodes["node"] == contrib["cnode"], "left"
-        ).select(
-            "node",
-            F.round(
-                F.lit((1.0 - _WPR_DAMP) / n)
-                + _WPR_DAMP * F.coalesce(F.col("contrib"), F.lit(0.0)),
-                12,
-            ).alias("rank"),
+        r = (
+            nodes.join(contrib, nodes["node"] == contrib["cnode"], "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit((1.0 - _WPR_DAMP) / n)
+                    + _WPR_DAMP * F.coalesce(F.col("contrib"), F.lit(0.0)),
+                    12,
+                ).alias("rank"),
+            )
+            # Truncate the rank vector's lineage every round (edges and
+            # wout are already checkpointed): without this the plan
+            # nests one join+agg layer per iteration — harmless at 6
+            # iters, a replanning/lineage blow-up at 100× iteration
+            # counts. Same discipline the CC star-contraction uses.
+            .localCheckpoint(eager=True)
         )
     return (
         r.select(

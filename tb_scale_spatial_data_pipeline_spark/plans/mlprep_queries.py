@@ -1224,11 +1224,14 @@ def q_stump_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("c.feature").alias("feature"),
         F.col("c.thr").alias("thr"),
+        # Reference the struct fields, not the sibling aliases: relying
+        # on lateral column alias resolution here would throw an
+        # unresolved-column AnalysisException on Spark < 3.4.
         F.when(
             F.when(
-                F.col("feature") == "l_quantity", F.col("l_quantity")
+                F.col("c.feature") == "l_quantity", F.col("l_quantity")
             ).otherwise(F.col("l_discount"))
-            <= F.col("thr"),
+            <= F.col("c.thr"),
             "L",
         )
         .otherwise("R")

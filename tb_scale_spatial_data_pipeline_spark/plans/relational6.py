@@ -587,8 +587,13 @@ def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph_queries import _guard_pk_fanout
+
     ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
-    a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("u"))
+    a = _guard_pk_fanout(
+        ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("u")),
+        "u",
+    )
     b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("v"))
     e0 = (
         a.join(b, "pk")
@@ -1266,8 +1271,13 @@ def q_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graphs import oriented_triangles, vertex_degrees
 
+    from .graph_queries import _guard_pk_fanout
+
     ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
-    a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("u"))
+    a = _guard_pk_fanout(
+        ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("u")),
+        "u",
+    )
     b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("v"))
     e0 = a.join(b, "pk").where(F.col("u") < F.col("v")).select("u", "v").distinct()
     bucket = F.conv(

@@ -376,3 +376,37 @@ def test_lof_candidates_equi_join_only(spark):
     p = plan_of(spark, "lof_outlier_scores")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pk_fanout_guard_pinned_in_edge_build(spark):
+    """The co-supply pk self-join's per-part fan-out bound must be IN
+    the dataflow: the guard join's count column and the raise_error
+    check must survive optimization (the assert_true(...).isNull()
+    form was silently erased by NullPropagation — this pins the
+    surviving shape)."""
+    from tb_scale_spatial_data_pipeline_spark.plans import graph_queries as gq
+
+    eu = gq._undirected_edges(spark, SF_SMOKE)
+    op = eu._jdf.queryExecution().optimizedPlan().toString()
+    assert "raise_error" in op
+    assert "_pk_fanout" in op
+
+
+def test_pk_fanout_guard_raises_on_hot_part(spark):
+    """A part whose co-supplier count exceeds the bound must fail
+    LOUDLY when the guarded column is consumed — the alternative at
+    100x is a silent quadratic fan-out in one task."""
+    from tb_scale_spatial_data_pipeline_spark.plans import graph_queries as gq
+
+    old = gq._PK_FANOUT_BOUND
+    gq._PK_FANOUT_BOUND = 3
+    try:
+        ps = spark.createDataFrame(
+            [(1, i) for i in range(5)] + [(2, 9)], "pk int, u int"
+        )
+        with pytest.raises(Exception, match="fan-out exceeds"):
+            gq._guard_pk_fanout(ps, "u").collect()
+        ok = spark.createDataFrame([(1, 7), (2, 9)], "pk int, u int")
+        assert sorted(r.u for r in gq._guard_pk_fanout(ok, "u").collect()) == [7, 9]
+    finally:
+        gq._PK_FANOUT_BOUND = old
