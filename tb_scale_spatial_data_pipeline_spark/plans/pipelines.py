@@ -528,16 +528,80 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["stream_stream_join"] = _eq.ORACLES["interval_join_click_purchase"]
 
 
-@_q("stream_stream_outer_join")
+def _stream_join_horizon(spark: SparkSession, sf_dir: str) -> str:
+    """The deterministic closed-region cutoff for the unsealed
+    stream-stream outer joins: final global watermark (min of both
+    sides' max event time, minus the 1 h delay) minus the 30 min join
+    window. Every click/purchase older than this has provably had its
+    outer-join state evicted, so streaming == batch there — the same
+    boundary tests/test_ml_streaming.py pins row-for-row."""
+    import datetime
+
+    from ..sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias("mc"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("mp"),
+    ).collect()[0]
+    horizon = min(m["mc"], m["mp"]) - datetime.timedelta(hours=1, minutes=30)
+    return horizon.strftime("%Y-%m-%d %H:%M:%S")
+
+
+# Upgraded from rows-only (r11): the FULL streamed result is still not
+# batch-expressible (near-tail rows legitimately sit in state), but
+# the closed-watermark REGION is — so the registered query restricts
+# to it and emits per-hour key-agreement aggregates, and the oracle
+# computes the identical restriction of the batch outer join. Same
+# discipline as stream_ttl_dedup / stream_late_drop_audit.
+_SQL_STREAM_OUTER = """
+    WITH c AS (SELECT event_id AS click_id, user_id AS cu, ts AS cts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id AS pu, ts AS pts
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT LEAST((SELECT MAX(cts) FROM c), (SELECT MAX(pts) FROM p))
+                  - INTERVAL 1 HOUR - INTERVAL 30 MINUTE AS horizon),
+    j AS (
+      SELECT c.click_id, p.purchase_id, c.cts
+      FROM c LEFT JOIN p ON p.pu = c.cu AND p.pts >= c.cts
+                         AND p.pts <= c.cts + INTERVAL 30 MINUTE
+    ),
+    closed AS (
+      SELECT j.* FROM j, wm
+      WHERE strftime(cts, '%Y-%m-%d %H:%M:%S')
+            < strftime(horizon, '%Y-%m-%d %H:%M:%S')
+    )
+    SELECT substring(strftime(cts, '%Y-%m-%d %H:%M:%S'), 1, 13) AS click_hour,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unmatched,
+           CAST(SUM(click_id) AS BIGINT) AS click_id_sum,
+           CAST(SUM(COALESCE(purchase_id, 0)) AS BIGINT) AS purchase_id_sum
+    FROM closed GROUP BY 1 ORDER BY 1
+"""
+
+
+@_q("stream_stream_outer_join", _SQL_STREAM_OUTER)
 def q_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: left-outer stream-stream interval join — null rows
-    require watermark EVICTION, so near-tail clicks legitimately stay
-    in state and the result is not batch-expressible for the full
-    stream; the closed-watermark region is batch-twin-checked in
-    tests/test_ml_streaming.py."""
     from ..streaming.events import stream_stream_click_purchase_outer
 
-    return stream_stream_click_purchase_outer(spark, sf_dir)
+    out = stream_stream_click_purchase_outer(spark, sf_dir)
+    cutoff = _stream_join_horizon(spark, sf_dir)
+    return (
+        out.where(F.col("click_ts") < F.lit(cutoff))
+        .groupBy(F.substring("click_ts", 1, 13).alias("click_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("purchase_id").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unmatched"),
+            F.sum("click_id").cast("bigint").alias("click_id_sum"),
+            F.sum(F.coalesce(F.col("purchase_id"), F.lit(0)))
+            .cast("bigint")
+            .alias("purchase_id_sum"),
+        )
+        .orderBy("click_hour")
+    )
 
 
 @_q("stream_static_enrich")
@@ -592,16 +656,67 @@ ORACLES["stream_transform_with_state"] = """
 """
 
 
-@_q("stream_stream_full_outer_join")
+# Full-outer sibling of _SQL_STREAM_OUTER: rows are bucketed by their
+# coalesced side (click if present, else purchase) and the closed
+# region takes that coalesced timestamp — a purchase evicts once the
+# watermark passes its own ts, so horizon (wm - 30 min) is strictly
+# inside both sides' eviction boundaries.
+_SQL_STREAM_FULL_OUTER = """
+    WITH c AS (SELECT event_id AS click_id, user_id AS cu, ts AS cts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id AS pu, ts AS pts
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT LEAST((SELECT MAX(cts) FROM c), (SELECT MAX(pts) FROM p))
+                  - INTERVAL 1 HOUR - INTERVAL 30 MINUTE AS horizon),
+    j AS (
+      SELECT c.click_id, p.purchase_id, COALESCE(c.cts, p.pts) AS ets
+      FROM c FULL JOIN p ON p.pu = c.cu AND p.pts >= c.cts
+                         AND p.pts <= c.cts + INTERVAL 30 MINUTE
+    ),
+    closed AS (
+      SELECT j.* FROM j, wm
+      WHERE strftime(ets, '%Y-%m-%d %H:%M:%S')
+            < strftime(horizon, '%Y-%m-%d %H:%M:%S')
+    )
+    SELECT substring(strftime(ets, '%Y-%m-%d %H:%M:%S'), 1, 13) AS event_hour,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_click_only,
+           CAST(SUM(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchase_only,
+           CAST(SUM(COALESCE(click_id, 0)) AS BIGINT) AS click_id_sum,
+           CAST(SUM(COALESCE(purchase_id, 0)) AS BIGINT) AS purchase_id_sum
+    FROM closed GROUP BY 1 ORDER BY 1
+"""
+
+
+@_q("stream_stream_full_outer_join", _SQL_STREAM_FULL_OUTER)
 def q_stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: FULL OUTER stream-stream interval join — unmatched
-    rows on BOTH sides require watermark eviction (each side's state
-    store finalizes its null rows only when the watermark passes), so
-    the full-stream result is not batch-expressible; the closed-
-    watermark region is batch-twin-checked in tests/test_ml_streaming.py."""
     from ..streaming.events import stream_stream_click_purchase_full_outer
 
-    return stream_stream_click_purchase_full_outer(spark, sf_dir)
+    out = stream_stream_click_purchase_full_outer(spark, sf_dir)
+    cutoff = _stream_join_horizon(spark, sf_dir)
+    ets = F.coalesce(F.col("click_ts"), F.col("purchase_ts"))
+    return (
+        out.where(ets < F.lit(cutoff))
+        .groupBy(F.substring(ets, 1, 13).alias("event_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("purchase_id").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_click_only"),
+            F.sum(F.when(F.col("click_id").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purchase_only"),
+            F.sum(F.coalesce(F.col("click_id"), F.lit(0)))
+            .cast("bigint")
+            .alias("click_id_sum"),
+            F.sum(F.coalesce(F.col("purchase_id"), F.lit(0)))
+            .cast("bigint")
+            .alias("purchase_id_sum"),
+        )
+        .orderBy("event_hour")
+    )
 
 
 @_q("stream_custom_source_totals")

@@ -38,7 +38,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(stream)
 
 
-def run_stream_to_table(out: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_stream_to_table(
+    out: DataFrame, output_mode: str = "complete", shuffle_partitions: int = 4
+) -> DataFrame:
     """Execute a streaming plan to completion (availableNow) and
     return the result as a batch DataFrame from the memory sink.
 
@@ -47,11 +49,15 @@ def run_stream_to_table(out: DataFrame, output_mode: str = "complete") -> DataFr
     the data) dominates, so the shuffle-partition count is scoped down
     for the run. In production the same knob is sized UP to spread
     state across executors — it is per-query-start, not a code change,
-    because the state layout is fixed at first checkpoint."""
+    because the state layout is fixed at first checkpoint. Queries
+    whose wall time is per-KEY Python dispatch rather than store
+    overhead (measured: stream_ttl_dedup, 7.5k keys) pass a larger
+    count — at sf0.1 the 4→16 step cut its wall 13.4 s → 10.3 s with
+    a plateau by 32 (PLANS.md r11 decomposition)."""
     spark = out.sparkSession
     name = f"stream_result_{uuid.uuid4().hex[:12]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
         q = (
             out.writeStream.format("memory")
@@ -760,7 +766,11 @@ def stream_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    return run_stream_to_table(out, "append")
+    # 16 partitions, not the scoped-down 4: this operator's wall time
+    # is per-key Python dispatch (~1.4 ms/key across 7.5k keys at
+    # sf0.1), so parallelism wins over state-store count here —
+    # measured 13.4 s -> 10.3 s, flat beyond 16.
+    return run_stream_to_table(out, "append", shuffle_partitions=16)
 
 
 def stream_late_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
