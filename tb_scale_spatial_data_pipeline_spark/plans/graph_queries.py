@@ -486,6 +486,76 @@ def _sql_link_prediction() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction (Adamic & Adar 2003, "Friends and
+# neighbors on the web"): AA(u,v) = sum over common neighbors z of
+# 1/ln(deg z) — rare shared neighbors count more than hubs. Same
+# wedge-enumeration skeleton as link_prediction_jaccard, but the wedge
+# CARRIES its center's degree so the per-pair aggregate is a single
+# sum of per-term round(1/ln d, 12) values (ln is the one
+# transcendental; per-term rounding keeps JVM and DuckDB bit-equal,
+# the discipline every ln-using query here follows). A wedge center
+# has degree >= 2 by construction, so ln(d) > 0 always.
+def _sql_adamic_adar() -> str:
+    return f"""
+    WITH {_SQL_EDGES.strip()},
+    deg AS MATERIALIZED (
+      SELECT src AS x, COUNT(*) AS d FROM edges GROUP BY src
+    ),
+    wedges AS (
+      SELECT e1.dst AS a, e2.dst AS c,
+             SUM(round(1.0 / ln(g.d), 12)) AS aa,
+             COUNT(*) AS cn
+      FROM edges e1 JOIN edges e2
+        ON e1.src = e2.src AND e1.dst < e2.dst
+      JOIN deg g ON g.x = e1.src
+      GROUP BY e1.dst, e2.dst
+    ),
+    cand AS (
+      SELECT w.a, w.c, w.aa, w.cn FROM wedges w
+      WHERE NOT EXISTS (SELECT 1 FROM eu WHERE eu.u = w.a AND eu.v = w.c)
+    )
+    SELECT a AS u, c AS v, CAST(cn AS BIGINT) AS common_neighbors,
+           round(aa, 6) AS adamic_adar
+    FROM cand
+    ORDER BY round(aa, 6) DESC, u, v LIMIT {_LP_TOP}
+    """
+
+
+@_q("adamic_adar_topk", _sql_adamic_adar())
+def q_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eu = _undirected_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = eu.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(eu.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    deg = edges.groupBy(F.col("src").alias("x")).agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.select(F.col("src").alias("b"), F.col("dst").alias("a"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    wedges = (
+        e1.join(e2, "b")
+        .where(F.col("a") < F.col("c"))
+        .join(F.broadcast(deg.select(F.col("x").alias("b"), "d")), "b")
+        .groupBy("a", "c")
+        .agg(
+            F.sum(F.round(F.lit(1.0) / F.log(F.col("d")), 12)).alias("aa"),
+            F.count(F.lit(1)).alias("cn"),
+        )
+    )
+    cand = wedges.join(
+        eu, (wedges["a"] == eu["u"]) & (wedges["c"] == eu["v"]), "left_anti"
+    )
+    return (
+        cand.select(
+            F.col("a").alias("u"),
+            F.col("c").alias("v"),
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+            F.round("aa", 6).alias("adamic_adar"),
+        )
+        .orderBy(F.desc("adamic_adar"), F.asc("u"), F.asc("v"))
+        .limit(_LP_TOP)
+    )
+
+
 @_q("link_prediction_jaccard", _sql_link_prediction())
 def q_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     eu = _undirected_edges(spark, sf_dir).localCheckpoint(eager=True)

@@ -201,6 +201,107 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Kruskal-Wallis H (rank one-way ANOVA; Kruskal & Wallis JASA 1952):
+# l_quantity across the three return flags. Same doubled-integer rank
+# lattice as mann_whitney_u — the 50-value quantity spine gives per-
+# value group counts, the distributed prefix scan gives rank offsets,
+# and the doubled rank-sums R2_g stay exact BIGINTs. The statistic is
+# assembled as ONE rational: num = sum_g R2_g^2 * (P/n_g) with
+# P = nA*nN*nR, all in DECIMAL(38,0), so the only float ops are the
+# final fixed-order divisions/subtraction — bit-equal across engines.
+# Tie correction uses the exact sum of (c^3 - c) over the spine.
+@_q(
+    "kruskal_wallis_test",
+    """
+    WITH per_v AS (
+      SELECT l_quantity AS v,
+             COUNT(*) FILTER (l_returnflag = 'A') AS ca,
+             COUNT(*) FILTER (l_returnflag = 'N') AS cn,
+             COUNT(*) FILTER (l_returnflag = 'R') AS cr
+      FROM lineitem GROUP BY 1
+    ), cum AS (
+      SELECT ca, cn, cr, ca + cn + cr AS c,
+             COALESCE(SUM(ca + cn + cr) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM per_v
+    ), agg AS (
+      SELECT CAST(SUM(ca) AS DECIMAL(38,0)) AS na,
+             CAST(SUM(cn) AS DECIMAL(38,0)) AS nn,
+             CAST(SUM(cr) AS DECIMAL(38,0)) AS nr,
+             CAST(SUM(ca * (2 * before + c + 1)) AS DECIMAL(38,0)) AS r2a,
+             CAST(SUM(cn * (2 * before + c + 1)) AS DECIMAL(38,0)) AS r2n,
+             CAST(SUM(cr * (2 * before + c + 1)) AS DECIMAL(38,0)) AS r2r,
+             CAST(SUM(c * c * c - c) AS DECIMAL(38,0)) AS tie_sum
+      FROM cum
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nn AS BIGINT) AS n_n,
+           CAST(nr AS BIGINT) AS n_r,
+           round(
+             (3.0 * CAST(r2a * r2a * nn * nr + r2n * r2n * na * nr
+                         + r2r * r2r * na * nn AS DOUBLE)
+                  / CAST(na * nn * nr * (na + nn + nr)
+                         * (na + nn + nr + 1) AS DOUBLE)
+              - 3.0 * CAST(na + nn + nr + 1 AS DOUBLE))
+             / (1.0 - CAST(tie_sum AS DOUBLE)
+                    / CAST((na + nn + nr) * (na + nn + nr) * (na + nn + nr)
+                           - (na + nn + nr) AS DOUBLE)),
+             9) AS h_statistic
+    FROM agg
+    """,
+)
+def q_kruskal_wallis_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import with_global_cumsum
+
+    li = t(spark, sf_dir, "lineitem")
+    per_v = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0)).alias("cn"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("cr"),
+    )
+    withc = per_v.select(
+        "v", "ca", "cn", "cr",
+        (F.col("ca") + F.col("cn") + F.col("cr")).alias("c"),
+    )
+    cum = with_global_cumsum(withc, ["v"], ["c"]).select(
+        "ca", "cn", "cr", "c", (F.col("cum_c") - F.col("c")).alias("before")
+    )
+    dec = lambda col: col.cast("decimal(38,0)")
+    rterm = 2 * F.col("before") + F.col("c") + 1
+    agg = cum.agg(
+        dec(F.sum("ca")).alias("na"),
+        dec(F.sum("cn")).alias("nn"),
+        dec(F.sum("cr")).alias("nr"),
+        dec(F.sum(F.col("ca") * rterm)).alias("r2a"),
+        dec(F.sum(F.col("cn") * rterm)).alias("r2n"),
+        dec(F.sum(F.col("cr") * rterm)).alias("r2r"),
+        dec(F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))).alias(
+            "tie_sum"
+        ),
+    )
+    na, nn, nr = F.col("na"), F.col("nn"), F.col("nr")
+    ntot = na + nn + nr
+    num = (
+        F.col("r2a") * F.col("r2a") * nn * nr
+        + F.col("r2n") * F.col("r2n") * na * nr
+        + F.col("r2r") * F.col("r2r") * na * nn
+    )
+    den = na * nn * nr * ntot * (ntot + 1)
+    h_unc = (
+        F.lit(3.0) * num.cast("double") / den.cast("double")
+        - F.lit(3.0) * (ntot + 1).cast("double")
+    )
+    corr = F.lit(1.0) - F.col("tie_sum").cast("double") / (
+        ntot * ntot * ntot - ntot
+    ).cast("double")
+    return agg.select(
+        na.cast("bigint").alias("n_a"),
+        nn.cast("bigint").alias("n_n"),
+        nr.cast("bigint").alias("n_r"),
+        F.round(h_unc / corr, 9).alias("h_statistic"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # One-way ANOVA: o_totalprice across the five order priorities. Sums
 # and sums of squares in exact DECIMAL (2dp inputs -> 4dp squares),
 # combined map-side; F assembled from exact partials in one float
@@ -1068,3 +1169,138 @@ def q_cramer_von_mises_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cvm_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR correction (Benjamini & Hochberg JRSS-B 1995)
+# over a FAMILY of per-nation independence tests — the multiple-
+# testing discipline any fleet-wide metrics screen needs: 25 nations
+# x (chi-square of l_returnflag x discount-class, df = 2, so the
+# p-value has the CLOSED FORM exp(-chi2/2) — no incomplete gamma).
+# Scale shape: the fact table is touched once to build per-(nation,
+# flag, class) counts; margins broadcast back; everything after is a
+# 25-row spine, so the BH rank window is post-aggregate (auditor-
+# clean). Determinism: chi2 rounds to 9 before the one transcendental
+# (exp), p rounds to 12 before the rank/min-scan, the reverse cummin
+# is order-independent, and the adjusted p rounds to 9.
+@_q(
+    "bh_fdr_nation_tests",
+    """
+    WITH f AS (
+      SELECT n.n_name AS nation, l.l_returnflag AS r,
+             CASE WHEN l.l_discount >= 0.05 THEN 'hi' ELSE 'lo' END AS c,
+             COUNT(*) AS o
+      FROM lineitem l
+      JOIN orders o2 ON o2.o_orderkey = l.l_orderkey
+      JOIN customer cu ON cu.c_custkey = o2.o_custkey
+      JOIN nation n ON n.n_nationkey = cu.c_nationkey
+      GROUP BY 1, 2, 3
+    ),
+    rm AS (SELECT nation, r, SUM(o) AS rn FROM f GROUP BY 1, 2),
+    cm AS (SELECT nation, c, SUM(o) AS cn FROM f GROUP BY 1, 2),
+    tot AS (SELECT nation, SUM(o) AS nt FROM f GROUP BY 1),
+    chi AS (
+      SELECT f.nation,
+             round(SUM((CAST(f.o AS DOUBLE) - CAST(rm.rn AS DOUBLE) * cm.cn / tot.nt)
+                       * (CAST(f.o AS DOUBLE) - CAST(rm.rn AS DOUBLE) * cm.cn / tot.nt)
+                       / (CAST(rm.rn AS DOUBLE) * cm.cn / tot.nt)), 9) AS chi2
+      FROM f JOIN rm ON rm.nation = f.nation AND rm.r = f.r
+             JOIN cm ON cm.nation = f.nation AND cm.c = f.c
+             JOIN tot ON tot.nation = f.nation
+      GROUP BY f.nation
+    ),
+    p AS (
+      SELECT nation, chi2, round(exp(-chi2 / 2), 12) AS pv,
+             COUNT(*) OVER () AS m,
+             ROW_NUMBER() OVER (ORDER BY round(exp(-chi2 / 2), 12), nation)
+               AS rk
+      FROM chi
+    ),
+    adj AS (
+      SELECT nation, chi2, pv,
+             round(MIN(pv * m / rk) OVER (ORDER BY rk
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 9) AS padj0
+      FROM p
+    )
+    SELECT nation, round(chi2, 6) AS chi2, pv AS p_value,
+           LEAST(padj0, 1.0) AS p_adj_bh,
+           CAST(CASE WHEN LEAST(padj0, 1.0) <= 0.05 THEN 1 ELSE 0 END
+                AS BIGINT) AS reject_at_05
+    FROM adj ORDER BY p_value, nation
+    """,
+)
+def q_bh_fdr_nation_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_discount"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    f = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("l_returnflag").alias("r"),
+            F.when(F.col("l_discount") >= 0.05, "hi").otherwise("lo").alias("c"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rm = f.groupBy(F.col("nation").alias("n1"), F.col("r").alias("r1")).agg(
+        F.sum("o").alias("rn")
+    )
+    cm = f.groupBy(F.col("nation").alias("n2"), F.col("c").alias("c1")).agg(
+        F.sum("o").alias("cn")
+    )
+    tot = f.groupBy(F.col("nation").alias("n3")).agg(F.sum("o").alias("nt"))
+    e = F.col("rn").cast("double") * F.col("cn") / F.col("nt")
+    chi = (
+        f.join(
+            F.broadcast(rm),
+            (F.col("nation") == F.col("n1")) & (F.col("r") == F.col("r1")),
+        )
+        .join(
+            F.broadcast(cm),
+            (F.col("nation") == F.col("n2")) & (F.col("c") == F.col("c1")),
+        )
+        .join(F.broadcast(tot), F.col("nation") == F.col("n3"))
+        .groupBy("nation")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("o").cast("double") - e)
+                    * (F.col("o").cast("double") - e)
+                    / e
+                ),
+                9,
+            ).alias("chi2")
+        )
+    )
+    pv = F.round(F.exp(-F.col("chi2") / 2), 12)
+    p = chi.select(
+        "nation",
+        "chi2",
+        pv.alias("pv"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+        F.row_number().over(Window.orderBy(pv, "nation")).alias("rk"),
+    )
+    w_rev = Window.orderBy("rk").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    adj = p.select(
+        "nation",
+        "chi2",
+        "pv",
+        F.round(
+            F.min(F.col("pv") * F.col("m") / F.col("rk")).over(w_rev), 9
+        ).alias("padj0"),
+    )
+    padj = F.least(F.col("padj0"), F.lit(1.0))
+    return adj.select(
+        "nation",
+        F.round("chi2", 6).alias("chi2"),
+        F.col("pv").alias("p_value"),
+        padj.alias("p_adj_bh"),
+        F.when(padj <= 0.05, 1).otherwise(0).cast("bigint").alias("reject_at_05"),
+    ).orderBy("p_value", "nation")

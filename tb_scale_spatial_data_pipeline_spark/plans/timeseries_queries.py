@@ -987,3 +987,98 @@ def q_ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(float(n)) * (n + 2.0) * terms, 6
         ).alias("ljung_box_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (Mann 1945; Kendall's tau against time) on
+# the daily revenue series. The date spine is BOUNDED by the fixture's
+# ~7-year order calendar (constant in SF), so the pairwise self-join
+# is a fixed ~2.9M-pair job at any scale — the aggregation to the
+# spine happens first, which is what makes this 100TB-sane. S, the
+# tie terms, and var18 = n(n-1)(2n+5) - sum t(t-1)(2t+5) stay exact
+# BIGINTs; tau_b and z are assembled in one fixed-order float
+# expression each (products < 2^53 remain exact in double).
+@_q(
+    "mann_kendall_trend",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT SUM(CASE WHEN b.rev > a.rev THEN 1
+                      WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS s
+      FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM daily),
+    ties AS (
+      SELECT COALESCE(SUM(t * (t - 1) / 2), 0) AS ty2,
+             COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tyv
+      FROM (SELECT COUNT(*) AS t FROM daily GROUP BY rev HAVING COUNT(*) > 1)
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(s AS BIGINT) AS s_statistic,
+           round(CAST(s AS DOUBLE)
+                 / sqrt(CAST(n * (n - 1) / 2 AS DOUBLE)
+                        * CAST(n * (n - 1) / 2 - ty2 AS DOUBLE)), 9) AS tau_b,
+           round((CAST(s AS DOUBLE) - CASE WHEN s > 0 THEN 1
+                                           WHEN s < 0 THEN -1 ELSE 0 END)
+                 / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tyv AS DOUBLE)
+                        / 18.0), 9) AS z_score
+    FROM pairs, nn, ties
+    """,
+)
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+        .localCheckpoint(eager=True)  # read by pairs + ties + count
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("rev").alias("ra"))
+    b = daily.select(F.col("d").alias("db"), F.col("rev").alias("rb"))
+    pairs = (
+        a.join(b, F.col("db") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(F.col("rb") > F.col("ra"), 1)
+                .when(F.col("rb") < F.col("ra"), -1)
+                .otherwise(0)
+            ).alias("s")
+        )
+    )
+    nn = daily.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("rev")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("t") * (F.col("t") - 1) / 2), F.lit(0)).alias(
+                "ty2"
+            ),
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            ).alias("tyv"),
+        )
+    )
+    n, s = F.col("n"), F.col("s")
+    half = (n * (n - 1) / 2).cast("double")
+    tau_b = s.cast("double") / F.sqrt(
+        half * (n * (n - 1) / 2 - F.col("ty2")).cast("double")
+    )
+    z = (
+        s.cast("double")
+        - F.when(s > 0, 1).when(s < 0, -1).otherwise(0)
+    ) / F.sqrt((n * (n - 1) * (2 * n + 5) - F.col("tyv")).cast("double") / 18.0)
+    return (
+        pairs.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            n.cast("bigint").alias("n_days"),
+            s.cast("bigint").alias("s_statistic"),
+            F.round(tau_b, 9).alias("tau_b"),
+            F.round(z, 9).alias("z_score"),
+        )
+    )
