@@ -848,3 +848,87 @@ def q_oov_rate_by_vocab_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vocab_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shingle-novelty curve: what fraction of each corpus decile's 5-gram
+# word shingles is seen THERE FIRST? The training-data freshness
+# report — a decile whose novelty collapses is template/boilerplate
+# saturated (complement of heaps_law_vocab_growth, which tracks
+# unigram types). One corpus pass builds the per-doc distinct shingle
+# sets; min(doc_id) per shingle decides novelty; deciles come from a
+# broadcast max-doc scalar (integer DIV — no global window over the
+# doc spine). Scale shape: everything after the explode+distinct is
+# shingle-type-sized; no all-pairs anything.
+@_q(
+    "shingle_novelty_curve",
+    f"""
+    WITH words AS (
+      SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) AS s
+      FROM words, LATERAL unnest(generate_series(1, len(w) - 4)) AS g(i)
+      WHERE len(w) >= 5
+    ),
+    firsts AS (SELECT s, MIN(doc_id) AS fd FROM sh GROUP BY s),
+    nd AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+    j AS (
+      SELECT sh.doc_id,
+             CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END AS novel
+      FROM sh JOIN firsts f ON f.s = sh.s
+    )
+    SELECT CAST(j.doc_id * 10 // nd.n AS BIGINT) AS decile,
+           CAST(COUNT(DISTINCT j.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(novel) AS BIGINT) AS n_novel,
+           round(CAST(SUM(novel) AS DOUBLE) / COUNT(*), 6) AS novelty_ratio
+    FROM j, nd
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _words_df(spark, sf_dir)
+    sh = (
+        words.where(F.size("w") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                # element_at is 1-BASED like DuckDB's w[i]; Spark's
+                # bare w[i] is 0-based and strict, so it both skews
+                # the window and throws at i+4 == size(w)
+                F.expr(
+                    "transform(sequence(1, size(w) - 4), i -> "
+                    "concat_ws(' ', element_at(w, i), element_at(w, i+1), "
+                    "element_at(w, i+2), element_at(w, i+3), "
+                    "element_at(w, i+4)))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("fd"))
+    nd = (
+        t(spark, sf_dir, "documents")
+        .agg((F.max("doc_id") + 1).alias("n"))
+    )
+    j = sh.join(firsts, "s").select(
+        "doc_id",
+        F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0).alias("novel"),
+    )
+    return (
+        j.crossJoin(F.broadcast(nd))
+        .groupBy(
+            F.expr("CAST(doc_id * 10 DIV n AS BIGINT)").alias("decile")
+        )
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum("novel").cast("bigint").alias("n_novel"),
+            F.round(
+                F.sum("novel").cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty_ratio"),
+        )
+        .orderBy("decile")
+    )

@@ -1529,3 +1529,92 @@ def q_conformal_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Average precision (area under the precision-recall curve, step
+# interpolation over DISTINCT score thresholds — the tie-robust form
+# scikit-learn's average_precision_score computes): per segment,
+# AP = sum over descending distinct scores v of
+#      (pos_v / n_pos) * (cum_pos_v / cum_cnt_v).
+# Same value-spine + cumulative-window shape as roc_auc_by_segment —
+# the fact scan aggregates to (segment, score) counts first, so the
+# window runs over a post-agg spine (auditor-clean) and the result is
+# invariant to within-tie ordering by construction. Per-term round(12)
+# before the sum, round(6) at report (house float discipline).
+@_q(
+    "pr_auc_by_segment",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, o.o_totalprice AS v,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    g AS (
+      SELECT seg, v, COUNT(*) AS cnt, SUM(y) AS pos
+      FROM j GROUP BY seg, v
+    ),
+    cum AS (
+      SELECT seg, cnt, pos,
+             SUM(cnt) OVER (PARTITION BY seg ORDER BY v DESC) AS cumn,
+             SUM(pos) OVER (PARTITION BY seg ORDER BY v DESC) AS cump,
+             SUM(pos) OVER (PARTITION BY seg) AS n1,
+             SUM(cnt - pos) OVER (PARTITION BY seg) AS n0
+      FROM g
+    )
+    SELECT seg AS segment,
+           CAST(MAX(n1) AS BIGINT) AS n_pos,
+           CAST(MAX(n0) AS BIGINT) AS n_neg,
+           CASE WHEN MAX(n1) = 0 THEN NULL
+                ELSE round(SUM(round(
+                       (CAST(pos AS DOUBLE) / n1)
+                       * (CAST(cump AS DOUBLE) / cumn), 12)), 6) END
+             AS average_precision
+    FROM cum GROUP BY seg ORDER BY segment
+    """,
+)
+def q_pr_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    j = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    g = j.groupBy("seg", "v").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    w = (
+        Window.partitionBy("seg")
+        .orderBy(F.desc("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wseg = Window.partitionBy("seg")
+    cum = g.select(
+        "seg",
+        "cnt",
+        "pos",
+        F.sum("cnt").over(w).alias("cumn"),
+        F.sum("pos").over(w).alias("cump"),
+        F.sum("pos").over(wseg).alias("n1"),
+        F.sum(F.col("cnt") - F.col("pos")).over(wseg).alias("n0"),
+    )
+    term = F.round(
+        (F.col("pos").cast("double") / F.col("n1"))
+        * (F.col("cump").cast("double") / F.col("cumn")),
+        12,
+    )
+    return (
+        cum.groupBy(F.col("seg").alias("segment"))
+        .agg(
+            F.max("n1").cast("bigint").alias("n_pos"),
+            F.max("n0").cast("bigint").alias("n_neg"),
+            F.when(F.max("n1") == 0, F.lit(None))
+            .otherwise(F.round(F.sum(term), 6))
+            .alias("average_precision"),
+        )
+        .orderBy("segment")
+    )

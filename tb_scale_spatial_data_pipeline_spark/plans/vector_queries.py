@@ -2136,3 +2136,182 @@ def q_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar (int8) quantization audit — the embedding-compression tier's
+# missing rung between the float corpus and PQ: per-dimension min/max
+# over the corpus give 0..255 codes ((x-mn)*255 DIV max(range,1) —
+# pure integers on the micro-lattice), and the report is (a) recall@10
+# of int8 dot-product ranking vs exact ranking for the 10 standard
+# query vectors and (b) the exact mean absolute reconstruction error
+# (|255*x - 255*mn - code*range| summed as BIGINTs, one final
+# division). Everything is exact integer arithmetic until the two
+# report divisions, so the oracle is bit-equal by construction.
+# Scale shape: the min/max pass is one explode+groupBy (64 rows
+# broadcast back); both ranking arms are query-broadcast corpus scans
+# with per-query top-10 heaps — no corpus x corpus anything.
+def _sql_scalar_quant() -> str:
+    return f"""
+    WITH mv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT d.i AS dim, MIN(v[d.i]) AS mn, MAX(v[d.i]) AS mx
+      FROM mv, LATERAL unnest(generate_series(1, {DIM})) AS d(i)
+      GROUP BY d.i
+    ),
+    rng AS (
+      SELECT list(mn ORDER BY dim) AS mns,
+             list(GREATEST(mx - mn, 1) ORDER BY dim) AS rgs,
+             list(mx - mn ORDER BY dim) AS rws
+      FROM dims
+    ),
+    coded AS (
+      SELECT mv.vec_id, mv.v,
+             list_transform(generate_series(1, {DIM}),
+               i -> ((mv.v[i] - r.mns[i]) * 255) // r.rgs[i]) AS c,
+             list_sum(list_transform(generate_series(1, {DIM}),
+               i -> abs(255 * mv.v[i] - 255 * r.mns[i]
+                        - ((mv.v[i] - r.mns[i]) * 255) // r.rgs[i]
+                          * r.rws[i]))) AS err
+      FROM mv CROSS JOIN rng r
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, c AS qc FROM coded
+          WHERE vec_id % {_RECALL_QMOD} = 0),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 list_dot_product(CAST(e.v AS DOUBLE[]),
+                                  CAST(q.qv AS DOUBLE[])) DESC,
+                 e.vec_id) AS rn
+        FROM coded e CROSS JOIN q WHERE e.vec_id <> q.qid
+      ) WHERE rn <= 10
+    ),
+    quant AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 list_dot_product(CAST(e.c AS DOUBLE[]),
+                                  CAST(q.qc AS DOUBLE[])) DESC,
+                 e.vec_id) AS rn
+        FROM coded e CROSS JOIN q WHERE e.vec_id <> q.qid
+      ) WHERE rn <= 10
+    ),
+    hits AS (
+      SELECT COUNT(*) AS h
+      FROM exact JOIN quant
+        ON quant.qid = exact.qid AND quant.vec_id = exact.vec_id
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n_vecs, SUM(err) AS err_sum FROM coded
+    )
+    SELECT CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS n_queries,
+           CAST(hits.h AS BIGINT) AS total_hits,
+           round(CAST(hits.h AS DOUBLE)
+                 / (10 * (SELECT COUNT(*) FROM q)), 6) AS recall_at_10,
+           round(CAST(tot.err_sum AS DOUBLE)
+                 / (255.0 * 1000000 * tot.n_vecs * {DIM}), 9)
+             AS mean_abs_recon_err
+    FROM hits, tot
+    """
+
+
+@_q("scalar_quantization_recall", _sql_scalar_quant())
+def q_scalar_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..ml.clustering import quantize_micros
+
+    emb = t(spark, sf_dir, "embeddings")
+    mv = emb.select(
+        "vec_id", quantize_micros(F.col("embedding")).alias("v")
+    )
+    dims = (
+        mv.select(F.posexplode("v").alias("d0", "x"))
+        .groupBy((F.col("d0") + 1).alias("dim"))
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    rng = dims.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, mn))), s -> s.mn)"
+        ).alias("mns"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, "
+            "greatest(mx - mn, 1L) AS rg))), s -> s.rg)"
+        ).alias("rgs"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, "
+            "mx - mn AS rw))), s -> s.rw)"
+        ).alias("rws"),
+    )
+    coded = mv.crossJoin(F.broadcast(rng)).select(
+        "vec_id",
+        "v",
+        F.expr(
+            f"transform(sequence(1, {DIM}), i -> "
+            "((element_at(v, i) - element_at(mns, i)) * 255) "
+            "DIV element_at(rgs, i))"
+        ).alias("c"),
+        F.expr(
+            f"aggregate(transform(sequence(1, {DIM}), i -> "
+            "abs(255 * element_at(v, i) - 255 * element_at(mns, i) "
+            "- ((element_at(v, i) - element_at(mns, i)) * 255) "
+            "DIV element_at(rgs, i) * element_at(rws, i))), "
+            "0L, (a, x) -> a + x)"
+        ).alias("err"),
+    ).localCheckpoint(eager=False)  # both ranking arms + totals read it
+    q = coded.where(F.col("vec_id") % _RECALL_QMOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("c").alias("qc"),
+    )
+    idot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (a, x) -> a + x)"
+    w = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("vec_id"))
+    exact = (
+        coded.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", F.expr(idot.format(a="v", b="qv")).alias("s")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    quant = (
+        coded.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", F.expr(idot.format(a="c", b="qc")).alias("s")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    hits = exact.join(quant, ["qid", "vec_id"]).agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    tot = coded.agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.sum("err").alias("err_sum")
+    )
+    nq = q.agg(F.count(F.lit(1)).alias("nq"))
+    return (
+        hits.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nq))
+        .select(
+            F.col("nq").cast("bigint").alias("n_queries"),
+            F.col("h").cast("bigint").alias("total_hits"),
+            F.round(
+                F.col("h").cast("double") / (10 * F.col("nq")), 6
+            ).alias("recall_at_10"),
+            F.round(
+                F.col("err_sum").cast("double")
+                / (255.0 * 1000000 * F.col("n_vecs") * DIM),
+                9,
+            ).alias("mean_abs_recon_err"),
+        )
+    )
