@@ -2315,3 +2315,121 @@ def q_scalar_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_abs_recon_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k (Carbonell & Goldstein SIGIR 1998): greedy
+# re-rank of the query's top-32 candidates maximizing
+# lambda*rel - (1-lambda)*max_sim_to_selected with lambda = 1/2, so
+# DOUBLED scores are mmr_x2 = rel - maxsim — pure BIGINTs on the
+# micros^2 lattice (rel and sims are exact integer dots). The Spark
+# side is the production shape: retrieval (top-32 heap over the
+# corpus) and the 32x32 similarity matrix are DISTRIBUTED; the 8-step
+# greedy is inherently sequential over a 32-row frame, so it runs
+# driver-side on collected exact integers (same bounded-collect
+# discipline as the k x dim k-means centroids). The oracle unrolls
+# the identical greedy as 8 chained CTEs.
+_MMR_CANDS = 32
+_MMR_K = 8
+
+
+def _sql_mmr() -> str:
+    idot = (
+        "CAST(list_dot_product(CAST({a} AS DOUBLE[]), "
+        "CAST({b} AS DOUBLE[])) AS BIGINT)"
+    )
+    ctes = [
+        f"""mv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM mv WHERE vec_id = 0),
+    cand AS MATERIALIZED (
+      SELECT mv.vec_id, mv.v, {idot.format(a='mv.v', b='q.qv')} AS rel
+      FROM mv CROSS JOIN q WHERE mv.vec_id <> 0
+      ORDER BY rel DESC, mv.vec_id LIMIT {_MMR_CANDS}
+    ),
+    sims AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             {idot.format(a='a.v', b='b.v')} AS s
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    p1 AS MATERIALIZED (
+      SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel,
+             CAST(NULL AS BIGINT) AS mmr_x2
+      FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    ),
+    sel1 AS MATERIALIZED (SELECT vec_id FROM p1)"""
+    ]
+    for step in range(2, _MMR_K + 1):
+        ctes.append(
+            f"""p{step} AS MATERIALIZED (
+      SELECT CAST({step} AS BIGINT) AS rank, vec_id, rel, mmr_x2 FROM (
+        SELECT c.vec_id, c.rel,
+               c.rel - (SELECT MAX(s.s) FROM sims s
+                        WHERE s.ia = c.vec_id
+                          AND s.ib IN (SELECT vec_id FROM sel{step - 1}))
+                 AS mmr_x2
+        FROM cand c
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{step - 1})
+      ) ORDER BY mmr_x2 DESC, vec_id LIMIT 1
+    ),
+    sel{step} AS MATERIALIZED (SELECT vec_id FROM sel{step - 1}
+                  UNION ALL SELECT vec_id FROM p{step})"""
+        )
+    picks = "\n    UNION ALL ".join(
+        f"SELECT * FROM p{i}" for i in range(1, _MMR_K + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT rank, vec_id, rel AS relevance, mmr_x2 FROM ({picks})
+    ORDER BY rank"""
+    )
+
+
+@_q("mmr_diversified_topk", _sql_mmr())
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.clustering import quantize_micros
+
+    emb = t(spark, sf_dir, "embeddings")
+    mv = emb.select("vec_id", quantize_micros(F.col("embedding")).alias("v"))
+    qv = mv.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    idot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (a, x) -> a + x)"
+    cand = (
+        mv.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "v", F.expr(idot.format(a="v", b="qv")).alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_CANDS)
+        .localCheckpoint(eager=True)  # rel collect + sim matrix share it
+    )
+    a = cand.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = cand.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    sims = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("ia") != F.col("ib"))
+        .select("ia", "ib", F.expr(idot.format(a="va", b="vb")).alias("s"))
+    )
+    rel = {r["vec_id"]: r["rel"] for r in cand.select("vec_id", "rel").collect()}
+    sim = {(r["ia"], r["ib"]): r["s"] for r in sims.collect()}
+    first = sorted(rel.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    picks = [(1, first, rel[first], None)]
+    selected = [first]
+    for step in range(2, _MMR_K + 1):
+        best = None
+        for c in rel:
+            if c in selected:
+                continue
+            mmr2 = rel[c] - max(sim[(c, s)] for s in selected)
+            key = (-mmr2, c)
+            if best is None or key < best[0]:
+                best = (key, c, mmr2)
+        picks.append((step, best[1], rel[best[1]], best[2]))
+        selected.append(best[1])
+    return spark.createDataFrame(
+        picks, "rank bigint, vec_id bigint, relevance bigint, mmr_x2 bigint"
+    )
