@@ -941,3 +941,235 @@ def q_incidence_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("log_irr_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (Deng, Xu, Kohavi & Walker WSDM 2013):
+# adjust the experiment metric with a pre-period covariate,
+# Y' = Y - theta*(X - mean X), theta = cov(X,Y)/var(X). Pre-period =
+# first 15 days of the event calendar (clicks+views value), metric =
+# purchase value in the remainder; arms by the same md5 parity as
+# ab_experiment_analysis. EVERYTHING reduces to eleven exact
+# DECIMAL sufficient statistics (per-arm n/Sx/Sy + global n/Sx/Sy/
+# Sxx/Sxy), so theta, the adjusted lift, and the variance-reduction
+# ratio (which algebraically equals corr(X,Y)^2) are each ONE
+# fixed-order float expression over exact inputs — the whole analysis
+# moves eleven numbers to the driver at any scale.
+@_q(
+    "cuped_adjusted_lift",
+    """
+    WITH bounds AS (
+      SELECT MIN(ts) + INTERVAL 15 DAY AS cut FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                        1, 4)) AS INTEGER) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm,
+             SUM(CASE WHEN ts < cut THEN CAST(value AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
+             SUM(CASE WHEN ts >= cut AND event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+      FROM events, bounds GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS DECIMAL(38,2)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,2)) AS sy,
+             CAST(SUM(x * x) AS DECIMAL(38,4)) AS sxx,
+             CAST(SUM(x * y) AS DECIMAL(38,4)) AS sxy,
+             CAST(SUM(y * y) AS DECIMAL(38,4)) AS syy
+      FROM per_user
+    ),
+    a AS (
+      SELECT
+        max(CASE WHEN arm = 'control' THEN cnt END) AS n1,
+        max(CASE WHEN arm = 'control' THEN asx END) AS sx1,
+        max(CASE WHEN arm = 'control' THEN asy END) AS sy1,
+        max(CASE WHEN arm = 'treatment' THEN cnt END) AS n2,
+        max(CASE WHEN arm = 'treatment' THEN asx END) AS sx2,
+        max(CASE WHEN arm = 'treatment' THEN asy END) AS sy2
+      FROM (SELECT arm, COUNT(*) AS cnt,
+                   CAST(SUM(x) AS DECIMAL(38,2)) AS asx,
+                   CAST(SUM(y) AS DECIMAL(38,2)) AS asy
+            FROM per_user GROUP BY arm)
+    )
+    SELECT CAST(g.n AS BIGINT) AS n_users,
+           round(CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+                 / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE), 9) AS theta,
+           round(CAST(a.sy2 AS DOUBLE) / a.n2
+                 - CAST(a.sy1 AS DOUBLE) / a.n1, 6) AS raw_lift,
+           round((CAST(a.sy2 AS DOUBLE) / a.n2
+                  - CAST(a.sy1 AS DOUBLE) / a.n1)
+                 - (CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+                    / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE))
+                   * (CAST(a.sx2 AS DOUBLE) / a.n2
+                      - CAST(a.sx1 AS DOUBLE) / a.n1), 6) AS cuped_lift,
+           round((CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+                  * CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE))
+                 / (CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE)
+                    * CAST(g.n * g.syy - g.sy * g.sy AS DOUBLE)), 9)
+             AS variance_reduction
+    FROM g, a
+    """,
+)
+def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cut = ev.agg(
+        (F.min("ts") + F.expr("INTERVAL 15 DAYS")).alias("cut")
+    )
+    d2 = lambda c: c.cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    per_user = (
+        ev.crossJoin(F.broadcast(cut))
+        .groupBy(
+            "user_id",
+            F.when(
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+                    16,
+                    10,
+                ).cast("int")
+                % 2
+                == 0,
+                "control",
+            )
+            .otherwise("treatment")
+            .alias("arm"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("ts") < F.col("cut"), d2(F.col("value"))).otherwise(
+                    zero
+                )
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    (F.col("ts") >= F.col("cut"))
+                    & (F.col("event_type") == "purchase"),
+                    d2(F.col("value")),
+                ).otherwise(zero)
+            ).alias("y"),
+        )
+        .localCheckpoint(eager=True)  # global + per-arm stats share it
+    )
+    d38 = lambda c, s: F.sum(c).cast(f"decimal(38,{s})")
+    g = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        d38(F.col("x"), 2).alias("sx"),
+        d38(F.col("y"), 2).alias("sy"),
+        d38(F.col("x") * F.col("x"), 4).alias("sxx"),
+        d38(F.col("x") * F.col("y"), 4).alias("sxy"),
+        d38(F.col("y") * F.col("y"), 4).alias("syy"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        d38(F.col("x"), 2).alias("asx"),
+        d38(F.col("y"), 2).alias("asy"),
+    )
+    is_c = F.col("arm") == "control"
+    a = arms.agg(
+        F.max(F.when(is_c, F.col("cnt"))).alias("n1"),
+        F.max(F.when(is_c, F.col("asx"))).alias("sx1"),
+        F.max(F.when(is_c, F.col("asy"))).alias("sy1"),
+        F.max(F.when(~is_c, F.col("cnt"))).alias("n2"),
+        F.max(F.when(~is_c, F.col("asx"))).alias("sx2"),
+        F.max(F.when(~is_c, F.col("asy"))).alias("sy2"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    covn = (n * F.col("sxy") - sx * sy).cast("double")
+    varxn = (n * F.col("sxx") - sx * sx).cast("double")
+    varyn = (n * F.col("syy") - sy * sy).cast("double")
+    theta = covn / varxn
+    mean_dy = F.col("sy2").cast("double") / F.col("n2") - F.col(
+        "sy1"
+    ).cast("double") / F.col("n1")
+    mean_dx = F.col("sx2").cast("double") / F.col("n2") - F.col(
+        "sx1"
+    ).cast("double") / F.col("n1")
+    return g.crossJoin(F.broadcast(a)).select(
+        n.cast("bigint").alias("n_users"),
+        F.round(theta, 9).alias("theta"),
+        F.round(mean_dy, 6).alias("raw_lift"),
+        F.round(mean_dy - theta * mean_dx, 6).alias("cuped_lift"),
+        F.round(covn * covn / (varxn * varyn), 9).alias("variance_reduction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jackknife variance for a RATIO metric (Efron & Stein 1981; the
+# estimator every experimentation platform uses for revenue-per-
+# purchase style metrics where the unit of analysis is the user but
+# the metric is a ratio of user sums, so the naive binomial/t SE is
+# wrong): R = sum(y_u)/sum(n_u); leave-one-out replicates come in
+# CLOSED FORM from the broadcast totals, r_u = (Sy-y_u)/(Sn-n_u) — one
+# pass over users, no U re-aggregations. Numerical discipline: the
+# replicates cluster tightly around R, so the variance is computed on
+# CENTERED deviations d_u = round(r_u - R, 12) (direct sum-of-squares
+# minus square-of-sums cancels catastrophically); V_jk =
+# (U-1)/U * (sum d^2 - (sum d)^2/U).
+@_q(
+    "jackknife_ratio_variance",
+    """
+    WITH pu AS (
+      SELECT user_id,
+             SUM(CAST(value AS DECIMAL(18,2))) AS y,
+             COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(y) AS DECIMAL(38,2)) AS sy,
+             CAST(SUM(n) AS BIGINT) AS sn,
+             COUNT(*) AS u
+      FROM pu
+    ),
+    reps AS (
+      SELECT round(CAST(tot.sy - pu.y AS DOUBLE) / CAST(tot.sn - pu.n AS DOUBLE)
+                   - CAST(tot.sy AS DOUBLE) / CAST(tot.sn AS DOUBLE), 12) AS d
+      FROM pu, tot
+    )
+    SELECT CAST(tot.u AS BIGINT) AS n_users,
+           round(CAST(tot.sy AS DOUBLE) / CAST(tot.sn AS DOUBLE), 9) AS ratio,
+           round(CAST(tot.u - 1 AS DOUBLE) / tot.u
+                 * (SUM(d * d) - SUM(d) * SUM(d) / tot.u), 9) AS jk_variance,
+           round(sqrt(CAST(tot.u - 1 AS DOUBLE) / tot.u
+                 * (SUM(d * d) - SUM(d) * SUM(d) / tot.u)), 9) AS jk_se
+    FROM reps, tot GROUP BY tot.u, tot.sy, tot.sn
+    """,
+)
+def q_jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("y"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tot = pu.agg(
+        F.sum("y").cast("decimal(38,2)").alias("sy"),
+        F.sum("n").cast("bigint").alias("sn"),
+        F.count(F.lit(1)).alias("u"),
+    )
+    reps = pu.crossJoin(F.broadcast(tot)).select(
+        "u",
+        "sy",
+        "sn",
+        F.round(
+            (F.col("sy") - F.col("y")).cast("double")
+            / (F.col("sn") - F.col("n")).cast("double")
+            - F.col("sy").cast("double") / F.col("sn").cast("double"),
+            12,
+        ).alias("d"),
+    )
+    v = (
+        (F.col("u") - 1).cast("double")
+        / F.col("u")
+        * (F.sum(F.col("d") * F.col("d")) - F.sum("d") * F.sum("d") / F.col("u"))
+    )
+    return reps.groupBy("u", "sy", "sn").agg(
+        F.col("u").cast("bigint").alias("n_users"),
+        F.round(F.col("sy").cast("double") / F.col("sn").cast("double"), 9).alias(
+            "ratio"
+        ),
+        F.round(v, 9).alias("jk_variance"),
+        F.round(F.sqrt(v), 9).alias("jk_se"),
+    ).select("n_users", "ratio", "jk_variance", "jk_se")
