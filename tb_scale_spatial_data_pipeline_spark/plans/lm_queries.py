@@ -932,3 +932,140 @@ def q_shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (Mihalcea & Tarau EMNLP 2004): weighted
+# PageRank over the window-2 word co-occurrence graph, top-20 words.
+# The graph reuses the pmi_cooccurrence pair stream (per-row array
+# offsets, never a positional self-join) with a count floor that
+# bounds the vocabulary graph; the rank recursion is the
+# weighted_pagerank skeleton — transition mass proportional to edge
+# weight over the source's total weight, per-iteration round(12)
+# re-synchronization, TextRank's original (1-d) teleport constant
+# (not (1-d)/n). Complements RAKE (phrase-delimiter statistics) with
+# the graph-centrality notion of keyword salience.
+_TR_ITERS = 6
+_TR_DAMP = 0.85
+_TR_MIN_COUNT = 30
+_TR_TOP = 20
+
+
+def _sql_textrank() -> str:
+    d = _TR_DAMP
+    ctes = [
+        f"""words AS (
+      SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ),
+    ew AS MATERIALIZED (
+      SELECT w1, w2, c_ab AS wt FROM (
+        SELECT CASE WHEN w[i] <= w[i+off] THEN w[i] ELSE w[i+off] END AS w1,
+               CASE WHEN w[i] <= w[i+off] THEN w[i+off] ELSE w[i] END AS w2,
+               COUNT(*) AS c_ab
+        FROM words,
+             LATERAL unnest(generate_series(1, {_PMI_WINDOW})) AS o(off),
+             LATERAL unnest(generate_series(1, len(w) - off)) AS s(i)
+        GROUP BY 1, 2
+      ) WHERE c_ab >= {_TR_MIN_COUNT} AND w1 <> w2
+    ),
+    wedges AS MATERIALIZED (
+      SELECT w1 AS src, w2 AS dst, wt FROM ew
+      UNION ALL SELECT w2, w1, wt FROM ew
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM wedges),
+    wout AS MATERIALIZED (
+      SELECT src AS node, CAST(SUM(wt) AS DOUBLE) AS tw
+      FROM wedges GROUP BY src
+    ),
+    r0 AS MATERIALIZED (SELECT node, 1.0 AS rank FROM nodes)"""
+    ]
+    for k in range(_TR_ITERS):
+        ctes.append(
+            f"""r{k + 1} AS MATERIALIZED (
+      SELECT nd.node,
+             round((1.0 - {d})
+                   + {d} * COALESCE(c.contrib, 0.0), 12) AS rank
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank * e.wt / o.tw) AS contrib
+        FROM r{k} r JOIN wedges e ON e.src = r.node
+        JOIN wout o ON o.node = r.node
+        GROUP BY e.dst
+      ) c ON c.node = nd.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS keyword, round(rank, 6) AS textrank
+    FROM r{_TR_ITERS}
+    ORDER BY round(rank, 6) DESC, node LIMIT {_TR_TOP}"""
+    )
+
+
+@_q("textrank_keywords", _sql_textrank())
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _words_df(spark, sf_dir)
+    pairs = (
+        words.select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, {_PMI_WINDOW}), off ->"
+                    " CASE WHEN size(w) > off THEN"
+                    " transform(sequence(1, size(w) - off), i ->"
+                    " struct(CASE WHEN element_at(w, i) <= element_at(w, i + off)"
+                    "   THEN element_at(w, i) ELSE element_at(w, i + off) END AS w1,"
+                    " CASE WHEN element_at(w, i) <= element_at(w, i + off)"
+                    "   THEN element_at(w, i + off) ELSE element_at(w, i) END AS w2))"
+                    " ELSE array() END))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("wt"))
+        .where((F.col("wt") >= _TR_MIN_COUNT) & (F.col("w1") != F.col("w2")))
+    )
+    wedges = (
+        pairs.select(F.col("w1").alias("src"), F.col("w2").alias("dst"), "wt")
+        .unionByName(
+            pairs.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), "wt")
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = wedges.select(F.col("src").alias("node")).distinct()
+    wout = (
+        wedges.groupBy(F.col("src").alias("node"))
+        .agg(F.sum("wt").cast("double").alias("tw"))
+        .localCheckpoint(eager=True)
+    )
+    r = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(_TR_ITERS):
+        contrib = (
+            r.join(wedges, r["node"] == wedges["src"])
+            .join(
+                wout.select(F.col("node").alias("o_node"), "tw"),
+                F.col("o_node") == r["node"],
+            )
+            .groupBy(F.col("dst").alias("cnode"))
+            .agg(F.sum(F.col("rank") * F.col("wt") / F.col("tw")).alias("contrib"))
+        )
+        r = (
+            nodes.join(contrib, nodes["node"] == contrib["cnode"], "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(1.0 - _TR_DAMP)
+                    + _TR_DAMP * F.coalesce(F.col("contrib"), F.lit(0.0)),
+                    12,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)  # bound per-iteration lineage
+        )
+    return (
+        r.select(
+            F.col("node").alias("keyword"), F.round("rank", 6).alias("textrank")
+        )
+        .orderBy(F.desc("textrank"), "keyword")
+        .limit(_TR_TOP)
+    )

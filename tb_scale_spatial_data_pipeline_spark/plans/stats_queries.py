@@ -1304,3 +1304,75 @@ def q_bh_fdr_nation_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         padj.alias("p_adj_bh"),
         F.when(padj <= 0.05, 1).otherwise(0).cast("bigint").alias("reject_at_05"),
     ).orderBy("p_value", "nation")
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage trend test (Cochran 1954; Armitage 1955): is the
+# fulfillment rate MONOTONE in order priority? Ordered scores s=1..5
+# from the priority prefix digit; outcome = order fully shipped
+# (o_orderstatus = 'F'). The statistic reduces to five per-group
+# integer pairs (n_i, x_i): Z = (N*Ssx - X*Ssn) * sqrt(N)
+# / sqrt(X*(N-X)*(N*Sssn - Ssn^2)) — numerator and the radicand are
+# EXACT (DECIMAL(38,0); the radicand tops 2^63 at sf0.1), so the only
+# float ops are two sqrts and one division in fixed order.
+@_q(
+    "cochran_armitage_trend",
+    """
+    WITH g AS (
+      SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS s,
+             COUNT(*) AS n,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS x
+      FROM orders GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(SUM(n) AS DECIMAL(38,0)) AS nn,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS xx,
+             CAST(SUM(s * n) AS DECIMAL(38,0)) AS ssn,
+             CAST(SUM(s * x) AS DECIMAL(38,0)) AS ssx,
+             CAST(SUM(s * s * n) AS DECIMAL(38,0)) AS sssn
+      FROM g
+    )
+    SELECT CAST(nn AS BIGINT) AS n_total, CAST(xx AS BIGINT) AS x_total,
+           round(CAST(nn * ssx - xx * ssn AS DOUBLE)
+                 * sqrt(CAST(nn AS DOUBLE))
+                 / sqrt(CAST(xx * (nn - xx) * (nn * sssn - ssn * ssn)
+                             AS DOUBLE)), 9) AS z_trend
+    FROM agg
+    """,
+)
+def q_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.substring("o_orderpriority", 1, 1).cast("bigint").alias("s")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("x"),
+        )
+    )
+    dec = lambda c: F.sum(c).cast("decimal(38,0)")
+    agg = g.agg(
+        dec(F.col("n")).alias("nn"),
+        dec(F.col("x")).alias("xx"),
+        dec(F.col("s") * F.col("n")).alias("ssn"),
+        dec(F.col("s") * F.col("x")).alias("ssx"),
+        dec(F.col("s") * F.col("s") * F.col("n")).alias("sssn"),
+    )
+    nn, xx = F.col("nn"), F.col("xx")
+    z = (
+        (nn * F.col("ssx") - xx * F.col("ssn")).cast("double")
+        * F.sqrt(nn.cast("double"))
+        / F.sqrt(
+            (
+                xx * (nn - xx) * (nn * F.col("sssn") - F.col("ssn") * F.col("ssn"))
+            ).cast("double")
+        )
+    )
+    return agg.select(
+        nn.cast("bigint").alias("n_total"),
+        xx.cast("bigint").alias("x_total"),
+        F.round(z, 9).alias("z_trend"),
+    )
