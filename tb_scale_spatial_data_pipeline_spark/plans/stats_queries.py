@@ -1376,3 +1376,89 @@ def q_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         xx.cast("bigint").alias("x_total"),
         F.round(z, 9).alias("z_trend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hodges-Lehmann two-sample shift estimator (Hodges & Lehmann 1963):
+# the median of all nA*nR pairwise differences quantity(A) -
+# quantity(R) — the robust location-shift companion to mann_whitney_u
+# (it estimates WHAT the U test detects). The pairwise multiset never
+# materializes: both samples reduce to the 50-value quantity spine,
+# so the differences are a <=2500-row WEIGHTED spine (weight = count
+# product, exact DECIMAL(38)) and the median is the weighted-rank
+# crossing — everything exact integers, the final average of the two
+# middle order statistics is the one float op.
+@_q(
+    "hodges_lehmann_shift",
+    """
+    WITH a AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS c
+      FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1
+    ),
+    r AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS c
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+    ),
+    d AS (
+      SELECT a.v - r.v AS d,
+             SUM(CAST(a.c AS DECIMAL(38,0)) * r.c) AS w
+      FROM a CROSS JOIN r GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(w) AS DECIMAL(38,0)) AS t FROM d),
+    cum AS (
+      SELECT d, SUM(w) OVER (ORDER BY d) AS cw FROM d
+    ),
+    m AS (
+      SELECT
+        (SELECT MIN(d) FROM cum, tot WHERE cw >= (t + 1) // 2) AS lo,
+        (SELECT MIN(d) FROM cum, tot WHERE cw >= t // 2 + 1) AS hi
+      FROM tot
+    )
+    SELECT CAST(tot.t AS BIGINT) AS n_pairs,
+           CAST(m.lo AS BIGINT) AS lower_mid,
+           CAST(m.hi AS BIGINT) AS upper_mid,
+           CAST(m.lo + m.hi AS DOUBLE) / 2 AS hl_shift
+    FROM m, tot
+    """,
+)
+def q_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    spine = lambda flag: (
+        li.where(F.col("l_returnflag") == flag)
+        .groupBy(F.col("l_quantity").cast("bigint").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = spine("A").select(F.col("v").alias("va"), F.col("c").alias("ca"))
+    r = spine("R").select(F.col("v").alias("vr"), F.col("c").alias("cr"))
+    d = (
+        a.crossJoin(F.broadcast(r))
+        .groupBy((F.col("va") - F.col("vr")).alias("d"))
+        .agg(
+            F.sum(F.col("ca").cast("decimal(38,0)") * F.col("cr")).alias("w")
+        )
+        .localCheckpoint(eager=True)  # total + cumulative + crossings
+    )
+    tot = d.agg(F.sum("w").cast("decimal(38,0)").alias("t"))
+    from ..operators.quantiles import with_global_cumsum
+
+    cum = with_global_cumsum(d, ["d"], ["w"]).select(
+        "d", F.col("cum_w").alias("cw")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    # rank thresholds mirror the oracle's FLOOR division exactly:
+    # k1 = (t+1)//2 (lower middle), k2 = t//2 + 1 (upper middle) —
+    # a >= t/2 + 0.5 comparison would be off by one for even t
+    k1 = F.floor((F.col("t") + 1) / 2)
+    k2 = F.floor(F.col("t") / 2) + 1
+    lo = j.where(F.col("cw") >= k1).agg(F.min("d").alias("lo"))
+    hi = j.where(F.col("cw") >= k2).agg(F.min("d").alias("hi"))
+    return (
+        tot.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.col("t").cast("bigint").alias("n_pairs"),
+            F.col("lo").cast("bigint").alias("lower_mid"),
+            F.col("hi").cast("bigint").alias("upper_mid"),
+            ((F.col("lo") + F.col("hi")).cast("double") / 2).alias("hl_shift"),
+        )
+    )

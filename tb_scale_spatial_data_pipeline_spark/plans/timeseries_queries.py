@@ -1082,3 +1082,213 @@ def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 9).alias("z_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson autocorrelation statistic (Durbin & Watson 1950) of
+# the OLS residuals from the daily-revenue-on-time regression — the
+# residual-whiteness check beside ljung_box_test (DW targets lag-1
+# specifically, the classic regression diagnostic). The slope and
+# intercept come from exact DECIMAL sufficient statistics over the
+# BOUNDED daily spine (day index = exact date_diff from the broadcast
+# min date); residuals re-synchronize at round(6) before the lag
+# window, so both engines feed identical values into the final two
+# sums (whose ~2400-term double accumulation noise sits ~8 orders
+# below the round(6) report).
+@_q(
+    "durbin_watson_daily",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS dte,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    base AS (SELECT MIN(dte) AS d0 FROM daily),
+    pts AS (
+      SELECT CAST(date_diff('day', base.d0, daily.dte) AS BIGINT) AS x,
+             rev
+      FROM daily, base
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(rev) AS DECIMAL(38,2)) AS sy,
+             CAST(SUM(x * rev) AS DECIMAL(38,2)) AS sxy
+      FROM pts
+    ),
+    fit AS (
+      SELECT n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+             (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n
+               AS a
+      FROM s
+    ),
+    resid AS (
+      SELECT x,
+             round(CAST(rev AS DOUBLE) - fit.a - fit.b * x, 6) AS e
+      FROM pts, fit
+    ),
+    lagd AS (
+      SELECT e, lag(e) OVER (ORDER BY x) AS ep FROM resid
+    )
+    SELECT CAST((SELECT n FROM s) AS BIGINT) AS n_days,
+           round((SELECT b FROM fit), 9) AS slope,
+           round(SUM(CASE WHEN ep IS NULL THEN 0.0
+                          ELSE (e - ep) * (e - ep) END)
+                 / SUM(e * e), 6) AS durbin_watson
+    FROM lagd
+    """,
+)
+def q_durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("dte"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    base = daily.agg(F.min("dte").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(base)).select(
+        F.datediff(F.col("dte"), F.col("d0")).cast("bigint").alias("x"),
+        "rev",
+    ).localCheckpoint(eager=True)  # stats + residual pass share it
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum("rev").cast("decimal(38,2)").alias("sy"),
+        F.sum(F.col("x") * F.col("rev")).cast("decimal(38,2)").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    b = (n * F.col("sxy") - sx * sy).cast("double") / (
+        n * F.col("sxx") - sx * sx
+    ).cast("double")
+    fit = s.select(
+        "n",
+        b.alias("b"),
+        ((sy.cast("double") - b * sx.cast("double")) / n).alias("a"),
+    )
+    resid = pts.crossJoin(F.broadcast(fit)).select(
+        "x",
+        "n",
+        "b",
+        F.round(
+            F.col("rev").cast("double") - F.col("a") - F.col("b") * F.col("x"),
+            6,
+        ).alias("e"),
+    )
+    w = Window.orderBy("x")
+    lagd = resid.select(
+        "n", "b", "e", F.lag("e").over(w).alias("ep")
+    )
+    return lagd.groupBy("n", "b").agg(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(F.col("b"), 9).alias("slope"),
+        F.round(
+            F.sum(
+                F.when(F.col("ep").isNull(), F.lit(0.0)).otherwise(
+                    (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep"))
+                )
+            )
+            / F.sum(F.col("e") * F.col("e")),
+            6,
+        ).alias("durbin_watson"),
+    ).select("n_days", "slope", "durbin_watson")
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test (1940) for randomness of the daily revenue
+# sign sequence (above/below the exact decimal mean): too FEW runs =
+# positive serial dependence (trending), too many = oscillation. Runs
+# and both sign counts are exact integers off one lag pass over the
+# bounded daily spine; the normal-approximation z is one fixed-order
+# float expression.
+@_q(
+    "runs_test_daily",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS dte,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(SUM(rev) AS DECIMAL(38,2)) AS s, COUNT(*) AS n FROM daily
+    ),
+    signs AS (
+      SELECT dte,
+             CASE WHEN CAST(rev AS DOUBLE) * m.n > CAST(m.s AS DOUBLE)
+                  THEN 1 ELSE 0 END AS above
+      FROM daily, m
+    ),
+    runs AS (
+      SELECT above,
+             CASE WHEN lag(above) OVER (ORDER BY dte) IS NULL THEN 1
+                  WHEN lag(above) OVER (ORDER BY dte) <> above THEN 1
+                  ELSE 0 END AS brk
+      FROM signs
+    ),
+    agg AS (
+      SELECT SUM(brk) AS r,
+             SUM(above) AS n1,
+             SUM(1 - above) AS n2
+      FROM runs
+    )
+    SELECT CAST(r AS BIGINT) AS n_runs,
+           CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
+           round((CAST(r AS DOUBLE)
+                  - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / (CAST((n1 + n2) AS DOUBLE) * (n1 + n2)
+                           * (n1 + n2 - 1))), 9) AS z_score
+    FROM agg
+    """,
+)
+def q_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("dte"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    m = daily.agg(
+        F.sum("rev").cast("decimal(38,2)").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    signs = daily.crossJoin(F.broadcast(m)).select(
+        "dte",
+        F.when(
+            F.col("rev").cast("double") * F.col("n")
+            > F.col("s").cast("double"),
+            1,
+        )
+        .otherwise(0)
+        .alias("above"),
+    )
+    w = Window.orderBy("dte")
+    runs = signs.select(
+        "above",
+        F.when(F.lag("above").over(w).isNull(), 1)
+        .when(F.lag("above").over(w) != F.col("above"), 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    agg = runs.agg(
+        F.sum("brk").alias("r"),
+        F.sum("above").alias("n1"),
+        F.sum(1 - F.col("above")).alias("n2"),
+    )
+    r, n1, n2 = F.col("r"), F.col("n1"), F.col("n2")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return agg.select(
+        r.cast("bigint").alias("n_runs"),
+        n1.cast("bigint").alias("n_above"),
+        n2.cast("bigint").alias("n_below"),
+        F.round((r.cast("double") - mu) / F.sqrt(var), 9).alias("z_score"),
+    )
