@@ -1431,3 +1431,96 @@ def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IPW / stratification ATE (Rosenbaum & Rubin 1983; Lunceford &
+# Davidian 2004 eq. 2): with a DISCRETE propensity (seg x year
+# strata, same confounder set as att_propensity_strata), inverse-
+# propensity weighting collapses to the stratification estimator
+# with n_s/N weights — ATE = sum_s n_s*(y1bar_s - y0bar_s)/N —
+# completing the causal pair: ATT reweights by treated mass, ATE by
+# total mass. The naive unadjusted difference rides along so the
+# confounding correction is visible in one row. Per-stratum terms
+# round(9) then sum as DECIMAL(38,9) (order-independent), exact
+# integers everywhere else.
+@_q(
+    "ipw_ate_estimate",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, year(o.o_orderdate) AS yr,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS tr,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    strata AS (
+      SELECT seg, yr,
+             SUM(tr) AS n1, SUM(CASE WHEN tr = 1 THEN y ELSE 0 END) AS y1,
+             SUM(1 - tr) AS n0, SUM(CASE WHEN tr = 0 THEN y ELSE 0 END) AS y0
+      FROM j GROUP BY seg, yr
+    ),
+    supported AS (SELECT * FROM strata WHERE n1 > 0 AND n0 > 0),
+    naive AS (
+      SELECT CAST(SUM(CASE WHEN tr = 1 THEN y ELSE 0 END) AS DOUBLE)
+               / SUM(tr)
+             - CAST(SUM(CASE WHEN tr = 0 THEN y ELSE 0 END) AS DOUBLE)
+               / SUM(1 - tr) AS d
+      FROM j
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CAST(SUM(n1 + n0) AS BIGINT) AS n_supported,
+           round((SELECT d FROM naive), 6) AS naive_diff,
+           round(CAST(SUM(CAST(round((n1 + n0)
+                                     * (CAST(y1 AS DOUBLE) / n1
+                                        - CAST(y0 AS DOUBLE) / n0), 9)
+                               AS DECIMAL(38,9))) AS DOUBLE)
+                 / SUM(n1 + n0), 6) AS ate
+    FROM supported
+    """,
+)
+def q_ipw_ate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.year("o_orderdate").alias("yr"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("tr"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+    ).localCheckpoint(eager=True)  # strata + naive arms share it
+    strata = j.groupBy("seg", "yr").agg(
+        F.sum("tr").alias("n1"),
+        F.sum(F.when(F.col("tr") == 1, F.col("y")).otherwise(0)).alias("y1"),
+        F.sum(1 - F.col("tr")).alias("n0"),
+        F.sum(F.when(F.col("tr") == 0, F.col("y")).otherwise(0)).alias("y0"),
+    )
+    supported = strata.where((F.col("n1") > 0) & (F.col("n0") > 0))
+    naive = j.agg(
+        (
+            F.sum(F.when(F.col("tr") == 1, F.col("y")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("tr")
+            - F.sum(F.when(F.col("tr") == 0, F.col("y")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum(1 - F.col("tr"))
+        ).alias("d")
+    )
+    ns = F.col("n1") + F.col("n0")
+    term = F.round(
+        ns
+        * (
+            F.col("y1").cast("double") / F.col("n1")
+            - F.col("y0").cast("double") / F.col("n0")
+        ),
+        9,
+    ).cast("decimal(38,9)")
+    return supported.crossJoin(F.broadcast(naive)).groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum(ns).cast("bigint").alias("n_supported"),
+        F.round(F.col("d"), 6).alias("naive_diff"),
+        F.round(F.sum(term).cast("double") / F.sum(ns), 6).alias("ate"),
+    ).select("n_strata", "n_supported", "naive_diff", "ate")

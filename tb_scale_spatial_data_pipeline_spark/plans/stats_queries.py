@@ -1462,3 +1462,97 @@ def q_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("lo") + F.col("hi")).cast("double") / 2).alias("hl_shift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Partial correlation (Yule 1907): corr(quantity, extendedprice)
+# CONTROLLING for discount — r_xy.z = (rxy - rxz*ryz)
+# / sqrt((1-rxz^2)(1-ryz^2)). All three Pearson correlations come
+# from ONE aggregation pass of exact DECIMAL sufficient statistics
+# (2dp inputs -> 4dp products), so the whole statistic is a fixed-
+# order float expression over nine exact numbers — the "does the
+# association survive the confounder" one-liner.
+@_q(
+    "partial_correlation",
+    """
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sy,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sz,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS syy,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS szz,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sxz,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS syz
+      FROM lineitem
+    ),
+    r AS (
+      SELECT n,
+        CAST(n * sxy - sx * sy AS DOUBLE)
+          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                 * CAST(n * syy - sy * sy AS DOUBLE)) AS rxy,
+        CAST(n * sxz - sx * sz AS DOUBLE)
+          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                 * CAST(n * szz - sz * sz AS DOUBLE)) AS rxz,
+        CAST(n * syz - sy * sz AS DOUBLE)
+          / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                 * CAST(n * szz - sz * sz AS DOUBLE)) AS ryz
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           round(rxy, 9) AS r_xy, round(rxz, 9) AS r_xz,
+           round(ryz, 9) AS r_yz,
+           round((rxy - rxz * ryz)
+                 / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 9)
+             AS partial_r_xy_given_z
+    FROM r
+    """,
+)
+def q_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")
+    dd = lambda e, s: F.sum(e).cast(f"decimal(38,{s})")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        dd(d("l_quantity"), 2).alias("sx"),
+        dd(d("l_extendedprice"), 2).alias("sy"),
+        dd(d("l_discount"), 2).alias("sz"),
+        dd(d("l_quantity") * d("l_quantity"), 4).alias("sxx"),
+        dd(d("l_extendedprice") * d("l_extendedprice"), 4).alias("syy"),
+        dd(d("l_discount") * d("l_discount"), 4).alias("szz"),
+        dd(d("l_quantity") * d("l_extendedprice"), 4).alias("sxy"),
+        dd(d("l_quantity") * d("l_discount"), 4).alias("sxz"),
+        dd(d("l_extendedprice") * d("l_discount"), 4).alias("syz"),
+    )
+    n = F.col("n")
+
+    def corr(sab, sa, sb, saa, sbb):
+        return (n * F.col(sab) - F.col(sa) * F.col(sb)).cast("double") / F.sqrt(
+            (n * F.col(saa) - F.col(sa) * F.col(sa)).cast("double")
+            * (n * F.col(sbb) - F.col(sb) * F.col(sb)).cast("double")
+        )
+
+    r = s.select(
+        "n",
+        corr("sxy", "sx", "sy", "sxx", "syy").alias("rxy"),
+        corr("sxz", "sx", "sz", "sxx", "szz").alias("rxz"),
+        corr("syz", "sy", "sz", "syy", "szz").alias("ryz"),
+    )
+    rxy, rxz, ryz = F.col("rxy"), F.col("rxz"), F.col("ryz")
+    return r.select(
+        n.cast("bigint").alias("n_rows"),
+        F.round(rxy, 9).alias("r_xy"),
+        F.round(rxz, 9).alias("r_xz"),
+        F.round(ryz, 9).alias("r_yz"),
+        F.round(
+            (rxy - rxz * ryz) / F.sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 9
+        ).alias("partial_r_xy_given_z"),
+    )

@@ -1292,3 +1292,110 @@ def q_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2.cast("bigint").alias("n_below"),
         F.round((r.cast("double") - mu) / F.sqrt(var), 9).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Breusch-Pagan heteroskedasticity test (Breusch & Pagan 1979,
+# Koenker's studentized LM form: n*R^2 of the e^2-on-x auxiliary
+# regression) over the same daily-revenue OLS as durbin_watson_daily
+# — together they are the two standard residual diagnostics. The fit
+# comes from exact DECIMAL sufficient statistics; residuals
+# re-synchronize at round(6) so g = e^2 is the identical double on
+# both engines; the auxiliary R^2's ~2400-term double sums carry
+# order noise ~8 orders below the round(6) report.
+@_q(
+    "breusch_pagan_test",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS dte,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    base AS (SELECT MIN(dte) AS d0 FROM daily),
+    pts AS (
+      SELECT CAST(date_diff('day', base.d0, daily.dte) AS BIGINT) AS x, rev
+      FROM daily, base
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(rev) AS DECIMAL(38,2)) AS sy,
+             CAST(SUM(x * rev) AS DECIMAL(38,2)) AS sxy
+      FROM pts
+    ),
+    fit AS (
+      SELECT n, sx, sxx,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+             (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n
+               AS a
+      FROM s
+    ),
+    g AS (
+      SELECT x,
+             round(CAST(rev AS DOUBLE) - fit.a - fit.b * x, 6)
+             * round(CAST(rev AS DOUBLE) - fit.a - fit.b * x, 6) AS gg
+      FROM pts, fit
+    ),
+    aux AS (
+      SELECT COUNT(*) AS n, SUM(gg) AS sg, SUM(gg * gg) AS sgg,
+             SUM(x * gg) AS sgx,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM g
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(n * ((n * sgx - sx * sg) * (n * sgx - sx * sg))
+                 / ((n * sxx - sx * sx) * (n * sgg - sg * sg)), 6)
+             AS bp_lm_statistic
+    FROM aux
+    """,
+)
+def q_breusch_pagan_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("dte"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    base = daily.agg(F.min("dte").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(base)).select(
+        F.datediff(F.col("dte"), F.col("d0")).cast("bigint").alias("x"),
+        "rev",
+    ).localCheckpoint(eager=True)
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum("rev").cast("decimal(38,2)").alias("sy"),
+        F.sum(F.col("x") * F.col("rev")).cast("decimal(38,2)").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    b = (n * F.col("sxy") - sx * sy).cast("double") / (
+        n * F.col("sxx") - sx * sx
+    ).cast("double")
+    fit = s.select(
+        b.alias("b"),
+        ((sy.cast("double") - b * sx.cast("double")) / n).alias("a"),
+    )
+    e = F.round(
+        F.col("rev").cast("double") - F.col("a") - F.col("b") * F.col("x"), 6
+    )
+    g = pts.crossJoin(F.broadcast(fit)).select("x", (e * e).alias("gg"))
+    aux = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gg").alias("sg"),
+        F.sum(F.col("gg") * F.col("gg")).alias("sgg"),
+        F.sum(F.col("x") * F.col("gg")).alias("sgx"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n2, sg, sgx = F.col("n"), F.col("sg"), F.col("sgx")
+    num = (n2 * sgx - F.col("sx") * sg) * (n2 * sgx - F.col("sx") * sg)
+    den = (n2 * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        n2 * F.col("sgg") - sg * sg
+    )
+    return aux.select(
+        n2.cast("bigint").alias("n_days"),
+        F.round(n2 * num / den, 6).alias("bp_lm_statistic"),
+    )
