@@ -78,6 +78,11 @@ HEADLINE = [
     "holt_double_smoothing",
     "theta_sketch_intersection",
     "stream_ttl_dedup",
+    # r11 additions: representatives of the round-11 tiers (word-graph
+    # text analytics, embedding compression, multiple-testing stats).
+    "textrank_keywords",
+    "scalar_quantization_recall",
+    "bh_fdr_nation_tests",
 ]
 # cross-round comparisons of the headline total must use this prefix
 # (the r1-r9 frozen set); the full list total includes the r10 tier

@@ -410,3 +410,42 @@ def test_pk_fanout_guard_raises_on_hot_part(spark):
         assert sorted(r.u for r in gq._guard_pk_fanout(ok, "u").collect()) == [7, 9]
     finally:
         gq._PK_FANOUT_BOUND = old
+
+
+def test_adamic_adar_equi_joins_only(spark):
+    """AA's wedge enumeration must plan as equi joins on the wedge
+    center — never a cartesian of the edge set (the one permitted
+    nested loop is a broadcast-bounded scalar, as in triangle_count)."""
+    p = plan_of(spark, "adamic_adar_topk")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_textrank_no_positional_self_join(spark):
+    """The word co-occurrence pair stream must come from per-row array
+    offsets, not a positional self-join of the token stream. The final
+    executed plan only shows the checkpointed rank RDD (per-iteration
+    lineage is deliberately truncated), so the pin is source-level —
+    the same approach as test_ktruss_degree_oriented."""
+    import inspect
+
+    from tb_scale_spatial_data_pipeline_spark.plans import lm_queries
+
+    src = inspect.getsource(lm_queries.q_textrank_keywords)
+    assert "flatten(transform(sequence" in src  # per-row offset pairs
+    assert "posexplode" not in src  # no positional token stream
+    assert "localCheckpoint" in src  # bounded per-iteration lineage
+    p = plan_of(spark, "textrank_keywords")
+    assert "CartesianProduct" not in p
+
+
+def test_mmr_retrieval_is_topk_heap(spark):
+    """MMR's corpus retrieval must plan as TakeOrderedAndProject (per-
+    partition top-32 heap), never a global sort of the corpus."""
+    from tb_scale_spatial_data_pipeline_spark.plans import vector_queries as vq
+
+    import inspect
+
+    src = inspect.getsource(vq.q_mmr_diversified_topk)
+    assert ".limit(_MMR_CANDS)" in src  # heap via orderBy+limit
+    assert "localCheckpoint" in src  # candidates materialize once
