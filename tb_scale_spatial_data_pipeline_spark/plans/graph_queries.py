@@ -510,7 +510,11 @@ def _sql_adamic_adar() -> str:
       -- the AA weight is a CENTER property: evaluate round(1/ln d, 12)
       -- once per node (7k rows), not once per wedge (11M at sf0.1 —
       -- measured ~4 s of redundant ln calls)
-      SELECT src AS x, round(1.0 / ln(COUNT(*)), 12) AS wz
+      -- degree-1 nodes can never be wedge centers (a<c needs two
+      -- neighbors); guard them out or 1/ln(1) divides by zero
+      SELECT src AS x,
+             CASE WHEN COUNT(*) >= 2
+                  THEN round(1.0 / ln(COUNT(*)), 12) END AS wz
       FROM edges GROUP BY src
     ),
     wedges AS (
@@ -540,7 +544,13 @@ def q_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionByName(eu.select(F.col("v").alias("src"), F.col("u").alias("dst")))
     deg = edges.groupBy(F.col("src").alias("x")).agg(
-        F.round(F.lit(1.0) / F.log(F.count(F.lit(1))), 12).alias("wz")
+        # degree-1 nodes never center a wedge; unguarded 1/ln(1)
+        # divides by zero (surfaced at sf0.001, where the sampled
+        # graph has pendant vertices)
+        F.when(
+            F.count(F.lit(1)) >= 2,
+            F.round(F.lit(1.0) / F.log(F.count(F.lit(1))), 12),
+        ).alias("wz")
     )
     e1 = edges.select(F.col("src").alias("b"), F.col("dst").alias("a"))
     e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))

@@ -114,3 +114,79 @@ def test_pr_auc_in_unit_interval(spark):
         # AP of any ranking is >= a vanishing fraction of base rate;
         # sanity: not absurdly below the random baseline
         assert ap > base / 3
+
+
+def test_cuped_reduces_variance_and_keeps_sign(spark):
+    """theta and the variance-reduction ratio must be consistent:
+    0 <= reduction = corr^2 <= 1, and the CUPED lift equals raw lift
+    minus theta times the covariate imbalance (definitional)."""
+    r = all_queries()["cuped_adjusted_lift"](spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= r["variance_reduction"] <= 1.0
+    assert r["n_users"] > 0
+
+
+def test_jackknife_se_positive_and_small(spark):
+    r = all_queries()["jackknife_ratio_variance"](spark, SF_SMOKE).collect()[0]
+    assert r["jk_variance"] >= 0.0
+    assert abs(r["jk_se"] ** 2 - r["jk_variance"]) < 1e-6
+    # the SE of a mean-like ratio must shrink well below the ratio
+    assert r["jk_se"] < abs(r["ratio"])
+
+
+def test_textrank_scores_positive_sorted(spark):
+    rows = all_queries()["textrank_keywords"](spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r["textrank"] for r in rows]
+    assert all(s >= 0.15 for s in scores)  # >= (1 - d) teleport floor
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_hodges_lehmann_between_mids(spark):
+    r = all_queries()["hodges_lehmann_shift"](spark, SF_SMOKE).collect()[0]
+    assert r["lower_mid"] <= r["upper_mid"]
+    assert r["lower_mid"] <= r["hl_shift"] <= r["upper_mid"]
+    assert r["n_pairs"] > 0
+
+
+def test_durbin_watson_range(spark):
+    """DW lives in [0, 4]; ~2 means no lag-1 autocorrelation."""
+    r = all_queries()["durbin_watson_daily"](spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= r["durbin_watson"] <= 4.0
+
+
+def test_runs_test_counts_consistent(spark):
+    r = all_queries()["runs_test_daily"](spark, SF_SMOKE).collect()[0]
+    assert 1 <= r["n_runs"] <= r["n_above"] + r["n_below"]
+
+
+def test_ipw_ate_support_accounting(spark):
+    r = all_queries()["ipw_ate_estimate"](spark, SF_SMOKE).collect()[0]
+    assert r["n_strata"] > 0
+    assert -1.0 <= r["ate"] <= 1.0  # binary outcome
+    assert -1.0 <= r["naive_diff"] <= 1.0
+
+
+def test_partial_correlation_bounds(spark):
+    r = all_queries()["partial_correlation"](spark, SF_SMOKE).collect()[0]
+    for k in ("r_xy", "r_xz", "r_yz", "partial_r_xy_given_z"):
+        assert -1.0 <= r[k] <= 1.0
+
+
+def test_katz_floor_and_order(spark):
+    """Katz scores must exceed the beta floor (1.0) wherever a node
+    has any in-walk, and the top-10 must be sorted."""
+    rows = all_queries()["katz_centrality"](spark, SF_SMOKE).collect()
+    scores = [r["katz_score"] for r in rows]
+    assert all(s >= 1.0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_breusch_pagan_nonnegative(spark):
+    r = all_queries()["breusch_pagan_test"](spark, SF_SMOKE).collect()[0]
+    assert r["bp_lm_statistic"] >= 0.0
+
+
+def test_cochran_armitage_finite(spark):
+    r = all_queries()["cochran_armitage_trend"](spark, SF_SMOKE).collect()[0]
+    assert r["x_total"] <= r["n_total"]
+    assert abs(r["z_trend"]) < 100
