@@ -2788,3 +2788,98 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("katz_score"), "s_suppkey")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected-graphlet census (Przulj 2007's 2-4-node graphlet basis,
+# the closed-form slice): wedges (P2), 3-paths (P3), claws (K1,3),
+# and triangles in ONE degree pass + the oriented triangle count —
+# no per-graphlet enumeration. Identities over exact BIGINTs:
+#   wedges     = sum_v C(d_v, 2)
+#   claws      = sum_v C(d_v, 3)
+#   paths P3   = sum_{(u,v) in E} (d_u - 1)(d_v - 1) - 3 * triangles
+# (each triangle is counted once per its 3 edges by the degree
+# product). The triangle term reuses the oriented u<v<w count. At
+# 100 TB this is the motif profile you can actually afford: degree
+# moments are one aggregation, the edge term one broadcast join.
+@_q(
+    "graphlet_census",
+    f"""
+    WITH {_SQL_EDGES.strip()},
+    deg AS MATERIALIZED (
+      SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src
+    ),
+    tri AS (
+      SELECT COUNT(*) AS t FROM eu e1
+      JOIN eu e2 ON e2.u = e1.v
+      JOIN eu e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    moments AS (
+      SELECT CAST(SUM(d * (d - 1) / 2) AS DECIMAL(38,0)) AS wedges,
+             CAST(SUM(CAST(d AS DECIMAL(38,0)) * (d - 1) * (d - 2) / 6)
+               AS DECIMAL(38,0)) AS claws
+      FROM deg
+    ),
+    epaths AS (
+      SELECT CAST(SUM(CAST(du.d - 1 AS DECIMAL(38,0)) * (dv.d - 1))
+               AS DECIMAL(38,0)) AS pp
+      FROM eu JOIN deg du ON du.node = eu.u
+              JOIN deg dv ON dv.node = eu.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM eu) AS BIGINT) AS n_edges,
+           CAST(m.wedges AS BIGINT) AS n_wedges,
+           CAST(e.pp - 3 * t.t AS BIGINT) AS n_paths3,
+           CAST(m.claws AS BIGINT) AS n_claws,
+           CAST(t.t AS BIGINT) AS n_triangles
+    FROM moments m, epaths e, tri t
+    """,
+)
+def q_graphlet_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eu = _undirected_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = eu.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        eu.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    e1 = eu.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = eu.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = eu.select(F.col("u").alias("a2"), F.col("v").alias("c2"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    d = F.col("d")
+    moments = deg.agg(
+        F.sum(d * (d - 1) / 2).cast("decimal(38,0)").alias("wedges"),
+        F.sum(d.cast("decimal(38,0)") * (d - 1) * (d - 2) / 6)
+        .cast("decimal(38,0)")
+        .alias("claws"),
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    epaths = (
+        eu.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .agg(
+            F.sum(
+                (F.col("du") - 1).cast("decimal(38,0)") * (F.col("dv") - 1)
+            )
+            .cast("decimal(38,0)")
+            .alias("pp")
+        )
+    )
+    ne = eu.agg(F.count(F.lit(1)).alias("ne"))
+    return (
+        moments.crossJoin(F.broadcast(epaths))
+        .crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(ne))
+        .select(
+            F.col("ne").cast("bigint").alias("n_edges"),
+            F.col("wedges").cast("bigint").alias("n_wedges"),
+            (F.col("pp") - 3 * F.col("t")).cast("bigint").alias("n_paths3"),
+            F.col("claws").cast("bigint").alias("n_claws"),
+            F.col("t").cast("bigint").alias("n_triangles"),
+        )
+    )

@@ -2433,3 +2433,123 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, "rank bigint, vec_id bigint, relevance bigint, mmr_x2 bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Rocchio pseudo-relevance feedback (Rocchio 1971, SMART): expand the
+# query with the centroid of its own top-k results, q' = alpha*q +
+# beta*mean(top-k), then re-rank. With alpha=1, beta=3/4 the expanded
+# query scales to EXACT integers: q'' = 4k*q + 3*sum(top-k vectors)
+# (positive scaling never changes a dot-product ranking), so both
+# retrieval passes stay on the micros lattice and the report —
+# new top-10 + overlap with the original top-10 — is hash-exact.
+# Scale shape: two query-broadcast corpus scans with top-k heaps; the
+# feedback centroid is a k x dim aggregate.
+_ROCCHIO_K = 10
+
+
+def _sql_rocchio() -> str:
+    idot = (
+        "CAST(list_dot_product(CAST({a} AS DOUBLE[]), "
+        "CAST({b} AS DOUBLE[])) AS BIGINT)"
+    )
+    return f"""
+    WITH mv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM mv WHERE vec_id = 0),
+    r1 AS MATERIALIZED (
+      SELECT mv.vec_id, mv.v,
+             row_number() OVER (ORDER BY {idot.format(a='mv.v', b='q.qv')}
+                                DESC, mv.vec_id) AS rn
+      FROM mv CROSS JOIN q WHERE mv.vec_id <> 0
+    ),
+    fb AS (
+      SELECT list_transform(generate_series(1, {DIM}),
+               i -> list_sum(list_transform(list(v), x -> x[i]))) AS s
+      FROM r1 WHERE rn <= {_ROCCHIO_K}
+    ),
+    q2 AS (
+      SELECT list_transform(generate_series(1, {DIM}),
+               i -> 4 * {_ROCCHIO_K} * q.qv[i] + 3 * fb.s[i]) AS qv2
+      FROM q, fb
+    ),
+    r2 AS (
+      SELECT mv.vec_id,
+             row_number() OVER (ORDER BY {idot.format(a='mv.v', b='q2.qv2')}
+                                DESC, mv.vec_id) AS rn
+      FROM mv CROSS JOIN q2 WHERE mv.vec_id <> 0
+    )
+    SELECT r2.vec_id,
+           CAST(r2.rn AS BIGINT) AS new_rank,
+           CAST(COALESCE(r1k.rn, 0) AS BIGINT) AS old_rank
+    FROM r2 LEFT JOIN (SELECT vec_id, rn FROM r1 WHERE rn <= 10) r1k
+      ON r1k.vec_id = r2.vec_id
+    WHERE r2.rn <= 10
+    ORDER BY new_rank
+    """
+
+
+@_q("rocchio_feedback_rerank", _sql_rocchio())
+def q_rocchio_feedback_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..ml.clustering import quantize_micros
+
+    emb = t(spark, sf_dir, "embeddings")
+    mv = emb.select(
+        "vec_id", quantize_micros(F.col("embedding")).alias("v")
+    ).localCheckpoint(eager=False)  # both retrieval passes share it
+    q = mv.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    idot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (a, x) -> a + x)"
+    # top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps, no global sort) — a corpus-wide row_number window would
+    # single-partition-sort the whole corpus at scale. The rank column
+    # is assigned AFTER the limit, over the bounded k-row frame.
+    w = Window.orderBy(F.desc("s"), F.asc("vec_id"))
+    scored1 = (
+        mv.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "v", F.expr(idot.format(a="v", b="qv")).alias("s"))
+    )
+    topk = (
+        scored1.orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(_ROCCHIO_K)
+        .withColumn("rn", F.row_number().over(w))
+        .localCheckpoint(eager=True)
+    )
+    fb = topk.select(F.posexplode("v").alias("i0", "x")).groupBy(
+        (F.col("i0") + 1).alias("dim")
+    ).agg(F.sum("x").alias("sx"))
+    fbarr = fb.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, sx))), s -> s.sx)"
+        ).alias("s")
+    )
+    q2 = q.crossJoin(F.broadcast(fbarr)).select(
+        F.expr(
+            f"transform(sequence(1, {DIM}), i -> "
+            f"4 * {_ROCCHIO_K} * element_at(qv, i) + 3 * element_at(s, i))"
+        ).alias("qv2")
+    )
+    r2 = (
+        mv.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q2))
+        .select("vec_id", F.expr(idot.format(a="v", b="qv2")).alias("s"))
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(10)
+        .withColumn("rn", F.row_number().over(w))
+    )
+    old = topk.select(F.col("vec_id").alias("ov"), F.col("rn").alias("orn"))
+    return (
+        r2.join(F.broadcast(old), r2["vec_id"] == F.col("ov"), "left")
+        .select(
+            "vec_id",
+            F.col("rn").cast("bigint").alias("new_rank"),
+            F.coalesce(F.col("orn"), F.lit(0)).cast("bigint").alias("old_rank"),
+        )
+        .orderBy("new_rank")
+    )
