@@ -309,3 +309,129 @@ def q_holt_double_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 4000000.0
         ).alias("forecast"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters ADDITIVE triple smoothing (Winters 1960) — level +
+# trend + weekly (m=7) seasonality over the daily revenue series,
+# completing the smoothing ladder above holt_double_smoothing (which
+# cannot carry a seasonal state; Brown's two-window trick has no
+# triple analog). The recursion is genuinely sequential, so the
+# engine contract is the INTEGER LATTICE: revenue in exact cents,
+# smoothing constants as rationals (alpha=2/10, beta=1/10,
+# gamma=2/10), every update one BIGINT expression with floor
+# division —
+#   l_t = (2*(y_t - s_{t-7}) + 8*(l_{t-1} + b_{t-1})) // 10
+#   b_t = ((l_t - l_{t-1}) + 9*b_{t-1}) // 10
+#   s_t = (2*(y_t - l_t) + 8*s_{t-7}) // 10
+# so both engines produce bit-identical states with NO float seam at
+# all. Init: l_0 = first-week mean (floor), b_0 = 0, s_i = y_i - l_0.
+# Scale shape: the corpus reduces to the BOUNDED daily spine (fixed
+# ~2.4k rows at any SF) in one aggregation; the recursion runs on the
+# collected spine driver-side (same bounded-collect discipline as the
+# k x dim k-means centroids and the 32-candidate MMR greedy — a chain
+# of 2.4k dependent steps gains nothing from 2.4k Spark jobs). The
+# oracle is a DuckDB recursive CTE carrying the 7-slot seasonal
+# vector as a list.
+_HW_M = 7
+_HW_LAST = 14
+
+
+def _sql_holt_winters() -> str:
+    m = _HW_M
+    return f"""
+    WITH daily AS (
+      SELECT o_orderdate AS dte,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT y, row_number() OVER (ORDER BY dte) AS t,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ),
+    init AS (
+      SELECT CAST(SUM(y) FILTER (t <= {m}) // {m} AS BIGINT) AS l0,
+             list(y ORDER BY t) AS ys,
+             MAX(n) AS n
+      FROM seq
+    ),
+    rec AS (
+      WITH RECURSIVE hw AS (
+        SELECT {m} AS t, init.n AS n, init.ys AS ys,
+               init.l0 AS l, CAST(0 AS BIGINT) AS b,
+               list_transform(init.ys[1:{m}], yy -> yy - init.l0) AS s
+        FROM init
+        UNION ALL
+        SELECT hw.t + 1, hw.n, hw.ys,
+               (2 * (hw.ys[hw.t + 1] - hw.s[1])
+                + 8 * (hw.l + hw.b)) // 10 AS l,
+               (((2 * (hw.ys[hw.t + 1] - hw.s[1])
+                  + 8 * (hw.l + hw.b)) // 10 - hw.l)
+                + 9 * hw.b) // 10 AS b,
+               hw.s[2:{m}] || [
+                 (2 * (hw.ys[hw.t + 1]
+                       - (2 * (hw.ys[hw.t + 1] - hw.s[1])
+                          + 8 * (hw.l + hw.b)) // 10)
+                  + 8 * hw.s[1]) // 10] AS s
+        FROM hw WHERE hw.t < hw.n
+      )
+      SELECT * FROM hw
+    )
+    SELECT CAST(t AS BIGINT) AS t,
+           CAST(l AS DOUBLE) / 100 AS level,
+           CAST(b AS DOUBLE) / 100 AS trend,
+           CAST(s[{m}] AS DOUBLE) / 100 AS seasonal,
+           CAST(l + b + s[1] AS DOUBLE) / 100 AS forecast_next
+    FROM rec
+    ORDER BY t DESC LIMIT {_HW_LAST}
+    """
+
+
+@_q("holt_winters_seasonal", _sql_holt_winters())
+def q_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _HW_M
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("dte"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("y")
+        )
+        .orderBy("dte")
+    )
+    ys = [r["y"] for r in daily.select("y").collect()]  # bounded spine
+    n = len(ys)
+
+    def tdiv(a: int, d: int) -> int:
+        # DuckDB's // TRUNCATES toward zero; Python's floors — they
+        # disagree on every negative intermediate (trend and seasonal
+        # states go negative constantly). Mirror DuckDB exactly.
+        q = abs(a) // d
+        return q if a >= 0 else -q
+
+    l = tdiv(sum(ys[:m]), m)
+    b = 0
+    s = [y - l for y in ys[:m]]
+    out = []  # (t, l, b, s_of_t, forecast)
+    out.append((m, l, b, s[-1], l + b + s[0]))
+    for t_i in range(m, n):
+        y = ys[t_i]
+        l_new = tdiv(2 * (y - s[0]) + 8 * (l + b), 10)
+        b = tdiv((l_new - l) + 9 * b, 10)
+        s_new = tdiv(2 * (y - l_new) + 8 * s[0], 10)
+        l = l_new
+        s = s[1:] + [s_new]
+        out.append((t_i + 1, l, b, s_new, l + b + s[0]))
+    rows = [
+        (t_i, lv / 100.0, bv / 100.0, sv / 100.0, fv / 100.0)
+        for (t_i, lv, bv, sv, fv) in out[-_HW_LAST:]
+    ]
+    rows.sort(key=lambda r: -r[0])
+    return daily.sparkSession.createDataFrame(
+        rows,
+        "t bigint, level double, trend double, seasonal double, "
+        "forecast_next double",
+    )
