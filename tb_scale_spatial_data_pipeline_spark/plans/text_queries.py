@@ -1935,3 +1935,85 @@ def q_burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("delta", "src_a", "src_b")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus cut: the "fill N tokens with the best data"
+# selection every pretraining run makes. Docs are ranked by the
+# 4-part quality score (quality_score, round(6)) with doc_id
+# tiebreak; the admit rule is cum_tokens_before < B where the budget
+# B = 20% of the corpus token total (data-derived scalar). The
+# cumulative token count is the DISTRIBUTED prefix scan
+# (operators.quantiles.with_global_cumsum) — never a single-partition
+# global window over the doc spine — and tokens are exact integers,
+# so the cut boundary is deterministic. Report: per-lang admitted
+# docs/tokens + the minimum quality that made the cut.
+@_q(
+    "token_budget_corpus_cut",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+             round((
+                 least(length(text) / 1000.0, 1.0)
+               + CASE WHEN len({_SQL_TOKENS}) > 0
+                           AND length(text) * 1.0 / len({_SQL_TOKENS})
+                               BETWEEN 3.0 AND 12.0
+                      THEN 1.0 ELSE 0.0 END
+               + CASE WHEN length(text) > 0
+                      THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           * 1.0 / length(text)
+                      ELSE 0.0 END
+               + CASE WHEN {_SQL_QUALITY_STOP} THEN 1.0 ELSE 0.0 END
+             ) / 4.0, 6) AS q
+      FROM documents
+    ),
+    budget AS (SELECT SUM(n_tokens) // 5 AS b FROM scored),
+    cum AS (
+      SELECT doc_id, lang, n_tokens, q,
+             SUM(n_tokens) OVER (ORDER BY q DESC, doc_id) - n_tokens
+               AS cum_before
+      FROM scored
+    ),
+    admitted AS (
+      SELECT cum.* FROM cum, budget WHERE cum.cum_before < budget.b
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_admitted,
+           MIN(q) AS min_quality_admitted
+    FROM admitted GROUP BY lang ORDER BY lang
+    """,
+)
+def q_token_budget_corpus_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import with_global_cumsum
+
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.round(quality_score(F.col("text")), 6).alias("q"),
+    )
+    budget = scored.agg(
+        F.floor(F.sum("n_tokens") / 5).cast("bigint").alias("b")
+    )
+    cum = with_global_cumsum(
+        scored, ["q", "doc_id"], ["n_tokens"], ascending=[False, True]
+    ).select(
+        "lang",
+        "n_tokens",
+        "q",
+        (F.col("cum_n_tokens") - F.col("n_tokens")).alias("cum_before"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(budget))
+        .where(F.col("cum_before") < F.col("b"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_admitted"),
+            F.min("q").alias("min_quality_admitted"),
+        )
+        .orderBy("lang")
+    )
