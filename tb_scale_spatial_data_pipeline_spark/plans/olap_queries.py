@@ -440,3 +440,77 @@ def q_bom_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("root")
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC inventory classification (Pareto cut of the revenue
+# concentration curve): parts ranked by revenue; class A carries the
+# first 80% of cumulative revenue, B the next 15%, C the tail. The
+# class boundary test stays EXACT — cum*100 <= total*80 compares
+# DECIMAL(38,2) integers scaled by 100, no float share computation —
+# and the ranking cumsum is the distributed prefix scan, not a
+# single-partition window. The per-class rollup is the report every
+# inventory/procurement review starts from.
+@_q(
+    "abc_inventory_classes",
+    """
+    WITH pr AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(rev) AS DECIMAL(38,2)) AS t FROM pr),
+    cum AS (
+      SELECT l_partkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey) AS c
+      FROM pr
+    ),
+    classed AS (
+      SELECT CASE WHEN c * 100 <= t * 80 THEN 'A'
+                  WHEN c * 100 <= t * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev
+      FROM cum, tot
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev) AS DOUBLE) AS revenue,
+           round(CAST(SUM(rev) AS DOUBLE)
+                 / CAST((SELECT t FROM tot) AS DOUBLE), 6) AS revenue_share
+    FROM classed GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import with_global_cumsum
+
+    pr = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    tot = pr.agg(F.sum("rev").cast("decimal(38,2)").alias("t"))
+    cum = with_global_cumsum(
+        pr, ["rev", "l_partkey"], ["rev"], ascending=[False, True]
+    )
+    classed = cum.crossJoin(F.broadcast(tot)).select(
+        F.when(F.col("cum_rev") * 100 <= F.col("t") * 80, "A")
+        .when(F.col("cum_rev") * 100 <= F.col("t") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev",
+        "t",
+    )
+    return (
+        classed.groupBy("abc_class", "t")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("rev").cast("double").alias("revenue"),
+            F.round(
+                F.sum("rev").cast("double") / F.col("t").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .select("abc_class", "n_parts", "revenue", "revenue_share")
+        .orderBy("abc_class")
+    )
