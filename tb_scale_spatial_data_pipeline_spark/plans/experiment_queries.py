@@ -1173,3 +1173,247 @@ def q_jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(v, 9).alias("jk_variance"),
         F.round(F.sqrt(v), 9).alias("jk_se"),
     ).select("n_users", "ratio", "jk_variance", "jk_se")
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier with Greenwood confidence bands (Greenwood 1926): the
+# KM curve above plus its standard error, se(t) = S(t) *
+# sqrt(sum_{ti<=t} d/(n(n-d))) — the variance term is a second
+# cumulative window over the same (deaths, at-risk) spine, with each
+# rational summand rounded to 12 before accumulation (per-term-round
+# discipline; the frame pins the order anyway). Reports the LAST 20
+# event times (the tail is where the bands matter — n_risk is small).
+# Rows where d = n (survival hits 0) keep NULL bands: the variance
+# formula divides by zero there by construction.
+@_q(
+    "km_greenwood_ci",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(ts) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_ev,
+             max(ts) AS t_last
+      FROM events GROUP BY user_id
+    ), spells AS (
+      SELECT CASE WHEN t_ev IS NOT NULL
+                  THEN CAST(date_diff('second', t0, t_ev) AS BIGINT)
+                  ELSE CAST(date_diff('second', t0, t_last) AS BIGINT)
+             END AS t_sec,
+             (t_ev IS NOT NULL) AS observed
+      FROM per_user
+    ), times AS (
+      SELECT t_sec,
+             COUNT(*) FILTER (observed) AS d,
+             COUNT(*) AS leaving
+      FROM spells GROUP BY t_sec
+    ), risk AS (
+      SELECT t_sec, d,
+             SUM(leaving) OVER (ORDER BY t_sec DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+      FROM times
+    ), curve AS (
+      SELECT t_sec, d, n_risk,
+             CASE WHEN SUM(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                       OVER w > 0 THEN 0.0
+                  ELSE round(exp(SUM(CASE WHEN d = n_risk THEN 0.0
+                                     ELSE ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                                     END) OVER w), 6) END AS s,
+             CASE WHEN SUM(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                       OVER w > 0 THEN NULL
+                  ELSE SUM(CASE WHEN d = n_risk THEN 0.0
+                           ELSE round(CAST(d AS DOUBLE)
+                                 / (CAST(n_risk AS DOUBLE) * (n_risk - d)),
+                                 12) END) OVER w END AS gw
+      FROM risk WHERE d > 0
+      WINDOW w AS (ORDER BY t_sec
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(t_sec AS BIGINT) AS t_sec,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           s AS survival,
+           round(s * sqrt(gw), 6) AS greenwood_se,
+           CASE WHEN gw IS NULL THEN NULL
+                ELSE round(GREATEST(s - 1.96 * s * sqrt(gw), 0.0), 6) END
+             AS ci_lo,
+           CASE WHEN gw IS NULL THEN NULL
+                ELSE round(LEAST(s + 1.96 * s * sqrt(gw), 1.0), 6) END
+             AS ci_hi
+    FROM curve
+    ORDER BY t_sec DESC LIMIT 20
+    """,
+)
+def q_km_greenwood_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_ev"
+        ),
+        F.max("ts").alias("t_last"),
+    )
+    t_end = F.coalesce(F.col("t_ev"), F.col("t_last"))
+    spells = per_user.select(
+        (F.unix_timestamp(t_end) - F.unix_timestamp(F.col("t0")))
+        .cast("bigint")
+        .alias("t_sec"),
+        F.col("t_ev").isNotNull().alias("observed"),
+    )
+    times = spells.groupBy("t_sec").agg(
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).alias("d"),
+        F.count("*").alias("leaving"),
+    )
+    w_desc = Window.orderBy(F.desc("t_sec")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = times.select(
+        "t_sec", "d", F.sum("leaving").over(w_desc).alias("n_risk")
+    ).where(F.col("d") > 0)
+    w = Window.orderBy("t_sec").rowsBetween(Window.unboundedPreceding, 0)
+    hit_zero = (
+        F.sum(F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)).over(w)
+        > 0
+    )
+    s = F.when(hit_zero, F.lit(0.0)).otherwise(
+        F.round(
+            F.exp(
+                F.sum(
+                    F.when(
+                        F.col("d") == F.col("n_risk"), F.lit(0.0)
+                    ).otherwise(
+                        F.log(
+                            1.0 - F.col("d").cast("double") / F.col("n_risk")
+                        )
+                    )
+                ).over(w)
+            ),
+            6,
+        )
+    )
+    # the per-term division must carry its own d = n_risk guard: the
+    # window sum evaluates every row's term even when the outer CASE
+    # discards the result, and ANSI Spark errors on the 0 divisor
+    gw = F.when(hit_zero, F.lit(None)).otherwise(
+        F.sum(
+            F.when(F.col("d") == F.col("n_risk"), F.lit(0.0)).otherwise(
+                F.round(
+                    F.col("d").cast("double")
+                    / (
+                        F.col("n_risk").cast("double")
+                        * (F.col("n_risk") - F.col("d"))
+                    ),
+                    12,
+                )
+            )
+        ).over(w)
+    )
+    curve = risk.select(
+        "t_sec", "n_risk", s.alias("s"), gw.alias("gw")
+    )
+    se = F.col("s") * F.sqrt(F.col("gw"))
+    return (
+        curve.select(
+            F.col("t_sec").cast("bigint").alias("t_sec"),
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("s").alias("survival"),
+            F.round(se, 6).alias("greenwood_se"),
+            F.when(F.col("gw").isNull(), F.lit(None))
+            .otherwise(F.round(F.greatest(F.col("s") - 1.96 * se, F.lit(0.0)), 6))
+            .alias("ci_lo"),
+            F.when(F.col("gw").isNull(), F.lit(None))
+            .otherwise(F.round(F.least(F.col("s") + 1.96 * se, F.lit(1.0)), 6))
+            .alias("ci_hi"),
+        )
+        .orderBy(F.desc("t_sec"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mantel-Haenszel pooled odds ratio (Mantel & Haenszel 1959): the
+# stratified 2x2 epidemiology estimator over the same seg x year
+# strata as the causal pair — exposure = order fully shipped,
+# outcome = urgent/high priority. OR_MH = sum_s(a*d/n) / sum_s(b*c/n)
+# with per-stratum rational terms rounded to 9 and summed as
+# DECIMAL(38,9) (order-independent); the crude (pooled-table) OR
+# rides along to expose the confounding the stratification removes.
+@_q(
+    "mantel_haenszel_or",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, year(o.o_orderdate) AS yr,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS e,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    s AS (
+      SELECT seg, yr,
+             SUM(e * y) AS a, SUM(e * (1 - y)) AS b,
+             SUM((1 - e) * y) AS c, SUM((1 - e) * (1 - y)) AS d,
+             COUNT(*) AS n
+      FROM j GROUP BY seg, yr
+    ),
+    mh AS (
+      SELECT COUNT(*) AS n_strata,
+             CAST(SUM(CAST(round(CAST(a AS DOUBLE) * d / n, 9)
+                           AS DECIMAL(38,9))) AS DOUBLE) AS num,
+             CAST(SUM(CAST(round(CAST(b AS DOUBLE) * c / n, 9)
+                           AS DECIMAL(38,9))) AS DOUBLE) AS den
+      FROM s
+    ),
+    crude AS (
+      SELECT CAST(SUM(a) AS DOUBLE) * SUM(d)
+             / (CAST(SUM(b) AS DOUBLE) * SUM(c)) AS cor
+      FROM s
+    )
+    SELECT CAST(mh.n_strata AS BIGINT) AS n_strata,
+           round(crude.cor, 6) AS crude_or,
+           round(mh.num / mh.den, 6) AS mh_or
+    FROM mh, crude
+    """,
+)
+def q_mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.year("o_orderdate").alias("yr"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("e"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    s = j.groupBy("seg", "yr").agg(
+        F.sum(F.col("e") * F.col("y")).alias("a"),
+        F.sum(F.col("e") * (1 - F.col("y"))).alias("b"),
+        F.sum((1 - F.col("e")) * F.col("y")).alias("c"),
+        F.sum((1 - F.col("e")) * (1 - F.col("y"))).alias("d"),
+        F.count(F.lit(1)).alias("n"),
+    ).localCheckpoint(eager=True)  # MH + crude arms share it
+    mh = s.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(
+            F.round(F.col("a").cast("double") * F.col("d") / F.col("n"), 9)
+            .cast("decimal(38,9)")
+        )
+        .cast("double")
+        .alias("num"),
+        F.sum(
+            F.round(F.col("b").cast("double") * F.col("c") / F.col("n"), 9)
+            .cast("decimal(38,9)")
+        )
+        .cast("double")
+        .alias("den"),
+    )
+    crude = s.agg(
+        (
+            F.sum("a").cast("double")
+            * F.sum("d")
+            / (F.sum("b").cast("double") * F.sum("c"))
+        ).alias("cor")
+    )
+    return mh.crossJoin(F.broadcast(crude)).select(
+        F.col("n_strata").cast("bigint").alias("n_strata"),
+        F.round(F.col("cor"), 6).alias("crude_or"),
+        F.round(F.col("num") / F.col("den"), 6).alias("mh_or"),
+    )

@@ -1556,3 +1556,112 @@ def q_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rxy - rxz * ryz) / F.sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 9
         ).alias("partial_r_xy_given_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality index with within/between decomposition (Theil
+# 1967): T = (1/N) sum (x/mu) ln(x/mu) over order values, split by
+# customer nation — T = sum_g s_g*T_g + sum_g s_g*ln(mu_g/mu), the
+# property Gini lacks and the reason Theil is the decomposition
+# workhorse. Means come from exact DECIMAL sums; the per-row
+# transcendental term rounds to 12 and accumulates as DECIMAL(38,12)
+# (order-independent, the ATT discipline), so the only engine seam is
+# ln itself at the shared rounding point. Between-group is a bounded
+# 25-row aggregate.
+@_q(
+    "theil_index_decomposition",
+    """
+    WITH j AS (
+      SELECT n.n_name AS g, CAST(o.o_totalprice AS DECIMAL(18,2)) AS x
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n, CAST(SUM(x) AS DECIMAL(38,2)) AS s FROM j
+    ),
+    grp AS (
+      SELECT g, COUNT(*) AS ng, CAST(SUM(x) AS DECIMAL(38,2)) AS sg
+      FROM j GROUP BY g
+    ),
+    terms AS (
+      SELECT CAST(SUM(CAST(round(
+               (CAST(x AS DOUBLE) / (CAST(t.s AS DOUBLE) / t.n))
+               * ln(CAST(x AS DOUBLE) / (CAST(t.s AS DOUBLE) / t.n)), 12)
+               AS DECIMAL(38,12))) AS DOUBLE) / MAX(t.n) AS t_total
+      FROM j, tot t
+    ),
+    between_g AS (
+      SELECT CAST(SUM(CAST(round(
+               (CAST(g.sg AS DOUBLE) / t.s)
+               * ln((CAST(g.sg AS DOUBLE) / g.ng)
+                    / (CAST(t.s AS DOUBLE) / t.n)), 12)
+               AS DECIMAL(38,12))) AS DOUBLE) AS t_between
+      FROM grp g, tot t
+    )
+    SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_rows,
+           round(terms.t_total, 6) AS theil_total,
+           round(between_g.t_between, 6) AS theil_between,
+           round(terms.t_total - between_g.t_between, 6) AS theil_within
+    FROM terms, between_g
+    """,
+)
+def q_theil_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    na = t(spark, sf_dir, "nation")
+    j = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("g"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+        )
+        .localCheckpoint(eager=True)  # total + group + term arms share it
+    )
+    tot = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(38,2)").alias("s"),
+    )
+    grp = j.groupBy("g").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("x").cast("decimal(38,2)").alias("sg"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    ratio = F.col("x").cast("double") / mu
+    terms = (
+        j.crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                F.sum(
+                    F.round(ratio * F.log(ratio), 12).cast("decimal(38,12)")
+                ).cast("double")
+                / F.max("n")
+            ).alias("t_total")
+        )
+    )
+    share = F.col("sg").cast("double") / F.col("s")
+    mug = F.col("sg").cast("double") / F.col("ng")
+    between = (
+        grp.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.round(share * F.log(mug / mu), 12).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("t_between")
+        )
+    )
+    nr = tot.select(F.col("n").cast("bigint").alias("n_rows"))
+    return (
+        nr.crossJoin(F.broadcast(terms))
+        .crossJoin(F.broadcast(between))
+        .select(
+            "n_rows",
+            F.round(F.col("t_total"), 6).alias("theil_total"),
+            F.round(F.col("t_between"), 6).alias("theil_between"),
+            F.round(F.col("t_total") - F.col("t_between"), 6).alias(
+                "theil_within"
+            ),
+        )
+    )
