@@ -514,3 +514,152 @@ def q_abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("abc_class", "n_parts", "revenue", "revenue_share")
         .orderBy("abc_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of per-part revenue, EXACT: with values sorted
+# ascending and 1-based ranks i, G = (2*sum(i*x_i) - (n+1)*sum(x))
+# / (n*sum(x)). Ranks come from the distributed prefix scan (running
+# COUNT over the (rev, partkey) order — never a single-partition
+# window), so sum(i*x_i) accumulates as exact DECIMAL products and
+# the statistic is two integer-exact terms and ONE division. The
+# scalar complement to abc_inventory_classes' class rollup and
+# pareto_concentration's top-share curve.
+@_q(
+    "gini_part_revenue",
+    """
+    WITH pr AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT rev,
+             row_number() OVER (ORDER BY rev, l_partkey) AS i
+      FROM pr
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(rev) AS DECIMAL(38,2)) AS s,
+             CAST(SUM(i * rev) AS DECIMAL(38,2)) AS si
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_parts,
+           round(CAST(2 * si - (n + 1) * s AS DOUBLE)
+                 / CAST(n * s AS DOUBLE), 9) AS gini
+    FROM agg
+    """,
+)
+def q_gini_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import with_global_cumsum
+
+    pr = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+        )
+        .withColumn("one", F.lit(1))
+    )
+    ranked = with_global_cumsum(
+        pr, ["rev", "l_partkey"], ["one"], ascending=[True, True]
+    ).select("rev", F.col("cum_one").alias("i"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").cast("decimal(38,2)").alias("s"),
+        F.sum(F.col("i") * F.col("rev")).cast("decimal(38,2)").alias("si"),
+    )
+    n, s, si = F.col("n"), F.col("s"), F.col("si")
+    return agg.select(
+        n.cast("bigint").alias("n_parts"),
+        F.round(
+            (2 * si - (n + 1) * s).cast("double") / (n * s).cast("double"), 9
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman supplier-concentration index per nation: HHI =
+# sum over suppliers of (revenue share)^2, scaled by 10^4 as in the
+# antitrust convention; the normalized form (HHI - 1/n)/(1 - 1/n)
+# removes the supplier-count floor. Shares are ratios of exact
+# DECIMAL sums; each squared share rounds to 12 and accumulates as
+# DECIMAL(38,12) (order-independent). One broadcast of the supplier
+# dim; per-nation state is supplier-count-sized.
+@_q(
+    "hhi_supplier_concentration",
+    """
+    WITH sr AS (
+      SELECT n.n_name AS nation, l.l_suppkey AS sk,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1, 2
+    ),
+    nt AS (
+      SELECT nation, CAST(SUM(rev) AS DECIMAL(38,2)) AS tot,
+             COUNT(*) AS ns
+      FROM sr GROUP BY nation
+    ),
+    h AS (
+      SELECT sr.nation, MAX(nt.ns) AS ns,
+             CAST(SUM(CAST(round(
+               (CAST(sr.rev AS DOUBLE) / nt.tot)
+               * (CAST(sr.rev AS DOUBLE) / nt.tot) * 10000, 12)
+               AS DECIMAL(38,12))) AS DOUBLE) AS hhi
+      FROM sr JOIN nt ON nt.nation = sr.nation
+      GROUP BY sr.nation
+    )
+    SELECT nation, CAST(ns AS BIGINT) AS n_suppliers,
+           round(hhi, 6) AS hhi,
+           CASE WHEN ns > 1
+                THEN round((hhi / 10000 - 1.0 / ns) / (1.0 - 1.0 / ns), 9)
+                END AS hhi_normalized
+    FROM h ORDER BY nation
+    """,
+)
+def q_hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    su = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sr = (
+        li.join(F.broadcast(su), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    nt = sr.groupBy(F.col("nation").alias("nn")).agg(
+        F.sum("rev").cast("decimal(38,2)").alias("tot"),
+        F.count(F.lit(1)).alias("ns"),
+    )
+    share = F.col("rev").cast("double") / F.col("tot")
+    h = (
+        sr.join(F.broadcast(nt), F.col("nation") == F.col("nn"))
+        .groupBy("nation")
+        .agg(
+            F.max("ns").alias("ns"),
+            F.sum(
+                F.round(share * share * 10000, 12).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("hhi"),
+        )
+    )
+    return h.select(
+        "nation",
+        F.col("ns").cast("bigint").alias("n_suppliers"),
+        F.round(F.col("hhi"), 6).alias("hhi"),
+        # a single-supplier nation has no normalized form (the
+        # 1 - 1/n denominator is zero; its HHI is exactly 10000)
+        F.when(
+            F.col("ns") > 1,
+            F.round(
+                (F.col("hhi") / 10000 - 1.0 / F.col("ns"))
+                / (1.0 - 1.0 / F.col("ns")),
+                9,
+            ),
+        ).alias("hhi_normalized"),
+    ).orderBy("nation")

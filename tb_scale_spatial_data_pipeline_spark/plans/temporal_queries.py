@@ -435,3 +435,110 @@ def q_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t bigint, level double, trend double, seasonal double, "
         "forecast_next double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Croston's method for INTERMITTENT demand (Croston 1972): when a
+# series is mostly zeros (a part ordered a few times a year), plain
+# exponential smoothing biases toward zero; Croston smooths demand
+# SIZE and inter-demand INTERVAL separately and forecasts size/
+# interval. Series: daily total quantity of one part (the fixture's
+# most intermittent heavy part is irrelevant — determinism picks
+# l_partkey = 1). Same pure-integer-lattice recursion contract as
+# holt_winters_seasonal: quantities in exact hundredths, alpha = 1/10
+# as a rational, truncating division mirrored across engines, zero
+# float seam. The bounded date spine collects; the recursion is
+# sequential by construction.
+_CROSTON_PART = 1
+
+
+def _sql_croston() -> str:
+    return f"""
+    WITH demand AS (
+      SELECT l.l_shipdate AS dte,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS q
+      FROM lineitem l WHERE l.l_partkey = {_CROSTON_PART}
+      GROUP BY 1
+    ),
+    seq AS (
+      SELECT q, row_number() OVER (ORDER BY dte) AS t,
+             CAST(date_diff('day',
+                  lag(dte) OVER (ORDER BY dte), dte) AS BIGINT) AS gap
+      FROM demand
+    ),
+    init AS (
+      SELECT MAX(CASE WHEN t = 1 THEN q END) AS z0,
+             list(q ORDER BY t) AS qs,
+             list(COALESCE(gap, 0) ORDER BY t) AS gaps,
+             COUNT(*) AS n
+      FROM seq
+    ),
+    rec AS (
+      WITH RECURSIVE cr AS (
+        SELECT 1 AS t, init.n AS n, init.qs AS qs, init.gaps AS gaps,
+               init.z0 AS z, CAST(100 AS BIGINT) AS p
+        FROM init
+        UNION ALL
+        SELECT cr.t + 1, cr.n, cr.qs, cr.gaps,
+               (cr.qs[cr.t + 1] + 9 * cr.z) // 10 AS z,
+               (100 * cr.gaps[cr.t + 1] + 9 * cr.p) // 10 AS p
+        FROM cr WHERE cr.t < cr.n
+      )
+      SELECT * FROM cr
+    )
+    SELECT CAST(t AS BIGINT) AS t,
+           CAST(z AS DOUBLE) / 100 AS smoothed_size,
+           CAST(p AS DOUBLE) / 100 AS smoothed_interval_days,
+           round(CAST(z AS DOUBLE) / p, 6) AS demand_rate_per_day
+    FROM rec ORDER BY t DESC LIMIT 10
+    """
+
+
+@_q("croston_intermittent_demand", _sql_croston())
+def q_croston_intermittent_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey") == _CROSTON_PART
+    )
+    demand = (
+        li.groupBy(F.col("l_shipdate").alias("dte"))
+        .agg(
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("q")
+        )
+        .orderBy("dte")
+    )
+    rows = demand.collect()  # bounded: one part's demand dates
+    qs = [r["q"] for r in rows]
+    gaps = [0] + [
+        (rows[i]["dte"] - rows[i - 1]["dte"]).days for i in range(1, len(rows))
+    ]
+
+    def tdiv(a: int, d: int) -> int:
+        q = abs(a) // d
+        return q if a >= 0 else -q
+
+    z, p = qs[0], 100  # interval state in hundredths of a day
+    out = [(1, z, p)]
+    for t_i in range(1, len(qs)):
+        z = tdiv(qs[t_i] + 9 * z, 10)
+        p = tdiv(100 * gaps[t_i] + 9 * p, 10)
+        out.append((t_i + 1, z, p))
+    def r6(x: float) -> float:
+        # DuckDB round() is half-AWAY-from-zero; Python's round() is
+        # banker's — mirror DuckDB so a boundary value cannot flip
+        import math
+
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+    res = [
+        (t_i, zv / 100.0, pv / 100.0, r6(zv / pv))
+        for (t_i, zv, pv) in out[-10:]
+    ]
+    res.sort(key=lambda r: -r[0])
+    return demand.sparkSession.createDataFrame(
+        res,
+        "t bigint, smoothed_size double, smoothed_interval_days double, "
+        "demand_rate_per_day double",
+    )
