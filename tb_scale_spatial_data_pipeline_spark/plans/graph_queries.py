@@ -2728,13 +2728,14 @@ def _sql_katz() -> str:
     ctes = [
         _SQL_EDGES.strip(),
         """nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
-    x0 AS MATERIALIZED (SELECT node, 1.0 AS x FROM nodes)""",
+    x0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS x FROM nodes)""",
     ]
     for k in range(_KATZ_ITERS):
         ctes.append(
             f"""x{k + 1} AS MATERIALIZED (
       SELECT nd.node,
-             round(1.0 + {_KATZ_ALPHA} * COALESCE(c.s, 0.0), 12) AS x
+             round(1.0 + {_KATZ_ALPHA}
+                   * COALESCE(CAST(c.s AS DOUBLE), 0.0), 12) AS x
       FROM nodes nd LEFT JOIN (
         SELECT e.dst AS node, SUM(r.x) AS s
         FROM x{k} r JOIN edges e ON e.src = r.node
