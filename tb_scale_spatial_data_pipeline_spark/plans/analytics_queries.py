@@ -1524,3 +1524,243 @@ def q_ipw_ate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("d"), 6).alias("naive_diff"),
         F.round(F.sum(term).cast("double") / F.sum(ns), 6).alias("ate"),
     ).select("n_strata", "n_supported", "naive_diff", "ate")
+
+
+# ---------------------------------------------------------------------------
+# nDCG@10 of the item-item recommender under a TEMPORAL holdout —
+# the offline eval every recommender ships with (Jarvelin &
+# Kekalainen TOIS 2002): train co-occurrence sims on the first 80% of
+# the order calendar, recommend top-10 per customer, score binary
+# relevance against parts first bought in the held-out tail. Rank
+# weights 1/log2(rank+1) are a broadcast 10-row table with per-term
+# round(12) (the one transcendental); per-customer nDCG rounds to 9
+# and accumulates as DECIMAL(38,9) so the corpus mean is order-
+# independent. Scale shape identical to item_recommendations (the sim
+# head broadcasts; the customer-item table shuffles once).
+_NDCG_K = 10
+
+
+@_q(
+    "ndcg_recommendations",
+    f"""
+    WITH bounds AS (
+      SELECT MIN(o_orderdate) + INTERVAL (CAST(date_diff('day',
+               MIN(o_orderdate), MAX(o_orderdate)) * 8 // 10 AS BIGINT)) DAY
+               AS cut
+      FROM orders
+    ),
+    train_b AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey,
+           bounds WHERE o.o_orderdate < bounds.cut
+    ),
+    deg AS (SELECT l_partkey, COUNT(*) AS d FROM train_b GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS co
+      FROM train_b a JOIN train_b b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    sims AS MATERIALIZED (
+      SELECT pa, pb,
+             CAST(round(CAST(co AS DOUBLE)
+                  / sqrt(CAST(da.d AS DOUBLE) * CAST(db.d AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS sim
+      FROM pairs JOIN deg da ON da.l_partkey = pairs.pa
+                 JOIN deg db ON db.l_partkey = pairs.pb
+      WHERE co >= {_REC_MIN_CO}
+    ),
+    sim2 AS (
+      SELECT pa AS i, pb AS j, sim FROM sims
+      UNION ALL SELECT pb AS i, pa AS j, sim FROM sims
+    ),
+    train_ci AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS i
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey, bounds
+      WHERE o.o_orderdate < bounds.cut
+    ),
+    test_rel AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS i
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey, bounds
+      WHERE o.o_orderdate >= bounds.cut
+        AND NOT EXISTS (SELECT 1 FROM train_ci t
+                        WHERE t.c = o.o_custkey AND t.i = l.l_partkey)
+    ),
+    recs AS (
+      SELECT c, j, rn FROM (
+        SELECT ci.c, s.j,
+               row_number() OVER (PARTITION BY ci.c
+                 ORDER BY SUM(s.sim) DESC, s.j) AS rn
+        FROM train_ci ci JOIN sim2 s ON s.i = ci.i
+        WHERE NOT EXISTS (SELECT 1 FROM train_ci o2
+                          WHERE o2.c = ci.c AND o2.i = s.j)
+        GROUP BY ci.c, s.j
+      ) WHERE rn <= {_NDCG_K}
+    ),
+    w AS (
+      SELECT i AS rk, round(1.0 / log2(i + 1.0), 12) AS wt,
+             round(SUM(round(1.0 / log2(i + 1.0), 12))
+               OVER (ORDER BY i), 12) AS cum_wt
+      FROM unnest(generate_series(1, {_NDCG_K})) AS g(i)
+    ),
+    dcg AS (
+      SELECT r.c, SUM(w.wt) AS dcg
+      FROM recs r JOIN test_rel t ON t.c = r.c AND t.i = r.j
+      JOIN w ON w.rk = r.rn
+      GROUP BY r.c
+    ),
+    nrel AS (
+      SELECT c, COUNT(*) AS nr FROM test_rel GROUP BY c
+    ),
+    evalu AS (
+      SELECT nrel.c,
+             round(COALESCE(dcg.dcg, 0.0)
+                   / (SELECT cum_wt FROM w
+                      WHERE rk = LEAST(nrel.nr, {_NDCG_K})), 9) AS ndcg
+      FROM nrel LEFT JOIN dcg ON dcg.c = nrel.c
+      WHERE EXISTS (SELECT 1 FROM recs WHERE recs.c = nrel.c)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(CAST(SUM(CAST(ndcg AS DECIMAL(38,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_ndcg_at_10,
+           round(CAST(SUM(CASE WHEN ndcg > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS hit_rate_at_10
+    FROM evalu
+    """,
+)
+def q_ndcg_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bounds = o.agg(
+        F.expr(
+            "MIN(o_orderdate) + make_interval(0, 0, 0, "
+            "CAST(datediff(MAX(o_orderdate), MIN(o_orderdate)) * 8 DIV 10 "
+            "AS INT), 0, 0, 0)"
+        ).alias("cut")
+    )
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"]).crossJoin(
+        F.broadcast(bounds)
+    )
+    train_b = (
+        j.where(F.col("o_orderdate") < F.col("cut"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    deg = train_b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("d"))
+    a = train_b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = train_b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "k")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .where(F.col("co") >= _REC_MIN_CO)
+    )
+    da = deg.select(F.col("l_partkey").alias("pa"), F.col("d").alias("da"))
+    db = deg.select(F.col("l_partkey").alias("pb"), F.col("d").alias("db"))
+    sims = (
+        pairs.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            "pa",
+            "pb",
+            F.round(
+                F.col("co").cast("double")
+                / F.sqrt(F.col("da").cast("double") * F.col("db").cast("double")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sim2 = sims.select(
+        F.col("pa").alias("i"), F.col("pb").alias("j"), "sim"
+    ).unionByName(
+        sims.select(F.col("pb").alias("i"), F.col("pa").alias("j"), "sim")
+    )
+    train_ci = (
+        j.where(F.col("o_orderdate") < F.col("cut"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("i"))
+        .distinct()
+        .localCheckpoint(eager=True)  # recs + owned-filter + test-rel anti
+    )
+    test_rel = (
+        j.where(F.col("o_orderdate") >= F.col("cut"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("i"))
+        .distinct()
+        .join(train_ci, ["c", "i"], "left_anti")
+        .localCheckpoint(eager=True)  # dcg + nrel share it
+    )
+    owned = train_ci.select(F.col("c").alias("oc"), F.col("i").alias("oj"))
+    wrec = Window.partitionBy("c").orderBy(F.desc("score"), F.asc("j"))
+    recs = (
+        train_ci.join(F.broadcast(sim2), "i")
+        .join(
+            owned,
+            (F.col("c") == F.col("oc")) & (F.col("j") == F.col("oj")),
+            "left_anti",
+        )
+        .groupBy("c", "j")
+        .agg(F.sum("sim").alias("score"))
+        .withColumn("rn", F.row_number().over(wrec))
+        .where(F.col("rn") <= _NDCG_K)
+        .localCheckpoint(eager=True)  # dcg + exists-filter share it
+    )
+    wts = (
+        recs.sparkSession.range(1, _NDCG_K + 1)
+        .select(F.col("id").alias("rk"))
+        .select(
+            "rk",
+            F.round(1.0 / F.log2(F.col("rk") + 1.0), 12).alias("wt"),
+        )
+        .select(
+            "rk",
+            "wt",
+            F.round(
+                F.sum("wt").over(
+                    Window.orderBy("rk").rowsBetween(
+                        Window.unboundedPreceding, 0
+                    )
+                ),
+                12,
+            ).alias("cum_wt"),
+        )
+    )
+    dcg = (
+        recs.join(test_rel, (recs["c"] == test_rel["c"]) & (recs["j"] == test_rel["i"]))
+        .select(recs["c"].alias("dc"), "rn")
+        .join(F.broadcast(wts), F.col("rn") == F.col("rk"))
+        .groupBy("dc")
+        .agg(F.sum("wt").alias("dcg"))
+    )
+    nrel = test_rel.groupBy("c").agg(F.count(F.lit(1)).alias("nr"))
+    has_recs = recs.select("c").distinct()
+    evalu = (
+        nrel.join(has_recs, "c")
+        .join(dcg, nrel["c"] == F.col("dc"), "left")
+        .join(
+            F.broadcast(wts.select(F.col("rk").alias("lk"), "cum_wt")),
+            F.least(F.col("nr"), F.lit(_NDCG_K)) == F.col("lk"),
+        )
+        .select(
+            F.round(
+                F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("cum_wt"), 9
+            ).alias("ndcg")
+        )
+    )
+    return evalu.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(
+            F.sum(F.col("ndcg").cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_ndcg_at_10"),
+        F.round(
+            F.sum(F.when(F.col("ndcg") > 0, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hit_rate_at_10"),
+    )
