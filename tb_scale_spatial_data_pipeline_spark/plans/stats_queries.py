@@ -1665,3 +1665,414 @@ def q_theil_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality test (Jarque & Bera 1980): JB = n/6 *
+# (S^2 + K_excess^2/4) from the exact central-moment sufficient
+# statistics of o_totalprice — the one-pass normality screen. Raw
+# power sums accumulate as DECIMAL (2dp inputs -> up to 8dp fourth
+# powers; DECIMAL(38,8) holds the sf0.1 magnitudes), central moments
+# assemble from them in ONE fixed-order float expression, so the only
+# nondeterminism surface is the final arithmetic both engines share.
+@_q(
+    "jarque_bera_normality",
+    """
+    WITH s AS (
+      -- powers via the squared square with interim casts: a naive
+      -- d*d*d*d chain exceeds DECIMAL(38) width in DuckDB's
+      -- multiplication rules (measured overflow at sf0.01)
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS DECIMAL(38,2)) AS s1,
+             CAST(SUM(p2) AS DECIMAL(38,4)) AS s2,
+             CAST(SUM(CAST(p2 * x AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS s3,
+             CAST(SUM(CAST(p2 * p2 AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS s4
+      FROM (SELECT x, CAST(x * x AS DECIMAL(19,4)) AS p2
+            FROM (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x
+                  FROM orders))
+    ),
+    m AS (
+      SELECT n,
+             CAST(s1 AS DOUBLE) / n AS m1,
+             CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+               * (CAST(s1 AS DOUBLE) / n) AS m2,
+             CAST(s3 AS DOUBLE) / n
+               - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+               + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                   * (CAST(s1 AS DOUBLE) / n) AS m3,
+             CAST(s4 AS DOUBLE) / n
+               - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+               + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                   * (CAST(s2 AS DOUBLE) / n)
+               - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                   * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m4
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           round(m3 / (m2 * sqrt(m2)), 9) AS skewness,
+           round(m4 / (m2 * m2) - 3, 9) AS kurtosis_excess,
+           round(n / 6.0 * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+                 + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4), 6)
+             AS jarque_bera
+    FROM m
+    """,
+)
+def q_jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    base = o.select(F.col("o_totalprice").cast("decimal(18,2)").alias("x"))
+    powd = base.select(
+        "x", (F.col("x") * F.col("x")).cast("decimal(19,4)").alias("p2")
+    )
+    s = powd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(38,2)").alias("s1"),
+        F.sum("p2").cast("decimal(38,4)").alias("s2"),
+        F.sum((F.col("p2") * F.col("x")).cast("decimal(28,6)"))
+        .cast("decimal(38,6)")
+        .alias("s3"),
+        F.sum((F.col("p2") * F.col("p2")).cast("decimal(38,8)"))
+        .cast("decimal(38,8)")
+        .alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n - m1 * m1
+    m3 = (
+        F.col("s3").cast("double") / n
+        - 3 * m1 * (F.col("s2").cast("double") / n)
+        + 2 * m1 * m1 * m1
+    )
+    m4 = (
+        F.col("s4").cast("double") / n
+        - 4 * m1 * (F.col("s3").cast("double") / n)
+        + 6 * m1 * m1 * (F.col("s2").cast("double") / n)
+        - 3 * m1 * m1 * m1 * m1
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurt = m4 / (m2 * m2) - 3
+    return s.select(
+        n.cast("bigint").alias("n_rows"),
+        F.round(skew, 9).alias("skewness"),
+        F.round(kurt, 9).alias("kurtosis_excess"),
+        F.round(n / 6.0 * (skew * skew + kurt * kurt / 4), 6).alias(
+            "jarque_bera"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d / Hedges' g standardized effect size for the A-vs-R
+# quantity difference — the "how big, not just how significant"
+# companion the t/U/HL battery needs. Pooled SD from exact DECIMAL
+# sufficient statistics; Hedges' small-sample factor uses the
+# J ~ 1 - 3/(4*df - 1) approximation (Hedges 1981) — one fixed-order
+# float expression.
+@_q(
+    "cohens_d_effect_size",
+    """
+    WITH g AS (
+      SELECT l_returnflag AS f, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS ss
+      FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN f = 'A' THEN n END) AS n1,
+        max(CASE WHEN f = 'A' THEN s END) AS s1,
+        max(CASE WHEN f = 'A' THEN ss END) AS ss1,
+        max(CASE WHEN f = 'R' THEN n END) AS n2,
+        max(CASE WHEN f = 'R' THEN s END) AS s2,
+        max(CASE WHEN f = 'R' THEN ss END) AS ss2
+      FROM g
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_r,
+           round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                 / sqrt(((CAST(ss1 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * s1 / n1)
+                         + (CAST(ss2 AS DOUBLE)
+                            - CAST(s2 AS DOUBLE) * s2 / n2))
+                        / (n1 + n2 - 2)), 9) AS cohens_d,
+           round(((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                 / sqrt(((CAST(ss1 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * s1 / n1)
+                         + (CAST(ss2 AS DOUBLE)
+                            - CAST(s2 AS DOUBLE) * s2 / n2))
+                        / (n1 + n2 - 2)))
+                 * (1 - 3.0 / (4 * (n1 + n2 - 2) - 1)), 9) AS hedges_g
+    FROM w
+    """,
+)
+def q_cohens_d_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    d = F.col("l_quantity").cast("decimal(18,2)")
+    g = li.groupBy(F.col("l_returnflag").alias("f")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).cast("decimal(38,2)").alias("s"),
+        F.sum(d * d).cast("decimal(38,4)").alias("ss"),
+    )
+    pick = lambda c, f: F.max(F.when(F.col("f") == f, F.col(c)))
+    w = g.agg(
+        pick("n", "A").alias("n1"),
+        pick("s", "A").alias("s1"),
+        pick("ss", "A").alias("ss1"),
+        pick("n", "R").alias("n2"),
+        pick("s", "R").alias("s2"),
+        pick("ss", "R").alias("ss2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    mean_diff = F.col("s1").cast("double") / n1 - F.col("s2").cast("double") / n2
+    pooled = F.sqrt(
+        (
+            (F.col("ss1").cast("double") - F.col("s1").cast("double") * F.col("s1") / n1)
+            + (
+                F.col("ss2").cast("double")
+                - F.col("s2").cast("double") * F.col("s2") / n2
+            )
+        )
+        / (n1 + n2 - 2)
+    )
+    dd = mean_diff / pooled
+    return w.select(
+        n1.cast("bigint").alias("n_a"),
+        n2.cast("bigint").alias("n_r"),
+        F.round(dd, 9).alias("cohens_d"),
+        F.round(dd * (1 - 3.0 / (4 * (n1 + n2 - 2) - 1)), 9).alias("hedges_g"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Friedman test (Friedman 1937): are the three return-flag mean
+# quantities consistently ORDERED across nation blocks? The classic
+# repeated-measures rank test — k=3 treatments ranked WITHIN each of
+# the 25 nation blocks, chi2_F = 12/(nk(k+1)) * sum R_j^2 - 3n(k+1).
+# Ranks come from the bounded 3x3 within-block comparison join on the
+# doubled lattice (2*below + ties + 1 — exact under ties); block
+# means round to 6 before ranking so both engines rank identical
+# values. Everything after the fact-table aggregation is 75 rows.
+@_q(
+    "friedman_test",
+    """
+    WITH cell AS (
+      SELECT n.n_name AS blk, l.l_returnflag AS trt,
+             round(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*), 6) AS v
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT a.blk, a.trt,
+             SUM(CASE WHEN b.v < a.v THEN 2 ELSE 0 END)
+               + SUM(CASE WHEN b.v = a.v AND b.trt <> a.trt THEN 1 ELSE 0 END)
+               + 2 AS r2
+      FROM cell a JOIN cell b ON b.blk = a.blk
+      GROUP BY a.blk, a.trt
+    ),
+    sums AS (
+      SELECT trt, CAST(SUM(r2) AS DECIMAL(38,0)) AS rj2,
+             COUNT(*) AS nblk
+      FROM ranked GROUP BY trt
+    ),
+    agg AS (
+      SELECT MAX(nblk) AS n, COUNT(*) AS k,
+             CAST(SUM(rj2 * rj2) AS DECIMAL(38,0)) AS sr2
+      FROM sums
+    )
+    SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k_treatments,
+           round(12.0 / (4 * n * k * (k + 1)) * CAST(sr2 AS DOUBLE)
+                 - 3.0 * n * (k + 1), 9) AS friedman_chi2
+    FROM agg
+    """,
+)
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cell = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("blk"), F.col("l_returnflag").alias("trt"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("v")
+        )
+        .localCheckpoint(eager=True)  # both sides of the rank join
+    )
+    a = cell.select(
+        F.col("blk"), F.col("trt"), F.col("v")
+    )
+    b = cell.select(
+        F.col("blk").alias("b_blk"), F.col("trt").alias("b_trt"), F.col("v").alias("b_v")
+    )
+    ranked = (
+        a.join(F.broadcast(b), F.col("b_blk") == F.col("blk"))
+        .groupBy("blk", "trt")
+        .agg(
+            (
+                F.sum(F.when(F.col("b_v") < F.col("v"), 2).otherwise(0))
+                + F.sum(
+                    F.when(
+                        (F.col("b_v") == F.col("v"))
+                        & (F.col("b_trt") != F.col("trt")),
+                        1,
+                    ).otherwise(0)
+                )
+                + 2
+            ).alias("r2")
+        )
+    )
+    sums = ranked.groupBy("trt").agg(
+        F.sum("r2").cast("decimal(38,0)").alias("rj2"),
+        F.count(F.lit(1)).alias("nblk"),
+    )
+    agg = sums.agg(
+        F.max("nblk").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("rj2") * F.col("rj2")).cast("decimal(38,0)").alias("sr2"),
+    )
+    n, k = F.col("n"), F.col("k")
+    return agg.select(
+        n.cast("bigint").alias("n_blocks"),
+        k.cast("bigint").alias("k_treatments"),
+        F.round(
+            F.lit(12.0)
+            / (4 * n * k * (k + 1))
+            * F.col("sr2").cast("double")
+            - F.lit(3.0) * n * (k + 1),
+            9,
+        ).alias("friedman_chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramer's V association matrix over the lineitem categorical triple
+# (returnflag, linestatus, ship month) — effect SIZE for the chi-square
+# family: V = sqrt(chi2 / (N * (min(r,c) - 1))), comparable across
+# tables of different shapes. One aggregation per pair over the
+# already-tiny contingency tables (<= 21 cells); margins broadcast.
+@_q(
+    "cramers_v_matrix",
+    """
+    WITH pairs AS (
+      SELECT 'returnflag' AS ca, 'linestatus' AS cb,
+             l_returnflag AS a, l_linestatus AS b FROM lineitem
+      UNION ALL
+      SELECT 'returnflag', 'shipmonth', l_returnflag,
+             CAST(month(l_shipdate) AS VARCHAR) FROM lineitem
+      UNION ALL
+      SELECT 'linestatus', 'shipmonth', l_linestatus,
+             CAST(month(l_shipdate) AS VARCHAR) FROM lineitem
+    ),
+    obs AS (
+      SELECT ca, cb, a, b, CAST(COUNT(*) AS DOUBLE) AS o
+      FROM pairs GROUP BY 1, 2, 3, 4
+    ),
+    rm AS (SELECT ca, cb, a, SUM(o) AS rn FROM obs GROUP BY 1, 2, 3),
+    cm AS (SELECT ca, cb, b, SUM(o) AS cn FROM obs GROUP BY 1, 2, 3),
+    tot AS (SELECT ca, cb, SUM(o) AS nt,
+                   COUNT(DISTINCT a) AS nr, COUNT(DISTINCT b) AS nc
+            FROM obs GROUP BY 1, 2),
+    chi AS (
+      SELECT obs.ca, obs.cb,
+             SUM((obs.o - rm.rn * cm.cn / tot.nt)
+                 * (obs.o - rm.rn * cm.cn / tot.nt)
+                 / (rm.rn * cm.cn / tot.nt)) AS chi2,
+             MAX(tot.nt) AS nt, MAX(tot.nr) AS nr, MAX(tot.nc) AS nc
+      FROM obs
+      JOIN rm ON rm.ca = obs.ca AND rm.cb = obs.cb AND rm.a = obs.a
+      JOIN cm ON cm.ca = obs.ca AND cm.cb = obs.cb AND cm.b = obs.b
+      JOIN tot ON tot.ca = obs.ca AND tot.cb = obs.cb
+      GROUP BY obs.ca, obs.cb
+    )
+    SELECT ca AS col_a, cb AS col_b, round(chi2, 6) AS chi2,
+           round(sqrt(chi2 / (nt * (LEAST(nr, nc) - 1))), 9) AS cramers_v
+    FROM chi ORDER BY col_a, col_b
+    """,
+)
+def q_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.month("l_shipdate").cast("string").alias("shipmonth"),
+    )
+
+    def pair(ca: str, cb: str, col_a: str, col_b: str) -> DataFrame:
+        return li.select(
+            F.lit(ca).alias("ca"),
+            F.lit(cb).alias("cb"),
+            F.col(col_a).alias("a"),
+            F.col(col_b).alias("b"),
+        )
+
+    pairs = (
+        pair("returnflag", "linestatus", "l_returnflag", "l_linestatus")
+        .unionByName(pair("returnflag", "shipmonth", "l_returnflag", "shipmonth"))
+        .unionByName(pair("linestatus", "shipmonth", "l_linestatus", "shipmonth"))
+    )
+    obs = pairs.groupBy("ca", "cb", "a", "b").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    rm = obs.groupBy(
+        F.col("ca").alias("r_ca"), F.col("cb").alias("r_cb"), F.col("a").alias("r_a")
+    ).agg(F.sum("o").alias("rn"))
+    cm = obs.groupBy(
+        F.col("ca").alias("c_ca"), F.col("cb").alias("c_cb"), F.col("b").alias("c_b")
+    ).agg(F.sum("o").alias("cn"))
+    tot = obs.groupBy(
+        F.col("ca").alias("t_ca"), F.col("cb").alias("t_cb")
+    ).agg(
+        F.sum("o").alias("nt"),
+        F.countDistinct("a").alias("nr"),
+        F.countDistinct("b").alias("nc"),
+    )
+    e = F.col("rn") * F.col("cn") / F.col("nt")
+    chi = (
+        obs.join(
+            F.broadcast(rm),
+            (F.col("ca") == F.col("r_ca"))
+            & (F.col("cb") == F.col("r_cb"))
+            & (F.col("a") == F.col("r_a")),
+        )
+        .join(
+            F.broadcast(cm),
+            (F.col("ca") == F.col("c_ca"))
+            & (F.col("cb") == F.col("c_cb"))
+            & (F.col("b") == F.col("c_b")),
+        )
+        .join(
+            F.broadcast(tot),
+            (F.col("ca") == F.col("t_ca")) & (F.col("cb") == F.col("t_cb")),
+        )
+        .groupBy("ca", "cb")
+        .agg(
+            F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("chi2"),
+            F.max("nt").alias("nt"),
+            F.max("nr").alias("nr"),
+            F.max("nc").alias("nc"),
+        )
+    )
+    return chi.select(
+        F.col("ca").alias("col_a"),
+        F.col("cb").alias("col_b"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("nt") * (F.least(F.col("nr"), F.col("nc")) - 1))
+            ),
+            9,
+        ).alias("cramers_v"),
+    ).orderBy("col_a", "col_b")
