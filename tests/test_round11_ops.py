@@ -291,3 +291,40 @@ def test_abc_classes_partition_revenue(spark):
     assert classes <= {"A", "B", "C"}
     shares = sum(r["revenue_share"] for r in rows)
     assert abs(shares - 1.0) < 1e-4
+
+
+def test_jarque_bera_components(spark):
+    r = all_queries()["jarque_bera_normality"](spark, SF_SMOKE).collect()[0]
+    assert r["jarque_bera"] >= 0.0
+    # JB recomposes from its own components (definitional identity)
+    jb = r["n_rows"] / 6.0 * (
+        r["skewness"] ** 2 + r["kurtosis_excess"] ** 2 / 4
+    )
+    assert abs(jb - r["jarque_bera"]) < 1e-3
+
+
+def test_cohens_d_hedges_shrinks(spark):
+    r = all_queries()["cohens_d_effect_size"](spark, SF_SMOKE).collect()[0]
+    assert abs(r["hedges_g"]) <= abs(r["cohens_d"])  # J < 1 always
+
+
+def test_friedman_nonnegative(spark):
+    r = all_queries()["friedman_test"](spark, SF_SMOKE).collect()[0]
+    assert r["k_treatments"] == 3
+    assert r["friedman_chi2"] >= -1e-9
+
+
+def test_cramers_v_unit_interval(spark):
+    rows = all_queries()["cramers_v_matrix"](spark, SF_SMOKE).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0.0 <= r["cramers_v"] <= 1.0 + 1e-9
+        assert r["chi2"] >= 0.0
+
+
+def test_ndcg_bounds(spark):
+    r = all_queries()["ndcg_recommendations"](spark, SF_SMOKE).collect()[0]
+    assert r["n_customers"] > 0
+    assert 0.0 <= r["mean_ndcg_at_10"] <= 1.0
+    assert 0.0 <= r["hit_rate_at_10"] <= 1.0
+    assert r["mean_ndcg_at_10"] <= r["hit_rate_at_10"] + 1e-9
