@@ -92,6 +92,73 @@ def decode_fallback_counter(spark: SparkSession):
     return spark.sparkContext.accumulator(0)
 
 
+def _decode_bmp24(payload: bytes) -> "np.ndarray | None":
+    """Pure-NumPy decode of an uncompressed 24-bit BI_RGB BMP (the
+    Windows DIB format, public spec) — rows padded to 4 bytes, BGR
+    order, bottom-up when height > 0. Returns HxWx3 RGB uint8, or
+    None if the payload is not such a BMP."""
+    try:
+        if len(payload) < 54 or payload[:2] != b"BM":
+            return None
+        off = int.from_bytes(payload[10:14], "little")
+        hdr = int.from_bytes(payload[14:18], "little")
+        if hdr < 40:
+            return None
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            return None
+        bottom_up = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) // 4 * 4
+        if len(payload) < off + stride * h:
+            return None
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)[:, : w * 3]
+        img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+        return img[::-1] if bottom_up else img
+    except Exception:
+        return None
+
+
+def _decode_ppm6(payload: bytes) -> "np.ndarray | None":
+    """Pure-NumPy decode of a binary PPM (P6, maxval 255 — the netpbm
+    public format). Returns HxWx3 RGB uint8, or None."""
+    try:
+        if not payload.startswith(b"P6"):
+            return None
+        # header = magic, width, height, maxval as whitespace-separated
+        # tokens (comments starting with # allowed), then ONE
+        # whitespace byte before the raster
+        pos, tokens = 2, []
+        while len(tokens) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while pos < len(payload) and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        w, h, maxval = tokens
+        if maxval != 255 or w <= 0 or h <= 0:
+            return None
+        need = w * h * 3
+        if len(payload) < pos + need:
+            return None
+        return np.frombuffer(
+            payload, dtype=np.uint8, count=need, offset=pos
+        ).reshape(h, w, 3)
+    except Exception:
+        return None
+
+
 def _decode_payload(
     payload: bytes,
     width: int,
@@ -100,13 +167,28 @@ def _decode_payload(
     pil=None,
     fallback_counter=None,
 ) -> np.ndarray:
-    """Image decode seam. Real path: PIL parses the payload (any format
-    PIL knows), converted to RGB and resized to the declared metadata
-    dimensions if they disagree. Fallback: deterministic fake —
-    md5-stream-expand payload bytes to width*height*channels uint8.
-    The fake defines fixture behavior wherever PIL is absent; when a
-    REAL decode fails, ``fallback_counter`` (a Spark accumulator)
-    records it so malformed payloads are observable, not silent."""
+    """Image decode seam, three tiers:
+    1. REAL pure-NumPy decode for the two uncompressed public formats
+       (24-bit BI_RGB BMP, binary PPM P6) — library-independent, so
+       PIL-absent deployments decode these identically to PIL-present
+       ones (nearest-neighbor resize to the declared metadata size if
+       they disagree, matching the PIL path's policy).
+    2. REAL PIL decode for everything else PIL knows (JPEG/PNG/...).
+    3. Deterministic fake — md5-stream-expand payload bytes to
+       width*height*channels uint8 — for unparseable bytes; when a
+       real decode FAILS, ``fallback_counter`` (a Spark accumulator)
+       records it so malformed payloads are observable, not silent."""
+    native = _decode_bmp24(payload)
+    if native is None:
+        native = _decode_ppm6(payload)
+    if native is not None:
+        ih, iw = native.shape[:2]
+        if (iw, ih) != (width, height):
+            # nearest-neighbor resize, same policy as the PIL branch
+            ys = (np.arange(height) * ih // height).clip(0, ih - 1)
+            xs = (np.arange(width) * iw // width).clip(0, iw - 1)
+            native = native[ys][:, xs]
+        return native[:, :, :channels] if channels < 3 else native
     pil = _PILImage if pil is None else pil
     if pil is not None:
         try:

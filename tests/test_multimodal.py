@@ -203,3 +203,100 @@ def test_phash_neardup_finds_planted_duplicates(spark):
     # candidates stayed bounded: results are a small multiple of the
     # planted-pair count, not O(n^2)
     assert len(out) < n_media * 5
+
+
+def _bmp24(img) -> bytes:
+    """Minimal 24-bit BI_RGB BMP encoder (bottom-up, padded rows)."""
+    import numpy as np
+    import struct
+
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) // 4 * 4
+    raster = bytearray()
+    for row in img[::-1]:  # bottom-up
+        bgr = row[:, ::-1].tobytes()
+        raster += bgr + b"\x00" * (stride - w * 3)
+    off = 14 + 40
+    size = off + len(raster)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", size, 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+        + bytes(raster)
+    )
+
+
+def _ppm6(img) -> bytes:
+    h, w, _ = img.shape
+    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def test_native_bmp_decode_pixel_exact():
+    """The pure-NumPy BMP tier must decode REAL 24-bit BMP bytes
+    pixel-exactly — no PIL involved (pil=None forces the seam)."""
+    import numpy as np
+
+    from tb_scale_spatial_data_pipeline_spark.multimodal.media import (
+        _decode_payload,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    out = _decode_payload(_bmp24(img), 7, 5, 3, pil=False)
+    assert (out == img).all()
+    # odd width exercises the 4-byte row padding
+    img2 = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    out2 = _decode_payload(_bmp24(img2), 5, 3, 3, pil=False)
+    assert (out2 == img2).all()
+
+
+def test_native_ppm_decode_pixel_exact():
+    import numpy as np
+
+    from tb_scale_spatial_data_pipeline_spark.multimodal.media import (
+        _decode_payload,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    out = _decode_payload(_ppm6(img), 6, 4, 3, pil=False)
+    assert (out == img).all()
+
+
+def test_native_decode_resizes_to_metadata():
+    import numpy as np
+
+    from tb_scale_spatial_data_pipeline_spark.multimodal.media import (
+        _decode_payload,
+    )
+
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    out = _decode_payload(_ppm6(img), 4, 4, 3, pil=False)
+    assert out.shape == (4, 4, 3)
+    # nearest-neighbor: each source pixel becomes a 2x2 block
+    assert (out[0, 0] == img[0, 0]).all() and (out[3, 3] == img[1, 1]).all()
+
+
+def test_native_decode_through_spark_path(spark):
+    """End-to-end: real BMP bytes flow through decode_images'
+    mapInPandas kernel and come out pixel-exact, PIL or not."""
+    import numpy as np
+
+    from tb_scale_spatial_data_pipeline_spark.multimodal.media import (
+        decode_images,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, _bmp24(img), (4, 4, 3, "bmp", 1))],
+        "media_id bigint, payload binary, "
+        "meta struct<width:int, height:int, channels:int, "
+        "format:string, n_frames:int>",
+    )
+    rows = decode_images(media).collect()
+    assert len(rows) == 16
+    got = {(r["y"], r["x"]): (r["c0"], r["c1"], r["c2"]) for r in rows}
+    for y in range(4):
+        for x in range(4):
+            assert got[(y, x)] == tuple(int(v) for v in img[y, x])
