@@ -322,13 +322,61 @@ def resize_images(
     )
 
 
+def _decode_y4m_frame(payload: bytes, frame_idx: int) -> "np.ndarray | None":
+    """Pure-NumPy decode of one frame's Y (luma) plane from a
+    YUV4MPEG2 stream (the mjpegtools public raw-video container:
+    text stream header, then 'FRAME\\n' + planar YUV per frame).
+    Supports C420 (default) and C444 chroma. Returns the HxW uint8
+    luma plane, or None if the payload is not such a stream or the
+    frame index is out of range."""
+    try:
+        if not payload.startswith(b"YUV4MPEG2"):
+            return None
+        nl = payload.index(b"\n")
+        header = payload[:nl].decode("ascii", "replace").split(" ")
+        w = h = None
+        chroma = "420"
+        for tok in header[1:]:
+            if tok.startswith("W"):
+                w = int(tok[1:])
+            elif tok.startswith("H"):
+                h = int(tok[1:])
+            elif tok.startswith("C"):
+                chroma = tok[1:]
+        if not w or not h:
+            return None
+        if chroma.startswith("420"):
+            fsize = w * h + 2 * ((w // 2) * (h // 2))
+        elif chroma.startswith("444"):
+            fsize = w * h * 3
+        else:
+            return None
+        pos = nl + 1
+        for _ in range(frame_idx + 1):
+            if not payload.startswith(b"FRAME", pos):
+                return None
+            pos = payload.index(b"\n", pos) + 1
+            start = pos
+            pos += fsize
+        if len(payload) < start + w * h:
+            return None
+        return np.frombuffer(
+            payload, dtype=np.uint8, count=w * h, offset=start
+        ).reshape(h, w)
+    except Exception:
+        return None
+
+
 def sample_frames(
     media: DataFrame, every_k: int = 2, fallback_counter=None, _pil=None
 ) -> DataFrame:
     """Video-style frame sampling: metadata declares n_frames; emit one
-    row per sampled frame (UDTF-style one-to-many), frame payload =
-    deterministic per-frame slice. Pure column expressions for the
-    frame index explosion; only the payload slice is kernel work."""
+    row per sampled frame (UDTF-style one-to-many). REAL path: a
+    YUV4MPEG2 payload has its actual frame_idx-th luma plane decoded
+    (pure NumPy, public container spec). Fallback: deterministic
+    per-frame payload slice through the image seam. Pure column
+    expressions for the frame index explosion; only the per-frame
+    decode is kernel work."""
     pil = _PILImage if _pil is None else _pil
     frames = media.select(
         "media_id",
@@ -343,14 +391,17 @@ def sample_frames(
             for media_id, payload, m, frame_idx in zip(
                 pdf["media_id"], pdf["payload"], pdf["meta"], pdf["frame_idx"]
             ):
-                arr = _decode_payload(
-                    bytes(payload) + bytes([frame_idx]),
-                    m["width"],
-                    m["height"],
-                    m["channels"],
-                    pil=pil,
-                    fallback_counter=fallback_counter,
-                )
+                raw = bytes(payload)
+                arr = _decode_y4m_frame(raw, int(frame_idx))
+                if arr is None:
+                    arr = _decode_payload(
+                        raw + bytes([frame_idx]),
+                        m["width"],
+                        m["height"],
+                        m["channels"],
+                        pil=pil,
+                        fallback_counter=fallback_counter,
+                    )
                 rows.append((media_id, int(frame_idx), float(arr.mean())))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_mean"])
 

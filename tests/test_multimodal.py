@@ -300,3 +300,66 @@ def test_native_decode_through_spark_path(spark):
     for y in range(4):
         for x in range(4):
             assert got[(y, x)] == tuple(int(v) for v in img[y, x])
+
+
+def _y4m(frames, chroma="420") -> bytes:
+    """Minimal YUV4MPEG2 encoder: list of HxW luma planes; chroma
+    planes filled with 128."""
+    import numpy as np
+
+    h, w = frames[0].shape
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A0:0 C{chroma}\n".encode())
+    for y in frames:
+        out += b"FRAME\n" + y.tobytes()
+        if chroma == "420":
+            out += bytes([128]) * ((w // 2) * (h // 2) * 2)
+        else:
+            out += bytes([128]) * (w * h * 2)
+    return bytes(out)
+
+
+def test_y4m_frame_decode_exact():
+    import numpy as np
+
+    from tb_scale_spatial_data_pipeline_spark.multimodal.media import (
+        _decode_y4m_frame,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = [
+        rng.integers(0, 256, size=(4, 6), dtype=np.uint8) for _ in range(3)
+    ]
+    blob = _y4m(frames)
+    for i, f in enumerate(frames):
+        got = _decode_y4m_frame(blob, i)
+        assert got is not None and (got == f).all()
+    assert _decode_y4m_frame(blob, 3) is None  # out of range
+    assert _decode_y4m_frame(b"not a video", 0) is None
+    # C444 variant
+    blob444 = _y4m(frames, chroma="444")
+    assert (_decode_y4m_frame(blob444, 2) == frames[2]).all()
+
+
+def test_y4m_through_spark_frame_sampling(spark):
+    """Real Y4M bytes flow through sample_frames: the sampled frames'
+    means must equal the true luma means of frames 0 and 2."""
+    import numpy as np
+
+    from tb_scale_spatial_data_pipeline_spark.multimodal.media import (
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(13)
+    frames = [
+        rng.integers(0, 256, size=(4, 4), dtype=np.uint8) for _ in range(3)
+    ]
+    media = spark.createDataFrame(
+        [(1, _y4m(frames), (4, 4, 3, "y4m", 3))],
+        "media_id bigint, payload binary, "
+        "meta struct<width:int, height:int, channels:int, "
+        "format:string, n_frames:int>",
+    )
+    rows = {r["frame_idx"]: r["frame_mean"] for r in sample_frames(media).collect()}
+    assert set(rows) == {0, 2}  # every_k = 2
+    for i in (0, 2):
+        assert abs(rows[i] - float(frames[i].mean())) < 1e-9
