@@ -346,7 +346,10 @@ def _decode_y4m_frame(payload: bytes, frame_idx: int) -> "np.ndarray | None":
         if not w or not h:
             return None
         if chroma.startswith("420"):
-            fsize = w * h + 2 * ((w // 2) * (h // 2))
+            # 4:2:0 chroma planes are ceil(w/2) x ceil(h/2) — floor
+            # division under-sizes odd-dimension streams and would
+            # misalign every frame offset after frame 0.
+            fsize = w * h + 2 * (((w + 1) // 2) * ((h + 1) // 2))
         elif chroma.startswith("444"):
             fsize = w * h * 3
         else:

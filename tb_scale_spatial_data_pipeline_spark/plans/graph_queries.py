@@ -2816,7 +2816,8 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN eu e3 ON e3.u = e1.u AND e3.v = e2.v
     ),
     moments AS (
-      SELECT CAST(SUM(d * (d - 1) / 2) AS DECIMAL(38,0)) AS wedges,
+      SELECT CAST(SUM(CAST(d AS DECIMAL(38,0)) * (d - 1) / 2)
+               AS DECIMAL(38,0)) AS wedges,
              CAST(SUM(CAST(d AS DECIMAL(38,0)) * (d - 1) * (d - 2) / 6)
                AS DECIMAL(38,0)) AS claws
       FROM deg
@@ -2853,7 +2854,9 @@ def q_graphlet_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = F.col("d")
     moments = deg.agg(
-        F.sum(d * (d - 1) / 2).cast("decimal(38,0)").alias("wedges"),
+        F.sum(d.cast("decimal(38,0)") * (d - 1) / 2)
+        .cast("decimal(38,0)")
+        .alias("wedges"),
         F.sum(d.cast("decimal(38,0)") * (d - 1) * (d - 2) / 6)
         .cast("decimal(38,0)")
         .alias("claws"),

@@ -1201,9 +1201,11 @@ def q_cramer_von_mises_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT nation, SUM(o) AS nt FROM f GROUP BY 1),
     chi AS (
       SELECT f.nation,
-             round(SUM((CAST(f.o AS DOUBLE) - CAST(rm.rn AS DOUBLE) * cm.cn / tot.nt)
+             round(CAST(SUM(CAST(round(
+                       (CAST(f.o AS DOUBLE) - CAST(rm.rn AS DOUBLE) * cm.cn / tot.nt)
                        * (CAST(f.o AS DOUBLE) - CAST(rm.rn AS DOUBLE) * cm.cn / tot.nt)
-                       / (CAST(rm.rn AS DOUBLE) * cm.cn / tot.nt)), 9) AS chi2
+                       / (CAST(rm.rn AS DOUBLE) * cm.cn / tot.nt), 12)
+                     AS DECIMAL(38,12))) AS DOUBLE), 9) AS chi2
       FROM f JOIN rm ON rm.nation = f.nation AND rm.r = f.r
              JOIN cm ON cm.nation = f.nation AND cm.c = f.c
              JOIN tot ON tot.nation = f.nation
@@ -1271,10 +1273,13 @@ def q_bh_fdr_nation_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.sum(
-                    (F.col("o").cast("double") - e)
-                    * (F.col("o").cast("double") - e)
-                    / e
-                ),
+                    F.round(
+                        (F.col("o").cast("double") - e)
+                        * (F.col("o").cast("double") - e)
+                        / e,
+                        12,
+                    ).cast("decimal(38,12)")
+                ).cast("double"),
                 9,
             ).alias("chi2")
         )
@@ -1987,9 +1992,11 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM obs GROUP BY 1, 2),
     chi AS (
       SELECT obs.ca, obs.cb,
-             SUM((obs.o - rm.rn * cm.cn / tot.nt)
+             CAST(SUM(CAST(round(
+                 (obs.o - rm.rn * cm.cn / tot.nt)
                  * (obs.o - rm.rn * cm.cn / tot.nt)
-                 / (rm.rn * cm.cn / tot.nt)) AS chi2,
+                 / (rm.rn * cm.cn / tot.nt), 12)
+               AS DECIMAL(38,12))) AS DOUBLE) AS chi2,
              MAX(tot.nt) AS nt, MAX(tot.nr) AS nr, MAX(tot.nc) AS nc
       FROM obs
       JOIN rm ON rm.ca = obs.ca AND rm.cb = obs.cb AND rm.a = obs.a
@@ -2058,7 +2065,13 @@ def q_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("ca", "cb")
         .agg(
-            F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("chi2"),
+            F.sum(
+                F.round((F.col("o") - e) * (F.col("o") - e) / e, 12).cast(
+                    "decimal(38,12)"
+                )
+            )
+            .cast("double")
+            .alias("chi2"),
             F.max("nt").alias("nt"),
             F.max("nr").alias("nr"),
             F.max("nc").alias("nc"),

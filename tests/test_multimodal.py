@@ -312,7 +312,9 @@ def _y4m(frames, chroma="420") -> bytes:
     for y in frames:
         out += b"FRAME\n" + y.tobytes()
         if chroma == "420":
-            out += bytes([128]) * ((w // 2) * (h // 2) * 2)
+            # ceil-based 4:2:0 chroma plane size (spec behavior for
+            # odd dimensions)
+            out += bytes([128]) * (((w + 1) // 2) * ((h + 1) // 2) * 2)
         else:
             out += bytes([128]) * (w * h * 2)
     return bytes(out)
@@ -338,6 +340,14 @@ def test_y4m_frame_decode_exact():
     # C444 variant
     blob444 = _y4m(frames, chroma="444")
     assert (_decode_y4m_frame(blob444, 2) == frames[2]).all()
+    # odd-dimension C420: chroma planes are ceil(w/2) x ceil(h/2), so
+    # frames past index 0 only decode correctly with ceil-based
+    # offsets (regression for the floor-division mis-sizing)
+    odd = [rng.integers(0, 256, size=(5, 7), dtype=np.uint8) for _ in range(3)]
+    blob_odd = _y4m(odd)
+    for i, f in enumerate(odd):
+        got = _decode_y4m_frame(blob_odd, i)
+        assert got is not None and (got == f).all()
 
 
 def test_y4m_through_spark_frame_sampling(spark):
