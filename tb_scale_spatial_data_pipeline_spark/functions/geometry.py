@@ -215,3 +215,125 @@ def with_polygon_shape_features(df, geometry_col: str = "geometry"):
             yield pd.concat([pdf.reset_index(drop=True), feats], axis=1)
 
     return df.mapInPandas(kernel, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# General polygon overlay (ST_Intersection / ST_Union areas, IoU).
+#
+# The reference stops at per-polygon shape metrics
+# (3_object_classification/object_classifier.py:43); overlay is the
+# north-star GeoParquet extension a GIS user reaches for next. Kernel:
+# Sutherland & Hodgman 1974 ("Reentrant polygon clipping", CACM 17.1)
+# — clips an arbitrary simple subject polygon against a CONVEX clip
+# polygon, the classic textbook algorithm. Pure NumPy/stdlib, no
+# shapely. Exactness note: for axis-aligned inputs on an integer
+# lattice every intersection coordinate is itself an exact lattice
+# value (clip edges are parallel or perpendicular to subject edges),
+# so shoelace areas — and therefore IoU — are float-exact and
+# oracle-checkable against a closed form.
+
+
+def _close_ring(ring: np.ndarray) -> np.ndarray:
+    """Drop a repeated closing vertex if present (open-ring form)."""
+    if len(ring) >= 2 and np.array_equal(ring[0], ring[-1]):
+        return ring[:-1]
+    return ring
+
+
+def _ring_signed_area(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    return float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0
+
+
+def _sutherland_hodgman(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Clip simple polygon `subject` by CONVEX polygon `clip`; both
+    open rings, any orientation. Returns the clipped open ring
+    (possibly with 0 vertices)."""
+    subject = _close_ring(np.asarray(subject, dtype=np.float64))
+    clip = _close_ring(np.asarray(clip, dtype=np.float64))
+    if _ring_signed_area(clip) < 0:  # normalize clip to CCW
+        clip = clip[::-1]
+    out = list(subject)
+    n = len(clip)
+    for i in range(n):
+        a, b = clip[i], clip[(i + 1) % n]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+        inp, out = out, []
+        if not inp:
+            break
+        prev = inp[-1]
+        prev_in = ex * (prev[1] - a[1]) - ey * (prev[0] - a[0]) >= 0.0
+        for cur in inp:
+            cur_in = ex * (cur[1] - a[1]) - ey * (cur[0] - a[0]) >= 0.0
+            if cur_in != prev_in:
+                # segment prev->cur crosses the clip line; parametric t
+                dx, dy = cur[0] - prev[0], cur[1] - prev[1]
+                denom = ex * dy - ey * dx
+                if denom != 0.0:
+                    tpar = (ex * (a[1] - prev[1]) - ey * (a[0] - prev[0])) / denom
+                    out.append(
+                        np.array([prev[0] + tpar * dx, prev[1] + tpar * dy])
+                    )
+            if cur_in:
+                out.append(cur)
+            prev, prev_in = cur, cur_in
+    return np.array(out) if out else np.empty((0, 2))
+
+
+def _overlay_metrics(wkt_a: str, wkt_b: str) -> tuple[float, float, float]:
+    """(intersection_area, union_area, iou) for two single-ring WKT
+    polygons. Clip side (b) must be convex — Sutherland-Hodgman's
+    contract; subject (a) may be any simple polygon. Degenerate /
+    unparseable input -> NaNs."""
+    a = _parse_ring(wkt_a)
+    b = _parse_ring(wkt_b)
+    if a is None or b is None or len(a) < 3 or len(b) < 3:
+        return (float("nan"),) * 3
+    area_a = abs(_ring_signed_area(_close_ring(a)))
+    area_b = abs(_ring_signed_area(_close_ring(b)))
+    clipped = _sutherland_hodgman(a, b)
+    inter = abs(_ring_signed_area(clipped)) if len(clipped) >= 3 else 0.0
+    union = area_a + area_b - inter
+    iou = inter / union if union > 0 else float("nan")
+    return inter, union, iou
+
+
+def _overlay_frame(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.DataFrame:
+    rows = [_overlay_metrics(sa, sb) for sa, sb in zip(wkt_a, wkt_b)]
+    return pd.DataFrame(rows, columns=["inter_area", "union_area", "iou"])
+
+
+_OVERLAY_SCHEMA = "inter_area double, union_area double, iou double"
+
+
+def polygon_overlay_cols(wkt_a: Column, wkt_b: Column) -> Column:
+    """Struct column (inter_area, union_area, iou) via an
+    Arrow-vectorized pandas UDF over two WKT columns."""
+    return pandas_udf(_overlay_frame, _OVERLAY_SCHEMA)(wkt_a, wkt_b)
+
+
+def polygon_intersection_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
+    """ST_Intersection geometry output: WKT of the clipped ring
+    (closed, CCW as produced), 'POLYGON EMPTY' when disjoint, None on
+    parse failure. Series-to-series form usable directly as a
+    pandas_udf body."""
+
+    def one(sa: str, sb: str) -> str | None:
+        a = _parse_ring(sa)
+        b = _parse_ring(sb)
+        if a is None or b is None or len(a) < 3 or len(b) < 3:
+            return None
+        ring = _sutherland_hodgman(a, b)
+        if len(ring) < 3 or abs(_ring_signed_area(ring)) == 0.0:
+            return "POLYGON EMPTY"
+        def num(v: float) -> str:
+            # shortest round-trip-exact form (repr), integer-simplified
+            return str(int(v)) if v == int(v) else repr(float(v))
+
+        pts = [
+            f"{num(x)} {num(y)}"
+            for x, y in list(map(tuple, ring)) + [tuple(ring[0])]
+        ]
+        return "POLYGON((" + ", ".join(pts) + "))"
+
+    return pd.Series([one(sa, sb) for sa, sb in zip(wkt_a, wkt_b)])

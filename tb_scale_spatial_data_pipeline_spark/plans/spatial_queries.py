@@ -1365,3 +1365,212 @@ def q_lof_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lof"), "o_orderkey")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# General polygon overlay: ST_Intersection area / ST_Union area / IoU
+# per (rect, zone) pair — the overlay the reference's polygonization
+# tier (R6/R7) stops short of, and the first missing piece a GIS user
+# hits. Spark side: Catalyst rectangle-corner exprs provide only the
+# COARSE bbox-overlap candidate filter (broadcast — the zone dim is
+# small); the areas come from the GENERAL Sutherland-Hodgman kernel
+# (`functions/geometry.py`) parsing both WKTs in an Arrow-batched
+# pandas UDF, so this query exercises the real overlay path end to
+# end. Oracle: on these axis-aligned integer-lattice fixtures every
+# clip vertex is an exact lattice point, so the closed-form rectangle
+# intersection in DuckDB must match bit-for-bit. At 100 TB: candidate
+# generation becomes the grid-blocked join (spatial_bbox_join_blocked
+# pattern); the per-pair kernel stays Arrow-batched and embarrassingly
+# parallel.
+@_q(
+    "polygon_overlay_iou",
+    f"""
+    WITH rects AS ({_SQL_RECTS}),
+    parsed AS (
+      SELECT rect_id,
+             CAST(regexp_extract(geometry, {_SQL_RECT_RE}, 1) AS DOUBLE) AS x0,
+             CAST(regexp_extract(geometry, {_SQL_RECT_RE}, 2) AS DOUBLE) AS y0,
+             CAST(regexp_extract(geometry, {_SQL_RECT_RE}, 3) AS DOUBLE) AS x1,
+             CAST(regexp_extract(geometry, {_SQL_RECT_RE}, 6) AS DOUBLE) AS y1
+      FROM rects
+    ),
+    zones AS (
+      SELECT z AS zone_id,
+             CAST((z % 4) * 16 AS DOUBLE) AS zx0,
+             CAST((z // 4) * 12 AS DOUBLE) AS zy0,
+             CAST((z % 4) * 16 + 16 AS DOUBLE) AS zx1,
+             CAST((z // 4) * 12 + 12 AS DOUBLE) AS zy1
+      FROM range(12) t(z)
+    ),
+    pairs AS (
+      SELECT r.rect_id, z.zone_id,
+             (LEAST(r.x1, z.zx1) - GREATEST(r.x0, z.zx0))
+             * (LEAST(r.y1, z.zy1) - GREATEST(r.y0, z.zy0)) AS inter,
+             (r.x1 - r.x0) * (r.y1 - r.y0) + 192.0 AS sum_areas
+      FROM parsed r JOIN zones z
+        ON r.x0 < z.zx1 AND r.x1 > z.zx0 AND r.y0 < z.zy1 AND r.y1 > z.zy0
+    )
+    SELECT rect_id, zone_id,
+           round(inter, 9) AS inter_area,
+           round(sum_areas - inter, 9) AS union_area,
+           round(inter / (sum_areas - inter), 9) AS iou
+    FROM pairs
+    ORDER BY rect_id, zone_id
+    """,
+)
+def q_polygon_overlay_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.geometry import (
+        polygon_overlay_cols,
+        rect_x0,
+        rect_x1,
+        rect_y0,
+        rect_y1,
+    )
+
+    rects = _rects(spark, sf_dir)
+    zx0 = (F.col("zone_id") % 4 * 16).cast("int")
+    zy0 = (F.expr("zone_id div 4") * 12).cast("int")
+    zx1 = (zx0 + 16).cast("string")
+    zy1 = (zy0 + 12).cast("string")
+    zx0s, zy0s = zx0.cast("string"), zy0.cast("string")
+    zones = spark.range(12).select(
+        F.col("id").alias("zone_id"),
+        F.concat(
+            F.lit("POLYGON(("),
+            zx0s, F.lit(" "), zy0s, F.lit(", "),
+            zx1, F.lit(" "), zy0s, F.lit(", "),
+            zx1, F.lit(" "), zy1, F.lit(", "),
+            zx0s, F.lit(" "), zy1, F.lit(", "),
+            zx0s, F.lit(" "), zy0s,
+            F.lit("))"),
+        ).alias("zone_geom"),
+        (F.col("zone_id") % 4 * 16).cast("double").alias("zx0"),
+        (F.expr("zone_id div 4") * 12).cast("double").alias("zy0"),
+        (F.col("zone_id") % 4 * 16 + 16).cast("double").alias("zx1"),
+        (F.expr("zone_id div 4") * 12 + 12).cast("double").alias("zy1"),
+    )
+    g = F.col("geometry")
+    cand = rects.join(
+        F.broadcast(zones),
+        (rect_x0(g) < F.col("zx1"))
+        & (rect_x1(g) > F.col("zx0"))
+        & (rect_y0(g) < F.col("zy1"))
+        & (rect_y1(g) > F.col("zy0")),
+    )
+    ov = cand.select(
+        "rect_id",
+        "zone_id",
+        polygon_overlay_cols(F.col("geometry"), F.col("zone_geom")).alias("ov"),
+    )
+    return ov.select(
+        "rect_id",
+        "zone_id",
+        F.round(F.col("ov.inter_area"), 9).alias("inter_area"),
+        F.round(F.col("ov.union_area"), 9).alias("union_area"),
+        F.round(F.col("ov.iou"), 9).alias("iou"),
+    ).orderBy("rect_id", "zone_id")
+
+
+# ---------------------------------------------------------------------------
+# Line geometry: ST_Length over LINESTRING WKT — the second missing
+# geometry type after polygon overlay. Both engines PARSE the WKT
+# (regexp ring extract -> ordered vertex explode -> lead-window
+# segment pairs), so the string surface is exercised end to end, not
+# just the closed form. Determinism: each segment's sqrt is computed
+# once from exact integer deltas (IEEE sqrt is correctly rounded, so
+# both engines produce the identical double), rounded to 12 and
+# accumulated as DECIMAL(38,12) — the repo's order-free float
+# accumulation discipline. At 100 TB: per-line work is a partitioned
+# window over a bounded vertex count; no global state.
+@_q(
+    "linestring_length",
+    """
+    WITH lines AS (
+      SELECT o_orderkey AS line_id,
+             'LINESTRING(' ||
+             CAST(o_orderkey % 100 AS VARCHAR) || ' ' || CAST(o_orderkey % 80 AS VARCHAR) || ', ' ||
+             CAST(o_orderkey * 3 % 100 AS VARCHAR) || ' ' || CAST(o_orderkey * 7 % 80 AS VARCHAR) || ', ' ||
+             CAST(o_orderkey * 11 % 100 AS VARCHAR) || ' ' || CAST(o_orderkey * 13 % 80 AS VARCHAR) || ', ' ||
+             CAST(o_orderkey * 17 % 100 AS VARCHAR) || ' ' || CAST(o_orderkey * 19 % 80 AS VARCHAR) || ')'
+               AS geometry
+      FROM orders
+    ),
+    split AS (
+      SELECT line_id,
+             string_split(regexp_extract(geometry, 'LINESTRING\\((.*)\\)', 1), ', ')
+               AS parts
+      FROM lines
+    ),
+    verts AS (
+      SELECT line_id, CAST(t.i AS INT) AS idx,
+             CAST(string_split(parts[CAST(t.i AS INT)], ' ')[1] AS DOUBLE) AS x,
+             CAST(string_split(parts[CAST(t.i AS INT)], ' ')[2] AS DOUBLE) AS y
+      FROM split JOIN range(1, 64) t(i) ON t.i <= len(parts)
+    ),
+    segs AS (
+      SELECT line_id, x, y,
+             LEAD(x) OVER (PARTITION BY line_id ORDER BY idx) AS nx,
+             LEAD(y) OVER (PARTITION BY line_id ORDER BY idx) AS ny
+      FROM verts
+    )
+    SELECT line_id,
+           round(CAST(SUM(CAST(round(sqrt((nx - x) * (nx - x) + (ny - y) * (ny - y)), 12)
+                  AS DECIMAL(38,12))) AS DOUBLE), 9) AS length,
+           CAST(COUNT(nx) AS BIGINT) AS n_segments
+    FROM segs WHERE nx IS NOT NULL
+    GROUP BY line_id ORDER BY line_id
+    """,
+)
+def q_linestring_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+
+    def pt(mx: int, my: int) -> F.Column:
+        return F.concat(
+            (k * mx % 100).cast("string"), F.lit(" "), (k * my % 80).cast("string")
+        )
+
+    lines = o.select(
+        k.alias("line_id"),
+        F.concat(
+            F.lit("LINESTRING("),
+            pt(1, 1), F.lit(", "),
+            pt(3, 7), F.lit(", "),
+            pt(11, 13), F.lit(", "),
+            pt(17, 19),
+            F.lit(")"),
+        ).alias("geometry"),
+    )
+    verts = lines.select(
+        "line_id",
+        F.posexplode(
+            F.split(F.regexp_extract("geometry", r"LINESTRING\((.*)\)", 1), ", ")
+        ).alias("idx", "pt"),
+    ).select(
+        "line_id",
+        "idx",
+        F.split("pt", " ").getItem(0).cast("double").alias("x"),
+        F.split("pt", " ").getItem(1).cast("double").alias("y"),
+    )
+    w = Window.partitionBy("line_id").orderBy("idx")
+    segs = verts.select(
+        "line_id",
+        "x",
+        "y",
+        F.lead("x").over(w).alias("nx"),
+        F.lead("y").over(w).alias("ny"),
+    ).where(F.col("nx").isNotNull())
+    d = F.sqrt(
+        (F.col("nx") - F.col("x")) * (F.col("nx") - F.col("x"))
+        + (F.col("ny") - F.col("y")) * (F.col("ny") - F.col("y"))
+    )
+    return (
+        segs.groupBy("line_id")
+        .agg(
+            F.round(
+                F.sum(F.round(d, 12).cast("decimal(38,12)")).cast("double"), 9
+            ).alias("length"),
+            F.count("nx").cast("bigint").alias("n_segments"),
+        )
+        .orderBy("line_id")
+    )
