@@ -6,12 +6,14 @@ The Spark-side plumbing — schema, partitioning, UDF signatures, batch
 shapes — is real and tested. Codecs are layered behind one seam per
 modality:
 
-- images: ``_decode_payload`` decodes REAL image bytes via PIL when
-  (a) PIL is importable and (b) the payload actually parses; otherwise
-  it falls back to the deterministic fake (md5-stream expansion to the
-  metadata dimensions) that defines fixture behavior in this
-  imaging-library-less container. The PIL path is covered by a
-  skip-marked round-trip test (tests/test_multimodal.py).
+- images: ``_decode_payload`` decodes REAL image bytes natively
+  (pure NumPy/stdlib: 24-bit BMP, binary PPM P6, and non-interlaced
+  8-bit PNG via zlib) with PIL as the second tier for formats beyond
+  those (JPEG...) when importable; otherwise it falls back to the
+  deterministic fake (md5-stream expansion to the metadata
+  dimensions). Only JPEG-class compressed formats depend on PIL in
+  this container. The PIL path is covered by a skip-marked
+  round-trip test (tests/test_multimodal.py).
 - audio: ``_decode_audio`` decodes REAL RIFF/WAVE payloads with the
   stdlib ``wave`` module (no optional dependency) and falls back to
   the deterministic fake for non-WAV bytes.
@@ -48,9 +50,14 @@ except ImportError:  # pragma: no cover - exercised implicitly everywhere
 
 
 def synth_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic media fixture derived from `documents`: payload
-    bytes = md5-keyed expansion of the text; metadata struct gives the
-    typed decode contract (width/height/channels/format/n_frames)."""
+    """Deterministic media fixture derived from `documents`. Rows
+    whose metadata declares ``format = 'png'`` (1 in 3) carry a REAL
+    compressed PNG payload — built by the pure-stdlib encoder from
+    md5-chain pixels — so the engine's decode tier runs actual
+    inflate+unfilter work on them; 'jpeg' rows keep the opaque
+    md5-keyed bytes (this container has no JPEG codec) and exercise
+    the deterministic-fake tier. The metadata struct is the typed
+    decode contract (width/height/channels/format/n_frames)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     width = (F.col("doc_id") % 8 + 4).cast("int")
     height = (F.col("doc_id") % 5 + 4).cast("int")
@@ -58,7 +65,7 @@ def synth_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_frames = (F.col("doc_id") % 4 + 1).cast("int")
     fmt = F.when(F.col("doc_id") % 3 == 0, "png").otherwise(F.lit("jpeg"))
     payload = F.to_binary(F.md5(F.col("text")), F.lit("hex"))
-    return docs.select(
+    base = docs.select(
         F.col("doc_id").alias("media_id"),
         payload.alias("payload"),
         F.struct(
@@ -68,6 +75,32 @@ def synth_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             fmt.alias("format"),
             n_frames.alias("n_frames"),
         ).alias("meta"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for blob, m in zip(pdf["payload"], pdf["meta"]):
+                raw = bytes(blob)
+                if m["format"] == "png":
+                    w, h = int(m["width"]), int(m["height"])
+                    px = np.frombuffer(
+                        _fake_decode(raw, w * h * 3), dtype=np.uint8
+                    ).reshape(h, w, 3)
+                    payloads.append(_encode_png_rgb8(px))
+                else:
+                    payloads.append(raw)
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            yield pdf
+
+    return base.mapInPandas(
+        kernel,
+        schema=(
+            "media_id long, payload binary, "
+            "meta struct<width:int,height:int,channels:int,"
+            "format:string,n_frames:int>"
+        ),
     )
 
 
@@ -159,6 +192,125 @@ def _decode_ppm6(payload: bytes) -> "np.ndarray | None":
         return None
 
 
+def _decode_png8(payload: bytes) -> "np.ndarray | None":
+    """Pure-stdlib (zlib + NumPy) decode of a non-interlaced 8-bit
+    PNG (ISO/IEC 15948 / RFC 2083): color types 0 (gray), 2 (RGB),
+    4 (gray+alpha), 6 (RGBA), all five scanline filters (None / Sub /
+    Up / Average / Paeth). Returns HxWx3 RGB uint8 (gray broadcast,
+    alpha dropped), or None if the payload is not such a PNG. The Sub
+    filter unrolls to a per-channel cumsum (vectorized); Average and
+    Paeth fall back to the per-pixel recurrence the spec defines."""
+    import zlib
+
+    try:
+        if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+            return None
+        pos, w = 8, None
+        idat = bytearray()
+        while pos + 8 <= len(payload):
+            ln = int.from_bytes(payload[pos : pos + 4], "big")
+            typ = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + ln]
+            if typ == b"IHDR":
+                w = int.from_bytes(data[0:4], "big")
+                h = int.from_bytes(data[4:8], "big")
+                depth, ctype, comp, filt, interlace = data[8:13]
+                if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                    return None
+                nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+                if nch is None or w <= 0 or h <= 0:
+                    return None
+            elif typ == b"IDAT":
+                idat.extend(data)
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln
+        if w is None or not idat:
+            return None
+        raw = zlib.decompress(bytes(idat))
+        stride = w * nch
+        if len(raw) < h * (stride + 1):
+            return None
+        rows = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+            h, stride + 1
+        )
+        filters, scan = rows[:, 0], rows[:, 1:]
+        out = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            f, line = int(filters[y]), scan[y]
+            if f == 0:
+                cur = line.copy()
+            elif f == 1:  # Sub: prefix sum per channel offset, mod 256
+                cur = (
+                    np.cumsum(line.reshape(w, nch).astype(np.uint64), axis=0)
+                    .astype(np.uint8)
+                    .reshape(stride)
+                )
+            elif f == 2:  # Up
+                cur = line + prev
+            elif f == 3:  # Average
+                cur = np.empty(stride, dtype=np.uint8)
+                for i in range(stride):
+                    left = int(cur[i - nch]) if i >= nch else 0
+                    cur[i] = (int(line[i]) + (left + int(prev[i])) // 2) & 0xFF
+            elif f == 4:  # Paeth
+                cur = np.empty(stride, dtype=np.uint8)
+                for i in range(stride):
+                    a = int(cur[i - nch]) if i >= nch else 0
+                    b = int(prev[i])
+                    c = int(prev[i - nch]) if i >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (int(line[i]) + pred) & 0xFF
+            else:
+                return None
+            out[y] = cur
+            prev = cur
+        px = out.reshape(h, w, nch)
+        if nch == 1:
+            return np.repeat(px, 3, axis=2)
+        if nch == 2:
+            return np.repeat(px[:, :, :1], 3, axis=2)
+        return px[:, :, :3]
+    except Exception:
+        return None
+
+
+def _encode_png_rgb8(arr: "np.ndarray") -> bytes:
+    """Pure-stdlib PNG encoder (8-bit RGB, filter 0, one IDAT) — the
+    write side of the PNG seam, used by the media fixture so the
+    engine's decode path runs on REAL compressed payloads with no
+    imaging library. Deterministic for fixed zlib level."""
+    import zlib
+    from binascii import crc32
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + crc32(typ + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])
+    )
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_payload(
     payload: bytes,
     width: int,
@@ -181,6 +333,8 @@ def _decode_payload(
     native = _decode_bmp24(payload)
     if native is None:
         native = _decode_ppm6(payload)
+    if native is None:
+        native = _decode_png8(payload)
     if native is not None:
         ih, iw = native.shape[:2]
         if (iw, ih) != (width, height):
@@ -376,10 +530,12 @@ def sample_frames(
     """Video-style frame sampling: metadata declares n_frames; emit one
     row per sampled frame (UDTF-style one-to-many). REAL path: a
     YUV4MPEG2 payload has its actual frame_idx-th luma plane decoded
-    (pure NumPy, public container spec). Fallback: deterministic
-    per-frame payload slice through the image seam. Pure column
-    expressions for the frame index explosion; only the per-frame
-    decode is kernel work."""
+    (pure NumPy, public container spec). A parseable STILL image
+    (BMP/PPM/PNG) decodes to the same pixels for every sampled
+    frame — a still repeated n_frames times, by definition. Fallback
+    for opaque bytes: deterministic per-frame payload slice through
+    the image seam. Pure column expressions for the frame index
+    explosion; only the per-frame decode is kernel work."""
     pil = _PILImage if _pil is None else _pil
     frames = media.select(
         "media_id",

@@ -22,9 +22,11 @@ def test_media_table_schema(spark):
     media = synth_media_table(spark, SF_SMOKE)
     assert dict(media.dtypes)["payload"] == "binary"
     assert "struct" in dict(media.dtypes)["meta"]
-    row = media.first()
-    assert row["meta"]["channels"] == 3
-    assert len(row["payload"]) == 16  # md5 digest payload
+    jrow = media.where("meta.format = 'jpeg'").first()
+    assert jrow["meta"]["channels"] == 3
+    assert len(jrow["payload"]) == 16  # md5 digest payload (opaque tier)
+    prow = media.where("meta.format = 'png'").first()
+    assert bytes(prow["payload"]).startswith(b"\x89PNG")  # real PNG tier
 
 
 def test_decode_stub_deterministic_and_shaped():
@@ -67,7 +69,14 @@ def test_decode_fallback_counter_counts_failures(spark):
         def open(fp):
             raise OSError("cannot identify image file")
 
-    media = synth_media_table(spark, SF_SMOKE).limit(12).cache()
+    # png rows decode on the NATIVE tier and never reach PIL — only
+    # opaque (jpeg-format) payloads exercise the PIL failure path
+    media = (
+        synth_media_table(spark, SF_SMOKE)
+        .where("meta.format = 'jpeg'")
+        .limit(12)
+        .cache()
+    )
     n = media.count()
 
     counter = decode_fallback_counter(spark)
@@ -373,3 +382,166 @@ def test_y4m_through_spark_frame_sampling(spark):
     assert set(rows) == {0, 2}  # every_k = 2
     for i in (0, 2):
         assert abs(rows[i] - float(frames[i].mean())) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Pure-stdlib PNG codec (zlib inflate + the five scanline filters)
+
+
+def _png_encode_filtered(arr, ctype, filters):
+    """Reference PNG encoder for tests: applies the REQUESTED filter
+    type per scanline (exercising decode paths the filter-0 production
+    encoder never emits). arr is HxWxC uint8 matching ctype."""
+    import zlib
+    from binascii import crc32
+
+    import numpy as np
+
+    h, w, c = arr.shape
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        line = arr[y].reshape(-1).astype(np.int32)
+        f = filters[y % len(filters)]
+        raw.append(f)
+        out = bytearray()
+        for i in range(w * c):
+            left = int(line[i - c]) if i >= c else 0
+            up = int(prev[i])
+            ul = int(prev[i - c]) if i >= c else 0
+            if f == 0:
+                v = line[i]
+            elif f == 1:
+                v = line[i] - left
+            elif f == 2:
+                v = line[i] - up
+            elif f == 3:
+                v = line[i] - (left + up) // 2
+            else:  # Paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = (
+                    left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                )
+                v = line[i] - pred
+            out.append(v & 0xFF)
+        raw.extend(out)
+        prev = line
+
+    def chunk(typ, data):
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + crc32(typ + data).to_bytes(4, "big")
+        )
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, ctype, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_filter0():
+    import numpy as np
+
+    from tb_scale_spatial_data_pipeline_spark.multimodal.media import (
+        _decode_png8,
+        _encode_png_rgb8,
+    )
+
+    rng = np.random.default_rng(3)
+    for h, w in [(1, 1), (4, 6), (5, 7), (16, 3)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        got = _decode_png8(_encode_png_rgb8(img))
+        assert got is not None and (got == img).all()
+
+
+def test_png_all_five_filters_decode_exact():
+    import numpy as np
+
+    from tb_scale_spatial_data_pipeline_spark.multimodal.media import (
+        _decode_png8,
+    )
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    # each scanline cycles through filters 0..4 — decoder must invert all
+    blob = _png_encode_filtered(img, ctype=2, filters=[0, 1, 2, 3, 4])
+    got = _decode_png8(blob)
+    assert got is not None and (got == img).all()
+    # single-filter streams too
+    for f in range(5):
+        got = _decode_png8(_png_encode_filtered(img, 2, [f]))
+        assert got is not None and (got == img).all(), f"filter {f}"
+
+
+def test_png_color_types():
+    import numpy as np
+
+    from tb_scale_spatial_data_pipeline_spark.multimodal.media import (
+        _decode_png8,
+    )
+
+    rng = np.random.default_rng(13)
+    # grayscale (0) -> broadcast to RGB
+    g = rng.integers(0, 256, size=(5, 4, 1), dtype=np.uint8)
+    got = _decode_png8(_png_encode_filtered(g, 0, [0, 2]))
+    assert got.shape == (5, 4, 3) and (got == np.repeat(g, 3, axis=2)).all()
+    # gray+alpha (4) -> gray broadcast, alpha dropped
+    ga = rng.integers(0, 256, size=(5, 4, 2), dtype=np.uint8)
+    got = _decode_png8(_png_encode_filtered(ga, 4, [1, 4]))
+    assert (got == np.repeat(ga[:, :, :1], 3, axis=2)).all()
+    # RGBA (6) -> alpha dropped
+    rgba = rng.integers(0, 256, size=(6, 5, 4), dtype=np.uint8)
+    got = _decode_png8(_png_encode_filtered(rgba, 6, [3, 4, 1]))
+    assert (got == rgba[:, :, :3]).all()
+
+
+def test_png_rejects_non_png():
+    from tb_scale_spatial_data_pipeline_spark.multimodal.media import (
+        _decode_png8,
+    )
+
+    assert _decode_png8(b"not a png") is None
+    assert _decode_png8(b"\x89PNG\r\n\x1a\nshort") is None
+
+
+def test_synth_media_png_rows_decode_real(spark):
+    """The fixture's png-format rows now carry real PNG payloads whose
+    decoded pixels are the md5-chain stream — channel stats must match
+    a local recomputation, proving the Spark path runs the real
+    inflate+unfilter decode, not the fake."""
+    import numpy as np
+
+    from tb_scale_spatial_data_pipeline_spark.multimodal.media import (
+        _decode_png8,
+        image_channel_stats,
+        synth_media_table,
+    )
+
+    media = (
+        synth_media_table(spark, SF_SMOKE)
+        .where("meta.format = 'png'")
+        .limit(8)
+        .cache()
+    )
+    rows = media.collect()
+    assert rows, "fixture must contain png rows"
+    stats = {
+        r["media_id"]: r
+        for r in image_channel_stats(media).collect()
+    }
+    for r in rows:
+        raw = bytes(r["payload"])
+        assert raw.startswith(b"\x89PNG"), "png rows must be real PNGs"
+        arr = _decode_png8(raw)
+        w, h = r["meta"]["width"], r["meta"]["height"]
+        assert arr.shape == (h, w, 3)
+        got = stats[r["media_id"]]
+        assert abs(got["mean_c0"] - float(arr[:, :, 0].mean())) < 1e-9
+        assert abs(got["std_c2"] - float(arr[:, :, 2].std())) < 1e-9
+    media.unpersist()
