@@ -9,10 +9,12 @@ instead of a driver timeout two rounds later.
 
 Timing protocol: one repeat per query (the sweep is O(registry) Spark
 jobs; minutes at sf0.01), wall seconds around a full materialization
-(collect-to-driver via toPandas, same surface the parity gate uses).
-Streaming queries run their normal micro-batch path — their fixed
-~10 s state-store setup dominates and is expected; compare
-round-over-round, not query-vs-query.
+(collect-to-driver via toPandas, same surface the parity gate uses);
+then every entry over TAIL_THRESHOLD_SEC gets a SECOND repeat and
+records the min (cold numbers conflate one-time engine init — e.g.
+the first streaming query pays ~6 s of streaming-engine setup — with
+real regression signal; min-of-2 separates them). The `repeats` field
+records how many runs each timing is the min of.
 
 Usage:
     python scripts/bench_full.py [sf_dir] [out_path]
@@ -45,11 +47,13 @@ def main() -> int:
     # up and only the missing names run
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    repeats: dict[str, int] = {}
     if os.path.exists(out):
         try:
             prev = json.load(open(out))
             timings = dict(prev.get("queries", {}))
             errors = dict(prev.get("errors", {}))
+            repeats = dict(prev.get("repeats", {}))
         except Exception:
             pass
 
@@ -69,6 +73,7 @@ def main() -> int:
             "n_errors": len(errors),
             "queries": timings,
             "errors": errors,
+            "repeats": repeats,
         }
         tmp = out + ".part"
         with open(tmp, "w") as f:
@@ -91,6 +96,27 @@ def main() -> int:
         if done_since_dump >= 10:
             dump()
             done_since_dump = 0
+
+    dump()
+
+    # min-of-2 for the slow tail: anything over the threshold gets a
+    # warm second run; the min is the regression-tracking number
+    TAIL_THRESHOLD_SEC = 3.0
+    tail = sorted(
+        n for n, t in timings.items()
+        if t > TAIL_THRESHOLD_SEC and repeats.get(n, 1) < 2
+    )
+    for name in tail:
+        t0 = time.time()
+        try:
+            qs[name](spark, sf_dir).toPandas()
+            warm = round(time.time() - t0, 3)
+            timings[name] = min(timings[name], warm)
+            repeats[name] = 2
+            print(f"{warm:8.2f}s  {name} (repeat, min={timings[name]})", flush=True)
+        except Exception:
+            errors[name] = traceback.format_exc().splitlines()[-1]
+        dump()
 
     dump()
     print(f"sweep wall: {time.time() - t_all:.1f}s", flush=True)
