@@ -1536,8 +1536,16 @@ def q_ipw_ate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round(12) (the one transcendental); per-customer nDCG rounds to 9
 # and accumulates as DECIMAL(38,9) so the corpus mean is order-
 # independent. Scale shape identical to item_recommendations (the sim
-# head broadcasts; the customer-item table shuffles once).
+# head broadcasts; the customer-item table shuffles once), PLUS the
+# kNN neighborhood cap classic item-based CF prescribes (Sarwar et
+# al. WWW'01): each item keeps only its top-_REC_NEIGHBORS most
+# similar items (sim desc, id tiebreak), so candidate generation is
+# bounded at |train interactions| x M instead of growing with the
+# similarity graph's density — the stage the 10x scaling probe
+# showed superlinear before the cap (1.88x wall; the cap holds the
+# candidate fan-out constant per interaction at any SF).
 _NDCG_K = 10
+_REC_NEIGHBORS = 50
 
 
 @_q(
@@ -1571,8 +1579,13 @@ _NDCG_K = 10
       WHERE co >= {_REC_MIN_CO}
     ),
     sim2 AS (
-      SELECT pa AS i, pb AS j, sim FROM sims
-      UNION ALL SELECT pb AS i, pa AS j, sim FROM sims
+      SELECT i, j, sim FROM (
+        SELECT i, j, sim,
+               row_number() OVER (PARTITION BY i ORDER BY sim DESC, j)
+                 AS nrn
+        FROM (SELECT pa AS i, pb AS j, sim FROM sims
+              UNION ALL SELECT pb AS i, pa AS j, sim FROM sims)
+      ) WHERE nrn <= {_REC_NEIGHBORS}
     ),
     train_ci AS MATERIALIZED (
       SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS i
@@ -1676,10 +1689,15 @@ def q_ndcg_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    sim2 = sims.select(
-        F.col("pa").alias("i"), F.col("pb").alias("j"), "sim"
-    ).unionByName(
-        sims.select(F.col("pb").alias("i"), F.col("pa").alias("j"), "sim")
+    wnbr = Window.partitionBy("i").orderBy(F.desc("sim"), F.asc("j"))
+    sim2 = (
+        sims.select(F.col("pa").alias("i"), F.col("pb").alias("j"), "sim")
+        .unionByName(
+            sims.select(F.col("pb").alias("i"), F.col("pa").alias("j"), "sim")
+        )
+        .withColumn("nrn", F.row_number().over(wnbr))
+        .where(F.col("nrn") <= _REC_NEIGHBORS)
+        .drop("nrn")
     )
     train_ci = (
         j.where(F.col("o_orderdate") < F.col("cut"))
