@@ -1096,6 +1096,96 @@ def _sql_affine_warp() -> str:
 ORACLES["raster_affine_warp"] = _sql_affine_warp()
 
 
+# ---------------------------------------------------------------------------
+# R1 exact sub-grid oracle (r11 verdict item 6): the general
+# raster_crs_warp stays rows-only because arbitrary projection math
+# puts fractional source coordinates off the binary lattice — but a
+# warp whose target->source map lands every coordinate ON exact
+# binary rationals has float-EXACT bilinear weights, making the
+# non-affine warp_grid_tiles path itself oracle-checkable. The map
+# here is non-affine (quadratic in y) yet binary-exact for integer
+# targets: sx = tx/2 + ty^2/256 (<= 8 fractional bits), sy = ty/2
+# (1 fractional bit) — so wx/wy and all four weight products are
+# exact doubles in both engines, the anchor floors agree exactly,
+# and the field's sin/cos ulps pass through the blend under round(6)
+# exactly as in the hash-green affine oracle.
+@_q("raster_crs_warp_exact")
+def q_raster_crs_warp_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..raster.kernels import warp_grid_tiles
+
+    img = synthetic_raster(spark, 64, 64, bands=1)
+    tiled = halo_duplicate(img, tile_size=32, halo=4)
+
+    def t2s(tx, ty):
+        ty = np.asarray(ty, dtype=np.float64)
+        tx = np.asarray(tx, dtype=np.float64)
+        return tx * 0.5 + (ty * ty) / 256.0, ty * 0.5
+
+    def s2t(sx, sy):
+        sx = np.asarray(sx, dtype=np.float64)
+        sy = np.asarray(sy, dtype=np.float64)
+        ty = 2.0 * sy
+        return 2.0 * (sx - (ty * ty) / 256.0), ty
+
+    # boundary_samples=17: the quadratic's chord deviation over a
+    # 17-sample lattice on a 32-px core is ~0.03 px, far inside
+    # bound_pad — the forward bounding stays a cover.
+    out = warp_grid_tiles(
+        tiled, ["b1"], t2s, s2t, method="bilinear", boundary_samples=17
+    )
+    return out.select("x", "y", F.round("b1", 6).alias("b1"))
+
+
+def _sql_crs_warp_exact() -> str:
+    """Closed-form oracle for raster_crs_warp_exact — identical
+    structure to _sql_affine_warp with the quadratic binary-exact
+    coordinate map."""
+
+    def z(xx: str, yy: str) -> str:
+        base = (
+            f"(sin(CAST({xx} AS DOUBLE) / 10.0) * 40.0"
+            f" + cos(CAST({yy} AS DOUBLE) / 12.0) * 40.0 + 100.0)"
+        )
+        d2 = (
+            f"((CAST({xx} AS DOUBLE) - 35.0) * (CAST({xx} AS DOUBLE) - 35.0)"
+            f" + (CAST({yy} AS DOUBLE) - 30.0) * (CAST({yy} AS DOUBLE) - 30.0))"
+        )
+        return f"(CASE WHEN {d2} < 400.0 THEN {base} + 80.0 ELSE {base} END)"
+
+    return f"""
+    WITH grid AS (
+      SELECT CAST(gx.x AS INTEGER) AS x, CAST(gy.y AS INTEGER) AS y
+      FROM (SELECT unnest(generate_series(-130, 130)) AS x) gx,
+           (SELECT unnest(generate_series(-2, 128)) AS y) gy
+    ), src AS (
+      SELECT x, y,
+             0.5 * x + (y * y) / 256.0 AS sx,
+             0.5 * y AS sy
+      FROM grid
+    ), kept AS (
+      SELECT x, y, sx, sy,
+             CAST(floor(sx) AS INTEGER) AS ix0,
+             CAST(floor(sy) AS INTEGER) AS iy0,
+             least(CAST(floor(sx) AS INTEGER) + 1, 63) AS ix1,
+             least(CAST(floor(sy) AS INTEGER) + 1, 63) AS iy1,
+             sx - floor(sx) AS wx, sy - floor(sy) AS wy
+      FROM src
+      WHERE sx >= 0 AND sx <= 63 AND sy >= 0 AND sy <= 63
+    )
+    SELECT x, y,
+           round({z('ix0', 'iy0')} * (1 - wx) * (1 - wy)
+                 + {z('ix1', 'iy0')} * wx * (1 - wy)
+                 + {z('ix0', 'iy1')} * (1 - wx) * wy
+                 + {z('ix1', 'iy1')} * wx * wy, 6) AS b1
+    FROM kept
+    """
+
+
+ORACLES["raster_crs_warp_exact"] = _sql_crs_warp_exact()
+
+
 @_q("stream_windowed_distinct_hll")
 def q_stream_windowed_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import stream_windowed_distinct_hll

@@ -460,3 +460,44 @@ def test_crs_warp_real_projection_roundtrip(spark):
     missing = [(tx, ty) for tx in range(8, 56) for ty in range(8, 56)
                if (tx, ty) not in got]
     assert not missing
+
+
+def test_crs_warp_exact_tile_grid_independent(spark):
+    """The binary-exact quadratic warp must produce identical output
+    regardless of tiling (ownership is exactly-once and the map is
+    deterministic), and every target pixel appears exactly once."""
+    import numpy as np
+
+    from tb_scale_spatial_data_pipeline_spark.raster.kernels import (
+        warp_grid_tiles,
+    )
+    from tb_scale_spatial_data_pipeline_spark.raster.tiles import (
+        halo_duplicate,
+        synthetic_raster,
+    )
+
+    img = synthetic_raster(spark, 64, 64, bands=1)
+
+    def t2s(tx, ty):
+        tx = np.asarray(tx, dtype=np.float64)
+        ty = np.asarray(ty, dtype=np.float64)
+        return tx * 0.5 + (ty * ty) / 256.0, ty * 0.5
+
+    def s2t(sx, sy):
+        sx = np.asarray(sx, dtype=np.float64)
+        sy = np.asarray(sy, dtype=np.float64)
+        ty = 2.0 * sy
+        return 2.0 * (sx - (ty * ty) / 256.0), ty
+
+    outs = []
+    for ts in (32, 16):
+        tiled = halo_duplicate(img, tile_size=ts, halo=4)
+        out = warp_grid_tiles(
+            tiled, ["b1"], t2s, s2t, method="bilinear", boundary_samples=17
+        )
+        outs.append(
+            sorted(tuple(r) for r in out.select("x", "y", "b1").collect())
+        )
+    assert outs[0] == outs[1]
+    keys = [(x, y) for x, y, _ in outs[0]]
+    assert len(keys) == len(set(keys))  # exactly-once ownership
