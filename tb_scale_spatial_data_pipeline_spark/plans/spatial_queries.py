@@ -1574,3 +1574,323 @@ def q_linestring_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("line_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Union area of overlapping rectangles (ST_Union cardinality, the
+# coverage-dedup aggregate): per layer, the area covered by AT LEAST
+# one rectangle — naive sum double-counts overlaps; the classic fix
+# is a scanline. Implementation is PURE Catalyst on the integer
+# lattice: explode each rect into its unit-width x-columns (bounded
+# by the coordinate domain, not the data), then per (layer, column)
+# merge y-intervals with the gaps-and-islands window pattern
+# (running-max island detection), sum island lengths, and roll up.
+# Everything is exact integer arithmetic, so the DuckDB twin is
+# bit-identical. At 100 TB: work is |rects| x avg-width rows — linear
+# in data with a domain-bounded constant; the shuffle key
+# (layer, column) is the natural spatial partitioner.
+@_q(
+    "rect_union_area",
+    f"""
+    WITH rects AS ({_SQL_RECTS}),
+    parsed AS (
+      SELECT rect_id, CAST(rect_id % 8 AS BIGINT) AS layer,
+             CAST(regexp_extract(geometry, {_SQL_RECT_RE}, 1) AS INTEGER) AS x0,
+             CAST(regexp_extract(geometry, {_SQL_RECT_RE}, 2) AS INTEGER) AS y0,
+             CAST(regexp_extract(geometry, {_SQL_RECT_RE}, 3) AS INTEGER) AS x1,
+             CAST(regexp_extract(geometry, {_SQL_RECT_RE}, 6) AS INTEGER) AS y1
+      FROM rects
+    ),
+    cols AS (
+      SELECT layer, CAST(t.cx AS INTEGER) AS cx, y0, y1
+      FROM parsed JOIN range(0, 200) t(cx)
+        ON t.cx >= x0 AND t.cx < x1
+    ),
+    flagged AS (
+      SELECT layer, cx, y0, y1,
+             CASE WHEN y0 > COALESCE(MAX(y1) OVER (
+                    PARTITION BY layer, cx ORDER BY y0, y1
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -2147483648)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM cols
+    ),
+    islands AS (
+      SELECT layer, cx, y0, y1,
+             SUM(new_island) OVER (
+               PARTITION BY layer, cx ORDER BY y0, y1
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM flagged
+    ),
+    isl_len AS (
+      SELECT layer, cx, isl, MAX(y1) - MIN(y0) AS ylen
+      FROM islands GROUP BY layer, cx, isl
+    ),
+    naive AS (
+      SELECT CAST(rect_id % 8 AS BIGINT) AS layer,
+             COUNT(*) AS n_rects,
+             CAST(SUM(CAST(x1 - x0 AS BIGINT) * (y1 - y0)) AS BIGINT)
+               AS sum_rect_area
+      FROM parsed GROUP BY 1
+    )
+    SELECT n.layer, n.n_rects, n.sum_rect_area,
+           CAST(u.union_area AS BIGINT) AS union_area,
+           round(CAST(u.union_area AS DOUBLE) / n.sum_rect_area, 9)
+             AS coverage_ratio
+    FROM naive n JOIN (
+      SELECT layer, SUM(ylen) AS union_area FROM isl_len GROUP BY layer
+    ) u ON u.layer = n.layer
+    ORDER BY n.layer
+    """,
+)
+def q_rect_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.geometry import rect_x0, rect_x1, rect_y0, rect_y1
+
+    g = F.col("geometry")
+    parsed = _rects(spark, sf_dir).select(
+        "rect_id",
+        (F.col("rect_id") % 8).cast("bigint").alias("layer"),
+        rect_x0(g).cast("int").alias("x0"),
+        rect_y0(g).cast("int").alias("y0"),
+        rect_x1(g).cast("int").alias("x1"),
+        rect_y1(g).cast("int").alias("y1"),
+    )
+    cols = parsed.select(
+        "layer",
+        F.explode(F.sequence(F.col("x0"), F.col("x1") - 1)).alias("cx"),
+        "y0",
+        "y1",
+    )
+    w_ord = Window.partitionBy("layer", "cx").orderBy("y0", "y1")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = cols.select(
+        "layer",
+        "cx",
+        "y0",
+        "y1",
+        F.when(
+            F.col("y0")
+            > F.coalesce(F.max("y1").over(w_prev), F.lit(-2147483648)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "layer", "cx", "y0", "y1", F.sum("new_island").over(w_run).alias("isl")
+    )
+    isl_len = islands.groupBy("layer", "cx", "isl").agg(
+        (F.max("y1") - F.min("y0")).alias("ylen")
+    )
+    union_area = isl_len.groupBy("layer").agg(
+        F.sum("ylen").alias("union_area")
+    )
+    naive = parsed.groupBy("layer").agg(
+        F.count(F.lit(1)).alias("n_rects"),
+        F.sum((F.col("x1") - F.col("x0")).cast("bigint") * (F.col("y1") - F.col("y0")))
+        .cast("bigint")
+        .alias("sum_rect_area"),
+    )
+    return (
+        naive.join(union_area, "layer")
+        .select(
+            "layer",
+            "n_rects",
+            "sum_rect_area",
+            F.col("union_area").cast("bigint").alias("union_area"),
+            F.round(
+                F.col("union_area").cast("double") / F.col("sum_rect_area"), 9
+            ).alias("coverage_ratio"),
+        )
+        .orderBy("layer")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Line-in-polygon clipping: total LINESTRING length inside each zone
+# rectangle via the Liang-Barsky parametric clip (Liang & Barsky CACM
+# 1984) — branchless closed form per (segment, zone): entry t =
+# max(0, t_lo_x, t_lo_y), exit t = min(1, t_hi_x, t_hi_y), inside
+# length = max(0, t_exit - t_entry) * |seg|. Axis-parallel segments
+# take the CASE branch (containment -> full t-range, else empty) so
+# no 0/0 NaN ever forms — NaN ordering differs between engines, the
+# sentinel +-1e18 does not. Per-segment lengths round to 12 and
+# accumulate as DECIMAL(38,12) (order-free float discipline). At
+# 100 TB: zone dim broadcasts; per-pair math is pure codegen; the
+# WKT parse is the same partitioned-window vertex stream as
+# linestring_length.
+@_q(
+    "line_clip_length",
+    """
+    WITH lines AS (
+      SELECT o_orderkey AS line_id,
+             'LINESTRING(' ||
+             CAST(o_orderkey % 100 AS VARCHAR) || ' ' || CAST(o_orderkey % 80 AS VARCHAR) || ', ' ||
+             CAST(o_orderkey * 3 % 100 AS VARCHAR) || ' ' || CAST(o_orderkey * 7 % 80 AS VARCHAR) || ', ' ||
+             CAST(o_orderkey * 11 % 100 AS VARCHAR) || ' ' || CAST(o_orderkey * 13 % 80 AS VARCHAR) || ', ' ||
+             CAST(o_orderkey * 17 % 100 AS VARCHAR) || ' ' || CAST(o_orderkey * 19 % 80 AS VARCHAR) || ')'
+               AS geometry
+      FROM orders
+    ),
+    split AS (
+      SELECT line_id,
+             string_split(regexp_extract(geometry, 'LINESTRING\\((.*)\\)', 1), ', ')
+               AS parts
+      FROM lines
+    ),
+    verts AS (
+      SELECT line_id, CAST(t.i AS INT) AS idx,
+             CAST(string_split(parts[CAST(t.i AS INT)], ' ')[1] AS DOUBLE) AS x,
+             CAST(string_split(parts[CAST(t.i AS INT)], ' ')[2] AS DOUBLE) AS y
+      FROM split JOIN range(1, 64) t(i) ON t.i <= len(parts)
+    ),
+    segs AS (
+      SELECT line_id, x, y,
+             LEAD(x) OVER (PARTITION BY line_id ORDER BY idx) AS nx,
+             LEAD(y) OVER (PARTITION BY line_id ORDER BY idx) AS ny
+      FROM verts
+    ),
+    zones AS (
+      SELECT z AS zone_id,
+             CAST((z % 4) * 16 AS DOUBLE) AS zx0,
+             CAST((z // 4) * 12 AS DOUBLE) AS zy0,
+             CAST((z % 4) * 16 + 16 AS DOUBLE) AS zx1,
+             CAST((z // 4) * 12 + 12 AS DOUBLE) AS zy1
+      FROM range(12) t(z)
+    ),
+    pairs AS (
+      SELECT s.line_id, z.zone_id,
+             s.nx - s.x AS dx, s.ny - s.y AS dy,
+             CASE WHEN s.nx - s.x > 0 THEN (z.zx0 - s.x) / (s.nx - s.x)
+                  WHEN s.nx - s.x < 0 THEN (z.zx1 - s.x) / (s.nx - s.x)
+                  WHEN s.x >= z.zx0 AND s.x <= z.zx1 THEN -1e18 ELSE 1e18
+             END AS txlo,
+             CASE WHEN s.nx - s.x > 0 THEN (z.zx1 - s.x) / (s.nx - s.x)
+                  WHEN s.nx - s.x < 0 THEN (z.zx0 - s.x) / (s.nx - s.x)
+                  WHEN s.x >= z.zx0 AND s.x <= z.zx1 THEN 1e18 ELSE -1e18
+             END AS txhi,
+             CASE WHEN s.ny - s.y > 0 THEN (z.zy0 - s.y) / (s.ny - s.y)
+                  WHEN s.ny - s.y < 0 THEN (z.zy1 - s.y) / (s.ny - s.y)
+                  WHEN s.y >= z.zy0 AND s.y <= z.zy1 THEN -1e18 ELSE 1e18
+             END AS tylo,
+             CASE WHEN s.ny - s.y > 0 THEN (z.zy1 - s.y) / (s.ny - s.y)
+                  WHEN s.ny - s.y < 0 THEN (z.zy0 - s.y) / (s.ny - s.y)
+                  WHEN s.y >= z.zy0 AND s.y <= z.zy1 THEN 1e18 ELSE -1e18
+             END AS tyhi,
+             sqrt((s.nx - s.x) * (s.nx - s.x) + (s.ny - s.y) * (s.ny - s.y))
+               AS seg_len
+      FROM segs s CROSS JOIN zones z
+      WHERE s.nx IS NOT NULL
+    ),
+    clipped AS (
+      SELECT zone_id,
+             GREATEST(0.0, txlo, tylo) AS t_en,
+             LEAST(1.0, txhi, tyhi) AS t_ex,
+             seg_len
+      FROM pairs
+    )
+    SELECT zone_id,
+           CAST(SUM(CASE WHEN t_ex > t_en AND seg_len > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_segments,
+           round(CAST(SUM(CAST(round(
+               CASE WHEN t_ex > t_en THEN (t_ex - t_en) * seg_len ELSE 0.0 END,
+               12) AS DECIMAL(38,12))) AS DOUBLE), 9) AS clipped_length
+    FROM clipped GROUP BY zone_id ORDER BY zone_id
+    """,
+)
+def q_line_clip_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+
+    def pt(mx: int, my: int) -> F.Column:
+        return F.concat(
+            (k * mx % 100).cast("string"), F.lit(" "), (k * my % 80).cast("string")
+        )
+
+    lines = o.select(
+        k.alias("line_id"),
+        F.concat(
+            F.lit("LINESTRING("),
+            pt(1, 1), F.lit(", "),
+            pt(3, 7), F.lit(", "),
+            pt(11, 13), F.lit(", "),
+            pt(17, 19),
+            F.lit(")"),
+        ).alias("geometry"),
+    )
+    verts = lines.select(
+        "line_id",
+        F.posexplode(
+            F.split(F.regexp_extract("geometry", r"LINESTRING\((.*)\)", 1), ", ")
+        ).alias("idx", "pt"),
+    ).select(
+        "line_id",
+        "idx",
+        F.split("pt", " ").getItem(0).cast("double").alias("x"),
+        F.split("pt", " ").getItem(1).cast("double").alias("y"),
+    )
+    w = Window.partitionBy("line_id").orderBy("idx")
+    segs = verts.select(
+        "line_id",
+        "x",
+        "y",
+        F.lead("x").over(w).alias("nx"),
+        F.lead("y").over(w).alias("ny"),
+    ).where(F.col("nx").isNotNull())
+    zones = spark.range(12).select(
+        F.col("id").alias("zone_id"),
+        (F.col("id") % 4 * 16).cast("double").alias("zx0"),
+        (F.expr("id div 4") * 12).cast("double").alias("zy0"),
+        (F.col("id") % 4 * 16 + 16).cast("double").alias("zx1"),
+        (F.expr("id div 4") * 12 + 12).cast("double").alias("zy1"),
+    )
+    dx = F.col("nx") - F.col("x")
+    dy = F.col("ny") - F.col("y")
+
+    def t_bounds(d, p, lo, hi):
+        inside = (p >= F.col(lo)) & (p <= F.col(hi))
+        t_lo = (
+            F.when(d > 0, (F.col(lo) - p) / d)
+            .when(d < 0, (F.col(hi) - p) / d)
+            .otherwise(F.when(inside, F.lit(-1e18)).otherwise(F.lit(1e18)))
+        )
+        t_hi = (
+            F.when(d > 0, (F.col(hi) - p) / d)
+            .when(d < 0, (F.col(lo) - p) / d)
+            .otherwise(F.when(inside, F.lit(1e18)).otherwise(F.lit(-1e18)))
+        )
+        return t_lo, t_hi
+
+    txlo, txhi = t_bounds(dx, F.col("x"), "zx0", "zx1")
+    tylo, tyhi = t_bounds(dy, F.col("y"), "zy0", "zy1")
+    pairs = segs.crossJoin(F.broadcast(zones)).select(
+        "zone_id",
+        F.greatest(F.lit(0.0), txlo, tylo).alias("t_en"),
+        F.least(F.lit(1.0), txhi, tyhi).alias("t_ex"),
+        F.sqrt(dx * dx + dy * dy).alias("seg_len"),
+    )
+    return (
+        pairs.groupBy("zone_id")
+        .agg(
+            F.sum(
+                F.when((F.col("t_ex") > F.col("t_en")) & (F.col("seg_len") > 0), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_segments"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.when(
+                            F.col("t_ex") > F.col("t_en"),
+                            (F.col("t_ex") - F.col("t_en")) * F.col("seg_len"),
+                        ).otherwise(0.0),
+                        12,
+                    ).cast("decimal(38,12)")
+                ).cast("double"),
+                9,
+            ).alias("clipped_length"),
+        )
+        .orderBy("zone_id")
+    )
