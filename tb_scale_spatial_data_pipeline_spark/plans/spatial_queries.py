@@ -1894,3 +1894,116 @@ def q_line_clip_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zone_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# General simple-polygon area + centroid (ST_Centroid) in PURE
+# Catalyst — no UDF: parse the WKT ring to an ordered vertex stream
+# (the linestring_length machinery), pair consecutive vertices with a
+# partitioned lead window, and evaluate the shoelace first-moment
+# formulas (Cx = sum (x_i + x_{i+1}) cross_i / (3 A2), A2 = sum
+# cross_i) as exact BIGINT sums with ONE final double division. The
+# fixture is a five-vertex convex pentagon per part (rect + east
+# bump), so this exercises genuinely non-rectangular rings; the twin
+# runs the identical vertex-stream plan in DuckDB. At 100 TB this is
+# the fully-codegen geometry path: no Python, no shuffle beyond the
+# per-ring window.
+@_q(
+    "polygon_centroid_general",
+    """
+    WITH polys AS (
+      SELECT p_partkey AS poly_id,
+             'POLYGON((' || CAST(p_partkey % 32 AS VARCHAR) || ' ' || CAST(p_partkey % 24 AS VARCHAR)
+             || ', ' || CAST(p_partkey % 32 + p_size AS VARCHAR) || ' ' || CAST(p_partkey % 24 AS VARCHAR)
+             || ', ' || CAST(p_partkey % 32 + p_size + p_partkey % 7 + 1 AS VARCHAR) || ' ' || CAST(p_partkey % 24 + p_size AS VARCHAR)
+             || ', ' || CAST(p_partkey % 32 + p_size AS VARCHAR) || ' ' || CAST(p_partkey % 24 + 2 * p_size AS VARCHAR)
+             || ', ' || CAST(p_partkey % 32 AS VARCHAR) || ' ' || CAST(p_partkey % 24 + 2 * p_size AS VARCHAR)
+             || ', ' || CAST(p_partkey % 32 AS VARCHAR) || ' ' || CAST(p_partkey % 24 AS VARCHAR) || '))' AS geometry
+      FROM part
+    ),
+    split AS (
+      SELECT poly_id,
+             string_split(regexp_extract(geometry, 'POLYGON\\(\\((.*)\\)\\)', 1), ', ')
+               AS parts
+      FROM polys
+    ),
+    verts AS (
+      SELECT poly_id, CAST(t.i AS INT) AS idx,
+             CAST(string_split(parts[CAST(t.i AS INT)], ' ')[1] AS BIGINT) AS x,
+             CAST(string_split(parts[CAST(t.i AS INT)], ' ')[2] AS BIGINT) AS y
+      FROM split JOIN range(1, 64) t(i) ON t.i <= len(parts)
+    ),
+    edges AS (
+      SELECT poly_id, x, y,
+             LEAD(x) OVER (PARTITION BY poly_id ORDER BY idx) AS nx,
+             LEAD(y) OVER (PARTITION BY poly_id ORDER BY idx) AS ny
+      FROM verts
+    ),
+    moments AS (
+      SELECT poly_id,
+             CAST(SUM(x * ny - nx * y) AS BIGINT) AS a2,
+             CAST(SUM((x + nx) * (x * ny - nx * y)) AS BIGINT) AS mx,
+             CAST(SUM((y + ny) * (x * ny - nx * y)) AS BIGINT) AS my
+      FROM edges WHERE nx IS NOT NULL
+      GROUP BY poly_id
+    )
+    SELECT poly_id,
+           round(CAST(a2 AS DOUBLE) / 2.0, 9) AS area,
+           round(CAST(mx AS DOUBLE) / (3.0 * a2), 9) AS cx,
+           round(CAST(my AS DOUBLE) / (3.0 * a2), 9) AS cy
+    FROM moments ORDER BY poly_id
+    """,
+)
+def q_polygon_centroid_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_size")
+    k, s = F.col("p_partkey"), F.col("p_size")
+    x0 = (k % 32).cast("long")
+    y0 = (k % 24).cast("long")
+
+    def pt(xe, ye) -> F.Column:
+        return F.concat(xe.cast("string"), F.lit(" "), ye.cast("string"))
+
+    polys = p.select(
+        k.alias("poly_id"),
+        F.concat(
+            F.lit("POLYGON(("),
+            pt(x0, y0), F.lit(", "),
+            pt(x0 + s, y0), F.lit(", "),
+            pt(x0 + s + k % 7 + 1, y0 + s), F.lit(", "),
+            pt(x0 + s, y0 + 2 * s), F.lit(", "),
+            pt(x0, y0 + 2 * s), F.lit(", "),
+            pt(x0, y0),
+            F.lit("))"),
+        ).alias("geometry"),
+    )
+    verts = polys.select(
+        "poly_id",
+        F.posexplode(
+            F.split(F.regexp_extract("geometry", r"POLYGON\(\((.*)\)\)", 1), ", ")
+        ).alias("idx", "pt"),
+    ).select(
+        "poly_id",
+        "idx",
+        F.split("pt", " ").getItem(0).cast("long").alias("x"),
+        F.split("pt", " ").getItem(1).cast("long").alias("y"),
+    )
+    w = Window.partitionBy("poly_id").orderBy("idx")
+    edges = verts.select(
+        "poly_id",
+        "x",
+        "y",
+        F.lead("x").over(w).alias("nx"),
+        F.lead("y").over(w).alias("ny"),
+    ).where(F.col("nx").isNotNull())
+    cross = F.col("x") * F.col("ny") - F.col("nx") * F.col("y")
+    moments = edges.groupBy("poly_id").agg(
+        F.sum(cross).cast("bigint").alias("a2"),
+        F.sum((F.col("x") + F.col("nx")) * cross).cast("bigint").alias("mx"),
+        F.sum((F.col("y") + F.col("ny")) * cross).cast("bigint").alias("my"),
+    )
+    return moments.select(
+        "poly_id",
+        F.round(F.col("a2").cast("double") / 2.0, 9).alias("area"),
+        F.round(F.col("mx").cast("double") / (3.0 * F.col("a2")), 9).alias("cx"),
+        F.round(F.col("my").cast("double") / (3.0 * F.col("a2")), 9).alias("cy"),
+    ).orderBy("poly_id")
