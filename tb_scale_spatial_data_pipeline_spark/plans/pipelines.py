@@ -1186,6 +1186,184 @@ def _sql_crs_warp_exact() -> str:
 ORACLES["raster_crs_warp_exact"] = _sql_crs_warp_exact()
 
 
+# shared closed-form field expression for the 64x64 1-band synthetic
+# raster (b=1, seed=42): the same z() the reproject/affine oracles use
+def _sql_field_z(xx: str, yy: str) -> str:
+    base = (
+        f"(sin(CAST({xx} AS DOUBLE) / 10.0) * 40.0"
+        f" + cos(CAST({yy} AS DOUBLE) / 12.0) * 40.0 + 100.0)"
+    )
+    d2 = (
+        f"((CAST({xx} AS DOUBLE) - 35.0) * (CAST({xx} AS DOUBLE) - 35.0)"
+        f" + (CAST({yy} AS DOUBLE) - 30.0) * (CAST({yy} AS DOUBLE) - 30.0))"
+    )
+    return f"(CASE WHEN {d2} < 400.0 THEN {base} + 80.0 ELSE {base} END)"
+
+
+# ---------------------------------------------------------------------------
+# Integral-image (summed-area table) box filter — Crow SIGGRAPH'84:
+# the O(1)-per-pixel focal MEAN, the scale idiom for box stencils
+# (naive 5x5 gather is 25 reads/pixel; the SAT is two prefix-sum
+# passes + 4 reads regardless of kernel size). The band quantizes to
+# integer DNs first (real imagery is integer DNs; it also puts the
+# SAT on the exact BIGINT lattice, so both engines' prefix sums are
+# order-free-exact). Distribution shape: pass 1 is a window cumsum
+# partitioned BY ROW, pass 2 BY COLUMN — both auditor-clean
+# partitioned scans; the 4 corner lookups are equi-joins on the pixel
+# key. Border policy: centers [2..61]^2 with missing (-1) corners
+# coalesced to 0.
+@_q(
+    "raster_box_filter_sat",
+    f"""
+    WITH grid AS (
+      SELECT CAST(gx.x AS INTEGER) AS x, CAST(gy.y AS INTEGER) AS y
+      FROM (SELECT unnest(generate_series(0, 63)) AS x) gx,
+           (SELECT unnest(generate_series(0, 63)) AS y) gy
+    ),
+    dn AS (
+      SELECT x, y, CAST(round({_sql_field_z('x', 'y')}, 0) AS BIGINT) AS v
+      FROM grid
+    ),
+    cs AS (
+      SELECT x, y, SUM(v) OVER (PARTITION BY y ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+      FROM dn
+    ),
+    sat AS (
+      SELECT x, y, CAST(SUM(cs) OVER (PARTITION BY x ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS s
+      FROM cs
+    ),
+    centers AS (
+      SELECT x AS cx, y AS cy FROM grid
+      WHERE x BETWEEN 2 AND 61 AND y BETWEEN 2 AND 61
+    )
+    SELECT c.cx AS x, c.cy AS y,
+           round(CAST(br.s - COALESCE(bl.s, 0) - COALESCE(tr.s, 0)
+                      + COALESCE(tl.s, 0) AS DOUBLE) / 25.0, 9) AS box_mean
+    FROM centers c
+    JOIN sat br ON br.x = c.cx + 2 AND br.y = c.cy + 2
+    LEFT JOIN sat bl ON bl.x = c.cx - 3 AND bl.y = c.cy + 2
+    LEFT JOIN sat tr ON tr.x = c.cx + 2 AND tr.y = c.cy - 3
+    LEFT JOIN sat tl ON tl.x = c.cx - 3 AND tl.y = c.cy - 3
+    ORDER BY x, y
+    """,
+)
+def q_raster_box_filter_sat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    img = synthetic_raster(spark, 64, 64, bands=1)
+    dn = img.select(
+        "x", "y", F.round("b1", 0).cast("bigint").alias("v")
+    )
+    w_row = Window.partitionBy("y").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cs = dn.select("x", "y", F.sum("v").over(w_row).alias("cs"))
+    w_col = Window.partitionBy("x").orderBy("y").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sat = cs.select(
+        "x", "y", F.sum("cs").over(w_col).cast("bigint").alias("s")
+    ).localCheckpoint(eager=True)  # read by all four corner joins
+
+    centers = dn.select(F.col("x").alias("cx"), F.col("y").alias("cy")).where(
+        F.col("cx").between(2, 61) & F.col("cy").between(2, 61)
+    )
+
+    br = sat.select((F.col("x") - 2).alias("cx"), (F.col("y") - 2).alias("cy"), F.col("s").alias("br"))
+    bl = sat.select((F.col("x") + 3).alias("cx"), (F.col("y") - 2).alias("cy"), F.col("s").alias("bl"))
+    tr = sat.select((F.col("x") - 2).alias("cx"), (F.col("y") + 3).alias("cy"), F.col("s").alias("tr"))
+    tl = sat.select((F.col("x") + 3).alias("cx"), (F.col("y") + 3).alias("cy"), F.col("s").alias("tl"))
+    out = (
+        centers.join(br, ["cx", "cy"])
+        .join(bl, ["cx", "cy"], "left")
+        .join(tr, ["cx", "cy"], "left")
+        .join(tl, ["cx", "cy"], "left")
+    )
+    box = (
+        F.col("br")
+        - F.coalesce(F.col("bl"), F.lit(0))
+        - F.coalesce(F.col("tr"), F.lit(0))
+        + F.coalesce(F.col("tl"), F.lit(0))
+    )
+    return out.select(
+        F.col("cx").alias("x"),
+        F.col("cy").alias("y"),
+        F.round(box.cast("double") / 25.0, 9).alias("box_mean"),
+    ).orderBy("x", "y")
+
+
+# ---------------------------------------------------------------------------
+# Focal MEDIAN (3x3) — the edge-preserving denoiser (Tukey's median
+# smoother; the reference's composite tier is median-based). Median
+# is pure order-statistic SELECTION, no arithmetic, so both engines
+# agree given the same 9-value multiset: each pixel CONTRIBUTES to
+# its 9 covered centers (contribution form shuffles once on the
+# center key — the scale shape; a gather form would read 9x), the
+# group sorts its collected values, takes index 4, rounds(6). At
+# 100 TB this is the same one-shuffle neighborhood pattern as the
+# halo exchange, expressed relationally.
+@_q(
+    "raster_focal_median",
+    f"""
+    WITH grid AS (
+      SELECT CAST(gx.x AS INTEGER) AS x, CAST(gy.y AS INTEGER) AS y
+      FROM (SELECT unnest(generate_series(0, 63)) AS x) gx,
+           (SELECT unnest(generate_series(0, 63)) AS y) gy
+    ),
+    px AS (
+      SELECT x, y, {_sql_field_z('x', 'y')} AS v FROM grid
+    ),
+    offs AS (
+      SELECT CAST(dx.d AS INTEGER) AS dx, CAST(dy.d AS INTEGER) AS dy
+      FROM (SELECT unnest(generate_series(-1, 1)) AS d) dx,
+           (SELECT unnest(generate_series(-1, 1)) AS d) dy
+    ),
+    contribs AS (
+      SELECT p.x - o.dx AS cx, p.y - o.dy AS cy, p.v
+      FROM px p CROSS JOIN offs o
+      WHERE p.x - o.dx BETWEEN 1 AND 62 AND p.y - o.dy BETWEEN 1 AND 62
+    )
+    SELECT cx AS x, cy AS y,
+           round(list_sort(list(v))[5], 6) AS med
+    FROM contribs GROUP BY cx, cy ORDER BY x, y
+    """,
+)
+def q_raster_focal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = synthetic_raster(spark, 64, 64, bands=1)
+    px = img.select("x", "y", F.col("b1").alias("v"))
+    offs = (
+        px.sparkSession.range(-1, 2)
+        .select(F.col("id").cast("int").alias("dx"))
+        .crossJoin(
+            px.sparkSession.range(-1, 2).select(
+                F.col("id").cast("int").alias("dy")
+            )
+        )
+    )
+    contribs = (
+        px.crossJoin(F.broadcast(offs))
+        .select(
+            (F.col("x") - F.col("dx")).alias("cx"),
+            (F.col("y") - F.col("dy")).alias("cy"),
+            "v",
+        )
+        .where(F.col("cx").between(1, 62) & F.col("cy").between(1, 62))
+    )
+    return (
+        contribs.groupBy("cx", "cy")
+        .agg(
+            F.round(
+                F.sort_array(F.collect_list("v")).getItem(4), 6
+            ).alias("med")
+        )
+        .select(F.col("cx").alias("x"), F.col("cy").alias("y"), "med")
+        .orderBy("x", "y")
+    )
+
+
 @_q("stream_windowed_distinct_hll")
 def q_stream_windowed_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import stream_windowed_distinct_hll
