@@ -280,13 +280,25 @@ def _sutherland_hodgman(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     return np.array(out) if out else np.empty((0, 2))
 
 
-def _overlay_metrics(wkt_a: str, wkt_b: str) -> tuple[float, float, float]:
+def _overlay_metrics(
+    wkt_a: str, wkt_b: str, _cache: "dict | None" = None
+) -> tuple[float, float, float]:
     """(intersection_area, union_area, iou) for two single-ring WKT
     polygons. Clip side (b) must be convex — Sutherland-Hodgman's
     contract; subject (a) may be any simple polygon. Degenerate /
-    unparseable input -> NaNs."""
-    a = _parse_ring(wkt_a)
-    b = _parse_ring(wkt_b)
+    unparseable input -> NaNs. ``_cache`` memoizes ring parses within
+    one Arrow batch — overlay joins repeat the small side's WKT per
+    pair (12 zones x thousands of rects), so parsing it once per
+    batch, not once per row, is a pure win with identical results."""
+    if _cache is None:
+        a = _parse_ring(wkt_a)
+        b = _parse_ring(wkt_b)
+    else:
+        if wkt_a not in _cache:
+            _cache[wkt_a] = _parse_ring(wkt_a)
+        if wkt_b not in _cache:
+            _cache[wkt_b] = _parse_ring(wkt_b)
+        a, b = _cache[wkt_a], _cache[wkt_b]
     if a is None or b is None or len(a) < 3 or len(b) < 3:
         return (float("nan"),) * 3
     area_a = abs(_ring_signed_area(_close_ring(a)))
@@ -299,7 +311,10 @@ def _overlay_metrics(wkt_a: str, wkt_b: str) -> tuple[float, float, float]:
 
 
 def _overlay_frame(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.DataFrame:
-    rows = [_overlay_metrics(sa, sb) for sa, sb in zip(wkt_a, wkt_b)]
+    cache: dict = {}
+    rows = [
+        _overlay_metrics(sa, sb, _cache=cache) for sa, sb in zip(wkt_a, wkt_b)
+    ]
     return pd.DataFrame(rows, columns=["inter_area", "union_area", "iou"])
 
 

@@ -1,0 +1,217 @@
+"""Round-12 operator tests: independent brute-force cross-checks for
+the new spatial/raster queries (the DuckDB twins share each query's
+algorithm, so a same-shape twin could hide a correlated bug — these
+recompute the ground truth a DIFFERENT way: rasterization for union
+area, dense parametric sampling for line clipping, NumPy stencils for
+SAT/median)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from conftest import SF_SMOKE
+
+from tb_scale_spatial_data_pipeline_spark.plans.spatial_queries import (
+    QUERIES as SPATIAL_QUERIES,
+)
+from tb_scale_spatial_data_pipeline_spark.plans.pipelines import (
+    QUERIES as PIPELINE_QUERIES,
+)
+
+
+def test_rect_union_area_matches_rasterization(spark):
+    """Union area per layer == count of covered unit cells on a
+    painted boolean canvas (independent of the scanline algorithm)."""
+    from tb_scale_spatial_data_pipeline_spark.plans.spatial_queries import (
+        _rects,
+    )
+    from tb_scale_spatial_data_pipeline_spark.functions.geometry import (
+        _parse_ring,
+    )
+
+    rows = _rects(spark, SF_SMOKE).collect()
+    canvas: dict[int, np.ndarray] = {}
+    naive: dict[int, int] = {}
+    for r in rows:
+        ring = _parse_ring(r["geometry"])
+        x0, y0 = int(ring[:, 0].min()), int(ring[:, 1].min())
+        x1, y1 = int(ring[:, 0].max()), int(ring[:, 1].max())
+        layer = r["rect_id"] % 8
+        c = canvas.setdefault(layer, np.zeros((200, 200), dtype=bool))
+        c[y0:y1, x0:x1] = True
+        naive[layer] = naive.get(layer, 0) + (x1 - x0) * (y1 - y0)
+
+    out = {
+        r["layer"]: r
+        for r in SPATIAL_QUERIES["rect_union_area"](spark, SF_SMOKE).collect()
+    }
+    assert set(out) == set(canvas)
+    for layer, c in canvas.items():
+        assert out[layer]["union_area"] == int(c.sum())
+        assert out[layer]["sum_rect_area"] == naive[layer]
+        assert out[layer]["union_area"] <= naive[layer]
+
+
+def test_line_clip_length_matches_dense_sampling(spark):
+    """Per-zone clipped length ~= dense parametric sampling of every
+    segment (200k samples -> error << tolerance), summed per zone."""
+    rows = (
+        SPATIAL_QUERIES["line_clip_length"](spark, SF_SMOKE)
+        .collect()
+    )
+    # rebuild the segment set exactly as the fixture defines it
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey"
+    )
+    keys = [r["o_orderkey"] for r in orders.collect()]
+    zones = [
+        ((z % 4) * 16.0, (z // 4) * 12.0, (z % 4) * 16.0 + 16, (z // 4) * 12.0 + 12)
+        for z in range(12)
+    ]
+    M = 200_001
+    ts = np.linspace(0.0, 1.0, M)
+    expect = np.zeros(12)
+    n_touch = np.zeros(12, dtype=int)  # any sampled point inside
+    n_clip = np.zeros(12, dtype=int)  # clipped length clearly > 0
+    for k in keys:
+        pts = [
+            (k % 100, k % 80),
+            (k * 3 % 100, k * 7 % 80),
+            (k * 11 % 100, k * 13 % 80),
+            (k * 17 % 100, k * 19 % 80),
+        ]
+        for (x, y), (nx, ny) in zip(pts, pts[1:]):
+            seg_len = float(np.hypot(nx - x, ny - y))
+            if seg_len == 0:
+                continue
+            px = x + ts * (nx - x)
+            py = y + ts * (ny - y)
+            for z, (zx0, zy0, zx1, zy1) in enumerate(zones):
+                frac = np.mean(
+                    (px >= zx0) & (px <= zx1) & (py >= zy0) & (py <= zy1)
+                )
+                if frac > 0:
+                    expect[z] += frac * seg_len
+                    n_touch[z] += 1
+                    if frac * seg_len > 0.01:
+                        n_clip[z] += 1
+    got = {r["zone_id"]: r for r in rows}
+    for z in range(12):
+        if n_touch[z] == 0:
+            assert z not in got or got[z]["n_segments"] == 0
+            continue
+        # sampling error per segment <= seg_len / (M - 1)
+        assert abs(got[z]["clipped_length"] - expect[z]) < 0.05, z
+        # the query counts strictly-positive-length clips: bounded
+        # below by the clearly-positive sampled clips and above by
+        # every boundary touch
+        assert n_clip[z] <= got[z]["n_segments"] <= n_touch[z], z
+
+
+def test_polygon_centroid_matches_numpy(spark):
+    """Area/centroid vs an independent NumPy shoelace over the same
+    WKT rings (different parse, different accumulation)."""
+    from tb_scale_spatial_data_pipeline_spark.functions.geometry import (
+        _parse_ring,
+    )
+
+    out = SPATIAL_QUERIES["polygon_centroid_general"](spark, SF_SMOKE)
+    rows = out.collect()
+    # rebuild the WKT from the part table exactly as the query does
+    part = spark.read.parquet(f"{SF_SMOKE}/part.parquet").select(
+        "p_partkey", "p_size"
+    )
+    fixtures = {}
+    for r in part.collect():
+        k, s = r["p_partkey"], r["p_size"]
+        x0, y0 = k % 32, k % 24
+        ring = [
+            (x0, y0),
+            (x0 + s, y0),
+            (x0 + s + k % 7 + 1, y0 + s),
+            (x0 + s, y0 + 2 * s),
+            (x0, y0 + 2 * s),
+            (x0, y0),
+        ]
+        fixtures[k] = np.array(ring, dtype=float)
+    assert len(rows) == len(fixtures)
+    for r in rows[:500]:
+        ring = fixtures[r["poly_id"]][:-1]
+        x, y = ring[:, 0], ring[:, 1]
+        x1, y1 = np.roll(x, -1), np.roll(y, -1)
+        a2 = float(np.dot(x, y1) - np.dot(y, x1))
+        cx = float(np.dot(x + x1, x * y1 - x1 * y)) / (3 * a2)
+        cy = float(np.dot(y + y1, x * y1 - x1 * y)) / (3 * a2)
+        assert abs(r["area"] - a2 / 2.0) < 1e-9
+        assert abs(r["cx"] - cx) < 1e-6
+        assert abs(r["cy"] - cy) < 1e-6
+        # the east bump makes the pentagon wider than the rect: the
+        # centroid must sit strictly east of the rect centroid
+        assert r["area"] > 0
+
+
+def _collect_field(spark):
+    from tb_scale_spatial_data_pipeline_spark.raster.tiles import (
+        synthetic_raster,
+    )
+
+    rows = synthetic_raster(spark, 64, 64, bands=1).collect()
+    field = np.zeros((64, 64))
+    for r in rows:
+        field[r["y"], r["x"]] = r["b1"]
+    return field
+
+
+def test_box_filter_sat_matches_direct_stencil(spark):
+    """SAT box mean == direct 5x5 window mean of the quantized field
+    (the direct stencil never builds a SAT — independent check of the
+    prefix-sum + corner-difference logic)."""
+    field = _collect_field(spark)
+    dn = np.round(field).astype(np.int64)
+    out = PIPELINE_QUERIES["raster_box_filter_sat"](spark, SF_SMOKE).collect()
+    assert len(out) == 60 * 60
+    got = {(r["x"], r["y"]): r["box_mean"] for r in out}
+    for cx in range(2, 62, 7):
+        for cy in range(2, 62, 5):
+            direct = dn[cy - 2 : cy + 3, cx - 2 : cx + 3].mean()
+            assert abs(got[(cx, cy)] - direct) < 1e-9, (cx, cy)
+
+
+def test_focal_median_matches_direct_stencil(spark):
+    field = _collect_field(spark)
+    out = PIPELINE_QUERIES["raster_focal_median"](spark, SF_SMOKE).collect()
+    assert len(out) == 62 * 62
+    got = {(r["x"], r["y"]): r["med"] for r in out}
+    for cx in range(1, 63, 6):
+        for cy in range(1, 63, 4):
+            direct = float(np.median(field[cy - 1 : cy + 2, cx - 1 : cx + 2]))
+            assert abs(got[(cx, cy)] - round(direct, 6)) < 1e-9, (cx, cy)
+
+
+def test_overlay_iou_consistent_with_rect_closed_form(spark):
+    """The general Sutherland-Hodgman path must agree with the
+    rectangle closed form on the query's own fixtures (sampled)."""
+    out = SPATIAL_QUERIES["polygon_overlay_iou"](spark, SF_SMOKE).limit(
+        300
+    ).collect()
+    part = {
+        r["p_partkey"]: r["p_size"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+        .select("p_partkey", "p_size")
+        .collect()
+    }
+    for r in out:
+        k = r["rect_id"]
+        s = part[k]
+        x0, y0 = k % 32, k % 24
+        x1, y1 = x0 + s, y0 + s
+        z = r["zone_id"]
+        zx0, zy0 = (z % 4) * 16, (z // 4) * 12
+        zx1, zy1 = zx0 + 16, zy0 + 12
+        inter = max(0, min(x1, zx1) - max(x0, zx0)) * max(
+            0, min(y1, zy1) - max(y0, zy0)
+        )
+        union = s * s + 192 - inter
+        assert r["inter_area"] == inter
+        assert r["union_area"] == union
+        assert abs(r["iou"] - round(inter / union, 9)) < 1e-12
