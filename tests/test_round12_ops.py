@@ -100,8 +100,9 @@ def test_line_clip_length_matches_dense_sampling(spark):
         if n_touch[z] == 0:
             assert z not in got or got[z]["n_segments"] == 0
             continue
-        # sampling error per segment <= seg_len / (M - 1)
-        assert abs(got[z]["clipped_length"] - expect[z]) < 0.05, z
+        # sampling error per segment <= seg_len / (M - 1), ~250
+        # segments x len <= 128 -> worst-case bound ~0.16 per zone
+        assert abs(got[z]["clipped_length"] - expect[z]) < 0.3, z
         # the query counts strictly-positive-length clips: bounded
         # below by the clearly-positive sampled clips and above by
         # every boundary touch
