@@ -2458,3 +2458,398 @@ def q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.select(
         "c_custkey", F.concat(*chars).alias("geohash8")
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Empirical semivariogram (Matheron 1963) — kriging's first step:
+# gamma(h) = 1/(2 N_h) * sum over point pairs in distance bin h of
+# (v_i - v_j)^2. Exactness: values quantize to integer cents, and the
+# pair sum NEVER enumerates events — per location we keep the
+# sufficient statistics (m, S = sum v, Q = sum v^2), and the full
+# event-pair sum between locations a,b collapses to the identity
+# sum_ij (vi - vj)^2 = m_b Q_a + m_a Q_b - 2 S_a S_b, all BIGINT.
+# Candidate pairs are the same 16-cell 3x3 block join Ripley's K
+# uses (max binned distance = 16), so work is locations x bounded
+# neighborhood at any SF. One double division per bin at the end.
+@_q(
+    "empirical_variogram",
+    """
+    WITH pts AS (
+      SELECT ((event_id * 48271) % 2147483647) % 256 AS px,
+             (((event_id * 48271) % 2147483647) // 256) % 256 AS py,
+             COUNT(*) AS m,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS s,
+             SUM(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT)) AS q
+      FROM events GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT px, py, m, s, q, px // 16 AS cx, py // 16 AS cy FROM pts
+    ),
+    probes AS (
+      SELECT c.px, c.py, c.m, c.s, c.q, c.cx + dx.d AS ncx, c.cy + dy.d AS ncy
+      FROM cells c,
+           (SELECT unnest(generate_series(-1, 1)) AS d) dx,
+           (SELECT unnest(generate_series(-1, 1)) AS d) dy
+    ),
+    cand AS (
+      SELECT (a.px - b.px) * (a.px - b.px)
+             + (a.py - b.py) * (a.py - b.py) AS d2,
+             a.m * b.m AS npairs,
+             b.m * a.q + a.m * b.q - 2 * a.s * b.s AS ss
+      FROM probes a JOIN cells b ON b.cx = a.ncx AND b.cy = a.ncy
+      WHERE (a.px - b.px) * (a.px - b.px)
+            + (a.py - b.py) * (a.py - b.py) > 0
+    ),
+    binned AS (
+      SELECT CASE WHEN d2 <= 4 THEN 2 WHEN d2 <= 16 THEN 4
+                  WHEN d2 <= 64 THEN 8 ELSE 16 END AS h,
+             npairs, ss
+      FROM cand WHERE d2 <= 256
+    )
+    SELECT CAST(h AS BIGINT) AS h,
+           CAST(SUM(npairs) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(ss) AS DOUBLE)
+                 / (2.0 * SUM(npairs) * 10000.0), 6) AS gamma
+    FROM binned GROUP BY h ORDER BY h
+    """,
+)
+def q_empirical_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id", "value")
+    h = (F.col("event_id") * 48271) % 2147483647
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    pts = ev.groupBy(
+        (h % 256).alias("px"),
+        (F.expr("((event_id * 48271) % 2147483647) div 256") % 256).alias("py"),
+    ).agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("q"),
+    )
+    cells = pts.select(
+        "*",
+        F.expr("px div 16").alias("cx"),
+        F.expr("py div 16").alias("cy"),
+    ).localCheckpoint(eager=True)
+    offs = (
+        spark.range(-1, 2)
+        .select(F.col("id").alias("dx"))
+        .crossJoin(spark.range(-1, 2).select(F.col("id").alias("dy")))
+    )
+    probes = cells.crossJoin(F.broadcast(offs)).select(
+        "px",
+        "py",
+        "m",
+        "s",
+        "q",
+        (F.col("cx") + F.col("dx")).alias("ncx"),
+        (F.col("cy") + F.col("dy")).alias("ncy"),
+    )
+    bside = cells.select(
+        F.col("px").alias("bx"),
+        F.col("py").alias("by"),
+        F.col("m").alias("mb"),
+        F.col("s").alias("sb"),
+        F.col("q").alias("qb"),
+        F.col("cx").alias("ncx"),
+        F.col("cy").alias("ncy"),
+    )
+    d2 = (F.col("px") - F.col("bx")) * (F.col("px") - F.col("bx")) + (
+        F.col("py") - F.col("by")
+    ) * (F.col("py") - F.col("by"))
+    cand = (
+        probes.join(bside, ["ncx", "ncy"])
+        .where(d2 > 0)
+        .where(d2 <= 256)
+        .select(
+            F.when(d2 <= 4, 2)
+            .when(d2 <= 16, 4)
+            .when(d2 <= 64, 8)
+            .otherwise(16)
+            .alias("h"),
+            (F.col("m") * F.col("mb")).alias("npairs"),
+            (
+                F.col("mb") * F.col("q")
+                + F.col("m") * F.col("qb")
+                - 2 * F.col("s") * F.col("sb")
+            ).alias("ss"),
+        )
+    )
+    return (
+        cand.groupBy("h")
+        .agg(
+            F.sum("npairs").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum("ss").cast("double")
+                / (2.0 * F.sum("npairs") * 10000.0),
+                6,
+            ).alias("gamma"),
+        )
+        .select(F.col("h").cast("bigint").alias("h"), "n_pairs", "gamma")
+        .orderBy("h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IDW interpolation (Shepard 1968) of the event-value surface onto an
+# 8x8 probe grid — the classic deterministic spatial interpolator.
+# Exactness: weights QUANTIZE to integers (W = 10^9 div d^2 — a
+# fixed-point 1/d^2, stated estimator), values quantize to cents, and
+# both the numerator sum(W * S_loc) and denominator sum(W * m_loc)
+# accumulate as DECIMAL(38,0) (exact at any SF; Spark BIGINT sums
+# would overflow first). Per-location sufficient statistics (m, S)
+# mean events are never enumerated per probe; the search radius 32 is
+# a 3x3 block join on 32-px cells — bounded neighborhood at any SF.
+# One double division per probe.
+@_q(
+    "idw_interpolation",
+    """
+    WITH pts AS (
+      SELECT ((event_id * 48271) % 2147483647) % 256 AS px,
+             (((event_id * 48271) % 2147483647) // 256) % 256 AS py,
+             COUNT(*) AS m,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS s
+      FROM events GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT px, py, m, s, px // 32 AS cx, py // 32 AS cy FROM pts
+    ),
+    probes AS (
+      SELECT CAST(g.i % 8 AS BIGINT) AS gx, CAST(g.i // 8 AS BIGINT) AS gy,
+             CAST(g.i % 8 AS BIGINT) * 32 + 16 AS qx,
+             CAST(g.i // 8 AS BIGINT) * 32 + 16 AS qy
+      FROM range(64) g(i)
+    ),
+    expanded AS (
+      SELECT p.gx, p.gy, p.qx, p.qy,
+             p.qx // 32 + dx.d AS ncx, p.qy // 32 + dy.d AS ncy
+      FROM probes p,
+           (SELECT unnest(generate_series(-1, 1)) AS d) dx,
+           (SELECT unnest(generate_series(-1, 1)) AS d) dy
+    ),
+    neigh AS (
+      SELECT e.gx, e.gy,
+             (e.qx - c.px) * (e.qx - c.px)
+             + (e.qy - c.py) * (e.qy - c.py) AS d2,
+             c.m, c.s
+      FROM expanded e JOIN cells c ON c.cx = e.ncx AND c.cy = e.ncy
+    ),
+    weighted AS (
+      SELECT gx, gy,
+             CAST(CASE WHEN d2 = 0 THEN 1000000000
+                       ELSE 1000000000 // d2 END AS DECIMAL(38,0)) AS w,
+             m, s
+      FROM neigh WHERE d2 <= 1024
+    )
+    SELECT gx, gy,
+           CAST(COUNT(*) AS BIGINT) AS n_locations,
+           round(CAST(SUM(w * s) AS DOUBLE)
+                 / (CAST(SUM(w * m) AS DOUBLE) * 100.0), 6) AS idw_value
+    FROM weighted GROUP BY gx, gy ORDER BY gx, gy
+    """,
+)
+def q_idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id", "value")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    pts = ev.groupBy(
+        ((F.col("event_id") * 48271) % 2147483647 % 256).alias("px"),
+        (F.expr("((event_id * 48271) % 2147483647) div 256") % 256).alias("py"),
+    ).agg(F.count(F.lit(1)).alias("m"), F.sum(cents).alias("s"))
+    cells = pts.select(
+        "*",
+        F.expr("px div 32").alias("ncx"),
+        F.expr("py div 32").alias("ncy"),
+    )
+    probes = spark.range(64).select(
+        (F.col("id") % 8).cast("bigint").alias("gx"),
+        F.expr("id div 8").cast("bigint").alias("gy"),
+        ((F.col("id") % 8) * 32 + 16).cast("bigint").alias("qx"),
+        (F.expr("id div 8") * 32 + 16).cast("bigint").alias("qy"),
+    )
+    offs = (
+        spark.range(-1, 2)
+        .select(F.col("id").alias("dx"))
+        .crossJoin(spark.range(-1, 2).select(F.col("id").alias("dy")))
+    )
+    expanded = probes.crossJoin(F.broadcast(offs)).select(
+        "gx",
+        "gy",
+        "qx",
+        "qy",
+        (F.expr("qx div 32") + F.col("dx")).alias("ncx"),
+        (F.expr("qy div 32") + F.col("dy")).alias("ncy"),
+    )
+    d2 = (F.col("qx") - F.col("px")) * (F.col("qx") - F.col("px")) + (
+        F.col("qy") - F.col("py")
+    ) * (F.col("qy") - F.col("py"))
+    neigh = (
+        F.broadcast(expanded)
+        .join(cells, ["ncx", "ncy"])
+        .select("gx", "gy", d2.alias("d2"), "m", "s")
+        .where(F.col("d2") <= 1024)
+    )
+    w = (
+        F.when(F.col("d2") == 0, F.lit(1000000000))
+        .otherwise(F.expr("1000000000 div d2"))
+        .cast("decimal(38,0)")
+    )
+    return (
+        neigh.select("gx", "gy", w.alias("w"), "m", "s")
+        .groupBy("gx", "gy")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_locations"),
+            F.round(
+                F.sum(F.col("w") * F.col("s")).cast("double")
+                / (F.sum(F.col("w") * F.col("m")).cast("double") * 100.0),
+                6,
+            ).alias("idw_value"),
+        )
+        .orderBy("gx", "gy")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Clark-Evans nearest-neighbor test (Clark & Evans, Ecology 1954):
+# R = mean-NN-distance / E[NN under CSR] with E = 0.5 sqrt(A/n) and
+# z = (D - E) / (0.26136 sqrt(A) / n). Estimator as implemented
+# (stated): events co-located on a hashed pixel have NN distance 0
+# (multiplicity >= 2); singleton locations take the min distance to
+# any location in their 3x3 16-px block neighborhood, CENSORED at
+# d > 16 (censored singletons are excluded and counted — at lattice
+# densities beyond sf0.001 censoring is empty). Min-d^2 is an exact
+# integer; its sqrt rounds to 12 and accumulates as DECIMAL(38,12).
+@_q(
+    "clark_evans_nn",
+    """
+    WITH pts AS (
+      SELECT ((event_id * 48271) % 2147483647) % 256 AS px,
+             (((event_id * 48271) % 2147483647) // 256) % 256 AS py,
+             COUNT(*) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT px, py, m, px // 16 AS cx, py // 16 AS cy FROM pts
+    ),
+    probes AS (
+      SELECT c.px, c.py, c.m, c.cx + dx.d AS ncx, c.cy + dy.d AS ncy
+      FROM cells c,
+           (SELECT unnest(generate_series(-1, 1)) AS d) dx,
+           (SELECT unnest(generate_series(-1, 1)) AS d) dy
+      WHERE c.m = 1
+    ),
+    nn AS (
+      SELECT a.px, a.py,
+             MIN((a.px - b.px) * (a.px - b.px)
+                 + (a.py - b.py) * (a.py - b.py)) AS mind2
+      FROM probes a JOIN cells b ON b.cx = a.ncx AND b.cy = a.ncy
+      WHERE (a.px - b.px) * (a.px - b.px)
+            + (a.py - b.py) * (a.py - b.py) > 0
+      GROUP BY a.px, a.py
+    ),
+    singles AS (
+      SELECT SUM(CAST(round(sqrt(CAST(mind2 AS DOUBLE)), 12)
+                      AS DECIMAL(38,12))) AS sd,
+             COUNT(*) AS n1
+      FROM nn WHERE mind2 <= 256
+    ),
+    dupes AS (
+      SELECT COALESCE(SUM(m), 0) AS n2 FROM pts WHERE m >= 2
+    ),
+    censored AS (
+      SELECT COUNT(*) AS n_cens FROM nn WHERE mind2 > 256
+    ),
+    agg AS (
+      SELECT s.sd AS sd, s.n1 + d.n2 AS n FROM singles s, dupes d
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           CAST(c.n_cens AS BIGINT) AS n_censored,
+           round(CAST(sd AS DOUBLE) / n, 9) AS mean_nn,
+           round(0.5 * sqrt(65536.0 / n), 9) AS expected_nn,
+           round(CAST(sd AS DOUBLE) / n / (0.5 * sqrt(65536.0 / n)), 9)
+             AS ce_ratio,
+           round((round(CAST(sd AS DOUBLE) / n, 9)
+                  - round(0.5 * sqrt(65536.0 / n), 9))
+                 / (0.26136 * sqrt(65536.0) / CAST(n AS DOUBLE)), 6) AS z
+    FROM agg, censored c
+    """,
+)
+def q_clark_evans_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id")
+    pts = ev.groupBy(
+        ((F.col("event_id") * 48271) % 2147483647 % 256).alias("px"),
+        (F.expr("((event_id * 48271) % 2147483647) div 256") % 256).alias("py"),
+    ).agg(F.count(F.lit(1)).alias("m"))
+    cells = pts.select(
+        "*",
+        F.expr("px div 16").alias("cx"),
+        F.expr("py div 16").alias("cy"),
+    ).localCheckpoint(eager=True)
+    offs = (
+        spark.range(-1, 2)
+        .select(F.col("id").alias("dx"))
+        .crossJoin(spark.range(-1, 2).select(F.col("id").alias("dy")))
+    )
+    probes = (
+        cells.where(F.col("m") == 1)
+        .crossJoin(F.broadcast(offs))
+        .select(
+            "px",
+            "py",
+            (F.col("cx") + F.col("dx")).alias("ncx"),
+            (F.col("cy") + F.col("dy")).alias("ncy"),
+        )
+    )
+    bside = cells.select(
+        F.col("px").alias("bx"),
+        F.col("py").alias("by"),
+        F.col("cx").alias("ncx"),
+        F.col("cy").alias("ncy"),
+    )
+    d2 = (F.col("px") - F.col("bx")) * (F.col("px") - F.col("bx")) + (
+        F.col("py") - F.col("by")
+    ) * (F.col("py") - F.col("by"))
+    nn = (
+        probes.join(bside, ["ncx", "ncy"])
+        .where(d2 > 0)
+        .groupBy("px", "py")
+        .agg(F.min(d2).alias("mind2"))
+        .localCheckpoint(eager=True)  # read by contrib + censored
+    )
+    # NOTE: no decimal*int products — Spark shrinks the scale of an
+    # overflowing decimal multiply; co-located events contribute d=0
+    # so only their COUNT matters
+    singles = nn.where(F.col("mind2") <= 256).agg(
+        F.sum(
+            F.round(F.sqrt(F.col("mind2").cast("double")), 12).cast(
+                "decimal(38,12)"
+            )
+        ).alias("sd"),
+        F.count(F.lit(1)).alias("n1"),
+    )
+    dupes = pts.where(F.col("m") >= 2).agg(
+        F.coalesce(F.sum("m"), F.lit(0)).alias("n2")
+    )
+    agg = singles.crossJoin(F.broadcast(dupes)).select(
+        "sd", (F.col("n1") + F.col("n2")).alias("n")
+    )
+    cens = nn.where(F.col("mind2") > 256).agg(
+        F.count(F.lit(1)).alias("n_cens")
+    )
+    n_d = F.col("n").cast("double")
+    mean_nn = F.col("sd").cast("double") / n_d
+    exp_nn = 0.5 * F.sqrt(65536.0 / n_d)
+    return agg.crossJoin(F.broadcast(cens)).select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.col("n_cens").cast("bigint").alias("n_censored"),
+        F.round(mean_nn, 9).alias("mean_nn"),
+        F.round(exp_nn, 9).alias("expected_nn"),
+        F.round(mean_nn / exp_nn, 9).alias("ce_ratio"),
+        # z amplifies sub-round(9) decimal-vs-double ulps by ~n/170,
+        # so it derives from the ALREADY-ROUNDED mean/expected — the
+        # values the row itself reports
+        F.round(
+            (F.round(mean_nn, 9) - F.round(exp_nn, 9))
+            / (0.26136 * F.sqrt(F.lit(65536.0)) / n_d),
+            6,
+        ).alias("z"),
+    )

@@ -330,3 +330,69 @@ def test_haversine_nearest_hub_sane(spark):
     for r in rows:
         # max great-circle distance on Earth ~ 20015 km
         assert 0.0 <= r["avg_km"] <= r["max_km"] <= 20016.0
+
+
+def test_variogram_matches_brute_force(spark):
+    """Sufficient-statistic pair sums == O(n^2) brute force over the
+    raw event values."""
+    from tb_scale_spatial_data_pipeline_spark.plans.spatial_queries import (
+        QUERIES,
+    )
+
+    rows = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "value"
+    ).collect()
+    e = np.array([r["event_id"] for r in rows], dtype=np.int64)
+    v = np.array([round(r["value"] * 100) for r in rows], dtype=np.int64)
+    h = (e * 48271) % 2147483647
+    pts = np.stack([h % 256, (h // 256) % 256], 1).astype(np.int64)
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    diff2 = (v[:, None] - v[None, :]) ** 2
+    bins = {2: (0, 4), 4: (4, 16), 8: (16, 64), 16: (64, 256)}
+    got = {
+        r["h"]: r
+        for r in QUERIES["empirical_variogram"](spark, SF_SMOKE).collect()
+    }
+    for hbin, (lo, hi) in bins.items():
+        mask = (d2 > lo) & (d2 <= hi) & (d2 > 0)
+        n_pairs = int(mask.sum())
+        if n_pairs == 0:
+            assert hbin not in got
+            continue
+        gamma = diff2[mask].sum() / (2.0 * n_pairs * 10000.0)
+        assert got[hbin]["n_pairs"] == n_pairs, hbin
+        assert abs(got[hbin]["gamma"] - round(gamma, 6)) < 1e-9, hbin
+
+
+def test_idw_interpolation_bounds(spark):
+    """IDW estimates must lie inside the value range of the events
+    (convex combination) and every probe with neighbors reports."""
+    from tb_scale_spatial_data_pipeline_spark.plans.spatial_queries import (
+        QUERIES,
+    )
+
+    vals = spark.read.parquet(f"{SF_SMOKE}/events.parquet").agg(
+        {"value": "min"}
+    ).collect()[0][0]
+    vmax = spark.read.parquet(f"{SF_SMOKE}/events.parquet").agg(
+        {"value": "max"}
+    ).collect()[0][0]
+    out = QUERIES["idw_interpolation"](spark, SF_SMOKE).collect()
+    assert 1 <= len(out) <= 64
+    for r in out:
+        assert vals - 0.01 <= r["idw_value"] <= vmax + 0.01
+        assert r["n_locations"] >= 1
+
+
+def test_clark_evans_consistency(spark):
+    """Total points = events; mean_nn/expected_nn == ce_ratio; the
+    lattice scatter must report DISPERSION (R > 1)."""
+    from tb_scale_spatial_data_pipeline_spark.plans.spatial_queries import (
+        QUERIES,
+    )
+
+    n_ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    r = QUERIES["clark_evans_nn"](spark, SF_SMOKE).collect()[0]
+    assert r["n_points"] + r["n_censored"] == n_ev
+    assert abs(r["ce_ratio"] - round(r["mean_nn"] / r["expected_nn"], 7)) < 1e-6
+    assert r["ce_ratio"] > 1.0  # LCG lattice = dispersed, never clustered
