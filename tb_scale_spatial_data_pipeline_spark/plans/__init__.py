@@ -101,6 +101,15 @@ def all_queries():
     from ._driver_seen import DRIVER_SEEN, FORCE_RESWEEP
 
     per_mod = [list(mod.QUERIES.items()) for mod in _MODULES]
+    # a name registered twice (within or across modules) would silently
+    # overwrite an already-driver-verified query — fail loudly instead
+    total = sum(len(m) for m in per_mod)
+    names = [n for m in per_mod for n, _ in m]
+    if len(set(names)) != total:
+        from collections import Counter
+
+        dupes = [n for n, c in Counter(names).items() if c > 1]
+        raise RuntimeError(f"duplicate query registrations: {dupes}")
     oracles = all_oracles()
     rr = []
     for i in range(max(len(m) for m in per_mod)):

@@ -2591,7 +2591,10 @@ def q_empirical_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# IDW interpolation (Shepard 1968) of the event-value surface onto an
+# IDW surface grid (Shepard 1968) of the event-value surface onto an
+# 8x8 probe grid — the BLOCKED-JOIN scale form of the broadcast-grid
+# idw_interpolation above (different fixture, different search
+# structure: 3x3 cell equi-join instead of small-grid broadcast).
 # 8x8 probe grid — the classic deterministic spatial interpolator.
 # Exactness: weights QUANTIZE to integers (W = 10^9 div d^2 — a
 # fixed-point 1/d^2, stated estimator), values quantize to cents, and
@@ -2602,7 +2605,7 @@ def q_empirical_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a 3x3 block join on 32-px cells — bounded neighborhood at any SF.
 # One double division per probe.
 @_q(
-    "idw_interpolation",
+    "idw_surface_grid",
     """
     WITH pts AS (
       SELECT ((event_id * 48271) % 2147483647) % 256 AS px,
@@ -2648,7 +2651,7 @@ def q_empirical_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM weighted GROUP BY gx, gy ORDER BY gx, gy
     """,
 )
-def q_idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_idw_surface_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select("event_id", "value")
     cents = F.round(F.col("value") * 100, 0).cast("bigint")
     pts = ev.groupBy(

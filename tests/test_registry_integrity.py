@@ -139,3 +139,40 @@ def test_every_query_is_callable_with_two_args():
             )
         ]
         assert len(params) == 2, (name, params)
+
+
+def test_no_duplicate_registrations_within_modules():
+    """A duplicate @_q name WITHIN one module silently overwrites the
+    earlier query in that module's dict before the cross-module guard
+    in all_queries() can see it — detect via AST over each module's
+    source (the r12 idw_interpolation near-collision motivates this)."""
+    import ast
+    import collections
+    import inspect
+
+    from tb_scale_spatial_data_pipeline_spark import plans
+
+    for mod in plans._MODULES:
+        tree = ast.parse(inspect.getsource(mod))
+        names = []
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Name)
+                and node.func.id == "_q"
+                and node.args
+                and isinstance(node.args[0], ast.Constant)
+            ):
+                names.append(node.args[0].value)
+        dupes = [n for n, c in collections.Counter(names).items() if c > 1]
+        assert dupes == [], f"{mod.__name__}: duplicate @_q names {dupes}"
+
+
+def test_no_duplicate_registrations_across_modules():
+    import collections
+
+    from tb_scale_spatial_data_pipeline_spark import plans
+
+    names = [n for mod in plans._MODULES for n in mod.QUERIES]
+    dupes = [n for n, c in collections.Counter(names).items() if c > 1]
+    assert dupes == []

@@ -377,7 +377,7 @@ def test_idw_interpolation_bounds(spark):
     vmax = spark.read.parquet(f"{SF_SMOKE}/events.parquet").agg(
         {"value": "max"}
     ).collect()[0][0]
-    out = QUERIES["idw_interpolation"](spark, SF_SMOKE).collect()
+    out = QUERIES["idw_surface_grid"](spark, SF_SMOKE).collect()
     assert 1 <= len(out) <= 64
     for r in out:
         assert vals - 0.01 <= r["idw_value"] <= vmax + 0.01
