@@ -2181,14 +2181,20 @@ def q_spatial_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("ax") - F.col("bx")) + F.abs(F.col("ay") - F.col("by")))
         == 1,
     )
+    # u ~ 256 * cell_count at scale: u^2 overflows BIGINT near 1e10
+    # events/cell, so products accumulate as DECIMAL(38,0) (exact;
+    # DuckDB's SUM(BIGINT) -> HUGEINT is already 128-bit)
+    ua_d = F.col("ua").cast("decimal(38,0)")
     pagg = pairs.agg(
         F.count(F.lit(1)).alias("sw"),
-        F.sum(F.col("ua") * F.col("ub")).alias("suu"),
-        F.sum((F.col("ua") - F.col("ub")) * (F.col("ua") - F.col("ub"))).alias(
-            "sdd"
-        ),
+        F.sum(ua_d * F.col("ub")).alias("suu"),
+        F.sum(
+            (ua_d - F.col("ub")) * (ua_d - F.col("ub"))
+        ).alias("sdd"),
     )
-    su2 = u.agg(F.sum(F.col("u") * F.col("u")).alias("su2"))
+    su2 = u.agg(
+        F.sum(F.col("u").cast("decimal(38,0)") * F.col("u")).alias("su2")
+    )
     return (
         pagg.crossJoin(F.broadcast(su2))
         .select(
@@ -2304,12 +2310,19 @@ def q_ripleys_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("py") - F.col("by")
     ) * (F.col("py") - F.col("by"))
     cand = probes.join(bside, ["ncx", "ncy"]).select(
-        (F.col("m") * F.col("mb")).alias("mm"), d2.alias("d2")
+        # multiplicity products overflow BIGINT sums at extreme SF —
+        # accumulate exactly as DECIMAL(38,0)
+        (F.col("m").cast("decimal(38,0)") * F.col("mb")).alias("mm"),
+        d2.alias("d2"),
     )
     tall = cand.agg(
         *[
-            F.sum(F.when(F.col("d2") <= r * r, F.col("mm")).otherwise(0))
-            .cast("bigint")
+            F.sum(
+                F.when(F.col("d2") <= r * r, F.col("mm")).otherwise(
+                    F.lit(0).cast("decimal(38,0)")
+                )
+            )
+            .cast("decimal(38,0)")
             .alias(f"s{r}")
             for r in (4, 8, 16)
         ]
@@ -2567,11 +2580,15 @@ def q_empirical_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(d2 <= 64, 8)
             .otherwise(16)
             .alias("h"),
-            (F.col("m") * F.col("mb")).alias("npairs"),
+            # m*Q and S*S products pass 2^63 at real corpus SFs —
+            # exact DECIMAL(38,0) lattice (DuckDB sums are HUGEINT)
+            (F.col("m").cast("decimal(38,0)") * F.col("mb")).alias(
+                "npairs"
+            ),
             (
-                F.col("mb") * F.col("q")
-                + F.col("m") * F.col("qb")
-                - 2 * F.col("s") * F.col("sb")
+                F.col("mb").cast("decimal(38,0)") * F.col("q")
+                + F.col("m").cast("decimal(38,0)") * F.col("qb")
+                - 2 * F.col("s").cast("decimal(38,0)") * F.col("sb")
             ).alias("ss"),
         )
     )
