@@ -1502,3 +1502,91 @@ def q_stream_late_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import stream_late_drop_audit
 
     return stream_late_drop_audit(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Zonal majority (mode) filter — the LULC post-classification staple
+# (the reference's domain: smooth a pixel classification by assigning
+# each zone its most frequent class). Classes come from the engine's
+# own CASE-relabel tier over the synthetic field; zones are 8x8
+# blocks; the mode is a pure count + row_number with a DETERMINISTIC
+# tie-break (highest count, then smallest class id) — selection, not
+# arithmetic, so the oracle is exact by construction. Scale: one
+# data-sized shuffle to (zone, class) counts, then a tiny window over
+# zones — the same two-stage shape as any top-1-per-group.
+@_q(
+    "zonal_majority_class",
+    f"""
+    WITH grid AS (
+      SELECT CAST(gx.x AS INTEGER) AS x, CAST(gy.y AS INTEGER) AS y
+      FROM (SELECT unnest(generate_series(0, 63)) AS x) gx,
+           (SELECT unnest(generate_series(0, 63)) AS y) gy
+    ),
+    px AS (
+      SELECT x, y, {_sql_field_z('x', 'y')} AS v FROM grid
+    ),
+    classed AS (
+      SELECT x // 8 AS zx, y // 8 AS zy,
+             CASE WHEN v < 60.0 THEN 1 WHEN v < 110.0 THEN 2
+                  WHEN v < 160.0 THEN 3 ELSE 4 END AS cls
+      FROM px
+    ),
+    counts AS (
+      SELECT zx, zy, cls, COUNT(*) AS n
+      FROM classed GROUP BY zx, zy, cls
+    ),
+    ranked AS (
+      SELECT zx, zy, cls, n,
+             row_number() OVER (PARTITION BY zx, zy
+                                ORDER BY n DESC, cls) AS rn,
+             SUM(n) OVER (PARTITION BY zx, zy) AS tot
+      FROM counts
+    )
+    SELECT CAST(zx AS INTEGER) AS zx, CAST(zy AS INTEGER) AS zy,
+           CAST(cls AS INTEGER) AS majority_class,
+           CAST(n AS BIGINT) AS n_pixels,
+           round(CAST(n AS DOUBLE) / tot, 6) AS purity
+    FROM ranked WHERE rn = 1 ORDER BY zx, zy
+    """,
+)
+def q_zonal_majority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    img = synthetic_raster(spark, 64, 64, bands=1)
+    v = F.col("b1")
+    classed = img.select(
+        F.expr("x div 8").alias("zx"),
+        F.expr("y div 8").alias("zy"),
+        F.when(v < 60.0, 1)
+        .when(v < 110.0, 2)
+        .when(v < 160.0, 3)
+        .otherwise(4)
+        .alias("cls"),
+    )
+    counts = classed.groupBy("zx", "zy", "cls").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wz = Window.partitionBy("zx", "zy")
+    ranked = counts.select(
+        "zx",
+        "zy",
+        "cls",
+        "n",
+        F.row_number()
+        .over(wz.orderBy(F.desc("n"), F.asc("cls")))
+        .alias("rn"),
+        F.sum("n").over(wz).alias("tot"),
+    )
+    return (
+        ranked.where(F.col("rn") == 1)
+        .select(
+            F.col("zx").cast("int").alias("zx"),
+            F.col("zy").cast("int").alias("zy"),
+            F.col("cls").cast("int").alias("majority_class"),
+            F.col("n").cast("bigint").alias("n_pixels"),
+            F.round(F.col("n").cast("double") / F.col("tot"), 6).alias(
+                "purity"
+            ),
+        )
+        .orderBy("zx", "zy")
+    )
