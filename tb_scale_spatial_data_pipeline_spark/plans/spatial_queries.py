@@ -2873,3 +2873,112 @@ def q_clark_evans_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Local Moran's I — LISA (Anselin, Geographical Analysis 1995): the
+# per-cell decomposition of global Moran's I that turns "is it
+# clustered?" into "WHERE is it clustered?": I_i = n u_i (sum_j w_ij
+# u_j) / sum u^2 on the same 16x16 rook lattice and exact integer
+# u = 256 x - S as the global statistic, plus the standard quadrant
+# label (HH/LL/HL/LH from the signs of u_i and its neighborhood sum).
+# Everything before the final division is BIGINT/DECIMAL-exact; the
+# label is pure sign logic. Top-10 |I_i| cells keep the output small.
+@_q(
+    "local_morans_i",
+    """
+    WITH grid AS (
+      SELECT CAST(g.i % 16 AS BIGINT) AS gx, CAST(g.i // 16 AS BIGINT) AS gy
+      FROM range(256) g(i)
+    ),
+    counts AS (
+      SELECT CAST(event_id % 16 AS BIGINT) AS gx,
+             CAST((event_id // 16) % 16 AS BIGINT) AS gy,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT g.gx, g.gy, COALESCE(c.c, 0) AS x
+      FROM grid g LEFT JOIN counts c ON c.gx = g.gx AND c.gy = g.gy
+    ),
+    tot AS (SELECT SUM(x) AS s FROM cells),
+    u AS (SELECT gx, gy, 256 * x - tot.s AS u FROM cells, tot),
+    lag AS (
+      SELECT a.gx, a.gy, a.u,
+             SUM(b.u) AS ulag, COUNT(*) AS n_neighbors
+      FROM u a JOIN u b
+        ON abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1
+      GROUP BY a.gx, a.gy, a.u
+    ),
+    su2 AS (SELECT SUM(CAST(u AS DECIMAL(38,0)) * u) AS su2 FROM u)
+    SELECT gx, gy,
+           round(256.0 * CAST(CAST(u AS DECIMAL(38,0)) * ulag AS DOUBLE)
+                 / CAST(su2 AS DOUBLE), 9) AS local_i,
+           CASE WHEN u >= 0 AND ulag >= 0 THEN 'HH'
+                WHEN u < 0 AND ulag < 0 THEN 'LL'
+                WHEN u >= 0 THEN 'HL' ELSE 'LH' END AS quadrant,
+           CAST(n_neighbors AS BIGINT) AS n_neighbors
+    FROM lag, su2
+    ORDER BY abs(round(256.0 * CAST(CAST(u AS DECIMAL(38,0)) * ulag AS DOUBLE)
+                 / CAST(su2 AS DOUBLE), 9)) DESC, gx, gy
+    LIMIT 10
+    """,
+)
+def q_local_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id")
+    counts = ev.groupBy(
+        (F.col("event_id") % 16).cast("bigint").alias("gx"),
+        (F.expr("event_id div 16") % 16).cast("bigint").alias("gy"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    grid = spark.range(256).select(
+        (F.col("id") % 16).cast("bigint").alias("gx"),
+        F.expr("id div 16").cast("bigint").alias("gy"),
+    )
+    cells = grid.join(counts, ["gx", "gy"], "left").select(
+        "gx", "gy", F.coalesce(F.col("c"), F.lit(0)).alias("x")
+    )
+    tot = cells.agg(F.sum("x").alias("s"))
+    u = (
+        cells.crossJoin(F.broadcast(tot))
+        .select("gx", "gy", (256 * F.col("x") - F.col("s")).alias("u"))
+        .localCheckpoint(eager=True)
+    )
+    b = u.select(
+        F.col("gx").alias("bx"), F.col("gy").alias("by"), F.col("u").alias("ub")
+    )
+    lag = (
+        u.join(
+            F.broadcast(b),
+            (F.abs(F.col("gx") - F.col("bx")) + F.abs(F.col("gy") - F.col("by")))
+            == 1,
+        )
+        .groupBy("gx", "gy", "u")
+        .agg(F.sum("ub").alias("ulag"), F.count(F.lit(1)).alias("n_neighbors"))
+    )
+    su2 = u.agg(
+        F.sum(F.col("u").cast("decimal(38,0)") * F.col("u")).alias("su2")
+    )
+    local_i = F.round(
+        256.0
+        * (F.col("u").cast("decimal(38,0)") * F.col("ulag")).cast("double")
+        / F.col("su2").cast("double"),
+        9,
+    )
+    quadrant = (
+        F.when((F.col("u") >= 0) & (F.col("ulag") >= 0), "HH")
+        .when((F.col("u") < 0) & (F.col("ulag") < 0), "LL")
+        .when(F.col("u") >= 0, "HL")
+        .otherwise("LH")
+    )
+    return (
+        lag.crossJoin(F.broadcast(su2))
+        .select(
+            "gx",
+            "gy",
+            local_i.alias("local_i"),
+            quadrant.alias("quadrant"),
+            F.col("n_neighbors").cast("bigint").alias("n_neighbors"),
+        )
+        .orderBy(F.abs(F.col("local_i")).desc(), "gx", "gy")
+        .limit(10)
+    )
