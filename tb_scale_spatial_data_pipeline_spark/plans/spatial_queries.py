@@ -2982,3 +2982,112 @@ def q_local_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("local_i")).desc(), "gx", "gy")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Getis-Ord Gi* hot-spot statistic (Getis & Ord, Geographical
+# Analysis 1992; the z-scored form of 1995) on the same 16x16 event
+# lattice: for each cell, Gi* standardizes the rook+self neighborhood
+# sum against its expectation under spatial randomness. All sums
+# (neighborhood totals, S1, Q) are exact BIGINTs; n = 256 makes the
+# mean an exact binary rational; the remaining float ops are the
+# IDENTICAL expression tree in both engines, rounded to 9 before the
+# tie-safe top-10 ordering. Completes the ESDA family: global Moran/
+# Geary (is it clustered), LISA (where), Gi* (hot vs cold, z-scaled).
+@_q(
+    "getis_ord_hotspots",
+    """
+    WITH grid AS (
+      SELECT CAST(g.i % 16 AS BIGINT) AS gx, CAST(g.i // 16 AS BIGINT) AS gy
+      FROM range(256) g(i)
+    ),
+    counts AS (
+      SELECT CAST(event_id % 16 AS BIGINT) AS gx,
+             CAST((event_id // 16) % 16 AS BIGINT) AS gy,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT g.gx, g.gy, COALESCE(c.c, 0) AS x
+      FROM grid g LEFT JOIN counts c ON c.gx = g.gx AND c.gy = g.gy
+    ),
+    tot AS (
+      SELECT SUM(x) AS s1, SUM(CAST(x AS DECIMAL(38,0)) * x) AS q
+      FROM cells
+    ),
+    nb AS (
+      SELECT a.gx, a.gy,
+             SUM(b.x) AS wx, COUNT(*) AS wi
+      FROM cells a JOIN cells b
+        ON abs(a.gx - b.gx) + abs(a.gy - b.gy) <= 1
+      GROUP BY a.gx, a.gy
+    ),
+    z AS (
+      SELECT gx, gy, wi,
+             round(
+               (CAST(wx AS DOUBLE) - (CAST(s1 AS DOUBLE) / 256.0) * wi)
+               / (sqrt(CAST(q AS DOUBLE) / 256.0
+                       - (CAST(s1 AS DOUBLE) / 256.0) * (CAST(s1 AS DOUBLE) / 256.0))
+                  * sqrt((256.0 * wi - CAST(wi AS DOUBLE) * wi) / 255.0)),
+               9) AS gi_star
+      FROM nb, tot
+    )
+    SELECT gx, gy, gi_star,
+           CASE WHEN gi_star >= 1.96 THEN 'hot'
+                WHEN gi_star <= -1.96 THEN 'cold' ELSE 'ns' END AS label,
+           CAST(wi AS BIGINT) AS n_neighbors
+    FROM z
+    ORDER BY abs(gi_star) DESC, gx, gy
+    LIMIT 10
+    """,
+)
+def q_getis_ord_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id")
+    counts = ev.groupBy(
+        (F.col("event_id") % 16).cast("bigint").alias("gx"),
+        (F.expr("event_id div 16") % 16).cast("bigint").alias("gy"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    grid = spark.range(256).select(
+        (F.col("id") % 16).cast("bigint").alias("gx"),
+        F.expr("id div 16").cast("bigint").alias("gy"),
+    )
+    cells = grid.join(counts, ["gx", "gy"], "left").select(
+        "gx", "gy", F.coalesce(F.col("c"), F.lit(0)).alias("x")
+    ).localCheckpoint(eager=True)
+    tot = cells.agg(
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("q"),
+    )
+    b = cells.select(
+        F.col("gx").alias("bx"), F.col("gy").alias("by"), F.col("x").alias("xb")
+    )
+    nb = (
+        cells.join(
+            F.broadcast(b),
+            (F.abs(F.col("gx") - F.col("bx")) + F.abs(F.col("gy") - F.col("by")))
+            <= 1,
+        )
+        .groupBy("gx", "gy")
+        .agg(F.sum("xb").alias("wx"), F.count(F.lit(1)).alias("wi"))
+    )
+    s1d = F.col("s1").cast("double") / 256.0
+    wi_d = F.col("wi").cast("double")
+    gi = F.round(
+        (F.col("wx").cast("double") - s1d * F.col("wi"))
+        / (
+            F.sqrt(F.col("q").cast("double") / 256.0 - s1d * s1d)
+            * F.sqrt((256.0 * F.col("wi") - wi_d * F.col("wi")) / 255.0)
+        ),
+        9,
+    )
+    out = nb.crossJoin(F.broadcast(tot)).select(
+        "gx",
+        "gy",
+        gi.alias("gi_star"),
+        F.when(gi >= 1.96, "hot")
+        .when(gi <= -1.96, "cold")
+        .otherwise("ns")
+        .alias("label"),
+        F.col("wi").cast("bigint").alias("n_neighbors"),
+    )
+    return out.orderBy(F.abs(F.col("gi_star")).desc(), "gx", "gy").limit(10)

@@ -396,3 +396,54 @@ def test_clark_evans_consistency(spark):
     assert r["n_points"] + r["n_censored"] == n_ev
     assert abs(r["ce_ratio"] - round(r["mean_nn"] / r["expected_nn"], 7)) < 1e-6
     assert r["ce_ratio"] > 1.0  # LCG lattice = dispersed, never clustered
+
+
+def test_esda_family_consistency(spark):
+    """LISA decomposition must be consistent with the global Moran's I
+    (sum of local I_i over ALL cells / n == global I — checked via an
+    un-truncated recomputation), and Gi* labels must be coherent."""
+    from pyspark.sql import functions as F
+
+    from tb_scale_spatial_data_pipeline_spark.plans.spatial_queries import (
+        QUERIES,
+    )
+
+    g = QUERIES["spatial_autocorrelation"](spark, SF_SMOKE).collect()[0]
+    # recompute sum of local I over all 256 cells with NumPy
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select("event_id")
+    counts = np.zeros((16, 16), dtype=np.int64)
+    for r in ev.collect():
+        counts[(r["event_id"] // 16) % 16, r["event_id"] % 16] += 1
+    x = counts.astype(np.int64)
+    s = x.sum()
+    u = 256 * x - s
+    ulag = np.zeros_like(u)
+    ulag[1:, :] += u[:-1, :]
+    ulag[:-1, :] += u[1:, :]
+    ulag[:, 1:] += u[:, :-1]
+    ulag[:, :-1] += u[:, 1:]
+    su2 = (u.astype(object) ** 2).sum()
+    local_sum = (256.0 * (u.astype(object) * ulag).sum()) / float(su2)
+    # global I = (n / sum_w) * sum_ij w u_i u_j / sum u^2
+    #          = (256 / 960) * (local_sum_over_cells ... ) relation:
+    # sum_i local_i = n * suu / su2 ; I = suu*n/(sw*su2)
+    assert abs(float(local_sum) / g["sum_w"] - g["morans_i"]) < 1e-6
+
+    lisa = QUERIES["local_morans_i"](spark, SF_SMOKE).collect()
+    assert len(lisa) == 10
+    for r in lisa:
+        assert r["quadrant"] in {"HH", "LL", "HL", "LH"}
+        # HH/LL contribute positive local I, HL/LH negative
+        if r["quadrant"] in {"HH", "LL"}:
+            assert r["local_i"] >= 0
+        else:
+            assert r["local_i"] <= 0
+
+    hot = QUERIES["getis_ord_hotspots"](spark, SF_SMOKE).collect()
+    assert len(hot) == 10
+    for r in hot:
+        if r["label"] == "hot":
+            assert r["gi_star"] >= 1.96
+        elif r["label"] == "cold":
+            assert r["gi_star"] <= -1.96
+        assert r["n_neighbors"] in (3, 4, 5)  # corner/edge/interior +self
