@@ -3091,3 +3091,163 @@ def q_getis_ord_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wi").cast("bigint").alias("n_neighbors"),
     )
     return out.orderBy(F.abs(F.col("gi_star")).desc(), "gx", "gy").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Knox space-time interaction test (Knox, Applied Statistics 1964 —
+# the epidemiology screen for "do events cluster in space AND time
+# together?"): X = #{unordered pairs close in BOTH space (d^2 <= 64)
+# and time (|dt| <= 1 h)}, compared to the independence expectation
+# E = Ns * Nt / C(n,2). All three tallies are exact integer pair
+# counts; each uses the banding discipline — space pairs via the 3x3
+# block join on 8-px cells, time pairs via adjacent 1 h buckets — so
+# NOTHING is all-pairs at any SF. One double division for E and the
+# ratio. Timestamps follow the repo's epoch_ms convention.
+@_q(
+    "knox_space_time",
+    """
+    WITH ev AS (
+      SELECT event_id,
+             ((event_id * 48271) % 2147483647) % 256 AS px,
+             (((event_id * 48271) % 2147483647) // 256) % 256 AS py,
+             CAST(epoch_ms(ts) AS BIGINT) AS tms
+      FROM events
+    ),
+    n_tot AS (SELECT COUNT(*) AS n FROM ev),
+    scells AS (
+      SELECT event_id, px, py, tms, px // 8 AS cx, py // 8 AS cy FROM ev
+    ),
+    sprobe AS (
+      SELECT s.event_id, s.px, s.py, s.tms,
+             s.cx + dx.d AS ncx, s.cy + dy.d AS ncy
+      FROM scells s,
+           (SELECT unnest(generate_series(-1, 1)) AS d) dx,
+           (SELECT unnest(generate_series(-1, 1)) AS d) dy
+    ),
+    spairs AS (
+      SELECT a.event_id AS ia, b.event_id AS ib,
+             a.tms AS ta, b.tms AS tb
+      FROM sprobe a JOIN scells b ON b.cx = a.ncx AND b.cy = a.ncy
+      WHERE a.event_id < b.event_id
+        AND (a.px - b.px) * (a.px - b.px)
+            + (a.py - b.py) * (a.py - b.py) <= 64
+    ),
+    ns AS (SELECT COUNT(*) AS ns FROM spairs),
+    x AS (
+      SELECT COUNT(*) AS x FROM spairs
+      WHERE abs(ta - tb) <= 3600000
+    ),
+    tb_ AS (
+      SELECT event_id, tms, tms // 3600000 AS bkt FROM ev
+    ),
+    tprobe AS (
+      SELECT t.event_id, t.tms, t.bkt + d.d AS nbkt
+      FROM tb_ t, (SELECT unnest(generate_series(-1, 1)) AS d) d
+    ),
+    nt AS (
+      SELECT COUNT(*) AS nt
+      FROM tprobe a JOIN tb_ b ON b.bkt = a.nbkt
+      WHERE a.event_id < b.event_id AND abs(a.tms - b.tms) <= 3600000
+    )
+    SELECT CAST(x.x AS BIGINT) AS x_close_both,
+           CAST(ns.ns AS BIGINT) AS n_space_close,
+           CAST(nt.nt AS BIGINT) AS n_time_close,
+           round(CAST(ns.ns AS DOUBLE) * nt.nt
+                 / (CAST(n.n AS DOUBLE) * (n.n - 1) / 2.0), 6) AS expected,
+           round(CAST(x.x AS DOUBLE)
+                 / (CAST(ns.ns AS DOUBLE) * nt.nt
+                    / (CAST(n.n AS DOUBLE) * (n.n - 1) / 2.0)), 6)
+             AS knox_ratio
+    FROM x, ns, nt, n_tot n
+    """,
+)
+def q_knox_space_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    evt = t(spark, sf_dir, "events").select("event_id", "ts")
+    tms = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast(
+        "bigint"
+    )
+    h = (F.col("event_id") * 48271) % 2147483647
+    ev = evt.select(
+        "event_id",
+        (h % 256).alias("px"),
+        (F.expr("((event_id * 48271) % 2147483647) div 256") % 256).alias("py"),
+        tms.alias("tms"),
+    ).localCheckpoint(eager=True)  # feeds space AND time pair builds
+    n_tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    scells = ev.select(
+        "*",
+        F.expr("px div 8").alias("cx"),
+        F.expr("py div 8").alias("cy"),
+    )
+    offs = (
+        spark.range(-1, 2)
+        .select(F.col("id").alias("dx"))
+        .crossJoin(spark.range(-1, 2).select(F.col("id").alias("dy")))
+    )
+    sprobe = scells.crossJoin(F.broadcast(offs)).select(
+        F.col("event_id").alias("ia"),
+        F.col("px").alias("pxa"),
+        F.col("py").alias("pya"),
+        F.col("tms").alias("ta"),
+        (F.col("cx") + F.col("dx")).alias("ncx"),
+        (F.col("cy") + F.col("dy")).alias("ncy"),
+    )
+    bside = scells.select(
+        F.col("event_id").alias("ib"),
+        F.col("px").alias("pxb"),
+        F.col("py").alias("pyb"),
+        F.col("tms").alias("tb"),
+        F.col("cx").alias("ncx"),
+        F.col("cy").alias("ncy"),
+    )
+    d2 = (F.col("pxa") - F.col("pxb")) * (F.col("pxa") - F.col("pxb")) + (
+        F.col("pya") - F.col("pyb")
+    ) * (F.col("pya") - F.col("pyb"))
+    spairs = (
+        sprobe.join(bside, ["ncx", "ncy"])
+        .where((F.col("ia") < F.col("ib")) & (d2 <= 64))
+        .select("ia", "ib", "ta", "tb")
+        .localCheckpoint(eager=True)  # counted twice (ns and x)
+    )
+    ns = spairs.agg(F.count(F.lit(1)).alias("ns"))
+    x = spairs.where(
+        F.abs(F.col("ta") - F.col("tb")) <= 3600000
+    ).agg(F.count(F.lit(1)).alias("x"))
+    tbk = ev.select(
+        "event_id", "tms", F.expr("tms div 3600000").alias("bkt")
+    )
+    toffs = spark.range(-1, 2).select(F.col("id").alias("d"))
+    tprobe = tbk.crossJoin(F.broadcast(toffs)).select(
+        F.col("event_id").alias("ia"),
+        F.col("tms").alias("ta"),
+        (F.col("bkt") + F.col("d")).alias("nbkt"),
+    )
+    tside = tbk.select(
+        F.col("event_id").alias("ib"),
+        F.col("tms").alias("tb"),
+        F.col("bkt").alias("nbkt"),
+    )
+    nt = (
+        tprobe.join(tside, "nbkt")
+        .where(
+            (F.col("ia") < F.col("ib"))
+            & (F.abs(F.col("ta") - F.col("tb")) <= 3600000)
+        )
+        .agg(F.count(F.lit(1)).alias("nt"))
+    )
+    nd = F.col("n").cast("double")
+    expected = F.col("ns").cast("double") * F.col("nt") / (nd * (F.col("n") - 1) / 2.0)
+    return (
+        x.crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            F.col("x").cast("bigint").alias("x_close_both"),
+            F.col("ns").cast("bigint").alias("n_space_close"),
+            F.col("nt").cast("bigint").alias("n_time_close"),
+            F.round(expected, 6).alias("expected"),
+            F.round(F.col("x").cast("double") / expected, 6).alias(
+                "knox_ratio"
+            ),
+        )
+    )

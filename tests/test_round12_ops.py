@@ -447,3 +447,33 @@ def test_esda_family_consistency(spark):
         elif r["label"] == "cold":
             assert r["gi_star"] <= -1.96
         assert r["n_neighbors"] in (3, 4, 5)  # corner/edge/interior +self
+
+
+def test_knox_matches_brute_force(spark):
+    """All three Knox tallies == O(n^2) brute force at sf0.001."""
+    from tb_scale_spatial_data_pipeline_spark.plans.spatial_queries import (
+        QUERIES,
+    )
+
+    rows = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "ts"
+    ).collect()
+    e = np.array([r["event_id"] for r in rows], dtype=np.int64)
+    tms = np.array(
+        [int(r["ts"].timestamp() * 1_000_000) // 1000 for r in rows],
+        dtype=np.int64,
+    )
+    h = (e * 48271) % 2147483647
+    pts = np.stack([h % 256, (h // 256) % 256], 1).astype(np.int64)
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    dt = np.abs(tms[:, None] - tms[None, :])
+    iu = np.triu_indices(len(e), k=1)
+    sp = d2[iu] <= 64
+    tp = dt[iu] <= 3600000
+    r = QUERIES["knox_space_time"](spark, SF_SMOKE).collect()[0]
+    assert r["n_space_close"] == int(sp.sum())
+    assert r["n_time_close"] == int(tp.sum())
+    assert r["x_close_both"] == int((sp & tp).sum())
+    n = len(e)
+    exp = sp.sum() * tp.sum() / (n * (n - 1) / 2.0)
+    assert abs(r["expected"] - round(float(exp), 6)) < 1e-9
