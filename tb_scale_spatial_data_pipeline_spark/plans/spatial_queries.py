@@ -3251,3 +3251,223 @@ def q_knox_space_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bivariate (cross-type) Ripley K12 — the MARKED point-pattern
+# statistic (Lotwick & Silverman JRSS-B 1982): do clicks cluster
+# AROUND purchases, beyond what each pattern does alone? K12(r) =
+# A/(n1 n2) * #{(click i, purchase j) pairs with d <= r}. Same
+# Lehmer-hashed locations and 3x3 16-px block machinery as ripleys_k,
+# but the pair tally joins the two TYPE-split location tables — counts
+# stay exact BIGINTs (no self-pair correction needed across types).
+@_q(
+    "cross_k_function",
+    """
+    WITH ev AS (
+      SELECT event_id, event_type,
+             ((event_id * 48271) % 2147483647) % 256 AS px,
+             (((event_id * 48271) % 2147483647) // 256) % 256 AS py
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    clicks AS (
+      SELECT px, py, COUNT(*) AS m, px // 16 AS cx, py // 16 AS cy
+      FROM ev WHERE event_type = 'click' GROUP BY px, py
+    ),
+    purch AS (
+      SELECT px, py, COUNT(*) AS m, px // 16 AS cx, py // 16 AS cy
+      FROM ev WHERE event_type = 'purchase' GROUP BY px, py
+    ),
+    n1 AS (SELECT SUM(m) AS n FROM clicks),
+    n2 AS (SELECT SUM(m) AS n FROM purch),
+    probes AS (
+      SELECT c.px, c.py, c.m, c.cx + dx.d AS ncx, c.cy + dy.d AS ncy
+      FROM clicks c,
+           (SELECT unnest(generate_series(-1, 1)) AS d) dx,
+           (SELECT unnest(generate_series(-1, 1)) AS d) dy
+    ),
+    cand AS (
+      SELECT CAST(a.m AS DECIMAL(38,0)) * b.m AS mm,
+             (a.px - b.px) * (a.px - b.px)
+             + (a.py - b.py) * (a.py - b.py) AS d2
+      FROM probes a JOIN purch b ON b.cx = a.ncx AND b.cy = a.ncy
+    ),
+    tallies AS (
+      SELECT CAST(SUM(CASE WHEN d2 <= 16 THEN mm ELSE 0 END)
+                  AS DECIMAL(38,0)) AS s4,
+             CAST(SUM(CASE WHEN d2 <= 64 THEN mm ELSE 0 END)
+                  AS DECIMAL(38,0)) AS s8,
+             CAST(SUM(CASE WHEN d2 <= 256 THEN mm ELSE 0 END)
+                  AS DECIMAL(38,0)) AS s16
+      FROM cand
+    ),
+    radii AS (SELECT * FROM (VALUES (4, 0), (8, 1), (16, 2)) v(r, k))
+    SELECT CAST(r.r AS BIGINT) AS r,
+           CAST(CASE r.k WHEN 0 THEN t.s4 WHEN 1 THEN t.s8 ELSE t.s16 END
+                AS BIGINT) AS n_cross_pairs,
+           round(65536.0
+                 * CAST(CASE r.k WHEN 0 THEN t.s4 WHEN 1 THEN t.s8
+                        ELSE t.s16 END AS DOUBLE)
+                 / (CAST(a.n AS DOUBLE) * b.n), 9) AS k12_r
+    FROM radii r, tallies t, n1 a, n2 b
+    ORDER BY r
+    """,
+)
+def q_cross_k_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_type",
+            ((F.col("event_id") * 48271) % 2147483647 % 256).alias("px"),
+            (
+                F.expr("((event_id * 48271) % 2147483647) div 256") % 256
+            ).alias("py"),
+        )
+    )
+
+    def side(kind: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == kind)
+            .groupBy("px", "py")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .select(
+                "px",
+                "py",
+                "m",
+                F.expr("px div 16").alias("ncx"),
+                F.expr("py div 16").alias("ncy"),
+            )
+        )
+
+    clicks = side("click").localCheckpoint(eager=True)
+    purch = side("purchase").localCheckpoint(eager=True)
+    n1 = clicks.agg(F.sum("m").alias("n1"))
+    n2 = purch.agg(F.sum("m").alias("n2"))
+    offs = (
+        spark.range(-1, 2)
+        .select(F.col("id").alias("dx"))
+        .crossJoin(spark.range(-1, 2).select(F.col("id").alias("dy")))
+    )
+    probes = clicks.crossJoin(F.broadcast(offs)).select(
+        F.col("px").alias("pxa"),
+        F.col("py").alias("pya"),
+        F.col("m").alias("ma"),
+        (F.col("ncx") + F.col("dx")).alias("ncx"),
+        (F.col("ncy") + F.col("dy")).alias("ncy"),
+    )
+    bside = purch.select(
+        F.col("px").alias("pxb"),
+        F.col("py").alias("pyb"),
+        F.col("m").alias("mb"),
+        "ncx",
+        "ncy",
+    )
+    d2 = (F.col("pxa") - F.col("pxb")) * (F.col("pxa") - F.col("pxb")) + (
+        F.col("pya") - F.col("pyb")
+    ) * (F.col("pya") - F.col("pyb"))
+    cand = probes.join(bside, ["ncx", "ncy"]).select(
+        (F.col("ma").cast("decimal(38,0)") * F.col("mb")).alias("mm"),
+        d2.alias("d2"),
+    )
+    tall = cand.agg(
+        *[
+            F.sum(
+                F.when(F.col("d2") <= r * r, F.col("mm")).otherwise(
+                    F.lit(0).cast("decimal(38,0)")
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias(f"s{r}")
+            for r in (4, 8, 16)
+        ]
+    )
+    base = tall.crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(n2))
+    arms = None
+    for r in (4, 8, 16):
+        k12 = (
+            65536.0
+            * F.col(f"s{r}").cast("double")
+            / (F.col("n1").cast("double") * F.col("n2"))
+        )
+        arm = base.select(
+            F.lit(r).cast("bigint").alias("r"),
+            F.col(f"s{r}").cast("bigint").alias("n_cross_pairs"),
+            F.round(k12, 9).alias("k12_r"),
+        )
+        arms = arm if arms is None else arms.unionByName(arm)
+    return arms.orderBy("r")
+
+
+# ---------------------------------------------------------------------------
+# Quadrat count test (Fisher's CSR screen; Greig-Smith 1952 quadrat
+# analysis): chi2 = sum (c_i - n/256)^2 / (n/256) over the 16x16
+# lattice, plus the variance-mean ratio (VMR; 1 under Poisson, > 1
+# clustered, < 1 regular). n/256 is an exact binary rational, counts
+# are integers, so every term is an exact double and the sum uses the
+# repo's round(12)->DECIMAL(38,12) accumulation discipline.
+@_q(
+    "quadrat_count_test",
+    """
+    WITH grid AS (
+      SELECT CAST(g.i % 16 AS BIGINT) AS gx, CAST(g.i // 16 AS BIGINT) AS gy
+      FROM range(256) g(i)
+    ),
+    counts AS (
+      SELECT CAST(event_id % 16 AS BIGINT) AS gx,
+             CAST((event_id // 16) % 16 AS BIGINT) AS gy,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT g.gx, g.gy, COALESCE(c.c, 0) AS x
+      FROM grid g LEFT JOIN counts c ON c.gx = g.gx AND c.gy = g.gy
+    ),
+    tot AS (SELECT SUM(x) AS n FROM cells),
+    chi AS (
+      SELECT round(CAST(SUM(CAST(round(
+               (x - CAST(n AS DOUBLE) / 256.0)
+               * (x - CAST(n AS DOUBLE) / 256.0)
+               / (CAST(n AS DOUBLE) / 256.0), 12) AS DECIMAL(38,12)))
+             AS DOUBLE), 9) AS chi2,
+             MAX(n) AS n
+      FROM cells, tot
+    )
+    SELECT CAST(n AS BIGINT) AS n_events,
+           CAST(255 AS BIGINT) AS dof,
+           chi2,
+           round(chi2 / 255.0, 9) AS vmr
+    FROM chi
+    """,
+)
+def q_quadrat_count_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id")
+    counts = ev.groupBy(
+        (F.col("event_id") % 16).cast("bigint").alias("gx"),
+        (F.expr("event_id div 16") % 16).cast("bigint").alias("gy"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    grid = spark.range(256).select(
+        (F.col("id") % 16).cast("bigint").alias("gx"),
+        F.expr("id div 16").cast("bigint").alias("gy"),
+    )
+    cells = grid.join(counts, ["gx", "gy"], "left").select(
+        F.coalesce(F.col("c"), F.lit(0)).alias("x")
+    )
+    tot = cells.agg(F.sum("x").alias("n"))
+    mu = F.col("n").cast("double") / 256.0
+    term = F.round((F.col("x") - mu) * (F.col("x") - mu) / mu, 12).cast(
+        "decimal(38,12)"
+    )
+    chi = (
+        cells.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum(term).cast("double"), 9).alias("chi2"),
+            F.max("n").alias("n"),
+        )
+    )
+    return chi.select(
+        F.col("n").cast("bigint").alias("n_events"),
+        F.lit(255).cast("bigint").alias("dof"),
+        "chi2",
+        F.round(F.col("chi2") / 255.0, 9).alias("vmr"),
+    )

@@ -477,3 +477,41 @@ def test_knox_matches_brute_force(spark):
     n = len(e)
     exp = sp.sum() * tp.sum() / (n * (n - 1) / 2.0)
     assert abs(r["expected"] - round(float(exp), 6)) < 1e-9
+
+
+def test_cross_k_matches_brute_force(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.spatial_queries import (
+        QUERIES,
+    )
+
+    rows = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "event_type"
+    ).collect()
+    pts = {"click": [], "purchase": []}
+    for r in rows:
+        if r["event_type"] in pts:
+            h = (r["event_id"] * 48271) % 2147483647
+            pts[r["event_type"]].append((h % 256, (h // 256) % 256))
+    a = np.array(pts["click"], dtype=np.int64)
+    b = np.array(pts["purchase"], dtype=np.int64)
+    d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    got = {r["r"]: r for r in QUERIES["cross_k_function"](spark, SF_SMOKE).collect()}
+    for r in (4, 8, 16):
+        expect = int((d2 <= r * r).sum())
+        assert got[r]["n_cross_pairs"] == expect, r
+        k = 65536.0 * expect / (len(a) * len(b))
+        assert abs(got[r]["k12_r"] - round(k, 9)) < 1e-9
+
+
+def test_quadrat_vmr_consistency(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.spatial_queries import (
+        QUERIES,
+    )
+
+    r = QUERIES["quadrat_count_test"](spark, SF_SMOKE).collect()[0]
+    n_ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert r["n_events"] == n_ev
+    assert r["dof"] == 255
+    assert r["chi2"] >= 0
+    # chi2/dof IS the variance-mean ratio for equal-sized quadrats
+    assert abs(r["vmr"] - round(r["chi2"] / 255.0, 9)) < 1e-12
