@@ -1590,3 +1590,215 @@ def q_zonal_majority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zx", "zy")
     )
+
+
+# ---------------------------------------------------------------------------
+# D8 flow direction (O'Callaghan & Mark CVGIP 1984) — hydrology's
+# first raster op: each interior DEM cell drains to the steepest of
+# its 8 neighbors (drop / distance, diagonal distance sqrt(2)), or is
+# a SINK (code 0) when no neighbor is lower. Pure selection over the
+# closed-form field: the steepest-descent rank orders on the drop
+# rate ROUNDED to 9 with the ESRI direction-code tiebreak, so libm
+# ulps cannot flip a direction; the output is the per-direction
+# histogram (codes 1,2,4,...,128 + sinks). One contribution-form
+# shuffle, the halo-exchange neighborhood pattern expressed
+# relationally.
+@_q(
+    "d8_flow_direction",
+    f"""
+    WITH grid AS (
+      SELECT CAST(gx.x AS INTEGER) AS x, CAST(gy.y AS INTEGER) AS y
+      FROM (SELECT unnest(generate_series(0, 63)) AS x) gx,
+           (SELECT unnest(generate_series(0, 63)) AS y) gy
+    ),
+    px AS (SELECT x, y, {_sql_field_z('x', 'y')} AS z FROM grid),
+    offs AS (
+      SELECT * FROM (VALUES
+        (1,  1,  0, 1.0), (2,  1,  1, 1.4142135623730951),
+        (4,  0,  1, 1.0), (8, -1,  1, 1.4142135623730951),
+        (16, -1, 0, 1.0), (32, -1, -1, 1.4142135623730951),
+        (64,  0, -1, 1.0), (128, 1, -1, 1.4142135623730951)
+      ) v(code, dx, dy, dist)
+    ),
+    drops AS (
+      SELECT c.x, c.y, o.code,
+             round((c.z - n.z) / o.dist, 9) AS rate
+      FROM px c JOIN offs o ON TRUE
+      JOIN px n ON n.x = c.x + o.dx AND n.y = c.y + o.dy
+      WHERE c.x BETWEEN 1 AND 62 AND c.y BETWEEN 1 AND 62
+    ),
+    best AS (
+      SELECT x, y, code, rate,
+             row_number() OVER (PARTITION BY x, y
+                                ORDER BY rate DESC, code) AS rn
+      FROM drops
+    ),
+    dirs AS (
+      SELECT CASE WHEN rate > 0 THEN code ELSE 0 END AS direction
+      FROM best WHERE rn = 1
+    )
+    SELECT CAST(direction AS INTEGER) AS direction,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM dirs GROUP BY direction ORDER BY direction
+    """,
+)
+def q_d8_flow_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    img = synthetic_raster(spark, 64, 64, bands=1)
+    px = img.select("x", "y", F.col("b1").alias("z"))
+    offs = spark.createDataFrame(
+        [
+            (1, 1, 0, 1.0),
+            (2, 1, 1, 1.4142135623730951),
+            (4, 0, 1, 1.0),
+            (8, -1, 1, 1.4142135623730951),
+            (16, -1, 0, 1.0),
+            (32, -1, -1, 1.4142135623730951),
+            (64, 0, -1, 1.0),
+            (128, 1, -1, 1.4142135623730951),
+        ],
+        "code int, dx int, dy int, dist double",
+    )
+    centers = px.where(
+        F.col("x").between(1, 62) & F.col("y").between(1, 62)
+    ).select(F.col("x").alias("cx"), F.col("y").alias("cy"), F.col("z").alias("zc"))
+    nb = px.select(
+        F.col("x").alias("nx"), F.col("y").alias("ny"), F.col("z").alias("zn")
+    )
+    drops = (
+        centers.crossJoin(F.broadcast(offs))
+        .join(
+            nb,
+            (F.col("nx") == F.col("cx") + F.col("dx"))
+            & (F.col("ny") == F.col("cy") + F.col("dy")),
+        )
+        .select(
+            "cx",
+            "cy",
+            "code",
+            F.round((F.col("zc") - F.col("zn")) / F.col("dist"), 9).alias(
+                "rate"
+            ),
+        )
+    )
+    w = Window.partitionBy("cx", "cy").orderBy(F.desc("rate"), F.asc("code"))
+    best = drops.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    dirs = best.select(
+        F.when(F.col("rate") > 0, F.col("code")).otherwise(0).alias("direction")
+    )
+    return (
+        dirs.groupBy("direction")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cells"))
+        .select(F.col("direction").cast("int").alias("direction"), "n_cells")
+        .orderBy("direction")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Topographic Position Index + Terrain Ruggedness Index (Weiss 2001;
+# Riley et al. 1999) — the two standard DEM derivatives after
+# slope/aspect: TPI = z - mean(8 neighbors) classifies ridges (>0) /
+# valleys (<0); TRI = mean |z - z_n| measures local ruggedness. Both
+# via ONE contribution-form shuffle; the per-neighbor terms round to
+# 12 and accumulate as DECIMAL(38,12) (order-free), aggregated to
+# 8x8 zone summaries to keep the output compact.
+@_q(
+    "dem_tpi_tri",
+    f"""
+    WITH grid AS (
+      SELECT CAST(gx.x AS INTEGER) AS x, CAST(gy.y AS INTEGER) AS y
+      FROM (SELECT unnest(generate_series(0, 63)) AS x) gx,
+           (SELECT unnest(generate_series(0, 63)) AS y) gy
+    ),
+    px AS (SELECT x, y, {_sql_field_z('x', 'y')} AS z FROM grid),
+    offs AS (
+      SELECT CAST(dx.d AS INTEGER) AS dx, CAST(dy.d AS INTEGER) AS dy
+      FROM (SELECT unnest(generate_series(-1, 1)) AS d) dx,
+           (SELECT unnest(generate_series(-1, 1)) AS d) dy
+      WHERE NOT (dx.d = 0 AND dy.d = 0)
+    ),
+    terms AS (
+      SELECT c.x, c.y,
+             CAST(round(c.z - n.z, 12) AS DECIMAL(38,12)) AS diff,
+             CAST(round(abs(c.z - n.z), 12) AS DECIMAL(38,12)) AS adiff
+      FROM px c JOIN offs o ON TRUE
+      JOIN px n ON n.x = c.x + o.dx AND n.y = c.y + o.dy
+      WHERE c.x BETWEEN 1 AND 62 AND c.y BETWEEN 1 AND 62
+    ),
+    cellstats AS (
+      SELECT x, y,
+             round(CAST(SUM(diff) AS DOUBLE) / 8.0, 9) AS tpi,
+             round(CAST(SUM(adiff) AS DOUBLE) / 8.0, 9) AS tri
+      FROM terms GROUP BY x, y
+    )
+    SELECT CAST(x // 8 AS INTEGER) AS zx, CAST(y // 8 AS INTEGER) AS zy,
+           round(CAST(SUM(CAST(tpi AS DECIMAL(38,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_tpi,
+           round(CAST(SUM(CAST(tri AS DECIMAL(38,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_tri,
+           MAX(tri) AS max_tri,
+           CAST(SUM(CASE WHEN tpi > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ridge_cells
+    FROM cellstats GROUP BY 1, 2 ORDER BY zx, zy
+    """,
+)
+def q_dem_tpi_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = synthetic_raster(spark, 64, 64, bands=1)
+    px = img.select("x", "y", F.col("b1").alias("z"))
+    offs = (
+        spark.range(-1, 2)
+        .select(F.col("id").cast("int").alias("dx"))
+        .crossJoin(spark.range(-1, 2).select(F.col("id").cast("int").alias("dy")))
+        .where(~((F.col("dx") == 0) & (F.col("dy") == 0)))
+    )
+    centers = px.where(
+        F.col("x").between(1, 62) & F.col("y").between(1, 62)
+    ).select(F.col("x").alias("cx"), F.col("y").alias("cy"), F.col("z").alias("zc"))
+    nb = px.select(
+        F.col("x").alias("nx"), F.col("y").alias("ny"), F.col("z").alias("zn")
+    )
+    diff = F.col("zc") - F.col("zn")
+    terms = (
+        centers.crossJoin(F.broadcast(offs))
+        .join(
+            nb,
+            (F.col("nx") == F.col("cx") + F.col("dx"))
+            & (F.col("ny") == F.col("cy") + F.col("dy")),
+        )
+        .select(
+            "cx",
+            "cy",
+            F.round(diff, 12).cast("decimal(38,12)").alias("diff"),
+            F.round(F.abs(diff), 12).cast("decimal(38,12)").alias("adiff"),
+        )
+    )
+    cellstats = terms.groupBy("cx", "cy").agg(
+        F.round(F.sum("diff").cast("double") / 8.0, 9).alias("tpi"),
+        F.round(F.sum("adiff").cast("double") / 8.0, 9).alias("tri"),
+    )
+    return (
+        cellstats.groupBy(
+            F.expr("cx div 8").cast("int").alias("zx"),
+            F.expr("cy div 8").cast("int").alias("zy"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("tpi").cast("decimal(38,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_tpi"),
+            F.round(
+                F.sum(F.col("tri").cast("decimal(38,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_tri"),
+            F.max("tri").alias("max_tri"),
+            F.sum(F.when(F.col("tpi") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ridge_cells"),
+        )
+        .orderBy("zx", "zy")
+    )

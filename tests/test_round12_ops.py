@@ -515,3 +515,56 @@ def test_quadrat_vmr_consistency(spark):
     assert r["chi2"] >= 0
     # chi2/dof IS the variance-mean ratio for equal-sized quadrats
     assert abs(r["vmr"] - round(r["chi2"] / 255.0, 9)) < 1e-12
+
+
+def test_d8_and_tpi_match_numpy(spark):
+    """D8 direction histogram and TPI/TRI zone stats vs a direct
+    NumPy recomputation over the collected field."""
+    field = _collect_field(spark)
+    # D8
+    codes = [(1, 1, 0, 1.0), (2, 1, 1, 2**0.5), (4, 0, 1, 1.0),
+             (8, -1, 1, 2**0.5), (16, -1, 0, 1.0), (32, -1, -1, 2**0.5),
+             (64, 0, -1, 1.0), (128, 1, -1, 2**0.5)]
+    hist: dict[int, int] = {}
+    for cy in range(1, 63):
+        for cx in range(1, 63):
+            best_rate, best_code = None, 0
+            for code, dx, dy, dist in codes:
+                rate = round((field[cy, cx] - field[cy + dy, cx + dx]) / dist, 9)
+                if best_rate is None or rate > best_rate or (
+                    rate == best_rate and code < best_code
+                ):
+                    best_rate, best_code = rate, code
+            d = best_code if best_rate > 0 else 0
+            hist[d] = hist.get(d, 0) + 1
+    got = {
+        r["direction"]: r["n_cells"]
+        for r in PIPELINE_QUERIES["d8_flow_direction"](spark, SF_SMOKE).collect()
+    }
+    assert got == hist
+    # TPI/TRI: spot-check one zone against direct stencil means
+    out = {
+        (r["zx"], r["zy"]): r
+        for r in PIPELINE_QUERIES["dem_tpi_tri"](spark, SF_SMOKE).collect()
+    }
+    import numpy as _np
+
+    for zx, zy in [(3, 3), (0, 0), (7, 7)]:
+        tpis, tris = [], []
+        for cy in range(max(1, zy * 8), min(63, zy * 8 + 8)):
+            for cx in range(max(1, zx * 8), min(63, zx * 8 + 8)):
+                nbrs = [
+                    field[cy + dy, cx + dx]
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                    if not (dx == 0 and dy == 0)
+                ]
+                diffs = [field[cy, cx] - z for z in nbrs]
+                tpis.append(round(sum(round(d, 12) for d in diffs) / 8.0, 9))
+                tris.append(
+                    round(sum(round(abs(d), 12) for d in diffs) / 8.0, 9)
+                )
+        r = out[(zx, zy)]
+        assert abs(r["mean_tpi"] - round(_np.sum(tpis) / len(tpis), 6)) < 1e-5
+        assert abs(r["mean_tri"] - round(_np.sum(tris) / len(tris), 6)) < 1e-5
+        assert abs(r["max_tri"] - max(tris)) < 1e-9
