@@ -1802,3 +1802,101 @@ def q_dem_tpi_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zx", "zy")
     )
+
+
+# ---------------------------------------------------------------------------
+# Marching-squares contour census (Lorensen & Cline's 2D case table,
+# SIGGRAPH 1987 lineage): for each iso-level, classify every 2x2
+# pixel cell by which corners sit above the level — the case index
+# IS the contour topology (0/15 = no crossing, 5/10 = saddle, rest =
+# one segment). Counting cases is pure integer work over corner
+# comparisons (threshold margins on this field are >= 0.007, see
+# zonal_majority_class), so the census — crossing cells, saddles,
+# and the segment count estimate — is exactly oracle-checkable. One
+# self-join on the pixel key per corner; at 100 TB this is the
+# halo-exchange 2x2 stencil expressed relationally.
+@_q(
+    "contour_cell_census",
+    f"""
+    WITH grid AS (
+      SELECT CAST(gx.x AS INTEGER) AS x, CAST(gy.y AS INTEGER) AS y
+      FROM (SELECT unnest(generate_series(0, 63)) AS x) gx,
+           (SELECT unnest(generate_series(0, 63)) AS y) gy
+    ),
+    levels AS (SELECT unnest([80.0, 120.0, 160.0]) AS lvl),
+    cases AS (
+      -- corner values straight from the closed form (a 4-way join on
+      -- arithmetic keys nested-loops in the oracle engine; the Spark
+      -- side keeps the honest relational stencil joins)
+      SELECT l.lvl,
+             (CASE WHEN {_sql_field_z('g.x', 'g.y')} > l.lvl THEN 8 ELSE 0 END
+              + CASE WHEN {_sql_field_z('g.x + 1', 'g.y')} > l.lvl THEN 4 ELSE 0 END
+              + CASE WHEN {_sql_field_z('g.x + 1', 'g.y + 1')} > l.lvl THEN 2 ELSE 0 END
+              + CASE WHEN {_sql_field_z('g.x', 'g.y + 1')} > l.lvl THEN 1 ELSE 0 END) AS cs
+      FROM grid g CROSS JOIN levels l
+      WHERE g.x < 63 AND g.y < 63
+    )
+    SELECT lvl AS level,
+           CAST(SUM(CASE WHEN cs NOT IN (0, 15) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_crossing_cells,
+           CAST(SUM(CASE WHEN cs IN (5, 10) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_saddles,
+           CAST(SUM(CASE WHEN cs IN (5, 10) THEN 2
+                         WHEN cs NOT IN (0, 15) THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_segments
+    FROM cases GROUP BY lvl ORDER BY level
+    """,
+)
+def q_contour_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = synthetic_raster(spark, 64, 64, bands=1)
+    px = img.select("x", "y", F.col("b1").alias("z"))
+
+    def corner(nx: str, ny: str, alias_: str) -> DataFrame:
+        return px.select(
+            F.col("x").alias(nx), F.col("y").alias(ny), F.col("z").alias(alias_)
+        )
+
+    a = corner("ax", "ay", "za")
+    b = corner("bx", "by", "zb")
+    c = corner("cx", "cy", "zc")
+    d = corner("dx", "dy", "zd")
+    cells = (
+        a.join(b, (F.col("bx") == F.col("ax") + 1) & (F.col("by") == F.col("ay")))
+        .join(
+            c,
+            (F.col("cx") == F.col("ax") + 1) & (F.col("cy") == F.col("ay") + 1),
+        )
+        .join(d, (F.col("dx") == F.col("ax")) & (F.col("dy") == F.col("ay") + 1))
+    )
+    levels = spark.createDataFrame(
+        [(80.0,), (120.0,), (160.0,)], "lvl double"
+    )
+    lv = F.col("lvl")
+    cs = (
+        F.when(F.col("za") > lv, 8).otherwise(0)
+        + F.when(F.col("zb") > lv, 4).otherwise(0)
+        + F.when(F.col("zc") > lv, 2).otherwise(0)
+        + F.when(F.col("zd") > lv, 1).otherwise(0)
+    )
+    cases = cells.crossJoin(F.broadcast(levels)).select(
+        "lvl", cs.alias("cs")
+    )
+    crossing = ~F.col("cs").isin(0, 15)
+    saddle = F.col("cs").isin(5, 10)
+    return (
+        cases.groupBy(F.col("lvl").alias("level"))
+        .agg(
+            F.sum(F.when(crossing, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_crossing_cells"),
+            F.sum(F.when(saddle, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_saddles"),
+            F.sum(
+                F.when(saddle, 2).when(crossing, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_segments"),
+        )
+        .orderBy("level")
+    )

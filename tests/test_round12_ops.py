@@ -568,3 +568,25 @@ def test_d8_and_tpi_match_numpy(spark):
         assert abs(r["mean_tpi"] - round(_np.sum(tpis) / len(tpis), 6)) < 1e-5
         assert abs(r["mean_tri"] - round(_np.sum(tris) / len(tris), 6)) < 1e-5
         assert abs(r["max_tri"] - max(tris)) < 1e-9
+
+
+def test_contour_census_matches_numpy(spark):
+    field = _collect_field(spark)
+    out = {
+        r["level"]: r
+        for r in PIPELINE_QUERIES["contour_cell_census"](spark, SF_SMOKE).collect()
+    }
+    for lvl in (80.0, 120.0, 160.0):
+        above = field > lvl
+        cs = (
+            8 * above[:-1, :-1].astype(int)
+            + 4 * above[:-1, 1:].astype(int)
+            + 2 * above[1:, 1:].astype(int)
+            + 1 * above[1:, :-1].astype(int)
+        )
+        crossing = int(((cs != 0) & (cs != 15)).sum())
+        saddles = int(((cs == 5) | (cs == 10)).sum())
+        r = out[lvl]
+        assert r["n_crossing_cells"] == crossing, lvl
+        assert r["n_saddles"] == saddles, lvl
+        assert r["n_segments"] == crossing + saddles, lvl
