@@ -1823,7 +1823,7 @@ def q_dem_tpi_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT unnest(generate_series(0, 63)) AS x) gx,
            (SELECT unnest(generate_series(0, 63)) AS y) gy
     ),
-    levels AS (SELECT unnest([80.0, 120.0, 160.0]) AS lvl),
+    levels AS (SELECT CAST(unnest([80.0, 120.0, 160.0]) AS DOUBLE) AS lvl),
     cases AS (
       -- corner values straight from the closed form (a 4-way join on
       -- arithmetic keys nested-loops in the oracle engine; the Spark
