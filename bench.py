@@ -12,7 +12,11 @@ Identical-code wall time on this box drifts ±20% between runs (42.5 s
 vs 59.9 s observed across rounds), so single-pass numbers cannot
 separate noise from regression. After one warm pass (JIT/codegen/
 file-index caches), $SPARK_GRAFT_BENCH_REPEATS measured passes run
-(default 3) and each query reports its per-pass MEDIAN; set
+(default 3), INTERLEAVED (each pass covers every query, ambient load1
+recorded at each pass boundary in pass_load1). Each query reports its
+per-pass MEDIAN in "queries"/"value" (cross-round continuity with
+r1-r12) and its per-pass MIN in "min_total"/"legacy35_min" — min is
+load-robust, so CROSS-ROUND comparisons should use the min totals; set
 SPARK_GRAFT_BENCH_SPREAD=1 to also print a min/median/max table per
 query to stderr (stdout stays the single driver-contract JSON line).
 """
@@ -102,14 +106,30 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
+    def load1_now() -> float | None:
+        try:
+            return round(os.getloadavg()[0], 1)
+        except OSError:
+            return None
+
     for name in HEADLINE:  # warm pass: JIT/codegen/file-index caches
         run(name)
+    # Interleaved repeats (full pass over every query per repeat, not
+    # N back-to-back runs of one query) with ambient load1 recorded at
+    # each pass boundary: ambient-load spikes hit whole passes, so the
+    # per-query MIN across interleaved passes is load-robust and is the
+    # statistic cross-round comparisons should use (r12 verdict: the
+    # same-session median band cannot adjudicate cross-round drift).
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    pass_load1: list[float | None] = []
     for _ in range(repeats):
+        pass_load1.append(load1_now())
         for name in HEADLINE:
             samples[name].append(run(name))
+    pass_load1.append(load1_now())
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    min_timings = {n: round(min(s), 3) for n, s in samples.items()}
     if os.environ.get("SPARK_GRAFT_BENCH_SPREAD"):
         print(f"| query | min | median | max | spread (n={repeats}) |", file=sys.stderr)
         print("|---|---|---|---|---|", file=sys.stderr)
@@ -122,9 +142,11 @@ def main() -> None:
             )
 
     total = round(sum(timings.values()), 3)
+    min_total = round(sum(min_timings.values()), 3)
     # r1-r9 BENCH totals covered only the first 35 queries; report that
     # prefix separately so cross-round trend lines stay comparable
     legacy_total = round(sum(timings[n] for n in HEADLINE[:LEGACY_35]), 3)
+    legacy_min = round(sum(min_timings[n] for n in HEADLINE[:LEGACY_35]), 3)
     # The driver records only the LAST 2000 chars of stdout (observed:
     # BENCH_r06 tail_len=2000, parsed=null because the r6 line carried
     # a per-query spread block and overflowed the window). The stdout
@@ -143,23 +165,33 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_SPREAD.json"
     )
     with open(detail_path, "w") as f:
-        json.dump({"repeats": repeats, "sf": sf, "query_spread": spread}, f, indent=1)
+        json.dump(
+            {
+                "repeats": repeats,
+                "sf": sf,
+                "pass_load1": pass_load1,
+                "query_spread": spread,
+            },
+            f,
+            indent=1,
+        )
     # load1 documents contention skew in the artifact itself (r7 ran
-    # ~8% slow under a concurrent sweep); cross-round deltas should be
-    # discounted when load1 >> the bench's own 32 cores of work.
-    try:
-        load1 = round(os.getloadavg()[0], 1)
-    except OSError:
-        load1 = None
+    # ~8% slow under a concurrent sweep); cross-round deltas should
+    # use the *_min statistics (load-robust) and discount the medians
+    # when pass_load1 >> the bench's own 32 cores of work.
+    load1 = pass_load1[-1]
     payload = {
         "metric": "headline_query_total",
         "value": total,
         "unit": "sec",
+        "min_total": min_total,
         "legacy35_total": legacy_total,
+        "legacy35_min": legacy_min,
         "queries": timings,
         "repeats": repeats,
         "sf": sf,
         "load1": load1,
+        "pass_load1": pass_load1,
     }
     line = json.dumps(payload)
     if len(line) > 1900:  # keep the contract line inside the tail window
