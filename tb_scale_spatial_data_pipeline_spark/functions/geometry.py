@@ -248,35 +248,38 @@ def _ring_signed_area(ring: np.ndarray) -> float:
 def _sutherland_hodgman(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     """Clip simple polygon `subject` by CONVEX polygon `clip`; both
     open rings, any orientation. Returns the clipped open ring
-    (possibly with 0 vertices)."""
+    (possibly with 0 vertices). The inner loops run on plain Python
+    floats — IEEE-identical to numpy float64 scalar math (same ops,
+    same order) but ~10x faster per pair, which matters in the
+    per-pair overlay kernels."""
     subject = _close_ring(np.asarray(subject, dtype=np.float64))
     clip = _close_ring(np.asarray(clip, dtype=np.float64))
     if _ring_signed_area(clip) < 0:  # normalize clip to CCW
         clip = clip[::-1]
-    out = list(subject)
-    n = len(clip)
+    out = [(float(x), float(y)) for x, y in subject]
+    cl = [(float(x), float(y)) for x, y in clip]
+    n = len(cl)
     for i in range(n):
-        a, b = clip[i], clip[(i + 1) % n]
-        ex, ey = b[0] - a[0], b[1] - a[1]
+        ax, ay = cl[i]
+        bx, by = cl[(i + 1) % n]
+        ex, ey = bx - ax, by - ay
         inp, out = out, []
         if not inp:
             break
-        prev = inp[-1]
-        prev_in = ex * (prev[1] - a[1]) - ey * (prev[0] - a[0]) >= 0.0
-        for cur in inp:
-            cur_in = ex * (cur[1] - a[1]) - ey * (cur[0] - a[0]) >= 0.0
+        px, py = inp[-1]
+        prev_in = ex * (py - ay) - ey * (px - ax) >= 0.0
+        for cx, cy in inp:
+            cur_in = ex * (cy - ay) - ey * (cx - ax) >= 0.0
             if cur_in != prev_in:
                 # segment prev->cur crosses the clip line; parametric t
-                dx, dy = cur[0] - prev[0], cur[1] - prev[1]
+                dx, dy = cx - px, cy - py
                 denom = ex * dy - ey * dx
                 if denom != 0.0:
-                    tpar = (ex * (a[1] - prev[1]) - ey * (a[0] - prev[0])) / denom
-                    out.append(
-                        np.array([prev[0] + tpar * dx, prev[1] + tpar * dy])
-                    )
+                    tpar = (ex * (ay - py) - ey * (ax - px)) / denom
+                    out.append((px + tpar * dx, py + tpar * dy))
             if cur_in:
-                out.append(cur)
-            prev, prev_in = cur, cur_in
+                out.append((cx, cy))
+            px, py, prev_in = cx, cy, cur_in
     return np.array(out) if out else np.empty((0, 2))
 
 
@@ -352,3 +355,189 @@ def polygon_intersection_wkt(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
         return "POLYGON((" + ", ".join(pts) + "))"
 
     return pd.Series([one(sa, sb) for sa, sb in zip(wkt_a, wkt_b)])
+
+
+# ---------------------------------------------------------------------------
+# General (concave x concave) overlay tier.
+#
+# Sutherland-Hodgman requires a CONVEX clip. The general route (the
+# classic decomposition argument, e.g. O'Rourke "Computational
+# Geometry in C" ch.1-2): ear-clip the CLIP polygon into triangles
+# (every simple polygon triangulates; Meisters 1975 two-ears theorem),
+# clip the subject against each triangle (convex), and sum the SIGNED
+# shoelace areas of the pieces. The triangle interiors partition the
+# clip polygon, so the piece areas add exactly; S-H's zero-width
+# bridge artifacts on concave subjects cancel in the signed area.
+# Reference parity: `3_object_classification/object_classifier.py`
+# consumes arbitrary polygonized segments — concave x concave overlay
+# is the first GIS ask past the rectangle/convex tier.
+
+
+def _ear_clip(ring: np.ndarray) -> list[np.ndarray]:
+    """Triangulate a simple polygon (open or closed ring, any
+    orientation) by ear clipping. Returns a list of (3,2) arrays whose
+    interiors partition the polygon. Collinear vertices are dropped as
+    degenerate ears. O(n^2) — rings here are small (WKT features)."""
+    pts = _close_ring(np.asarray(ring, dtype=np.float64))
+    if len(pts) < 3:
+        return []
+    if _ring_signed_area(pts) < 0:  # normalize to CCW
+        pts = pts[::-1]
+
+    def cross(o, a, b) -> float:
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    idx = list(range(len(pts)))
+    tris: list[np.ndarray] = []
+    stuck = 0
+    while len(idx) > 3 and stuck < 2:
+        n = len(idx)
+        clipped_one = False
+        # strict=False: a vertex ON the candidate ear's boundary blocks
+        # it — clipping such an ear can break simplicity (the diagonal
+        # passes through a reflex vertex; observed on lattice L-shapes
+        # where the notch corner is collinear with the ear diagonal).
+        # If a full pass finds no ear under the closed test (degenerate
+        # touching configs only), retry once with the strict-interior
+        # test before giving up.
+        strict = stuck == 1
+        for k in range(n):
+            i0, i1, i2 = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
+            a, b, c = pts[i0], pts[i1], pts[i2]
+            cr = cross(a, b, c)
+            if cr < 0.0:  # reflex vertex — not an ear
+                continue
+            if cr == 0.0:  # collinear — zero-area ear, drop the vertex
+                idx.pop(k)
+                clipped_one = True
+                break
+            ear = True
+            for j in idx:
+                if j in (i0, i1, i2):
+                    continue
+                p = pts[j]
+                ca, cb, cc = cross(a, b, p), cross(b, c, p), cross(c, a, p)
+                inside = (
+                    (ca > 0.0 and cb > 0.0 and cc > 0.0)
+                    if strict
+                    else (ca >= 0.0 and cb >= 0.0 and cc >= 0.0)
+                )
+                if inside:
+                    ear = False
+                    break
+            if ear:
+                tris.append(np.array([a, b, c]))
+                idx.pop(k)
+                clipped_one = True
+                break
+        stuck = 0 if clipped_one else stuck + 1
+    if len(idx) == 3:
+        a, b, c = pts[idx[0]], pts[idx[1]], pts[idx[2]]
+        if cross(a, b, c) != 0.0:
+            tris.append(np.array([a, b, c]))
+    return tris
+
+
+def _intersection_area_general(a: np.ndarray, b: np.ndarray) -> float:
+    """Intersection area of two arbitrary SIMPLE polygons (open rings):
+    triangulate b, Sutherland-Hodgman a against each triangle, sum the
+    signed piece areas (triangles partition b, so no double count)."""
+    total = 0.0
+    for tri in _ear_clip(b):
+        piece = _sutherland_hodgman(a, tri)
+        if len(piece) >= 3:
+            total += abs(_ring_signed_area(piece))
+    return total
+
+
+def _overlay_general_frame(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.DataFrame:
+    """(inter_area, area_a, area_b) for concave x concave WKT pairs.
+    Ring parses AND the clip-side triangulation are memoized per Arrow
+    batch (overlay joins repeat the small side's WKT per pair)."""
+    ring_cache: dict = {}
+    tri_cache: dict = {}
+
+    def ring_of(s: str):
+        if s not in ring_cache:
+            ring_cache[s] = _parse_ring(s)
+        return ring_cache[s]
+
+    rows = []
+    for sa, sb in zip(wkt_a, wkt_b):
+        a, b = ring_of(sa), ring_of(sb)
+        if a is None or b is None or len(a) < 3 or len(b) < 3:
+            rows.append((float("nan"),) * 3)
+            continue
+        if sb not in tri_cache:
+            tri_cache[sb] = _ear_clip(b)
+        inter = 0.0
+        for tri in tri_cache[sb]:
+            piece = _sutherland_hodgman(a, tri)
+            if len(piece) >= 3:
+                inter += abs(_ring_signed_area(piece))
+        rows.append(
+            (
+                inter,
+                abs(_ring_signed_area(_close_ring(a))),
+                abs(_ring_signed_area(_close_ring(b))),
+            )
+        )
+    return pd.DataFrame(rows, columns=["inter_area", "area_a", "area_b"])
+
+
+_OVERLAY_GENERAL_SCHEMA = "inter_area double, area_a double, area_b double"
+
+
+def polygon_overlay_general_cols(wkt_a: Column, wkt_b: Column) -> Column:
+    """Struct column (inter_area, area_a, area_b) for two WKT columns —
+    BOTH may be concave simple polygons (ear-clip + S-H per triangle)."""
+    return pandas_udf(_overlay_general_frame, _OVERLAY_GENERAL_SCHEMA)(
+        wkt_a, wkt_b
+    )
+
+
+def _rectilinear_decompose(ring: np.ndarray) -> np.ndarray | None:
+    """Decompose a simple RECTILINEAR polygon (all edges axis-parallel)
+    into interior-disjoint rectangles by horizontal slabs: cut at every
+    distinct vertex y; within a slab the covered x-extents come from
+    even-odd pairing of the vertical edges spanning it. Exact on any
+    lattice (slab midpoints are half-integers). Returns (k,4) array of
+    (x0, y0, x1, y1), or None if an edge is diagonal."""
+    pts = _close_ring(np.asarray(ring, dtype=np.float64))
+    n = len(pts)
+    if n < 4:
+        return None
+    vedges = []
+    for i in range(n):
+        x0, y0 = pts[i]
+        x1, y1 = pts[(i + 1) % n]
+        if x0 == x1 and y0 != y1:
+            vedges.append((x0, min(y0, y1), max(y0, y1)))
+        elif y0 == y1:
+            continue  # horizontal edge — bounded by vertical neighbors
+        else:
+            return None  # diagonal edge: not rectilinear
+    ys = sorted({float(p[1]) for p in pts})
+    rects = []
+    for ylo, yhi in zip(ys, ys[1:]):
+        ymid = (ylo + yhi) / 2.0
+        xs = sorted(x for (x, lo, hi) in vedges if lo < ymid < hi)
+        for xa, xb in zip(xs[0::2], xs[1::2]):
+            rects.append((xa, ylo, xb, yhi))
+    return np.array(rects, dtype=np.float64) if rects else None
+
+
+def _decompose_series(wkt: pd.Series) -> pd.Series:
+    out = []
+    for s in wkt:
+        ring = _parse_ring(s)
+        rects = _rectilinear_decompose(ring) if ring is not None else None
+        out.append(None if rects is None else [list(r) for r in rects])
+    return pd.Series(out, dtype=object)
+
+
+def rectilinear_decompose_col(wkt: Column) -> Column:
+    """array<array<double>> of (x0,y0,x1,y1) slab rectangles for a
+    rectilinear WKT polygon column (null for non-rectilinear input) —
+    the explode-side of the generalized scanline union."""
+    return pandas_udf(_decompose_series, "array<array<double>>")(wkt)

@@ -1900,3 +1900,107 @@ def q_contour_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+# ---------------------------------------------------------------------------
+# E1 on an EXACT lattice (r13): the composed feature-stack chain —
+# sentinel masking (P5/P6) -> spectral index -> grouped nan-median
+# composite (A1) -> argmax composite with payload (A2) — with every
+# value an exact dyadic rational, so the whole pipeline is
+# oracle-paired (the float-kernel E1 stays rows-only; this closes the
+# "composed pipeline has no SQL twin" gap with the SAME operators).
+# Integer DNs; index = (nir - red) / 256.0 is exact in binary; the
+# even-count median averages two dyadics (exact); argmax ties break
+# deterministically by (idx, scene) struct order == the SQL twin's
+# MAX(scene) among max-idx rows. Winner payload (red/nir of the
+# winning scene) is recomputed closed-form from the winner scene id —
+# bit-identical in both engines by construction.
+# Reference anchor: `0_preprocessing/feature_stacking.py:106-167`
+# (nanmedian + masked argmax composites).
+@_q(
+    "pipeline_feature_stack_exact",
+    """
+    WITH px AS (
+      SELECT CAST(i % 64 AS BIGINT) AS x,
+             CAST((i // 64) % 64 AS BIGINT) AS y,
+             CAST(i // 4096 + 1 AS BIGINT) AS scene,
+             CAST((i % 64) * 3 + ((i // 64) % 64) * 5
+                  + (i // 4096 + 1) * 7 AS BIGINT) % 200 AS red,
+             CASE WHEN ((i % 64) + ((i // 64) % 64) + (i // 4096 + 1)) % 7 = 0
+                  THEN NULL
+                  ELSE CAST((i % 64) * 7 + ((i // 64) % 64) * 11
+                            + (i // 4096 + 1) * 13 AS BIGINT) % 200
+             END AS nir
+      FROM range(20480) t(i)
+    ),
+    idxed AS (
+      SELECT x, y, scene, red, nir,
+             (CAST(nir AS DOUBLE) - red) / 256.0 AS idx
+      FROM px WHERE nir IS NOT NULL
+    ),
+    agg AS (
+      SELECT x, y,
+             COUNT(*) AS n_obs,
+             median(idx) AS median_idx,
+             MAX(idx) AS max_idx
+      FROM idxed GROUP BY x, y
+    ),
+    win AS (
+      SELECT i.x, i.y, MAX(i.scene) AS winner_scene
+      FROM idxed i JOIN agg a ON i.x = a.x AND i.y = a.y
+      WHERE i.idx = a.max_idx
+      GROUP BY i.x, i.y
+    )
+    SELECT a.x, a.y, a.n_obs, a.median_idx, a.max_idx, w.winner_scene,
+           CAST(a.x * 3 + a.y * 5 + w.winner_scene * 7 AS BIGINT) % 200
+             AS winner_red,
+           CAST(a.x * 7 + a.y * 11 + w.winner_scene * 13 AS BIGINT) % 200
+             AS winner_nir
+    FROM agg a JOIN win w ON a.x = w.x AND a.y = w.y
+    ORDER BY a.x, a.y
+    """,
+)
+def e1_feature_stack_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    px = spark.range(20480).select(
+        (F.col("id") % 64).alias("x"),
+        (F.expr("id div 64") % 64).alias("y"),
+        (F.expr("id div 4096") + 1).alias("scene"),
+    )
+    px = px.select(
+        "x",
+        "y",
+        "scene",
+        ((F.col("x") * 3 + F.col("y") * 5 + F.col("scene") * 7) % 200).alias(
+            "red"
+        ),
+        F.when(
+            (F.col("x") + F.col("y") + F.col("scene")) % 7 == 0, F.lit(None)
+        )
+        .otherwise(
+            (F.col("x") * 7 + F.col("y") * 11 + F.col("scene") * 13) % 200
+        )
+        .alias("nir"),
+    )
+    idxed = px.where(F.col("nir").isNotNull()).withColumn(
+        "idx", (F.col("nir").cast("double") - F.col("red")) / F.lit(256.0)
+    )
+    med = grouped_median(idxed, ["x", "y"], "idx", out_col="median_idx")
+    n_obs = idxed.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_obs"))
+    winner = argmax_composite(idxed, ["x", "y"], "idx", ["scene"])
+    out = (
+        n_obs.join(med, ["x", "y"])
+        .join(winner, ["x", "y"])
+        .select(
+            "x",
+            "y",
+            "n_obs",
+            "median_idx",
+            F.col("max_idx"),
+            F.col("scene").alias("winner_scene"),
+            ((F.col("x") * 3 + F.col("y") * 5 + F.col("scene") * 7) % 200)
+            .alias("winner_red"),
+            ((F.col("x") * 7 + F.col("y") * 11 + F.col("scene") * 13) % 200)
+            .alias("winner_nir"),
+        )
+    )
+    return out.orderBy("x", "y")

@@ -3471,3 +3471,407 @@ def q_quadrat_count_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chi2",
         F.round(F.col("chi2") / 255.0, 9).alias("vmr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Concave x concave polygon overlay (r13). The r12 tier clipped
+# arbitrary subjects against CONVEX zones only (Sutherland-Hodgman's
+# contract); reference segments are arbitrary concave polygons
+# (`2_segmentation/image_segmentation.py:160-162`, consumed by
+# `3_object_classification/object_classifier.py:158-160`), so the
+# general overlay needs concave on BOTH sides. Engine: ear-clip the
+# clip polygon into triangles (Meisters 1975), S-H the subject against
+# each, sum signed areas (`functions/geometry.py`). Fixtures are
+# L-shaped (one reflex vertex each) on the integer lattice, so the
+# true intersection is an exact integer and the DuckDB twin is the
+# closed-form sum over the 2x2 slab-rectangle decomposition — a
+# DIFFERENT algorithm, so a correlated bug cannot hide. Spark-side
+# areas round to the nearest integer before the IoU division (exact on
+# this lattice; the kernel itself is general-float), making the
+# division operands bit-identical in both engines. At 100 TB: zones
+# broadcast; candidate generation is the outer-bbox join (upgrade path:
+# grid-blocked candidates as in spatial_bbox_join_blocked); the kernel
+# is Arrow-batched with per-batch parse+triangulation memoization.
+_SQL_LRECTS = """
+    SELECT p_partkey AS rect_id,
+           CAST(p_partkey % 32 AS BIGINT) AS x0,
+           CAST(p_partkey % 24 AS BIGINT) AS y0,
+           CAST(p_partkey % 32 + p_size + 2 AS BIGINT) AS x1,
+           CAST(p_partkey % 24 + p_partkey % 19 + 3 AS BIGINT) AS y1,
+           CAST(p_partkey % 32 + p_size // 2 + 1 AS BIGINT) AS xm,
+           CAST(p_partkey % 24 + (p_partkey % 19) // 2 + 1 AS BIGINT) AS ym
+    FROM part
+"""
+
+_SQL_LZONES = """
+    SELECT z AS zone_id,
+           CAST((z % 4) * 20 AS BIGINT) AS zx0,
+           CAST((z // 4) * 14 AS BIGINT) AS zy0,
+           CAST((z % 4) * 20 + 26 AS BIGINT) AS zx1,
+           CAST((z // 4) * 14 + 26 AS BIGINT) AS zy1,
+           CAST((z % 4) * 20 + 9 + (z % 5) * 3 AS BIGINT) AS zxm,
+           CAST((z // 4) * 14 + 8 + (z % 7) * 2 AS BIGINT) AS zym
+    FROM range(12) t(z)
+"""
+
+
+def _l_wkt(x0, y0, x1, y1, xm, ym):
+    """CCW L-shape WKT with the notch at the top-right corner:
+    (x0,y0)->(x1,y0)->(x1,ym)->(xm,ym)->(xm,y1)->(x0,y1)->close."""
+    s = lambda c: c.cast("bigint").cast("string")  # noqa: E731
+    return F.concat(
+        F.lit("POLYGON(("),
+        s(x0), F.lit(" "), s(y0), F.lit(", "),
+        s(x1), F.lit(" "), s(y0), F.lit(", "),
+        s(x1), F.lit(" "), s(ym), F.lit(", "),
+        s(xm), F.lit(" "), s(ym), F.lit(", "),
+        s(xm), F.lit(" "), s(y1), F.lit(", "),
+        s(x0), F.lit(" "), s(y1), F.lit(", "),
+        s(x0), F.lit(" "), s(y0),
+        F.lit("))"),
+    )
+
+
+def _lrects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    x0 = F.col("p_partkey") % 32
+    y0 = F.col("p_partkey") % 24
+    x1 = x0 + F.col("p_size") + 2
+    y1 = y0 + F.col("p_partkey") % 19 + 3
+    xm = x0 + F.expr("p_size div 2") + 1
+    ym = y0 + F.expr("(p_partkey % 19) div 2") + 1
+    return part.select(
+        F.col("p_partkey").alias("rect_id"),
+        x0.cast("bigint").alias("x0"),
+        y0.cast("bigint").alias("y0"),
+        x1.cast("bigint").alias("x1"),
+        y1.cast("bigint").alias("y1"),
+        xm.cast("bigint").alias("xm"),
+        ym.cast("bigint").alias("ym"),
+        _l_wkt(x0, y0, x1, y1, xm, ym).alias("geometry"),
+    )
+
+
+def _lzones(spark: SparkSession) -> DataFrame:
+    z = F.col("id")
+    zx0 = (z % 4) * 20
+    zy0 = F.expr("id div 4") * 14
+    zx1 = zx0 + 26
+    zy1 = zy0 + 26
+    zxm = zx0 + 9 + (z % 5) * 3
+    zym = zy0 + 8 + (z % 7) * 2
+    return spark.range(12).select(
+        z.alias("zone_id"),
+        zx0.cast("bigint").alias("zx0"),
+        zy0.cast("bigint").alias("zy0"),
+        zx1.cast("bigint").alias("zx1"),
+        zy1.cast("bigint").alias("zy1"),
+        zxm.cast("bigint").alias("zxm"),
+        zym.cast("bigint").alias("zym"),
+        _l_wkt(zx0, zy0, zx1, zy1, zxm, zym).alias("zone_geom"),
+    )
+
+
+# closed-form overlap of two axis-aligned rects, SQL text
+def _sql_rect_ov(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1):
+    return (
+        f"GREATEST(0, LEAST({ax1}, {bx1}) - GREATEST({ax0}, {bx0}))"
+        f" * GREATEST(0, LEAST({ay1}, {by1}) - GREATEST({ay0}, {by0}))"
+    )
+
+
+@_q(
+    "polygon_overlay_concave",
+    f"""
+    WITH lrects AS ({_SQL_LRECTS}),
+    lzones AS ({_SQL_LZONES}),
+    pairs AS (
+      SELECT r.rect_id, z.zone_id,
+             -- L = bottom slab (x0,y0,x1,ym) + top slab (x0,ym,xm,y1);
+             -- slabs are interior-disjoint, so the L x L intersection
+             -- is the plain 2x2 sum of rect-rect overlaps
+             {_sql_rect_ov('r.x0','r.y0','r.x1','r.ym','z.zx0','z.zy0','z.zx1','z.zym')}
+           + {_sql_rect_ov('r.x0','r.y0','r.x1','r.ym','z.zx0','z.zym','z.zxm','z.zy1')}
+           + {_sql_rect_ov('r.x0','r.ym','r.xm','r.y1','z.zx0','z.zy0','z.zx1','z.zym')}
+           + {_sql_rect_ov('r.x0','r.ym','r.xm','r.y1','z.zx0','z.zym','z.zxm','z.zy1')}
+               AS inter,
+             (r.x1 - r.x0) * (r.ym - r.y0) + (r.xm - r.x0) * (r.y1 - r.ym)
+               AS area_r,
+             (z.zx1 - z.zx0) * (z.zym - z.zy0)
+               + (z.zxm - z.zx0) * (z.zy1 - z.zym) AS area_z
+      FROM lrects r JOIN lzones z
+        ON r.x0 < z.zx1 AND r.x1 > z.zx0 AND r.y0 < z.zy1 AND r.y1 > z.zy0
+    )
+    SELECT rect_id, zone_id,
+           CAST(inter AS DOUBLE) AS inter_area,
+           CAST(area_r + area_z - inter AS DOUBLE) AS union_area,
+           round(CAST(inter AS DOUBLE) / (area_r + area_z - inter), 9) AS iou
+    FROM pairs
+    ORDER BY rect_id, zone_id
+    """,
+)
+def q_polygon_overlay_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.geometry import polygon_overlay_general_cols
+
+    rects = _lrects(spark, sf_dir)
+    zones = _lzones(spark)
+    cand = rects.join(
+        F.broadcast(zones),
+        (F.col("x0") < F.col("zx1"))
+        & (F.col("x1") > F.col("zx0"))
+        & (F.col("y0") < F.col("zy1"))
+        & (F.col("y1") > F.col("zy0")),
+    )
+    ov = cand.select(
+        "rect_id",
+        "zone_id",
+        polygon_overlay_general_cols(
+            F.col("geometry"), F.col("zone_geom")
+        ).alias("ov"),
+    )
+    # areas are exact integers on this lattice: snap the float kernel
+    # output to the integer before the IoU division so both engines
+    # divide bit-identical operands
+    inter = F.round(F.col("ov.inter_area"), 0)
+    union = (
+        F.round(F.col("ov.area_a"), 0) + F.round(F.col("ov.area_b"), 0) - inter
+    )
+    return ov.select(
+        "rect_id",
+        "zone_id",
+        inter.alias("inter_area"),
+        union.alias("union_area"),
+        F.round(inter / union, 9).alias("iou"),
+    ).orderBy("rect_id", "zone_id")
+
+
+# ---------------------------------------------------------------------------
+# Cascaded union (n-way ST_Union area) over concave polygons: the
+# general engine decomposes each simple RECTILINEAR polygon into
+# interior-disjoint slab rectangles (pandas-UDF kernel, any number of
+# notches), explodes, and reuses rect_union_area's distributed
+# gaps-and-islands scanline — per (layer, x-column) y-interval merge,
+# exact integer arithmetic end to end. The DuckDB twin decomposes the
+# L fixtures algebraically (2 slabs each) and runs the same scanline,
+# so the kernel's decomposition is what's under test. At 100 TB: work
+# is |polys| x avg-width rows, shuffle key (layer, column) is the
+# natural spatial partitioner — same scaling story as rect_union_area.
+@_q(
+    "polygon_union_cascaded",
+    f"""
+    WITH lrects AS ({_SQL_LRECTS}),
+    slabs AS (
+      SELECT rect_id, CAST(rect_id % 8 AS BIGINT) AS layer,
+             x0, y0, x1, ym AS y1 FROM lrects
+      UNION ALL
+      SELECT rect_id, CAST(rect_id % 8 AS BIGINT) AS layer,
+             x0, ym AS y0, xm AS x1, y1 FROM lrects
+    ),
+    cols AS (
+      SELECT layer, CAST(t.cx AS INTEGER) AS cx, y0, y1
+      FROM slabs JOIN range(0, 200) t(cx)
+        ON t.cx >= x0 AND t.cx < x1
+    ),
+    flagged AS (
+      SELECT layer, cx, y0, y1,
+             CASE WHEN y0 > COALESCE(MAX(y1) OVER (
+                    PARTITION BY layer, cx ORDER BY y0, y1
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -2147483648)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM cols
+    ),
+    islands AS (
+      SELECT layer, cx, y0, y1,
+             SUM(new_island) OVER (
+               PARTITION BY layer, cx ORDER BY y0, y1
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM flagged
+    ),
+    isl_len AS (
+      SELECT layer, cx, isl, MAX(y1) - MIN(y0) AS ylen
+      FROM islands GROUP BY layer, cx, isl
+    ),
+    naive AS (
+      SELECT CAST(rect_id % 8 AS BIGINT) AS layer,
+             COUNT(*) AS n_polys,
+             CAST(SUM((x1 - x0) * (ym - y0) + (xm - x0) * (y1 - ym))
+                  AS BIGINT) AS sum_poly_area
+      FROM lrects GROUP BY 1
+    )
+    SELECT n.layer, n.n_polys, n.sum_poly_area,
+           CAST(u.union_area AS BIGINT) AS union_area,
+           round(CAST(u.union_area AS DOUBLE) / n.sum_poly_area, 9)
+             AS coverage_ratio
+    FROM naive n JOIN (
+      SELECT layer, SUM(ylen) AS union_area FROM isl_len GROUP BY layer
+    ) u ON u.layer = n.layer
+    ORDER BY n.layer
+    """,
+)
+def q_polygon_union_cascaded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.geometry import rectilinear_decompose_col
+
+    lrects = _lrects(spark, sf_dir)
+    slabs = lrects.select(
+        "rect_id",
+        (F.col("rect_id") % 8).cast("bigint").alias("layer"),
+        F.explode(rectilinear_decompose_col(F.col("geometry"))).alias("r"),
+    ).select(
+        "layer",
+        F.element_at("r", 1).cast("int").alias("x0"),
+        F.element_at("r", 2).cast("int").alias("y0"),
+        F.element_at("r", 3).cast("int").alias("x1"),
+        F.element_at("r", 4).cast("int").alias("y1"),
+    )
+    cols = slabs.select(
+        "layer",
+        F.explode(F.sequence(F.col("x0"), F.col("x1") - 1)).alias("cx"),
+        "y0",
+        "y1",
+    )
+    w_ord = Window.partitionBy("layer", "cx").orderBy("y0", "y1")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = cols.select(
+        "layer",
+        "cx",
+        "y0",
+        "y1",
+        F.when(
+            F.col("y0")
+            > F.coalesce(F.max("y1").over(w_prev), F.lit(-2147483648)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "layer", "cx", "y0", "y1", F.sum("new_island").over(w_run).alias("isl")
+    )
+    isl_len = islands.groupBy("layer", "cx", "isl").agg(
+        (F.max("y1") - F.min("y0")).alias("ylen")
+    )
+    union_area = isl_len.groupBy("layer").agg(
+        F.sum("ylen").alias("union_area")
+    )
+    naive = lrects.groupBy(
+        (F.col("rect_id") % 8).cast("bigint").alias("layer")
+    ).agg(
+        F.count(F.lit(1)).alias("n_polys"),
+        F.sum(
+            (F.col("x1") - F.col("x0")) * (F.col("ym") - F.col("y0"))
+            + (F.col("xm") - F.col("x0")) * (F.col("y1") - F.col("ym"))
+        )
+        .cast("bigint")
+        .alias("sum_poly_area"),
+    )
+    return (
+        naive.join(union_area, "layer")
+        .select(
+            "layer",
+            "n_polys",
+            "sum_poly_area",
+            F.col("union_area").cast("bigint").alias("union_area"),
+            F.round(
+                F.col("union_area").cast("double") / F.col("sum_poly_area"), 9
+            ).alias("coverage_ratio"),
+        )
+        .orderBy("layer")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST_Buffer-lite (r13): Minkowski sum with a CHEBYSHEV disk of radius
+# r (the square [-r,r]^2) is exact on the lattice — buffering a union
+# is the union of buffered parts, so the engine decomposes the
+# rectilinear polygon (general kernel), expands each slab rectangle by
+# r, and takes the per-polygon scanline union area. The DuckDB twin is
+# the 2-rect inclusion-exclusion closed form (the two expanded slabs
+# always overlap, so |A u B| = |A| + |B| - |A n B|). No float circle
+# approximation anywhere. At 100 TB: per-polygon work is width+2r
+# columns — linear, no cross-polygon shuffle at all (key = rect_id).
+@_q(
+    "minkowski_buffer_area",
+    f"""
+    WITH lrects AS ({_SQL_LRECTS}),
+    buf AS (
+      SELECT rect_id,
+             CAST(rect_id % 3 + 1 AS BIGINT) AS radius,
+             (x1 - x0) * (ym - y0) + (xm - x0) * (y1 - ym) AS area_orig,
+             -- expanded bottom slab A and top slab B
+             x0 - (rect_id % 3 + 1) AS ax0, y0 - (rect_id % 3 + 1) AS ay0,
+             x1 + (rect_id % 3 + 1) AS ax1, ym + (rect_id % 3 + 1) AS ay1,
+             x0 - (rect_id % 3 + 1) AS bx0, ym - (rect_id % 3 + 1) AS by0,
+             xm + (rect_id % 3 + 1) AS bx1, y1 + (rect_id % 3 + 1) AS by1
+      FROM lrects
+    )
+    SELECT rect_id, radius,
+           CAST(area_orig AS BIGINT) AS area_orig,
+           CAST((ax1 - ax0) * (ay1 - ay0) + (bx1 - bx0) * (by1 - by0)
+                - {_sql_rect_ov('ax0','ay0','ax1','ay1','bx0','by0','bx1','by1')}
+                AS BIGINT) AS area_buffered
+    FROM buf
+    ORDER BY rect_id
+    """,
+)
+def q_minkowski_buffer_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.geometry import rectilinear_decompose_col
+
+    lrects = _lrects(spark, sf_dir)
+    r = (F.col("rect_id") % 3 + 1).cast("int")
+    slabs = lrects.select(
+        "rect_id",
+        r.alias("radius"),
+        (
+            (F.col("x1") - F.col("x0")) * (F.col("ym") - F.col("y0"))
+            + (F.col("xm") - F.col("x0")) * (F.col("y1") - F.col("ym"))
+        )
+        .cast("bigint")
+        .alias("area_orig"),
+        F.explode(rectilinear_decompose_col(F.col("geometry"))).alias("s"),
+    ).select(
+        "rect_id",
+        "radius",
+        "area_orig",
+        (F.element_at("s", 1).cast("int") - F.col("radius")).alias("x0"),
+        (F.element_at("s", 2).cast("int") - F.col("radius")).alias("y0"),
+        (F.element_at("s", 3).cast("int") + F.col("radius")).alias("x1"),
+        (F.element_at("s", 4).cast("int") + F.col("radius")).alias("y1"),
+    )
+    cols = slabs.select(
+        "rect_id",
+        "radius",
+        "area_orig",
+        F.explode(F.sequence(F.col("x0"), F.col("x1") - 1)).alias("cx"),
+        "y0",
+        "y1",
+    )
+    w_ord = Window.partitionBy("rect_id", "cx").orderBy("y0", "y1")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = cols.withColumn(
+        "new_island",
+        F.when(
+            F.col("y0")
+            > F.coalesce(F.max("y1").over(w_prev), F.lit(-2147483648)),
+            1,
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "isl", F.sum("new_island").over(w_run)
+    )
+    isl_len = islands.groupBy(
+        "rect_id", "radius", "area_orig", "cx", "isl"
+    ).agg((F.max("y1") - F.min("y0")).alias("ylen"))
+    return (
+        isl_len.groupBy("rect_id", "radius", "area_orig")
+        .agg(F.sum("ylen").cast("bigint").alias("area_buffered"))
+        .select(
+            "rect_id",
+            F.col("radius").cast("bigint").alias("radius"),
+            "area_orig",
+            "area_buffered",
+        )
+        .orderBy("rect_id")
+    )
