@@ -7,13 +7,15 @@ shapes — is real and tested. Codecs are layered behind one seam per
 modality:
 
 - images: ``_decode_payload`` decodes REAL image bytes natively
-  (pure NumPy/stdlib: 24-bit BMP, binary PPM P6, and non-interlaced
-  8-bit PNG via zlib) with PIL as the second tier for formats beyond
-  those (JPEG...) when importable; otherwise it falls back to the
+  (pure NumPy/stdlib: 24-bit BMP, binary PPM P6, non-interlaced
+  8-bit PNG via zlib, and baseline-sequential JPEG via the
+  from-scratch codec in ``multimodal/jpeg.py``) with PIL as the
+  second tier for formats beyond those (progressive/arithmetic JPEG,
+  TIFF, ...) when importable; otherwise it falls back to the
   deterministic fake (md5-stream expansion to the metadata
-  dimensions). Only JPEG-class compressed formats depend on PIL in
-  this container. The PIL path is covered by a skip-marked
-  round-trip test (tests/test_multimodal.py).
+  dimensions). No compressed format used by the fixtures depends on
+  PIL in this container anymore. The PIL path is covered by a
+  skip-marked round-trip test (tests/test_multimodal.py).
 - audio: ``_decode_audio`` decodes REAL RIFF/WAVE payloads with the
   stdlib ``wave`` module (no optional dependency) and falls back to
   the deterministic fake for non-WAV bytes.
@@ -50,13 +52,15 @@ except ImportError:  # pragma: no cover - exercised implicitly everywhere
 
 
 def synth_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic media fixture derived from `documents`. Rows
-    whose metadata declares ``format = 'png'`` (1 in 3) carry a REAL
-    compressed PNG payload — built by the pure-stdlib encoder from
-    md5-chain pixels — so the engine's decode tier runs actual
-    inflate+unfilter work on them; 'jpeg' rows keep the opaque
-    md5-keyed bytes (this container has no JPEG codec) and exercise
-    the deterministic-fake tier. The metadata struct is the typed
+    """Deterministic media fixture derived from `documents`. EVERY row
+    now carries a REAL compressed payload built from md5-chain pixels:
+    'png' rows (1 in 3) through the pure-stdlib PNG encoder, 'jpeg'
+    rows (2 in 3) through the from-scratch baseline-JPEG encoder
+    (`multimodal/jpeg.py` — FDCT, Annex K tables, Huffman, 4:2:0), so
+    the decode tier runs actual inflate+unfilter AND entropy-decode +
+    IDCT work with zero imaging dependencies. The deterministic-fake
+    tier remains only as the fallback for genuinely unparseable bytes
+    (exercised directly in tests). The metadata struct is the typed
     decode contract (width/height/channels/format/n_frames)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     width = (F.col("doc_id") % 8 + 4).cast("int")
@@ -78,18 +82,20 @@ def synth_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import encode_jpeg_baseline
+
         for pdf in batches:
             payloads = []
             for blob, m in zip(pdf["payload"], pdf["meta"]):
                 raw = bytes(blob)
+                w, h = int(m["width"]), int(m["height"])
+                px = np.frombuffer(
+                    _fake_decode(raw, w * h * 3), dtype=np.uint8
+                ).reshape(h, w, 3)
                 if m["format"] == "png":
-                    w, h = int(m["width"]), int(m["height"])
-                    px = np.frombuffer(
-                        _fake_decode(raw, w * h * 3), dtype=np.uint8
-                    ).reshape(h, w, 3)
                     payloads.append(_encode_png_rgb8(px))
                 else:
-                    payloads.append(raw)
+                    payloads.append(encode_jpeg_baseline(px, quality=90))
             pdf = pdf.copy()
             pdf["payload"] = payloads
             yield pdf
@@ -320,12 +326,15 @@ def _decode_payload(
     fallback_counter=None,
 ) -> np.ndarray:
     """Image decode seam, three tiers:
-    1. REAL pure-NumPy decode for the two uncompressed public formats
-       (24-bit BI_RGB BMP, binary PPM P6) — library-independent, so
-       PIL-absent deployments decode these identically to PIL-present
-       ones (nearest-neighbor resize to the declared metadata size if
-       they disagree, matching the PIL path's policy).
-    2. REAL PIL decode for everything else PIL knows (JPEG/PNG/...).
+    1. REAL library-independent decode for the public formats the
+       engine carries codecs for: 24-bit BI_RGB BMP, binary PPM P6,
+       8-bit PNG (stdlib zlib), and baseline-sequential JPEG
+       (`multimodal/jpeg.py`) — PIL-absent deployments decode these
+       identically to PIL-present ones (nearest-neighbor resize to the
+       declared metadata size if they disagree, matching the PIL
+       path's policy).
+    2. REAL PIL decode for anything else PIL knows (progressive/
+       arithmetic JPEG, TIFF, ...) when importable.
     3. Deterministic fake — md5-stream-expand payload bytes to
        width*height*channels uint8 — for unparseable bytes; when a
        real decode FAILS, ``fallback_counter`` (a Spark accumulator)
@@ -335,6 +344,10 @@ def _decode_payload(
         native = _decode_ppm6(payload)
     if native is None:
         native = _decode_png8(payload)
+    if native is None:
+        from .jpeg import decode_jpeg_baseline
+
+        native = decode_jpeg_baseline(payload)
     if native is not None:
         ih, iw = native.shape[:2]
         if (iw, ih) != (width, height):

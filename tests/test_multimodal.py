@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from pyspark.sql import functions as F
+
 from conftest import SF_SMOKE
 
 from tb_scale_spatial_data_pipeline_spark.multimodal.media import (
@@ -24,7 +26,8 @@ def test_media_table_schema(spark):
     assert "struct" in dict(media.dtypes)["meta"]
     jrow = media.where("meta.format = 'jpeg'").first()
     assert jrow["meta"]["channels"] == 3
-    assert len(jrow["payload"]) == 16  # md5 digest payload (opaque tier)
+    jp = bytes(jrow["payload"])  # real baseline-JPEG tier (r13)
+    assert jp[:2] == b"\xff\xd8" and jp[-2:] == b"\xff\xd9"
     prow = media.where("meta.format = 'png'").first()
     assert bytes(prow["payload"]).startswith(b"\x89PNG")  # real PNG tier
 
@@ -69,12 +72,16 @@ def test_decode_fallback_counter_counts_failures(spark):
         def open(fp):
             raise OSError("cannot identify image file")
 
-    # png rows decode on the NATIVE tier and never reach PIL — only
-    # opaque (jpeg-format) payloads exercise the PIL failure path
+    # png AND jpeg fixture rows decode on the NATIVE tier since r13 and
+    # never reach PIL — swap in genuinely opaque payloads (raw md5
+    # bytes match no codec magic) to exercise the PIL failure path
     media = (
         synth_media_table(spark, SF_SMOKE)
-        .where("meta.format = 'jpeg'")
         .limit(12)
+        .withColumn(
+            "payload",
+            F.to_binary(F.md5(F.col("media_id").cast("string")), F.lit("hex")),
+        )
         .cache()
     )
     n = media.count()
