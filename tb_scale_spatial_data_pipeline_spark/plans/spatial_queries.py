@@ -3875,3 +3875,170 @@ def q_minkowski_buffer_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rect_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ST_ConvexHull aggregate (r13): per-nation convex hull of the customer
+# point cloud — vertex count, exact lattice area, perimeter (decimal
+# discipline), and squared diameter. The engine runs Andrew's monotone
+# chain (O(n log n), `functions/geometry._convex_hull`) per group via
+# applyInPandas on the DEDUPED lattice points; every downstream number
+# (shoelace over hull edges, perimeter, diameter) is pure Catalyst.
+# The DuckDB twin never builds a chain: it uses the maximal-edge
+# identity — a directed pair (a,b) is a hull edge iff every other
+# point is strictly left of it, or collinear strictly BETWEEN a and b
+# (the betweenness clause rejects sub-edges of collinear runs, so the
+# accepted edges are exactly the strict-vertex hull cycle) — and the
+# diameter identity (max pairwise distance is attained at hull
+# vertices, so the max over ALL point pairs equals it). Two genuinely
+# different algorithms; all arithmetic on the integer lattice.
+# At 100 TB: the dedup bounds each group at the lattice-domain size
+# (1200 cells), the kernel is per-group tiny, and everything else is
+# codegen — the same reduce-to-distinct-sites-first discipline as the
+# r12 spatial-statistics tier.
+@_q(
+    "convex_hull_metrics",
+    """
+    WITH pts AS (
+      SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nation,
+             CAST(c_custkey % 40 AS BIGINT) AS px,
+             CAST(c_custkey % 30 AS BIGINT) AS py
+      FROM customer
+    ),
+    edges AS (
+      SELECT a.nation, a.px AS ax, a.py AS ay, b.px AS bx, b.py AS by
+      FROM pts a JOIN pts b
+        ON a.nation = b.nation AND (a.px <> b.px OR a.py <> b.py)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pts p
+        WHERE p.nation = a.nation
+          AND NOT (p.px = a.px AND p.py = a.py)
+          AND NOT (p.px = b.px AND p.py = b.py)
+          AND (
+            (b.px - a.px) * (p.py - a.py)
+              - (b.py - a.py) * (p.px - a.px) < 0
+            OR (
+              (b.px - a.px) * (p.py - a.py)
+                - (b.py - a.py) * (p.px - a.px) = 0
+              AND NOT (
+                (p.px - a.px) * (b.px - a.px)
+                  + (p.py - a.py) * (b.py - a.py) > 0
+                AND (p.px - a.px) * (b.px - a.px)
+                      + (p.py - a.py) * (b.py - a.py)
+                    < (b.px - a.px) * (b.px - a.px)
+                      + (b.py - a.py) * (b.py - a.py)
+              )
+            )
+          )
+      )
+    ),
+    hull AS (
+      SELECT nation,
+             COUNT(*) AS n_hull_vertices,
+             CAST(SUM(ax * by - ay * bx) AS DOUBLE) / 2.0 AS hull_area,
+             round(CAST(SUM(CAST(round(
+               sqrt(CAST((bx - ax) * (bx - ax)
+                         + (by - ay) * (by - ay) AS DOUBLE)), 12)
+               AS DECIMAL(38,12))) AS DOUBLE), 9) AS hull_perimeter
+      FROM edges GROUP BY nation
+    ),
+    np AS (
+      SELECT nation, COUNT(*) AS n_points FROM pts GROUP BY nation
+    ),
+    diam AS (
+      SELECT a.nation,
+             MAX((a.px - b.px) * (a.px - b.px)
+                 + (a.py - b.py) * (a.py - b.py)) AS diam2
+      FROM pts a JOIN pts b ON a.nation = b.nation
+      GROUP BY a.nation
+    )
+    SELECT h.nation, np.n_points, h.n_hull_vertices, h.hull_area,
+           h.hull_perimeter, d.diam2
+    FROM hull h
+    JOIN np ON np.nation = h.nation
+    JOIN diam d ON d.nation = h.nation
+    ORDER BY h.nation
+    """,
+)
+def q_convex_hull_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    cust = t(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+        (F.col("c_custkey") % 40).cast("bigint").alias("px"),
+        (F.col("c_custkey") % 30).cast("bigint").alias("py"),
+    ).distinct()
+
+    def hull_fn(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        from ..functions.geometry import _convex_hull
+
+        arr = np.unique(pdf[["px", "py"]].to_numpy(dtype=np.float64), axis=0)
+        h = _convex_hull(arr)
+        return pd.DataFrame(
+            {
+                "nation": key[0],
+                "seq": range(len(h)),
+                "hx": h[:, 0].astype("int64"),
+                "hy": h[:, 1].astype("int64"),
+            }
+        )
+
+    hulls = pts.groupBy("nation").applyInPandas(
+        hull_fn, "nation bigint, seq int, hx bigint, hy bigint"
+    )
+    w = Window.partitionBy("nation").orderBy("seq")
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    edges = hulls.select(
+        "nation",
+        "hx",
+        "hy",
+        F.coalesce(F.lead("hx").over(w), F.first("hx").over(w_all)).alias("nx"),
+        F.coalesce(F.lead("hy").over(w), F.first("hy").over(w_all)).alias("ny"),
+    )
+    d = F.sqrt(
+        ((F.col("nx") - F.col("hx")) * (F.col("nx") - F.col("hx"))
+         + (F.col("ny") - F.col("hy")) * (F.col("ny") - F.col("hy"))
+        ).cast("double")
+    )
+    hull_agg = edges.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_hull_vertices"),
+        (
+            F.sum(F.col("hx") * F.col("ny") - F.col("hy") * F.col("nx"))
+            .cast("double") / 2.0
+        ).alias("hull_area"),
+        F.round(
+            F.sum(F.round(d, 12).cast("decimal(38,12)")).cast("double"), 9
+        ).alias("hull_perimeter"),
+    )
+    n_points = pts.groupBy("nation").agg(F.count(F.lit(1)).alias("n_points"))
+    hb = hulls.select(
+        F.col("nation").alias("nation_b"),
+        F.col("hx").alias("bx"),
+        F.col("hy").alias("by"),
+    )
+    diam = (
+        hulls.join(hb, F.col("nation") == F.col("nation_b"))
+        .groupBy("nation")
+        .agg(
+            F.max(
+                (F.col("hx") - F.col("bx")) * (F.col("hx") - F.col("bx"))
+                + (F.col("hy") - F.col("by")) * (F.col("hy") - F.col("by"))
+            ).alias("diam2")
+        )
+    )
+    return (
+        hull_agg.join(n_points, "nation")
+        .join(diam, "nation")
+        .select(
+            "nation",
+            "n_points",
+            "n_hull_vertices",
+            "hull_area",
+            "hull_perimeter",
+            "diam2",
+        )
+        .orderBy("nation")
+    )

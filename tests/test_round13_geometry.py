@@ -275,3 +275,77 @@ def test_sutherland_hodgman_identity_still_exact():
             abs(_ring_signed_area(out))
             - abs(_ring_signed_area(_close_ring(poly)))
         ) < 1e-12
+
+
+def test_convex_hull_metrics_picks_theorem(spark):
+    """Third-algorithm check for the hull query: Pick's theorem
+    (A = I + B/2 - 1 for lattice polygons) recomputes the hull area
+    from interior/boundary lattice-point counts; diameter re-derived
+    by brute force over ALL points (not just hull vertices)."""
+    from math import gcd
+
+    rows = SPATIAL_QUERIES["convex_hull_metrics"](spark, SF_SMOKE).collect()
+    assert rows
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    pts_rows = (
+        cust.selectExpr(
+            "cast(c_nationkey as long) nation",
+            "cast(c_custkey % 40 as long) px",
+            "cast(c_custkey % 30 as long) py",
+        )
+        .distinct()
+        .collect()
+    )
+    by_nation: dict[int, set] = {}
+    for r in pts_rows:
+        by_nation.setdefault(r["nation"], set()).add((r["px"], r["py"]))
+    for row in rows:
+        pts = np.array(sorted(by_nation[row["nation"]]), dtype=float)
+        from tb_scale_spatial_data_pipeline_spark.functions.geometry import (
+            _convex_hull,
+        )
+
+        hull = _convex_hull(pts).astype(int)
+        assert row["n_hull_vertices"] == len(hull)
+        assert row["n_points"] == len(pts)
+        # boundary lattice points: sum of gcd(|dx|,|dy|) over edges
+        B = sum(
+            gcd(abs(int(hull[(i + 1) % len(hull)][0] - hull[i][0])),
+                abs(int(hull[(i + 1) % len(hull)][1] - hull[i][1])))
+            for i in range(len(hull))
+        )
+        # interior lattice points: even-odd test over the domain, with
+        # boundary membership decided by on-segment checks
+        def on_boundary(x, y):
+            for i in range(len(hull)):
+                ax, ay = hull[i]
+                bx, by = hull[(i + 1) % len(hull)]
+                cross = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
+                if cross == 0 and min(ax, bx) <= x <= max(ax, bx) and min(
+                    ay, by
+                ) <= y <= max(ay, by):
+                    return True
+            return False
+
+        def strictly_inside(x, y):
+            if on_boundary(x, y):
+                return False
+            n = len(hull)
+            for i in range(n):
+                ax, ay = hull[i]
+                bx, by = hull[(i + 1) % n]
+                if (bx - ax) * (y - ay) - (by - ay) * (x - ax) <= 0:
+                    return False  # hull is CCW: inside = strictly left of all
+            return True
+
+        I = sum(
+            strictly_inside(x, y) for x in range(41) for y in range(31)
+        )
+        assert row["hull_area"] == I + B / 2.0 - 1  # Pick's theorem
+        # diameter identity: brute force over ALL points
+        d2 = max(
+            (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+            for a in by_nation[row["nation"]]
+            for b in by_nation[row["nation"]]
+        )
+        assert row["diam2"] == d2
