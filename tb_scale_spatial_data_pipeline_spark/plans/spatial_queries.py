@@ -1457,7 +1457,11 @@ def q_polygon_overlay_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (rect_y0(g) < F.col("zy1"))
         & (rect_y1(g) > F.col("zy0")),
     )
-    ov = cand.select(
+    # the source parquet is one input split at every tested SF, which
+    # would run the per-pair kernel on a single thread — spread the
+    # candidate pairs across the cluster before the Arrow UDF (r13
+    # probe: 27.9 s -> seconds at sf0.1; pure plan change, same rows)
+    ov = cand.repartition(spark.sparkContext.defaultParallelism, "rect_id").select(
         "rect_id",
         "zone_id",
         polygon_overlay_cols(F.col("geometry"), F.col("zone_geom")).alias("ov"),
@@ -2309,19 +2313,38 @@ def q_ripleys_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = (F.col("px") - F.col("bx")) * (F.col("px") - F.col("bx")) + (
         F.col("py") - F.col("by")
     ) * (F.col("py") - F.col("by"))
-    cand = probes.join(bside, ["ncx", "ncy"]).select(
-        # multiplicity products overflow BIGINT sums at extreme SF —
-        # accumulate exactly as DECIMAL(38,0)
-        (F.col("m").cast("decimal(38,0)") * F.col("mb")).alias("mm"),
-        d2.alias("d2"),
+    # Two-level exact aggregation (r13 probe: 19.0 s -> ~2 s at sf0.1):
+    # per a-site, sum neighbor multiplicities per radius in pure-BIGINT
+    # codegen (map-side combinable — the shuffle carries <= |sites|
+    # rows), THEN multiply by m_a as DECIMAL(38,0) on the tiny output.
+    # Same integers by associativity; multiplicity products still never
+    # overflow the final decimal lattice at extreme SF. BIGINT bound on
+    # the inner sums: <= 2304 neighbor sites x per-site m — safe past
+    # 1e15 events.
+    # pin the join's partition count: the probe side is only ~20 MB,
+    # so AQE would coalesce the exchange to ONE partition and the
+    # 3x3-block join would materialize its ~|sites| x density output
+    # rows in a single task (r13 probe: this, not the decimal math,
+    # was the residual 18 s) — an explicit repartition is exempt from
+    # AQE coalescing
+    nb = (
+        probes.repartition(
+            spark.sparkContext.defaultParallelism, "ncx", "ncy"
+        )
+        .join(bside, ["ncx", "ncy"])
+        .groupBy("px", "py", "m")
+        .agg(
+            *[
+                F.sum(
+                    F.when(d2 <= r * r, F.col("mb")).otherwise(F.lit(0))
+                ).alias(f"nm{r}")
+                for r in (4, 8, 16)
+            ]
+        )
     )
-    tall = cand.agg(
+    tall = nb.agg(
         *[
-            F.sum(
-                F.when(F.col("d2") <= r * r, F.col("mm")).otherwise(
-                    F.lit(0).cast("decimal(38,0)")
-                )
-            )
+            F.sum(F.col("m").cast("decimal(38,0)") * F.col(f"nm{r}"))
             .cast("decimal(38,0)")
             .alias(f"s{r}")
             for r in (4, 8, 16)
@@ -2570,30 +2593,54 @@ def q_empirical_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = (F.col("px") - F.col("bx")) * (F.col("px") - F.col("bx")) + (
         F.col("py") - F.col("by")
     ) * (F.col("py") - F.col("by"))
-    cand = (
-        probes.join(bside, ["ncx", "ncy"])
+    # Two-level exact aggregation (r13 probe: 50.6 s -> ~2 s at sf0.1).
+    # The candidate join emits ~|sites| x 3x3-block-density rows; doing
+    # the DECIMAL(38,0) products per CANDIDATE made the whole join run
+    # BigDecimal arithmetic. Instead: (1) per a-site and lag bin, sum
+    # the neighbor sufficient statistics (sum m_b, sum s_b, sum q_b)
+    # in pure-BIGINT codegen — map-side combinable, so the shuffle
+    # carries <= |sites| x 4 rows; (2) apply the per-site decimal
+    # products q_a*sum(m_b) + m_a*sum(q_b) - 2 s_a*sum(s_b) on that
+    # tiny output. Same integers by associativity of integer addition.
+    # BIGINT bound: neighbor sums over <= 2304 in-range sites of
+    # per-site q <= m*(max cents)^2 stay under 2^63 to ~2.5e12 events
+    # (beyond the 100 TB target); past that, widen step (1) to decimal.
+    nb = (
+        probes.repartition(  # AQE would single-task this join (see ripleys_k)
+            spark.sparkContext.defaultParallelism, "ncx", "ncy"
+        )
+        .join(bside, ["ncx", "ncy"])
         .where(d2 > 0)
         .where(d2 <= 256)
-        .select(
+        .groupBy(
+            "px",
+            "py",
+            "m",
+            "s",
+            "q",
             F.when(d2 <= 4, 2)
             .when(d2 <= 16, 4)
             .when(d2 <= 64, 8)
             .otherwise(16)
             .alias("h"),
-            # m*Q and S*S products pass 2^63 at real corpus SFs —
-            # exact DECIMAL(38,0) lattice (DuckDB sums are HUGEINT)
-            (F.col("m").cast("decimal(38,0)") * F.col("mb")).alias(
-                "npairs"
-            ),
-            (
-                F.col("mb").cast("decimal(38,0)") * F.col("q")
-                + F.col("m").cast("decimal(38,0)") * F.col("qb")
-                - 2 * F.col("s").cast("decimal(38,0)") * F.col("sb")
-            ).alias("ss"),
+        )
+        .agg(
+            F.sum("mb").alias("nm"),
+            F.sum("sb").alias("nsum"),
+            F.sum("qb").alias("nq"),
         )
     )
+    per_site = nb.select(
+        "h",
+        (F.col("m").cast("decimal(38,0)") * F.col("nm")).alias("npairs"),
+        (
+            F.col("nm").cast("decimal(38,0)") * F.col("q")
+            + F.col("m").cast("decimal(38,0)") * F.col("nq")
+            - 2 * F.col("s").cast("decimal(38,0)") * F.col("nsum")
+        ).alias("ss"),
+    )
     return (
-        cand.groupBy("h")
+        per_site.groupBy("h")
         .agg(
             F.sum("npairs").cast("bigint").alias("n_pairs"),
             F.round(
@@ -2799,42 +2846,74 @@ def q_clark_evans_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("event_id") * 48271) % 2147483647 % 256).alias("px"),
         (F.expr("((event_id * 48271) % 2147483647) div 256") % 256).alias("py"),
     ).agg(F.count(F.lit(1)).alias("m"))
+    # Two-pass NN refinement (r13 probe: 9.2 s -> ~1.5 s at sf0.1).
+    # At any realistic density almost every singleton's nearest
+    # neighbor is within d <= 2, so pass 1 probes a 3x3 block grid of
+    # CELL = 2 px (complete for d2 <= 4: the neighborhood covers
+    # Chebyshev distance 2 even from a block edge) — candidate volume
+    # is sites x small-block density, ~60x less than the 16-px scan.
+    # Only singletons pass 1 cannot settle (no neighbor, or nearest
+    # candidate past the completeness radius) rescan at CELL = 16.
+    # Identical mind2 per site; censoring semantics unchanged.
     cells = pts.select(
         "*",
         F.expr("px div 16").alias("cx"),
         F.expr("py div 16").alias("cy"),
+        F.expr("px div 2").alias("sx"),
+        F.expr("py div 2").alias("sy"),
     ).localCheckpoint(eager=True)
     offs = (
         spark.range(-1, 2)
         .select(F.col("id").alias("dx"))
         .crossJoin(spark.range(-1, 2).select(F.col("id").alias("dy")))
     )
-    probes = (
-        cells.where(F.col("m") == 1)
-        .crossJoin(F.broadcast(offs))
-        .select(
-            "px",
-            "py",
-            (F.col("cx") + F.col("dx")).alias("ncx"),
-            (F.col("cy") + F.col("dy")).alias("ncy"),
-        )
+    singles = cells.where(F.col("m") == 1)
+    d2 = (F.col("px") - F.col("bx")) * (F.col("px") - F.col("bx")) + (
+        F.col("py") - F.col("by")
+    ) * (F.col("py") - F.col("by"))
+
+    probes1 = singles.crossJoin(F.broadcast(offs)).select(
+        "px",
+        "py",
+        (F.col("sx") + F.col("dx")).alias("nsx"),
+        (F.col("sy") + F.col("dy")).alias("nsy"),
     )
-    bside = cells.select(
+    bside1 = cells.select(
+        F.col("px").alias("bx"),
+        F.col("py").alias("by"),
+        F.col("sx").alias("nsx"),
+        F.col("sy").alias("nsy"),
+    )
+    nn1 = (
+        probes1.join(bside1, ["nsx", "nsy"])
+        .where(d2 > 0)
+        .groupBy("px", "py")
+        .agg(F.min(d2).alias("mind2"))
+    )
+    resolved = nn1.where(F.col("mind2") <= 4)
+
+    unresolved = singles.join(resolved, ["px", "py"], "left_anti")
+    probes2 = unresolved.crossJoin(F.broadcast(offs)).select(
+        "px",
+        "py",
+        (F.col("cx") + F.col("dx")).alias("ncx"),
+        (F.col("cy") + F.col("dy")).alias("ncy"),
+    )
+    bside2 = cells.select(
         F.col("px").alias("bx"),
         F.col("py").alias("by"),
         F.col("cx").alias("ncx"),
         F.col("cy").alias("ncy"),
     )
-    d2 = (F.col("px") - F.col("bx")) * (F.col("px") - F.col("bx")) + (
-        F.col("py") - F.col("by")
-    ) * (F.col("py") - F.col("by"))
-    nn = (
-        probes.join(bside, ["ncx", "ncy"])
+    nn2 = (
+        probes2.join(bside2, ["ncx", "ncy"])
         .where(d2 > 0)
         .groupBy("px", "py")
         .agg(F.min(d2).alias("mind2"))
-        .localCheckpoint(eager=True)  # read by contrib + censored
     )
+    nn = resolved.unionByName(nn2).localCheckpoint(
+        eager=True
+    )  # read by contrib + censored
     # NOTE: no decimal*int products — Spark shrinks the scale of an
     # overflowing decimal multiply; co-located events contribute d=0
     # so only their COUNT matters
@@ -3162,6 +3241,20 @@ def q_getis_ord_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_knox_space_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 re-plan (probe: 9.7 s -> ~1 s at sf0.1, same outputs):
+    # - n_space_close comes from SITE MULTIPLICITIES, never event
+    #   pairs: ordered distinct-event pairs within r = sum_a m_a *
+    #   (sum of m_b over sites within d2<=64 of a, incl. a itself)
+    #   - n, halved. The 3x3 block join runs on <= domain-bounded
+    #   distinct sites; per-a neighbor sums are BIGINT map-side.
+    # - x_close_both blocks on (space cell, time bucket) JOINTLY (27
+    #   probes): candidates are events x local space-time density, not
+    #   events x space-cell density — the quadratic-in-density pair
+    #   enumeration the r12 plan had (and its 90M-row localCheckpoint)
+    #   is gone.
+    # - n_time_close keeps the +-1-bucket join: it enumerates only
+    #   near-qualifying pairs, Theta(answer), which is optimal for an
+    #   exact pair count.
     evt = t(spark, sf_dir, "events").select("event_id", "ts")
     tms = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast(
         "bigint"
@@ -3172,55 +3265,116 @@ def q_knox_space_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         (h % 256).alias("px"),
         (F.expr("((event_id * 48271) % 2147483647) div 256") % 256).alias("py"),
         tms.alias("tms"),
-    ).localCheckpoint(eager=True)  # feeds space AND time pair builds
+    ).localCheckpoint(eager=True)  # feeds sites, x AND time builds
     n_tot = ev.agg(F.count(F.lit(1)).alias("n"))
-    scells = ev.select(
-        "*",
-        F.expr("px div 8").alias("cx"),
-        F.expr("py div 8").alias("cy"),
+
+    # --- n_space_close from site multiplicities ---
+    sites = (
+        ev.groupBy("px", "py")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .select(
+            "px",
+            "py",
+            "m",
+            F.expr("px div 8").alias("cx"),
+            F.expr("py div 8").alias("cy"),
+        )
+        .localCheckpoint(eager=True)  # probe + build sides
     )
     offs = (
         spark.range(-1, 2)
         .select(F.col("id").alias("dx"))
         .crossJoin(spark.range(-1, 2).select(F.col("id").alias("dy")))
     )
-    sprobe = scells.crossJoin(F.broadcast(offs)).select(
-        F.col("event_id").alias("ia"),
-        F.col("px").alias("pxa"),
-        F.col("py").alias("pya"),
-        F.col("tms").alias("ta"),
+    sprobe = sites.crossJoin(F.broadcast(offs)).select(
+        "px",
+        "py",
+        "m",
         (F.col("cx") + F.col("dx")).alias("ncx"),
         (F.col("cy") + F.col("dy")).alias("ncy"),
     )
-    bside = scells.select(
+    sbuild = sites.select(
+        F.col("px").alias("bx"),
+        F.col("py").alias("by"),
+        F.col("m").alias("mb"),
+        F.col("cx").alias("ncx"),
+        F.col("cy").alias("ncy"),
+    )
+    sd2 = (F.col("px") - F.col("bx")) * (F.col("px") - F.col("bx")) + (
+        F.col("py") - F.col("by")
+    ) * (F.col("py") - F.col("by"))
+    nbsum = (
+        sprobe.join(sbuild, ["ncx", "ncy"])
+        .where(sd2 <= 64)
+        .groupBy("px", "py", "m")
+        .agg(F.sum("mb").alias("nm"))
+    )
+    # ordered distinct-event pairs = sum m*nm - n (self-events); /2 ->
+    # unordered. m*nm fits BIGINT to ~3e13 events; the cross-site SUM
+    # accumulates as DECIMAL(38,0).
+    ns = nbsum.agg(
+        F.sum((F.col("m").cast("decimal(38,0)") * F.col("nm"))).alias("s")
+    ).crossJoin(F.broadcast(n_tot)).select(
+        ((F.col("s") - F.col("n")) / 2).cast("bigint").alias("ns")
+    )
+
+    # --- x_close_both: (space cell, time bucket) blocked event join ---
+    evc = ev.select(
+        "event_id",
+        "px",
+        "py",
+        "tms",
+        F.expr("px div 8").alias("cx"),
+        F.expr("py div 8").alias("cy"),
+        F.expr("tms div 3600000").alias("bkt"),
+    )
+    toffs = spark.range(-1, 2).select(F.col("id").alias("dt"))
+    xprobe = (
+        evc.crossJoin(F.broadcast(offs))
+        .crossJoin(F.broadcast(toffs))
+        .select(
+            F.col("event_id").alias("ia"),
+            F.col("px").alias("pxa"),
+            F.col("py").alias("pya"),
+            F.col("tms").alias("ta"),
+            (F.col("cx") + F.col("dx")).alias("ncx"),
+            (F.col("cy") + F.col("dy")).alias("ncy"),
+            (F.col("bkt") + F.col("dt")).alias("nbkt"),
+        )
+    )
+    xbuild = evc.select(
         F.col("event_id").alias("ib"),
         F.col("px").alias("pxb"),
         F.col("py").alias("pyb"),
         F.col("tms").alias("tb"),
         F.col("cx").alias("ncx"),
         F.col("cy").alias("ncy"),
+        F.col("bkt").alias("nbkt"),
     )
-    d2 = (F.col("pxa") - F.col("pxb")) * (F.col("pxa") - F.col("pxb")) + (
+    xd2 = (F.col("pxa") - F.col("pxb")) * (F.col("pxa") - F.col("pxb")) + (
         F.col("pya") - F.col("pyb")
     ) * (F.col("pya") - F.col("pyb"))
-    spairs = (
-        sprobe.join(bside, ["ncx", "ncy"])
-        .where((F.col("ia") < F.col("ib")) & (d2 <= 64))
-        .select("ia", "ib", "ta", "tb")
-        .localCheckpoint(eager=True)  # counted twice (ns and x)
+    x = (
+        xprobe.repartition(  # AQE would single-task this join
+            spark.sparkContext.defaultParallelism, "ncx", "ncy", "nbkt"
+        )
+        .join(xbuild, ["ncx", "ncy", "nbkt"])
+        .where(
+            (F.col("ia") < F.col("ib"))
+            & (xd2 <= 64)
+            & (F.abs(F.col("ta") - F.col("tb")) <= 3600000)
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
     )
-    ns = spairs.agg(F.count(F.lit(1)).alias("ns"))
-    x = spairs.where(
-        F.abs(F.col("ta") - F.col("tb")) <= 3600000
-    ).agg(F.count(F.lit(1)).alias("x"))
+
+    # --- n_time_close: +-1-bucket blocked event join ---
     tbk = ev.select(
         "event_id", "tms", F.expr("tms div 3600000").alias("bkt")
     )
-    toffs = spark.range(-1, 2).select(F.col("id").alias("d"))
     tprobe = tbk.crossJoin(F.broadcast(toffs)).select(
         F.col("event_id").alias("ia"),
         F.col("tms").alias("ta"),
-        (F.col("bkt") + F.col("d")).alias("nbkt"),
+        (F.col("bkt") + F.col("dt")).alias("nbkt"),
     )
     tside = tbk.select(
         F.col("event_id").alias("ib"),
@@ -3228,7 +3382,10 @@ def q_knox_space_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bkt").alias("nbkt"),
     )
     nt = (
-        tprobe.join(tside, "nbkt")
+        tprobe.repartition(  # AQE would single-task this join
+            spark.sparkContext.defaultParallelism, "nbkt"
+        )
+        .join(tside, "nbkt")
         .where(
             (F.col("ia") < F.col("ib"))
             & (F.abs(F.col("ta") - F.col("tb")) <= 3600000)
@@ -3366,17 +3523,27 @@ def q_cross_k_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = (F.col("pxa") - F.col("pxb")) * (F.col("pxa") - F.col("pxb")) + (
         F.col("pya") - F.col("pyb")
     ) * (F.col("pya") - F.col("pyb"))
-    cand = probes.join(bside, ["ncx", "ncy"]).select(
-        (F.col("ma").cast("decimal(38,0)") * F.col("mb")).alias("mm"),
-        d2.alias("d2"),
+    # two-level exact aggregation (same refactor as ripleys_k, r13):
+    # BIGINT neighbor-multiplicity sums per click-site map-side, then
+    # DECIMAL products on the <= |sites| rows that survive
+    nb = (
+        probes.repartition(  # AQE would single-task this join (see ripleys_k)
+            spark.sparkContext.defaultParallelism, "ncx", "ncy"
+        )
+        .join(bside, ["ncx", "ncy"])
+        .groupBy("pxa", "pya", "ma")
+        .agg(
+            *[
+                F.sum(
+                    F.when(d2 <= r * r, F.col("mb")).otherwise(F.lit(0))
+                ).alias(f"nm{r}")
+                for r in (4, 8, 16)
+            ]
+        )
     )
-    tall = cand.agg(
+    tall = nb.agg(
         *[
-            F.sum(
-                F.when(F.col("d2") <= r * r, F.col("mm")).otherwise(
-                    F.lit(0).cast("decimal(38,0)")
-                )
-            )
+            F.sum(F.col("ma").cast("decimal(38,0)") * F.col(f"nm{r}"))
             .cast("decimal(38,0)")
             .alias(f"s{r}")
             for r in (4, 8, 16)
@@ -3622,7 +3789,11 @@ def q_polygon_overlay_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("y0") < F.col("zy1"))
         & (F.col("y1") > F.col("zy0")),
     )
-    ov = cand.select(
+    # single-split source -> spread the per-pair kernel work (see the
+    # identical note in q_polygon_overlay_iou; r13 probe 43.7 s -> s)
+    ov = cand.repartition(
+        spark.sparkContext.defaultParallelism, "rect_id"
+    ).select(
         "rect_id",
         "zone_id",
         polygon_overlay_general_cols(
