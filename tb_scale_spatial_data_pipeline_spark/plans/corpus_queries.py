@@ -1021,3 +1021,85 @@ def q_dedup_token_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate-span fraction (r13) — the per-document
+# signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+# Language Models Better", exact-substring dedup): for every k-gram
+# POSITION in a document, is that k-gram verbatim-shared with at
+# least one OTHER document? Unlike shingle_containment_pairs (pairwise
+# containment) or corpus_segment_dedup (keep-first cut), this scores
+# each document by how much of its surface is corpus-duplicated — the
+# quantity the exact-substring pass thresholds on. Positions (not
+# distinct grams) are counted, so a doc repeating a shared gram is
+# penalized per occurrence.
+# 100 TB shape: one Exchange on the gram hash to count distinct docs
+# per gram (map-side partial via the per-doc distinct), broadcast-free
+# join back on the same key, then a per-doc aggregate. Never pairwise.
+@_q(
+    "duplicate_span_fraction",
+    f"""
+    WITH words AS (
+      SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, s.i AS pos,
+             array_to_string(w[s.i:s.i+{_GRAM_N - 1}], ' ') AS gram
+      FROM words, LATERAL unnest(generate_series(1, len(w) - {_GRAM_N - 1})) AS s(i)
+      WHERE len(w) >= {_GRAM_N}
+    ),
+    gram_docs AS (
+      SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM pos GROUP BY gram
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             COUNT(*) AS n_positions,
+             SUM(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS n_dup_positions
+      FROM pos p JOIN gram_docs g USING (gram)
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_positions AS BIGINT) AS n_positions,
+           CAST(n_dup_positions AS BIGINT) AS n_dup_positions,
+           round(CAST(n_dup_positions AS DOUBLE) / n_positions, 9)
+             AS dup_fraction
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def q_duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _words_df(spark, sf_dir).where(F.size("w") >= _GRAM_N)
+    pos = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {_GRAM_N - 1}),"
+                f" i -> array_join(slice(w, i, {_GRAM_N}), ' '))"
+            )
+        ).alias("gram"),
+    )
+    gram_docs = (
+        pos.select("doc_id", "gram")
+        .distinct()  # map-side distinct bounds the gram-key shuffle
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    scored = (
+        pos.join(gram_docs, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_positions"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias(
+                "n_dup_positions"
+            ),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_positions").cast("bigint").alias("n_positions"),
+        F.col("n_dup_positions").cast("bigint").alias("n_dup_positions"),
+        F.round(
+            F.col("n_dup_positions").cast("double") / F.col("n_positions"), 9
+        ).alias("dup_fraction"),
+    ).orderBy("doc_id")

@@ -4213,3 +4213,111 @@ def q_convex_hull_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# ST_Contains for GENERAL (concave) polygons in PURE Catalyst (r13):
+# even-odd ray casting with the integer cross-multiplied crossing
+# test — for edge (x1,y1)-(x2,y2) and query point (px,py), the +x ray
+# crosses iff (y1>py) != (y2>py) and the sign-adjusted determinant
+# (px-x1)(y2-y1) - (py-y1)(x2-x1) is on the inside of the edge's
+# y-direction. No division, no UDF: integer-exact for any simple
+# polygon, vertices streamed straight out of the WKT string with the
+# same split/posexplode parse the linestring ops use. Strict
+# inequalities give the standard half-open boundary convention, which
+# is exactly slab membership [x0,x1) x [y0,y1) on rectilinear input —
+# so the DuckDB twin checks the L-zones' 2-slab boxes directly (a
+# different derivation). At 100 TB: the polygon dim broadcasts as an
+# edge list; per (point, edge) work is codegen; parity is one
+# map-side-combinable groupBy per (point, zone).
+@_q(
+    "point_in_polygon_raycast",
+    f"""
+    WITH lzones AS ({_SQL_LZONES}),
+    pts AS (
+      SELECT c_custkey AS point_id,
+             CAST(c_custkey % 40 AS BIGINT) AS px,
+             CAST(c_custkey % 30 AS BIGINT) AS py
+      FROM customer
+    ),
+    hits AS (
+      SELECT z.zone_id, p.point_id
+      FROM lzones z JOIN pts p
+        ON (p.px >= z.zx0 AND p.px < z.zx1
+            AND p.py >= z.zy0 AND p.py < z.zym)
+        OR (p.px >= z.zx0 AND p.px < z.zxm
+            AND p.py >= z.zym AND p.py < z.zy1)
+    )
+    SELECT z.zone_id,
+           COALESCE(h.n_inside, 0) AS n_inside,
+           COALESCE(h.sum_ids, 0) AS sum_ids
+    FROM lzones z LEFT JOIN (
+      SELECT zone_id, CAST(COUNT(*) AS BIGINT) AS n_inside,
+             CAST(SUM(point_id) AS BIGINT) AS sum_ids
+      FROM hits GROUP BY zone_id
+    ) h ON h.zone_id = z.zone_id
+    ORDER BY z.zone_id
+    """,
+)
+def q_point_in_polygon_raycast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    zones = _lzones(spark)
+    verts = zones.select(
+        "zone_id",
+        F.posexplode(
+            F.split(
+                F.regexp_extract(
+                    F.col("zone_geom"), r"POLYGON\(\((.*)\)\)", 1
+                ),
+                ", ",
+            )
+        ).alias("idx", "pt"),
+    ).select(
+        "zone_id",
+        "idx",
+        F.split(F.col("pt"), " ")[0].cast("bigint").alias("vx"),
+        F.split(F.col("pt"), " ")[1].cast("bigint").alias("vy"),
+    )
+    w = Window.partitionBy("zone_id").orderBy("idx")
+    edges = (
+        verts.select(
+            "zone_id",
+            F.col("vx").alias("x1"),
+            F.col("vy").alias("y1"),
+            F.lead("vx").over(w).alias("x2"),
+            F.lead("vy").over(w).alias("y2"),
+        )
+        .where(F.col("x2").isNotNull())
+    )
+    pts = _points(spark, sf_dir).select(
+        "point_id",
+        F.col("px").cast("bigint").alias("px"),
+        F.col("py").cast("bigint").alias("py"),
+    )
+    y1, y2 = F.col("y1"), F.col("y2")
+    det = (F.col("px") - F.col("x1")) * (y2 - y1) - (
+        F.col("py") - y1
+    ) * (F.col("x2") - F.col("x1"))
+    crossing = ((y1 > F.col("py")) != (y2 > F.col("py"))) & (
+        F.when(y2 > y1, det < 0).otherwise(det > 0)
+    )
+    parity = (
+        pts.crossJoin(F.broadcast(edges))
+        .where(crossing)
+        .groupBy("point_id", "zone_id")
+        .agg(F.count(F.lit(1)).alias("n_crossings"))
+        .where(F.col("n_crossings") % 2 == 1)
+    )
+    per_zone = parity.groupBy("zone_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_inside"),
+        F.sum("point_id").cast("bigint").alias("sum_ids"),
+    )
+    return (
+        zones.select("zone_id")
+        .join(per_zone, "zone_id", "left")
+        .select(
+            "zone_id",
+            F.coalesce(F.col("n_inside"), F.lit(0)).alias("n_inside"),
+            F.coalesce(F.col("sum_ids"), F.lit(0)).alias("sum_ids"),
+        )
+        .orderBy("zone_id")
+    )

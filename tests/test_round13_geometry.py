@@ -349,3 +349,66 @@ def test_convex_hull_metrics_picks_theorem(spark):
             for b in by_nation[row["nation"]]
         )
         assert row["diam2"] == d2
+
+
+def test_raycast_crossing_test_general_concave(spark):
+    """The Catalyst integer crossing test is general, not just
+    rectilinear: classify a lattice of points against the concave
+    non-rectilinear STAR (scaled x4 to integer vertices) through the
+    SAME cross-multiplied expression the query uses, and compare to an
+    independent numpy even-odd rasterization."""
+    from pyspark.sql import Window, functions as F
+
+    star4 = (STAR * 4).astype(int)  # integer vertices, still concave
+    ring = np.vstack([star4, star4[:1]])
+    edges_rows = [
+        (int(ring[i][0]), int(ring[i][1]), int(ring[i + 1][0]), int(ring[i + 1][1]))
+        for i in range(len(ring) - 1)
+    ]
+    edges = spark.createDataFrame(edges_rows, "x1 long, y1 long, x2 long, y2 long")
+    pts = spark.createDataFrame(
+        [(x, y) for x in range(-13, 14) for y in range(-13, 14)],
+        "px long, py long",
+    )
+    y1, y2 = F.col("y1"), F.col("y2")
+    det = (F.col("px") - F.col("x1")) * (y2 - y1) - (F.col("py") - y1) * (
+        F.col("x2") - F.col("x1")
+    )
+    crossing = ((y1 > F.col("py")) != (y2 > F.col("py"))) & (
+        F.when(y2 > y1, det < 0).otherwise(det > 0)
+    )
+    inside_rows = {
+        (r["px"], r["py"])
+        for r in pts.crossJoin(F.broadcast(edges))
+        .where(crossing)
+        .groupBy("px", "py")
+        .count()
+        .where(F.col("count") % 2 == 1)
+        .collect()
+    }
+    # independent check: numpy even-odd at the same points
+    for x in range(-13, 14):
+        for y in range(-13, 14):
+            got = (x, y) in inside_rows
+            # skip points exactly on the boundary (convention-dependent)
+            on_edge = False
+            n = len(star4)
+            for i in range(n):
+                ax, ay = star4[i]
+                bx, by = star4[(i + 1) % n]
+                cr = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
+                if cr == 0 and min(ax, bx) <= x <= max(ax, bx) and min(
+                    ay, by
+                ) <= y <= max(ay, by):
+                    on_edge = True
+                    break
+            if on_edge:
+                continue
+            want = bool(
+                _rasterize(
+                    star4.astype(float),
+                    np.array([float(x)]),
+                    np.array([float(y)]),
+                )[0, 0]
+            )
+            assert got == want, (x, y, got, want)
