@@ -4321,3 +4321,237 @@ def q_point_in_polygon_raycast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zone_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-neighbor SPATIAL JOIN (r13) — the canonical GIS join: for
+# every click event, the nearest purchase event (squared euclidean,
+# ties broken by smaller purchase id), censored past d2 > 256. Engine
+# plan is the two-pass blocked refinement clark_evans_nn uses, applied
+# to a JOIN instead of a statistic: pass 1 probes 3x3 blocks of CELL=4
+# (complete for d2 <= 16 — any point within euclidean 4 is within
+# Chebyshev 4 of the probe, covered even from a block edge) and
+# settles ~all clicks at real densities; the remainder rescans at
+# CELL=16 (complete for d2 <= 256). min(struct(d2, pid)) makes the
+# tie-break deterministic and shuffle-free (map-side partial min).
+# The DuckDB twin brute-forces the full cross product with a QUALIFY
+# row_number — a different algorithm. At 100 TB: candidates are
+# clicks x local purchase density; no all-pairs anywhere.
+@_q(
+    "nn_join_click_purchase",
+    """
+    WITH ev AS (
+      SELECT event_id, event_type,
+             ((event_id * 48271) % 2147483647) % 256 AS px,
+             (((event_id * 48271) % 2147483647) // 256) % 256 AS py
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    clicks AS (SELECT event_id, px, py FROM ev WHERE event_type = 'click'),
+    purch AS (SELECT event_id, px, py FROM ev WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+             (c.px - p.px) * (c.px - p.px)
+             + (c.py - p.py) * (c.py - p.py) AS d2
+      FROM clicks c, purch p
+    )
+    SELECT click_id, purchase_id AS nn_purchase_id, CAST(d2 AS BIGINT) AS nn_d2
+    FROM pairs
+    WHERE d2 <= 256
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY click_id ORDER BY d2, purchase_id) = 1
+    ORDER BY click_id
+    """,
+)
+def q_nn_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "event_type",
+            ((F.col("event_id") * 48271) % 2147483647 % 256).alias("px"),
+            (
+                F.expr("((event_id * 48271) % 2147483647) div 256") % 256
+            ).alias("py"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "px", "py"
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("px").alias("qx"),
+        F.col("py").alias("qy"),
+    )
+    offs = (
+        spark.range(-1, 2)
+        .select(F.col("id").alias("dx"))
+        .crossJoin(spark.range(-1, 2).select(F.col("id").alias("dy")))
+    )
+    d2 = (F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx")) + (
+        F.col("py") - F.col("qy")
+    ) * (F.col("py") - F.col("qy"))
+    winner = F.min(
+        F.struct(d2.alias("d2"), F.col("purchase_id").alias("pid"))
+    ).alias("w")
+
+    def blocked_nn(cands: DataFrame, cell: int, complete_d2: int) -> DataFrame:
+        probes = cands.crossJoin(F.broadcast(offs)).select(
+            "click_id",
+            "px",
+            "py",
+            (F.expr(f"px div {cell}") + F.col("dx")).alias("ncx"),
+            (F.expr(f"py div {cell}") + F.col("dy")).alias("ncy"),
+        )
+        build = purch.select(
+            "purchase_id",
+            "qx",
+            "qy",
+            F.expr(f"qx div {cell}").alias("ncx"),
+            F.expr(f"qy div {cell}").alias("ncy"),
+        )
+        return (
+            probes.repartition(  # AQE would single-task this join
+                spark.sparkContext.defaultParallelism, "ncx", "ncy"
+            )
+            .join(build, ["ncx", "ncy"])
+            .groupBy("click_id")
+            .agg(winner)
+            .where(F.col("w.d2") <= complete_d2)
+            .select(
+                "click_id",
+                F.col("w.pid").alias("nn_purchase_id"),
+                F.col("w.d2").cast("bigint").alias("nn_d2"),
+            )
+        )
+
+    pass1 = blocked_nn(clicks, 4, 16)
+    unresolved = clicks.join(pass1, "click_id", "left_anti")
+    pass2 = blocked_nn(unresolved, 16, 256)
+    return pass1.unionByName(pass2).orderBy("click_id")
+
+
+# ---------------------------------------------------------------------------
+# k-NEAREST-NEIGHBORS spatial join (r13, k=3) — the ranked
+# generalization of nn_join_click_purchase: per click, the 3 nearest
+# purchases (order d2 then purchase id), censored past d2 > 256;
+# clicks with fewer than 3 in-range purchases emit the ranks they
+# have. Two-pass completeness for TOP-K: pass 1 (CELL=4 blocks,
+# complete for d2 <= 16) settles a click only if it finds >= k
+# candidates AND the k-th distance is <= 16 — then its local top-k is
+# the global top-k; everything else rescans at CELL=16, whose 3x3
+# neighborhood contains EVERY purchase with d2 <= 256, so partial
+# result sets there are exact too. Ranking is a (click-partitioned)
+# window over bounded candidate lists — never all-pairs. DuckDB twin:
+# brute-force cross product + QUALIFY row_number <= 3.
+@_q(
+    "knn_join_topk",
+    """
+    WITH ev AS (
+      SELECT event_id, event_type,
+             ((event_id * 48271) % 2147483647) % 256 AS px,
+             (((event_id * 48271) % 2147483647) // 256) % 256 AS py
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    clicks AS (SELECT event_id, px, py FROM ev WHERE event_type = 'click'),
+    purch AS (SELECT event_id, px, py FROM ev WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+             (c.px - p.px) * (c.px - p.px)
+             + (c.py - p.py) * (c.py - p.py) AS d2
+      FROM clicks c, purch p
+    )
+    SELECT click_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY click_id ORDER BY d2, purchase_id) AS BIGINT)
+             AS rank,
+           purchase_id AS nn_purchase_id,
+           CAST(d2 AS BIGINT) AS nn_d2
+    FROM pairs
+    WHERE d2 <= 256
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY click_id ORDER BY d2, purchase_id) <= 3
+    ORDER BY click_id, rank
+    """,
+)
+def q_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 3
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "event_type",
+            ((F.col("event_id") * 48271) % 2147483647 % 256).alias("px"),
+            (
+                F.expr("((event_id * 48271) % 2147483647) div 256") % 256
+            ).alias("py"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "px", "py"
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("px").alias("qx"),
+        F.col("py").alias("qy"),
+    )
+    offs = (
+        spark.range(-1, 2)
+        .select(F.col("id").alias("dx"))
+        .crossJoin(spark.range(-1, 2).select(F.col("id").alias("dy")))
+    )
+    d2 = (F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx")) + (
+        F.col("py") - F.col("qy")
+    ) * (F.col("py") - F.col("qy"))
+
+    def ranked_candidates(cands: DataFrame, cell: int) -> DataFrame:
+        probes = cands.crossJoin(F.broadcast(offs)).select(
+            "click_id",
+            "px",
+            "py",
+            (F.expr(f"px div {cell}") + F.col("dx")).alias("ncx"),
+            (F.expr(f"py div {cell}") + F.col("dy")).alias("ncy"),
+        )
+        build = purch.select(
+            "purchase_id",
+            "qx",
+            "qy",
+            F.expr(f"qx div {cell}").alias("ncx"),
+            F.expr(f"qy div {cell}").alias("ncy"),
+        )
+        w = Window.partitionBy("click_id").orderBy("d2", "purchase_id")
+        return (
+            probes.repartition(  # AQE would single-task this join
+                spark.sparkContext.defaultParallelism, "ncx", "ncy"
+            )
+            .join(build, ["ncx", "ncy"])
+            .select("click_id", "purchase_id", d2.alias("d2"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+
+    r1 = ranked_candidates(clicks, 4)
+    # settled iff the k-th local candidate exists within the pass-1
+    # completeness radius — then local top-k == global top-k
+    settled_ids = (
+        r1.groupBy("click_id")
+        .agg(F.count(F.lit(1)).alias("c"), F.max("d2").alias("dk"))
+        .where((F.col("c") == k) & (F.col("dk") <= 16))
+        .select("click_id")
+    )
+    pass1 = r1.join(settled_ids, "click_id")
+    unresolved = clicks.join(settled_ids, "click_id", "left_anti")
+    pass2 = ranked_candidates(unresolved, 16).where(F.col("d2") <= 256)
+    return (
+        pass1.unionByName(pass2)
+        .select(
+            "click_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("purchase_id").alias("nn_purchase_id"),
+            F.col("d2").cast("bigint").alias("nn_d2"),
+        )
+        .orderBy("click_id", "rank")
+    )
