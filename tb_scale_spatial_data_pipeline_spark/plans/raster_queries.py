@@ -965,3 +965,133 @@ def q_raster_morphology_open(spark: SparkSession, sf_dir: str) -> DataFrame:
     img = synthetic_raster(spark, 64, 64, bands=1)
     tiled = halo_duplicate(img, tile_size=32, halo=2)
     return morphology_open_tiles(tiled, "b1").orderBy("x", "y")
+
+
+# ---------------------------------------------------------------------------
+# D8 WATERSHED BASINS (r13) — the third op of the hydrology trio
+# (direction -> accumulation -> basins): label every cell with the
+# SINK its steepest-descent path terminates at; a basin is the set of
+# cells draining to one sink (border cells whose steepest drop points
+# off-grid are their own sinks — they drain off the map). The flow
+# graph is the same strictly-descending functional forest as
+# d8_flow_accumulation, so each cell has exactly one terminal.
+# Spark: one functional_closure (pointer doubling, O(log L) rounds),
+# identity pairs unioned in, terminals selected with an anti-join
+# against edge sources, then a count-by-sink. The DuckDB twin walks
+# per-hop with a recursive CTE and takes the rows whose current cell
+# has no outgoing edge — different algorithm, identical labels.
+# 100 TB: basins are the partition-by key every downstream zonal
+# product wants; the closure is the proven log-round primitive.
+def _sql_d8_watershed() -> str:
+    def z(xx: str, yy: str) -> str:
+        cx = f"least(greatest({xx}, 0), 63)"
+        cy = f"least(greatest({yy}, 0), 63)"
+        return (
+            f"(sin(CAST({cx} AS DOUBLE) / 10.0) * 40.0"
+            f" + cos(CAST({cy} AS DOUBLE) / 12.0) * 40.0 + 100.0"
+            f" + CASE WHEN (CAST({cx} AS DOUBLE) - 35.0) * (CAST({cx} AS DOUBLE) - 35.0)"
+            f"        + (CAST({cy} AS DOUBLE) - 30.0) * (CAST({cy} AS DOUBLE) - 30.0)"
+            f"        < 400.0 THEN 80.0 ELSE 0.0 END)"
+        )
+
+    raw = f"(({z('p.x', 'p.y')}) - ({z('p.x + d.dx', 'p.y + d.dy')})) / d.dist"
+    return f"""
+    WITH RECURSIVE px AS (
+      SELECT x.i AS x, y.i AS y
+      FROM unnest(generate_series(0, 63)) AS x(i),
+           unnest(generate_series(0, 63)) AS y(i)
+    ),
+    dirs(code, dy, dx, dist) AS (
+      VALUES (1, 0, 1, 1.0), (2, 1, 1, sqrt(2.0)), (4, 1, 0, 1.0),
+             (8, 1, -1, sqrt(2.0)), (16, 0, -1, 1.0),
+             (32, -1, -1, sqrt(2.0)), (64, -1, 0, 1.0),
+             (128, -1, 1, sqrt(2.0))
+    ),
+    drops AS (
+      SELECT p.x, p.y, d.code,
+             sign({raw}) * floor(abs({raw}) * 1000000.0 + 0.5)
+               / 1000000.0 AS drop6
+      FROM px p CROSS JOIN dirs d
+    ),
+    agg AS (SELECT x, y, MAX(drop6) AS mx FROM drops GROUP BY x, y),
+    flow AS (
+      SELECT a.x, a.y,
+             CASE WHEN a.mx > 0
+                  THEN (SELECT MIN(code) FROM drops dd
+                        WHERE dd.x = a.x AND dd.y = a.y AND dd.drop6 = a.mx)
+                  ELSE 0 END AS fd
+      FROM agg a
+    ),
+    edges AS (
+      SELECT f.x * 64 + f.y AS src,
+             (f.x + d.dx) * 64 + (f.y + d.dy) AS dst
+      FROM flow f JOIN dirs d ON d.code = f.fd
+      WHERE f.fd > 0
+        AND f.x + d.dx BETWEEN 0 AND 63
+        AND f.y + d.dy BETWEEN 0 AND 63
+    ),
+    walk(src, cur) AS (
+      SELECT p.x * 64 + p.y, p.x * 64 + p.y FROM px p
+      UNION ALL
+      SELECT w.src, e.dst FROM walk w JOIN edges e ON e.src = w.cur
+    ),
+    term AS (
+      SELECT src, cur FROM walk
+      WHERE cur NOT IN (SELECT src FROM edges)
+    )
+    SELECT CAST(cur // 64 AS INT) AS basin_x,
+           CAST(cur % 64 AS INT) AS basin_y,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM term GROUP BY 1, 2 ORDER BY basin_x, basin_y
+    """
+
+
+@_q("d8_watershed_basins", _sql_d8_watershed())
+def q_d8_watershed_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graphs import functional_closure
+    from ..raster.kernels import d8_flow_tiles
+    from ..raster.tiles import halo_duplicate, synthetic_raster
+
+    img = synthetic_raster(spark, 64, 64, bands=1)
+    tiled = halo_duplicate(img, tile_size=32, halo=1)
+    flow = d8_flow_tiles(tiled, "b1").localCheckpoint(eager=False)
+    dx = (
+        "CASE flow_dir WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 128 THEN 1 "
+        "WHEN 8 THEN -1 WHEN 16 THEN -1 WHEN 32 THEN -1 ELSE 0 END"
+    )
+    dy = (
+        "CASE flow_dir WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 1 "
+        "WHEN 32 THEN -1 WHEN 64 THEN -1 WHEN 128 THEN -1 ELSE 0 END"
+    )
+    edges = (
+        flow.filter(F.col("flow_dir") > 0)
+        .select(
+            (F.col("x") * 64 + F.col("y")).alias("src"),
+            ((F.col("x") + F.expr(dx)) * 64 + (F.col("y") + F.expr(dy))).alias(
+                "dst"
+            ),
+            (F.col("x") + F.expr(dx)).alias("_tx"),
+            (F.col("y") + F.expr(dy)).alias("_ty"),
+        )
+        .filter(F.col("_tx").between(0, 63) & F.col("_ty").between(0, 63))
+        .select("src", "dst")
+        .localCheckpoint(eager=False)  # feeds closure + terminal anti-join
+    )
+    ids = flow.select((F.col("x") * 64 + F.col("y")).alias("src"))
+    allpairs = functional_closure(edges).unionByName(
+        ids.select("src", F.col("src").alias("dst"))
+    )
+    srcs = edges.select("src").distinct()
+    basins = allpairs.join(
+        srcs, allpairs["dst"] == srcs["src"], "left_anti"
+    )
+    return (
+        basins.groupBy("dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cells"))
+        .select(
+            F.expr("dst div 64").cast("int").alias("basin_x"),
+            (F.col("dst") % 64).cast("int").alias("basin_y"),
+            "n_cells",
+        )
+        .orderBy("basin_x", "basin_y")
+    )

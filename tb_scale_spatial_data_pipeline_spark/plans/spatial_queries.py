@@ -4555,3 +4555,124 @@ def q_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Symmetric HAUSDORFF distance between two point SETS (r13) — the
+# standard set-similarity metric of computational geometry (how far
+# apart are the click footprint and the purchase footprint as SHAPES):
+# H(A,B) = max( max_a min_b d, max_b min_a d ), computed on squared
+# euclidean over the deduped lattice sites (set semantics). Engine:
+# the directed half runs the escalating blocked-NN refinement (CELL=4
+# complete for d2<=16, CELL=16 complete for d2<=256) and finishes the
+# stragglers against a BROADCAST of the other side's sites — sites are
+# domain-bounded (<= 256^2) no matter how many events exist, so the
+# fallback is scale-safe and the answer is EXACT (no censoring). The
+# DuckDB twin brute-forces both min-max directions.
+@_q(
+    "hausdorff_sets_click_purchase",
+    """
+    WITH ev AS (
+      SELECT DISTINCT event_type,
+             ((event_id * 48271) % 2147483647) % 256 AS px,
+             (((event_id * 48271) % 2147483647) // 256) % 256 AS py
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    a AS (SELECT px, py FROM ev WHERE event_type = 'click'),
+    b AS (SELECT px, py FROM ev WHERE event_type = 'purchase'),
+    dab AS (
+      SELECT a.px, a.py,
+             MIN((a.px - b.px) * (a.px - b.px)
+                 + (a.py - b.py) * (a.py - b.py)) AS dmin
+      FROM a, b GROUP BY a.px, a.py
+    ),
+    dba AS (
+      SELECT b.px, b.py,
+             MIN((a.px - b.px) * (a.px - b.px)
+                 + (a.py - b.py) * (a.py - b.py)) AS dmin
+      FROM b, a GROUP BY b.px, b.py
+    )
+    SELECT CAST((SELECT MAX(dmin) FROM dab) AS BIGINT) AS h_ab_d2,
+           CAST((SELECT MAX(dmin) FROM dba) AS BIGINT) AS h_ba_d2,
+           CAST(GREATEST((SELECT MAX(dmin) FROM dab),
+                         (SELECT MAX(dmin) FROM dba)) AS BIGINT)
+             AS hausdorff_d2
+    """,
+)
+def q_hausdorff_sets_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_type",
+            ((F.col("event_id") * 48271) % 2147483647 % 256).alias("px"),
+            (
+                F.expr("((event_id * 48271) % 2147483647) div 256") % 256
+            ).alias("py"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a = ev.where(F.col("event_type") == "click").select("px", "py")
+    b = ev.where(F.col("event_type") == "purchase").select(
+        F.col("px").alias("qx"), F.col("py").alias("qy")
+    )
+    offs = (
+        spark.range(-1, 2)
+        .select(F.col("id").alias("dx"))
+        .crossJoin(spark.range(-1, 2).select(F.col("id").alias("dy")))
+    )
+    d2 = (F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx")) + (
+        F.col("py") - F.col("qy")
+    ) * (F.col("py") - F.col("qy"))
+
+    def directed_max_min(src: DataFrame, dst: DataFrame) -> DataFrame:
+        """max over src sites of (exact min d2 to dst sites): blocked
+        passes + broadcast fallback; returns a 1-row DF col 'h'."""
+        resolved = None
+        remaining = src
+        for cell, complete in ((4, 16), (16, 256)):
+            probes = remaining.crossJoin(F.broadcast(offs)).select(
+                "px",
+                "py",
+                (F.expr(f"px div {cell}") + F.col("dx")).alias("ncx"),
+                (F.expr(f"py div {cell}") + F.col("dy")).alias("ncy"),
+            )
+            build = dst.select(
+                "qx",
+                "qy",
+                F.expr(f"qx div {cell}").alias("ncx"),
+                F.expr(f"qy div {cell}").alias("ncy"),
+            )
+            nn = (
+                probes.join(build, ["ncx", "ncy"])
+                .groupBy("px", "py")
+                .agg(F.min(d2).alias("dmin"))
+                .where(F.col("dmin") <= complete)
+                .localCheckpoint(eager=True)
+            )
+            resolved = nn if resolved is None else resolved.unionByName(nn)
+            remaining = remaining.join(nn, ["px", "py"], "left_anti")
+        # stragglers: exact min against the broadcast site set (sites
+        # are domain-bounded, so this never grows with event volume)
+        far = (
+            remaining.crossJoin(F.broadcast(dst))
+            .groupBy("px", "py")
+            .agg(F.min(d2).alias("dmin"))
+        )
+        return resolved.unionByName(far).agg(F.max("dmin").alias("h"))
+
+    h_ab = directed_max_min(a, b).select(
+        F.col("h").cast("bigint").alias("h_ab_d2")
+    )
+    h_ba = directed_max_min(
+        b.select(F.col("qx").alias("px"), F.col("qy").alias("py")),
+        a.select(F.col("px").alias("qx"), F.col("py").alias("qy")),
+    ).select(F.col("h").cast("bigint").alias("h_ba_d2"))
+    return h_ab.crossJoin(F.broadcast(h_ba)).select(
+        "h_ab_d2",
+        "h_ba_d2",
+        F.greatest("h_ab_d2", "h_ba_d2").alias("hausdorff_d2"),
+    )
