@@ -738,7 +738,12 @@ _COVER_MS = 300_000  # 5 minutes
     "interval_union_coverage",
     f"""
     WITH iv AS (
-      SELECT user_id, epoch_ms(ts) AS s, epoch_ms(ts) + {_COVER_MS} AS e
+      -- DISTINCT: equal-timestamp duplicates are coverage no-ops and
+      -- expose the two-window tie-order hazard (islands can split when
+      -- the second window's sort permutes duplicate rows; seen in the
+      -- DuckDB scanline twins at sf0.1)
+      SELECT DISTINCT user_id, epoch_ms(ts) AS s,
+             epoch_ms(ts) + {_COVER_MS} AS e
       FROM events
     ), flagged AS (
       SELECT user_id, s, e,
@@ -767,7 +772,10 @@ def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ms = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast(
         "bigint"
     )
-    iv = ev.select("user_id", ms.alias("s"), (ms + _COVER_MS).alias("e"))
+    # distinct: tie-order hazard, see the oracle comment
+    iv = ev.select(
+        "user_id", ms.alias("s"), (ms + _COVER_MS).alias("e")
+    ).distinct()
     wprev = (
         Window.partitionBy("user_id")
         .orderBy("s")

@@ -61,7 +61,67 @@ def _scenes(spark: SparkSession, width: int = 64, height: int = 64, n_scenes: in
     return scenes
 
 
-@_q("pipeline_feature_stack")
+# r13: oracle-paired. The composed float chain WAS rows-only ("no SQL
+# twin for float kernels"), but every term is a closed-form trig field
+# both engines evaluate with the same IEEE expression tree — the exact
+# discipline the hash-green terrain oracles (raster_queries.py
+# _sql_terrain_slope etc.) already prove holds cross-engine on this
+# box. The twin recomputes the 6-scene synthetic stack, the nanmedian
+# (DuckDB median ignores NULLs and interpolates even counts exactly
+# like F.median), and the argmax with the struct-order tiebreak
+# (ndvi DESC, red DESC, nir DESC == max(struct(ndvi, red, nir))).
+@_q(
+    "pipeline_feature_stack",
+    """
+    WITH grid AS (
+      SELECT CAST(gx.x AS INTEGER) AS x, CAST(gy.y AS INTEGER) AS y
+      FROM (SELECT unnest(generate_series(0, 63)) AS x) gx,
+           (SELECT unnest(generate_series(0, 63)) AS y) gy
+    ),
+    base AS (
+      SELECT x, y,
+             sin(CAST(x AS DOUBLE) / 10.0) * 40.0
+               + cos(CAST(y AS DOUBLE) / 12.0) * 40.0 + 100.0
+               + CASE WHEN (CAST(x AS DOUBLE) - 35.0) * (CAST(x AS DOUBLE) - 35.0)
+                        + (CAST(y AS DOUBLE) - 30.0) * (CAST(y AS DOUBLE) - 30.0)
+                      < 400.0 THEN 80.0 ELSE 0.0 END AS b1,
+             sin(CAST(x AS DOUBLE) / 11.0) * 40.0
+               + cos(CAST(y AS DOUBLE) / 13.0) * 40.0 + 100.0
+               + CASE WHEN (CAST(x AS DOUBLE) - 38.0) * (CAST(x AS DOUBLE) - 38.0)
+                        + (CAST(y AS DOUBLE) - 28.0) * (CAST(y AS DOUBLE) - 28.0)
+                      < 400.0 THEN 80.0 ELSE 0.0 END AS b2
+      FROM grid
+    ),
+    scenes AS (
+      SELECT b.x, b.y, t.s,
+             b.b1 + t.s * 3.0 AS red,
+             CASE WHEN (b.x + b.y + t.s) % 7 = 0 THEN NULL
+                  ELSE b.b2 + t.s * 5.0 END AS nir
+      FROM base b, range(1, 7) t(s)
+    ),
+    idx AS (
+      SELECT x, y, red, nir,
+             (nir - red) / (nir + red + 1e-9) AS ndvi
+      FROM scenes
+    ),
+    med AS (
+      SELECT x, y, median(ndvi) AS m FROM idx GROUP BY x, y
+    ),
+    win AS (
+      SELECT x, y, ndvi, red, nir FROM idx
+      WHERE nir IS NOT NULL
+      QUALIFY row_number() OVER (
+        PARTITION BY x, y ORDER BY ndvi DESC, red DESC, nir DESC) = 1
+    )
+    SELECT m.x, m.y,
+           round(COALESCE(m.m, -9999.0), 6) AS median_ndvi,
+           round(COALESCE(w.ndvi, -9999.0), 6) AS max_ndvi,
+           round(COALESCE((w.red - w.nir) / (w.red + w.nir + 1e-9),
+                          -9999.0), 6) AS winter_ndwi
+    FROM med m LEFT JOIN win w ON w.x = m.x AND w.y = m.y
+    ORDER BY m.x, m.y
+    """,
+)
 def e1_feature_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 stage product, memoized on disk (SURVEY §4 exists-skip):
     shared verbatim with `pipeline_full_chain`'s first stage."""

@@ -1606,7 +1606,8 @@ def q_linestring_length(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rects
     ),
     cols AS (
-      SELECT layer, CAST(t.cx AS INTEGER) AS cx, y0, y1
+      -- DISTINCT: tie-order hazard, see polygon_union_cascaded
+      SELECT DISTINCT layer, CAST(t.cx AS INTEGER) AS cx, y0, y1
       FROM parsed JOIN range(0, 200) t(cx)
         ON t.cx >= x0 AND t.cx < x1
     ),
@@ -1659,12 +1660,13 @@ def q_rect_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         rect_x1(g).cast("int").alias("x1"),
         rect_y1(g).cast("int").alias("y1"),
     )
+    # distinct: tie-order hazard, see polygon_union_cascaded
     cols = parsed.select(
         "layer",
         F.explode(F.sequence(F.col("x0"), F.col("x1") - 1)).alias("cx"),
         "y0",
         "y1",
-    )
+    ).distinct()
     w_ord = Window.partitionBy("layer", "cx").orderBy("y0", "y1")
     w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
     w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -3839,7 +3841,11 @@ def q_polygon_overlay_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
              x0, ym AS y0, xm AS x1, y1 FROM lrects
     ),
     cols AS (
-      SELECT layer, CAST(t.cx AS INTEGER) AS cx, y0, y1
+      -- DISTINCT: duplicate (y0,y1) intervals are union no-ops, and
+      -- they make the two island windows' tie order observable (the
+      -- flag row can sort after its duplicate in the second window's
+      -- sort, splitting an island — seen flapping in DuckDB at sf0.1)
+      SELECT DISTINCT layer, CAST(t.cx AS INTEGER) AS cx, y0, y1
       FROM slabs JOIN range(0, 200) t(cx)
         ON t.cx >= x0 AND t.cx < x1
     ),
@@ -3895,12 +3901,14 @@ def q_polygon_union_cascaded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("r", 3).cast("int").alias("x1"),
         F.element_at("r", 4).cast("int").alias("y1"),
     )
+    # distinct: duplicate intervals are union no-ops and expose the
+    # two-window tie-order hazard (see the oracle comment)
     cols = slabs.select(
         "layer",
         F.explode(F.sequence(F.col("x0"), F.col("x1") - 1)).alias("cx"),
         "y0",
         "y1",
-    )
+    ).distinct()
     w_ord = Window.partitionBy("layer", "cx").orderBy("y0", "y1")
     w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
     w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
