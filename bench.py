@@ -87,6 +87,15 @@ HEADLINE = [
     "textrank_keywords",
     "scalar_quantization_recall",
     "bh_fdr_nation_tests",
+    # r13 additions: representatives of the round-12/13 tiers (spatial
+    # statistics, concave geometry, spatial joins, exact-substring
+    # dedup) so their scaling fixes stay visible round over round.
+    "ripleys_k",
+    "polygon_overlay_concave",
+    "convex_hull_metrics",
+    "nn_join_click_purchase",
+    "polyline_simplify_dp",
+    "duplicate_span_fraction",
 ]
 # cross-round comparisons of the headline total must use this prefix
 # (the r1-r9 frozen set); the full list total includes the r10 tier
