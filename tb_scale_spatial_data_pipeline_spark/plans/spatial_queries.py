@@ -4825,3 +4825,202 @@ def q_polyline_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("line_id", "vidx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Line x CONCAVE-polygon clip length (r13) — completes the overlay
+# matrix (point x concave: raycast; polygon x concave: ear-clip
+# overlay; line x concave: THIS). The engine decomposes each
+# rectilinear zone with the general kernel into interior-disjoint
+# slabs, Liang-Barsky-clips every segment against every slab (the
+# same branchless closed form line_clip_length proves), and sums —
+# slab interiors are disjoint, so per-zone lengths add exactly (a
+# segment running EXACTLY along a shared slab edge is counted once
+# per touching slab — the same boundary convention line_clip_length
+# uses across adjacent zones; stated estimator, identical in both
+# engines). The DuckDB twin decomposes the L-zones algebraically;
+# per-term round(12) -> DECIMAL(38,12) accumulation keeps the float
+# sum order-free WITHIN each engine, but round(double,12) itself is
+# not bit-portable (Spark rounds the shortest-repr BigDecimal, DuckDB
+# the exact binary — a ~5e-15/term systematic bias, measured ~1e-9 on
+# the 2.4e6-length zone sums at sf0.1), so the OUTPUT rounds to 3
+# decimals: millimeter precision on kilometer-scale sums, 6 orders
+# above the cross-engine drift. At 100 TB: the zone/slab dim
+# broadcasts; per-pair math is pure codegen on the segment stream.
+@_q(
+    "line_clip_concave_length",
+    f"""
+    WITH lines AS (
+      SELECT o_orderkey AS line_id,
+             'LINESTRING(' ||
+             CAST(o_orderkey % 100 AS VARCHAR) || ' ' || CAST(o_orderkey % 80 AS VARCHAR) || ', ' ||
+             CAST(o_orderkey * 3 % 100 AS VARCHAR) || ' ' || CAST(o_orderkey * 7 % 80 AS VARCHAR) || ', ' ||
+             CAST(o_orderkey * 11 % 100 AS VARCHAR) || ' ' || CAST(o_orderkey * 13 % 80 AS VARCHAR) || ', ' ||
+             CAST(o_orderkey * 17 % 100 AS VARCHAR) || ' ' || CAST(o_orderkey * 19 % 80 AS VARCHAR) || ')'
+               AS geometry
+      FROM orders
+    ),
+    split AS (
+      SELECT line_id,
+             string_split(regexp_extract(geometry, 'LINESTRING\\((.*)\\)', 1), ', ')
+               AS parts
+      FROM lines
+    ),
+    verts AS (
+      SELECT line_id, CAST(t.i AS INT) AS idx,
+             CAST(string_split(parts[CAST(t.i AS INT)], ' ')[1] AS DOUBLE) AS x,
+             CAST(string_split(parts[CAST(t.i AS INT)], ' ')[2] AS DOUBLE) AS y
+      FROM split JOIN range(1, 64) t(i) ON t.i <= len(parts)
+    ),
+    segs AS (
+      SELECT line_id, x, y,
+             LEAD(x) OVER (PARTITION BY line_id ORDER BY idx) AS nx,
+             LEAD(y) OVER (PARTITION BY line_id ORDER BY idx) AS ny
+      FROM verts
+    ),
+    lzones AS ({_SQL_LZONES}),
+    slabs AS (
+      SELECT zone_id, CAST(zx0 AS DOUBLE) AS sx0, CAST(zy0 AS DOUBLE) AS sy0,
+             CAST(zx1 AS DOUBLE) AS sx1, CAST(zym AS DOUBLE) AS sy1
+      FROM lzones
+      UNION ALL
+      SELECT zone_id, CAST(zx0 AS DOUBLE), CAST(zym AS DOUBLE),
+             CAST(zxm AS DOUBLE), CAST(zy1 AS DOUBLE)
+      FROM lzones
+    ),
+    pairs AS (
+      SELECT z.zone_id,
+             GREATEST(0.0,
+               CASE WHEN s.nx - s.x > 0 THEN (z.sx0 - s.x) / (s.nx - s.x)
+                    WHEN s.nx - s.x < 0 THEN (z.sx1 - s.x) / (s.nx - s.x)
+                    WHEN s.x >= z.sx0 AND s.x <= z.sx1 THEN -1e18
+                    ELSE 1e18 END,
+               CASE WHEN s.ny - s.y > 0 THEN (z.sy0 - s.y) / (s.ny - s.y)
+                    WHEN s.ny - s.y < 0 THEN (z.sy1 - s.y) / (s.ny - s.y)
+                    WHEN s.y >= z.sy0 AND s.y <= z.sy1 THEN -1e18
+                    ELSE 1e18 END) AS t_en,
+             LEAST(1.0,
+               CASE WHEN s.nx - s.x > 0 THEN (z.sx1 - s.x) / (s.nx - s.x)
+                    WHEN s.nx - s.x < 0 THEN (z.sx0 - s.x) / (s.nx - s.x)
+                    WHEN s.x >= z.sx0 AND s.x <= z.sx1 THEN 1e18
+                    ELSE -1e18 END,
+               CASE WHEN s.ny - s.y > 0 THEN (z.sy1 - s.y) / (s.ny - s.y)
+                    WHEN s.ny - s.y < 0 THEN (z.sy0 - s.y) / (s.ny - s.y)
+                    WHEN s.y >= z.sy0 AND s.y <= z.sy1 THEN 1e18
+                    ELSE -1e18 END) AS t_ex,
+             sqrt((s.nx - s.x) * (s.nx - s.x)
+                  + (s.ny - s.y) * (s.ny - s.y)) AS seg_len
+      FROM segs s CROSS JOIN slabs z
+      WHERE s.nx IS NOT NULL
+    )
+    SELECT zone_id,
+           CAST(SUM(CASE WHEN t_ex > t_en AND seg_len > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contrib,
+           round(CAST(SUM(CAST(round(
+             CASE WHEN t_ex > t_en THEN (t_ex - t_en) * seg_len
+                  ELSE 0.0 END, 12) AS DECIMAL(38,12))) AS DOUBLE), 3)
+             AS clipped_length
+    FROM pairs GROUP BY zone_id ORDER BY zone_id
+    """,
+)
+def q_line_clip_concave_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.geometry import rectilinear_decompose_col
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+
+    def pt(mx: int, my: int) -> F.Column:
+        return F.concat(
+            (k * mx % 100).cast("string"), F.lit(" "), (k * my % 80).cast("string")
+        )
+
+    lines = o.select(
+        k.alias("line_id"),
+        F.concat(
+            F.lit("LINESTRING("),
+            pt(1, 1), F.lit(", "),
+            pt(3, 7), F.lit(", "),
+            pt(11, 13), F.lit(", "),
+            pt(17, 19),
+            F.lit(")"),
+        ).alias("geometry"),
+    )
+    verts = lines.select(
+        "line_id",
+        F.posexplode(
+            F.split(F.regexp_extract("geometry", r"LINESTRING\((.*)\)", 1), ", ")
+        ).alias("idx", "pt"),
+    ).select(
+        "line_id",
+        "idx",
+        F.split("pt", " ").getItem(0).cast("double").alias("x"),
+        F.split("pt", " ").getItem(1).cast("double").alias("y"),
+    )
+    w = Window.partitionBy("line_id").orderBy("idx")
+    segs = verts.select(
+        "line_id",
+        "x",
+        "y",
+        F.lead("x").over(w).alias("nx"),
+        F.lead("y").over(w).alias("ny"),
+    ).where(F.col("nx").isNotNull())
+    # concave zones decomposed by the GENERAL kernel into slabs
+    slabs = _lzones(spark).select(
+        "zone_id",
+        F.explode(rectilinear_decompose_col(F.col("zone_geom"))).alias("s"),
+    ).select(
+        "zone_id",
+        F.element_at("s", 1).alias("sx0"),
+        F.element_at("s", 2).alias("sy0"),
+        F.element_at("s", 3).alias("sx1"),
+        F.element_at("s", 4).alias("sy1"),
+    )
+    dx = F.col("nx") - F.col("x")
+    dy = F.col("ny") - F.col("y")
+
+    def t_bounds(d, p, lo, hi):
+        inside = (p >= F.col(lo)) & (p <= F.col(hi))
+        t_lo = (
+            F.when(d > 0, (F.col(lo) - p) / d)
+            .when(d < 0, (F.col(hi) - p) / d)
+            .otherwise(F.when(inside, F.lit(-1e18)).otherwise(F.lit(1e18)))
+        )
+        t_hi = (
+            F.when(d > 0, (F.col(hi) - p) / d)
+            .when(d < 0, (F.col(lo) - p) / d)
+            .otherwise(F.when(inside, F.lit(1e18)).otherwise(F.lit(-1e18)))
+        )
+        return t_lo, t_hi
+
+    txlo, txhi = t_bounds(dx, F.col("x"), "sx0", "sx1")
+    tylo, tyhi = t_bounds(dy, F.col("y"), "sy0", "sy1")
+    pairs = segs.crossJoin(F.broadcast(slabs)).select(
+        "zone_id",
+        F.greatest(F.lit(0.0), txlo, tylo).alias("t_en"),
+        F.least(F.lit(1.0), txhi, tyhi).alias("t_ex"),
+        F.sqrt(dx * dx + dy * dy).alias("seg_len"),
+    )
+    return (
+        pairs.groupBy("zone_id")
+        .agg(
+            F.sum(
+                F.when((F.col("t_ex") > F.col("t_en")) & (F.col("seg_len") > 0), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_contrib"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.when(
+                            F.col("t_ex") > F.col("t_en"),
+                            (F.col("t_ex") - F.col("t_en")) * F.col("seg_len"),
+                        ).otherwise(0.0),
+                        12,
+                    ).cast("decimal(38,12)")
+                ).cast("double"),
+                3,
+            ).alias("clipped_length"),
+        )
+        .orderBy("zone_id")
+    )
