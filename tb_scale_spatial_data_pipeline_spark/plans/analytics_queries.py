@@ -1782,3 +1782,150 @@ def q_ndcg_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hit_rate_at_10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimator (Kaplan & Meier JASA 1958, r13) —
+# the survival-analysis tier the analytics surface lacked: per cohort,
+# S(t) = prod over event times t_i <= t of (1 - d_i / n_i), with
+# right-censoring (users with a purchase in their final 3 days of
+# activity are censored at their last-seen day; the rest churn there).
+# Exactness: every count is an integer; each factor is one double
+# division of identical integers; the running product is a SEQUENTIAL
+# left fold over the time-ordered factors in BOTH engines (Spark
+# F.aggregate over the sorted array slice; DuckDB list_product over an
+# ORDER BY list — verified left-fold-identical), so the products are
+# bit-equal with no transcendental anywhere. At 100 TB: one groupBy
+# per user, one per (cohort, day); the per-cohort step table is
+# day-bounded (30 rows), so the array fold is a scalar-sized payload.
+@_q(
+    "kaplan_meier_survival",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_type,
+             MAX(epoch_ms(ts)) OVER (PARTITION BY user_id) AS last_ms
+      FROM events
+    ),
+    users AS (
+      -- churned = no purchase within the final 3 days of activity;
+      -- converters are right-censored at their last-seen day
+      SELECT CAST(user_id % 4 AS BIGINT) AS cohort,
+             datediff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+               AS t,
+             1 - MAX(CASE WHEN event_type = 'purchase'
+                          AND epoch_ms(ts) >= last_ms - 259200000
+                          THEN 1 ELSE 0 END) AS death
+      FROM ev GROUP BY user_id
+    ),
+    counts AS (
+      SELECT cohort, t, CAST(SUM(death) AS BIGINT) AS d,
+             COUNT(*) AS m
+      FROM users GROUP BY cohort, t
+    ),
+    tot AS (SELECT cohort, COUNT(*) AS n FROM users GROUP BY cohort),
+    risk AS (
+      SELECT c.cohort, c.t, c.d,
+             tot.n - COALESCE(SUM(c.m) OVER (
+               PARTITION BY c.cohort ORDER BY c.t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM counts c JOIN tot ON tot.cohort = c.cohort
+    ),
+    steps AS (
+      SELECT cohort, t, d, n_risk,
+             1.0 - CAST(d AS DOUBLE) / n_risk AS factor
+      FROM risk WHERE d >= 1
+    )
+    SELECT s.cohort, CAST(s.t AS BIGINT) AS t,
+           CAST(s.n_risk AS BIGINT) AS n_risk,
+           s.d AS n_events,
+           round((SELECT list_product(list(f.factor ORDER BY f.t))
+                  FROM steps f
+                  WHERE f.cohort = s.cohort AND f.t <= s.t), 9) AS km
+    FROM steps s
+    ORDER BY s.cohort, s.t
+    """,
+)
+def q_kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    tms = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast(
+        "bigint"
+    )
+    wu = Window.partitionBy("user_id")
+    ev2 = ev.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("tss"),
+        "event_type",
+        tms.alias("tms"),
+    ).withColumn("last_ms", F.max("tms").over(wu))
+    # churned = no purchase within the final 3 days of activity
+    users = ev2.groupBy("user_id").agg(
+        F.datediff(
+            F.max("tss").cast("date"), F.min("tss").cast("date")
+        ).alias("t"),
+        (
+            1
+            - F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("tms") >= F.col("last_ms") - 259200000),
+                    1,
+                ).otherwise(0)
+            )
+        ).alias("death"),
+    ).select(
+        (F.col("user_id") % 4).cast("bigint").alias("cohort"), "t", "death"
+    )
+    counts = users.groupBy("cohort", "t").agg(
+        F.sum("death").cast("bigint").alias("d"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    tot = users.groupBy("cohort").agg(F.count(F.lit(1)).alias("n"))
+    w_prev = (
+        Window.partitionBy("cohort")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = counts.join(tot, "cohort").select(
+        "cohort",
+        "t",
+        "d",
+        (
+            F.col("n") - F.coalesce(F.sum("m").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    steps = risk.where(F.col("d") >= 1).withColumn(
+        "factor", 1.0 - F.col("d").cast("double") / F.col("n_risk")
+    )
+    # running product: sorted factor array per cohort, SEQUENTIAL left
+    # fold over the slice up to each step (bit-equal to the twin's
+    # ordered list_product)
+    arrs = steps.groupBy("cohort").agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "d", "n_risk", "factor"))
+        ).alias("arr")
+    )
+    exploded = arrs.select(
+        "cohort", F.posexplode("arr").alias("pos", "s")
+    )
+    km = F.aggregate(
+        F.transform(
+            F.slice(
+                F.col("arr2"), F.lit(1), F.col("pos") + 1
+            ),
+            lambda x: x["factor"],
+        ),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    return (
+        exploded.join(arrs.select(F.col("cohort"), F.col("arr").alias("arr2")), "cohort")
+        .select(
+            "cohort",
+            F.col("s.t").cast("bigint").alias("t"),
+            F.col("s.n_risk").cast("bigint").alias("n_risk"),
+            F.col("s.d").alias("n_events"),
+            F.round(km, 9).alias("km"),
+        )
+        .orderBy("cohort", "t")
+    )
