@@ -1785,8 +1785,13 @@ def q_ndcg_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Kaplan-Meier survival estimator (Kaplan & Meier JASA 1958, r13) —
-# the survival-analysis tier the analytics surface lacked: per cohort,
+# Kaplan-Meier RETENTION curve (Kaplan & Meier JASA 1958, r13) — the
+# churn-side sibling of experiment_queries.kaplan_meier_conversion
+# (which estimates signup->purchase conversion spells; this one
+# estimates activity-lifetime survival against churn — real analytics
+# suites ship both, and the two differ in spell definition, censoring
+# rule, and machinery: this one proves the SEQUENTIAL left-fold
+# product discipline). Per cohort,
 # S(t) = prod over event times t_i <= t of (1 - d_i / n_i), with
 # right-censoring (users with a purchase in their final 3 days of
 # activity are censored at their last-seen day; the rest churn there).
