@@ -254,12 +254,24 @@ class _BitReader:
         return v
 
     def align_and_skip_rst(self) -> bool:
-        """Consume an RSTn marker at a restart boundary."""
+        """Discard pad bits and consume an RSTn marker at a restart
+        boundary. The marker may already be latched (a read ran into
+        it) or still sit unread at ``pos`` — handle both."""
         self.acc = 0
         self.nbits = 0
-        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+        if self.marker is not None:
+            if 0xD0 <= self.marker <= 0xD7:
+                self.pos += 2
+                self.marker = None
+                return True
+            return False
+        d = self.data
+        if (
+            self.pos + 1 < len(d)
+            and d[self.pos] == 0xFF
+            and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
             self.pos += 2
-            self.marker = None
             return True
         return False
 
@@ -541,11 +553,17 @@ def _seg(marker: int, body: bytes) -> bytes:
 
 
 def encode_jpeg_baseline(
-    arr: np.ndarray, quality: int = 90, subsample: bool = True
+    arr: np.ndarray,
+    quality: int = 90,
+    subsample: "bool | str" = True,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode HxWx3 RGB (or HxW grayscale) uint8 to baseline JFIF.
-    ``subsample=True`` uses 4:2:0 (box-average chroma); grayscale input
-    emits a single-component scan."""
+    ``subsample``: True/"420" for 4:2:0 (box-average chroma), "422"
+    for horizontal-only subsampling, False/"444" for none; grayscale
+    input emits a single-component scan. ``restart_interval`` > 0
+    emits a DRI segment and an RSTn marker every N MCUs (DC predictors
+    reset) — exercises the decoder's restart path."""
     arr = np.asarray(arr, dtype=np.uint8)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -561,7 +579,12 @@ def encode_jpeg_baseline(
         cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
         y, cb, cr = (np.clip(np.rint(p), 0, 255) for p in (y, cb, cr))
-        if subsample:
+        mode = (
+            "420"
+            if subsample is True
+            else ("444" if subsample is False else str(subsample))
+        )
+        if mode == "420":
             ch = -(-h // 2) * 2
             cw = -(-w // 2) * 2
             cbp = _pad_to(cb, ch, cw).reshape(ch // 2, 2, cw // 2, 2)
@@ -569,6 +592,13 @@ def encode_jpeg_baseline(
             cb = np.rint(cbp.mean(axis=(1, 3)))
             cr = np.rint(crp.mean(axis=(1, 3)))
             samp = [(2, 2), (1, 1), (1, 1)]
+        elif mode == "422":  # horizontal-only chroma subsampling
+            cw = -(-w // 2) * 2
+            cbp = _pad_to(cb, h, cw).reshape(h, cw // 2, 2)
+            crp = _pad_to(cr, h, cw).reshape(h, cw // 2, 2)
+            cb = np.rint(cbp.mean(axis=2))
+            cr = np.rint(crp.mean(axis=2))
+            samp = [(2, 1), (1, 1), (1, 1)]
         else:
             samp = [(1, 1), (1, 1), (1, 1)]
         planes = [y, cb, cr]
@@ -592,8 +622,24 @@ def encode_jpeg_baseline(
 
     writer = _BitWriter()
     pred = [0] * len(planes)
+    mcu_count = 0
+    rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                # pad to a byte boundary, emit RSTn, reset DC preds
+                if writer.nbits:
+                    pad = 8 - writer.nbits
+                    writer.write((1 << pad) - 1, pad)
+                writer.out.append(0xFF)
+                writer.out.append(0xD0 + rst)
+                rst = (rst + 1) % 8
+                pred = [0] * len(planes)
+            mcu_count += 1
             for ci, (sh, sv) in enumerate(samp):
                 q = qarr[qsel[ci]]
                 for by in range(sv):
@@ -643,6 +689,8 @@ def encode_jpeg_baseline(
             + bytes(AC_CHROMA_VALS)
         )
     out += _seg(0xC4, dht)
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, (tsel[ci] << 4) | tsel[ci]])

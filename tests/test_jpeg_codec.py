@@ -208,3 +208,43 @@ def test_pil_agrees_on_marker_structure():  # pragma: no cover
     enc = encode_jpeg_baseline(img, quality=90)
     pil_img = Image.open(io.BytesIO(enc))
     assert pil_img.size == (16, 16)
+
+
+def test_restart_intervals_roundtrip_identical():
+    """DRI/RSTn path: restart markers (any interval) must decode to
+    EXACTLY the same pixels as the restart-free stream, and
+    block-constant images stay bit-exact through restarts."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    base = decode_jpeg_baseline(encode_jpeg_baseline(img, quality=90))
+    for ri in (1, 2, 5):
+        enc = encode_jpeg_baseline(img, quality=90, restart_interval=ri)
+        assert b"\xff\xdd" in enc  # DRI present
+        d = decode_jpeg_baseline(enc)
+        assert d is not None and (d == base).all()
+    g = np.repeat(
+        np.repeat(rng.integers(0, 256, (2, 3), dtype=np.uint8), 8, 0), 8, 1
+    )
+    dg = decode_jpeg_baseline(
+        encode_jpeg_baseline(g, quality=90, restart_interval=1)
+    )
+    assert (dg == np.repeat(g[:, :, None], 3, 2)).all()
+
+
+def test_422_subsampling_roundtrip():
+    """Horizontal-only (4:2:2) sampling: decoder handles h=2,v=1; an
+    image constant per 16x8 MCU round-trips within the YCbCr +-1."""
+    rng = np.random.default_rng(10)
+    mcus = rng.integers(0, 256, (3, 2, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(mcus, 8, axis=0), 16, axis=1)  # 24x32
+    dec = decode_jpeg_baseline(
+        encode_jpeg_baseline(img, quality=90, subsample="422")
+    )
+    assert dec is not None
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+    # general image decodes at the right shape
+    noisy = rng.integers(0, 256, (11, 13, 3), dtype=np.uint8)
+    d2 = decode_jpeg_baseline(
+        encode_jpeg_baseline(noisy, quality=95, subsample="422")
+    )
+    assert d2 is not None and d2.shape == (11, 13, 3)
