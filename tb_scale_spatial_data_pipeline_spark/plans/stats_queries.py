@@ -2089,3 +2089,137 @@ def q_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("cramers_v"),
     ).orderBy("col_a", "col_b")
+
+
+# ---------------------------------------------------------------------------
+# Kendall's tau-b rank correlation (account balance vs total order
+# spend) — the pair-concordance sibling of spearman_rank_correlation:
+# tau-b counts concordant minus discordant pairs with the tie
+# correction both margins need on a quantized lattice. The 100 TB
+# design is the whole point: NEVER enumerate row pairs — one groupBy
+# reduces the join to a CONTINGENCY CELL table (bounded by the
+# quantization lattice, ~300 cells here, independent of row count),
+# then concordant/discordant mass comes from a broadcast cell-pair
+# join with integer count products in decimal(38,0). Tie terms n1/n2
+# are marginal sums. Everything is exact integers until the final
+# tau = (nc-nd)/sqrt((n0-n1)(n0-n2)), whose factors are cast to
+# double first (identical IEEE arithmetic both engines; at extreme n
+# the decimal->double cast is the documented precision boundary).
+@_q(
+    "kendall_tau_b",
+    """
+    WITH spend AS (
+      SELECT c.c_custkey,
+             CAST(floor(c.c_acctbal / 500.0) AS BIGINT) AS bx,
+             CAST(floor(SUM(o.o_totalprice) / 50000.0) AS BIGINT) AS by
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    cells AS (
+      SELECT bx, by, CAST(COUNT(*) AS DECIMAL(38,0)) AS cnt
+      FROM spend GROUP BY bx, by
+    ),
+    pairsum AS (
+      SELECT
+        CAST(SUM(CASE WHEN b.by > a.by THEN a.cnt * b.cnt
+                      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0))
+          AS nc,
+        CAST(SUM(CASE WHEN b.by < a.by THEN a.cnt * b.cnt
+                      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0))
+          AS nd
+      FROM cells a JOIN cells b ON b.bx > a.bx
+    ),
+    marg AS (
+      SELECT CAST(SUM(cnt) AS DECIMAL(38,0)) AS n,
+             (SELECT CAST(SUM(sx * (sx - 1) / 2) AS DECIMAL(38,0)) FROM (
+                SELECT SUM(cnt) AS sx FROM cells GROUP BY bx)) AS n1,
+             (SELECT CAST(SUM(sy * (sy - 1) / 2) AS DECIMAL(38,0)) FROM (
+                SELECT SUM(cnt) AS sy FROM cells GROUP BY by)) AS n2
+      FROM cells
+    )
+    SELECT CAST(m.n AS BIGINT) AS n_rows,
+           CAST(p.nc AS BIGINT) AS n_concordant,
+           CAST(p.nd AS BIGINT) AS n_discordant,
+           round(CAST(p.nc - p.nd AS DOUBLE)
+                 / sqrt(CAST(m.n * (m.n - 1) / 2 - m.n1 AS DOUBLE)
+                        * CAST(m.n * (m.n - 1) / 2 - m.n2 AS DOUBLE)),
+                 6) AS tau_b
+    FROM pairsum p CROSS JOIN marg m
+    """,
+)
+def q_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    spend = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.sum("o_totalprice").alias("spend"))
+        .select(
+            F.floor(F.col("c_acctbal") / 500.0).cast("bigint").alias("bx"),
+            F.floor(F.col("spend") / 50000.0).cast("bigint").alias("by"),
+        )
+    )
+    cells = spend.groupBy("bx", "by").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt")
+    )
+    a = cells.select(
+        F.col("bx").alias("ax"), F.col("by").alias("ay"), F.col("cnt").alias("ac")
+    )
+    b = cells.select(
+        F.col("bx").alias("zx"), F.col("by").alias("zy"), F.col("cnt").alias("zc")
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    pairsum = a.join(F.broadcast(b), F.col("zx") > F.col("ax")).agg(
+        F.sum(
+            F.when(F.col("zy") > F.col("ay"), F.col("ac") * F.col("zc")).otherwise(
+                zero
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("nc"),
+        F.sum(
+            F.when(F.col("zy") < F.col("ay"), F.col("ac") * F.col("zc")).otherwise(
+                zero
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("nd"),
+    )
+    n1 = (
+        cells.groupBy("bx")
+        .agg(F.sum("cnt").alias("sx"))
+        .agg(
+            F.sum(F.col("sx") * (F.col("sx") - 1) / 2)
+            .cast("decimal(38,0)")
+            .alias("n1")
+        )
+    )
+    n2 = (
+        cells.groupBy("by")
+        .agg(F.sum("cnt").alias("sy"))
+        .agg(
+            F.sum(F.col("sy") * (F.col("sy") - 1) / 2)
+            .cast("decimal(38,0)")
+            .alias("n2")
+        )
+    )
+    n = cells.agg(F.sum("cnt").cast("decimal(38,0)").alias("n"))
+    n0 = F.col("n") * (F.col("n") - 1) / 2
+    return (
+        pairsum.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col("nc").cast("bigint").alias("n_concordant"),
+            F.col("nd").cast("bigint").alias("n_discordant"),
+            F.round(
+                (F.col("nc") - F.col("nd")).cast("double")
+                / F.sqrt(
+                    (n0 - F.col("n1")).cast("double")
+                    * (n0 - F.col("n2")).cast("double")
+                ),
+                6,
+            ).alias("tau_b"),
+        )
+    )
