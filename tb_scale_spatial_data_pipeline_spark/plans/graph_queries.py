@@ -2887,3 +2887,155 @@ def q_graphlet_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t").cast("bigint").alias("n_triangles"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Minimax (bottleneck) path — widest-path routing's min-max dual: the
+# cheapest possible WORST edge on any path from the seed set, the
+# quantity capacity/reliability routing optimizes (and the exact
+# single-linkage merge height of the seed cluster). Same fixed-round
+# level-synchronous envelope as sssp_weighted with the (min, max)
+# semiring replacing (min, +): relax cand = greatest(dist(u), w),
+# combine MIN. Monotone and bounded by the max edge weight, so the
+# fixed unroll converges like sssp's. 100 TB: one edge join + one
+# groupBy per round, frontier bounded by |nodes| — no pair blowup.
+def _sql_minimax() -> str:
+    ctes = [
+        _SQL_EDGES.strip().rstrip(),
+        _SQL_WEDGES.strip().rstrip(),
+        """b0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS bneck
+      FROM edgesw WHERE src % 20 = 0)""",
+    ]
+    for k in range(_SSSP_ROUNDS):
+        ctes.append(
+            f"""b{k + 1} AS MATERIALIZED (
+      SELECT node, MIN(bneck) AS bneck FROM (
+        SELECT node, bneck FROM b{k}
+        UNION ALL
+        SELECT e.dst AS node, greatest(d.bneck, e.w) AS bneck
+        FROM b{k} d JOIN edgesw e ON e.src = d.node
+      ) GROUP BY node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS s_suppkey, CAST(bneck AS BIGINT) AS bottleneck
+    FROM b{_SSSP_ROUNDS}
+    """
+    )
+
+
+@_q("minimax_path_bottleneck", _sql_minimax())
+def q_minimax_path_bottleneck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _weighted_edges(spark, sf_dir).localCheckpoint(eager=True)
+    dist = (
+        edges.select(F.col("src").alias("node"))
+        .where(F.col("node") % 20 == 0)
+        .distinct()
+        .withColumn("bneck", F.lit(0).cast("bigint"))
+        .localCheckpoint()
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = dist.join(edges, dist.node == edges.src).select(
+            F.col("dst").alias("node"),
+            F.greatest(F.col("bneck"), F.col("w")).alias("bneck"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("bneck").alias("bneck"))
+            .localCheckpoint()
+        )
+    return dist.select(F.col("node").alias("s_suppkey"), F.col("bneck").alias("bottleneck"))
+
+
+# ---------------------------------------------------------------------------
+# Bipartiteness certificate from BFS layering: with exact min-hop
+# layers, an undirected graph restricted to the reached ball has an
+# odd cycle IFF some edge joins two nodes of the SAME layer parity
+# (BFS layers differ by at most 1 across an edge, so same parity =
+# same layer). Census: edges whose endpoints are both reached, split
+# into cross-layer vs conflict (same-parity) witnesses. The layering
+# is the bfs_hop_distance fixed-round envelope (cap 6 — past the
+# fixture graph's eccentricity; both engines compute the identical
+# capped layering either way). 100 TB: layering is one join/round;
+# the census is one broadcast-free equi-join of the edge list against
+# the (node, hop) table — linear in edges.
+def _sql_bipartite() -> str:
+    return f"""
+    WITH RECURSIVE {_SQL_EDGES.strip()},
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, hop) AS (
+      SELECT node, 0 FROM nodes WHERE node % 10 = 0
+      UNION
+      SELECT e.dst, r.hop + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.hop < {_BFS_MAX_HOPS}
+    ),
+    layer AS (SELECT node, MIN(hop) AS hop FROM reach GROUP BY node),
+    census AS (
+      SELECT COUNT(*) AS n_edges_reached,
+             SUM(CASE WHEN (a.hop + b.hop) % 2 = 0 THEN 1 ELSE 0 END)
+               AS n_conflict
+      FROM eu e JOIN layer a ON a.node = e.u
+                JOIN layer b ON b.node = e.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM layer) AS BIGINT) AS n_reached,
+           CAST(n_edges_reached AS BIGINT) AS n_edges_reached,
+           CAST(n_conflict AS BIGINT) AS n_conflict_edges,
+           CAST(CASE WHEN n_conflict = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_bipartite
+    FROM census
+    """
+
+
+@_q("graph_bipartite_check", _sql_bipartite())
+def q_graph_bipartite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eu = _undirected_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = (
+        eu.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(eu.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint()
+    )
+    dist = (
+        edges.select(F.col("src").alias("node"))
+        .where(F.col("node") % 10 == 0)
+        .distinct()
+        .withColumn("hop", F.lit(0).cast("bigint"))
+        .localCheckpoint()
+    )
+    for _ in range(_BFS_MAX_HOPS):
+        relaxed = dist.join(edges, dist.node == edges.src).select(
+            F.col("dst").alias("node"), (F.col("hop") + 1).alias("hop")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("hop").alias("hop"))
+            .localCheckpoint()
+        )
+    la = dist.select(F.col("node").alias("u"), F.col("hop").alias("ha"))
+    lb = dist.select(F.col("node").alias("v"), F.col("hop").alias("hb"))
+    census = (
+        eu.join(la, "u")
+        .join(lb, "v")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges_reached"),
+            F.sum(
+                F.when((F.col("ha") + F.col("hb")) % 2 == 0, 1).otherwise(0)
+            ).alias("n_conflict"),
+        )
+    )
+    nr = dist.agg(F.count(F.lit(1)).alias("n_reached"))
+    return census.crossJoin(F.broadcast(nr)).select(
+        F.col("n_reached").cast("bigint").alias("n_reached"),
+        F.col("n_edges_reached").cast("bigint").alias("n_edges_reached"),
+        F.col("n_conflict").cast("bigint").alias("n_conflict_edges"),
+        F.when(F.col("n_conflict") == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_bipartite"),
+    )
