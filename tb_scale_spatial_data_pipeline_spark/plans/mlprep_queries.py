@@ -1618,3 +1618,161 @@ def q_pr_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Categorical Naive Bayes, EXACT: train Laplace-smoothed class-
+# conditional counts on the md5-hash train split of orders (class =
+# o_orderstatus; features = o_orderpriority and order year), predict
+# the test split, and report the confusion matrix. The trick that
+# makes an NB classifier oracle-able at all: scores stay RATIONAL —
+# score(c) = n_c * (n_{c,f1}+1)(n_{c,f2}+1) / ((n_c+V1)(n_c+V2)) as a
+# (numerator, denominator) pair of decimal(38,0) integers, and argmax
+# is decided by integer CROSS-MULTIPLICATION (num_i*den_j vs
+# num_j*den_i), never a float division or log. Width bound: with
+# n_c <= 1.5e7 the cross product stays < 1e36 < decimal(38,0);
+# beyond that, rescale to log-space doubles (documented boundary).
+# 100 TB: the model is 3 priors + O(V) count rows (broadcast);
+# scoring is a per-row map; the pairwise argmax join fans out 3x3
+# rows per test row — linear in the test split.
+_NB_SPLIT = (
+    "CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))"
+    " AS INTEGER) % 100"
+)
+
+
+@_q(
+    "naive_bayes_order_status",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus AS cls, o_orderpriority AS f1,
+             CAST(year(o_orderdate) AS BIGINT) AS f2,
+             {_NB_SPLIT} AS bucket
+      FROM orders
+    ),
+    train AS (SELECT * FROM base WHERE bucket < 80),
+    test AS (SELECT * FROM base WHERE bucket >= 80),
+    prior AS (SELECT cls, CAST(COUNT(*) AS DECIMAL(38,0)) AS n_c
+              FROM train GROUP BY cls),
+    c1 AS (SELECT cls, f1, CAST(COUNT(*) AS DECIMAL(38,0)) AS n1
+           FROM train GROUP BY cls, f1),
+    c2 AS (SELECT cls, f2, CAST(COUNT(*) AS DECIMAL(38,0)) AS n2
+           FROM train GROUP BY cls, f2),
+    v AS (SELECT CAST(COUNT(DISTINCT f1) AS DECIMAL(38,0)) AS v1,
+                 CAST(COUNT(DISTINCT f2) AS DECIMAL(38,0)) AS v2
+          FROM train),
+    scores AS (
+      SELECT t.o_orderkey, t.cls AS actual, p.cls AS cand,
+             p.n_c * (COALESCE(c1.n1, 0) + 1) * (COALESCE(c2.n2, 0) + 1)
+               AS num,
+             (p.n_c + v.v1) * (p.n_c + v.v2) AS den
+      FROM test t CROSS JOIN prior p CROSS JOIN v
+      LEFT JOIN c1 ON c1.cls = p.cls AND c1.f1 = t.f1
+      LEFT JOIN c2 ON c2.cls = p.cls AND c2.f2 = t.f2
+    ),
+    winners AS (
+      SELECT a.o_orderkey, a.actual, a.cand AS predicted
+      FROM scores a JOIN scores b
+        ON b.o_orderkey = a.o_orderkey AND b.cand <> a.cand
+      GROUP BY a.o_orderkey, a.actual, a.cand
+      HAVING SUM(CASE WHEN a.num * b.den > b.num * a.den
+                        OR (a.num * b.den = b.num * a.den
+                            AND a.cand < b.cand)
+                      THEN 0 ELSE 1 END) = 0
+    )
+    SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+    FROM winners GROUP BY actual, predicted
+    ORDER BY actual, predicted
+    """,
+)
+def q_naive_bayes_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10
+        ).cast("int")
+        % 100
+    )
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("cls"),
+        F.col("o_orderpriority").alias("f1"),
+        F.year("o_orderdate").cast("bigint").alias("f2"),
+        bucket.alias("bucket"),
+    )
+    train = base.where(F.col("bucket") < 80)
+    test = base.where(F.col("bucket") >= 80)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    prior = train.groupBy("cls").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_c")
+    )
+    c1 = train.groupBy("cls", "f1").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n1")
+    )
+    c2 = train.groupBy("cls", "f2").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n2")
+    )
+    v = train.agg(
+        F.countDistinct("f1").cast("decimal(38,0)").alias("v1"),
+        F.countDistinct("f2").cast("decimal(38,0)").alias("v2"),
+    )
+    scores = (
+        test.crossJoin(F.broadcast(prior.select(F.col("cls").alias("cand"), "n_c")))
+        .crossJoin(F.broadcast(v))
+        .join(
+            F.broadcast(c1.select(F.col("cls").alias("cand"), "f1", "n1")),
+            ["cand", "f1"],
+            "left",
+        )
+        .join(
+            F.broadcast(c2.select(F.col("cls").alias("cand"), "f2", "n2")),
+            ["cand", "f2"],
+            "left",
+        )
+        .select(
+            "o_orderkey",
+            F.col("cls").alias("actual"),
+            "cand",
+            (
+                F.col("n_c")
+                * (F.coalesce(F.col("n1"), F.lit(0)) + 1)
+                * (F.coalesce(F.col("n2"), F.lit(0)) + 1)
+            )
+            .cast("decimal(38,0)")
+            .alias("num"),
+            ((F.col("n_c") + F.col("v1")) * (F.col("n_c") + F.col("v2")))
+            .cast("decimal(38,0)")
+            .alias("den"),
+        )
+    )
+    a = scores.select(
+        "o_orderkey", "actual", F.col("cand"), F.col("num"), F.col("den")
+    )
+    b = scores.select(
+        F.col("o_orderkey").alias("bk"),
+        F.col("cand").alias("bcand"),
+        F.col("num").alias("bnum"),
+        F.col("den").alias("bden"),
+    )
+    lost = F.when(
+        (F.col("num") * F.col("bden") > F.col("bnum") * F.col("den"))
+        | (
+            (F.col("num") * F.col("bden") == F.col("bnum") * F.col("den"))
+            & (F.col("cand") < F.col("bcand"))
+        ),
+        0,
+    ).otherwise(1)
+    winners = (
+        a.join(
+            b,
+            (F.col("bk") == F.col("o_orderkey")) & (F.col("bcand") != F.col("cand")),
+        )
+        .groupBy("o_orderkey", "actual", "cand")
+        .agg(F.sum(lost).alias("losses"))
+        .where(F.col("losses") == 0)
+    )
+    return (
+        winners.groupBy("actual", F.col("cand").alias("predicted"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("actual", "predicted")
+    )
