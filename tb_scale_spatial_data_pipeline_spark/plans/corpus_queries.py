@@ -1103,3 +1103,94 @@ def q_duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_dup_positions").cast("double") / F.col("n_positions"), 9
         ).alias("dup_fraction"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Blocklist phrase filter — the safety/compliance pass every training
+# corpus runs before release: count documents and occurrences of each
+# banned multi-word phrase, as EXACT token-sequence matches (not
+# substrings). The scale design is the positional-inverted-index
+# phrase query (Lucene-style), not N substring scans: tokenize once
+# to (doc, pos, token), broadcast-join the exploded phrase tokens on
+# the TOKEN (each doc token meets only the phrase offsets sharing
+# that word), align candidates on start = pos - offset, and a match
+# is a (doc, phrase, start) group covering every offset. One scan of
+# the corpus regardless of blocklist size; at 100 TB the phrase table
+# stays broadcast up to millions of entries. Overlap-safe (counts
+# occurrences a replace()-based count would miss).
+_BLOCKLIST = (
+    "table hash",
+    "customer join",
+    "slow key",
+    "big order",
+    "filter small table",
+)
+
+
+def _sql_blocklist() -> str:
+    vals = ", ".join(f"({i}, '{p}')" for i, p in enumerate(_BLOCKLIST))
+    return f"""
+    WITH phrases(pid, phrase) AS (VALUES {vals}),
+    ptoks AS (
+      SELECT pid, phrase,
+             unnest(string_split(phrase, ' ')) AS pw,
+             generate_subscripts(string_split(phrase, ' '), 1) - 1 AS off,
+             len(string_split(phrase, ' ')) AS plen
+      FROM phrases
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    hits AS (
+      SELECT t.doc_id, p.pid, p.phrase, t.pos - p.off AS start
+      FROM toks t JOIN ptoks p ON p.pw = t.w
+      GROUP BY t.doc_id, p.pid, p.phrase, t.pos - p.off, p.plen
+      HAVING COUNT(DISTINCT p.off) = p.plen
+    )
+    SELECT p.phrase,
+           CAST(COALESCE(COUNT(h.start), 0) AS BIGINT) AS n_occurrences,
+           CAST(COALESCE(COUNT(DISTINCT h.doc_id), 0) AS BIGINT) AS n_docs
+    FROM phrases p LEFT JOIN hits h ON h.pid = p.pid
+    GROUP BY p.phrase
+    ORDER BY p.phrase
+    """
+
+
+@_q("blocklist_phrase_filter", _sql_blocklist())
+def q_blocklist_phrase_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    spark_ = spark
+    phrases = spark_.createDataFrame(
+        [(i, p) for i, p in enumerate(_BLOCKLIST)], ["pid", "phrase"]
+    )
+    ptoks = phrases.select(
+        "pid",
+        "phrase",
+        F.size(F.split("phrase", " ")).cast("bigint").alias("plen"),
+        F.posexplode(F.split("phrase", " ")).alias("off", "pw"),
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    hits = (
+        toks.join(F.broadcast(ptoks), F.col("pw") == F.col("w"))
+        .groupBy(
+            "doc_id", "pid", "phrase", (F.col("pos") - F.col("off")).alias("start"),
+            "plen",
+        )
+        .agg(F.countDistinct("off").alias("noff"))
+        .where(F.col("noff") == F.col("plen"))
+    )
+    return (
+        phrases.join(
+            hits.select("pid", "start", "doc_id"), "pid", "left"
+        )
+        .groupBy("phrase")
+        .agg(
+            F.count("start").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("phrase")
+    )
