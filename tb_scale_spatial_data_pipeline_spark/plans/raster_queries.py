@@ -16,7 +16,7 @@ quantity/price.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.composites import argmax_composite, grouped_median
@@ -1094,4 +1094,90 @@ def q_d8_watershed_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cells",
         )
         .orderBy("basin_x", "basin_y")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chebyshev (L-inf) distance transform: every pixel's distance to the
+# nearest FEATURE pixel (round(,6) field > 170 — the disk blob plus
+# ridge peaks), reported as a distance histogram. The scale plan is
+# SEPARABLE, not a pair join: pass 1 gets the vertical distance per
+# column with two running-extreme windows (nearest feature row above
+# = cummax of feature y, below = reverse cummin — one shuffle on x);
+# pass 2 combines along rows, d(x,y) = min over x' of
+# max(|x-x'|, dcol(x',y)), an equi-join on y whose width is the row
+# length — O(W) candidates per pixel, bounded by the tile width at
+# cluster scale, never the quadratic all-pairs the naive form needs.
+# All distances are integers — exact. The oracle is the genuinely
+# different algorithm: brute-force min over the pixel x feature join.
+def _sql_distance_transform() -> str:
+    fld = (
+        "(sin(CAST(x.i AS DOUBLE) / 10.0) * 40.0"
+        " + cos(CAST(y.i AS DOUBLE) / 12.0) * 40.0 + 100.0"
+        " + CASE WHEN (CAST(x.i AS DOUBLE) - 35.0) * (CAST(x.i AS DOUBLE) - 35.0)"
+        "        + (CAST(y.i AS DOUBLE) - 30.0) * (CAST(y.i AS DOUBLE) - 30.0)"
+        "        < 400.0 THEN 80.0 ELSE 0.0 END)"
+    )
+    return f"""
+    WITH px AS MATERIALIZED (
+      SELECT x.i AS x, y.i AS y, round({fld}, 6) AS v6
+      FROM unnest(generate_series(0, 63)) AS x(i),
+           unnest(generate_series(0, 63)) AS y(i)
+    ),
+    feat AS MATERIALIZED (SELECT x, y FROM px WHERE v6 > 170.0),
+    dt AS (
+      SELECT p.x, p.y,
+             MIN(greatest(abs(p.x - f.x), abs(p.y - f.y))) AS d
+      FROM px p CROSS JOIN feat f
+      GROUP BY p.x, p.y
+    )
+    SELECT CAST(d AS BIGINT) AS chebyshev_dist,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM dt GROUP BY d ORDER BY chebyshev_dist
+    """
+
+
+@_q("distance_transform_chebyshev", _sql_distance_transform())
+def q_distance_transform_chebyshev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..raster.tiles import synthetic_raster
+
+    px = synthetic_raster(spark, 64, 64, bands=1).select(
+        "x", "y", F.round(F.col("b1"), 6).alias("v6")
+    )
+    feat_y = F.when(F.col("v6") > 170.0, F.col("y"))
+    w_up = (
+        Window.partitionBy("x")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_dn = (
+        Window.partitionBy("x")
+        .orderBy("y")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    vert = px.select(
+        "x",
+        "y",
+        F.least(
+            F.col("y") - F.max(feat_y).over(w_up),
+            F.min(feat_y).over(w_dn) - F.col("y"),
+        ).alias("dcol"),
+    )
+    cand = vert.where(F.col("dcol").isNotNull()).select(
+        F.col("x").alias("cx"), F.col("y").alias("cy"), "dcol"
+    )
+    dt = (
+        px.select("x", "y")
+        .join(cand, F.col("cy") == F.col("y"))
+        .groupBy("x", "y")
+        .agg(
+            F.min(
+                F.greatest(F.abs(F.col("x") - F.col("cx")), F.col("dcol"))
+            ).alias("d")
+        )
+    )
+    return (
+        dt.groupBy(F.col("d").cast("bigint").alias("chebyshev_dist"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cells"))
+        .orderBy("chebyshev_dist")
     )
