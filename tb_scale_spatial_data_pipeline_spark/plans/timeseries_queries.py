@@ -1404,3 +1404,146 @@ def q_breusch_pagan_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2.cast("bigint").alias("n_days"),
         F.round(n2 * num / den, 6).alias("bp_lm_statistic"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic Time Warping distance from every user's value profile (first
+# 16 event values, cents lattice) to a reference profile (the min-
+# user_id journey) — the elastic-alignment similarity that plain
+# Euclidean windows can't express (Sakoe & Chiba, IEEE TASSP 1978).
+# The DP runs ENTIRELY in Catalyst as a nested higher-order fold:
+# outer F.aggregate over the user series carries the DP row, the
+# inner F.aggregate rebuilds the next row left-to-right (the
+# row[j-1] dependency is exactly a fold) — no Python, no UDF, one
+# shuffle to assemble bounded 16-element series. Costs are |a-b| on
+# the integer cents lattice, so every cell is exact. The oracle walks
+# the identical recurrence as a recursive CTE whose accumulator list
+# is rebuilt per row with list_reduce — same DP, different engine
+# idiom. 100 TB: per-user state is one 16-int array; the reference
+# profile is a broadcast scalar; cost is linear in users.
+_DTW_LEN = 16
+_DTW_INF = 1 << 40
+
+
+def _sql_dtw() -> str:
+    return f"""
+    WITH RECURSIVE ranked AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events
+    ),
+    ser AS MATERIALIZED (
+      SELECT user_id, list(v ORDER BY rn) AS s
+      FROM ranked WHERE rn <= {_DTW_LEN} GROUP BY user_id
+    ),
+    ref AS (SELECT s AS r FROM ser
+            WHERE user_id = (SELECT min(user_id) FROM ser)),
+    dp AS (
+      SELECT user_id, 1 AS i, s, r,
+             list_reduce(
+               [[]] || list_transform(r, e -> [e]),
+               (acc, it) -> list_append(acc,
+                 abs(s[1] - r[len(acc) + 1])
+                 + CASE WHEN len(acc) = 0 THEN 0 ELSE acc[-1] END)
+             ) AS row
+      FROM ser CROSS JOIN ref
+      UNION ALL
+      SELECT user_id, i + 1, s, r,
+             list_reduce(
+               [[]] || list_transform(r, e -> [e]),
+               (acc, it) -> list_append(acc,
+                 abs(s[i + 1] - r[len(acc) + 1])
+                 + least(row[len(acc) + 1],
+                         CASE WHEN len(acc) = 0 THEN {_DTW_INF}
+                              ELSE least(row[len(acc)], acc[-1]) END))
+             ) AS row
+      FROM dp WHERE i < len(s)
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(len(s) AS BIGINT) AS n_points,
+           CAST(row[-1] AS BIGINT) AS dtw_cents
+    FROM dp WHERE i = len(s)
+    ORDER BY dtw_cents, user_id LIMIT 20
+    """
+
+
+@_q("dtw_profile_distance", _sql_dtw())
+def q_dtw_profile_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ranked = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") <= _DTW_LEN)
+    ser = ranked.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("rn", "v"))), lambda s: s["v"]
+        ).alias("s")
+    )
+    ref = (
+        ser.orderBy("user_id")
+        .limit(1)
+        .select(F.col("s").alias("r"))
+    )
+
+    empty = F.expr("array()").cast("array<bigint>")
+
+    def _base(x1, r):
+        return F.aggregate(
+            r,
+            empty,
+            lambda acc, _e: F.concat(
+                acc,
+                F.array(
+                    F.abs(x1 - F.element_at(r, (F.size(acc) + 1).cast("int")))
+                    + F.when(F.size(acc) == 0, F.lit(0).cast("bigint")).otherwise(
+                        F.element_at(acc, -1)
+                    )
+                ),
+            ),
+        )
+
+    def _step(p, xv, r):
+        return F.aggregate(
+            r,
+            empty,
+            lambda acc, _e: F.concat(
+                acc,
+                F.array(
+                    F.abs(xv - F.element_at(r, (F.size(acc) + 1).cast("int")))
+                    + F.least(
+                        F.element_at(p, (F.size(acc) + 1).cast("int")),
+                        F.when(
+                            F.size(acc) == 0, F.lit(_DTW_INF).cast("bigint")
+                        ).otherwise(
+                            F.least(
+                                F.element_at(p, F.size(acc).cast("int")),
+                                F.element_at(acc, -1),
+                            )
+                        ),
+                    )
+                ),
+            ),
+        )
+
+    s, r = F.col("s"), F.col("r")
+    dtw = F.element_at(
+        F.aggregate(
+            F.slice(s, 2, F.greatest(F.size(s) - 1, F.lit(0))),
+            _base(F.element_at(s, 1), r),
+            lambda row, xv: _step(row, xv, r),
+        ),
+        -1,
+    )
+    return (
+        ser.crossJoin(F.broadcast(ref))
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.size("s").cast("bigint").alias("n_points"),
+            dtw.cast("bigint").alias("dtw_cents"),
+        )
+        .orderBy("dtw_cents", "user_id")
+        .limit(20)
+    )
