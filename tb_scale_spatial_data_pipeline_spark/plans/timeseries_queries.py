@@ -1547,3 +1547,110 @@ def q_dtw_profile_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dtw_cents", "user_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Longest-common-subsequence alignment of each user's event-type
+# journey (first 12 events) against the canonical conversion funnel —
+# "how much of the signup->purchase script does each user actually
+# follow, in order, ignoring noise events". Same nested-fold DP
+# engine as dtw_profile_distance with the LCS recurrence (match ->
+# diagonal + 1, else max(up, left)); the virtual zero row makes the
+# boundary uniform so ONE fold shape covers every cell. Output is the
+# alignment-length histogram. All-integer, exact; linear in users.
+_LCS_LEN = 12
+_LCS_FUNNEL = ("signup", "view", "click", "view", "click", "purchase")
+
+
+def _sql_lcs() -> str:
+    pat = ", ".join(f"'{p}'" for p in _LCS_FUNNEL)
+    return f"""
+    WITH RECURSIVE ranked AS (
+      SELECT user_id, event_type AS v,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events
+    ),
+    ser AS MATERIALIZED (
+      SELECT user_id, list(v ORDER BY rn) AS s, [{pat}] AS r
+      FROM ranked WHERE rn <= {_LCS_LEN} GROUP BY user_id
+    ),
+    dp AS (
+      SELECT user_id, 0 AS i, s, r,
+             list_transform(r, e -> 0) AS row
+      FROM ser
+      UNION ALL
+      SELECT user_id, i + 1, s, r,
+             list_reduce(
+               [[]] || list_transform(generate_series(1, len(r)), j -> [j]),
+               (acc, it) -> list_append(acc,
+                 CASE WHEN s[i + 1] = r[len(acc) + 1]
+                      THEN (CASE WHEN len(acc) = 0 THEN 0
+                                 ELSE row[len(acc)] END) + 1
+                      ELSE greatest(row[len(acc) + 1],
+                                    CASE WHEN len(acc) = 0 THEN 0
+                                         ELSE acc[-1] END)
+                 END)
+             ) AS row
+      FROM dp WHERE i < len(s)
+    )
+    SELECT CAST(row[-1] AS BIGINT) AS lcs_len,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM dp WHERE i = len(s)
+    GROUP BY lcs_len ORDER BY lcs_len
+    """
+
+
+@_q("lcs_funnel_alignment", _sql_lcs())
+def q_lcs_funnel_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ranked = ev.select(
+        "user_id",
+        F.col("event_type").alias("v"),
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") <= _LCS_LEN)
+    ser = ranked.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("rn", "v"))), lambda s: s["v"]
+        ).alias("s")
+    )
+    r = F.array(*[F.lit(p) for p in _LCS_FUNNEL])
+
+    empty = F.expr("array()").cast("array<bigint>")
+
+    def _step(p, xv):
+        return F.aggregate(
+            r,
+            empty,
+            lambda acc, _e: F.concat(
+                acc,
+                F.array(
+                    F.when(
+                        xv == F.element_at(r, (F.size(acc) + 1).cast("int")),
+                        F.when(F.size(acc) == 0, F.lit(0).cast("bigint")).otherwise(
+                            F.element_at(p, F.size(acc).cast("int"))
+                        )
+                        + 1,
+                    ).otherwise(
+                        F.greatest(
+                            F.element_at(p, (F.size(acc) + 1).cast("int")),
+                            F.when(
+                                F.size(acc) == 0, F.lit(0).cast("bigint")
+                            ).otherwise(F.element_at(acc, -1)),
+                        )
+                    )
+                ),
+            ),
+        )
+
+    s = F.col("s")
+    zero_row = F.transform(r, lambda _e: F.lit(0).cast("bigint"))
+    lcs = F.element_at(
+        F.aggregate(s, zero_row, lambda row, xv: _step(row, xv)), -1
+    )
+    return (
+        ser.select(lcs.cast("bigint").alias("lcs_len"))
+        .groupBy("lcs_len")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("lcs_len")
+    )
