@@ -1,0 +1,298 @@
+"""Round-13 second-wave tests: independent brute-force cross-checks
+for the new operators, recomputing each ground truth a THIRD way
+(plain Python/NumPy, no Spark, no SQL) so a same-recurrence DuckDB
+twin cannot hide a correlated bug:
+
+- kendall_tau_b       vs O(n^2) pair enumeration over the raw rows
+- minimax_path        vs Dijkstra-style label setting on (min, max)
+- graph_bipartite     vs Python BFS layering + edge parity census
+- naive_bayes         vs float NB with fractions.Fraction scoring
+- blocklist filter    vs str token-scan counting
+- distance transform  vs brute min over feature pixels
+- dtw / lcs           vs textbook O(nm) NumPy DP
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections import defaultdict
+from fractions import Fraction
+
+import numpy as np
+
+from conftest import SF_SMOKE
+
+from tb_scale_spatial_data_pipeline_spark.plans.corpus_queries import (
+    _BLOCKLIST,
+    QUERIES as CORPUS_QUERIES,
+)
+from tb_scale_spatial_data_pipeline_spark.plans.graph_queries import (
+    QUERIES as GRAPH_QUERIES,
+    _undirected_edges,
+    _weighted_edges,
+)
+from tb_scale_spatial_data_pipeline_spark.plans.mlprep_queries import (
+    QUERIES as MLPREP_QUERIES,
+)
+from tb_scale_spatial_data_pipeline_spark.plans.raster_queries import (
+    QUERIES as RASTER_QUERIES,
+)
+from tb_scale_spatial_data_pipeline_spark.plans.stats_queries import (
+    QUERIES as STATS_QUERIES,
+)
+from tb_scale_spatial_data_pipeline_spark.plans.timeseries_queries import (
+    _DTW_LEN,
+    _LCS_FUNNEL,
+    _LCS_LEN,
+    QUERIES as TS_QUERIES,
+)
+
+
+def test_kendall_tau_b_matches_pair_enumeration(spark):
+    row = STATS_QUERIES["kendall_tau_b"](spark, SF_SMOKE).collect()[0]
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").toPandas()
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    spend = orders.groupby("o_custkey")["o_totalprice"].sum()
+    merged = cust.join(spend, on="c_custkey", how="inner")
+    bx = np.floor(merged["c_acctbal"].to_numpy(dtype=float) / 500.0).astype(int)
+    by = np.floor(merged["o_totalprice"].to_numpy(dtype=float) / 50000.0).astype(
+        int
+    )
+    n = len(bx)
+    nc = nd = n1 = n2 = 0
+    for i in range(n):
+        dx = bx[i + 1 :] - bx[i]
+        dy = by[i + 1 :] - by[i]
+        nc += int(np.sum((dx != 0) & (dy != 0) & ((dx > 0) == (dy > 0))))
+        nd += int(np.sum((dx != 0) & (dy != 0) & ((dx > 0) != (dy > 0))))
+        n1 += int(np.sum(dx == 0))
+        n2 += int(np.sum(dy == 0))
+    assert row["n_rows"] == n
+    assert row["n_concordant"] == nc
+    assert row["n_discordant"] == nd
+    n0 = n * (n - 1) // 2
+    tau = (nc - nd) / np.sqrt(float(n0 - n1) * float(n0 - n2))
+    assert abs(row["tau_b"] - tau) < 1e-6
+
+
+def _edge_list(spark, weighted: bool):
+    if weighted:
+        df = _weighted_edges(spark, SF_SMOKE).toPandas()
+        return list(zip(df["src"], df["dst"], df["w"]))
+    df = _undirected_edges(spark, SF_SMOKE).toPandas()
+    return list(zip(df["u"], df["v"]))
+
+
+def test_minimax_path_matches_label_setting(spark):
+    got = {
+        r["s_suppkey"]: r["bottleneck"]
+        for r in GRAPH_QUERIES["minimax_path_bottleneck"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    adj = defaultdict(list)
+    nodes = set()
+    for s, d, w in _edge_list(spark, weighted=True):
+        adj[s].append((d, w))
+        nodes.add(s)
+    # Dijkstra with the (min, max) semiring: label-setting is exact
+    # because greatest() relaxation is monotone non-decreasing.
+    dist = {n: 0 for n in nodes if n % 20 == 0}
+    pq = [(0, n) for n in dist]
+    heapq.heapify(pq)
+    seen = set()
+    while pq:
+        d, u = heapq.heappop(pq)
+        if u in seen:
+            continue
+        seen.add(u)
+        for v, w in adj[u]:
+            nd = max(d, w)
+            if nd < dist.get(v, 1 << 60):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    assert got == dist
+
+
+def test_graph_bipartite_matches_python_bfs(spark):
+    row = GRAPH_QUERIES["graph_bipartite_check"](spark, SF_SMOKE).collect()[0]
+    edges = _edge_list(spark, weighted=False)
+    adj = defaultdict(list)
+    nodes = set()
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+        nodes.update((u, v))
+    hop = {n: 0 for n in nodes if n % 10 == 0}
+    frontier = list(hop)
+    h = 0
+    while frontier and h < 6:
+        h += 1
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in hop:
+                    hop[v] = h
+                    nxt.append(v)
+        frontier = nxt
+    n_conflict = sum(
+        1 for u, v in edges if u in hop and v in hop and (hop[u] + hop[v]) % 2 == 0
+    )
+    n_reached_edges = sum(1 for u, v in edges if u in hop and v in hop)
+    assert row["n_reached"] == len(hop)
+    assert row["n_edges_reached"] == n_reached_edges
+    assert row["n_conflict_edges"] == n_conflict
+    assert row["is_bipartite"] == (1 if n_conflict == 0 else 0)
+
+
+def test_naive_bayes_matches_fraction_scoring(spark):
+    import hashlib
+
+    got = {
+        (r["actual"], r["predicted"]): r["n"]
+        for r in MLPREP_QUERIES["naive_bayes_order_status"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    orders["f2"] = orders["o_orderdate"].map(lambda d: d.year)
+    orders["bucket"] = orders["o_orderkey"].map(
+        lambda k: int(hashlib.md5(str(k).encode()).hexdigest()[:4], 16) % 100
+    )
+    train = orders[orders["bucket"] < 80]
+    test = orders[orders["bucket"] >= 80]
+    classes = sorted(train["o_orderstatus"].unique())
+    n_c = train.groupby("o_orderstatus").size()
+    c1 = train.groupby(["o_orderstatus", "o_orderpriority"]).size()
+    c2 = train.groupby(["o_orderstatus", "f2"]).size()
+    v1 = train["o_orderpriority"].nunique()
+    v2 = train["f2"].nunique()
+    conf = defaultdict(int)
+    for _, r in test.iterrows():
+        best, best_score = None, None
+        for c in classes:
+            num = (
+                int(n_c[c])
+                * (int(c1.get((c, r["o_orderpriority"]), 0)) + 1)
+                * (int(c2.get((c, r["f2"]), 0)) + 1)
+            )
+            den = (int(n_c[c]) + v1) * (int(n_c[c]) + v2)
+            score = Fraction(num, den)
+            if best is None or score > best_score:
+                best, best_score = c, score
+        conf[(r["o_orderstatus"], best)] += 1
+    assert got == dict(conf)
+
+
+def test_blocklist_matches_token_scan(spark):
+    got = {
+        r["phrase"]: (r["n_occurrences"], r["n_docs"])
+        for r in CORPUS_QUERIES["blocklist_phrase_filter"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").toPandas()
+    for phrase in _BLOCKLIST:
+        ptoks = phrase.split(" ")
+        occ, ndocs = 0, 0
+        for text in docs["text"]:
+            toks = text.split(" ")
+            k = sum(
+                1
+                for i in range(len(toks) - len(ptoks) + 1)
+                if toks[i : i + len(ptoks)] == ptoks
+            )
+            occ += k
+            ndocs += 1 if k else 0
+        assert got[phrase] == (occ, ndocs)
+
+
+def test_distance_transform_matches_bruteforce(spark):
+    got = {
+        r["chebyshev_dist"]: r["n_cells"]
+        for r in RASTER_QUERIES["distance_transform_chebyshev"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    xs, ys = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    fld = (
+        np.sin(xs / 10.0) * 40.0
+        + np.cos(ys / 12.0) * 40.0
+        + 100.0
+        + np.where((xs - 35.0) ** 2 + (ys - 30.0) ** 2 < 400.0, 80.0, 0.0)
+    )
+    feat = np.round(fld, 6) > 170.0
+    fx, fy = np.nonzero(feat)
+    d = np.maximum(
+        np.abs(xs[:, :, None] - fx[None, None, :]),
+        np.abs(ys[:, :, None] - fy[None, None, :]),
+    ).min(axis=2)
+    vals, counts = np.unique(d, return_counts=True)
+    assert got == dict(zip(vals.tolist(), counts.tolist()))
+
+
+def _np_dtw(a, b):
+    n, m = len(a), len(b)
+    big = 1 << 50
+    dp = np.full((n + 1, m + 1), big, dtype=np.int64)
+    dp[0, 0] = 0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            dp[i, j] = abs(a[i - 1] - b[j - 1]) + min(
+                dp[i - 1, j], dp[i, j - 1], dp[i - 1, j - 1]
+            )
+    return int(dp[n, m])
+
+
+def _series(spark, col, cap):
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .toPandas()
+        .sort_values("event_id")
+    )
+    out = {}
+    for uid, grp in ev.groupby("user_id"):
+        g = grp.head(cap)
+        if col == "value":
+            out[uid] = [int(round(v * 100)) for v in g["value"]]
+        else:
+            out[uid] = list(g["event_type"])
+    return out
+
+
+def test_dtw_matches_numpy_dp(spark):
+    rows = TS_QUERIES["dtw_profile_distance"](spark, SF_SMOKE).collect()
+    ser = _series(spark, "value", _DTW_LEN)
+    ref = ser[min(ser)]
+    brute = sorted(
+        ((_np_dtw(s, ref), uid) for uid, s in ser.items())
+    )[:20]
+    got = [(r["dtw_cents"], r["user_id"]) for r in rows]
+    assert got == brute
+    for r in rows:
+        assert r["n_points"] == len(ser[r["user_id"]])
+
+
+def _py_lcs(a, b):
+    n, m = len(a), len(b)
+    dp = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            dp[i][j] = (
+                dp[i - 1][j - 1] + 1
+                if a[i - 1] == b[j - 1]
+                else max(dp[i - 1][j], dp[i][j - 1])
+            )
+    return dp[n][m]
+
+
+def test_lcs_matches_python_dp(spark):
+    got = {
+        r["lcs_len"]: r["n_users"]
+        for r in TS_QUERIES["lcs_funnel_alignment"](spark, SF_SMOKE).collect()
+    }
+    ser = _series(spark, "event_type", _LCS_LEN)
+    hist = defaultdict(int)
+    for s in ser.values():
+        hist[_py_lcs(s, list(_LCS_FUNNEL))] += 1
+    assert got == dict(hist)
