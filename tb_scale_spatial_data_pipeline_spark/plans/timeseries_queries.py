@@ -1654,3 +1654,135 @@ def q_lcs_funnel_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy("lcs_len")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted interval scheduling — per user, the maximum-value set of
+# non-overlapping activity intervals (interval = [ts, ts + value
+# minutes + 1s] — the +1s keeps every duration strictly positive so
+# no interval can satisfy its own end<=start predicate; value in
+# cents is the weight; first 24 events bound the per-key state). The textbook DP over end-sorted intervals:
+# dp[i] = max(dp[i-1], v_i + dp[p_i]) where p_i = #intervals ending
+# <= start_i — p comes from a BOUNDED per-user self-join (24^2 rows),
+# the DP itself is one Catalyst fold per user carrying the dp list.
+# Everything integer microseconds/cents — exact; the final dp value
+# is invariant to equal-end ordering (max absorbs both branches), so
+# ties can't flap the answer. 100 TB: linear in users, no global
+# state; the per-user cap is the same bounded-sequential-DP
+# discipline as the Holt-Winters spine.
+_WIS_CAP = 24
+
+
+def _sql_wis() -> str:
+    return f"""
+    WITH ranked AS (
+      SELECT user_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts)
+               + (CAST(round(value * 60) AS BIGINT) + 1) * 1000000 AS e,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events
+    ),
+    iv AS MATERIALIZED (
+      SELECT user_id, s, e, v, rn FROM ranked WHERE rn <= {_WIS_CAP}
+    ),
+    withp AS (
+      SELECT a.user_id, a.s, a.e, a.v,
+             CAST(COALESCE(SUM(CASE WHEN b.e <= a.s THEN 1 END), 0) AS BIGINT)
+               AS p
+      FROM iv a LEFT JOIN iv b ON b.user_id = a.user_id
+      GROUP BY a.user_id, a.s, a.e, a.v, a.rn
+    ),
+    folded AS (
+      SELECT user_id,
+             list({{'e': e, 's': s, 'v': v, 'p': p}}
+                  ORDER BY e, s, v) AS items
+      FROM withp GROUP BY user_id
+    ),
+    best AS (
+      SELECT user_id, len(items) AS n_intervals,
+             list_reduce(
+               [[CAST(0 AS BIGINT)]]
+                 || list_transform(generate_series(1, len(items)),
+                                   j -> [CAST(j AS BIGINT)]),
+               (acc, it) -> list_append(acc,
+                 greatest(acc[-1],
+                          items[len(acc)].v
+                            + acc[items[len(acc)].p + 1]))
+             )[-1] AS best_cents
+      FROM folded
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(n_intervals AS BIGINT) AS n_intervals,
+           CAST(best_cents AS BIGINT) AS best_cents
+    FROM best ORDER BY best_cents DESC, user_id LIMIT 20
+    """
+
+
+@_q("weighted_interval_scheduling", _sql_wis())
+def q_weighted_interval_scheduling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    s = F.unix_micros(F.col("ts"))
+    iv = (
+        ev.select(
+            "user_id",
+            s.alias("s"),
+            (
+                s
+                + (F.round(F.col("value") * 60).cast("bigint") + 1) * 1000000
+            ).alias("e"),
+            F.round(F.col("value") * 100).cast("bigint").alias("v"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= _WIS_CAP)
+    )
+    b = iv.select(
+        F.col("user_id").alias("bu"), F.col("e").alias("be")
+    )
+    withp = (
+        iv.join(b, (F.col("bu") == F.col("user_id")), "left")
+        .groupBy("user_id", "s", "e", "v", "rn")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("be") <= F.col("s"), 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("p")
+        )
+        .drop("rn")
+    )
+    folded = withp.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("e", "s", "v", "p"))).alias("items")
+    )
+    items = F.col("items")
+    init = F.array(F.lit(0).cast("bigint"))
+    dp = F.aggregate(
+        items,
+        init,
+        lambda acc, _it: F.concat(
+            acc,
+            F.array(
+                F.greatest(
+                    F.element_at(acc, -1),
+                    F.element_at(items, F.size(acc).cast("int"))["v"]
+                    + F.element_at(
+                        acc,
+                        (
+                            F.element_at(items, F.size(acc).cast("int"))["p"] + 1
+                        ).cast("int"),
+                    ),
+                )
+            ),
+        ),
+    )
+    return (
+        folded.select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.size("items").cast("bigint").alias("n_intervals"),
+            F.element_at(dp, -1).cast("bigint").alias("best_cents"),
+        )
+        .orderBy(F.desc("best_cents"), "user_id")
+        .limit(20)
+    )
