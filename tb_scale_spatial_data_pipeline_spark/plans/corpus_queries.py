@@ -1147,7 +1147,9 @@ def _sql_blocklist() -> str:
       SELECT t.doc_id, p.pid, p.phrase, t.pos - p.off AS start
       FROM toks t JOIN ptoks p ON p.pw = t.w
       GROUP BY t.doc_id, p.pid, p.phrase, t.pos - p.off, p.plen
-      HAVING COUNT(DISTINCT p.off) = p.plen
+      -- for fixed (doc, pid, start) each offset occurs at most once
+      -- (pos = start + off), so plain COUNT equals COUNT(DISTINCT)
+      HAVING COUNT(*) = p.plen
     )
     SELECT p.phrase,
            CAST(COALESCE(COUNT(h.start), 0) AS BIGINT) AS n_occurrences,
@@ -1180,7 +1182,7 @@ def q_blocklist_phrase_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "pid", "phrase", (F.col("pos") - F.col("off")).alias("start"),
             "plen",
         )
-        .agg(F.countDistinct("off").alias("noff"))
+        .agg(F.count(F.lit(1)).alias("noff"))
         .where(F.col("noff") == F.col("plen"))
     )
     return (
