@@ -878,3 +878,90 @@ def q_abandoned_session_detection(
         )
         .orderBy("event_hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Allen's interval-algebra census (Allen, CACM 1983): classify every
+# per-user (click-interval, purchase-interval) pair into the 13
+# qualitative temporal relations — before/meets/overlaps/starts/
+# during/finishes, their inverses, and equals — the vocabulary
+# temporal reasoners and process-mining conformance checks speak.
+# Intervals are [ts, ts + value minutes + 1s] on the integer
+# microsecond lattice (strictly positive, like the scheduling DP), so
+# every boundary comparison is exact. Pairing is per-user (the equi-
+# key bounds the pair fan-out at per-user activity, linear in users);
+# the relation is ONE nested CASE over the four endpoints — pure
+# Catalyst, no UDF. Output: census counts per relation.
+def _allen_case(s1: str, e1: str, s2: str, e2: str) -> str:
+    return f"""CASE
+      WHEN {e1} < {s2} THEN 'before'
+      WHEN {e2} < {s1} THEN 'after'
+      WHEN {e1} = {s2} THEN 'meets'
+      WHEN {e2} = {s1} THEN 'met_by'
+      WHEN {s1} = {s2} AND {e1} = {e2} THEN 'equals'
+      WHEN {s1} = {s2} AND {e1} < {e2} THEN 'starts'
+      WHEN {s1} = {s2} THEN 'started_by'
+      WHEN {e1} = {e2} AND {s1} > {s2} THEN 'finishes'
+      WHEN {e1} = {e2} THEN 'finished_by'
+      WHEN {s1} > {s2} AND {e1} < {e2} THEN 'during'
+      WHEN {s1} < {s2} AND {e1} > {e2} THEN 'contains'
+      WHEN {s1} < {s2} THEN 'overlaps'
+      ELSE 'overlapped_by' END"""
+
+
+@_q(
+    "allen_interval_census",
+    f"""
+    WITH iv AS (
+      SELECT user_id, event_type, epoch_us(ts) AS s,
+             epoch_us(ts) + (CAST(round(value * 60) AS BIGINT) + 1) * 1000000
+               AS e
+      FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT {_allen_case('c.s', 'c.e', 'p.s', 'p.e')} AS relation,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM iv c JOIN iv p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+    GROUP BY relation ORDER BY relation
+    """,
+)
+def q_allen_interval_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    s = F.unix_micros(F.col("ts"))
+    iv = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "event_type",
+        s.alias("s"),
+        (s + (F.round(F.col("value") * 60).cast("bigint") + 1) * 1000000).alias(
+            "e"
+        ),
+    )
+    c = iv.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("s").alias("cs"), F.col("e").alias("ce")
+    )
+    p = iv.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("s").alias("ps"), F.col("e").alias("pe")
+    )
+    cs, ce, ps, pe = F.col("cs"), F.col("ce"), F.col("ps"), F.col("pe")
+    rel = (
+        F.when(ce < ps, "before")
+        .when(pe < cs, "after")
+        .when(ce == ps, "meets")
+        .when(pe == cs, "met_by")
+        .when((cs == ps) & (ce == pe), "equals")
+        .when((cs == ps) & (ce < pe), "starts")
+        .when(cs == ps, "started_by")
+        .when((ce == pe) & (cs > ps), "finishes")
+        .when(ce == pe, "finished_by")
+        .when((cs > ps) & (ce < pe), "during")
+        .when((cs < ps) & (ce > pe), "contains")
+        .when(cs < ps, "overlaps")
+        .otherwise("overlapped_by")
+    )
+    return (
+        c.join(p, F.col("pu") == F.col("cu"))
+        .groupBy(rel.alias("relation"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("relation")
+    )
