@@ -2017,3 +2017,112 @@ def q_token_budget_corpus_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q-gram count-filter edit-distance similarity join — the scalable
+# candidate generation for ed <= 2 over ALL distinct part names, with
+# the pruning bound self-certified by the oracle: each edit destroys
+# at most q grams, so ed(a,b) <= d implies shared 2-gram mass
+# sum(min(cnt_a, cnt_b)) >= (max(|a|,|b|) - q + 1) - d*q
+# (Gravano et al., VLDB 2001). Candidates come from ONE gram
+# equi-join (never the quadratic name cross product); pairs whose
+# bound is vacuous (both names <= q + d*q - 1 chars) are unioned in
+# explicitly from the tiny short-name set, so completeness never
+# leans on fixture lengths. Verification is levenshtein on the
+# surviving candidates only. The DuckDB twin is the UNPRUNED brute
+# force over all distinct-name pairs — identical output IS the proof
+# the filter dropped nothing. 100 TB: names dedup to the domain
+# (adjective x noun lattice here); gram postings shuffle once;
+# multiplicities rejoin at the end as n_part_pairs.
+@_q(
+    "qgram_edit_join",
+    """
+    WITH names AS (
+      SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM part GROUP BY p_name
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist,
+           a.cnt * b.cnt AS n_part_pairs
+    FROM names a JOIN names b ON a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 2
+    ORDER BY name_a, name_b
+    """,
+)
+def q_qgram_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    names = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    named = names.select(
+        "name", "cnt", F.length("name").cast("bigint").alias("ln")
+    )
+    # positional 2-gram multiset per name: (name, gram, gram_count)
+    grams = (
+        named.select(
+            "name",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(name) - 1),"
+                    " i -> substring(name, i, 2))"
+                )
+            ).alias("gram"),
+        )
+        .groupBy("name", "gram")
+        .agg(F.count(F.lit(1)).alias("gcnt"))
+    )
+    ga = grams.select(
+        F.col("name").alias("na"), "gram", F.col("gcnt").alias("ca")
+    )
+    gb = grams.select(
+        F.col("name").alias("nb"), "gram", F.col("gcnt").alias("cb")
+    )
+    la = named.select(F.col("name").alias("na"), F.col("ln").alias("la"),
+                      F.col("cnt").alias("cnta"))
+    lb = named.select(F.col("name").alias("nb"), F.col("ln").alias("lb"),
+                      F.col("cnt").alias("cntb"))
+    shared = (
+        ga.join(gb, (F.col("na") < F.col("nb")) & (ga.gram == gb.gram))
+        .groupBy("na", "nb")
+        .agg(F.sum(F.least(F.col("ca"), F.col("cb"))).alias("shared"))
+    )
+    # count-filter bound: t = (max(la,lb) - 1) - 4; vacuous when t < 1
+    cand = (
+        shared.join(la, "na")
+        .join(lb, "nb")
+        .where(
+            (F.abs(F.col("la") - F.col("lb")) <= 2)
+            & (
+                F.col("shared")
+                >= F.greatest(F.col("la"), F.col("lb")) - 5
+            )
+        )
+        .select("na", "nb", "cnta", "cntb")
+    )
+    # pairs the bound cannot prune: both names short enough that
+    # t = max(la, lb) - 5 < 1, i.e. max(la, lb) <= 5
+    shorts = named.where(F.col("ln") <= 5)
+    sa = shorts.select(F.col("name").alias("na"), F.col("ln").alias("la"),
+                       F.col("cnt").alias("cnta"))
+    sb = shorts.select(F.col("name").alias("nb"), F.col("ln").alias("lb"),
+                       F.col("cnt").alias("cntb"))
+    vac = (
+        sa.join(sb, (F.col("na") < F.col("nb")))
+        .where(F.abs(F.col("la") - F.col("lb")) <= 2)
+        .select("na", "nb", "cnta", "cntb")
+    )
+    return (
+        cand.unionByName(vac)
+        .distinct()
+        .where(F.levenshtein(F.col("na"), F.col("nb")) <= 2)
+        .select(
+            F.col("na").alias("name_a"),
+            F.col("nb").alias("name_b"),
+            F.levenshtein(F.col("na"), F.col("nb"))
+            .cast("bigint")
+            .alias("edit_dist"),
+            (F.col("cnta") * F.col("cntb")).cast("bigint").alias("n_part_pairs"),
+        )
+        .orderBy("name_a", "name_b")
+    )
