@@ -2223,3 +2223,200 @@ def q_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tau_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EM for a 2-component 1-D Gaussian mixture over event values — the
+# missing density-estimation tier, run as THREE unrolled EM sweeps in
+# pure Catalyst. What makes a float-iterative algorithm oracle-able
+# is the LOCKSTEP discipline (the pagerank/chi2 pattern, pushed
+# further): per point the responsibility r2 is quantized to the 1e-6
+# lattice (round 6) — identical in both engines because every input
+# scalar is bit-identical and exp/sqrt are correctly-rounded on both
+# — and every M-step sum runs in DECIMAL over rounded per-point
+# terms, so accumulation order can't smear a single bit. Parameter
+# updates divide decimal sufficient statistics and re-round(12); the
+# variance step uses the CURRENT-iteration means about the previous
+# E-step (a valid generalized-EM variant, chosen so each sweep is one
+# aggregation). Init is moment-based (mean +/- sd). 100 TB: each
+# sweep is ONE map + ONE partial-aggregated reduce; driver traffic is
+# six scalars per sweep (the kmeans k x dim precedent).
+_EM_SWEEPS = 3
+
+
+def _sql_em_gmm() -> str:
+    def gauss(mu: str, v: str) -> str:
+        return f"exp(-(x - {mu}) * (x - {mu}) / (2 * {v})) / sqrt({v})"
+
+    ctes = [
+        """pts AS MATERIALIZED (SELECT CAST(value AS DOUBLE) AS x FROM events),
+    m0 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             round(CAST(SUM(CAST(round(x, 2) AS DECIMAL(38,2))) AS DOUBLE)
+                   / COUNT(*), 12) AS mean,
+             round(CAST(SUM(CAST(round(x * x, 4) AS DECIMAL(38,4)) ) AS DOUBLE)
+                   / COUNT(*)
+                   - (round(CAST(SUM(CAST(round(x, 2) AS DECIMAL(38,2)))
+                                 AS DOUBLE) / COUNT(*), 12))
+                     * (round(CAST(SUM(CAST(round(x, 2) AS DECIMAL(38,2)))
+                                   AS DOUBLE) / COUNT(*), 12)), 12) AS var0
+      FROM pts
+    ),
+    p0 AS (
+      SELECT n, 0.5 AS w1, 0.5 AS w2,
+             round(mean - sqrt(var0), 12) AS mu1,
+             round(mean + sqrt(var0), 12) AS mu2,
+             var0 AS v1, var0 AS v2
+      FROM m0
+    )"""
+    ]
+    for k in range(_EM_SWEEPS):
+        g1 = gauss(f"p{k}.mu1", f"p{k}.v1")
+        g2 = gauss(f"p{k}.mu2", f"p{k}.v2")
+        ctes.append(
+            f"""e{k} AS MATERIALIZED (
+      SELECT p{k}.n, x,
+             CAST(round(p{k}.w2 * {g2}
+                        / (p{k}.w1 * {g1} + p{k}.w2 * {g2}), 6)
+                  AS DECIMAL(38,6)) AS r2,
+             p{k}.mu1 AS mu1o, p{k}.mu2 AS mu2o
+      FROM pts CROSS JOIN p{k}
+    ),
+    s{k} AS (
+      SELECT max(n) AS n,
+             SUM(CAST(1 AS DECIMAL(38,6)) - r2) AS s1,
+             SUM(r2) AS s2,
+             SUM(CAST(round(CAST(CAST(1 AS DECIMAL(38,6)) - r2 AS DOUBLE)
+                            * x, 8) AS DECIMAL(38,8))) AS s1x,
+             SUM(CAST(round(CAST(r2 AS DOUBLE) * x, 8)
+                      AS DECIMAL(38,8))) AS s2x,
+             SUM(CAST(round(CAST(CAST(1 AS DECIMAL(38,6)) - r2 AS DOUBLE)
+                            * (x - mu1o) * (x - mu1o), 6)
+                      AS DECIMAL(38,6))) AS s1v,
+             SUM(CAST(round(CAST(r2 AS DOUBLE) * (x - mu2o) * (x - mu2o), 6)
+                      AS DECIMAL(38,6))) AS s2v
+      FROM e{k}
+    ),
+    p{k + 1} AS (
+      SELECT n,
+             round(CAST(s1 AS DOUBLE) / n, 12) AS w1,
+             round(CAST(s2 AS DOUBLE) / n, 12) AS w2,
+             round(CAST(s1x AS DOUBLE) / CAST(s1 AS DOUBLE), 12) AS mu1,
+             round(CAST(s2x AS DOUBLE) / CAST(s2 AS DOUBLE), 12) AS mu2,
+             round(CAST(s1v AS DOUBLE) / CAST(s1 AS DOUBLE), 12) AS v1,
+             round(CAST(s2v AS DOUBLE) / CAST(s2 AS DOUBLE), 12) AS v2
+      FROM s{k}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round(w1, 6) AS w1, round(w2, 6) AS w2,
+           round(mu1, 6) AS mu1, round(mu2, 6) AS mu2,
+           round(sqrt(v1), 6) AS sd1, round(sqrt(v2), 6) AS sd2
+    FROM p{_EM_SWEEPS}
+    """
+    )
+
+
+@_q("em_gaussian_mixture", _sql_em_gmm())
+def q_em_gaussian_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = (
+        t(spark, sf_dir, "events")
+        .select(F.col("value").cast("double").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    # every scalar round() runs through Spark's own ROUND expression
+    # (via a 1-row select), never Python's round(): the JVM and DuckDB
+    # double-rounding implementations are the pair the whole oracle
+    # suite has proven bit-compatible; mixing in a third would re-open
+    # the boundary-case question per call.
+    def jround(*exprs: object) -> list[float]:
+        row = pts.sparkSession.range(1).select(
+            *[F.round(F.lit(e).cast("double"), 12).alias(f"c{i}")
+              for i, e in enumerate(exprs)]
+        ).collect()[0]
+        return [row[f"c{i}"] for i in range(len(exprs))]
+
+    m0 = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("x"), 2).cast("decimal(38,2)")).alias("s"),
+        F.sum(F.round(F.col("x") * F.col("x"), 4).cast("decimal(38,4)")).alias(
+            "ss"
+        ),
+    ).collect()[0]
+    n = m0["n"]
+    (mean,) = jround(float(m0["s"]) / n)
+    (var0,) = jround(float(m0["ss"]) / n - mean * mean)
+    import math
+
+    w1, w2 = 0.5, 0.5
+    mu1, mu2 = jround(mean - math.sqrt(var0), mean + math.sqrt(var0))
+    v1, v2 = var0, var0
+
+    one6 = F.lit(1).cast("decimal(38,6)")
+    for _ in range(_EM_SWEEPS):
+        x = F.col("x")
+
+        def gauss(mu, v):
+            return F.exp(-(x - F.lit(mu)) * (x - F.lit(mu)) / (2 * F.lit(v))) / (
+                F.sqrt(F.lit(v))
+            )
+
+        g1, g2 = gauss(mu1, v1), gauss(mu2, v2)
+        r2 = F.round(
+            F.lit(w2) * g2 / (F.lit(w1) * g1 + F.lit(w2) * g2), 6
+        ).cast("decimal(38,6)")
+        e = pts.select(
+            x,
+            r2.alias("r2"),
+        )
+        s = e.agg(
+            F.sum(one6 - F.col("r2")).alias("s1"),
+            F.sum("r2").alias("s2"),
+            F.sum(
+                F.round((one6 - F.col("r2")).cast("double") * x, 8).cast(
+                    "decimal(38,8)"
+                )
+            ).alias("s1x"),
+            F.sum(
+                F.round(F.col("r2").cast("double") * x, 8).cast("decimal(38,8)")
+            ).alias("s2x"),
+            F.sum(
+                F.round(
+                    (one6 - F.col("r2")).cast("double")
+                    * (x - F.lit(mu1))
+                    * (x - F.lit(mu1)),
+                    6,
+                ).cast("decimal(38,6)")
+            ).alias("s1v"),
+            F.sum(
+                F.round(
+                    F.col("r2").cast("double")
+                    * (x - F.lit(mu2))
+                    * (x - F.lit(mu2)),
+                    6,
+                ).cast("decimal(38,6)")
+            ).alias("s2v"),
+        ).collect()[0]
+        s1, s2 = float(s["s1"]), float(s["s2"])
+        w1, w2, mu1, mu2, v1, v2 = jround(
+            s1 / n,
+            s2 / n,
+            float(s["s1x"]) / s1,
+            float(s["s2x"]) / s2,
+            float(s["s1v"]) / s1,
+            float(s["s2v"]) / s2,
+        )
+
+    return pts.sparkSession.range(1).select(
+        F.lit(n).cast("bigint").alias("n_points"),
+        F.round(F.lit(w1), 6).alias("w1"),
+        F.round(F.lit(w2), 6).alias("w2"),
+        F.round(F.lit(mu1), 6).alias("mu1"),
+        F.round(F.lit(mu2), 6).alias("mu2"),
+        F.round(F.lit(math.sqrt(v1)), 6).alias("sd1"),
+        F.round(F.lit(math.sqrt(v2)), 6).alias("sd2"),
+    )
