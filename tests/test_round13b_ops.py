@@ -296,3 +296,158 @@ def test_lcs_matches_python_dp(spark):
     for s in ser.values():
         hist[_py_lcs(s, list(_LCS_FUNNEL))] += 1
     assert got == dict(hist)
+
+
+def test_weighted_interval_scheduling_matches_bruteforce(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.timeseries_queries import (
+        _WIS_CAP,
+    )
+
+    rows = TS_QUERIES["weighted_interval_scheduling"](spark, SF_SMOKE).collect()
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .toPandas()
+        .sort_values("event_id")
+    )
+    best_by_user = {}
+    for uid, grp in ev.groupby("user_id"):
+        g = grp.head(_WIS_CAP)
+        iv = []
+        for _, r in g.iterrows():
+            s = int(r["ts"].value // 1000)  # ns -> us
+            e = s + (int(round(r["value"] * 60)) + 1) * 1000000
+            iv.append((e, s, int(round(r["value"] * 100))))
+        iv.sort()
+        n = len(iv)
+        dp = [0] * (n + 1)
+        for i, (e, s, v) in enumerate(iv, start=1):
+            p = sum(1 for (e2, _s2, _v2) in iv if e2 <= s)
+            dp[i] = max(dp[i - 1], v + dp[p])
+        best_by_user[uid] = (dp[n], n)
+    brute = sorted(
+        ((-b, uid, n) for uid, (b, n) in best_by_user.items())
+    )[:20]
+    got = [(-r["best_cents"], r["user_id"], r["n_intervals"]) for r in rows]
+    assert got == brute
+
+
+def test_allen_census_matches_bruteforce(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.event_queries import (
+        QUERIES as EVENT_QUERIES,
+    )
+
+    got = {
+        r["relation"]: r["n_pairs"]
+        for r in EVENT_QUERIES["allen_interval_census"](spark, SF_SMOKE).collect()
+    }
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    ev = ev[ev["event_type"].isin(["click", "purchase"])]
+    ivs = defaultdict(lambda: defaultdict(list))
+    for _, r in ev.iterrows():
+        s = int(r["ts"].value // 1000)
+        e = s + (int(round(r["value"] * 60)) + 1) * 1000000
+        ivs[r["user_id"]][r["event_type"]].append((s, e))
+
+    def allen(s1, e1, s2, e2):
+        if e1 < s2:
+            return "before"
+        if e2 < s1:
+            return "after"
+        if e1 == s2:
+            return "meets"
+        if e2 == s1:
+            return "met_by"
+        if s1 == s2 and e1 == e2:
+            return "equals"
+        if s1 == s2:
+            return "starts" if e1 < e2 else "started_by"
+        if e1 == e2:
+            return "finishes" if s1 > s2 else "finished_by"
+        if s1 > s2 and e1 < e2:
+            return "during"
+        if s1 < s2 and e1 > e2:
+            return "contains"
+        return "overlaps" if s1 < s2 else "overlapped_by"
+
+    hist = defaultdict(int)
+    for u in ivs:
+        for c in ivs[u]["click"]:
+            for p in ivs[u]["purchase"]:
+                hist[allen(*c, *p)] += 1
+    assert got == dict(hist)
+
+
+def _lev(a, b):
+    n, m = len(a), len(b)
+    dp = list(range(m + 1))
+    for i in range(1, n + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, m + 1):
+            cur = dp[j]
+            dp[j] = min(
+                dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+            )
+            prev = cur
+    return dp[m]
+
+
+def test_qgram_edit_join_matches_bruteforce(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.text_queries import (
+        QUERIES as TEXT_QUERIES,
+    )
+
+    got = {
+        (r["name_a"], r["name_b"]): (r["edit_dist"], r["n_part_pairs"])
+        for r in TEXT_QUERIES["qgram_edit_join"](spark, SF_SMOKE).collect()
+    }
+    part = spark.read.parquet(f"{SF_SMOKE}/part.parquet").toPandas()
+    cnt = part.groupby("p_name").size()
+    names = sorted(cnt.index)
+    brute = {}
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            d = _lev(a, b)
+            if d <= 2:
+                brute[(a, b)] = (d, int(cnt[a]) * int(cnt[b]))
+    assert got == brute
+
+
+def test_em_gmm_matches_numpy_lockstep(spark):
+    row = STATS_QUERIES["em_gaussian_mixture"](spark, SF_SMOKE).collect()[0]
+    x = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .toPandas()["value"]
+        .to_numpy(dtype=np.float64)
+    )
+    n = len(x)
+    mean = round(float(np.sum(np.round(x, 2))) / n, 12)
+    var0 = round(float(np.sum(np.round(x * x, 4))) / n - mean * mean, 12)
+    w1 = w2 = 0.5
+    mu1, mu2 = round(mean - np.sqrt(var0), 12), round(mean + np.sqrt(var0), 12)
+    v1 = v2 = var0
+    for _ in range(3):
+        g1 = np.exp(-((x - mu1) ** 2) / (2 * v1)) / np.sqrt(v1)
+        g2 = np.exp(-((x - mu2) ** 2) / (2 * v2)) / np.sqrt(v2)
+        r2 = np.round(w2 * g2 / (w1 * g1 + w2 * g2), 6)
+        r1 = 1.0 - r2
+        s1, s2 = float(np.sum(r1)), float(np.sum(r2))
+        s1x = float(np.sum(np.round(r1 * x, 8)))
+        s2x = float(np.sum(np.round(r2 * x, 8)))
+        s1v = float(np.sum(np.round(r1 * (x - mu1) ** 2, 6)))
+        s2v = float(np.sum(np.round(r2 * (x - mu2) ** 2, 6)))
+        w1, w2 = round(s1 / n, 12), round(s2 / n, 12)
+        mu1, mu2 = round(s1x / s1, 12), round(s2x / s2, 12)
+        v1, v2 = round(s1v / s1, 12), round(s2v / s2, 12)
+    # numpy rounding/summation is NOT the engines' lockstep path, so
+    # compare to 1e-5 (the engines themselves are checked bit-exact
+    # against each other by the differential harness)
+    assert row["n_points"] == n
+    assert abs(row["w2"] - w2) < 1e-5
+    assert abs(row["mu1"] - mu1) < 1e-4
+    assert abs(row["mu2"] - mu2) < 1e-4
+    assert abs(row["sd1"] - np.sqrt(v1)) < 1e-4
+    assert abs(row["sd2"] - np.sqrt(v2)) < 1e-4
+    # the mixture must actually separate: two distinct means, sane
+    # weights
+    assert row["mu1"] < row["mu2"]
+    assert 0.0 < row["w2"] < 1.0
