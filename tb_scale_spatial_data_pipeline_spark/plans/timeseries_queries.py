@@ -1786,3 +1786,78 @@ def q_weighted_interval_scheduling(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.desc("best_cents"), "user_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation lag census between the hourly click and purchase
+# count series — "at what lead does click volume line up with
+# purchase volume" — computed as the RAW integer cross-correlation
+# R(L) = sum_h c_h * p_(h+L) for L in [-24, +24] hours: all-integer,
+# so bit-exactness is structural. The plan is a BOUNDED range join
+# (each click hour meets at most 49 purchase hours; hours are a
+# fixed calendar spine, not row volume), then one groupBy lag. The
+# argmax lag ships in-row via one window. 100 TB: hourly rollups
+# first (the only row-volume pass), the lag join touches spine-sized
+# data.
+_XCORR_MAX_LAG = 24
+
+
+@_q(
+    "cross_correlation_lag",
+    f"""
+    WITH c AS (
+      SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+      SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    r AS (
+      SELECT p.h - c.h AS lag, CAST(SUM(c.n * p.n) AS BIGINT) AS xcorr
+      FROM c JOIN p ON p.h BETWEEN c.h - {_XCORR_MAX_LAG}
+                             AND c.h + {_XCORR_MAX_LAG}
+      GROUP BY p.h - c.h
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, xcorr,
+           CAST(CASE WHEN lag = (SELECT lag FROM r
+                                 ORDER BY xcorr DESC, lag LIMIT 1)
+                THEN 1 ELSE 0 END AS BIGINT) AS is_peak
+    FROM r ORDER BY lag
+    """,
+)
+def q_cross_correlation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    hour = F.floor(F.unix_micros(F.col("ts")) / 3600000000).cast("bigint")
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(hour.alias("ch"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(hour.alias("ph"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pn"))
+    )
+    r = (
+        c.join(
+            p,
+            (F.col("ph") >= F.col("ch") - _XCORR_MAX_LAG)
+            & (F.col("ph") <= F.col("ch") + _XCORR_MAX_LAG),
+        )
+        .groupBy((F.col("ph") - F.col("ch")).alias("lag"))
+        .agg(F.sum(F.col("cn") * F.col("pn")).cast("bigint").alias("xcorr"))
+    )
+    w = Window.orderBy(F.desc("xcorr"), F.asc("lag"))
+    return (
+        r.withColumn(
+            "is_peak",
+            F.when(F.row_number().over(w) == 1, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+        .select(F.col("lag").cast("bigint").alias("lag"), "xcorr", "is_peak")
+        .orderBy("lag")
+    )
