@@ -1861,3 +1861,96 @@ def q_cross_correlation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("lag").cast("bigint").alias("lag"), "xcorr", "is_peak")
         .orderBy("lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet energy decomposition of the daily revenue signal —
+# the multi-resolution screen ("is variance at the day, 2-day or
+# 4-day scale?") that picks the right smoothing window before any
+# seasonal model. UNNORMALIZED integer Haar on cents: level k pairs
+# adjacent approximations, approx = a+b, detail = a-b, energy_k =
+# sum(detail^2) — every coefficient stays an exact integer (the 1/2
+# scale factors are absorbed into the per-level energies; the final
+# energy is one exact-decimal -> double cast, identical both
+# engines), missing calendar days enter as 0 via the dense day
+# index. Three levels = three grouped aggregations over a spine-sized
+# table; the row-volume pass is only the daily rollup. 100 TB: the
+# signal length is calendar-bounded, so every level is broadcast-
+# sized regardless of order volume.
+_HAAR_LEVELS = 3
+
+
+def _sql_haar() -> str:
+    ctes = [
+        """daily AS (
+      SELECT CAST(date_diff('day', (SELECT min(o_orderdate) FROM orders),
+                            o_orderdate) AS BIGINT) AS d,
+             CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    lvl0 AS (
+      SELECT d AS i, cents AS a FROM daily
+    )"""
+    ]
+    for k in range(1, _HAAR_LEVELS + 1):
+        ctes.append(
+            f"""lvl{k} AS (
+      SELECT CAST(floor(i / 2) AS BIGINT) AS i,
+             SUM(a) AS a,
+             SUM(CASE WHEN i % 2 = 0 THEN a ELSE -a END) AS det
+      FROM lvl{k - 1} GROUP BY 1
+    )"""
+        )
+    sel = "\n    UNION ALL\n    ".join(
+        f"""SELECT CAST({k} AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+           CAST(CAST(SUM(det * det) AS DECIMAL(38,0)) AS DOUBLE)
+             AS detail_energy
+    FROM lvl{k}"""
+        for k in range(1, _HAAR_LEVELS + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    " + sel + "\n    ORDER BY level"
+    )
+
+
+@_q("haar_wavelet_energy", _sql_haar())
+def q_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    dmin = orders.agg(F.min("o_orderdate").alias("dmin"))
+    daily = (
+        orders.crossJoin(F.broadcast(dmin))
+        .groupBy(
+            F.datediff(F.col("o_orderdate"), F.col("dmin"))
+            .cast("bigint")
+            .alias("i")
+        )
+        .agg(
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("a")
+        )
+    )
+    lvl = daily
+    out = None
+    for k in range(1, _HAAR_LEVELS + 1):
+        nxt = lvl.groupBy(F.floor(F.col("i") / 2).cast("bigint").alias("i")).agg(
+            F.sum("a").cast("decimal(38,0)").alias("a"),
+            F.sum(
+                F.when(F.col("i") % 2 == 0, F.col("a")).otherwise(-F.col("a"))
+            )
+            .cast("decimal(38,0)")
+            .alias("det"),
+        )
+        stat = nxt.agg(
+            F.lit(k).cast("bigint").alias("level"),
+            F.count(F.lit(1)).cast("bigint").alias("n_coeffs"),
+            F.sum(F.col("det") * F.col("det"))
+            .cast("decimal(38,0)")
+            .cast("double")
+            .alias("detail_energy"),
+        )
+        out = stat if out is None else out.unionByName(stat)
+        lvl = nxt.drop("det")
+    return out.orderBy("level")
