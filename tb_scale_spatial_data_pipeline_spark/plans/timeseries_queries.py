@@ -1954,3 +1954,93 @@ def q_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = stat if out is None else out.unionByName(stat)
         lvl = nxt.drop("det")
     return out.orderBy("level")
+
+
+# ---------------------------------------------------------------------------
+# Seasonal DFT power probe: the Fourier coefficients of the daily
+# revenue signal at the candidate calendar periods (7/14/30 days) —
+# the single-bin spectral test (Goertzel's use case) that answers
+# "is there a weekly cycle" without materializing a full FFT. Per
+# term x_d * cos/sin(2*pi*d/P) is rounded to the 1e-6 lattice and
+# summed in DECIMAL (the chi2 lockstep pattern: transcendentals on
+# bit-identical inputs, order-free accumulation), then amplitude =
+# sqrt(C^2 + S^2)/n in one double expression. 100 TB: the only
+# row-volume pass is the daily rollup; the spectral sum runs over a
+# calendar-bounded spine x 3 periods.
+_DFT_PERIODS = (7, 14, 30)
+
+
+def _sql_dft() -> str:
+    vals = ", ".join(f"({p})" for p in _DFT_PERIODS)
+    return f"""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', (SELECT min(o_orderdate) FROM orders),
+                            o_orderdate) AS BIGINT) AS d,
+             CAST(CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0)))
+                       AS DECIMAL(38,0)) AS DOUBLE) AS x
+      FROM orders GROUP BY 1
+    ),
+    periods(p) AS (VALUES {vals}),
+    terms AS (
+      SELECT p,
+             SUM(CAST(round(x * cos(2 * pi() * d / p), 6)
+                      AS DECIMAL(38,6))) AS c,
+             SUM(CAST(round(x * sin(2 * pi() * d / p), 6)
+                      AS DECIMAL(38,6))) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily CROSS JOIN periods
+      GROUP BY p
+    )
+    SELECT CAST(p AS BIGINT) AS period, n_days,
+           round(sqrt(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+                      + CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                 / n_days / 100, 6) AS amplitude_dollars
+    FROM terms ORDER BY period
+    """
+
+
+@_q("dft_seasonal_power", _sql_dft())
+def q_dft_seasonal_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    orders = t(spark, sf_dir, "orders")
+    dmin = orders.agg(F.min("o_orderdate").alias("dmin"))
+    daily = (
+        orders.crossJoin(F.broadcast(dmin))
+        .groupBy(
+            F.datediff(F.col("o_orderdate"), F.col("dmin"))
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("double")
+            .alias("x")
+        )
+    )
+    periods = daily.sparkSession.createDataFrame(
+        [(p,) for p in _DFT_PERIODS], "p int"
+    )
+    ang = 2 * math.pi * F.col("d") / F.col("p")
+    terms = (
+        daily.crossJoin(F.broadcast(periods))
+        .groupBy("p")
+        .agg(
+            F.sum(
+                F.round(F.col("x") * F.cos(ang), 6).cast("decimal(38,6)")
+            ).alias("c"),
+            F.sum(
+                F.round(F.col("x") * F.sin(ang), 6).cast("decimal(38,6)")
+            ).alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+    )
+    c, s = F.col("c").cast("double"), F.col("s").cast("double")
+    return terms.select(
+        F.col("p").cast("bigint").alias("period"),
+        "n_days",
+        F.round(F.sqrt(c * c + s * s) / F.col("n_days") / 100, 6).alias(
+            "amplitude_dollars"
+        ),
+    ).orderBy("period")
