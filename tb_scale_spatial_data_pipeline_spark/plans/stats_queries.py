@@ -2420,3 +2420,147 @@ def q_em_gaussian_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(math.sqrt(v1)), 6).alias("sd1"),
         F.round(F.lit(math.sqrt(v2)), 6).alias("sd2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson regression (GLM, log link) of the daily order count on a
+# normalized time trend — "is demand drifting, as a multiplicative
+# rate" — fit by THREE unrolled IRLS sweeps with the EM-GMM lockstep
+# discipline: per-day working weights/responses are rounded to the
+# 1e-6 lattice and summed in DECIMAL, the 2x2 weighted least-squares
+# solve is closed form (determinant), and every scalar update is
+# JVM-rounded to 12 decimals. The regressor x = d / n_days keeps the
+# design bounded in [0, 1] at any horizon. Output: intercept rate,
+# trend coefficient and its rate ratio. 100 TB: the row-volume pass
+# is the daily rollup; each sweep is one aggregation over the
+# calendar spine with six decimal sufficient statistics.
+_IRLS_SWEEPS = 3
+
+
+def _sql_poisson_glm() -> str:
+    ctes = [
+        """daily AS MATERIALIZED (
+      SELECT CAST(date_diff('day', (SELECT min(o_orderdate) FROM orders),
+                            o_orderdate) AS BIGINT) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM orders GROUP BY 1
+    ),
+    dn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(max(d) AS DOUBLE) AS dmax FROM daily),
+    pts AS MATERIALIZED (
+      SELECT y, d / dmax AS x FROM daily CROSS JOIN dn
+    ),
+    p0 AS (
+      SELECT round(ln(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE)
+                    / COUNT(*)), 12) AS b0,
+             CAST(0 AS DOUBLE) AS b1
+      FROM pts
+    )"""
+    ]
+    for k in range(_IRLS_SWEEPS):
+        ctes.append(
+            f"""s{k} AS (
+      SELECT
+        SUM(CAST(round(exp(b0 + b1 * x), 6) AS DECIMAL(38,6))) AS sw,
+        SUM(CAST(round(exp(b0 + b1 * x) * x, 6) AS DECIMAL(38,6))) AS swx,
+        SUM(CAST(round(exp(b0 + b1 * x) * x * x, 6)
+                 AS DECIMAL(38,6))) AS swxx,
+        SUM(CAST(round(exp(b0 + b1 * x)
+                       * (b0 + b1 * x
+                          + (y - exp(b0 + b1 * x)) / exp(b0 + b1 * x)), 6)
+                 AS DECIMAL(38,6))) AS swz,
+        SUM(CAST(round(exp(b0 + b1 * x)
+                       * (b0 + b1 * x
+                          + (y - exp(b0 + b1 * x)) / exp(b0 + b1 * x))
+                       * x, 6)
+                 AS DECIMAL(38,6))) AS swxz
+      FROM pts CROSS JOIN p{k}
+    ),
+    p{k + 1} AS (
+      SELECT round((CAST(swxx AS DOUBLE) * CAST(swz AS DOUBLE)
+                    - CAST(swx AS DOUBLE) * CAST(swxz AS DOUBLE))
+                   / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+                      - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)), 12)
+               AS b0,
+             round((CAST(sw AS DOUBLE) * CAST(swxz AS DOUBLE)
+                    - CAST(swx AS DOUBLE) * CAST(swz AS DOUBLE))
+                   / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+                      - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)), 12)
+               AS b1
+      FROM s{k}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT (SELECT n FROM dn) AS n_days,
+           round(b0, 6) AS b0,
+           round(b1, 6) AS b1,
+           round(exp(b1), 6) AS rate_ratio
+    FROM p{_IRLS_SWEEPS}
+    """
+    )
+
+
+@_q("poisson_glm_trend", _sql_poisson_glm())
+def q_poisson_glm_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    orders = t(spark, sf_dir, "orders")
+    dmin = orders.agg(F.min("o_orderdate").alias("dmin"))
+    daily = (
+        orders.crossJoin(F.broadcast(dmin))
+        .groupBy(
+            F.datediff(F.col("o_orderdate"), F.col("dmin"))
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("d").cast("double").alias("dmax"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+    ).collect()[0]
+    n, dmax = stats["n"], stats["dmax"]
+    pts = daily.select(
+        "y", (F.col("d") / F.lit(dmax)).alias("x")
+    ).localCheckpoint(eager=True)
+
+    def jround(*exprs: object) -> list[float]:
+        row = pts.sparkSession.range(1).select(
+            *[
+                F.round(F.lit(e).cast("double"), 12).alias(f"c{i}")
+                for i, e in enumerate(exprs)
+            ]
+        ).collect()[0]
+        return [row[f"c{i}"] for i in range(len(exprs))]
+
+    (b0,) = jround(math.log(float(stats["sy"]) / n))
+    b1 = 0.0
+    for _ in range(_IRLS_SWEEPS):
+        x, y = F.col("x"), F.col("y")
+        eta = F.lit(b0) + F.lit(b1) * x
+        mu = F.exp(eta)
+        z = eta + (y - mu) / mu
+        s = pts.agg(
+            F.sum(F.round(mu, 6).cast("decimal(38,6)")).alias("sw"),
+            F.sum(F.round(mu * x, 6).cast("decimal(38,6)")).alias("swx"),
+            F.sum(F.round(mu * x * x, 6).cast("decimal(38,6)")).alias("swxx"),
+            F.sum(F.round(mu * z, 6).cast("decimal(38,6)")).alias("swz"),
+            F.sum(F.round(mu * z * x, 6).cast("decimal(38,6)")).alias("swxz"),
+        ).collect()[0]
+        sw, swx, swxx = float(s["sw"]), float(s["swx"]), float(s["swxx"])
+        swz, swxz = float(s["swz"]), float(s["swxz"])
+        det = sw * swxx - swx * swx
+        b0, b1 = jround(
+            (swxx * swz - swx * swxz) / det, (sw * swxz - swx * swz) / det
+        )
+    return pts.sparkSession.range(1).select(
+        F.lit(n).cast("bigint").alias("n_days"),
+        F.round(F.lit(b0), 6).alias("b0"),
+        F.round(F.lit(b1), 6).alias("b1"),
+        F.round(F.exp(F.lit(b1)), 6).alias("rate_ratio"),
+    )
