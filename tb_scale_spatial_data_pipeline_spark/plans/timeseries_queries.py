@@ -2044,3 +2044,106 @@ def q_dft_seasonal_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             "amplitude_dollars"
         ),
     ).orderBy("period")
+
+
+# ---------------------------------------------------------------------------
+# Longest strictly-increasing subsequence of each user's value
+# journey (first 16 events, cents lattice) — the order-structure
+# statistic behind trend persistence ("does this user's spend keep
+# ratcheting?"), and the third member of the nested-fold DP family
+# (DTW: elastic distance; LCS: script conformance; LIS: monotone
+# structure). The fold carries (value, lis-ending-here) structs and
+# scores each new element with filter -> transform -> array_max over
+# the accumulator — the same higher-order trio in Catalyst and
+# DuckDB, O(k^2) per user on a 16-capped series. Output: LIS-length
+# histogram. All-integer, exact.
+_LIS_LEN = 16
+
+
+def _sql_lis() -> str:
+    return f"""
+    WITH ranked AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events
+    ),
+    ser AS (
+      SELECT user_id, list(v ORDER BY rn) AS s
+      FROM ranked WHERE rn <= {_LIS_LEN} GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id,
+             list_max(list_transform(
+               list_reduce(
+                 [CAST([] AS STRUCT(v BIGINT, l BIGINT)[])]
+                   || list_transform(s,
+                        e -> CAST([] AS STRUCT(v BIGINT, l BIGINT)[])),
+                 (acc, it) -> list_append(acc,
+                   {{'v': s[len(acc) + 1],
+                     'l': COALESCE(list_max(list_transform(
+                            list_filter(acc, e -> e.v < s[len(acc) + 1]),
+                            e -> e.l)), 0) + 1}})
+               ),
+               e -> e.l)) AS lis
+      FROM ser
+    )
+    SELECT CAST(lis AS BIGINT) AS lis_len,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM scored GROUP BY lis ORDER BY lis_len
+    """
+
+
+@_q("lis_value_journey", _sql_lis())
+def q_lis_value_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ranked = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") <= _LIS_LEN)
+    ser = ranked.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("rn", "v"))), lambda s: s["v"]
+        ).alias("s")
+    )
+    s = F.col("s")
+    empty = F.expr("array()").cast("array<struct<v: bigint, l: bigint>>")
+    folded = F.aggregate(
+        s,
+        empty,
+        lambda acc, _e: F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    F.element_at(s, (F.size(acc) + 1).cast("int")).alias("v"),
+                    (
+                        F.coalesce(
+                            F.array_max(
+                                F.transform(
+                                    F.filter(
+                                        acc,
+                                        lambda e: e["v"]
+                                        < F.element_at(
+                                            s, (F.size(acc) + 1).cast("int")
+                                        ),
+                                    ),
+                                    lambda e: e["l"],
+                                )
+                            ),
+                            F.lit(0).cast("bigint"),
+                        )
+                        + 1
+                    ).alias("l"),
+                )
+            ),
+        ),
+    )
+    lis = F.array_max(F.transform(folded, lambda e: e["l"]))
+    return (
+        ser.select(lis.cast("bigint").alias("lis_len"))
+        .groupBy("lis_len")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("lis_len")
+    )
