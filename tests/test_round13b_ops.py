@@ -451,3 +451,121 @@ def test_em_gmm_matches_numpy_lockstep(spark):
     # weights
     assert row["mu1"] < row["mu2"]
     assert 0.0 < row["w2"] < 1.0
+
+
+def test_xcorr_lag_matches_bruteforce(spark):
+    rows = TS_QUERIES["cross_correlation_lag"](spark, SF_SMOKE).collect()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    hours = (ev["ts"].astype("int64") // 1000) // 3600000000
+    c = hours[ev["event_type"] == "click"].value_counts()
+    p = hours[ev["event_type"] == "purchase"].value_counts()
+    brute = defaultdict(int)
+    for hc, nc in c.items():
+        for hp, np_ in p.items():
+            if abs(hp - hc) <= 24:
+                brute[hp - hc] += nc * np_
+    got = {r["lag"]: r["xcorr"] for r in rows}
+    assert got == dict(brute)
+    peak = [r["lag"] for r in rows if r["is_peak"] == 1]
+    best = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    assert peak == [best]
+
+
+def test_haar_energy_matches_numpy(spark):
+    rows = TS_QUERIES["haar_wavelet_energy"](spark, SF_SMOKE).collect()
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    d0 = orders["o_orderdate"].min()
+    idx = (orders["o_orderdate"] - d0).dt.days
+    cents = (orders["o_totalprice"] * 100).round().astype("int64")
+    n = int(idx.max()) + 1
+    sig = [0] * n
+    present = [False] * n  # the query's n_coeffs counts non-empty groups
+    for i, c in zip(idx, cents):
+        sig[i] += int(c)
+        present[i] = True
+    for r in rows:
+        m = (len(sig) + 1) // 2
+
+        def child(arr, j, default):
+            return arr[j] if j < len(arr) else default
+
+        a = [sig[2 * i] + child(sig, 2 * i + 1, 0) for i in range(m)]
+        det = [sig[2 * i] - child(sig, 2 * i + 1, 0) for i in range(m)]
+        pres = [
+            present[2 * i] or child(present, 2 * i + 1, False)
+            for i in range(m)
+        ]
+        assert r["n_coeffs"] == sum(pres)
+        assert r["detail_energy"] == float(sum(x * x for x in det))
+        sig, present = a, pres
+
+
+def test_dft_power_matches_numpy(spark):
+    rows = TS_QUERIES["dft_seasonal_power"](spark, SF_SMOKE).collect()
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    d0 = orders["o_orderdate"].min()
+    g = (
+        orders.assign(d=(orders["o_orderdate"] - d0).dt.days)
+        .groupby("d")["o_totalprice"]
+        .sum()
+    )
+    d = g.index.to_numpy(dtype=float)
+    x = (g.to_numpy(dtype=float) * 100).round()
+    for r in rows:
+        p = r["period"]
+        cc = float(np.sum(np.round(x * np.cos(2 * np.pi * d / p), 6)))
+        ss = float(np.sum(np.round(x * np.sin(2 * np.pi * d / p), 6)))
+        amp = np.sqrt(cc * cc + ss * ss) / len(d) / 100
+        assert r["n_days"] == len(d)
+        assert abs(r["amplitude_dollars"] - amp) < 1e-4
+
+
+def test_poisson_glm_matches_numpy_irls(spark):
+    row = STATS_QUERIES["poisson_glm_trend"](spark, SF_SMOKE).collect()[0]
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    d0 = orders["o_orderdate"].min()
+    y = (
+        orders.assign(d=(orders["o_orderdate"] - d0).dt.days)
+        .groupby("d")
+        .size()
+    )
+    d = y.index.to_numpy(dtype=float)
+    yv = y.to_numpy(dtype=float)
+    x = d / d.max()
+    b0, b1 = round(float(np.log(yv.sum() / len(yv))), 12), 0.0
+    for _ in range(3):
+        eta = b0 + b1 * x
+        mu = np.exp(eta)
+        z = eta + (yv - mu) / mu
+        w = mu
+        sw = float(np.sum(np.round(w, 6)))
+        swx = float(np.sum(np.round(w * x, 6)))
+        swxx = float(np.sum(np.round(w * x * x, 6)))
+        swz = float(np.sum(np.round(w * z, 6)))
+        swxz = float(np.sum(np.round(w * z * x, 6)))
+        det = sw * swxx - swx * swx
+        b0 = round((swxx * swz - swx * swxz) / det, 12)
+        b1 = round((sw * swxz - swx * swz) / det, 12)
+    assert row["n_days"] == len(yv)
+    assert abs(row["b0"] - b0) < 1e-4
+    assert abs(row["b1"] - b1) < 1e-4
+    assert abs(row["rate_ratio"] - np.exp(b1)) < 1e-4
+
+
+def _py_lis(s):
+    best = []
+    for i, v in enumerate(s):
+        best.append(1 + max((best[j] for j in range(i) if s[j] < v), default=0))
+    return max(best, default=0)
+
+
+def test_lis_matches_python_dp(spark):
+    got = {
+        r["lis_len"]: r["n_users"]
+        for r in TS_QUERIES["lis_value_journey"](spark, SF_SMOKE).collect()
+    }
+    ser = _series(spark, "value", 16)
+    hist = defaultdict(int)
+    for s in ser.values():
+        hist[_py_lis(s)] += 1
+    assert got == dict(hist)
