@@ -96,6 +96,12 @@ HEADLINE = [
     "nn_join_click_purchase",
     "polyline_simplify_dp",
     "duplicate_span_fraction",
+    # r13 second wave: representatives of the DP-fold family, the
+    # lockstep-iterative ML tier and the phrase/grams text tier.
+    "dtw_profile_distance",
+    "em_gaussian_mixture",
+    "blocklist_phrase_filter",
+    "kendall_tau_b",
 ]
 # cross-round comparisons of the headline total must use this prefix
 # (the r1-r9 frozen set); the full list total includes the r10 tier
