@@ -5024,3 +5024,108 @@ def q_line_clip_concave_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zone_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Geodesic (spherical) polygon area — the first sphere-aware metric
+# in the geometry tier: the planar shoelace under-reports real-Earth
+# areas, so GIS engines compute areas on the spheroid. This uses the
+# spherical-excess discretization of Chamberlain & Duquette (ESRI,
+# 2007): A = R^2/2 * |sum_i (lon_{i+1} - lon_{i-1}) * sin(lat_i)|
+# (radians, wraparound indices). The synthetic pentagon rings of
+# polygon_centroid_general are mapped onto the globe (lat = y/2 - 30,
+# lon = x/2), each vertex meets ONE lag and ONE lead window over the
+# per-ring partition, and per-vertex trig terms are rounded to the
+# 1e-12 lattice and summed in DECIMAL (the chi2 lockstep pattern) so
+# a 5-term irrational sum cannot drift between engines. 100 TB: pure
+# codegen trig over the vertex stream, one per-ring window shuffle —
+# the same shape as the planar centroid plan.
+_EARTH_R_KM = 6371.0088
+
+
+@_q(
+    "geodesic_polygon_area",
+    f"""
+    WITH polys AS (
+      SELECT p_partkey AS poly_id,
+             [CAST(p_partkey % 32 AS BIGINT), CAST(p_partkey % 32 + p_size AS BIGINT),
+              CAST(p_partkey % 32 + p_size + p_partkey % 7 + 1 AS BIGINT),
+              CAST(p_partkey % 32 + p_size AS BIGINT), CAST(p_partkey % 32 AS BIGINT)]
+               AS xs,
+             [CAST(p_partkey % 24 AS BIGINT), CAST(p_partkey % 24 AS BIGINT),
+              CAST(p_partkey % 24 + p_size AS BIGINT),
+              CAST(p_partkey % 24 + 2 * p_size AS BIGINT),
+              CAST(p_partkey % 24 + 2 * p_size AS BIGINT)] AS ys
+      FROM part
+    ),
+    verts AS (
+      SELECT poly_id, t.i AS idx,
+             radians(xs[CAST(t.i AS INT)] / 2.0) AS lon,
+             radians(ys[CAST(t.i AS INT)] / 2.0 - 30.0) AS lat
+      FROM polys JOIN range(1, 6) t(i) ON t.i <= 5
+    ),
+    terms AS (
+      SELECT poly_id,
+             CAST(round(
+               (COALESCE(LEAD(lon) OVER w, FIRST_VALUE(lon) OVER w2)
+                - COALESCE(LAG(lon) OVER w, LAST_VALUE(lon) OVER w2))
+               * sin(lat), 12) AS DECIMAL(38,12)) AS term
+      FROM verts
+      WINDOW w AS (PARTITION BY poly_id ORDER BY idx),
+             w2 AS (PARTITION BY poly_id ORDER BY idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)
+    )
+    SELECT poly_id,
+           round(abs(CAST(SUM(term) AS DOUBLE))
+                 * {_EARTH_R_KM} * {_EARTH_R_KM} / 2.0, 3) AS area_km2
+    FROM terms GROUP BY poly_id ORDER BY poly_id
+    """,
+)
+def q_geodesic_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_size")
+    k, s = F.col("p_partkey"), F.col("p_size")
+    x0 = (k % 32).cast("long")
+    y0 = (k % 24).cast("long")
+    polys = p.select(
+        k.alias("poly_id"),
+        F.array(x0, x0 + s, x0 + s + k % 7 + 1, x0 + s, x0).alias("xs"),
+        F.array(y0, y0, y0 + s, y0 + 2 * s, y0 + 2 * s).alias("ys"),
+    )
+    verts = polys.select(
+        "poly_id",
+        F.posexplode(F.arrays_zip("xs", "ys")).alias("idx0", "v"),
+    ).select(
+        "poly_id",
+        (F.col("idx0") + 1).alias("idx"),
+        F.radians(F.col("v.xs") / 2.0).alias("lon"),
+        F.radians(F.col("v.ys") / 2.0 - 30.0).alias("lat"),
+    )
+    w = Window.partitionBy("poly_id").orderBy("idx")
+    w2 = (
+        Window.partitionBy("poly_id")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    term = F.round(
+        (
+            F.coalesce(F.lead("lon").over(w), F.first("lon").over(w2))
+            - F.coalesce(F.lag("lon").over(w), F.last("lon").over(w2))
+        )
+        * F.sin("lat"),
+        12,
+    ).cast("decimal(38,12)")
+    return (
+        verts.select("poly_id", term.alias("term"))
+        .groupBy("poly_id")
+        .agg(
+            F.round(
+                F.abs(F.sum("term").cast("double"))
+                * _EARTH_R_KM
+                * _EARTH_R_KM
+                / 2.0,
+                3,
+            ).alias("area_km2")
+        )
+        .orderBy("poly_id")
+    )
