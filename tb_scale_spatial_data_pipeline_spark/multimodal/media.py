@@ -54,11 +54,14 @@ except ImportError:  # pragma: no cover - exercised implicitly everywhere
 def synth_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media fixture derived from `documents`. EVERY row
     now carries a REAL compressed payload built from md5-chain pixels:
-    'png' rows (1 in 3) through the pure-stdlib PNG encoder, 'jpeg'
-    rows (2 in 3) through the from-scratch baseline-JPEG encoder
-    (`multimodal/jpeg.py` — FDCT, Annex K tables, Huffman, 4:2:0), so
-    the decode tier runs actual inflate+unfilter AND entropy-decode +
-    IDCT work with zero imaging dependencies. The deterministic-fake
+    'png' rows (1 in 3) through the pure-stdlib PNG encoder, 'gif'
+    rows (1 in 3) through the from-scratch LZW GIF87a encoder
+    (`multimodal/gif.py` — exact palette, lossless at fixture sizes),
+    'jpeg' rows (1 in 3) through the from-scratch baseline-JPEG
+    encoder (`multimodal/jpeg.py` — FDCT, Annex K tables, Huffman,
+    4:2:0), so the decode tier runs actual inflate+unfilter, LZW
+    table-building AND entropy-decode + IDCT work with zero imaging
+    dependencies. The deterministic-fake
     tier remains only as the fallback for genuinely unparseable bytes
     (exercised directly in tests). The metadata struct is the typed
     decode contract (width/height/channels/format/n_frames)."""
@@ -67,7 +70,11 @@ def synth_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     height = (F.col("doc_id") % 5 + 4).cast("int")
     channels = F.lit(3)
     n_frames = (F.col("doc_id") % 4 + 1).cast("int")
-    fmt = F.when(F.col("doc_id") % 3 == 0, "png").otherwise(F.lit("jpeg"))
+    fmt = (
+        F.when(F.col("doc_id") % 3 == 0, "png")
+        .when(F.col("doc_id") % 3 == 1, "gif")
+        .otherwise(F.lit("jpeg"))
+    )
     payload = F.to_binary(F.md5(F.col("text")), F.lit("hex"))
     base = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -82,6 +89,7 @@ def synth_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .gif import encode_gif_rgb8
         from .jpeg import encode_jpeg_baseline
 
         for pdf in batches:
@@ -94,6 +102,8 @@ def synth_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).reshape(h, w, 3)
                 if m["format"] == "png":
                     payloads.append(_encode_png_rgb8(px))
+                elif m["format"] == "gif":
+                    payloads.append(encode_gif_rgb8(px))
                 else:
                     payloads.append(encode_jpeg_baseline(px, quality=90))
             pdf = pdf.copy()
@@ -328,7 +338,8 @@ def _decode_payload(
     """Image decode seam, three tiers:
     1. REAL library-independent decode for the public formats the
        engine carries codecs for: 24-bit BI_RGB BMP, binary PPM P6,
-       8-bit PNG (stdlib zlib), and baseline-sequential JPEG
+       8-bit PNG (stdlib zlib), GIF87a/89a (`multimodal/gif.py`,
+       from-scratch LZW), and baseline-sequential JPEG
        (`multimodal/jpeg.py`) — PIL-absent deployments decode these
        identically to PIL-present ones (nearest-neighbor resize to the
        declared metadata size if they disagree, matching the PIL
@@ -344,6 +355,10 @@ def _decode_payload(
         native = _decode_ppm6(payload)
     if native is None:
         native = _decode_png8(payload)
+    if native is None:
+        from .gif import decode_gif
+
+        native = decode_gif(payload)
     if native is None:
         from .jpeg import decode_jpeg_baseline
 
