@@ -569,3 +569,28 @@ def test_lis_matches_python_dp(spark):
     for s in ser.values():
         hist[_py_lis(s)] += 1
     assert got == dict(hist)
+
+
+def test_geodesic_area_matches_numpy_formula(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.spatial_queries import (
+        _EARTH_R_KM,
+        QUERIES as SPATIAL_QUERIES,
+    )
+
+    rows = SPATIAL_QUERIES["geodesic_polygon_area"](spark, SF_SMOKE).collect()
+    part = spark.read.parquet(f"{SF_SMOKE}/part.parquet").toPandas()
+    got = {r["poly_id"]: r["area_km2"] for r in rows}
+    assert len(got) == len(part)
+    for _, p in part.iterrows():
+        k, s = int(p["p_partkey"]), int(p["p_size"])
+        xs = [k % 32, k % 32 + s, k % 32 + s + k % 7 + 1, k % 32 + s, k % 32]
+        ys = [k % 24, k % 24, k % 24 + s, k % 24 + 2 * s, k % 24 + 2 * s]
+        lon = np.radians(np.array(xs) / 2.0)
+        lat = np.radians(np.array(ys) / 2.0 - 30.0)
+        n = 5
+        tot = sum(
+            (lon[(i + 1) % n] - lon[(i - 1) % n]) * np.sin(lat[i])
+            for i in range(n)
+        )
+        area = abs(tot) * _EARTH_R_KM * _EARTH_R_KM / 2.0
+        assert abs(got[k] - area) < 1e-2, k
