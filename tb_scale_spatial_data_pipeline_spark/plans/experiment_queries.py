@@ -1417,3 +1417,131 @@ def q_mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cor"), 6).alias("crude_or"),
         F.round(F.col("num") / F.col("den"), 6).alias("mh_or"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald SPRT (sequential probability ratio test, 1945) — the
+# always-valid sequential monitor an experimentation platform runs
+# daily instead of a fixed-horizon test: among click/purchase events,
+# is the purchase share p = 0.5 (H0) or p = 0.55 (H1)? Per day the
+# log-likelihood-ratio increment x_d*ln(p1/p0) +
+# (n_d - x_d)*ln(q1/q0) is rounded to the 1e-12 lattice and the
+# cumulative walk is a DECIMAL prefix sum over the day spine (exact,
+# order-free); the decision is the FIRST day the walk leaves
+# [ln(beta/(1-alpha)), ln((1-beta)/alpha)] at alpha = beta = 0.05.
+# Transcendental constants are computed in-engine on both sides (the
+# proven-portable pair), never pasted as literals. 100 TB: one
+# daily rollup is the only row-volume pass; the walk lives on the
+# calendar spine.
+@_q(
+    "sprt_sequential_test",
+    """
+    WITH daily AS (
+      SELECT CAST(date_diff('day',
+                            (SELECT min(CAST(ts AS DATE)) FROM events
+                             WHERE event_type IN ('click', 'purchase')),
+                            CAST(ts AS DATE)) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ),
+    walk AS (
+      SELECT d, x, n,
+             SUM(CAST(round(x * ln(0.55 / 0.5)
+                            + (n - x) * ln(0.45 / 0.5), 12)
+                      AS DECIMAL(38,12)))
+               OVER (ORDER BY d) AS llr
+      FROM daily
+    ),
+    bounds AS (
+      SELECT CAST(round(ln(0.95 / 0.05), 12) AS DECIMAL(38,12)) AS hi,
+             CAST(round(ln(0.05 / 0.95), 12) AS DECIMAL(38,12)) AS lo
+    ),
+    crossed AS (
+      SELECT w.*, b.hi, b.lo FROM walk w CROSS JOIN bounds b
+      WHERE w.llr >= b.hi OR w.llr <= b.lo
+      ORDER BY d LIMIT 1
+    ),
+    final AS (
+      SELECT w.*, b.hi, b.lo FROM walk w CROSS JOIN bounds b
+      ORDER BY d DESC LIMIT 1
+    )
+    SELECT CAST(COALESCE(c.d, f.d) AS BIGINT) AS decision_day,
+           CASE WHEN c.d IS NOT NULL AND c.llr >= c.hi THEN 'accept_h1'
+                WHEN c.d IS NOT NULL THEN 'accept_h0'
+                ELSE 'continue' END AS decision,
+           round(CAST(COALESCE(c.llr, f.llr) AS DOUBLE), 6) AS llr,
+           CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days
+    FROM final f LEFT JOIN crossed c ON TRUE
+    """,
+)
+def q_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    dmin = ev.agg(F.min(F.col("ts").cast("date")).alias("dmin"))
+    daily = (
+        ev.crossJoin(F.broadcast(dmin))
+        .groupBy(
+            F.datediff(F.col("ts").cast("date"), F.col("dmin"))
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    la = F.log(F.lit(0.55) / F.lit(0.5))
+    lb = F.log(F.lit(0.45) / F.lit(0.5))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    walk = daily.select(
+        "d",
+        F.sum(
+            F.round(F.col("x") * la + (F.col("n") - F.col("x")) * lb, 12).cast(
+                "decimal(38,12)"
+            )
+        )
+        .over(w)
+        .alias("llr"),
+    )
+    hi = F.round(F.log(F.lit(0.95) / F.lit(0.05)), 12).cast("decimal(38,12)")
+    lo = F.round(F.log(F.lit(0.05) / F.lit(0.95)), 12).cast("decimal(38,12)")
+    crossed = (
+        walk.where((F.col("llr") >= hi) | (F.col("llr") <= lo))
+        .orderBy("d")
+        .limit(1)
+        .select(
+            F.col("d").alias("cd"),
+            F.col("llr").alias("cllr"),
+            F.when(F.col("llr") >= hi, "accept_h1")
+            .otherwise("accept_h0")
+            .alias("cdec"),
+        )
+    )
+    final = (
+        walk.orderBy(F.desc("d"))
+        .limit(1)
+        .select(F.col("d").alias("fd"), F.col("llr").alias("fllr"))
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return (
+        final.join(crossed, F.lit(True), "left")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.coalesce(F.col("cd"), F.col("fd"))
+            .cast("bigint")
+            .alias("decision_day"),
+            F.coalesce(F.col("cdec"), F.lit("continue")).alias("decision"),
+            F.round(
+                F.coalesce(F.col("cllr"), F.col("fllr")).cast("double"), 6
+            ).alias("llr"),
+            "n_days",
+        )
+    )

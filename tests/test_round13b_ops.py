@@ -594,3 +594,31 @@ def test_geodesic_area_matches_numpy_formula(spark):
         )
         area = abs(tot) * _EARTH_R_KM * _EARTH_R_KM / 2.0
         assert abs(got[k] - area) < 1e-2, k
+
+
+def test_sprt_matches_python_walk(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.experiment_queries import (
+        QUERIES as EXP_QUERIES,
+    )
+
+    row = EXP_QUERIES["sprt_sequential_test"](spark, SF_SMOKE).collect()[0]
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    ev = ev[ev["event_type"].isin(["click", "purchase"])]
+    day = (ev["ts"].dt.normalize() - ev["ts"].dt.normalize().min()).dt.days
+    g = ev.assign(d=day).groupby("d")
+    x = g.apply(lambda s: int((s["event_type"] == "purchase").sum()))
+    n = g.size()
+    la, lb = np.log(0.55 / 0.5), np.log(0.45 / 0.5)
+    hi, lo = round(np.log(0.95 / 0.05), 12), round(np.log(0.05 / 0.95), 12)
+    cum, decision, dday = 0.0, "continue", None
+    for d in sorted(n.index):
+        cum += round(x[d] * la + (n[d] - x[d]) * lb, 12)
+        if decision == "continue" and (cum >= hi or cum <= lo):
+            decision = "accept_h1" if cum >= hi else "accept_h0"
+            dday, dllr = d, cum
+    if decision == "continue":
+        dday, dllr = int(max(n.index)), cum
+    assert row["n_days"] == len(n)
+    assert row["decision"] == decision
+    assert row["decision_day"] == dday
+    assert abs(row["llr"] - dllr) < 1e-5
