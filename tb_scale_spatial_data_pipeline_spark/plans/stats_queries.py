@@ -2564,3 +2564,56 @@ def q_poisson_glm_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(b1), 6).alias("b1"),
         F.round(F.exp(F.lit(b1)), 6).alias("rate_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Atkinson inequality index (epsilon = 1) of customer order spend —
+# the welfare-grounded sibling of theil_index_decomposition and
+# gini_part_revenue: A_1 = 1 - geomean(spend) / mean(spend), where
+# the inequality-aversion parameter makes the index the fraction of
+# total spend society would give up for perfect equality. The mean is
+# decimal-exact; the geometric mean is exp of a per-row
+# 1e-12-lattice-rounded ln summed in DECIMAL (the chi2 lockstep
+# pattern), so the one irrational reduction cannot drift. Customers
+# with zero/negative balance never arise (spend > 0 by construction:
+# o_totalprice > 0). One groupBy + one aggregate — trivially 100 TB.
+@_q(
+    "atkinson_inequality_index",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS s
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean_spend,
+           round(exp(CAST(SUM(CAST(round(ln(CAST(s AS DOUBLE)), 12)
+                                   AS DECIMAL(38,12))) AS DOUBLE)
+                     / COUNT(*)), 6) AS geomean_spend,
+           round(1 - exp(CAST(SUM(CAST(round(ln(CAST(s AS DOUBLE)), 12)
+                                       AS DECIMAL(38,12))) AS DOUBLE)
+                         / COUNT(*))
+                   / (CAST(SUM(s) AS DOUBLE) / COUNT(*)), 6) AS atkinson_1
+    FROM spend
+    """,
+)
+def q_atkinson_inequality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("s")
+    )
+    lnsum = F.sum(
+        F.round(F.log(F.col("s").cast("double")), 12).cast("decimal(38,12)")
+    ).cast("double")
+    n = F.count(F.lit(1))
+    mean = F.sum("s").cast("double") / n
+    geo = F.exp(lnsum / n)
+    return spend.agg(
+        n.cast("bigint").alias("n_customers"),
+        F.round(mean, 6).alias("mean_spend"),
+        F.round(geo, 6).alias("geomean_spend"),
+        F.round(1 - geo / mean, 6).alias("atkinson_1"),
+    )

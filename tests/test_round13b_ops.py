@@ -622,3 +622,18 @@ def test_sprt_matches_python_walk(spark):
     assert row["decision"] == decision
     assert row["decision_day"] == dday
     assert abs(row["llr"] - dllr) < 1e-5
+
+
+def test_atkinson_matches_numpy(spark):
+    row = STATS_QUERIES["atkinson_inequality_index"](spark, SF_SMOKE).collect()[
+        0
+    ]
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    s = orders.groupby("o_custkey")["o_totalprice"].sum().to_numpy(dtype=float)
+    mean = s.mean()
+    geo = np.exp(np.log(s).mean())
+    assert row["n_customers"] == len(s)
+    assert abs(row["mean_spend"] - mean) < 1e-2
+    assert abs(row["geomean_spend"] - geo) < 1e-2
+    assert abs(row["atkinson_1"] - (1 - geo / mean)) < 1e-6
+    assert 0.0 < row["atkinson_1"] < 1.0
