@@ -2126,3 +2126,101 @@ def q_qgram_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name_a", "name_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Burrows-Wheeler run census — the compressibility diagnostic
+# (Burrows & Wheeler, 1994): the BWT clusters equal context-sharing
+# characters, so its RUN COUNT divided by length approximates the
+# bzip2-family compression ratio without compressing anything. Per
+# document (200-char prefix bounds the quadratic rotation cost;
+# linear in docs at any corpus size): all cyclic rotations sort as
+# plain binary strings (ASCII corpus; Spark UTF8 and DuckDB default
+# collation agree byte-wise), and the transform's k-th char is
+# text[(i-1) mod n] of the k-th rotation — computed directly, no
+# materialized last-char slice. Periodic texts tie rotations
+# harmlessly (identical keys emit identical chars, so run counts are
+# tie-order-free). Output: the 20 most compressible documents.
+_BWT_PREFIX = 200
+
+
+@_q(
+    "bwt_run_census",
+    f"""
+    WITH pre AS (
+      SELECT doc_id, substring(text, 1, {_BWT_PREFIX}) AS s,
+             length(substring(text, 1, {_BWT_PREFIX})) AS n
+      FROM documents
+    ),
+    rot AS (
+      SELECT doc_id, n,
+             substring(s, CAST(t.i AS INT) + 1, n - CAST(t.i AS INT))
+               || substring(s, 1, CAST(t.i AS INT)) AS key,
+             substring(s, CAST((t.i + n - 1) % n AS INT) + 1, 1) AS c
+      FROM pre JOIN range(0, {_BWT_PREFIX}) t(i) ON t.i < n
+    ),
+    runs AS (
+      SELECT doc_id, max(n) AS n_chars,
+             CAST(1 + SUM(CASE WHEN c <> prev THEN 1 ELSE 0 END) AS BIGINT)
+               AS bwt_runs
+      FROM (
+        SELECT doc_id, n, c,
+               LAG(c) OVER (PARTITION BY doc_id ORDER BY key, c) AS prev
+        FROM rot
+      ) GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, bwt_runs,
+           round(CAST(bwt_runs AS DOUBLE) / n_chars, 6) AS run_ratio
+    FROM runs ORDER BY run_ratio, doc_id LIMIT 20
+    """,
+)
+def q_bwt_run_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pre = docs.select(
+        "doc_id",
+        F.substring("text", 1, _BWT_PREFIX).alias("s"),
+        F.length(F.substring("text", 1, _BWT_PREFIX)).alias("n"),
+    )
+    rot = pre.select(
+        "doc_id",
+        "s",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        "n",
+        F.concat(
+            F.expr("substring(s, i + 1, n - i)"), F.expr("substring(s, 1, i)")
+        ).alias("key"),
+        F.expr("substring(s, CAST((i + n - 1) % n AS INT) + 1, 1)").alias("c"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("key", "c")
+    runs = (
+        rot.select(
+            "doc_id", "n", "c", F.lag("c").over(w).alias("prev")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_chars"),
+            (
+                1
+                + F.sum(
+                    F.when(F.col("c") != F.col("prev"), 1).otherwise(0)
+                )
+            )
+            .cast("bigint")
+            .alias("bwt_runs"),
+        )
+    )
+    return (
+        runs.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            "bwt_runs",
+            F.round(
+                F.col("bwt_runs").cast("double") / F.col("n_chars"), 6
+            ).alias("run_ratio"),
+        )
+        .orderBy("run_ratio", "doc_id")
+        .limit(20)
+    )

@@ -637,3 +637,28 @@ def test_atkinson_matches_numpy(spark):
     assert abs(row["geomean_spend"] - geo) < 1e-2
     assert abs(row["atkinson_1"] - (1 - geo / mean)) < 1e-6
     assert 0.0 < row["atkinson_1"] < 1.0
+
+
+def test_bwt_runs_match_python(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.text_queries import (
+        _BWT_PREFIX,
+        QUERIES as TEXT_QUERIES,
+    )
+
+    rows = TEXT_QUERIES["bwt_run_census"](spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").toPandas()
+    stats = {}
+    for _, d in docs.iterrows():
+        s = d["text"][:_BWT_PREFIX]
+        n = len(s)
+        bwt = "".join(
+            s[(i - 1) % n]
+            for i in sorted(range(n), key=lambda i: s[i:] + s[:i])
+        )
+        runs = 1 + sum(1 for a, b in zip(bwt, bwt[1:]) if a != b)
+        stats[d["doc_id"]] = (n, runs, round(runs / n, 6))
+    brute = sorted(
+        ((v[2], k, v[0], v[1]) for k, v in stats.items())
+    )[:20]
+    got = [(r["run_ratio"], r["doc_id"], r["n_chars"], r["bwt_runs"]) for r in rows]
+    assert got == brute
