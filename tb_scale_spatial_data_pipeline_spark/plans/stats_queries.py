@@ -2617,3 +2617,141 @@ def q_atkinson_inequality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(geo, 6).alias("geomean_spend"),
         F.round(1 - geo / mean, 6).alias("atkinson_1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OPTIMAL 1-D k-means (k = 1, 2, 3) by dynamic programming over the
+# sorted distinct-value domain (Wang & Song, R Journal 2011) — the
+# exact elbow curve Lloyd's heuristic (kmeans_clusters) cannot
+# certify: clusters of a 1-D optimum are contiguous runs of sorted
+# values, so DP over (prefix, clusters) finds the TRUE minimum SSE.
+# The engine story: customer balances quantize to a bounded bucket
+# domain (one groupBy — the only row-volume pass), weighted prefix
+# sums make every interval cost O(1), and the DP levels are two
+# broadcast-sized (i <= j) pair joins with decimal-rounded costs
+# (round 6 -> DECIMAL min, so the argmin comparison is identical in
+# both engines). Output: optimal SSE at k = 1, 2, 3 — the certified
+# curve a Lloyd run can be audited against.
+@_q(
+    "optimal_kmeans_1d",
+    """
+    WITH vals AS (
+      SELECT CAST(floor(c_acctbal / 100.0) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM customer GROUP BY 1
+    ),
+    ordered AS (
+      SELECT v, w,
+             row_number() OVER (ORDER BY v) AS i,
+             SUM(w) OVER (ORDER BY v) AS cw,
+             SUM(w * v) OVER (ORDER BY v) AS cs,
+             SUM(w * v * v) OVER (ORDER BY v) AS css
+      FROM vals
+    ),
+    pre AS (SELECT i, cw, cs, css FROM ordered),
+    m AS (SELECT max(i) AS m FROM pre),
+    cost AS (
+      SELECT a.i AS lo, b.i AS hi,
+             CAST(round(
+               (b.css - COALESCE(p.css, 0))
+               - CAST((b.cs - COALESCE(p.cs, 0))
+                      * (b.cs - COALESCE(p.cs, 0)) AS DOUBLE)
+                 / (b.cw - COALESCE(p.cw, 0)), 6) AS DECIMAL(38,6)) AS c
+      FROM pre a JOIN pre b ON b.i >= a.i
+      LEFT JOIN pre p ON p.i = a.i - 1
+    ),
+    d1 AS (SELECT hi AS j, c AS dp FROM cost WHERE lo = 1),
+    d2 AS (
+      SELECT c.hi AS j, MIN(d.dp + c.c) AS dp
+      FROM cost c JOIN d1 d ON d.j = c.lo - 1
+      GROUP BY c.hi
+    ),
+    d3 AS (
+      SELECT c.hi AS j, MIN(d.dp + c.c) AS dp
+      FROM cost c JOIN d2 d ON d.j = c.lo - 1
+      GROUP BY c.hi
+    )
+    SELECT k, CAST(n_values AS BIGINT) AS n_values,
+           round(CAST(opt_sse AS DOUBLE), 4) AS opt_sse
+    FROM (
+      SELECT 1 AS k, m.m AS n_values, d1.dp AS opt_sse
+      FROM d1 CROSS JOIN m WHERE d1.j = m.m
+      UNION ALL
+      SELECT 2, m.m, d2.dp FROM d2 CROSS JOIN m WHERE d2.j = m.m
+      UNION ALL
+      SELECT 3, m.m, d3.dp FROM d3 CROSS JOIN m WHERE d3.j = m.m
+    ) ORDER BY k
+    """,
+)
+def q_optimal_kmeans_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    vals = cust.groupBy(
+        F.floor(F.col("c_acctbal") / 100.0).cast("bigint").alias("v")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    w_ord = Window.orderBy("v")
+    ordered = vals.select(
+        "v",
+        "w",
+        F.row_number().over(w_ord).alias("i"),
+        F.sum("w").over(w_ord).alias("cw"),
+        F.sum(F.col("w") * F.col("v")).over(w_ord).alias("cs"),
+        F.sum(F.col("w") * F.col("v") * F.col("v")).over(w_ord).alias("css"),
+    ).localCheckpoint(eager=True)
+    pre = ordered.select("i", "cw", "cs", "css")
+    a = pre.select(F.col("i").alias("lo"))
+    b = pre.select(
+        F.col("i").alias("hi"),
+        F.col("cw").alias("bcw"),
+        F.col("cs").alias("bcs"),
+        F.col("css").alias("bcss"),
+    )
+    p = pre.select(
+        (F.col("i") + 1).alias("pi"),
+        F.col("cw").alias("pcw"),
+        F.col("cs").alias("pcs"),
+        F.col("css").alias("pcss"),
+    )
+    dcs = F.col("bcs") - F.coalesce(F.col("pcs"), F.lit(0))
+    cost = (
+        a.join(b, F.col("hi") >= F.col("lo"))
+        .join(p, F.col("pi") == F.col("lo"), "left")
+        .select(
+            "lo",
+            "hi",
+            F.round(
+                (F.col("bcss") - F.coalesce(F.col("pcss"), F.lit(0)))
+                - (dcs * dcs).cast("double")
+                / (F.col("bcw") - F.coalesce(F.col("pcw"), F.lit(0))),
+                6,
+            )
+            .cast("decimal(38,6)")
+            .alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    m = pre.agg(F.max("i").alias("m"))
+    d = cost.where(F.col("lo") == 1).select(F.col("hi").alias("j"), F.col("c").alias("dp"))
+    levels = {1: d}
+    for k in (2, 3):
+        prev = levels[k - 1].select(F.col("j").alias("pj"), F.col("dp").alias("pdp"))
+        levels[k] = (
+            cost.join(prev, F.col("pj") == F.col("lo") - 1)
+            .groupBy(F.col("hi").alias("j"))
+            .agg(F.min(F.col("pdp") + F.col("c")).alias("dp"))
+        )
+    outs = []
+    for k in (1, 2, 3):
+        outs.append(
+            levels[k]
+            .crossJoin(F.broadcast(m))
+            .where(F.col("j") == F.col("m"))
+            .select(
+                F.lit(k).cast("int").alias("k"),
+                F.col("m").cast("bigint").alias("n_values"),
+                F.round(F.col("dp").cast("double"), 4).alias("opt_sse"),
+            )
+        )
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out.orderBy("k")

@@ -662,3 +662,28 @@ def test_bwt_runs_match_python(spark):
     )[:20]
     got = [(r["run_ratio"], r["doc_id"], r["n_chars"], r["bwt_runs"]) for r in rows]
     assert got == brute
+
+
+def test_optimal_kmeans_1d_matches_python_dp(spark):
+    rows = STATS_QUERIES["optimal_kmeans_1d"](spark, SF_SMOKE).collect()
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").toPandas()
+    b = np.floor(cust["c_acctbal"].to_numpy(dtype=float) / 100.0).astype(int)
+    vals, cnts = np.unique(b, return_counts=True)
+    m = len(vals)
+
+    def cost(lo, hi):  # weighted SSE of vals[lo..hi] inclusive
+        w = cnts[lo : hi + 1].astype(float)
+        v = vals[lo : hi + 1].astype(float)
+        return round(float((w * v * v).sum() - (w * v).sum() ** 2 / w.sum()), 6)
+
+    got = {r["k"]: (r["n_values"], r["opt_sse"]) for r in rows}
+    dp = [cost(0, j) for j in range(m)]
+    assert got[1] == (m, round(dp[-1], 4))
+    for k in (2, 3):
+        dp = [
+            min(dp[i - 1] + cost(i, j) for i in range(1, j + 1))
+            if j >= 1
+            else float("inf")
+            for j in range(m)
+        ]
+        assert abs(got[k][1] - round(dp[-1], 4)) < 1e-3, k
