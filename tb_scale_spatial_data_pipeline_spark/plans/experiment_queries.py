@@ -1545,3 +1545,93 @@ def q_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences — the workhorse quasi-experimental
+# estimator: with treatment assigned by the deterministic user-id
+# parity and the period split at a fixed calendar date, the DiD
+# estimate (treat_post - treat_pre) - (ctrl_post - ctrl_pre) removes
+# both the group baseline and the common time trend. All four cell
+# means are exact-decimal sums over 2-dp values divided once (the
+# dsum discipline); the estimate is pure arithmetic on those four
+# doubles. One groupBy over events — trivially scale-free.
+@_q(
+    "difference_in_differences",
+    """
+    WITH cells AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS treated,
+             CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                  THEN 1 ELSE 0 END AS post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             round(CAST(SUM(CAST(round(value, 2) AS DECIMAL(38,2)))
+                        AS DOUBLE) / COUNT(*), 9) AS mean_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT t1.mean_value AS treat_post, t0.mean_value AS treat_pre,
+           c1.mean_value AS ctrl_post, c0.mean_value AS ctrl_pre,
+           CAST(t1.n + t0.n + c1.n + c0.n AS BIGINT) AS n_events,
+           round((t1.mean_value - t0.mean_value)
+                 - (c1.mean_value - c0.mean_value), 9) AS did_estimate
+    FROM cells t1, cells t0, cells c1, cells c0
+    WHERE t1.treated = 1 AND t1.post = 1 AND t0.treated = 1 AND t0.post = 0
+      AND c1.treated = 0 AND c1.post = 1 AND c0.treated = 0 AND c0.post = 0
+    """,
+)
+def q_difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cells = (
+        ev.groupBy(
+            (F.col("user_id") % 2).cast("bigint").alias("treated"),
+            F.when(
+                F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp"),
+                1,
+            )
+            .otherwise(0)
+            .alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.round(F.col("value"), 2).cast("decimal(38,2)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def cell(tr, po, pfx):
+        return cells.where(
+            (F.col("treated") == tr) & (F.col("post") == po)
+        ).select(
+            F.col("mean_value").alias(pfx), F.col("n").alias(f"{pfx}_n")
+        )
+
+    j = (
+        cell(1, 1, "treat_post")
+        .crossJoin(cell(1, 0, "treat_pre"))
+        .crossJoin(cell(0, 1, "ctrl_post"))
+        .crossJoin(cell(0, 0, "ctrl_pre"))
+    )
+    return j.select(
+        "treat_post",
+        "treat_pre",
+        "ctrl_post",
+        "ctrl_pre",
+        (
+            F.col("treat_post_n")
+            + F.col("treat_pre_n")
+            + F.col("ctrl_post_n")
+            + F.col("ctrl_pre_n")
+        )
+        .cast("bigint")
+        .alias("n_events"),
+        F.round(
+            (F.col("treat_post") - F.col("treat_pre"))
+            - (F.col("ctrl_post") - F.col("ctrl_pre")),
+            9,
+        ).alias("did_estimate"),
+    )
