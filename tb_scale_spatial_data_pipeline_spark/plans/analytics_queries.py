@@ -1934,3 +1934,168 @@ def q_kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "t")
     )
+
+
+# ---------------------------------------------------------------------------
+# Aalen-Johansen cumulative incidence under COMPETING RISKS — the
+# estimator KM cannot replace when two terminal events compete
+# (1 - KM per cause overestimates both): here each user's journey
+# ends at the FIRST purchase or FIRST error, whichever comes first
+# (users with neither are right-censored at their last active day),
+# and CIF_k(t) = sum_{t_i <= t} S(t_i-) * d_k,i / n_i with S the
+# ALL-CAUSE Kaplan-Meier. Same exactness discipline as
+# kaplan_meier_survival: risk sets are integer window sums, S(t-) is
+# a sequential ordered product (Catalyst slice-fold = DuckDB ordered
+# list_product), and the CIF accumulation is an ordered running sum
+# — bit-identical both engines because every input scalar is.
+@_q(
+    "aalen_johansen_cif",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+             MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS d0
+      FROM events
+    ),
+    firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type IN ('purchase', 'error')
+                      THEN d END) AS dstar,
+             MIN(CASE WHEN event_type IN ('purchase', 'error')
+                      THEN {'d': d, 'et': event_type} END) AS first_comp,
+             MAX(d) AS dlast, MIN(d0) AS dfirst
+      FROM ev GROUP BY user_id
+    ),
+    users AS (
+      SELECT user_id,
+             CAST(datediff('day', dfirst,
+                           COALESCE(dstar, dlast)) AS BIGINT) AS t,
+             CASE WHEN dstar IS NULL THEN 'censored'
+                  ELSE first_comp.et END AS cause
+      FROM firsts
+    ),
+    counts AS (
+      SELECT t,
+             CAST(SUM(CASE WHEN cause = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS dp,
+             CAST(SUM(CASE WHEN cause = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS de,
+             COUNT(*) AS m
+      FROM users GROUP BY t
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM users),
+    risk AS (
+      SELECT c.t, c.dp, c.de,
+             tot.n - COALESCE(SUM(c.m) OVER (
+               ORDER BY c.t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM counts c CROSS JOIN tot
+    ),
+    steps AS (
+      SELECT t, dp, de, n_risk,
+             1.0 - CAST(dp + de AS DOUBLE) / n_risk AS factor
+      FROM risk WHERE dp + de >= 1
+    ),
+    terms AS (
+      SELECT s.t, s.dp, s.de, s.n_risk,
+             COALESCE((SELECT list_product(list(f.factor ORDER BY f.t))
+                       FROM steps f WHERE f.t < s.t), 1.0) AS s_prev
+      FROM steps s
+    )
+    SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+           dp AS d_purchase, de AS d_error,
+           round(SUM(s_prev * dp / n_risk) OVER (ORDER BY t), 9)
+             AS cif_purchase,
+           round(SUM(s_prev * de / n_risk) OVER (ORDER BY t), 9)
+             AS cif_error
+    FROM terms ORDER BY t
+    """,
+)
+def q_aalen_johansen_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        "event_type",
+    )
+    comp = F.when(
+        F.col("event_type").isin("purchase", "error"), F.col("d")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min(comp).alias("dstar"),
+        F.min(
+            F.when(
+                F.col("event_type").isin("purchase", "error"),
+                F.struct(F.col("d"), F.col("event_type").alias("et")),
+            )
+        ).alias("first_comp"),
+        F.max("d").alias("dlast"),
+        F.min("d").alias("dfirst"),
+    )
+    users = firsts.select(
+        F.datediff(
+            F.coalesce(F.col("dstar"), F.col("dlast")), F.col("dfirst")
+        )
+        .cast("bigint")
+        .alias("t"),
+        F.when(F.col("dstar").isNull(), "censored")
+        .otherwise(F.col("first_comp.et"))
+        .alias("cause"),
+    )
+    counts = users.groupBy("t").agg(
+        F.sum(F.when(F.col("cause") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("dp"),
+        F.sum(F.when(F.col("cause") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("de"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    tot = users.agg(F.count(F.lit(1)).alias("n"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = counts.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "dp",
+        "de",
+        (F.col("n") - F.coalesce(F.sum("m").over(w_prev), F.lit(0))).alias(
+            "n_risk"
+        ),
+    )
+    steps = risk.where(F.col("dp") + F.col("de") >= 1).withColumn(
+        "factor",
+        1.0 - (F.col("dp") + F.col("de")).cast("double") / F.col("n_risk"),
+    )
+    arrs = steps.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "dp", "de", "n_risk", "factor"))
+        ).alias("arr")
+    )
+    exploded = arrs.select(F.posexplode("arr").alias("pos", "s"), "arr")
+    s_prev = F.aggregate(
+        F.transform(
+            F.slice(F.col("arr"), F.lit(1), F.col("pos")), lambda x: x["factor"]
+        ),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    terms = exploded.select(
+        F.col("s.t").alias("t"),
+        F.col("s.dp").alias("dp"),
+        F.col("s.de").alias("de"),
+        F.col("s.n_risk").alias("n_risk"),
+        s_prev.alias("s_prev"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return terms.select(
+        F.col("t").cast("bigint").alias("t"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("dp").alias("d_purchase"),
+        F.col("de").alias("d_error"),
+        F.round(
+            F.sum(F.col("s_prev") * F.col("dp") / F.col("n_risk")).over(w_cum),
+            9,
+        ).alias("cif_purchase"),
+        F.round(
+            F.sum(F.col("s_prev") * F.col("de") / F.col("n_risk")).over(w_cum),
+            9,
+        ).alias("cif_error"),
+    ).orderBy("t")

@@ -687,3 +687,58 @@ def test_optimal_kmeans_1d_matches_python_dp(spark):
             for j in range(m)
         ]
         assert abs(got[k][1] - round(dp[-1], 4)) < 1e-3, k
+
+
+def test_aalen_johansen_matches_python(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.analytics_queries import (
+        QUERIES as AN_QUERIES,
+    )
+
+    rows = AN_QUERIES["aalen_johansen_cif"](spark, SF_SMOKE).collect()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    ev["d"] = ev["ts"].dt.normalize()
+    users = {}
+    for uid, g in ev.groupby("user_id"):
+        comp = g[g["event_type"].isin(["purchase", "error"])]
+        d0, dl = g["d"].min(), g["d"].max()
+        if len(comp):
+            dstar = comp["d"].min()
+            cands = sorted(comp[comp["d"] == dstar]["event_type"])
+            users[uid] = ((dstar - d0).days, cands[0])
+        else:
+            users[uid] = ((dl - d0).days, "censored")
+    n = len(users)
+    from collections import Counter
+
+    byt = defaultdict(Counter)
+    for t_, c in users.values():
+        byt[t_][c] += 1
+    s = 1.0
+    at_risk = n
+    cif_p = cif_e = 0.0
+    expect = []
+    for t_ in sorted(byt):
+        dp = byt[t_]["purchase"]
+        de = byt[t_]["error"]
+        m = sum(byt[t_].values())
+        if dp + de >= 1:
+            cif_p += s * dp / at_risk
+            cif_e += s * de / at_risk
+            expect.append((t_, at_risk, dp, de, round(cif_p, 6), round(cif_e, 6)))
+            s *= 1.0 - (dp + de) / at_risk
+        at_risk -= m
+    got = [
+        (
+            r["t"],
+            r["n_risk"],
+            r["d_purchase"],
+            r["d_error"],
+            round(r["cif_purchase"], 6),
+            round(r["cif_error"], 6),
+        )
+        for r in rows
+    ]
+    assert got == expect
+    # CIFs are monotone and sum to < 1 (the competing-risk property
+    # 1 - KM overstates)
+    assert rows[-1]["cif_purchase"] + rows[-1]["cif_error"] <= 1.0
