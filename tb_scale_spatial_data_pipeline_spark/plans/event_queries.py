@@ -965,3 +965,116 @@ def q_allen_interval_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
         .orderBy("relation")
     )
+
+
+# ---------------------------------------------------------------------------
+# HMM Viterbi decoding, EXACT — classify each user's journey (first
+# 16 events) as ending 'engaged' vs 'error_prone' under a fixed
+# 2-state hidden Markov model. The trick that makes Viterbi
+# oracle-able: every probability is a RATIONAL with denominator 10
+# (rows of the transition and emission tables sum to 10), and all
+# Viterbi paths of equal length share the same denominator — so the
+# max-product recursion runs on integer NUMERATORS in decimal(38,0)
+# (32^16 < 1e24, far under the width cap) and the argmax is an exact
+# integer comparison, no logs, no floats. The DP is one fold per user
+# carrying the 2-state score vector (the DTW/LCS engine); model
+# tables are compiled into the fold as literals. Ties decode as
+# 'engaged' in both engines.
+_VITERBI_LEN = 16
+
+
+def _sql_viterbi() -> str:
+    return f"""
+    WITH ranked AS (
+      SELECT user_id, event_type AS e,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events
+    ),
+    ser AS (
+      SELECT user_id, list(e ORDER BY rn) AS s
+      FROM ranked WHERE rn <= {_VITERBI_LEN} GROUP BY user_id
+    ),
+    dec AS (
+      SELECT user_id,
+        list_reduce(
+          [[CAST(5 AS DECIMAL(38,0)), CAST(5 AS DECIMAL(38,0))]]
+            || list_transform(s, e -> [
+                 CAST(CASE e WHEN 'click' THEN 3 WHEN 'view' THEN 3
+                             WHEN 'purchase' THEN 3 WHEN 'error' THEN 1
+                             ELSE 0 END AS DECIMAL(38,0)),
+                 CAST(CASE e WHEN 'error' THEN 5 WHEN 'purchase' THEN 2
+                             ELSE 1 END AS DECIMAL(38,0))]),
+          (acc, em) -> [
+            em[1] * greatest(acc[1] * 8, acc[2] * 3),
+            em[2] * greatest(acc[1] * 2, acc[2] * 7)
+          ]
+        ) AS v
+      FROM ser
+    )
+    SELECT CASE WHEN v[1] >= v[2] THEN 'engaged'
+                ELSE 'error_prone' END AS final_state,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM dec GROUP BY 1 ORDER BY final_state
+    """
+
+
+@_q("hmm_viterbi_journey", _sql_viterbi())
+def q_hmm_viterbi_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("event_id")
+    ranked = ev.select(
+        "user_id",
+        F.col("event_type").alias("e"),
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") <= _VITERBI_LEN)
+    ser = ranked.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("rn", "e"))), lambda x: x["e"]
+        ).alias("s")
+    )
+    dec0 = F.lit(5).cast("decimal(38,0)")
+
+    def em_e(e):
+        return (
+            F.when(e.isin("click", "view", "purchase"), 3)
+            .when(e == "error", 1)
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        )
+
+    def em_c(e):
+        return (
+            F.when(e == "error", 5)
+            .when(e == "purchase", 2)
+            .otherwise(1)
+            .cast("decimal(38,0)")
+        )
+
+    v = F.aggregate(
+        F.col("s"),
+        F.array(dec0, dec0),
+        lambda acc, e: F.array(
+            em_e(e)
+            * F.greatest(
+                F.element_at(acc, 1) * 8, F.element_at(acc, 2) * 3
+            ),
+            em_c(e)
+            * F.greatest(
+                F.element_at(acc, 1) * 2, F.element_at(acc, 2) * 7
+            ),
+        ),
+    )
+    return (
+        ser.select(
+            F.when(
+                F.element_at(v, 1) >= F.element_at(v, 2), "engaged"
+            )
+            .otherwise("error_prone")
+            .alias("final_state")
+        )
+        .groupBy("final_state")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("final_state")
+    )

@@ -742,3 +742,26 @@ def test_aalen_johansen_matches_python(spark):
     # CIFs are monotone and sum to < 1 (the competing-risk property
     # 1 - KM overstates)
     assert rows[-1]["cif_purchase"] + rows[-1]["cif_error"] <= 1.0
+
+
+def test_hmm_viterbi_matches_python(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.event_queries import (
+        QUERIES as EVENT_QUERIES,
+    )
+
+    got = {
+        r["final_state"]: r["n_users"]
+        for r in EVENT_QUERIES["hmm_viterbi_journey"](spark, SF_SMOKE).collect()
+    }
+    ser = _series(spark, "event_type", 16)
+    em_e = {"click": 3, "view": 3, "purchase": 3, "error": 1, "signup": 0}
+    em_c = {"error": 5, "purchase": 2, "click": 1, "view": 1, "signup": 1}
+    hist = defaultdict(int)
+    for s in ser.values():
+        ve, vc = 5, 5
+        for e in s:
+            ve, vc = em_e[e] * max(ve * 8, vc * 3), em_c[e] * max(
+                ve * 2, vc * 7
+            )
+        hist["engaged" if ve >= vc else "error_prone"] += 1
+    assert got == dict(hist)
