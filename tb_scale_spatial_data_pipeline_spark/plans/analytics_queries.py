@@ -2099,3 +2099,170 @@ def q_aalen_johansen_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("cif_error"),
     ).orderBy("t")
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry paired-comparison ratings (MM algorithm, Hunter 2004,
+# 5 unrolled sweeps) — the principled "who actually beats whom"
+# ranking: a month is a match between two brands, won by the higher
+# revenue; BT skill s_a satisfies s_a = W_a / sum_b n_ab/(s_a+s_b),
+# which raw win-rates get wrong under uneven schedules. Lockstep
+# discipline: per-pair terms round to the 1e-12 lattice and sum in
+# DECIMAL; updated skills renormalize to mean 1 and re-round(12) —
+# every sweep is a broadcast-sized join (25 players, ~300 pairs)
+# regardless of corpus size; the only row-volume pass is the monthly
+# revenue rollup.
+_BT_SWEEPS = 5
+
+
+def _sql_bradley_terry() -> str:
+    ctes = [
+        """rev AS MATERIALIZED (
+      SELECT p.p_brand AS brand,
+             CAST(year(l.l_shipdate) * 12 + month(l.l_shipdate) AS BIGINT)
+               AS m,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS r
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    duels AS MATERIALIZED (
+      SELECT a.brand AS pa, b.brand AS pb,
+             CAST(SUM(CASE WHEN a.r > b.r THEN 1 ELSE 0 END) AS BIGINT)
+               AS wins_a,
+             CAST(SUM(CASE WHEN a.r <> b.r THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ab
+      FROM rev a JOIN rev b ON b.m = a.m AND b.brand <> a.brand
+      GROUP BY 1, 2
+    ),
+    players AS MATERIALIZED (
+      SELECT pa AS p, CAST(SUM(wins_a) AS BIGINT) AS w
+      FROM duels GROUP BY 1
+    ),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM players),
+    s0 AS (SELECT p, w, CAST(1.0 AS DOUBLE) AS s FROM players)"""
+    ]
+    for k in range(_BT_SWEEPS):
+        ctes.append(
+            f"""u{k} AS MATERIALIZED (
+      SELECT d.pa AS p,
+             CAST(SUM(CAST(round(d.n_ab / (sa.s + sb.s), 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS denom
+      FROM duels d JOIN s{k} sa ON sa.p = d.pa
+                   JOIN s{k} sb ON sb.p = d.pb
+      WHERE d.n_ab > 0
+      GROUP BY d.pa
+    ),
+    raw{k} AS MATERIALIZED (
+      SELECT s.p, s.w, round(s.w / u.denom, 12) AS sr
+      FROM s{k} s JOIN u{k} u ON u.p = s.p
+    ),
+    s{k + 1} AS MATERIALIZED (
+      SELECT p, w,
+             round(sr * np.np
+                   / CAST((SELECT SUM(CAST(round(sr, 12) AS DECIMAL(38,12)))
+                           FROM raw{k}) AS DOUBLE), 12) AS s
+      FROM raw{k} CROSS JOIN np
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT p AS brand, CAST(w AS BIGINT) AS n_wins,
+           round(s, 6) AS bt_skill
+    FROM s{_BT_SWEEPS} ORDER BY bt_skill DESC, brand
+    """
+    )
+
+
+@_q("bradley_terry_ratings", _sql_bradley_terry())
+def q_bradley_terry_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    rev = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            (
+                F.year("l_shipdate").cast("bigint") * 12
+                + F.month("l_shipdate").cast("bigint")
+            ).alias("m"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("r")
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = rev.select(
+        F.col("brand").alias("pa"), F.col("m").alias("ma"), F.col("r").alias("ra")
+    )
+    b = rev.select(
+        F.col("brand").alias("pb"), F.col("m").alias("mb"), F.col("r").alias("rb")
+    )
+    duels = (
+        a.join(b, (F.col("mb") == F.col("ma")) & (F.col("pb") != F.col("pa")))
+        .groupBy("pa", "pb")
+        .agg(
+            F.sum(F.when(F.col("ra") > F.col("rb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("wins_a"),
+            F.sum(F.when(F.col("ra") != F.col("rb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ab"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    players = duels.groupBy(F.col("pa").alias("p")).agg(
+        F.sum("wins_a").cast("bigint").alias("w")
+    )
+    np_ = players.agg(F.count(F.lit(1)).cast("bigint").alias("np"))
+    s = players.withColumn("s", F.lit(1.0)).localCheckpoint(eager=True)
+    for _ in range(_BT_SWEEPS):
+        sa = s.select(F.col("p").alias("pa"), F.col("s").alias("sa"))
+        sb = s.select(F.col("p").alias("pb"), F.col("s").alias("sb"))
+        denom = (
+            duels.where(F.col("n_ab") > 0)
+            .join(F.broadcast(sa), "pa")
+            .join(F.broadcast(sb), "pb")
+            .groupBy(F.col("pa").alias("p"))
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("n_ab") / (F.col("sa") + F.col("sb")), 12
+                    ).cast("decimal(38,12)")
+                )
+                .cast("double")
+                .alias("denom")
+            )
+        )
+        raw = s.join(F.broadcast(denom), "p").select(
+            "p", "w", F.round(F.col("w") / F.col("denom"), 12).alias("sr")
+        )
+        tot = raw.agg(
+            F.sum(F.round(F.col("sr"), 12).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("tot")
+        )
+        s = (
+            raw.crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(np_))
+            .select(
+                "p",
+                "w",
+                F.round(
+                    F.col("sr") * F.col("np") / F.col("tot"), 12
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return s.select(
+        F.col("p").alias("brand"),
+        F.col("w").alias("n_wins"),
+        F.round("s", 6).alias("bt_skill"),
+    ).orderBy(F.desc("bt_skill"), "brand")

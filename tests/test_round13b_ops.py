@@ -765,3 +765,53 @@ def test_hmm_viterbi_matches_python(spark):
             )
         hist["engaged" if ve >= vc else "error_prone"] += 1
     assert got == dict(hist)
+
+
+def test_bradley_terry_matches_python_mm(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.analytics_queries import (
+        QUERIES as AN_QUERIES,
+    )
+
+    rows = AN_QUERIES["bradley_terry_ratings"](spark, SF_SMOKE).collect()
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").toPandas()
+    part = spark.read.parquet(f"{SF_SMOKE}/part.parquet").toPandas()
+    df = li.merge(part[["p_partkey", "p_brand"]], left_on="l_partkey",
+                  right_on="p_partkey")
+    df["m"] = df["l_shipdate"].map(lambda d: d.year * 12 + d.month)
+    rev = df.groupby(["p_brand", "m"])["l_extendedprice"].sum().round(2)
+    months = rev.index.get_level_values("m").unique()
+    brands = sorted(rev.index.get_level_values("p_brand").unique())
+    wins = defaultdict(int)
+    nab = defaultdict(int)
+    for m in months:
+        rm = rev.xs(m, level="m")
+        for a in rm.index:
+            for b in rm.index:
+                if a == b:
+                    continue
+                if rm[a] > rm[b]:
+                    wins[(a, b)] += 1
+                if rm[a] != rm[b]:
+                    nab[(a, b)] += 1
+    w = {a: sum(v for (x, _b), v in wins.items() if x == a) for a in brands}
+    s = {a: 1.0 for a in brands}
+    for _ in range(5):
+        raw = {}
+        for a in brands:
+            denom = sum(
+                round(nab[(a, b)] / (s[a] + s[b]), 12)
+                for b in brands
+                if b != a and nab[(a, b)] > 0
+            )
+            raw[a] = round(w[a] / denom, 12)
+        tot = sum(round(v, 12) for v in raw.values())
+        s = {a: round(raw[a] * len(brands) / tot, 12) for a in brands}
+    got = {r["brand"]: (r["n_wins"], r["bt_skill"]) for r in rows}
+    for a in brands:
+        assert got[a][0] == w[a]
+        assert abs(got[a][1] - round(s[a], 6)) < 1e-5, a
+    # the MM fixed point must rank a dominant winner above a dominant
+    # loser in win share
+    top = max(brands, key=lambda a: got[a][1])
+    bot = min(brands, key=lambda a: got[a][1])
+    assert w[top] > w[bot]
