@@ -1635,3 +1635,280 @@ def q_difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("did_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Regression discontinuity (sharp RDD): customers cross a "premium"
+# threshold at acctbal 5000; the local treatment effect is the jump
+# between two separately-fit local linear regressions of total spend
+# on the running variable inside the +/-2000 bandwidth, both
+# evaluated AT the cutoff. Every sufficient statistic (n, Sx, Sxx,
+# Sy, Sxy per side) is an exact decimal sum on the cents lattice, the
+# 2x2 normal-equation solve is closed form, and only the final
+# slope/intercept divisions are double — the same exactness recipe
+# as ridge_closed_form. One scan, two grouped aggregates. Outputs
+# round to 4 dp: at spend magnitude a 9-dp round sits close enough
+# to the double-rounding disagreement window to flap (observed at
+# sf0.1), 4 dp clears it by five orders.
+@_q(
+    "regression_discontinuity",
+    """
+    WITH spend AS (
+      SELECT c.c_custkey,
+             CAST(c.c_acctbal AS DECIMAL(18,2)) - 5000 AS x,
+             CAST(SUM(o.o_totalprice) AS DECIMAL(38,2)) AS y
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE c.c_acctbal >= 3000 AND c.c_acctbal < 7000
+      GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    sides AS (
+      SELECT CASE WHEN x >= 0 THEN 1 ELSE 0 END AS treated,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DECIMAL(38,2)) AS sx,
+             CAST(SUM(x * x) AS DECIMAL(38,4)) AS sxx,
+             CAST(SUM(y) AS DECIMAL(38,2)) AS sy,
+             CAST(SUM(x * y) AS DECIMAL(38,4)) AS sxy
+      FROM spend GROUP BY 1
+    ),
+    fits AS (
+      SELECT treated, n,
+             round((CAST(sxx AS DOUBLE) * CAST(sy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+                   / (n * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+               AS icpt
+      FROM sides
+    )
+    SELECT t.n AS n_treated, c.n AS n_control,
+           t.icpt AS limit_above, c.icpt AS limit_below,
+           round(t.icpt - c.icpt, 4) AS rdd_effect
+    FROM fits t JOIN fits c ON t.treated = 1 AND c.treated = 0
+    """,
+)
+def q_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    spend = (
+        cust.where((F.col("c_acctbal") >= 3000) & (F.col("c_acctbal") < 7000))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.sum("o_totalprice").cast("decimal(38,2)").alias("y"))
+        .select(
+            (F.col("c_acctbal").cast("decimal(18,2)") - 5000).alias("x"), "y"
+        )
+    )
+    sides = spend.groupBy(
+        F.when(F.col("x") >= 0, 1).otherwise(0).alias("treated")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,2)").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,4)").alias("sxx"),
+        F.sum("y").cast("decimal(38,2)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,4)").alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    fits = sides.select(
+        "treated",
+        "n",
+        F.round(
+            (d("sxx") * d("sy") - d("sx") * d("sxy"))
+            / (F.col("n") * d("sxx") - d("sx") * d("sx")),
+            4,
+        ).alias("icpt"),
+    )
+    tr = fits.where(F.col("treated") == 1).select(
+        F.col("n").alias("n_treated"), F.col("icpt").alias("limit_above")
+    )
+    ct = fits.where(F.col("treated") == 0).select(
+        F.col("n").alias("n_control"), F.col("icpt").alias("limit_below")
+    )
+    return tr.crossJoin(ct).select(
+        "n_treated",
+        "n_control",
+        "limit_above",
+        "limit_below",
+        F.round(F.col("limit_above") - F.col("limit_below"), 4).alias(
+            "rdd_effect"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Instrumental-variable Wald estimator — the simplest consistent
+# answer when exposure is endogenous: with user-id parity as the
+# (synthetic) encouragement instrument z, exposure x = click count
+# and outcome y = purchase value, the causal slope is
+# (E[y|z=1] - E[y|z=0]) / (E[x|z=1] - E[x|z=0]). All four cell
+# moments are exact (integer counts, 2-dp decimal sums); the ratio
+# of differences is the only float step. The first-stage strength
+# (denominator) ships in-row so a weak instrument is visible.
+@_q(
+    "iv_wald_estimator",
+    """
+    WITH peruser AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS z,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value, 2) AS DECIMAL(38,2))
+                           ELSE CAST(0 AS DECIMAL(38,2)) END)
+                  AS DECIMAL(38,2)) AS y
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT z, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,2)) AS sy
+      FROM peruser GROUP BY z
+    )
+    SELECT a.n AS n_encouraged, b.n AS n_control,
+           round(CAST(a.sx AS DOUBLE) / a.n
+                 - CAST(b.sx AS DOUBLE) / b.n, 9) AS first_stage,
+           round((CAST(a.sy AS DOUBLE) / a.n - CAST(b.sy AS DOUBLE) / b.n)
+                 / (CAST(a.sx AS DOUBLE) / a.n
+                    - CAST(b.sx AS DOUBLE) / b.n), 9) AS wald_estimate
+    FROM cells a JOIN cells b ON a.z = 1 AND b.z = 0
+    """,
+)
+def q_iv_wald_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    zero2 = F.lit(0).cast("decimal(38,2)")
+    peruser = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value"), 2).cast("decimal(38,2)"),
+            ).otherwise(zero2)
+        )
+        .cast("decimal(38,2)")
+        .alias("y"),
+    ).select((F.col("user_id") % 2).cast("bigint").alias("z"), "x", "y")
+    cells = peruser.groupBy("z").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,2)").alias("sy"),
+    )
+    a = cells.where(F.col("z") == 1).select(
+        F.col("n").alias("na"), F.col("sx").alias("sxa"), F.col("sy").alias("sya")
+    )
+    b = cells.where(F.col("z") == 0).select(
+        F.col("n").alias("nb"), F.col("sx").alias("sxb"), F.col("sy").alias("syb")
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    fs = d("sxa") / F.col("na") - d("sxb") / F.col("nb")
+    return a.crossJoin(b).select(
+        F.col("na").alias("n_encouraged"),
+        F.col("nb").alias("n_control"),
+        F.round(fs, 9).alias("first_stage"),
+        F.round(
+            (d("sya") / F.col("na") - d("syb") / F.col("nb")) / fs, 9
+        ).alias("wald_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oaxaca-Blinder decomposition — the econometric standard for "how
+# much of a group gap is composition vs treatment of composition":
+# the BUILDING-vs-MACHINERY mean-spend gap splits into the part
+# explained by different balance distributions (reference
+# coefficients x endowment difference) and the unexplained remainder
+# (coefficient difference at the comparison group's mean). Both
+# groups' simple regressions are closed-form from exact decimal
+# moments (n, Sx, Sxx, Sy, Sxy); decomposition identity
+# gap = explained + unexplained is checked by construction. Outputs
+# round to 4 dp (the RDD spend-magnitude discipline).
+@_q(
+    "oaxaca_blinder_gap",
+    """
+    WITH spend AS (
+      SELECT c.c_mktsegment AS g,
+             CAST(c.c_acctbal AS DECIMAL(18,2)) AS x,
+             CAST(SUM(o.o_totalprice) AS DECIMAL(38,2)) AS y
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+      GROUP BY c.c_custkey, c.c_mktsegment, c.c_acctbal
+    ),
+    mom AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DECIMAL(38,2)) AS sx,
+             CAST(SUM(x * x) AS DECIMAL(38,4)) AS sxx,
+             CAST(SUM(y) AS DECIMAL(38,2)) AS sy,
+             CAST(SUM(x * y) AS DECIMAL(38,4)) AS sxy
+      FROM spend GROUP BY g
+    ),
+    fit AS (
+      SELECT g, n,
+             CAST(sy AS DOUBLE) / n AS ybar,
+             CAST(sx AS DOUBLE) / n AS xbar,
+             (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (n * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta
+      FROM mom
+    )
+    SELECT a.n AS n_building, b.n AS n_machinery,
+           round(a.ybar - b.ybar, 4) AS gap,
+           round(b.beta * (a.xbar - b.xbar), 4) AS explained,
+           round((a.ybar - b.ybar) - b.beta * (a.xbar - b.xbar), 4)
+             AS unexplained
+    FROM fit a JOIN fit b ON a.g = 'BUILDING' AND b.g = 'MACHINERY'
+    """,
+)
+def q_oaxaca_blinder_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    spend = (
+        cust.where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_mktsegment", "c_acctbal")
+        .agg(F.sum("o_totalprice").cast("decimal(38,2)").alias("y"))
+        .select(
+            F.col("c_mktsegment").alias("g"),
+            F.col("c_acctbal").cast("decimal(18,2)").alias("x"),
+            "y",
+        )
+    )
+    mom = spend.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,2)").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,4)").alias("sxx"),
+        F.sum("y").cast("decimal(38,2)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,4)").alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    fit = mom.select(
+        "g",
+        "n",
+        (d("sy") / F.col("n")).alias("ybar"),
+        (d("sx") / F.col("n")).alias("xbar"),
+        (
+            (F.col("n") * d("sxy") - d("sx") * d("sy"))
+            / (F.col("n") * d("sxx") - d("sx") * d("sx"))
+        ).alias("beta"),
+    )
+    a = fit.where(F.col("g") == "BUILDING").select(
+        F.col("n").alias("n_building"),
+        F.col("ybar").alias("ya"),
+        F.col("xbar").alias("xa"),
+    )
+    b = fit.where(F.col("g") == "MACHINERY").select(
+        F.col("n").alias("n_machinery"),
+        F.col("ybar").alias("yb"),
+        F.col("xbar").alias("xb"),
+        F.col("beta").alias("bb"),
+    )
+    return a.crossJoin(b).select(
+        "n_building",
+        "n_machinery",
+        F.round(F.col("ya") - F.col("yb"), 4).alias("gap"),
+        F.round(F.col("bb") * (F.col("xa") - F.col("xb")), 4).alias(
+            "explained"
+        ),
+        F.round(
+            (F.col("ya") - F.col("yb"))
+            - F.col("bb") * (F.col("xa") - F.col("xb")),
+            4,
+        ).alias("unexplained"),
+    )

@@ -815,3 +815,61 @@ def test_bradley_terry_matches_python_mm(spark):
     top = max(brands, key=lambda a: got[a][1])
     bot = min(brands, key=lambda a: got[a][1])
     assert w[top] > w[bot]
+
+
+def test_causal_tier_matches_numpy(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.experiment_queries import (
+        QUERIES as EXP_QUERIES,
+    )
+
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").toPandas()
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    spend = orders.groupby("o_custkey")["o_totalprice"].sum()
+    merged = cust.join(spend, on="c_custkey", how="inner")
+
+    # RDD
+    row = EXP_QUERIES["regression_discontinuity"](spark, SF_SMOKE).collect()[0]
+    win = merged[(merged["c_acctbal"] >= 3000) & (merged["c_acctbal"] < 7000)]
+    x = win["c_acctbal"].to_numpy(dtype=float) - 5000
+    y = win["o_totalprice"].to_numpy(dtype=float)
+
+    def icpt(mask):
+        xm, ym = x[mask], y[mask]
+        b = np.polyfit(xm, ym, 1)
+        return b[1]
+
+    assert row["n_treated"] == int((x >= 0).sum())
+    assert abs(row["limit_above"] - icpt(x >= 0)) < 1e-2
+    assert abs(row["limit_below"] - icpt(x < 0)) < 1e-2
+    assert abs(
+        row["rdd_effect"] - (row["limit_above"] - row["limit_below"])
+    ) < 1e-3
+
+    # IV / Wald
+    row = EXP_QUERIES["iv_wald_estimator"](spark, SF_SMOKE).collect()[0]
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    g = ev.groupby("user_id")
+    xc = g.apply(lambda s: int((s["event_type"] == "click").sum()))
+    yv = g.apply(
+        lambda s: float(
+            s.loc[s["event_type"] == "purchase", "value"].round(2).sum()
+        )
+    )
+    z = (xc.index % 2).astype(int)
+    fs = xc[z == 1].mean() - xc[z == 0].mean()
+    wald = (yv[z == 1].mean() - yv[z == 0].mean()) / fs
+    assert abs(row["first_stage"] - fs) < 1e-6
+    assert abs(row["wald_estimate"] - wald) < 1e-5
+
+    # Oaxaca-Blinder
+    row = EXP_QUERIES["oaxaca_blinder_gap"](spark, SF_SMOKE).collect()[0]
+    bg = merged[merged["c_mktsegment"] == "BUILDING"]
+    mg = merged[merged["c_mktsegment"] == "MACHINERY"]
+    bb = np.polyfit(
+        mg["c_acctbal"].astype(float), mg["o_totalprice"].astype(float), 1
+    )[0]
+    gap = bg["o_totalprice"].mean() - mg["o_totalprice"].mean()
+    expl = bb * (bg["c_acctbal"].mean() - mg["c_acctbal"].mean())
+    assert abs(row["gap"] - gap) < 1e-2
+    assert abs(row["explained"] - expl) < 1e-2
+    assert abs(row["gap"] - (row["explained"] + row["unexplained"])) < 1e-3
