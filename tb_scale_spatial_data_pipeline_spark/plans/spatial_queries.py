@@ -5129,3 +5129,189 @@ def q_geodesic_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("poly_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Epanechnikov kernel density hotspots — the KDE heat surface every
+# GIS stack draws, EXACT: on the integer event lattice with
+# bandwidth h = 8 the kernel numerator max(0, h^2 - d^2) is an
+# INTEGER per pair, so density sums carry no float at all (the
+# profile constant 3/(pi h^2) cancels in ranking). The plan is the
+# Ripley discipline: aggregate to DISTINCT locations first
+# (multiplicity m bounds all later work by the 256^2 domain, not
+# event count), then grid-block candidates at cell = h with 3x3
+# neighbor probes — never all-pairs. The oracle uses a direct
+# +-(h-1) range join (DuckDB's IEJoin path — a DIFFERENT candidate
+# decomposition), so the two engines cannot share a blocking bug. Output: top-20 density peaks.
+_KDE_H2 = 64  # h = 8 px
+
+
+def _sql_kde() -> str:
+    return f"""
+    WITH pts AS (
+      SELECT CAST(event_id % 256 AS BIGINT) AS x,
+             CAST(user_id * 7 % 256 AS BIGINT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      -- direct range join (DuckDB IEJoin): a DIFFERENT candidate
+      -- decomposition from the Spark side's 8-px 3x3 blocking
+      SELECT a.x, a.y, a.m AS ma, b.m AS mb,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      FROM pts a
+      JOIN pts b
+        ON b.x BETWEEN a.x - 7 AND a.x + 7
+       AND b.y BETWEEN a.y - 7 AND a.y + 7
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             < {_KDE_H2}
+    )
+    SELECT x, y,
+           CAST(SUM(ma * mb * ({_KDE_H2} - d2)) AS BIGINT) AS density
+    FROM pairs GROUP BY x, y
+    ORDER BY density DESC, x, y LIMIT 20
+    """
+
+
+@_q("kde_epanechnikov_hotspots", _sql_kde())
+def q_kde_epanechnikov_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    pts = ev.groupBy(
+        (F.col("event_id") % 256).cast("bigint").alias("x"),
+        (F.col("user_id") * 7 % 256).cast("bigint").alias("y"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    blocked = pts.select(
+        "x", "y", "m",
+        F.floor(F.col("x") / 8).alias("bx"),
+        F.floor(F.col("y") / 8).alias("by"),
+    )
+    # probe side replicated into its 9 neighbor blocks so the join is
+    # a plain EQUI-join on the block key (a BETWEEN join would plan as
+    # a nested loop — 55k x 55k at sf0.1)
+    offs = pts.sparkSession.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    b = (
+        blocked.crossJoin(F.broadcast(offs))
+        .select(
+            F.col("x").alias("qx"), F.col("y").alias("qy"),
+            F.col("m").alias("mb"),
+            (F.col("bx") + F.col("dx")).alias("qbx"),
+            (F.col("by") + F.col("dy")).alias("qby"),
+        )
+    )
+    d2 = (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx")) + (
+        F.col("y") - F.col("qy")
+    ) * (F.col("y") - F.col("qy"))
+    pairs = blocked.join(
+        b, (F.col("qbx") == F.col("bx")) & (F.col("qby") == F.col("by"))
+    ).where(d2 < _KDE_H2)
+    return (
+        pairs.groupBy("x", "y")
+        .agg(
+            F.sum(F.col("m") * F.col("mb") * (_KDE_H2 - d2))
+            .cast("bigint")
+            .alias("density")
+        )
+        .orderBy(F.desc("density"), "x", "y")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Emerging hotspot analysis (the space-time-cube product): per 32-px
+# spatial cell, the Mann-Kendall trend statistic S over the DAILY
+# event-count series — S = sum over day pairs of sign(c_j - c_i),
+# pure integer pair concordance (the kendall_tau_b machinery applied
+# per cell over a calendar-bounded series) — classifying each cell
+# as intensifying, diminishing or stable. Day pairs are bounded by
+# the calendar (30ish days -> <=435 pairs/cell), cells by the 8x8
+# lattice; the only row-volume pass is the (cell, day) rollup.
+@_q(
+    "emerging_hotspot_cells",
+    """
+    WITH cd AS (
+      SELECT (CAST(event_id % 256 AS BIGINT)) // 32 AS cx,
+             (CAST(user_id * 7 % 256 AS BIGINT)) // 32 AS cy,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2, 3
+    ),
+    nd AS (
+      SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM cd GROUP BY cx, cy
+    ),
+    s AS (
+      -- left join: the cell's LAST day has no later partner, and a
+      -- single-day cell has no pairs at all — both must still count
+      SELECT nd.cx, nd.cy, nd.n_days,
+             CAST(COALESCE(SUM(CASE WHEN b.c > a.c THEN 1
+                                    WHEN b.c < a.c THEN -1 END), 0)
+                  AS BIGINT) AS s_stat
+      FROM nd
+      LEFT JOIN cd a ON a.cx = nd.cx AND a.cy = nd.cy
+      LEFT JOIN cd b ON b.cx = a.cx AND b.cy = a.cy AND b.d > a.d
+      GROUP BY nd.cx, nd.cy, nd.n_days
+    )
+    SELECT cx, cy, n_days, s_stat,
+           CASE WHEN s_stat >= 20 THEN 'intensifying'
+                WHEN s_stat <= -20 THEN 'diminishing'
+                ELSE 'stable' END AS trend
+    FROM s ORDER BY cx, cy
+    """,
+)
+def q_emerging_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cd = ev.groupBy(
+        F.floor((F.col("event_id") % 256).cast("bigint") / 32).alias("cx"),
+        F.floor((F.col("user_id") * 7 % 256).cast("bigint") / 32).alias("cy"),
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    b = cd.select(
+        F.col("cx").alias("bcx"), F.col("cy").alias("bcy"),
+        F.col("d").alias("bd"), F.col("c").alias("bc"),
+    )
+    nd = cd.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    pair_s = (
+        cd.join(
+            b,
+            (F.col("bcx") == F.col("cx"))
+            & (F.col("bcy") == F.col("cy"))
+            & (F.col("bd") > F.col("d")),
+        )
+        .groupBy("cx", "cy")
+        .agg(
+            F.sum(
+                F.when(F.col("bc") > F.col("c"), 1)
+                .when(F.col("bc") < F.col("c"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_raw")
+        )
+    )
+    # left join: last-day rows have no later partner, single-day
+    # cells no pairs at all — both still count
+    s = nd.join(pair_s, ["cx", "cy"], "left").select(
+        "cx",
+        "cy",
+        "n_days",
+        F.coalesce(F.col("s_raw"), F.lit(0)).cast("bigint").alias("s_stat"),
+    )
+    return s.select(
+        "cx",
+        "cy",
+        "n_days",
+        "s_stat",
+        F.when(F.col("s_stat") >= 20, "intensifying")
+        .when(F.col("s_stat") <= -20, "diminishing")
+        .otherwise("stable")
+        .alias("trend"),
+    ).orderBy("cx", "cy")

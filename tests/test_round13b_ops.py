@@ -15,7 +15,7 @@ twin cannot hide a correlated bug:
 from __future__ import annotations
 
 import heapq
-from collections import defaultdict
+from collections import Counter, defaultdict
 from fractions import Fraction
 
 import numpy as np
@@ -873,3 +873,72 @@ def test_causal_tier_matches_numpy(spark):
     assert abs(row["gap"] - gap) < 1e-2
     assert abs(row["explained"] - expl) < 1e-2
     assert abs(row["gap"] - (row["explained"] + row["unexplained"])) < 1e-3
+
+
+def test_kde_hotspots_match_bruteforce(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.spatial_queries import (
+        _KDE_H2,
+        QUERIES as SP_QUERIES,
+    )
+
+    rows = SP_QUERIES["kde_epanechnikov_hotspots"](spark, SF_SMOKE).collect()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    x = (ev["event_id"] % 256).to_numpy(dtype=np.int64)
+    y = (ev["user_id"] * 7 % 256).to_numpy(dtype=np.int64)
+    locs = Counter(zip(x, y))
+    keys = list(locs)
+    dens = {}
+    for (ax, ay) in keys:
+        s = 0
+        for (bx, by), mb in locs.items():
+            d2 = (ax - bx) ** 2 + (ay - by) ** 2
+            if d2 < _KDE_H2:
+                s += locs[(ax, ay)] * mb * (_KDE_H2 - d2)
+        dens[(ax, ay)] = s
+    brute = sorted(
+        ((-v, kx, ky) for (kx, ky), v in dens.items())
+    )[:20]
+    got = [(-r["density"], r["x"], r["y"]) for r in rows]
+    assert got == brute
+
+
+def test_emerging_hotspots_match_python(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.spatial_queries import (
+        QUERIES as SP_QUERIES,
+    )
+
+    rows = SP_QUERIES["emerging_hotspot_cells"](spark, SF_SMOKE).collect()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    import datetime
+
+    cx = (ev["event_id"] % 256) // 32
+    cy = (ev["user_id"] * 7 % 256) // 32
+    d = (ev["ts"].dt.normalize() - pdTimestamp2024()).dt.days
+    cnt = Counter(zip(cx, cy, d))
+    bycell = defaultdict(dict)
+    for (a, b, dd), c in cnt.items():
+        bycell[(a, b)][dd] = c
+    expect = {}
+    for cell, days in bycell.items():
+        ds = sorted(days)
+        s = sum(
+            (days[ds[j]] > days[ds[i]]) - (days[ds[j]] < days[ds[i]])
+            for i in range(len(ds))
+            for j in range(i + 1, len(ds))
+        )
+        trend = (
+            "intensifying" if s >= 20
+            else "diminishing" if s <= -20 else "stable"
+        )
+        expect[cell] = (len(ds), s, trend)
+    got = {
+        (r["cx"], r["cy"]): (r["n_days"], r["s_stat"], r["trend"])
+        for r in rows
+    }
+    assert got == expect
+
+
+def pdTimestamp2024():
+    import pandas as pd
+
+    return pd.Timestamp("2024-01-01")
