@@ -2755,3 +2755,88 @@ def q_optimal_kmeans_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in outs[1:]:
         out = out.unionByName(x)
     return out.orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve deciles — the distributional picture behind the
+# scalar inequality indices (gini_part_revenue, theil decomposition,
+# atkinson): customers sorted by total spend split into ten
+# equal-population bins (explicit ceil(10*rank/n) = (10r+n-1)//n, not
+# ntile, so both engines share one bin rule), each reporting its
+# exact-decimal spend share and the cumulative Lorenz ordinate. The
+# registry's 500th oracle-paired query: one groupBy, one window
+# rank, one decimal rollup — deliberately the shape the whole suite
+# is built from.
+@_q(
+    "lorenz_curve_deciles",
+    """
+    WITH spend AS (
+      SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                             AS DECIMAL(38,2)) AS s
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT s,
+             CAST((10 * row_number()
+                     OVER (ORDER BY s, o_custkey)
+                   + (SELECT COUNT(*) FROM spend) - 1)
+                  // (SELECT COUNT(*) FROM spend) AS BIGINT) AS decile
+      FROM spend
+    ),
+    bins AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(s) AS DECIMAL(38,2)) AS bin_spend
+      FROM ranked GROUP BY decile
+    ),
+    tot AS (SELECT CAST(SUM(s) AS DECIMAL(38,2)) AS t FROM spend)
+    SELECT decile, n_customers,
+           round(CAST(bin_spend AS DOUBLE) / CAST(t AS DOUBLE), 9)
+             AS spend_share,
+           round(CAST(SUM(bin_spend) OVER (ORDER BY decile) AS DOUBLE)
+                 / CAST(t AS DOUBLE), 9) AS lorenz_cum
+    FROM bins CROSS JOIN tot ORDER BY decile
+    """,
+)
+def q_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("s")
+    )
+    n = spend.agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("s", "o_custkey")
+    ranked = (
+        spend.crossJoin(F.broadcast(n))
+        .select(
+            "s",
+            F.floor(
+                (10 * F.row_number().over(w) + F.col("n") - 1) / F.col("n")
+            )
+            .cast("bigint")
+            .alias("decile"),
+        )
+    )
+    bins = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("s").cast("decimal(38,2)").alias("bin_spend"),
+    )
+    tot = spend.agg(F.sum("s").cast("decimal(38,2)").alias("t"))
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            F.round(
+                F.col("bin_spend").cast("double") / F.col("t").cast("double"),
+                9,
+            ).alias("spend_share"),
+            F.round(
+                F.sum("bin_spend").over(wc).cast("double")
+                / F.col("t").cast("double"),
+                9,
+            ).alias("lorenz_cum"),
+        )
+        .orderBy("decile")
+    )

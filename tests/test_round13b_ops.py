@@ -942,3 +942,26 @@ def pdTimestamp2024():
     import pandas as pd
 
     return pd.Timestamp("2024-01-01")
+
+
+def test_lorenz_deciles_match_numpy(spark):
+    rows = STATS_QUERIES["lorenz_curve_deciles"](spark, SF_SMOKE).collect()
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    s = orders.groupby("o_custkey")["o_totalprice"].sum().round(2)
+    s = s.reset_index().sort_values(["o_totalprice", "o_custkey"])
+    v = s["o_totalprice"].to_numpy(dtype=float)
+    n = len(v)
+    dec = (10 * (np.arange(n) + 1) + n - 1) // n
+    tot = v.sum()
+    cum = 0.0
+    assert len(rows) == 10
+    for r in rows:
+        mask = dec == r["decile"]
+        cum += v[mask].sum()
+        assert r["n_customers"] == int(mask.sum())
+        assert abs(r["spend_share"] - v[mask].sum() / tot) < 1e-6
+        assert abs(r["lorenz_cum"] - cum / tot) < 1e-6
+    assert abs(rows[-1]["lorenz_cum"] - 1.0) < 1e-9
+    # Lorenz convexity: shares nondecreasing across deciles
+    shares = [r["spend_share"] for r in rows]
+    assert shares == sorted(shares)
