@@ -5315,3 +5315,125 @@ def q_emerging_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("stable")
         .alias("trend"),
     ).orderBy("cx", "cy")
+
+
+# ---------------------------------------------------------------------------
+# Two-step floating catchment area (2SFCA, Luo & Wang 2003) — the
+# standard spatial-accessibility measure ("how much supply can each
+# demand point actually reach"): step 1 gives every supply site a
+# ratio R_j = capacity_j / (demand within radius d0); step 2 sums
+# each demand point's reachable R_j. Suppliers (capacity = supplier
+# count per cell) and customers (demand weight = customer count per
+# cell) live on the same synthetic lattice as the point tier; both
+# steps are the SAME bounded catchment join (Chebyshev d0 = 6 px),
+# blocked by the 9-offset equi-join discipline on the Spark side and
+# a direct range join in the oracle. Exactness: R_j is one rational
+# per site (integer counts), accessibility sums round(12)-then-
+# decimal (the chi2 pattern). Output: the 20 best-served demand
+# cells.
+_SFCA_D0 = 6
+
+
+def _sql_sfca() -> str:
+    return f"""
+    WITH supply AS (
+      SELECT CAST(s_suppkey * 11 % 64 AS BIGINT) AS x,
+             CAST(s_suppkey * 5 % 64 AS BIGINT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS cap
+      FROM supplier GROUP BY 1, 2
+    ),
+    demand AS (
+      SELECT CAST(c_custkey % 64 AS BIGINT) AS x,
+             CAST(c_custkey * 3 % 64 AS BIGINT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS pop
+      FROM customer GROUP BY 1, 2
+    ),
+    ratio AS (
+      SELECT s.x, s.y,
+             s.cap / CAST(SUM(d.pop) AS DOUBLE) AS r
+      FROM supply s JOIN demand d
+        ON d.x BETWEEN s.x - {_SFCA_D0} AND s.x + {_SFCA_D0}
+       AND d.y BETWEEN s.y - {_SFCA_D0} AND s.y + {_SFCA_D0}
+      GROUP BY s.x, s.y, s.cap
+    )
+    SELECT d.x, d.y, CAST(MAX(d.pop) AS BIGINT) AS pop,
+           round(CAST(SUM(CAST(round(r.r, 12) AS DECIMAL(38,12)))
+                      AS DOUBLE), 9) AS accessibility
+    FROM demand d JOIN ratio r
+      ON r.x BETWEEN d.x - {_SFCA_D0} AND d.x + {_SFCA_D0}
+     AND r.y BETWEEN d.y - {_SFCA_D0} AND d.y + {_SFCA_D0}
+    GROUP BY d.x, d.y
+    ORDER BY accessibility DESC, d.x, d.y LIMIT 20
+    """
+
+
+@_q("sfca_accessibility", _sql_sfca())
+def q_sfca_accessibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = t(spark, sf_dir, "supplier")
+    cust = t(spark, sf_dir, "customer")
+    supply = sup.groupBy(
+        (F.col("s_suppkey") * 11 % 64).cast("bigint").alias("sx"),
+        (F.col("s_suppkey") * 5 % 64).cast("bigint").alias("sy"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cap"))
+    demand = cust.groupBy(
+        (F.col("c_custkey") % 64).cast("bigint").alias("dx"),
+        (F.col("c_custkey") * 3 % 64).cast("bigint").alias("dy"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("pop"))
+    # 9-offset equi-join blocking at cell = d0 covers Chebyshev d0
+    offs = sup.sparkSession.createDataFrame(
+        [(a, b) for a in (-1, 0, 1) for b in (-1, 0, 1)], "ox int, oy int"
+    )
+
+    def blocked(df, xc, yc):
+        return df.withColumn("bx", F.floor(F.col(xc) / _SFCA_D0)).withColumn(
+            "by", F.floor(F.col(yc) / _SFCA_D0)
+        )
+
+    s_b = blocked(supply, "sx", "sy")
+    d_b = blocked(demand, "dx", "dy").crossJoin(F.broadcast(offs)).select(
+        "dx", "dy", "pop",
+        (F.col("bx") + F.col("ox")).alias("bx"),
+        (F.col("by") + F.col("oy")).alias("by"),
+    )
+    within = (
+        (F.abs(F.col("dx") - F.col("sx")) <= _SFCA_D0)
+        & (F.abs(F.col("dy") - F.col("sy")) <= _SFCA_D0)
+    )
+    ratio = (
+        s_b.join(d_b, ["bx", "by"])
+        .where(within)
+        .groupBy("sx", "sy", "cap")
+        .agg(F.sum("pop").alias("reach_pop"))
+        .select(
+            "sx", "sy",
+            (F.col("cap") / F.col("reach_pop").cast("double")).alias("r"),
+        )
+    )
+    r_b = blocked(ratio, "sx", "sy").crossJoin(F.broadcast(offs)).select(
+        "sx", "sy", "r",
+        (F.col("bx") + F.col("ox")).alias("bx"),
+        (F.col("by") + F.col("oy")).alias("by"),
+    )
+    acc = (
+        blocked(demand, "dx", "dy")
+        .join(r_b, ["bx", "by"])
+        .where(within)
+        .groupBy("dx", "dy")
+        .agg(
+            F.max("pop").cast("bigint").alias("pop"),
+            F.round(
+                F.sum(F.round(F.col("r"), 12).cast("decimal(38,12)")).cast(
+                    "double"
+                ),
+                9,
+            ).alias("accessibility"),
+        )
+    )
+    return (
+        acc.select(
+            F.col("dx").alias("x"), F.col("dy").alias("y"), "pop",
+            "accessibility",
+        )
+        .orderBy(F.desc("accessibility"), "x", "y")
+        .limit(20)
+    )
