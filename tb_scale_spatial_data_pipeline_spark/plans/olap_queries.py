@@ -25,7 +25,7 @@ Cross-engine determinism notes specific to this family:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._util import sql_davg, sql_dsum, t
@@ -663,3 +663,87 @@ def q_hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("hhi_normalized"),
     ).orderBy("nation")
+
+
+# ---------------------------------------------------------------------------
+# Newsvendor optimal stock — classic stochastic inventory: with
+# underage cost 4x overage, the profit-maximizing stock level is the
+# critical-ratio quantile Q(cu/(cu+co)) = Q(0.8) of daily demand,
+# and the EXACT order statistic (ceil(0.8 n)-th of n sorted daily
+# quantities, deterministic tiebreak) — not an interpolated
+# percentile — keeps both engines bit-identical on the integer
+# demand lattice. Per brand: daily lineitem quantity series from one
+# rollup; the selection is a window rank inside calendar-bounded
+# groups. Output: stock level, days covered and the realized service
+# level, per brand.
+@_q(
+    "newsvendor_quantile_stock",
+    """
+    WITH daily AS (
+      SELECT p.p_brand AS brand, l.l_shipdate AS d,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT brand, q,
+             row_number() OVER (PARTITION BY brand ORDER BY q, d) AS rn,
+             COUNT(*) OVER (PARTITION BY brand) AS n
+      FROM daily
+    ),
+    pick AS (
+      SELECT brand, q AS stock_level, n
+      FROM ranked WHERE rn = CAST(ceil(0.8 * n) AS BIGINT)
+    )
+    SELECT p.brand, CAST(p.n AS BIGINT) AS n_days,
+           p.stock_level,
+           round(CAST(SUM(CASE WHEN d.q <= p.stock_level THEN 1 ELSE 0 END)
+                      AS DOUBLE) / p.n, 9) AS service_level
+    FROM pick p JOIN daily d ON d.brand = p.brand
+    GROUP BY p.brand, p.n, p.stock_level
+    ORDER BY p.brand
+    """,
+)
+def q_newsvendor_quantile_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    daily = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"), F.col("l_shipdate").alias("d"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("brand").orderBy("q", "d")
+    wn = Window.partitionBy("brand")
+    ranked = daily.select(
+        "brand",
+        "q",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = ranked.where(
+        F.col("rn") == F.ceil(0.8 * F.col("n")).cast("bigint")
+    ).select("brand", F.col("q").alias("stock_level"), "n")
+    return (
+        pick.join(daily, "brand")
+        .groupBy("brand", "n", "stock_level")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("q") <= F.col("stock_level"), 1).otherwise(0)
+                ).cast("double")
+                / F.col("n"),
+                9,
+            ).alias("service_level")
+        )
+        .select(
+            "brand",
+            F.col("n").cast("bigint").alias("n_days"),
+            "stock_level",
+            "service_level",
+        )
+        .orderBy("brand")
+    )

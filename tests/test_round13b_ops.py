@@ -965,3 +965,58 @@ def test_lorenz_deciles_match_numpy(spark):
     # Lorenz convexity: shares nondecreasing across deciles
     shares = [r["spend_share"] for r in rows]
     assert shares == sorted(shares)
+
+
+def test_sfca_matches_bruteforce(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.spatial_queries import (
+        _SFCA_D0,
+        QUERIES as SP_QUERIES,
+    )
+
+    rows = SP_QUERIES["sfca_accessibility"](spark, SF_SMOKE).collect()
+    sup = spark.read.parquet(f"{SF_SMOKE}/supplier.parquet").toPandas()
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").toPandas()
+    supply = Counter(
+        zip(sup["s_suppkey"] * 11 % 64, sup["s_suppkey"] * 5 % 64)
+    )
+    demand = Counter(zip(cust["c_custkey"] % 64, cust["c_custkey"] * 3 % 64))
+
+    def near(a, b):
+        return abs(a[0] - b[0]) <= _SFCA_D0 and abs(a[1] - b[1]) <= _SFCA_D0
+
+    ratio = {
+        s: cap / sum(p for d, p in demand.items() if near(s, d))
+        for s, cap in supply.items()
+    }
+    acc = {
+        d: (pop, sum(round(r, 12) for s, r in ratio.items() if near(d, s)))
+        for d, pop in demand.items()
+    }
+    brute = sorted(
+        ((-round(v, 9), x, y, p) for (x, y), (p, v) in acc.items())
+    )[:20]
+    got = [(-r["accessibility"], r["x"], r["y"], r["pop"]) for r in rows]
+    assert got == brute
+
+
+def test_newsvendor_matches_numpy(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.olap_queries import (
+        QUERIES as OLAP_QUERIES,
+    )
+
+    rows = OLAP_QUERIES["newsvendor_quantile_stock"](spark, SF_SMOKE).collect()
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").toPandas()
+    part = spark.read.parquet(f"{SF_SMOKE}/part.parquet").toPandas()
+    df = li.merge(part[["p_partkey", "p_brand"]], left_on="l_partkey",
+                  right_on="p_partkey")
+    daily = df.groupby(["p_brand", "l_shipdate"])["l_quantity"].sum()
+    got = {r["brand"]: (r["n_days"], r["stock_level"], r["service_level"])
+           for r in rows}
+    for brand, s in daily.groupby(level=0):
+        q = np.sort(s.to_numpy(dtype=np.int64))
+        n = len(q)
+        stock = int(q[int(np.ceil(0.8 * n)) - 1])
+        service = float((q <= stock).sum()) / n
+        assert got[brand][0] == n
+        assert got[brand][1] == stock
+        assert abs(got[brand][2] - service) < 1e-9
