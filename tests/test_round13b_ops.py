@@ -984,10 +984,11 @@ def test_sfca_matches_bruteforce(spark):
     def near(a, b):
         return abs(a[0] - b[0]) <= _SFCA_D0 and abs(a[1] - b[1]) <= _SFCA_D0
 
-    ratio = {
-        s: cap / sum(p for d, p in demand.items() if near(s, d))
-        for s, cap in supply.items()
-    }
+    ratio = {}
+    for s, cap in supply.items():
+        reach = sum(p for d, p in demand.items() if near(s, d))
+        if reach:  # inner-join semantics: unreachable sites drop out
+            ratio[s] = cap / reach
     acc = {
         d: (pop, sum(round(r, 12) for s, r in ratio.items() if near(d, s)))
         for d, pop in demand.items()
