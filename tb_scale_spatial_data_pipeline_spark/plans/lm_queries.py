@@ -1069,3 +1069,121 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("textrank"), "keyword")
         .limit(_TR_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Huffman codebook cost — the OPTIMAL prefix-code bound for the
+# corpus's top-32 word vocabulary, computed exactly: the classic
+# greedy merge (always combine the two lightest subtrees) runs as a
+# fold whose accumulator carries [cost, weights...] and re-sorts per
+# step — total cost = sum of merge sums = weighted code length in
+# bit-occurrences, a pure INTEGER. Reported against the Shannon
+# entropy lower bound (1e-12-lattice log terms, decimal sum), giving
+# the code's efficiency — the information-theoretic companion to
+# char_entropy_quality/zipf_fit_vocab. Huffman cost is invariant to
+# input order (the fold sorts), so the top-32 selection only needs a
+# deterministic MEMBERSHIP rule (count desc, token).
+_HUFF_K = 32
+
+
+def _sql_huffman() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    top AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks WHERE w <> '' GROUP BY w
+      ORDER BY c DESC, w LIMIT {_HUFF_K}
+    ),
+    packed AS (
+      SELECT list(c) AS ws, CAST(SUM(c) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM top
+    ),
+    folded AS (
+      SELECT s, k,
+        list_reduce(
+          [[CAST(0 AS BIGINT)] || ws]
+            || list_transform(generate_series(1, k - 1),
+                              j -> CAST([] AS BIGINT[])),
+          (acc, it) -> [acc[1] + list_sort(acc[2:])[1]
+                               + list_sort(acc[2:])[2]]
+                       || list_sort(acc[2:])[3:]
+                       || [list_sort(acc[2:])[1] + list_sort(acc[2:])[2]]
+        )[1] AS cost
+      FROM packed
+    ),
+    bound AS (
+      SELECT CAST(SUM(CAST(round(c * log2(CAST(s AS DOUBLE) / c), 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS hbits
+      FROM top CROSS JOIN packed
+    )
+    SELECT k AS n_symbols, s AS total_tokens,
+           CAST(cost AS BIGINT) AS huffman_bits,
+           round(hbits, 6) AS shannon_bound_bits,
+           round(hbits / cost, 6) AS efficiency
+    FROM folded CROSS JOIN bound
+    """
+
+
+@_q("huffman_code_cost", _sql_huffman())
+def q_huffman_code_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.orderBy(F.desc("c"), "w"))
+    top = counts.withColumn("rn", rn).where(F.col("rn") <= _HUFF_K)
+    packed = top.groupBy().agg(
+        F.collect_list("c").alias("ws"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    acc0 = F.concat(
+        F.array(F.lit(0).cast("bigint")), F.col("ws")
+    )
+
+    def step(acc, _it):
+        rest = F.array_sort(F.slice(acc, 2, F.size(acc) - 1))
+        merged = F.element_at(rest, 1) + F.element_at(rest, 2)
+        return F.concat(
+            F.array(F.element_at(acc, 1) + merged),
+            F.slice(rest, 3, F.greatest(F.size(rest) - 2, F.lit(0))),
+            F.array(merged),
+        )
+
+    cost = F.element_at(
+        F.aggregate(
+            F.sequence(F.lit(1), (F.col("k") - 1).cast("int")), acc0, step
+        ),
+        1,
+    )
+    hterm = F.round(
+        F.col("c")
+        * F.log2(F.col("s").cast("double") / F.col("c")),
+        12,
+    ).cast("decimal(38,12)")
+    bound = top.crossJoin(F.broadcast(packed.select("s"))).agg(
+        F.sum(hterm).cast("double").alias("hbits")
+    )
+    return (
+        packed.select(
+            F.col("k").alias("n_symbols"),
+            F.col("s").alias("total_tokens"),
+            cost.cast("bigint").alias("huffman_bits"),
+        )
+        .crossJoin(F.broadcast(bound))
+        .select(
+            "n_symbols",
+            "total_tokens",
+            "huffman_bits",
+            F.round(F.col("hbits"), 6).alias("shannon_bound_bits"),
+            F.round(F.col("hbits") / F.col("huffman_bits"), 6).alias(
+                "efficiency"
+            ),
+        )
+    )

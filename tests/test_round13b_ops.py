@@ -1021,3 +1021,32 @@ def test_newsvendor_matches_numpy(spark):
         assert got[brand][0] == n
         assert got[brand][1] == stock
         assert abs(got[brand][2] - service) < 1e-9
+
+
+def test_huffman_cost_matches_heapq(spark):
+    import heapq as hq
+
+    from tb_scale_spatial_data_pipeline_spark.plans.lm_queries import (
+        _HUFF_K,
+        QUERIES as LM_QUERIES,
+    )
+
+    row = LM_QUERIES["huffman_code_cost"](spark, SF_SMOKE).collect()[0]
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").toPandas()
+    cnt = Counter(w for t_ in docs["text"] for w in t_.split(" ") if w)
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:_HUFF_K]
+    ws = [c for _w, c in top]
+    hq.heapify(ws)
+    cost = 0
+    while len(ws) > 1:
+        a, b = hq.heappop(ws), hq.heappop(ws)
+        cost += a + b
+        hq.heappush(ws, a + b)
+    s = sum(c for _w, c in top)
+    hbits = sum(c * np.log2(s / c) for _w, c in top)
+    assert row["n_symbols"] == len(top)
+    assert row["total_tokens"] == s
+    assert row["huffman_bits"] == cost
+    assert abs(row["shannon_bound_bits"] - hbits) < 1e-4
+    # Shannon bound can never exceed the optimal code cost
+    assert row["shannon_bound_bits"] <= row["huffman_bits"]
