@@ -5437,3 +5437,131 @@ def q_sfca_accessibility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("accessibility"), "x", "y")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gravity model of spatial interaction (Wilson 1971): consecutive
+# events of a user are a TRIP between 16-px cells; with masses m_i
+# (origin outflow) and n_j (destination inflow), the calibrated
+# model is ln(T_ij / (m_i n_j)) = k - c ln(d_ij) — one closed-form
+# log-log regression whose deterrence exponent c is THE quantity
+# geographers fit. Flows aggregate once (the only row-volume pass);
+# the regression runs over the bounded (origin, destination) cell-
+# pair table with every log term on the 1e-12 lattice and decimal
+# sufficient statistics (the lockstep closed-form recipe). Same-cell
+# trips (d = 0) are excluded, as in every published calibration.
+@_q(
+    "gravity_model_calibration",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             (CAST(event_id % 256 AS BIGINT)) // 16 AS cx,
+             (CAST(user_id * 7 % 256 AS BIGINT) + event_id % 16) // 16 AS cy,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events
+    ),
+    trips AS (
+      SELECT a.cx AS ox, a.cy AS oy, b.cx AS dx, b.cy AS dy,
+             CAST(COUNT(*) AS BIGINT) AS t
+      FROM seq a JOIN seq b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+      WHERE NOT (a.cx = b.cx AND a.cy = b.cy)
+      GROUP BY 1, 2, 3, 4
+    ),
+    mass_o AS (SELECT ox, oy, CAST(SUM(t) AS BIGINT) AS m
+               FROM trips GROUP BY ox, oy),
+    mass_d AS (SELECT dx, dy, CAST(SUM(t) AS BIGINT) AS n
+               FROM trips GROUP BY dx, dy),
+    obs AS (
+      SELECT ln(CAST((t.ox - t.dx) * (t.ox - t.dx)
+                     + (t.oy - t.dy) * (t.oy - t.dy) AS DOUBLE)) / 2 AS lx,
+             ln(CAST(t.t AS DOUBLE) / (CAST(o.m AS DOUBLE) * n.n)) AS ly
+      FROM trips t JOIN mass_o o ON o.ox = t.ox AND o.oy = t.oy
+                   JOIN mass_d n ON n.dx = t.dx AND n.dy = t.dy
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+             CAST(SUM(CAST(round(lx, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(round(lx * lx, 12) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(round(ly, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(round(lx * ly, 12) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS sxy
+      FROM obs
+    )
+    SELECT nn AS n_flows,
+           round((nn * sxy - sx * sy) / (nn * sxx - sx * sx) * -1, 6)
+             AS deterrence_c,
+           round((sy - (nn * sxy - sx * sy) / (nn * sxx - sx * sx) * sx)
+                 / nn, 6) AS log_k
+    FROM mom
+    """,
+)
+def q_gravity_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = ev.select(
+        "user_id",
+        F.floor((F.col("event_id") % 256).cast("bigint") / 16).alias("cx"),
+        F.floor(
+            ((F.col("user_id") * 7 % 256).cast("bigint") + F.col("event_id") % 16)
+            / 16
+        ).alias("cy"),
+        F.row_number().over(w).alias("rn"),
+    )
+    b = seq.select(
+        F.col("user_id").alias("bu"), F.col("cx").alias("bcx"),
+        F.col("cy").alias("bcy"), F.col("rn").alias("brn"),
+    )
+    trips = (
+        seq.join(
+            b,
+            (F.col("bu") == F.col("user_id")) & (F.col("brn") == F.col("rn") + 1),
+        )
+        .where(~((F.col("cx") == F.col("bcx")) & (F.col("cy") == F.col("bcy"))))
+        .groupBy(
+            F.col("cx").alias("ox"), F.col("cy").alias("oy"),
+            F.col("bcx").alias("dx"), F.col("bcy").alias("dy"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    mo = trips.groupBy("ox", "oy").agg(F.sum("t").cast("bigint").alias("m"))
+    md = trips.groupBy("dx", "dy").agg(F.sum("t").cast("bigint").alias("n"))
+    obs = (
+        trips.join(mo, ["ox", "oy"])
+        .join(md, ["dx", "dy"])
+        .select(
+            (
+                F.log(
+                    (
+                        (F.col("ox") - F.col("dx")) * (F.col("ox") - F.col("dx"))
+                        + (F.col("oy") - F.col("dy"))
+                        * (F.col("oy") - F.col("dy"))
+                    ).cast("double")
+                )
+                / 2
+            ).alias("lx"),
+            F.log(
+                F.col("t").cast("double")
+                / (F.col("m").cast("double") * F.col("n"))
+            ).alias("ly"),
+        )
+    )
+    d12 = lambda c: F.round(c, 12).cast("decimal(38,12)")  # noqa: E731
+    mom = obs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+        F.sum(d12(F.col("lx"))).cast("double").alias("sx"),
+        F.sum(d12(F.col("lx") * F.col("lx"))).cast("double").alias("sxx"),
+        F.sum(d12(F.col("ly"))).cast("double").alias("sy"),
+        F.sum(d12(F.col("lx") * F.col("ly"))).cast("double").alias("sxy"),
+    )
+    slope = (F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return mom.select(
+        F.col("nn").alias("n_flows"),
+        F.round(slope * -1, 6).alias("deterrence_c"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("nn"), 6).alias(
+            "log_k"
+        ),
+    )

@@ -1050,3 +1050,46 @@ def test_huffman_cost_matches_heapq(spark):
     assert abs(row["shannon_bound_bits"] - hbits) < 1e-4
     # Shannon bound can never exceed the optimal code cost
     assert row["shannon_bound_bits"] <= row["huffman_bits"]
+
+
+def test_gravity_model_matches_numpy(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.spatial_queries import (
+        QUERIES as SP_QUERIES,
+    )
+
+    row = SP_QUERIES["gravity_model_calibration"](spark, SF_SMOKE).collect()[0]
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .toPandas()
+        .sort_values("event_id")
+    )
+    trips = Counter()
+    for _uid, g in ev.groupby("user_id"):
+        cells = [
+            (
+                int(e % 256) // 16,
+                (int(u * 7 % 256) + int(e % 16)) // 16,
+            )
+            for e, u in zip(g["event_id"], g["user_id"])
+        ]
+        for a, b in zip(cells, cells[1:]):
+            if a != b:
+                trips[(a, b)] += 1
+    mo = Counter()
+    md = Counter()
+    for (a, b), t_ in trips.items():
+        mo[a] += t_
+        md[b] += t_
+    lx, ly = [], []
+    for (a, b), t_ in trips.items():
+        d2 = (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+        lx.append(np.log(float(d2)) / 2)
+        ly.append(np.log(t_ / (mo[a] * float(md[b]))))
+    lx, ly = np.array(lx), np.array(ly)
+    slope, icpt = np.polyfit(lx, ly, 1)
+    assert row["n_flows"] == len(lx)
+    assert abs(row["deterrence_c"] - (-slope)) < 1e-4
+    assert abs(row["log_k"] - icpt) < 1e-4
+    # distance must deter: the exponent is positive on any plausible
+    # movement process
+    assert row["deterrence_c"] > 0
