@@ -2266,3 +2266,182 @@ def q_bradley_terry_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("n_wins"),
         F.round("s", 6).alias("bt_skill"),
     ).orderBy(F.desc("bt_skill"), "brand")
+
+
+# ---------------------------------------------------------------------------
+# Restricted mean survival time (RMST, tau = 20 days) — the
+# clinically preferred KM summary when hazards aren't proportional:
+# the AREA under the survival curve up to the horizon, i.e. expected
+# days survived of the first tau. Reuses kaplan_meier_survival's
+# churn cohorts and its exactness machinery: step survivals are the
+# same ordered sequential products, each rectangle S(t_k) x
+# (min(t_(k+1), tau) - t_k) is rounded to the 1e-9 lattice and
+# summed in DECIMAL, and the leading [0, t_1) strip at S = 1 is
+# added exactly. Cohorts whose first event day exceeds tau get RMST
+# = tau (the degenerate strip), by the same formula.
+_RMST_TAU = 20
+
+
+@_q(
+    "rmst_survival",
+    f"""
+    WITH ev AS (
+      SELECT user_id, ts, event_type,
+             MAX(epoch_ms(ts)) OVER (PARTITION BY user_id) AS last_ms
+      FROM events
+    ),
+    users AS (
+      SELECT CAST(user_id % 4 AS BIGINT) AS cohort,
+             datediff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+               AS t,
+             1 - MAX(CASE WHEN event_type = 'purchase'
+                          AND epoch_ms(ts) >= last_ms - 259200000
+                          THEN 1 ELSE 0 END) AS death
+      FROM ev GROUP BY user_id
+    ),
+    counts AS (
+      SELECT cohort, t, CAST(SUM(death) AS BIGINT) AS d, COUNT(*) AS m
+      FROM users GROUP BY cohort, t
+    ),
+    tot AS (SELECT cohort, COUNT(*) AS n FROM users GROUP BY cohort),
+    risk AS (
+      SELECT c.cohort, c.t, c.d,
+             tot.n - COALESCE(SUM(c.m) OVER (
+               PARTITION BY c.cohort ORDER BY c.t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM counts c JOIN tot ON tot.cohort = c.cohort
+    ),
+    steps AS (
+      SELECT cohort, t, 1.0 - CAST(d AS DOUBLE) / n_risk AS factor
+      FROM risk WHERE d >= 1 AND t < {_RMST_TAU}
+    ),
+    surv AS (
+      SELECT s.cohort, s.t,
+             (SELECT list_product(list(f.factor ORDER BY f.t))
+              FROM steps f
+              WHERE f.cohort = s.cohort AND f.t <= s.t) AS sv,
+             COALESCE(LEAD(s.t) OVER (PARTITION BY s.cohort ORDER BY s.t),
+                      {_RMST_TAU}) AS t_next
+      FROM steps s
+    ),
+    first_t AS (
+      SELECT cohort, MIN(t) AS t1 FROM steps GROUP BY cohort
+    ),
+    area AS (
+      SELECT s.cohort,
+             SUM(CAST(round(s.sv * (least(s.t_next, {_RMST_TAU}) - s.t), 9)
+                      AS DECIMAL(38,9))) AS a
+      FROM surv s GROUP BY s.cohort
+    )
+    SELECT tot.cohort,
+           CAST(tot.n AS BIGINT) AS n_users,
+           round(CAST(COALESCE(a.a, 0) AS DOUBLE)
+                 + least(COALESCE(f.t1, {_RMST_TAU}), {_RMST_TAU}), 6)
+             AS rmst_days
+    FROM tot LEFT JOIN area a ON a.cohort = tot.cohort
+             LEFT JOIN first_t f ON f.cohort = tot.cohort
+    ORDER BY tot.cohort
+    """,
+)
+def q_rmst_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    tms = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast(
+        "bigint"
+    )
+    wu = Window.partitionBy("user_id")
+    ev2 = ev.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("tss"),
+        "event_type",
+        tms.alias("tms"),
+    ).withColumn("last_ms", F.max("tms").over(wu))
+    users = (
+        ev2.groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max("tss").cast("date"), F.min("tss").cast("date")
+            ).alias("t"),
+            (
+                1
+                - F.max(
+                    F.when(
+                        (F.col("event_type") == "purchase")
+                        & (F.col("tms") >= F.col("last_ms") - 259200000),
+                        1,
+                    ).otherwise(0)
+                )
+            ).alias("death"),
+        )
+        .select((F.col("user_id") % 4).cast("bigint").alias("cohort"), "t", "death")
+    )
+    counts = users.groupBy("cohort", "t").agg(
+        F.sum("death").cast("bigint").alias("d"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    tot = users.groupBy("cohort").agg(F.count(F.lit(1)).alias("n"))
+    w_prev = (
+        Window.partitionBy("cohort")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = counts.join(tot, "cohort").select(
+        "cohort",
+        "t",
+        "d",
+        (F.col("n") - F.coalesce(F.sum("m").over(w_prev), F.lit(0))).alias(
+            "n_risk"
+        ),
+    )
+    steps = (
+        risk.where((F.col("d") >= 1) & (F.col("t") < _RMST_TAU))
+        .withColumn(
+            "factor", 1.0 - F.col("d").cast("double") / F.col("n_risk")
+        )
+    )
+    arrs = steps.groupBy("cohort").agg(
+        F.array_sort(F.collect_list(F.struct("t", "factor"))).alias("arr")
+    )
+    exploded = arrs.select("cohort", F.posexplode("arr").alias("pos", "s"), "arr")
+    sv = F.aggregate(
+        F.transform(
+            F.slice(F.col("arr"), F.lit(1), F.col("pos") + 1),
+            lambda x: x["factor"],
+        ),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    t_next = F.coalesce(
+        F.element_at(F.col("arr"), (F.col("pos") + 2).cast("int"))["t"],
+        F.lit(_RMST_TAU),
+    )
+    area = (
+        exploded.select(
+            "cohort",
+            F.round(
+                sv * (F.least(t_next, F.lit(_RMST_TAU)) - F.col("s.t")), 9
+            )
+            .cast("decimal(38,9)")
+            .alias("rect"),
+        )
+        .groupBy("cohort")
+        .agg(F.sum("rect").alias("a"))
+    )
+    first_t = steps.groupBy("cohort").agg(F.min("t").alias("t1"))
+    return (
+        tot.join(area, "cohort", "left")
+        .join(first_t, "cohort", "left")
+        .select(
+            "cohort",
+            F.col("n").cast("bigint").alias("n_users"),
+            F.round(
+                F.coalesce(F.col("a"), F.lit(0)).cast("double")
+                + F.least(
+                    F.coalesce(F.col("t1"), F.lit(_RMST_TAU)),
+                    F.lit(_RMST_TAU),
+                ),
+                6,
+            ).alias("rmst_days"),
+        )
+        .orderBy("cohort")
+    )

@@ -1093,3 +1093,49 @@ def test_gravity_model_matches_numpy(spark):
     # distance must deter: the exponent is positive on any plausible
     # movement process
     assert row["deterrence_c"] > 0
+
+
+def test_rmst_matches_python_km_area(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.analytics_queries import (
+        _RMST_TAU,
+        QUERIES as AN_QUERIES,
+    )
+
+    rows = AN_QUERIES["rmst_survival"](spark, SF_SMOKE).collect()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    users = {}
+    for uid, g in ev.groupby("user_id"):
+        t_ = (g["ts"].max().normalize() - g["ts"].min().normalize()).days
+        last_ms = g["ts"].astype("int64").max() // 10**6
+        purch = g[
+            (g["event_type"] == "purchase")
+            & (g["ts"].astype("int64") // 10**6 >= last_ms - 259200000)
+        ]
+        users[uid] = (uid % 4, t_, 0 if len(purch) else 1)
+    got = {r["cohort"]: (r["n_users"], r["rmst_days"]) for r in rows}
+    for cohort in sorted({c for c, _t, _d in users.values()}):
+        mem = [(t_, d) for c, t_, d in users.values() if c == cohort]
+        n = len(mem)
+        byt = defaultdict(lambda: [0, 0])
+        for t_, d in mem:
+            byt[t_][0] += d
+            byt[t_][1] += 1
+        at_risk, s, rmst, prev_t = n, 1.0, 0.0, 0.0
+        for t_ in sorted(byt):
+            d, m = byt[t_]
+            if d >= 1 and t_ < _RMST_TAU:
+                if rmst == 0.0:
+                    rmst = min(t_, _RMST_TAU)  # leading strip at S=1
+                else:
+                    rmst += s_prev * (min(t_, _RMST_TAU) - prev_t)
+                s *= 1.0 - d / at_risk
+                s_prev, prev_t = s, t_
+            at_risk -= m
+        if rmst == 0.0:
+            rmst = _RMST_TAU if not any(
+                d >= 1 and t_ < _RMST_TAU for t_, (d, m) in byt.items()
+            ) else rmst
+        else:
+            rmst += s_prev * (_RMST_TAU - prev_t)
+        assert got[cohort][0] == n
+        assert abs(got[cohort][1] - rmst) < 1e-6, cohort
