@@ -1912,3 +1912,145 @@ def q_oaxaca_blinder_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("unexplained"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-way fixed-effects panel estimator — the workhorse "within"
+# regression: on the brand x month revenue/quantity panel, the slope
+# of revenue on quantity after absorbing BOTH brand and month fixed
+# effects, beta = sum(x~ y~) / sum(x~^2) with the double-demeaned
+# x~ = x - xbar_brand - xbar_month + xbar. Every mean comes from
+# exact decimal sums; per-cell demeaned products are rounded to the
+# 1e-6 lattice and summed in DECIMAL, so the two-pass plan (one
+# rollup, one broadcast-joined demeaning pass) is bit-stable at any
+# panel size. The pooled-OLS slope ships alongside — the gap IS the
+# fixed-effect confounding.
+@_q(
+    "panel_twoway_fe",
+    """
+    WITH panel AS (
+      SELECT p.p_brand AS b,
+             CAST(year(l.l_shipdate) * 12 + month(l.l_shipdate) AS BIGINT)
+               AS m,
+             CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,2)) AS DOUBLE) / 1000 AS y,
+             CAST(CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS DECIMAL(38,0))
+                  AS DOUBLE) AS x
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    gm AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             round(CAST(SUM(CAST(round(x, 6) AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*), 12) AS xb,
+             round(CAST(SUM(CAST(round(y, 6) AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*), 12) AS yb
+      FROM panel
+    ),
+    bm AS (
+      SELECT b, round(CAST(SUM(CAST(round(x, 6) AS DECIMAL(38,6))) AS DOUBLE)
+                      / COUNT(*), 12) AS xbb,
+             round(CAST(SUM(CAST(round(y, 6) AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*), 12) AS ybb
+      FROM panel GROUP BY b
+    ),
+    mm AS (
+      SELECT m, round(CAST(SUM(CAST(round(x, 6) AS DECIMAL(38,6))) AS DOUBLE)
+                      / COUNT(*), 12) AS xbm,
+             round(CAST(SUM(CAST(round(y, 6) AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*), 12) AS ybm
+      FROM panel GROUP BY m
+    ),
+    dem AS (
+      SELECT (p.x - bm.xbb - mm.xbm + gm.xb) AS xt,
+             (p.y - bm.ybb - mm.ybm + gm.yb) AS yt,
+             p.x - gm.xb AS xp, p.y - gm.yb AS yp
+      FROM panel p JOIN bm ON bm.b = p.b JOIN mm ON mm.m = p.m
+      CROSS JOIN gm
+    )
+    SELECT (SELECT n FROM gm) AS n_cells,
+           round(CAST(SUM(CAST(round(xt * yt, 6) AS DECIMAL(38,6)))
+                      AS DOUBLE)
+                 / CAST(SUM(CAST(round(xt * xt, 6) AS DECIMAL(38,6)))
+                        AS DOUBLE), 9) AS fe_slope,
+           round(CAST(SUM(CAST(round(xp * yp, 6) AS DECIMAL(38,6)))
+                      AS DOUBLE)
+                 / CAST(SUM(CAST(round(xp * xp, 6) AS DECIMAL(38,6)))
+                        AS DOUBLE), 9) AS pooled_slope
+    FROM dem
+    """,
+)
+def q_panel_twoway_fe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    panel = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("p_brand").alias("b"),
+            (
+                F.year("l_shipdate").cast("bigint") * 12
+                + F.month("l_shipdate").cast("bigint")
+            ).alias("m"),
+        )
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("decimal(38,2)")
+                .cast("double")
+                / 1000
+            ).alias("y"),
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("decimal(38,0)")
+            .cast("double")
+            .alias("x"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    d6 = lambda c: F.round(c, 6).cast("decimal(38,6)")  # noqa: E731
+
+    def means(df, keys, px, py):
+        agg = df.groupBy(*keys).agg(
+            F.round(F.sum(d6(F.col("x"))).cast("double") / F.count(F.lit(1)), 12)
+            .alias(px),
+            F.round(F.sum(d6(F.col("y"))).cast("double") / F.count(F.lit(1)), 12)
+            .alias(py),
+        )
+        return agg
+
+    gm = panel.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum(d6(F.col("x"))).cast("double") / F.count(F.lit(1)), 12)
+        .alias("xb"),
+        F.round(F.sum(d6(F.col("y"))).cast("double") / F.count(F.lit(1)), 12)
+        .alias("yb"),
+    )
+    bm = means(panel, ["b"], "xbb", "ybb")
+    mm = means(panel, ["m"], "xbm", "ybm")
+    dem = (
+        panel.join(F.broadcast(bm), "b")
+        .join(F.broadcast(mm), "m")
+        .crossJoin(F.broadcast(gm))
+        .select(
+            (F.col("x") - F.col("xbb") - F.col("xbm") + F.col("xb")).alias("xt"),
+            (F.col("y") - F.col("ybb") - F.col("ybm") + F.col("yb")).alias("yt"),
+            (F.col("x") - F.col("xb")).alias("xp"),
+            (F.col("y") - F.col("yb")).alias("yp"),
+            "n",
+        )
+    )
+    return dem.agg(
+        F.max("n").alias("n_cells"),
+        F.round(
+            F.sum(d6(F.col("xt") * F.col("yt"))).cast("double")
+            / F.sum(d6(F.col("xt") * F.col("xt"))).cast("double"),
+            9,
+        ).alias("fe_slope"),
+        F.round(
+            F.sum(d6(F.col("xp") * F.col("yp"))).cast("double")
+            / F.sum(d6(F.col("xp") * F.col("xp"))).cast("double"),
+            9,
+        ).alias("pooled_slope"),
+    )

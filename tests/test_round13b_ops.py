@@ -1139,3 +1139,32 @@ def test_rmst_matches_python_km_area(spark):
             rmst += s_prev * (_RMST_TAU - prev_t)
         assert got[cohort][0] == n
         assert abs(got[cohort][1] - rmst) < 1e-6, cohort
+
+
+def test_panel_fe_matches_numpy(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.experiment_queries import (
+        QUERIES as EXP_QUERIES,
+    )
+
+    row = EXP_QUERIES["panel_twoway_fe"](spark, SF_SMOKE).collect()[0]
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").toPandas()
+    part = spark.read.parquet(f"{SF_SMOKE}/part.parquet").toPandas()
+    df = li.merge(part[["p_partkey", "p_brand"]], left_on="l_partkey",
+                  right_on="p_partkey")
+    df["m"] = df["l_shipdate"].map(lambda d: d.year * 12 + d.month)
+    g = df.groupby(["p_brand", "m"]).agg(
+        y=("l_extendedprice", "sum"), x=("l_quantity", "sum")
+    )
+    g["y"] = g["y"].round(2) / 1000
+    g = g.reset_index()
+    xb, yb = g["x"].mean(), g["y"].mean()
+    gb = g.groupby("p_brand")[["x", "y"]].transform("mean")
+    gmn = g.groupby("m")[["x", "y"]].transform("mean")
+    xt = g["x"] - gb["x"] - gmn["x"] + xb
+    yt = g["y"] - gb["y"] - gmn["y"] + yb
+    fe = float((xt * yt).sum() / (xt * xt).sum())
+    xp, yp = g["x"] - xb, g["y"] - yb
+    pooled = float((xp * yp).sum() / (xp * xp).sum())
+    assert row["n_cells"] == len(g)
+    assert abs(row["fe_slope"] - fe) < 1e-6
+    assert abs(row["pooled_slope"] - pooled) < 1e-6
