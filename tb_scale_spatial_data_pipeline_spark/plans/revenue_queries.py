@@ -653,3 +653,85 @@ def q_revenue_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("down")
         .alias("direction"),
     ).orderBy("wk")
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve — the product metric behind payback planning:
+# users are cohorted by FIRST-event week, and each cohort's
+# purchase revenue accumulates over cohort AGE (weeks since
+# signup), reported per cohort-age cell as cumulative revenue per
+# cohort user. Exactness: revenue is a 2-dp decimal rollup, the
+# cumulative step is an ordered decimal window sum, and the single
+# division to per-user LTV rounds at the end. The (cohort, age)
+# lattice is calendar-bounded — the only row-volume pass is the
+# first rollup.
+@_q(
+    "cohort_ltv_curve",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_diff('week', DATE '2024-01-01',
+                            MIN(CAST(ts AS DATE))) AS BIGINT) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM firsts GROUP BY cohort
+    ),
+    rev AS (
+      SELECT f.cohort,
+             CAST(date_diff('week', DATE '2024-01-01', CAST(e.ts AS DATE))
+                  AS BIGINT) - f.cohort AS age,
+             CAST(SUM(CAST(round(e.value, 2) AS DECIMAL(38,2)))
+                  AS DECIMAL(38,2)) AS r
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT r.cohort, r.age, s.n_users,
+           round(CAST(SUM(r.r) OVER (PARTITION BY r.cohort ORDER BY r.age)
+                      AS DOUBLE) / s.n_users, 6) AS cum_ltv_per_user
+    FROM rev r JOIN sizes s ON s.cohort = r.cohort
+    ORDER BY r.cohort, r.age
+    """,
+)
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    week = lambda c: F.floor(  # noqa: E731
+        F.datediff(c.cast("date"), F.lit("2024-01-01").cast("date")) / 7
+    ).cast("bigint")
+    firsts = ev.groupBy("user_id").agg(
+        week(F.min("ts")).alias("cohort")
+    )
+    sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort", (week(F.col("ts")) - F.col("cohort")).alias("age")
+        )
+        .agg(
+            F.sum(F.round(F.col("value"), 2).cast("decimal(38,2)"))
+            .cast("decimal(38,2)")
+            .alias("r")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "age",
+            "n_users",
+            F.round(
+                F.sum("r").over(w).cast("double") / F.col("n_users"), 6
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort", "age")
+    )

@@ -1168,3 +1168,38 @@ def test_panel_fe_matches_numpy(spark):
     assert row["n_cells"] == len(g)
     assert abs(row["fe_slope"] - fe) < 1e-6
     assert abs(row["pooled_slope"] - pooled) < 1e-6
+
+
+def test_cohort_ltv_matches_python(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.revenue_queries import (
+        QUERIES as REV_QUERIES,
+    )
+    import pandas as pd
+
+    rows = REV_QUERIES["cohort_ltv_curve"](spark, SF_SMOKE).collect()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    origin = pd.Timestamp("2024-01-01")
+    wk = ((ev["ts"].dt.normalize() - origin).dt.days // 7).astype(int)
+    ev = ev.assign(wk=wk)
+    cohorts = ev.groupby("user_id")["wk"].min()
+    sizes = cohorts.value_counts()
+    p = ev[ev["event_type"] == "purchase"].copy()
+    p["cohort"] = p["user_id"].map(cohorts)
+    p["age"] = p["wk"] - p["cohort"]
+    p["v"] = p["value"].round(2)
+    rev = p.groupby(["cohort", "age"])["v"].sum()
+    got = {(r["cohort"], r["age"]): (r["n_users"], r["cum_ltv_per_user"])
+           for r in rows}
+    expect = {}
+    for cohort, grp in rev.groupby(level=0):
+        cum = 0.0
+        for (c, age), v in grp.items():
+            cum += v
+            expect[(c, age)] = (
+                int(sizes[c]),
+                round(cum / sizes[c], 6),
+            )
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0]
+        assert abs(got[k][1] - expect[k][1]) < 1e-6
