@@ -2840,3 +2840,93 @@ def q_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weibull reliability fit by median-rank regression — the standard
+# engineering estimate of failure-time shape/scale when you want the
+# Weibull PLOT, not an MLE: uncensored user lifetimes t_(i) (days
+# from first to last event, zero-lifetime users excluded as
+# instantaneous) get Bernard median ranks F_i = (i - 0.3)/(n + 0.4),
+# and ln(-ln(1 - F_i)) regresses on ln t_(i); slope = shape k,
+# exp(-icpt/k) = scale lambda. Order statistics are exact (window
+# rank, full tiebreak); the regression is the lockstep closed form
+# (1e-12-lattice log terms, decimal sufficient statistics). Output:
+# k, lambda, and n.
+@_q(
+    "weibull_fit_lifetimes",
+    """
+    WITH life AS (
+      SELECT user_id,
+             CAST(datediff('day', CAST(MIN(ts) AS DATE),
+                           CAST(MAX(ts) AS DATE)) AS BIGINT) AS t
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT CAST(t AS DOUBLE) AS t,
+             row_number() OVER (ORDER BY t, user_id) AS i,
+             COUNT(*) OVER () AS n
+      FROM life WHERE t > 0
+    ),
+    obs AS (
+      SELECT ln(t) AS lx,
+             ln(-ln(1 - (i - 0.3) / (n + 0.4))) AS ly
+      FROM ranked
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+             CAST(SUM(CAST(round(lx, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(round(lx * lx, 12) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(round(ly, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(round(lx * ly, 12) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS sxy
+      FROM obs
+    )
+    SELECT nn AS n_lifetimes,
+           round((nn * sxy - sx * sy) / (nn * sxx - sx * sx), 6)
+             AS shape_k,
+           round(exp(-((sy - (nn * sxy - sx * sy)
+                        / (nn * sxx - sx * sx) * sx) / nn)
+                     / ((nn * sxy - sx * sy) / (nn * sxx - sx * sx))), 6)
+             AS scale_lambda
+    FROM mom
+    """,
+)
+def q_weibull_fit_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.datediff(F.max("ts").cast("date"), F.min("ts").cast("date"))
+        .cast("bigint")
+        .alias("t")
+    ).where(F.col("t") > 0)
+    w = Window.orderBy("t", "user_id")
+    wn = Window.partitionBy()
+    ranked = life.select(
+        F.col("t").cast("double").alias("t"),
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    obs = ranked.select(
+        F.log("t").alias("lx"),
+        F.log(
+            -F.log(1 - (F.col("i") - 0.3) / (F.col("n") + 0.4))
+        ).alias("ly"),
+    )
+    d12 = lambda c: F.round(c, 12).cast("decimal(38,12)")  # noqa: E731
+    mom = obs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+        F.sum(d12(F.col("lx"))).cast("double").alias("sx"),
+        F.sum(d12(F.col("lx") * F.col("lx"))).cast("double").alias("sxx"),
+        F.sum(d12(F.col("ly"))).cast("double").alias("sy"),
+        F.sum(d12(F.col("lx") * F.col("ly"))).cast("double").alias("sxy"),
+    )
+    slope = (F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    icpt = (F.col("sy") - slope * F.col("sx")) / F.col("nn")
+    return mom.select(
+        F.col("nn").alias("n_lifetimes"),
+        F.round(slope, 6).alias("shape_k"),
+        F.round(F.exp(-icpt / slope), 6).alias("scale_lambda"),
+    )
