@@ -2147,3 +2147,183 @@ def q_lis_value_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy("lis_len")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent by rescaled-range (R/S) analysis (Hurst 1951;
+# Mandelbrot & Wallis 1969) — long-range dependence of the daily
+# order-count series: for window sizes 16/64/256 the series splits
+# into consecutive complete windows, each contributing R/S = (range
+# of cumulative mean-deviations) / (population std); H is the slope
+# of ln(avg R/S) on ln(n). Lockstep float discipline throughout: the
+# cumulative deviation walk is an ORDERED window sum (sequential in
+# both engines, bit-stable), per-window squared deviations and the
+# final R/S enter DECIMAL accumulators on the 1e-9 lattice, and the
+# 3-point slope is closed form. H ~ 0.5 = memoryless; the column
+# ships per window size so the scaling law itself is visible.
+_HURST_NS = (16, 64, 256)
+
+
+def _sql_hurst() -> str:
+    per_n = []
+    for n in _HURST_NS:
+        per_n.append(f"""
+      SELECT {n} AS wn, w, d,
+             CAST(x AS DOUBLE) AS x,
+             COUNT(*) OVER (PARTITION BY w) AS cnt
+      FROM (SELECT d // {n} AS w, d, x FROM daily)""")
+    un = "\n      UNION ALL\n      ".join(per_n)
+    return f"""
+    WITH raw AS (
+      SELECT CAST(date_diff('day', (SELECT min(o_orderdate) FROM orders),
+                            o_orderdate) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    daily AS (
+      -- dense day spine: missing days are true zeros of the series
+      SELECT t.d, COALESCE(raw.x, 0) AS x
+      FROM (SELECT unnest(generate_series(0, (SELECT max(d) FROM raw)))
+              AS d) t
+      LEFT JOIN raw ON raw.d = t.d
+    ),
+    winx AS ({un}
+    ),
+    full_w AS (
+      SELECT wn, w, d, x,
+             AVG(x) OVER (PARTITION BY wn, w) AS mu
+      FROM winx WHERE cnt = wn
+    ),
+    walk AS (
+      SELECT wn, w,
+             SUM(x - mu) OVER (PARTITION BY wn, w ORDER BY d) AS z,
+             x, mu
+      FROM full_w
+    ),
+    per_window AS (
+      SELECT wn, w,
+             MAX(z) - MIN(z) AS r,
+             sqrt(CAST(SUM(CAST(round((x - mu) * (x - mu), 9)
+                                AS DECIMAL(38,9))) AS DOUBLE) / wn) AS s
+      FROM walk GROUP BY wn, w
+    ),
+    rs AS (
+      SELECT wn, CAST(COUNT(*) AS BIGINT) AS n_windows,
+             round(CAST(SUM(CAST(round(r / s, 9) AS DECIMAL(38,9)))
+                        AS DOUBLE) / COUNT(*), 9) AS avg_rs
+      FROM per_window WHERE s > 0 GROUP BY wn
+    ),
+    fit AS (
+      SELECT round((COUNT(*) * SUM(CAST(round(ln(wn) * ln(avg_rs), 12)
+                                        AS DECIMAL(38,12)))
+                    - SUM(CAST(round(ln(wn), 12) AS DECIMAL(38,12)))
+                      * SUM(CAST(round(ln(avg_rs), 12) AS DECIMAL(38,12))))
+                   / (COUNT(*) * SUM(CAST(round(ln(wn) * ln(wn), 12)
+                                          AS DECIMAL(38,12)))
+                      - SUM(CAST(round(ln(wn), 12) AS DECIMAL(38,12)))
+                        * SUM(CAST(round(ln(wn), 12) AS DECIMAL(38,12)))),
+                   6) AS hurst
+      FROM rs
+    )
+    SELECT CAST(rs.wn AS BIGINT) AS window_n, rs.n_windows, rs.avg_rs,
+           fit.hurst
+    FROM rs CROSS JOIN fit ORDER BY window_n
+    """
+
+
+@_q("hurst_exponent_rs", _sql_hurst())
+def q_hurst_exponent_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    dmin = orders.agg(F.min("o_orderdate").alias("dmin"))
+    raw = (
+        orders.crossJoin(F.broadcast(dmin))
+        .groupBy(
+            F.datediff(F.col("o_orderdate"), F.col("dmin"))
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    # dense day spine: missing days are true zeros of the series
+    spine = raw.agg(F.max("d").alias("dmax")).select(
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("dmax"))).alias(
+            "d"
+        )
+    )
+    daily = (
+        spine.join(raw, "d", "left")
+        .select("d", F.coalesce(F.col("x"), F.lit(0)).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    parts = []
+    for n in _HURST_NS:
+        parts.append(
+            daily.select(
+                F.lit(n).alias("wn"),
+                F.floor(F.col("d") / n).alias("w"),
+                "d",
+                F.col("x").cast("double").alias("x"),
+            ).withColumn(
+                "cnt", F.count(F.lit(1)).over(Window.partitionBy("w"))
+            ).where(F.col("cnt") == n)
+        )
+    winx = parts[0]
+    for p_ in parts[1:]:
+        winx = winx.unionByName(p_)
+    wpm = Window.partitionBy("wn", "w")
+    full_w = winx.withColumn("mu", F.avg("x").over(wpm))
+    wz = Window.partitionBy("wn", "w").orderBy("d")
+    walk = full_w.withColumn(
+        "z", F.sum(F.col("x") - F.col("mu")).over(wz)
+    )
+    d9 = lambda c: F.round(c, 9).cast("decimal(38,9)")  # noqa: E731
+    per_window = walk.groupBy("wn", "w").agg(
+        (F.max("z") - F.min("z")).alias("r"),
+        F.sqrt(
+            F.sum(d9((F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))))
+            .cast("double")
+            / F.col("wn")
+        ).alias("s"),
+    )
+    rs = (
+        per_window.where(F.col("s") > 0)
+        .groupBy("wn")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.round(
+                F.sum(d9(F.col("r") / F.col("s"))).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("avg_rs"),
+        )
+    )
+    d12 = lambda c: F.round(c, 12).cast("decimal(38,12)")  # noqa: E731
+    fit = rs.agg(
+        F.round(
+            (
+                F.count(F.lit(1))
+                * F.sum(d12(F.log(F.col("wn")) * F.log(F.col("avg_rs"))))
+                .cast("double")
+                - F.sum(d12(F.log(F.col("wn")))).cast("double")
+                * F.sum(d12(F.log(F.col("avg_rs")))).cast("double")
+            )
+            / (
+                F.count(F.lit(1))
+                * F.sum(d12(F.log(F.col("wn")) * F.log(F.col("wn"))))
+                .cast("double")
+                - F.sum(d12(F.log(F.col("wn")))).cast("double")
+                * F.sum(d12(F.log(F.col("wn")))).cast("double")
+            ),
+            6,
+        ).alias("hurst")
+    )
+    return (
+        rs.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("wn").cast("bigint").alias("window_n"),
+            "n_windows",
+            "avg_rs",
+            "hurst",
+        )
+        .orderBy("window_n")
+    )

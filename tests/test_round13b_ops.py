@@ -1203,3 +1203,53 @@ def test_cohort_ltv_matches_python(spark):
     for k in expect:
         assert got[k][0] == expect[k][0]
         assert abs(got[k][1] - expect[k][1]) < 1e-6
+
+
+def test_weibull_fit_matches_numpy(spark):
+    row = STATS_QUERIES["weibull_fit_lifetimes"](spark, SF_SMOKE).collect()[0]
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    g = ev.groupby("user_id")["ts"]
+    t_ = (g.max().dt.normalize() - g.min().dt.normalize()).dt.days
+    t_ = np.sort(t_[t_ > 0].to_numpy(dtype=float))
+    n = len(t_)
+    i = np.arange(1, n + 1)
+    lx = np.log(t_)
+    ly = np.log(-np.log(1 - (i - 0.3) / (n + 0.4)))
+    slope, icpt = np.polyfit(lx, ly, 1)
+    assert row["n_lifetimes"] == n
+    assert abs(row["shape_k"] - slope) < 1e-4
+    assert abs(row["scale_lambda"] - np.exp(-icpt / slope)) < 1e-3
+    assert row["shape_k"] > 0 and row["scale_lambda"] > 0
+
+
+def test_hurst_rs_matches_numpy(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.timeseries_queries import (
+        _HURST_NS,
+        QUERIES as TSQ,
+    )
+
+    rows = TSQ["hurst_exponent_rs"](spark, SF_SMOKE).collect()
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    d0 = orders["o_orderdate"].min()
+    idx = (orders["o_orderdate"] - d0).dt.days
+    x = np.zeros(int(idx.max()) + 1)
+    for i in idx:
+        x[i] += 1
+    got = {r["window_n"]: (r["n_windows"], r["avg_rs"]) for r in rows}
+    lx, ly = [], []
+    for n in _HURST_NS:
+        rss = []
+        for w in range(len(x) // n):
+            seg = x[w * n : (w + 1) * n]
+            mu = seg.mean()
+            z = np.cumsum(seg - mu)
+            s = np.sqrt(((seg - mu) ** 2).sum() / n)
+            if s > 0:
+                rss.append((z.max() - z.min()) / s)
+        assert got[n][0] == len(rss)
+        assert abs(got[n][1] - np.mean(rss)) < 1e-6
+        lx.append(np.log(n))
+        ly.append(np.log(np.mean(rss)))
+    h = np.polyfit(lx, ly, 1)[0]
+    assert abs(rows[0]["hurst"] - h) < 1e-4
+    assert 0.0 < rows[0]["hurst"] < 1.0
