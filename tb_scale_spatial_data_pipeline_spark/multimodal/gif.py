@@ -8,8 +8,10 @@ decompressor (CompuServe GIF LZW: initial code size from the stream,
 CLEAR resets the table, EOI terminates, code width grows after the
 table reaches 2^width up to the 12-bit cap, little-endian bit
 packing across 255-byte sub-blocks). Output is HxWx3 RGB uint8 via
-the palette; interlaced images and animations return None (out of
-scope, documented).
+the palette; interlaced images return None (out of scope), and for
+animated GIF89a streams only the FIRST frame is decoded — extension
+blocks (including Graphic Control) are skipped and parsing stops at
+the first image descriptor, so later frames are never read.
 
 Encoder: the exact forward twin for fixture payloads — builds an
 exact palette from the image's unique colors (the fixture images are

@@ -5,9 +5,10 @@ Example counts are small — each example runs real Spark jobs."""
 from __future__ import annotations
 
 import math
+import sys
 
 import pyspark.sql.functions as F
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from tb_scale_spatial_data_pipeline_spark.operators.skew import salted_agg
@@ -112,10 +113,17 @@ def test_halo_core_partition_property(spark, xs):
     a=st.lists(finite_floats, min_size=2, max_size=8),
     b=st.lists(finite_floats, min_size=2, max_size=8),
 )
+@example(a=[0.0, 1.0, 82478.0], b=[0.0, 1.0, 82478.0])
 @_settings
 def test_vector_identities(spark, a, b):
     """dot/norm identities: |dot(a,b)| <= |a||b| (Cauchy-Schwarz) and
-    l2_distance² == |a|² + |b|² - 2·dot within fp tolerance."""
+    l2_distance² == |a|² + |b|² - 2·dot within fp tolerance.
+
+    Tolerance must scale with the TERM magnitudes (na²+nb²), not the
+    possibly-cancelled result: for a == b the identity cancels to ~0
+    while sqrt(x)² alone carries ~x·eps absolute error, so a tolerance
+    proportional to |rhs| is unsatisfiable under catastrophic
+    cancellation (found by Hypothesis at a=b=[0,1,82478])."""
     import math
 
     from tb_scale_spatial_data_pipeline_spark.functions.vectors import (
@@ -136,7 +144,11 @@ def test_vector_identities(spark, a, b):
     assert abs(r["d"]) <= r["na"] * r["nb"] * (1 + 1e-9) + 1e-9
     lhs = r["dist"] ** 2
     rhs = r["na"] ** 2 + r["nb"] ** 2 - 2 * r["d"]
-    assert math.isclose(lhs, rhs, rel_tol=1e-6, abs_tol=1e-6 * max(1.0, abs(rhs)))
+    # abs_tol scaled by term magnitudes: each of na², nb², 2·dot carries
+    # O(eps)·magnitude rounding, which survives even when rhs cancels to 0.
+    scale = r["na"] ** 2 + r["nb"] ** 2 + 2 * abs(r["d"])
+    abs_tol = max(1e-9, 16 * sys.float_info.epsilon * scale)
+    assert math.isclose(lhs, rhs, rel_tol=1e-6, abs_tol=abs_tol)
 
 
 @given(data=st.binary(min_size=0, max_size=4000))
