@@ -31,9 +31,16 @@ def train_rf(
     num_trees: int = RF_NUM_TREES,
     max_depth: int = RF_MAX_DEPTH,
     seed: int = RF_SEED,
+    feature_subset_strategy: str | None = None,
 ) -> PipelineModel:
     """M2/M3: assemble features → RandomForest fit, with the
-    reference's hyperparameters as defaults."""
+    reference's hyperparameters as defaults.
+
+    ``feature_subset_strategy`` passes through to Spark's
+    ``featureSubsetStrategy`` (default ``auto`` = sqrt per node);
+    ``"all"`` makes every tree's greedy split deterministic over the
+    full feature set — used by the exact-lattice pipeline twin where
+    unanimous, provably-correct votes are required."""
     assembler = VectorAssembler(
         inputCols=feature_cols, outputCol="features", handleInvalid="keep"
     )
@@ -44,6 +51,8 @@ def train_rf(
         maxDepth=max_depth,
         seed=seed,
     )
+    if feature_subset_strategy is not None:
+        rf.setFeatureSubsetStrategy(feature_subset_strategy)
     return Pipeline(stages=[assembler, rf]).fit(df)
 
 

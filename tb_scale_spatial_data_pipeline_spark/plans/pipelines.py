@@ -157,7 +157,39 @@ def _build_e1(spark: SparkSession) -> DataFrame:
 # pixel_classifier_stream.py`): RF inference over the pixel feature
 # stack + heuristic CASE relabeling. Labels for training are a
 # deterministic function of the synthetic scene geometry.
-@_q("pipeline_pixel_classification")
+#
+# r14: oracle-paired (was rows-only). The fixture is a discrete
+# integer lattice — b1/b2/b3 take values {0, 64, 128, 192} as exact
+# doubles, the label is a threshold decision list on b1/b2, and the
+# (x+y)%3==0 training split covers ALL 16 distinct (b1, b2) feature
+# vectors (x ≡ a, y ≡ b mod 4 with i+j ≡ -(a+b) mod 3 is always
+# solvable on a 64×64 grid). With featureSubsetStrategy="all" every
+# tree's greedy split sequence is deterministic over a perfectly
+# separable training set, so every scored point lands in a pure,
+# correctly-labeled leaf of every tree: prediction == the generating
+# CASE rule and confidence == exactly 1.0, unanimously. The SQL twin
+# is therefore the closed-form rule; tests/test_pipelines.py asserts
+# the unanimity invariant so any Spark-ML behavior drift is caught
+# locally before the driver sweep.
+# With conf == 1.0 the solar/shadow relabel (P9) reduces to
+# SHADOW(16) → URBAN(2); SOLAR(12) keeps (conf ≥ 0.60).
+@_q(
+    "pipeline_pixel_classification",
+    """
+    WITH px AS (
+      SELECT CAST(i % 64 AS BIGINT) AS x,
+             CAST(i // 64 AS BIGINT) AS y
+      FROM range(4096) t(i)
+    )
+    SELECT x, y,
+           CAST(CASE WHEN x % 4 = 3 THEN 12
+                     WHEN y % 4 = 3 THEN 16
+                     ELSE 2 END AS INTEGER) AS pred,
+           CAST(CASE WHEN x % 4 = 3 THEN 12 ELSE 2 END AS INTEGER)
+             AS final_label
+    FROM px ORDER BY x, y
+    """,
+)
 def e2_pixel_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 stage product, memoized on disk — the (eager) RF fit only
     runs when the stage is missing."""
@@ -169,13 +201,33 @@ def e2_pixel_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _build_e2(spark: SparkSession) -> DataFrame:
     from ..ml.classify import predict, train_rf
 
-    px = synthetic_raster(spark, 64, 64, bands=3)
+    px = (
+        spark.range(4096)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            F.expr("id div 64").alias("y"),
+        )
+        .select(
+            "x",
+            "y",
+            ((F.col("x") % 4) * 64).cast("double").alias("b1"),
+            ((F.col("y") % 4) * 64).cast("double").alias("b2"),
+            (((F.col("x") + F.col("y")) % 4) * 64).cast("double").alias("b3"),
+        )
+    )
     labeled = px.withColumn(
         "label",
         F.when(F.col("b1") > 150, 12).when(F.col("b2") > 150, 16).otherwise(2).cast("double"),
     )
     train = labeled.where((F.col("x") + F.col("y")) % 3 == 0)
-    model = train_rf(train, ["b1", "b2", "b3"], "label", num_trees=20, max_depth=8)
+    model = train_rf(
+        train,
+        ["b1", "b2", "b3"],
+        "label",
+        num_trees=20,
+        max_depth=8,
+        feature_subset_strategy="all",
+    )
     scored = predict(model, labeled.drop("label"), out_col="pred")
     out = scored.withColumn(
         "final_label",

@@ -1,0 +1,61 @@
+"""Round-14 operator tests.
+
+E2 exact-lattice pixel classification: the oracle SQL twin is the
+closed-form generating rule, which is only valid while the RF's votes
+are unanimous and correct on the lattice (see plans/pipelines.py
+_build_e2 docblock). This test asserts that invariant directly so any
+Spark-ML behavioral drift (split binning, probability smoothing)
+fails locally before the driver sweep can record a red row.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_e2_rf_unanimous_and_exact(spark):
+    from tb_scale_spatial_data_pipeline_spark.plans.pipelines import _build_e2
+
+    out = _build_e2(spark)
+    # recompute the generating rule and the relabel closed-form
+    rule = out.withColumn(
+        "want_pred",
+        F.when(F.col("x") % 4 == 3, 12).when(F.col("y") % 4 == 3, 16).otherwise(2),
+    ).withColumn(
+        "want_final", F.when(F.col("x") % 4 == 3, 12).otherwise(2)
+    )
+    bad = rule.where(
+        (F.col("pred") != F.col("want_pred"))
+        | (F.col("final_label") != F.col("want_final"))
+    ).count()
+    assert bad == 0
+    assert out.count() == 4096
+
+
+def test_e2_rf_confidence_exactly_one(spark):
+    """Unanimity, not just correctness: every tree's leaf must be pure,
+    so max class probability is exactly 1.0 at every pixel."""
+    from tb_scale_spatial_data_pipeline_spark.ml.classify import predict, train_rf
+
+    px = (
+        spark.range(4096)
+        .select((F.col("id") % 64).alias("x"), F.expr("id div 64").alias("y"))
+        .select(
+            "x",
+            "y",
+            ((F.col("x") % 4) * 64).cast("double").alias("b1"),
+            ((F.col("y") % 4) * 64).cast("double").alias("b2"),
+            (((F.col("x") + F.col("y")) % 4) * 64).cast("double").alias("b3"),
+        )
+    )
+    labeled = px.withColumn(
+        "label",
+        F.when(F.col("b1") > 150, 12).when(F.col("b2") > 150, 16).otherwise(2).cast("double"),
+    )
+    train = labeled.where((F.col("x") + F.col("y")) % 3 == 0)
+    model = train_rf(
+        train, ["b1", "b2", "b3"], "label",
+        num_trees=20, max_depth=8, feature_subset_strategy="all",
+    )
+    scored = predict(model, labeled.drop("label"), out_col="pred")
+    assert scored.where(F.col("pred_conf") != 1.0).count() == 0
