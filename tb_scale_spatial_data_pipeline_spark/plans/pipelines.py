@@ -1617,6 +1617,81 @@ def q_stream_late_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Session-window + watermark LATE-DATA semantics (r14, SURVEY §7 hard
+# part 5): append-mode session windows over a deterministic three-batch
+# replay with one provably dropped late row and a watermark-advancing
+# sentinel. The twin replays Spark's TWO-watermark discipline
+# (SPARK-40925) relationally: a row is kept iff its tentative session
+# end (ts + gap) clears the FILTERING watermark of its batch — the
+# watermark computed from batches AT LEAST TWO positions earlier
+# (filtering lags eviction by one batch) — and a session is emitted
+# iff its window end closed below the FINAL watermark. All fixture
+# boundaries carry >= 5 min slack so <= vs < edge semantics cannot
+# flip a row. Full design notes (incl. why no pre-agg user filter is
+# possible: Catalyst pushes it below EventTimeWatermark):
+# streaming/events.py stream_session_window_late_data.
+@_q(
+    "session_window_late_data",
+    """
+    WITH raw(batch, user_id, ts) AS (
+      VALUES
+        (1,  1, TIMESTAMP '2024-01-01 10:00:00'),
+        (1,  1, TIMESTAMP '2024-01-01 10:05:00'),
+        (1,  2, TIMESTAMP '2024-01-01 10:02:00'),
+        (1, -1, TIMESTAMP '2024-01-01 12:00:00'),
+        (2,  3, TIMESTAMP '2024-01-01 12:01:00'),
+        (3,  1, TIMESTAMP '2024-01-01 10:08:00'),
+        (3,  2, TIMESTAMP '2024-01-01 12:05:00')
+    ),
+    batch_max AS (SELECT batch, max(ts) AS mx FROM raw GROUP BY batch),
+    kept AS (
+      SELECT r.user_id, r.ts
+      FROM raw r
+      WHERE ((SELECT max(mx) FROM batch_max p WHERE p.batch <= r.batch - 2)
+               IS NULL
+             OR r.ts + INTERVAL 30 MINUTE
+                > (SELECT max(mx) FROM batch_max p
+                   WHERE p.batch <= r.batch - 2)
+                  - INTERVAL 10 MINUTE)
+    ),
+    fw AS (SELECT max(mx) - INTERVAL 10 MINUTE AS wm FROM batch_max),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM kept
+    ),
+    ids AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    agg AS (
+      SELECT user_id,
+             min(ts) AS s_start,
+             max(ts) + INTERVAL 30 MINUTE AS s_end,
+             count(*) AS n_events
+      FROM ids GROUP BY user_id, sid
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           strftime(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM agg WHERE s_end < (SELECT wm FROM fw)
+    ORDER BY user_id, session_start
+    """,
+)
+def q_session_window_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import stream_session_window_late_data
+
+    return stream_session_window_late_data(spark)
+
+
+# ---------------------------------------------------------------------------
 # Zonal majority (mode) filter — the LULC post-classification staple
 # (the reference's domain: smooth a pixel classification by assigning
 # each zone its most frequent class). Classes come from the engine's

@@ -888,3 +888,103 @@ def stream_late_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wstart")
     )
+
+
+def stream_session_window_late_data(spark: SparkSession) -> DataFrame:
+    """Session windows (30-min gap) in APPEND mode over a three-batch
+    replay with an explicitly late, explicitly DROPPED row — SURVEY §7
+    hard part 5's thinnest evidence, made deterministic end to end.
+
+    Fixture (staged as three single-file parquets with increasing
+    mtimes and streamed with maxFilesPerTrigger=1, so FileStreamSource's
+    (mtime, path) order makes each file one micro-batch):
+
+      batch 1: user 1 @ 10:00, 10:05  | user 2 @ 10:02
+               sentinel user -1 @ 12:00 (watermark advancer)
+      batch 2: user 3 @ 12:01 — a neutral spacer. Spark's
+               TWO-watermark discipline (SPARK-40925) filters late
+               records with the PREVIOUS batch's watermark and evicts
+               with the current one, so the advancer needs one full
+               batch of lag before its watermark governs late-record
+               filtering. During THIS batch the eviction watermark is
+               already 12:00 - 10 min = 11:50, so both 10:0x sessions
+               close and emit here — before the late row ever arrives.
+      batch 3: user 1 @ 10:08  <- LATE: its tentative session ends
+               10:38, below the batch-3 FILTERING watermark 11:50 ->
+               dropped by the state op (numRowsDroppedByWatermark = 1)
+               user 2 @ 12:05  <- on time, opens a new session
+
+    Append mode therefore emits exactly user 1 [10:00, 10:35) n=2
+    (the late 10:08 did NOT extend it — without the drop the emitted
+    row would read [10:00, 10:38) n=3) and user 2 [10:02, 10:32) n=1.
+    The sentinel's, spacer's and user 2's 12:0x sessions end above the
+    final watermark (11:55) and stay in state, unemitted. No pre-agg
+    user filter is applied: Catalyst pushes any non-time predicate
+    below EventTimeWatermark, which would silence the advancer
+    (observed: filtering wm 09:55 instead of 11:50); none is needed,
+    since unclosed sessions cannot be emitted. Every boundary carries
+    >= 5 min of slack, so <= vs < edge semantics cannot flip a row.
+    The SQL twin replays the same per-batch watermark arithmetic
+    relationally, including the one-batch filtering lag.
+    """
+    import os
+    import shutil
+    import uuid as _uuid
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    def _ts(h: int, m: int) -> datetime:
+        return datetime(2024, 1, 1, h, m, 0)
+
+    batches = [
+        [(1, _ts(10, 0)), (1, _ts(10, 5)), (2, _ts(10, 2)), (-1, _ts(12, 0))],
+        [(3, _ts(12, 1))],
+        [(1, _ts(10, 8)), (2, _ts(12, 5))],
+    ]
+    schema = pa.schema(
+        [pa.field("user_id", pa.int64()), pa.field("ts", pa.timestamp("us"))]
+    )
+    d = f"/tmp/spark_graft_sess_late_{_uuid.uuid4().hex[:12]}"
+    os.makedirs(d)
+    try:
+        for k, rows in enumerate(batches):
+            dst = f"{d}/batch_{k}.parquet"
+            _pq.write_table(
+                pa.table(
+                    {"user_id": [r[0] for r in rows], "ts": [r[1] for r in rows]},
+                    schema=schema,
+                ),
+                dst,
+            )
+            os.utime(dst, (1700000000 + k * 1000,) * 2)
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_start"
+                ),
+                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_end"
+                ),
+                "n_events",
+            )
+        )
+        drained = run_stream_to_table(agg, "append")
+        # the memory sink outlives the staged dir; materialize rows now
+        out = spark.createDataFrame(
+            drained.collect(), "user_id bigint, session_start string, "
+            "session_end string, n_events bigint"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out.orderBy("user_id", "session_start")

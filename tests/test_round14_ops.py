@@ -59,3 +59,19 @@ def test_e2_rf_confidence_exactly_one(spark):
     )
     scored = predict(model, labeled.drop("label"), out_col="pred")
     assert scored.where(F.col("pred_conf") != 1.0).count() == 0
+
+
+def test_session_window_late_row_dropped(spark):
+    """The late 10:08 row must NOT extend user 1's already-closed
+    session: emitted row is [10:00, 10:35) n=2. If Spark's watermark
+    filtering regressed (or the batch staging collapsed into one
+    micro-batch), the row would read [10:00, 10:38) n=3 instead."""
+    from tb_scale_spatial_data_pipeline_spark.streaming.events import (
+        stream_session_window_late_data,
+    )
+
+    rows = [tuple(r) for r in stream_session_window_late_data(spark).collect()]
+    assert rows == [
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:35:00", 2),
+        (2, "2024-01-01 10:02:00", "2024-01-01 10:32:00", 1),
+    ]
