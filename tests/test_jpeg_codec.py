@@ -248,3 +248,56 @@ def test_422_subsampling_roundtrip():
         encode_jpeg_baseline(noisy, quality=95, subsample="422")
     )
     assert d2 is not None and d2.shape == (11, 13, 3)
+
+
+def test_restart_markers_roundtrip_all_subsampling():
+    """DRI > 0: encoder emits a DRI segment + RSTn every N MCUs with
+    DC-predictor resets; the decoder's restart path must reproduce the
+    same pixels as the DRI=0 encoding of the same image (r12 VERDICT
+    item 7: no test exercised restart intervals before r14)."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    for subsample in ("444", "422", "420"):
+        plain = decode_jpeg_baseline(
+            encode_jpeg_baseline(img, quality=85, subsample=subsample)
+        )
+        for dri in (1, 2, 3, 5):
+            enc = encode_jpeg_baseline(
+                img, quality=85, subsample=subsample, restart_interval=dri
+            )
+            assert b"\xff\xdd" in enc  # DRI segment present
+            assert any(bytes([0xFF, 0xD0 + k]) in enc for k in range(8))
+            dec = decode_jpeg_baseline(enc)
+            assert dec is not None
+            # restart markers change entropy segmentation only, never
+            # the coefficients: output must be IDENTICAL to DRI=0
+            assert np.array_equal(dec, plain)
+
+
+def test_restart_markers_grayscale_and_cycle_wrap():
+    """A small interval on a wide grayscale image wraps the RSTn index
+    past 7 (D0..D7 cycle) — the decoder must follow the modulo-8
+    marker sequence."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (16, 160), dtype=np.uint8)  # 40 MCUs
+    enc = encode_jpeg_baseline(img, quality=90, restart_interval=2)
+    # 19 restarts -> indices 0..7,0..7,0..2: all eight markers appear
+    for k in range(8):
+        assert bytes([0xFF, 0xD0 + k]) in enc
+    plain = decode_jpeg_baseline(encode_jpeg_baseline(img, quality=90))
+    dec = decode_jpeg_baseline(enc)
+    assert dec is not None and np.array_equal(dec, plain)
+
+
+def test_restart_interval_dc_reset_bit_exact_blocks():
+    """Block-constant fixture: with DC predictors reset at every
+    restart the round-trip must still be bit-exact (same contract as
+    test_grayscale_block_constant_roundtrip_bit_exact, now crossing
+    restart boundaries)."""
+    img = np.repeat(
+        np.repeat(np.arange(12, dtype=np.uint8).reshape(3, 4) * 20, 8, 0), 8, 1
+    )
+    enc = encode_jpeg_baseline(img, quality=90, restart_interval=1)
+    dec = decode_jpeg_baseline(enc)
+    assert dec is not None
+    assert (dec == np.repeat(img[:, :, None], 3, axis=2)).all()
