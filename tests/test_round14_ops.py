@@ -75,3 +75,43 @@ def test_session_window_late_row_dropped(spark):
         (1, "2024-01-01 10:00:00", "2024-01-01 10:35:00", 2),
         (2, "2024-01-01 10:02:00", "2024-01-01 10:32:00", 1),
     ]
+
+
+def test_knox_time_stage_candidates_are_theta_of_answer(spark):
+    """knox_space_time's residual cost is the n_time_close +-1-bucket
+    join (PLANS.md r13 scaling table). Its Theta(answer) claim, stated
+    structurally and load-independently: candidate pairs enumerated by
+    the bucket blocking must be within a constant factor of qualifying
+    pairs (measured 1.50x at sf0.01 AND sf0.1; homogeneous arrivals
+    give ~3 buckets probed per ~2-bucket qualifying window). A plan
+    change that reintroduces density-quadratic enumeration (e.g. AQE
+    coalescing to one partition, or losing the bucket join) blows this
+    ratio up long before wall-clock tests would notice."""
+    sf = "/root/testdata/sf0.001"
+    evt = spark.read.parquet(f"{sf}/events.parquet").select("event_id", "ts")
+    tms = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast(
+        "bigint"
+    )
+    tbk = evt.select("event_id", tms.alias("tms")).select(
+        "event_id", "tms", F.expr("tms div 3600000").alias("bkt")
+    )
+    toffs = spark.range(-1, 2).select(F.col("id").alias("dt"))
+    tprobe = tbk.crossJoin(F.broadcast(toffs)).select(
+        F.col("event_id").alias("ia"),
+        F.col("tms").alias("ta"),
+        (F.col("bkt") + F.col("dt")).alias("nbkt"),
+    )
+    tside = tbk.select(
+        F.col("event_id").alias("ib"),
+        F.col("tms").alias("tb"),
+        F.col("bkt").alias("nbkt"),
+    )
+    j = tprobe.join(tside, "nbkt").where(F.col("ia") < F.col("ib"))
+    r = j.agg(
+        F.count(F.lit(1)).alias("cand"),
+        F.sum(
+            F.when(F.abs(F.col("ta") - F.col("tb")) <= 3600000, 1).otherwise(0)
+        ).alias("qual"),
+    ).first()
+    assert r["qual"] > 0
+    assert r["cand"] <= 3.0 * r["qual"]
