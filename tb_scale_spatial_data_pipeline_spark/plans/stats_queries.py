@@ -2930,3 +2930,568 @@ def q_weibull_fit_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("shape_k"),
         F.round(F.exp(-icpt / slope), 6).alias("scale_lambda"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank test (Wilcoxon 1945) — the PAIRED counterpart
+# of mann_whitney_u: per-customer order counts in 1995 vs 1996, zero
+# differences dropped, |d| average-ranked with the tie correction.
+# Exactness ladder: d is an integer count difference; DOUBLED average
+# ranks 2r = 2·cum_before + t + 1 stay integer, so W2 = 2·W+ and the
+# tie term Σ(t³−t) are exact BIGINT/HUGEINT sums; z is one closed-form
+# double expression from exact integers. Plan: one groupBy(custkey)
+# aggregate, one per-distinct-|d| window (cardinality = |distinct
+# diffs|, not customers), one 1-row reduce — the MWU shuffle shape.
+@_q(
+    "wilcoxon_signed_rank",
+    """
+    WITH pair AS (
+      SELECT o_custkey,
+             COUNT(*) FILTER (WHERE EXTRACT(year FROM o_orderdate) = 1995)
+               AS a,
+             COUNT(*) FILTER (WHERE EXTRACT(year FROM o_orderdate) = 1996)
+               AS b
+      FROM orders GROUP BY 1
+    ),
+    dd AS (
+      SELECT CAST(a AS BIGINT) - CAST(b AS BIGINT) AS d
+      FROM pair WHERE a <> b
+    ),
+    per_v AS (
+      SELECT abs(d) AS v, COUNT(*) AS t,
+             COUNT(*) FILTER (WHERE d > 0) AS tp
+      FROM dd GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, t, tp,
+             COALESCE(SUM(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM per_v
+    ),
+    agg AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n,
+             CAST(SUM(tp * (2 * cb + t + 1)) AS BIGINT) AS w2,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+      FROM cum
+    )
+    SELECT n AS n_pairs,
+           CAST(w2 AS DOUBLE) / 2 AS w_plus,
+           round((CAST(w2 AS DOUBLE) - CAST(n * (n + 1) AS DOUBLE) / 2)
+                 / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 6
+                        - CAST(ties AS DOUBLE) / 12), 6) AS z_stat
+    FROM agg
+    """,
+)
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    pair = o.groupBy("o_custkey").agg(
+        F.sum(F.when(yr == 1995, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(yr == 1996, 1).otherwise(0)).alias("b"),
+    )
+    dd = pair.where(F.col("a") != F.col("b")).select(
+        (F.col("a").cast("bigint") - F.col("b").cast("bigint")).alias("d")
+    )
+    per_v = dd.groupBy(F.abs(F.col("d")).alias("v")).agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("tp"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_v.select(
+        "v", "t", "tp", F.coalesce(F.sum("t").over(w), F.lit(0)).alias("cb")
+    )
+    agg = cum.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(F.col("tp") * (2 * F.col("cb") + F.col("t") + 1))
+        .cast("bigint")
+        .alias("w2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("ties"),
+    )
+    n = F.col("n")
+    return agg.select(
+        n.alias("n_pairs"),
+        (F.col("w2").cast("double") / 2).alias("w_plus"),
+        F.round(
+            (F.col("w2").cast("double") - (n * (n + 1)).cast("double") / 2)
+            / F.sqrt(
+                n.cast("double") * (n + 1) * (2 * n + 1) / 6
+                - F.col("ties").cast("double") / 12
+            ),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2x2 contingency battery — odds ratio, two-proportion z, and the
+# Yates-corrected chi-square on one table: BUILDING-segment membership
+# x urgent-priority orders. All three statistics are single closed
+# forms over four exact BIGINT cell counts; one join + one scan.
+@_q(
+    "two_by_two_tests",
+    """
+    WITH cells AS (
+      SELECT
+        CAST(SUM(CASE WHEN seg = 1 AND urgent = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN seg = 1 AND urgent = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN seg = 0 AND urgent = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN seg = 0 AND urgent = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS d
+      FROM (
+        SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                 AS seg,
+               CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                 AS urgent
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      )
+    )
+    SELECT a, b, c, d,
+           round(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6)
+             AS odds_ratio,
+           round((CAST(a AS DOUBLE) / (a + b) - CAST(c AS DOUBLE) / (c + d))
+                 / sqrt((CAST(a + c AS DOUBLE) / (a + b + c + d))
+                        * (1 - CAST(a + c AS DOUBLE) / (a + b + c + d))
+                        * (1.0 / (a + b) + 1.0 / (c + d))), 6) AS z_prop,
+           round(CAST(a + b + c + d AS DOUBLE)
+                 * POWER(abs(CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+                         - CAST(a + b + c + d AS DOUBLE) / 2, 2)
+                 / (CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)),
+                 6) AS chi2_yates
+    FROM cells
+    """,
+)
+def q_two_by_two_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    cu = t(spark, sf_dir, "customer")
+    j = o.join(cu, o["o_custkey"] == cu["c_custkey"]).select(
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias(
+            "seg"
+        ),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias(
+            "urgent"
+        ),
+    )
+    cells = j.agg(
+        F.sum(F.when((F.col("seg") == 1) & (F.col("urgent") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when((F.col("seg") == 1) & (F.col("urgent") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("seg") == 0) & (F.col("urgent") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when((F.col("seg") == 0) & (F.col("urgent") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    a, b, c, d = (F.col(x) for x in "abcd")
+    n = a + b + c + d
+    p_pool = (a + c).cast("double") / n
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(a.cast("double") * d / (b.cast("double") * c), 6).alias(
+            "odds_ratio"
+        ),
+        F.round(
+            (a.cast("double") / (a + b) - c.cast("double") / (c + d))
+            / F.sqrt(
+                p_pool
+                * (1 - p_pool)
+                * (F.lit(1.0) / (a + b) + F.lit(1.0) / (c + d))
+            ),
+            6,
+        ).alias("z_prop"),
+        F.round(
+            n.cast("double")
+            * F.pow(
+                F.abs(a.cast("double") * d - b.cast("double") * c)
+                - n.cast("double") / 2,
+                2,
+            )
+            / ((a + b).cast("double") * (c + d) * (a + c) * (b + d)),
+            6,
+        ).alias("chi2_yates"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Negative-binomial method-of-moments fit over per-user event counts —
+# the overdispersion model behind retention/engagement count data
+# (Poisson is rejected when var >> mean; r̂ = m²/(v−m), p̂ = m/v).
+# Exactness: per-user counts are integers; Σc and Σc² are exact
+# BIGINT; m and the UNBIASED v are single closed-form doubles.
+@_q(
+    "negative_binomial_moments",
+    """
+    WITH per_u AS (
+      SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c * c) AS BIGINT) AS ss
+      FROM per_u
+    )
+    SELECT n AS n_users,
+           round(CAST(s AS DOUBLE) / n, 6) AS mean_events,
+           round((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                 / (CAST(n AS DOUBLE) * (n - 1)), 6) AS var_events,
+           round(POWER(CAST(s AS DOUBLE) / n, 2)
+                 / ((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                    / (CAST(n AS DOUBLE) * (n - 1))
+                    - CAST(s AS DOUBLE) / n), 6) AS r_hat,
+           round((CAST(s AS DOUBLE) / n)
+                 / ((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                    / (CAST(n AS DOUBLE) * (n - 1))), 6) AS p_hat
+    FROM mom
+    """,
+)
+def q_negative_binomial_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    per_u = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    mom = per_u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    ss = F.col("ss")
+    m = F.col("s").cast("double") / F.col("n")
+    v = (n * ss - s * F.col("s")) / (n * (F.col("n") - 1))
+    return mom.select(
+        F.col("n").alias("n_users"),
+        F.round(m, 6).alias("mean_events"),
+        F.round(v, 6).alias("var_events"),
+        F.round(F.pow(m, 2) / (v - m), 6).alias("r_hat"),
+        F.round(m / v, 6).alias("p_hat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bartlett's variance-homogeneity test (Bartlett 1937) across order
+# priorities — the parametric sibling of brown_forsythe_test (which
+# see for the robust variant). Per-group (n, Σy, Σy²) accumulate as
+# DECIMAL(38,0) on the cents lattice (Σy² overflows BIGINT); each
+# group's unbiased s²_g = (n·Σy² − (Σy)²)/(n(n−1)) is a double from
+# exact integers; ln() is applied once per group to identical inputs
+# and the k-term sums are round(12)-lattice DECIMAL (order-free).
+# Plan: one scan -> 5-group aggregate -> 1-row closed form.
+@_q(
+    "bartlett_test",
+    """
+    WITH g AS (
+      SELECT o_orderpriority AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS s,
+             SUM(CAST(round(o_totalprice * 100) AS HUGEINT)
+                 * CAST(round(o_totalprice * 100) AS HUGEINT)) AS ss
+      FROM orders GROUP BY 1
+    ),
+    pg AS (
+      SELECT grp, n,
+             (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (n - 1)) AS s2
+      FROM g
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS ntot,
+             CAST(SUM(CAST(round((n - 1) * s2, 6) AS DECIMAL(38,6)))
+               AS DOUBLE) AS pooled_num,
+             CAST(SUM(CAST(round((n - 1) * ln(s2), 12) AS DECIMAL(38,12)))
+               AS DOUBLE) AS sum_lns,
+             CAST(SUM(CAST(round(1.0 / (n - 1), 12) AS DECIMAL(38,12)))
+               AS DOUBLE) AS sum_inv
+      FROM pg
+    )
+    SELECT k AS n_groups, ntot AS n_total,
+           round(((ntot - k) * ln(pooled_num / (ntot - k)) - sum_lns)
+                 / (1 + (sum_inv - 1.0 / (ntot - k)) / (3.0 * (k - 1))),
+                 6) AS bartlett_stat
+    FROM agg
+    """,
+)
+def q_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("ss"),
+    )
+    n = F.col("n")
+    s2 = (
+        n.cast("double") * F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+    ) / (n.cast("double") * (n - 1))
+    pg = g.select("grp", "n", s2.alias("s2"))
+    agg = pg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("ntot"),
+        F.sum(F.round((n - 1) * F.col("s2"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("pooled_num"),
+        F.sum(
+            F.round((n - 1) * F.log(F.col("s2")), 12).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("sum_lns"),
+        F.sum(
+            F.round(F.lit(1.0) / (n - 1), 12).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("sum_inv"),
+    )
+    k, ntot = F.col("k"), F.col("ntot")
+    return agg.select(
+        k.alias("n_groups"),
+        ntot.alias("n_total"),
+        F.round(
+            (
+                (ntot - k) * F.log(F.col("pooled_num") / (ntot - k))
+                - F.col("sum_lns")
+            )
+            / (
+                1
+                + (F.col("sum_inv") - F.lit(1.0) / (ntot - k))
+                / (F.lit(3.0) * (k - 1))
+            ),
+            6,
+        ).alias("bartlett_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Variance inflation factors for the lineitem regressor triple
+# (quantity, extendedprice, discount) — the multicollinearity audit
+# run before any of the regression-family queries. With 3 regressors
+# the correlation-matrix inverse has a closed form: det = 1 − r12² −
+# r13² − r23² + 2·r12·r13·r23; VIF_1 = (1−r23²)/det (cyclically).
+# Correlations come from exact N-scaled integer moments on the
+# cents/hundredths lattices (DECIMAL(38,0) sums, the pacf seam):
+# corr = (N·Σxy − ΣxΣy) / sqrt((N·Σx²−(Σx)²)(N·Σy²−(Σy)²)). One scan,
+# one 1-row closed form; nothing but 10 integers crosses the wire.
+@_q(
+    "vif_multicollinearity",
+    """
+    WITH z AS (
+      SELECT CAST(l_quantity AS HUGEINT) AS x1,
+             CAST(round(l_extendedprice * 100) AS HUGEINT) AS x2,
+             CAST(round(l_discount * 100) AS HUGEINT) AS x3
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x1) AS s1, SUM(x2) AS s2, SUM(x3) AS s3,
+             SUM(x1 * x1) AS s11, SUM(x2 * x2) AS s22, SUM(x3 * x3) AS s33,
+             SUM(x1 * x2) AS s12, SUM(x1 * x3) AS s13, SUM(x2 * x3) AS s23
+      FROM z
+    ),
+    r AS (
+      SELECT
+        CAST(n * s12 - s1 * s2 AS DOUBLE)
+          / sqrt(CAST(n * s11 - s1 * s1 AS DOUBLE)
+                 * CAST(n * s22 - s2 * s2 AS DOUBLE)) AS r12,
+        CAST(n * s13 - s1 * s3 AS DOUBLE)
+          / sqrt(CAST(n * s11 - s1 * s1 AS DOUBLE)
+                 * CAST(n * s33 - s3 * s3 AS DOUBLE)) AS r13,
+        CAST(n * s23 - s2 * s3 AS DOUBLE)
+          / sqrt(CAST(n * s22 - s2 * s2 AS DOUBLE)
+                 * CAST(n * s33 - s3 * s3 AS DOUBLE)) AS r23
+      FROM m
+    ),
+    dd AS (
+      SELECT r12, r13, r23,
+             1 - r12 * r12 - r13 * r13 - r23 * r23
+               + 2 * r12 * r13 * r23 AS det
+      FROM r
+    )
+    SELECT * FROM (
+      SELECT 'quantity' AS regressor,
+             round((1 - r23 * r23) / det, 6) AS vif FROM dd
+      UNION ALL
+      SELECT 'extendedprice', round((1 - r13 * r13) / det, 6) FROM dd
+      UNION ALL
+      SELECT 'discount', round((1 - r12 * r12) / det, 6) FROM dd
+    ) ORDER BY regressor
+    """,
+)
+def q_vif_multicollinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    z = li.select(
+        F.col("l_quantity").cast("decimal(38,0)").alias("x1"),
+        F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)").alias(
+            "x2"
+        ),
+        F.round(F.col("l_discount") * 100).cast("decimal(38,0)").alias("x3"),
+    )
+    m = z.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("x3").alias("s3"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x3") * F.col("x3")).alias("s33"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("x3")).alias("s13"),
+        F.sum(F.col("x2") * F.col("x3")).alias("s23"),
+    ).collect()[0]
+    # exact Python ints (Decimal default context would round at 28
+    # significant digits; N·Σx² reaches ~28 digits at sf1)
+    n = int(m["n"])
+    v = {k: int(m[k]) for k in
+         ("s1", "s2", "s3", "s11", "s22", "s33", "s12", "s13", "s23")}
+    import math as _math
+
+    def _corr(sij, si, sj, sii, sjj):
+        return float(n * sij - si * sj) / _math.sqrt(
+            float(n * sii - si * si) * float(n * sjj - sj * sj)
+        )
+
+    r12 = _corr(v["s12"], v["s1"], v["s2"], v["s11"], v["s22"])
+    r13 = _corr(v["s13"], v["s1"], v["s3"], v["s11"], v["s33"])
+    r23 = _corr(v["s23"], v["s2"], v["s3"], v["s22"], v["s33"])
+    det = 1 - r12 * r12 - r13 * r13 - r23 * r23 + 2 * r12 * r13 * r23
+    rows = [
+        ("discount", round((1 - r12 * r12) / det, 6)),
+        ("extendedprice", round((1 - r13 * r13) / det, 6)),
+        ("quantity", round((1 - r23 * r23) / det, 6)),
+    ]
+    return li.sparkSession.createDataFrame(
+        rows, "regressor string, vif double"
+    ).orderBy("regressor")
+
+
+# ---------------------------------------------------------------------------
+# Granger causality, 1 lag (Granger 1969): does yesterday's ORDER
+# COUNT improve today's REVENUE forecast beyond yesterday's revenue?
+# Rather than inverting a 3x3 normal-equations matrix, the F-statistic
+# comes from the Frisch–Waugh–Lovell partialling-out identity:
+# F = (n−3)·r_p²/(1−r_p²), with r_p the partial correlation of y and
+# x_{t−1} given y_{t−1} — three pairwise correlations, each a double
+# from exact N-scaled DECIMAL(38,0) moments (the pacf_durbin_levinson
+# seam). Plan: one daily aggregate, one lag() pass over the bounded
+# day spine, one 10-integer reduce; the algebra is free.
+@_q(
+    "granger_causality_f",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    lagd AS (
+      SELECT y,
+             lag(y) OVER (ORDER BY d) AS y1,
+             lag(x) OVER (ORDER BY d) AS x1
+      FROM daily
+    ),
+    rows_ AS (SELECT y, y1, x1 FROM lagd WHERE y1 IS NOT NULL),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(y1 AS HUGEINT)) AS s1,
+             SUM(CAST(x1 AS HUGEINT)) AS sx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(y1 AS HUGEINT) * y1) AS s11,
+             SUM(CAST(x1 AS HUGEINT) * x1) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y1) AS sy1,
+             SUM(CAST(y AS HUGEINT) * x1) AS syx,
+             SUM(CAST(y1 AS HUGEINT) * x1) AS s1x
+      FROM rows_
+    ),
+    r AS (
+      SELECT CAST(n AS BIGINT) AS n,
+        CAST(n * sy1 - sy * s1 AS DOUBLE)
+          / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                 * CAST(n * s11 - s1 * s1 AS DOUBLE)) AS r_y1,
+        CAST(n * syx - sy * sx AS DOUBLE)
+          / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                 * CAST(n * sxx - sx * sx AS DOUBLE)) AS r_yx,
+        CAST(n * s1x - s1 * sx AS DOUBLE)
+          / sqrt(CAST(n * s11 - s1 * s1 AS DOUBLE)
+                 * CAST(n * sxx - sx * sx AS DOUBLE)) AS r_1x
+      FROM m
+    ),
+    p AS (
+      SELECT n, r_y1, r_yx, r_1x,
+             (r_yx - r_y1 * r_1x)
+               / sqrt((1 - r_y1 * r_y1) * (1 - r_1x * r_1x)) AS r_p
+      FROM r
+    )
+    SELECT n AS n_obs,
+           round(r_y1, 6) AS r_autocorr,
+           round(r_p, 6) AS r_partial,
+           round((n - 3) * r_p * r_p / (1 - r_p * r_p), 6) AS f_stat
+    FROM p
+    """,
+)
+def q_granger_causality_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y"),
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+    )
+    w = Window.orderBy("d")
+    lagd = daily.select(
+        "y", F.lag("y").over(w).alias("y1"), F.lag("x").over(w).alias("x1")
+    ).where(F.col("y1").isNotNull())
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    m = lagd.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("y1")).alias("s1"),
+        F.sum(dec("x1")).alias("sx"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+        F.sum(dec("y1") * F.col("y1")).alias("s11"),
+        F.sum(dec("x1") * F.col("x1")).alias("sxx"),
+        F.sum(dec("y") * F.col("y1")).alias("sy1"),
+        F.sum(dec("y") * F.col("x1")).alias("syx"),
+        F.sum(dec("y1") * F.col("x1")).alias("s1x"),
+    ).collect()[0]
+    import math as _math
+
+    n = int(m["n"])
+    sy, s1, sx = int(m["sy"]), int(m["s1"]), int(m["sx"])
+    syy, s11, sxx = int(m["syy"]), int(m["s11"]), int(m["sxx"])
+    sy1, syx, s1x = int(m["sy1"]), int(m["syx"]), int(m["s1x"])
+    # identical expression order to the SQL twin
+    r_y1 = float(n * sy1 - sy * s1) / _math.sqrt(
+        float(n * syy - sy * sy) * float(n * s11 - s1 * s1)
+    )
+    r_yx = float(n * syx - sy * sx) / _math.sqrt(
+        float(n * syy - sy * sy) * float(n * sxx - sx * sx)
+    )
+    r_1x = float(n * s1x - s1 * sx) / _math.sqrt(
+        float(n * s11 - s1 * s1) * float(n * sxx - sx * sx)
+    )
+    r_p = (r_yx - r_y1 * r_1x) / _math.sqrt(
+        (1 - r_y1 * r_y1) * (1 - r_1x * r_1x)
+    )
+    rows = [
+        (
+            n,
+            round(r_y1, 6),
+            round(r_p, 6),
+            round((n - 3) * r_p * r_p / (1 - r_p * r_p), 6),
+        )
+    ]
+    return o.sparkSession.createDataFrame(
+        rows, "n_obs bigint, r_autocorr double, r_partial double, f_stat double"
+    )
