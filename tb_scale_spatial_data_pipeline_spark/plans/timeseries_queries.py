@@ -2327,3 +2327,291 @@ def q_hurst_exponent_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Permutation entropy (Bandt & Pompe 2002), order 3, over the daily
+# revenue series — the ordinal-complexity measure that is invariant
+# to monotone transforms of the values. Ordinal patterns come from
+# three integer comparisons on the exact cents lattice (ties broken
+# toward the earlier index, the standard stable convention), so the
+# pattern census is exact; H = −Σ p·ln(p) normalized by ln(6) with
+# per-pattern terms round(12)-latticed and summed as DECIMAL
+# (order-free). Plan: one daily aggregate, one lead() pass, one
+# 6-row census.
+@_q(
+    "permutation_entropy",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1
+    ),
+    win AS (
+      SELECT y,
+             lead(y, 1) OVER (ORDER BY d) AS y1,
+             lead(y, 2) OVER (ORDER BY d) AS y2
+      FROM daily
+    ),
+    pat AS (
+      SELECT (CASE WHEN y1 >= y THEN 4 ELSE 0 END
+              + CASE WHEN y2 >= y THEN 2 ELSE 0 END
+              + CASE WHEN y2 >= y1 THEN 1 ELSE 0 END) AS pattern
+      FROM win WHERE y2 IS NOT NULL
+    ),
+    census AS (
+      SELECT pattern, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
+      FROM pat GROUP BY 1
+    )
+    SELECT pattern, cnt,
+           round(CAST(cnt AS DOUBLE) / total, 6) AS p,
+           round(CAST(SUM(CAST(round(-(CAST(cnt AS DOUBLE) / total)
+                                     * ln(CAST(cnt AS DOUBLE) / total), 12)
+                               AS DECIMAL(38,12))) OVER () AS DOUBLE)
+                 / ln(6.0), 6) AS norm_perm_entropy
+    FROM census ORDER BY pattern
+    """,
+)
+def q_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    w = Window.orderBy("d")
+    win = daily.select(
+        "y",
+        F.lead("y", 1).over(w).alias("y1"),
+        F.lead("y", 2).over(w).alias("y2"),
+    ).where(F.col("y2").isNotNull())
+    pat = win.select(
+        (
+            F.when(F.col("y1") >= F.col("y"), 4).otherwise(0)
+            + F.when(F.col("y2") >= F.col("y"), 2).otherwise(0)
+            + F.when(F.col("y2") >= F.col("y1"), 1).otherwise(0)
+        ).alias("pattern")
+    )
+    census = pat.groupBy("pattern").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wall = Window.partitionBy()
+    census = census.withColumn(
+        "total", F.sum("cnt").over(wall).cast("bigint")
+    )
+    p = F.col("cnt").cast("double") / F.col("total")
+    term = F.round(-p * F.log(p), 12).cast("decimal(38,12)")
+    return (
+        census.select(
+            "pattern",
+            "cnt",
+            F.round(p, 6).alias("p"),
+            F.round(
+                F.sum(term).over(wall).cast("double") / F.log(F.lit(6.0)), 6
+            ).alias("norm_perm_entropy"),
+        )
+        .orderBy("pattern")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sample entropy (Richman & Moorman 2000), m=2, over the daily revenue
+# series: SampEn = −ln(A/B), A/B the counts of length-3/length-2
+# template pairs agreeing within tolerance r. EXACT throughout: the
+# tolerance is r = median(y)/20 expressed as the integer predicate
+# 40·|y_i − y_j| <= med2 (med2 = doubled median, always integer on the
+# cents lattice — the brown_forsythe seam), so A and B are exact pair
+# counts and the single ln() is the only float op. The pair join is a
+# broadcast over the DOMAIN-BOUNDED day spine (~2.4k days regardless
+# of SF: 100 TB changes the daily aggregate's input volume, never the
+# spine length) — the quadratic lives on the bounded axis only.
+@_q(
+    "sample_entropy",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1
+    ),
+    med AS (
+      SELECT CAST(2 * median(y) AS BIGINT) AS med2 FROM daily
+    ),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY d) AS i, y,
+             lead(y, 1) OVER (ORDER BY d) AS a1,
+             lead(y, 2) OVER (ORDER BY d) AS a2
+      FROM daily
+    ),
+    pairs AS (
+      SELECT p.i AS i, q.i AS j,
+             CASE WHEN 40 * abs(p.y - q.y) <= m.med2
+                       AND 40 * abs(p.a1 - q.a1) <= m.med2
+                  THEN 1 ELSE 0 END AS b_match,
+             CASE WHEN p.a2 IS NOT NULL AND q.a2 IS NOT NULL
+                       AND 40 * abs(p.y - q.y) <= m.med2
+                       AND 40 * abs(p.a1 - q.a1) <= m.med2
+                       AND 40 * abs(p.a2 - q.a2) <= m.med2
+                  THEN 1 ELSE 0 END AS a_match
+      FROM idx p JOIN idx q ON q.i > p.i CROSS JOIN med m
+      WHERE p.a1 IS NOT NULL AND q.a1 IS NOT NULL
+    ),
+    agg AS (
+      SELECT CAST(SUM(b_match) AS BIGINT) AS b,
+             CAST(SUM(a_match) AS BIGINT) AS a
+      FROM pairs
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           b AS b_count, a AS a_count,
+           round(-ln(CAST(a AS DOUBLE) / b), 6) AS sampen
+    FROM agg
+    """,
+)
+def q_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    med2 = daily.agg(
+        (2 * F.median("y")).cast("bigint").alias("med2")
+    )
+    w = Window.orderBy("d")
+    idx = daily.select(
+        F.row_number().over(w).alias("i"),
+        "y",
+        F.lead("y", 1).over(w).alias("a1"),
+        F.lead("y", 2).over(w).alias("a2"),
+    ).where(F.col("a1").isNotNull())
+    p = idx.select(
+        F.col("i").alias("pi"),
+        F.col("y").alias("py"),
+        F.col("a1").alias("pa1"),
+        F.col("a2").alias("pa2"),
+    )
+    q = idx.select(
+        F.col("i").alias("qi"),
+        F.col("y").alias("qy"),
+        F.col("a1").alias("qa1"),
+        F.col("a2").alias("qa2"),
+    )
+    tol = F.col("med2")
+    pairs = (
+        p.crossJoin(F.broadcast(med2))
+        .join(F.broadcast(q), F.col("qi") > F.col("pi"))
+        .select(
+            F.when(
+                (40 * F.abs(F.col("py") - F.col("qy")) <= tol)
+                & (40 * F.abs(F.col("pa1") - F.col("qa1")) <= tol),
+                1,
+            )
+            .otherwise(0)
+            .alias("b_match"),
+            F.when(
+                F.col("pa2").isNotNull()
+                & F.col("qa2").isNotNull()
+                & (40 * F.abs(F.col("py") - F.col("qy")) <= tol)
+                & (40 * F.abs(F.col("pa1") - F.col("qa1")) <= tol)
+                & (40 * F.abs(F.col("pa2") - F.col("qa2")) <= tol),
+                1,
+            )
+            .otherwise(0)
+            .alias("a_match"),
+        )
+    )
+    agg = pairs.agg(
+        F.sum("b_match").cast("bigint").alias("b"),
+        F.sum("a_match").cast("bigint").alias("a"),
+    )
+    return agg.crossJoin(F.broadcast(n_days)).select(
+        "n_days",
+        F.col("b").alias("b_count"),
+        F.col("a").alias("a_count"),
+        F.round(-F.log(F.col("a").cast("double") / F.col("b")), 6).alias(
+            "sampen"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Page–Hinkley drift statistic (Page 1954; the streaming-drift test
+# behind river/MOA detectors) over daily revenue: m_T = Σ(x_i − x̄_i)
+# with x̄_i the RUNNING mean, PH_T = m_T − min_{t<=T} m_t. Windows do
+# all of it — no fold: the running mean is an expanding-frame avg of
+# exact cent integers, each term is round(6)-latticed and prefix-
+# summed as DECIMAL (exact, order-irrelevant), and the running min is
+# a second expanding frame. Reported per month (bounded output): the
+# month's max PH and whether it crosses the lambda = 100k-dollar
+# alarm. Plan: daily aggregate -> three expanding windows over the
+# bounded day spine -> month census.
+@_q(
+    "page_hinkley_drift",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1
+    ),
+    term AS (
+      SELECT d,
+             CAST(round(y / 100.0
+                        - (SUM(CAST(y AS HUGEINT)) OVER (ORDER BY d
+                             ROWS UNBOUNDED PRECEDING) / 100.0)
+                          / (ROW_NUMBER() OVER (ORDER BY d)), 6)
+                  AS DECIMAL(38,6)) AS dev
+      FROM daily
+    ),
+    m AS (
+      SELECT d,
+             SUM(dev) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS mt
+      FROM term
+    ),
+    ph AS (
+      SELECT d,
+             CAST(mt - MIN(mt) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                  AS DOUBLE) AS ph
+      FROM m
+    )
+    SELECT strftime(d, '%Y-%m') AS month,
+           round(MAX(ph), 6) AS max_ph,
+           CAST(MAX(ph) > 100000 AS BIGINT) AS alarm
+    FROM ph GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wo = Window.orderBy("d")
+    term = daily.select(
+        "d",
+        F.round(
+            F.col("y") / 100.0
+            - (F.sum(F.col("y").cast("decimal(38,0)")).over(w) / 100.0)
+            / F.row_number().over(wo),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("dev"),
+    )
+    m = term.select("d", F.sum("dev").over(w).alias("mt"))
+    ph = m.select(
+        "d", (F.col("mt") - F.min("mt").over(w)).cast("double").alias("ph")
+    )
+    return (
+        ph.groupBy(F.date_format("d", "yyyy-MM").alias("month"))
+        .agg(
+            F.round(F.max("ph"), 6).alias("max_ph"),
+            (F.max("ph") > 100000).cast("bigint").alias("alarm"),
+        )
+        .orderBy("month")
+    )
