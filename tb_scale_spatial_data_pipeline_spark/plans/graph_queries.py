@@ -3039,3 +3039,124 @@ def q_graph_bipartite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_bipartite"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components of the brand-transition digraph (r14):
+# edge A -> B when some customer's consecutive orders (by date, then
+# orderkey) carry representative brands A then B. The 100 TB shape:
+# graph EXTRACTION is the heavy, fully distributed part (lineitem
+# join + per-customer ordering window); the SCC itself runs on the
+# DOMAIN-BOUNDED 25-brand node set, where pairwise reachability via
+# iterative doubling costs nothing and is exact. scc_id(v) = min
+# brand u with v->u AND u->v reachability (the canonical member).
+# The DuckDB twin is a recursive-CTE closure — set semantics, so both
+# engines agree exactly. Output: brand, scc_id, scc_size.
+@_q(
+    "brand_transition_scc",
+    """
+    WITH rep AS (
+      SELECT l.l_orderkey AS ok, min(p.p_brand) AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1
+    ),
+    seq AS (
+      SELECT o.o_custkey AS c, r.brand,
+             lead(r.brand) OVER (PARTITION BY o.o_custkey
+                                 ORDER BY o.o_orderdate, o.o_orderkey)
+               AS nxt
+      FROM orders o JOIN rep r ON r.ok = o.o_orderkey
+    ),
+    edges AS (
+      SELECT DISTINCT brand AS s, nxt AS t FROM seq WHERE nxt IS NOT NULL
+    ),
+    nodes AS (
+      SELECT DISTINCT s AS v FROM edges
+      UNION SELECT DISTINCT t FROM edges
+    ),
+    reach AS (
+      WITH RECURSIVE r(s, t) AS (
+        SELECT v, v FROM nodes
+        UNION
+        SELECT r.s, e.t FROM r JOIN edges e ON e.s = r.t
+      )
+      SELECT * FROM r
+    ),
+    scc AS (
+      SELECT f.s AS brand, min(f.t) AS scc_id
+      FROM reach f JOIN reach b ON b.s = f.t AND b.t = f.s
+      GROUP BY 1
+    )
+    SELECT brand, scc_id,
+           CAST(COUNT(*) OVER (PARTITION BY scc_id) AS BIGINT) AS scc_size
+    FROM scc ORDER BY brand
+    """,
+)
+def q_brand_transition_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rep = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.min("p_brand").alias("brand"))
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    seq = o.join(rep, o["o_orderkey"] == rep["ok"]).select(
+        "o_custkey",
+        "brand",
+        F.lead("brand")
+        .over(
+            W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        )
+        .alias("nxt"),
+    )
+    edges = (
+        seq.where(F.col("nxt").isNotNull())
+        .select(F.col("brand").alias("s"), F.col("nxt").alias("t"))
+        .distinct()
+        .localCheckpoint(eager=True)  # <= 625 rows, reused every iteration
+    )
+    nodes = (
+        edges.select(F.col("s").alias("v"))
+        .union(edges.select("t"))
+        .distinct()
+    )
+    # iterative doubling on the bounded node set: reach = reach o edges
+    reach = nodes.select(F.col("v").alias("s"), F.col("v").alias("t")).union(
+        edges
+    ).distinct().localCheckpoint(eager=True)
+    prev = reach.count()
+    while True:
+        step = (
+            reach.alias("r")
+            .join(edges.alias("e"), F.col("r.t") == F.col("e.s"))
+            .select(F.col("r.s").alias("s"), F.col("e.t").alias("t"))
+        )
+        reach = reach.union(step).distinct().localCheckpoint(eager=True)
+        cur = reach.count()
+        if cur == prev:
+            break
+        prev = cur
+    fwd = reach.select(F.col("s").alias("fs"), F.col("t").alias("ft"))
+    bwd = reach.select(F.col("s").alias("bs"), F.col("t").alias("bt"))
+    scc = (
+        fwd.join(
+            bwd,
+            (F.col("bs") == F.col("ft")) & (F.col("bt") == F.col("fs")),
+        )
+        .groupBy(F.col("fs").alias("brand"))
+        .agg(F.min("ft").alias("scc_id"))
+    )
+    wsz = W.partitionBy("scc_id")
+    return (
+        scc.select(
+            "brand",
+            "scc_id",
+            F.count(F.lit(1)).over(wsz).cast("bigint").alias("scc_size"),
+        )
+        .orderBy("brand")
+    )

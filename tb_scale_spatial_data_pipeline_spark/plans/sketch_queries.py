@@ -798,3 +798,88 @@ def q_theta_sketch_intersection(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS F₂ sketch (Alon–Matias–Szegedy 1996) over the order-per-customer
+# frequency stream: 16 ±1 sign estimators from md5-derived bits,
+# X_j = Σ_k f_k·sign_j(k), estimate = median of the 16 X_j² —
+# compared against the exact second frequency moment Σf². Everything
+# is exact integer arithmetic (the md5 seam gives identical signs in
+# both engines; X_j and F₂ are BIGINT; the even-count median averages
+# two integers, exact in double). Plan: one groupBy(custkey) for
+# frequencies, a 16-row broadcast estimator spine, one (estimator)
+# re-aggregate — sketch-sized state, stream-shaped at any SF.
+@_q(
+    "ams_f2_sketch",
+    """
+    WITH freq AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS f
+      FROM orders GROUP BY 1
+    ),
+    h AS (
+      SELECT k, f,
+             CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 4))
+                  AS INTEGER) AS h16
+      FROM freq
+    ),
+    est AS (
+      SELECT j.j,
+             CAST(SUM(f * (2 * ((h16 // CAST(POWER(2, j.j) AS INTEGER)) % 2)
+                           - 1)) AS BIGINT) AS x
+      FROM h CROSS JOIN range(0, 16) j(j)
+      GROUP BY 1
+    ),
+    ex AS (
+      SELECT CAST(SUM(f * f) AS BIGINT) AS f2 FROM freq
+    )
+    SELECT (SELECT f2 FROM ex) AS true_f2,
+           CAST(median(CAST(x AS DOUBLE) * x) AS DOUBLE) AS ams_estimate,
+           round(abs(CAST(median(CAST(x AS DOUBLE) * x) AS DOUBLE)
+                     - (SELECT f2 FROM ex))
+                 / (SELECT f2 FROM ex), 6) AS rel_error
+    FROM est
+    """,
+)
+def q_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    freq = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    h = freq.withColumn(
+        "h16",
+        F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 4), 16, 10)
+        .cast("int"),
+    )
+    js = spark.range(0, 16).select(F.col("id").cast("int").alias("j"))
+    est = (
+        h.crossJoin(F.broadcast(js))
+        .groupBy("j")
+        .agg(
+            F.sum(
+                F.col("f")
+                * (
+                    2
+                    * F.expr(
+                        "(h16 div CAST(POWER(2, j) AS INT)) % 2"
+                    )
+                    - 1
+                )
+            )
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    ex = freq.agg(
+        F.sum(F.col("f") * F.col("f")).cast("bigint").alias("f2")
+    )
+    med = est.agg(
+        F.median(F.col("x").cast("double") * F.col("x")).alias("m")
+    )
+    return med.crossJoin(F.broadcast(ex)).select(
+        F.col("f2").alias("true_f2"),
+        F.col("m").cast("double").alias("ams_estimate"),
+        F.round(
+            F.abs(F.col("m").cast("double") - F.col("f2")) / F.col("f2"), 6
+        ).alias("rel_error"),
+    )

@@ -2224,3 +2224,95 @@ def q_bwt_run_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("run_ratio", "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability metrics per language (r14) — the corpus-quality signal
+# classic readability formulas reduce to on an unpunctuated corpus:
+# vowel-group syllable counts (silent-e adjusted), complex-word rate
+# (>= 3 syllables), and Flesch reading ease computed with 15-word
+# pseudo-sentences (the fixture corpus has no terminal punctuation;
+# the W/S term is still exercised, deterministically). Exactness:
+# syllable counts are integers from one regexp_extract_all per word
+# (RE2 and Java regex agree on the '[aeiou]+' class), aggregates are
+# exact BIGINT sums per lang, and each reported score is one closed-
+# form double. Plan: explode words -> per-lang integer aggregate.
+@_q(
+    "readability_scores",
+    """
+    WITH words AS (
+      SELECT lang, unnest(list_filter(regexp_split_to_array(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '')) AS w
+      FROM documents
+    ),
+    syl AS (
+      SELECT lang, w,
+             GREATEST(
+               len(regexp_extract_all(w, '[aeiou]+'))
+               - CASE WHEN w LIKE '%e'
+                       AND len(regexp_extract_all(w, '[aeiou]+')) >= 2
+                      THEN 1 ELSE 0 END,
+               1) AS s
+      FROM words
+    ),
+    agg AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(s) AS BIGINT) AS n_syllables,
+             CAST(SUM(CASE WHEN s >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_complex
+      FROM syl GROUP BY 1
+    )
+    SELECT lang, n_words, n_syllables,
+           round(CAST(n_syllables AS DOUBLE) / n_words, 6)
+             AS syllables_per_word,
+           round(CAST(n_complex AS DOUBLE) / n_words, 6) AS complex_rate,
+           round(206.835 - 1.015 * 15.0
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+             AS flesch_pseudo
+    FROM agg ORDER BY lang
+    """,
+)
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+                    ),
+                    " ",
+                ),
+                lambda x: x != "",
+            )
+        ).alias("w"),
+    )
+    groups = F.size(F.regexp_extract_all(F.col("w"), F.lit("[aeiou]+"), 0))
+    s = F.greatest(
+        groups
+        - F.when(F.col("w").endswith("e") & (groups >= 2), 1).otherwise(0),
+        F.lit(1),
+    )
+    agg = words.select("lang", s.alias("s")).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("s").cast("bigint").alias("n_syllables"),
+        F.sum(F.when(F.col("s") >= 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_complex"),
+    )
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_syllables",
+        F.round(spw, 6).alias("syllables_per_word"),
+        F.round(F.col("n_complex").cast("double") / F.col("n_words"), 6).alias(
+            "complex_rate"
+        ),
+        F.round(206.835 - 1.015 * 15.0 - 84.6 * spw, 6).alias(
+            "flesch_pseudo"
+        ),
+    ).orderBy("lang")
