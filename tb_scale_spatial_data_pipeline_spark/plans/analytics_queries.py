@@ -2445,3 +2445,237 @@ def q_rmst_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+# ---------------------------------------------------------------------------
+# AIPW doubly-robust ATE (Robins, Rotnitzky & Zhao 1994; the
+# augmented estimator that is consistent if EITHER the propensity or
+# the outcome model is right). Propensity is saturated on (seg, yr)
+# strata — exact e(s) = n1_s/n_s — while the outcome model is
+# DELIBERATELY coarser (seg-level means): with both saturated the
+# augmentation term is identically zero and AIPW degenerates to
+# ipw_ate_estimate (which see). Per-stratum closed form: the unit sum
+# Σ T(Y−μ₁)/e collapses to (y1_s − n1_s·μ₁(seg))·n_s/n1_s; everything
+# is a double from exact integer counts, per-stratum terms round(9)
+# then DECIMAL-summed (order-free). Plan: one join, two aggregates
+# (stratum + seg), one broadcast join of 35 strata to 5 seg means.
+@_q(
+    "aipw_doubly_robust",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, year(o.o_orderdate) AS yr,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS tr,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    strata AS (
+      SELECT seg, yr,
+             CAST(SUM(tr) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN tr = 1 THEN y ELSE 0 END) AS BIGINT) AS y1,
+             CAST(SUM(1 - tr) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN tr = 0 THEN y ELSE 0 END) AS BIGINT) AS y0
+      FROM j GROUP BY seg, yr
+    ),
+    om AS (
+      SELECT seg,
+             CAST(SUM(CASE WHEN tr = 1 THEN y ELSE 0 END) AS DOUBLE)
+               / SUM(tr) AS mu1,
+             CAST(SUM(CASE WHEN tr = 0 THEN y ELSE 0 END) AS DOUBLE)
+               / SUM(1 - tr) AS mu0
+      FROM j GROUP BY seg
+    ),
+    supported AS (
+      SELECT s.*, o.mu1, o.mu0 FROM strata s JOIN om o USING (seg)
+      WHERE s.n1 > 0 AND s.n0 > 0
+    ),
+    terms AS (
+      SELECT n1 + n0 AS ns,
+             CAST(round(
+               (y1 - n1 * mu1) * (CAST(n1 + n0 AS DOUBLE) / n1)
+               + (n1 + n0) * mu1
+               - ((y0 - n0 * mu0) * (CAST(n1 + n0 AS DOUBLE) / n0)
+                  + (n1 + n0) * mu0), 9) AS DECIMAL(38,9)) AS term
+      FROM supported
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CAST(SUM(ns) AS BIGINT) AS n_supported,
+           round(CAST(SUM(term) AS DOUBLE) / SUM(ns), 6) AS aipw_ate
+    FROM terms
+    """,
+)
+def q_aipw_doubly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    j = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.year("o_orderdate").alias("yr"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("tr"),
+            F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    strata = j.groupBy("seg", "yr").agg(
+        F.sum("tr").cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("tr") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("y1"),
+        F.sum(1 - F.col("tr")).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("tr") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("y0"),
+    )
+    om = j.groupBy("seg").agg(
+        (
+            F.sum(F.when(F.col("tr") == 1, F.col("y")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("tr")
+        ).alias("mu1"),
+        (
+            F.sum(F.when(F.col("tr") == 0, F.col("y")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum(1 - F.col("tr"))
+        ).alias("mu0"),
+    )
+    sup = strata.join(F.broadcast(om), "seg").where(
+        (F.col("n1") > 0) & (F.col("n0") > 0)
+    )
+    ns = F.col("n1") + F.col("n0")
+    term = F.round(
+        (F.col("y1") - F.col("n1") * F.col("mu1"))
+        * (ns.cast("double") / F.col("n1"))
+        + ns * F.col("mu1")
+        - (
+            (F.col("y0") - F.col("n0") * F.col("mu0"))
+            * (ns.cast("double") / F.col("n0"))
+            + ns * F.col("mu0")
+        ),
+        9,
+    ).cast("decimal(38,9)")
+    return sup.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum(ns).cast("bigint").alias("n_supported"),
+        F.round(F.sum(term).cast("double") / F.sum(ns), 6).alias("aipw_ate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-neighbor covariate matching ATT (Abadie & Imbens 2006):
+# each treated order matches the control order with the CLOSEST
+# totalprice inside its (seg, yr) stratum (1-NN with replacement).
+# The match is the sorted-neighbor identity: in (cents, orderkey)
+# order the nearest control is either the last preceding or first
+# following control row — two IGNORE NULLS window scans per stratum,
+# never a pair join. Distances are exact cent integers; prev wins
+# ties. ATT = Σ(y_t − y_match)/n_matched with an exact integer
+# numerator. Windows are stratum-partitioned (35 cells), the same
+# partitioning discipline as brown_forsythe's median ranks.
+@_q(
+    "propensity_nn_matching",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, year(o.o_orderdate) AS yr,
+             o.o_orderkey AS k,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS tr,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    nb AS (
+      SELECT seg, yr, k, cents, tr, y,
+             last_value(CASE WHEN tr = 0 THEN cents END IGNORE NULLS)
+               OVER (PARTITION BY seg, yr ORDER BY cents, k
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pc,
+             last_value(CASE WHEN tr = 0 THEN y END IGNORE NULLS)
+               OVER (PARTITION BY seg, yr ORDER BY cents, k
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS py,
+             first_value(CASE WHEN tr = 0 THEN cents END IGNORE NULLS)
+               OVER (PARTITION BY seg, yr ORDER BY cents, k
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS nc,
+             first_value(CASE WHEN tr = 0 THEN y END IGNORE NULLS)
+               OVER (PARTITION BY seg, yr ORDER BY cents, k
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS ny
+      FROM j
+    ),
+    matched AS (
+      SELECT cents, y,
+             CASE WHEN pc IS NOT NULL
+                       AND (nc IS NULL OR cents - pc <= nc - cents)
+                  THEN py ELSE ny END AS my,
+             CASE WHEN pc IS NOT NULL
+                       AND (nc IS NULL OR cents - pc <= nc - cents)
+                  THEN cents - pc ELSE nc - cents END AS dist
+      FROM nb WHERE tr = 1 AND (pc IS NOT NULL OR nc IS NOT NULL)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+           round(CAST(SUM(y - my) AS DOUBLE) / COUNT(*), 6) AS att,
+           round(CAST(SUM(dist) AS DOUBLE) / COUNT(*) / 100, 6)
+             AS mean_match_dist
+    FROM matched
+    """,
+)
+def q_propensity_nn_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("tr"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    ob = W.partitionBy("seg", "yr").orderBy("cents", "k")
+    wp = ob.rowsBetween(W.unboundedPreceding, -1)
+    wn = ob.rowsBetween(1, W.unboundedFollowing)
+    ctrl_c = F.when(F.col("tr") == 0, F.col("cents"))
+    ctrl_y = F.when(F.col("tr") == 0, F.col("y"))
+    nb = j.select(
+        "cents",
+        "tr",
+        "y",
+        F.last(ctrl_c, ignorenulls=True).over(wp).alias("pc"),
+        F.last(ctrl_y, ignorenulls=True).over(wp).alias("py"),
+        F.first(ctrl_c, ignorenulls=True).over(wn).alias("nc"),
+        F.first(ctrl_y, ignorenulls=True).over(wn).alias("ny"),
+    )
+    use_prev = F.col("pc").isNotNull() & (
+        F.col("nc").isNull()
+        | (F.col("cents") - F.col("pc") <= F.col("nc") - F.col("cents"))
+    )
+    matched = nb.where(
+        (F.col("tr") == 1)
+        & (F.col("pc").isNotNull() | F.col("nc").isNotNull())
+    ).select(
+        "y",
+        F.when(use_prev, F.col("py")).otherwise(F.col("ny")).alias("my"),
+        F.when(use_prev, F.col("cents") - F.col("pc"))
+        .otherwise(F.col("nc") - F.col("cents"))
+        .alias("dist"),
+    )
+    return matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        F.round(
+            F.sum(F.col("y") - F.col("my")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("att"),
+        F.round(
+            F.sum("dist").cast("double") / F.count(F.lit(1)) / 100, 6
+        ).alias("mean_match_dist"),
+    )
