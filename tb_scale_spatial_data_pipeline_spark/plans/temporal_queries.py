@@ -542,3 +542,114 @@ def q_croston_intermittent_demand(spark: SparkSession, sf_dir: str) -> DataFrame
         "t bigint, smoothed_size double, smoothed_interval_days double, "
         "demand_rate_per_day double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Kalman local-level filter (the structural-time-series baseline:
+# random-walk level + observation noise) over daily revenue, on a
+# PURE INTEGER LATTICE — the holt_winters_seasonal recursion
+# contract extended with a data-adaptive noise scale. States carry
+# exact integers (dollars for the level, dollars² for the variance);
+# the gain is the micro-lattice integer K6 = (P·10⁶) // (P+R) and
+# every update uses truncating division mirrored across engines, so
+# both produce bit-identical state chains with no float seam.
+# R = unbiased variance of the first 14 days (one integer formula),
+# Q = R // 10, P₀ = R, l₀ = 7-day mean. Scale shape: any SF reduces
+# to the bounded ~2.4k-day spine in one aggregation; the recursion
+# runs driver-side on the collected spine (the HW/Croston bounded-
+# collect discipline), the oracle is a recursive CTE on HUGEINTs.
+_KALMAN_LAST = 14
+
+
+def _sql_kalman() -> str:
+    return f"""
+    WITH daily AS (
+      SELECT o_orderdate AS dte,
+             CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2)))) AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT y, row_number() OVER (ORDER BY dte) AS t,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ),
+    init AS (
+      SELECT CAST(SUM(y) FILTER (t <= 7) // 7 AS HUGEINT) AS l0,
+             GREATEST(CAST((14 * SUM(CAST(y AS HUGEINT) * y) FILTER (t <= 14)
+                            - SUM(CAST(y AS HUGEINT)) FILTER (t <= 14)
+                              * SUM(CAST(y AS HUGEINT)) FILTER (t <= 14))
+                           // (14 * 13) AS HUGEINT),
+                      CAST(1 AS HUGEINT)) AS r,
+             list(y ORDER BY t) AS ys,
+             MAX(n) AS n
+      FROM seq
+    ),
+    rec AS (
+      WITH RECURSIVE kf AS (
+        SELECT 1 AS t, init.n AS n, init.ys AS ys, init.r AS r,
+               GREATEST(init.r // 10, CAST(1 AS HUGEINT)) AS q,
+               init.l0 AS l, init.r AS p,
+               CAST(0 AS HUGEINT) AS k6
+        FROM init
+        UNION ALL
+        SELECT kf.t + 1, kf.n, kf.ys, kf.r, kf.q,
+               kf.l + (((kf.p + kf.q) * 1000000 // (kf.p + kf.q + kf.r))
+                       * (CAST(kf.ys[kf.t + 1] AS HUGEINT) - kf.l))
+                      // 1000000 AS l,
+               ((1000000 - (kf.p + kf.q) * 1000000 // (kf.p + kf.q + kf.r))
+                * (kf.p + kf.q)) // 1000000 AS p,
+               (kf.p + kf.q) * 1000000 // (kf.p + kf.q + kf.r) AS k6
+        FROM kf WHERE kf.t < kf.n
+      )
+      SELECT * FROM kf
+    )
+    SELECT CAST(t AS BIGINT) AS t,
+           CAST(l AS DOUBLE) AS level,
+           CAST(k6 AS DOUBLE) / 1000000 AS gain,
+           CAST(p AS DOUBLE) AS p_var
+    FROM rec
+    ORDER BY t DESC LIMIT {_KALMAN_LAST}
+    """
+
+
+@_q("kalman_local_level", _sql_kalman())
+def q_kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("dte"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+            .cast("bigint")
+            .alias("y")
+        )
+        .orderBy("dte")
+    )
+    ys = [int(r["y"]) for r in daily.select("y").collect()]  # bounded spine
+    n = len(ys)
+
+    def tdiv(a: int, d: int) -> int:
+        q = abs(a) // d
+        return q if (a >= 0) == (d >= 0) else -q
+
+    l0 = tdiv(sum(ys[:7]), 7)
+    s14, ss14 = sum(ys[:14]), sum(y * y for y in ys[:14])
+    r = max(tdiv(14 * ss14 - s14 * s14, 14 * 13), 1)
+    q = max(tdiv(r, 10), 1)
+    l, p, k6 = l0, r, 0
+    out = [(1, l, k6, p)]
+    for t_i in range(1, n):
+        y = ys[t_i]
+        pp = p + q
+        k6 = tdiv(pp * 1000000, pp + r)
+        l = l + tdiv(k6 * (y - l), 1000000)
+        p = tdiv((1000000 - k6) * pp, 1000000)
+        out.append((t_i + 1, l, k6, p))
+    rows = [
+        (t_i, float(lv), kv / 1000000.0, float(pv))
+        for (t_i, lv, kv, pv) in out[-_KALMAN_LAST:]
+    ]
+    rows.sort(key=lambda x: -x[0])
+    return daily.sparkSession.createDataFrame(
+        rows, "t bigint, level double, gain double, p_var double"
+    )
