@@ -2054,3 +2054,173 @@ def q_panel_twoway_fe(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("pooled_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cox proportional hazards (Cox 1972), one binary covariate (the
+# logrank_test cohort split — at beta=0 the Newton score IS the
+# logrank statistic), Breslow tie handling, 4 Newton sweeps. The
+# partial likelihood reduces to the SAME per-distinct-event-time
+# integer table as logrank (d, d1, n, n1 via reverse cumulative
+# windows); each sweep needs only U(b) = D1 − Σ d·n1·e^b/(n0+n1·e^b)
+# and I(b) = Σ d·n0·n1·e^b/(n0+n1·e^b)², computed with per-time terms
+# round(12)-latticed and DECIMAL-summed (order-free), and the scalar
+# update b ← round(b + U/I, 12) routed through Spark ROUND on a 1-row
+# select (the EM/IRLS bounded-collect discipline; the DuckDB twin
+# unrolls the same four sweeps as MATERIALIZED CTEs). 100 TB: spells
+# reduce to the bounded distinct-time table in one aggregation; each
+# sweep is one scan of that table; driver traffic is 2 scalars/sweep.
+_COX_SWEEPS = 4
+
+
+def _sql_cox_ph() -> str:
+    ctes = [
+        """per_user AS (
+      SELECT user_id,
+             min(ts) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_ev,
+             max(ts) AS t_last
+      FROM events GROUP BY user_id
+    ),
+    spells AS (
+      SELECT CASE WHEN t_ev IS NOT NULL
+                  THEN CAST(date_diff('second', t0, t_ev) AS BIGINT)
+                  ELSE CAST(date_diff('second', t0, t_last) AS BIGINT)
+             END AS t_sec,
+             (t_ev IS NOT NULL) AS observed,
+             CAST(user_id % 2 AS INT) AS grp
+      FROM per_user
+    ),
+    times AS (
+      SELECT t_sec,
+             COUNT(*) FILTER (observed) AS d,
+             COUNT(*) FILTER (observed AND grp = 1) AS d1,
+             COUNT(*) AS leaving,
+             COUNT(*) FILTER (grp = 1) AS leaving1
+      FROM spells GROUP BY t_sec
+    ),
+    risk AS MATERIALIZED (
+      SELECT t_sec, d, d1, n - n1 AS n0, n1
+      FROM (
+        SELECT t_sec, d, d1,
+               SUM(leaving) OVER (ORDER BY t_sec DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+               SUM(leaving1) OVER (ORDER BY t_sec DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1
+        FROM times
+      ) WHERE d > 0
+    ),
+    b0 AS (SELECT CAST(0 AS DOUBLE) AS b)"""
+    ]
+    for k in range(_COX_SWEEPS):
+        ctes.append(
+            f"""u{k} AS (
+      SELECT b{k}.b AS b,
+             (SELECT CAST(SUM(d1) AS DOUBLE) FROM risk)
+             - CAST((SELECT SUM(CAST(round(
+                   CAST(d AS DOUBLE) * n1 * exp(b{k}.b)
+                   / (n0 + n1 * exp(b{k}.b)), 12) AS DECIMAL(38,12)))
+                 FROM risk) AS DOUBLE) AS u,
+             CAST((SELECT SUM(CAST(round(
+                   CAST(d AS DOUBLE) * n0 * n1 * exp(b{k}.b)
+                   / POWER(n0 + n1 * exp(b{k}.b), 2), 12)
+                   AS DECIMAL(38,12)))
+                 FROM risk) AS DOUBLE) AS i
+      FROM b{k}
+    ),
+    b{k + 1} AS (SELECT round(b + u / i, 12) AS b FROM u{k})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM risk) AS n_event_times,
+           (SELECT CAST(SUM(d1) AS BIGINT) FROM risk) AS d1_total,
+           round(b, 6) AS beta,
+           round(exp(b), 6) AS hazard_ratio
+    FROM b{_COX_SWEEPS}
+    """
+    )
+
+
+@_q("cox_ph_binary", _sql_cox_ph())
+def q_cox_ph_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_ev"
+        ),
+        F.max("ts").alias("t_last"),
+    )
+    t_end = F.coalesce(F.col("t_ev"), F.col("t_last"))
+    spells = per_user.select(
+        (F.unix_timestamp(t_end) - F.unix_timestamp(F.col("t0")))
+        .cast("bigint")
+        .alias("t_sec"),
+        F.col("t_ev").isNotNull().alias("observed"),
+        (F.col("user_id") % 2).cast("int").alias("grp"),
+    )
+    times = spells.groupBy("t_sec").agg(
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).alias("d"),
+        F.sum(
+            F.when(F.col("observed") & (F.col("grp") == 1), 1).otherwise(0)
+        ).alias("d1"),
+        F.count("*").alias("leaving"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("leaving1"),
+    )
+    w_desc = Window.orderBy(F.desc("t_sec")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = (
+        times.select(
+            "t_sec",
+            "d",
+            "d1",
+            (F.sum("leaving").over(w_desc) - F.sum("leaving1").over(w_desc))
+            .alias("n0"),
+            F.sum("leaving1").over(w_desc).alias("n1"),
+        )
+        .where(F.col("d") > 0)
+        .localCheckpoint(eager=True)  # bounded distinct-time table
+    )
+    head = risk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+        F.sum("d1").cast("bigint").alias("d1t"),
+    ).collect()[0]
+    n_times, d1_total = int(head["nt"]), int(head["d1t"])
+
+    def jround(e) -> float:
+        return (
+            risk.sparkSession.range(1)
+            .select(F.round(F.lit(e).cast("double"), 12).alias("c"))
+            .collect()[0]["c"]
+        )
+
+    b = 0.0
+    dd = F.col("d").cast("double")
+    for _ in range(_COX_SWEEPS):
+        eb = F.exp(F.lit(b))
+        denom = F.col("n0") + F.col("n1") * eb
+        s = risk.agg(
+            F.sum(
+                F.round(dd * F.col("n1") * eb / denom, 12).cast(
+                    "decimal(38,12)"
+                )
+            ).alias("su"),
+            F.sum(
+                F.round(
+                    dd * F.col("n0") * F.col("n1") * eb / F.pow(denom, 2),
+                    12,
+                ).cast("decimal(38,12)")
+            ).alias("si"),
+        ).collect()[0]
+        u = float(d1_total) - float(s["su"])
+        i = float(s["si"])
+        b = jround(b + u / i)
+    return risk.sparkSession.range(1).select(
+        F.lit(n_times).cast("bigint").alias("n_event_times"),
+        F.lit(d1_total).cast("bigint").alias("d1_total"),
+        F.round(F.lit(b), 6).alias("beta"),
+        F.round(F.exp(F.lit(b)), 6).alias("hazard_ratio"),
+    )
