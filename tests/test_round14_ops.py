@@ -115,3 +115,520 @@ def test_knox_time_stage_candidates_are_theta_of_answer(spark):
     ).first()
     assert r["qual"] > 0
     assert r["cand"] <= 3.0 * r["qual"]
+
+
+# ---------------------------------------------------------------------------
+# Round-14 operator cross-checks: each ground truth recomputed a THIRD
+# way (plain Python/NumPy — no Spark, no SQL) so a same-formula DuckDB
+# twin cannot hide a correlated bug.
+
+import hashlib
+import math
+
+import numpy as np
+
+from conftest import SF_SMOKE
+
+from tb_scale_spatial_data_pipeline_spark.plans.analytics_queries import (
+    QUERIES as AN_QUERIES,
+)
+from tb_scale_spatial_data_pipeline_spark.plans.experiment_queries import (
+    QUERIES as EXP_QUERIES,
+)
+from tb_scale_spatial_data_pipeline_spark.plans.graph_queries import (
+    QUERIES as GRAPH_QUERIES,
+)
+from tb_scale_spatial_data_pipeline_spark.plans.sketch_queries import (
+    QUERIES as SK_QUERIES,
+)
+from tb_scale_spatial_data_pipeline_spark.plans.stats_queries import (
+    QUERIES as STATS_QUERIES,
+)
+from tb_scale_spatial_data_pipeline_spark.plans.temporal_queries import (
+    QUERIES as TEMP_QUERIES,
+)
+from tb_scale_spatial_data_pipeline_spark.plans.timeseries_queries import (
+    QUERIES as TS_QUERIES,
+)
+
+
+def _daily_cents(spark):
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    o["d"] = o["o_orderdate"].dt.date
+    cents = (o["o_totalprice"] * 100).round().astype("int64")
+    return (
+        o.assign(c=cents).groupby("d")["c"].sum().sort_index().to_numpy()
+    )
+
+
+def test_wilcoxon_matches_manual_ranks(spark):
+    row = STATS_QUERIES["wilcoxon_signed_rank"](spark, SF_SMOKE).collect()[0]
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    yrs = o["o_orderdate"].dt.year
+    a = o[yrs == 1995].groupby("o_custkey").size()
+    b = o[yrs == 1996].groupby("o_custkey").size()
+    allc = o["o_custkey"].unique()
+    d = np.array(
+        [int(a.get(k, 0)) - int(b.get(k, 0)) for k in allc], dtype=int
+    )
+    d = d[d != 0]
+    absd = np.abs(d)
+    order = np.argsort(absd, kind="stable")
+    ranks = np.empty(len(d), dtype=float)
+    sorted_abs = absd[order]
+    i = 0
+    while i < len(d):
+        j = i
+        while j < len(d) and sorted_abs[j] == sorted_abs[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0  # average of ranks i+1..j
+        i = j
+    w_plus = ranks[d > 0].sum()
+    assert row["n_pairs"] == len(d)
+    assert abs(row["w_plus"] - w_plus) < 1e-9
+    n = len(d)
+    _, counts = np.unique(absd, return_counts=True)
+    ties = np.sum(counts.astype(np.int64) ** 3 - counts)
+    z = (w_plus - n * (n + 1) / 4) / math.sqrt(
+        n * (n + 1) * (2 * n + 1) / 24 - ties / 48
+    )
+    assert abs(row["z_stat"] - z) < 1e-5
+
+
+def test_two_by_two_and_bartlett_and_vif(spark):
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    cu = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").toPandas()
+    j = o.merge(cu, left_on="o_custkey", right_on="c_custkey")
+    seg = (j["c_mktsegment"] == "BUILDING").to_numpy()
+    urg = (j["o_orderpriority"] == "1-URGENT").to_numpy()
+    a = int(np.sum(seg & urg))
+    b = int(np.sum(seg & ~urg))
+    c = int(np.sum(~seg & urg))
+    d = int(np.sum(~seg & ~urg))
+    row = STATS_QUERIES["two_by_two_tests"](spark, SF_SMOKE).collect()[0]
+    assert (row["a"], row["b"], row["c"], row["d"]) == (a, b, c, d)
+    assert abs(row["odds_ratio"] - a * d / (b * c)) < 1e-5
+    n = a + b + c + d
+    p = (a + c) / n
+    z = (a / (a + b) - c / (c + d)) / math.sqrt(
+        p * (1 - p) * (1 / (a + b) + 1 / (c + d))
+    )
+    assert abs(row["z_prop"] - z) < 1e-5
+    chi = n * (abs(a * d - b * c) - n / 2) ** 2 / (
+        (a + b) * (c + d) * (a + c) * (b + d)
+    )
+    assert abs(row["chi2_yates"] - chi) < 1e-4
+
+    # Bartlett against numpy group variances
+    groups = [
+        (g["o_totalprice"] * 100).round().astype("int64").to_numpy()
+        for _, g in o.groupby("o_orderpriority")
+    ]
+    k = len(groups)
+    ntot = sum(len(g) for g in groups)
+    sp2 = sum((len(g) - 1) * np.var(g, ddof=1) for g in groups) / (ntot - k)
+    stat = (
+        (ntot - k) * math.log(sp2)
+        - sum((len(g) - 1) * math.log(np.var(g, ddof=1)) for g in groups)
+    ) / (
+        1
+        + (sum(1 / (len(g) - 1) for g in groups) - 1 / (ntot - k))
+        / (3 * (k - 1))
+    )
+    brow = STATS_QUERIES["bartlett_test"](spark, SF_SMOKE).collect()[0]
+    assert brow["n_groups"] == k and brow["n_total"] == ntot
+    assert abs(brow["bartlett_stat"] - stat) < 1e-3
+
+    # VIF against numpy correlation-matrix inverse
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").toPandas()
+    X = np.column_stack(
+        [
+            li["l_quantity"].to_numpy(dtype=float),
+            (li["l_extendedprice"] * 100).round().to_numpy(dtype=float),
+            (li["l_discount"] * 100).round().to_numpy(dtype=float),
+        ]
+    )
+    R = np.corrcoef(X, rowvar=False)
+    vifs = np.diag(np.linalg.inv(R))
+    got = {
+        r["regressor"]: r["vif"]
+        for r in STATS_QUERIES["vif_multicollinearity"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    for name, v in zip(("quantity", "extendedprice", "discount"), vifs):
+        assert abs(got[name] - v) < 1e-4
+
+
+def test_granger_matches_lstsq_f(spark):
+    row = STATS_QUERIES["granger_causality_f"](spark, SF_SMOKE).collect()[0]
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    o["d"] = o["o_orderdate"].dt.date
+    g = o.groupby("d")
+    y = (
+        g["o_totalprice"]
+        .apply(lambda s: float((s * 100).round().astype("int64").sum()))
+        .sort_index()
+        .to_numpy()
+    )
+    x = g.size().sort_index().to_numpy(dtype=float)
+    yy, y1, x1 = y[1:], y[:-1], x[:-1]
+    n = len(yy)
+
+    def rss(X, target):
+        beta, *_ = np.linalg.lstsq(X, target, rcond=None)
+        r = target - X @ beta
+        return float(r @ r)
+
+    ones = np.ones(n)
+    rss_r = rss(np.column_stack([ones, y1]), yy)
+    rss_u = rss(np.column_stack([ones, y1, x1]), yy)
+    f = (rss_r - rss_u) / (rss_u / (n - 3))
+    assert row["n_obs"] == n
+    assert abs(row["f_stat"] - f) < max(1e-3, 1e-4 * abs(f))
+
+
+def test_negbin_perm_sample_entropy_ph(spark):
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    counts = ev.groupby("user_id").size().to_numpy(dtype=float)
+    m, v = counts.mean(), counts.var(ddof=1)
+    row = STATS_QUERIES["negative_binomial_moments"](
+        spark, SF_SMOKE
+    ).collect()[0]
+    assert row["n_users"] == len(counts)
+    assert abs(row["mean_events"] - m) < 1e-5
+    assert abs(row["r_hat"] - m * m / (v - m)) < 1e-4
+    assert abs(row["p_hat"] - m / v) < 1e-5
+
+    y = _daily_cents(spark)
+    # permutation entropy census
+    pats = {}
+    for i in range(len(y) - 2):
+        code = (
+            (4 if y[i + 1] >= y[i] else 0)
+            + (2 if y[i + 2] >= y[i] else 0)
+            + (1 if y[i + 2] >= y[i + 1] else 0)
+        )
+        pats[code] = pats.get(code, 0) + 1
+    total = sum(pats.values())
+    ent = -sum(
+        (c / total) * math.log(c / total) for c in pats.values()
+    ) / math.log(6)
+    rows = TS_QUERIES["permutation_entropy"](spark, SF_SMOKE).collect()
+    got = {r["pattern"]: r["cnt"] for r in rows}
+    assert got == pats
+    assert abs(rows[0]["norm_perm_entropy"] - ent) < 1e-5
+
+    # sample entropy brute force
+    med2 = int(2 * np.median(y))
+    b_cnt = a_cnt = 0
+    nn = len(y)
+    for i in range(nn - 1):
+        for jj in range(i + 1, nn - 1):
+            if (
+                40 * abs(y[i] - y[jj]) <= med2
+                and 40 * abs(y[i + 1] - y[jj + 1]) <= med2
+            ):
+                b_cnt += 1
+                if (
+                    i < nn - 2
+                    and jj < nn - 2
+                    and 40 * abs(y[i + 2] - y[jj + 2]) <= med2
+                ):
+                    a_cnt += 1
+    srow = TS_QUERIES["sample_entropy"](spark, SF_SMOKE).collect()[0]
+    assert srow["b_count"] == b_cnt and srow["a_count"] == a_cnt
+    assert abs(srow["sampen"] - (-math.log(a_cnt / b_cnt))) < 1e-5
+
+    # Page-Hinkley loop replication (monthly max)
+    dser = sorted(
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .toPandas()
+        .assign(d=lambda df: df["o_orderdate"].dt.date)
+        .groupby("d")["o_totalprice"]
+        .apply(lambda s: int((s * 100).round().astype("int64").sum()))
+        .items()
+    )
+    best = {}
+    run_sum, cnt, mt, mmin = 0, 0, 0.0, float("inf")
+    for d, cents in dser:
+        run_sum += cents
+        cnt += 1
+        dev = round(cents / 100.0 - (run_sum / 100.0) / cnt, 6)
+        mt = round(mt + dev, 6)
+        mmin = min(mmin, mt)
+        ph = mt - min(mmin, mt)
+        key = f"{d.year}-{d.month:02d}"
+        best[key] = max(best.get(key, 0.0), ph)
+    prow = {
+        r["month"]: r["max_ph"]
+        for r in TS_QUERIES["page_hinkley_drift"](spark, SF_SMOKE).collect()
+    }
+    assert set(prow) == set(best)
+    for kmon in best:
+        assert abs(prow[kmon] - best[kmon]) < 1e-4
+
+
+def _tarjan_scc(nodes, edges):
+    adj = {}
+    for s, t2 in edges:
+        adj.setdefault(s, []).append(t2)
+    index, low, onstk, stk, out = {}, {}, set(), [], {}
+    counter = [0]
+
+    def strong(v):
+        # iterative Tarjan
+        work = [(v, 0)]
+        while work:
+            node, pi = work[-1]
+            if pi == 0:
+                index[node] = low[node] = counter[0]
+                counter[0] += 1
+                stk.append(node)
+                onstk.add(node)
+            recurse = False
+            for i in range(pi, len(adj.get(node, []))):
+                w = adj[node][i]
+                if w not in index:
+                    work[-1] = (node, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in onstk:
+                    low[node] = min(low[node], index[w])
+            if recurse:
+                continue
+            if low[node] == index[node]:
+                comp = []
+                while True:
+                    w = stk.pop()
+                    onstk.discard(w)
+                    comp.append(w)
+                    if w == node:
+                        break
+                cid = min(comp)
+                for w in comp:
+                    out[w] = (cid, len(comp))
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[node])
+
+    for v in nodes:
+        if v not in index:
+            strong(v)
+    return out
+
+
+def test_brand_scc_matches_tarjan(spark):
+    rows = GRAPH_QUERIES["brand_transition_scc"](spark, SF_SMOKE).collect()
+    # re-extract the edge list independently with pandas
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").toPandas()
+    pt = spark.read.parquet(f"{SF_SMOKE}/part.parquet").toPandas()
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    rep = (
+        li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+        .groupby("l_orderkey")["p_brand"]
+        .min()
+    )
+    oo = o.assign(brand=o["o_orderkey"].map(rep)).dropna(subset=["brand"])
+    oo = oo.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    edges = set()
+    for _, grp in oo.groupby("o_custkey"):
+        bs = grp["brand"].tolist()
+        for i in range(len(bs) - 1):
+            edges.add((bs[i], bs[i + 1]))
+    nodes = sorted({s for s, _ in edges} | {t2 for _, t2 in edges})
+    want = _tarjan_scc(nodes, edges)
+    got = {r["brand"]: (r["scc_id"], r["scc_size"]) for r in rows}
+    assert got == want
+
+
+def test_ams_f2_signs_match_hashlib(spark):
+    row = SK_QUERIES["ams_f2_sketch"](spark, SF_SMOKE).collect()[0]
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    freq = o.groupby("o_custkey").size()
+    f2 = int((freq.astype("int64") ** 2).sum())
+    assert row["true_f2"] == f2
+    xs = []
+    for j in range(16):
+        x = 0
+        for k, f in freq.items():
+            h16 = int(hashlib.md5(str(int(k)).encode()).hexdigest()[:4], 16)
+            x += int(f) * (2 * ((h16 >> j) & 1) - 1)
+        xs.append(float(x * x))
+    assert abs(row["ams_estimate"] - float(np.median(xs))) < 1e-9
+
+
+def test_aipw_and_matching(spark):
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    cu = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").toPandas()
+    j = o.merge(cu, left_on="o_custkey", right_on="c_custkey")
+    j["seg"] = j["c_mktsegment"]
+    j["yr"] = j["o_orderdate"].dt.year
+    j["tr"] = (j["o_orderstatus"] == "F").astype(int)
+    j["y"] = j["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).astype(int)
+    mu1 = j[j.tr == 1].groupby("seg")["y"].mean()
+    mu0 = j[j.tr == 0].groupby("seg")["y"].mean()
+    num = den = 0.0
+    nsup = 0
+    for (seg, yr), g in j.groupby(["seg", "yr"]):
+        n1, n0 = int(g.tr.sum()), int((1 - g.tr).sum())
+        if n1 == 0 or n0 == 0:
+            continue
+        ns = n1 + n0
+        nsup += ns
+        y1, y0 = int(g[g.tr == 1].y.sum()), int(g[g.tr == 0].y.sum())
+        m1, m0 = float(mu1[seg]), float(mu0[seg])
+        term = (
+            (y1 - n1 * m1) * (ns / n1)
+            + ns * m1
+            - ((y0 - n0 * m0) * (ns / n0) + ns * m0)
+        )
+        num += term
+        den += ns
+    row = AN_QUERIES["aipw_doubly_robust"](spark, SF_SMOKE).collect()[0]
+    assert row["n_supported"] == nsup
+    assert abs(row["aipw_ate"] - num / den) < 1e-4
+
+    # matching: brute-force nearest control per treated within stratum
+    j["cents"] = (j["o_totalprice"] * 100).round().astype("int64")
+    tot_d = tot_y = n_m = 0
+    for (seg, yr), g in j.groupby(["seg", "yr"]):
+        ctl = g[g.tr == 0].sort_values(["cents", "o_orderkey"])
+        if len(ctl) == 0:
+            continue
+        cc = ctl["cents"].to_numpy()
+        cy = ctl["y"].to_numpy()
+        ck = ctl["o_orderkey"].to_numpy()
+        for _, r in g[g.tr == 1].iterrows():
+            tc, tk = int(r["cents"]), int(r["o_orderkey"])
+            # sorted-neighbor convention: prev = last control strictly
+            # before (tc, tk) in (cents, key) order; next = first after
+            before = (cc < tc) | ((cc == tc) & (ck < tk))
+            prev_i = np.where(before)[0]
+            next_i = np.where(~before)[0]
+            dp = tc - cc[prev_i[-1]] if len(prev_i) else None
+            dn = cc[next_i[0]] - tc if len(next_i) else None
+            if dp is not None and (dn is None or dp <= dn):
+                my, dist = cy[prev_i[-1]], dp
+            else:
+                my, dist = cy[next_i[0]], dn
+            n_m += 1
+            tot_y += int(r["y"]) - int(my)
+            tot_d += int(dist)
+    mrow = AN_QUERIES["propensity_nn_matching"](spark, SF_SMOKE).collect()[0]
+    assert mrow["n_matched"] == n_m
+    assert abs(mrow["att"] - tot_y / n_m) < 1e-5
+    assert abs(mrow["mean_match_dist"] - tot_d / n_m / 100) < 1e-4
+
+
+def test_kalman_tracks_float_filter(spark):
+    rows = TEMP_QUERIES["kalman_local_level"](spark, SF_SMOKE).collect()
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    o["d"] = o["o_orderdate"].dt.date
+    y = (
+        o.groupby("d")["o_totalprice"]
+        .apply(lambda s: float(round(float(s.astype("float64").sum()))))
+        .sort_index()
+        .to_numpy()
+    )
+    r = max(float(np.var(y[:14], ddof=1)), 1.0)
+    q = r / 10
+    l, p = float(np.mean(y[:7])), r
+    hist = {1: l}
+    for t_i in range(1, len(y)):
+        pp = p + q
+        k = pp / (pp + r)
+        l = l + k * (y[t_i] - l)
+        p = (1 - k) * pp
+        hist[t_i + 1] = l
+    for row in rows:
+        # integer lattice vs float filter: relative agreement
+        assert abs(row["level"] - hist[row["t"]]) / abs(hist[row["t"]]) < 0.01
+
+
+def test_cox_newton_converged_and_matches_numpy(spark):
+    row = EXP_QUERIES["cox_ph_binary"](spark, SF_SMOKE).collect()[0]
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    per = ev.groupby("user_id").agg(
+        t0=("ts", "min"), t_last=("ts", "max")
+    )
+    pe = (
+        ev[ev.event_type == "purchase"].groupby("user_id")["ts"].min()
+    )
+    per["t_ev"] = pe
+    spells = []
+    for uid, r in per.iterrows():
+        obs = not (r["t_ev"] is None or r["t_ev"] != r["t_ev"])
+        end = r["t_ev"] if obs else r["t_last"]
+        spells.append(
+            (int((end - r["t0"]).total_seconds()), obs, int(uid) % 2)
+        )
+    import collections
+
+    times = collections.defaultdict(lambda: [0, 0, 0, 0])  # d d1 lv lv1
+    for t_s, obs, grp in spells:
+        e = times[t_s]
+        e[2] += 1
+        e[3] += grp
+        if obs:
+            e[0] += 1
+            e[1] += grp
+    ts_sorted = sorted(times)
+    n = n1 = 0
+    risk = []
+    for t_s in reversed(ts_sorted):
+        d, d1, lv, lv1 = times[t_s]
+        n += lv
+        n1 += lv1
+        if d > 0:
+            risk.append((d, d1, n - n1, n1))
+    d1_total = sum(r[1] for r in risk)
+    beta = 0.0
+    for _ in range(30):
+        u = d1_total - sum(
+            d * r1 * math.exp(beta) / (r0 + r1 * math.exp(beta))
+            for d, _, r0, r1 in risk
+        )
+        i = sum(
+            d * r0 * r1 * math.exp(beta) / (r0 + r1 * math.exp(beta)) ** 2
+            for d, _, r0, r1 in risk
+        )
+        beta += u / i
+        if abs(u / i) < 1e-12:
+            break
+    assert row["d1_total"] == d1_total
+    assert abs(row["beta"] - beta) < 1e-4
+    assert abs(row["hazard_ratio"] - math.exp(beta)) < 1e-3
+
+
+def test_readability_recount(spark):
+    import re
+
+    rows = {
+        r["lang"]: r
+        for r in __import__(
+            "tb_scale_spatial_data_pipeline_spark.plans.text_queries",
+            fromlist=["QUERIES"],
+        ).QUERIES["readability_scores"](spark, SF_SMOKE).collect()
+    }
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").toPandas()
+    agg = {}
+    for _, r in docs.iterrows():
+        words = [
+            w
+            for w in re.sub(r"\s+", " ", r["text"].lower()).strip().split(" ")
+            if w
+        ]
+        a = agg.setdefault(r["lang"], [0, 0, 0])
+        for w in words:
+            g = len(re.findall(r"[aeiou]+", w))
+            s = max(g - (1 if (w.endswith("e") and g >= 2) else 0), 1)
+            a[0] += 1
+            a[1] += s
+            a[2] += 1 if s >= 3 else 0
+    for lang, (nw, ns, nc) in agg.items():
+        r = rows[lang]
+        assert r["n_words"] == nw and r["n_syllables"] == ns
+        assert abs(r["complex_rate"] - nc / nw) < 1e-6
