@@ -2224,3 +2224,92 @@ def q_cox_ph_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(b), 6).alias("beta"),
         F.round(F.exp(F.lit(b)), 6).alias("hazard_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matthews correlation coefficient for the mcnemar_paired_models rule
+# classifiers (which see) — the single-number confusion summary that
+# stays honest under class imbalance, reported per model so the two
+# MCCs are comparable alongside the McNemar discordance test.
+# MCC = (TP·TN − FP·FN)/sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN)); all four
+# cells are exact BIGINTs from one scan, the score one closed form.
+@_q(
+    "matthews_corrcoef_models",
+    """
+    WITH p AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y,
+             CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS a,
+             CASE WHEN o_totalprice > 100000 AND o_orderstatus = 'F'
+                  THEN 1 ELSE 0 END AS b
+      FROM orders
+    ),
+    cm AS (
+      SELECT m.model,
+             CAST(SUM(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tn,
+             CAST(SUM(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn
+      FROM (
+        SELECT y, 'price_150k' AS model, a AS pred FROM p
+        UNION ALL
+        SELECT y, 'price_100k_F', b FROM p
+      ) m GROUP BY 1
+    )
+    SELECT model, tp, tn, fp, fn,
+           round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                 / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+                        * (tn + fp) * (tn + fn)), 6) AS mcc
+    FROM cm ORDER BY model
+    """,
+)
+def q_matthews_corrcoef_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    y = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    a = F.when(F.col("o_totalprice") > 150000, 1).otherwise(0)
+    b = F.when(
+        (F.col("o_totalprice") > 100000) & (F.col("o_orderstatus") == "F"), 1
+    ).otherwise(0)
+    base = o.select(y.alias("y"), a.alias("a"), b.alias("b"))
+    m = base.select(
+        "y", F.lit("price_150k").alias("model"), F.col("a").alias("pred")
+    ).unionByName(
+        base.select(
+            "y", F.lit("price_100k_F").alias("model"), F.col("b").alias("pred")
+        )
+    )
+    cm = m.groupBy("model").agg(
+        F.sum(F.when((F.col("pred") == 1) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+        F.sum(F.when((F.col("pred") == 1) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+    )
+    tp, tn, fp, fn = (F.col(x) for x in ("tp", "tn", "fp", "fn"))
+    return cm.select(
+        "model",
+        "tp",
+        "tn",
+        "fp",
+        "fn",
+        F.round(
+            (tp.cast("double") * tn - fp.cast("double") * fn)
+            / F.sqrt(
+                (tp + fp).cast("double") * (tp + fn) * (tn + fp) * (tn + fn)
+            ),
+            6,
+        ).alias("mcc"),
+    ).orderBy("model")

@@ -3495,3 +3495,112 @@ def q_granger_causality_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.sparkSession.createDataFrame(
         rows, "n_obs bigint, r_autocorr double, r_partial double, f_stat double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cook's distance (Cook 1977) — the influence diagnostic for the
+# simple regression of order totalprice (cents) on lineitem count:
+# D_i = (e_i²/(p·s²))·(h_i/(1−h_i)²), p = 2. EVERY scalar (slope,
+# intercept, RSS, centered Sxx) is a closed-form double from exact
+# N-scaled DECIMAL(38,0) moments — RSS via Syy_c − b·Sxy_c, never a
+# float sum over rows — so the per-row D_i expression is a fixed
+# IEEE sequence and the top-10 ranking is deterministic (orderkey
+# tie-break). Plan: one count-aggregate + join, one 6-integer reduce,
+# one per-row expression pass, TakeOrderedAndProject(10).
+@_q(
+    "cooks_distance_top",
+    """
+    WITH xy AS (
+      SELECT o.o_orderkey AS k,
+             CAST(cnt.c AS BIGINT) AS x,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS y
+      FROM orders o
+      JOIN (SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY 1) cnt
+        ON cnt.l_orderkey = o.o_orderkey
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM xy
+    ),
+    fit AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+             CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n AS DOUBLE) AS sxx_c,
+             (CAST(n * syy - sy * sy AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                * (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n AS DOUBLE)))
+               AS rss
+      FROM m
+    ),
+    d AS (
+      SELECT xy.k, xy.x, xy.y,
+             (POWER(xy.y - (f.ybar + f.b * (xy.x - f.xbar)), 2)
+              / (2 * (f.rss / (f.n - 2))))
+             * ((1.0 / f.n + POWER(xy.x - f.xbar, 2) / f.sxx_c)
+                / POWER(1 - (1.0 / f.n + POWER(xy.x - f.xbar, 2) / f.sxx_c),
+                        2)) AS cd
+      FROM xy CROSS JOIN fit f
+    )
+    SELECT k AS o_orderkey, x AS n_items,
+           CAST(y AS DOUBLE) / 100 AS totalprice,
+           round(cd, 6) AS cooks_d
+    FROM d ORDER BY cd DESC, k LIMIT 10
+    """,
+)
+def q_cooks_distance_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("c"))
+    xy = o.join(cnt, o["o_orderkey"] == cnt["l_orderkey"]).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("c").cast("bigint").alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    ).localCheckpoint(eager=True)  # moments + scoring share it
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    m = xy.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+    ).collect()[0]
+    n = int(m["n"])
+    sx, sy = int(m["sx"]), int(m["sy"])
+    sxx, syy, sxy = int(m["sxx"]), int(m["syy"]), int(m["sxy"])
+    b = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    xbar = float(sx) / float(n)
+    ybar = float(sy) / float(n)
+    sxx_c = float(n * sxx - sx * sx) / float(n)
+    rss = float(n * syy - sy * sy) / float(n) - b * (
+        float(n * sxy - sx * sy) / float(n)
+    )
+    h = F.lit(1.0) / n + F.pow(F.col("x") - F.lit(xbar), 2) / F.lit(sxx_c)
+    e2 = F.pow(
+        F.col("y") - (F.lit(ybar) + F.lit(b) * (F.col("x") - F.lit(xbar))), 2
+    )
+    cd = (e2 / (2 * (F.lit(rss) / (n - 2)))) * (h / F.pow(1 - h, 2))
+    return (
+        xy.select(
+            F.col("k").alias("o_orderkey"),
+            F.col("x").alias("n_items"),
+            (F.col("y").cast("double") / 100).alias("totalprice"),
+            cd.alias("cd"),
+        )
+        .orderBy(F.desc("cd"), "o_orderkey")
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "n_items",
+            "totalprice",
+            F.round(F.col("cd"), 6).alias("cooks_d"),
+        )
+    )

@@ -2615,3 +2615,181 @@ def q_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dickey–Fuller unit-root test, lag-0 with intercept (Dickey & Fuller
+# 1979): regress Δy_t on y_{t−1}; the reported DF statistic is the
+# t-ratio of the slope, whose null distribution is the DF table (the
+# statistic, not the p-value, is the deliverable — the standard
+# engine contract for non-pivotal tests here). Exactness ladder: the
+# daily series and Δy are exact cent integers; S_xx, S_xy, S_yy are
+# N-scaled DECIMAL(38,0) moments; b, RSS, se and the t-ratio are one
+# fixed closed-form double sequence. Plan: daily aggregate -> one
+# lag() pass -> 5-integer reduce.
+@_q(
+    "dickey_fuller_unitroot",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1
+    ),
+    lagd AS (
+      SELECT y - lag(y) OVER (ORDER BY d) AS dy,
+             lag(y) OVER (ORDER BY d) AS yl
+      FROM daily
+    ),
+    rows_ AS (SELECT dy, yl FROM lagd WHERE yl IS NOT NULL),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(dy AS HUGEINT)) AS sy,
+             SUM(CAST(yl AS HUGEINT)) AS sx,
+             SUM(CAST(dy AS HUGEINT) * dy) AS syy,
+             SUM(CAST(yl AS HUGEINT) * yl) AS sxx,
+             SUM(CAST(dy AS HUGEINT) * yl) AS sxy
+      FROM rows_
+    ),
+    fit AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+             (CAST(n * syy - sy * sy AS DOUBLE)
+              - POWER(CAST(n * sxy - sx * sy AS DOUBLE), 2)
+                / CAST(n * sxx - sx * sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS rss_n
+      FROM m
+    )
+    SELECT n AS n_obs,
+           round(b, 6) AS rho_minus_1,
+           round(b / sqrt((rss_n / (n - 2))
+                          / (CAST((SELECT n * sxx - sx * sx FROM m)
+                                  AS DOUBLE) / n)), 6) AS df_stat
+    FROM fit
+    """,
+)
+def q_dickey_fuller_unitroot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    w = Window.orderBy("d")
+    lagd = daily.select(
+        (F.col("y") - F.lag("y").over(w)).alias("dy"),
+        F.lag("y").over(w).alias("yl"),
+    ).where(F.col("yl").isNotNull())
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    m = lagd.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec("dy")).alias("sy"),
+        F.sum(dec("yl")).alias("sx"),
+        F.sum(dec("dy") * F.col("dy")).alias("syy"),
+        F.sum(dec("yl") * F.col("yl")).alias("sxx"),
+        F.sum(dec("dy") * F.col("yl")).alias("sxy"),
+    ).collect()[0]
+    import math as _math
+
+    n = int(m["n"])
+    sy, sx = int(m["sy"]), int(m["sx"])
+    syy, sxx, sxy = int(m["syy"]), int(m["sxx"]), int(m["sxy"])
+    b = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    rss_n = (
+        float(n * syy - sy * sy)
+        - float(n * sxy - sx * sy) ** 2 / float(n * sxx - sx * sx)
+    ) / float(n)
+    df = b / _math.sqrt((rss_n / (n - 2)) / (float(n * sxx - sx * sx) / n))
+    rows = [(n, round(b, 6), round(df, 6))]
+    return o.sparkSession.createDataFrame(
+        rows, "n_obs bigint, rho_minus_1 double, df_stat double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gumbel extreme-value fit (method of moments) on MONTHLY MAXIMA of
+# daily revenue — the block-maxima EVT workhorse (Gumbel 1958):
+# β̂ = s·√6/π, μ̂ = m − γ·β̂ (γ = Euler–Mascheroni, a literal both
+# engines share), plus the derived 12-block return level
+# μ̂ − β̂·ln(−ln(1 − 1/12)). Monthly maxima are exact cent integers;
+# m and s come from exact BIGINT block sums; the fit is one closed
+# form. Plan: daily aggregate -> month-max aggregate (bounded ~80
+# blocks) -> 1-row closed form.
+@_q(
+    "gumbel_block_maxima",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1
+    ),
+    blocks AS (
+      SELECT strftime(d, '%Y-%m') AS mth, MAX(y) AS mx
+      FROM daily GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(mx) AS HUGEINT) AS s,
+             CAST(SUM(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS ss
+      FROM blocks
+    ),
+    fit AS (
+      SELECT n,
+             CAST(s AS DOUBLE) / n / 100 AS mean_max,
+             sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (n - 1))) / 100 AS sd_max
+      FROM m
+    )
+    SELECT n AS n_blocks,
+           round(mean_max, 6) AS mean_max,
+           round(sd_max * sqrt(6.0) / pi(), 6) AS gumbel_beta,
+           round(mean_max - 0.5772156649015329 * (sd_max * sqrt(6.0) / pi()),
+                 6) AS gumbel_mu,
+           round((mean_max - 0.5772156649015329
+                  * (sd_max * sqrt(6.0) / pi()))
+                 - (sd_max * sqrt(6.0) / pi())
+                   * ln(-ln(1.0 - 1.0 / 12)), 6) AS return_level_12
+    FROM fit
+    """,
+)
+def q_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _math
+
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    blocks = daily.groupBy(
+        F.date_format("d", "yyyy-MM").alias("mth")
+    ).agg(F.max("y").alias("mx"))
+    m = blocks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("mx").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("mx").cast("decimal(38,0)") * F.col("mx")).alias("ss"),
+    )
+    n = F.col("n")
+    mean_max = F.col("s").cast("double") / n / 100
+    sd_max = (
+        F.sqrt(
+            (n.cast("double") * F.col("ss").cast("double")
+             - F.col("s").cast("double") * F.col("s").cast("double"))
+            / (n.cast("double") * (n - 1))
+        )
+        / 100
+    )
+    beta = sd_max * F.sqrt(F.lit(6.0)) / F.lit(_math.pi)
+    mu = mean_max - F.lit(0.5772156649015329) * beta
+    return m.select(
+        n.alias("n_blocks"),
+        F.round(mean_max, 6).alias("mean_max"),
+        F.round(beta, 6).alias("gumbel_beta"),
+        F.round(mu, 6).alias("gumbel_mu"),
+        F.round(
+            mu - beta * F.log(-F.log(F.lit(1.0) - F.lit(1.0) / 12)), 6
+        ).alias("return_level_12"),
+    )
