@@ -2793,3 +2793,361 @@ def q_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
             mu - beta * F.log(-F.log(F.lit(1.0) - F.lit(1.0) / 12)), 6
         ).alias("return_level_12"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Elo ratings (Elo 1978) over DAILY BRAND DUELS: each ship-day the
+# top-revenue brand "beats" the runner-up (rank by exact cent revenue,
+# brand tie-break); ratings update sequentially with K=32 and the
+# 10^(Δ/400) logistic expectation. The recursion is a Catalyst-native
+# higher-order fold (the DTW/LCS seam): the duel list is a bounded
+# ~2.4k-element array, the accumulator the 25-brand rating vector;
+# the expected score is round(9)-ed after its single pow() and each
+# rating delta round(6)-ed, so the chained state stays on a shared
+# lattice across engines. The DuckDB twin folds the SAME recurrence
+# with list_reduce over typed placeholders, carrying a step COUNTER
+# in slot 1 of the accumulator (list_reduce gives no index; the DP
+# row there grows, this one doesn't — the counter restores random
+# access into the duel list). 100 TB: revenue ranking is the only
+# distributed stage; the fold is one bounded expression.
+@_q(
+    "elo_brand_ratings",
+    """
+    WITH rev AS (
+      SELECT CAST(l.l_shipdate AS DATE) AS d, p.p_brand AS b,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS r
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    top2 AS (
+      SELECT d, b, row_number() OVER (PARTITION BY d ORDER BY r DESC, b)
+               AS rk
+      FROM rev
+    ),
+    brands AS (
+      SELECT list(b ORDER BY b) AS bl
+      FROM (SELECT DISTINCT p_brand AS b FROM part)
+    ),
+    duel AS (
+      SELECT t.d,
+             CAST(list_position(br.bl,
+               max(CASE WHEN t.rk = 1 THEN t.b END)) AS INT) AS wi,
+             CAST(list_position(br.bl,
+               max(CASE WHEN t.rk = 2 THEN t.b END)) AS INT) AS li
+      FROM top2 t CROSS JOIN brands br
+      WHERE t.rk <= 2
+      GROUP BY t.d, br.bl HAVING COUNT(*) = 2
+    ),
+    arr AS (
+      SELECT (SELECT bl FROM brands) AS bl,
+             list(struct_pack(wi := wi, li := li) ORDER BY d) AS duels,
+             CAST(COUNT(*) AS BIGINT) AS n_duels
+      FROM duel
+    ),
+    folded AS (
+      SELECT bl, n_duels,
+             list_reduce(
+               [[0.0] || list_transform(bl, x -> 1000.0)]
+                 || list_transform(duels, x -> CAST([] AS DOUBLE[])),
+               (acc, it) ->
+                 list_transform(range(1, len(bl) + 2), i ->
+                   CASE
+                     WHEN i = 1 THEN acc[1] + 1
+                     WHEN i = duels[CAST(acc[1] AS INT) + 1].wi + 1
+                     THEN round(acc[i] + round(32 * (1 - round(
+                       1 / (1 + power(10,
+                         (acc[duels[CAST(acc[1] AS INT) + 1].li + 1]
+                          - acc[duels[CAST(acc[1] AS INT) + 1].wi + 1])
+                         / 400.0)), 9)), 6), 6)
+                     WHEN i = duels[CAST(acc[1] AS INT) + 1].li + 1
+                     THEN round(acc[i] - round(32 * (1 - round(
+                       1 / (1 + power(10,
+                         (acc[duels[CAST(acc[1] AS INT) + 1].li + 1]
+                          - acc[duels[CAST(acc[1] AS INT) + 1].wi + 1])
+                         / 400.0)), 9)), 6), 6)
+                     ELSE acc[i]
+                   END)
+             ) AS st
+      FROM arr
+    )
+    SELECT u.b AS brand, round(u.rating, 6) AS rating, f.n_duels
+    FROM folded f,
+         LATERAL (SELECT unnest(f.bl) AS b,
+                         unnest(f.st[2:len(f.bl) + 1]) AS rating) u
+    ORDER BY rating DESC, brand LIMIT 10
+    """,
+)
+def q_elo_brand_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    pt = t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .groupBy(
+            F.col("l_shipdate").cast("date").alias("d"),
+            F.col("p_brand").alias("b"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("r")
+        )
+    )
+    wd = Window.partitionBy("d").orderBy(F.desc("r"), "b")
+    top2 = rev.select("d", "b", F.row_number().over(wd).alias("rk")).where(
+        F.col("rk") <= 2
+    )
+    brands = pt.select(F.col("p_brand").alias("b")).distinct().agg(
+        F.sort_array(F.collect_list("b")).alias("bl")
+    )
+    duel = (
+        top2.groupBy("d")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("b"))).alias("wb"),
+            F.max(F.when(F.col("rk") == 2, F.col("b"))).alias("lb"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .where(F.col("c") == 2)
+        .crossJoin(F.broadcast(brands))
+        .select(
+            "d",
+            F.array_position(F.col("bl"), F.col("wb"))
+            .cast("int")
+            .alias("wi"),
+            F.array_position(F.col("bl"), F.col("lb"))
+            .cast("int")
+            .alias("li"),
+        )
+    )
+    arr = duel.crossJoin(F.broadcast(brands)).groupBy("bl").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "wi", "li"))),
+            lambda s: F.struct(s["wi"].alias("wi"), s["li"].alias("li")),
+        ).alias("duels"),
+        F.count(F.lit(1)).cast("bigint").alias("n_duels"),
+    )
+    init = F.expr("transform(bl, x -> 1000.0D)")
+
+    def _step(acc, du):
+        ra = F.element_at(acc, du["wi"])
+        rb = F.element_at(acc, du["li"])
+        e = F.round(
+            F.lit(1.0) / (1 + F.pow(F.lit(10.0), (rb - ra) / F.lit(400.0))),
+            9,
+        )
+        delta = F.round(32 * (1 - e), 6)
+        return F.transform(
+            acc,
+            lambda v, i: F.when(i + 1 == du["wi"], F.round(v + delta, 6))
+            .when(i + 1 == du["li"], F.round(v - delta, 6))
+            .otherwise(v),
+        )
+
+    folded = arr.select(
+        "bl",
+        "n_duels",
+        F.aggregate(F.col("duels"), init, _step).alias("st"),
+    )
+    out = folded.select(
+        "n_duels", F.arrays_zip(F.col("bl"), F.col("st")).alias("z")
+    ).select("n_duels", F.explode("z").alias("e"))
+    return (
+        out.select(
+            F.col("e.bl").alias("brand"),
+            F.round(F.col("e.st"), 6).alias("rating"),
+            "n_duels",
+        )
+        .orderBy(F.desc("rating"), "brand")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hampel filter (Hampel 1974; the robust rolling-outlier detector) on
+# daily revenue: day i is an outlier when |y_i − med_i| exceeds
+# 3·1.4826·MAD_i, with med_i the median of the centered 15-day window
+# and MAD_i the median absolute deviation FROM THAT CENTER median
+# (the textbook two-pass Hampel — not the cheaper per-row-median
+# variant). EXACT decision rule: the doubled median m2 and
+# quadrupled MAD mad4 are integers on the cents lattice, so the flag
+# |2y − m2|·20000 > 3·14826·mad4 is pure BIGINT arithmetic — no
+# float ever enters it. Both engines materialize the window by an
+# explicit ±7 neighbor join over the BOUNDED day spine (Spark has no
+# frame-median; the join is the same multiset, shrinking at the
+# edges exactly like a window frame would).
+@_q(
+    "hampel_outlier_days",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT d, y, row_number() OVER (ORDER BY d) AS i FROM daily
+    ),
+    nb AS (
+      SELECT c.i AS i, c.d AS d, c.y AS y, o.y AS yn
+      FROM idx c JOIN idx o ON o.i BETWEEN c.i - 7 AND c.i + 7
+    ),
+    med AS (
+      SELECT i, d, y, CAST(2 * median(yn) AS BIGINT) AS m2
+      FROM nb GROUP BY i, d, y
+    ),
+    mad AS (
+      SELECT m.i, m.d, m.y, m.m2,
+             CAST(2 * median(abs(2 * n.yn - m.m2)) AS BIGINT) AS mad4
+      FROM med m JOIN nb n ON n.i = m.i
+      GROUP BY m.i, m.d, m.y, m.m2
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           round(CAST(y AS DOUBLE) / 100, 2) AS revenue,
+           round(CAST(2 * y - m2 AS DOUBLE) / 200, 2) AS deviation
+    FROM mad
+    WHERE abs(2 * y - m2) * 20000 > 3 * 14826 * mad4
+    ORDER BY d
+    """,
+)
+def q_hampel_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    w = Window.orderBy("d")
+    idx = daily.select("d", "y", F.row_number().over(w).alias("i"))
+    other = idx.select(F.col("i").alias("j"), F.col("y").alias("yn"))
+    nb = idx.join(
+        F.broadcast(other),
+        (F.col("j") >= F.col("i") - 7) & (F.col("j") <= F.col("i") + 7),
+    )
+    med = nb.groupBy("i", "d", "y").agg(
+        (2 * F.median("yn")).cast("bigint").alias("m2")
+    )
+    mad = (
+        med.join(
+            nb.select("i", "yn").withColumnRenamed("i", "i2"),
+            F.col("i2") == F.col("i"),
+        )
+        .groupBy("i", "d", "y", "m2")
+        .agg(
+            (2 * F.median(F.abs(2 * F.col("yn") - F.col("m2"))))
+            .cast("bigint")
+            .alias("mad4")
+        )
+    )
+    return (
+        mad.where(
+            F.abs(2 * F.col("y") - F.col("m2")) * 20000
+            > 3 * 14826 * F.col("mad4")
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("y").cast("double") / 100, 2).alias("revenue"),
+            F.round(
+                (2 * F.col("y") - F.col("m2")).cast("double") / 200, 2
+            ).alias("deviation"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Taylor's power law (Taylor 1961): across brands, the variance of
+# daily brand revenue scales as var ≈ a·mean^b; the exponent b — the
+# aggregation/burstiness fingerprint (b=1 Poisson-like, b=2 fully
+# synchronized) — is the slope of ln(var) on ln(mean) over the 25
+# brand groups. Per-brand (n, Σy, Σy²) are exact DECIMAL(38,0) cent
+# moments; mean and unbiased var are closed-form doubles; each ln()
+# runs once per brand and the 25-point regression follows the
+# corr_regression closed form with round(12)-latticed DECIMAL sums.
+@_q(
+    "taylors_law_exponent",
+    """
+    WITH per_bd AS (
+      SELECT p.p_brand AS b, CAST(l.l_shipdate AS DATE) AS d,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    mv AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(y AS HUGEINT)) AS s,
+             SUM(CAST(y AS HUGEINT) * y) AS ss
+      FROM per_bd GROUP BY 1
+    ),
+    lx AS (
+      SELECT b,
+             ln(CAST(s AS DOUBLE) / n) AS lm,
+             ln((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                / (CAST(n AS DOUBLE) * (n - 1))) AS lv
+      FROM mv WHERE n >= 2
+    ),
+    reg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(CAST(round(lm, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               AS sx,
+             CAST(SUM(CAST(round(lv, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               AS sy,
+             CAST(SUM(CAST(round(lm * lm, 12) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(round(lm * lv, 12) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS sxy
+      FROM lx
+    )
+    SELECT k AS n_brands,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+             AS taylor_exponent,
+           round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k,
+                 6) AS log_intercept
+    FROM reg
+    """,
+)
+def q_taylors_law_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    pt = t(spark, sf_dir, "part")
+    per_bd = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("b"),
+            F.col("l_shipdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    mv = per_bd.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("ss"),
+    )
+    n = F.col("n")
+    lm = F.log(F.col("s").cast("double") / n)
+    lv = F.log(
+        (n.cast("double") * F.col("ss").cast("double")
+         - F.col("s").cast("double") * F.col("s").cast("double"))
+        / (n.cast("double") * (n - 1))
+    )
+    lx = mv.where(n >= 2).select("b", lm.alias("lm"), lv.alias("lv"))
+    d12 = lambda e: F.round(e, 12).cast("decimal(38,12)")
+    reg = lx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(d12(F.col("lm"))).cast("double").alias("sx"),
+        F.sum(d12(F.col("lv"))).cast("double").alias("sy"),
+        F.sum(d12(F.col("lm") * F.col("lm"))).cast("double").alias("sxx"),
+        F.sum(d12(F.col("lm") * F.col("lv"))).cast("double").alias("sxy"),
+    )
+    k = F.col("k")
+    sx, sy, sxx, sxy = (F.col(x) for x in ("sx", "sy", "sxx", "sxy"))
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    return reg.select(
+        k.alias("n_brands"),
+        F.round(slope, 6).alias("taylor_exponent"),
+        F.round((sy - slope * sx) / k, 6).alias("log_intercept"),
+    )
