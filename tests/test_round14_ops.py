@@ -632,3 +632,151 @@ def test_readability_recount(spark):
         r = rows[lang]
         assert r["n_words"] == nw and r["n_syllables"] == ns
         assert abs(r["complex_rate"] - nc / nw) < 1e-6
+
+
+def test_dickey_fuller_gumbel_cooks_taylor(spark):
+    y = _daily_cents(spark).astype(float)
+    dy, yl = np.diff(y), y[:-1]
+    n = len(dy)
+    X = np.column_stack([np.ones(n), yl])
+    beta, *_ = np.linalg.lstsq(X, dy, rcond=None)
+    resid = dy - X @ beta
+    s2 = float(resid @ resid) / (n - 2)
+    se = math.sqrt(s2 / float(np.sum((yl - yl.mean()) ** 2)))
+    row = TS_QUERIES["dickey_fuller_unitroot"](spark, SF_SMOKE).collect()[0]
+    assert row["n_obs"] == n
+    assert abs(row["rho_minus_1"] - beta[1]) < 1e-5
+    assert abs(row["df_stat"] - beta[1] / se) < 1e-3
+
+    # Gumbel block maxima vs numpy moments
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    o["d"] = o["o_orderdate"].dt.date
+    dly = (
+        o.assign(c=(o["o_totalprice"] * 100).round().astype("int64"))
+        .groupby("d")["c"]
+        .sum()
+        .reset_index()
+    )
+    dly["mth"] = [f"{d.year}-{d.month:02d}" for d in dly["d"]]
+    mx = dly.groupby("mth")["c"].max().to_numpy(dtype=float) / 100
+    m, s = mx.mean(), mx.std(ddof=1)
+    beta_g = s * math.sqrt(6) / math.pi
+    mu_g = m - 0.5772156649015329 * beta_g
+    grow = TS_QUERIES["gumbel_block_maxima"](spark, SF_SMOKE).collect()[0]
+    assert grow["n_blocks"] == len(mx)
+    assert abs(grow["gumbel_beta"] - beta_g) < 1e-4
+    assert abs(grow["gumbel_mu"] - mu_g) < 1e-3
+    rl = mu_g - beta_g * math.log(-math.log(1 - 1 / 12))
+    assert abs(grow["return_level_12"] - rl) < 1e-3
+
+    # Cook's distance top-10 vs numpy hat-matrix formula
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").toPandas()
+    cnt = li.groupby("l_orderkey").size()
+    oo = o.set_index("o_orderkey")
+    common = cnt.index.intersection(oo.index)
+    x = cnt.loc[common].to_numpy(dtype=float)
+    yv = (
+        (oo.loc[common, "o_totalprice"] * 100).round().to_numpy(dtype=float)
+    )
+    nn = len(x)
+    Xc = np.column_stack([np.ones(nn), x])
+    bet, *_ = np.linalg.lstsq(Xc, yv, rcond=None)
+    e = yv - Xc @ bet
+    s2c = float(e @ e) / (nn - 2)
+    hx = 1 / nn + (x - x.mean()) ** 2 / float(np.sum((x - x.mean()) ** 2))
+    D = (e**2 / (2 * s2c)) * (hx / (1 - hx) ** 2)
+    order = np.lexsort((common.to_numpy(), -D))[:10]
+    want = {int(common[i]): float(D[i]) for i in order}
+    rows = STATS_QUERIES["cooks_distance_top"](spark, SF_SMOKE).collect()
+    assert {r["o_orderkey"] for r in rows} == set(want)
+    for r in rows:
+        assert abs(r["cooks_d"] - want[r["o_orderkey"]]) < 1e-4
+
+    # Taylor's law vs numpy log-log regression over brand groups
+    pt = spark.read.parquet(f"{SF_SMOKE}/part.parquet").toPandas()
+    lj = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    lj["d"] = lj["l_shipdate"].dt.date
+    lj["c"] = (lj["l_extendedprice"] * 100).round().astype("int64")
+    g = lj.groupby(["p_brand", "d"])["c"].sum().reset_index()
+    lm, lv = [], []
+    for _, gb in g.groupby("p_brand"):
+        v = gb["c"].to_numpy(dtype=float)
+        if len(v) >= 2:
+            lm.append(math.log(v.mean()))
+            lv.append(math.log(v.var(ddof=1)))
+    slope, icpt = np.polyfit(lm, lv, 1)
+    trow = TS_QUERIES["taylors_law_exponent"](spark, SF_SMOKE).collect()[0]
+    assert trow["n_brands"] == len(lm)
+    assert abs(trow["taylor_exponent"] - slope) < 1e-4
+    assert abs(trow["log_intercept"] - icpt) < 1e-3
+
+
+def test_elo_and_hampel(spark):
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").toPandas()
+    pt = spark.read.parquet(f"{SF_SMOKE}/part.parquet").toPandas()
+    lj = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    lj["d"] = lj["l_shipdate"].dt.date
+    lj["c"] = (lj["l_extendedprice"] * 100).round().astype("int64")
+    rev = lj.groupby(["d", "p_brand"])["c"].sum().reset_index()
+    ratings = {}
+    n_duels = 0
+    for d, g in rev.groupby("d"):
+        g = g.sort_values(["c", "p_brand"], ascending=[False, True])
+        if len(g) < 2:
+            continue
+        wb, lb = g.iloc[0]["p_brand"], g.iloc[1]["p_brand"]
+        ra = ratings.get(wb, 1000.0)
+        rb = ratings.get(lb, 1000.0)
+        e = round(1 / (1 + 10 ** ((rb - ra) / 400)), 9)
+        delta = round(32 * (1 - e), 6)
+        ratings[wb] = round(ra + delta, 6)
+        ratings[lb] = round(rb - delta, 6)
+        n_duels += 1
+    for b in pt["p_brand"].unique():
+        ratings.setdefault(b, 1000.0)
+    want = sorted(ratings.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    rows = TS_QUERIES["elo_brand_ratings"](spark, SF_SMOKE).collect()
+    assert rows[0]["n_duels"] == n_duels
+    got = [(r["brand"], r["rating"]) for r in rows]
+    for (gb, gr), (wb, wr) in zip(got, want):
+        assert gb == wb and abs(gr - wr) < 1e-5
+
+    # Hampel brute force
+    y = _daily_cents(spark)
+    n = len(y)
+    flagged = []
+    for i in range(n):
+        wdw = y[max(0, i - 7) : min(n, i + 8)]
+        m2 = int(2 * np.median(wdw))
+        mad4 = int(2 * np.median(np.abs(2 * wdw - m2)))
+        if abs(2 * int(y[i]) - m2) * 20000 > 3 * 14826 * mad4:
+            flagged.append(i)
+    rows = TS_QUERIES["hampel_outlier_days"](spark, SF_SMOKE).collect()
+    assert len(rows) == len(flagged)
+
+    # MCC closed form
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    yv = o["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).astype(int)
+    preds = {
+        "price_150k": (o["o_totalprice"] > 150000).astype(int),
+        "price_100k_F": (
+            (o["o_totalprice"] > 100000) & (o["o_orderstatus"] == "F")
+        ).astype(int),
+    }
+    rows = {
+        r["model"]: r
+        for r in EXP_QUERIES["matthews_corrcoef_models"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    for mdl, pv in preds.items():
+        tp = int(((pv == 1) & (yv == 1)).sum())
+        tn = int(((pv == 0) & (yv == 0)).sum())
+        fp = int(((pv == 1) & (yv == 0)).sum())
+        fn = int(((pv == 0) & (yv == 1)).sum())
+        mcc = (tp * tn - fp * fn) / math.sqrt(
+            (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+        )
+        r = rows[mdl]
+        assert (r["tp"], r["tn"], r["fp"], r["fn"]) == (tp, tn, fp, fn)
+        assert abs(r["mcc"] - mcc) < 1e-5
