@@ -102,6 +102,15 @@ HEADLINE = [
     "em_gaussian_mixture",
     "blocklist_phrase_filter",
     "kendall_tau_b",
+    # r14 additions: representatives of the round-14 tiers (lockstep
+    # Newton survival regression, Catalyst-fold sequential ratings,
+    # iterative-doubling graph SCC, bounded-spine complexity stats,
+    # rank statistics).
+    "cox_ph_binary",
+    "elo_brand_ratings",
+    "brand_transition_scc",
+    "sample_entropy",
+    "wilcoxon_signed_rank",
 ]
 # cross-round comparisons of the headline total must use this prefix
 # (the r1-r9 frozen set); the full list total includes the r10 tier
