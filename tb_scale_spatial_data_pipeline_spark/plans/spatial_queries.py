@@ -5565,3 +5565,131 @@ def q_gravity_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "log_k"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Geometric median via smoothed Weiszfeld iteration (Weiszfeld 1937;
+# the L1 facility-location center that the mean cannot give): 5 fixed
+# sweeps of x' = Σ(m·p/d)/Σ(m/d) over the DEDUPED customer lattice
+# (px, py, multiplicity m), d = sqrt(|x−p|² + 1e-9) (the epsilon
+# smoothing removes the lattice-hit singularity, documented).
+# Lockstep contract: per-site weight terms are round(12)-latticed and
+# DECIMAL-summed, the scalar (x, y) update is round(12)-ed through
+# Spark ROUND on a 1-row select (EM/Cox discipline); the twin unrolls
+# the same five sweeps as correlated scalar CTEs. Init = exact-ratio
+# centroid. 100 TB: the dedup bounds every sweep at the lattice
+# domain (≤1200 sites); the only row-volume pass is the groupBy.
+_WEISZFELD_SWEEPS = 5
+
+
+def _sql_weiszfeld() -> str:
+    ctes = [
+        """pts AS MATERIALIZED (
+      SELECT CAST(c_custkey % 40 AS BIGINT) AS px,
+             CAST(c_custkey % 30 AS BIGINT) AS py,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM customer GROUP BY 1, 2
+    ),
+    c0 AS (
+      SELECT round(CAST(SUM(m * px) AS DOUBLE) / SUM(m), 12) AS x,
+             round(CAST(SUM(m * py) AS DOUBLE) / SUM(m), 12) AS y
+      FROM pts
+    )"""
+    ]
+    for k in range(_WEISZFELD_SWEEPS):
+        d = (
+            f"sqrt((c{k}.x - px) * (c{k}.x - px)"
+            f" + (c{k}.y - py) * (c{k}.y - py) + 1e-9)"
+        )
+        ctes.append(
+            f"""s{k} AS (
+      SELECT CAST(SUM(CAST(round(m * px / {d}, 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(round(m * py / {d}, 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(round(m / {d}, 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS sw
+      FROM pts CROSS JOIN c{k}
+    ),
+    c{k + 1} AS (
+      SELECT round(sx / sw, 12) AS x, round(sy / sw, 12) AS y FROM s{k}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT (SELECT CAST(SUM(m) AS BIGINT) FROM pts) AS n_customers,
+           round(x, 6) AS median_x, round(y, 6) AS median_y
+    FROM c{_WEISZFELD_SWEEPS}
+    """
+    )
+
+
+@_q("geometric_median_weiszfeld", _sql_weiszfeld())
+def q_geometric_median_weiszfeld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = t(spark, sf_dir, "customer")
+    pts = (
+        cu.groupBy(
+            (F.col("c_custkey") % 40).cast("bigint").alias("px"),
+            (F.col("c_custkey") % 30).cast("bigint").alias("py"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+        .localCheckpoint(eager=True)  # bounded lattice, reused per sweep
+    )
+
+    def jround(*exprs: object) -> list[float]:
+        row = (
+            pts.sparkSession.range(1)
+            .select(
+                *[
+                    F.round(F.lit(e).cast("double"), 12).alias(f"c{i}")
+                    for i, e in enumerate(exprs)
+                ]
+            )
+            .collect()[0]
+        )
+        return [row[f"c{i}"] for i in range(len(exprs))]
+
+    c = pts.agg(
+        F.sum(F.col("m") * F.col("px")).alias("sx"),
+        F.sum(F.col("m") * F.col("py")).alias("sy"),
+        F.sum("m").alias("sm"),
+    ).collect()[0]
+    n_customers = int(c["sm"])
+    x, y = jround(
+        float(c["sx"]) / float(c["sm"]), float(c["sy"]) / float(c["sm"])
+    )
+    for _ in range(_WEISZFELD_SWEEPS):
+        d = F.sqrt(
+            (F.lit(x) - F.col("px")) * (F.lit(x) - F.col("px"))
+            + (F.lit(y) - F.col("py")) * (F.lit(y) - F.col("py"))
+            + F.lit(1e-9)
+        )
+        s = pts.agg(
+            F.sum(
+                F.round(F.col("m") * F.col("px") / d, 12).cast(
+                    "decimal(38,12)"
+                )
+            )
+            .cast("double")
+            .alias("sx"),
+            F.sum(
+                F.round(F.col("m") * F.col("py") / d, 12).cast(
+                    "decimal(38,12)"
+                )
+            )
+            .cast("double")
+            .alias("sy"),
+            F.sum(F.round(F.col("m") / d, 12).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("sw"),
+        ).collect()[0]
+        x, y = jround(
+            float(s["sx"]) / float(s["sw"]), float(s["sy"]) / float(s["sw"])
+        )
+    return pts.sparkSession.range(1).select(
+        F.lit(n_customers).cast("bigint").alias("n_customers"),
+        F.round(F.lit(x), 6).alias("median_x"),
+        F.round(F.lit(y), 6).alias("median_y"),
+    )

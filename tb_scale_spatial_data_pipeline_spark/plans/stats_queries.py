@@ -3604,3 +3604,71 @@ def q_cooks_distance_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cd"), 6).alias("cooks_d"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator (Hill 1975) for the order-value upper
+# tail: H = (1/k)·Σ ln(x_(i)/x_(k+1)) over the top k = 100 order
+# statistics, alpha = 1/H — the EVT peaks-over-threshold complement
+# to gumbel_block_maxima's block-maxima fit. Order statistics are
+# exact cent integers via one TakeOrderedAndProject; each log-ratio
+# term ln(x_i) − ln(x_k1) is round(12)-latticed and DECIMAL-summed
+# (order-free). Ties at the threshold are harmless: the top-(k+1)
+# MULTISET is deterministic even when the cut value repeats.
+_HILL_K = 100
+
+
+@_q(
+    "hill_tail_index",
+    f"""
+    WITH topk AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders ORDER BY c DESC LIMIT {_HILL_K + 1}
+    ),
+    thr AS (SELECT min(c) AS x_k1 FROM topk),
+    terms AS (
+      SELECT CAST(SUM(CAST(round(ln(CAST(c AS DOUBLE))
+                                 - ln(CAST(t.x_k1 AS DOUBLE)), 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT c FROM topk ORDER BY c DESC LIMIT {_HILL_K})
+           CROSS JOIN thr t
+    )
+    SELECT CAST({_HILL_K} AS BIGINT) AS k,
+           round(CAST((SELECT x_k1 FROM thr) AS DOUBLE) / 100, 2)
+             AS threshold,
+           round(s / {_HILL_K}, 6) AS hill_h,
+           round({_HILL_K} / s, 6) AS tail_alpha
+    FROM terms
+    """,
+)
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    topk1 = (
+        o.select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c")
+        )
+        .orderBy(F.desc("c"))
+        .limit(_HILL_K + 1)
+        .localCheckpoint(eager=True)  # threshold + terms share it
+    )
+    thr = topk1.agg(F.min("c").alias("x_k1"))
+    topk = topk1.orderBy(F.desc("c")).limit(_HILL_K)
+    terms = topk.crossJoin(F.broadcast(thr)).agg(
+        F.sum(
+            F.round(
+                F.log(F.col("c").cast("double"))
+                - F.log(F.col("x_k1").cast("double")),
+                12,
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return terms.crossJoin(F.broadcast(thr)).select(
+        F.lit(_HILL_K).cast("bigint").alias("k"),
+        F.round(F.col("x_k1").cast("double") / 100, 2).alias("threshold"),
+        F.round(F.col("s") / _HILL_K, 6).alias("hill_h"),
+        F.round(F.lit(_HILL_K) / F.col("s"), 6).alias("tail_alpha"),
+    )

@@ -3151,3 +3151,119 @@ def q_taylors_law_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("taylor_exponent"),
         F.round((sy - slope * sx) / k, 6).alias("log_intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spectral entropy (the flatness-of-spectrum complexity measure used
+# for regime detection): normalized Shannon entropy of the daily
+# revenue periodogram over the bounded period bank 2..30 days —
+# H = 1 means white-noise-flat, H → 0 means one dominant cycle.
+# Same single-bin DFT seam as dft_seasonal_power: per-term
+# x·cos/sin on the 1e-6 lattice summed in DECIMAL; per-period POWER
+# is then round(6)-latticed BEFORE the cross-period normalization so
+# the total is an exact DECIMAL sum, and the entropy terms are
+# round(12)-latticed (order-free). Output: entropy + the dominant
+# period, one row.
+_SE_PERIODS = tuple(range(2, 31))
+
+
+def _sql_spectral_entropy() -> str:
+    vals = ", ".join(f"({p})" for p in _SE_PERIODS)
+    return f"""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', (SELECT min(o_orderdate) FROM orders),
+                            o_orderdate) AS BIGINT) AS d,
+             CAST(CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(38,0)))
+                       AS DECIMAL(38,0)) AS DOUBLE) AS x
+      FROM daily_src
+    ),
+    periods(p) AS (VALUES {vals}),
+    terms AS (
+      SELECT p,
+             SUM(CAST(round(x * cos(2 * pi() * d / p), 6)
+                      AS DECIMAL(38,6))) AS c,
+             SUM(CAST(round(x * sin(2 * pi() * d / p), 6)
+                      AS DECIMAL(38,6))) AS s
+      FROM daily CROSS JOIN periods
+      GROUP BY p
+    ),
+    pw AS (
+      SELECT p,
+             CAST(round(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+                        + CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 6)
+                  AS DECIMAL(38,6)) AS pow6
+      FROM terms
+    ),
+    tot AS (SELECT SUM(pow6) AS tp FROM pw),
+    ent AS (
+      SELECT CAST(SUM(CAST(round(
+               -(CAST(pow6 AS DOUBLE) / CAST(tp AS DOUBLE))
+               * ln(CAST(pow6 AS DOUBLE) / CAST(tp AS DOUBLE)), 12)
+               AS DECIMAL(38,12))) AS DOUBLE) AS h
+      FROM pw CROSS JOIN tot
+    )
+    SELECT CAST({len(_SE_PERIODS)} AS BIGINT) AS n_periods,
+           (SELECT CAST(p AS BIGINT) FROM pw
+            ORDER BY pow6 DESC, p LIMIT 1) AS dominant_period,
+           round((SELECT h FROM ent) / ln({len(_SE_PERIODS)}.0), 6)
+             AS spectral_entropy
+    """.replace("FROM daily_src", "FROM orders GROUP BY 1")
+
+
+@_q("spectral_entropy", _sql_spectral_entropy())
+def q_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    orders = t(spark, sf_dir, "orders")
+    dmin = orders.agg(F.min("o_orderdate").alias("dmin"))
+    daily = (
+        orders.crossJoin(F.broadcast(dmin))
+        .groupBy(
+            F.datediff(F.col("o_orderdate"), F.col("dmin"))
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(
+            F.sum((F.col("o_totalprice") * 100).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("double")
+            .alias("x")
+        )
+    )
+    periods = daily.sparkSession.createDataFrame(
+        [(p,) for p in _SE_PERIODS], "p int"
+    )
+    ang = 2 * math.pi * F.col("d") / F.col("p")
+    terms = (
+        daily.crossJoin(F.broadcast(periods))
+        .groupBy("p")
+        .agg(
+            F.sum(
+                F.round(F.col("x") * F.cos(ang), 6).cast("decimal(38,6)")
+            ).alias("c"),
+            F.sum(
+                F.round(F.col("x") * F.sin(ang), 6).cast("decimal(38,6)")
+            ).alias("s"),
+        )
+    )
+    c, s = F.col("c").cast("double"), F.col("s").cast("double")
+    pw = terms.select(
+        "p", F.round(c * c + s * s, 6).cast("decimal(38,6)").alias("pow6")
+    )
+    tot = pw.agg(F.sum("pow6").alias("tp"))
+    withp = pw.crossJoin(F.broadcast(tot))
+    prob = F.col("pow6").cast("double") / F.col("tp").cast("double")
+    ent = withp.agg(
+        F.sum(F.round(-prob * F.log(prob), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("h")
+    )
+    dom = pw.orderBy(F.desc("pow6"), "p").limit(1).select(
+        F.col("p").cast("bigint").alias("dominant_period")
+    )
+    return ent.crossJoin(F.broadcast(dom)).select(
+        F.lit(len(_SE_PERIODS)).cast("bigint").alias("n_periods"),
+        "dominant_period",
+        F.round(F.col("h") / F.lit(math.log(float(len(_SE_PERIODS)))), 6)
+        .alias("spectral_entropy"),
+    )

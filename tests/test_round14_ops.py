@@ -780,3 +780,65 @@ def test_elo_and_hampel(spark):
         r = rows[mdl]
         assert (r["tp"], r["tn"], r["fp"], r["fn"]) == (tp, tn, fp, fn)
         assert abs(r["mcc"] - mcc) < 1e-5
+
+
+def test_spectral_hill_weiszfeld(spark):
+    # spectral entropy vs numpy periodogram over the same period bank
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    dmin = o["o_orderdate"].min()
+    o["d"] = (o["o_orderdate"] - dmin).dt.days
+    dser = (
+        o.assign(c=(o["o_totalprice"] * 100))
+        .groupby("d")["c"]
+        .sum()
+        .sort_index()
+    )
+    d = dser.index.to_numpy(dtype=float)
+    x = dser.to_numpy(dtype=float)
+    powers = []
+    for p in range(2, 31):
+        c = float(np.sum(x * np.cos(2 * math.pi * d / p)))
+        s = float(np.sum(x * np.sin(2 * math.pi * d / p)))
+        powers.append(c * c + s * s)
+    powers = np.array(powers)
+    prob = powers / powers.sum()
+    h = float(-(prob * np.log(prob)).sum() / math.log(29))
+    dom = int(np.arange(2, 31)[np.argmax(powers)])
+    row = TS_QUERIES["spectral_entropy"](spark, SF_SMOKE).collect()[0]
+    assert row["n_periods"] == 29 and row["dominant_period"] == dom
+    assert abs(row["spectral_entropy"] - h) < 1e-4
+
+    # Hill estimator vs numpy order statistics
+    cents = np.sort(
+        (o["o_totalprice"] * 100).round().astype("int64").to_numpy()
+    )[::-1]
+    k = 100
+    xk1 = float(cents[k])
+    hh = float(np.mean(np.log(cents[:k].astype(float)) - math.log(xk1)))
+    hrow = STATS_QUERIES["hill_tail_index"](spark, SF_SMOKE).collect()[0]
+    assert hrow["k"] == k
+    assert abs(hrow["threshold"] - xk1 / 100) < 1e-9
+    assert abs(hrow["hill_h"] - hh) < 1e-5
+    assert abs(hrow["tail_alpha"] - 1 / hh) < 1e-3
+
+    # Weiszfeld vs full-precision numpy iteration (5 sweeps, same init)
+    cu = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").toPandas()
+    px = (cu["c_custkey"] % 40).to_numpy(dtype=float)
+    py = (cu["c_custkey"] % 30).to_numpy(dtype=float)
+    xx, yy = px.mean(), py.mean()
+    for _ in range(5):
+        dist = np.sqrt((xx - px) ** 2 + (yy - py) ** 2 + 1e-9)
+        w = 1 / dist
+        xx, yy = float((px * w).sum() / w.sum()), float(
+            (py * w).sum() / w.sum()
+        )
+    from tb_scale_spatial_data_pipeline_spark.plans.spatial_queries import (
+        QUERIES as SP_QUERIES,
+    )
+
+    wrow = SP_QUERIES["geometric_median_weiszfeld"](
+        spark, SF_SMOKE
+    ).collect()[0]
+    assert wrow["n_customers"] == len(cu)
+    assert abs(wrow["median_x"] - xx) < 1e-4
+    assert abs(wrow["median_y"] - yy) < 1e-4
