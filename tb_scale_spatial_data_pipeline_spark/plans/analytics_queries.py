@@ -2640,9 +2640,18 @@ def q_propensity_nn_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("y"),
     )
+    # BOTH neighbor scans must be RUNNING (expanding-prefix) frames:
+    # a (1 FOLLOWING, UNBOUNDED FOLLOWING) frame is a shrinking frame
+    # that Spark's WindowExec re-evaluates per row — O(n²) per stratum
+    # (caught by the r14 sf0.01→0.1 probe: 0.7 s → 9.0 s, 12.4×). The
+    # "first control strictly after me in (cents, k) order" is exactly
+    # the "last control strictly before me" under the REVERSED sort,
+    # so both sides become incrementally-maintained prefix frames
+    # (probe after re-plan: 1.0×).
     ob = W.partitionBy("seg", "yr").orderBy("cents", "k")
     wp = ob.rowsBetween(W.unboundedPreceding, -1)
-    wn = ob.rowsBetween(1, W.unboundedFollowing)
+    obr = W.partitionBy("seg", "yr").orderBy(F.desc("cents"), F.desc("k"))
+    wn = obr.rowsBetween(W.unboundedPreceding, -1)
     ctrl_c = F.when(F.col("tr") == 0, F.col("cents"))
     ctrl_y = F.when(F.col("tr") == 0, F.col("y"))
     nb = j.select(
@@ -2651,8 +2660,8 @@ def q_propensity_nn_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         F.last(ctrl_c, ignorenulls=True).over(wp).alias("pc"),
         F.last(ctrl_y, ignorenulls=True).over(wp).alias("py"),
-        F.first(ctrl_c, ignorenulls=True).over(wn).alias("nc"),
-        F.first(ctrl_y, ignorenulls=True).over(wn).alias("ny"),
+        F.last(ctrl_c, ignorenulls=True).over(wn).alias("nc"),
+        F.last(ctrl_y, ignorenulls=True).over(wn).alias("ny"),
     )
     use_prev = F.col("pc").isNotNull() & (
         F.col("nc").isNull()
