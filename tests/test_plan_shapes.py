@@ -449,3 +449,44 @@ def test_mmr_retrieval_is_topk_heap(spark):
     src = inspect.getsource(vq.q_mmr_diversified_topk)
     assert ".limit(_MMR_CANDS)" in src  # heap via orderBy+limit
     assert "localCheckpoint" in src  # candidates materialize once
+
+
+def test_nn_matching_no_shrinking_frames(spark):
+    """propensity_nn_matching's neighbor scans must BOTH be running
+    (expanding-prefix) frames: Spark re-evaluates a (1 FOLLOWING,
+    UNBOUNDED FOLLOWING) frame per row — O(n²) per stratum, the 12.4×
+    blow-up the r14 sf0.01→0.1 probe caught. The fix expresses "first
+    control after me" as "last control before me" under the reversed
+    sort; any reappearance of an unboundedfollowing frame is the
+    regression."""
+    p = plan_of(spark, "propensity_nn_matching").lower()
+    assert "unboundedfollowing" not in p
+    assert "cartesianproduct" not in p
+
+
+def test_sample_entropy_pair_join_is_broadcast(spark):
+    """sample_entropy's quadratic lives ONLY on the bounded day spine:
+    the pair join must be broadcast (spine vs spine), never a shuffled
+    sort-merge over row volume."""
+    p = plan_of(spark, "sample_entropy")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_brand_scc_edges_join_is_bounded(spark):
+    """brand_transition_scc's closure joins run on the <=625-edge
+    brand digraph — a CartesianProduct anywhere means the reachability
+    step lost its equi-join key."""
+    p = plan_of(spark, "brand_transition_scc")
+    assert "CartesianProduct" not in p
+
+
+def test_elo_fold_is_single_aggregate(spark):
+    """elo_brand_ratings' sequential recursion must run as ONE
+    Catalyst higher-order fold over the collected duel array — a
+    CartesianProduct or a python UDF in the plan means the fold
+    decomposed."""
+    p = plan_of(spark, "elo_brand_ratings")
+    assert "aggregate(" in p or "Aggregate" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
