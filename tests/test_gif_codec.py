@@ -146,3 +146,39 @@ def test_gif_fixture_rows_decode_through_spark_seam(spark):
             payload, m["width"], m["height"], m["channels"]
         )
         assert np.array_equal(seam, arr)
+
+
+def test_animated_gif_decodes_first_frame_only():
+    """Documented contract (multimodal/gif.py r14): for an animated
+    GIF89a the decoder returns the FIRST frame — extensions are
+    skipped and parsing stops at the first image descriptor, so frame
+    2 (a different image appended after a second GCE) must never leak
+    into the output."""
+    f1 = (np.arange(12, dtype=np.uint8) * 20).reshape(2, 2, 3)
+    f2 = 255 - f1
+    b1 = bytes(encode_gif_rgb8(f1))
+    b2 = bytes(encode_gif_rgb8(f2))
+    gce = bytes([0x21, 0xF9, 0x04, 0x04, 0x0A, 0x00, 0x00, 0x00])
+    p1 = b1.index(0x2C)
+    p2 = b2.index(0x2C)
+    # GIF89a header + shared screen descriptor/GCT from frame 1, then
+    # GCE+frame1, GCE+frame2 (with frame 2's own local color table
+    # already inside its image-descriptor block? no — splice frame 2's
+    # descriptor WITHOUT its GCT context, so give it frame 2's global
+    # table as a LOCAL one is out of scope; instead both frames use
+    # frame-1's palette, so frame 2's pixel indices are simply frame
+    # 2's LZW stream decoded against palette 1 — still a well-formed
+    # animation, and still must NOT be what decode returns)
+    animated = (
+        b"GIF89a"
+        + b1[6:p1]
+        + gce
+        + b1[p1:-1]
+        + gce
+        + b2[p2:-1]
+        + b"\x3b"
+    )
+    out = decode_gif(animated)
+    assert out is not None
+    assert np.array_equal(out, f1)
+    assert not np.array_equal(out, f2)
