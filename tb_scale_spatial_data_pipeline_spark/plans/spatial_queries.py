@@ -5693,3 +5693,140 @@ def q_geometric_median_weiszfeld(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(x), 6).alias("median_x"),
         F.round(F.lit(y), 6).alias("median_y"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Convex-hull WIDTH (rotating-calipers identity) per nation — the
+# minimum distance between parallel supporting lines, i.e. the
+# narrowest corridor the point cloud fits through; complements
+# convex_hull_metrics' diameter. Calipers reduce to a closed form on
+# the hull cycle: width = min over hull EDGES of (max over points of
+# |cross(b−a, p−a)|) / |b−a|. Cross products are exact lattice
+# integers (the hull kernel vs maximal-edge-identity pairing is the
+# convex_hull_metrics seam); each edge's width is ONE double
+# expression from two exact integers, so the min is deterministic.
+# 100 TB: dedup bounds the per-nation point set at the lattice domain
+# (<=1200), the edge x point join is domain x domain.
+@_q(
+    "hull_width_calipers",
+    """
+    WITH pts AS (
+      SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nation,
+             CAST(c_custkey % 40 AS BIGINT) AS px,
+             CAST(c_custkey % 30 AS BIGINT) AS py
+      FROM customer
+    ),
+    edges AS (
+      SELECT a.nation, a.px AS ax, a.py AS ay, b.px AS bx, b.py AS by
+      FROM pts a JOIN pts b
+        ON a.nation = b.nation AND (a.px <> b.px OR a.py <> b.py)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pts p
+        WHERE p.nation = a.nation
+          AND NOT (p.px = a.px AND p.py = a.py)
+          AND NOT (p.px = b.px AND p.py = b.py)
+          AND (
+            (b.px - a.px) * (p.py - a.py)
+              - (b.py - a.py) * (p.px - a.px) < 0
+            OR (
+              (b.px - a.px) * (p.py - a.py)
+                - (b.py - a.py) * (p.px - a.px) = 0
+              AND NOT (
+                (p.px - a.px) * (b.px - a.px)
+                  + (p.py - a.py) * (b.py - a.py) > 0
+                AND (p.px - a.px) * (b.px - a.px)
+                      + (p.py - a.py) * (b.py - a.py)
+                    < (b.px - a.px) * (b.px - a.px)
+                      + (b.py - a.py) * (b.py - a.py)
+              )
+            )
+          )
+      )
+    ),
+    support AS (
+      SELECT e.nation, e.ax, e.ay, e.bx, e.by,
+             MAX(abs((e.bx - e.ax) * (p.py - e.ay)
+                     - (e.by - e.ay) * (p.px - e.ax))) AS maxcross,
+             (e.bx - e.ax) * (e.bx - e.ax)
+               + (e.by - e.ay) * (e.by - e.ay) AS len2
+      FROM edges e JOIN pts p ON p.nation = e.nation
+      GROUP BY e.nation, e.ax, e.ay, e.bx, e.by
+    )
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_hull_edges,
+           round(MIN(CAST(maxcross AS DOUBLE)
+                     / sqrt(CAST(len2 AS DOUBLE))), 6) AS hull_width
+    FROM support GROUP BY nation ORDER BY nation
+    """,
+)
+def q_hull_width_calipers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    cust = t(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+        (F.col("c_custkey") % 40).cast("bigint").alias("px"),
+        (F.col("c_custkey") % 30).cast("bigint").alias("py"),
+    ).distinct().localCheckpoint(eager=True)  # hull kernel + support join
+
+    def hull_fn(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        from ..functions.geometry import _convex_hull
+
+        arr = np.unique(pdf[["px", "py"]].to_numpy(dtype=np.float64), axis=0)
+        h = _convex_hull(arr)
+        return pd.DataFrame(
+            {
+                "nation": key[0],
+                "seq": range(len(h)),
+                "hx": h[:, 0].astype("int64"),
+                "hy": h[:, 1].astype("int64"),
+            }
+        )
+
+    hulls = pts.groupBy("nation").applyInPandas(
+        hull_fn, "nation bigint, seq int, hx bigint, hy bigint"
+    )
+    w = Window.partitionBy("nation").orderBy("seq")
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    edges = hulls.select(
+        "nation",
+        F.col("hx").alias("ax"),
+        F.col("hy").alias("ay"),
+        F.coalesce(F.lead("hx").over(w), F.first("hx").over(w_all)).alias("bx"),
+        F.coalesce(F.lead("hy").over(w), F.first("hy").over(w_all)).alias("by"),
+    )
+    pb = pts.select(
+        F.col("nation").alias("pn"),
+        F.col("px"),
+        F.col("py"),
+    )
+    cross = F.abs(
+        (F.col("bx") - F.col("ax")) * (F.col("py") - F.col("ay"))
+        - (F.col("by") - F.col("ay")) * (F.col("px") - F.col("ax"))
+    )
+    support = (
+        edges.join(pb, F.col("pn") == F.col("nation"))
+        .groupBy("nation", "ax", "ay", "bx", "by")
+        .agg(F.max(cross).alias("maxcross"))
+        .withColumn(
+            "len2",
+            (F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax"))
+            + (F.col("by") - F.col("ay")) * (F.col("by") - F.col("ay")),
+        )
+    )
+    return (
+        support.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hull_edges"),
+            F.round(
+                F.min(
+                    F.col("maxcross").cast("double")
+                    / F.sqrt(F.col("len2").cast("double"))
+                ),
+                6,
+            ).alias("hull_width"),
+        )
+        .orderBy("nation")
+    )

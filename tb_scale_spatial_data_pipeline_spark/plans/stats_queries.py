@@ -3672,3 +3672,261 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s") / _HILL_K, 6).alias("hill_h"),
         F.round(F.lit(_HILL_K) / F.col("s"), 6).alias("tail_alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# White's heteroskedasticity LM test (White 1980): regress the SQUARED
+# residuals of totalprice ~ lineitem-count on [1, x, x²]; LM = n·R².
+# Like granger_causality_f, the two-regressor R² comes from the
+# Frisch–Waugh–Lovell identity (R² = r²_gx + r²_{gz·x}(1−r²_gx)) —
+# never a 3×3 inversion. EXACT moments throughout: stage-1 residuals
+# are re-latticed to whole DOLLARS (ed = round(e/100), one double
+# rounding with identical expression text — the coarser lattice keeps
+# Σg² = Σed⁴ inside DECIMAL(38,0) even at sf1), so g = ed², x and
+# z = x² are integers and every second-stage moment is exact.
+@_q(
+    "white_lm_test",
+    """
+    WITH xy AS (
+      SELECT CAST(cnt.c AS BIGINT) AS x,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS y
+      FROM orders o
+      JOIN (SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY 1) cnt
+        ON cnt.l_orderkey = o.o_orderkey
+    ),
+    m1 AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM xy
+    ),
+    fit AS (
+      SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+             (CAST(sy AS DOUBLE)
+              - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a
+      FROM m1
+    ),
+    gz AS (
+      SELECT CAST(round((y - f.a - f.b * x) / 100) AS HUGEINT) AS e4,
+             CAST(x AS HUGEINT) AS x, CAST(x AS HUGEINT) * x AS z
+      FROM xy CROSS JOIN fit f
+    ),
+    m2 AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(e4 * e4) AS sg,
+             SUM((e4 * e4) * (e4 * e4)) AS sgg,
+             SUM((e4 * e4) * x) AS sgx,
+             SUM((e4 * e4) * z) AS sgz,
+             SUM(x) AS sx, SUM(x * x) AS sxx,
+             SUM(z) AS sz, SUM(z * z) AS szz, SUM(x * z) AS sxz
+      FROM gz
+    ),
+    r AS (
+      SELECT CAST(n AS BIGINT) AS n,
+        CAST(n * sgx - sg * sx AS DOUBLE)
+          / sqrt(CAST(n * sgg - sg * sg AS DOUBLE)
+                 * CAST(n * sxx - sx * sx AS DOUBLE)) AS r_gx,
+        CAST(n * sgz - sg * sz AS DOUBLE)
+          / sqrt(CAST(n * sgg - sg * sg AS DOUBLE)
+                 * CAST(n * szz - sz * sz AS DOUBLE)) AS r_gz,
+        CAST(n * sxz - sx * sz AS DOUBLE)
+          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                 * CAST(n * szz - sz * sz AS DOUBLE)) AS r_xz
+      FROM m2
+    ),
+    p AS (
+      SELECT n, r_gx,
+             (r_gz - r_gx * r_xz)
+               / sqrt((1 - r_gx * r_gx) * (1 - r_xz * r_xz)) AS r_p
+      FROM r
+    )
+    SELECT n AS n_obs,
+           round(r_gx * r_gx
+                 + r_p * r_p * (1 - r_gx * r_gx), 9) AS r2_aux,
+           round(n * (r_gx * r_gx
+                      + r_p * r_p * (1 - r_gx * r_gx)), 6) AS white_lm
+    FROM p
+    """,
+)
+def q_white_lm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _math
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("c"))
+    xy = o.join(cnt, o["o_orderkey"] == cnt["l_orderkey"]).select(
+        F.col("c").cast("bigint").alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    ).localCheckpoint(eager=True)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    m1 = xy.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+    ).collect()[0]
+    n1, sx1, sy1 = int(m1["n"]), int(m1["sx"]), int(m1["sy"])
+    sxx1, sxy1 = int(m1["sxx"]), int(m1["sxy"])
+    b = float(n1 * sxy1 - sx1 * sy1) / float(n1 * sxx1 - sx1 * sx1)
+    a = (float(sy1) - b * float(sx1)) / float(n1)
+    e4 = F.round((F.col("y") - F.lit(a) - F.lit(b) * F.col("x")) / 100).cast(
+        "decimal(38,0)"
+    )
+    gz = xy.select(
+        e4.alias("e4"),
+        dec("x").alias("x"),
+        (dec("x") * F.col("x")).alias("z"),
+    )
+    g = F.col("e4") * F.col("e4")
+    m2 = gz.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(g).alias("sg"),
+        F.sum(g * g).alias("sgg"),
+        F.sum(g * F.col("x")).alias("sgx"),
+        F.sum(g * F.col("z")).alias("sgz"),
+        F.sum(F.col("x")).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("z")).alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+    ).collect()[0]
+    n = int(m2["n"])
+    sg, sgg = int(m2["sg"]), int(m2["sgg"])
+    sgx, sgz = int(m2["sgx"]), int(m2["sgz"])
+    sx, sxx = int(m2["sx"]), int(m2["sxx"])
+    sz, szz, sxz = int(m2["sz"]), int(m2["szz"]), int(m2["sxz"])
+    r_gx = float(n * sgx - sg * sx) / _math.sqrt(
+        float(n * sgg - sg * sg) * float(n * sxx - sx * sx)
+    )
+    r_gz = float(n * sgz - sg * sz) / _math.sqrt(
+        float(n * sgg - sg * sg) * float(n * szz - sz * sz)
+    )
+    r_xz = float(n * sxz - sx * sz) / _math.sqrt(
+        float(n * sxx - sx * sx) * float(n * szz - sz * sz)
+    )
+    r_p = (r_gz - r_gx * r_xz) / _math.sqrt(
+        (1 - r_gx * r_gx) * (1 - r_xz * r_xz)
+    )
+    r2 = r_gx * r_gx + r_p * r_p * (1 - r_gx * r_gx)
+    rows = [(n, round(r2, 9), round(n * r2, 6))]
+    return o.sparkSession.createDataFrame(
+        rows, "n_obs bigint, r2_aux double, white_lm double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pettitt change-point test (Pettitt 1979) on daily revenue — the
+# rank-based single-changepoint detector that needs no distributional
+# assumption (complements cusum_changepoint / binary_segmentation's
+# mean-shift SSE splits). U_t = Σ_{i<=t}(2r_i) − t(n+1) with DOUBLED
+# average ranks (exact integers, ties handled like wilcoxon's rank
+# lattice); K = max|U_t| over t < n, earliest argmax wins. The
+# approximate significance 2·exp(−6K²/(n³+n²)) is one closed form.
+# Plan: daily aggregate -> per-distinct-value rank window -> prefix
+# sum over the bounded day spine.
+@_q(
+    "pettitt_change_point",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1
+    ),
+    per_v AS (
+      SELECT y AS v, COUNT(*) AS t FROM daily GROUP BY 1
+    ),
+    rk AS (
+      SELECT v, t,
+             COALESCE(SUM(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM per_v
+    ),
+    ranked AS (
+      SELECT dl.d, 2 * rk.cb + rk.t + 1 AS r2
+      FROM daily dl JOIN rk ON rk.v = dl.y
+    ),
+    u AS (
+      SELECT d,
+             row_number() OVER (ORDER BY d) AS tt,
+             COUNT(*) OVER () AS n,
+             SUM(r2) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS s2
+      FROM ranked
+    ),
+    stat AS (
+      SELECT d, n, CAST(s2 - tt * (n + 1) AS BIGINT) AS ut
+      FROM u WHERE tt < n
+    )
+    SELECT (SELECT CAST(MAX(n) AS BIGINT) FROM stat) AS n_days,
+           CAST((SELECT MAX(abs(ut)) FROM stat) AS BIGINT) AS k_stat,
+           (SELECT strftime(d, '%Y-%m-%d') FROM stat
+            WHERE abs(ut) = (SELECT MAX(abs(ut)) FROM stat)
+            ORDER BY d LIMIT 1) AS change_day,
+           round(2 * exp(-6.0
+                 * CAST((SELECT MAX(abs(ut)) FROM stat) AS DOUBLE)
+                 * (SELECT MAX(abs(ut)) FROM stat)
+                 / (CAST((SELECT MAX(n) FROM stat) AS DOUBLE)
+                    * (SELECT MAX(n) FROM stat)
+                    * ((SELECT MAX(n) FROM stat) + 1))), 6) AS p_approx
+    """,
+)
+def q_pettitt_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    per_v = daily.groupBy(F.col("y").alias("v")).agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    rk = per_v.select(
+        "v", "t", F.coalesce(F.sum("t").over(wv), F.lit(0)).alias("cb")
+    )
+    ranked = daily.join(rk, daily["y"] == rk["v"]).select(
+        "d", (2 * F.col("cb") + F.col("t") + 1).alias("r2")
+    )
+    wd = Window.orderBy("d")
+    wp = wd.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    u = ranked.select(
+        "d",
+        F.row_number().over(wd).alias("tt"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("r2").over(wp).alias("s2"),
+    )
+    stat = u.where(F.col("tt") < F.col("n")).select(
+        "d",
+        "n",
+        (F.col("s2") - F.col("tt") * (F.col("n") + 1))
+        .cast("bigint")
+        .alias("ut"),
+    ).localCheckpoint(eager=True)  # bounded spine, reused 3x
+    agg = stat.agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.max(F.abs(F.col("ut"))).cast("bigint").alias("k_stat"),
+    )
+    day = (
+        stat.crossJoin(F.broadcast(agg))
+        .where(F.abs(F.col("ut")) == F.col("k_stat"))
+        .orderBy("d")
+        .limit(1)
+        .select(F.date_format("d", "yyyy-MM-dd").alias("change_day"))
+    )
+    nd = F.col("n_days").cast("double")
+    k = F.col("k_stat").cast("double")
+    return agg.crossJoin(F.broadcast(day)).select(
+        "n_days",
+        "k_stat",
+        "change_day",
+        F.round(
+            2 * F.exp(-6.0 * k * F.col("k_stat") / (nd * F.col("n_days") * (F.col("n_days") + 1))),
+            6,
+        ).alias("p_approx"),
+    )

@@ -842,3 +842,76 @@ def test_spectral_hill_weiszfeld(spark):
     assert wrow["n_customers"] == len(cu)
     assert abs(wrow["median_x"] - xx) < 1e-4
     assert abs(wrow["median_y"] - yy) < 1e-4
+
+
+def test_white_pettitt_hullwidth(spark):
+    # White LM vs numpy two-stage regression
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").toPandas()
+    cnt = li.groupby("l_orderkey").size()
+    oo = o.set_index("o_orderkey")
+    common = cnt.index.intersection(oo.index)
+    x = cnt.loc[common].to_numpy(dtype=float)
+    y = (oo.loc[common, "o_totalprice"] * 100).round().to_numpy(dtype=float)
+    n = len(x)
+    X1 = np.column_stack([np.ones(n), x])
+    b1, *_ = np.linalg.lstsq(X1, y, rcond=None)
+    g = np.round((y - X1 @ b1) / 100) ** 2
+    Z = np.column_stack([np.ones(n), x, x * x])
+    bz, *_ = np.linalg.lstsq(Z, g, rcond=None)
+    ss_res = float(np.sum((g - Z @ bz) ** 2))
+    ss_tot = float(np.sum((g - g.mean()) ** 2))
+    r2 = 1 - ss_res / ss_tot
+    row = STATS_QUERIES["white_lm_test"](spark, SF_SMOKE).collect()[0]
+    assert row["n_obs"] == n
+    assert abs(row["r2_aux"] - r2) < 1e-6
+    assert abs(row["white_lm"] - n * r2) < 1e-2
+
+    # Pettitt vs brute-force double loop over sign pairs
+    yd = _daily_cents(spark)
+    nn = len(yd)
+    best_k, best_t = -1, None
+    for t_i in range(1, nn):  # split after index t_i-1 (1-based t)
+        u = int(
+            np.sign(
+                yd[:t_i, None].astype(np.int64)
+                - yd[None, t_i:].astype(np.int64)
+            ).sum()
+        )
+        if abs(u) > best_k:
+            best_k, best_t = abs(u), t_i
+    prow = STATS_QUERIES["pettitt_change_point"](spark, SF_SMOKE).collect()[0]
+    assert prow["n_days"] == nn
+    assert prow["k_stat"] == best_k
+    p = 2 * math.exp(-6 * best_k**2 / (nn**2 * (nn + 1)))
+    assert abs(prow["p_approx"] - p) < 1e-5
+
+    # hull width vs brute force over all edge-direction candidates
+    cu = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").toPandas()
+    cu["px"] = (cu["c_custkey"] % 40).astype(int)
+    cu["py"] = (cu["c_custkey"] % 30).astype(int)
+    rows = {
+        r["nation"]: r["hull_width"]
+        for r in __import__(
+            "tb_scale_spatial_data_pipeline_spark.plans.spatial_queries",
+            fromlist=["QUERIES"],
+        ).QUERIES["hull_width_calipers"](spark, SF_SMOKE).collect()
+    }
+    from tb_scale_spatial_data_pipeline_spark.functions.geometry import (
+        _convex_hull,
+    )
+
+    for nat, gdf in cu.groupby("c_nationkey"):
+        pts = np.unique(gdf[["px", "py"]].to_numpy(dtype=float), axis=0)
+        h = _convex_hull(pts)
+        width = float("inf")
+        m = len(h)
+        for i in range(m):
+            a, b = h[i], h[(i + 1) % m]
+            e = b - a
+            ln = math.hypot(*e)
+            mx = max(
+                abs(e[0] * (p[1] - a[1]) - e[1] * (p[0] - a[0])) for p in pts
+            )
+            width = min(width, mx / ln)
+        assert abs(rows[int(nat)] - width) < 1e-5
