@@ -123,6 +123,10 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     spark = get_spark("bench")
+    # The driver records only the LAST 2000 chars of merged stdout+stderr;
+    # WindowExec WARN spam (BENCH_r14 tail was 100% warnings + the JSON
+    # line) competes with the contract line for that window. Silence it.
+    spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
     def run(name: str) -> float:
@@ -217,13 +221,21 @@ def main() -> None:
         "load1": load1,
         "pass_load1": pass_load1,
     }
+    # Keep the contract line inside the ~2000-char tail window WITHOUT
+    # ever dropping the per-query map (the r14 artifact lost it and
+    # per-query 2x-vs-baseline auditing lost its primary channel —
+    # VERDICT r14 item 2). Shed precision/side fields instead; the full
+    # 3-dp spread always lives in BENCH_SPREAD.json.
     line = json.dumps(payload)
-    if len(line) > 1900:  # keep the contract line inside the tail window
+    if len(line) > 1870:
         payload["queries"] = {n: round(t, 2) for n, t in timings.items()}
         payload.pop("repeats", None)
         line = json.dumps(payload)
-    if len(line) > 1900:  # last resort: totals only — per-query detail
-        payload.pop("queries", None)  # already lives in BENCH_SPREAD.json
+    if len(line) > 1870:
+        payload.pop("pass_load1", None)
+        line = json.dumps(payload)
+    if len(line) > 1870:
+        payload["queries"] = {n: round(t, 1) for n, t in timings.items()}
         line = json.dumps(payload)
     sys.stdout.flush()
     print(line, flush=True)

@@ -32,6 +32,7 @@ def train_rf(
     max_depth: int = RF_MAX_DEPTH,
     seed: int = RF_SEED,
     feature_subset_strategy: str | None = None,
+    bootstrap: bool | None = None,
 ) -> PipelineModel:
     """M2/M3: assemble features → RandomForest fit, with the
     reference's hyperparameters as defaults.
@@ -39,8 +40,14 @@ def train_rf(
     ``feature_subset_strategy`` passes through to Spark's
     ``featureSubsetStrategy`` (default ``auto`` = sqrt per node);
     ``"all"`` makes every tree's greedy split deterministic over the
-    full feature set — used by the exact-lattice pipeline twin where
-    unanimous, provably-correct votes are required."""
+    full feature set. ``bootstrap=False`` trains every tree on the
+    FULL training set (no bagging) — together with ``"all"`` this
+    makes every tree identical and greedily pure over a separable
+    training set, which is what the exact-lattice pipeline twins need
+    for provably-unanimous, provably-correct votes even when the
+    training set is small (a bootstrap bag of a 12-row training set
+    misses a feature vector with probability ~e^(-k), which is NOT
+    negligible at k=2 — r15 E4 lesson)."""
     assembler = VectorAssembler(
         inputCols=feature_cols, outputCol="features", handleInvalid="keep"
     )
@@ -53,6 +60,8 @@ def train_rf(
     )
     if feature_subset_strategy is not None:
         rf.setFeatureSubsetStrategy(feature_subset_strategy)
+    if bootstrap is not None:
+        rf.setBootstrap(bootstrap)
     return Pipeline(stages=[assembler, rf]).fit(df)
 
 

@@ -11,13 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.indices import contrast_stretch, ndvi, ndwi
+from ..functions.indices import ndvi, ndwi
 from ..functions.sentinels import null_to_sentinel, sentinel_to_null
-from ..operators.composites import argmax_composite, grouped_median, grouped_percentiles
+from ..operators.composites import argmax_composite, grouped_median
 from ..operators.relabel import solar_shadow_rules
-from ..raster.kernels import gaussian_smooth_tiles, pca_texture_tiles, reproject_tiles
+from ..raster.kernels import gaussian_smooth_tiles, reproject_tiles
 from ..raster.segmentation import segment_shape_metrics, segment_tiles
-from ..raster.tiles import assign_tiles, halo_duplicate, synthetic_raster
+from ..raster.tiles import halo_duplicate, synthetic_raster
 from .checkpoint import stage, stage_root
 
 QUERIES: dict = {}
@@ -238,9 +238,87 @@ def _build_e2(spark: SparkSession) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # E3 — tiled segmentation (`2_segmentation/image_segmentation.py`):
-# engineered feature stack (stretch + indices + PCA + gaussian) →
 # halo-tiled Felzenszwalb → shape metrics + polygonization.
-@_q("pipeline_segmentation")
+#
+# r15: oracle-paired (was rows-only), via the r14 E2 exact-lattice
+# recipe. The fixture is a 96×96 piecewise-constant region lattice —
+# 4 tiles of 48×48 (tile_size=48, halo=8), each tile core containing 6
+# axis-aligned rectangles (types A..F, ≥108 px each, mirrored layout on
+# odd tile columns so every type occurs at both even and odd canonical
+# keys). Pixel value = region_code * 64, so every intra-region 4-edge
+# has weight exactly 0 and every cross-region edge has weight ≥ 64.
+# FH04's merge condition is w <= min(Int(C)+scale/|C|): the zero edges
+# sort first and fully form each region (Int stays 0), after which no
+# cross edge can merge because 64 > scale(35) >= scale/|C| for any
+# component size — including halo-clipped foreign slivers, so the
+# partition is provably the region map regardless of tile window.
+# min_size=15 absorption can only attach foreign halo slivers (<15 px
+# clips) to some neighbor; it can never bridge two core regions (after
+# one absorption both sides are >= 15). The metrics of an axis-aligned
+# rectangle are closed-form (area=wh, perimeter=2(w+h), 4 vertices,
+# bbox ring WKT), so the DuckDB twin enumerates the 24 regions and
+# computes the same arithmetic. seg ids are relabeled to the canonical
+# segment_key = min(y*96+x) to erase the tile-local id scheme (P18),
+# which the oracle cannot (and need not) reproduce.
+#
+# Region layout per 48×48 tile (normal / mirrored for odd tile_x):
+#   band y+[0,12):  A 39×12 @x+0 (mirr @x+9),  B  9×12 @x+39 (mirr @x+0)
+#   band y+[12,28): C 15×16 @x+0 (mirr @x+33), D 33×16 @x+15 (mirr @x+0)
+#   band y+[28,48): E 25×20 @x+0 (mirr @x+23), F 23×20 @x+25 (mirr @x+0)
+_E3_SHAPES = [
+    # (type_idx, w, h, band_y0, x_normal, x_mirrored)
+    (1, 39, 12, 0, 0, 9),
+    (2, 9, 12, 0, 39, 0),
+    (3, 15, 16, 12, 0, 33),
+    (4, 33, 16, 12, 15, 0),
+    (5, 25, 20, 28, 0, 23),
+    (6, 23, 20, 28, 25, 0),
+]
+
+
+def _e3_regions(spark: SparkSession) -> DataFrame:
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            for t, w, h, y0r, xn, xm in _E3_SHAPES:
+                x0 = tx * 48 + (xm if tx % 2 == 1 else xn)
+                y0 = ty * 48 + y0r
+                code = (ty * 2 + tx) * 6 + t
+                rows.append((x0, y0, w, h, code))
+    return spark.createDataFrame(rows, "x0 int, y0 int, w int, h int, code int")
+
+
+_E3_REGION_SQL = """
+    SELECT (tt.tx * 48 + CASE WHEN tt.tx % 2 = 1 THEN s.xm ELSE s.xn END) AS x0,
+           (tt.ty * 48 + s.y0r) AS y0,
+           s.w AS w, s.h AS h
+    FROM (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) tt(tx, ty),
+         (VALUES (39, 12, 0, 0, 9), (9, 12, 0, 39, 0),
+                 (15, 16, 12, 0, 33), (33, 16, 12, 15, 0),
+                 (25, 20, 28, 0, 23), (23, 20, 28, 25, 0)) s(w, h, y0r, xn, xm)
+"""
+
+
+@_q(
+    "pipeline_segmentation",
+    f"""
+    WITH regions AS ({_E3_REGION_SQL})
+    SELECT CAST(y0 * 96 + x0 AS BIGINT) AS segment_key,
+           'POLYGON((' || x0 || ' ' || y0 || ', ' || (x0 + w) || ' ' || y0
+             || ', ' || (x0 + w) || ' ' || (y0 + h) || ', ' || x0 || ' '
+             || (y0 + h) || ', ' || x0 || ' ' || y0 || '))' AS geometry,
+           CAST(w * h AS BIGINT) AS area,
+           CAST(2 * (w + h) AS BIGINT) AS perimeter,
+           round(CAST(w * h AS DOUBLE) / (w * h), 6) AS rectangularity,
+           round(CAST(greatest(w, h) AS DOUBLE) / least(w, h), 6) AS elongation,
+           round((4 * pi()) * (w * h) / ((2 * (w + h)) * (2 * (w + h))), 6)
+             AS compactness,
+           round((2 * (w + h)) / (4 * sqrt(w * h)), 6) AS shape_index,
+           4 AS num_vertices,
+           round(4.0 / (2 * (w + h)), 6) AS vertex_density
+    FROM regions ORDER BY segment_key
+    """,
+)
 def e3_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 stage product, memoized on disk — shared with
     `pipeline_object_classification`, which trains on these metrics."""
@@ -250,34 +328,69 @@ def e3_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_e3(spark: SparkSession) -> DataFrame:
-    img = synthetic_raster(spark, 96, 96, bands=3)
-    # percentile stretch per tile column-block (A3 + P8, W1 pattern)
-    img = assign_tiles(img, 48)
-    pct = grouped_percentiles(img, ["tile_x", "tile_y"], "b1")
-    img = img.join(pct, ["tile_x", "tile_y"]).withColumn(
-        "b1s", contrast_stretch(F.col("b1"), F.col("p2"), F.col("p98"))
+    regions = _e3_regions(spark)
+    px = spark.range(96 * 96).select(
+        (F.col("id") % 96).cast("int").alias("x"),
+        F.expr("CAST(id DIV 96 AS INT)").alias("y"),
     )
-    feat = img.select(
-        "x",
-        "y",
-        "b1s",
-        ndvi(F.col("b2"), F.col("b1")).alias("nd"),
-        F.col("b3"),
-    )
+    feat = px.join(
+        F.broadcast(regions),
+        (px.x >= F.col("x0")) & (px.x < F.col("x0") + F.col("w"))
+        & (px.y >= F.col("y0")) & (px.y < F.col("y0") + F.col("h")),
+    ).select("x", "y", (F.col("code") * 64.0).alias("v"))
     tiled = halo_duplicate(feat, tile_size=48, halo=8)
-    smooth = gaussian_smooth_tiles(tiled, ["b1s", "nd", "b3"], sigma=0.5)
-    tex = pca_texture_tiles(tiled, ["b1s", "nd", "b3"])
-    stack = smooth.join(tex, ["x", "y"])
-    tiled2 = halo_duplicate(stack, tile_size=48, halo=8)
-    segs = segment_tiles(tiled2, ["b1s", "nd", "b3", "texture"])
-    return segment_shape_metrics(segs)
+    segs = segment_tiles(tiled, ["v"])  # scale=35, min_size=15
+    canon = segs.groupBy("seg_id").agg(
+        F.min(F.col("y").cast("long") * 96 + F.col("x")).alias("segment_key")
+    )
+    metrics = segment_shape_metrics(segs)
+    out = metrics.join(canon, "seg_id").select(
+        "segment_key",
+        "geometry",
+        "area",
+        "perimeter",
+        F.round("rectangularity", 6).alias("rectangularity"),
+        F.round("elongation", 6).alias("elongation"),
+        F.round("compactness", 6).alias("compactness"),
+        F.round("shape_index", 6).alias("shape_index"),
+        "num_vertices",
+        F.round("vertex_density", 6).alias("vertex_density"),
+    )
+    return out.orderBy("segment_key")
 
 
 # ---------------------------------------------------------------------------
 # E4 — object classification (`3_object_classification/
 # object_classifier.py`): dual-model RF over segment shape features
 # with main/backup fallback (M2/M3/J2).
-@_q("pipeline_object_classification")
+#
+# r15: oracle-paired (was rows-only). Reads the r15 exact-lattice E3
+# metrics: 6 distinct shape types × 4 instances, each type present at
+# both segment_key parities, so the seg%2 training split contains every
+# distinct feature vector with its (consistent) label. With
+# featureSubsetStrategy="all" AND bootstrap=False every tree sees the
+# full separable training set and greedily splits it to purity, so
+# both models predict the generating rule exactly and unanimously —
+# for the main model (area+perimeter+shape) and the backup (shape-only:
+# the types' elongations 3.25, 4/3, 16/15, 33/16, 1.25, 1.15 are all
+# distinct, and area is a function of shape type, so the shape-only
+# model determines the label too). seg%3==0 probes lose `area` and
+# route through the backup (J2 coalesce fallback) — same answer by
+# construction, which is exactly what the twin encodes.
+# Labels: D (33×16, area 528 > 500) → 1; A (39×12, elong 3.25 > 1.5)
+# → 2; B/C/E/F → 3 (E is area 500, NOT > 500).
+@_q(
+    "pipeline_object_classification",
+    f"""
+    WITH regions AS ({_E3_REGION_SQL})
+    SELECT CAST(y0 * 96 + x0 AS BIGINT) AS segment_key,
+           CAST(CASE WHEN w * h > 500 THEN 1
+                     WHEN CAST(greatest(w, h) AS DOUBLE) / least(w, h) > 1.5
+                       THEN 2
+                     ELSE 3 END AS INTEGER) AS PredClass
+    FROM regions ORDER BY segment_key
+    """,
+)
 def e4_object_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 stage product, memoized on disk; reads E3's materialized
     metrics (no re-segmentation, no in-memory cache to leak)."""
@@ -303,16 +416,35 @@ def _build_e4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.when(F.col("area") > 500, 1.0).when(F.col("elongation") > 1.5, 2.0).otherwise(3.0),
     )
-    train = labeled.where(F.col("seg_id") % 2 == 0)
-    main = train_rf(train, ["area", "perimeter", *shape_cols], "label", num_trees=20, max_depth=8)
-    backup = train_rf(train, shape_cols, "label", num_trees=20, max_depth=8)
-    # simulate partial main-feature coverage: odd segments lose area
+    train = labeled.where(F.col("segment_key") % 2 == 0)
+    main = train_rf(
+        train,
+        ["area", "perimeter", *shape_cols],
+        "label",
+        num_trees=20,
+        max_depth=8,
+        feature_subset_strategy="all",
+        bootstrap=False,
+    )
+    backup = train_rf(
+        train,
+        shape_cols,
+        "label",
+        num_trees=20,
+        max_depth=8,
+        feature_subset_strategy="all",
+        bootstrap=False,
+    )
+    # simulate partial main-feature coverage: every third segment loses
+    # area and must route through the shape-only backup model (J2)
     probe = labeled.drop("label").withColumn(
         "area",
-        F.when(F.col("seg_id") % 3 == 0, F.lit(None).cast("long")).otherwise(F.col("area")),
+        F.when(F.col("segment_key") % 3 == 0, F.lit(None).cast("long")).otherwise(
+            F.col("area")
+        ),
     ).withColumn("area", F.col("area").cast("double"))
     out = dual_model_predict(probe, main, backup, ["area"])
-    return out.select("seg_id", "PredClass")
+    return out.select("segment_key", "PredClass").orderBy("segment_key")
 
 
 # ---------------------------------------------------------------------------
