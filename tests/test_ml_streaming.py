@@ -251,8 +251,8 @@ def test_full_pipeline_chain_with_checkpoints(spark, tmp_path):
         assert os.path.exists(str(tmp_path / stage / "_SUCCESS"))
     # rerun with the same workdir reuses all stages and agrees
     out2 = run_full_pipeline(spark, SF_SMOKE, workdir=str(tmp_path))
-    assert {(r["seg_id"], r["PredClass"]) for r in rows} == {
-        (r["seg_id"], r["PredClass"]) for r in out2.collect()
+    assert {(r["segment_key"], r["PredClass"]) for r in rows} == {
+        (r["segment_key"], r["PredClass"]) for r in out2.collect()
     }
 
 

@@ -98,3 +98,50 @@ def test_e4_rf_unanimous_and_exact(spark, tmp_path):
         scored = predict(model, labeled, out_col="p")
         assert scored.where(F.col("p_conf") != 1.0).count() == 0
         assert scored.where(F.col("p") != F.col("label").cast("int")).count() == 0
+
+
+def test_chain_stack_region_constant_and_gapped(spark, tmp_path):
+    """Chain E1/E2 invariants that make the full-chain oracle valid:
+    the stack is CONSTANT within each region, and the min inter-region
+    median-NDVI gap exceeds 0.005 (>> FH04's scale/|C| <= 0.1/108), so
+    the chain's FH04 stage can neither split a region nor merge two."""
+    from tb_scale_spatial_data_pipeline_spark.plans.full_pipeline import (
+        _chain_regions,
+        run_full_pipeline,
+    )
+
+    run_full_pipeline(spark, "/root/testdata/sf0.001", workdir=str(tmp_path))
+    stack = spark.read.parquet(str(tmp_path / "e1_stack"))
+    regions = _chain_regions(spark)
+    px = stack.join(
+        F.broadcast(regions),
+        (stack.x >= F.col("x0")) & (stack.x < F.col("x0") + F.col("w"))
+        & (stack.y >= F.col("y0")) & (stack.y < F.col("y0") + F.col("h")),
+    )
+    per_region = px.groupBy("code").agg(
+        F.countDistinct("median_ndvi", "max_ndvi", "winter_ndwi").alias("nv"),
+        F.first("median_ndvi").alias("m"),
+    )
+    rows = per_region.collect()
+    assert len(rows) == 36
+    assert all(r["nv"] == 1 for r in rows)  # constant per region
+    meds = sorted(r["m"] for r in rows)
+    min_gap = min(b - a for a, b in zip(meds, meds[1:]))
+    assert min_gap > 0.005, min_gap
+
+
+def test_chain_segmentation_partition_equals_region_map(spark, tmp_path):
+    """The chain's FH04 partition must be exactly the 36-region map
+    (bijection regions <-> segments), keyed by the canonical
+    segment_key = y0*96+x0 the oracle enumerates."""
+    from tb_scale_spatial_data_pipeline_spark.plans.full_pipeline import (
+        _chain_regions,
+        run_full_pipeline,
+    )
+
+    out = run_full_pipeline(spark, "/root/testdata/sf0.001", workdir=str(tmp_path))
+    keys = sorted(r["segment_key"] for r in out.collect())
+    want = sorted(
+        r["y0"] * 96 + r["x0"] for r in _chain_regions(spark).collect()
+    )
+    assert keys == want
