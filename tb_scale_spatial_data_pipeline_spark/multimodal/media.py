@@ -51,7 +51,9 @@ except ImportError:  # pragma: no cover - exercised implicitly everywhere
     _PILImage = None
 
 
-def synth_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synth_media_table(
+    spark: SparkSession, sf_dir: str, fixed_n: int | None = None
+) -> DataFrame:
     """Deterministic media fixture derived from `documents`. EVERY row
     now carries a REAL compressed payload built from md5-chain pixels:
     'png' rows (1 in 3) through the pure-stdlib PNG encoder, 'gif'
@@ -64,8 +66,22 @@ def synth_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependencies. The deterministic-fake
     tier remains only as the fallback for genuinely unparseable bytes
     (exercised directly in tests). The metadata struct is the typed
-    decode contract (width/height/channels/format/n_frames)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    decode contract (width/height/channels/format/n_frames).
+
+    ``fixed_n`` switches to the SF-INDEPENDENT fixture: ``fixed_n``
+    rows seeded by the literal string ``media-<id>`` instead of the
+    per-SF document text (the driver's documents tables carry
+    DIFFERENT text per scale factor, so a golden-table oracle can only
+    pin queries whose fixture does not read them). Used by the two
+    oracle-paired media queries; the rows-only queries keep the
+    document-derived fixture."""
+    if fixed_n is not None:
+        docs = spark.range(fixed_n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("media-"), F.col("id").cast("string")).alias("text"),
+        )
+    else:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     width = (F.col("doc_id") % 8 + 4).cast("int")
     height = (F.col("doc_id") % 5 + 4).cast("int")
     channels = F.lit(3)

@@ -1,8 +1,21 @@
-"""Multimodal-column queries (rows-only: the decode stub is pandas
-kernel logic, not SQL-expressible; invariants live in
-tests/test_multimodal.py)."""
+"""Multimodal-column queries.
+
+Mostly rows-only (the decode tier is pandas kernel logic, not
+SQL-expressible; invariants live in tests/test_multimodal.py). r15:
+`multimodal_image_features` and `multimodal_phash_neardup` are
+oracle-paired against GOLDEN TABLES — the decoders are deterministic
+byte transforms, so their expected rows over the SF-independent fixed
+fixture (`synth_media_table(fixed_n=120)`; the per-SF documents text
+differs across scale factors, so the doc-derived fixture cannot be
+golden-pinned) are precomputed once by scripts/make_multimodal_golden.py
+into fixtures/*.parquet, and the DuckDB twin reads those back. This is
+regression-pin semantics: the byte-level codec contracts themselves are
+independently pinned by tests/test_jpeg_codec.py, test_gif_codec.py and
+test_multimodal.py."""
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -17,6 +30,11 @@ from ..multimodal.media import (
 QUERIES: dict = {}
 ORACLES: dict = {}
 
+_FIXTURES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures"
+)
+GOLDEN_N = 120
+
 
 def _q(name: str, oracle: str | None = None):
     def deco(fn):
@@ -28,14 +46,21 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
-@_q("multimodal_image_features")
+@_q(
+    "multimodal_image_features",
+    f"""
+    SELECT media_id, mean_c0, mean_c1, mean_c2, std_c0, std_c1, std_c2
+    FROM read_parquet('{_FIXTURES}/multimodal_golden_features.parquet')
+    ORDER BY media_id
+    """,
+)
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = synth_media_table(spark, sf_dir)
+    media = synth_media_table(spark, sf_dir, fixed_n=GOLDEN_N)
     stats = image_channel_stats(media)
     return stats.select(
         "media_id",
         *[F.round(c, 6).alias(c) for c in ["mean_c0", "mean_c1", "mean_c2", "std_c0", "std_c1", "std_c2"]],
-    )
+    ).orderBy("media_id")
 
 
 @_q("multimodal_resize")
@@ -89,7 +114,14 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("multimodal_phash_neardup")
+@_q(
+    "multimodal_phash_neardup",
+    f"""
+    SELECT id_a, id_b, hamming
+    FROM read_parquet('{_FIXTURES}/multimodal_golden_phash.parquet')
+    ORDER BY id_a, id_b
+    """,
+)
 def q_multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup over the image modality: aHash in the
     decode kernel, then BANDED candidate generation (four 16-bit bands
@@ -101,7 +133,7 @@ def q_multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifted ids), which must all surface at Hamming 0."""
     from ..multimodal.media import image_ahash
 
-    media = synth_media_table(spark, sf_dir)
+    media = synth_media_table(spark, sf_dir, fixed_n=GOLDEN_N)
     planted = media.withColumn("media_id", F.col("media_id") + 1_000_000)
     hashes = image_ahash(media.unionByName(planted))
     bands = hashes.select(
@@ -131,4 +163,4 @@ def q_multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return cand.where(ham <= 6).select(
         "id_a", "id_b", ham.alias("hamming")
-    )
+    ).orderBy("id_a", "id_b")

@@ -206,10 +206,13 @@ def test_phash_neardup_finds_planted_duplicates(spark):
     """The banded aHash near-dup must surface every planted duplicate
     (same payload under a shifted id) at Hamming distance 0, and the
     band join must never produce an all-pairs candidate set."""
-    from tb_scale_spatial_data_pipeline_spark.plans.media_queries import QUERIES
+    from tb_scale_spatial_data_pipeline_spark.plans.media_queries import (
+        GOLDEN_N,
+        QUERIES,
+    )
 
     out = QUERIES["multimodal_phash_neardup"](spark, SF_SMOKE).collect()
-    n_media = synth_media_table(spark, SF_SMOKE).count()
+    n_media = GOLDEN_N  # r15: the query runs on the fixed golden fixture
     planted = {(r["id_a"], r["id_b"]) for r in out if r["hamming"] == 0}
     # every planted pair (id, id + 1_000_000) present
     missing = [
