@@ -134,6 +134,7 @@ def lloyd_kmeans(
             assigned.select("cluster", F.posexplode(qvec_col).alias("pos", "v"))
             .groupBy("cluster", "pos")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            # bounded: k*dim (sum,count) rows per iteration
             .collect()
         )
         cents: dict[int, dict[int, int]] = {}

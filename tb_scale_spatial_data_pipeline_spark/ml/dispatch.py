@@ -43,7 +43,7 @@ def dispatch_predict(
     dict, semi-filter probes to modeled combos, and batch-predict per
     combo group (argmin centroid distance; ties → smaller label)."""
     spark = probe.sparkSession
-    model_rows = models.collect()  # tiny by construction
+    model_rows = models.collect()  # bounded: combos*labels model table
     model_map: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for combo in {r[combo_col] for r in model_rows}:
         rows = sorted(

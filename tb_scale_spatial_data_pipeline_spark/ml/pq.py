@@ -135,7 +135,7 @@ def train_pq_codebooks(
             )
             .groupBy("m", "cluster", "pos")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
+            .collect()  # bounded: m*k*sub codebook cells
         )
         cents: dict[tuple[int, int], dict[int, int]] = {}
         for r in new_rows:

@@ -141,7 +141,7 @@ def exact_order_statistics(
         r["pid"]: r["cnt"]
         for r in ranged.groupBy(F.spark_partition_id().alias("pid"))
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
+        .collect()  # bounded: one row per range partition
     }
     n = sum(counts.values())
     if positions_fn is not None:
@@ -207,7 +207,7 @@ def exact_order_statistics(
         ranged.withColumn("_pid", F.spark_partition_id())
         .sortWithinPartitions(*exprs)
         .mapInArrow(extract, schema=out_schema)
-        .collect()
+        .collect()  # bounded: extract() emits only the requested ranks
     )
     by_rank = {r["_rank"]: tuple(r[c] for c in cols) for r in rows}
     return [by_rank[p] for p in positions]

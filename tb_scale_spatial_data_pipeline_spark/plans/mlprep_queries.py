@@ -934,7 +934,7 @@ def q_isotonic_pav_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pool-adjacent-violators on the BOUNDED bin table (driver-side by
     # design: B <= 20 rows at any scale; exact-integer violation test
     # sy_prev * n_cur > sy_cur * n_prev, i.e. mean_prev > mean_cur).
-    rows = sorted(binned.collect(), key=lambda r: r["bin"])
+    rows = sorted(binned.collect(), key=lambda r: r["bin"])  # bounded: B <= 20 bins
     stack: list[list] = []  # [n, sy, [bins...]]
     for r in rows:
         cur = [int(r["n"]), int(r["sy"]), [int(r["bin"])]]

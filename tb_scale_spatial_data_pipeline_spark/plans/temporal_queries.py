@@ -402,7 +402,7 @@ def q_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dte")
     )
-    ys = [r["y"] for r in daily.select("y").collect()]  # bounded spine
+    ys = [r["y"] for r in daily.select("y").collect()]  # bounded: day spine
     n = len(ys)
 
     def tdiv(a: int, d: int) -> int:
@@ -625,7 +625,7 @@ def q_kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dte")
     )
-    ys = [int(r["y"]) for r in daily.select("y").collect()]  # bounded spine
+    ys = [int(r["y"]) for r in daily.select("y").collect()]  # bounded: day spine
     n = len(ys)
 
     def tdiv(a: int, d: int) -> int:

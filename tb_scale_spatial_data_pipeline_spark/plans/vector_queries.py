@@ -2414,8 +2414,10 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ia") != F.col("ib"))
         .select("ia", "ib", F.expr(idot.format(a="va", b="vb")).alias("s"))
     )
+    # bounded: _MMR_CANDS rows / _MMR_CANDS^2 sim pairs (ceiling-pinned
+    # by tests/test_bounded_collects.py)
     rel = {r["vec_id"]: r["rel"] for r in cand.select("vec_id", "rel").collect()}
-    sim = {(r["ia"], r["ib"]): r["s"] for r in sims.collect()}
+    sim = {(r["ia"], r["ib"]): r["s"] for r in sims.collect()}  # bounded: see above
     first = sorted(rel.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
     picks = [(1, first, rel[first], None)]
     selected = [first]

@@ -431,7 +431,7 @@ def tile_table_to_tiff(
             "(sources/sinks.py S7/S9) and export per tile, or raise "
             "max_rows explicitly if the scene really fits driver RAM."
         )
-    pdf = df.select("x", "y", *value_cols).toPandas()
+    pdf = df.select("x", "y", *value_cols).toPandas()  # bounded: max_rows guard above
     if pdf.empty:
         raise ValueError("empty tile table")
     x0, y0 = int(pdf["x"].min()), int(pdf["y"].min())

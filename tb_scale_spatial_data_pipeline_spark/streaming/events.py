@@ -982,6 +982,7 @@ def stream_session_window_late_data(spark: SparkSession) -> DataFrame:
         drained = run_stream_to_table(agg, "append")
         # the memory sink outlives the staged dir; materialize rows now
         out = spark.createDataFrame(
+            # bounded: memory-sink rows are already driver-resident
             drained.collect(), "user_id bigint, session_start string, "
             "session_end string, n_events bigint"
         )
