@@ -33,6 +33,7 @@ from . import (
     relational4,
     relational5,
     relational6,
+    round15_queries,
     sampling_queries,
     scalar_queries,
     sketch_queries,
@@ -77,6 +78,7 @@ _MODULES = (
     maintenance_queries,
     experiment_queries,
     revenue_queries,
+    round15_queries,
     udtf_queries,
     full_pipeline,
 )

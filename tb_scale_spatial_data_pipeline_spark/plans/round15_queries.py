@@ -1,0 +1,1139 @@
+"""Round-15 operator tier: classical statistics, spectral/seasonal
+time-series tests, index-number economics, and robust estimators that
+the registry did not yet cover (Geary's C, Brown-Forsythe, Siegel
+repeated-median, transfer entropy, Yule-Walker AR(2), Anderson-Darling,
+Grubbs, Wald-Wolfowitz runs, Chow break, Engle-Granger cointegration,
+quantile-shape moments, modified-z outliers, ...).
+
+Determinism strategy (house seam): order-sensitive reductions go to
+exact INTEGER/DECIMAL arithmetic (cents lattices, scale-preserving
+decimal sums of 12-dp-rounded transcendental terms); small fixed-arity
+sums (per-group/per-cell, enumerable) are pivoted to ONE row and
+assembled in a fixed left-assoc float expression, identical in both
+engines (the Ljung-Box pattern).
+
+Scale notes (100 TB): every query aggregates to a BOUNDED spine first —
+the ~2400-day order calendar (constant in SF), the 5-value priority
+enum, the 2^3 binarized-state cube — so pairwise self-joins and window
+passes run on fixed-size inputs no matter the row count; the only
+row-scaled stages are single groupBy/agg passes with map-side partial
+aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import t
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Shared bounded day spine: daily revenue in exact integer cents.
+_SQL_DAILY = """
+      SELECT o_orderdate AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+      FROM orders GROUP BY 1
+"""
+
+
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Geary's C over the day spine with lag-1 chain weights (the classic
+# contiguity statistic, complementing local Moran's I which the
+# registry already carries). C = n * sum (x_t - x_{t-1})^2 /
+# (2 * (n*sum(x^2) - S^2)) after clearing the rational mean — every
+# term an exact DECIMAL(38,0), one final double division.
+@_q(
+    "gearys_c",
+    f"""
+    WITH daily AS ({_SQL_DAILY}),
+    lagged AS (
+      SELECT y, lag(y) OVER (ORDER BY d) AS yp FROM daily
+    ),
+    num AS (
+      SELECT CAST(SUM(CAST((y - yp) AS DECIMAL(38,0)) ** 2) AS DECIMAL(38,0))
+               AS n1,
+             COUNT(yp) AS npairs
+      FROM lagged WHERE yp IS NOT NULL
+    ),
+    mom AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) ** 2) AS DECIMAL(38,0)) AS s2
+      FROM daily
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(CAST(n AS DOUBLE) * CAST(n1 AS DOUBLE)
+                 / (2.0 * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))), 9)
+             AS gearys_c
+    FROM num, mom
+    """,
+)
+def q_gearys_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_cents(spark, sf_dir).localCheckpoint(eager=True)
+    w = Window.orderBy("d")
+    lagged = daily.select("y", F.lag("y").over(w).alias("yp"))
+    num = lagged.where(F.col("yp").isNotNull()).agg(
+        F.sum(
+            (F.col("y") - F.col("yp")).cast("decimal(38,0)")
+            * (F.col("y") - F.col("yp")).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("n1"),
+        F.count("yp").alias("npairs"),
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    return num.crossJoin(mom).select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(
+            F.col("n").cast("double") * F.col("n1").cast("double")
+            / (
+                F.lit(2.0)
+                * (
+                    F.col("n").cast("double") * F.col("s2").cast("double")
+                    - F.col("s").cast("double") * F.col("s").cast("double")
+                )
+            ),
+            9,
+        ).alias("gearys_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe (median-based Levene) homogeneity-of-variance test
+# across the 5 order priorities. |y - median| is kept exact on the
+# HALF-CENT lattice (z2 = |2y - round(2*median)|, a BIGINT: the median
+# of an even count lands on .5). The 5 per-group means pivot into one
+# row and the between-group sum assembles in fixed left-assoc float
+# order (the Ljung-Box pattern); the within-group sum is exact decimal.
+_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _bf_sql() -> str:
+    gcols = ",\n             ".join(
+        f"""SUM(CASE WHEN prio = '{p}' THEN zv ELSE 0 END) AS za{i},
+             SUM(CASE WHEN prio = '{p}' THEN 1 ELSE 0 END) AS nb{i},
+             SUM(CASE WHEN prio = '{p}'
+                      THEN CAST(zv AS DECIMAL(38,0)) ** 2 ELSE 0 END) AS qc{i}"""
+        for i, p in enumerate(_PRIOS)
+    )
+    n_tot = " + ".join(f"nb{i}" for i in range(5))
+    mean = f"(CAST({' + '.join(f'za{i}' for i in range(5))} AS DOUBLE) / ({n_tot}))"
+    between = " + ".join(
+        f"nb{i} * (CAST(za{i} AS DOUBLE)/nb{i} - {mean})"
+        f" * (CAST(za{i} AS DOUBLE)/nb{i} - {mean})"
+        for i in range(5)
+    )
+    within = " + ".join(
+        f"(CAST(qc{i} AS DOUBLE)"
+        f" - CAST(za{i} AS DOUBLE) * CAST(za{i} AS DOUBLE) / nb{i})"
+        for i in range(5)
+    )
+    return f"""
+    WITH vals AS (
+      SELECT o_orderpriority AS prio,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM vals_src
+    ),
+    med AS (
+      SELECT prio, CAST(round(2 * median(y)) AS BIGINT) AS med2
+      FROM vals GROUP BY prio
+    ),
+    z AS (
+      SELECT v.prio, abs(2 * v.y - m.med2) AS zv
+      FROM vals v JOIN med m ON v.prio = m.prio
+    ),
+    piv AS (
+      SELECT {gcols}
+      FROM z
+    )
+    SELECT CAST({n_tot} AS BIGINT) AS n_total,
+           5 AS k_groups,
+           round((({n_tot} - 5) / 4.0) * ({between}) / ({within}), 6)
+             AS bf_statistic
+    FROM piv
+    """.replace(
+        "FROM vals_src", "FROM orders"
+    )
+
+
+@_q("levene_brown_forsythe", _bf_sql())
+def q_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vals = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    med = vals.groupBy("prio").agg(
+        F.round(2 * F.median("y")).cast("bigint").alias("med2")
+    )
+    z = vals.join(med, "prio").select(
+        "prio", F.abs(2 * F.col("y") - F.col("med2")).alias("z2")
+    )
+    aggs = []
+    for i, p in enumerate(_PRIOS):
+        is_p = F.col("prio") == p
+        aggs += [
+            F.sum(F.when(is_p, F.col("z2")).otherwise(0)).alias(f"z{i}"),
+            F.sum(F.when(is_p, 1).otherwise(0)).alias(f"n{i}"),
+            F.sum(
+                F.when(
+                    is_p,
+                    F.col("z2").cast("decimal(38,0)")
+                    * F.col("z2").cast("decimal(38,0)"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias(f"q{i}"),
+        ]
+    piv = z.agg(*aggs)
+    n_tot = sum(F.col(f"n{i}") for i in range(5))
+    m = sum(F.col(f"z{i}").cast("double") for i in range(5)) / n_tot
+    piv = piv.withColumn("m", m)
+    between = None
+    within = None
+    for i in range(5):
+        gm = F.col(f"z{i}").cast("double") / F.col(f"n{i}")
+        b = F.col(f"n{i}") * (gm - F.col("m")) * (gm - F.col("m"))
+        wv = F.col(f"q{i}").cast("double") - F.col(f"z{i}").cast("double") * F.col(
+            f"z{i}"
+        ).cast("double") / F.col(f"n{i}")
+        between = b if between is None else between + b
+        within = wv if within is None else within + wv
+    return piv.select(
+        n_tot.cast("bigint").alias("n_total"),
+        F.lit(5).alias("k_groups"),
+        F.round(((n_tot - 5) / F.lit(4.0)) * between / within, 6).alias(
+            "bf_statistic"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Siegel repeated-median regression of daily revenue on day index: the
+# 50%-breakdown robust line. Both medians interpolate sorted doubles
+# identically in both engines; each slope is ONE exact-rounded double
+# division of exact integers. O(spine^2) pairs — ~2.9M at any SF
+# (bounded calendar), never O(rows^2).
+@_q(
+    "siegel_repeated_median",
+    f"""
+    WITH daily AS ({_SQL_DAILY}),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY d) AS i, y FROM daily
+    ),
+    inner_med AS (
+      SELECT a.i,
+             median(CAST(b.y - a.y AS DOUBLE) / (b.i - a.i)) AS mi,
+             any_value(a.y) AS y
+      FROM idx a JOIN idx b ON b.i <> a.i
+      GROUP BY a.i
+    ),
+    slope AS (SELECT median(mi) AS slope FROM inner_med)
+    SELECT round(slope, 6) AS slope_cents_per_day,
+           round((SELECT median(y - slope * i)
+                  FROM inner_med JOIN slope ON TRUE), 2) AS intercept_cents
+    FROM slope
+    """,
+)
+def q_siegel_repeated_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_cents(spark, sf_dir)
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("i"), "y"
+    ).localCheckpoint(eager=True)
+    a = idx.select(F.col("i").alias("ia"), F.col("y").alias("ya"))
+    b = idx.select(F.col("i").alias("ib"), F.col("y").alias("yb"))
+    inner = (
+        a.join(b, F.col("ib") != F.col("ia"))
+        .groupBy("ia")
+        .agg(
+            F.median(
+                (F.col("yb") - F.col("ya")).cast("double")
+                / (F.col("ib") - F.col("ia"))
+            ).alias("mi"),
+            F.any_value("ya").alias("y"),
+        )
+    )
+    slope = inner.agg(F.median("mi").alias("slope"))
+    out = inner.crossJoin(slope).agg(
+        F.round(F.any_value("slope"), 6).alias("slope_cents_per_day"),
+        F.round(
+            F.median(F.col("y") - F.col("slope") * F.col("ia")), 2
+        ).alias("intercept_cents"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Transfer entropy between the binarized daily order-count series (X)
+# and daily revenue series (Y), both directions. The 2^3 state cube is
+# exact integer counts; the <= 8 plug-in terms are each rounded to 12dp
+# and summed in fixed cell order via a pivoted single row.
+def _te_sql() -> str:
+    def te(src: str, dst: str) -> str:
+        # TE(src->dst): sum over (dn, dp, sp) of c3/n * log2(c3*c1/(c2a*c2b))
+        terms = []
+        for dn in (0, 1):
+            for dp in (0, 1):
+                for sp in (0, 1):
+                    c3 = f"c_{dst}{dn}{dp}{sp}_{src}"
+                    c2a = f"(c_{dst}0{dp}{sp}_{src} + c_{dst}1{dp}{sp}_{src})"
+                    c2b = f"(c_{dst}{dn}{dp}0_{src} + c_{dst}{dn}{dp}1_{src})"
+                    c1 = (
+                        f"(c_{dst}0{dp}0_{src} + c_{dst}0{dp}1_{src}"
+                        f" + c_{dst}1{dp}0_{src} + c_{dst}1{dp}1_{src})"
+                    )
+                    terms.append(
+                        f"CASE WHEN {c3} > 0 THEN round(CAST({c3} AS DOUBLE)/nn"
+                        f" * log2(CAST({c3} AS DOUBLE) * {c1}"
+                        f" / (CAST({c2a} AS DOUBLE) * {c2b})), 12)"
+                        f" ELSE 0.0 END"
+                    )
+        return " + ".join(terms)
+
+    cells = []
+    for dst, src in (("y", "x"), ("x", "y")):
+        for dn in (0, 1):
+            for dp in (0, 1):
+                for sp in (0, 1):
+                    cells.append(
+                        f"SUM(CASE WHEN {dst}n = {dn} AND {dst}p = {dp}"
+                        f" AND {src}p = {sp} THEN 1 ELSE 0 END)"
+                        f" AS c_{dst}{dn}{dp}{sp}_{src}"
+                    )
+    cells_sql = ",\n             ".join(cells)
+    return f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y,
+             COUNT(*) AS x
+      FROM orders GROUP BY 1
+    ),
+    meds AS (SELECT median(y) AS my, median(x) AS mx FROM daily),
+    bin AS (
+      SELECT row_number() OVER (ORDER BY d) AS i,
+             CASE WHEN y > my THEN 1 ELSE 0 END AS yb,
+             CASE WHEN x > mx THEN 1 ELSE 0 END AS xb
+      FROM daily, meds
+    ),
+    tri AS (
+      SELECT b.yb AS yn, a.yb AS yp, a.xb AS xp,
+             b.xb AS xn
+      FROM bin a JOIN bin b ON b.i = a.i + 1
+    ),
+    cube3 AS (
+      SELECT COUNT(*) AS nn,
+             {cells_sql}
+      FROM tri
+    )
+    SELECT CAST(nn AS BIGINT) AS n_transitions,
+           round({te("x", "y")}, 6) AS te_x_to_y,
+           round({te("y", "x")}, 6) AS te_y_to_x
+    FROM cube3
+    """
+
+
+@_q("transfer_entropy_directional", _te_sql())
+def q_transfer_entropy_directional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("y"),
+            F.count(F.lit(1)).alias("x"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    meds = daily.agg(F.median("y").alias("my"), F.median("x").alias("mx"))
+    binned = daily.crossJoin(F.broadcast(meds)).select(
+        F.row_number().over(Window.orderBy("d")).alias("i"),
+        F.when(F.col("y") > F.col("my"), 1).otherwise(0).alias("yb"),
+        F.when(F.col("x") > F.col("mx"), 1).otherwise(0).alias("xb"),
+    )
+    a = binned.select(
+        F.col("i").alias("ia"), F.col("yb").alias("yp"), F.col("xb").alias("xp")
+    )
+    b = binned.select(
+        (F.col("i") - 1).alias("ia"),
+        F.col("yb").alias("yn"),
+        F.col("xb").alias("xn"),
+    )
+    tri = a.join(b, "ia")
+    aggs = [F.count(F.lit(1)).alias("nn")]
+    for dst, src in (("y", "x"), ("x", "y")):
+        for dn in (0, 1):
+            for dp in (0, 1):
+                for sp in (0, 1):
+                    aggs.append(
+                        F.sum(
+                            F.when(
+                                (F.col(f"{dst}n") == dn)
+                                & (F.col(f"{dst}p") == dp)
+                                & (F.col(f"{src}p") == sp),
+                                1,
+                            ).otherwise(0)
+                        ).alias(f"c_{dst}{dn}{dp}{sp}_{src}")
+                    )
+    cube3 = tri.agg(*aggs)
+
+    def te(src: str, dst: str):
+        total = None
+        for dn in (0, 1):
+            for dp in (0, 1):
+                for sp in (0, 1):
+                    c3 = F.col(f"c_{dst}{dn}{dp}{sp}_{src}")
+                    c2a = F.col(f"c_{dst}0{dp}{sp}_{src}") + F.col(
+                        f"c_{dst}1{dp}{sp}_{src}"
+                    )
+                    c2b = F.col(f"c_{dst}{dn}{dp}0_{src}") + F.col(
+                        f"c_{dst}{dn}{dp}1_{src}"
+                    )
+                    c1 = (
+                        F.col(f"c_{dst}0{dp}0_{src}")
+                        + F.col(f"c_{dst}0{dp}1_{src}")
+                        + F.col(f"c_{dst}1{dp}0_{src}")
+                        + F.col(f"c_{dst}1{dp}1_{src}")
+                    )
+                    term = F.when(
+                        c3 > 0,
+                        F.round(
+                            c3.cast("double")
+                            / F.col("nn")
+                            * F.log2(
+                                c3.cast("double") * c1 / (c2a.cast("double") * c2b)
+                            ),
+                            12,
+                        ),
+                    ).otherwise(F.lit(0.0))
+                    total = term if total is None else total + term
+        return total
+
+    return cube3.select(
+        F.col("nn").cast("bigint").alias("n_transitions"),
+        F.round(te("x", "y"), 6).alias("te_x_to_y"),
+        F.round(te("y", "x"), 6).alias("te_y_to_x"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Yule-Walker AR(2) fit of the daily revenue series. Mean is cleared
+# exactly by the n-scaling u_t = n*y_t - S (integer), autocovariance
+# sums stay exact DECIMAL(38,0) (|u| <= ~2.4e11, u^2*spine ~ 1e26),
+# and the 2x2 system solves in one fixed float expression — the common
+# n^2 scaling cancels in the ratios.
+@_q(
+    "yule_walker_ar2",
+    f"""
+    WITH daily AS ({_SQL_DAILY}),
+    mom AS (SELECT COUNT(*) AS n, SUM(CAST(y AS DECIMAL(38,0))) AS s FROM daily),
+    u AS (
+      SELECT row_number() OVER (ORDER BY d) AS i,
+             CAST(n AS DECIMAL(38,0)) * y - s AS u
+      FROM daily, mom
+    ),
+    cov AS (
+      SELECT CAST(SUM(a.u * a.u) AS DOUBLE) AS c0,
+             CAST(SUM(CASE WHEN b1.i IS NOT NULL THEN a.u * b1.u END) AS DOUBLE)
+               AS c1,
+             CAST(SUM(CASE WHEN b2.i IS NOT NULL THEN a.u * b2.u END) AS DOUBLE)
+               AS c2
+      FROM u a
+      LEFT JOIN u b1 ON b1.i = a.i + 1
+      LEFT JOIN u b2 ON b2.i = a.i + 2
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM mom) AS n_days,
+           round(c1 * (c0 - c2) / (c0 * c0 - c1 * c1), 9) AS phi1,
+           round((c0 * c2 - c1 * c1) / (c0 * c0 - c1 * c1), 9) AS phi2
+    FROM cov
+    """,
+)
+def q_yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_cents(spark, sf_dir).localCheckpoint(eager=True)
+    mom = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("s"),
+    )
+    u = daily.crossJoin(F.broadcast(mom)).select(
+        F.row_number().over(Window.orderBy("d")).alias("i"),
+        (F.col("n").cast("decimal(38,0)") * F.col("y") - F.col("s")).alias("u"),
+        "n",
+    )
+    a = u.select(F.col("i").alias("ia"), F.col("u").alias("ua"), "n")
+    b1 = u.select((F.col("i") - 1).alias("ia"), F.col("u").alias("ub1"))
+    b2 = u.select((F.col("i") - 2).alias("ia"), F.col("u").alias("ub2"))
+    cov = (
+        a.join(b1, "ia", "left")
+        .join(b2, "ia", "left")
+        .agg(
+            F.sum(F.col("ua") * F.col("ua")).cast("double").alias("c0"),
+            F.sum(
+                F.when(F.col("ub1").isNotNull(), F.col("ua") * F.col("ub1"))
+            )
+            .cast("double")
+            .alias("c1"),
+            F.sum(
+                F.when(F.col("ub2").isNotNull(), F.col("ua") * F.col("ub2"))
+            )
+            .cast("double")
+            .alias("c2"),
+            F.any_value("n").alias("n"),
+        )
+    )
+    den = F.col("c0") * F.col("c0") - F.col("c1") * F.col("c1")
+    return cov.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(F.col("c1") * (F.col("c0") - F.col("c2")) / den, 9).alias("phi1"),
+        F.round(
+            (F.col("c0") * F.col("c2") - F.col("c1") * F.col("c1")) / den, 9
+        ).alias("phi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anderson-Darling goodness-of-fit test for EXPONENTIALITY of BUILDING
+# order totals (the one classical EDF test whose reference CDF is
+# SQL-exact: F(y) = 1 - exp(-y/mean)). 100 TB shape: the value stream
+# reduces to per-DISTINCT-value counts first (the KS pattern — the
+# window runs over |distinct cents values|, never |rows|); a tie group
+# spanning cumulative ranks (a, b] contributes closed-form rank sums
+# sum(2i-1) = b^2 - a^2 and sum(2(n-i+1)-1) = (n-a)^2 - (n-b)^2, so
+# each distinct value yields ONE term, rounded to 12dp and summed as
+# scale-preserving DECIMAL(38,12) — order-free.
+@_q(
+    "anderson_darling_exponential",
+    """
+    WITH vals AS (
+      SELECT CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+    ),
+    per_v AS (SELECT y, COUNT(*) AS c FROM vals GROUP BY y),
+    cum AS (
+      SELECT y,
+             SUM(c) OVER (ORDER BY y) AS b,
+             SUM(c) OVER (ORDER BY y) - c AS a
+      FROM per_v
+    ),
+    mom AS (SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)
+                     AS mean_y
+            FROM vals),
+    terms AS (
+      SELECT CAST(round((CAST(b AS DOUBLE) * b - CAST(a AS DOUBLE) * a)
+                        * ln(1 - exp(-(CAST(y AS DOUBLE)/mean_y)))
+                        + (CAST(n - a AS DOUBLE) * (n - a)
+                           - CAST(n - b AS DOUBLE) * (n - b))
+                          * (-(CAST(y AS DOUBLE)/mean_y)), 12)
+                  AS DECIMAL(38,12)) AS t1
+      FROM cum, mom
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM mom) AS n_orders,
+           round(-(SELECT CAST(n AS DOUBLE) FROM mom)
+                 - CAST(SUM(t1) AS DOUBLE)
+                   / (SELECT n FROM mom), 6) AS a2_statistic
+    FROM terms
+    """,
+)
+def q_anderson_darling_exponential(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    vals = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    per_v = vals.groupBy("y").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("y")
+    cum = per_v.select(
+        "y",
+        F.sum("c").over(w).alias("b"),
+        (F.sum("c").over(w) - F.col("c")).alias("a"),
+    )
+    mom = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("y").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_y"),
+    )
+    yd = F.col("y").cast("double")
+    terms = cum.crossJoin(F.broadcast(mom)).select(
+        "n",
+        F.round(
+            (F.col("b").cast("double") * F.col("b")
+             - F.col("a").cast("double") * F.col("a"))
+            * F.log(1 - F.exp(-(yd / F.col("mean_y"))))
+            + (
+                (F.col("n") - F.col("a")).cast("double") * (F.col("n") - F.col("a"))
+                - (F.col("n") - F.col("b")).cast("double")
+                * (F.col("n") - F.col("b"))
+            )
+            * (-(yd / F.col("mean_y"))),
+            12,
+        )
+        .cast("decimal(38,12)")
+        .alias("t1"),
+    )
+    return terms.agg(
+        F.any_value("n").cast("bigint").alias("n_orders"),
+        F.round(
+            -F.any_value("n").cast("double")
+            - F.sum("t1").cast("double") / F.any_value("n"),
+            6,
+        ).alias("a2_statistic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grubbs' outlier statistic per order priority: G = max|y - mean| / sd,
+# with max|n*y - S| exact on the integer lattice and the sample sd from
+# exact moments — one closed-form float expression per group.
+@_q(
+    "grubbs_outlier_stat",
+    """
+    WITH vals AS (
+      SELECT o_orderpriority AS prio,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM orders
+    ),
+    mom AS (
+      SELECT prio, COUNT(*) AS n,
+             SUM(CAST(y AS DECIMAL(38,0))) AS s,
+             SUM(CAST(y AS DECIMAL(38,0)) ** 2) AS s2
+      FROM vals GROUP BY prio
+    ),
+    dev AS (
+      SELECT v.prio,
+             MAX(abs(CAST(m.n AS DECIMAL(38,0)) * v.y - m.s)) AS maxu
+      FROM vals v JOIN mom m ON v.prio = m.prio
+      GROUP BY v.prio
+    )
+    SELECT m.prio,
+           CAST(m.n AS BIGINT) AS n,
+           round(CAST(d.maxu AS DOUBLE)
+                 / (CAST(m.n AS DOUBLE)
+                    * sqrt((CAST(m.n AS DOUBLE) * CAST(m.s2 AS DOUBLE)
+                            - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE))
+                           / (CAST(m.n AS DOUBLE) * (m.n - 1)))), 9)
+             AS g_statistic
+    FROM mom m JOIN dev d ON m.prio = d.prio
+    ORDER BY m.prio
+    """,
+)
+def q_grubbs_outlier_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vals = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    mom = vals.groupBy("prio").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("y").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)")
+        ).alias("s2"),
+    )
+    dev = (
+        vals.join(mom, "prio")
+        .groupBy("prio")
+        .agg(
+            F.max(
+                F.abs(F.col("n").cast("decimal(38,0)") * F.col("y") - F.col("s"))
+            ).alias("maxu")
+        )
+    )
+    nd = F.col("n").cast("double")
+    return (
+        mom.join(dev, "prio")
+        .select(
+            "prio",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                F.col("maxu").cast("double")
+                / (
+                    nd
+                    * F.sqrt(
+                        (
+                            nd * F.col("s2").cast("double")
+                            - F.col("s").cast("double")
+                            * F.col("s").cast("double")
+                        )
+                        / (nd * (F.col("n") - 1))
+                    )
+                ),
+                9,
+            ).alias("g_statistic"),
+        )
+        .orderBy("prio")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test for randomness of daily revenue up/down
+# moves. Runs, n+, n- are exact integers off one lag window on the
+# bounded spine; z is one closed-form float expression.
+@_q(
+    "runs_test_wald_wolfowitz",
+    f"""
+    WITH daily AS ({_SQL_DAILY}),
+    moves AS (
+      SELECT CASE WHEN y > lag(y) OVER (ORDER BY d) THEN 1
+                  WHEN y < lag(y) OVER (ORDER BY d) THEN -1 END AS s
+      FROM daily
+    ),
+    signs AS (
+      SELECT s, row_number() OVER () AS rn FROM moves WHERE s IS NOT NULL
+    ),
+    seq AS (
+      SELECT s, lag(s) OVER (ORDER BY rn) AS sp FROM signs
+    ),
+    agg AS (
+      SELECT SUM(CASE WHEN sp IS NULL OR s <> sp THEN 1 ELSE 0 END) AS r,
+             SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS n2
+      FROM seq
+    )
+    SELECT CAST(r AS BIGINT) AS runs,
+           CAST(n1 AS BIGINT) AS n_up, CAST(n2 AS BIGINT) AS n_down,
+           round((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / (CAST((n1 + n2) AS DOUBLE) * (n1 + n2)
+                           * (n1 + n2 - 1))), 9) AS z_score
+    FROM agg
+    """,
+)
+def q_runs_test_wald_wolfowitz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_cents(spark, sf_dir)
+    w = Window.orderBy("d")
+    moves = daily.select(
+        F.when(F.col("y") > F.lag("y").over(w), 1)
+        .when(F.col("y") < F.lag("y").over(w), -1)
+        .alias("s"),
+        F.col("d"),
+    ).where(F.col("s").isNotNull())
+    seq = moves.select("s", F.lag("s").over(Window.orderBy("d")).alias("sp"))
+    agg = seq.agg(
+        F.sum(
+            F.when(F.col("sp").isNull() | (F.col("s") != F.col("sp")), 1).otherwise(
+                0
+            )
+        ).alias("r"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return agg.select(
+        r.cast("bigint").alias("runs"),
+        n1.cast("bigint").alias("n_up"),
+        n2.cast("bigint").alias("n_down"),
+        F.round((r - mu) / F.sqrt(var), 9).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chow structural-break F-test of the daily revenue-on-time regression
+# at the calendar midpoint. All regression moments are exact integers
+# (t <= 2400, y in cents); each segment's SSR is one closed-form float
+# expression from those moments.
+def _chow_sql() -> str:
+    def ssr(tag: str) -> str:
+        return (
+            f"(CAST(syy{tag} AS DOUBLE)"
+            f" - CAST(sy{tag} AS DOUBLE) * sy{tag} / n{tag}"
+            f" - (CAST(sxy{tag} AS DOUBLE) - CAST(sx{tag} AS DOUBLE) * sy{tag} / n{tag})"
+            f" * (CAST(sxy{tag} AS DOUBLE) - CAST(sx{tag} AS DOUBLE) * sy{tag} / n{tag})"
+            f" / (CAST(sxx{tag} AS DOUBLE) - CAST(sx{tag} AS DOUBLE) * sx{tag} / n{tag}))"
+        )
+
+    def moments(tag: str, cond: str) -> str:
+        return f"""
+             SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS n{tag},
+             SUM(CASE WHEN {cond} THEN i ELSE 0 END) AS sx{tag},
+             SUM(CASE WHEN {cond} THEN CAST(i AS DECIMAL(38,0)) * i ELSE 0 END) AS sxx{tag},
+             SUM(CASE WHEN {cond} THEN CAST(y AS DECIMAL(38,0)) ELSE 0 END) AS sy{tag},
+             SUM(CASE WHEN {cond} THEN CAST(y AS DECIMAL(38,0)) ** 2 ELSE 0 END) AS syy{tag},
+             SUM(CASE WHEN {cond} THEN CAST(i AS DECIMAL(38,0)) * y ELSE 0 END) AS sxy{tag}"""
+
+    return f"""
+    WITH daily AS ({_SQL_DAILY}),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY d) AS i, y,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ),
+    mom AS (
+      SELECT {moments('p', 'TRUE')},
+             {moments('1', 'i <= n // 2')},
+             {moments('2', 'i > n // 2')}
+      FROM idx
+    )
+    SELECT CAST(np AS BIGINT) AS n_days,
+           round((({ssr('p')} - {ssr('1')} - {ssr('2')}) / 2.0)
+                 / (({ssr('1')} + {ssr('2')}) / (np - 4.0)), 6)
+             AS chow_f
+    FROM mom
+    """
+
+
+@_q("chow_structural_break", _chow_sql())
+def q_chow_structural_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_cents(spark, sf_dir)
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("i"), "y"
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+
+    def moments(tag: str, cond):
+        dec = "decimal(38,0)"
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"n{tag}"),
+            F.sum(F.when(cond, F.col("i")).otherwise(0)).alias(f"sx{tag}"),
+            F.sum(
+                F.when(cond, F.col("i").cast(dec) * F.col("i")).otherwise(
+                    F.lit(0).cast(dec)
+                )
+            ).alias(f"sxx{tag}"),
+            F.sum(
+                F.when(cond, F.col("y").cast(dec)).otherwise(F.lit(0).cast(dec))
+            ).alias(f"sy{tag}"),
+            F.sum(
+                F.when(cond, F.col("y").cast(dec) * F.col("y").cast(dec)).otherwise(
+                    F.lit(0).cast(dec)
+                )
+            ).alias(f"syy{tag}"),
+            F.sum(
+                F.when(cond, F.col("i").cast(dec) * F.col("y")).otherwise(
+                    F.lit(0).cast(dec)
+                )
+            ).alias(f"sxy{tag}"),
+        ]
+
+    half = F.col("i") <= F.floor(F.col("n") / 2)
+    mom = idx.agg(
+        *moments("p", F.lit(True)), *moments("1", half), *moments("2", ~half)
+    )
+
+    def ssr(tag: str):
+        n = F.col(f"n{tag}")
+        sx = F.col(f"sx{tag}").cast("double")
+        sy = F.col(f"sy{tag}").cast("double")
+        sxx = F.col(f"sxx{tag}").cast("double")
+        syy = F.col(f"syy{tag}").cast("double")
+        sxy = F.col(f"sxy{tag}").cast("double")
+        cxy = sxy - sx * sy / n
+        cxx = sxx - sx * sx / n
+        return syy - sy * sy / n - cxy * cxy / cxx
+
+    return mom.select(
+        F.col("np").cast("bigint").alias("n_days"),
+        F.round(
+            ((ssr("p") - ssr("1") - ssr("2")) / F.lit(2.0))
+            / ((ssr("1") + ssr("2")) / (F.col("np") - F.lit(4.0))),
+            6,
+        ).alias("chow_f"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Engle-Granger two-step cointegration between daily order count and
+# daily revenue: exact-moment OLS -> residuals rounded to a 6dp
+# lattice -> no-intercept Dickey-Fuller regression on the lattice with
+# scale-preserving decimal sums -> closed-form t statistic.
+@_q(
+    "engle_granger_cointegration",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y,
+             COUNT(*) AS x
+      FROM orders GROUP BY 1
+    ),
+    mom AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+             SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+      FROM daily
+    ),
+    fit AS (
+      SELECT n,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b
+      FROM mom
+    ),
+    resid AS (
+      SELECT row_number() OVER (ORDER BY d) AS i,
+             CAST(round(y - b - ((SELECT CAST(sy AS DOUBLE) FROM mom)
+                                 - b * (SELECT CAST(sx AS DOUBLE) FROM mom))
+                            / (SELECT n FROM mom)
+                        + b - b * x, 6) AS DECIMAL(28,6)) AS e
+      FROM daily, fit
+    ),
+    pairs AS (
+      SELECT a.e AS ep, b.e - a.e AS de
+      FROM resid a JOIN resid b ON b.i = a.i + 1
+    ),
+    sums AS (
+      SELECT COUNT(*) AS m,
+             CAST(SUM(CAST(ep AS DECIMAL(38,12)) * ep) AS DOUBLE) AS see,
+             CAST(SUM(CAST(ep AS DECIMAL(38,12)) * de) AS DOUBLE) AS sed,
+             CAST(SUM(CAST(de AS DECIMAL(38,12)) * de) AS DOUBLE) AS sdd
+      FROM pairs
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM mom) AS n_days,
+           round((SELECT b FROM fit), 9) AS beta,
+           round(sed / see, 9) AS gamma,
+           round((sed / see)
+                 / sqrt(((sdd - sed * sed / see) / (m - 1)) / see), 6)
+             AS df_t_statistic
+    FROM sums
+    """,
+)
+def q_engle_granger_cointegration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("y"),
+            F.count(F.lit(1)).alias("x"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dec = "decimal(38,0)"
+    mom = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+    )
+    fit = mom.select(
+        "n",
+        "sx",
+        "sy",
+        (
+            (
+                F.col("n").cast("double") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / (
+                F.col("n").cast("double") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            )
+        ).alias("b"),
+    )
+    resid = daily.crossJoin(F.broadcast(fit)).select(
+        F.row_number().over(Window.orderBy("d")).alias("i"),
+        F.round(
+            F.col("y")
+            - F.col("b")
+            - (
+                F.col("sy").cast("double") - F.col("b") * F.col("sx").cast("double")
+            )
+            / F.col("n")
+            + F.col("b")
+            - F.col("b") * F.col("x"),
+            6,
+        )
+        .cast("decimal(28,6)")
+        .alias("e"),
+        "n",
+        "b",
+    )
+    a = resid.select(
+        F.col("i").alias("ia"), F.col("e").alias("ep"), "n", "b"
+    )
+    b2 = resid.select((F.col("i") - 1).alias("ia"), F.col("e").alias("en"))
+    pairs = a.join(b2, "ia").select(
+        "ep", (F.col("en") - F.col("ep")).alias("de"), "n", "b"
+    )
+    sums = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("ep").cast("decimal(38,12)") * F.col("ep"))
+        .cast("double")
+        .alias("see"),
+        F.sum(F.col("ep").cast("decimal(38,12)") * F.col("de"))
+        .cast("double")
+        .alias("sed"),
+        F.sum(F.col("de").cast("decimal(38,12)") * F.col("de"))
+        .cast("double")
+        .alias("sdd"),
+        F.any_value("n").alias("n"),
+        F.any_value("b").alias("b"),
+    )
+    gamma = F.col("sed") / F.col("see")
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(F.col("b"), 9).alias("beta"),
+        F.round(gamma, 9).alias("gamma"),
+        F.round(
+            gamma
+            / F.sqrt(
+                (
+                    (F.col("sdd") - F.col("sed") * F.col("sed") / F.col("see"))
+                    / (F.col("m") - 1)
+                )
+                / F.col("see")
+            ),
+            6,
+        ).alias("df_t_statistic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile-shape moments per priority: Bowley (quartile) skewness and
+# Moors (octile) kurtosis. Exact interpolating percentiles over the
+# integer cents lattice — Spark `percentile` and DuckDB quantile_cont
+# share the (n-1)p rank definition, and interpolation between two
+# cents values is exact in double.
+def _rqm_sql() -> str:
+    qs = {
+        "q1": 0.125, "q2": 0.25, "q3": 0.375, "q5": 0.625,
+        "q6": 0.75, "q7": 0.875, "med": 0.5,
+    }
+    qcols = ",\n             ".join(
+        f"quantile_cont(y, {p}) AS {c}" for c, p in qs.items()
+    )
+    return f"""
+    WITH vals AS (
+      SELECT o_orderpriority AS prio,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM orders
+    ),
+    q AS (
+      SELECT prio,
+             {qcols}
+      FROM vals GROUP BY prio
+    )
+    SELECT prio,
+           round((q6 + q2 - 2 * med) / (q6 - q2), 9) AS bowley_skewness,
+           round(((q7 - q5) + (q3 - q1)) / (q6 - q2), 9) AS moors_kurtosis
+    FROM q ORDER BY prio
+    """
+
+
+@_q("robust_quantile_moments", _rqm_sql())
+def q_robust_quantile_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vals = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    q = vals.groupBy("prio").agg(
+        *[
+            F.percentile("y", F.lit(p)).alias(c)
+            for c, p in [
+                ("q1", 0.125), ("q2", 0.25), ("q3", 0.375), ("q5", 0.625),
+                ("q6", 0.75), ("q7", 0.875), ("med", 0.5),
+            ]
+        ]
+    )
+    return q.select(
+        "prio",
+        F.round(
+            (F.col("q6") + F.col("q2") - 2 * F.col("med"))
+            / (F.col("q6") - F.col("q2")),
+            9,
+        ).alias("bowley_skewness"),
+        F.round(
+            ((F.col("q7") - F.col("q5")) + (F.col("q3") - F.col("q1")))
+            / (F.col("q6") - F.col("q2")),
+            9,
+        ).alias("moors_kurtosis"),
+    ).orderBy("prio")
+
+
+# ---------------------------------------------------------------------------
+# Modified z-score outlier days (Iglewicz-Hoaglin): 0.6745*(y-med)/MAD
+# over the bounded day spine; median and MAD land on the half-cent
+# lattice (exact), the z is one float expression per day.
+@_q(
+    "modified_zscore_outlier_days",
+    f"""
+    WITH daily AS ({_SQL_DAILY}),
+    med AS (SELECT CAST(round(2 * median(y)) AS BIGINT) AS med2 FROM daily),
+    dev AS (
+      SELECT d, y, abs(2 * y - med2) AS ad2 FROM daily, med
+    ),
+    madx AS (SELECT CAST(round(median(ad2)) AS BIGINT) AS mad2 FROM dev)
+    SELECT d AS dte, y AS revenue_cents,
+           round(0.6745 * (2.0 * y - (SELECT med2 FROM med))
+                 / (SELECT mad2 FROM madx), 6) AS modified_z
+    FROM dev
+    WHERE abs(0.6745 * (2.0 * y - (SELECT med2 FROM med))
+              / (SELECT mad2 FROM madx)) > 3.5
+    ORDER BY dte
+    """,
+)
+def q_modified_zscore_outlier_days(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    daily = _daily_cents(spark, sf_dir).localCheckpoint(eager=True)
+    med = daily.agg(F.round(2 * F.median("y")).cast("bigint").alias("med2"))
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "d", "y", "med2", F.abs(2 * F.col("y") - F.col("med2")).alias("ad2")
+    )
+    madx = dev.agg(F.round(F.median("ad2")).cast("bigint").alias("mad2"))
+    z = F.lit(0.6745) * (2.0 * F.col("y") - F.col("med2")) / F.col("mad2")
+    return (
+        dev.crossJoin(F.broadcast(madx))
+        .select(
+            F.col("d").alias("dte"),
+            F.col("y").alias("revenue_cents"),
+            F.round(z, 6).alias("modified_z"),
+        )
+        .where(F.abs(z) > 3.5)
+        .orderBy("dte")
+    )
