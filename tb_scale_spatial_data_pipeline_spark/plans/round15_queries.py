@@ -75,7 +75,7 @@ def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT y, lag(y) OVER (ORDER BY d) AS yp FROM daily
     ),
     num AS (
-      SELECT CAST(SUM(CAST((y - yp) AS DECIMAL(38,0)) ** 2) AS DECIMAL(38,0))
+      SELECT CAST(SUM(CAST((y - yp) AS DECIMAL(19,0)) * CAST((y - yp) AS DECIMAL(19,0))) AS DECIMAL(38,0))
                AS n1,
              COUNT(yp) AS npairs
       FROM lagged WHERE yp IS NOT NULL
@@ -83,7 +83,7 @@ def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom AS (
       SELECT COUNT(*) AS n,
              CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
-             CAST(SUM(CAST(y AS DECIMAL(38,0)) ** 2) AS DECIMAL(38,0)) AS s2
+             CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s2
       FROM daily
     )
     SELECT CAST(n AS BIGINT) AS n_days,
@@ -145,7 +145,7 @@ def _bf_sql() -> str:
         f"""SUM(CASE WHEN prio = '{p}' THEN zv ELSE 0 END) AS za{i},
              SUM(CASE WHEN prio = '{p}' THEN 1 ELSE 0 END) AS nb{i},
              SUM(CASE WHEN prio = '{p}'
-                      THEN CAST(zv AS DECIMAL(38,0)) ** 2 ELSE 0 END) AS qc{i}"""
+                      THEN CAST(zv AS DECIMAL(19,0)) * CAST(zv AS DECIMAL(19,0)) ELSE 0 END) AS qc{i}"""
         for i, p in enumerate(_PRIOS)
     )
     n_tot = " + ".join(f"nb{i}" for i in range(5))
@@ -637,7 +637,7 @@ def q_anderson_darling_exponential(
     mom AS (
       SELECT prio, COUNT(*) AS n,
              SUM(CAST(y AS DECIMAL(38,0))) AS s,
-             SUM(CAST(y AS DECIMAL(38,0)) ** 2) AS s2
+             SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS s2
       FROM vals GROUP BY prio
     ),
     dev AS (
@@ -798,7 +798,7 @@ def _chow_sql() -> str:
              SUM(CASE WHEN {cond} THEN i ELSE 0 END) AS sx{tag},
              SUM(CASE WHEN {cond} THEN CAST(i AS DECIMAL(38,0)) * i ELSE 0 END) AS sxx{tag},
              SUM(CASE WHEN {cond} THEN CAST(y AS DECIMAL(38,0)) ELSE 0 END) AS sy{tag},
-             SUM(CASE WHEN {cond} THEN CAST(y AS DECIMAL(38,0)) ** 2 ELSE 0 END) AS syy{tag},
+             SUM(CASE WHEN {cond} THEN CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) ELSE 0 END) AS syy{tag},
              SUM(CASE WHEN {cond} THEN CAST(i AS DECIMAL(38,0)) * y ELSE 0 END) AS sxy{tag}"""
 
     return f"""
@@ -1136,4 +1136,431 @@ def q_modified_zscore_outlier_days(
         )
         .where(F.abs(z) > 3.5)
         .orderBy("dte")
+    )
+
+
+# ---------------------------------------------------------------------------
+# STL-lite seasonal-strength decomposition on the day spine: trend =
+# centered MA(7), computed on the 7-SCALED integer lattice (detr7 =
+# 7*y - window_sum stays an exact BIGINT on interior days), weekday
+# seasonal means subtract as one exact-rounded division each, and the
+# two variances reduce via exact integer moments (detrended) and
+# 12dp-rounded scale-preserving decimal sums (remainder).
+# FS = max(0, 1 - Var(R)/Var(S+R)) is the textbook seasonal strength.
+@_q(
+    "seasonal_strength_stl_lite",
+    f"""
+    WITH daily AS ({_SQL_DAILY}),
+    win AS (
+      SELECT d, isodow(d) - 1 AS wd,
+             7 * y - SUM(y) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                                  AND 3 FOLLOWING) AS detr7,
+             COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                            AND 3 FOLLOWING) AS wn
+      FROM daily
+    ),
+    interior AS (SELECT d, wd, detr7 FROM win WHERE wn = 7),
+    by_wd AS (
+      SELECT wd, COUNT(*) AS nw,
+             SUM(CAST(detr7 AS DECIMAL(38,0))) AS sw
+      FROM interior GROUP BY wd
+    ),
+    piv AS (
+      SELECT {", ".join(
+        f"SUM(CASE WHEN wd = {w} THEN CAST(CAST(sw AS DECIMAL(19,0))"
+        f" * CAST(sw AS DECIMAL(19,0)) AS DOUBLE) / nw ELSE 0 END) AS t{w}"
+        for w in range(7))}
+      FROM by_wd
+    ),
+    mom AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(detr7 AS DECIMAL(38,0))) AS DOUBLE) AS sd,
+             CAST(SUM(CAST(detr7 AS DECIMAL(19,0))
+                      * CAST(detr7 AS DECIMAL(19,0))) AS DOUBLE) AS sd2
+      FROM interior
+    )
+    SELECT CAST(n AS BIGINT) AS n_interior_days,
+           (sd2 - sd * sd / n) / n AS var_detrended,
+           (sd2 - (t0 + t1 + t2 + t3 + t4 + t5 + t6)) / n AS var_remainder,
+           round(greatest(0.0, 1.0 - ((sd2 - (t0 + t1 + t2 + t3 + t4 + t5 + t6)) / n)
+                                 / ((sd2 - sd * sd / n) / n)), 9)
+             AS seasonal_strength
+    FROM mom, piv
+    """,
+)
+def q_seasonal_strength_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_cents(spark, sf_dir)
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    win = daily.select(
+        "d",
+        (F.expr("weekday(d)")).alias("wd"),
+        (7 * F.col("y") - F.sum("y").over(w7)).alias("detr7"),
+        F.count(F.lit(1)).over(w7).alias("wn"),
+    )
+    interior = win.where(F.col("wn") == 7).select("d", "wd", "detr7")
+    interior = interior.localCheckpoint(eager=True)
+    by_wd = interior.groupBy("wd").agg(
+        F.count(F.lit(1)).alias("nw"),
+        F.sum(F.col("detr7").cast("decimal(38,0)")).alias("sw"),
+    )
+    piv = by_wd.agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("wd") == w,
+                    (
+                        F.col("sw").cast("decimal(19,0)")
+                        * F.col("sw").cast("decimal(19,0)")
+                    ).cast("double")
+                    / F.col("nw"),
+                ).otherwise(0.0)
+            ).alias(f"t{w}")
+            for w in range(7)
+        ]
+    )
+    mom = interior.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("detr7").cast("decimal(38,0)")).cast("double").alias("sd"),
+        F.sum(
+            F.col("detr7").cast("decimal(19,0)")
+            * F.col("detr7").cast("decimal(19,0)")
+        )
+        .cast("double")
+        .alias("sd2"),
+    )
+    n = F.col("n")
+    tsum = None
+    for w in range(7):
+        tsum = F.col(f"t{w}") if tsum is None else tsum + F.col(f"t{w}")
+    var_d = (F.col("sd2") - F.col("sd") * F.col("sd") / n) / n
+    var_r = (F.col("sd2") - tsum) / n
+    return mom.crossJoin(piv).select(
+        n.cast("bigint").alias("n_interior_days"),
+        var_d.alias("var_detrended"),
+        var_r.alias("var_remainder"),
+        F.round(F.greatest(F.lit(0.0), 1.0 - var_r / var_d), 9).alias(
+            "seasonal_strength"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matrix-profile motif discovery on the day spine (window m=7):
+# correlation-based distance d^2 = 2m(1-r) where r's cross-moments are
+# EXACT integer window sums (cents), so every pairwise distance is one
+# closed-form float expression — no running z-normalization drift.
+# O(spine^2) pairs with an exclusion zone |i-j| >= m; top-5 motif
+# pairs by (distance, i, j). 100 TB: the spine is bounded, and the
+# window vectors reduce to 3 integer moments + a 7-int array BEFORE
+# the self-join.
+_MP_M = 7
+
+
+def _sql_matrix_profile() -> str:
+    m = _MP_M
+    return f"""
+    WITH daily AS ({_SQL_DAILY}),
+    idx AS (SELECT row_number() OVER (ORDER BY d) AS i, y FROM daily),
+    nn AS (SELECT COUNT(*) AS n FROM idx),
+    win AS (
+      SELECT a.i,
+             SUM(b.y) AS s1,
+             SUM(CAST(b.y AS DECIMAL(38,0)) * b.y) AS s2,
+             array_agg(b.y ORDER BY b.i) AS v
+      FROM idx a JOIN idx b ON b.i BETWEEN a.i AND a.i + {m} - 1
+      WHERE a.i + {m} - 1 <= (SELECT n FROM nn)
+      GROUP BY a.i HAVING COUNT(*) = {m}
+    ),
+    pairs AS (
+      SELECT a.i AS ia, b.i AS ib,
+             CAST(a.s1 AS DOUBLE) AS sa, CAST(b.s1 AS DOUBLE) AS sb,
+             CAST(a.s2 AS DOUBLE) AS qa, CAST(b.s2 AS DOUBLE) AS qb,
+             CAST(list_reduce(list_transform(range(1, {m} + 1),
+                    k -> CAST(a.v[k] AS DECIMAL(38,0)) * b.v[k]),
+                    (x, y) -> x + y) AS DOUBLE) AS sab
+      FROM win a JOIN win b ON b.i >= a.i + {m}
+    ),
+    dist AS (
+      SELECT ia, ib,
+             2.0 * {m} * (1.0 - ({m} * sab - sa * sb)
+               / sqrt(({m} * qa - sa * sa) * ({m} * qb - sb * sb))) AS d2
+      FROM pairs
+    )
+    SELECT ia AS motif_i, ib AS motif_j, round(d2, 6) AS dist_sq
+    FROM dist
+    ORDER BY round(d2, 6), ia, ib LIMIT 5
+    """
+
+
+@_q("matrix_profile_motif", _sql_matrix_profile())
+def q_matrix_profile_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _MP_M
+    daily = _daily_cents(spark, sf_dir)
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("i"), "y"
+    ).localCheckpoint(eager=True)
+    wm = Window.orderBy("i").rowsBetween(0, m - 1)
+    win = (
+        idx.select(
+            "i",
+            F.sum("y").over(wm).alias("s1"),
+            F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+            .over(wm)
+            .alias("s2"),
+            F.collect_list("y").over(wm).alias("v"),
+            F.count(F.lit(1)).over(wm).alias("wn"),
+        )
+        .where(F.col("wn") == m)
+        .drop("wn")
+        .localCheckpoint(eager=True)
+    )
+    a = win.select(
+        F.col("i").alias("ia"), F.col("s1").alias("sa1"),
+        F.col("s2").alias("sa2"), F.col("v").alias("va"),
+    )
+    b = win.select(
+        F.col("i").alias("ib"), F.col("s1").alias("sb1"),
+        F.col("s2").alias("sb2"), F.col("v").alias("vb"),
+    )
+    pairs = a.join(b, F.col("ib") >= F.col("ia") + m)
+    sab = F.aggregate(
+        F.zip_with(
+            F.col("va"), F.col("vb"),
+            lambda x, y: x.cast("decimal(38,0)") * y,
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: (acc + x).cast("decimal(38,0)"),
+    ).cast("double")
+    sa, sb = F.col("sa1").cast("double"), F.col("sb1").cast("double")
+    qa, qb = F.col("sa2").cast("double"), F.col("sb2").cast("double")
+    d2 = (
+        2.0
+        * m
+        * (
+            1.0
+            - (m * sab - sa * sb)
+            / F.sqrt((m * qa - sa * sa) * (m * qb - sb * sb))
+        )
+    )
+    return (
+        pairs.select(
+            F.col("ia").cast("bigint").alias("motif_i"),
+            F.col("ib").cast("bigint").alias("motif_j"),
+            F.round(d2, 6).alias("dist_sq"),
+        )
+        .orderBy("dist_sq", "motif_i", "motif_j")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil's U2 forecast-quality ratio of the MA(7) forecast against the
+# naive no-change forecast. The forecast numerator f = sum of the 7
+# prior days stays an exact BIGINT; each relative-error term is
+# rounded to 12dp and summed as scale-preserving decimals.
+@_q(
+    "theils_u2_forecast",
+    f"""
+    WITH daily AS ({_SQL_DAILY}),
+    win AS (
+      SELECT d, y,
+             lag(y) OVER (ORDER BY d) AS yp,
+             SUM(y) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING
+                          AND 1 PRECEDING) AS f,
+             COUNT(*) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING
+                            AND 1 PRECEDING) AS fn
+      FROM daily
+    ),
+    terms AS (
+      SELECT CAST(round(((CAST(f AS DOUBLE) / 7 - y) / yp)
+                        * ((CAST(f AS DOUBLE) / 7 - y) / yp), 12)
+                  AS DECIMAL(38,12)) AS tm,
+             CAST(round((CAST(y - yp AS DOUBLE) / yp)
+                        * (CAST(y - yp AS DOUBLE) / yp), 12)
+                  AS DECIMAL(38,12)) AS tn
+      FROM win WHERE fn = 7 AND yp IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+           round(sqrt(CAST(SUM(tm) AS DOUBLE))
+                 / sqrt(CAST(SUM(tn) AS DOUBLE)), 9) AS theils_u2
+    FROM terms
+    """,
+)
+def q_theils_u2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_cents(spark, sf_dir)
+    w = Window.orderBy("d")
+    w7 = Window.orderBy("d").rowsBetween(-7, -1)
+    win = daily.select(
+        "y",
+        F.lag("y").over(w).alias("yp"),
+        F.sum("y").over(w7).alias("f"),
+        F.count(F.lit(1)).over(w7).alias("fn"),
+    ).where((F.col("fn") == 7) & F.col("yp").isNotNull())
+    em = (F.col("f").cast("double") / 7 - F.col("y")) / F.col("yp")
+    en = (F.col("y") - F.col("yp")).cast("double") / F.col("yp")
+    terms = win.select(
+        F.round(em * em, 12).cast("decimal(38,12)").alias("tm"),
+        F.round(en * en, 12).cast("decimal(38,12)").alias("tn"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_forecasts"),
+        F.round(
+            F.sqrt(F.sum("tm").cast("double"))
+            / F.sqrt(F.sum("tn").cast("double")),
+            9,
+        ).alias("theils_u2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Zurbenko KZ(7,3) filter: three iterated centered MA(7)
+# passes, kept EXACT by deferring all three /7 divisions — the triple
+# window sum is an integer on the 343-scaled lattice; only full
+# windows (interior days) are emitted. One window spec reused three
+# times = three bounded passes over the spine.
+@_q(
+    "kz_filter_smoothing",
+    f"""
+    WITH daily AS ({_SQL_DAILY}),
+    p1 AS (
+      SELECT d, SUM(y) OVER w AS y1, COUNT(*) OVER w AS c1 FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    p1i AS (SELECT d, y1 FROM p1 WHERE c1 = 7),
+    p2 AS (
+      SELECT d, SUM(y1) OVER w AS y2, COUNT(*) OVER w AS c2 FROM p1i
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    p2i AS (SELECT d, y2 FROM p2 WHERE c2 = 7),
+    p3 AS (
+      SELECT d, SUM(y2) OVER w AS y3, COUNT(*) OVER w AS c3 FROM p2i
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    )
+    SELECT d AS dte,
+           round(CAST(y3 AS DOUBLE) / 343 / 100, 6) AS kz_smoothed_dollars
+    FROM p3 WHERE c3 = 7
+    ORDER BY dte
+    """,
+)
+def q_kz_filter_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_cents(spark, sf_dir)
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    p1 = daily.select(
+        "d", F.sum("y").over(w7).alias("y1"), F.count(F.lit(1)).over(w7).alias("c1")
+    ).where(F.col("c1") == 7)
+    p2 = p1.select(
+        "d",
+        F.sum("y1").over(w7).alias("y2"),
+        F.count(F.lit(1)).over(w7).alias("c2"),
+    ).where(F.col("c2") == 7)
+    p3 = p2.select(
+        "d",
+        F.sum("y2").over(w7).alias("y3"),
+        F.count(F.lit(1)).over(w7).alias("c3"),
+    ).where(F.col("c3") == 7)
+    return p3.select(
+        F.col("d").alias("dte"),
+        F.round(F.col("y3").cast("double") / 343 / 100, 6).alias(
+            "kz_smoothed_dollars"
+        ),
+    ).orderBy("dte")
+
+
+# ---------------------------------------------------------------------------
+# Seasonal Mann-Kendall trend test: the MK S statistic computed WITHIN
+# each weekday season and summed, with the tie-corrected variance
+# summed across seasons. All-integer until the final z; the pairwise
+# joins run per-season over the bounded spine (7 x ~340^2 / 2 pairs at
+# any SF).
+@_q(
+    "seasonal_mann_kendall",
+    f"""
+    WITH daily AS ({_SQL_DAILY}),
+    sd AS (SELECT d, isodow(d) - 1 AS wd, y FROM daily),
+    s_per AS (
+      SELECT a.wd,
+             SUM(CASE WHEN b.y > a.y THEN 1
+                      WHEN b.y < a.y THEN -1 ELSE 0 END) AS s
+      FROM sd a JOIN sd b ON b.wd = a.wd AND b.d > a.d
+      GROUP BY a.wd
+    ),
+    n_per AS (SELECT wd, COUNT(*) AS n FROM sd GROUP BY wd),
+    ties AS (
+      SELECT wd, COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tv
+      FROM (SELECT wd, COUNT(*) AS t FROM sd GROUP BY wd, y
+            HAVING COUNT(*) > 1)
+      GROUP BY wd
+    ),
+    agg AS (
+      SELECT SUM(s.s) AS s_total,
+             SUM(n.n * (n.n - 1) * (2 * n.n + 5)
+                 - COALESCE(t.tv, 0)) AS var18
+      FROM s_per s JOIN n_per n ON s.wd = n.wd
+      LEFT JOIN ties t ON s.wd = t.wd
+    )
+    SELECT CAST(s_total AS BIGINT) AS s_statistic,
+           round((CAST(s_total AS DOUBLE)
+                  - CASE WHEN s_total > 0 THEN 1
+                         WHEN s_total < 0 THEN -1 ELSE 0 END)
+                 / sqrt(CAST(var18 AS DOUBLE) / 18.0), 9) AS z_score
+    FROM agg
+    """,
+)
+def q_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_cents(spark, sf_dir)
+    sd = daily.select(
+        "d", F.expr("weekday(d)").alias("wd"), "y"
+    ).localCheckpoint(eager=True)
+    a = sd.select(
+        F.col("wd").alias("wa"), F.col("d").alias("da"), F.col("y").alias("ya")
+    )
+    b = sd.select(
+        F.col("wd").alias("wb"), F.col("d").alias("db"), F.col("y").alias("yb")
+    )
+    s_per = (
+        a.join(b, (F.col("wb") == F.col("wa")) & (F.col("db") > F.col("da")))
+        .groupBy(F.col("wa").alias("wd"))
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            ).alias("s")
+        )
+    )
+    n_per = sd.groupBy("wd").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        sd.groupBy("wd", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") > 1)
+        .groupBy("wd")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            ).alias("tv")
+        )
+    )
+    agg = (
+        s_per.join(n_per, "wd")
+        .join(ties, "wd", "left")
+        .agg(
+            F.sum("s").alias("s_total"),
+            F.sum(
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.coalesce(F.col("tv"), F.lit(0))
+            ).alias("var18"),
+        )
+    )
+    s = F.col("s_total")
+    return agg.select(
+        s.cast("bigint").alias("s_statistic"),
+        F.round(
+            (
+                s.cast("double")
+                - F.when(s > 0, 1).when(s < 0, -1).otherwise(0)
+            )
+            / F.sqrt(F.col("var18").cast("double") / 18.0),
+            9,
+        ).alias("z_score"),
     )
