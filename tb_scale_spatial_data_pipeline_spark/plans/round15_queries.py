@@ -1564,3 +1564,837 @@ def q_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-concentration indices per nation market: Herfindahl-Hirschman
+# (sum of squared revenue shares), CR4 (top-4 share), and the Shannon
+# entropy index over supplier shares. Revenue reduces to exact decimal
+# cents per (nation, supplier) first; shares are single divisions and
+# the per-supplier entropy/HHI terms round to 12dp and sum as
+# scale-preserving decimals (order-free).
+@_q(
+    "herfindahl_concentration",
+    """
+    WITH rev AS (
+      SELECT n.n_name AS nation, l.l_suppkey AS supp,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2))) * 10000)
+                  AS DECIMAL(38,0)) AS r
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT nation, CAST(SUM(r) AS DOUBLE) AS rt, COUNT(*) AS n_firms
+      FROM rev GROUP BY nation
+    ),
+    ranked AS (
+      SELECT r.nation, CAST(r.r AS DOUBLE) / t.rt AS share,
+             row_number() OVER (PARTITION BY r.nation
+                                ORDER BY r.r DESC, r.supp) AS rk
+      FROM rev r JOIN tot t ON r.nation = t.nation
+    ),
+    terms AS (
+      SELECT nation,
+             CAST(round(share * share, 12) AS DECIMAL(38,12)) AS hhi_t,
+             CAST(round(-share * ln(share), 12) AS DECIMAL(38,12)) AS ent_t,
+             CASE WHEN rk <= 4 THEN CAST(round(share, 12) AS DECIMAL(38,12))
+                  ELSE CAST(0 AS DECIMAL(38,12)) END AS cr4_t
+      FROM ranked
+    )
+    SELECT t.nation, CAST(t.n_firms AS BIGINT) AS n_firms,
+           CAST(SUM(x.hhi_t) AS DOUBLE) AS hhi,
+           CAST(SUM(x.cr4_t) AS DOUBLE) AS cr4,
+           CAST(SUM(x.ent_t) AS DOUBLE) AS entropy_index
+    FROM terms x JOIN tot t ON x.nation = t.nation
+    GROUP BY t.nation, t.n_firms
+    ORDER BY t.nation
+    """,
+)
+def q_herfindahl_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    su = t(spark, sf_dir, "supplier")
+    na = t(spark, sf_dir, "nation")
+    rev = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(na, su.s_nationkey == na.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("l_suppkey").alias("supp"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(18,2)"))
+                * 10000
+            )
+            .cast("decimal(38,0)")
+            .alias("r")
+        )
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("r").cast("double").alias("rt"), F.count(F.lit(1)).alias("n_firms")
+    )
+    ranked = rev.join(tot, "nation").select(
+        "nation",
+        "n_firms",
+        (F.col("r").cast("double") / F.col("rt")).alias("share"),
+        F.row_number()
+        .over(Window.partitionBy("nation").orderBy(F.desc("r"), F.asc("supp")))
+        .alias("rk"),
+    )
+    terms = ranked.select(
+        "nation",
+        "n_firms",
+        F.round(F.col("share") * F.col("share"), 12)
+        .cast("decimal(38,12)")
+        .alias("hhi_t"),
+        F.round(-F.col("share") * F.log(F.col("share")), 12)
+        .cast("decimal(38,12)")
+        .alias("ent_t"),
+        F.when(F.col("rk") <= 4, F.round(F.col("share"), 12).cast("decimal(38,12)"))
+        .otherwise(F.lit(0).cast("decimal(38,12)"))
+        .alias("cr4_t"),
+    )
+    return (
+        terms.groupBy("nation", "n_firms")
+        .agg(
+            F.sum("hhi_t").cast("double").alias("hhi"),
+            F.sum("cr4_t").cast("double").alias("cr4"),
+            F.sum("ent_t").cast("double").alias("entropy_index"),
+        )
+        .select(
+            "nation",
+            F.col("n_firms").cast("bigint").alias("n_firms"),
+            "hhi",
+            "cr4",
+            "entropy_index",
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Index-number economics: Laspeyres, Paasche and Fisher price indices
+# per order year against the base year, over the parts present in
+# both periods. Part-year price and quantity reduce to exact decimals
+# first; each cross-product term rounds to 6dp and sums as decimal.
+@_q(
+    "price_indices_fisher",
+    """
+    WITH py AS (
+      SELECT year(l_shipdate) AS yr, l_partkey AS pk,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    base AS (SELECT MIN(yr) AS y0 FROM py),
+    joined AS (
+      SELECT c.yr,
+             CAST(round((CAST(c.rev AS DOUBLE) / CAST(c.qty AS DOUBLE))
+                        * CAST(b.qty AS DOUBLE), 6) AS DECIMAL(38,6)) AS pt_q0,
+             CAST(round((CAST(b.rev AS DOUBLE) / CAST(b.qty AS DOUBLE))
+                        * CAST(b.qty AS DOUBLE), 6) AS DECIMAL(38,6)) AS p0_q0,
+             CAST(round((CAST(c.rev AS DOUBLE) / CAST(c.qty AS DOUBLE))
+                        * CAST(c.qty AS DOUBLE), 6) AS DECIMAL(38,6)) AS pt_qt,
+             CAST(round((CAST(b.rev AS DOUBLE) / CAST(b.qty AS DOUBLE))
+                        * CAST(c.qty AS DOUBLE), 6) AS DECIMAL(38,6)) AS p0_qt
+      FROM py c
+      JOIN py b ON b.pk = c.pk AND b.yr = (SELECT y0 FROM base)
+      WHERE c.yr > (SELECT y0 FROM base)
+    ),
+    agg AS (
+      SELECT yr,
+             CAST(SUM(pt_q0) AS DOUBLE) / CAST(SUM(p0_q0) AS DOUBLE) AS lasp,
+             CAST(SUM(pt_qt) AS DOUBLE) / CAST(SUM(p0_qt) AS DOUBLE) AS paas
+      FROM joined GROUP BY yr
+    )
+    SELECT CAST(yr AS BIGINT) AS yr,
+           round(lasp, 9) AS laspeyres,
+           round(paas, 9) AS paasche,
+           round(sqrt(lasp * paas), 9) AS fisher
+    FROM agg ORDER BY yr
+    """,
+)
+def q_price_indices_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    py = li.groupBy(
+        F.year("l_shipdate").alias("yr"), F.col("l_partkey").alias("pk")
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+    )
+    y0 = py.agg(F.min("yr").alias("y0"))
+    base = (
+        py.crossJoin(F.broadcast(y0))
+        .where(F.col("yr") == F.col("y0"))
+        .select(
+            F.col("pk").alias("bpk"),
+            F.col("rev").alias("brev"),
+            F.col("qty").alias("bqty"),
+            "y0",
+        )
+    )
+    cur = py.crossJoin(F.broadcast(y0)).where(F.col("yr") > F.col("y0")).drop("y0")
+    j = cur.join(base, cur.pk == base.bpk)
+    pc = F.col("rev").cast("double") / F.col("qty").cast("double")
+    pb = F.col("brev").cast("double") / F.col("bqty").cast("double")
+    joined = j.select(
+        "yr",
+        F.round(pc * F.col("bqty").cast("double"), 6)
+        .cast("decimal(38,6)")
+        .alias("pt_q0"),
+        F.round(pb * F.col("bqty").cast("double"), 6)
+        .cast("decimal(38,6)")
+        .alias("p0_q0"),
+        F.round(pc * F.col("qty").cast("double"), 6)
+        .cast("decimal(38,6)")
+        .alias("pt_qt"),
+        F.round(pb * F.col("qty").cast("double"), 6)
+        .cast("decimal(38,6)")
+        .alias("p0_qt"),
+    )
+    agg = joined.groupBy("yr").agg(
+        (F.sum("pt_q0").cast("double") / F.sum("p0_q0").cast("double")).alias(
+            "lasp"
+        ),
+        (F.sum("pt_qt").cast("double") / F.sum("p0_qt").cast("double")).alias(
+            "paas"
+        ),
+    )
+    return agg.select(
+        F.col("yr").cast("bigint").alias("yr"),
+        F.round(F.col("lasp"), 9).alias("laspeyres"),
+        F.round(F.col("paas"), 9).alias("paasche"),
+        F.round(F.sqrt(F.col("lasp") * F.col("paas")), 9).alias("fisher"),
+    ).orderBy("yr")
+
+
+# ---------------------------------------------------------------------------
+# Tukey median polish of the (priority x order-month) median-revenue
+# table: two full (row, column) sweeps over the BOUNDED 5x12 cell
+# table. Cell medians land on the half-cent lattice; every sweep is a
+# grouped-median + join (never a window median), and both engines run
+# the identical subtraction tree.
+@_q(
+    "median_polish_two_way",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority AS prio, month(o_orderdate) AS mth,
+             median(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS v
+      FROM orders GROUP BY 1, 2
+    ),
+    r1m AS (SELECT prio, median(v) AS rm FROM cells GROUP BY prio),
+    r1 AS (
+      SELECT c.prio, c.mth, c.v - m.rm AS v
+      FROM cells c JOIN r1m m ON c.prio = m.prio
+    ),
+    c1m AS (SELECT mth, median(v) AS cm FROM r1 GROUP BY mth),
+    c1 AS (
+      SELECT r.prio, r.mth, r.v - m.cm AS v
+      FROM r1 r JOIN c1m m ON r.mth = m.mth
+    ),
+    r2m AS (SELECT prio, median(v) AS rm FROM c1 GROUP BY prio),
+    r2 AS (
+      SELECT c.prio, c.mth, c.v - m.rm AS v
+      FROM c1 c JOIN r2m m ON c.prio = m.prio
+    ),
+    c2m AS (SELECT mth, median(v) AS cm FROM r2 GROUP BY mth),
+    c2 AS (
+      SELECT r.prio, r.mth, r.v - m.cm AS v
+      FROM r2 r JOIN c2m m ON r.mth = m.mth
+    )
+    SELECT prio, CAST(mth AS BIGINT) AS mth,
+           round(v / 100.0, 6) AS residual_dollars
+    FROM c2 ORDER BY prio, mth
+    """,
+)
+def q_median_polish_two_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.month("o_orderdate").alias("mth"),
+        )
+        .agg(
+            F.median(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+            ).alias("v")
+        )
+    )
+    cur = cells
+    for sweep in range(2):
+        rm = cur.groupBy("prio").agg(F.median("v").alias("rm"))
+        cur = cur.join(rm, "prio").select(
+            "prio", "mth", (F.col("v") - F.col("rm")).alias("v")
+        )
+        cm = cur.groupBy("mth").agg(F.median("v").alias("cm"))
+        cur = cur.join(cm, "mth").select(
+            "prio", "mth", (F.col("v") - F.col("cm")).alias("v")
+        )
+    return cur.select(
+        "prio",
+        F.col("mth").cast("bigint").alias("mth"),
+        F.round(F.col("v") / 100.0, 6).alias("residual_dollars"),
+    ).orderBy("prio", "mth")
+
+
+# ---------------------------------------------------------------------------
+# Entropy rate of the first-order Markov chain over per-user event-type
+# sequences: H = -sum_ij p(i,j) log2 p(j|i). Transition counting is one
+# user-partitioned lag window + groupBy (row-scaled but shuffle-exact);
+# the <= |types|^2 plug-in terms round to 12dp and sum as decimals.
+@_q(
+    "entropy_rate_markov",
+    """
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    trans AS (
+      SELECT prev, cur, COUNT(*) AS c FROM seq
+      WHERE prev IS NOT NULL GROUP BY prev, cur
+    ),
+    row_tot AS (SELECT prev, SUM(c) AS rc FROM trans GROUP BY prev),
+    nn AS (SELECT SUM(c) AS n FROM trans),
+    terms AS (
+      SELECT CAST(round(-(CAST(t.c AS DOUBLE) / nn.n)
+                        * log2(CAST(t.c AS DOUBLE) / r.rc), 12)
+                  AS DECIMAL(38,12)) AS h_t
+      FROM trans t JOIN row_tot r ON t.prev = r.prev, nn
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_transitions,
+           round(CAST(SUM(h_t) AS DOUBLE), 9) AS entropy_rate_bits
+    FROM terms
+    """,
+)
+def q_entropy_rate_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lag("event_type").over(w).alias("prev"),
+    ).where(F.col("prev").isNotNull())
+    trans = seq.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c"))
+    trans = trans.localCheckpoint(eager=True)
+    row_tot = trans.groupBy("prev").agg(F.sum("c").alias("rc"))
+    nn = trans.agg(F.sum("c").alias("n"))
+    terms = (
+        trans.join(row_tot, "prev")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "n",
+            F.round(
+                -(F.col("c").cast("double") / F.col("n"))
+                * F.log2(F.col("c").cast("double") / F.col("rc")),
+                12,
+            )
+            .cast("decimal(38,12)")
+            .alias("h_t"),
+        )
+    )
+    return terms.agg(
+        F.any_value("n").cast("bigint").alias("n_transitions"),
+        F.round(F.sum("h_t").cast("double"), 9).alias("entropy_rate_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted reservoir sample (Efraimidis-Spirakis A-ES):
+# key = ln(u)/w with u a 48-bit md5 fraction of the order key — the
+# hash replaces the RNG, so the "sample" is exactly reproducible and
+# SQL-checkable while keeping the E-S property that inclusion
+# probability scales with weight. Top-k by key is a TakeOrdered, no
+# global sort materialization.
+@_q(
+    "hash_reservoir_sample",
+    """
+    WITH keyed AS (
+      SELECT o_orderkey AS okey,
+             CAST(o_totalprice AS DOUBLE) AS w,
+             ln(CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))
+                     AS BIGINT) / 281474976710656.0)
+               / CAST(o_totalprice AS DOUBLE) AS k
+      FROM orders
+    )
+    SELECT okey, round(w, 2) AS weight, round(k, 12) AS es_key
+    FROM keyed ORDER BY k DESC, okey LIMIT 20
+    """,
+)
+def q_hash_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12), 16, 10
+        ).cast("bigint")
+        / F.lit(281474976710656.0)
+    )
+    keyed = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").cast("double").alias("w"),
+        (F.log(u) / F.col("o_totalprice").cast("double")).alias("k"),
+    )
+    return (
+        keyed.select(
+            "okey", F.round("w", 2).alias("weight"), F.round("k", 12).alias("es_key")
+        )
+        .orderBy(F.desc("k"), F.asc("okey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zero-inflation diagnostic of per-(user, day) event counts against
+# the Poisson null: observed zero fraction over the full user x day
+# grid (zeros counted by subtraction — the grid is never materialized)
+# vs exp(-lambda_hat). All counting exact; the comparison is one
+# closed-form float row.
+@_q(
+    "zero_inflation_check",
+    """
+    WITH obs AS (
+      SELECT user_id, CAST(ts AS DATE) AS dte, COUNT(*) AS k
+      FROM events GROUP BY 1, 2
+    ),
+    dims AS (
+      SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS nu,
+             (SELECT COUNT(DISTINCT CAST(ts AS DATE)) FROM events) AS nd,
+             (SELECT COUNT(*) FROM events) AS ne,
+             (SELECT COUNT(*) FROM obs) AS nnz
+    )
+    SELECT CAST(nu * nd AS BIGINT) AS n_cells,
+           CAST(nu * nd - nnz AS BIGINT) AS zero_cells,
+           round(CAST(ne AS DOUBLE) / (nu * nd), 9) AS lambda_hat,
+           round(CAST(nu * nd - nnz AS DOUBLE) / (nu * nd), 9) AS p0_observed,
+           round(exp(-(CAST(ne AS DOUBLE) / (nu * nd))), 9) AS p0_poisson,
+           round((CAST(nu * nd - nnz AS DOUBLE) / (nu * nd))
+                 / exp(-(CAST(ne AS DOUBLE) / (nu * nd))), 9)
+             AS zero_inflation_ratio
+    FROM dims
+    """,
+)
+def q_zero_inflation_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    obs = ev.groupBy("user_id", F.col("ts").cast("date").alias("dte")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    dims = ev.agg(
+        F.countDistinct("user_id").alias("nu"),
+        F.countDistinct(F.col("ts").cast("date")).alias("nd"),
+        F.count(F.lit(1)).alias("ne"),
+    ).crossJoin(obs.agg(F.count(F.lit(1)).alias("nnz")))
+    cells = F.col("nu") * F.col("nd")
+    lam = F.col("ne").cast("double") / cells
+    p0o = (cells - F.col("nnz")).cast("double") / cells
+    return dims.select(
+        cells.cast("bigint").alias("n_cells"),
+        (cells - F.col("nnz")).cast("bigint").alias("zero_cells"),
+        F.round(lam, 9).alias("lambda_hat"),
+        F.round(p0o, 9).alias("p0_observed"),
+        F.round(F.exp(-lam), 9).alias("p0_poisson"),
+        F.round(p0o / F.exp(-lam), 9).alias("zero_inflation_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Standard deviational ellipse of the event point cloud (the classic
+# centrographic dispersion summary): mean center, rotation and
+# semi-axes from second moments. Points come from the same LCG map the
+# spatial tier uses; all moments are exact integers (n-scaled to clear
+# the rational mean), the ellipse parameters are one closed-form float
+# row. 100 TB: reduces to per-cell multiplicities then 5 moments —
+# nothing but the moments crosses the wire.
+@_q(
+    "std_deviational_ellipse",
+    """
+    WITH pts AS (
+      SELECT ((event_id * 48271) % 2147483647) % 256 AS px,
+             (((event_id * 48271) % 2147483647) // 256) % 256 AS py,
+             COUNT(*) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT SUM(m) AS n,
+             SUM(m * px) AS sx, SUM(m * py) AS sy,
+             SUM(CAST(m AS DECIMAL(38,0)) * px * px) AS sxx,
+             SUM(CAST(m AS DECIMAL(38,0)) * py * py) AS syy,
+             SUM(CAST(m AS DECIMAL(38,0)) * px * py) AS sxy
+      FROM pts
+    ),
+    c AS (
+      SELECT CAST(n AS DOUBLE) AS n,
+             CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * sx AS uxx,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * sy AS uyy,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * sy AS uxy
+      FROM mom
+    )
+    SELECT round(sx / n, 9) AS mean_x,
+           round(sy / n, 9) AS mean_y,
+           round(degrees(atan2(2 * uxy, uxx - uyy) / 2), 9) AS rotation_deg,
+           round(sqrt((uxx + uyy + sqrt((uxx - uyy) * (uxx - uyy)
+                                        + 4 * uxy * uxy)) / (2 * n * n)), 9)
+             AS sigma_major,
+           round(sqrt((uxx + uyy - sqrt((uxx - uyy) * (uxx - uyy)
+                                        + 4 * uxy * uxy)) / (2 * n * n)), 9)
+             AS sigma_minor
+    FROM c
+    """,
+)
+def q_std_deviational_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    lcg = (F.col("event_id") * 48271) % 2147483647
+    pts = ev.groupBy(
+        (lcg % 256).alias("px"), ((lcg / 256).cast("bigint") % 256).alias("py")
+    ).agg(F.count(F.lit(1)).alias("m"))
+    dec = "decimal(38,0)"
+    mom = pts.agg(
+        F.sum("m").alias("n"),
+        F.sum(F.col("m") * F.col("px")).alias("sx"),
+        F.sum(F.col("m") * F.col("py")).alias("sy"),
+        F.sum(F.col("m").cast(dec) * F.col("px") * F.col("px")).alias("sxx"),
+        F.sum(F.col("m").cast(dec) * F.col("py") * F.col("py")).alias("syy"),
+        F.sum(F.col("m").cast(dec) * F.col("px") * F.col("py")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    uxx = n * F.col("sxx").cast("double") - sx * sx
+    uyy = n * F.col("syy").cast("double") - sy * sy
+    uxy = n * F.col("sxy").cast("double") - sx * sy
+    disc = F.sqrt((uxx - uyy) * (uxx - uyy) + 4 * uxy * uxy)
+    return mom.select(
+        F.round(sx / n, 9).alias("mean_x"),
+        F.round(sy / n, 9).alias("mean_y"),
+        F.round(F.degrees(F.atan2(2 * uxy, uxx - uyy) / 2), 9).alias(
+            "rotation_deg"
+        ),
+        F.round(F.sqrt((uxx + uyy + disc) / (2 * n * n)), 9).alias("sigma_major"),
+        F.round(F.sqrt((uxx + uyy - disc) / (2 * n * n)), 9).alias("sigma_minor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Directed-graph reciprocity over the co-supply graph: each undirected
+# supplier pair (u < v) contributes the u->v arc when bit0 of its md5
+# bucket is set and the v->u arc when bit1 is set (deterministic
+# hash-orientation; pairs with neither bit drop). r = bidirectional
+# arcs / all arcs — exact integer counting, never all-pairs (the pair
+# set is the co-supply join the whole graph tier shares).
+@_q(
+    "graph_reciprocity",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS s FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM ps a JOIN ps b ON a.pk = b.pk AND a.s < b.s
+    ),
+    oriented AS (
+      SELECT u, v,
+             CAST(('0x' || substring(md5(CAST(u * 1000 + v AS VARCHAR)), 9, 2))
+                  AS INTEGER) % 4 AS bits
+      FROM pairs
+    ),
+    arcs AS (
+      SELECT SUM(CASE WHEN bits IN (1, 3) THEN 1 ELSE 0 END
+                 + CASE WHEN bits IN (2, 3) THEN 1 ELSE 0 END) AS n_arcs,
+             SUM(CASE WHEN bits = 3 THEN 2 ELSE 0 END) AS n_recip
+      FROM oriented
+    )
+    SELECT CAST(n_arcs AS BIGINT) AS n_arcs,
+           CAST(n_recip AS BIGINT) AS n_reciprocal,
+           round(CAST(n_recip AS DOUBLE) / n_arcs, 9) AS reciprocity
+    FROM arcs
+    """,
+)
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = ps.select(F.col("pk"), F.col("s").alias("u"))
+    b = ps.select(F.col("pk"), F.col("s").alias("v"))
+    pairs = (
+        a.join(b, "pk").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    bits = (
+        F.conv(
+            F.substring(
+                F.md5((F.col("u") * 1000 + F.col("v")).cast("string")), 9, 2
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 4
+    )
+    oriented = pairs.select(bits.alias("bits"))
+    arcs = oriented.agg(
+        F.sum(
+            F.when(F.col("bits").isin(1, 3), 1).otherwise(0)
+            + F.when(F.col("bits").isin(2, 3), 1).otherwise(0)
+        ).alias("n_arcs"),
+        F.sum(F.when(F.col("bits") == 3, 2).otherwise(0)).alias("n_recip"),
+    )
+    return arcs.select(
+        F.col("n_arcs").cast("bigint").alias("n_arcs"),
+        F.col("n_recip").cast("bigint").alias("n_reciprocal"),
+        F.round(
+            F.col("n_recip").cast("double") / F.col("n_arcs"), 9
+        ).alias("reciprocity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini inequality of the co-supply degree distribution: G =
+# 2*sum(i*d_i)/(n*sum(d)) - (n+1)/n over degree-sorted nodes. Degrees
+# are one groupBy; the rank window runs over the per-NODE table (post-
+# aggregate, supplier-cardinality bounded), ties broken by node id.
+@_q(
+    "degree_gini_inequality",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS s FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM ps a JOIN ps b ON a.pk = b.pk AND a.s < b.s
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+      ) GROUP BY node
+    ),
+    ranked AS (
+      SELECT d, row_number() OVER (ORDER BY d, node) AS i FROM deg
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n, SUM(d) AS sd,
+             SUM(CAST(i AS DECIMAL(38,0)) * d) AS sid
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_nodes,
+           CAST(sd AS BIGINT) AS total_degree,
+           round(2.0 * CAST(sid AS DOUBLE) / (CAST(n AS DOUBLE) * sd)
+                 - (n + 1.0) / n, 9) AS degree_gini
+    FROM agg
+    """,
+)
+def q_degree_gini_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = ps.select(F.col("pk"), F.col("s").alias("u"))
+    b = ps.select(F.col("pk"), F.col("s").alias("v"))
+    pairs = (
+        a.join(b, "pk").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionByName(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranked = deg.select(
+        "d", F.row_number().over(Window.orderBy("d", "node")).alias("i")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("d")).alias("sid"),
+    )
+    n = F.col("n")
+    return agg.select(
+        n.cast("bigint").alias("n_nodes"),
+        F.col("sd").cast("bigint").alias("total_degree"),
+        F.round(
+            2.0 * F.col("sid").cast("double") / (n.cast("double") * F.col("sd"))
+            - (n + 1.0) / n,
+            9,
+        ).alias("degree_gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-class composition profile per language: ASCII letter /
+# digit / whitespace / other fractions via global regexp strip-counts
+# (all counting exact integers; ratios are single divisions). The
+# classes are explicit ASCII sets so both engines' regex semantics
+# coincide.
+@_q(
+    "char_class_profile",
+    """
+    WITH per_doc AS (
+      SELECT lang,
+             length(text) AS total,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS letters,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+             length(regexp_replace(text, '[^ ]', '', 'g')) AS spaces
+      FROM documents
+    ),
+    agg AS (
+      SELECT lang, SUM(total) AS total, SUM(letters) AS letters,
+             SUM(digits) AS digits, SUM(spaces) AS spaces,
+             COUNT(*) AS n_docs
+      FROM per_doc GROUP BY lang
+    )
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total AS BIGINT) AS n_chars,
+           round(CAST(letters AS DOUBLE) / total, 9) AS letter_ratio,
+           round(CAST(digits AS DOUBLE) / total, 9) AS digit_ratio,
+           round(CAST(spaces AS DOUBLE) / total, 9) AS space_ratio,
+           round(CAST(total - letters - digits - spaces AS DOUBLE) / total, 9)
+             AS other_ratio
+    FROM agg ORDER BY lang
+    """,
+)
+def q_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.length("text").alias("total"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).alias("letters"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("digits"),
+        F.length(F.regexp_replace("text", "[^ ]", "")).alias("spaces"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.sum("total").alias("total"),
+        F.sum("letters").alias("letters"),
+        F.sum("digits").alias("digits"),
+        F.sum("spaces").alias("spaces"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tot = F.col("total")
+    return agg.select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        tot.cast("bigint").alias("n_chars"),
+        F.round(F.col("letters").cast("double") / tot, 9).alias("letter_ratio"),
+        F.round(F.col("digits").cast("double") / tot, 9).alias("digit_ratio"),
+        F.round(F.col("spaces").cast("double") / tot, 9).alias("space_ratio"),
+        F.round(
+            (tot - F.col("letters") - F.col("digits") - F.col("spaces")).cast(
+                "double"
+            )
+            / tot,
+            9,
+        ).alias("other_ratio"),
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Hapax legomena ratio per source: the fraction of vocabulary that
+# occurs exactly once — the classic lexical-richness statistic (and a
+# practical LM-corpus health check: synthetic/templated corpora have
+# anomalously low hapax mass). Tokenization is the shared lowercase
+# alpha split; two-level groupBy, all-integer.
+@_q(
+    "hapax_legomena_ratio",
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, tok, COUNT(*) AS c FROM toks WHERE tok <> ''
+      GROUP BY source, tok
+    ),
+    agg AS (
+      SELECT source, COUNT(*) AS vocab,
+             SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+             SUM(c) AS n_tokens
+      FROM tf GROUP BY source
+    )
+    SELECT source, CAST(vocab AS BIGINT) AS vocab,
+           CAST(hapax AS BIGINT) AS hapax,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(hapax AS DOUBLE) / vocab, 9) AS hapax_ratio
+    FROM agg ORDER BY source
+    """,
+)
+def q_hapax_legomena_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    agg = tf.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("hapax"),
+        F.sum("c").alias("n_tokens"),
+    )
+    return agg.select(
+        "source",
+        F.col("vocab").cast("bigint").alias("vocab"),
+        F.col("hapax").cast("bigint").alias("hapax"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.col("hapax").cast("double") / F.col("vocab"), 9).alias(
+            "hapax_ratio"
+        ),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Greenwood spacings statistic for uniformity of the 48-bit md5
+# fractions of doc ids — the order-statistics test behind "is this
+# hash fit to split/sample with?" (complements the bucketed chi-square
+# the mlprep tier runs). u values are exact dyadic doubles; spacings
+# subtract exactly; the squared spacings round to 15dp and sum as
+# decimals. The lag window runs on the distinct-value spine.
+@_q(
+    "quantile_spacing_uniformity",
+    """
+    WITH u AS (
+      SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) / 281474976710656.0 AS u
+      FROM documents
+    ),
+    sp AS (
+      SELECT u - lag(u, 1, 0.0) OVER (ORDER BY u) AS d FROM u
+    ),
+    terms AS (
+      SELECT CAST(round(d * d, 15) AS DECIMAL(38,15)) AS d2 FROM sp
+      UNION ALL
+      SELECT CAST(round((1.0 - MAX(u)) * (1.0 - MAX(u)), 15) AS DECIMAL(38,15))
+      FROM u
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n,
+           round(((SELECT COUNT(*) FROM u) + 1.0)
+                 * CAST(SUM(d2) AS DOUBLE), 9) AS greenwood_g
+    FROM terms
+    """,
+)
+def q_quantile_spacing_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    u = docs.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+            ).cast("bigint")
+            / F.lit(281474976710656.0)
+        ).alias("u")
+    ).localCheckpoint(eager=True)
+    sp = u.select(
+        (F.col("u") - F.lag("u", 1, 0.0).over(Window.orderBy("u"))).alias("d")
+    )
+    terms = sp.select(
+        F.round(F.col("d") * F.col("d"), 15).cast("decimal(38,15)").alias("d2")
+    ).unionByName(
+        u.agg(
+            F.round((1.0 - F.max("u")) * (1.0 - F.max("u")), 15)
+            .cast("decimal(38,15)")
+            .alias("d2")
+        )
+    )
+    nn = u.agg(F.count(F.lit(1)).alias("n"))
+    return terms.crossJoin(F.broadcast(nn)).agg(
+        F.any_value("n").cast("bigint").alias("n"),
+        F.round(
+            (F.any_value("n") + 1.0) * F.sum("d2").cast("double"), 9
+        ).alias("greenwood_g"),
+    )
