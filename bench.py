@@ -111,6 +111,13 @@ HEADLINE = [
     "brand_transition_scc",
     "sample_entropy",
     "wilcoxon_signed_rank",
+    # r15 additions: representatives of the round-15 tiers (bounded-
+    # spine pairwise statistics, window cross-moment time series,
+    # market-share lattice economics, per-weekday seasonal tests).
+    "siegel_repeated_median",
+    "matrix_profile_motif",
+    "herfindahl_concentration",
+    "seasonal_mann_kendall",
 ]
 # cross-round comparisons of the headline total must use this prefix
 # (the r1-r9 frozen set); the full list total includes the r10 tier

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._util import t
+from .graph_queries import _SQL_EDGES as _EDGES_CTE
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -95,7 +96,7 @@ def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_gearys_c(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _daily_cents(spark, sf_dir).localCheckpoint(eager=True)
+    daily = _daily_cents(spark, sf_dir)
     w = Window.orderBy("d")
     lagged = daily.select("y", F.lag("y").over(w).alias("yp"))
     num = lagged.where(F.col("yp").isNotNull()).agg(
@@ -374,14 +375,13 @@ def q_transfer_entropy_directional(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("y"),
             F.count(F.lit(1)).alias("x"),
         )
-        .localCheckpoint(eager=True)
     )
     meds = daily.agg(F.median("y").alias("my"), F.median("x").alias("mx"))
     binned = daily.crossJoin(F.broadcast(meds)).select(
         F.row_number().over(Window.orderBy("d")).alias("i"),
         F.when(F.col("y") > F.col("my"), 1).otherwise(0).alias("yb"),
         F.when(F.col("x") > F.col("mx"), 1).otherwise(0).alias("xb"),
-    )
+    ).localCheckpoint(eager=True)  # after the window: plan stays auditable
     a = binned.select(
         F.col("i").alias("ia"), F.col("yb").alias("yp"), F.col("xb").alias("xp")
     )
@@ -480,7 +480,7 @@ def q_transfer_entropy_directional(spark: SparkSession, sf_dir: str) -> DataFram
     """,
 )
 def q_yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _daily_cents(spark, sf_dir).localCheckpoint(eager=True)
+    daily = _daily_cents(spark, sf_dir)
     mom = daily.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("y").cast("decimal(38,0)")).alias("s"),
@@ -489,7 +489,7 @@ def q_yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy("d")).alias("i"),
         (F.col("n").cast("decimal(38,0)") * F.col("y") - F.col("s")).alias("u"),
         "n",
-    )
+    ).localCheckpoint(eager=True)  # after the window: plan stays auditable
     a = u.select(F.col("i").alias("ia"), F.col("u").alias("ua"), "n")
     b1 = u.select((F.col("i") - 1).alias("ia"), F.col("u").alias("ub1"))
     b2 = u.select((F.col("i") - 2).alias("ia"), F.col("u").alias("ub2"))
@@ -948,7 +948,6 @@ def q_engle_granger_cointegration(
             .alias("y"),
             F.count(F.lit(1)).alias("x"),
         )
-        .localCheckpoint(eager=True)
     )
     dec = "decimal(38,0)"
     mom = daily.agg(
@@ -990,7 +989,7 @@ def q_engle_granger_cointegration(
         .alias("e"),
         "n",
         "b",
-    )
+    ).localCheckpoint(eager=True)  # after the window: plan stays auditable
     a = resid.select(
         F.col("i").alias("ia"), F.col("e").alias("ep"), "n", "b"
     )
@@ -2087,17 +2086,12 @@ def q_std_deviational_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # set is the co-supply join the whole graph tier shares).
 @_q(
     "graph_reciprocity",
-    """
-    WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS s FROM lineitem),
-    pairs AS (
-      SELECT DISTINCT a.s AS u, b.s AS v
-      FROM ps a JOIN ps b ON a.pk = b.pk AND a.s < b.s
-    ),
+    "WITH " + _EDGES_CTE + """,
     oriented AS (
       SELECT u, v,
              CAST(('0x' || substring(md5(CAST(u * 1000 + v AS VARCHAR)), 9, 2))
                   AS INTEGER) % 4 AS bits
-      FROM pairs
+      FROM eu
     ),
     arcs AS (
       SELECT SUM(CASE WHEN bits IN (1, 3) THEN 1 ELSE 0 END
@@ -2112,16 +2106,9 @@ def q_std_deviational_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ps = (
-        t(spark, sf_dir, "lineitem")
-        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    a = ps.select(F.col("pk"), F.col("s").alias("u"))
-    b = ps.select(F.col("pk"), F.col("s").alias("v"))
-    pairs = (
-        a.join(b, "pk").where(F.col("u") < F.col("v")).select("u", "v").distinct()
-    )
+    from .graph_queries import _undirected_edges
+
+    pairs = _undirected_edges(spark, sf_dir)
     bits = (
         F.conv(
             F.substring(
@@ -2156,15 +2143,10 @@ def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregate, supplier-cardinality bounded), ties broken by node id.
 @_q(
     "degree_gini_inequality",
-    """
-    WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS s FROM lineitem),
-    pairs AS (
-      SELECT DISTINCT a.s AS u, b.s AS v
-      FROM ps a JOIN ps b ON a.pk = b.pk AND a.s < b.s
-    ),
+    "WITH " + _EDGES_CTE + """,
     deg AS (
       SELECT node, COUNT(*) AS d FROM (
-        SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+        SELECT u AS node FROM eu UNION ALL SELECT v AS node FROM eu
       ) GROUP BY node
     ),
     ranked AS (
@@ -2183,16 +2165,9 @@ def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_degree_gini_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ps = (
-        t(spark, sf_dir, "lineitem")
-        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    a = ps.select(F.col("pk"), F.col("s").alias("u"))
-    b = ps.select(F.col("pk"), F.col("s").alias("v"))
-    pairs = (
-        a.join(b, "pk").where(F.col("u") < F.col("v")).select("u", "v").distinct()
-    )
+    from .graph_queries import _undirected_edges
+
+    pairs = _undirected_edges(spark, sf_dir)
     deg = (
         pairs.select(F.col("u").alias("node"))
         .unionByName(pairs.select(F.col("v").alias("node")))
@@ -2379,17 +2354,31 @@ def q_quantile_spacing_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame
             / F.lit(281474976710656.0)
         ).alias("u")
     ).localCheckpoint(eager=True)
-    sp = u.select(
-        (F.col("u") - F.lag("u", 1, 0.0).over(Window.orderBy("u"))).alias("d")
+    # 100 TB shape: a GLOBAL sort of n hash values would be the one
+    # single-partition window this repo bans. Spacings decompose by
+    # hash-range bucket: consecutive pairs are either within a bucket
+    # (window PARTITIONED BY bucket — parallel) or cross one of the
+    # <= 256 bucket boundaries (a 256-row spine window). The term
+    # multiset is identical to the global-sort form, which is what the
+    # (plan-agnostic) DuckDB twin computes.
+    bucketed = u.withColumn(
+        "b", F.least(F.floor(F.col("u") * 256).cast("int"), F.lit(255))
     )
+    wb = Window.partitionBy("b").orderBy("u")
+    within = bucketed.select(
+        (F.col("u") - F.lag("u").over(wb)).alias("d")
+    ).where(F.col("d").isNotNull())
+    summ = bucketed.groupBy("b").agg(
+        F.min("u").alias("mn"), F.max("u").alias("mx")
+    )
+    ws = Window.orderBy("b")
+    cross = summ.select(
+        (F.col("mn") - F.lag("mx", 1, 0.0).over(ws)).alias("d")
+    )
+    last = u.agg((1.0 - F.max("u")).alias("d"))
+    sp = within.unionByName(cross).unionByName(last)
     terms = sp.select(
         F.round(F.col("d") * F.col("d"), 15).cast("decimal(38,15)").alias("d2")
-    ).unionByName(
-        u.agg(
-            F.round((1.0 - F.max("u")) * (1.0 - F.max("u")), 15)
-            .cast("decimal(38,15)")
-            .alias("d2")
-        )
     )
     nn = u.agg(F.count(F.lit(1)).alias("n"))
     return terms.crossJoin(F.broadcast(nn)).agg(
