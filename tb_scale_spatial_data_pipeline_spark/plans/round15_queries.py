@@ -2387,3 +2387,999 @@ def q_quantile_spacing_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.any_value("n") + 1.0) * F.sum("d2").cast("double"), 9
         ).alias("greenwood_g"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic RANSAC line fit of daily revenue on day index: the RNG
+# is replaced by md5 fractions (the repo's hash-for-randomness seam),
+# so the 16 candidate 2-point lines and the winning consensus set are
+# exactly reproducible. Inlier threshold = 1.4826*MAD on the half-cent
+# lattice; each candidate's inlier count is one bounded join pass over
+# the spine (16 x spine rows).
+_RANSAC_K = 16
+
+
+@_q(
+    "ransac_line_fit",
+    f"""
+    WITH daily AS ({_SQL_DAILY}),
+    idx AS (SELECT row_number() OVER (ORDER BY d) AS i, y FROM daily),
+    nn AS (SELECT COUNT(*) AS n FROM idx),
+    med AS (SELECT CAST(round(2 * median(y)) AS BIGINT) AS med2 FROM daily),
+    madx AS (
+      SELECT CAST(round(median(abs(2 * y - med2))) AS BIGINT) AS mad2
+      FROM daily, med
+    ),
+    cand AS (
+      SELECT k.k,
+             CAST(CAST(('0x' || substring(md5('r' || CAST(k.k AS VARCHAR)),
+                                          1, 12)) AS BIGINT) % n AS INTEGER)
+               + 1 AS i1,
+             CAST((CAST(('0x' || substring(md5('r' || CAST(k.k AS VARCHAR)),
+                                           1, 12)) AS BIGINT) % n
+                   + 1 + CAST(('0x' || substring(
+                         md5('s' || CAST(k.k AS VARCHAR)), 1, 12)) AS BIGINT)
+                         % (n - 1)) % n AS INTEGER) + 1 AS i2
+      FROM (SELECT unnest(generate_series(0, {_RANSAC_K} - 1)) AS k) k, nn
+    ),
+    lines AS (
+      SELECT c.k, c.i1, c.i2,
+             CAST(b.y - a.y AS DOUBLE) / (c.i2 - c.i1) AS slope,
+             a.y - CAST(b.y - a.y AS DOUBLE) / (c.i2 - c.i1) * c.i1
+               AS intercept
+      FROM cand c JOIN idx a ON a.i = c.i1 JOIN idx b ON b.i = c.i2
+    ),
+    scored AS (
+      SELECT l.k, l.slope,
+             SUM(CASE WHEN abs(2 * p.y - 2 * (l.intercept + l.slope * p.i))
+                           <= 1.4826 * m.mad2 THEN 1 ELSE 0 END) AS inliers
+      FROM lines l, idx p, madx m
+      GROUP BY l.k, l.slope
+    )
+    SELECT CAST(k AS BIGINT) AS k, round(slope, 6) AS slope_cents_per_day,
+           CAST(inliers AS BIGINT) AS inliers
+    FROM scored ORDER BY inliers DESC, k LIMIT 3
+    """,
+)
+def q_ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_cents(spark, sf_dir)
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("i"), "y"
+    ).localCheckpoint(eager=True)  # after the window: plan stays auditable
+    nn = idx.agg(F.count(F.lit(1)).alias("n"))
+    med = daily.agg(F.round(2 * F.median("y")).cast("bigint").alias("med2"))
+    madx = (
+        daily.crossJoin(F.broadcast(med))
+        .agg(
+            F.round(F.median(F.abs(2 * F.col("y") - F.col("med2"))))
+            .cast("bigint")
+            .alias("mad2")
+        )
+    )
+
+    def h(tag: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag), F.col("k").cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    cand = (
+        spark.range(_RANSAC_K)
+        .select(F.col("id").alias("k"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "k",
+            (h("r") % F.col("n")).cast("int").alias("i1m"),
+            (
+                (h("r") % F.col("n") + 1 + h("s") % (F.col("n") - 1))
+                % F.col("n")
+            )
+            .cast("int")
+            .alias("i2m"),
+        )
+        .select(
+            "k", (F.col("i1m") + 1).alias("i1"), (F.col("i2m") + 1).alias("i2")
+        )
+    )
+    a = idx.select(F.col("i").alias("i1"), F.col("y").alias("y1"))
+    b = idx.select(F.col("i").alias("i2"), F.col("y").alias("y2"))
+    slope = (F.col("y2") - F.col("y1")).cast("double") / (
+        F.col("i2") - F.col("i1")
+    )
+    lines = (
+        cand.join(a, "i1")
+        .join(b, "i2")
+        .select(
+            "k",
+            slope.alias("slope"),
+            (F.col("y1") - slope * F.col("i1")).alias("intercept"),
+        )
+    )
+    scored = (
+        lines.crossJoin(idx.select(F.col("i").alias("pi"), F.col("y").alias("py")))
+        .crossJoin(F.broadcast(madx))
+        .groupBy("k", "slope")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(
+                        2 * F.col("py")
+                        - 2 * (F.col("intercept") + F.col("slope") * F.col("pi"))
+                    )
+                    <= 1.4826 * F.col("mad2"),
+                    1,
+                ).otherwise(0)
+            ).alias("inliers")
+        )
+    )
+    return (
+        scored.select(
+            F.col("k").cast("bigint").alias("k"),
+            F.round("slope", 6).alias("slope_cents_per_day"),
+            F.col("inliers").cast("bigint").alias("inliers"),
+        )
+        .orderBy(F.desc("inliers"), F.asc("k"))
+        .limit(3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bartlett's sphericity over the 3x3 correlation matrix of lineitem
+# (price, quantity, discount): pairwise correlations from exact decimal
+# moments (columns cast to the integer lattice BEFORE any product),
+# 3x3 determinant in closed form, chi^2 = -(n-1-(2p+5)/6) ln(det).
+@_q(
+    "correlation_determinant_sphericity",
+    """
+    WITH v AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS a,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS b,
+             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM lineitem
+    ),
+    mom AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(a AS DECIMAL(38,0))) AS sa,
+             SUM(CAST(b AS DECIMAL(38,0))) AS sb,
+             SUM(CAST(c AS DECIMAL(38,0))) AS sc,
+             SUM(CAST(a AS DECIMAL(19,0)) * CAST(a AS DECIMAL(19,0))) AS saa,
+             SUM(CAST(b AS DECIMAL(19,0)) * CAST(b AS DECIMAL(19,0))) AS sbb,
+             SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS scc,
+             SUM(CAST(a AS DECIMAL(19,0)) * CAST(b AS DECIMAL(19,0))) AS sab,
+             SUM(CAST(a AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS sac,
+             SUM(CAST(b AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS sbc
+      FROM v
+    ),
+    corr AS (
+      SELECT n,
+             (n * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+             / sqrt((n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                    * (n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+               AS r12,
+             (n * CAST(sac AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sc AS DOUBLE))
+             / sqrt((n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                    * (n * CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)))
+               AS r13,
+             (n * CAST(sbc AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sc AS DOUBLE))
+             / sqrt((n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+                    * (n * CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)))
+               AS r23
+      FROM mom
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(r12, 9) AS r_price_qty,
+           round(r13, 9) AS r_price_disc,
+           round(r23, 9) AS r_qty_disc,
+           round(1 - r12*r12 - r13*r13 - r23*r23 + 2*r12*r13*r23, 9)
+             AS corr_det,
+           round(-(n - 1 - 11.0/6)
+                 * ln(1 - r12*r12 - r13*r13 - r23*r23 + 2*r12*r13*r23), 6)
+             AS bartlett_chi2
+    FROM corr
+    """,
+)
+def q_correlation_determinant_sphericity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    v = li.select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("a"),
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("b"),
+        (F.col("l_discount").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    d19 = "decimal(19,0)"
+    mom = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a").cast("decimal(38,0)")).alias("sa"),
+        F.sum(F.col("b").cast("decimal(38,0)")).alias("sb"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("sc"),
+        F.sum(F.col("a").cast(d19) * F.col("a").cast(d19)).alias("saa"),
+        F.sum(F.col("b").cast(d19) * F.col("b").cast(d19)).alias("sbb"),
+        F.sum(F.col("c").cast(d19) * F.col("c").cast(d19)).alias("scc"),
+        F.sum(F.col("a").cast(d19) * F.col("b").cast(d19)).alias("sab"),
+        F.sum(F.col("a").cast(d19) * F.col("c").cast(d19)).alias("sac"),
+        F.sum(F.col("b").cast(d19) * F.col("c").cast(d19)).alias("sbc"),
+    )
+    n = F.col("n")
+
+    def r(sxy, sx, sy, sxx, syy):
+        return (
+            n * F.col(sxy).cast("double")
+            - F.col(sx).cast("double") * F.col(sy).cast("double")
+        ) / F.sqrt(
+            (
+                n * F.col(sxx).cast("double")
+                - F.col(sx).cast("double") * F.col(sx).cast("double")
+            )
+            * (
+                n * F.col(syy).cast("double")
+                - F.col(sy).cast("double") * F.col(sy).cast("double")
+            )
+        )
+
+    corr = mom.select(
+        "n",
+        r("sab", "sa", "sb", "saa", "sbb").alias("r12"),
+        r("sac", "sa", "sc", "saa", "scc").alias("r13"),
+        r("sbc", "sb", "sc", "sbb", "scc").alias("r23"),
+    )
+    det = (
+        1
+        - F.col("r12") * F.col("r12")
+        - F.col("r13") * F.col("r13")
+        - F.col("r23") * F.col("r23")
+        + 2 * F.col("r12") * F.col("r13") * F.col("r23")
+    )
+    return corr.select(
+        n.cast("bigint").alias("n"),
+        F.round(F.col("r12"), 9).alias("r_price_qty"),
+        F.round(F.col("r13"), 9).alias("r_price_disc"),
+        F.round(F.col("r23"), 9).alias("r_qty_disc"),
+        F.round(det, 9).alias("corr_det"),
+        F.round(-(n - 1 - F.lit(11.0) / 6) * F.log(det), 6).alias(
+            "bartlett_chi2"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cronbach's alpha reliability of quarterly spend "items" (k=4
+# quarters, subjects = customers, zeros implicit): item variances and
+# the row-sum variance all reduce to exact decimal moments — missing
+# (customer, quarter) cells contribute 0 to every sum, so the grid is
+# never materialized. The 4 item terms assemble in fixed order.
+@_q(
+    "cronbach_alpha_reliability",
+    f"""
+    WITH spend AS (
+      SELECT o_custkey AS c, quarter(o_orderdate) AS q,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+      FROM orders GROUP BY 1, 2
+    ),
+    nn AS (SELECT COUNT(DISTINCT o_custkey) AS nc FROM orders),
+    items AS (
+      SELECT {", ".join(
+        f'''SUM(CASE WHEN q = {j} THEN CAST(x AS DECIMAL(38,0)) ELSE 0 END) AS s{j},
+             SUM(CASE WHEN q = {j} THEN CAST(x AS DECIMAL(19,0))
+                      * CAST(x AS DECIMAL(19,0)) ELSE 0 END) AS q{j}'''
+        for j in (1, 2, 3, 4))}
+      FROM spend
+    ),
+    rows_ AS (
+      SELECT c, SUM(CAST(x AS DECIMAL(38,0))) AS rx FROM spend GROUP BY c
+    ),
+    rowmom AS (
+      SELECT SUM(rx) AS sr,
+             SUM(CAST(rx AS DECIMAL(19,0)) * CAST(rx AS DECIMAL(19,0))) AS qr
+      FROM rows_
+    )
+    SELECT CAST(nc AS BIGINT) AS n_customers,
+           round((4.0 / 3)
+                 * (1 - ({" + ".join(
+                     f"(CAST(q{j} AS DOUBLE) - CAST(s{j} AS DOUBLE)"
+                     f" * CAST(s{j} AS DOUBLE) / nc)" for j in (1, 2, 3, 4))})
+                      / (CAST(qr AS DOUBLE)
+                         - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / nc)), 9)
+             AS cronbach_alpha
+    FROM items, rowmom, nn
+    """,
+)
+def q_cronbach_alpha_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    spend = orders.groupBy(
+        F.col("o_custkey").alias("c"), F.quarter("o_orderdate").alias("q")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("x")
+    )
+    nn = orders.agg(F.countDistinct("o_custkey").alias("nc"))
+    d19 = "decimal(19,0)"
+    items = spend.agg(
+        *[
+            agg
+            for j in (1, 2, 3, 4)
+            for agg in (
+                F.sum(
+                    F.when(F.col("q") == j, F.col("x").cast("decimal(38,0)"))
+                    .otherwise(F.lit(0).cast("decimal(38,0)"))
+                ).alias(f"s{j}"),
+                F.sum(
+                    F.when(
+                        F.col("q") == j,
+                        F.col("x").cast(d19) * F.col("x").cast(d19),
+                    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+                ).alias(f"q{j}"),
+            )
+        ]
+    )
+    rows_ = spend.groupBy("c").agg(
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("rx")
+    )
+    rowmom = rows_.agg(
+        F.sum("rx").alias("sr"),
+        F.sum(F.col("rx").cast(d19) * F.col("rx").cast(d19)).alias("qr"),
+    )
+    out = items.crossJoin(rowmom).crossJoin(F.broadcast(nn))
+    nc = F.col("nc")
+    item_var_sum = None
+    for j in (1, 2, 3, 4):
+        tj = F.col(f"q{j}").cast("double") - F.col(f"s{j}").cast("double") * F.col(
+            f"s{j}"
+        ).cast("double") / nc
+        item_var_sum = tj if item_var_sum is None else item_var_sum + tj
+    tot_var = (
+        F.col("qr").cast("double")
+        - F.col("sr").cast("double") * F.col("sr").cast("double") / nc
+    )
+    return out.select(
+        nc.cast("bigint").alias("n_customers"),
+        F.round((F.lit(4.0) / 3) * (1 - item_var_sum / tot_var), 9).alias(
+            "cronbach_alpha"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way intraclass correlation ICC(1,1) of order totals within the 5
+# priority groups: MSB/MSW from exact per-group moments pivoted into
+# one row (fixed 5-term assembly), unbalanced-design n0 correction.
+def _icc_sql() -> str:
+    gm = ",\n             ".join(
+        f"""SUM(CASE WHEN prio = '{p}' THEN 1 ELSE 0 END) AS n{i},
+             SUM(CASE WHEN prio = '{p}' THEN CAST(y AS DECIMAL(38,0))
+                      ELSE 0 END) AS s{i},
+             SUM(CASE WHEN prio = '{p}' THEN CAST(y AS DECIMAL(19,0))
+                      * CAST(y AS DECIMAL(19,0)) ELSE 0 END) AS q{i}"""
+        for i, p in enumerate(_PRIOS)
+    )
+    ntot = " + ".join(f"n{i}" for i in range(5))
+    stot = " + ".join(f"CAST(s{i} AS DOUBLE)" for i in range(5))
+    qtot = " + ".join(f"CAST(q{i} AS DOUBLE)" for i in range(5))
+    ssb = " + ".join(
+        f"CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE) / n{i}" for i in range(5)
+    )
+    sn2 = " + ".join(f"CAST(n{i} AS DOUBLE) * n{i}" for i in range(5))
+    return f"""
+    WITH vals AS (
+      SELECT o_orderpriority AS prio,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM orders
+    ),
+    piv AS (SELECT {gm} FROM vals),
+    c AS (
+      SELECT ({ntot}) AS n,
+             (({ssb}) - ({stot}) * ({stot}) / ({ntot})) / 4.0 AS msb,
+             (({qtot}) - ({ssb})) / (({ntot}) - 5) AS msw,
+             (({ntot}) - ({sn2}) / ({ntot})) / 4.0 AS n0
+      FROM piv
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           msb AS ms_between,
+           msw AS ms_within,
+           round((msb - msw) / (msb + (n0 - 1) * msw), 9) AS icc1
+    FROM c
+    """
+
+
+@_q("intraclass_correlation", _icc_sql())
+def q_intraclass_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vals = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    d19 = "decimal(19,0)"
+    aggs = []
+    for i, p in enumerate(_PRIOS):
+        is_p = F.col("prio") == p
+        aggs += [
+            F.sum(F.when(is_p, 1).otherwise(0)).alias(f"n{i}"),
+            F.sum(
+                F.when(is_p, F.col("y").cast("decimal(38,0)")).otherwise(
+                    F.lit(0).cast("decimal(38,0)")
+                )
+            ).alias(f"s{i}"),
+            F.sum(
+                F.when(is_p, F.col("y").cast(d19) * F.col("y").cast(d19)).otherwise(
+                    F.lit(0).cast("decimal(38,0)")
+                )
+            ).alias(f"q{i}"),
+        ]
+    piv = vals.agg(*aggs)
+    ntot = sum(F.col(f"n{i}") for i in range(5))
+    stot = None
+    qtot = None
+    ssb = None
+    sn2 = None
+    for i in range(5):
+        s = F.col(f"s{i}").cast("double")
+        q = F.col(f"q{i}").cast("double")
+        nd = F.col(f"n{i}").cast("double")
+        stot = s if stot is None else stot + s
+        qtot = q if qtot is None else qtot + q
+        b = s * s / F.col(f"n{i}")
+        ssb = b if ssb is None else ssb + b
+        z = nd * F.col(f"n{i}")
+        sn2 = z if sn2 is None else sn2 + z
+    msb = (ssb - stot * stot / ntot) / F.lit(4.0)
+    msw = (qtot - ssb) / (ntot - 5)
+    n0 = (ntot - sn2 / ntot) / F.lit(4.0)
+    return piv.select(
+        ntot.cast("bigint").alias("n_orders"),
+        msb.alias("ms_between"),
+        msw.alias("ms_within"),
+        F.round((msb - msw) / (msb + (n0 - 1) * msw), 9).alias("icc1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tukey HSD pairwise statistics across the 5 priorities: studentized
+# q = (m_i - m_j) / sqrt(MSW/2 (1/n_i + 1/n_j)) for all 10 ordered
+# pairs, from the same exact per-group moments (a 5-row moment table
+# self-joined — scale-free).
+@_q(
+    "tukey_hsd_statistics",
+    """
+    WITH vals AS (
+      SELECT o_orderpriority AS prio,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM orders
+    ),
+    g AS (
+      SELECT prio, COUNT(*) AS n,
+             SUM(CAST(y AS DECIMAL(38,0))) AS s,
+             SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS q
+      FROM vals GROUP BY prio
+    ),
+    msw AS (
+      SELECT (SUM(CAST(q AS DOUBLE)) - SUM(CAST(s AS DOUBLE) * s / n))
+             / (SUM(n) - 5) AS w
+      FROM g
+    )
+    SELECT a.prio AS prio_a, b.prio AS prio_b,
+           round(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n, 6)
+             AS mean_diff_cents,
+           round((CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+                 / sqrt(w / 2 * (1.0 / a.n + 1.0 / b.n)), 6) AS q_statistic
+    FROM g a JOIN g b ON a.prio < b.prio, msw
+    ORDER BY prio_a, prio_b
+    """,
+)
+def q_tukey_hsd_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vals = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    d19 = "decimal(19,0)"
+    g = vals.groupBy("prio").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("y").cast(d19) * F.col("y").cast(d19)).alias("q"),
+    )
+    msw = g.agg(
+        (
+            (
+                F.sum(F.col("q").cast("double"))
+                - F.sum(F.col("s").cast("double") * F.col("s") / F.col("n"))
+            )
+            / (F.sum("n") - 5)
+        ).alias("w")
+    )
+    a = g.select(
+        F.col("prio").alias("prio_a"), F.col("n").alias("na"), F.col("s").alias("sa")
+    )
+    b = g.select(
+        F.col("prio").alias("prio_b"), F.col("n").alias("nb"), F.col("s").alias("sb")
+    )
+    md = F.col("sa").cast("double") / F.col("na") - F.col("sb").cast(
+        "double"
+    ) / F.col("nb")
+    return (
+        a.join(b, F.col("prio_a") < F.col("prio_b"))
+        .crossJoin(F.broadcast(msw))
+        .select(
+            "prio_a",
+            "prio_b",
+            F.round(md, 6).alias("mean_diff_cents"),
+            F.round(
+                md
+                / F.sqrt(
+                    F.col("w") / 2 * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+                ),
+                6,
+            ).alias("q_statistic"),
+        )
+        .orderBy("prio_a", "prio_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-count statistics (BB/WW/BW) over the occupied cells of the
+# event LCG grid, rook adjacency, colored by an md5 bit of the cell
+# coordinate (a null-calibrated fixture: the median-count binarization
+# degenerates on sparse grids where no cell exceeds the median, and a
+# hash coloring keeps pb ~ 0.5 at every SF). Adjacency is an equi-join
+# on shifted coordinates (never all-pairs); the z-score uses the
+# free-sampling binomial approximation (documented — both engines
+# evaluate the identical closed form).
+@_q(
+    "join_count_statistics",
+    """
+    WITH pts AS (
+      SELECT ((event_id * 48271) % 2147483647) % 256 AS px,
+             (((event_id * 48271) % 2147483647) // 256) % 256 AS py,
+             COUNT(*) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT px, py,
+             CAST(('0x' || substring(md5(CAST(px * 1000 + py AS VARCHAR)),
+                                     5, 1)) AS INTEGER) % 2 AS black
+      FROM pts
+    ),
+    adj AS (
+      SELECT a.black AS ba, b.black AS bb
+      FROM cells a JOIN cells b ON b.px = a.px + 1 AND b.py = a.py
+      UNION ALL
+      SELECT a.black AS ba, b.black AS bb
+      FROM cells a JOIN cells b ON b.px = a.px AND b.py = a.py + 1
+    ),
+    counts AS (
+      SELECT COUNT(*) AS j,
+             SUM(CASE WHEN ba = 1 AND bb = 1 THEN 1 ELSE 0 END) AS bb,
+             SUM(CASE WHEN ba = 0 AND bb = 0 THEN 1 ELSE 0 END) AS ww,
+             SUM(CASE WHEN ba <> bb THEN 1 ELSE 0 END) AS bw
+      FROM adj
+    ),
+    frac AS (
+      SELECT (SELECT CAST(SUM(black) AS DOUBLE) / COUNT(*) FROM cells) AS pb,
+             j, bb, ww, bw
+      FROM counts
+    )
+    SELECT CAST(j AS BIGINT) AS n_adjacencies,
+           CAST(bb AS BIGINT) AS bb, CAST(ww AS BIGINT) AS ww,
+           CAST(bw AS BIGINT) AS bw,
+           round(2.0 * j * pb * (1 - pb), 6) AS bw_expected,
+           round((bw - 2.0 * j * pb * (1 - pb))
+                 / sqrt(2.0 * j * pb * (1 - pb)
+                        * (1 - 2.0 * pb * (1 - pb))), 6) AS bw_z_free
+    FROM frac
+    """,
+)
+def q_join_count_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    lcg = (F.col("event_id") * 48271) % 2147483647
+    pts = ev.groupBy(
+        (lcg % 256).alias("px"), ((lcg / 256).cast("bigint") % 256).alias("py")
+    ).agg(F.count(F.lit(1)).alias("m"))
+    cells = pts.select(
+        "px",
+        "py",
+        (
+            F.conv(
+                F.substring(
+                    F.md5((F.col("px") * 1000 + F.col("py")).cast("string")), 5, 1
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 2
+        ).alias("black"),
+    ).localCheckpoint(eager=True)
+    a = cells.select(
+        F.col("px").alias("ax"), F.col("py").alias("ay"), F.col("black").alias("ba")
+    )
+    b = cells.select(
+        F.col("px").alias("bx"), F.col("py").alias("by"), F.col("black").alias("bb")
+    )
+    # two EQUI-joins, not one OR-join: the disjunction forces a nested
+    #-loop cross product (measured 22x at 10x data before this fix)
+    adj = a.join(
+        b, (F.col("bx") == F.col("ax") + 1) & (F.col("by") == F.col("ay"))
+    ).unionByName(
+        a.join(b, (F.col("bx") == F.col("ax")) & (F.col("by") == F.col("ay") + 1))
+    ).select("ba", "bb")
+    counts = adj.agg(
+        F.count(F.lit(1)).alias("j"),
+        F.sum(F.when((F.col("ba") == 1) & (F.col("bb") == 1), 1).otherwise(0)).alias(
+            "bb"
+        ),
+        F.sum(F.when((F.col("ba") == 0) & (F.col("bb") == 0), 1).otherwise(0)).alias(
+            "ww"
+        ),
+        F.sum(F.when(F.col("ba") != F.col("bb"), 1).otherwise(0)).alias("bw"),
+    )
+    pbx = cells.agg(
+        (F.sum("black").cast("double") / F.count(F.lit(1))).alias("pb")
+    )
+    out = counts.crossJoin(F.broadcast(pbx))
+    e = 2.0 * F.col("j") * F.col("pb") * (1 - F.col("pb"))
+    return out.select(
+        F.col("j").cast("bigint").alias("n_adjacencies"),
+        F.col("bb").cast("bigint").alias("bb"),
+        F.col("ww").cast("bigint").alias("ww"),
+        F.col("bw").cast("bigint").alias("bw"),
+        F.round(e, 6).alias("bw_expected"),
+        F.round(
+            (F.col("bw") - e)
+            / F.sqrt(e * (1 - 2.0 * F.col("pb") * (1 - F.col("pb")))),
+            6,
+        ).alias("bw_z_free"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Page's trend test for the ordered weekday hypothesis over complete
+# calendar weeks: within-block ranks (ties broken by weekday for
+# determinism), L = sum of j * R_j, closed-form normal approximation.
+# All-integer until z.
+@_q(
+    "page_trend_test",
+    f"""
+    WITH daily AS ({_SQL_DAILY}),
+    wk AS (
+      SELECT CAST(d AS DATE) - CAST(isodow(d) - 1 AS INTEGER) AS blk, isodow(d) - 1 AS wd, y FROM daily
+    ),
+    complete AS (
+      SELECT blk FROM wk GROUP BY blk HAVING COUNT(DISTINCT wd) = 7
+    ),
+    ranked AS (
+      SELECT w.blk, w.wd,
+             row_number() OVER (PARTITION BY w.blk ORDER BY w.y, w.wd) AS r
+      FROM wk w JOIN complete c ON w.blk = c.blk
+    ),
+    rsum AS (SELECT wd, SUM(r) AS rj FROM ranked GROUP BY wd),
+    bcount AS (SELECT COUNT(*) AS b FROM complete),
+    l AS (SELECT SUM((wd + 1) * rj) AS lstat FROM rsum)
+    SELECT CAST(b AS BIGINT) AS n_blocks,
+           CAST(lstat AS BIGINT) AS page_l,
+           round((lstat - 112.0 * b) / sqrt(18816.0 * b / 144), 9) AS z_score
+    FROM l, bcount
+    """,
+)
+def q_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_cents(spark, sf_dir)
+    wk = daily.select(
+        F.expr("date_sub(d, weekday(d))").alias("blk"),
+        F.expr("weekday(d)").alias("wd"),
+        "y",
+    )
+    complete = wk.groupBy("blk").agg(
+        F.countDistinct("wd").alias("k")
+    ).where(F.col("k") == 7).select("blk")
+    ranked = wk.join(complete, "blk").select(
+        "wd",
+        F.row_number()
+        .over(Window.partitionBy("blk").orderBy("y", "wd"))
+        .alias("r"),
+    )
+    rsum = ranked.groupBy("wd").agg(F.sum("r").alias("rj"))
+    bcount = complete.agg(F.count(F.lit(1)).alias("b"))
+    lstat = rsum.agg(F.sum((F.col("wd") + 1) * F.col("rj")).alias("lstat"))
+    out = lstat.crossJoin(F.broadcast(bcount))
+    return out.select(
+        F.col("b").cast("bigint").alias("n_blocks"),
+        F.col("lstat").cast("bigint").alias("page_l"),
+        F.round(
+            (F.col("lstat") - 112.0 * F.col("b"))
+            / F.sqrt(18816.0 * F.col("b") / 144),
+            9,
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q test for equality of the three binary "engagement"
+# conditions (has click / view / purchase within the first week of
+# the month — time-restricted so the condition vectors vary) across
+# users. Rows with
+# all-zero or all-one condition vectors contribute nothing to either
+# side of Q, so no subject filter is needed; everything is exact
+# integer counting: Q = (k-1)[k*sum(Cj^2) - (sum Cj)^2] / [k*sum(Ru)
+# - sum(Ru^2)].
+@_q(
+    "cochran_q_test",
+    """
+    WITH flags AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'click' AND day(ts) <= 7
+                      THEN 1 ELSE 0 END) AS x1,
+             MAX(CASE WHEN event_type = 'view' AND day(ts) <= 7
+                      THEN 1 ELSE 0 END) AS x2,
+             MAX(CASE WHEN event_type = 'purchase' AND day(ts) <= 7
+                      THEN 1 ELSE 0 END) AS x3
+      FROM events GROUP BY user_id
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n,
+             SUM(x1) AS c1, SUM(x2) AS c2, SUM(x3) AS c3,
+             SUM(x1 + x2 + x3) AS sr,
+             SUM((x1 + x2 + x3) * (x1 + x2 + x3)) AS sr2
+      FROM flags
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(c1 AS BIGINT) AS n_click,
+           CAST(c2 AS BIGINT) AS n_view,
+           CAST(c3 AS BIGINT) AS n_purchase,
+           round(2.0 * (3 * (CAST(c1 AS DOUBLE)*c1 + CAST(c2 AS DOUBLE)*c2
+                             + CAST(c3 AS DOUBLE)*c3)
+                        - CAST(sr AS DOUBLE) * sr)
+                 / (3.0 * sr - sr2), 9) AS cochran_q
+    FROM agg
+    """,
+)
+def q_cochran_q_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    flags = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "click") & (F.dayofmonth("ts") <= 7), 1
+            ).otherwise(0)
+        ).alias("x1"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "view") & (F.dayofmonth("ts") <= 7), 1
+            ).otherwise(0)
+        ).alias("x2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.dayofmonth("ts") <= 7), 1
+            ).otherwise(0)
+        ).alias("x3"),
+    )
+    r = F.col("x1") + F.col("x2") + F.col("x3")
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("c1"),
+        F.sum("x2").alias("c2"),
+        F.sum("x3").alias("c3"),
+        F.sum(r).alias("sr"),
+        F.sum(r * r).alias("sr2"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("c1").cast("bigint").alias("n_click"),
+        F.col("c2").cast("bigint").alias("n_view"),
+        F.col("c3").cast("bigint").alias("n_purchase"),
+        F.round(
+            2.0
+            * (
+                3
+                * (
+                    F.col("c1").cast("double") * F.col("c1")
+                    + F.col("c2").cast("double") * F.col("c2")
+                    + F.col("c3").cast("double") * F.col("c3")
+                )
+                - F.col("sr").cast("double") * F.col("sr")
+            )
+            / (3.0 * F.col("sr") - F.col("sr2")),
+            9,
+        ).alias("cochran_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch-style magnitude-squared coherence between the daily order-count
+# and revenue series at the shared DFT periods, averaged over 8
+# contiguous segments (single-bin coherence without averaging is
+# identically 1 — the segmentation is what makes the statistic
+# informative). Per-(period, segment) C/S sums use the dft 6dp-lattice
+# decimal seam; the 8 segment cross/auto products assemble in fixed
+# order from a conditional pivot.
+_COH_PERIODS = (7, 14, 30)
+_COH_SEGS = 8
+
+
+def _coh_sql() -> str:
+    piv = ",\n             ".join(
+        f"""SUM(CASE WHEN seg = {s} THEN cx ELSE 0 END) AS cx{s},
+             SUM(CASE WHEN seg = {s} THEN sx ELSE 0 END) AS sx{s},
+             SUM(CASE WHEN seg = {s} THEN cy ELSE 0 END) AS cy{s},
+             SUM(CASE WHEN seg = {s} THEN sy ELSE 0 END) AS sy{s}"""
+        for s in range(_COH_SEGS)
+    )
+    cre = " + ".join(f"(cx{s} * cy{s} + sx{s} * sy{s})" for s in range(_COH_SEGS))
+    cim = " + ".join(f"(sx{s} * cy{s} - cx{s} * sy{s})" for s in range(_COH_SEGS))
+    axx = " + ".join(f"(cx{s} * cx{s} + sx{s} * sx{s})" for s in range(_COH_SEGS))
+    ayy = " + ".join(f"(cy{s} * cy{s} + sy{s} * sy{s})" for s in range(_COH_SEGS))
+    return f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y,
+             COUNT(*) AS x
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY d) AS i,
+             COUNT(*) OVER () AS n, x, y
+      FROM daily
+    ),
+    terms AS (
+      SELECT p.p, CAST(((i - 1) * {_COH_SEGS}) // n AS INTEGER) AS seg,
+             CAST(round(x * cos(2 * pi() * i / p.p), 6) AS DECIMAL(38,6)) AS cxt,
+             CAST(round(x * sin(2 * pi() * i / p.p), 6) AS DECIMAL(38,6)) AS sxt,
+             CAST(round(y * cos(2 * pi() * i / p.p), 6) AS DECIMAL(38,6)) AS cyt,
+             CAST(round(y * sin(2 * pi() * i / p.p), 6) AS DECIMAL(38,6)) AS syt
+      FROM idx, (VALUES {", ".join(f"({p})" for p in _COH_PERIODS)}) p(p)
+    ),
+    per_seg AS (
+      SELECT p, seg,
+             CAST(SUM(cxt) AS DOUBLE) AS cx, CAST(SUM(sxt) AS DOUBLE) AS sx,
+             CAST(SUM(cyt) AS DOUBLE) AS cy, CAST(SUM(syt) AS DOUBLE) AS sy
+      FROM terms GROUP BY p, seg
+    ),
+    piv AS (
+      SELECT p,
+             {piv}
+      FROM per_seg GROUP BY p
+    )
+    SELECT CAST(p AS BIGINT) AS period,
+           round((({cre}) * ({cre}) + ({cim}) * ({cim}))
+                 / (({axx}) * ({ayy})), 9) AS coherence_sq
+    FROM piv ORDER BY period
+    """
+
+
+@_q("spectral_coherence", _coh_sql())
+def q_spectral_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("y"),
+            F.count(F.lit(1)).alias("x"),
+        )
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("i"), "x", "y"
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    periods = spark.createDataFrame([(p,) for p in _COH_PERIODS], "p int")
+    ang = 2 * math.pi * F.col("i") / F.col("p")
+    terms = idx.crossJoin(F.broadcast(periods)).select(
+        "p",
+        F.floor((F.col("i") - 1) * _COH_SEGS / F.col("n")).cast("int").alias("seg"),
+        F.round(F.col("x") * F.cos(ang), 6).cast("decimal(38,6)").alias("cxt"),
+        F.round(F.col("x") * F.sin(ang), 6).cast("decimal(38,6)").alias("sxt"),
+        F.round(F.col("y") * F.cos(ang), 6).cast("decimal(38,6)").alias("cyt"),
+        F.round(F.col("y") * F.sin(ang), 6).cast("decimal(38,6)").alias("syt"),
+    )
+    per_seg = terms.groupBy("p", "seg").agg(
+        F.sum("cxt").cast("double").alias("cx"),
+        F.sum("sxt").cast("double").alias("sx"),
+        F.sum("cyt").cast("double").alias("cy"),
+        F.sum("syt").cast("double").alias("sy"),
+    )
+    piv = per_seg.groupBy("p").agg(
+        *[
+            agg
+            for s in range(_COH_SEGS)
+            for agg in (
+                F.sum(F.when(F.col("seg") == s, F.col("cx")).otherwise(0.0)).alias(
+                    f"cx{s}"
+                ),
+                F.sum(F.when(F.col("seg") == s, F.col("sx")).otherwise(0.0)).alias(
+                    f"sx{s}"
+                ),
+                F.sum(F.when(F.col("seg") == s, F.col("cy")).otherwise(0.0)).alias(
+                    f"cy{s}"
+                ),
+                F.sum(F.when(F.col("seg") == s, F.col("sy")).otherwise(0.0)).alias(
+                    f"sy{s}"
+                ),
+            )
+        ]
+    )
+    cre = cim = axx = ayy = None
+    for s in range(_COH_SEGS):
+        cx, sx = F.col(f"cx{s}"), F.col(f"sx{s}")
+        cy, sy = F.col(f"cy{s}"), F.col(f"sy{s}")
+        t1 = cx * cy + sx * sy
+        t2 = sx * cy - cx * sy
+        t3 = cx * cx + sx * sx
+        t4 = cy * cy + sy * sy
+        cre = t1 if cre is None else cre + t1
+        cim = t2 if cim is None else cim + t2
+        axx = t3 if axx is None else axx + t3
+        ayy = t4 if ayy is None else ayy + t4
+    return piv.select(
+        F.col("p").cast("bigint").alias("period"),
+        F.round((cre * cre + cim * cim) / (axx * ayy), 9).alias("coherence_sq"),
+    ).orderBy("period")
+
+
+# ---------------------------------------------------------------------------
+# Circular statistics of the order weekday distribution: resultant
+# length, mean direction and circular variance from the 7 weekday
+# counts (exact integers) times the 7 fixed unit vectors, assembled in
+# fixed weekday order.
+@_q(
+    "circular_weekday_stats",
+    f"""
+    WITH wd AS (
+      SELECT isodow(o_orderdate) - 1 AS w, COUNT(*) AS c
+      FROM orders GROUP BY 1
+    ),
+    piv AS (
+      SELECT {", ".join(
+        f"SUM(CASE WHEN w = {w} THEN c ELSE 0 END) AS c{w}" for w in range(7))}
+      FROM wd
+    ),
+    v AS (
+      SELECT ({" + ".join(f"c{w}" for w in range(7))}) AS n,
+             ({" + ".join(f"c{w} * cos(2 * pi() * {w} / 7)" for w in range(7))})
+               AS sc,
+             ({" + ".join(f"c{w} * sin(2 * pi() * {w} / 7)" for w in range(7))})
+               AS ss
+      FROM piv
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           round(sqrt(sc * sc + ss * ss) / n, 9) AS resultant_length,
+           round(degrees(atan2(ss, sc)), 9) AS mean_direction_deg,
+           round(1 - sqrt(sc * sc + ss * ss) / n, 9) AS circular_variance
+    FROM v
+    """,
+)
+def q_circular_weekday_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    wd = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.expr("weekday(o_orderdate)").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    piv = wd.agg(
+        *[
+            F.sum(F.when(F.col("w") == w, F.col("c")).otherwise(0)).alias(f"c{w}")
+            for w in range(7)
+        ]
+    )
+    n = sum(F.col(f"c{w}") for w in range(7))
+    sc = ss = None
+    for w in range(7):
+        tc = F.col(f"c{w}") * math.cos(2 * math.pi * w / 7)
+        ts = F.col(f"c{w}") * math.sin(2 * math.pi * w / 7)
+        sc = tc if sc is None else sc + tc
+        ss = ts if ss is None else ss + ts
+    return piv.select(
+        n.cast("bigint").alias("n_orders"),
+        F.round(F.sqrt(sc * sc + ss * ss) / n, 9).alias("resultant_length"),
+        F.round(F.degrees(F.atan2(ss, sc)), 9).alias("mean_direction_deg"),
+        F.round(1 - F.sqrt(sc * sc + ss * ss) / n, 9).alias("circular_variance"),
+    )
