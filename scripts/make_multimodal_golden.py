@@ -32,8 +32,12 @@ FIXTURES = os.path.join(
 
 def main() -> None:
     from tb_scale_spatial_data_pipeline_spark.plans.media_queries import (
+        q_audio_features,
+        q_frame_sample,
         q_image_features,
+        q_multimodal_neardup,
         q_multimodal_phash_neardup,
+        q_resize,
     )
     from tb_scale_spatial_data_pipeline_spark.session import get_spark
 
@@ -42,6 +46,10 @@ def main() -> None:
     for name, fn in (
         ("multimodal_golden_features", q_image_features),
         ("multimodal_golden_phash", q_multimodal_phash_neardup),
+        ("multimodal_golden_resize", q_resize),
+        ("multimodal_golden_frames", q_frame_sample),
+        ("multimodal_golden_neardup", q_multimodal_neardup),
+        ("multimodal_golden_audio", q_audio_features),
     ):
         pdf = fn(spark, "").toPandas()  # fixed fixture ignores sf_dir
         out = os.path.join(FIXTURES, f"{name}.parquet")

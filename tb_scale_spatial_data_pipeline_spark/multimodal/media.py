@@ -613,10 +613,19 @@ def sample_frames(
     )
 
 
-def synth_audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synth_audio_table(
+    spark: SparkSession, sf_dir: str, fixed_n: int | None = None
+) -> DataFrame:
     """Audio-modality fixture: payload bytes decode as int16 PCM
-    samples; metadata declares sample_rate and n_samples."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    samples; metadata declares sample_rate and n_samples. ``fixed_n``
+    switches to the SF-independent seed (see synth_media_table)."""
+    if fixed_n is not None:
+        docs = spark.range(fixed_n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("media-"), F.col("id").cast("string")).alias("text"),
+        )
+    else:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_samples = (F.col("doc_id") % 64 + 64).cast("int")
     payload = F.to_binary(
         F.concat(F.md5(F.col("text")), F.md5(F.concat(F.lit("a:"), F.col("text")))),

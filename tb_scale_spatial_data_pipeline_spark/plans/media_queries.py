@@ -63,21 +63,47 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-@_q("multimodal_resize")
+@_q(
+    "multimodal_resize",
+    f"""
+    SELECT media_id, width, height, channels, n_bytes
+    FROM read_parquet('{_FIXTURES}/multimodal_golden_resize.parquet')
+    ORDER BY media_id
+    """,
+)
 def q_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = synth_media_table(spark, sf_dir)
+    media = synth_media_table(spark, sf_dir, fixed_n=GOLDEN_N)
     out = resize_images(media, out_w=4, out_h=4)
-    return out.select("media_id", "width", "height", "channels", F.length("payload").alias("n_bytes"))
+    return out.select(
+        "media_id", "width", "height", "channels",
+        F.length("payload").alias("n_bytes"),
+    ).orderBy("media_id")
 
 
-@_q("multimodal_frame_sample")
+@_q(
+    "multimodal_frame_sample",
+    f"""
+    SELECT media_id, frame_idx, frame_mean
+    FROM read_parquet('{_FIXTURES}/multimodal_golden_frames.parquet')
+    ORDER BY media_id, frame_idx
+    """,
+)
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = synth_media_table(spark, sf_dir)
+    media = synth_media_table(spark, sf_dir, fixed_n=GOLDEN_N)
     out = sample_frames(media, every_k=2)
-    return out.select("media_id", "frame_idx", F.round("frame_mean", 6).alias("frame_mean"))
+    return out.select(
+        "media_id", "frame_idx", F.round("frame_mean", 6).alias("frame_mean")
+    ).orderBy("media_id", "frame_idx")
 
 
-@_q("multimodal_feature_neardup")
+@_q(
+    "multimodal_feature_neardup",
+    f"""
+    SELECT id_a, id_b, feature_cos
+    FROM read_parquet('{_FIXTURES}/multimodal_golden_neardup.parquet')
+    ORDER BY id_a
+    """,
+)
 def q_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal dedup: decode → channel-stat feature
     vector → cosine near-dup on adjacent media ids. The blobs never
@@ -86,7 +112,7 @@ def q_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import cosine_similarity
     from ..operators.similarity import as_double_array
 
-    media = synth_media_table(spark, sf_dir)
+    media = synth_media_table(spark, sf_dir, fixed_n=GOLDEN_N)
     stats = image_channel_stats(media)
     feat_cols = ["mean_c0", "mean_c1", "mean_c2", "std_c0", "std_c1", "std_c2"]
     vecs = stats.select(
@@ -96,14 +122,23 @@ def q_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = vecs.select(F.col("media_id").alias("id_b"), F.col("fv").alias("fb"))
     pairs = a.join(b, b["id_b"] == a["id_a"] + 1)
     sim = cosine_similarity(as_double_array(F.col("fa")), as_double_array(F.col("fb")))
-    return pairs.select("id_a", "id_b", F.round(sim, 6).alias("feature_cos"))
+    return pairs.select(
+        "id_a", "id_b", F.round(sim, 6).alias("feature_cos")
+    ).orderBy("id_a")
 
 
-@_q("multimodal_audio_features")
+@_q(
+    "multimodal_audio_features",
+    f"""
+    SELECT media_id, n_samples, rms, zcr, peak
+    FROM read_parquet('{_FIXTURES}/multimodal_golden_audio.parquet')
+    ORDER BY media_id
+    """,
+)
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.media import audio_features, synth_audio_table
 
-    audio = synth_audio_table(spark, sf_dir)
+    audio = synth_audio_table(spark, sf_dir, fixed_n=GOLDEN_N)
     out = audio_features(audio)
     return out.select(
         "media_id",
@@ -111,7 +146,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"),
         F.round("zcr", 6).alias("zcr"),
         F.round("peak", 6).alias("peak"),
-    )
+    ).orderBy("media_id")
 
 
 @_q(
