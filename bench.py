@@ -244,6 +244,13 @@ def main() -> None:
     if len(line) > 1870:
         payload["queries"] = {n: round(t, 1) for n, t in timings.items()}
         line = json.dumps(payload)
+    if len(line) > 1870:  # last rung: integer centiseconds, map intact;
+        # shed redundant scalars (all live in BENCH_SPREAD.json too)
+        payload["queries_unit"] = "cs"
+        payload["queries"] = {n: int(round(t * 100)) for n, t in timings.items()}
+        for k in ("unit", "legacy35_total", "load1"):
+            payload.pop(k, None)
+        line = json.dumps(payload)
     sys.stdout.flush()
     print(line, flush=True)
 
