@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Bump when pipeline-stage SEMANTICS change, so stale on-disk stage
 # products from an older code revision can never be read back.
-STAGE_CACHE_VERSION = "r15a"
+STAGE_CACHE_VERSION = "r15b"
 
 
 def stage_root(sf_dir: str) -> str:
