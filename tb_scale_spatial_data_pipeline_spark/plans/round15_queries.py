@@ -3383,3 +3383,201 @@ def q_circular_weekday_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.degrees(F.atan2(ss, sc)), 9).alias("mean_direction_deg"),
         F.round(1 - F.sqrt(sc * sc + ss * ss) / n, 9).alias("circular_variance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere-Terpstra test for the ORDERED alternative across the 5
+# priorities (urgent < ... < low): J = sum of between-group
+# Mann-Whitney counts for every ordered pair. The value stream reduces
+# to per-DISTINCT-value per-group counts (the KS pattern), cumulative
+# counts run over the distinct-value spine, and 2J stays an exact
+# BIGINT (ties contribute the half-integer c_i*c_j, doubled away).
+# z uses the ties-ignored JT variance (identical closed form in both
+# engines, documented).
+def _jt_sql() -> str:
+    cnts = ", ".join(
+        f"SUM(CASE WHEN prio = '{p}' THEN 1 ELSE 0 END) AS c{i}"
+        for i, p in enumerate(_PRIOS)
+    )
+    cums = ", ".join(
+        f"SUM(c{i}) OVER (ORDER BY y) - c{i} AS lt{i}" for i in range(5)
+    )
+    j2_terms = " + ".join(
+        f"(2 * c{j} * lt{i} + c{i} * c{j})"
+        for i in range(5)
+        for j in range(i + 1, 5)
+    )
+    n2sum = " + ".join(
+        f"CAST(n{i} AS DOUBLE) * n{i} * (2 * n{i} + 3)" for i in range(5)
+    )
+    nsum = " + ".join(f"n{i}" for i in range(5))
+    gn = ", ".join(
+        f"SUM(CASE WHEN prio = '{p}' THEN 1 ELSE 0 END) AS n{i}"
+        for i, p in enumerate(_PRIOS)
+    )
+    return f"""
+    WITH vals AS (
+      SELECT o_orderpriority AS prio,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM orders
+    ),
+    per_v AS (
+      SELECT y, {cnts}
+      FROM vals GROUP BY y
+    ),
+    cum AS (
+      SELECT y, c0, c1, c2, c3, c4, {cums}
+      FROM per_v
+    ),
+    jstat AS (SELECT SUM({j2_terms}) AS j2 FROM cum),
+    sizes AS (SELECT {gn} FROM vals),
+    z AS (
+      SELECT j2,
+             ({nsum}) AS nn,
+             ({n2sum}) AS n2s
+      FROM jstat, sizes
+    )
+    SELECT CAST(j2 AS BIGINT) AS j2_statistic,
+           CAST(nn AS BIGINT) AS n_orders,
+           round((j2 / 2.0 - (CAST(nn AS DOUBLE) * nn
+                              - (SELECT {" + ".join(
+                                  f"CAST(n{i} AS DOUBLE) * n{i}"
+                                  for i in range(5))} FROM sizes)) / 4)
+                 / sqrt((CAST(nn AS DOUBLE) * nn * (2 * nn + 3) - n2s)
+                        / 72), 9) AS z_score
+    FROM z
+    """
+
+
+@_q("jonckheere_terpstra_trend", _jt_sql())
+def q_jonckheere_terpstra_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vals = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    per_v = vals.groupBy("y").agg(
+        *[
+            F.sum(F.when(F.col("prio") == p, 1).otherwise(0)).alias(f"c{i}")
+            for i, p in enumerate(_PRIOS)
+        ]
+    )
+    w = Window.orderBy("y")
+    cum = per_v.select(
+        "y",
+        *[F.col(f"c{i}") for i in range(5)],
+        *[
+            (F.sum(f"c{i}").over(w) - F.col(f"c{i}")).alias(f"lt{i}")
+            for i in range(5)
+        ],
+    )
+    j2_expr = None
+    for i in range(5):
+        for j in range(i + 1, 5):
+            term = 2 * F.col(f"c{j}") * F.col(f"lt{i}") + F.col(f"c{i}") * F.col(
+                f"c{j}"
+            )
+            j2_expr = term if j2_expr is None else j2_expr + term
+    jstat = cum.agg(F.sum(j2_expr).alias("j2"))
+    sizes = vals.agg(
+        *[
+            F.sum(F.when(F.col("prio") == p, 1).otherwise(0)).alias(f"n{i}")
+            for i, p in enumerate(_PRIOS)
+        ]
+    )
+    out = jstat.crossJoin(F.broadcast(sizes))
+    nn = sum(F.col(f"n{i}") for i in range(5))
+    n2lin = None
+    n2cub = None
+    for i in range(5):
+        nd = F.col(f"n{i}").cast("double")
+        a = nd * F.col(f"n{i}")
+        b = nd * F.col(f"n{i}") * (2 * F.col(f"n{i}") + 3)
+        n2lin = a if n2lin is None else n2lin + a
+        n2cub = b if n2cub is None else n2cub + b
+    mean_j = (nn.cast("double") * nn - n2lin) / 4
+    var_j = (nn.cast("double") * nn * (2 * nn + 3) - n2cub) / 72
+    return out.select(
+        F.col("j2").cast("bigint").alias("j2_statistic"),
+        nn.cast("bigint").alias("n_orders"),
+        F.round((F.col("j2") / 2.0 - mean_j) / F.sqrt(var_j), 9).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cliff's delta ordinal effect size between BUILDING and MACHINERY
+# order totals: delta = (#(x>y) - #(x<y)) / (n1*n2), computed entirely
+# from per-distinct-value cumulative counts — exact integers, one
+# final division (the nonparametric effect-size companion to the
+# registry's mann_whitney_u).
+@_q(
+    "cliffs_delta_effect",
+    """
+    WITH vals AS (
+      SELECT o.o_totalprice AS v, c.c_mktsegment AS seg
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    per_v AS (
+      SELECT v,
+             COUNT(*) FILTER (seg = 'BUILDING') AS c1,
+             COUNT(*) FILTER (seg = 'MACHINERY') AS c2
+      FROM vals GROUP BY v
+    ),
+    cum AS (
+      SELECT c1, c2,
+             SUM(c1) OVER (ORDER BY v) - c1 AS lt1,
+             SUM(c2) OVER (ORDER BY v) - c2 AS lt2
+      FROM per_v
+    ),
+    agg AS (
+      SELECT SUM(c1 * lt2) AS gt, SUM(c2 * lt1) AS lt,
+             SUM(c1) AS n1, SUM(c2) AS n2
+      FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_building,
+           CAST(n2 AS BIGINT) AS n_machinery,
+           CAST(gt AS BIGINT) AS n_greater,
+           CAST(lt AS BIGINT) AS n_less,
+           round((CAST(gt AS DOUBLE) - lt)
+                 / (CAST(n1 AS DOUBLE) * n2), 9) AS cliffs_delta
+    FROM agg
+    """,
+)
+def q_cliffs_delta_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    vals = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("o_totalprice").alias("v"), F.col("c_mktsegment").alias("seg")
+    )
+    per_v = vals.groupBy("v").agg(
+        F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("seg") == "MACHINERY", 1).otherwise(0)).alias("c2"),
+    )
+    w = Window.orderBy("v")
+    cum = per_v.select(
+        "c1",
+        "c2",
+        (F.sum("c1").over(w) - F.col("c1")).alias("lt1"),
+        (F.sum("c2").over(w) - F.col("c2")).alias("lt2"),
+    )
+    agg = cum.agg(
+        F.sum(F.col("c1") * F.col("lt2")).alias("gt"),
+        F.sum(F.col("c2") * F.col("lt1")).alias("lt"),
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+    )
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n_building"),
+        F.col("n2").cast("bigint").alias("n_machinery"),
+        F.col("gt").cast("bigint").alias("n_greater"),
+        F.col("lt").cast("bigint").alias("n_less"),
+        F.round(
+            (F.col("gt").cast("double") - F.col("lt"))
+            / (F.col("n1").cast("double") * F.col("n2")),
+            9,
+        ).alias("cliffs_delta"),
+    )
