@@ -459,7 +459,9 @@ def _decode_scan(
                             coeffs[k] = _extend(bitsv, s)
                             k += 1
                         block = np.zeros(64, dtype=np.float64)
-                        block[ZIGZAG] = (coeffs * q).astype(np.float64)
+                        # coeffs is zigzag-ordered, q natural-ordered:
+                        # the step for zigzag position k is q[ZIGZAG[k]]
+                        block[ZIGZAG] = (coeffs * q[ZIGZAG]).astype(np.float64)
                         px = _idct2(block.reshape(8, 8)) + 128.0
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8

@@ -1,17 +1,22 @@
 """Multimodal-column queries.
 
-Mostly rows-only (the decode tier is pandas kernel logic, not
-SQL-expressible; invariants live in tests/test_multimodal.py). r15:
-`multimodal_image_features` and `multimodal_phash_neardup` are
-oracle-paired against GOLDEN TABLES — the decoders are deterministic
-byte transforms, so their expected rows over the SF-independent fixed
-fixture (`synth_media_table(fixed_n=120)`; the per-SF documents text
-differs across scale factors, so the doc-derived fixture cannot be
-golden-pinned) are precomputed once by scripts/make_multimodal_golden.py
-into fixtures/*.parquet, and the DuckDB twin reads those back. This is
-regression-pin semantics: the byte-level codec contracts themselves are
-independently pinned by tests/test_jpeg_codec.py, test_gif_codec.py and
-test_multimodal.py."""
+All SIX queries here (`multimodal_image_features`, `multimodal_resize`,
+`multimodal_frame_sample`, `multimodal_feature_neardup`,
+`multimodal_audio_features`, `multimodal_phash_neardup`) are
+oracle-paired against GOLDEN TABLES (r15; independence hardened r16) —
+the decoders are deterministic byte transforms, so their expected rows
+over the SF-independent fixed fixture (`synth_media_table(fixed_n=120)`;
+the per-SF documents text differs across scale factors, so the
+doc-derived fixture cannot be golden-pinned) are precomputed by
+scripts/make_multimodal_golden.py into fixtures/*.parquet, and the
+DuckDB twin reads those back. Since r16 the generator computes every
+golden through an INDEPENDENT pipeline (its own md5-chain pixel
+synthesis, its own spec-level JPEG decoder with double-sum IDCT, its
+own feature/hash/banding formulas — no imports from the package's
+kernels) and asserts generation-time equality with the Spark query
+output before writing; the byte-level codec contracts are additionally
+pinned by tests/test_jpeg_codec.py, test_gif_codec.py and
+test_multimodal.py. See FIXTURES.md for provenance."""
 
 from __future__ import annotations
 

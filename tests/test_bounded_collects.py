@@ -52,39 +52,65 @@ def _chain_has_limit(node: ast.Call) -> bool:
             return False
 
 
+def _scan_source(src: str, rel: str) -> list[str]:
+    """Return offender strings for unbounded collect sites in one file's
+    source. Factored out of the test so the reporting path itself is
+    exercisable on a known-bad fixture (ADVICE r15)."""
+    offenders = []
+    lines = src.splitlines()
+    tree = ast.parse(src)
+    parents: dict[ast.AST, ast.AST] = {}
+    for n in ast.walk(tree):
+        for c in ast.iter_child_nodes(n):
+            parents[c] = n
+    for n in ast.walk(tree):
+        if not (
+            isinstance(n, ast.Call)
+            and isinstance(n.func, ast.Attribute)
+            and n.func.attr in ("collect", "toPandas")
+        ):
+            continue
+        if isinstance(parents.get(n), ast.Subscript):
+            continue  # .collect()[0] scalar shape
+        if _chain_has_limit(n):
+            continue  # .limit(k).collect()
+        # the chain may span lines: accept a "bounded:" annotation
+        # anywhere in the call's source span or on the line above
+        lo = max(0, n.lineno - 2)
+        hi = (n.end_lineno or n.lineno) + 1
+        if any("bounded:" in ln for ln in lines[lo:hi]):
+            continue
+        offenders.append(f"{rel}:{n.lineno}: {lines[n.lineno - 1].strip()[:90]}")
+    return offenders
+
+
 def test_every_collect_site_is_bounded():
     offenders = []
     for path in sorted(glob.glob(f"{PKG}/**/*.py", recursive=True)):
-        src = open(path).read()
-        lines = src.splitlines()
-        tree = ast.parse(src)
-        parents: dict[ast.AST, ast.AST] = {}
-        for n in ast.walk(tree):
-            for c in ast.iter_child_nodes(n):
-                parents[c] = n
-        for n in ast.walk(tree):
-            if not (
-                isinstance(n, ast.Call)
-                and isinstance(n.func, ast.Attribute)
-                and n.func.attr in ("collect", "toPandas")
-            ):
-                continue
-            if isinstance(parents.get(n), ast.Subscript):
-                continue  # .collect()[0] scalar shape
-            if _chain_has_limit(n):
-                continue  # .limit(k).collect()
-            # the chain may span lines: accept a "bounded:" annotation
-            # anywhere in the call's source span or on the line above
-            lo = max(0, n.lineno - 2)
-            hi = (n.end_lineno or n.lineno) + 1
-            if any("bounded:" in ln for ln in lines[lo:hi]):
-                continue
-            rel = os.path.relpath(path, PKG)
-            offenders.append(f"{rel}:{n.lineno}: {here.strip()[:90]}")
+        offenders.extend(
+            _scan_source(open(path).read(), os.path.relpath(path, PKG))
+        )
     assert offenders == [], (
         "unbounded/unannotated driver-side collect sites:\n"
         + "\n".join(offenders)
     )
+
+
+def test_scanner_reports_known_offender():
+    """Self-test of the offender path: a known-unbounded collect must be
+    flagged with file:line and the offending source line, and the three
+    accepted shapes must pass."""
+    bad = "rows = df.filter(c > 0).collect()\n"
+    out = _scan_source(bad, "fake.py")
+    assert out == ["fake.py:1: rows = df.filter(c > 0).collect()"]
+
+    good = (
+        "a = df.collect()[0]\n"
+        "b = df.limit(10).collect()\n"
+        "# bounded: 64-row candidate set\n"
+        "c = df.toPandas()\n"
+    )
+    assert _scan_source(good, "fake.py") == []
 
 
 def test_named_ceilings_hold():

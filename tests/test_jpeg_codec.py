@@ -111,6 +111,27 @@ def test_gray_gradient_error_bounded_by_quality():
     assert (dec[:, :, 0] == dec[:, :, 2]).all()
 
 
+def test_dense_spectrum_roundtrip_444_tight_bound():
+    """Dense-spectrum (noisy) images are where a dequantization-order
+    mistake shows up: every AC frequency carries energy, so mismatched
+    quant steps inflate the round-trip error ~5x (caught live in r16:
+    the decoder multiplied zigzag-ordered coefficients by the
+    natural-ordered table, mean|err| ~31 on this image vs ~6 correct).
+    Smooth gradients can't see it — their AC energy sits in the first
+    few zigzag positions where both orderings nearly agree."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    sm = img.astype(np.float64)
+    for _ in range(2):
+        sm = (sm + np.roll(sm, 1, 0) + np.roll(sm, 1, 1)) / 3.0
+    img = np.clip(sm, 0, 255).astype(np.uint8)
+    dec = decode_jpeg_baseline(
+        encode_jpeg_baseline(img, quality=90, subsample="444")
+    )
+    assert dec is not None
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() <= 10.0
+
+
 def test_odd_dimensions_and_444_both_roundtrip():
     rng = np.random.default_rng(5)
     img = rng.integers(0, 256, (11, 7, 3), dtype=np.uint8)
