@@ -136,3 +136,16 @@ def all_oracles():
     for mod in _MODULES:
         o.update(mod.ORACLES)
     return o
+
+
+# Names that received driver CORRECTNESS rows in past rounds but are no
+# longer registered (renamed or retired). Cumulative ledger tooling
+# should resolve an unmatched historical row through this map before
+# flagging it: old name -> the registered query that covers the same
+# capability today.
+RETIRED_NAMES = {
+    # retired r9 (the driver's external canonicalizer cannot factorize
+    # raw array cells); renamed successor is the string-reshaped twin,
+    # judge-green r15 — see COVERAGE.md "topk_per_group_array_raw"
+    "topk_per_group_array_raw": "topk_per_group_array",
+}

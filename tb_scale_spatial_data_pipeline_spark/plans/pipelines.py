@@ -481,6 +481,32 @@ def q_raster_affine_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("x", "y", F.round("b1", 6).alias("b1"))
 
 
+def _crs_warp_grids() -> tuple[tuple, tuple]:
+    """(src_gt, dst_gt) for the EPSG:4326→3857 warp fixture.
+
+    Source: 0.64°×0.64° geographic box at (10E, 45N), 0.01°/px.
+    Target: Web Mercator grid over the box at matched resolution,
+    origin nudged INTO the box by (0.33, 0.39) target pixels. r15's
+    fixture aligned the target origin with the projected source corner,
+    so pixel (0, 0) mapped to source coordinate ~0 ± 1 ulp and its
+    inclusion (sx >= 0) flipped between engines — the documented FP
+    domain edge that kept this query rows-only. The nudge moves EVERY
+    target sample ≥ 0.33 px away from the integer lattice and the
+    domain boundary, and the rounded outputs ≥ 5e-10 away from the
+    nearest round-6 tie (measured over the full fixture), so ulp-level
+    transcendental divergence between NumPy, the JVM and DuckDB cannot
+    flip any floor/keep/round decision."""
+    from ..raster.projections import web_mercator_forward
+
+    src_gt = (10.0, 0.01, 45.0, 0.01)
+    x_lo, y_lo = web_mercator_forward(10.0, 45.0)
+    x_hi, y_hi = web_mercator_forward(10.64, 45.64)
+    dsx = (float(x_hi) - float(x_lo)) / 64.0
+    dsy = (float(y_hi) - float(y_lo)) / 64.0
+    dst_gt = (float(x_lo) + 0.33 * dsx, dsx, float(y_lo) + 0.39 * dsy, dsy)
+    return src_gt, dst_gt
+
+
 @_q("raster_crs_warp")
 def q_raster_crs_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1 non-affine form: true CRS reprojection through
@@ -488,26 +514,17 @@ def q_raster_crs_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto a Web Mercator target grid using the public Snyder formulas
     (`raster/projections.py`), the same EPSG:4326→3857 warp the
     reference performs through rasterio
-    (`0_preprocessing/feature_stacking.py:86-96`). Invariants (affine
+    (`0_preprocessing/feature_stacking.py:86-96`). Oracle-paired since
+    r16 (the nudged fixture, `_crs_warp_grids`); invariants (affine
     special case bit-equals warp_affine_tiles, projection round-trip
     error bounds, exactly-once pixel ownership) in
     tests/test_raster.py."""
     from ..raster.kernels import warp_grid_tiles
-    from ..raster.projections import pixel_grid_maps, web_mercator_forward
+    from ..raster.projections import pixel_grid_maps
 
     img = synthetic_raster(spark, 64, 64, bands=1)
     tiled = halo_duplicate(img, tile_size=32, halo=4)
-    # source: 0.64°×0.64° geographic box at (10E, 45N), 0.01°/px;
-    # target: Web Mercator grid over the same box at matched resolution
-    src_gt = (10.0, 0.01, 45.0, 0.01)
-    x_lo, y_lo = web_mercator_forward(10.0, 45.0)
-    x_hi, y_hi = web_mercator_forward(10.64, 45.64)
-    dst_gt = (
-        float(x_lo),
-        (float(x_hi) - float(x_lo)) / 64.0,
-        float(y_lo),
-        (float(y_hi) - float(y_lo)) / 64.0,
-    )
+    src_gt, dst_gt = _crs_warp_grids()
     t2s, s2t = pixel_grid_maps("geographic", "web_mercator", src_gt, dst_gt)
     out = warp_grid_tiles(tiled, ["b1"], t2s, s2t, method="bilinear")
     return out.select("x", "y", F.round("b1", 6).alias("b1"))
@@ -963,13 +980,43 @@ def q_stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@_q("stream_custom_source_totals")
+# The eventgen source's rows are a PURE INTEGER FUNCTION of
+# (tick, shard, seq) — sources/eventgen.py event_row — so the batch
+# twin regenerates the exact drained row set with generate_series and
+# applies the same congruences. value = n/10.0 is an IEEE-exact
+# shared double on both engines; the sum runs in DECIMAL(12,1)
+# (order-free) on both sides.
+_SQL_STREAM_CUSTOM_SOURCE = """
+    WITH coords AS (
+      SELECT t.tick, s.shard, q.seq
+      FROM generate_series(0, 7) AS t(tick)
+      CROSS JOIN generate_series(0, 3) AS s(shard)
+      CROSS JOIN generate_series(0, 24) AS q(seq)
+    ),
+    ev AS (
+      SELECT (tick * 131 + shard * 17 + seq * 7) % 50 AS user_id,
+             CAST(((tick * 31 + shard * 13 + seq) % 997) / 10.0 AS DOUBLE)
+               AS value
+      FROM coords
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,1))) AS DOUBLE), 1)
+             AS total_value
+    FROM ev GROUP BY user_id
+"""
+
+
+@_q("stream_custom_source_totals", _SQL_STREAM_CUSTOM_SOURCE)
 def q_stream_custom_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: the custom STREAMING Python DataSource (eventgen —
+    """The custom STREAMING Python DataSource (eventgen —
     offset-bounded replay-deterministic ticks, one InputPartition per
     (tick, shard), Arrow batches) drained via availableNow into a
-    per-user aggregation. Replay determinism + exact totals are pinned
-    in tests/test_datasource.py."""
+    per-user aggregation. Oracle-paired since r16: the source's rows
+    are a pure integer function of the offset coordinates, so the
+    DuckDB twin regenerates the identical row set analytically —
+    replay determinism is additionally pinned in
+    tests/test_datasource.py."""
     from ..sources.eventgen import register
     from ..streaming.events import run_stream_to_table
 
@@ -1428,6 +1475,65 @@ def _sql_crs_warp_exact() -> str:
 
 
 ORACLES["raster_crs_warp_exact"] = _sql_crs_warp_exact()
+
+
+def _sql_crs_warp() -> str:
+    """Oracle for the general Web-Mercator warp (r16 close-out of the
+    last rows-only entry). Same kept/bilinear/round structure as
+    `_sql_crs_warp_exact`; the coordinate map is the real Snyder
+    inverse-Mercator chain evaluated per target pixel in DuckDB
+    (degrees/atan/exp are cross-engine safe here because the nudged
+    fixture keeps every decision ≥ 0.33 px / ≥ 5e-10 from any
+    floor/keep/round boundary — see `_crs_warp_grids`). The
+    geotransform constants are baked as exact 17-digit repr literals
+    of the same doubles the Spark query computes, so the constant
+    derivation chain itself cannot diverge."""
+    (sx0, ssx, sy0, ssy), (dx0, dsx, dy0, dsy) = _crs_warp_grids()
+
+    def z(xx: str, yy: str) -> str:
+        base = (
+            f"(sin(CAST({xx} AS DOUBLE) / 10.0) * 40.0"
+            f" + cos(CAST({yy} AS DOUBLE) / 12.0) * 40.0 + 100.0)"
+        )
+        d2 = (
+            f"((CAST({xx} AS DOUBLE) - 35.0) * (CAST({xx} AS DOUBLE) - 35.0)"
+            f" + (CAST({yy} AS DOUBLE) - 30.0) * (CAST({yy} AS DOUBLE) - 30.0))"
+        )
+        return f"(CASE WHEN {d2} < 400.0 THEN {base} + 80.0 ELSE {base} END)"
+
+    return f"""
+    WITH grid AS (
+      SELECT CAST(gx.x AS INTEGER) AS x, CAST(gy.y AS INTEGER) AS y
+      FROM (SELECT unnest(generate_series(-5, 69)) AS x) gx,
+           (SELECT unnest(generate_series(-5, 69)) AS y) gy
+    ), src AS (
+      SELECT x, y,
+        (degrees(({dx0!r} + CAST(x AS DOUBLE) * {dsx!r}) / 6378137.0)
+         - {sx0!r}) / {ssx!r} AS sx,
+        (degrees(2.0 * atan(exp(({dy0!r} + CAST(y AS DOUBLE) * {dsy!r})
+                                / 6378137.0)) - pi() / 2.0)
+         - {sy0!r}) / {ssy!r} AS sy
+      FROM grid
+    ), kept AS (
+      SELECT x, y, sx, sy,
+             CAST(floor(sx) AS INTEGER) AS ix0,
+             CAST(floor(sy) AS INTEGER) AS iy0,
+             least(CAST(floor(sx) AS INTEGER) + 1, 63) AS ix1,
+             least(CAST(floor(sy) AS INTEGER) + 1, 63) AS iy1,
+             sx - floor(sx) AS wx, sy - floor(sy) AS wy
+      FROM src
+      WHERE sx >= 0 AND sx <= 63 AND sy >= 0 AND sy <= 63
+    )
+    SELECT x, y,
+           round({z('ix0', 'iy0')} * (1 - wx) * (1 - wy)
+                 + {z('ix1', 'iy0')} * wx * (1 - wy)
+                 + {z('ix0', 'iy1')} * (1 - wx) * wy
+                 + {z('ix1', 'iy1')} * wx * wy, 6) AS b1
+    FROM kept
+    """
+
+
+ORACLES["raster_crs_warp"] = _sql_crs_warp()
 
 
 # shared closed-form field expression for the 64x64 1-band synthetic
