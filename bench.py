@@ -34,6 +34,50 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from tb_scale_spatial_data_pipeline_spark.plans import all_queries
 from tb_scale_spatial_data_pipeline_spark.session import get_spark
 
+# The cross-round comparable fields of the stdout contract line: NEVER
+# shed, whatever the shedding rung (r15 dropped legacy35_total at the
+# centisecond rung and the cross-round trend channel went dark for a
+# round — VERDICT r15 item 5). Pinned by tests/test_bench_contract.py.
+STABLE_FIELDS = (
+    "metric",
+    "value",
+    "min_total",
+    "legacy35_total",
+    "legacy35_min",
+    "queries",
+    "sf",
+)
+
+
+def contract_line(payload: dict, timings: dict) -> str:
+    """Shrink the contract JSON line into the driver's ~2000-char stdout
+    tail window WITHOUT dropping the per-query map (VERDICT r14 item 2)
+    or any STABLE_FIELDS scalar (VERDICT r15 item 5). Sheds precision
+    first, then side fields; the full 3-dp spread always lives in
+    BENCH_SPREAD.json."""
+    line = json.dumps(payload)
+    if len(line) > 1870:
+        payload["queries"] = {n: round(t, 2) for n, t in timings.items()}
+        payload.pop("repeats", None)
+        line = json.dumps(payload)
+    if len(line) > 1870:
+        payload.pop("pass_load1", None)
+        line = json.dumps(payload)
+    if len(line) > 1870:
+        payload["queries"] = {n: round(t, 1) for n, t in timings.items()}
+        line = json.dumps(payload)
+    if len(line) > 1870:  # last rung: integer centiseconds, map intact;
+        # shed only non-comparable scalars (all live in BENCH_SPREAD.json)
+        payload["queries_unit"] = "cs"
+        payload["queries"] = {
+            n: int(round(t * 100)) for n, t in timings.items()
+        }
+        for k in ("unit", "load1"):
+            payload.pop(k, None)
+        line = json.dumps(payload)
+    return line
+
+
 HEADLINE = [
     "pricing_summary",
     "grouped_median",
@@ -228,31 +272,8 @@ def main() -> None:
         "load1": load1,
         "pass_load1": pass_load1,
     }
-    # Keep the contract line inside the ~2000-char tail window WITHOUT
-    # ever dropping the per-query map (the r14 artifact lost it and
-    # per-query 2x-vs-baseline auditing lost its primary channel —
-    # VERDICT r14 item 2). Shed precision/side fields instead; the full
-    # 3-dp spread always lives in BENCH_SPREAD.json.
-    line = json.dumps(payload)
-    if len(line) > 1870:
-        payload["queries"] = {n: round(t, 2) for n, t in timings.items()}
-        payload.pop("repeats", None)
-        line = json.dumps(payload)
-    if len(line) > 1870:
-        payload.pop("pass_load1", None)
-        line = json.dumps(payload)
-    if len(line) > 1870:
-        payload["queries"] = {n: round(t, 1) for n, t in timings.items()}
-        line = json.dumps(payload)
-    if len(line) > 1870:  # last rung: integer centiseconds, map intact;
-        # shed redundant scalars (all live in BENCH_SPREAD.json too)
-        payload["queries_unit"] = "cs"
-        payload["queries"] = {n: int(round(t * 100)) for n, t in timings.items()}
-        for k in ("unit", "legacy35_total", "load1"):
-            payload.pop(k, None)
-        line = json.dumps(payload)
     sys.stdout.flush()
-    print(line, flush=True)
+    print(contract_line(payload, timings), flush=True)
 
 
 if __name__ == "__main__":
