@@ -100,6 +100,48 @@ def test_e4_rf_unanimous_and_exact(spark, tmp_path):
         assert scored.where(F.col("p") != F.col("label").cast("int")).count() == 0
 
 
+def test_chain_e4_rf_unanimous_and_exact(spark, tmp_path):
+    """Chain twin of test_e4_rf_unanimous_and_exact (ADVICE r15): the
+    full chain's E4 uses a DIFFERENT label rule (area > 300) over
+    different shapes (G/H/I/J on the 36-region lattice), and its
+    PredClass correctness was previously pinned only by the driver
+    sweep differential. Train both models on the chain's own split
+    (segment_key % 2 == 0) and assert unanimity (conf exactly 1.0) and
+    exact label reproduction over all 36 chain regions."""
+    from tb_scale_spatial_data_pipeline_spark.ml.classify import predict, train_rf
+    from tb_scale_spatial_data_pipeline_spark.plans.full_pipeline import (
+        run_full_pipeline,
+    )
+
+    run_full_pipeline(spark, "/root/testdata/sf0.001", workdir=str(tmp_path))
+    metrics = spark.read.parquet(str(tmp_path / "e3_metrics"))
+    shape_cols = [
+        "rectangularity", "elongation", "compactness", "shape_index",
+        "vertex_density",
+    ]
+    labeled = metrics.withColumn(
+        "label",
+        F.when(F.col("area") > 300, 1.0)
+        .when(F.col("elongation") > 1.5, 2.0)
+        .otherwise(3.0),
+    )
+    assert labeled.count() == 36
+    train = labeled.where(F.col("segment_key") % 2 == 0)
+    # the chain split must still contain every distinct feature vector
+    n_vec_all = labeled.select(*shape_cols, "area").distinct().count()
+    n_vec_train = train.select(*shape_cols, "area").distinct().count()
+    assert n_vec_all == n_vec_train
+    for cols in (["area", "perimeter", *shape_cols], shape_cols):
+        model = train_rf(
+            train, cols, "label",
+            num_trees=20, max_depth=8,
+            feature_subset_strategy="all", bootstrap=False,
+        )
+        scored = predict(model, labeled, out_col="p")
+        assert scored.where(F.col("p_conf") != 1.0).count() == 0
+        assert scored.where(F.col("p") != F.col("label").cast("int")).count() == 0
+
+
 def test_chain_stack_region_constant_and_gapped(spark, tmp_path):
     """Chain E1/E2 invariants that make the full-chain oracle valid:
     the stack is CONSTANT within each region, and the min inter-region
