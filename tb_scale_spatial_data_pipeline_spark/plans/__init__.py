@@ -34,6 +34,7 @@ from . import (
     relational5,
     relational6,
     round15_queries,
+    round16_queries,
     sampling_queries,
     scalar_queries,
     sketch_queries,
@@ -79,6 +80,7 @@ _MODULES = (
     experiment_queries,
     revenue_queries,
     round15_queries,
+    round16_queries,
     udtf_queries,
     full_pipeline,
 )

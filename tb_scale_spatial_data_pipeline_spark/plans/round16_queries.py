@@ -1,0 +1,1987 @@
+"""Round-16 operator tier: irregular-sampling spectral analysis,
+stability/fractal/long-memory series statistics, serial-correlation-
+robust econometrics (Newey-West HAC, Phillips-Perron, Cochrane-Orcutt),
+exact Bayesian A/B, distributional drift (energy distance,
+Bhattacharyya), discrete Fréchet profile distance, Weisfeiler-Leman
+graph refinement, and experiment-hygiene checks (SRM) — capabilities
+the 592-query registry did not yet cover.
+
+Determinism strategy (house seam, see round15_queries): order-sensitive
+float reductions run either on exact INTEGER/DECIMAL lattices (daily
+cents, mean-cleared n·y − S integer forms, 6/12-dp rounded
+transcendental terms summed in DECIMAL(38,12)) or as small fixed-arity
+pivots assembled in one left-associated expression identical in both
+engines. Residual-based statistics (HAC/PP/CO) avoid per-row float
+residuals entirely: every autocovariance of OLS residuals expands into
+EXACT integer cross-sums (Σy_t y_{t−j}, Σt y_{t−j}, …) assembled in a
+fixed-order closed form — the Var(x − groupmean) algebra generalized
+to lagged products.
+
+Scale notes (100 TB): every query aggregates to a bounded spine first
+(the ~2400-day order calendar, a ≤1000-row log-factorial table, 20
+histogram bins, K ≤ 32 frequencies, 16-point per-user profiles, the
+guarded/thinned co-supply edge set) — the only row-scaled stages are
+single groupBy/agg passes with map-side partial aggregation; pairwise
+work (energy distance, Fréchet DP, WL sorts) runs on spine-bounded
+inputs whose size is constant in SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import t
+from .graph_queries import _SQL_EDGES as _EDGES_CTE
+from .graph_queries import _undirected_edges
+from .round15_queries import _SQL_DAILY, _daily_cents
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Shared: the day spine with a contiguous 1-based index rn (ordered by
+# date) — constant-size (~2400 rows) at every SF.
+_SQL_SPINE = f"""
+    daily AS MATERIALIZED ({_SQL_DAILY}),
+    spine AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY d) AS rn, y FROM daily
+    )
+"""
+
+
+def _spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("d")
+    return _daily_cents(spark, sf_dir).select(
+        F.row_number().over(w).alias("rn"), "y"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Allan variance / deviation — the clock-stability statistic: variance
+# of consecutive non-overlapping bin means at averaging times tau,
+# AVAR(tau) = E[(m_{k+1} - m_k)^2] / 2. Bin SUMS stay exact integers
+# (cents), so AVAR(tau) = sum((S_{k+1}-S_k)^2) / (2*(K-1)*tau^2) is a
+# ratio of exact aggregates; the reported relative Allan deviation
+# sqrt(AVAR)/mean is one IEEE sqrt + division per tau (identical
+# inputs -> identical doubles in both engines).
+@_q(
+    "allan_variance",
+    f"""
+    WITH {_SQL_SPINE},
+    taus AS (SELECT unnest([1, 2, 4, 8, 16]) AS tau),
+    bins AS (
+      SELECT tau, (rn - 1) // tau AS k,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+             COUNT(*) AS cnt
+      FROM spine CROSS JOIN taus
+      GROUP BY tau, (rn - 1) // tau
+      HAVING COUNT(*) = tau
+    ),
+    steps AS (
+      SELECT tau, s - lag(s) OVER (PARTITION BY tau ORDER BY k) AS ds
+      FROM bins
+    ),
+    acc AS (
+      SELECT tau,
+             CAST(SUM(ds * ds) AS DECIMAL(38,0)) AS num,
+             COUNT(ds) AS kk
+      FROM steps WHERE ds IS NOT NULL GROUP BY tau
+    ),
+    m AS (
+      SELECT CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE)
+             / COUNT(*) AS mean_y
+      FROM spine
+    )
+    SELECT CAST(tau AS INT) AS tau,
+           CAST(kk + 1 AS BIGINT) AS n_bins,
+           round(sqrt(CAST(num AS DOUBLE)
+                      / (2.0 * kk * CAST(tau AS DOUBLE)
+                         * CAST(tau AS DOUBLE)))
+                 / (SELECT mean_y FROM m), 6) AS rel_adev
+    FROM acc
+    """,
+)
+def q_allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir)
+    taus = spark.range(5).select(
+        F.expr("shiftleft(1, cast(id as int))").cast("int").alias("tau")
+    )
+    bins = (
+        spine.crossJoin(F.broadcast(taus))
+        .groupBy("tau", ((F.col("rn") - 1) / F.col("tau")).cast("bigint").alias("k"))
+        .agg(
+            F.sum(F.col("y").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .where(F.col("cnt") == F.col("tau"))
+    )
+    wk = Window.partitionBy("tau").orderBy("k")
+    steps = bins.select(
+        "tau", (F.col("s") - F.lag("s").over(wk)).alias("ds")
+    ).where(F.col("ds").isNotNull())
+    acc = steps.groupBy("tau").agg(
+        F.sum(F.col("ds") * F.col("ds")).cast("decimal(38,0)").alias("num"),
+        F.count("ds").alias("kk"),
+    )
+    m = spine.agg(
+        (
+            F.sum(F.col("y").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_y")
+    )
+    return acc.crossJoin(F.broadcast(m)).select(
+        F.col("tau").cast("int").alias("tau"),
+        (F.col("kk") + 1).cast("bigint").alias("n_bins"),
+        F.round(
+            F.sqrt(
+                F.col("num").cast("double")
+                / (
+                    2.0
+                    * F.col("kk")
+                    * F.col("tau").cast("double")
+                    * F.col("tau").cast("double")
+                )
+            )
+            / F.col("mean_y"),
+            6,
+        ).alias("rel_adev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higuchi fractal dimension — curve-length estimate over decimated
+# sub-series: for lag k and phase m, L_m(k) is an exact INTEGER sum of
+# |y_{m+ik} - y_{m+(i-1)k}| with a rational normalization; D is the
+# negated slope of the 8-point log-log regression. The per-(k,m) sums
+# come from a single bounded spine self-join (rn2 = rn - k); the
+# final 8-term OLS is a fixed-arity pivot (k enumerable), assembled in
+# one identical expression.
+@_q(
+    "higuchi_fractal_dimension",
+    f"""
+    WITH {_SQL_SPINE},
+    n AS (SELECT COUNT(*) AS n FROM spine),
+    ks AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS k),
+    diffs AS (
+      SELECT ks.k, ((a.rn - 1) % ks.k) + 1 AS m,
+             abs(a.y - b.y) AS ad
+      FROM spine a
+      CROSS JOIN ks
+      JOIN spine b ON b.rn = a.rn - ks.k
+    ),
+    lm AS (
+      SELECT k, m,
+             CAST(SUM(CAST(ad AS DECIMAL(38,0))) AS DOUBLE) AS lsum,
+             COUNT(*) AS cnt
+      FROM diffs GROUP BY k, m
+    ),
+    lk AS (
+      -- L(k) = mean over phases m of L_m(k); L_m(k) normalizes the
+      -- integer path length by (n-1) / (cnt * k) and by 1/k again
+      SELECT k,
+             CAST(SUM(CAST(round(
+               lsum * ((SELECT n FROM n) - 1)
+                    / (CAST(cnt AS DOUBLE) * k * k), 6
+             ) AS DECIMAL(38,6))) AS DOUBLE) / k AS l
+      FROM lm GROUP BY k
+    ),
+    pts AS (SELECT ln(CAST(k AS DOUBLE)) AS x, ln(l) AS y FROM lk),
+    ols AS (
+      SELECT COUNT(*) AS np,
+             CAST(SUM(CAST(round(x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(round(y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+      FROM pts
+    )
+    SELECT CAST(8 AS INT) AS k_max,
+           round(-(np * sxy - sx * sy) / (np * sxx - sx * sx), 6)
+             AS higuchi_d
+    FROM ols
+    """,
+)
+def q_higuchi_fractal_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir)
+    n = spine.count()  # bounded: day spine, ~2400 rows at any SF
+    ks = spark.range(1, 9).select(F.col("id").cast("int").alias("k"))
+    b = spine.select(F.col("rn").alias("rn2"), F.col("y").alias("y2"))
+    diffs = (
+        spine.crossJoin(F.broadcast(ks))
+        .join(b, F.col("rn2") == F.col("rn") - F.col("k"))
+        .select(
+            "k",
+            (((F.col("rn") - 1) % F.col("k")) + 1).alias("m"),
+            F.abs(F.col("y") - F.col("y2")).alias("ad"),
+        )
+    )
+    lm = diffs.groupBy("k", "m").agg(
+        F.sum(F.col("ad").cast("decimal(38,0)")).cast("double").alias("lsum"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    lk = lm.groupBy("k").agg(
+        (
+            F.sum(
+                F.round(
+                    F.col("lsum")
+                    * F.lit(float(n - 1))
+                    / (F.col("cnt").cast("double") * F.col("k") * F.col("k")),
+                    6,
+                ).cast("decimal(38,6)")
+            ).cast("double")
+            / F.col("k")
+        ).alias("l")
+    )
+    pts = lk.select(
+        F.log(F.col("k").cast("double")).alias("x"), F.log("l").alias("y")
+    )
+    ols = pts.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum(F.round(F.col("x"), 12).cast("decimal(38,12)")).cast("double").alias("sx"),
+        F.sum(F.round(F.col("y"), 12).cast("decimal(38,12)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("x") * F.col("y"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    return ols.select(
+        F.lit(8).cast("int").alias("k_max"),
+        F.round(
+            -(F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("higuchi_d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Energy distance between the first and second half of the revenue
+# series — the two-sample drift statistic E = 2·E|X−Y| − E|X−X'| −
+# E|Y−Y'| (Székely & Rizzo). All three pairwise sums are EXACT integer
+# aggregates over the bounded half-spines (~1200² pairs, constant in
+# SF); the output is normalized by the overall mean so its magnitude
+# stays O(1) for round(6).
+@_q(
+    "energy_distance_drift",
+    f"""
+    WITH {_SQL_SPINE},
+    n AS (SELECT COUNT(*) AS n FROM spine),
+    xs AS (SELECT y FROM spine WHERE rn <= (SELECT n // 2 FROM n)),
+    ys AS (SELECT y FROM spine WHERE rn > (SELECT n // 2 FROM n)),
+    cnts AS (SELECT (SELECT COUNT(*) FROM xs) AS nx,
+                    (SELECT COUNT(*) FROM ys) AS ny),
+    sxy AS (SELECT CAST(SUM(CAST(abs(a.y - b.y) AS DECIMAL(38,0)))
+                   AS DECIMAL(38,0)) AS s
+            FROM xs a CROSS JOIN ys b),
+    sxx AS (SELECT CAST(2 * SUM(CAST(abs(a.y - b.y) AS DECIMAL(38,0)))
+                   AS DECIMAL(38,0)) AS s
+            FROM (SELECT y, row_number() OVER (ORDER BY y) AS i FROM xs) a
+            JOIN (SELECT y, row_number() OVER (ORDER BY y) AS i FROM xs) b
+              ON a.i < b.i),
+    syy AS (SELECT CAST(2 * SUM(CAST(abs(a.y - b.y) AS DECIMAL(38,0)))
+                   AS DECIMAL(38,0)) AS s
+            FROM (SELECT y, row_number() OVER (ORDER BY y) AS i FROM ys) a
+            JOIN (SELECT y, row_number() OVER (ORDER BY y) AS i FROM ys) b
+              ON a.i < b.i),
+    m AS (SELECT CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)
+            AS mean_y FROM spine)
+    SELECT CAST((SELECT nx FROM cnts) AS BIGINT) AS n_x,
+           CAST((SELECT ny FROM cnts) AS BIGINT) AS n_y,
+           round((2.0 * CAST((SELECT s FROM sxy) AS DOUBLE)
+                    / ((SELECT nx FROM cnts) * CAST((SELECT ny FROM cnts) AS DOUBLE))
+                  - CAST((SELECT s FROM sxx) AS DOUBLE)
+                    / ((SELECT nx FROM cnts) * CAST((SELECT nx FROM cnts) AS DOUBLE))
+                  - CAST((SELECT s FROM syy) AS DOUBLE)
+                    / ((SELECT ny FROM cnts) * CAST((SELECT ny FROM cnts) AS DOUBLE)))
+                 / (SELECT mean_y FROM m), 6) AS rel_energy_distance
+    """,
+)
+def q_energy_distance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir)
+    n = spine.count()  # bounded: day spine
+    half = n // 2
+    xs = spine.where(F.col("rn") <= half).select("y")
+    ys = spine.where(F.col("rn") > half).select("y")
+    nx, ny = half, n - half
+
+    def _pair_sum(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.crossJoin(b.select(F.col("y").alias("y2")))
+            .agg(
+                F.sum(F.abs(F.col("y") - F.col("y2")).cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .alias("s")
+            )
+        )
+
+    def _self_sum(a: DataFrame) -> DataFrame:
+        wi = Window.orderBy("y")
+        idx = a.select("y", F.row_number().over(wi).alias("i"))
+        return (
+            idx.alias("l")
+            .join(idx.alias("r"), F.col("l.i") < F.col("r.i"))
+            .agg(
+                (
+                    2
+                    * F.sum(
+                        F.abs(F.col("l.y") - F.col("r.y")).cast("decimal(38,0)")
+                    )
+                )
+                .cast("decimal(38,0)")
+                .alias("s")
+            )
+        )
+
+    sxy = _pair_sum(xs, ys).select(F.col("s").alias("sxy"))
+    sxx = _self_sum(xs).select(F.col("s").alias("sxx"))
+    syy = _self_sum(ys).select(F.col("s").alias("syy"))
+    m = spine.agg(
+        (
+            F.sum(F.col("y").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_y")
+    )
+    return (
+        sxy.crossJoin(sxx)
+        .crossJoin(syy)
+        .crossJoin(m)
+        .select(
+            F.lit(nx).cast("bigint").alias("n_x"),
+            F.lit(ny).cast("bigint").alias("n_y"),
+            F.round(
+                (
+                    2.0 * F.col("sxy").cast("double") / (nx * float(ny))
+                    - F.col("sxx").cast("double") / (nx * float(nx))
+                    - F.col("syy").cast("double") / (ny * float(ny))
+                )
+                / F.col("mean_y"),
+                6,
+            ).alias("rel_energy_distance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E-value sensitivity analysis (VanderWeele & Ding) — how strong an
+# unmeasured confounder would need to be to explain away an observed
+# risk ratio. 2x2: exposure = BUILDING market segment, outcome = has
+# an URGENT-priority order. RR is an exact rational; E-value =
+# RR* + sqrt(RR*·(RR*−1)) with RR* = max(RR, 1/RR) — pure IEEE
+# arithmetic on identical inputs.
+@_q(
+    "evalue_confounding_sensitivity",
+    """
+    WITH flags AS (
+      SELECT c.c_custkey,
+             CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS expo,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderpriority = '1-URGENT'
+             ) THEN 1 ELSE 0 END AS outc
+      FROM customer c
+    ),
+    cells AS (
+      SELECT CAST(SUM(CASE WHEN expo = 1 AND outc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN expo = 1 AND outc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN expo = 0 AND outc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN expo = 0 AND outc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM flags
+    ),
+    rr AS (
+      SELECT a, b, c, d,
+             (CAST(a AS DOUBLE) / (a + b)) / (CAST(c AS DOUBLE) / (c + d)) AS rr
+      FROM cells
+    ),
+    star AS (
+      SELECT a, b, c, d, rr,
+             CASE WHEN rr >= 1.0 THEN rr ELSE 1.0 / rr END AS rs
+      FROM rr
+    )
+    SELECT a, b, c, d,
+           round(rr, 6) AS risk_ratio,
+           round(rs + sqrt(rs * (rs - 1.0)), 6) AS e_value
+    FROM star
+    """,
+)
+def q_evalue_confounding_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    flags = cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left"
+    ).select(
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("expo"),
+        F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("outc"),
+    )
+    cells = flags.agg(
+        F.sum(F.when((F.col("expo") == 1) & (F.col("outc") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when((F.col("expo") == 1) & (F.col("outc") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("expo") == 0) & (F.col("outc") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when((F.col("expo") == 0) & (F.col("outc") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    rr = (F.col("a").cast("double") / (F.col("a") + F.col("b"))) / (
+        F.col("c").cast("double") / (F.col("c") + F.col("d"))
+    )
+    withrr = cells.select("a", "b", "c", "d", rr.alias("rr"))
+    rs = F.when(F.col("rr") >= 1.0, F.col("rr")).otherwise(1.0 / F.col("rr"))
+    return withrr.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(F.col("rr"), 6).alias("risk_ratio"),
+        F.round(rs + F.sqrt(rs * (rs - 1.0)), 6).alias("e_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch check — the first experiment-hygiene gate: a
+# chi-square goodness-of-fit of observed arm sizes against the planned
+# 50/50 split (arms = user parity over distinct event users). Exact
+# integer counts; the statistic is one rational expression.
+@_q(
+    "srm_sample_ratio_check",
+    """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    arms AS (
+      SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM users
+    )
+    SELECT na, nb,
+           round(CAST((na - nb) AS DOUBLE) * (na - nb) / (na + nb), 6)
+             AS srm_chi2,
+           CASE WHEN CAST((na - nb) AS DOUBLE) * (na - nb) / (na + nb) > 3.841
+                THEN 1 ELSE 0 END AS srm_flag
+    FROM arms
+    """,
+)
+def q_srm_sample_ratio_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    users = t(spark, sf_dir, "events").select("user_id").distinct()
+    arms = users.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    chi2 = (
+        (F.col("na") - F.col("nb")).cast("double")
+        * (F.col("na") - F.col("nb"))
+        / (F.col("na") + F.col("nb"))
+    )
+    return arms.select(
+        "na",
+        "nb",
+        F.round(chi2, 6).alias("srm_chi2"),
+        F.when(chi2 > 3.841, 1).otherwise(0).alias("srm_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bhattacharyya coefficient between the order-price distributions of
+# urgent vs non-urgent priorities over 20 fixed-width bins: BC =
+# Σ sqrt(p_i q_i). Bin masses are exact rationals; the 20 sqrt terms
+# are rounded to the 12-dp lattice and summed in DECIMAL (order-free).
+@_q(
+    "bhattacharyya_overlap",
+    """
+    WITH src AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'hi' ELSE 'lo' END AS grp,
+             least(CAST(floor(o_totalprice / 30000.0) AS INTEGER), 19) AS bin
+      FROM orders
+    ),
+    counts AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN grp = 'hi' THEN 1 ELSE 0 END) AS BIGINT) AS ch,
+             CAST(SUM(CASE WHEN grp = 'lo' THEN 1 ELSE 0 END) AS BIGINT) AS cl
+      FROM src GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(ch) AS DOUBLE) AS nh, CAST(SUM(cl) AS DOUBLE) AS nl
+      FROM counts
+    )
+    SELECT CAST(20 AS INT) AS n_bins,
+           round(CAST(SUM(CAST(round(
+             sqrt((ch / (SELECT nh FROM tot)) * (cl / (SELECT nl FROM tot))),
+             12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS bhattacharyya_coef
+    FROM counts
+    """,
+)
+def q_bhattacharyya_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    src = orders.select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hi"
+        )
+        .otherwise("lo")
+        .alias("grp"),
+        F.least(
+            F.floor(F.col("o_totalprice") / 30000.0).cast("int"), F.lit(19)
+        ).alias("bin"),
+    )
+    counts = src.groupBy("bin").agg(
+        F.sum(F.when(F.col("grp") == "hi", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ch"),
+        F.sum(F.when(F.col("grp") == "lo", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cl"),
+    )
+    tot = counts.agg(
+        F.sum("ch").cast("double").alias("nh"),
+        F.sum("cl").cast("double").alias("nl"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                F.sqrt(
+                    (F.col("ch") / F.col("nh")) * (F.col("cl") / F.col("nl"))
+                ),
+                12,
+            )
+            .cast("decimal(38,12)")
+            .alias("term")
+        )
+        .agg(
+            F.lit(20).cast("int").alias("n_bins"),
+            F.round(F.sum("term").cast("double"), 6).alias(
+                "bhattacharyya_coef"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lo-MacKinlay variance-ratio test (q = 5) on daily log revenue
+# returns — the classic random-walk diagnostic. Returns are rounded to
+# the 12-dp lattice and then handled as INTEGER micro-units (r·1e12 as
+# BIGINT), so every variance reduces to exact n·Σx² − (Σx)² decimal
+# algebra; the overlapping q-period sums are 5-term window sums of the
+# integer lattice. One fixed-order double assembly at the end.
+_VR_Q = 5
+
+_SQL_VR = f"""
+    WITH {_SQL_SPINE},
+    rets AS (
+      SELECT rn,
+             CAST(round(ln(CAST(y AS DOUBLE)
+                           / lag(y) OVER (ORDER BY rn)) * 1e12, 0) AS BIGINT)
+               AS r
+      FROM spine QUALIFY lag(y) OVER (ORDER BY rn) IS NOT NULL
+    ),
+    qsums AS (
+      SELECT rn,
+             CAST(SUM(r) OVER (ORDER BY rn ROWS BETWEEN {_VR_Q - 1} PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS rq,
+             COUNT(*) OVER (ORDER BY rn ROWS BETWEEN {_VR_Q - 1} PRECEDING
+                            AND CURRENT ROW) AS w
+      FROM rets
+    ),
+    s1 AS (
+      SELECT COUNT(*) AS n1,
+             CAST(SUM(CAST(r AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sr,
+             CAST(SUM(CAST(r AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS srr
+      FROM rets
+    ),
+    sq AS (
+      SELECT COUNT(*) AS m,
+             CAST(SUM(CAST(rq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq_,
+             CAST(SUM(CAST(rq AS DECIMAL(38,0)) * CAST(rq AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS sqq
+      FROM qsums WHERE w = {_VR_Q}
+    )
+    SELECT CAST({_VR_Q} AS INT) AS q,
+           CAST((SELECT n1 FROM s1) AS BIGINT) AS n_returns,
+           round(
+             ((CAST((SELECT m FROM sq) AS DOUBLE) * (SELECT sqq FROM sq)
+               - CAST((SELECT sq_ FROM sq) AS DOUBLE) * (SELECT sq_ FROM sq))
+              / (CAST((SELECT m FROM sq) AS DOUBLE)
+                 * ((SELECT m FROM sq) - 1)))
+             / ({_VR_Q}.0
+                * ((CAST((SELECT n1 FROM s1) AS DOUBLE) * (SELECT srr FROM s1)
+                    - CAST((SELECT sr FROM s1) AS DOUBLE) * (SELECT sr FROM s1))
+                   / (CAST((SELECT n1 FROM s1) AS DOUBLE)
+                      * ((SELECT n1 FROM s1) - 1)))), 6) AS variance_ratio
+"""
+
+
+@_q("variance_ratio_test", _SQL_VR)
+def q_variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir)
+    wo = Window.orderBy("rn")
+    rets = (
+        spine.select(
+            "rn",
+            F.round(
+                F.log(F.col("y").cast("double") / F.lag("y").over(wo)) * 1e12,
+                0,
+            )
+            .cast("bigint")
+            .alias("r"),
+            F.lag("y").over(wo).alias("yp"),
+        )
+        .where(F.col("yp").isNotNull())
+        .drop("yp")
+    )
+    wq = Window.orderBy("rn").rowsBetween(-(_VR_Q - 1), 0)
+    qsums = rets.select(
+        F.sum("r").over(wq).cast("bigint").alias("rq"),
+        F.count(F.lit(1)).over(wq).alias("w"),
+    ).where(F.col("w") == _VR_Q)
+    s1 = rets.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum(F.col("r").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sr"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("r").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("srr"),
+    )
+    sq = qsums.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("rq").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sq_"),
+        F.sum(
+            F.col("rq").cast("decimal(38,0)") * F.col("rq").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("sqq"),
+    )
+    var1 = (
+        F.col("n1").cast("double") * F.col("srr")
+        - F.col("sr").cast("double") * F.col("sr")
+    ) / (F.col("n1").cast("double") * (F.col("n1") - 1))
+    varq = (
+        F.col("m").cast("double") * F.col("sqq")
+        - F.col("sq_").cast("double") * F.col("sq_")
+    ) / (F.col("m").cast("double") * (F.col("m") - 1))
+    return s1.crossJoin(sq).select(
+        F.lit(_VR_Q).cast("int").alias("q"),
+        F.col("n1").cast("bigint").alias("n_returns"),
+        F.round(varq / (float(_VR_Q) * var1), 6).alias("variance_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discrete Fréchet distance of each user's 16-step event-value profile
+# against the reference user — the coupled "dog-walk" metric
+# (max-over-path of pointwise distance, vs DTW's sum). Same integer
+# cents lattice and nested-fold DP as dtw_profile_distance
+# (`timeseries_queries.py`), with the max/min recurrence
+# F(i,j) = max(|a_i−b_j|, min(F(i−1,j), F(i−1,j−1), F(i,j−1))).
+_FR_LEN = 16
+_FR_INF = 1 << 40
+
+_SQL_FRECHET = f"""
+    WITH RECURSIVE ranked AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events
+    ),
+    ser AS MATERIALIZED (
+      SELECT user_id, list(v ORDER BY rn) AS s
+      FROM ranked WHERE rn <= {_FR_LEN} GROUP BY user_id
+    ),
+    ref AS (SELECT s AS r FROM ser
+            WHERE user_id = (SELECT min(user_id) FROM ser)),
+    dp AS (
+      SELECT user_id, 1 AS i, s, r,
+             list_reduce(
+               [[]] || list_transform(r, e -> [e]),
+               (acc, it) -> list_append(acc,
+                 greatest(abs(s[1] - r[len(acc) + 1]),
+                          CASE WHEN len(acc) = 0 THEN CAST(0 AS BIGINT)
+                               ELSE acc[-1] END))
+             ) AS row
+      FROM ser CROSS JOIN ref
+      UNION ALL
+      SELECT user_id, i + 1, s, r,
+             list_reduce(
+               [[]] || list_transform(r, e -> [e]),
+               (acc, it) -> list_append(acc,
+                 greatest(abs(s[i + 1] - r[len(acc) + 1]),
+                          least(row[len(acc) + 1],
+                                CASE WHEN len(acc) = 0 THEN {_FR_INF}
+                                     ELSE least(row[len(acc)], acc[-1])
+                                END)))
+             ) AS row
+      FROM dp WHERE i < len(s)
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(len(s) AS BIGINT) AS n_points,
+           CAST(row[-1] AS BIGINT) AS frechet_cents
+    FROM dp WHERE i = len(s)
+    ORDER BY frechet_cents, user_id LIMIT 20
+"""
+
+
+@_q("discrete_frechet_distance", _SQL_FRECHET)
+def q_discrete_frechet_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ranked = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") <= _FR_LEN)
+    ser = ranked.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("rn", "v"))), lambda s: s["v"]
+        ).alias("s")
+    )
+    ref = ser.orderBy("user_id").limit(1).select(F.col("s").alias("r"))
+
+    empty = F.expr("array()").cast("array<bigint>")
+
+    def _base(x1, r):
+        return F.aggregate(
+            r,
+            empty,
+            lambda acc, _e: F.concat(
+                acc,
+                F.array(
+                    F.greatest(
+                        F.abs(x1 - F.element_at(r, (F.size(acc) + 1).cast("int"))),
+                        F.when(
+                            F.size(acc) == 0, F.lit(0).cast("bigint")
+                        ).otherwise(F.element_at(acc, -1)),
+                    )
+                ),
+            ),
+        )
+
+    def _step(p, xv, r):
+        return F.aggregate(
+            r,
+            empty,
+            lambda acc, _e: F.concat(
+                acc,
+                F.array(
+                    F.greatest(
+                        F.abs(xv - F.element_at(r, (F.size(acc) + 1).cast("int"))),
+                        F.least(
+                            F.element_at(p, (F.size(acc) + 1).cast("int")),
+                            F.when(
+                                F.size(acc) == 0, F.lit(_FR_INF).cast("bigint")
+                            ).otherwise(
+                                F.least(
+                                    F.element_at(p, F.size(acc).cast("int")),
+                                    F.element_at(acc, -1),
+                                )
+                            ),
+                        ),
+                    )
+                ),
+            ),
+        )
+
+    s, r = F.col("s"), F.col("r")
+    dp = F.aggregate(
+        F.slice(s, 2, _FR_LEN),
+        _base(F.element_at(s, 1), r),
+        lambda p, xv: _step(p, xv, r),
+    )
+    return (
+        ser.crossJoin(F.broadcast(ref))
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.size("s").cast("bigint").alias("n_points"),
+            F.element_at(dp, -1).cast("bigint").alias("frechet_cents"),
+        )
+        .orderBy("frechet_cents", "user_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile treatment effects — per-decile difference between the
+# urgent-priority and regular order-price distributions, using EXACT
+# order statistics (value at rank ceil(d·n/10) under the deterministic
+# (price, orderkey) order; no interpolation, so both engines pick the
+# identical row — the house percentile discipline).
+_SQL_QTE = """
+    WITH src AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'treat' ELSE 'control' END AS arm,
+             o_totalprice AS p, o_orderkey AS k
+      FROM orders
+    ),
+    ranked AS (
+      SELECT arm, p,
+             row_number() OVER (PARTITION BY arm ORDER BY p, k) AS rnk,
+             COUNT(*) OVER (PARTITION BY arm) AS n
+      FROM src
+    ),
+    deciles AS (SELECT unnest(generate_series(1, 9)) AS d),
+    picks AS (
+      SELECT d.d, r.arm, r.p
+      FROM ranked r JOIN deciles d
+        ON r.rnk = CAST(ceil(d.d * r.n / 10.0) AS BIGINT)
+    )
+    SELECT CAST(d AS INT) AS decile,
+           CAST(MAX(CASE WHEN arm = 'treat' THEN p END) AS DOUBLE) AS q_treat,
+           CAST(MAX(CASE WHEN arm = 'control' THEN p END) AS DOUBLE) AS q_control,
+           CAST(MAX(CASE WHEN arm = 'treat' THEN p END)
+                - MAX(CASE WHEN arm = 'control' THEN p END) AS DOUBLE) AS qte
+    FROM picks GROUP BY d
+"""
+
+
+@_q("quantile_treatment_effects", _SQL_QTE)
+def q_quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    src = orders.select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "treat"
+        )
+        .otherwise("control")
+        .alias("arm"),
+        F.col("o_totalprice").alias("p"),
+        F.col("o_orderkey").alias("k"),
+    )
+    wa = Window.partitionBy("arm")
+    ranked = src.select(
+        "arm",
+        "p",
+        F.row_number().over(wa.orderBy("p", "k")).alias("rnk"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+    )
+    deciles = spark.range(1, 10).select(F.col("id").cast("int").alias("d"))
+    picks = ranked.join(
+        F.broadcast(deciles),
+        F.col("rnk")
+        == F.ceil(F.col("d") * F.col("n") / 10.0).cast("bigint"),
+    )
+    qt = F.max(F.when(F.col("arm") == "treat", F.col("p")))
+    qc = F.max(F.when(F.col("arm") == "control", F.col("p")))
+    return picks.groupBy(F.col("d").cast("int").alias("decile")).agg(
+        qt.cast("double").alias("q_treat"),
+        qc.cast("double").alias("q_control"),
+        (qt - qc).cast("double").alias("qte"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weisfeiler-Leman color refinement (3 rounds) over the guarded
+# co-supply graph — the graph-isomorphism workhorse (GNN expressivity
+# baseline): each round rehashes every node's color with the sorted
+# multiset of its neighbors' colors; the census tracks how fast the
+# color partition refines. Hashing is md5 over a canonical string
+# (own color || '|' || comma-joined sorted neighbor colors) —
+# identical bytes in both engines.
+_WL_ROUNDS = 3
+
+
+def _sql_wl() -> str:
+    ctes = [
+        _EDGES_CTE.strip().rstrip(),
+        """c0 AS MATERIALIZED (
+      SELECT src AS node, 'd' || CAST(COUNT(*) AS VARCHAR) AS c
+      FROM edges GROUP BY src
+    )""",
+    ]
+    for k in range(_WL_ROUNDS):
+        ctes.append(
+            f"""c{k + 1} AS MATERIALIZED (
+      SELECT o.node,
+             substring(md5(o.c || '|' || m.sig), 1, 16) AS c
+      FROM c{k} o
+      JOIN (
+        SELECT e.dst AS node, string_agg(l.c, ',' ORDER BY l.c) AS sig
+        FROM c{k} l JOIN edges e ON e.src = l.node
+        GROUP BY e.dst
+      ) m ON m.node = o.node
+    )"""
+        )
+    sel = "\n      UNION ALL ".join(
+        f"""SELECT {k} AS round, COUNT(DISTINCT c) AS n_colors,
+             MAX(cnt) AS largest_class
+      FROM (SELECT c, COUNT(*) AS cnt FROM c{k} GROUP BY c)"""
+        for k in range(_WL_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(round AS INT) AS round,
+           CAST(n_colors AS BIGINT) AS n_colors,
+           CAST(largest_class AS BIGINT) AS largest_class
+    FROM ({sel}) ORDER BY round
+    """
+    )
+
+
+@_q("weisfeiler_leman_colors", _sql_wl())
+def q_weisfeiler_leman_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eu = _undirected_edges(spark, sf_dir)
+    edges = (
+        eu.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(eu.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    colors = edges.groupBy(F.col("src").alias("node")).agg(
+        F.concat(F.lit("d"), F.count(F.lit(1)).cast("string")).alias("c")
+    )
+    rounds = [colors]
+    for _ in range(_WL_ROUNDS):
+        prev = rounds[-1]
+        sig = (
+            prev.join(edges, prev.node == edges.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.concat_ws(",", F.sort_array(F.collect_list("c"))).alias("sig")
+            )
+        )
+        nxt = (
+            prev.join(sig, "node")
+            .select(
+                "node",
+                F.substring(
+                    F.md5(F.concat(F.col("c"), F.lit("|"), F.col("sig"))), 1, 16
+                ).alias("c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        rounds.append(nxt)
+    out = None
+    for k, cdf in enumerate(rounds):
+        census = (
+            cdf.groupBy("c")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(
+                F.lit(k).cast("int").alias("round"),
+                F.count(F.lit(1)).cast("bigint").alias("n_colors"),
+                F.max("cnt").cast("bigint").alias("largest_class"),
+            )
+        )
+        out = census if out is None else out.unionByName(census)
+    return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Econometric trio (Newey-West HAC, Phillips-Perron, Cochrane-Orcutt).
+# House determinism scheme: the OLS coefficients come from EXACT
+# integer sufficient statistics (cents x day-index sums in
+# DECIMAL(38,0)), so the per-row residuals are pure-arithmetic doubles
+# computed from identical inputs with identical expression trees —
+# bit-identical in both engines (no transcendentals anywhere). The
+# only cross-engine surface is summation ORDER of those doubles, which
+# the usual per-term round -> DECIMAL sum removes. Magnitudes are kept
+# in O(1..1e6) by working in scaled units (ys = y/1e8 = revenue in
+# $1e6), so round(x, 6) sits far above the doubles' ulp and the
+# round-then-cast is loss-free deterministic (the r15 "round only
+# O(1..1e6)-magnitude outputs" rule).
+
+_NW_LAGS = 4
+_YS = 1e8  # cents -> $1e6 units
+
+
+def _sql_trend_stats() -> str:
+    """Exact integer sufficient statistics of the y-on-t regression."""
+    return """
+    stats AS MATERIALIZED (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(rn AS DECIMAL(38,0))) AS DOUBLE) AS st,
+             CAST(SUM(CAST(rn AS DECIMAL(38,0)) * CAST(rn AS DECIMAL(38,0)))
+                  AS DOUBLE) AS stt,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(rn AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                  AS DOUBLE) AS sty
+      FROM spine
+    ),
+    coefs AS MATERIALIZED (
+      SELECT n, st, stt, sy, sty,
+             (n * sty - st * sy) / (n * stt - st * st) / 1e8 AS b,
+             (sy / 1e8 - (n * sty - st * sy) / (n * stt - st * st) / 1e8 * st)
+               / n AS a,
+             st / n AS xbar
+      FROM stats
+    ),
+    resid AS MATERIALIZED (
+      SELECT s.rn,
+             CAST(s.y AS DOUBLE) / 1e8 - c.a - c.b * s.rn AS e,
+             (s.rn - c.xbar) AS tc
+      FROM spine s CROSS JOIN coefs c
+    )
+"""
+
+
+@_q(
+    "newey_west_hac_se",
+    f"""
+    WITH {_SQL_SPINE},
+    {_sql_trend_stats().strip()},
+    lags AS (SELECT unnest(generate_series(0, {_NW_LAGS})) AS j),
+    gam AS (
+      SELECT l.j,
+             CAST(SUM(CAST(round(a.tc * a.e * b.tc * b.e, 6)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS g
+      FROM resid a
+      CROSS JOIN lags l
+      JOIN resid b ON b.rn = a.rn - l.j
+      GROUP BY l.j
+    ),
+    omega AS (
+      SELECT CAST(SUM(CAST(round(
+               CASE WHEN j = 0 THEN g
+                    ELSE 2.0 * (1.0 - j / ({_NW_LAGS} + 1.0)) * g END, 6)
+               AS DECIMAL(38,6))) AS DOUBLE) AS om
+      FROM gam
+    ),
+    ess AS (
+      SELECT CAST(SUM(CAST(round(e * e, 9) AS DECIMAL(38,9))) AS DOUBLE) AS see
+      FROM resid
+    ),
+    sxx AS (
+      SELECT (stt - st * st / n) AS sxx, n FROM stats
+    )
+    SELECT CAST((SELECT n FROM sxx) AS BIGINT) AS n_days,
+           round((SELECT b FROM coefs), 6) AS trend_musd_per_day,
+           round(sqrt((SELECT see FROM ess)
+                      / ((SELECT n FROM sxx) - 2)
+                      / (SELECT sxx FROM sxx)), 6) AS se_ols,
+           round(sqrt((SELECT om FROM omega))
+                 / (SELECT sxx FROM sxx), 6) AS se_hac,
+           round((sqrt((SELECT om FROM omega)) / (SELECT sxx FROM sxx))
+                 / sqrt((SELECT see FROM ess)
+                        / ((SELECT n FROM sxx) - 2)
+                        / (SELECT sxx FROM sxx)), 6) AS hac_inflation
+    """,
+)
+def q_newey_west_hac_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir)
+    stats = spine.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rn").cast("decimal(38,0)")).cast("double").alias("st"),
+        F.sum(F.col("rn").cast("decimal(38,0)") * F.col("rn").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("stt"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(F.col("rn").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sty"),
+    )
+    b = (
+        (F.col("n") * F.col("sty") - F.col("st") * F.col("sy"))
+        / (F.col("n") * F.col("stt") - F.col("st") * F.col("st"))
+        / _YS
+    )
+    coefs = stats.select(
+        "n",
+        "st",
+        "stt",
+        b.alias("b"),
+        ((F.col("sy") / _YS - b * F.col("st")) / F.col("n")).alias("a"),
+        (F.col("st") / F.col("n")).alias("xbar"),
+    )
+    resid = spine.crossJoin(F.broadcast(coefs)).select(
+        "rn",
+        "n",
+        "st",
+        "stt",
+        "b",
+        (F.col("y").cast("double") / _YS - F.col("a") - F.col("b") * F.col("rn"))
+        .alias("e"),
+        (F.col("rn") - F.col("xbar")).alias("tc"),
+    )
+    lags = spark.range(_NW_LAGS + 1).select(F.col("id").cast("int").alias("j"))
+    rb = resid.select(
+        F.col("rn").alias("rn2"), F.col("e").alias("e2"), F.col("tc").alias("tc2")
+    )
+    gam = (
+        resid.crossJoin(F.broadcast(lags))
+        .join(rb, F.col("rn2") == F.col("rn") - F.col("j"))
+        .groupBy("j")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("tc") * F.col("e") * F.col("tc2") * F.col("e2"), 6
+                ).cast("decimal(38,6)")
+            )
+            .cast("double")
+            .alias("g")
+        )
+    )
+    omega = gam.agg(
+        F.sum(
+            F.round(
+                F.when(F.col("j") == 0, F.col("g")).otherwise(
+                    2.0 * (1.0 - F.col("j") / (_NW_LAGS + 1.0)) * F.col("g")
+                ),
+                6,
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("om")
+    )
+    ess = resid.agg(
+        F.sum(F.round(F.col("e") * F.col("e"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("see")
+    )
+    sxx = stats.select(
+        (F.col("stt") - F.col("st") * F.col("st") / F.col("n")).alias("sxx"),
+        "n",
+    )
+    se_ols = F.sqrt(
+        F.col("see") / (F.col("n") - 2) / F.col("sxx")
+    )
+    se_hac = F.sqrt(F.col("om")) / F.col("sxx")
+    return (
+        coefs.select("b")
+        .crossJoin(omega)
+        .crossJoin(ess)
+        .crossJoin(sxx)
+        .select(
+            F.col("n").cast("bigint").alias("n_days"),
+            F.round(F.col("b"), 6).alias("trend_musd_per_day"),
+            F.round(se_ols, 6).alias("se_ols"),
+            F.round(se_hac, 6).alias("se_hac"),
+            F.round(se_hac / se_ols, 6).alias("hac_inflation"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phillips-Perron unit-root test (Z_tau) on daily revenue: the
+# Dickey-Fuller regression dy_t = alpha + pi*y_{t-1} + e_t, with the
+# serial-correlation correction built from the Newey-West long-run
+# variance of the residuals. Same exact-integer-coefficients +
+# bit-identical-residuals scheme as newey_west_hac_se; lambda^2 and
+# gamma_0 are lattice-summed, the Z_tau assembly is one fixed
+# expression (Hamilton 17.6.12 form).
+@_q(
+    "phillips_perron_test",
+    f"""
+    WITH {_SQL_SPINE},
+    pairs AS MATERIALIZED (
+      SELECT a.rn,
+             CAST(a.y AS DOUBLE) / 1e8 AS dy8,
+             CAST(b.y AS DOUBLE) / 1e8 AS x8,
+             a.y AS ya, b.y AS yb
+      FROM spine a JOIN spine b ON b.rn = a.rn - 1
+    ),
+    stats AS MATERIALIZED (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(yb AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(yb AS DECIMAL(38,0)) * CAST(yb AS DECIMAL(38,0)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ya AS DECIMAL(38,0)) - CAST(yb AS DECIMAL(38,0)))
+                  AS DOUBLE) AS sd,
+             CAST(SUM((CAST(ya AS DECIMAL(38,0)) - CAST(yb AS DECIMAL(38,0)))
+                      * CAST(yb AS DECIMAL(38,0))) AS DOUBLE) AS sxd
+      FROM pairs
+    ),
+    coefs AS MATERIALIZED (
+      SELECT n, sx, sxx,
+             (n * sxd - sx * sd) / (n * sxx - sx * sx) AS pi,
+             (sd / 1e8 - (n * sxd - sx * sd) / (n * sxx - sx * sx)
+                        * sx / 1e8) / n AS a,
+             (sxx - sx * sx / n) / 1e16 AS sxxc
+      FROM stats
+    ),
+    resid AS MATERIALIZED (
+      SELECT p.rn, (p.dy8 - p.x8) - c.a - c.pi * p.x8 AS e
+      FROM pairs p CROSS JOIN coefs c
+    ),
+    lags AS (SELECT unnest(generate_series(0, {_NW_LAGS})) AS j),
+    gam AS (
+      SELECT l.j,
+             CAST(SUM(CAST(round(a.e * b.e, 9) AS DECIMAL(38,9))) AS DOUBLE)
+               / (SELECT n FROM coefs) AS g
+      FROM resid a CROSS JOIN lags l JOIN resid b ON b.rn = a.rn - l.j
+      GROUP BY l.j
+    ),
+    lrv AS (
+      SELECT CAST(SUM(CAST(round(
+               CASE WHEN j = 0 THEN g
+                    ELSE 2.0 * (1.0 - j / ({_NW_LAGS} + 1.0)) * g END, 12)
+               AS DECIMAL(38,12))) AS DOUBLE) AS lam2,
+             MAX(CASE WHEN j = 0 THEN g END) AS g0
+      FROM gam
+    )
+    SELECT CAST((SELECT n FROM coefs) AS BIGINT) AS n_obs,
+           round((SELECT pi FROM coefs), 6) AS pi_hat,
+           round((SELECT pi FROM coefs)
+                 / (sqrt((SELECT g0 FROM lrv)
+                         * (SELECT n FROM coefs)
+                         / ((SELECT n FROM coefs) - 2))
+                    / sqrt((SELECT sxxc FROM coefs))), 6) AS t_stat,
+           round(sqrt((SELECT g0 FROM lrv) / (SELECT lam2 FROM lrv))
+                 * ((SELECT pi FROM coefs)
+                    / (sqrt((SELECT g0 FROM lrv)
+                            * (SELECT n FROM coefs)
+                            / ((SELECT n FROM coefs) - 2))
+                       / sqrt((SELECT sxxc FROM coefs))))
+                 - ((SELECT lam2 FROM lrv) - (SELECT g0 FROM lrv))
+                   * (SELECT n FROM coefs)
+                   / (2.0 * sqrt((SELECT lam2 FROM lrv))
+                      * sqrt((SELECT sxxc FROM coefs))
+                      * sqrt((SELECT n FROM coefs) / ((SELECT n FROM coefs) - 2.0))),
+                 6) AS z_tau
+    """,
+)
+def q_phillips_perron_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir)
+    b = spine.select(F.col("rn").alias("rn2"), F.col("y").alias("yb"))
+    pairs = spine.join(b, F.col("rn2") == F.col("rn") - 1).select(
+        "rn",
+        (F.col("y").cast("double") / _YS).alias("dy8"),
+        (F.col("yb").cast("double") / _YS).alias("x8"),
+        F.col("y").alias("ya"),
+        "yb",
+    )
+    stats = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("yb").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("yb").cast("decimal(38,0)") * F.col("yb").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("ya").cast("decimal(38,0)") - F.col("yb").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sd"),
+        F.sum(
+            (F.col("ya").cast("decimal(38,0)") - F.col("yb").cast("decimal(38,0)"))
+            * F.col("yb").cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("sxd"),
+    )
+    pi = (F.col("n") * F.col("sxd") - F.col("sx") * F.col("sd")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    coefs = stats.select(
+        "n",
+        pi.alias("pi"),
+        ((F.col("sd") / _YS - pi * F.col("sx") / _YS) / F.col("n")).alias("a"),
+        ((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (_YS * _YS))
+        .alias("sxxc"),
+    )
+    resid = pairs.crossJoin(F.broadcast(coefs)).select(
+        "rn",
+        "n",
+        "pi",
+        "sxxc",
+        ((F.col("dy8") - F.col("x8")) - F.col("a") - F.col("pi") * F.col("x8"))
+        .alias("e"),
+    )
+    lags = spark.range(_NW_LAGS + 1).select(F.col("id").cast("int").alias("j"))
+    rb = resid.select(F.col("rn").alias("rn2"), F.col("e").alias("e2"))
+    gam = (
+        resid.crossJoin(F.broadcast(lags))
+        .join(rb, F.col("rn2") == F.col("rn") - F.col("j"))
+        .groupBy("j", "n")
+        .agg(
+            (
+                F.sum(F.round(F.col("e") * F.col("e2"), 9).cast("decimal(38,9)"))
+                .cast("double")
+                / F.col("n")
+            ).alias("g")
+        )
+    )
+    lrv = gam.agg(
+        F.sum(
+            F.round(
+                F.when(F.col("j") == 0, F.col("g")).otherwise(
+                    2.0 * (1.0 - F.col("j") / (_NW_LAGS + 1.0)) * F.col("g")
+                ),
+                12,
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("lam2"),
+        F.max(F.when(F.col("j") == 0, F.col("g"))).alias("g0"),
+    )
+    out = coefs.crossJoin(lrv)
+    s_reg = F.sqrt(F.col("g0") * F.col("n") / (F.col("n") - 2))
+    se_pi = s_reg / F.sqrt(F.col("sxxc"))
+    t_stat = F.col("pi") / se_pi
+    z_tau = F.sqrt(F.col("g0") / F.col("lam2")) * t_stat - (
+        F.col("lam2") - F.col("g0")
+    ) * F.col("n") / (
+        2.0
+        * F.sqrt(F.col("lam2"))
+        * F.sqrt(F.col("sxxc"))
+        * F.sqrt(F.col("n") / (F.col("n") - 2.0))
+    )
+    return out.select(
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round(F.col("pi"), 6).alias("pi_hat"),
+        F.round(t_stat, 6).alias("t_stat"),
+        F.round(z_tau, 6).alias("z_tau"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cochrane-Orcutt AR(1) correction for the revenue-on-time trend: the
+# serial-correlation-aware sibling of the plain OLS trend. Step 1 OLS
+# comes from exact integer sums; rho is the lattice-summed residual
+# lag-1 autocorrelation; step 2 re-runs OLS on the quasi-differenced
+# series (y_t - rho*y_{t-1} on t - rho*(t-1)) whose per-row values are
+# bit-identical doubles, lattice-summed.
+@_q(
+    "cochrane_orcutt_ar1",
+    f"""
+    WITH {_SQL_SPINE},
+    {_sql_trend_stats().strip()},
+    rsums AS (
+      SELECT CAST(SUM(CAST(round(a.e * b.e, 9) AS DECIMAL(38,9))) AS DOUBLE) AS s01,
+             CAST(SUM(CAST(round(b.e * b.e, 9) AS DECIMAL(38,9))) AS DOUBLE) AS s11
+      FROM resid a JOIN resid b ON b.rn = a.rn - 1
+    ),
+    rho AS (SELECT s01 / s11 AS rho FROM rsums),
+    trans AS (
+      SELECT a.rn,
+             CAST(a.y AS DOUBLE) / 1e8
+               - (SELECT rho FROM rho) * CAST(b.y AS DOUBLE) / 1e8 AS ys,
+             a.rn - (SELECT rho FROM rho) * (a.rn - 1) AS xs
+      FROM spine a JOIN spine b ON b.rn = a.rn - 1
+    ),
+    tsum AS (
+      SELECT COUNT(*) AS m,
+             CAST(SUM(CAST(round(xs, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(round(xs * xs, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(round(ys, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(round(xs * ys, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxy
+      FROM trans
+    )
+    SELECT CAST((SELECT n FROM stats) AS BIGINT) AS n_days,
+           round((SELECT rho FROM rho), 6) AS rho_hat,
+           round((SELECT b FROM coefs), 6) AS beta_ols,
+           round(((SELECT m FROM tsum) * (SELECT sxy FROM tsum)
+                  - (SELECT sx FROM tsum) * (SELECT sy FROM tsum))
+                 / ((SELECT m FROM tsum) * (SELECT sxx FROM tsum)
+                    - (SELECT sx FROM tsum) * (SELECT sx FROM tsum)), 6)
+             AS beta_co
+    """,
+)
+def q_cochrane_orcutt_ar1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir)
+    stats = spine.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rn").cast("decimal(38,0)")).cast("double").alias("st"),
+        F.sum(F.col("rn").cast("decimal(38,0)") * F.col("rn").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("stt"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(F.col("rn").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sty"),
+    )
+    b = (
+        (F.col("n") * F.col("sty") - F.col("st") * F.col("sy"))
+        / (F.col("n") * F.col("stt") - F.col("st") * F.col("st"))
+        / _YS
+    )
+    coefs = stats.select(
+        "n",
+        b.alias("b"),
+        ((F.col("sy") / _YS - b * F.col("st")) / F.col("n")).alias("a"),
+    )
+    resid = spine.crossJoin(F.broadcast(coefs)).select(
+        "rn",
+        "n",
+        "b",
+        (F.col("y").cast("double") / _YS - F.col("a") - F.col("b") * F.col("rn"))
+        .alias("e"),
+    )
+    rb = resid.select(F.col("rn").alias("rn2"), F.col("e").alias("e2"))
+    rsums = resid.join(rb, F.col("rn2") == F.col("rn") - 1).agg(
+        F.sum(F.round(F.col("e") * F.col("e2"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("s01"),
+        F.sum(F.round(F.col("e2") * F.col("e2"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("s11"),
+    )
+    rho = rsums.select((F.col("s01") / F.col("s11")).alias("rho"))
+    bsp = spine.select(F.col("rn").alias("rn2"), F.col("y").alias("yb"))
+    trans = (
+        spine.join(bsp, F.col("rn2") == F.col("rn") - 1)
+        .crossJoin(F.broadcast(rho))
+        .select(
+            (
+                F.col("y").cast("double") / _YS
+                - F.col("rho") * F.col("yb").cast("double") / _YS
+            ).alias("ys"),
+            (F.col("rn") - F.col("rho") * (F.col("rn") - 1)).alias("xs"),
+        )
+    )
+    tsum = trans.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.round(F.col("xs"), 9).cast("decimal(38,9)")).cast("double").alias("sx"),
+        F.sum(F.round(F.col("xs") * F.col("xs"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("ys"), 9).cast("decimal(38,9)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("xs") * F.col("ys"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    beta_co = (
+        F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return (
+        stats.select("n")
+        .crossJoin(rho)
+        .crossJoin(coefs.select("b"))
+        .crossJoin(tsum)
+        .select(
+            F.col("n").cast("bigint").alias("n_days"),
+            F.round(F.col("rho"), 6).alias("rho_hat"),
+            F.round(F.col("b"), 6).alias("beta_ols"),
+            F.round(beta_co, 6).alias("beta_co"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lomb-Scargle periodogram — spectral power on an IRREGULARLY sampled
+# series (the classic astronomy estimator; the registry's DFT queries
+# assume regular sampling). The irregular grid is real: only days with
+# an ODD order count enter (≈half the calendar, gap structure varies).
+# Determinism: the series is standardized on a 6-dp lattice from exact
+# integer moments; every transcendental term (cos/sin at identical
+# double args, ω baked as a repr literal) is rounded to the 12-dp
+# lattice and summed in DECIMAL — the house spectral discipline. The
+# phase offset tau comes from the first-pass decimal sums via atan2.
+import math as _math
+
+_LS_PERIODS = (7.0, 30.0, 91.0, 365.0)
+
+
+def _sql_lomb_scargle() -> str:
+    per_freq = []
+    for T in _LS_PERIODS:
+        w = 2.0 * _math.pi / T
+        w2 = 2.0 * w
+        per_freq.append(
+            f"""(
+      SELECT {T!r} AS period,
+             p2.m,
+             round(0.5 * (p2.zc * p2.zc / p2.cc + p2.zs * p2.zs / p2.ss), 6)
+               AS power
+      FROM (
+        SELECT COUNT(*) AS m,
+               CAST(SUM(CAST(round(z * cos({w!r} * tt - (SELECT ph FROM (
+                 SELECT atan2(
+                   CAST(SUM(CAST(round(sin({w2!r} * tt), 12) AS DECIMAL(38,12))) AS DOUBLE),
+                   CAST(SUM(CAST(round(cos({w2!r} * tt), 12) AS DECIMAL(38,12))) AS DOUBLE)
+                 ) / 2.0 AS ph FROM zser))), 12) AS DECIMAL(38,12))) AS DOUBLE) AS zc,
+               CAST(SUM(CAST(round(z * sin({w!r} * tt - (SELECT ph FROM (
+                 SELECT atan2(
+                   CAST(SUM(CAST(round(sin({w2!r} * tt), 12) AS DECIMAL(38,12))) AS DOUBLE),
+                   CAST(SUM(CAST(round(cos({w2!r} * tt), 12) AS DECIMAL(38,12))) AS DOUBLE)
+                 ) / 2.0 AS ph FROM zser))), 12) AS DECIMAL(38,12))) AS DOUBLE) AS zs,
+               CAST(SUM(CAST(round(pow(cos({w!r} * tt - (SELECT ph FROM (
+                 SELECT atan2(
+                   CAST(SUM(CAST(round(sin({w2!r} * tt), 12) AS DECIMAL(38,12))) AS DOUBLE),
+                   CAST(SUM(CAST(round(cos({w2!r} * tt), 12) AS DECIMAL(38,12))) AS DOUBLE)
+                 ) / 2.0 AS ph FROM zser))), 2), 12) AS DECIMAL(38,12))) AS DOUBLE) AS cc,
+               CAST(SUM(CAST(round(pow(sin({w!r} * tt - (SELECT ph FROM (
+                 SELECT atan2(
+                   CAST(SUM(CAST(round(sin({w2!r} * tt), 12) AS DECIMAL(38,12))) AS DOUBLE),
+                   CAST(SUM(CAST(round(cos({w2!r} * tt), 12) AS DECIMAL(38,12))) AS DOUBLE)
+                 ) / 2.0 AS ph FROM zser))), 2), 12) AS DECIMAL(38,12))) AS DOUBLE) AS ss
+        FROM zser
+      ) p2
+    )"""
+        )
+    sel = "\n    UNION ALL ".join(per_freq)
+    return f"""
+    WITH dailyc AS (
+      SELECT o_orderdate AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y,
+             COUNT(*) AS c
+      FROM orders GROUP BY 1
+    ),
+    spine AS (
+      SELECT row_number() OVER (ORDER BY d) AS rn, y, c FROM dailyc
+    ),
+    sub AS MATERIALIZED (SELECT rn, y FROM spine WHERE c % 2 = 1),
+    mom AS (
+      SELECT COUNT(*) AS m,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                  AS DOUBLE) AS ss
+      FROM sub
+    ),
+    zser AS MATERIALIZED (
+      SELECT CAST(rn AS DOUBLE) AS tt,
+             round((CAST(y AS DOUBLE) - (SELECT s / m FROM mom))
+                   / sqrt(((SELECT m FROM mom) * (SELECT ss FROM mom)
+                           - (SELECT s FROM mom) * (SELECT s FROM mom))
+                          / (CAST((SELECT m FROM mom) AS DOUBLE)
+                             * ((SELECT m FROM mom) - 1))), 6) AS z
+      FROM sub
+    )
+    SELECT period, CAST(m AS BIGINT) AS n_samples, power
+    FROM ({sel}) ORDER BY period
+    """
+
+
+@_q("lomb_scargle_periodogram", _sql_lomb_scargle())
+def q_lomb_scargle_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    dailyc = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("y"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    spine = dailyc.select(
+        F.row_number().over(Window.orderBy("d")).alias("rn"), "y", "c"
+    )
+    sub = spine.where(F.col("c") % 2 == 1).select("rn", "y")
+    mom = sub.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("s"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    zser = (
+        sub.crossJoin(F.broadcast(mom))
+        .select(
+            F.col("rn").cast("double").alias("tt"),
+            F.round(
+                (F.col("y").cast("double") - F.col("s") / F.col("m"))
+                / F.sqrt(
+                    (F.col("m") * F.col("ss") - F.col("s") * F.col("s"))
+                    / (F.col("m").cast("double") * (F.col("m") - 1))
+                ),
+                6,
+            ).alias("z"),
+            F.col("m"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _d12(col):
+        return F.sum(F.round(col, 12).cast("decimal(38,12)")).cast("double")
+
+    out = None
+    for T in _LS_PERIODS:
+        w = 2.0 * _math.pi / T
+        w2 = 2.0 * w
+        p1 = zser.agg(
+            _d12(F.sin(F.lit(w2) * F.col("tt"))).alias("s2"),
+            _d12(F.cos(F.lit(w2) * F.col("tt"))).alias("c2"),
+        ).select((F.atan2(F.col("s2"), F.col("c2")) / 2.0).alias("ph"))
+        arg = F.lit(w) * F.col("tt") - F.col("ph")
+        p2 = (
+            zser.crossJoin(F.broadcast(p1))
+            .agg(
+                F.max("m").alias("m"),
+                _d12(F.col("z") * F.cos(arg)).alias("zc"),
+                _d12(F.col("z") * F.sin(arg)).alias("zs"),
+                _d12(F.pow(F.cos(arg), 2)).alias("cc"),
+                _d12(F.pow(F.sin(arg), 2)).alias("ss"),
+            )
+            .select(
+                F.lit(T).alias("period"),
+                F.col("m").cast("bigint").alias("n_samples"),
+                F.round(
+                    0.5
+                    * (
+                        F.col("zc") * F.col("zc") / F.col("cc")
+                        + F.col("zs") * F.col("zs") / F.col("ss")
+                    ),
+                    6,
+                ).alias("power"),
+            )
+        )
+        out = p2 if out is None else out.unionByName(p2)
+    return out.orderBy("period")
+
+
+# ---------------------------------------------------------------------------
+# Detrended fluctuation analysis (DFA-1) — the long-memory exponent:
+# integrate the standardized series, split into segments of size s,
+# linearly detrend each, and regress ln F(s) on ln s. The profile runs
+# on an exact integer micro-lattice (z·1e6 as BIGINT, cumulative summed
+# exactly), every per-segment RSS is a closed form over exact integer
+# segment sums (the Var(x−trend) algebra), and the 4-point log-log
+# slope is a fixed-arity pivot.
+_DFA_SIZES = (16, 32, 64, 128)
+
+
+def _sql_dfa() -> str:
+    fcols = ", ".join(
+        f"round(MAX(CASE WHEN s = {s} THEN f END), 6) AS f_{s}"
+        for s in _DFA_SIZES
+    )
+    return f"""
+    WITH {_SQL_SPINE},
+    mom AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sm,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                  AS DOUBLE) AS smm
+      FROM spine
+    ),
+    z6 AS (
+      SELECT rn,
+             CAST(round(((CAST(y AS DOUBLE) - (SELECT sm / n FROM mom))
+               / sqrt(((SELECT n FROM mom) * (SELECT smm FROM mom)
+                       - (SELECT sm FROM mom) * (SELECT sm FROM mom))
+                      / (CAST((SELECT n FROM mom) AS DOUBLE)
+                         * ((SELECT n FROM mom) - 1)))) * 1e6, 0) AS BIGINT)
+               AS z
+      FROM spine
+    ),
+    prof AS MATERIALIZED (
+      SELECT rn, CAST(SUM(z) OVER (ORDER BY rn) AS BIGINT) AS p FROM z6
+    ),
+    sizes AS (SELECT unnest([16, 32, 64, 128]) AS s),
+    segsums AS (
+      SELECT sz.s, (p.rn - 1) // sz.s AS seg,
+             COUNT(*) AS cnt,
+             CAST(SUM(CAST(p.p AS DECIMAL(38,0))) AS DOUBLE) AS sp,
+             CAST(SUM(CAST(p.p AS DECIMAL(38,0)) * CAST(p.p AS DECIMAL(38,0)))
+                  AS DOUBLE) AS spp,
+             CAST(SUM(CAST((p.rn - ((p.rn - 1) // sz.s) * sz.s)
+                           AS DECIMAL(38,0))
+                      * CAST(p.p AS DECIMAL(38,0))) AS DOUBLE) AS sip
+      FROM prof p CROSS JOIN sizes sz
+      GROUP BY sz.s, (p.rn - 1) // sz.s
+      HAVING COUNT(*) = sz.s
+    ),
+    rss AS (
+      SELECT s,
+             round(((spp - sp * sp / s)
+                    - (sip - (s + 1) / 2.0 * sp) * (sip - (s + 1) / 2.0 * sp)
+                      / (s * (CAST(s AS DOUBLE) * s - 1) / 12.0))
+                   / (s * 1e12), 9) AS contrib
+      FROM segsums
+    ),
+    fs AS (
+      SELECT s,
+             sqrt(CAST(SUM(CAST(contrib AS DECIMAL(38,9))) AS DOUBLE)
+                  / COUNT(*)) AS f
+      FROM rss GROUP BY s
+    ),
+    pts AS (SELECT ln(CAST(s AS DOUBLE)) AS x, ln(f) AS yv FROM fs),
+    ols AS (
+      SELECT COUNT(*) AS np,
+             CAST(SUM(CAST(round(x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(round(yv, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(round(x * yv, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+      FROM pts
+    )
+    SELECT round((np * sxy - sx * sy) / (np * sxx - sx * sx), 6) AS dfa_alpha,
+           {fcols}
+    FROM ols CROSS JOIN fs GROUP BY np, sx, sy, sxx, sxy
+    """
+
+
+@_q("detrended_fluctuation_alpha", _sql_dfa())
+def q_detrended_fluctuation_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir)
+    mom = spine.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("sm"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("smm"),
+    )
+    z6 = spine.crossJoin(F.broadcast(mom)).select(
+        "rn",
+        F.round(
+            (
+                (F.col("y").cast("double") - F.col("sm") / F.col("n"))
+                / F.sqrt(
+                    (F.col("n") * F.col("smm") - F.col("sm") * F.col("sm"))
+                    / (F.col("n").cast("double") * (F.col("n") - 1))
+                )
+            )
+            * 1e6,
+            0,
+        )
+        .cast("bigint")
+        .alias("z"),
+    )
+    prof = z6.select(
+        "rn", F.sum("z").over(Window.orderBy("rn")).cast("bigint").alias("p")
+    )
+    sizes = spark.createDataFrame(
+        [(s,) for s in _DFA_SIZES], "s int"
+    )
+    seg = (F.col("rn") - 1) / F.col("s")
+    segsums = (
+        prof.crossJoin(F.broadcast(sizes))
+        .groupBy("s", seg.cast("bigint").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("p").cast("decimal(38,0)")).cast("double").alias("sp"),
+            F.sum(F.col("p").cast("decimal(38,0)") * F.col("p").cast("decimal(38,0)"))
+            .cast("double")
+            .alias("spp"),
+            F.sum(
+                (F.col("rn") - ((F.col("rn") - 1) / F.col("s")).cast("bigint") * F.col("s"))
+                .cast("decimal(38,0)")
+                * F.col("p").cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias("sip"),
+        )
+        .where(F.col("cnt") == F.col("s"))
+    )
+    sip_c = F.col("sip") - (F.col("s") + 1) / 2.0 * F.col("sp")
+    rss = segsums.select(
+        "s",
+        F.round(
+            (
+                (F.col("spp") - F.col("sp") * F.col("sp") / F.col("s"))
+                - sip_c
+                * sip_c
+                / (F.col("s") * (F.col("s").cast("double") * F.col("s") - 1) / 12.0)
+            )
+            / (F.col("s") * 1e12),
+            9,
+        ).alias("contrib"),
+    )
+    fs = rss.groupBy("s").agg(
+        F.sqrt(
+            F.sum(F.col("contrib").cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("f")
+    )
+    pts = fs.select(
+        F.log(F.col("s").cast("double")).alias("x"), F.log("f").alias("yv")
+    )
+    ols = pts.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum(F.round(F.col("x"), 12).cast("decimal(38,12)")).cast("double").alias("sx"),
+        F.sum(F.round(F.col("yv"), 12).cast("decimal(38,12)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("x") * F.col("yv"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    fpivot = fs.agg(
+        *[
+            F.round(F.max(F.when(F.col("s") == s, F.col("f"))), 6).alias(f"f_{s}")
+            for s in _DFA_SIZES
+        ]
+    )
+    return ols.crossJoin(fpivot).select(
+        F.round(
+            (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("dfa_alpha"),
+        *[F.col(f"f_{s}") for s in _DFA_SIZES],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact Bayesian A/B posterior — P(p_B > p_A) under Beta(1,1) priors
+# via the closed finite sum over integer parameters (Cook's formula):
+# h = Σ_{i=0}^{α_B−1} B(α_A+i, β_A+β_B) / ((β_B+i)·B(1+i, β_B)·B(α_A, β_A)).
+# log-Gamma is built as a shared exact table: LG(n) = Σ_{k<n} ln k with
+# each ln k on the 12-dp lattice, cumulative-summed in DECIMAL —
+# identical construction in both engines (no lgamma builtin needed on
+# the Spark side). The per-term exp() values are lattice-summed. Arms
+# are a deterministic bounded cohort (user_id < 400, split by parity).
+_BB_COHORT = 400
+
+
+def _sql_beta_binomial() -> str:
+    return f"""
+    WITH users AS MATERIALIZED (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events WHERE user_id < {_BB_COHORT} GROUP BY user_id
+    ),
+    arms AS MATERIALIZED (
+      SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+      FROM users
+    ),
+    ab AS MATERIALIZED (
+      SELECT n_a, c_a, n_b, c_b,
+             c_a + 1 AS aa, n_a - c_a + 1 AS ba,
+             c_b + 1 AS ab_, n_b - c_b + 1 AS bb
+      FROM arms
+    ),
+    lgc AS MATERIALIZED (
+      -- cumulative ln-factorial: cum(m) = sum_{{k=2..m}} round(ln k, 12)
+      SELECT m,
+             CAST(SUM(CAST(round(ln(CAST(m2 AS DOUBLE)), 12) AS DECIMAL(38,12)))
+                  OVER (ORDER BY m) AS DOUBLE) AS cum
+      FROM (SELECT unnest(generate_series(2, {2 * _BB_COHORT + 8})) AS m) a
+      JOIN (SELECT unnest(generate_series(2, {2 * _BB_COHORT + 8})) AS m2) b
+        ON b.m2 = a.m
+    ),
+    terms AS (
+      SELECT i.i,
+             exp(
+               -- lnB(aa+i, ba+bb) = LG(aa+i) + LG(ba+bb) - LG(aa+i+ba+bb)
+               (COALESCE(l1.cum, 0) + COALESCE(l2.cum, 0) - COALESCE(l3.cum, 0))
+               - ln(CAST(ab.bb + i.i AS DOUBLE))
+               -- lnB(1+i, bb) = LG(1+i) + LG(bb) - LG(1+i+bb)
+               - (COALESCE(l4.cum, 0) + COALESCE(l5.cum, 0) - COALESCE(l6.cum, 0))
+               -- lnB(aa, ba) = LG(aa) + LG(ba) - LG(aa+ba)
+               - (COALESCE(l7.cum, 0) + COALESCE(l8.cum, 0) - COALESCE(l9.cum, 0))
+             ) AS term
+      FROM (SELECT unnest(generate_series(0, {_BB_COHORT})) AS i) i
+      CROSS JOIN ab
+      LEFT JOIN lgc l1 ON l1.m = ab.aa + i.i - 1
+      LEFT JOIN lgc l2 ON l2.m = ab.ba + ab.bb - 1
+      LEFT JOIN lgc l3 ON l3.m = ab.aa + i.i + ab.ba + ab.bb - 1
+      LEFT JOIN lgc l4 ON l4.m = i.i
+      LEFT JOIN lgc l5 ON l5.m = ab.bb - 1
+      LEFT JOIN lgc l6 ON l6.m = i.i + ab.bb
+      LEFT JOIN lgc l7 ON l7.m = ab.aa - 1
+      LEFT JOIN lgc l8 ON l8.m = ab.ba - 1
+      LEFT JOIN lgc l9 ON l9.m = ab.aa + ab.ba - 1
+      WHERE i.i < (SELECT ab_ FROM ab)
+    )
+    SELECT (SELECT n_a FROM ab) AS n_a,
+           (SELECT c_a FROM ab) AS conv_a,
+           (SELECT n_b FROM ab) AS n_b,
+           (SELECT c_b FROM ab) AS conv_b,
+           round(CAST(SUM(CAST(round(term, 12) AS DECIMAL(38,12))) AS DOUBLE), 6)
+             AS p_b_beats_a
+    FROM terms
+    """
+
+
+@_q("beta_binomial_ab_posterior", _sql_beta_binomial())
+def q_beta_binomial_ab_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").where(F.col("user_id") < _BB_COHORT)
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    arms = users.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c_b"),
+    )
+    ab = arms.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        (F.col("c_a") + 1).alias("aa"),
+        (F.col("n_a") - F.col("c_a") + 1).alias("ba"),
+        (F.col("c_b") + 1).alias("ab_"),
+        (F.col("n_b") - F.col("c_b") + 1).alias("bb"),
+    )
+    lgc = (
+        spark.range(2, 2 * _BB_COHORT + 9)
+        .select(F.col("id").alias("m"))
+        .select(
+            "m",
+            F.sum(
+                F.round(F.log(F.col("m").cast("double")), 12).cast("decimal(38,12)")
+            )
+            .over(Window.orderBy("m"))
+            .cast("double")
+            .alias("cum"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    irange = spark.range(0, _BB_COHORT + 1).select(F.col("id").alias("i"))
+    base = irange.crossJoin(F.broadcast(ab)).where(F.col("i") < F.col("ab_"))
+
+    joined = base
+    lgdefs = [
+        ("l1", F.col("aa") + F.col("i") - 1),
+        ("l2", F.col("ba") + F.col("bb") - 1),
+        ("l3", F.col("aa") + F.col("i") + F.col("ba") + F.col("bb") - 1),
+        ("l4", F.col("i")),
+        ("l5", F.col("bb") - 1),
+        ("l6", F.col("i") + F.col("bb")),
+        ("l7", F.col("aa") - 1),
+        ("l8", F.col("ba") - 1),
+        ("l9", F.col("aa") + F.col("ba") - 1),
+    ]
+    for alias, expr in lgdefs:
+        lt = lgc.select(
+            F.col("m").alias(f"m_{alias}"), F.col("cum").alias(alias)
+        )
+        joined = joined.join(
+            F.broadcast(lt), expr == F.col(f"m_{alias}"), "left"
+        ).drop(f"m_{alias}")
+    lnterm = (
+        (
+            F.coalesce(F.col("l1"), F.lit(0.0))
+            + F.coalesce(F.col("l2"), F.lit(0.0))
+            - F.coalesce(F.col("l3"), F.lit(0.0))
+        )
+        - F.log((F.col("bb") + F.col("i")).cast("double"))
+        - (
+            F.coalesce(F.col("l4"), F.lit(0.0))
+            + F.coalesce(F.col("l5"), F.lit(0.0))
+            - F.coalesce(F.col("l6"), F.lit(0.0))
+        )
+        - (
+            F.coalesce(F.col("l7"), F.lit(0.0))
+            + F.coalesce(F.col("l8"), F.lit(0.0))
+            - F.coalesce(F.col("l9"), F.lit(0.0))
+        )
+    )
+    terms = joined.select(
+        "n_a", "c_a", "n_b", "c_b", F.exp(lnterm).alias("term")
+    )
+    return terms.groupBy("n_a", "c_a", "n_b", "c_b").agg(
+        F.round(
+            F.sum(F.round(F.col("term"), 12).cast("decimal(38,12)")).cast("double"),
+            6,
+        ).alias("p_b_beats_a")
+    ).select(
+        F.col("n_a"),
+        F.col("c_a").alias("conv_a"),
+        F.col("n_b"),
+        F.col("c_b").alias("conv_b"),
+        "p_b_beats_a",
+    )
