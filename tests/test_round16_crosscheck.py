@@ -1,0 +1,369 @@
+"""Round-16 third-implementation cross-checks (the r14/r15 discipline):
+the new statistics recomputed in plain NumPy / pure Python from the
+raw parquet (loaded via pandas — no Spark, no DuckDB), compared
+against the registry queries' Spark outputs. The Spark<->DuckDB
+differential is the primary gate; this guards against BOTH engines
+sharing a mistranscribed formula.
+
+Tolerances: exact-integer statistics get 1e-6; statistics whose engine
+side quantizes the standardized series to a 6-dp lattice (DFA,
+Lomb-Scargle) or lattice-builds ln-Gamma (Beta posterior) get looser
+bounds sized to the quantization, computed here WITHOUT the lattice so
+the check is genuinely independent.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def daily() -> pd.DataFrame:
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    cents = np.round(orders["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    df = pd.DataFrame({"d": orders["o_orderdate"].to_numpy(), "y": cents})
+    g = df.groupby("d")["y"].agg(["sum", "count"]).sort_index()
+    return pd.DataFrame({"y": g["sum"].to_numpy(), "c": g["count"].to_numpy()})
+
+
+def _one(spark, name):
+    from tb_scale_spatial_data_pipeline_spark.plans import all_queries
+
+    return all_queries()[name](spark, SF_SMOKE).collect()
+
+
+def test_allan_variance_crosscheck(spark, daily):
+    y = daily["y"].to_numpy().astype(np.float64)
+    mean_y = y.mean()
+    rows = {r["tau"]: r for r in _one(spark, "allan_variance")}
+    for tau in (1, 2, 4, 8, 16):
+        k = len(y) // tau
+        means = y[: k * tau].reshape(k, tau).mean(axis=1)
+        avar = np.sum(np.diff(means) ** 2) / (2.0 * (k - 1))
+        assert abs(rows[tau]["rel_adev"] - math.sqrt(avar) / mean_y) < 1e-6
+
+
+def test_higuchi_crosscheck(spark, daily):
+    y = daily["y"].to_numpy().astype(np.float64)
+    n = len(y)
+    ls = []
+    for k in range(1, 9):
+        lm = []
+        for m in range(1, k + 1):
+            idx = np.arange(m - 1, n, k)
+            d = np.abs(np.diff(y[idx])).sum()
+            cnt = len(idx) - 1
+            # L_m(k): integer path length, time-normalized by
+            # (n-1)/(cnt*k) and curve-normalized by 1/k
+            lm.append(d * (n - 1) / (cnt * k * k))
+        ls.append(np.mean(lm))
+    x = np.log(np.arange(1, 9, dtype=np.float64))
+    ly = np.log(np.array(ls))
+    slope = np.polyfit(x, ly, 1)[0]
+    row = _one(spark, "higuchi_fractal_dimension")[0]
+    assert abs(row["higuchi_d"] - (-slope)) < 1e-4
+
+
+def test_energy_distance_crosscheck(spark, daily):
+    y = daily["y"].to_numpy().astype(np.float64)
+    half = len(y) // 2
+    xs, ys = y[:half], y[half:]
+    sxy = np.abs(xs[:, None] - ys[None, :]).sum()
+    sxx = np.abs(xs[:, None] - xs[None, :]).sum()
+    syy = np.abs(ys[:, None] - ys[None, :]).sum()
+    e = (
+        2.0 * sxy / (len(xs) * len(ys))
+        - sxx / (len(xs) ** 2)
+        - syy / (len(ys) ** 2)
+    )
+    row = _one(spark, "energy_distance_drift")[0]
+    assert abs(row["rel_energy_distance"] - e / y.mean()) < 1e-6
+
+
+def test_variance_ratio_crosscheck(spark, daily):
+    y = daily["y"].to_numpy().astype(np.float64)
+    # the engine rounds each log return to the 12-dp lattice
+    r = np.round(np.log(y[1:] / y[:-1]), 12)
+    q = 5
+    rq = np.convolve(r, np.ones(q), mode="valid")
+    var1 = r.var(ddof=1)
+    varq = rq.var(ddof=1)
+    row = _one(spark, "variance_ratio_test")[0]
+    assert row["n_returns"] == len(r)
+    assert abs(row["variance_ratio"] - varq / (q * var1)) < 1e-5
+
+
+def test_newey_west_crosscheck(spark, daily):
+    ys = daily["y"].to_numpy().astype(np.float64) / 1e8
+    n = len(ys)
+    tt = np.arange(1, n + 1, dtype=np.float64)
+    b, a = np.polyfit(tt, ys, 1)
+    e = ys - a - b * tt
+    tc = tt - tt.mean()
+    v = tc * e
+    L = 4
+    om = np.dot(v, v)
+    for j in range(1, L + 1):
+        om += 2.0 * (1.0 - j / (L + 1.0)) * np.dot(v[j:], v[:-j])
+    sxx = np.sum(tc * tc)
+    se_hac = math.sqrt(om) / sxx
+    se_ols = math.sqrt(np.dot(e, e) / (n - 2) / sxx)
+    row = _one(spark, "newey_west_hac_se")[0]
+    assert row["n_days"] == n
+    assert abs(row["trend_musd_per_day"] - b) < 1e-5
+    assert abs(row["se_ols"] - se_ols) < 1e-5
+    assert abs(row["se_hac"] - se_hac) < 1e-5
+
+
+def test_phillips_perron_crosscheck(spark, daily):
+    y = daily["y"].to_numpy().astype(np.float64) / 1e8
+    x, dy = y[:-1], np.diff(y)
+    n = len(dy)
+    pi, a = np.polyfit(x, dy, 1)
+    e = dy - a - pi * x
+    L = 4
+    g = [np.dot(e[j:], e[: n - j] if j else e) / n for j in range(L + 1)]
+    lam2 = g[0] + sum(2.0 * (1.0 - j / (L + 1.0)) * g[j] for j in range(1, L + 1))
+    sxxc = np.sum((x - x.mean()) ** 2)
+    s_reg = math.sqrt(g[0] * n / (n - 2))
+    t_stat = pi / (s_reg / math.sqrt(sxxc))
+    z_tau = math.sqrt(g[0] / lam2) * t_stat - (lam2 - g[0]) * n / (
+        2.0 * math.sqrt(lam2) * math.sqrt(sxxc) * math.sqrt(n / (n - 2.0))
+    )
+    row = _one(spark, "phillips_perron_test")[0]
+    assert row["n_obs"] == n
+    assert abs(row["pi_hat"] - pi) < 1e-5
+    assert abs(row["t_stat"] - t_stat) < 1e-4
+    assert abs(row["z_tau"] - z_tau) < 1e-4
+
+
+def test_cochrane_orcutt_crosscheck(spark, daily):
+    ys = daily["y"].to_numpy().astype(np.float64) / 1e8
+    n = len(ys)
+    tt = np.arange(1, n + 1, dtype=np.float64)
+    b, a = np.polyfit(tt, ys, 1)
+    e = ys - a - b * tt
+    rho = np.dot(e[1:], e[:-1]) / np.dot(e[:-1], e[:-1])
+    ystar = ys[1:] - rho * ys[:-1]
+    xstar = tt[1:] - rho * tt[:-1]
+    beta_co = np.polyfit(xstar, ystar, 1)[0]
+    row = _one(spark, "cochrane_orcutt_ar1")[0]
+    assert abs(row["rho_hat"] - rho) < 1e-5
+    assert abs(row["beta_ols"] - b) < 1e-6
+    assert abs(row["beta_co"] - beta_co) < 1e-5
+
+
+def test_dfa_crosscheck(spark, daily):
+    y = daily["y"].to_numpy().astype(np.float64)
+    z = (y - y.mean()) / y.std(ddof=1)
+    p = np.cumsum(z)
+    fs = {}
+    for s in (16, 32, 64, 128):
+        k = len(p) // s
+        segs = p[: k * s].reshape(k, s)
+        i = np.arange(1, s + 1, dtype=np.float64)
+        rss = []
+        for seg in segs:
+            sl, ic = np.polyfit(i, seg, 1)
+            resid = seg - ic - sl * i
+            rss.append(np.dot(resid, resid) / s)
+        fs[s] = math.sqrt(np.mean(rss))
+    x = np.log(np.array(sorted(fs), dtype=np.float64))
+    ly = np.log(np.array([fs[s] for s in sorted(fs)]))
+    alpha = np.polyfit(x, ly, 1)[0]
+    row = _one(spark, "detrended_fluctuation_alpha")[0]
+    # engine quantizes z to a 1e-6 lattice before integrating
+    assert abs(row["dfa_alpha"] - alpha) < 1e-3
+    for s in (16, 32, 64, 128):
+        assert abs(row[f"f_{s}"] - fs[s]) < 1e-3
+
+
+def test_lomb_scargle_crosscheck(spark, daily):
+    y = daily["y"].to_numpy().astype(np.float64)
+    c = daily["c"].to_numpy()
+    keep = c % 2 == 1
+    tt = np.arange(1, len(y) + 1, dtype=np.float64)[keep]
+    z = y[keep]
+    z = (z - z.mean()) / z.std(ddof=1)
+    rows = {r["period"]: r for r in _one(spark, "lomb_scargle_periodogram")}
+    for T in (7.0, 30.0, 91.0, 365.0):
+        w = 2.0 * math.pi / T
+        ph = math.atan2(np.sum(np.sin(2 * w * tt)), np.sum(np.cos(2 * w * tt))) / 2.0
+        ct, st = np.cos(w * tt - ph), np.sin(w * tt - ph)
+        p = 0.5 * (
+            np.dot(z, ct) ** 2 / np.dot(ct, ct)
+            + np.dot(z, st) ** 2 / np.dot(st, st)
+        )
+        assert rows[T]["n_samples"] == int(keep.sum())
+        assert abs(rows[T]["power"] - p) < 1e-3
+
+
+def test_beta_binomial_crosscheck(spark):
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev = ev[ev["user_id"] < 400]
+    conv = ev.groupby("user_id")["event_type"].apply(
+        lambda s: int((s == "purchase").any())
+    )
+    ids = conv.index.to_numpy()
+    na = int((ids % 2 == 0).sum())
+    ca = int(conv[ids % 2 == 0].sum())
+    nb = int((ids % 2 == 1).sum())
+    cb = int(conv[ids % 2 == 1].sum())
+    aa, ba, ab_, bb = ca + 1, na - ca + 1, cb + 1, nb - cb + 1
+
+    def lnb(x, y):
+        return math.lgamma(x) + math.lgamma(y) - math.lgamma(x + y)
+
+    p = sum(
+        math.exp(
+            lnb(aa + i, ba + bb)
+            - math.log(bb + i)
+            - lnb(1 + i, bb)
+            - lnb(aa, ba)
+        )
+        for i in range(ab_)
+    )
+    row = _one(spark, "beta_binomial_ab_posterior")[0]
+    assert (row["n_a"], row["conv_a"], row["n_b"], row["conv_b"]) == (
+        na, ca, nb, cb,
+    )
+    assert abs(row["p_b_beats_a"] - p) < 1e-5
+
+
+def test_frechet_crosscheck(spark):
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev = ev.sort_values(["user_id", "event_id"])
+    ev["v"] = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
+    series = {
+        uid: g["v"].to_numpy()[:16] for uid, g in ev.groupby("user_id")
+    }
+    ref = series[min(series)]
+
+    def frechet(a, b):
+        dp = np.zeros((len(a), len(b)), dtype=np.int64)
+        for i in range(len(a)):
+            for j in range(len(b)):
+                d = abs(int(a[i]) - int(b[j]))
+                if i == 0 and j == 0:
+                    prev = 0
+                elif i == 0:
+                    prev = dp[0, j - 1]
+                elif j == 0:
+                    prev = dp[i - 1, 0]
+                else:
+                    prev = min(dp[i - 1, j], dp[i - 1, j - 1], dp[i, j - 1])
+                dp[i, j] = max(d, prev)
+        return int(dp[-1, -1])
+
+    want = sorted(
+        ((frechet(s, ref), uid) for uid, s in series.items())
+    )[:20]
+    got = [
+        (r["frechet_cents"], r["user_id"])
+        for r in _one(spark, "discrete_frechet_distance")
+    ]
+    assert got == [(d, u) for d, u in want[: len(got)]]
+
+
+def test_weisfeiler_leman_crosscheck(spark):
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    ps = li[["l_partkey", "l_suppkey"]].drop_duplicates()
+    pairs = set()
+    for _, grp in ps.groupby("l_partkey"):
+        sup = sorted(grp["l_suppkey"].tolist())
+        for i in range(len(sup)):
+            for j in range(i + 1, len(sup)):
+                pairs.add((sup[i], sup[j]))
+    kept = [
+        (u, v)
+        for (u, v) in pairs
+        if int(hashlib.md5(str(u * 1000 + v).encode()).hexdigest()[:4], 16)
+        < 9830
+    ]
+    adj: dict[int, list[int]] = {}
+    for u, v in kept:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    colors = {n: f"d{len(nb)}" for n, nb in adj.items()}
+    rows = {r["round"]: r for r in _one(spark, "weisfeiler_leman_colors")}
+
+    def census(c):
+        from collections import Counter
+
+        cnt = Counter(c.values())
+        return len(cnt), max(cnt.values())
+
+    nc, lc = census(colors)
+    assert (rows[0]["n_colors"], rows[0]["largest_class"]) == (nc, lc)
+    for rd in (1, 2, 3):
+        colors = {
+            n: hashlib.md5(
+                (
+                    colors[n] + "|" + ",".join(sorted(colors[m] for m in nb))
+                ).encode()
+            ).hexdigest()[:16]
+            for n, nb in adj.items()
+        }
+        nc, lc = census(colors)
+        assert (rows[rd]["n_colors"], rows[rd]["largest_class"]) == (nc, lc)
+
+
+def test_qte_and_bhattacharyya_and_srm_crosscheck(spark):
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    treat = orders["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+    rows = {r["decile"]: r for r in _one(spark, "quantile_treatment_effects")}
+    for arm, col in (("treat", "q_treat"), ("control", "q_control")):
+        sub = orders[treat if arm == "treat" else ~treat].sort_values(
+            ["o_totalprice", "o_orderkey"]
+        )
+        p = sub["o_totalprice"].to_numpy()
+        n = len(p)
+        for d in range(1, 10):
+            want = p[math.ceil(d * n / 10.0) - 1]
+            assert abs(rows[d][col] - want) < 1e-9
+
+    bins = np.minimum(
+        np.floor(orders["o_totalprice"].to_numpy() / 30000.0).astype(int), 19
+    )
+    bc = 0.0
+    nh, nl = int(treat.sum()), int((~treat).sum())
+    for b in np.unique(bins):
+        ch = int((treat & (bins == b)).sum())
+        cl = int(((~treat) & (bins == b)).sum())
+        bc += math.sqrt((ch / nh) * (cl / nl))
+    row = _one(spark, "bhattacharyya_overlap")[0]
+    assert abs(row["bhattacharyya_coef"] - bc) < 1e-6
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    users = ev["user_id"].unique()
+    na, nb = int((users % 2 == 0).sum()), int((users % 2 == 1).sum())
+    row = _one(spark, "srm_sample_ratio_check")[0]
+    assert (row["na"], row["nb"]) == (na, nb)
+    assert abs(row["srm_chi2"] - (na - nb) ** 2 / (na + nb)) < 1e-6
+
+
+def test_evalue_crosscheck(spark):
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    urgent = set(
+        orders[orders["o_orderpriority"] == "1-URGENT"]["o_custkey"]
+    )
+    expo = cust["c_mktsegment"].to_numpy() == "BUILDING"
+    outc = cust["c_custkey"].isin(urgent).to_numpy()
+    a = int((expo & outc).sum())
+    b = int((expo & ~outc).sum())
+    c = int((~expo & outc).sum())
+    d = int((~expo & ~outc).sum())
+    rr = (a / (a + b)) / (c / (c + d))
+    rs = rr if rr >= 1 else 1.0 / rr
+    row = _one(spark, "evalue_confounding_sensitivity")[0]
+    assert (row["a"], row["b"], row["c"], row["d"]) == (a, b, c, d)
+    assert abs(row["risk_ratio"] - rr) < 1e-6
+    assert abs(row["e_value"] - (rs + math.sqrt(rs * (rs - 1)))) < 1e-6
