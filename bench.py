@@ -55,17 +55,17 @@ def contract_line(payload: dict, timings: dict) -> str:
     or any STABLE_FIELDS scalar (VERDICT r15 item 5). Sheds precision
     first, then side fields; the full 3-dp spread always lives in
     BENCH_SPREAD.json."""
-    line = json.dumps(payload)
+    line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1870:
         payload["queries"] = {n: round(t, 2) for n, t in timings.items()}
         payload.pop("repeats", None)
-        line = json.dumps(payload)
+        line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1870:
         payload.pop("pass_load1", None)
-        line = json.dumps(payload)
+        line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1870:
         payload["queries"] = {n: round(t, 1) for n, t in timings.items()}
-        line = json.dumps(payload)
+        line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1870:  # last rung: integer centiseconds, map intact;
         # shed only non-comparable scalars (all live in BENCH_SPREAD.json)
         payload["queries_unit"] = "cs"
@@ -74,7 +74,7 @@ def contract_line(payload: dict, timings: dict) -> str:
         }
         for k in ("unit", "load1"):
             payload.pop(k, None)
-        line = json.dumps(payload)
+        line = json.dumps(payload, separators=(",", ":"))
     return line
 
 
@@ -162,6 +162,12 @@ HEADLINE = [
     "matrix_profile_motif",
     "herfindahl_concentration",
     "seasonal_mann_kendall",
+    # r16 additions: representatives of the round-16 tiers (WL graph
+    # refinement, irregular-sampling spectral analysis, exact-integer
+    # pairwise drift statistics).
+    "weisfeiler_leman_colors",
+    "lomb_scargle_periodogram",
+    "energy_distance_drift",
 ]
 # cross-round comparisons of the headline total must use this prefix
 # (the r1-r9 frozen set); the full list total includes the r10 tier
