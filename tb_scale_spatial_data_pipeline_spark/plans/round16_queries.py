@@ -1985,3 +1985,841 @@ def q_beta_binomial_ab_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_b").alias("conv_b"),
         "p_b_beats_a",
     )
+
+
+# ---------------------------------------------------------------------------
+# Turning-point test — series randomness via the count of local
+# extrema: E[T] = 2(n−2)/3, Var[T] = (16n−29)/90. Pure integer
+# counting over the bounded spine (ties cannot form turning points and
+# are counted strictly).
+@_q(
+    "turning_point_test",
+    f"""
+    WITH {_SQL_SPINE},
+    trip AS (
+      SELECT a.y AS yl, b.y AS yc, c.y AS yr
+      FROM spine a JOIN spine b ON b.rn = a.rn + 1
+                   JOIN spine c ON c.rn = a.rn + 2
+    ),
+    agg AS (
+      SELECT (SELECT COUNT(*) FROM spine) AS n,
+             CAST(SUM(CASE WHEN (yc > yl AND yc > yr)
+                             OR (yc < yl AND yc < yr)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS t
+      FROM trip
+    )
+    SELECT CAST(n AS BIGINT) AS n_days, t AS turning_points,
+           round((t - 2.0 * (n - 2) / 3.0)
+                 / sqrt((16.0 * n - 29.0) / 90.0), 6) AS z_score
+    FROM agg
+    """,
+)
+def q_turning_point_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir)
+    b = spine.select(F.col("rn").alias("rnb"), F.col("y").alias("yc"))
+    c = spine.select(F.col("rn").alias("rnc"), F.col("y").alias("yr"))
+    trip = (
+        spine.join(b, F.col("rnb") == F.col("rn") + 1)
+        .join(c, F.col("rnc") == F.col("rn") + 2)
+        .select(F.col("y").alias("yl"), "yc", "yr")
+    )
+    n = spine.count()  # bounded day spine
+    agg = trip.agg(
+        F.sum(
+            F.when(
+                ((F.col("yc") > F.col("yl")) & (F.col("yc") > F.col("yr")))
+                | ((F.col("yc") < F.col("yl")) & (F.col("yc") < F.col("yr"))),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("t")
+    )
+    return agg.select(
+        F.lit(n).cast("bigint").alias("n_days"),
+        F.col("t").alias("turning_points"),
+        F.round(
+            (F.col("t") - 2.0 * (n - 2) / 3.0)
+            / F.sqrt(F.lit((16.0 * n - 29.0) / 90.0)),
+            6,
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Upper-tail dependence coefficient — the copula risk statistic
+# lambda_U ~ P(S > q-quantile | R > q-quantile) between daily revenue
+# and its lag at q = 0.9. Ranks are deterministic (value, day-index
+# tie-break), everything is exact integer counting.
+@_q(
+    "tail_dependence_coefficient",
+    f"""
+    WITH {_SQL_SPINE},
+    pairs AS (
+      SELECT a.rn, a.y AS yc, b.y AS yp
+      FROM spine a JOIN spine b ON b.rn = a.rn - 1
+    ),
+    ranked AS (
+      SELECT rn,
+             row_number() OVER (ORDER BY yc, rn) AS r,
+             row_number() OVER (ORDER BY yp, rn) AS s,
+             COUNT(*) OVER () AS m
+      FROM pairs
+    ),
+    agg AS (
+      SELECT MAX(m) AS m,
+             CAST(SUM(CASE WHEN r > 0.9 * m THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hi,
+             CAST(SUM(CASE WHEN r > 0.9 * m AND s > 0.9 * m THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_both
+      FROM ranked
+    )
+    SELECT CAST(m AS BIGINT) AS n_pairs, n_hi, n_both,
+           round(CAST(n_both AS DOUBLE) / n_hi, 6) AS lambda_upper
+    FROM agg
+    """,
+)
+def q_tail_dependence_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir)
+    b = spine.select(F.col("rn").alias("rn2"), F.col("y").alias("yp"))
+    pairs = spine.join(b, F.col("rn2") == F.col("rn") - 1).select(
+        "rn", F.col("y").alias("yc"), "yp"
+    )
+    wall = Window.partitionBy()
+    ranked = pairs.select(
+        F.row_number().over(Window.orderBy("yc", "rn")).alias("r"),
+        F.row_number().over(Window.orderBy("yp", "rn")).alias("s"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    agg = ranked.agg(
+        F.max("m").alias("m"),
+        F.sum(F.when(F.col("r") > 0.9 * F.col("m"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hi"),
+        F.sum(
+            F.when(
+                (F.col("r") > 0.9 * F.col("m"))
+                & (F.col("s") > 0.9 * F.col("m")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_both"),
+    )
+    return agg.select(
+        F.col("m").cast("bigint").alias("n_pairs"),
+        "n_hi",
+        "n_both",
+        F.round(F.col("n_both").cast("double") / F.col("n_hi"), 6).alias(
+            "lambda_upper"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hoeffding's D — the classic rank statistic sensitive to ARBITRARY
+# (non-monotone) dependence, between daily revenue and its lag. Ranks
+# use a deterministic day-index tie-break (documented: the fixture's
+# cents series makes ties measure-zero); Q_i counts strictly
+# concordant-dominated points via one bounded spine² pair join. D is a
+# closed form over exact integer sums.
+@_q(
+    "hoeffding_d_dependence",
+    f"""
+    WITH {_SQL_SPINE},
+    pairs AS (
+      SELECT a.rn, a.y AS yc, b.y AS yp
+      FROM spine a JOIN spine b ON b.rn = a.rn - 1
+    ),
+    ranked AS MATERIALIZED (
+      SELECT rn,
+             row_number() OVER (ORDER BY yc, rn) AS r,
+             row_number() OVER (ORDER BY yp, rn) AS s
+      FROM pairs
+    ),
+    q AS (
+      SELECT a.rn, a.r, a.s,
+             CAST(COUNT(b.rn) AS BIGINT) AS qq
+      FROM ranked a LEFT JOIN ranked b
+        ON b.r < a.r AND b.s < a.s
+      GROUP BY a.rn, a.r, a.s
+    ),
+    sums AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(qq * (qq - 1)) AS DECIMAL(38,0)) AS d1,
+             CAST(SUM(CAST((r - 1) * (r - 2) AS DECIMAL(19,0))
+                      * CAST((s - 1) * (s - 2) AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS d2,
+             CAST(SUM(CAST((r - 2) * (s - 2) AS DECIMAL(19,0))
+                      * CAST(qq AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS d3
+      FROM q
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           round(30.0 * ((n - 2.0) * (n - 3.0) * CAST(d1 AS DOUBLE)
+                         + CAST(d2 AS DOUBLE)
+                         - 2.0 * (n - 2.0) * CAST(d3 AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * (n - 1.0) * (n - 2.0)
+                    * (n - 3.0) * (n - 4.0)), 6) AS hoeffding_d
+    FROM sums
+    """,
+)
+def q_hoeffding_d_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir)
+    b = spine.select(F.col("rn").alias("rn2"), F.col("y").alias("yp"))
+    pairs = spine.join(b, F.col("rn2") == F.col("rn") - 1).select(
+        "rn", F.col("y").alias("yc"), "yp"
+    )
+    ranked = pairs.select(
+        "rn",
+        F.row_number().over(Window.orderBy("yc", "rn")).alias("r"),
+        F.row_number().over(Window.orderBy("yp", "rn")).alias("s"),
+    ).localCheckpoint(eager=True)
+    rb = ranked.select(
+        F.col("rn").alias("rnb"), F.col("r").alias("rb"), F.col("s").alias("sb")
+    )
+    q = (
+        ranked.join(
+            rb, (F.col("rb") < F.col("r")) & (F.col("sb") < F.col("s")), "left"
+        )
+        .groupBy("rn", "r", "s")
+        .agg(F.count("rnb").cast("bigint").alias("qq"))
+    )
+    sums = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qq") * (F.col("qq") - 1)).cast("decimal(38,0)").alias("d1"),
+        F.sum(
+            ((F.col("r") - 1) * (F.col("r") - 2)).cast("decimal(19,0)")
+            * ((F.col("s") - 1) * (F.col("s") - 2)).cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("d2"),
+        F.sum(
+            ((F.col("r") - 2) * (F.col("s") - 2)).cast("decimal(19,0)")
+            * F.col("qq").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("d3"),
+    )
+    n = F.col("n").cast("double")
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(
+            30.0
+            * (
+                (n - 2.0) * (n - 3.0) * F.col("d1").cast("double")
+                + F.col("d2").cast("double")
+                - 2.0 * (n - 2.0) * F.col("d3").cast("double")
+            )
+            / (n * (n - 1.0) * (n - 2.0) * (n - 3.0) * (n - 4.0)),
+            6,
+        ).alias("hoeffding_d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distance correlation (Székely-Rizzo dCor) between daily revenue and
+# the day index — detects arbitrary dependence where Pearson sees
+# none. All three double-centering moments (S1, S2, S3) reduce to
+# exact integer pairwise sums and per-row pairwise row-sums over the
+# bounded spine; the final assembly is one fixed expression.
+@_q(
+    "distance_correlation_daily",
+    f"""
+    WITH {_SQL_SPINE},
+    rowsums AS MATERIALIZED (
+      SELECT a.rn,
+             CAST(SUM(CAST(abs(a.y - b.y) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ay,
+             CAST(SUM(CAST(abs(a.rn - b.rn) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS at
+      FROM spine a CROSS JOIN spine b
+      GROUP BY a.rn
+    ),
+    s1 AS (
+      SELECT CAST(SUM(CAST(abs(a.y - b.y) AS DECIMAL(38,0))
+                      * CAST(abs(a.rn - b.rn) AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS v,
+             CAST(SUM(CAST(abs(a.y - b.y) AS DECIMAL(38,0))
+                      * CAST(abs(a.y - b.y) AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS vyy,
+             CAST(SUM(CAST(abs(a.rn - b.rn) AS DECIMAL(38,0))
+                      * CAST(abs(a.rn - b.rn) AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS vtt
+      FROM spine a CROSS JOIN spine b
+    ),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM spine) AS n,
+             CAST(SUM(ay) AS DECIMAL(38,0)) AS say,
+             CAST(SUM(at) AS DECIMAL(38,0)) AS sat,
+             CAST(SUM(ay * at) AS DECIMAL(38,0)) AS sprod,
+             CAST(SUM(ay * ay) AS DECIMAL(38,0)) AS sayy,
+             CAST(SUM(at * at) AS DECIMAL(38,0)) AS satt
+      FROM rowsums
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(
+             (CAST((SELECT v FROM s1) AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+              + CAST(say AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+                * CAST(sat AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+              - 2.0 * CAST(sprod AS DOUBLE)
+                / (CAST(n AS DOUBLE) * n * n))
+             / sqrt(
+               (CAST((SELECT vyy FROM s1) AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+                + CAST(say AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+                  * CAST(say AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+                - 2.0 * CAST(sayy AS DOUBLE) / (CAST(n AS DOUBLE) * n * n))
+               * (CAST((SELECT vtt FROM s1) AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+                  + CAST(sat AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+                    * CAST(sat AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+                  - 2.0 * CAST(satt AS DOUBLE) / (CAST(n AS DOUBLE) * n * n))),
+             6) AS dcor_squared_ratio
+    FROM tot
+    """,
+)
+def q_distance_correlation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir).localCheckpoint(eager=True)
+    b = spine.select(F.col("rn").alias("rn2"), F.col("y").alias("y2"))
+    cross = spine.crossJoin(b)
+    ady = F.abs(F.col("y") - F.col("y2")).cast("decimal(38,0)")
+    adt = F.abs(F.col("rn") - F.col("rn2")).cast("decimal(38,0)")
+    rowsums = cross.groupBy("rn").agg(
+        F.sum(ady).cast("decimal(38,0)").alias("ay"),
+        F.sum(adt).cast("decimal(38,0)").alias("at"),
+    )
+    s1 = cross.agg(
+        F.sum(ady * adt).cast("decimal(38,0)").alias("v"),
+        F.sum(ady * ady).cast("decimal(38,0)").alias("vyy"),
+        F.sum(adt * adt).cast("decimal(38,0)").alias("vtt"),
+    )
+    n = spine.count()  # bounded day spine
+    tot = rowsums.agg(
+        F.sum("ay").cast("decimal(38,0)").alias("say"),
+        F.sum("at").cast("decimal(38,0)").alias("sat"),
+        F.sum(F.col("ay") * F.col("at")).cast("decimal(38,0)").alias("sprod"),
+        F.sum(F.col("ay") * F.col("ay")).cast("decimal(38,0)").alias("sayy"),
+        F.sum(F.col("at") * F.col("at")).cast("decimal(38,0)").alias("satt"),
+    )
+    nd = float(n)
+
+    def _cov(vcol, rc1, rc2, sq):
+        return (
+            vcol.cast("double") / (nd * n)
+            + rc1.cast("double") / (nd * n) * rc2.cast("double") / (nd * n)
+            - 2.0 * sq.cast("double") / (nd * n * n)
+        )
+
+    dcov = _cov(F.col("v"), F.col("say"), F.col("sat"), F.col("sprod"))
+    dvy = _cov(F.col("vyy"), F.col("say"), F.col("say"), F.col("sayy"))
+    dvt = _cov(F.col("vtt"), F.col("sat"), F.col("sat"), F.col("satt"))
+    return s1.crossJoin(tot).select(
+        F.lit(n).cast("bigint").alias("n_days"),
+        F.round(dcov / F.sqrt(dvy * dvt), 6).alias("dcor_squared_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real-cepstrum periodicity — quefrency analysis: DFT power spectrum
+# at K = 32 harmonics of the standardized daily series, log, then an
+# inverse cosine transform over quefrency lags; the peak quefrency
+# exposes periodic structure the raw spectrum spreads across
+# harmonics. Same 12-dp lattice + DECIMAL sum discipline as the DFT
+# queries; the argmax is tie-broken deterministically (max power, then
+# smallest quefrency).
+_CEP_K = 32
+_CEP_QMAX = 16
+
+
+def _sql_cepstrum() -> str:
+    return f"""
+    WITH {_SQL_SPINE},
+    mom AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                  AS DOUBLE) AS ss
+      FROM spine
+    ),
+    z AS MATERIALIZED (
+      SELECT CAST(rn AS DOUBLE) AS tt,
+             round((CAST(y AS DOUBLE) - (SELECT s / n FROM mom))
+                   / sqrt(((SELECT n FROM mom) * (SELECT ss FROM mom)
+                           - (SELECT s FROM mom) * (SELECT s FROM mom))
+                          / (CAST((SELECT n FROM mom) AS DOUBLE)
+                             * ((SELECT n FROM mom) - 1))), 6) AS zv,
+             (SELECT n FROM mom) AS n
+      FROM spine
+    ),
+    ks AS (SELECT unnest(generate_series(1, {_CEP_K})) AS k),
+    spec AS MATERIALIZED (
+      SELECT k.k,
+             ln(pow(CAST(SUM(CAST(round(z.zv * cos(2 * pi() * k.k * z.tt / z.n), 12)
+                                  AS DECIMAL(38,12))) AS DOUBLE), 2)
+                + pow(CAST(SUM(CAST(round(z.zv * sin(2 * pi() * k.k * z.tt / z.n), 12)
+                                   AS DECIMAL(38,12))) AS DOUBLE), 2)
+                + 1e-12) AS logp
+      FROM z CROSS JOIN ks k GROUP BY k.k
+    ),
+    qs AS (SELECT unnest(generate_series(2, {_CEP_QMAX})) AS q),
+    cep AS (
+      SELECT q.q,
+             CAST(SUM(CAST(round(s.logp * cos(2 * pi() * s.k * q.q / {_CEP_K}.0), 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) / {_CEP_K}.0 AS c
+      FROM spec s CROSS JOIN qs q GROUP BY q.q
+    )
+    SELECT CAST(q AS INT) AS peak_quefrency,
+           round(c, 6) AS cepstrum_peak
+    FROM cep ORDER BY c DESC, q ASC LIMIT 1
+    """
+
+
+@_q("cepstrum_periodicity", _sql_cepstrum())
+def q_cepstrum_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir)
+    mom = spine.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("s"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    z = (
+        spine.crossJoin(F.broadcast(mom))
+        .select(
+            F.col("rn").cast("double").alias("tt"),
+            F.round(
+                (F.col("y").cast("double") - F.col("s") / F.col("n"))
+                / F.sqrt(
+                    (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+                    / (F.col("n").cast("double") * (F.col("n") - 1))
+                ),
+                6,
+            ).alias("zv"),
+            F.col("n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ks = spark.range(1, _CEP_K + 1).select(F.col("id").cast("int").alias("k"))
+    arg = 2 * F.lit(_math.pi) * F.col("k") * F.col("tt") / F.col("n")
+    spec = (
+        z.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.log(
+                F.pow(
+                    F.sum(
+                        F.round(F.col("zv") * F.cos(arg), 12).cast("decimal(38,12)")
+                    ).cast("double"),
+                    2,
+                )
+                + F.pow(
+                    F.sum(
+                        F.round(F.col("zv") * F.sin(arg), 12).cast("decimal(38,12)")
+                    ).cast("double"),
+                    2,
+                )
+                + 1e-12
+            ).alias("logp")
+        )
+    )
+    qs = spark.range(2, _CEP_QMAX + 1).select(F.col("id").cast("int").alias("q"))
+    qarg = 2 * F.lit(_math.pi) * F.col("k") * F.col("q") / float(_CEP_K)
+    cep = (
+        spec.crossJoin(F.broadcast(qs))
+        .groupBy("q")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("logp") * F.cos(qarg), 12).cast("decimal(38,12)")
+                ).cast("double")
+                / float(_CEP_K)
+            ).alias("c")
+        )
+    )
+    return (
+        cep.orderBy(F.desc("c"), F.asc("q"))
+        .limit(1)
+        .select(
+            F.col("q").cast("int").alias("peak_quefrency"),
+            F.round(F.col("c"), 6).alias("cepstrum_peak"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Geographically weighted regression — per-cell local coefficients of
+# acctbal on the x coordinate with a bisquare kernel over the 3x3
+# neighbor-cell window (the GWR fan-out shape: each cell's regression
+# touches only its bounded neighborhood, never the global point set).
+# Weights are pure arithmetic on integer coordinates (no
+# transcendentals), so per-term doubles are bit-identical; sums go
+# through the 9-dp lattice.
+_GWR_CELL = 5.0
+_GWR_H = 7.5  # bisquare bandwidth: covers the 3x3 cell window
+
+
+def _sql_gwr() -> str:
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey AS point_id,
+             CAST(c_custkey % 40 AS DOUBLE) AS px,
+             CAST(c_custkey % 30 AS DOUBLE) AS py,
+             CAST(c_acctbal AS DOUBLE) AS val
+      FROM customer
+    ),
+    cells AS (
+      SELECT DISTINCT CAST(floor(px / {_GWR_CELL}) AS INTEGER) AS gx,
+                      CAST(floor(py / {_GWR_CELL}) AS INTEGER) AS gy
+      FROM pts
+    ),
+    offs AS (
+      SELECT dx.v AS dx, dy.v AS dy
+      FROM (SELECT unnest([-1, 0, 1]) AS v) dx,
+           (SELECT unnest([-1, 0, 1]) AS v) dy
+    ),
+    contrib AS (
+      SELECT c.gx, c.gy,
+             pow(1.0 - ((p.px - (c.gx * {_GWR_CELL} + 2.5))
+                        * (p.px - (c.gx * {_GWR_CELL} + 2.5))
+                        + (p.py - (c.gy * {_GWR_CELL} + 2.5))
+                        * (p.py - (c.gy * {_GWR_CELL} + 2.5)))
+                      / ({_GWR_H} * {_GWR_H}), 2) AS w,
+             p.px, p.val
+      FROM cells c
+      JOIN offs o ON TRUE
+      JOIN pts p
+        ON CAST(floor(p.px / {_GWR_CELL}) AS INTEGER) = c.gx + o.dx
+       AND CAST(floor(p.py / {_GWR_CELL}) AS INTEGER) = c.gy + o.dy
+      WHERE ((p.px - (c.gx * {_GWR_CELL} + 2.5))
+             * (p.px - (c.gx * {_GWR_CELL} + 2.5))
+             + (p.py - (c.gy * {_GWR_CELL} + 2.5))
+             * (p.py - (c.gy * {_GWR_CELL} + 2.5)))
+            < {_GWR_H} * {_GWR_H}
+    ),
+    sums AS (
+      SELECT gx, gy, COUNT(*) AS n_pts,
+             CAST(SUM(CAST(round(w, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sw,
+             CAST(SUM(CAST(round(w * px, 9) AS DECIMAL(38,9))) AS DOUBLE) AS swx,
+             CAST(SUM(CAST(round(w * px * px, 9) AS DECIMAL(38,9))) AS DOUBLE) AS swxx,
+             CAST(SUM(CAST(round(w * val, 9) AS DECIMAL(38,9))) AS DOUBLE) AS swy,
+             CAST(SUM(CAST(round(w * px * val, 9) AS DECIMAL(38,9))) AS DOUBLE) AS swxy
+      FROM contrib GROUP BY gx, gy
+    )
+    SELECT CAST(gx AS INT) AS gx, CAST(gy AS INT) AS gy,
+           CAST(n_pts AS BIGINT) AS n_pts,
+           round((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 6)
+             AS local_slope
+    FROM sums WHERE sw * swxx - swx * swx <> 0.0
+    """
+
+
+@_q("gwr_local_coefficients", _sql_gwr())
+def q_gwr_local_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    pts = cust.select(
+        (F.col("c_custkey") % 40).cast("double").alias("px"),
+        (F.col("c_custkey") % 30).cast("double").alias("py"),
+        F.col("c_acctbal").cast("double").alias("val"),
+        F.floor(F.col("c_custkey") % 40 / _GWR_CELL).cast("int").alias("cx"),
+        F.floor(F.col("c_custkey") % 30 / _GWR_CELL).cast("int").alias("cy"),
+    )
+    cells = pts.select(
+        F.col("cx").alias("gx"), F.col("cy").alias("gy")
+    ).distinct()
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    tgt = cells.crossJoin(F.broadcast(offs)).select(
+        "gx", "gy", (F.col("gx") + F.col("dx")).alias("nx"),
+        (F.col("gy") + F.col("dy")).alias("ny"),
+    )
+    joined = tgt.join(
+        pts, (F.col("nx") == F.col("cx")) & (F.col("ny") == F.col("cy"))
+    )
+    dx = F.col("px") - (F.col("gx") * _GWR_CELL + 2.5)
+    dy = F.col("py") - (F.col("gy") * _GWR_CELL + 2.5)
+    d2 = dx * dx + dy * dy
+    w = F.pow(1.0 - d2 / (_GWR_H * _GWR_H), 2)
+    contrib = joined.where(d2 < _GWR_H * _GWR_H).select(
+        "gx", "gy", w.alias("w"), "px", "val"
+    )
+
+    def _d9(col):
+        return F.sum(F.round(col, 9).cast("decimal(38,9)")).cast("double")
+
+    sums = contrib.groupBy("gx", "gy").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        _d9(F.col("w")).alias("sw"),
+        _d9(F.col("w") * F.col("px")).alias("swx"),
+        _d9(F.col("w") * F.col("px") * F.col("px")).alias("swxx"),
+        _d9(F.col("w") * F.col("val")).alias("swy"),
+        _d9(F.col("w") * F.col("px") * F.col("val")).alias("swxy"),
+    )
+    den = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+    return sums.where(den != 0.0).select(
+        F.col("gx").cast("int").alias("gx"),
+        F.col("gy").cast("int").alias("gy"),
+        F.col("n_pts").cast("bigint").alias("n_pts"),
+        F.round(
+            (F.col("sw") * F.col("swxy") - F.col("swx") * F.col("swy")) / den, 6
+        ).alias("local_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Platt scaling — logistic calibration of a raw score onto outcome
+# probability, the standard post-hoc calibrator next to the registry's
+# isotonic PAV. Scores are bucketed to 100 exact-integer cells first
+# (price centile vs urgent-priority outcome), so the 2-parameter
+# Newton iteration runs over a BOUNDED sufficient-statistics table;
+# each iteration's six sums go through the 12-dp lattice and the (A,B)
+# scalars re-round through the engines' own round() in lockstep (the
+# EM/IRLS house pattern).
+_PLATT_ITERS = 5
+
+
+def _sql_platt() -> str:
+    ctes = [
+        """buckets AS MATERIALIZED (
+      SELECT least(CAST(floor(o_totalprice / 6000.0) AS INTEGER), 99) AS b,
+             CAST(least(CAST(floor(o_totalprice / 6000.0) AS INTEGER), 99)
+                  AS DOUBLE) / 100.0 AS s,
+             CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN 0 ELSE 1 END) AS BIGINT) AS nn
+      FROM orders GROUP BY 1, 2
+    ),
+    it0 AS (SELECT 0.0 AS a, 0.0 AS b)"""
+    ]
+    for k in range(_PLATT_ITERS):
+        ctes.append(
+            f"""g{k} AS (
+      SELECT
+        CAST(SUM(CAST(round(((bk.np + bk.nn) / (1.0 + exp(-(it.a * bk.s + it.b)))
+                             - bk.np) * bk.s, 12) AS DECIMAL(38,12))) AS DOUBLE) AS ga,
+        CAST(SUM(CAST(round((bk.np + bk.nn) / (1.0 + exp(-(it.a * bk.s + it.b)))
+                            - bk.np, 12) AS DECIMAL(38,12))) AS DOUBLE) AS gb,
+        CAST(SUM(CAST(round((bk.np + bk.nn)
+                            * (1.0 / (1.0 + exp(-(it.a * bk.s + it.b))))
+                            * (1.0 - 1.0 / (1.0 + exp(-(it.a * bk.s + it.b))))
+                            * bk.s * bk.s, 12) AS DECIMAL(38,12))) AS DOUBLE) AS haa,
+        CAST(SUM(CAST(round((bk.np + bk.nn)
+                            * (1.0 / (1.0 + exp(-(it.a * bk.s + it.b))))
+                            * (1.0 - 1.0 / (1.0 + exp(-(it.a * bk.s + it.b))))
+                            * bk.s, 12) AS DECIMAL(38,12))) AS DOUBLE) AS hab,
+        CAST(SUM(CAST(round((bk.np + bk.nn)
+                            * (1.0 / (1.0 + exp(-(it.a * bk.s + it.b))))
+                            * (1.0 - 1.0 / (1.0 + exp(-(it.a * bk.s + it.b)))),
+                            12) AS DECIMAL(38,12))) AS DOUBLE) AS hbb
+      FROM buckets bk CROSS JOIN it{k} it
+    ),
+    it{k + 1} AS (
+      SELECT round(it.a - (g.hbb * g.ga - g.hab * g.gb)
+                   / (g.haa * g.hbb - g.hab * g.hab), 12) AS a,
+             round(it.b - (g.haa * g.gb - g.hab * g.ga)
+                   / (g.haa * g.hbb - g.hab * g.hab), 12) AS b
+      FROM it{k} it CROSS JOIN g{k} g
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST((SELECT COUNT(*) FROM buckets) AS BIGINT) AS n_buckets,
+           round(a, 6) AS platt_a, round(b, 6) AS platt_b,
+           round(1.0 / (1.0 + exp(-(a * 0.5 + b))), 6) AS p_at_mid
+    FROM it{_PLATT_ITERS}
+    """
+    )
+
+
+@_q("platt_scaling_calibration", _sql_platt())
+def q_platt_scaling_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    bcol = F.least(
+        F.floor(F.col("o_totalprice") / 6000.0).cast("int"), F.lit(99)
+    )
+    buckets = (
+        orders.groupBy(
+            bcol.alias("bk"), (bcol.cast("double") / 100.0).alias("s")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("np"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 0).otherwise(1)
+            )
+            .cast("bigint")
+            .alias("nn"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ab = spark.range(1).select(
+        F.lit(0.0).alias("a"), F.lit(0.0).alias("b")
+    )
+
+    def _d12(col):
+        return F.sum(F.round(col, 12).cast("decimal(38,12)")).cast("double")
+
+    for _ in range(_PLATT_ITERS):
+        p = 1.0 / (1.0 + F.exp(-(F.col("a") * F.col("s") + F.col("b"))))
+        cnt = F.col("np") + F.col("nn")
+        g = (
+            buckets.crossJoin(F.broadcast(ab))
+            .agg(
+                _d12((cnt * p - F.col("np")) * F.col("s")).alias("ga"),
+                _d12(cnt * p - F.col("np")).alias("gb"),
+                _d12(cnt * p * (1.0 - p) * F.col("s") * F.col("s")).alias("haa"),
+                _d12(cnt * p * (1.0 - p) * F.col("s")).alias("hab"),
+                _d12(cnt * p * (1.0 - p)).alias("hbb"),
+            )
+        )
+        det = F.col("haa") * F.col("hbb") - F.col("hab") * F.col("hab")
+        ab = (
+            ab.crossJoin(g)
+            .select(
+                F.round(
+                    F.col("a")
+                    - (F.col("hbb") * F.col("ga") - F.col("hab") * F.col("gb"))
+                    / det,
+                    12,
+                ).alias("a"),
+                F.round(
+                    F.col("b")
+                    - (F.col("haa") * F.col("gb") - F.col("hab") * F.col("ga"))
+                    / det,
+                    12,
+                ).alias("b"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    nb = buckets.agg(F.count(F.lit(1)).cast("bigint").alias("n_buckets"))
+    return ab.crossJoin(F.broadcast(nb)).select(
+        "n_buckets",
+        F.round(F.col("a"), 6).alias("platt_a"),
+        F.round(F.col("b"), 6).alias("platt_b"),
+        F.round(
+            1.0 / (1.0 + F.exp(-(F.col("a") * 0.5 + F.col("b")))), 6
+        ).alias("p_at_mid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Soundex phonetic blocking — the classic entity-resolution blocker
+# beside the registry's edit-distance/q-gram matchers: American
+# Soundex of each distinct part-name color word (first letter kept,
+# H/W-transparent consonant codes, run collapse, vowel reset), then a
+# per-code census of the candidate blocks. Implemented with
+# translate + regexp collapse in BOTH engines (no soundex builtin
+# needed; Spark collapses runs with a $1 backreference, DuckDB's RE2
+# has no backreferences so it chains one per-digit collapse — same
+# semantics, engine-native spellings).
+_SND_CONS = "BFPVCGJKQSXZDTLMNR"
+_SND_CODE = "111122222222334556"
+
+
+def _sql_soundex() -> str:
+    return f"""
+    WITH occurrences AS (
+      SELECT upper(unnest(string_split(p_name, ' '))) AS w FROM part
+    ),
+    wordfreq AS MATERIALIZED (
+      SELECT w, COUNT(*) AS n_occur FROM occurrences
+      WHERE w <> '' GROUP BY w
+    ),
+    words AS (SELECT w FROM wordfreq),
+    coded AS (
+      SELECT w,
+             substring(w, 1, 1) AS f,
+             translate(substring(w, 1, 1), '{_SND_CONS}AEIOUYHW',
+                       '{_SND_CODE}') AS fc,
+             translate(translate(substring(w, 2), 'HW', ''),
+                       '{_SND_CONS}AEIOUY', '{_SND_CODE}000000') AS body
+      FROM words
+    ),
+    collapsed AS (
+      -- DuckDB's regex engine is RE2: no backreferences, so runs of
+      -- each digit collapse via one chained replace per code digit
+      SELECT w, f, fc,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(
+                 fc || body,
+                 '0{{2,}}', '0', 'g'), '1{{2,}}', '1', 'g'),
+                 '2{{2,}}', '2', 'g'), '3{{2,}}', '3', 'g'),
+                 '4{{2,}}', '4', 'g'), '5{{2,}}', '5', 'g'),
+                 '6{{2,}}', '6', 'g') AS runs
+      FROM coded
+    ),
+    sdx AS (
+      SELECT w,
+             f || rpad(substring(replace(
+               substring(runs, 1 + length(fc)), '0', ''), 1, 3), 3, '0')
+               AS code
+      FROM collapsed
+    ),
+    census AS (
+      SELECT s.code, COUNT(*) AS n_words,
+             CAST(SUM(f.n_occur) AS BIGINT) AS n_occurrences
+      FROM sdx s JOIN wordfreq f ON f.w = s.w
+      GROUP BY s.code
+    )
+    SELECT code, CAST(n_words AS BIGINT) AS n_words, n_occurrences,
+           CAST(n_words * (n_words - 1) / 2 AS BIGINT) AS n_candidate_pairs
+    FROM census
+    """
+
+
+@_q("soundex_name_match", _sql_soundex())
+def q_soundex_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    occurrences = part.select(
+        F.explode(F.split(F.col("p_name"), " ")).alias("w0")
+    ).select(F.upper(F.col("w0")).alias("w"))
+    wordfreq = (
+        occurrences.where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_occur"))
+        .localCheckpoint(eager=True)
+    )
+    words = wordfreq.select("w")
+    f = F.substring(F.col("w"), 1, 1)
+    fc = F.translate(f, _SND_CONS + "AEIOUYHW", _SND_CODE)
+    body = F.translate(
+        F.translate(F.expr("substring(w, 2)"), "HW", ""),
+        _SND_CONS + "AEIOUY",
+        _SND_CODE + "000000",
+    )
+    coded = words.select(
+        "w", f.alias("f"), fc.alias("fc"), body.alias("body")
+    )
+    runs = F.regexp_replace(
+        F.concat(F.col("fc"), F.col("body")), "([0-9])\\1+", "$1"
+    )
+    collapsed = coded.select("w", "f", "fc", runs.alias("runs"))
+    tail3 = F.rpad(
+        F.substring(
+            F.replace(
+                F.expr("substring(runs, 1 + length(fc))"), F.lit("0"), F.lit("")
+            ),
+            1,
+            3,
+        ),
+        3,
+        "0",
+    )
+    sdx = collapsed.select(
+        "w", F.concat(F.col("f"), tail3).alias("code")
+    )
+    census = sdx.join(wordfreq, "w").groupBy("code").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_occur").cast("bigint").alias("n_occurrences"),
+    )
+    return census.select(
+        "code",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        "n_occurrences",
+        (F.col("n_words") * (F.col("n_words") - 1) / 2)
+        .cast("bigint")
+        .alias("n_candidate_pairs"),
+    )

@@ -367,3 +367,195 @@ def test_evalue_crosscheck(spark):
     assert (row["a"], row["b"], row["c"], row["d"]) == (a, b, c, d)
     assert abs(row["risk_ratio"] - rr) < 1e-6
     assert abs(row["e_value"] - (rs + math.sqrt(rs * (rs - 1)))) < 1e-6
+
+
+def test_turning_point_crosscheck(spark, daily):
+    y = daily["y"].to_numpy().astype(np.int64)
+    n = len(y)
+    t = int(
+        np.sum(
+            ((y[1:-1] > y[:-2]) & (y[1:-1] > y[2:]))
+            | ((y[1:-1] < y[:-2]) & (y[1:-1] < y[2:]))
+        )
+    )
+    row = _one(spark, "turning_point_test")[0]
+    assert (row["n_days"], row["turning_points"]) == (n, t)
+    z = (t - 2.0 * (n - 2) / 3.0) / math.sqrt((16.0 * n - 29.0) / 90.0)
+    assert abs(row["z_score"] - z) < 1e-6
+
+
+def _lag_ranks(daily):
+    y = daily["y"].to_numpy().astype(np.int64)
+    yc, yp = y[1:], y[:-1]
+    idx = np.arange(len(yc))
+    r = np.empty(len(yc), dtype=np.int64)
+    r[np.lexsort((idx, yc))] = np.arange(1, len(yc) + 1)
+    s = np.empty(len(yc), dtype=np.int64)
+    s[np.lexsort((idx, yp))] = np.arange(1, len(yc) + 1)
+    return r, s
+
+
+def test_tail_dependence_crosscheck(spark, daily):
+    r, s = _lag_ranks(daily)
+    m = len(r)
+    hi = r > 0.9 * m
+    both = hi & (s > 0.9 * m)
+    row = _one(spark, "tail_dependence_coefficient")[0]
+    assert (row["n_pairs"], row["n_hi"], row["n_both"]) == (
+        m, int(hi.sum()), int(both.sum()),
+    )
+    assert abs(row["lambda_upper"] - both.sum() / hi.sum()) < 1e-6
+
+
+def test_hoeffding_d_crosscheck(spark, daily):
+    r, s = _lag_ranks(daily)
+    n = len(r)
+    q = np.array(
+        [int(np.sum((r < r[i]) & (s < s[i]))) for i in range(n)],
+        dtype=np.float64,
+    )
+    rf, sf = r.astype(np.float64), s.astype(np.float64)
+    d1 = np.sum(q * (q - 1))
+    d2 = np.sum((rf - 1) * (rf - 2) * (sf - 1) * (sf - 2))
+    d3 = np.sum((rf - 2) * (sf - 2) * q)
+    d = (
+        30.0
+        * ((n - 2) * (n - 3) * d1 + d2 - 2 * (n - 2) * d3)
+        / (n * (n - 1) * (n - 2) * (n - 3) * (n - 4))
+    )
+    row = _one(spark, "hoeffding_d_dependence")[0]
+    assert row["n_pairs"] == n
+    assert abs(row["hoeffding_d"] - d) < 1e-6
+
+
+def test_distance_correlation_crosscheck(spark, daily):
+    y = daily["y"].to_numpy().astype(np.float64)
+    tt = np.arange(1, len(y) + 1, dtype=np.float64)
+    n = len(y)
+
+    def dcov2(a, b):
+        da = np.abs(a[:, None] - a[None, :])
+        db = np.abs(b[:, None] - b[None, :])
+        s1 = (da * db).sum() / n**2
+        s2 = da.sum() / n**2 * (db.sum() / n**2)
+        s3 = (da.sum(axis=1) * db.sum(axis=1)).sum() / n**3
+        return s1 + s2 - 2 * s3
+
+    want = dcov2(y, tt) / math.sqrt(dcov2(y, y) * dcov2(tt, tt))
+    row = _one(spark, "distance_correlation_daily")[0]
+    assert row["n_days"] == n
+    assert abs(row["dcor_squared_ratio"] - want) < 1e-6
+
+
+def test_cepstrum_crosscheck(spark, daily):
+    y = daily["y"].to_numpy().astype(np.float64)
+    n = len(y)
+    z = (y - y.mean()) / y.std(ddof=1)
+    tt = np.arange(1, n + 1, dtype=np.float64)
+    K = 32
+    logp = []
+    for k in range(1, K + 1):
+        arg = 2 * math.pi * k * tt / n
+        logp.append(
+            math.log(
+                np.dot(z, np.cos(arg)) ** 2
+                + np.dot(z, np.sin(arg)) ** 2
+                + 1e-12
+            )
+        )
+    logp = np.array(logp)
+    ks = np.arange(1, K + 1, dtype=np.float64)
+    best_q, best_c = None, -np.inf
+    for q in range(2, 17):
+        c = float(np.dot(logp, np.cos(2 * math.pi * ks * q / K)) / K)
+        if c > best_c + 1e-12:
+            best_q, best_c = q, c
+    row = _one(spark, "cepstrum_periodicity")[0]
+    assert row["peak_quefrency"] == best_q
+    assert abs(row["cepstrum_peak"] - best_c) < 1e-3
+
+
+def test_gwr_crosscheck(spark):
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    px = (cust["c_custkey"].to_numpy() % 40).astype(np.float64)
+    py = (cust["c_custkey"].to_numpy() % 30).astype(np.float64)
+    val = cust["c_acctbal"].to_numpy().astype(np.float64)
+    cx = np.floor(px / 5.0).astype(int)
+    cy = np.floor(py / 5.0).astype(int)
+    rows = {(r["gx"], r["gy"]): r for r in _one(spark, "gwr_local_coefficients")}
+    for (gx, gy), r in rows.items():
+        ctr = (gx * 5.0 + 2.5, gy * 5.0 + 2.5)
+        inwin = (np.abs(cx - gx) <= 1) & (np.abs(cy - gy) <= 1)
+        d2 = (px - ctr[0]) ** 2 + (py - ctr[1]) ** 2
+        m = inwin & (d2 < 7.5**2)
+        w = (1.0 - d2[m] / 7.5**2) ** 2
+        x, v = px[m], val[m]
+        sw, swx, swxx = w.sum(), (w * x).sum(), (w * x * x).sum()
+        swy, swxy = (w * v).sum(), (w * x * v).sum()
+        beta = (sw * swxy - swx * swy) / (sw * swxx - swx * swx)
+        assert r["n_pts"] == int(m.sum())
+        # engine sums go through the 9-dp lattice; numpy is unrounded
+        assert abs(r["local_slope"] - beta) < 5e-4
+
+
+def test_platt_crosscheck(spark):
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    b = np.minimum(
+        np.floor(orders["o_totalprice"].to_numpy() / 6000.0).astype(int), 99
+    )
+    pos = (orders["o_orderpriority"] == "1-URGENT").to_numpy()
+    buckets = {}
+    for bi, p in zip(b, pos):
+        np_, nn_ = buckets.get(bi, (0, 0))
+        buckets[bi] = (np_ + int(p), nn_ + int(not p))
+    s = np.array([bi / 100.0 for bi in buckets])
+    npos = np.array([v[0] for v in buckets.values()], dtype=np.float64)
+    nneg = np.array([v[1] for v in buckets.values()], dtype=np.float64)
+    cnt = npos + nneg
+    a = bb = 0.0
+    for _ in range(5):
+        p = 1.0 / (1.0 + np.exp(-(a * s + bb)))
+        ga = np.sum((cnt * p - npos) * s)
+        gb = np.sum(cnt * p - npos)
+        haa = np.sum(cnt * p * (1 - p) * s * s)
+        hab = np.sum(cnt * p * (1 - p) * s)
+        hbb = np.sum(cnt * p * (1 - p))
+        det = haa * hbb - hab * hab
+        a, bb = a - (hbb * ga - hab * gb) / det, bb - (haa * gb - hab * ga) / det
+    row = _one(spark, "platt_scaling_calibration")[0]
+    assert row["n_buckets"] == len(buckets)
+    assert abs(row["platt_a"] - a) < 1e-4
+    assert abs(row["platt_b"] - bb) < 1e-4
+
+
+def test_soundex_crosscheck(spark):
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet")
+    words: dict[str, int] = {}
+    for name in part["p_name"]:
+        for w in str(name).upper().split():
+            if w:
+                words[w] = words.get(w, 0) + 1
+
+    def soundex(w: str) -> str:
+        codes = dict(zip("BFPVCGJKQSXZDTLMNR", "111122222222334556"))
+        first = w[0]
+        fc = codes.get(first, "")
+        body = "".join(ch for ch in w[1:] if ch not in "HW")
+        coded = fc + "".join(codes.get(ch, "0") for ch in body)
+        out = []
+        for ch in coded:
+            if not out or out[-1] != ch:
+                out.append(ch)
+        tail = "".join(out)[len(fc):].replace("0", "")[:3]
+        return first + tail.ljust(3, "0")
+
+    census: dict[str, list[int]] = {}
+    for w, cnt in words.items():
+        c = census.setdefault(soundex(w), [0, 0])
+        c[0] += 1
+        c[1] += cnt
+    rows = {r["code"]: r for r in _one(spark, "soundex_name_match")}
+    assert set(rows) == set(census)
+    for code, (nw, occ) in census.items():
+        assert (rows[code]["n_words"], rows[code]["n_occurrences"]) == (nw, occ)
+        assert rows[code]["n_candidate_pairs"] == nw * (nw - 1) // 2
