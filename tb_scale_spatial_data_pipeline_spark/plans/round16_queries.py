@@ -2823,3 +2823,365 @@ def q_soundex_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_candidate_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordinal association family — concordant/discordant pair counts
+# between daily revenue and its lag, reported as Goodman-Kruskal gamma
+# and both Somers' D asymmetries (the credit-scoring "Gini"
+# accuracy-ratio statistic). Complements kendall_tau_b with the
+# tie-asymmetric members of the family. One bounded spine² pair join,
+# exact integer counting throughout.
+@_q(
+    "ordinal_association_family",
+    f"""
+    WITH {_SQL_SPINE},
+    pairs AS (
+      SELECT a.rn, a.y AS yc, b.y AS yp
+      FROM spine a JOIN spine b ON b.rn = a.rn - 1
+    ),
+    pp AS (
+      SELECT CAST(SUM(CASE WHEN (a.yc < b.yc AND a.yp < b.yp)
+                             OR (a.yc > b.yc AND a.yp > b.yp)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN (a.yc < b.yc AND a.yp > b.yp)
+                             OR (a.yc > b.yc AND a.yp < b.yp)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN a.yc = b.yc AND a.yp <> b.yp
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+             CAST(SUM(CASE WHEN a.yp = b.yp AND a.yc <> b.yc
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ty
+      FROM pairs a JOIN pairs b ON a.rn < b.rn
+    )
+    SELECT c AS concordant, d AS discordant,
+           tx AS ties_x_only, ty AS ties_y_only,
+           round(CAST(c - d AS DOUBLE) / (c + d), 6) AS gk_gamma,
+           round(CAST(c - d AS DOUBLE) / (c + d + ty), 6) AS somers_d_yx,
+           round(CAST(c - d AS DOUBLE) / (c + d + tx), 6) AS somers_d_xy
+    FROM pp
+    """,
+)
+def q_ordinal_association_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir)
+    b = spine.select(F.col("rn").alias("rn2"), F.col("y").alias("yp"))
+    pairs = spine.join(b, F.col("rn2") == F.col("rn") - 1).select(
+        "rn", F.col("y").alias("yc"), "yp"
+    )
+    pb = pairs.select(
+        F.col("rn").alias("rnb"), F.col("yc").alias("ycb"), F.col("yp").alias("ypb")
+    )
+    joined = pairs.join(pb, F.col("rn") < F.col("rnb"))
+    conc = (
+        ((F.col("yc") < F.col("ycb")) & (F.col("yp") < F.col("ypb")))
+        | ((F.col("yc") > F.col("ycb")) & (F.col("yp") > F.col("ypb")))
+    )
+    disc = (
+        ((F.col("yc") < F.col("ycb")) & (F.col("yp") > F.col("ypb")))
+        | ((F.col("yc") > F.col("ycb")) & (F.col("yp") < F.col("ypb")))
+    )
+    pp = joined.agg(
+        F.sum(F.when(conc, 1).otherwise(0)).cast("bigint").alias("c"),
+        F.sum(F.when(disc, 1).otherwise(0)).cast("bigint").alias("d"),
+        F.sum(
+            F.when(
+                (F.col("yc") == F.col("ycb")) & (F.col("yp") != F.col("ypb")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tx"),
+        F.sum(
+            F.when(
+                (F.col("yp") == F.col("ypb")) & (F.col("yc") != F.col("ycb")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("ty"),
+    )
+    cd = (F.col("c") - F.col("d")).cast("double")
+    return pp.select(
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.col("tx").alias("ties_x_only"),
+        F.col("ty").alias("ties_y_only"),
+        F.round(cd / (F.col("c") + F.col("d")), 6).alias("gk_gamma"),
+        F.round(cd / (F.col("c") + F.col("d") + F.col("ty")), 6).alias(
+            "somers_d_yx"
+        ),
+        F.round(cd / (F.col("c") + F.col("d") + F.col("tx")), 6).alias(
+            "somers_d_xy"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shapiro-Francia QQ normality — the correlation between the ordered
+# standardized series and theoretical normal quantiles. The probit is
+# Acklam's public rational approximation: PURE rational arithmetic
+# (one sqrt/log, no erf builtin needed), so per-row values are
+# bit-identical doubles in both engines; W' = corr² over the 12-dp
+# lattice sums. Blom plotting positions (i − 3/8)/(n + 1/4).
+_ACKLAM_A = (
+    -3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+    1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00,
+)
+_ACKLAM_B = (
+    -5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+    6.680131188771972e01, -1.328068155288572e01,
+)
+_ACKLAM_C = (
+    -7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
+    -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00,
+)
+_ACKLAM_D = (
+    7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
+    3.754408661907416e00,
+)
+
+
+def _sql_probit(p: str) -> str:
+    """Acklam inverse-normal-CDF as a single SQL expression of p
+    (valid for the central region and tails; identical structure to
+    the Spark expression builder `_probit_col`)."""
+    a, b, c, d = _ACKLAM_A, _ACKLAM_B, _ACKLAM_C, _ACKLAM_D
+    ql = f"sqrt(-2.0 * ln({p}))"
+    qu = f"sqrt(-2.0 * ln(1.0 - ({p})))"
+    r = f"(({p}) - 0.5) * (({p}) - 0.5)"
+    central_num = (
+        f"((((({a[0]!r} * {r} + {a[1]!r}) * {r} + {a[2]!r}) * {r} + {a[3]!r})"
+        f" * {r} + {a[4]!r}) * {r} + {a[5]!r}) * (({p}) - 0.5)"
+    )
+    central_den = (
+        f"((((({b[0]!r} * {r} + {b[1]!r}) * {r} + {b[2]!r}) * {r} + {b[3]!r})"
+        f" * {r} + {b[4]!r}) * {r} + 1.0)"
+    )
+    low_num = (
+        f"(((({c[0]!r} * {ql} + {c[1]!r}) * {ql} + {c[2]!r}) * {ql} + {c[3]!r})"
+        f" * {ql} + {c[4]!r}) * {ql} + {c[5]!r}"
+    )
+    low_den = (
+        f"(((({d[0]!r} * {ql} + {d[1]!r}) * {ql} + {d[2]!r}) * {ql} + {d[3]!r})"
+        f" * {ql} + 1.0)"
+    )
+    hi_num = (
+        f"(((({c[0]!r} * {qu} + {c[1]!r}) * {qu} + {c[2]!r}) * {qu} + {c[3]!r})"
+        f" * {qu} + {c[4]!r}) * {qu} + {c[5]!r}"
+    )
+    hi_den = (
+        f"(((({d[0]!r} * {qu} + {d[1]!r}) * {qu} + {d[2]!r}) * {qu} + {d[3]!r})"
+        f" * {qu} + 1.0)"
+    )
+    return f"""CASE
+      WHEN ({p}) < 0.02425 THEN ({low_num}) / ({low_den})
+      WHEN ({p}) > 0.97575 THEN -(({hi_num}) / ({hi_den}))
+      ELSE ({central_num}) / ({central_den})
+    END"""
+
+
+def _probit_col(p):
+    a, b, c, d = _ACKLAM_A, _ACKLAM_B, _ACKLAM_C, _ACKLAM_D
+    ql = F.sqrt(-2.0 * F.log(p))
+    qu = F.sqrt(-2.0 * F.log(1.0 - p))
+    r = (p - 0.5) * (p - 0.5)
+
+    def poly(cs, x, tail):
+        e = F.lit(cs[0])
+        for co in cs[1:]:
+            e = e * x + F.lit(co)
+        return e * x + F.lit(tail) if tail is not None else e
+
+    central = (
+        (((((F.lit(a[0]) * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5])
+        * (p - 0.5)
+    ) / (((((F.lit(b[0]) * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1.0)
+    low = (
+        ((((F.lit(c[0]) * ql + c[1]) * ql + c[2]) * ql + c[3]) * ql + c[4]) * ql
+        + c[5]
+    ) / ((((F.lit(d[0]) * ql + d[1]) * ql + d[2]) * ql + d[3]) * ql + 1.0)
+    hi = -(
+        (
+            ((((F.lit(c[0]) * qu + c[1]) * qu + c[2]) * qu + c[3]) * qu + c[4]) * qu
+            + c[5]
+        )
+        / ((((F.lit(d[0]) * qu + d[1]) * qu + d[2]) * qu + d[3]) * qu + 1.0)
+    )
+    return (
+        F.when(p < 0.02425, low).when(p > 0.97575, hi).otherwise(central)
+    )
+
+
+@_q(
+    "shapiro_francia_qq",
+    f"""
+    WITH {_SQL_SPINE},
+    ranked AS (
+      SELECT y, row_number() OVER (ORDER BY y, rn) AS i,
+             COUNT(*) OVER () AS n
+      FROM spine
+    ),
+    qq AS (
+      SELECT CAST(y AS DOUBLE) AS yv,
+             {_sql_probit("(i - 0.375) / (n + 0.25)")} AS m
+      FROM ranked
+    ),
+    sums AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(round(yv, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(round(yv * yv, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(round(m, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sm,
+             CAST(SUM(CAST(round(m * m, 12) AS DECIMAL(38,12))) AS DOUBLE) AS smm,
+             CAST(SUM(CAST(round(yv * m, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sym
+      FROM qq
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(pow(n * sym - sy * sm, 2)
+                 / ((n * syy - sy * sy) * (n * smm - sm * sm)), 6)
+             AS w_prime
+    FROM sums
+    """,
+)
+def q_shapiro_francia_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir)
+    wall = Window.partitionBy()
+    ranked = spine.select(
+        "y",
+        F.row_number().over(Window.orderBy("y", "rn")).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    p = (F.col("i") - 0.375) / (F.col("n") + 0.25)
+    qq = ranked.select(
+        F.col("y").cast("double").alias("yv"), _probit_col(p).alias("m")
+    )
+    sums = qq.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("yv"), 6).cast("decimal(38,6)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("yv") * F.col("yv"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.round(F.col("m"), 12).cast("decimal(38,12)")).cast("double").alias("sm"),
+        F.sum(F.round(F.col("m") * F.col("m"), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("smm"),
+        F.sum(F.round(F.col("yv") * F.col("m"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sym"),
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(
+            F.pow(F.col("n") * F.col("sym") - F.col("sy") * F.col("sm"), 2)
+            / (
+                (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                * (F.col("n") * F.col("smm") - F.col("sm") * F.col("sm"))
+            ),
+            6,
+        ).alias("w_prime"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CRPS forecast evaluation — the continuous ranked probability score of
+# an empirical ensemble forecast (the last 4 same-weekday daily
+# revenues) against each realized day:
+# CRPS = (1/m)Σ|x_i − y| − (1/(2m²))Σ_{ij}|x_i − x_j|. Both sums are
+# exact integer cents over a bounded m = 4 ensemble; the report is the
+# mean CRPS relative to the mean daily revenue (forecast-skill scale).
+_CRPS_M = 4
+
+
+@_q(
+    "crps_forecast_eval",
+    f"""
+    WITH {_SQL_SPINE},
+    members AS (
+      -- ensemble member j in 1..4: the value 7j days back
+      SELECT a.rn, a.y AS actual, j.j, b.y AS x
+      FROM spine a
+      CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j) j
+      JOIN spine b ON b.rn = a.rn - 7 * j.j
+    ),
+    full_days AS (
+      SELECT rn FROM members GROUP BY rn HAVING COUNT(*) = {_CRPS_M}
+    ),
+    term1 AS (
+      SELECT m.rn,
+             CAST(SUM(CAST(abs(m.x - m.actual) AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS s1
+      FROM members m JOIN full_days f ON f.rn = m.rn
+      GROUP BY m.rn
+    ),
+    term2 AS (
+      SELECT a.rn,
+             CAST(SUM(CAST(abs(a.x - b.x) AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS s2
+      FROM members a
+      JOIN members b ON b.rn = a.rn
+      JOIN full_days f ON f.rn = a.rn
+      GROUP BY a.rn
+    ),
+    per_day AS (
+      SELECT t1.rn,
+             CAST(t1.s1 AS DOUBLE) / {_CRPS_M}
+             - CAST(t2.s2 AS DOUBLE) / (2.0 * {_CRPS_M} * {_CRPS_M}) AS crps
+      FROM term1 t1 JOIN term2 t2 ON t2.rn = t1.rn
+    ),
+    m AS (SELECT CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)
+            AS mean_y FROM spine)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+           round(CAST(SUM(CAST(round(crps, 4) AS DECIMAL(38,4))) AS DOUBLE)
+                 / COUNT(*) / (SELECT mean_y FROM m), 6) AS rel_mean_crps
+    FROM per_day
+    """,
+)
+def q_crps_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir)
+    js = spark.range(1, _CRPS_M + 1).select(F.col("id").cast("int").alias("j"))
+    b = spine.select(F.col("rn").alias("rnb"), F.col("y").alias("x"))
+    members = (
+        spine.crossJoin(F.broadcast(js))
+        .join(b, F.col("rnb") == F.col("rn") - 7 * F.col("j"))
+        .select("rn", F.col("y").alias("actual"), "j", "x")
+    )
+    full_days = (
+        members.groupBy("rn")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") == _CRPS_M)
+        .select("rn")
+    )
+    mf = members.join(full_days, "rn")
+    term1 = mf.groupBy("rn").agg(
+        F.sum(F.abs(F.col("x") - F.col("actual")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s1")
+    )
+    mb = mf.select(F.col("rn").alias("rn2"), F.col("x").alias("xb"))
+    term2 = (
+        mf.join(mb, F.col("rn2") == F.col("rn"))
+        .groupBy("rn")
+        .agg(
+            F.sum(F.abs(F.col("x") - F.col("xb")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("s2")
+        )
+    )
+    per_day = term1.join(term2, "rn").select(
+        "rn",
+        (
+            F.col("s1").cast("double") / _CRPS_M
+            - F.col("s2").cast("double") / (2.0 * _CRPS_M * _CRPS_M)
+        ).alias("crps"),
+    )
+    m = spine.agg(
+        (
+            F.sum(F.col("y").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_y")
+    )
+    return per_day.crossJoin(F.broadcast(m)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days_scored"),
+        F.round(
+            F.sum(F.round(F.col("crps"), 4).cast("decimal(38,4)")).cast("double")
+            / F.count(F.lit(1))
+            / F.max("mean_y"),
+            6,
+        ).alias("rel_mean_crps"),
+    )

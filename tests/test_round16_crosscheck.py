@@ -559,3 +559,66 @@ def test_soundex_crosscheck(spark):
     for code, (nw, occ) in census.items():
         assert (rows[code]["n_words"], rows[code]["n_occurrences"]) == (nw, occ)
         assert rows[code]["n_candidate_pairs"] == nw * (nw - 1) // 2
+
+
+def test_ordinal_association_crosscheck(spark, daily):
+    y = daily["y"].to_numpy().astype(np.int64)
+    yc, yp = y[1:], y[:-1]
+    n = len(yc)
+    c = d = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            sx = np.sign(yc[j] - yc[i])
+            sy = np.sign(yp[j] - yp[i])
+            if sx and sy:
+                if sx == sy:
+                    c += 1
+                else:
+                    d += 1
+            elif sx == 0 and sy != 0:
+                tx += 1
+            elif sy == 0 and sx != 0:
+                ty += 1
+    row = _one(spark, "ordinal_association_family")[0]
+    assert (row["concordant"], row["discordant"]) == (c, d)
+    assert (row["ties_x_only"], row["ties_y_only"]) == (tx, ty)
+    assert abs(row["gk_gamma"] - (c - d) / (c + d)) < 1e-6
+    assert abs(row["somers_d_yx"] - (c - d) / (c + d + ty)) < 1e-6
+    assert abs(row["somers_d_xy"] - (c - d) / (c + d + tx)) < 1e-6
+
+
+def test_shapiro_francia_crosscheck(spark, daily):
+    # independent probit: binary-search the normal CDF via math.erf
+    y = np.sort(daily["y"].to_numpy().astype(np.float64))
+    n = len(y)
+
+    def probit(p):
+        lo, hi = -10.0, 10.0
+        for _ in range(80):
+            mid = (lo + hi) / 2
+            if 0.5 * (1 + math.erf(mid / math.sqrt(2))) < p:
+                lo = mid
+            else:
+                hi = mid
+        return (lo + hi) / 2
+
+    m = np.array([probit((i - 0.375) / (n + 0.25)) for i in range(1, n + 1)])
+    w = np.corrcoef(y, m)[0, 1] ** 2
+    row = _one(spark, "shapiro_francia_qq")[0]
+    assert row["n_days"] == n
+    # Acklam's approximation is |err| < 1.15e-9 in probit units
+    assert abs(row["w_prime"] - w) < 1e-5
+
+
+def test_crps_crosscheck(spark, daily):
+    y = daily["y"].to_numpy().astype(np.float64)
+    n = len(y)
+    scores = []
+    for t in range(28, n):
+        ens = np.array([y[t - 7 * j] for j in range(1, 5)])
+        s1 = np.abs(ens - y[t]).sum() / 4
+        s2 = np.abs(ens[:, None] - ens[None, :]).sum() / (2 * 16)
+        scores.append(s1 - s2)
+    row = _one(spark, "crps_forecast_eval")[0]
+    assert row["n_days_scored"] == len(scores)
+    assert abs(row["rel_mean_crps"] - np.mean(scores) / y.mean()) < 1e-6
