@@ -3185,3 +3185,545 @@ def q_crps_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_mean_crps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Brunner-Munzel test — the nonparametric Behrens-Fisher problem
+# (stochastic superiority of weekend vs weekday daily revenue without
+# equal-variance or shape assumptions). Midranks are exact
+# half-integers (carried as 2x integers), placements reduce to exact
+# integer algebra, and the Welch-type variance assembles from exact
+# decimal moments in one fixed expression.
+@_q(
+    "brunner_munzel_test",
+    f"""
+    WITH {_SQL_SPINE},
+    lab AS (
+      SELECT rn, y,
+             CASE WHEN rn % 7 IN (5, 6) THEN 1 ELSE 0 END AS grp
+      FROM spine
+    ),
+    ranked AS MATERIALIZED (
+      -- 2x midrank over the combined sample, and 2x midrank within
+      -- the own group (exact integers)
+      SELECT grp, y,
+             CAST(2 * rank() OVER (ORDER BY y)
+                  + COUNT(*) OVER (PARTITION BY y) - 2 + 1 AS BIGINT) AS r2,
+             CAST(2 * rank() OVER (PARTITION BY grp ORDER BY y)
+                  + COUNT(*) OVER (PARTITION BY grp, y) - 2 + 1 AS BIGINT)
+               AS rw2
+      FROM lab
+    ),
+    moms AS (
+      SELECT grp, COUNT(*) AS n,
+             CAST(SUM(CAST(r2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(r2 - rw2 AS DECIMAL(38,0))
+                      * CAST(r2 - rw2 AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS sqq,
+             CAST(SUM(CAST(r2 - rw2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq
+      FROM ranked GROUP BY grp
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN grp = 0 THEN n END) AS n0,
+             MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+             MAX(CASE WHEN grp = 0 THEN CAST(s AS DOUBLE) END) AS s0,
+             MAX(CASE WHEN grp = 1 THEN CAST(s AS DOUBLE) END) AS s1,
+             MAX(CASE WHEN grp = 0 THEN CAST(sqq AS DOUBLE) END) AS sqq0,
+             MAX(CASE WHEN grp = 1 THEN CAST(sqq AS DOUBLE) END) AS sqq1,
+             MAX(CASE WHEN grp = 0 THEN CAST(sq AS DOUBLE) END) AS q0,
+             MAX(CASE WHEN grp = 1 THEN CAST(sq AS DOUBLE) END) AS q1
+      FROM moms
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_weekday, CAST(n1 AS BIGINT) AS n_weekend,
+           round((s1 / (2.0 * n1) - s0 / (2.0 * n0))
+                 / (n0 + n1) + 0.5, 6) AS p_hat,
+           round(((s1 / (2.0 * n1) - s0 / (2.0 * n0)) / (n0 + n1))
+                 / sqrt(((sqq0 / 4.0 - q0 * q0 / (4.0 * n0)) / (n0 - 1.0))
+                          / (CAST(n0 AS DOUBLE) * n1 * n1)
+                        + ((sqq1 / 4.0 - q1 * q1 / (4.0 * n1)) / (n1 - 1.0))
+                          / (CAST(n1 AS DOUBLE) * n0 * n0)), 6)
+             AS bm_statistic
+    FROM wide
+    """,
+)
+def q_brunner_munzel_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir)
+    lab = spine.select(
+        "rn",
+        "y",
+        F.when(F.col("rn") % 7 == 5, 1)
+        .when(F.col("rn") % 7 == 6, 1)
+        .otherwise(0)
+        .alias("grp"),
+    )
+    r2 = (
+        2 * F.rank().over(Window.orderBy("y"))
+        + F.count(F.lit(1)).over(Window.partitionBy("y"))
+        - 2
+        + 1
+    ).cast("bigint")
+    rw2 = (
+        2 * F.rank().over(Window.partitionBy("grp").orderBy("y"))
+        + F.count(F.lit(1)).over(Window.partitionBy("grp", "y"))
+        - 2
+        + 1
+    ).cast("bigint")
+    ranked = lab.select(
+        "grp", "y", r2.alias("r2"), rw2.alias("rw2")
+    ).localCheckpoint(eager=True)
+    q = (F.col("r2") - F.col("rw2")).cast("decimal(38,0)")
+    moms = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("r2").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s"),
+        F.sum(q * q).cast("decimal(38,0)").alias("sqq"),
+        F.sum(q).cast("decimal(38,0)").alias("sq"),
+    )
+    wide = moms.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 0, F.col("s").cast("double"))).alias("s0"),
+        F.max(F.when(F.col("grp") == 1, F.col("s").cast("double"))).alias("s1"),
+        F.max(F.when(F.col("grp") == 0, F.col("sqq").cast("double"))).alias("sqq0"),
+        F.max(F.when(F.col("grp") == 1, F.col("sqq").cast("double"))).alias("sqq1"),
+        F.max(F.when(F.col("grp") == 0, F.col("sq").cast("double"))).alias("q0"),
+        F.max(F.when(F.col("grp") == 1, F.col("sq").cast("double"))).alias("q1"),
+    )
+    n0d, n1d = F.col("n0").cast("double"), F.col("n1").cast("double")
+    diff = (
+        F.col("s1") / (2.0 * F.col("n1")) - F.col("s0") / (2.0 * F.col("n0"))
+    ) / (F.col("n0") + F.col("n1"))
+    v0 = (
+        (F.col("sqq0") / 4.0 - F.col("q0") * F.col("q0") / (4.0 * F.col("n0")))
+        / (F.col("n0") - 1.0)
+    ) / (n0d * F.col("n1") * F.col("n1"))
+    v1 = (
+        (F.col("sqq1") / 4.0 - F.col("q1") * F.col("q1") / (4.0 * F.col("n1")))
+        / (F.col("n1") - 1.0)
+    ) / (n1d * F.col("n0") * F.col("n0"))
+    return wide.select(
+        F.col("n0").cast("bigint").alias("n_weekday"),
+        F.col("n1").cast("bigint").alias("n_weekend"),
+        F.round(diff + 0.5, 6).alias("p_hat"),
+        F.round(diff / F.sqrt(v0 + v1), 6).alias("bm_statistic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fligner-Killeen scale test — rank-based homogeneity of variance
+# across the 7 weekday groups of daily revenue, using normal scores of
+# the |x − group-median| ranks (the robust member of the
+# variance-test family beside the registry's Bartlett/Levene/
+# Brown-Forsythe). Group medians are exact order statistics; the
+# normal scores reuse the Acklam probit (bit-identical arithmetic).
+@_q(
+    "fligner_killeen_scale",
+    f"""
+    WITH {_SQL_SPINE},
+    lab AS (SELECT rn, y, rn % 7 AS wd FROM spine),
+    med AS (
+      -- exact lower-median per weekday group: order statistic at
+      -- ceil(n/2) under (y, rn) order
+      SELECT wd, y AS med FROM (
+        SELECT wd, y, row_number() OVER (PARTITION BY wd ORDER BY y, rn) AS i,
+               COUNT(*) OVER (PARTITION BY wd) AS n
+        FROM lab
+      ) WHERE i = CAST(ceil(n / 2.0) AS BIGINT)
+    ),
+    dev AS (
+      SELECT l.wd, abs(l.y - m.med) AS a, l.rn
+      FROM lab l JOIN med m ON m.wd = l.wd
+    ),
+    ranked AS MATERIALIZED (
+      SELECT wd,
+             CAST(row_number() OVER (ORDER BY a, rn) AS DOUBLE) AS r,
+             COUNT(*) OVER () AS n
+      FROM dev
+    ),
+    scored AS MATERIALIZED (
+      SELECT wd, n,
+             {_sql_probit("0.5 + r / (2.0 * (n + 1))")} AS a
+      FROM ranked
+    ),
+    pergrp AS (
+      SELECT wd, COUNT(*) AS ng,
+             CAST(SUM(CAST(round(a, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sa
+      FROM scored GROUP BY wd
+    ),
+    overall AS (
+      SELECT CAST(SUM(CAST(round(a, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*) AS abar,
+             CAST(SUM(CAST(round((a - (SELECT CAST(SUM(CAST(round(a, 12)
+                  AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) FROM scored))
+                  * (a - (SELECT CAST(SUM(CAST(round(a, 12)
+                  AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) FROM scored)), 12)
+                  AS DECIMAL(38,12))) AS DOUBLE) / (COUNT(*) - 1) AS v
+      FROM scored
+    )
+    SELECT CAST(7 AS INT) AS n_groups,
+           round(CAST(SUM(CAST(round(
+             ng * (sa / ng - (SELECT abar FROM overall))
+                * (sa / ng - (SELECT abar FROM overall)), 12)
+             AS DECIMAL(38,12))) AS DOUBLE)
+             / (SELECT v FROM overall), 6) AS fk_statistic
+    FROM pergrp
+    """,
+)
+def q_fligner_killeen_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir)
+    lab = spine.select("rn", "y", (F.col("rn") % 7).alias("wd"))
+    wg = Window.partitionBy("wd")
+    ranked_med = lab.select(
+        "wd",
+        "y",
+        F.row_number().over(wg.orderBy("y", "rn")).alias("i"),
+        F.count(F.lit(1)).over(wg).alias("ng_"),
+    )
+    med = ranked_med.where(
+        F.col("i") == F.ceil(F.col("ng_") / 2.0).cast("bigint")
+    ).select("wd", F.col("y").alias("med"))
+    dev = lab.join(F.broadcast(med), "wd").select(
+        "wd", F.abs(F.col("y") - F.col("med")).alias("a"), "rn"
+    )
+    wall = Window.partitionBy()
+    ranked = dev.select(
+        "wd",
+        F.row_number().over(Window.orderBy("a", "rn")).cast("double").alias("r"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    p = 0.5 + F.col("r") / (2.0 * (F.col("n") + 1))
+    scored = ranked.select(
+        "wd", "n", _probit_col(p).alias("a")
+    ).localCheckpoint(eager=True)
+
+    def _d12(col):
+        return F.sum(F.round(col, 12).cast("decimal(38,12)")).cast("double")
+
+    pergrp = scored.groupBy("wd").agg(
+        F.count(F.lit(1)).alias("ng"), _d12(F.col("a")).alias("sa")
+    )
+    abar_df = scored.agg(
+        (_d12(F.col("a")) / F.count(F.lit(1))).alias("abar")
+    )
+    vdf = (
+        scored.crossJoin(F.broadcast(abar_df))
+        .agg(
+            (
+                _d12(
+                    (F.col("a") - F.col("abar")) * (F.col("a") - F.col("abar"))
+                )
+                / (F.count(F.lit(1)) - 1)
+            ).alias("v"),
+            F.max("abar").alias("abar"),
+        )
+    )
+    return (
+        pergrp.crossJoin(F.broadcast(vdf))
+        .select(
+            F.round(
+                (
+                    F.col("ng")
+                    * (F.col("sa") / F.col("ng") - F.col("abar"))
+                    * (F.col("sa") / F.col("ng") - F.col("abar"))
+                ),
+                12,
+            )
+            .cast("decimal(38,12)")
+            .alias("term"),
+            "v",
+        )
+        .groupBy("v")
+        .agg(F.sum("term").cast("double").alias("num"))
+        .select(
+            F.lit(7).cast("int").alias("n_groups"),
+            F.round(F.col("num") / F.col("v"), 6).alias("fk_statistic"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quade test — weighted within-block rank ANOVA (blocks = calendar
+# weeks, treatments = weekdays), the small-k-sensitive alternative to
+# Friedman: block weights are the ranks of within-block RANGES, so
+# high-variation weeks count more. Midranks carried as 2x integers;
+# everything reduces to exact integer/decimal sums and one F-ratio.
+@_q(
+    "quade_test",
+    f"""
+    WITH {_SQL_SPINE},
+    cells AS (
+      SELECT (rn - 1) // 7 AS wk, ((rn - 1) % 7) + 1 AS wd, y
+      FROM spine
+    ),
+    fullwk AS (
+      SELECT wk FROM cells GROUP BY wk HAVING COUNT(*) = 7
+    ),
+    c2 AS MATERIALIZED (
+      SELECT c.wk, c.wd, c.y,
+             CAST(2 * rank() OVER (PARTITION BY c.wk ORDER BY c.y)
+                  + COUNT(*) OVER (PARTITION BY c.wk, c.y) - 2 + 1 AS BIGINT)
+               AS r2
+      FROM cells c JOIN fullwk f ON f.wk = c.wk
+    ),
+    rng AS (
+      SELECT wk, MAX(y) - MIN(y) AS range_ FROM c2 GROUP BY wk
+    ),
+    wts AS MATERIALIZED (
+      SELECT wk,
+             CAST(2 * rank() OVER (ORDER BY range_, wk)
+                  + COUNT(*) OVER (PARTITION BY range_) - 2 + 1 AS BIGINT)
+               AS q2
+      FROM rng
+    ),
+    sc AS (
+      -- S_ij = Q_i * (R_ij - 4): 2x-weight times 2x-centered-rank
+      -- (centered midrank x2 = r2 - (7+1)); exact quarter-integers x4
+      SELECT c.wd,
+             CAST(SUM(CAST(w.q2 AS DECIMAL(19,0))
+                      * CAST(c.r2 - 8 AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS s4,
+             (SELECT COUNT(*) FROM fullwk) AS b
+      FROM c2 c JOIN wts w ON w.wk = c.wk
+      GROUP BY c.wd
+    ),
+    tots AS (
+      SELECT MAX(b) AS b,
+             CAST(SUM(CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE)) AS DOUBLE)
+               AS ssj
+      FROM sc
+    ),
+    atot AS (
+      SELECT CAST(SUM(CAST(w.q2 AS DECIMAL(19,0)) * CAST(w.q2 AS DECIMAL(19,0))
+                      * CAST(c.r2 - 8 AS DECIMAL(19,0))
+                      * CAST(c.r2 - 8 AS DECIMAL(19,0))) AS DOUBLE) AS a2
+      FROM c2 c JOIN wts w ON w.wk = c.wk
+    )
+    SELECT CAST((SELECT b FROM tots) AS BIGINT) AS n_weeks,
+           round(((SELECT b FROM tots) - 1.0)
+                 * ((SELECT ssj FROM tots) / (SELECT b FROM tots))
+                 / ((SELECT a2 FROM atot)
+                    - (SELECT ssj FROM tots) / (SELECT b FROM tots)), 6)
+             AS quade_f
+    """,
+)
+def q_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir)
+    cells = spine.select(
+        ((F.col("rn") - 1) / 7).cast("bigint").alias("wk"),
+        (((F.col("rn") - 1) % 7) + 1).alias("wd"),
+        "y",
+    )
+    fullwk = (
+        cells.groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") == 7)
+        .select("wk")
+    )
+    cj = cells.join(fullwk, "wk")
+    r2 = (
+        2 * F.rank().over(Window.partitionBy("wk").orderBy("y"))
+        + F.count(F.lit(1)).over(Window.partitionBy("wk", "y"))
+        - 2
+        + 1
+    ).cast("bigint")
+    c2 = cj.select("wk", "wd", "y", r2.alias("r2")).localCheckpoint(eager=True)
+    rng = c2.groupBy("wk").agg((F.max("y") - F.min("y")).alias("range_"))
+    q2 = (
+        2 * F.rank().over(Window.orderBy("range_", "wk"))
+        + F.count(F.lit(1)).over(Window.partitionBy("range_"))
+        - 2
+        + 1
+    ).cast("bigint")
+    wts = rng.select("wk", q2.alias("q2"))
+    joined = c2.join(F.broadcast(wts), "wk")
+    nb = fullwk.count()  # bounded: calendar weeks
+    sc = joined.groupBy("wd").agg(
+        F.sum(
+            F.col("q2").cast("decimal(19,0)")
+            * (F.col("r2") - 8).cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("s4")
+    )
+    tots = sc.agg(
+        F.sum(F.col("s4").cast("double") * F.col("s4").cast("double")).alias(
+            "ssj"
+        )
+    )
+    atot = joined.agg(
+        F.sum(
+            F.col("q2").cast("decimal(19,0)")
+            * F.col("q2").cast("decimal(19,0)")
+            * (F.col("r2") - 8).cast("decimal(19,0)")
+            * (F.col("r2") - 8).cast("decimal(19,0)")
+        )
+        .cast("double")
+        .alias("a2")
+    )
+    return tots.crossJoin(atot).select(
+        F.lit(nb).cast("bigint").alias("n_weeks"),
+        F.round(
+            (nb - 1.0)
+            * (F.col("ssj") / nb)
+            / (F.col("a2") - F.col("ssj") / nb),
+            6,
+        ).alias("quade_f"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D'Agostino K² omnibus normality — the skewness Z (D'Agostino 1970)
+# and kurtosis Z (Anscombe-Glynn 1983) transforms combined. Both are
+# scalar closed forms over EXACT integer central moments of the day
+# spine (mean cleared by the n·y − S trick), so the whole statistic is
+# one fixed expression of four exact decimals.
+@_q(
+    "dagostino_k2_normality",
+    f"""
+    WITH {_SQL_SPINE},
+    n_ AS (SELECT COUNT(*) AS n, CAST(SUM(CAST(y AS DECIMAL(38,0)))
+             AS DECIMAL(38,0)) AS s FROM spine),
+    cm AS (
+      -- central moments via u = n*y - S (integer): m_k = sum u^k / n^k
+      SELECT (SELECT n FROM n_) AS n,
+             CAST(SUM(CAST(u AS DECIMAL(38,0)) * CAST(u AS DECIMAL(38,0)))
+                  AS DOUBLE) AS u2,
+             CAST(SUM(CAST(round(CAST(u AS DOUBLE) / 1e10
+                  * (CAST(u AS DOUBLE) / 1e10)
+                  * (CAST(u AS DOUBLE) / 1e10), 6) AS DECIMAL(38,6)))
+                  AS DOUBLE) AS u3s,
+             CAST(SUM(CAST(round(CAST(u AS DOUBLE) / 1e10
+                  * (CAST(u AS DOUBLE) / 1e10)
+                  * (CAST(u AS DOUBLE) / 1e10)
+                  * (CAST(u AS DOUBLE) / 1e10), 6) AS DECIMAL(38,6)))
+                  AS DOUBLE) AS u4s
+      FROM (SELECT (SELECT n FROM n_) * y - (SELECT s FROM n_) AS u FROM spine)
+    ),
+    gs AS (
+      SELECT n,
+             (u3s * 1e30 / n) / pow(u2 / n, 1.5) AS g1,
+             (u4s * 1e40 / n) / pow(u2 / n, 2.0) - 3.0 AS g2
+      FROM cm
+    ),
+    z1 AS (
+      SELECT n, g1, g2,
+             g1 * sqrt((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0))) AS yy,
+             3.0 * (n * n + 27.0 * n - 70.0) * (n + 1.0) * (n + 3.0)
+               / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0)) AS beta2
+      FROM gs
+    ),
+    z1b AS (
+      SELECT n, g1, g2, yy,
+             sqrt(2.0 * (beta2 - 1.0)) - 1.0 AS w2
+      FROM z1
+    ),
+    z1c AS (
+      SELECT n, g1, g2, yy, w2,
+             1.0 / sqrt(ln(sqrt(w2))) AS d,
+             sqrt(2.0 / (w2 - 1.0)) AS alpha
+      FROM z1b
+    ),
+    zs AS (
+      SELECT n, g2,
+             d * ln(yy / alpha + sqrt(yy * yy / (alpha * alpha) + 1.0)) AS zg1
+      FROM z1c
+    ),
+    k AS (
+      SELECT n, zg1,
+             24.0 * n * (n - 2.0) * (n - 3.0)
+               / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0)) AS varg2,
+             -6.0 / (n + 1.0) AS eg2
+      FROM zs
+    ),
+    k2 AS (
+      SELECT n, zg1, (g2 - eg2) / sqrt(varg2) AS xg2,
+             6.0 * (n * n - 5.0 * n + 2.0) / ((n + 7.0) * (n + 9.0))
+               * sqrt(6.0 * (n + 3.0) * (n + 5.0)
+                      / (n * (n - 2.0) * (n - 3.0))) AS sb
+      FROM k CROSS JOIN (SELECT g2 FROM gs) g
+    ),
+    k3 AS (
+      SELECT n, zg1, xg2, 6.0 + 8.0 / sb * (2.0 / sb
+               + sqrt(1.0 + 4.0 / (sb * sb))) AS aa
+      FROM k2
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(zg1, 6) AS z_skew,
+           round((1.0 - 2.0 / (9.0 * aa)
+                  - pow((1.0 - 2.0 / aa)
+                        / (1.0 + xg2 * sqrt(2.0 / (aa - 4.0))), 1.0 / 3.0))
+                 / sqrt(2.0 / (9.0 * aa)), 6) AS z_kurt,
+           round(zg1 * zg1
+                 + pow((1.0 - 2.0 / (9.0 * aa)
+                        - pow((1.0 - 2.0 / aa)
+                              / (1.0 + xg2 * sqrt(2.0 / (aa - 4.0))),
+                              1.0 / 3.0))
+                       / sqrt(2.0 / (9.0 * aa)), 2), 6) AS k2_statistic
+    FROM k3
+    """,
+)
+def q_dagostino_k2_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir)
+    n_s = spine.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s"),
+    )
+    u = (F.col("n") * F.col("y") - F.col("s")).alias("u")
+    base = spine.crossJoin(F.broadcast(n_s)).select("n", u)
+    us = F.col("u").cast("double") / 1e10
+    cm = base.groupBy("n").agg(
+        F.sum(F.col("u").cast("decimal(38,0)") * F.col("u").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("u2"),
+        F.sum(F.round(us * us * us, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("u3s"),
+        F.sum(F.round(us * us * us * us, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("u4s"),
+    )
+    nd = F.col("n").cast("double")
+    g1 = (F.col("u3s") * 1e30 / nd) / F.pow(F.col("u2") / nd, 1.5)
+    g2 = (F.col("u4s") * 1e40 / nd) / F.pow(F.col("u2") / nd, 2.0) - 3.0
+    gs = cm.select("n", g1.alias("g1"), g2.alias("g2"))
+    yy = F.col("g1") * F.sqrt((nd + 1.0) * (nd + 3.0) / (6.0 * (nd - 2.0)))
+    beta2 = (
+        3.0
+        * (nd * nd + 27.0 * nd - 70.0)
+        * (nd + 1.0)
+        * (nd + 3.0)
+        / ((nd - 2.0) * (nd + 5.0) * (nd + 7.0) * (nd + 9.0))
+    )
+    w2 = F.sqrt(2.0 * (beta2 - 1.0)) - 1.0
+    d = 1.0 / F.sqrt(F.log(F.sqrt(w2)))
+    alpha = F.sqrt(2.0 / (w2 - 1.0))
+    zg1 = d * F.log(yy / alpha + F.sqrt(yy * yy / (alpha * alpha) + 1.0))
+    eg2 = -6.0 / (nd + 1.0)
+    varg2 = (
+        24.0
+        * nd
+        * (nd - 2.0)
+        * (nd - 3.0)
+        / ((nd + 1.0) * (nd + 1.0) * (nd + 3.0) * (nd + 5.0))
+    )
+    xg2 = (F.col("g2") - eg2) / F.sqrt(varg2)
+    sb = (
+        6.0
+        * (nd * nd - 5.0 * nd + 2.0)
+        / ((nd + 7.0) * (nd + 9.0))
+        * F.sqrt(6.0 * (nd + 3.0) * (nd + 5.0) / (nd * (nd - 2.0) * (nd - 3.0)))
+    )
+    aa = 6.0 + 8.0 / sb * (2.0 / sb + F.sqrt(1.0 + 4.0 / (sb * sb)))
+    zg2 = (
+        1.0
+        - 2.0 / (9.0 * aa)
+        - F.pow(
+            (1.0 - 2.0 / aa) / (1.0 + xg2 * F.sqrt(2.0 / (aa - 4.0))),
+            1.0 / 3.0,
+        )
+    ) / F.sqrt(2.0 / (9.0 * aa))
+    return gs.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(zg1, 6).alias("z_skew"),
+        F.round(zg2, 6).alias("z_kurt"),
+        F.round(zg1 * zg1 + F.pow(zg2, 2), 6).alias("k2_statistic"),
+    )

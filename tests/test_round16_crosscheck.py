@@ -622,3 +622,134 @@ def test_crps_crosscheck(spark, daily):
     row = _one(spark, "crps_forecast_eval")[0]
     assert row["n_days_scored"] == len(scores)
     assert abs(row["rel_mean_crps"] - np.mean(scores) / y.mean()) < 1e-6
+
+
+def _midranks(v):
+    order = np.argsort(v, kind="stable")
+    r = np.empty(len(v), dtype=np.float64)
+    i = 0
+    sv = v[order]
+    while i < len(v):
+        j = i
+        while j + 1 < len(v) and sv[j + 1] == sv[i]:
+            j += 1
+        r[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    return r
+
+
+def test_brunner_munzel_crosscheck(spark, daily):
+    y = daily["y"].to_numpy().astype(np.float64)
+    rn = np.arange(1, len(y) + 1)
+    grp = np.isin(rn % 7, (5, 6)).astype(int)
+    x0, x1 = y[grp == 0], y[grp == 1]
+    n0, n1 = len(x0), len(x1)
+    rc = _midranks(np.concatenate([x0, x1]))
+    r0, r1 = rc[:n0], rc[n0:]
+    w0, w1 = _midranks(x0), _midranks(x1)
+    s0 = np.sum((r0 - w0 - r0.mean() + (n0 + 1) / 2.0) ** 2) / (n0 - 1)
+    s1 = np.sum((r1 - w1 - r1.mean() + (n1 + 1) / 2.0) ** 2) / (n1 - 1)
+    wstat = (
+        n0 * n1 * (r1.mean() - r0.mean())
+        / ((n0 + n1) * math.sqrt(n0 * s0 + n1 * s1))
+    )
+    p_hat = (r1.mean() - r0.mean()) / (n0 + n1) + 0.5
+    row = _one(spark, "brunner_munzel_test")[0]
+    assert (row["n_weekday"], row["n_weekend"]) == (n0, n1)
+    assert abs(row["p_hat"] - p_hat) < 1e-6
+    assert abs(row["bm_statistic"] - wstat) < 1e-6
+
+
+def test_fligner_killeen_crosscheck(spark, daily):
+    y = daily["y"].to_numpy().astype(np.float64)
+    rn = np.arange(1, len(y) + 1)
+    wd = rn % 7
+    a = np.empty(len(y))
+    for g in range(7):
+        m = wd == g
+        vals = y[m]
+        # engine uses the lower median (order statistic at ceil(n/2))
+        med = np.sort(vals)[math.ceil(len(vals) / 2.0) - 1]
+        a[m] = np.abs(vals - med)
+    # engine ranks by (a, rn): a strict row_number, not midranks; with
+    # continuous data ties are measure-zero so plain ranks agree
+    order = np.lexsort((rn, a))
+    r = np.empty(len(y))
+    r[order] = np.arange(1, len(y) + 1)
+
+    def probit(p):
+        lo, hi = -10.0, 10.0
+        for _ in range(80):
+            mid = (lo + hi) / 2
+            if 0.5 * (1 + math.erf(mid / math.sqrt(2))) < p:
+                lo = mid
+            else:
+                hi = mid
+        return (lo + hi) / 2
+
+    scores = np.array([probit(0.5 + ri / (2.0 * (len(y) + 1))) for ri in r])
+    abar = scores.mean()
+    v = scores.var(ddof=1)
+    stat = sum(
+        (wd == g).sum() * (scores[wd == g].mean() - abar) ** 2 for g in range(7)
+    ) / v
+    row = _one(spark, "fligner_killeen_scale")[0]
+    assert abs(row["fk_statistic"] - stat) < 1e-4
+
+
+def test_quade_crosscheck(spark, daily):
+    y = daily["y"].to_numpy().astype(np.float64)
+    nweeks = len(y) // 7
+    blocks = y[: nweeks * 7].reshape(nweeks, 7)
+    rij = np.vstack([_midranks(b) for b in blocks])
+    ranges = blocks.max(axis=1) - blocks.min(axis=1)
+    # engine tie-breaks equal ranges by week index -> plain ranks there
+    # would differ from midranks; the fixture's ranges are cents sums
+    # (ties measure-zero), midranks match
+    q = _midranks(ranges)
+    s = (q[:, None] * (rij - 4.0)).sum(axis=0)
+    a2 = np.sum((q[:, None] * (rij - 4.0)) ** 2)
+    bstat = np.sum(s**2)
+    f = (nweeks - 1.0) * (bstat / nweeks) / (a2 - bstat / nweeks)
+    row = _one(spark, "quade_test")[0]
+    assert row["n_weeks"] == nweeks
+    assert abs(row["quade_f"] - f) < 1e-5
+
+
+def test_dagostino_k2_crosscheck(spark, daily):
+    y = daily["y"].to_numpy().astype(np.float64)
+    n = len(y)
+    u = y - y.mean()
+    m2 = np.mean(u**2)
+    g1 = np.mean(u**3) / m2**1.5
+    g2 = np.mean(u**4) / m2**2 - 3.0
+    yy = g1 * math.sqrt((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0)))
+    beta2 = (
+        3.0 * (n * n + 27.0 * n - 70.0) * (n + 1.0) * (n + 3.0)
+        / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0))
+    )
+    w2 = math.sqrt(2.0 * (beta2 - 1.0)) - 1.0
+    dd = 1.0 / math.sqrt(math.log(math.sqrt(w2)))
+    alpha = math.sqrt(2.0 / (w2 - 1.0))
+    z1 = dd * math.log(yy / alpha + math.sqrt((yy / alpha) ** 2 + 1.0))
+    eg2 = -6.0 / (n + 1.0)
+    varg2 = (
+        24.0 * n * (n - 2.0) * (n - 3.0)
+        / ((n + 1.0) ** 2 * (n + 3.0) * (n + 5.0))
+    )
+    x = (g2 - eg2) / math.sqrt(varg2)
+    sb = (
+        6.0 * (n * n - 5.0 * n + 2.0) / ((n + 7.0) * (n + 9.0))
+        * math.sqrt(6.0 * (n + 3.0) * (n + 5.0) / (n * (n - 2.0) * (n - 3.0)))
+    )
+    aa = 6.0 + 8.0 / sb * (2.0 / sb + math.sqrt(1.0 + 4.0 / sb**2))
+    z2 = (
+        (1.0 - 2.0 / (9.0 * aa))
+        - ((1.0 - 2.0 / aa) / (1.0 + x * math.sqrt(2.0 / (aa - 4.0))))
+        ** (1.0 / 3.0)
+    ) / math.sqrt(2.0 / (9.0 * aa))
+    row = _one(spark, "dagostino_k2_normality")[0]
+    assert row["n_days"] == n
+    assert abs(row["z_skew"] - z1) < 1e-4
+    assert abs(row["z_kurt"] - z2) < 1e-4
+    assert abs(row["k2_statistic"] - (z1 * z1 + z2 * z2)) < 1e-3
