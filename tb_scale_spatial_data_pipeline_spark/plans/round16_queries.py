@@ -1487,7 +1487,7 @@ def _sql_lomb_scargle() -> str:
         w2 = 2.0 * w
         per_freq.append(
             f"""(
-      SELECT {T!r} AS period,
+      SELECT CAST({T!r} AS DOUBLE) AS period,
              p2.m,
              round(0.5 * (p2.zc * p2.zc / p2.cc + p2.zs * p2.zs / p2.ss), 6)
                AS power
@@ -3726,4 +3726,402 @@ def q_dagostino_k2_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(zg1, 6).alias("z_skew"),
         F.round(zg2, 6).alias("z_kurt"),
         F.round(zg1 * zg1 + F.pow(zg2, 2), 6).alias("k2_statistic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bivariate Mahalanobis outlier days — distance of each (revenue,
+# order-count) day vector from the sample centroid under the inverse
+# 2x2 covariance, all in EXACT integer algebra (u = n·x − S clears
+# both means; the closed-form 2x2 inverse avoids any matrix routine).
+# Reports the top-10 most anomalous days deterministically.
+@_q(
+    "mahalanobis_outlier_days",
+    """
+    WITH dailyc AS (
+      SELECT o_orderdate AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    spine AS (SELECT row_number() OVER (ORDER BY d) AS rn, d, y, c FROM dailyc),
+    n_ AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sc
+      FROM spine
+    ),
+    u AS (
+      SELECT rn, d,
+             CAST((SELECT n FROM n_) AS DECIMAL(38,0)) * y
+               - (SELECT sy FROM n_) AS uy,
+             CAST((SELECT n FROM n_) AS DECIMAL(38,0)) * c
+               - (SELECT sc FROM n_) AS uc
+      FROM spine
+    ),
+    cov AS (
+      SELECT CAST(SUM(uy * uy) AS DOUBLE) AS syy,
+             CAST(SUM(uc * uc) AS DOUBLE) AS scc,
+             CAST(SUM(uy * uc) AS DOUBLE) AS syc
+      FROM u
+    ),
+    dist AS (
+      SELECT rn, d,
+             ((SELECT n FROM n_) - 1.0)
+             * (CAST(uy AS DOUBLE) * uy * (SELECT scc FROM cov)
+                - 2.0 * CAST(uy AS DOUBLE) * uc * (SELECT syc FROM cov)
+                + CAST(uc AS DOUBLE) * uc * (SELECT syy FROM cov))
+             / ((SELECT syy FROM cov) * (SELECT scc FROM cov)
+                - (SELECT syc FROM cov) * (SELECT syc FROM cov)) AS d2
+      FROM u
+    )
+    SELECT d AS day, round(d2, 6) AS mahalanobis_sq
+    FROM dist ORDER BY d2 DESC, rn LIMIT 10
+    """,
+)
+def q_mahalanobis_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    dailyc = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("y"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    spine = dailyc.select(
+        F.row_number().over(Window.orderBy("d")).alias("rn"), "d", "y", "c"
+    )
+    n_ = spine.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("c").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sc"),
+    )
+    u = spine.crossJoin(F.broadcast(n_)).select(
+        "rn",
+        "d",
+        "n",
+        (F.col("n").cast("decimal(38,0)") * F.col("y") - F.col("sy")).alias("uy"),
+        (F.col("n").cast("decimal(38,0)") * F.col("c") - F.col("sc")).alias("uc"),
+    )
+    cov = u.agg(
+        F.sum(F.col("uy") * F.col("uy")).cast("double").alias("syy"),
+        F.sum(F.col("uc") * F.col("uc")).cast("double").alias("scc"),
+        F.sum(F.col("uy") * F.col("uc")).cast("double").alias("syc"),
+    )
+    dist = u.crossJoin(F.broadcast(cov)).select(
+        "rn",
+        "d",
+        (
+            (F.col("n") - 1.0)
+            * (
+                F.col("uy").cast("double") * F.col("uy") * F.col("scc")
+                - 2.0 * F.col("uy").cast("double") * F.col("uc") * F.col("syc")
+                + F.col("uc").cast("double") * F.col("uc") * F.col("syy")
+            )
+            / (
+                F.col("syy") * F.col("scc")
+                - F.col("syc") * F.col("syc")
+            )
+        ).alias("d2"),
+    )
+    return (
+        dist.orderBy(F.desc("d2"), F.asc("rn"))
+        .limit(10)
+        .select(F.col("d").alias("day"), F.round("d2", 6).alias("mahalanobis_sq"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-break segmentation (Bai-Perron shape) — globally optimal pair of
+# breakpoints minimizing the 3-segment SSR, solved EXACTLY by a
+# prefix-sum grid over all (a, b) candidates (bounded spine² — the
+# dynamic program every changepoint library approximates is a closed
+# form over six prefix lookups here). Minimum segment length 30.
+_TB_MIN = 30
+
+
+@_q(
+    "two_break_segmentation",
+    f"""
+    WITH {_SQL_SPINE},
+    pre AS MATERIALIZED (
+      SELECT rn,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) OVER (ORDER BY rn)
+                  AS DECIMAL(38,0)) AS p1,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                  OVER (ORDER BY rn) AS DECIMAL(38,0)) AS p2
+      FROM spine
+    ),
+    n_ AS (SELECT COUNT(*) AS n, MAX(p1) AS t1, MAX(p2) AS t2 FROM pre),
+    cand AS (
+      SELECT a.rn AS a, b.rn AS b,
+             a.p1 AS a1, a.p2 AS a2, b.p1 AS b1, b.p2 AS b2
+      FROM pre a JOIN pre b
+        ON b.rn >= a.rn + {_TB_MIN}
+       AND a.rn >= {_TB_MIN}
+       AND b.rn <= (SELECT n FROM n_) - {_TB_MIN}
+    ),
+    ssr AS (
+      SELECT a, b,
+             (CAST(a2 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / a)
+             + (CAST(b2 - a2 AS DOUBLE)
+                - CAST(b1 - a1 AS DOUBLE) * CAST(b1 - a1 AS DOUBLE) / (b - a))
+             + (CAST((SELECT t2 FROM n_) - b2 AS DOUBLE)
+                - CAST((SELECT t1 FROM n_) - b1 AS DOUBLE)
+                  * CAST((SELECT t1 FROM n_) - b1 AS DOUBLE)
+                  / ((SELECT n FROM n_) - b)) AS v
+      FROM cand
+    ),
+    best AS (SELECT a, b, v FROM ssr ORDER BY v, a, b LIMIT 1),
+    tot AS (
+      SELECT CAST((SELECT t2 FROM n_) AS DOUBLE)
+             - CAST((SELECT t1 FROM n_) AS DOUBLE) * (SELECT t1 FROM n_)
+               / (SELECT n FROM n_) AS sst
+    )
+    SELECT CAST(a AS BIGINT) AS break_1, CAST(b AS BIGINT) AS break_2,
+           round(1.0 - v / (SELECT sst FROM tot), 6) AS ssr_reduction
+    FROM best
+    """,
+)
+def q_two_break_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir)
+    wo = Window.orderBy("rn")
+    pre = spine.select(
+        "rn",
+        F.sum(F.col("y").cast("decimal(38,0)")).over(wo).cast("decimal(38,0)").alias("p1"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)"))
+        .over(wo)
+        .cast("decimal(38,0)")
+        .alias("p2"),
+    ).localCheckpoint(eager=True)
+    n_ = pre.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("p1").alias("t1"),
+        F.max("p2").alias("t2"),
+    )
+    b = pre.select(
+        F.col("rn").alias("b"), F.col("p1").alias("b1"), F.col("p2").alias("b2")
+    )
+    cand = (
+        pre.select(
+            F.col("rn").alias("a"), F.col("p1").alias("a1"), F.col("p2").alias("a2")
+        )
+        .where(F.col("a") >= _TB_MIN)
+        .crossJoin(F.broadcast(n_))
+        .join(
+            b,
+            (F.col("b") >= F.col("a") + _TB_MIN)
+            & (F.col("b") <= F.col("n") - _TB_MIN),
+        )
+    )
+    seg1 = F.col("a2").cast("double") - F.col("a1").cast("double") * F.col("a1") / F.col("a")
+    seg2 = (F.col("b2") - F.col("a2")).cast("double") - (
+        F.col("b1") - F.col("a1")
+    ).cast("double") * (F.col("b1") - F.col("a1")).cast("double") / (
+        F.col("b") - F.col("a")
+    )
+    seg3 = (F.col("t2") - F.col("b2")).cast("double") - (
+        F.col("t1") - F.col("b1")
+    ).cast("double") * (F.col("t1") - F.col("b1")).cast("double") / (
+        F.col("n") - F.col("b")
+    )
+    ssr = cand.select(
+        "a", "b", "n", "t1", "t2", (seg1 + seg2 + seg3).alias("v")
+    )
+    best = ssr.orderBy("v", "a", "b").limit(1)
+    sst = F.col("t2").cast("double") - F.col("t1").cast("double") * F.col(
+        "t1"
+    ) / F.col("n")
+    return best.select(
+        F.col("a").cast("bigint").alias("break_1"),
+        F.col("b").cast("bigint").alias("break_2"),
+        F.round(1.0 - F.col("v") / sst, 6).alias("ssr_reduction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MOSUM change scan — moving-sum changepoint statistic: the maximum
+# standardized difference between adjacent G-day window sums. Window
+# sums are exact integers; sigma comes from exact global moments; the
+# argmax is tie-broken by day index. Complements the registry's
+# CUSUM/Pettitt/Chow/binary-segmentation family with the
+# bandwidth-local scan shape.
+_MOSUM_G = 60
+
+
+@_q(
+    "mosum_change_scan",
+    f"""
+    WITH {_SQL_SPINE},
+    n_ AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS ss
+      FROM spine
+    ),
+    wins AS (
+      SELECT rn,
+             CAST(SUM(y) OVER (ORDER BY rn ROWS BETWEEN {_MOSUM_G - 1}
+                               PRECEDING AND CURRENT ROW) AS BIGINT) AS wsum,
+             COUNT(*) OVER (ORDER BY rn ROWS BETWEEN {_MOSUM_G - 1}
+                            PRECEDING AND CURRENT ROW) AS wcnt
+      FROM spine
+    ),
+    mosum AS (
+      SELECT l.rn AS t,
+             abs(r.wsum - l.wsum) AS m
+      FROM wins l JOIN wins r ON r.rn = l.rn + {_MOSUM_G}
+      WHERE l.wcnt = {_MOSUM_G} AND r.wcnt = {_MOSUM_G}
+    ),
+    sig AS (
+      SELECT sqrt((CAST((SELECT n FROM n_) AS DOUBLE) * (SELECT ss FROM n_)
+                   - CAST((SELECT s FROM n_) AS DOUBLE) * (SELECT s FROM n_))
+                  / (CAST((SELECT n FROM n_) AS DOUBLE)
+                     * ((SELECT n FROM n_) - 1))) AS sigma
+    )
+    SELECT CAST(t AS BIGINT) AS change_day_index,
+           round(CAST(m AS DOUBLE)
+                 / ((SELECT sigma FROM sig) * sqrt(2.0 * {_MOSUM_G})), 6)
+             AS mosum_statistic
+    FROM mosum ORDER BY m DESC, t LIMIT 1
+    """,
+)
+def q_mosum_change_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir)
+    n_ = spine.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    ww = Window.orderBy("rn").rowsBetween(-(_MOSUM_G - 1), 0)
+    wins = spine.select(
+        "rn",
+        F.sum("y").over(ww).cast("bigint").alias("wsum"),
+        F.count(F.lit(1)).over(ww).alias("wcnt"),
+    )
+    r = wins.select(
+        F.col("rn").alias("rn2"),
+        F.col("wsum").alias("wsum2"),
+        F.col("wcnt").alias("wcnt2"),
+    )
+    mosum = (
+        wins.join(r, F.col("rn2") == F.col("rn") + _MOSUM_G)
+        .where((F.col("wcnt") == _MOSUM_G) & (F.col("wcnt2") == _MOSUM_G))
+        .select(
+            F.col("rn").alias("t"),
+            F.abs(F.col("wsum2") - F.col("wsum")).alias("m"),
+        )
+    )
+    sig = n_.select(
+        F.sqrt(
+            (F.col("n").cast("double") * F.col("ss") - F.col("s").cast("double") * F.col("s"))
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+        ).alias("sigma")
+    )
+    return (
+        mosum.orderBy(F.desc("m"), F.asc("t"))
+        .limit(1)
+        .crossJoin(F.broadcast(sig))
+        .select(
+            F.col("t").cast("bigint").alias("change_day_index"),
+            F.round(
+                F.col("m").cast("double")
+                / (F.col("sigma") * F.sqrt(F.lit(2.0 * _MOSUM_G))),
+                6,
+            ).alias("mosum_statistic"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recurrence quantification — recurrence rate and determinism of the
+# daily series (nonlinear-dynamics RQA): R(i,j) iff |y_i − y_j| <
+# eps = sigma/2; DET = share of recurrent pairs extending an adjacent
+# diagonal. The threshold is a deterministic double from exact
+# moments; all counting is exact integers over the bounded spine².
+@_q(
+    "recurrence_quantification",
+    f"""
+    WITH {_SQL_SPINE},
+    n_ AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS ss
+      FROM spine
+    ),
+    eps AS (
+      SELECT 0.5 * sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                        / (CAST(n AS DOUBLE) * (n - 1))) AS e
+      FROM n_
+    ),
+    rec AS MATERIALIZED (
+      SELECT a.rn AS i, b.rn AS j
+      FROM spine a JOIN spine b ON a.rn < b.rn - 1
+      WHERE abs(a.y - b.y) < (SELECT e FROM eps)
+    ),
+    det AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_diag
+      FROM rec r JOIN rec r2 ON r2.i = r.i + 1 AND r2.j = r.j + 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rec FROM rec
+    )
+    SELECT (SELECT n_rec FROM tot) AS recurrent_pairs,
+           round(CAST((SELECT n_rec FROM tot) AS DOUBLE)
+                 / (CAST((SELECT n FROM n_) AS DOUBLE)
+                    * ((SELECT n FROM n_) - 3) / 2.0 + 1.0), 6)
+             AS recurrence_rate,
+           round(CAST((SELECT n_diag FROM det) AS DOUBLE)
+                 / (SELECT n_rec FROM tot), 6) AS determinism_rate
+    """,
+)
+def q_recurrence_quantification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir)
+    n_ = spine.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    eps = n_.select(
+        "n",
+        (
+            0.5
+            * F.sqrt(
+                (F.col("n").cast("double") * F.col("ss") - F.col("s").cast("double") * F.col("s"))
+                / (F.col("n").cast("double") * (F.col("n") - 1))
+            )
+        ).alias("e"),
+    )
+    b = spine.select(F.col("rn").alias("j"), F.col("y").alias("yj"))
+    rec = (
+        spine.crossJoin(F.broadcast(eps))
+        .join(b, F.col("rn") < F.col("j") - 1)
+        .where(F.abs(F.col("y") - F.col("yj")) < F.col("e"))
+        .select(F.col("rn").alias("i"), "j")
+        .localCheckpoint(eager=True)
+    )
+    r2 = rec.select(F.col("i").alias("i2"), F.col("j").alias("j2"))
+    det = rec.join(
+        r2, (F.col("i2") == F.col("i") + 1) & (F.col("j2") == F.col("j") + 1)
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_diag"))
+    tot = rec.agg(F.count(F.lit(1)).cast("bigint").alias("n_rec"))
+    return (
+        tot.crossJoin(det)
+        .crossJoin(F.broadcast(eps.select("n")))
+        .select(
+            F.col("n_rec").alias("recurrent_pairs"),
+            F.round(
+                F.col("n_rec").cast("double")
+                / (F.col("n").cast("double") * (F.col("n") - 3) / 2.0 + 1.0),
+                6,
+            ).alias("recurrence_rate"),
+            F.round(
+                F.col("n_diag").cast("double") / F.col("n_rec"), 6
+            ).alias("determinism_rate"),
+        )
     )

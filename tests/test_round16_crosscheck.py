@@ -753,3 +753,74 @@ def test_dagostino_k2_crosscheck(spark, daily):
     assert abs(row["z_skew"] - z1) < 1e-4
     assert abs(row["z_kurt"] - z2) < 1e-4
     assert abs(row["k2_statistic"] - (z1 * z1 + z2 * z2)) < 1e-3
+
+
+def test_mahalanobis_crosscheck(spark):
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    cents = np.round(orders["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    df = pd.DataFrame({"d": orders["o_orderdate"].to_numpy(), "y": cents})
+    g = df.groupby("d")["y"].agg(["sum", "count"]).sort_index()
+    y = g["sum"].to_numpy().astype(np.float64)
+    c = g["count"].to_numpy().astype(np.float64)
+    n = len(y)
+    dy, dc = y - y.mean(), c - c.mean()
+    syy, scc, syc = np.dot(dy, dy), np.dot(dc, dc), np.dot(dy, dc)
+    d2 = (
+        (n - 1)
+        * (dy * dy * scc - 2 * dy * dc * syc + dc * dc * syy)
+        / (syy * scc - syc * syc)
+    )
+    order = np.lexsort((np.arange(n), -d2))[:10]
+    rows = _one(spark, "mahalanobis_outlier_days")
+    for r, i in zip(rows, order):
+        assert abs(r["mahalanobis_sq"] - d2[i]) < 1e-6
+
+
+def test_two_break_crosscheck(spark, daily):
+    y = daily["y"].to_numpy().astype(np.float64)
+    n = len(y)
+    p1 = np.concatenate([[0.0], np.cumsum(y)])
+    p2 = np.concatenate([[0.0], np.cumsum(y * y)])
+
+    def sseg(lo, hi):  # SSR of y[lo:hi] (0-based, exclusive hi)
+        m = hi - lo
+        s = p1[hi] - p1[lo]
+        return p2[hi] - p2[lo] - s * s / m
+
+    best = (np.inf, None, None)
+    for a in range(30, n - 59):
+        for b in range(a + 30, n - 29):
+            v = sseg(0, a) + sseg(a, b) + sseg(b, n)
+            if v < best[0] - 1e-9:
+                best = (v, a, b)
+    row = _one(spark, "two_break_segmentation")[0]
+    assert (row["break_1"], row["break_2"]) == (best[1], best[2])
+    sst = p2[n] - p1[n] ** 2 / n
+    assert abs(row["ssr_reduction"] - (1.0 - best[0] / sst)) < 1e-6
+
+
+def test_mosum_crosscheck(spark, daily):
+    y = daily["y"].to_numpy().astype(np.float64)
+    n, G = len(y), 60
+    ws = np.convolve(y, np.ones(G), mode="valid")  # ws[i] = sum y[i:i+G]
+    m = np.abs(ws[G:] - ws[:-G])
+    t = int(np.argmax(m))  # first max = smallest day index
+    sigma = y.std(ddof=1)
+    row = _one(spark, "mosum_change_scan")[0]
+    assert row["change_day_index"] == t + G  # engine t = left window end rn
+    assert abs(row["mosum_statistic"] - m[t] / (sigma * math.sqrt(2 * G))) < 1e-6
+
+
+def test_recurrence_crosscheck(spark, daily):
+    y = daily["y"].to_numpy().astype(np.float64)
+    n = len(y)
+    eps = 0.5 * y.std(ddof=1)
+    rec = set()
+    for i in range(n):
+        for j in range(i + 2, n):
+            if abs(y[i] - y[j]) < eps:
+                rec.add((i, j))
+    ndiag = sum(1 for (i, j) in rec if (i + 1, j + 1) in rec)
+    row = _one(spark, "recurrence_quantification")[0]
+    assert row["recurrent_pairs"] == len(rec)
+    assert abs(row["determinism_rate"] - ndiag / len(rec)) < 1e-6
