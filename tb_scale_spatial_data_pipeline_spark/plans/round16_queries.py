@@ -4125,3 +4125,338 @@ def q_recurrence_quantification(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("determinism_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch one-way ANOVA — unequal-variance k-group mean comparison
+# across the 7 weekday groups (the k-sample sibling of the registry's
+# welch_t_test). Group moments are exact integer sums; the W-weighted
+# assembly runs over 7 bounded rows with 12-dp lattice sums.
+@_q(
+    "welch_anova_oneway",
+    f"""
+    WITH {_SQL_SPINE},
+    grp AS (
+      SELECT rn % 7 AS wd, y FROM spine
+    ),
+    moms AS MATERIALIZED (
+      SELECT wd, COUNT(*) AS n,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                  AS DOUBLE) AS ss
+      FROM grp GROUP BY wd
+    ),
+    wts AS MATERIALIZED (
+      SELECT wd, n, s / n / 1e8 AS m,
+             n / ((n * ss - s * s) / (CAST(n AS DOUBLE) * (n - 1)) / 1e16) AS w
+      FROM moms
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(round(w, 9) AS DECIMAL(38,9))) AS DOUBLE) AS bigw,
+             CAST(SUM(CAST(round(w * m, 9) AS DECIMAL(38,9))) AS DOUBLE) AS swm,
+             COUNT(*) AS k
+      FROM wts
+    ),
+    num AS (
+      SELECT CAST(SUM(CAST(round(
+               w * (m - (SELECT swm / bigw FROM tot))
+                 * (m - (SELECT swm / bigw FROM tot)), 9)
+               AS DECIMAL(38,9))) AS DOUBLE)
+             / ((SELECT k FROM tot) - 1) AS a
+      FROM wts
+    ),
+    den AS (
+      SELECT 1.0 + 2.0 * ((SELECT k FROM tot) - 2.0)
+             / (CAST((SELECT k FROM tot) AS DOUBLE) * (SELECT k FROM tot) - 1.0)
+             * CAST(SUM(CAST(round(
+                 (1.0 - w / (SELECT bigw FROM tot))
+                 * (1.0 - w / (SELECT bigw FROM tot)) / (n - 1.0), 12)
+                 AS DECIMAL(38,12))) AS DOUBLE) AS b
+      FROM wts
+    )
+    SELECT CAST((SELECT k FROM tot) AS INT) AS n_groups,
+           round((SELECT a FROM num) / (SELECT b FROM den), 6)
+             AS welch_f
+    """,
+)
+def q_welch_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir)
+    grp = spine.select((F.col("rn") % 7).alias("wd"), "y")
+    moms = grp.groupBy("wd").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("s"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    wts = moms.select(
+        "wd",
+        "n",
+        (F.col("s") / F.col("n") / _YS).alias("m"),
+        (
+            F.col("n")
+            / (
+                (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+                / (F.col("n").cast("double") * (F.col("n") - 1))
+                / (_YS * _YS)
+            )
+        ).alias("w"),
+    ).localCheckpoint(eager=True)
+
+    def _d(col, k):
+        return F.sum(F.round(col, k).cast(f"decimal(38,{k})")).cast("double")
+
+    tot = wts.agg(
+        _d(F.col("w"), 9).alias("bigw"),
+        _d(F.col("w") * F.col("m"), 9).alias("swm"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = wts.crossJoin(F.broadcast(tot))
+    mbar = F.col("swm") / F.col("bigw")
+    num = j.groupBy("k").agg(
+        (
+            _d(F.col("w") * (F.col("m") - mbar) * (F.col("m") - mbar), 9)
+            / (F.col("k") - 1)
+        ).alias("a")
+    )
+    den = j.groupBy("k", "bigw").agg(
+        (
+            1.0
+            + 2.0
+            * (F.col("k") - 2.0)
+            / (F.col("k").cast("double") * F.col("k") - 1.0)
+            * _d(
+                (1.0 - F.col("w") / F.col("bigw"))
+                * (1.0 - F.col("w") / F.col("bigw"))
+                / (F.col("n") - 1.0),
+                12,
+            )
+        ).alias("b")
+    )
+    return num.crossJoin(den.select("b")).select(
+        F.col("k").cast("int").alias("n_groups"),
+        F.round(F.col("a") / F.col("b"), 6).alias("welch_f"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test — k-group location comparison by counting values
+# above the grand (lower) median per weekday; the chi-square is a pure
+# rational of exact integer cell counts.
+@_q(
+    "mood_median_test",
+    f"""
+    WITH {_SQL_SPINE},
+    med AS (
+      SELECT y AS gm FROM (
+        SELECT y, row_number() OVER (ORDER BY y, rn) AS i,
+               COUNT(*) OVER () AS n
+        FROM spine
+      ) WHERE i = CAST(ceil(n / 2.0) AS BIGINT)
+    ),
+    cells AS (
+      SELECT rn % 7 AS wd,
+             CASE WHEN y > (SELECT gm FROM med) THEN 1 ELSE 0 END AS above
+      FROM spine
+    ),
+    per AS (
+      SELECT wd, COUNT(*) AS n,
+             CAST(SUM(above) AS BIGINT) AS na
+      FROM cells GROUP BY wd
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS DOUBLE) AS nn, CAST(SUM(na) AS DOUBLE) AS ta
+      FROM per
+    )
+    SELECT CAST(7 AS INT) AS n_groups,
+           round(CAST(SUM(CAST(round(
+             (na - n * (SELECT ta / nn FROM tot))
+               * (na - n * (SELECT ta / nn FROM tot))
+               / (n * (SELECT ta / nn FROM tot)
+                  * (1.0 - (SELECT ta / nn FROM tot))), 12)
+             AS DECIMAL(38,12))) AS DOUBLE), 6) AS mood_chi2
+    FROM per
+    """,
+)
+def q_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir)
+    wall = Window.partitionBy()
+    ranked = spine.select(
+        "y",
+        F.row_number().over(Window.orderBy("y", "rn")).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    med = ranked.where(
+        F.col("i") == F.ceil(F.col("n") / 2.0).cast("bigint")
+    ).select(F.col("y").alias("gm"))
+    cells = spine.crossJoin(F.broadcast(med)).select(
+        (F.col("rn") % 7).alias("wd"),
+        F.when(F.col("y") > F.col("gm"), 1).otherwise(0).alias("above"),
+    )
+    per = cells.groupBy("wd").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("above").cast("bigint").alias("na")
+    )
+    tot = per.agg(
+        F.sum("n").cast("double").alias("nn"),
+        F.sum("na").cast("double").alias("ta"),
+    )
+    p = F.col("ta") / F.col("nn")
+    j = per.crossJoin(F.broadcast(tot))
+    term = (
+        (F.col("na") - F.col("n") * p)
+        * (F.col("na") - F.col("n") * p)
+        / (F.col("n") * p * (1.0 - p))
+    )
+    return j.agg(
+        F.lit(7).cast("int").alias("n_groups"),
+        F.round(
+            F.sum(F.round(term, 12).cast("decimal(38,12)")).cast("double"), 6
+        ).alias("mood_chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ansari-Bradley scale test — weekend vs weekday dispersion via the
+# folded-rank scores min(r, N+1−r) under the deterministic (y, rn)
+# strict order (cents ties are measure-zero, documented). Exact
+# integer scores and closed-form moments.
+@_q(
+    "ansari_bradley_scale",
+    f"""
+    WITH {_SQL_SPINE},
+    lab AS (
+      SELECT y, rn,
+             CASE WHEN rn % 7 IN (5, 6) THEN 1 ELSE 0 END AS grp
+      FROM spine
+    ),
+    ranked AS (
+      SELECT grp,
+             least(r, (SELECT COUNT(*) FROM spine) + 1 - r) AS score
+      FROM (SELECT grp, row_number() OVER (ORDER BY y, rn) AS r FROM lab)
+    ),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN grp = 1 THEN score ELSE 0 END) AS BIGINT) AS ab,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(score) AS BIGINT) AS stot,
+             CAST(SUM(CAST(score AS DECIMAL(19,0)) * CAST(score AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS stot2
+      FROM ranked
+    )
+    SELECT n0 AS n_weekday, n1 AS n_weekend, ab AS ab_statistic,
+           round((ab - CAST(n1 AS DOUBLE) * stot / (n0 + n1))
+                 / sqrt(CAST(n1 AS DOUBLE) * n0
+                        * ((n0 + n1) * CAST(stot2 AS DOUBLE)
+                           - CAST(stot AS DOUBLE) * stot)
+                        / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1)
+                           * (n0 + n1 - 1))), 6) AS z_score
+    FROM agg
+    """,
+)
+def q_ansari_bradley_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir)
+    n = spine.count()  # bounded day spine
+    lab = spine.select(
+        "y",
+        "rn",
+        F.when((F.col("rn") % 7).isin(5, 6), 1).otherwise(0).alias("grp"),
+    )
+    r = F.row_number().over(Window.orderBy("y", "rn"))
+    ranked = lab.select(
+        "grp", F.least(r, F.lit(n) + 1 - r).alias("score")
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("score")).otherwise(0))
+        .cast("bigint")
+        .alias("ab"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
+        F.sum("score").cast("bigint").alias("stot"),
+        F.sum(
+            F.col("score").cast("decimal(19,0)") * F.col("score").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("stot2"),
+    )
+    nn = F.col("n0") + F.col("n1")
+    z = (
+        F.col("ab") - F.col("n1").cast("double") * F.col("stot") / nn
+    ) / F.sqrt(
+        F.col("n1").cast("double")
+        * F.col("n0")
+        * (nn * F.col("stot2").cast("double") - F.col("stot").cast("double") * F.col("stot"))
+        / (nn.cast("double") * nn * (nn - 1))
+    )
+    return agg.select(
+        F.col("n0").alias("n_weekday"),
+        F.col("n1").alias("n_weekend"),
+        F.col("ab").alias("ab_statistic"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kuiper uniformity test — the circular-statistics V = D+ + D−
+# goodness-of-fit of the purchase day-of-week distribution against
+# uniform (invariant to where the week "starts", unlike plain KS).
+# Exact integer ECDF steps over 7 cells.
+@_q(
+    "kuiper_uniformity",
+    """
+    WITH ev AS (
+      -- DuckDB dayofweek is 0=Sunday..6; Spark's is 1=Sunday..7
+      SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cells AS (
+      SELECT dow, COUNT(*) AS c FROM ev GROUP BY dow
+    ),
+    cum AS (
+      SELECT dow, c,
+             CAST(SUM(c) OVER (ORDER BY dow) AS DOUBLE)
+               / (SELECT SUM(c) FROM cells) AS fe,
+             CAST(dow AS DOUBLE) / 7.0 AS fu
+      FROM cells
+    ),
+    dd AS (
+      SELECT MAX(fe - fu) AS dplus, MAX(fu - fe) AS dminus,
+             (SELECT CAST(SUM(c) AS BIGINT) FROM cells) AS n
+      FROM cum
+    )
+    SELECT n AS n_events,
+           round(dplus, 6) AS d_plus, round(dminus, 6) AS d_minus,
+           round((dplus + dminus) * sqrt(CAST(n AS DOUBLE)), 6)
+             AS kuiper_v_scaled
+    FROM dd
+    """,
+)
+def q_kuiper_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.dayofweek("ts").cast("int").alias("dow"))
+    )
+    cells = ev.groupBy("dow").agg(F.count(F.lit(1)).alias("c"))
+    tot = cells.agg(F.sum("c").alias("nt"))
+    cum = cells.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        (
+            F.sum("c").over(Window.orderBy("dow")).cast("double") / F.col("nt")
+        ).alias("fe"),
+        (F.col("dow").cast("double") / 7.0).alias("fu"),
+        F.col("nt"),
+    )
+    dd = cum.agg(
+        F.max(F.col("fe") - F.col("fu")).alias("dplus"),
+        F.max(F.col("fu") - F.col("fe")).alias("dminus"),
+        F.max("nt").cast("bigint").alias("n"),
+    )
+    return dd.select(
+        F.col("n").alias("n_events"),
+        F.round("dplus", 6).alias("d_plus"),
+        F.round("dminus", 6).alias("d_minus"),
+        F.round(
+            (F.col("dplus") + F.col("dminus")) * F.sqrt(F.col("n").cast("double")),
+            6,
+        ).alias("kuiper_v_scaled"),
+    )

@@ -824,3 +824,75 @@ def test_recurrence_crosscheck(spark, daily):
     row = _one(spark, "recurrence_quantification")[0]
     assert row["recurrent_pairs"] == len(rec)
     assert abs(row["determinism_rate"] - ndiag / len(rec)) < 1e-6
+
+
+def test_welch_anova_crosscheck(spark, daily):
+    y = daily["y"].to_numpy().astype(np.float64) / 1e8
+    rn = np.arange(1, len(y) + 1)
+    groups = [y[rn % 7 == g] for g in range(7)]
+    w = np.array([len(g) / g.var(ddof=1) for g in groups])
+    m = np.array([g.mean() for g in groups])
+    k = 7
+    mbar = np.sum(w * m) / w.sum()
+    a = np.sum(w * (m - mbar) ** 2) / (k - 1)
+    b = 1.0 + 2.0 * (k - 2) / (k * k - 1.0) * np.sum(
+        (1.0 - w / w.sum()) ** 2 / (np.array([len(g) for g in groups]) - 1.0)
+    )
+    row = _one(spark, "welch_anova_oneway")[0]
+    assert row["n_groups"] == k
+    assert abs(row["welch_f"] - a / b) < 1e-5
+
+
+def test_mood_median_crosscheck(spark, daily):
+    y = daily["y"].to_numpy().astype(np.int64)
+    rn = np.arange(1, len(y) + 1)
+    gm = np.sort(y)[math.ceil(len(y) / 2.0) - 1]
+    chi2 = 0.0
+    p = (y > gm).mean()
+    for g in range(7):
+        m = rn % 7 == g
+        na, n = int((y[m] > gm).sum()), int(m.sum())
+        chi2 += (na - n * p) ** 2 / (n * p * (1 - p))
+    row = _one(spark, "mood_median_test")[0]
+    assert abs(row["mood_chi2"] - chi2) < 1e-6
+
+
+def test_ansari_bradley_crosscheck(spark, daily):
+    y = daily["y"].to_numpy().astype(np.int64)
+    rn = np.arange(1, len(y) + 1)
+    grp = np.isin(rn % 7, (5, 6)).astype(int)
+    n = len(y)
+    order = np.lexsort((rn, y))
+    r = np.empty(n, dtype=np.int64)
+    r[order] = np.arange(1, n + 1)
+    score = np.minimum(r, n + 1 - r)
+    ab = int(score[grp == 1].sum())
+    n1, n0 = int(grp.sum()), int((1 - grp).sum())
+    stot, stot2 = int(score.sum()), int(np.sum(score.astype(object) ** 2))
+    mu = n1 * stot / n
+    var = n1 * n0 * (n * stot2 - stot * stot) / (n * n * (n - 1))
+    row = _one(spark, "ansari_bradley_scale")[0]
+    assert (row["n_weekday"], row["n_weekend"], row["ab_statistic"]) == (
+        n0, n1, ab,
+    )
+    assert abs(row["z_score"] - (ab - mu) / math.sqrt(var)) < 1e-6
+
+
+def test_kuiper_crosscheck(spark):
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    pur = ev[ev["event_type"] == "purchase"]
+    # Spark dayofweek: 1 = Sunday .. 7 = Saturday
+    dow = (pd.to_datetime(pur["ts"]).dt.dayofweek.to_numpy() + 2) % 7
+    dow[dow == 0] = 7
+    counts = np.array([(dow == d).sum() for d in range(1, 8)], dtype=np.float64)
+    fe = np.cumsum(counts) / counts.sum()
+    fu = np.arange(1, 8) / 7.0
+    dplus, dminus = float((fe - fu).max()), float((fu - fe).max())
+    row = _one(spark, "kuiper_uniformity")[0]
+    assert row["n_events"] == int(counts.sum())
+    assert abs(row["d_plus"] - dplus) < 1e-6
+    assert abs(row["d_minus"] - dminus) < 1e-6
+    assert (
+        abs(row["kuiper_v_scaled"] - (dplus + dminus) * math.sqrt(counts.sum()))
+        < 1e-5
+    )
