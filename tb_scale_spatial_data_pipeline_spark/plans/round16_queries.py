@@ -1,10 +1,19 @@
-"""Round-16 operator tier: irregular-sampling spectral analysis,
-stability/fractal/long-memory series statistics, serial-correlation-
-robust econometrics (Newey-West HAC, Phillips-Perron, Cochrane-Orcutt),
-exact Bayesian A/B, distributional drift (energy distance,
-Bhattacharyya), discrete Fréchet profile distance, Weisfeiler-Leman
-graph refinement, and experiment-hygiene checks (SRM) — capabilities
-the 592-query registry did not yet cover.
+"""Round-16 operator tier (39 queries, all oracle-paired):
+irregular-sampling spectral analysis (Lomb-Scargle, cepstrum),
+stability/fractal/long-memory statistics (Allan, Higuchi, DFA),
+serial-correlation-robust econometrics (Newey-West HAC,
+Phillips-Perron, Cochrane-Orcutt, variance ratio), exact Bayesian A/B,
+dependence/drift measures (energy distance, Bhattacharyya, distance
+correlation, Hoeffding's D, tail dependence, ordinal association),
+discrete Fréchet profile distance, Weisfeiler-Leman graph refinement,
+geographically weighted regression, Platt calibration, Soundex
+phonetic blocking, the classical test battery (Brunner-Munzel,
+Fligner-Killeen, Quade, D'Agostino K², Welch ANOVA, Mood median,
+Ansari-Bradley, Kuiper, Shapiro-Francia, turning point), changepoint
+and outlier scans (two-break segmentation, MOSUM, Mahalanobis,
+recurrence quantification), and forecast/experiment evaluation (CRPS,
+QTE, SRM, E-value) — capabilities the 592-query registry did not yet
+cover.
 
 Determinism strategy (house seam, see round15_queries): order-sensitive
 float reductions run either on exact INTEGER/DECIMAL lattices (daily
