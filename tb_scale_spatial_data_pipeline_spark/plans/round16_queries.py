@@ -903,11 +903,15 @@ def q_quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Weisfeiler-Leman color refinement (3 rounds) over the guarded
 # co-supply graph — the graph-isomorphism workhorse (GNN expressivity
-# baseline): each round rehashes every node's color with the sorted
-# multiset of its neighbors' colors; the census tracks how fast the
-# color partition refines. Hashing is md5 over a canonical string
-# (own color || '|' || comma-joined sorted neighbor colors) —
-# identical bytes in both engines.
+# baseline): each round rehashes every node's color with the MULTISET
+# of its neighbors' colors; the census tracks how fast the color
+# partition refines. The multiset is canonicalized as an order-free
+# integer SUM of per-neighbor md5-prefix hashes (the hash-based WL
+# variant every graph-kernel library uses) rather than a sorted
+# string concat: a plain SUM map-side combines and never shuffles
+# strings, which the r16 second-decade probe showed is the difference
+# between 3.04x and ~2x wall at 10x edges. Identical md5 bytes and
+# decimal sums in both engines.
 _WL_ROUNDS = 3
 
 
@@ -923,10 +927,12 @@ def _sql_wl() -> str:
         ctes.append(
             f"""c{k + 1} AS MATERIALIZED (
       SELECT o.node,
-             substring(md5(o.c || '|' || m.sig), 1, 16) AS c
+             substring(md5(o.c || '|' || CAST(m.sig AS VARCHAR)), 1, 16) AS c
       FROM c{k} o
       JOIN (
-        SELECT e.dst AS node, string_agg(l.c, ',' ORDER BY l.c) AS sig
+        SELECT e.dst AS node,
+               CAST(SUM(CAST(('0x' || substring(md5(l.c), 1, 14)) AS BIGINT))
+                    AS DECIMAL(38,0)) AS sig
         FROM c{k} l JOIN edges e ON e.src = l.node
         GROUP BY e.dst
       ) m ON m.node = o.node
@@ -964,11 +970,14 @@ def q_weisfeiler_leman_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds = [colors]
     for _ in range(_WL_ROUNDS):
         prev = rounds[-1]
+        nbr_hash = F.conv(F.substring(F.md5("c"), 1, 14), 16, 10).cast("bigint")
         sig = (
             prev.join(edges, prev.node == edges.src)
             .groupBy(F.col("dst").alias("node"))
             .agg(
-                F.concat_ws(",", F.sort_array(F.collect_list("c"))).alias("sig")
+                F.sum(nbr_hash.cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .alias("sig")
             )
         )
         nxt = (
@@ -976,7 +985,13 @@ def q_weisfeiler_leman_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "node",
                 F.substring(
-                    F.md5(F.concat(F.col("c"), F.lit("|"), F.col("sig"))), 1, 16
+                    F.md5(
+                        F.concat(
+                            F.col("c"), F.lit("|"), F.col("sig").cast("string")
+                        )
+                    ),
+                    1,
+                    16,
                 ).alias("c"),
             )
             .localCheckpoint(eager=True)

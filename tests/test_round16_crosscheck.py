@@ -303,11 +303,14 @@ def test_weisfeiler_leman_crosscheck(spark):
     nc, lc = census(colors)
     assert (rows[0]["n_colors"], rows[0]["largest_class"]) == (nc, lc)
     for rd in (1, 2, 3):
+        # multiset canonicalized as the SUM of per-neighbor md5-prefix
+        # hashes (the engines' order-free map-side-combinable form)
+        def h(c: str) -> int:
+            return int(hashlib.md5(c.encode()).hexdigest()[:14], 16)
+
         colors = {
             n: hashlib.md5(
-                (
-                    colors[n] + "|" + ",".join(sorted(colors[m] for m in nb))
-                ).encode()
+                (colors[n] + "|" + str(sum(h(colors[m]) for m in nb))).encode()
             ).hexdigest()[:16]
             for n, nb in adj.items()
         }
