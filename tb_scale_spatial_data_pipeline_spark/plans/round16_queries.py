@@ -4484,3 +4484,318 @@ def q_kuiper_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kuiper_v_scaled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conover squared-ranks scale test — weekend vs weekday dispersion via
+# squared ranks of |x − group mean| (the parametric-power member of
+# the rank scale-test family beside Ansari-Bradley). Group means are
+# exact rationals (cleared via n_g·x − S_g integers); ranks are strict
+# under the deterministic (value, day) order; the z-statistic is a
+# closed form over exact integer rank-power sums.
+@_q(
+    "conover_squared_ranks",
+    f"""
+    WITH {_SQL_SPINE},
+    lab AS (
+      SELECT rn, y,
+             CASE WHEN rn % 7 IN (5, 6) THEN 1 ELSE 0 END AS grp
+      FROM spine
+    ),
+    gm AS (
+      SELECT grp, COUNT(*) AS ng,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sg
+      FROM lab GROUP BY grp
+    ),
+    dev AS (
+      -- |ng*y - Sg| is ng * |y - mean_g|: within-group scaling by the
+      -- constant ng preserves the ACROSS-group order only if both
+      -- groups share ng, so compare the exact rational |y - mean_g|
+      -- as a DOUBLE (deterministic: exact integer inputs)
+      SELECT l.rn, l.grp,
+             abs(CAST(g.ng AS DOUBLE) * l.y - CAST(g.sg AS DOUBLE))
+               / g.ng AS a
+      FROM lab l JOIN gm g ON g.grp = l.grp
+    ),
+    ranked AS (
+      SELECT grp,
+             CAST(row_number() OVER (ORDER BY a, rn) AS BIGINT) AS r
+      FROM dev
+    ),
+    sums AS (
+      SELECT CAST(SUM(CASE WHEN grp = 1 THEN r * r ELSE 0 END) AS DECIMAL(38,0)) AS t1,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(r * r) AS DECIMAL(38,0)) AS srr,
+             CAST(SUM(CAST(r AS DECIMAL(19,0)) * CAST(r AS DECIMAL(19,0))
+                      * CAST(r AS DECIMAL(19,0)) * CAST(r AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS sr4
+      FROM ranked
+    )
+    SELECT n0 AS n_weekday, n1 AS n_weekend,
+           round((CAST(t1 AS DOUBLE)
+                  - n1 * CAST(srr AS DOUBLE) / (n0 + n1))
+                 / sqrt(CAST(n1 AS DOUBLE) * n0 / (n0 + n1)
+                        / (n0 + n1 - 1)
+                        * (CAST(sr4 AS DOUBLE)
+                           - CAST(srr AS DOUBLE) * srr / (n0 + n1))), 6)
+             AS conover_z
+    FROM sums
+    """,
+)
+def q_conover_squared_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir)
+    lab = spine.select(
+        "rn",
+        "y",
+        F.when((F.col("rn") % 7).isin(5, 6), 1).otherwise(0).alias("grp"),
+    )
+    gm = lab.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sg"),
+    )
+    dev = lab.join(F.broadcast(gm), "grp").select(
+        "rn",
+        "grp",
+        (
+            F.abs(
+                F.col("ng").cast("double") * F.col("y")
+                - F.col("sg").cast("double")
+            )
+            / F.col("ng")
+        ).alias("a"),
+    )
+    ranked = dev.select(
+        "grp",
+        F.row_number().over(Window.orderBy("a", "rn")).cast("bigint").alias("r"),
+    )
+    r19 = F.col("r").cast("decimal(19,0)")
+    sums = ranked.agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("r") * F.col("r")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("t1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
+        F.sum(F.col("r") * F.col("r")).cast("decimal(38,0)").alias("srr"),
+        F.sum(r19 * r19 * r19 * r19).cast("decimal(38,0)").alias("sr4"),
+    )
+    nn = F.col("n0") + F.col("n1")
+    z = (
+        F.col("t1").cast("double") - F.col("n1") * F.col("srr").cast("double") / nn
+    ) / F.sqrt(
+        F.col("n1").cast("double")
+        * F.col("n0")
+        / nn
+        / (nn - 1)
+        * (
+            F.col("sr4").cast("double")
+            - F.col("srr").cast("double") * F.col("srr") / nn
+        )
+    )
+    return sums.select(
+        F.col("n0").alias("n_weekday"),
+        F.col("n1").alias("n_weekend"),
+        F.round(z, 6).alias("conover_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watson's U² circular uniformity — the rotation-invariant
+# mean-corrected Cramér-von Mises statistic for the purchase
+# day-of-week distribution (complements Kuiper's V with the quadratic
+# member of the circular family). Exact ECDF cells; one fixed 7-term
+# lattice sum.
+@_q(
+    "watson_u2_circular",
+    """
+    WITH ev AS (
+      SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cells AS (SELECT dow, COUNT(*) AS c FROM ev GROUP BY dow),
+    cum AS (
+      SELECT dow, c,
+             CAST(SUM(c) OVER (ORDER BY dow) AS DOUBLE)
+               / (SELECT SUM(c) FROM cells) AS fe,
+             CAST(dow AS DOUBLE) / 7.0 AS fu
+      FROM cells
+    ),
+    dbar AS (
+      -- cell-count-weighted mean deviation (each observation in cell
+      -- d carries the same ECDF step)
+      SELECT CAST(SUM(CAST(round((fe - fu) * c, 12) AS DECIMAL(38,12)))
+                  AS DOUBLE) / (SELECT SUM(c) FROM cells) AS m
+      FROM cum
+    ),
+    u2 AS (
+      SELECT CAST(SUM(CAST(round(
+               ((fe - fu) - (SELECT m FROM dbar))
+                 * ((fe - fu) - (SELECT m FROM dbar)) * c, 12)
+               AS DECIMAL(38,12))) AS DOUBLE) AS s,
+             (SELECT CAST(SUM(c) AS BIGINT) FROM cells) AS n
+      FROM cum
+    )
+    SELECT n AS n_events,
+           round(s, 6) AS watson_u2_scaled
+    FROM u2
+    """,
+)
+def q_watson_u2_circular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select((F.dayofweek("ts") + 1).cast("int").alias("dow"))
+    )
+    cells = ev.groupBy("dow").agg(F.count(F.lit(1)).alias("c"))
+    tot = cells.agg(F.sum("c").alias("nt"))
+    cum = cells.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "c",
+        (
+            F.sum("c").over(Window.orderBy("dow")).cast("double") / F.col("nt")
+        ).alias("fe"),
+        (F.col("dow").cast("double") / 7.0).alias("fu"),
+        "nt",
+    )
+    dbar = cum.agg(
+        (
+            F.sum(
+                F.round((F.col("fe") - F.col("fu")) * F.col("c"), 12).cast(
+                    "decimal(38,12)"
+                )
+            ).cast("double")
+            / F.max("nt")
+        ).alias("m"),
+        F.max("nt").cast("bigint").alias("n"),
+    )
+    u2 = cum.crossJoin(F.broadcast(dbar)).agg(
+        F.sum(
+            F.round(
+                ((F.col("fe") - F.col("fu")) - F.col("m"))
+                * ((F.col("fe") - F.col("fu")) - F.col("m"))
+                * F.col("c"),
+                12,
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("s"),
+        F.max("n").alias("n"),
+    )
+    return u2.select(
+        F.col("n").alias("n_events"),
+        F.round(F.col("s"), 6).alias("watson_u2_scaled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Baumgartner-Weiss-Schindler (BWS) B statistic — the variance-
+# weighted rank test with power against BOTH location and scale
+# shifts (stronger than Wilcoxon against spread changes). Strict
+# deterministic ranks; each group's B_k is a lattice sum of exact
+# rational terms; B = (B_0 + B_1)/2.
+@_q(
+    "bws_test",
+    f"""
+    WITH {_SQL_SPINE},
+    lab AS (
+      SELECT rn, y,
+             CASE WHEN rn % 7 IN (5, 6) THEN 1 ELSE 0 END AS grp
+      FROM spine
+    ),
+    ranked AS (
+      SELECT grp,
+             CAST(row_number() OVER (ORDER BY y, rn) AS BIGINT) AS r,
+             CAST(row_number() OVER (PARTITION BY grp ORDER BY y, rn)
+                  AS BIGINT) AS i
+      FROM lab
+    ),
+    ns AS (
+      SELECT CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+      FROM ranked
+    ),
+    terms AS (
+      SELECT grp,
+             CASE WHEN grp = 0 THEN
+               (r - CAST((SELECT n0 + n1 FROM ns) AS DOUBLE)
+                    / (SELECT n0 FROM ns) * i)
+               * (r - CAST((SELECT n0 + n1 FROM ns) AS DOUBLE)
+                      / (SELECT n0 FROM ns) * i)
+               / (CAST(i AS DOUBLE) / ((SELECT n0 FROM ns) + 1)
+                  * (1.0 - CAST(i AS DOUBLE) / ((SELECT n0 FROM ns) + 1))
+                  * (SELECT n1 FROM ns)
+                  * CAST((SELECT n0 + n1 FROM ns) AS DOUBLE)
+                  / (SELECT n0 FROM ns))
+             ELSE
+               (r - CAST((SELECT n0 + n1 FROM ns) AS DOUBLE)
+                    / (SELECT n1 FROM ns) * i)
+               * (r - CAST((SELECT n0 + n1 FROM ns) AS DOUBLE)
+                      / (SELECT n1 FROM ns) * i)
+               / (CAST(i AS DOUBLE) / ((SELECT n1 FROM ns) + 1)
+                  * (1.0 - CAST(i AS DOUBLE) / ((SELECT n1 FROM ns) + 1))
+                  * (SELECT n0 FROM ns)
+                  * CAST((SELECT n0 + n1 FROM ns) AS DOUBLE)
+                  / (SELECT n1 FROM ns))
+             END AS t
+      FROM ranked
+    ),
+    bsums AS (
+      SELECT grp,
+             CAST(SUM(CAST(round(t, 9) AS DECIMAL(38,9))) AS DOUBLE) AS s,
+             COUNT(*) AS ng
+      FROM terms GROUP BY grp
+    )
+    SELECT (SELECT n0 FROM ns) AS n_weekday,
+           (SELECT n1 FROM ns) AS n_weekend,
+           round((MAX(CASE WHEN grp = 0 THEN s / ng END)
+                  + MAX(CASE WHEN grp = 1 THEN s / ng END)) / 2.0, 6)
+             AS bws_b
+    FROM bsums
+    """,
+)
+def q_bws_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = _spine(spark, sf_dir)
+    lab = spine.select(
+        "rn",
+        "y",
+        F.when((F.col("rn") % 7).isin(5, 6), 1).otherwise(0).alias("grp"),
+    )
+    ranked = lab.select(
+        "grp",
+        F.row_number().over(Window.orderBy("y", "rn")).cast("bigint").alias("r"),
+        F.row_number()
+        .over(Window.partitionBy("grp").orderBy("y", "rn"))
+        .cast("bigint")
+        .alias("i"),
+    )
+    ns = ranked.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
+    )
+    j = ranked.crossJoin(F.broadcast(ns))
+    nn = (F.col("n0") + F.col("n1")).cast("double")
+
+    def term(nk, nother):
+        frac = F.col("i").cast("double") / (nk + 1)
+        dev = F.col("r") - nn / nk * F.col("i")
+        return dev * dev / (frac * (1.0 - frac) * nother * nn / nk)
+
+    terms = j.select(
+        "grp",
+        F.when(F.col("grp") == 0, term(F.col("n0"), F.col("n1")))
+        .otherwise(term(F.col("n1"), F.col("n0")))
+        .alias("t"),
+    )
+    bsums = terms.groupBy("grp").agg(
+        F.sum(F.round(F.col("t"), 9).cast("decimal(38,9)")).cast("double").alias("s"),
+        F.count(F.lit(1)).alias("ng"),
+    )
+    out = bsums.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("s") / F.col("ng"))).alias("b0"),
+        F.max(F.when(F.col("grp") == 1, F.col("s") / F.col("ng"))).alias("b1"),
+    )
+    return out.crossJoin(F.broadcast(ns)).select(
+        F.col("n0").alias("n_weekday"),
+        F.col("n1").alias("n_weekend"),
+        F.round((F.col("b0") + F.col("b1")) / 2.0, 6).alias("bws_b"),
+    )

@@ -899,3 +899,65 @@ def test_kuiper_crosscheck(spark):
         abs(row["kuiper_v_scaled"] - (dplus + dminus) * math.sqrt(counts.sum()))
         < 1e-5
     )
+
+
+def test_conover_squared_ranks_crosscheck(spark, daily):
+    y = daily["y"].to_numpy().astype(np.float64)
+    rn = np.arange(1, len(y) + 1)
+    grp = np.isin(rn % 7, (5, 6)).astype(int)
+    a = np.empty(len(y))
+    for g in (0, 1):
+        m = grp == g
+        a[m] = np.abs(y[m] - y[m].mean())
+    order = np.lexsort((rn, a))
+    r = np.empty(len(y))
+    r[order] = np.arange(1, len(y) + 1)
+    n = len(y)
+    n1 = int(grp.sum())
+    n0 = n - n1
+    t1 = np.sum(r[grp == 1] ** 2)
+    srr, sr4 = np.sum(r**2), np.sum(r**4)
+    z = (t1 - n1 * srr / n) / math.sqrt(
+        n1 * n0 / n / (n - 1) * (sr4 - srr * srr / n)
+    )
+    row = _one(spark, "conover_squared_ranks")[0]
+    assert (row["n_weekday"], row["n_weekend"]) == (n0, n1)
+    assert abs(row["conover_z"] - z) < 1e-5
+
+
+def test_watson_u2_crosscheck(spark):
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    pur = ev[ev["event_type"] == "purchase"]
+    dow = (pd.to_datetime(pur["ts"]).dt.dayofweek.to_numpy() + 2) % 7
+    dow[dow == 0] = 7
+    counts = np.array([(dow == d).sum() for d in range(1, 8)], dtype=np.float64)
+    n = counts.sum()
+    fe = np.cumsum(counts) / n
+    fu = np.arange(1, 8) / 7.0
+    dev = fe - fu
+    m = np.sum(dev * counts) / n
+    s = np.sum((dev - m) ** 2 * counts)
+    row = _one(spark, "watson_u2_circular")[0]
+    assert row["n_events"] == int(n)
+    assert abs(row["watson_u2_scaled"] - s) < 1e-6
+
+
+def test_bws_crosscheck(spark, daily):
+    y = daily["y"].to_numpy().astype(np.float64)
+    rn = np.arange(1, len(y) + 1)
+    grp = np.isin(rn % 7, (5, 6)).astype(int)
+    order = np.lexsort((rn, y))
+    r = np.empty(len(y))
+    r[order] = np.arange(1, len(y) + 1)
+    n = len(y)
+    bs = []
+    for g in (0, 1):
+        rk = np.sort(r[grp == g])
+        nk = len(rk)
+        no = n - nk
+        i = np.arange(1, nk + 1, dtype=np.float64)
+        frac = i / (nk + 1)
+        t = (rk - n / nk * i) ** 2 / (frac * (1 - frac) * no * n / nk)
+        bs.append(t.mean())
+    row = _one(spark, "bws_test")[0]
+    assert abs(row["bws_b"] - (bs[0] + bs[1]) / 2.0) < 1e-5
