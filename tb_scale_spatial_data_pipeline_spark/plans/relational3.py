@@ -523,7 +523,12 @@ def q_combo_model_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.col("c1"), F.col("c2"), F.col("c3"), F.col("label"))
         ).alias("cents")
     )
-    joined = probe.join(F.broadcast(cent_arr), "combo_sig")
+    from ..operators.spread import spread_cpu
+
+    # the argmin array fold is the query's CPU (measured 3.4 exec-sec
+    # fused into the single-split scan stage); spread it before the
+    # broadcast join — no-op at production split counts
+    joined = spread_cpu(probe).join(F.broadcast(cent_arr), "combo_sig")
 
     def _scored(c):
         d = (

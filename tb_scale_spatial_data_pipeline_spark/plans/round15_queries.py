@@ -272,7 +272,16 @@ def q_siegel_repeated_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = daily.select(
         F.row_number().over(Window.orderBy("d")).alias("i"), "y"
     ).localCheckpoint(eager=True)
-    a = idx.select(F.col("i").alias("ia"), F.col("y").alias("ya"))
+    # The checkpointed spine is ONE partition (it exits a global-order
+    # window), so without a spread the pair-generating nested-loop join
+    # streams every O(spine^2) row — and its map-side partial of the
+    # groupBy(ia) — through a single task (guide §2.5: measured 8-21 s
+    # at sf0.1 with 31 idle cores). Hash-spreading the streamed side
+    # by i parallelizes pair generation; the result is join-order-free.
+    spread = spark.sparkContext.defaultParallelism
+    a = idx.repartition(spread, "i").select(
+        F.col("i").alias("ia"), F.col("y").alias("ya")
+    )
     b = idx.select(F.col("i").alias("ib"), F.col("y").alias("yb"))
     inner = (
         a.join(b, F.col("ib") != F.col("ia"))
@@ -1327,7 +1336,14 @@ def q_matrix_profile_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nn), F.col("lag") <= F.col("n") - m)
         .select("lag")
     )
-    a = idx.select(F.col("i").alias("t"), F.col("y").alias("ya"))
+    # spread the product generation: idx exits a global-order window in
+    # ONE partition, and crossJoin(broadcast) preserves it — without a
+    # spread the full spine x lags row build (2.9M rows at sf0.1) runs
+    # in a single task (stage census: 1.6 s serial). Hash-spreading by
+    # t is result-identical; the lag window re-shuffles by lag anyway.
+    a = idx.repartition(
+        spark.sparkContext.defaultParallelism, "i"
+    ).select(F.col("i").alias("t"), F.col("y").alias("ya"))
     b = idx.select(F.col("i").alias("i2"), F.col("y").alias("yb"))
     prod = (
         a.crossJoin(F.broadcast(lags))

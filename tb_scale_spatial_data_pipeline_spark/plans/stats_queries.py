@@ -2323,9 +2323,15 @@ def _sql_em_gmm() -> str:
 
 @_q("em_gaussian_mixture", _sql_em_gmm())
 def q_em_gaussian_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spread the checkpoint: the single-split scan leaves pts in ONE
+    # partition, which serializes every EM sweep's aggregation (stage
+    # census: 3 x 0.7 s single-task stages). All sweep aggregates are
+    # exact DECIMAL sums — partition-order-free — so a round-robin
+    # spread is result-identical and makes each sweep a parallel scan.
     pts = (
         t(spark, sf_dir, "events")
         .select(F.col("value").cast("double").alias("x"))
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)
     )
     # every scalar round() runs through Spark's own ROUND expression

@@ -38,6 +38,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing floor (default 1m) caps post-shuffle
+        # parallelism at total_bytes/1MB tasks, which serializes
+        # compute-dense small-byte stages (measured: the co-supply
+        # pair join + md5 thinning — a ~10 MB exchange carrying a
+        # 2.4M-row join — ran on 5 of 32 cores). A 128k floor lets
+        # parallelism-first coalescing reach the full core count on
+        # small shuffles; at production volumes bytes/cores is far
+        # above either floor, so the setting is inert there (the
+        # advisory size still governs big shuffles).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
