@@ -200,8 +200,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.round(F.lit(1.0 / n), 12).alias("rank")
     )
     for _ in range(_PR_ITERS):
+        # broadcast the rank vector (node metadata, 16 B/node): the
+        # checkpointed edge table's partitioning is opaque to the
+        # planner, so the equi-join otherwise re-exchanges BOTH sides
+        # every round; with the broadcast only the per-dst aggregate
+        # shuffles (guide §2.4/§3.1)
         contrib = (
-            ranks.join(edges_deg, ranks["node"] == edges_deg["src"])
+            edges_deg.join(F.broadcast(ranks), ranks["node"] == edges_deg["src"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
         )
@@ -288,8 +293,9 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     snaps = [_snap(0, labels)]
     for k in range(1, _LP_ITERS + 1):
+        # broadcast the label vector — node metadata (see pagerank)
         nbr_min = (
-            labels.join(edges, labels["node"] == edges["src"])
+            edges.join(F.broadcast(labels), labels["node"] == edges["src"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nbr_min"))
         )
@@ -449,8 +455,10 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     for _ in range(_SSSP_ROUNDS):
+        # broadcast the tentative-distance vector — node metadata (see
+        # pagerank); the weighted edge table never re-exchanges
         relaxed = (
-            dist.join(edges, dist.node == edges.src)
+            edges.join(F.broadcast(dist), dist.node == edges.src)
             .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
         )
         dist = (
@@ -715,8 +723,10 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     ranks = restart.select("node", F.col("restart").alias("rank"))
     for _ in range(_PPR_ITERS):
+        # broadcast the rank vector — same node-metadata broadcast as
+        # pagerank_suppliers; the edge table never re-exchanges
         contrib = (
-            ranks.join(edges_deg, ranks["node"] == edges_deg["src"])
+            edges_deg.join(F.broadcast(ranks), ranks["node"] == edges_deg["src"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
         )
@@ -1285,8 +1295,10 @@ def q_community_label_propagation(
 
     snaps = [_snap(0, labels)]
     for k in range(1, _CLP_ITERS + 1):
+        # broadcast the label vector — same node-metadata broadcast as
+        # the pagerank loop; the edge table never re-exchanges
         cnt = (
-            labels.join(edges, labels["node"] == edges["src"])
+            edges.join(F.broadcast(labels), labels["node"] == edges["src"])
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
@@ -1605,9 +1617,12 @@ def q_ktruss_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         # triangle credits all 3 of its canonical (u<v) edges, so the
         # per-edge support is identical to the symmetrized-wedge count
         # the SQL oracle computes.
+        # one scan of cur (explode both endpoints) instead of a two-arm
+        # union — same multiset of nodes, one fewer stage per round
         deg = (
-            cur.select(F.col("u").alias("node"))
-            .unionAll(cur.select(F.col("v").alias("node")))
+            cur.select(
+                F.explode(F.array(F.col("u"), F.col("v"))).alias("node")
+            )
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("dg"))
         )
@@ -1645,7 +1660,11 @@ def q_ktruss_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("u"))
             .alias("b"),
             F.greatest("ru", "rv").alias("rb"),
-        ).localCheckpoint(eager=True)  # read 3x: two wedge arms + closer
+        ).localCheckpoint(eager=False)  # read 3x: two wedge arms +
+        # closer. LAZY: the wedge join's first exchange materializes it
+        # in place of a dedicated eager job — one fewer job per round
+        # on the round-latency-bound local profile, same single
+        # evaluation.
         o1 = o.select(F.col("a").alias("x"), F.col("b").alias("p"), F.col("rb").alias("rp"))
         o2 = o.select(F.col("a").alias("y"), F.col("b").alias("q"), F.col("rb").alias("rq"))
         closer = o.select(F.col("a").alias("ca"), F.col("b").alias("cb"))
@@ -2346,8 +2365,9 @@ def q_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.lit(1.0).alias("x")
     )
     for _ in range(_EIG_ITERS):
+        # broadcast the score vector — node metadata (see pagerank)
         raw = (
-            x.join(edges, x["node"] == edges["src"])
+            edges.join(F.broadcast(x), x["node"] == edges["src"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.round(F.sum("x"), 12).alias("r"))
             .localCheckpoint(eager=True)  # read by max + divide
@@ -2728,11 +2748,14 @@ def q_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     r = nodes.select("node", F.round(F.lit(1.0 / n), 12).alias("rank"))
     for _ in range(_WPR_ITERS):
+        # broadcast the rank vector and the per-node weight totals —
+        # both node metadata (see pagerank); the weighted edge table
+        # never re-exchanges
         contrib = (
-            r.join(wedges, r["node"] == wedges["src"])
+            wedges.join(F.broadcast(r), r["node"] == wedges["src"])
             .join(
-                wout.select(
-                    F.col("node").alias("o_node"), F.col("wt")
+                F.broadcast(
+                    wout.select(F.col("node").alias("o_node"), F.col("wt"))
                 ),
                 F.col("o_node") == r["node"],
             )
@@ -2823,8 +2846,9 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = edges.select(F.col("src").alias("node")).distinct()
     x = nodes.select("node", F.lit(1.0).alias("x"))
     for _ in range(_KATZ_ITERS):
+        # broadcast the score vector — node metadata (see pagerank)
         contrib = (
-            x.join(edges, x["node"] == edges["src"])
+            edges.join(F.broadcast(x), x["node"] == edges["src"])
             .groupBy(F.col("dst").alias("cnode"))
             .agg(F.sum("x").alias("s"))
         )

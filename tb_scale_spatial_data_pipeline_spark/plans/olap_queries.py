@@ -71,7 +71,18 @@ def _dec(col: str, p: int = 18, s: int = 2):
     """,
 )
 def q_rollup_revenue_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
+    from ..operators.spread import spread_cpu
+
+    # the Expand (x3 grouping sets) + decimal partial aggregation is
+    # CPU-dense and fuses into the single-split scan task (census: 3.4
+    # exec-sec serial); spread first — conditional, no-op at production
+    # split counts where partial-agg-before-shuffle wins
+    li = spread_cpu(
+        t(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount",
+        )
+    )
     rev = (_dec("l_extendedprice") * (1 - _dec("l_discount"))).cast(
         "decimal(18,4)"
     )

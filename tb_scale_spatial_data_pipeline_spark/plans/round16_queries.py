@@ -964,15 +964,25 @@ def q_weisfeiler_leman_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(eu.select(F.col("v").alias("src"), F.col("u").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    colors = edges.groupBy(F.col("src").alias("node")).agg(
-        F.concat(F.lit("d"), F.count(F.lit(1)).cast("string")).alias("c")
+    colors = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(
+            F.concat(F.lit("d"), F.count(F.lit(1)).cast("string")).alias("c")
+        )
+        # two consumers (round-1 refinement + the final census) —
+        # lazy-checkpoint so the degree aggregation runs once
+        .localCheckpoint(eager=False)
     )
     rounds = [colors]
     for _ in range(_WL_ROUNDS):
         prev = rounds[-1]
         nbr_hash = F.conv(F.substring(F.md5("c"), 1, 14), 16, 10).cast("bigint")
+        # broadcast the (node, color) table: node metadata, ~40 B/node,
+        # broadcastable at any realistic supplier cardinality — the
+        # per-round refinement then never exchanges the edge table
+        # (guide §3.1), only the per-dst aggregate shuffles.
         sig = (
-            prev.join(edges, prev.node == edges.src)
+            edges.join(F.broadcast(prev), prev.node == edges.src)
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.sum(nbr_hash.cast("decimal(38,0)"))

@@ -159,3 +159,22 @@ def test_approx_count_distinct_tolerance(spark):
     approx = df.select(F.approx_count_distinct("v")).first()[0]
     assert exact == 9173
     assert abs(approx - exact) / exact < 0.1
+
+
+def test_spread_cpu_conditional_repartition(spark):
+    """spread_cpu (r16): repartitions to the default parallelism ONLY
+    when the input has fewer partitions — identity (no added shuffle)
+    once the input is already at or above it, so at production split
+    counts it is a no-op. Row content is never changed."""
+    from tb_scale_spatial_data_pipeline_spark.operators.spread import spread_cpu
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    wide = spark.range(1000).repartition(par + 4)
+
+    out_narrow = spread_cpu(narrow)
+    assert out_narrow.rdd.getNumPartitions() == par
+    assert sorted(r["id"] for r in out_narrow.collect()) == list(range(1000))
+
+    out_wide = spread_cpu(wide)
+    assert out_wide is wide  # identity: no shuffle added
