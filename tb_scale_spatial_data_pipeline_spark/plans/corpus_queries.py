@@ -1069,7 +1069,12 @@ def q_dedup_token_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    words = _words_df(spark, sf_dir).where(F.size("w") >= _GRAM_N)
+    from ..operators.spread import spread_cpu
+
+    words = spread_cpu(_words_df(spark, sf_dir).where(F.size("w") >= _GRAM_N))
+    # pos feeds BOTH the gram-document counts and the per-doc scoring —
+    # lazy-checkpoint so the tokenize + gram explode (CPU-dense, and
+    # otherwise fused twice into the single-split scan) runs once
     pos = words.select(
         "doc_id",
         F.explode(
@@ -1078,7 +1083,7 @@ def q_duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" i -> array_join(slice(w, i, {_GRAM_N}), ' '))"
             )
         ).alias("gram"),
-    )
+    ).localCheckpoint(eager=False)
     gram_docs = (
         pos.select("doc_id", "gram")
         .distinct()  # map-side distinct bounds the gram-key shuffle

@@ -1005,7 +1005,11 @@ def _sql_textrank() -> str:
 
 @_q("textrank_keywords", _sql_textrank())
 def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    words = _words_df(spark, sf_dir)
+    from ..operators.spread import spread_cpu
+
+    # the window-pair explode is the CPU hot spot and otherwise fuses
+    # into the single-split scan task; no-op at production split counts
+    words = spread_cpu(_words_df(spark, sf_dir))
     pairs = (
         words.select(
             F.explode(
@@ -1041,10 +1045,16 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = nodes.select("node", F.lit(1.0).alias("rank"))
     for _ in range(_TR_ITERS):
+        # broadcast the rank vector and out-weights — keyword-node
+        # metadata bounded by the min-count-pruned co-occurrence vocab
+        # (the graph-loop discipline from pagerank_suppliers); the
+        # edge table never re-exchanges per round
         contrib = (
-            r.join(wedges, r["node"] == wedges["src"])
+            wedges.join(F.broadcast(r), r["node"] == wedges["src"])
             .join(
-                wout.select(F.col("node").alias("o_node"), "tw"),
+                F.broadcast(
+                    wout.select(F.col("node").alias("o_node"), "tw")
+                ),
                 F.col("o_node") == r["node"],
             )
             .groupBy(F.col("dst").alias("cnode"))

@@ -215,8 +215,10 @@ def q_correlated_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spread import spread_cpu
+
     docs = t(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = spread_cpu(docs).select(
         "doc_id",
         F.explode(
             F.split(
@@ -224,7 +226,12 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("term"),
     ).where((F.col("term") != "") & (F.length("term") >= 3))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the document-frequency aggregate and the scoring
+    # join; lazy-checkpoint so the regex tokenize + explode + count
+    # pipeline runs once (stage census: two identical serial stages)
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (

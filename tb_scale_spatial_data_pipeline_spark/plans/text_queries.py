@@ -1545,8 +1545,10 @@ def _sql_sparse_cosine() -> str:
 def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import normalize_text, word_tokens
 
+    from ..operators.spread import spread_cpu
+
     docs = t(spark, sf_dir, "documents")
-    w = docs.select(
+    w = spread_cpu(docs).select(
         "doc_id", word_tokens(normalize_text(F.col("text"))).alias("ws")
     )
     bg = w.select(
@@ -1558,7 +1560,12 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("term"),
     )
-    tf = bg.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    # tf feeds BOTH the df-prune aggregate and the posting build;
+    # lazy-checkpoint so the bigram explode + count runs once (stage
+    # census: two identical serial stages)
+    tf = bg.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)
     df = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
