@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.spread import broadcast_if_small
 from ._util import t
 
 QUERIES: dict = {}
@@ -200,13 +201,18 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.round(F.lit(1.0 / n), 12).alias("rank")
     )
     for _ in range(_PR_ITERS):
-        # broadcast the rank vector (node metadata, 16 B/node): the
-        # checkpointed edge table's partitioning is opaque to the
+        # broadcast the rank vector (node metadata, 16 B/node of data):
+        # the checkpointed edge table's partitioning is opaque to the
         # planner, so the equi-join otherwise re-exchanges BOTH sides
         # every round; with the broadcast only the per-dst aggregate
-        # shuffles (guide §2.4/§3.1)
+        # shuffles (guide §2.4/§3.1). Size-guarded on the exact node
+        # count: past ~8M nodes the forced broadcast would outgrow the
+        # driver (16 GB at 1e9 nodes, over Spark's 8 GB cap), so the
+        # guard falls back to the shuffle join.
         contrib = (
-            edges_deg.join(F.broadcast(ranks), ranks["node"] == edges_deg["src"])
+            edges_deg.join(
+                broadcast_if_small(ranks, n), ranks["node"] == edges_deg["src"]
+            )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
         )
@@ -283,6 +289,9 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
         eager=True
     )
+    # no-shuffle count on the materialized vector; bounds the loop's
+    # broadcast guard (row count is invariant across rounds)
+    n_nodes = labels.count()
 
     def _snap(k: int, lab: DataFrame) -> DataFrame:
         return lab.agg(
@@ -293,9 +302,13 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     snaps = [_snap(0, labels)]
     for k in range(1, _LP_ITERS + 1):
-        # broadcast the label vector — node metadata (see pagerank)
+        # broadcast the label vector — node metadata (see pagerank),
+        # size-guarded: past ~8M nodes fall back to the shuffle join
         nbr_min = (
-            edges.join(F.broadcast(labels), labels["node"] == edges["src"])
+            edges.join(
+                broadcast_if_small(labels, n_nodes),
+                labels["node"] == edges["src"],
+            )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nbr_min"))
         )
@@ -447,6 +460,10 @@ def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("sssp_weighted", _sql_sssp())
 def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _weighted_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # |dist| <= |nodes| <= |directed edges| (every node appears as a
+    # src in the symmetrized table); one no-shuffle count on the
+    # checkpointed RDD bounds every round's broadcast guard
+    n_edges = edges.count()
     dist = (
         edges.select(F.col("src").alias("node"))
         .where(F.col("node") % 20 == 0)
@@ -456,9 +473,10 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(_SSSP_ROUNDS):
         # broadcast the tentative-distance vector — node metadata (see
-        # pagerank); the weighted edge table never re-exchanges
+        # pagerank), size-guarded; the weighted edge table never
+        # re-exchanges while the guard holds
         relaxed = (
-            edges.join(F.broadcast(dist), dist.node == edges.src)
+            edges.join(broadcast_if_small(dist, n_edges), dist.node == edges.src)
             .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
         )
         dist = (
@@ -721,12 +739,19 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("restart"),
     ).localCheckpoint(eager=True)
+    # no-shuffle count on the checkpointed node set: bounds the
+    # per-round broadcast guard (the rank vector spans all nodes)
+    n_nodes = nodes.count()
     ranks = restart.select("node", F.col("restart").alias("rank"))
     for _ in range(_PPR_ITERS):
         # broadcast the rank vector — same node-metadata broadcast as
-        # pagerank_suppliers; the edge table never re-exchanges
+        # pagerank_suppliers, size-guarded; the edge table never
+        # re-exchanges while the guard holds
         contrib = (
-            edges_deg.join(F.broadcast(ranks), ranks["node"] == edges_deg["src"])
+            edges_deg.join(
+                broadcast_if_small(ranks, n_nodes),
+                ranks["node"] == edges_deg["src"],
+            )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
         )
@@ -1293,12 +1318,19 @@ def q_community_label_propagation(
             ),
         )
 
+    # no-shuffle count on the materialized vector; bounds the loop's
+    # broadcast guard (row count is invariant across rounds)
+    n_nodes = labels.count()
     snaps = [_snap(0, labels)]
     for k in range(1, _CLP_ITERS + 1):
         # broadcast the label vector — same node-metadata broadcast as
-        # the pagerank loop; the edge table never re-exchanges
+        # the pagerank loop, size-guarded; the edge table never
+        # re-exchanges while the guard holds
         cnt = (
-            edges.join(F.broadcast(labels), labels["node"] == edges["src"])
+            edges.join(
+                broadcast_if_small(labels, n_nodes),
+                labels["node"] == edges["src"],
+            )
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
@@ -1597,6 +1629,9 @@ def _sql_ktruss() -> str:
 @_q("ktruss_peeling", _sql_ktruss())
 def q_ktruss_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     eu = _undirected_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # |deg rows| <= 2*|eu| at every round (peeling only shrinks cur);
+    # one no-shuffle count bounds the degree-table broadcast guard
+    n_node_bound = 2 * eu.count()
     snaps = [
         eu.agg(
             F.lit(0).cast("int").alias("round"),
@@ -1634,20 +1669,23 @@ def q_ktruss_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rk"
             ),
         )
-        # (node, rk) is 16 B/node metadata — broadcastable at any
-        # realistic supplier cardinality (~16 MB at 1M nodes), so the
-        # two degree-attach joins never shuffle the edge table
-        # (guide §3.1: broadcast the side you know is small).
+        # (node, rk) is 16 B/node of data — size-guarded broadcast so
+        # the two degree-attach joins never shuffle the edge table
+        # while the node count is broadcastable (guide §3.1); past
+        # ~8M nodes (where the forced relation would head toward the
+        # 8 GB broadcast cap) both joins degrade to shuffles.
         ek = (
             cur.join(
-                F.broadcast(
-                    dk.select(F.col("node").alias("u"), F.col("rk").alias("ru"))
+                broadcast_if_small(
+                    dk.select(F.col("node").alias("u"), F.col("rk").alias("ru")),
+                    n_node_bound,
                 ),
                 "u",
             )
             .join(
-                F.broadcast(
-                    dk.select(F.col("node").alias("v"), F.col("rk").alias("rv"))
+                broadcast_if_small(
+                    dk.select(F.col("node").alias("v"), F.col("rk").alias("rv")),
+                    n_node_bound,
                 ),
                 "v",
             )
@@ -2361,13 +2399,17 @@ def q_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(eu.select(F.col("v").alias("src"), F.col("u").alias("dst")))
         .localCheckpoint(eager=True)
     )
+    # |x| <= |directed edges|: one no-shuffle count on the checkpointed
+    # RDD bounds every round's broadcast guard
+    n_edges = edges.count()
     x = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(1.0).alias("x")
     )
     for _ in range(_EIG_ITERS):
-        # broadcast the score vector — node metadata (see pagerank)
+        # broadcast the score vector — node metadata (see pagerank),
+        # size-guarded
         raw = (
-            edges.join(F.broadcast(x), x["node"] == edges["src"])
+            edges.join(broadcast_if_small(x, n_edges), x["node"] == edges["src"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.round(F.sum("x"), 12).alias("r"))
             .localCheckpoint(eager=True)  # read by max + divide
@@ -2749,13 +2791,14 @@ def q_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = nodes.select("node", F.round(F.lit(1.0 / n), 12).alias("rank"))
     for _ in range(_WPR_ITERS):
         # broadcast the rank vector and the per-node weight totals —
-        # both node metadata (see pagerank); the weighted edge table
-        # never re-exchanges
+        # both node metadata (see pagerank), size-guarded on the exact
+        # node count; the weighted edge table never re-exchanges while
+        # the guard holds
         contrib = (
-            wedges.join(F.broadcast(r), r["node"] == wedges["src"])
+            wedges.join(broadcast_if_small(r, n), r["node"] == wedges["src"])
             .join(
-                F.broadcast(
-                    wout.select(F.col("node").alias("o_node"), F.col("wt"))
+                broadcast_if_small(
+                    wout.select(F.col("node").alias("o_node"), F.col("wt")), n
                 ),
                 F.col("o_node") == r["node"],
             )
@@ -2844,11 +2887,15 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
+    # |x| <= |directed edges|: one no-shuffle count on the checkpointed
+    # RDD bounds every round's broadcast guard
+    n_edges = edges.count()
     x = nodes.select("node", F.lit(1.0).alias("x"))
     for _ in range(_KATZ_ITERS):
-        # broadcast the score vector — node metadata (see pagerank)
+        # broadcast the score vector — node metadata (see pagerank),
+        # size-guarded
         contrib = (
-            edges.join(F.broadcast(x), x["node"] == edges["src"])
+            edges.join(broadcast_if_small(x, n_edges), x["node"] == edges["src"])
             .groupBy(F.col("dst").alias("cnode"))
             .agg(F.sum("x").alias("s"))
         )

@@ -1005,7 +1005,7 @@ def _sql_textrank() -> str:
 
 @_q("textrank_keywords", _sql_textrank())
 def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.spread import spread_cpu
+    from ..operators.spread import broadcast_if_small, spread_cpu
 
     # the window-pair explode is the CPU hot spot and otherwise fuses
     # into the single-split scan task; no-op at production split counts
@@ -1030,33 +1030,38 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("wt"))
         .where((F.col("wt") >= _TR_MIN_COUNT) & (F.col("w1") != F.col("w2")))
     )
+    from pyspark.sql import Window
+
+    # fold the (static) out-weight total INTO the edge table once —
+    # the pagerank_suppliers discipline: an exact integer window sum
+    # per src (order-free), so each round is ONE vector join + one
+    # aggregate instead of two joins and two broadcasts
     wedges = (
         pairs.select(F.col("w1").alias("src"), F.col("w2").alias("dst"), "wt")
         .unionByName(
             pairs.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), "wt")
         )
+        .withColumn(
+            "tw",
+            F.sum("wt").over(Window.partitionBy("src")).cast("double"),
+        )
         .localCheckpoint(eager=True)
     )
-    nodes = wedges.select(F.col("src").alias("node")).distinct()
-    wout = (
-        wedges.groupBy(F.col("src").alias("node"))
-        .agg(F.sum("wt").cast("double").alias("tw"))
+    # checkpoint the node set once (it feeds every round's left join)
+    nodes = (
+        wedges.select(F.col("src").alias("node"))
+        .distinct()
         .localCheckpoint(eager=True)
     )
+    n_nodes = nodes.count()  # no-shuffle; bounds the broadcast guard
     r = nodes.select("node", F.lit(1.0).alias("rank"))
     for _ in range(_TR_ITERS):
-        # broadcast the rank vector and out-weights — keyword-node
-        # metadata bounded by the min-count-pruned co-occurrence vocab
-        # (the graph-loop discipline from pagerank_suppliers); the
-        # edge table never re-exchanges per round
+        # broadcast the rank vector — keyword-node metadata bounded by
+        # the min-count-pruned co-occurrence vocab (the graph-loop
+        # discipline from pagerank_suppliers), size-guarded; the edge
+        # table never re-exchanges per round while the guard holds
         contrib = (
-            wedges.join(F.broadcast(r), r["node"] == wedges["src"])
-            .join(
-                F.broadcast(
-                    wout.select(F.col("node").alias("o_node"), "tw")
-                ),
-                F.col("o_node") == r["node"],
-            )
+            wedges.join(broadcast_if_small(r, n_nodes), r["node"] == wedges["src"])
             .groupBy(F.col("dst").alias("cnode"))
             .agg(F.sum(F.col("rank") * F.col("wt") / F.col("tw")).alias("contrib"))
         )

@@ -119,9 +119,16 @@ def q_argmax_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_percentile_stretch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.indices import contrast_stretch
+    from ..operators.quantiles import grouped_percentiles_via_ranks
 
     li = t(spark, sf_dir, "lineitem")
-    pct = grouped_percentiles(li.withColumnRenamed("l_returnflag", "grp"), ["grp"], "l_extendedprice")
+    # rank-selection path (r17): bit-identical to the buffered
+    # percentile aggregate but with NO per-group single-task count-map
+    # merge — the one stage of the old plan that could not survive a
+    # 100 TB group (see grouped_percentiles_via_ranks)
+    pct = grouped_percentiles_via_ranks(
+        li.withColumnRenamed("l_returnflag", "grp"), ["grp"], "l_extendedprice"
+    )
     joined = li.join(F.broadcast(pct), li["l_returnflag"] == pct["grp"])
     return joined.select(
         "l_orderkey",

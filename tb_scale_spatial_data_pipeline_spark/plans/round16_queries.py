@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.spread import broadcast_if_small
 from ._util import t
 from .graph_queries import _SQL_EDGES as _EDGES_CTE
 from .graph_queries import _undirected_edges
@@ -973,16 +974,21 @@ def q_weisfeiler_leman_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lazy-checkpoint so the degree aggregation runs once
         .localCheckpoint(eager=False)
     )
+    # |colors| <= |directed edges|: one no-shuffle count on the
+    # checkpointed RDD bounds every round's broadcast guard
+    n_edges = edges.count()
     rounds = [colors]
     for _ in range(_WL_ROUNDS):
         prev = rounds[-1]
         nbr_hash = F.conv(F.substring(F.md5("c"), 1, 14), 16, 10).cast("bigint")
-        # broadcast the (node, color) table: node metadata, ~40 B/node,
-        # broadcastable at any realistic supplier cardinality — the
-        # per-round refinement then never exchanges the edge table
-        # (guide §3.1), only the per-dst aggregate shuffles.
+        # broadcast the (node, color) table: node metadata, ~40 B/node
+        # of data, size-guarded (past ~8M nodes the forced relation
+        # would head toward the 8 GB broadcast cap, so the join
+        # degrades to a shuffle) — while the guard holds the per-round
+        # refinement never exchanges the edge table (guide §3.1), only
+        # the per-dst aggregate shuffles.
         sig = (
-            edges.join(F.broadcast(prev), prev.node == edges.src)
+            edges.join(broadcast_if_small(prev, n_edges), prev.node == edges.src)
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.sum(nbr_hash.cast("decimal(38,0)"))

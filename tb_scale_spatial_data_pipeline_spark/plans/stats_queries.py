@@ -2328,12 +2328,17 @@ def q_em_gaussian_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # census: 3 x 0.7 s single-task stages). All sweep aggregates are
     # exact DECIMAL sums — partition-order-free — so a round-robin
     # spread is result-identical and makes each sweep a parallel scan.
-    pts = (
-        t(spark, sf_dir, "events")
-        .select(F.col("value").cast("double").alias("x"))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=True)
-    )
+    # spread_cpu (conditional), not a bare repartition: at production
+    # split counts the scan already has >= defaultParallelism splits
+    # and an unconditional repartition would ADD a full shuffle (and
+    # could even lower parallelism below the native split count).
+    from ..operators.spread import spread_cpu
+
+    pts = spread_cpu(
+        t(spark, sf_dir, "events").select(
+            F.col("value").cast("double").alias("x")
+        )
+    ).localCheckpoint(eager=True)
     # every scalar round() runs through Spark's own ROUND expression
     # (via a 1-row select), never Python's round(): the JVM and DuckDB
     # double-rounding implementations are the pair the whole oracle

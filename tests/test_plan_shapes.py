@@ -275,8 +275,11 @@ def test_rollup_single_expand_single_agg_shuffle(spark):
     the spread is a no-op at production split counts)."""
     p = plan_of(spark, "rollup_revenue_margins")
     assert "Expand" in p
-    # agg shuffle + output sort + (local-only) pre-expand spread
-    assert p.count("Exchange") <= 3
+    # the only exchange beyond the agg shuffle + output sort may be
+    # the round-robin spread itself — pin its kind so an unrelated
+    # third exchange cannot hide behind the allowance
+    assert p.count("RoundRobinPartitioning") <= 1
+    assert p.count("Exchange") - p.count("RoundRobinPartitioning") <= 2
     assert "HashAggregate" in p
     # the grouping sets must still share one scan of lineitem
     assert p.count("Scan parquet") <= 1

@@ -178,3 +178,43 @@ def test_spread_cpu_conditional_repartition(spark):
 
     out_wide = spread_cpu(wide)
     assert out_wide is wide  # identity: no shuffle added
+
+
+def test_broadcast_if_small_guard(spark):
+    """broadcast_if_small (r17): the graph-loop vector broadcast must
+    be size-guarded — hint applied only under the row-count cap (a
+    forced broadcast of a 1e9-node vector would exceed Spark's hard
+    8 GB broadcast limit), identity above it so the planner's shuffle
+    join degrades gracefully."""
+    from pyspark.sql import functions as F
+
+    from tb_scale_spatial_data_pipeline_spark.operators.spread import (
+        BROADCAST_MAX_ROWS,
+        broadcast_if_small,
+    )
+
+    vec = spark.range(100).select(F.col("id").alias("node"))
+    # above the cap: identity — no hint anywhere in the plan
+    big = broadcast_if_small(vec, BROADCAST_MAX_ROWS + 1)
+    assert big is vec
+
+    # under the cap: the hint survives analysis and forces a broadcast
+    # join even with auto-broadcast disabled (the graph loops join
+    # against checkpointed frames AQE cannot estimate)
+    edges = spark.range(1000).select(
+        (F.col("id") % 100).alias("src"), (F.col("id") % 7).alias("dst")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        small = broadcast_if_small(vec, 100)
+        p_hint = edges.join(
+            small, small["node"] == edges["src"]
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in p_hint
+        p_plain = edges.join(
+            vec, vec["node"] == edges["src"]
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in p_plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
