@@ -313,12 +313,166 @@ def _overlay_metrics(
     return inter, union, iou
 
 
+# --- Batch (pair-vectorized) Sutherland-Hodgman (r17, guide §4.2) ---
+#
+# The per-pair scalar kernel costs ~370 us/pair in interpreter overhead
+# for ~3 us of arithmetic (measured on the overlay fixtures: 103k pairs
+# = 46 exec-sec). The batch form runs the SAME algorithm — identical
+# per-element IEEE-754 expressions, identical emit order (crossing
+# point, then the inside vertex), identical clip-edge order — but
+# vectorized ACROSS PAIRS with padded (P, V, 2) arrays, so a whole
+# Arrow batch clips against one convex polygon in a handful of numpy
+# passes. Per-element clip arithmetic is expression-identical (numpy
+# float64 ufuncs round like Python scalar float64 ops); piece AREAS go
+# through the same scalar ``_ring_signed_area`` per trimmed row (see
+# ``_areas_per_row`` — summation order is observable in the last ulp
+# because ``tpar`` divisions make crossing coordinates inexact even on
+# integer-lattice inputs). Bit-for-bit equality against the scalar
+# kernel is asserted over every fixture pair of both overlay queries
+# in tests/test_geometry_batch.py, and end to end by the DuckDB oracle
+# at all three SFs.
+
+
+def _pack_rings(rings: list) -> tuple[np.ndarray, np.ndarray]:
+    """Pad a list of OPEN rings into (P, Vmax, 2) float64 + counts."""
+    cnt = np.array([len(r) for r in rings], dtype=np.int64)
+    vmax = int(cnt.max()) if len(cnt) else 0
+    pts = np.zeros((len(rings), vmax, 2), dtype=np.float64)
+    for i, r in enumerate(rings):
+        if len(r):
+            pts[i, : len(r)] = r
+    return pts, cnt
+
+
+def _sh_clip_batch(
+    pts: np.ndarray, cnt: np.ndarray, clip: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Clip P padded subject rings against ONE convex clip polygon
+    (open ring, any orientation) — the batch twin of
+    ``_sutherland_hodgman``: same inside test, same parametric
+    intersection, same emit order, per pair."""
+    clip = _close_ring(np.asarray(clip, dtype=np.float64))
+    if _ring_signed_area(clip) < 0:  # normalize clip to CCW
+        clip = clip[::-1]
+    ncl = len(clip)
+    pts = np.asarray(pts, dtype=np.float64)
+    cnt = np.asarray(cnt, dtype=np.int64)
+    for i in range(ncl):
+        if not cnt.any():
+            break
+        ax, ay = float(clip[i][0]), float(clip[i][1])
+        bx, by = float(clip[(i + 1) % ncl][0]), float(clip[(i + 1) % ncl][1])
+        ex, ey = bx - ax, by - ay
+        p_, v_ = pts.shape[0], pts.shape[1]
+        ar = np.arange(v_)
+        valid = ar[None, :] < cnt[:, None]
+        x, y = pts[..., 0], pts[..., 1]
+        cur_in = (ex * (y - ay) - ey * (x - ax)) >= 0.0
+        pidx = (ar[None, :] - 1) % np.maximum(cnt[:, None], 1)
+        px = np.take_along_axis(x, pidx, axis=1)
+        py = np.take_along_axis(y, pidx, axis=1)
+        prev_in = np.take_along_axis(cur_in, pidx, axis=1)
+        dx, dy = x - px, y - py
+        denom = ex * dy - ey * dx
+        crossing = (cur_in != prev_in) & (denom != 0.0) & valid
+        keep = cur_in & valid
+        emits = crossing.astype(np.int64) + keep.astype(np.int64)
+        ends = np.cumsum(emits, axis=1)
+        newcnt = ends[:, -1] if v_ else np.zeros_like(cnt)
+        base = ends - emits
+        # a concave subject can cross one clip line many times: size
+        # the output to the largest actual emit count, not v_ + 1
+        out = np.zeros(
+            (p_, max(int(newcnt.max()) if p_ else 0, 1), 2), dtype=np.float64
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tpar = (ex * (ay - py) - ey * (ax - px)) / denom
+        r, c = np.nonzero(crossing)
+        out[r, base[r, c], 0] = px[r, c] + tpar[r, c] * dx[r, c]
+        out[r, base[r, c], 1] = py[r, c] + tpar[r, c] * dy[r, c]
+        r2, c2 = np.nonzero(keep)
+        slot = base[r2, c2] + crossing[r2, c2]
+        out[r2, slot, 0] = x[r2, c2]
+        out[r2, slot, 1] = y[r2, c2]
+        pts, cnt = out, newcnt
+    return pts, cnt
+
+
+def _areas_per_row(pts: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+    """abs shoelace area per padded ring via the SAME scalar
+    ``_ring_signed_area`` (np.dot accumulation) the per-pair kernel
+    used. Clip rings have inexact vertices (the parametric ``tpar``
+    division rounds even on integer-lattice inputs), so the summation
+    ORDER is observable in the last ulp; calling the identical function
+    on the identical trimmed ring keeps the batch kernel bit-for-bit
+    equal to the scalar one. Rows with cnt < 3 contribute exactly 0.0,
+    matching the scalar ``len(piece) >= 3`` guard. The rolled arrays
+    are built vectorized once (bitwise a no-op: np.roll only permutes);
+    only the two np.dot reductions run per row. Stride discipline:
+    BLAS ddot accumulates DIFFERENTLY for unit-stride vs strided input
+    (vectorized multi-accumulator vs scalar loop), so the first operand
+    stays the same stride-2 column view ``ring[:, 0]`` the scalar
+    kernel passes, and the second stays contiguous like np.roll's
+    output — measured: making x contiguous flips low-ulp bits."""
+    p_, v_ = pts.shape[0], pts.shape[1]
+    out = np.zeros(p_, dtype=np.float64)
+    if v_ == 0:
+        return out
+    ar = np.arange(v_)
+    nidx = (ar[None, :] + 1) % np.maximum(cnt[:, None], 1)
+    x = pts[..., 0]  # strided views — see stride discipline above
+    y = pts[..., 1]
+    xn = np.take_along_axis(x, nidx, axis=1)
+    yn = np.take_along_axis(y, nidx, axis=1)
+    dot = np.dot
+    for i, c in enumerate(cnt):
+        if c >= 3:
+            out[i] = abs(
+                float(dot(x[i, :c], yn[i, :c]) - dot(y[i, :c], xn[i, :c]))
+                / 2.0
+            )
+    return out
+
+
 def _overlay_frame(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.DataFrame:
-    cache: dict = {}
-    rows = [
-        _overlay_metrics(sa, sb, _cache=cache) for sa, sb in zip(wkt_a, wkt_b)
-    ]
-    return pd.DataFrame(rows, columns=["inter_area", "union_area", "iou"])
+    """Batch convex overlay: group the Arrow batch by the clip WKT
+    (overlay joins repeat the small side per pair) and clip every
+    subject in a group at once with ``_sh_clip_batch``."""
+    n = len(wkt_a)
+    inter = np.full(n, np.nan)
+    union = np.full(n, np.nan)
+    iou = np.full(n, np.nan)
+    ring_cache: dict = {}
+
+    def ring_of(s: str):
+        if s not in ring_cache:
+            r = _parse_ring(s)
+            ring_cache[s] = (
+                _close_ring(r) if r is not None and len(r) >= 3 else None
+            )
+        return ring_cache[s]
+
+    a_rings = [ring_of(s) for s in wkt_a]
+    bvals = np.asarray(wkt_b, dtype=object)
+    for sb in pd.unique(bvals):
+        b = ring_of(sb)
+        idx = np.nonzero(
+            (bvals == sb) & np.array([r is not None for r in a_rings])
+        )[0]
+        if b is None or len(idx) == 0:
+            continue
+        pts, cnt = _pack_rings([a_rings[i] for i in idx])
+        area_a = _areas_per_row(pts, cnt)
+        area_b = abs(_ring_signed_area(b))
+        cpts, ccnt = _sh_clip_batch(pts, cnt, b)
+        iv = _areas_per_row(cpts, ccnt)
+        uv = area_a + area_b - iv
+        inter[idx] = iv
+        union[idx] = uv
+        iou[idx] = np.where(uv > 0, iv / np.where(uv > 0, uv, 1.0), np.nan)
+    return pd.DataFrame(
+        {"inter_area": inter, "union_area": union, "iou": iou}
+    )
 
 
 _OVERLAY_SCHEMA = "inter_area double, union_area double, iou double"
@@ -451,38 +605,47 @@ def _intersection_area_general(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def _overlay_general_frame(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.DataFrame:
-    """(inter_area, area_a, area_b) for concave x concave WKT pairs.
-    Ring parses AND the clip-side triangulation are memoized per Arrow
-    batch (overlay joins repeat the small side's WKT per pair)."""
+    """(inter_area, area_a, area_b) for concave x concave WKT pairs —
+    the batch form of (ear-clip b, S-H a against each triangle, sum
+    piece areas): group the Arrow batch by the clip WKT (overlay joins
+    repeat the small side per pair; parse + triangulation run once per
+    distinct clip), then clip EVERY subject in the group against each
+    triangle at once with ``_sh_clip_batch``. Triangle order — and so
+    each row's accumulation order — matches the scalar kernel."""
+    n = len(wkt_a)
+    inter = np.full(n, np.nan)
+    area_a = np.full(n, np.nan)
+    area_b = np.full(n, np.nan)
     ring_cache: dict = {}
-    tri_cache: dict = {}
 
     def ring_of(s: str):
         if s not in ring_cache:
-            ring_cache[s] = _parse_ring(s)
+            r = _parse_ring(s)
+            ring_cache[s] = (
+                _close_ring(r) if r is not None and len(r) >= 3 else None
+            )
         return ring_cache[s]
 
-    rows = []
-    for sa, sb in zip(wkt_a, wkt_b):
-        a, b = ring_of(sa), ring_of(sb)
-        if a is None or b is None or len(a) < 3 or len(b) < 3:
-            rows.append((float("nan"),) * 3)
+    a_rings = [ring_of(s) for s in wkt_a]
+    bvals = np.asarray(wkt_b, dtype=object)
+    for sb in pd.unique(bvals):
+        b = ring_of(sb)
+        idx = np.nonzero(
+            (bvals == sb) & np.array([r is not None for r in a_rings])
+        )[0]
+        if b is None or len(idx) == 0:
             continue
-        if sb not in tri_cache:
-            tri_cache[sb] = _ear_clip(b)
-        inter = 0.0
-        for tri in tri_cache[sb]:
-            piece = _sutherland_hodgman(a, tri)
-            if len(piece) >= 3:
-                inter += abs(_ring_signed_area(piece))
-        rows.append(
-            (
-                inter,
-                abs(_ring_signed_area(_close_ring(a))),
-                abs(_ring_signed_area(_close_ring(b))),
-            )
-        )
-    return pd.DataFrame(rows, columns=["inter_area", "area_a", "area_b"])
+        pts, cnt = _pack_rings([a_rings[i] for i in idx])
+        area_a[idx] = _areas_per_row(pts, cnt)
+        area_b[idx] = abs(_ring_signed_area(b))
+        acc = np.zeros(len(idx), dtype=np.float64)
+        for tri in _ear_clip(b):
+            cpts, ccnt = _sh_clip_batch(pts, cnt, tri)
+            acc += _areas_per_row(cpts, ccnt)
+        inter[idx] = acc
+    return pd.DataFrame(
+        {"inter_area": inter, "area_a": area_a, "area_b": area_b}
+    )
 
 
 _OVERLAY_GENERAL_SCHEMA = "inter_area double, area_a double, area_b double"
