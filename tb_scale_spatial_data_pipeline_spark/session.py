@@ -38,16 +38,24 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE's coalescing floor (default 1m) caps post-shuffle
-        # parallelism at total_bytes/1MB tasks, which serializes
-        # compute-dense small-byte stages (measured: the co-supply
-        # pair join + md5 thinning — a ~10 MB exchange carrying a
-        # 2.4M-row join — ran on 5 of 32 cores). A 128k floor lets
-        # parallelism-first coalescing reach the full core count on
-        # small shuffles; at production volumes bytes/cores is far
-        # above either floor, so the setting is inert there (the
-        # advisory size still governs big shuffles).
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
+        # AQE coalescing floor: Spark's default 1m. A global 128k floor
+        # (tried in an earlier round to parallelize compute-dense
+        # small-byte stages) multiplied post-shuffle task counts on
+        # EVERY small shuffle and regressed the latency-bound query
+        # cluster by up to 2x (driver-measured: blocklist_phrase_filter
+        # ran FASTER at 8 cores than 32 — pure scheduling overhead).
+        # The compute-dense stages it was protecting are now fixed at
+        # the query level (spread_cpu, explicit broadcasts of per-round
+        # vectors), and an interleaved A/B shows 1m >= 128k on all of
+        # them (ktruss 9.4 s vs 11.4 s, em 2.40 vs 2.86, rollup 1.74
+        # vs 2.01) while the small-query cluster recovers (blocklist
+        # median 1.75 s vs 3.02 s). At production volumes bytes/cores
+        # is far above either floor, so the setting is inert there;
+        # overridable per-env for cluster profiles.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "1m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
