@@ -51,7 +51,8 @@ def main() -> None:
     ap.add_argument("names", nargs="*")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--plan", default=None, help="write plans/r16/<name>_<TAG>.txt")
+    ap.add_argument("--plan", default=None, help="write plans/<plandir>/<name>_<TAG>.txt")
+    ap.add_argument("--plandir", default="r17", help="subdir of plans/ for --plan dumps")
     ap.add_argument("--top", type=int, default=0, help="N slowest from BENCH_r15")
     args = ap.parse_args()
 
@@ -64,7 +65,7 @@ def main() -> None:
     spark = get_spark("opt-measure")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
-    plan_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16")
+    plan_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", args.plandir)
     os.makedirs(plan_dir, exist_ok=True)
 
     results = {}

@@ -704,3 +704,65 @@ def rectilinear_decompose_col(wkt: Column) -> Column:
     rectilinear WKT polygon column (null for non-rectilinear input) —
     the explode-side of the generalized scanline union."""
     return pandas_udf(_decompose_series, "array<array<double>>")(wkt)
+
+
+def dp_kept_batch(Y: np.ndarray) -> list:
+    """Vectorized integer Douglas-Peucker over an (N, V) int64 matrix
+    of y values with x = 10*col; returns one sorted kept-index array
+    per row (tolerance test 4*cross^2 > 9*len2, ties -> smallest k).
+
+    The recursion is run as a frontier of (row, a, b) segments per
+    depth level; all cross products for a level go through one numpy
+    pass (§4.2 — the former per-row Python DP cost ~10 us/row).
+    The kept set is the union of endpoints of every segment the
+    recursion ever enqueues, which is traversal-order independent, so
+    level-order equals the scalar stack order; all math is int64 on
+    the same integers, so results are bit-identical to the scalar DP
+    (pinned by tests/test_polyline_batch.py: fixture id range + random
+    fuzz vs an independent stack-based reference). np.unique collapses
+    duplicate y-rows within a batch first — one O(N log N) sort per
+    Arrow batch, negligible at any scale.
+    """
+    Y = np.asarray(Y, dtype=np.int64)
+    uY, inv = np.unique(Y, axis=0, return_inverse=True)
+    n, V = uY.shape
+    K = np.arange(V, dtype=np.int64)
+    kept = np.zeros((n, V), dtype=bool)
+    seg = np.stack(
+        [
+            np.arange(n, dtype=np.int64),
+            np.zeros(n, dtype=np.int64),
+            np.full(n, V - 1, dtype=np.int64),
+        ],
+        axis=1,
+    )
+    while len(seg):
+        r, a, b = seg[:, 0], seg[:, 1], seg[:, 2]
+        kept[r, a] = True
+        kept[r, b] = True
+        ax, bx = 10 * a, 10 * b
+        ay, by = uY[r, a], uY[r, b]
+        len2 = (bx - ax) ** 2 + (by - ay) ** 2
+        dx, dy = (bx - ax)[:, None], (by - ay)[:, None]
+        py = uY[r, :]
+        c = dx * (py - ay[:, None]) - dy * (10 * K[None, :] - ax[:, None])
+        c2 = c * c
+        interior = (K[None, :] > a[:, None]) & (K[None, :] < b[:, None])
+        c2m = np.where(interior, c2, -1)
+        # first max -> smallest k, matching the scalar strict-> scan
+        kbest = np.argmax(c2m, axis=1)
+        c2best = c2m[np.arange(len(seg)), kbest]
+        split = (c2best >= 0) & (4 * c2best > 9 * len2)
+        if not split.any():
+            break
+        rs, as_, bs, ks = r[split], a[split], b[split], kbest[split]
+        seg = np.concatenate(
+            [
+                np.stack([rs, as_, ks], axis=1),
+                np.stack([rs, ks, bs], axis=1),
+            ]
+        )
+    keptN = kept[inv]
+    cols = (np.flatnonzero(keptN) % V).astype(np.int64)
+    counts = keptN.sum(axis=1)
+    return np.split(cols, np.cumsum(counts)[:-1])

@@ -4771,92 +4771,69 @@ def q_hausdorff_sets_click_purchase(
 )
 def q_polyline_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
+    import numpy as np
     import pandas as pd
 
-    orders = t(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("line_id")
+    from ..operators.spread import spread_cpu
+
+    # single-split source (fixtures are one row group): spread the
+    # Arrow DP kernel across cores; no-op at production split counts
+    orders = spread_cpu(
+        t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("line_id"))
     )
-    idxs = spark.range(9).select(F.col("id").alias("idx"))
-    verts = orders.crossJoin(F.broadcast(idxs)).select(
+
+    # The vertex table this query declares is a pure function of
+    # (line_id, idx): x = idx*10 and y = f(line_id, idx) by the query's
+    # own synthesis. So the y-vector per line is a projection — the
+    # former crossJoin(range(9)) + groupBy(collect_list) + final
+    # re-join pipeline shuffled 9x the line count twice for values the
+    # expression layer can synthesize in place (§2.1: remove the
+    # shuffle outright). Identical expressions ⇒ identical values.
+    def _y(line_id, k):
+        return (
+            (line_id * 7 + k * k * 31 + (line_id % 11) * k) % 5 - 2 + k * 2
+        ).cast("bigint")
+
+    arrs = orders.select(
         "line_id",
-        "idx",
-        (F.col("idx") * 10).cast("bigint").alias("x"),
-        (
-            (
-                F.col("line_id") * 7
-                + F.col("idx") * F.col("idx") * 31
-                + (F.col("line_id") % 11) * F.col("idx")
-            )
-            % 5
-            - 2
-            + F.col("idx") * 2
-        )
-        .cast("bigint")
-        .alias("y"),
+        F.transform(
+            F.sequence(F.lit(0).cast("bigint"), F.lit(8).cast("bigint")),
+            lambda k: _y(F.col("line_id"), k),
+        ).alias("vs"),
     )
-    # Plan choice: these are SHORT lines (9 vertices), so the engine
-    # gathers each line into one array row (single shuffle, map-side
-    # collect) and runs the integer DP in an Arrow-batched kernel —
-    # microseconds per line, embarrassingly parallel. The alternative
+
+    # Plan choice: these are SHORT lines (9 vertices), so the integer
+    # DP runs in an Arrow-batched kernel — the alternative
     # iterative-DataFrame plan (split frontier per round, hash-agg
     # argmax) is the right shape for MILLION-vertex lines where one
     # line's vertices exceed a task; at 9 vertices its O(depth) jobs
     # are pure overhead (measured 12 s vs ~2 s at sf0.1).
-    # ship only the y-vector per line: x is idx*10 by construction (the
-    # query's own vertex synthesis), so the struct unpack per row —
-    # measured ~1 ms/line, 159 executor-sec at sf0.1 — collapses to one
-    # int64 array. The DP result is a pure function of the y-tuple, so
-    # a per-batch memo (y-tuples repeat heavily: y depends on line_id
-    # only through %5/%11 residues) does each distinct DP once.
-    arrs = verts.groupBy("line_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("idx", "y"))),
-            lambda v: v["y"],
-        ).alias("vs")
-    )
-
+    # The kernel vectorizes the Douglas-Peucker recursion ACROSS lines
+    # (§4.2, dp_kept_batch): one frontier of (row, a, b) segments per
+    # depth level, all cross products for a level in one numpy pass —
+    # bit-identical to the former per-row DP (the kept set is
+    # traversal-order independent; same int64 math; pinned by
+    # tests/test_polyline_batch.py fixture-range + fuzz).
     def _dp_kept(vs):
-        cache: dict = {}
+        from ..functions.geometry import dp_kept_batch
 
-        def one(ys) -> list:
-            key = ys.tobytes()
-            hit = cache.get(key)
-            if hit is not None:
-                return hit
-            pts = [(10 * k, int(y)) for k, y in enumerate(ys)]
-            keep = set()
-            stack = [(0, len(pts) - 1)]
-            while stack:
-                a, b = stack.pop()
-                keep.add(a)
-                keep.add(b)
-                ax, ay = pts[a]
-                bx, by = pts[b]
-                len2 = (bx - ax) ** 2 + (by - ay) ** 2
-                best = None
-                for k in range(a + 1, b):
-                    px, py = pts[k]
-                    c = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
-                    if best is None or c * c > best[0]:
-                        best = (c * c, k)
-                if best is not None and 4 * best[0] > 9 * len2:
-                    stack.append((a, best[1]))
-                    stack.append((best[1], b))
-            out = sorted(keep)
-            cache[key] = out
-            return out
-
-        return pd.Series([one(row) for row in vs])
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        return pd.Series(dp_kept_batch(np.stack(vs.to_numpy())))
 
     dp_kept = pandas_udf(_dp_kept, "array<bigint>")
     kept = arrs.select("line_id", F.explode(dp_kept(F.col("vs"))).alias("vidx"))
-    return (
-        kept.join(
-            verts.select("line_id", F.col("idx").alias("vidx"), "x", "y"),
-            ["line_id", "vidx"],
-        )
-        .orderBy("line_id", "vidx")
-    )
+    # x and y re-synthesized from (line_id, vidx) with the query's own
+    # defining expressions — the former join back to the vertex table
+    # (another 9x-rows shuffle) carried only these derivable columns.
+    # lazy barrier under the global sort — orderBy's range-partitioner
+    # sampling pass would run the Arrow kernel a second time
+    return kept.select(
+        "line_id",
+        "vidx",
+        (F.col("vidx") * 10).cast("bigint").alias("x"),
+        _y(F.col("line_id"), F.col("vidx")).alias("y"),
+    ).localCheckpoint(eager=False).orderBy("line_id", "vidx")
 
 
 # ---------------------------------------------------------------------------
