@@ -33,14 +33,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
-def test_oracle_parity(name, spark, duck):
+def _parity_one(name, spark, con):
     spark_pdf = QUERIES[name](spark, SF_SMOKE).toPandas()
-    duck_pdf = duck.execute(ORACLES[name]).df()
+    duck_pdf = con.execute(ORACLES[name]).df()
     assert sorted(c.lower() for c in spark_pdf.columns) == sorted(
         c.lower() for c in duck_pdf.columns
+    ), "column sets differ"
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"row count {len(spark_pdf)} != {len(duck_pdf)}"
     )
-    assert len(spark_pdf) == len(duck_pdf)
     a, b = canon(spark_pdf), canon(duck_pdf)
     for c in a.columns:
         xa, xb = a[c].to_numpy(), b[c].to_numpy()
@@ -52,6 +53,50 @@ def test_oracle_parity(name, spark, duck):
             assert (
                 (pd.Series(xa).fillna("\0") == pd.Series(xb).fillna("\0")).all()
             ), f"value mismatch in {c}"
+
+
+def test_oracle_parity_all(spark):
+    """Every oracle pair, bit-exact at sf0.001 — the full 634-query
+    sweep, fanned out over a thread pool (one DuckDB connection per
+    worker; queries never mutate Spark session conf, so concurrent
+    actions on the shared session are safe). Serially this sweep was
+    ~9.5 min of the CI wall — one latency-bound query at a time on an
+    idle 8-core session; pooled it keeps the session busy and finishes
+    ~5x faster with identical coverage. Failures are collected and
+    reported together (the former per-query parametrization aborted at
+    the first failure under the driver's -x anyway)."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    import duckdb
+
+    from tb_scale_spatial_data_pipeline_spark.sources.catalog import TABLES
+
+    tls = threading.local()
+
+    def _con():
+        if not hasattr(tls, "con"):
+            c = duckdb.connect()
+            for tname in TABLES:
+                c.execute(
+                    f"CREATE VIEW {tname} AS "
+                    f"SELECT * FROM '{SF_SMOKE}/{tname}.parquet'"
+                )
+            tls.con = c
+        return tls.con
+
+    def _run(name):
+        try:
+            _parity_one(name, spark, _con())
+            return None
+        except AssertionError as e:
+            return f"{name}: {e}"
+        except Exception as e:
+            return f"{name}: {type(e).__name__}: {e}"
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        failures = [r for r in pool.map(_run, sorted(ORACLES)) if r]
+    assert not failures, "\n".join(failures)
 
 
 def test_every_query_has_callable():

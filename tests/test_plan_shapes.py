@@ -208,16 +208,26 @@ def test_no_single_partition_window_over_raw_tables(spark):
     scripts/audit_global_windows.py (round-7 run: 0 flagged); this
     test pins the headline surface + every site the verdict flagged
     so a regression fails CI immediately."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import bench
 
     qs = all_queries()
-    offenders = {}
-    for name in dict.fromkeys(
-        list(bench.HEADLINE) + list(_DEGLOBALIZED) + list(_R8_WINDOWED)
-    ):
+    names = list(
+        dict.fromkeys(
+            list(bench.HEADLINE) + list(_DEGLOBALIZED) + list(_R8_WINDOWED)
+        )
+    )
+
+    # pooled planning: ~90 queries x ~0.5 s driver-side analysis each
+    # (queries never mutate session conf, so concurrent planning on the
+    # shared session is safe)
+    def _check(name):
         bad = _raw_global_windows(qs[name](spark, SF_SMOKE))
-        if bad:
-            offenders[name] = bad[0][:120]
+        return (name, bad[0][:120]) if bad else None
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        offenders = dict(r for r in pool.map(_check, names) if r)
     assert not offenders, offenders
 
 
