@@ -710,10 +710,33 @@ def stream_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ttl_us = _TTL_DEDUP_MIN * 60 * 1_000_000
     ttl_ms = _TTL_DEDUP_MIN * 60 * 1000
+    # KEY-BATCHED state groups (guide §4.3): the per-(user, type) form
+    # paid one Python invocation per key — ~7.5k tiny groups at sf0.1,
+    # ~1.4 ms of protocol dispatch each, the measured floor of this
+    # operator. The state key is now a hash BUCKET of keys; each
+    # invocation handles ~|keys|/nb keys vectorized, so dispatch count
+    # drops 7.5k -> nb while the admit rule stays per-(user, type):
+    # the group function sorts its rows by (user, type, ts, event_id),
+    # segments them per key, and applies the identical integer-µs gap
+    # test with per-key carried state. Bucket state holds one
+    # (last_us, timeout_ms) pair per live key; a key's entry is pruned
+    # exactly when the former per-key event-time timeout would have
+    # fired (same max(last+ttl, wm+60s) formula, evaluated against the
+    # current watermark), so presence/absence of state — and therefore
+    # the admit set — is unchanged row for row.
+    _NB = 64
     ev = (
         events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
-        .select("user_id", "event_type", "ts", "event_id")
+        .select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.pmod(F.xxhash64("user_id", "event_type"), F.lit(_NB)).alias(
+                "bucket"
+            ),
+        )
     )
 
     def update(key, pdfs, state: GroupState):
@@ -721,58 +744,83 @@ def stream_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         if state.hasTimedOut:
-            state.remove()  # TTL expiry: the key re-admits on return
+            state.remove()  # whole bucket quiet past every key's TTL
             return
-        last = state.get[0] if state.exists else None
-        outs = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            # numpy-primitive form of the original pandas chunk: the
-            # per-KEY Python invocation cost dominates this operator
-            # (7.5k tiny groups at sf0.1), so the in-group work is kept
-            # to lexsort + one integer shift — same (ts, event_id)
-            # total order, same integer-µs gap test, bit-identical
-            # admit set, at a fraction of the sort_values/shift/concat
-            # object overhead (measured ~40% of the query wall).
-            t_us = pdf["ts"].to_numpy().astype("int64") // 1000  # ns -> us
-            eid = pdf["event_id"].to_numpy()
-            order = np.lexsort((eid, t_us))
-            t_us = t_us[order]
+        wm_ms = state.getCurrentWatermarkMs()
+        lastmap: dict = {}
+        if state.exists:
+            su, se, sl, st_ = state.get
+            for u_, e_, l_, to_ in zip(su, se, sl, st_):
+                # prune = the per-key timeout firing: consulted state
+                # is identical to the per-key-removal formulation
+                if to_ > wm_ms:
+                    lastmap[(u_, e_)] = (l_, to_)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        out = {"user_id": [], "event_type": [], "event_id": []}
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+            u = pdf["user_id"].to_numpy().astype("int64")
+            e = pdf["event_type"].to_numpy()
+            t_us = pdf["ts"].to_numpy().astype("int64") // 1000  # ns -> µs
+            eid = pdf["event_id"].to_numpy().astype("int64")
+            # one global (user, type, ts, event_id) sort per bucket —
+            # the same total order the per-key form realized as one
+            # (ts, event_id) sort per group
+            order = np.lexsort((eid, t_us, e, u))
+            u, e, t_us, eid = u[order], e[order], t_us[order], eid[order]
+            first = np.empty(len(u), dtype=bool)
+            first[0] = True
+            first[1:] = (u[1:] != u[:-1]) | (e[1:] != e[:-1])
             prev = np.empty_like(t_us)
             prev[1:] = t_us[:-1]
-            # sentinel: no prior state admits the first row (same as
-            # the pandas NaN-prev branch)
-            prev[0] = last if last is not None else np.iinfo("int64").min // 2
-            outs.append(eid[order][t_us - prev > ttl_us])
-            last = int(t_us[-1])
-        out = {"user_id": [], "event_type": [], "event_id": []}
-        if outs:
-            ids = outs[0] if len(outs) == 1 else np.concatenate(outs)
+            starts = np.flatnonzero(first)
+            sentinel = np.iinfo("int64").min // 2
+            for i in starts:
+                hit = lastmap.get((int(u[i]), e[i]))
+                prev[i] = hit[0] if hit is not None else sentinel
+            adm = t_us - prev > ttl_us
             out = {
-                "user_id": np.full(len(ids), key[0], dtype="int64"),
-                "event_type": np.full(len(ids), key[1], dtype=object),
-                "event_id": ids,
+                "user_id": u[adm],
+                "event_type": e[adm],
+                "event_id": eid[adm],
             }
-        state.update((last,))
-        # evict TTL-quiet keys; clamp above the current watermark (a
-        # timeout timestamp at-or-before the watermark is rejected)
-        state.setTimeoutTimestamp(
-            max(last // 1000 + ttl_ms, state.getCurrentWatermarkMs() + 60_000)
-        )
+            # per-key refresh: last element of each segment; timeout
+            # per the former per-key formula
+            ends = np.r_[starts[1:] - 1, len(u) - 1]
+            for i in ends:
+                last = int(t_us[i])
+                lastmap[(int(u[i]), e[i])] = (
+                    last,
+                    max(last // 1000 + ttl_ms, wm_ms + 60_000),
+                )
+        if lastmap:
+            ks = list(lastmap)
+            state.update(
+                (
+                    [k[0] for k in ks],
+                    [k[1] for k in ks],
+                    [lastmap[k][0] for k in ks],
+                    [lastmap[k][1] for k in ks],
+                )
+            )
+            # bucket timeout: when the LAST live key's TTL lapses
+            state.setTimeoutTimestamp(max(v[1] for v in lastmap.values()))
+        else:
+            state.remove()
         yield pd.DataFrame(out)
 
-    out = ev.groupBy("user_id", "event_type").applyInPandasWithState(
+    out = ev.groupBy("bucket").applyInPandasWithState(
         update,
         outputStructType="user_id long, event_type string, event_id long",
-        stateStructType="last_us long",
+        stateStructType=(
+            "users array<long>, etypes array<string>, "
+            "lasts array<long>, touts array<long>"
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    # 16 partitions, not the scoped-down 4: this operator's wall time
-    # is per-key Python dispatch (~1.4 ms/key across 7.5k keys at
-    # sf0.1), so parallelism wins over state-store count here —
-    # measured 13.4 s -> 10.3 s, flat beyond 16.
+    # 16 partitions: 4 bucket groups per store; wall is now bounded by
+    # the stream machinery, not per-key dispatch (64 invocations)
     return run_stream_to_table(out, "append", shuffle_partitions=16)
 
 
