@@ -1465,16 +1465,26 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     }
     settled = f[0].select("seed", "node").localCheckpoint(eager=True)
+    # every frontier/settled/delta table is bounded by seeds x |nodes|
+    # <= _BC_SEEDS x n_edges rows: size-guard-broadcast them so the
+    # checkpointed edge table never re-exchanges per level (§3.1; the
+    # r16 pass skipped this for want of a guard — above the bound the
+    # hint is dropped and the shuffle join degrades gracefully)
+    fr_bound = _BC_SEEDS * edges.count()
     for k in range(1, _BC_MAX_HOPS + 1):
         if f[k - 1] is None:
             f[k] = None
             continue
         nxt = (
-            f[k - 1]
+            broadcast_if_small(f[k - 1], fr_bound)
             .join(edges, f[k - 1]["node"] == edges["src"])
             .groupBy("seed", F.col("dst").alias("node"))
             .agg(F.sum("sigma").alias("sigma"))
-            .join(settled, ["seed", "node"], "left_anti")
+            .join(
+                broadcast_if_small(settled, fr_bound),
+                ["seed", "node"],
+                "left_anti",
+            )
             .localCheckpoint(eager=True)
         )
         # BFS drain: once a frontier comes back empty, every deeper
@@ -1500,10 +1510,10 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sigma").alias("w_sigma"),
         )
         j = (
-            f[k]
+            broadcast_if_small(f[k], fr_bound)
             .join(edges, f[k]["node"] == edges["src"])
             .join(
-                w,
+                broadcast_if_small(w, fr_bound),
                 (F.col("w_seed") == F.col("seed"))
                 & (F.col("w_node") == F.col("dst")),
             )
@@ -1515,7 +1525,7 @@ def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("delta").alias("b_delta"),
             )
             j = j.join(
-                bd,
+                broadcast_if_small(bd, fr_bound),
                 (F.col("b_seed") == F.col("seed"))
                 & (F.col("b_node") == F.col("w_node")),
                 "left",
@@ -2546,16 +2556,26 @@ def q_edge_betweenness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     }
     settled = f[0].select("seed", "node").localCheckpoint(eager=True)
+    # every frontier/settled/delta table is bounded by seeds x |nodes|
+    # <= _BC_SEEDS x n_edges rows: size-guard-broadcast them so the
+    # checkpointed edge table never re-exchanges per level (§3.1; the
+    # r16 pass skipped this for want of a guard — above the bound the
+    # hint is dropped and the shuffle join degrades gracefully)
+    fr_bound = _BC_SEEDS * edges.count()
     for k in range(1, _BC_MAX_HOPS + 1):
         if f[k - 1] is None:
             f[k] = None
             continue
         nxt = (
-            f[k - 1]
+            broadcast_if_small(f[k - 1], fr_bound)
             .join(edges, f[k - 1]["node"] == edges["src"])
             .groupBy("seed", F.col("dst").alias("node"))
             .agg(F.sum("sigma").alias("sigma"))
-            .join(settled, ["seed", "node"], "left_anti")
+            .join(
+                broadcast_if_small(settled, fr_bound),
+                ["seed", "node"],
+                "left_anti",
+            )
             .localCheckpoint(eager=True)
         )
         # same BFS-drain early-out as betweenness_sampled: an empty
@@ -2577,10 +2597,10 @@ def q_edge_betweenness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sigma").alias("w_sigma"),
         )
         j = (
-            f[k]
+            broadcast_if_small(f[k], fr_bound)
             .join(edges, f[k]["node"] == edges["src"])
             .join(
-                w,
+                broadcast_if_small(w, fr_bound),
                 (F.col("w_seed") == F.col("seed"))
                 & (F.col("w_node") == F.col("dst")),
             )
@@ -2592,7 +2612,7 @@ def q_edge_betweenness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("delta").alias("b_delta"),
             )
             j = j.join(
-                bd,
+                broadcast_if_small(bd, fr_bound),
                 (F.col("b_seed") == F.col("seed"))
                 & (F.col("b_node") == F.col("w_node")),
                 "left",
@@ -2624,10 +2644,10 @@ def q_edge_betweenness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sigma").alias("w_sigma"),
         )
         j = (
-            f[k]
+            broadcast_if_small(f[k], fr_bound)
             .join(edges, f[k]["node"] == edges["src"])
             .join(
-                w,
+                broadcast_if_small(w, fr_bound),
                 (F.col("w_seed") == F.col("seed"))
                 & (F.col("w_node") == F.col("dst")),
             )
@@ -2639,7 +2659,7 @@ def q_edge_betweenness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("delta").alias("b_delta"),
             )
             j = j.join(
-                bd,
+                broadcast_if_small(bd, fr_bound),
                 (F.col("b_seed") == F.col("seed"))
                 & (F.col("b_node") == F.col("w_node")),
                 "left",

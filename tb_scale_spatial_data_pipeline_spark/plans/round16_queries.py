@@ -997,7 +997,11 @@ def q_weisfeiler_leman_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         nxt = (
-            prev.join(sig, "node")
+            # broadcast the per-round signature vector too (same
+            # n_edges size guard): prev is an RDD checkpoint with no
+            # stats, so this join otherwise shuffles BOTH node-sized
+            # sides every round (2 of the 3 per-round exchanges)
+            prev.join(broadcast_if_small(sig, n_edges), "node")
             .select(
                 "node",
                 F.substring(
