@@ -76,3 +76,18 @@ def broadcast_if_small(
     if n_rows <= max_rows:
         return F.broadcast(df)
     return df
+
+
+def full_width(spark) -> int:
+    """Partition count for an EXPLICIT repartition of a compute-dense
+    shuffle: the session's shuffle-partition setting, floored at the
+    core count. Locally both are the core count; on a cluster profile
+    shuffle.partitions is the tuned (large) value, so a fixed-width
+    exchange derived from this never drops below either knob. Use where
+    AQE's byte-based advisory sizing is the wrong objective — a small-
+    byte exchange carrying superlinear compute (pair fan-out joins,
+    wedge enumeration) that coalescing would serialize (guide §2.5)."""
+    return max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )

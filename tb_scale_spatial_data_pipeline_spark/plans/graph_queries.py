@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.spread import broadcast_if_small
+from ..operators.spread import broadcast_if_small, full_width
 from ._util import t
 
 QUERIES: dict = {}
@@ -115,11 +115,20 @@ def _guard_pk_fanout(ps: DataFrame, keep: str) -> DataFrame:
 
 def _undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    # explicit width on the pair-fanout join: this exchange is ~10 MB
+    # carrying an ~24x row expansion plus per-pair md5 (census: 6.4
+    # exec-sec), so AQE's byte-based coalescing serializes it onto a
+    # handful of tasks (5 of 32 at sf0.1) — the §2.5 parallelism-first
+    # case. Hash both sides on pk at full_width: co-partitioned join
+    # (no extra exchange), identical rows, full width at any profile.
+    _w = full_width(spark)
     a = _guard_pk_fanout(
         ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("u")),
         "u",
-    )
-    b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("v"))
+    ).repartition(_w, "pk")
+    b = ps.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("v")
+    ).repartition(_w, "pk")
     e0 = a.join(b, "pk").where(F.col("u") < F.col("v")).select("u", "v").distinct()
     # distinct BEFORE the md5 thinning, deliberately: map-side partial
     # distinct collapses the ~24x pair duplication across part keys
@@ -1678,7 +1687,10 @@ def q_ktruss_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dg").cast("bigint") * F.lit(1 << 32) + F.col("node")).alias(
                 "rk"
             ),
-        )
+        ).localCheckpoint(eager=False)
+        # lazy barrier: the u- and v-attach broadcasts below otherwise
+        # each rebuild the degree aggregation (two identical agg
+        # subtrees per round); the checkpoint runs it once
         # (node, rk) is 16 B/node of data — size-guarded broadcast so
         # the two degree-attach joins never shuffle the edge table
         # while the node count is broadcastable (guide §3.1); past
@@ -1713,13 +1725,27 @@ def q_ktruss_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         # in place of a dedicated eager job — one fewer job per round
         # on the round-latency-bound local profile, same single
         # evaluation.
-        o1 = o.select(F.col("a").alias("x"), F.col("b").alias("p"), F.col("rb").alias("rp"))
-        o2 = o.select(F.col("a").alias("y"), F.col("b").alias("q"), F.col("rb").alias("rq"))
+        # explicit width on the wedge shuffle: the triangle enumeration
+        # is the compute core of every round (census: 6.7 exec-sec on a
+        # ~5 MB exchange that AQE's advisory sizing coalesces to 5
+        # tasks — the §2.5 parallelism-first case). Hash both arms on
+        # the wedge key at defaultParallelism: same rows, co-partitioned
+        # join (no further exchange), full width at any core count.
+        _p = spark.sparkContext.defaultParallelism
+        o1 = o.select(
+            F.col("a").alias("x"), F.col("b").alias("p"), F.col("rb").alias("rp")
+        ).repartition(_p, "x")
+        o2 = o.select(
+            F.col("a").alias("y"), F.col("b").alias("q"), F.col("rb").alias("rq")
+        ).repartition(_p, "y")
         closer = o.select(F.col("a").alias("ca"), F.col("b").alias("cb"))
         tris = (
             o1.join(o2, (F.col("x") == F.col("y")) & (F.col("rp") < F.col("rq")))
             .join(
-                closer,
+                # edge-sized (<= |cur| rows, same 2|eu| guard bound):
+                # broadcasting the closure side keeps the expanded
+                # wedge set from re-shuffling on (p, q)
+                broadcast_if_small(closer, n_node_bound),
                 (F.col("ca") == F.col("p")) & (F.col("cb") == F.col("q")),
                 "left_semi",
             )
@@ -1748,8 +1774,10 @@ def q_ktruss_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("u", "v")
             .agg(F.count(F.lit(1)).alias("sup"))
         )
+        # lazy: read by the snapshot agg and the next round's cur; the
+        # first consumer materializes it without a dedicated sync job
         keepers = sup.where(F.col("sup") >= _TRUSS_K - 2).localCheckpoint(
-            eager=True
+            eager=False
         )
         snaps.append(
             keepers.agg(
