@@ -252,6 +252,8 @@ def connected_components(
     MapReduce"), which this API could switch to without changing its
     contract.
     """
+    from .spread import broadcast_if_small
+
     # materialize the (possibly expensive) edge derivation ONCE before
     # the two-direction union — otherwise the union's two branches each
     # recompute the full upstream plan (e.g. the MinHash pipeline).
@@ -259,6 +261,11 @@ def connected_components(
         eager=True
     )
     sym = e0.union(e0.select(F.col("_d"), F.col("_s")))
+    # |labels| = |nodes| <= 2|e0| at every round: one no-shuffle count
+    # on the materialized RDD bounds the per-round broadcast guard, so
+    # the symmetrized edge table never re-exchanges per round (§3.1);
+    # above the guard both joins degrade to shuffles.
+    n_bound = 2 * e0.count()
 
     labels = (
         sym.select(F.col("_s").alias("node")).distinct()
@@ -271,12 +278,19 @@ def connected_components(
     for _ in range(max_iter):
         rounds += 1
         neighbor_min = (
-            sym.join(labels, sym["_s"] == labels["node"])
+            sym.join(
+                broadcast_if_small(labels, n_bound),
+                sym["_s"] == labels["node"],
+            )
             .groupBy(F.col("_d").alias("node2"))
             .agg(F.min("lbl").alias("nmin"))
         )
         stepped = (
-            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
+            labels.join(
+                broadcast_if_small(neighbor_min, n_bound),
+                labels["node"] == F.col("node2"),
+                "left",
+            )
             .select(
                 "node",
                 F.col("lbl").alias("_old"),
