@@ -115,28 +115,62 @@ def _guard_pk_fanout(ps: DataFrame, keep: str) -> DataFrame:
 
 def _undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
-    # explicit width on the pair-fanout join: this exchange is ~10 MB
-    # carrying an ~24x row expansion plus per-pair md5 (census: 6.4
-    # exec-sec), so AQE's byte-based coalescing serializes it onto a
-    # handful of tasks (5 of 32 at sf0.1) — the §2.5 parallelism-first
-    # case. Hash both sides on pk at full_width: co-partitioned join
-    # (no extra exchange), identical rows, full width at any profile.
+    # Pair fan-out as a per-part sorted-array combination expansion
+    # instead of a pk self-join: group each part's distinct suppliers
+    # into one sorted array, then explode (us[i], us[j>i]). Same pair
+    # SET as the join form — the sorted array makes u < v structural —
+    # but each u<v pair is produced exactly once (the join emitted both
+    # orders and filtered half, 14M rows -> 7M here at sf0.1) with two
+    # Generate operators instead of sort-merge-join machinery, and the
+    # window-count fan-out guard collapses to a size() check on the
+    # already-built array (one stage and one 590k-row exchange fewer;
+    # census: pair production 5.2 -> 2.3 exec-sec, §2.1/§2.3).
+    # Explicit width on the grouping exchange: this ~10 MB shuffle
+    # carries the ~24x quadratic expansion downstream, so AQE's
+    # byte-based coalescing would serialize it onto a handful of tasks
+    # (5 of 32 at sf0.1) — the §2.5 parallelism-first case.
     _w = full_width(spark)
-    a = _guard_pk_fanout(
-        ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("u")),
+    _elem = dict(ps.dtypes)["l_suppkey"]
+    grouped = (
+        ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("u"))
+        .repartition(_w, "pk")
+        .groupBy("pk")
+        .agg(F.sort_array(F.collect_set("u")).alias("us"))
+    )
+    # same LOUD per-part fan-out bound as before (see _PK_FANOUT_BOUND):
+    # the raise is folded into the exploded column so pruning cannot
+    # drop it.
+    guarded = grouped.select(
+        F.when(
+            F.size("us") > _PK_FANOUT_BOUND,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "co-supply pk self-join: per-part fan-out exceeds "
+                        f"{_PK_FANOUT_BOUND} (got "
+                    ),
+                    F.size("us").cast("string"),
+                    F.lit("); salt or degree-cap hot parts before pairing"),
+                )
+            ).cast(f"array<{_elem}>"),
+        )
+        .otherwise(F.col("us"))
+        .alias("us")
+    )
+    pairs = guarded.select(
+        F.posexplode("us").alias("i", "u"), F.col("us")
+    ).select(
         "u",
-    ).repartition(_w, "pk")
-    b = ps.select(
-        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("v")
-    ).repartition(_w, "pk")
-    e0 = a.join(b, "pk").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+        F.explode(F.slice("us", F.col("i") + F.lit(2), F.size("us"))).alias("v"),
+    )
+    e0 = pairs.distinct()
     # distinct BEFORE the md5 thinning, deliberately: map-side partial
     # distinct collapses the ~24x pair duplication across part keys
-    # (8.7M raw pairs -> 363k shuffled rows at sf0.1), and the md5 then
-    # runs on distinct pairs only (500k hashes, not 8.7M). The filter
-    # and distinct commute, but this order shuffles 3x fewer rows and
-    # hashes 11x less (guide §2.3/§1.2: cheapest total plan, measured
-    # equal-wall locally and strictly less work at scale).
+    # (7M generated pairs -> ~1M shuffled rows at sf0.1), and the md5
+    # then runs on distinct pairs only (363k hashes, not 7M). The
+    # filter and distinct commute, but this order shuffles fewer rows
+    # and hashes ~20x less (guide §2.3/§1.2: cheapest total plan,
+    # measured equal-wall locally and strictly less work at scale).
     bucket = F.conv(
         F.substring(F.md5((F.col("u") * 1000 + F.col("v")).cast("string")), 1, 4),
         16,

@@ -409,7 +409,9 @@ def test_pk_fanout_guard_pinned_in_edge_build(spark):
     eu = gq._undirected_edges(spark, SF_SMOKE)
     op = eu._jdf.queryExecution().optimizedPlan().toString()
     assert "raise_error" in op
-    assert "_pk_fanout" in op
+    # the guard is a size() check on the per-part supplier array, folded
+    # into the exploded column so pruning cannot drop it
+    assert "fan-out exceeds" in op
 
 
 def test_pk_fanout_guard_raises_on_hot_part(spark):
@@ -430,6 +432,57 @@ def test_pk_fanout_guard_raises_on_hot_part(spark):
         assert sorted(r.u for r in gq._guard_pk_fanout(ok, "u").collect()) == [7, 9]
     finally:
         gq._PK_FANOUT_BOUND = old
+
+
+def test_undirected_edges_guard_raises_through_pair_expansion(spark):
+    """The fan-out bound must also trip inside _undirected_edges itself
+    (the array-combination form checks size(us) on the grouped supplier
+    array — same LOUD failure as the old window-count guard)."""
+    from tb_scale_spatial_data_pipeline_spark.plans import graph_queries as gq
+
+    old = gq._PK_FANOUT_BOUND
+    gq._PK_FANOUT_BOUND = 1
+    try:
+        with pytest.raises(Exception, match="fan-out exceeds"):
+            gq._undirected_edges(spark, SF_SMOKE).collect()
+    finally:
+        gq._PK_FANOUT_BOUND = old
+
+
+def test_undirected_edges_matches_join_form(spark):
+    """The sorted-array combination expansion must produce exactly the
+    pair set of the reference pk self-join (u < v, distinct, md5
+    bucket-thinned) — the contract every downstream graph query and
+    its SQL oracle assume."""
+    from pyspark.sql import functions as F
+
+    from tb_scale_spatial_data_pipeline_spark.plans import graph_queries as gq
+    from tb_scale_spatial_data_pipeline_spark.plans._util import t
+
+    ps = (
+        t(spark, SF_SMOKE, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("u"))
+    b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("v"))
+    bucket = F.conv(
+        F.substring(
+            F.md5((F.col("u") * 1000 + F.col("v")).cast("string")), 1, 4
+        ),
+        16,
+        10,
+    ).cast("int")
+    ref = (
+        a.join(b, "pk")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .where(bucket < 9830)
+    )
+    got = {(r.u, r.v) for r in gq._undirected_edges(spark, SF_SMOKE).collect()}
+    want = {(r.u, r.v) for r in ref.collect()}
+    assert got == want and len(got) > 0
 
 
 def test_adamic_adar_equi_joins_only(spark):
