@@ -60,6 +60,21 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
+        # Whole-stage-codegen compiled-class cache (static conf, default
+        # 100 entries). A session that runs a many-query workload — the
+        # 68-query bench, a BI dashboard, any multi-tenant driver —
+        # generates far more than 100 codegen fragments, so the LRU
+        # evicts and every pass recompiles every stage on the driver
+        # (~1-3 s per multi-stage query; measured: ktruss 7.3->5.6 s,
+        # betweenness 5.8->3.5 s, WL 3.9->3.0 s in a bench-shaped
+        # sequence). 5000 entries of class references is a few hundred
+        # MB of metaspace at worst and is workload-, not machine-,
+        # proportioned; the knob matters identically on a cluster
+        # driver.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE_ENTRIES", "5000"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # keep stdout clean: the driver contract parses the LAST JSON
